@@ -1,0 +1,105 @@
+"""Global configuration for dask_geomodeling_tpu.
+
+The reference piggybacks on ``dask.config`` with a ``geomodeling`` namespace
+(reference: dask_geomodeling/config.py:4-12).  This framework has no dask, so
+it ships a small thread-safe config object with the same keys plus TPU-
+specific additions (tile size, device batch, HBM budget, mesh shape).
+
+Usage::
+
+    from dask_geomodeling_tpu import config
+    config.set({"geomodeling.raster-limit": 16 * 1024 * 1024})
+    with config.set({"geomodeling.root": "/tmp/data"}):
+        ...
+"""
+import threading
+from contextlib import ContextDecorator
+
+__all__ = ["config", "defaults"]
+
+defaults = {
+    # parity with the reference (dask_geomodeling/config.py:4-12)
+    "geomodeling.root": "/",
+    "geomodeling.strict-file-paths": False,
+    # default maximum number of pixels in a raster request (~100 MB float64)
+    "geomodeling.raster-limit": 12 * (1024**2),
+    # default maximum number of timesteps in a raster request
+    "geomodeling.raster-limit-timesteps": 2**16,
+    # default maximum number of geometries in a geometry request
+    "geomodeling.geometry-limit": 10000,
+    # scheduler used by ``compute``: sync | threads | processes
+    "scheduler": None,
+    "temporary_directory": None,
+    # --- TPU runtime additions ---
+    # executor for raster vals requests: "numpy" (host reference path) or
+    # "jax" (lower the compute graph to a jitted XLA program)
+    "geomodeling.executor": "numpy",
+    # fixed tile edge for the tiled TPU runtime (pixels)
+    "geomodeling.tile-size": 512,
+    # number of tiles evaluated per device program invocation
+    "geomodeling.tile-batch": 8,
+    # logical device mesh shape used by the sharded executor, e.g. (8,)
+    "geomodeling.mesh-shape": None,
+    # per-batch HBM budget in bytes for admission control of tile batches
+    "geomodeling.hbm-budget": 2 * (1024**3),
+}
+
+
+class Config:
+    """Thread-safe key/value configuration with context-manager overrides."""
+
+    def __init__(self, values):
+        self._lock = threading.RLock()
+        self._values = dict(values)
+
+    def get(self, key, default=KeyError):
+        with self._lock:
+            if key in self._values:
+                return self._values[key]
+        if default is KeyError:
+            raise KeyError(key)
+        return default
+
+    def set(self, values=None, **kwargs):
+        """Set config values; returns a context manager restoring old values.
+
+        Accepts a dict of dotted keys (``{"geomodeling.root": ...}``) and/or
+        keyword arguments with ``__`` as the dot separator.
+        """
+        updates = dict(values or {})
+        for key, val in kwargs.items():
+            updates[key.replace("__", ".")] = val
+        with self._lock:
+            old = {k: self._values.get(k, _MISSING) for k in updates}
+            self._values.update(updates)
+        return _ConfigRestore(self, old)
+
+    def __contains__(self, key):
+        with self._lock:
+            return key in self._values
+
+    def _restore(self, old):
+        with self._lock:
+            for key, val in old.items():
+                if val is _MISSING:
+                    self._values.pop(key, None)
+                else:
+                    self._values[key] = val
+
+
+class _ConfigRestore(ContextDecorator):
+    def __init__(self, cfg, old):
+        self._cfg = cfg
+        self._old = old
+
+    def __enter__(self):
+        return self._cfg
+
+    def __exit__(self, *exc):
+        self._cfg._restore(self._old)
+        return False
+
+
+_MISSING = object()
+
+config = Config(defaults)

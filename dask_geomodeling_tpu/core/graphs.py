@@ -1,0 +1,277 @@
+"""The core Block graph runtime.
+
+Semantics match the reference core (dask_geomodeling/core/graphs.py:85-308):
+immutable ``Block`` objects form a DAG ("view"); a request is answered by
+(a) rewriting it for the sources (``get_sources_and_requests``) and (b)
+combining the returned data (static ``process``).  The recursion yields a
+compute graph ``{name_token: (process, *args)}`` with structural dedup via
+content-addressed keys.
+
+TPU-native difference: ``compute`` consults the configured *executor*.  The
+default ("numpy") evaluates the graph with a task scheduler exactly like the
+reference.  The "jax" executor (runtime/executor.py) first rewrites maximal
+device-capable subgraphs — process functions that carry a ``jax_impl``
+attribute — into single jitted XLA programs running on TPU tile batches.
+"""
+import json
+import logging
+import sys
+
+from dask_geomodeling_tpu.config import config
+from dask_geomodeling_tpu.core.scheduler import get_scheduler, get_sync
+from dask_geomodeling_tpu.core.tokens import tokenize
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["construct", "construct_multiple", "compute", "Block", "DummyBlock"]
+
+
+def _construct_exc_callback(e, dumps):
+    """``pack_exception`` callback prefixing errors with the failing key."""
+    key = sys._getframe(1).f_locals.get("key")
+    e.args = ("{0}: {1}".format(key, str(e)),)
+    raise e
+
+
+def _reconstruct_token(key):
+    """Reconstruct a token from a graph key of the form 'SomeName_<token>'."""
+    if len(key) < 34 or key[-33] != "_":
+        return None
+    token = key[-32:]
+    try:
+        int(token, 16)
+    except ValueError:
+        return None
+    return token.lower()
+
+
+def compute(graph, name, *args, **kwargs):
+    """Compute a graph ``{name: (func, *args)}`` using the configured
+    executor and scheduler.  See :mod:`dask_geomodeling_tpu.config`.
+    """
+    if config.get("geomodeling.executor", "numpy") == "jax":
+        from dask_geomodeling_tpu.runtime.executor import compute_jax
+
+        return compute_jax(graph, name)
+    scheduler = get_scheduler()
+    return scheduler(graph, [name])[0]
+
+
+def construct(graph, name, validate=True):
+    """Construct a Block with dependent Blocks from a graph and endpoint."""
+    return construct_multiple(graph, [name], validate)[0]
+
+
+def construct_multiple(graph, names, validate=True):
+    """Construct multiple Blocks from a construction graph.
+
+    The graph values are ``[cls_or_import_path, *args]``.  With
+    ``validate=False`` the Block ``__init__`` is skipped and the token
+    embedded in the key is reused (fast path for deserialization).
+    """
+    new_graph = {}
+    for key, value in graph.items():
+        cls = value[0]
+        if isinstance(cls, str):
+            cls = Block.from_import_path(cls)
+        if not (isinstance(cls, type) and issubclass(cls, Block)):
+            raise TypeError("Cannot construct from object of type '{}'".format(cls))
+        args = tuple(value[1:])
+        if validate:
+            new_graph[key] = (cls,) + args
+        else:
+            token = _reconstruct_token(key)
+            if token is None:
+                logger.warning(
+                    "Construct received a key with an invalid name ('%s'), "
+                    "while validation was turned off",
+                    key,
+                )
+            new_graph[key] = (cls._init_no_validation, token) + args
+
+    return get_sync(new_graph, names, pack_exception=_construct_exc_callback)
+
+
+class Block:
+    """A lazy, immutable node in a computation view.
+
+    Subclasses override:
+
+    - ``__init__`` for argument validation (must call ``super().__init__``
+      with all args; args are stored immutably in ``self.args``),
+    - ``get_sources_and_requests`` to rewrite the request per source
+      (default fans out the same request to every arg),
+    - static ``process`` to combine the source data (default: identity).
+
+    Evaluation: ``get_data(**request)`` materializes the compute graph and
+    hands it to the configured executor.  Tokens (content hashes) make graph
+    keys deterministic, enabling structural caching and serialization.
+    """
+
+    JSON_VERSION = 2
+
+    def __init__(self, *args):
+        self.args = args
+
+    @property
+    def token(self):
+        """Unique, deterministic content hash of this view."""
+        try:
+            return self._cached_token
+        except AttributeError:
+            pass
+        klass_path = self.get_import_path()
+        args = [arg.token if isinstance(arg, Block) else arg for arg in self.args]
+        self._cached_token = tokenize(klass_path, *args)
+        return self._cached_token
+
+    @staticmethod  # must remain a static method: it is shipped in graphs
+    def process(data):
+        """Combine source data; default passes single-source data through."""
+        return data
+
+    @classmethod
+    def _init_no_validation(cls, token, *args):
+        """Construct directly from a token and args, skipping validation."""
+        obj = cls.__new__(cls)
+        obj.args = args
+        if token:
+            obj._cached_token = token
+        return obj
+
+    def get_sources_and_requests(self, **request):
+        """Return an iterable of ``(source, request)`` pairs; requests may
+        differ per source.  Non-Block sources are passed to ``process``
+        as-is (their request is ignored)."""
+        return ((source, request) for source in self.args)
+
+    # --- evaluation (never overridden) ---
+
+    def get_data(self, **request):
+        """Directly evaluate the request and return the data."""
+        return compute(*self.get_compute_graph(**request))
+
+    def get_compute_graph(self, cached_compute_graph=None, **request):
+        """Lazy version of get_data: returns ``(graph, name)`` where graph
+        maps ``name_token -> (process, *args)`` and args may reference other
+        keys.  Shared (block, request) pairs appear once (structural dedup).
+        """
+        token = tokenize([self.token, request])
+        name = "{}_{}".format(type(self).__name__.lower(), token)
+        graph = cached_compute_graph if cached_compute_graph is not None else {}
+
+        if name in graph:
+            return graph, name
+
+        args = [self.process]
+        for source, req in self.get_sources_and_requests(**request):
+            if isinstance(source, Block) and req is not None:
+                graph, compute_name = source.get_compute_graph(
+                    cached_compute_graph=graph, **req
+                )
+                args.append(compute_name)
+            else:
+                args.append(source)
+
+        graph[name] = tuple(args)
+        return graph, name
+
+    # --- construction graph / serialization (never overridden) ---
+
+    def get_graph(self, serialize=False):
+        """Return ``(graph, name)`` defining this Block and dependencies;
+        graph values are ``[cls_or_import_path, *construction_args]``."""
+        args = [self.get_import_path()] if serialize else [type(self)]
+        graph = {}
+        for arg in self.args:
+            if isinstance(arg, Block):
+                sub_graph, sub_name = arg.get_graph(serialize=serialize)
+                graph.update(sub_graph)
+                args.append(sub_name)
+            else:
+                args.append(arg)
+        name = self.name
+        graph[name] = args
+        return graph, name
+
+    @property
+    def name(self):
+        return "{}_{}".format(type(self).__name__, self.token)
+
+    def __reduce__(self):
+        # pickle as (construct, (graph, name, False)): validation skipped
+        return construct, self.get_graph() + (False,)
+
+    @classmethod
+    def get_import_path(cls):
+        """The canonical import path used in serialized graphs."""
+        name = cls.__name__
+        module = cls.__module__
+        try:
+            __import__(module)
+            mod = sys.modules[module]
+            klass = getattr(mod, name)
+        except (ImportError, KeyError, AttributeError):
+            raise RuntimeError(
+                "Can't serialize %r: it's not found as %s.%s" % (cls, module, name)
+            )
+        if klass is not cls:
+            raise RuntimeError(
+                "Can't serialize %r: it's not the same object as %s.%s"
+                % (cls, module, name)
+            )
+        return "{}.{}".format(module, name)
+
+    @staticmethod
+    def from_import_path(path):
+        module, name = path.rsplit(".", 1)
+        __import__(module)
+        klass = getattr(sys.modules[module], name)
+        if isinstance(klass, type) and issubclass(klass, Block):
+            return klass
+        raise TypeError('"{}" is not a valid Block.'.format(path))
+
+    @classmethod
+    def from_json(cls, val, **kwargs):
+        return cls.deserialize(json.loads(val, **kwargs))
+
+    def to_json(self, **kwargs):
+        return json.dumps(self.serialize(), **kwargs)
+
+    def serialize(self):
+        graph, name = self.get_graph(serialize=True)
+        return {"version": self.JSON_VERSION, "graph": graph, "name": name}
+
+    @classmethod
+    def deserialize(cls, val, validate=False):
+        version = val.get("version")
+        if version is not None and version > cls.JSON_VERSION:
+            logger.warning(
+                "Deserializing a version %s graph with a version %s runtime",
+                version,
+                cls.JSON_VERSION,
+            )
+        return construct(val["graph"], val["name"], validate=validate)
+
+    def __repr__(self):
+        return "{}({})".format(
+            type(self).__name__, ", ".join(repr(x) for x in self.args)
+        )
+
+
+class DummyBlock(Block):
+    """Placeholder block carrying a user-supplied name/token.
+
+    Useful for partially evaluating block graphs when computing tokens.
+    """
+
+    def __init__(self, name):
+        super().__init__(name)
+
+    @property
+    def token(self):
+        return self.name.split("_")[1]
+
+    @property
+    def name(self):
+        return self.args[0]

@@ -1,0 +1,176 @@
+"""Task-graph schedulers.
+
+The reference delegates graph evaluation to dask's pluggable schedulers
+(reference: dask_geomodeling/core/graphs.py:42-49 and dask.local.get_sync).
+This module provides self-contained equivalents over the same graph format::
+
+    graph = {key: (callable, arg1, arg2, ...), ...}
+
+where an ``arg`` that is a string present in ``graph`` refers to the result
+of that entry.  Available schedulers:
+
+- ``get_sync``      — single-threaded, depth-first (the default)
+- ``get_threaded``  — thread-pool based, runs independent branches in parallel
+- ``get_processes`` — process-pool based (tasks must be picklable)
+
+The TPU executor (runtime/executor.py) is *not* a scheduler here: it rewrites
+device-capable subgraphs into single jitted XLA programs before evaluation.
+"""
+import os
+import sys
+from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
+
+__all__ = ["get_sync", "get_threaded", "get_processes", "get_scheduler"]
+
+
+def _is_key(arg, graph):
+    return isinstance(arg, str) and arg in graph
+
+
+def _is_task(value):
+    return isinstance(value, tuple) and len(value) >= 1 and callable(value[0])
+
+
+def get_sync(graph, keys, pack_exception=None):
+    """Evaluate ``keys`` from ``graph`` single-threaded; returns a list.
+
+    ``pack_exception(exc, dumps)`` may re-raise a decorated exception; the
+    graph key being evaluated is available to it as the local variable
+    ``key`` one frame up (compatibility with the reference's construct error
+    callback, reference graphs.py:21-27).
+    """
+    cache = {}
+
+    def evaluate(key):
+        if key in cache:
+            return cache[key]
+        value = graph[key]
+        result = _run_task(key, value)
+        cache[key] = result
+        return result
+
+    def _run_task(key, value):
+        # ``key`` is read via the frame by pack_exception callbacks
+        if not _is_task(value):
+            return _resolve(value)
+        func = value[0]
+        args = [_resolve(arg) for arg in value[1:]]
+        try:
+            return func(*args)
+        except Exception as e:
+            if pack_exception is not None:
+                pack_exception(e, None)
+            raise
+
+    def _resolve(arg):
+        if _is_key(arg, graph):
+            return evaluate(arg)
+        return arg
+
+    # deep graphs recurse per node; raise the limit proportionally
+    if sys.getrecursionlimit() < len(graph) * 4 + 100:
+        sys.setrecursionlimit(len(graph) * 4 + 100)
+    return [evaluate(key) for key in keys]
+
+
+def _dependencies(graph, key):
+    value = graph[key]
+    if not _is_task(value):
+        return {value} if _is_key(value, graph) else set()
+    return {arg for arg in value[1:] if _is_key(arg, graph)}
+
+
+def _toposort_needed(graph, keys):
+    """Return the set of keys needed to compute ``keys`` plus dep maps."""
+    needed = set()
+    stack = list(keys)
+    while stack:
+        key = stack.pop()
+        if key in needed:
+            continue
+        needed.add(key)
+        stack.extend(_dependencies(graph, key))
+    deps = {key: _dependencies(graph, key) for key in needed}
+    dependents = {key: set() for key in needed}
+    for key, ds in deps.items():
+        for d in ds:
+            dependents[d].add(key)
+    return needed, deps, dependents
+
+
+def _get_pooled_impl(pool_cls, graph, keys, num_workers):
+    _, deps, dependents = _toposort_needed(graph, keys)
+    cache = {}
+    remaining = {key: len(ds) for key, ds in deps.items()}
+    ready = [key for key, n in remaining.items() if n == 0]
+
+    def _resolve(arg):
+        return cache[arg] if _is_key(arg, graph) else arg
+
+    def _complete(key, result):
+        cache[key] = result
+        for dep in dependents[key]:
+            remaining[dep] -= 1
+            if remaining[dep] == 0:
+                ready.append(dep)
+
+    with pool_cls(num_workers) as pool:
+        futures = {}
+        while ready or futures:
+            while ready:
+                key = ready.pop()
+                value = graph[key]
+                if not _is_task(value):
+                    _complete(key, _resolve(value))
+                    continue
+                func = value[0]
+                args = [_resolve(arg) for arg in value[1:]]
+                futures[pool.submit(func, *args)] = key
+            if not futures:
+                continue
+            done, _ = wait(list(futures), return_when=FIRST_COMPLETED)
+            for fut in done:
+                _complete(futures.pop(fut), fut.result())
+    return [cache[key] for key in keys]
+
+
+def get_threaded(graph, keys, num_workers=None, **kwargs):
+    """Thread-pool scheduler: independent graph branches run concurrently."""
+    num_workers = num_workers or min(32, (os.cpu_count() or 4))
+    return _get_pooled_impl(ThreadPoolExecutor, graph, keys, num_workers)
+
+
+def get_processes(graph, keys, num_workers=None, **kwargs):
+    """Process-pool scheduler. Tasks and data must be picklable."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    num_workers = num_workers or (os.cpu_count() or 4)
+    return _get_pooled_impl(ProcessPoolExecutor, graph, keys, num_workers)
+
+
+_SCHEDULERS = {
+    None: get_sync,
+    "sync": get_sync,
+    "synchronous": get_sync,
+    "single-threaded": get_sync,
+    "threads": get_threaded,
+    "threading": get_threaded,
+    "processes": get_processes,
+    "multiprocessing": get_processes,
+}
+
+
+def get_scheduler(name=None):
+    """Resolve a scheduler callable from a name or the global config."""
+    if callable(name):
+        return name
+    if name is None:
+        from dask_geomodeling_tpu.config import config
+
+        name = config.get("scheduler", None)
+        if callable(name):
+            return name
+    try:
+        return _SCHEDULERS[name]
+    except KeyError:
+        raise ValueError("Unknown scheduler %r" % (name,)) from None
