@@ -189,8 +189,17 @@ class GeoDataFrame(pd.DataFrame):
             if isinstance(geometry, str):
                 self._geometry_column_name = geometry
             else:
-                geometry = pd.Series(list(geometry), index=self.index, dtype=object)
-                self["geometry"] = geometry
+                if isinstance(geometry, pd.Series):
+                    series = geometry.astype(object)
+                else:
+                    series = pd.Series(list(geometry), dtype=object)
+                if len(self.columns) == 0 and len(self.index) != len(series):
+                    # frame created empty: adopt the geometry's index
+                    super().__init__({"geometry": series})
+                else:
+                    self["geometry"] = pd.Series(
+                        list(series), index=self.index, dtype=object
+                    )
                 self._geometry_column_name = "geometry"
         elif self._geometry_column_name is None and "geometry" in self.columns:
             self._geometry_column_name = "geometry"

@@ -1,0 +1,436 @@
+"""Native GeoTIFF codec (replaces GDAL dataset I/O, reference
+dask_geomodeling/raster/sources.py:66-71,449-455 and sinks.py:107-141).
+
+Supports classic little-endian TIFF with:
+
+- striped or tiled layout, chunky (contig) or planar organization
+- uncompressed or DEFLATE (zlib) compression, horizontal differencing
+  predictor for integers
+- dtypes: u1 i1 u2 i2 u4 i4 f4 f8 (bool is stored as u1)
+- GeoTIFF georeferencing: ModelPixelScale + ModelTiepoint, EPSG code via the
+  GeoKeyDirectory; nodata via the GDAL_NODATA ASCII tag; per-band metadata
+  as JSON in ImageDescription
+
+Bands are the time axis (t, y, x), written planar (one plane per band) so a
+band slice is one contiguous read — this is what the async tile feeder
+streams into HBM.
+"""
+import json
+import struct
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+
+__all__ = ["write_geotiff", "read_geotiff", "read_geotiff_info", "GeoTIFFInfo"]
+
+# TIFF tag ids
+_IMAGE_WIDTH = 256
+_IMAGE_LENGTH = 257
+_BITS_PER_SAMPLE = 258
+_COMPRESSION = 259
+_PHOTOMETRIC = 262
+_IMAGE_DESCRIPTION = 270
+_STRIP_OFFSETS = 273
+_SAMPLES_PER_PIXEL = 277
+_ROWS_PER_STRIP = 278
+_STRIP_BYTE_COUNTS = 279
+_PLANAR_CONFIG = 284
+_PREDICTOR = 317
+_TILE_WIDTH = 322
+_TILE_LENGTH = 323
+_TILE_OFFSETS = 324
+_TILE_BYTE_COUNTS = 325
+_SAMPLE_FORMAT = 339
+_MODEL_PIXEL_SCALE = 33550
+_MODEL_TIEPOINT = 33922
+_GEO_KEY_DIRECTORY = 34735
+_GDAL_NODATA = 42113
+
+_TYPE_SHORT = 3
+_TYPE_LONG = 4
+_TYPE_RATIONAL = 5
+_TYPE_ASCII = 2
+_TYPE_DOUBLE = 12
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
+
+_SAMPLE_FORMATS = {"u": 1, "i": 2, "f": 3, "b": 1}
+
+_COMPRESSION_NONE = 1
+_COMPRESSION_DEFLATE = 8
+_COMPRESSION_DEFLATE_OLD = 32946
+
+
+@dataclass
+class GeoTIFFInfo:
+    """Header of a GeoTIFF: everything but the pixels."""
+
+    width: int
+    height: int
+    bands: int
+    dtype: str
+    projection: str
+    geo_transform: tuple
+    no_data_value: float
+    metadata: list
+
+
+def _geokeys_for_projection(projection):
+    """Minimal GeoKeyDirectory encoding an EPSG code."""
+    from dask_geomodeling_tpu.geo.crs import get_sr
+
+    sr = get_sr(projection)
+    keys = []
+    if sr.is_geographic:
+        keys.append((1024, 0, 1, 2))  # GTModelType = geographic
+        keys.append((2048, 0, 1, sr.code))  # GeographicType
+    else:
+        keys.append((1024, 0, 1, 1))  # GTModelType = projected
+        keys.append((3072, 0, 1, sr.code))  # ProjectedCSType
+    header = (1, 1, 0, len(keys))
+    flat = list(header)
+    for key in keys:
+        flat.extend(key)
+    return flat
+
+
+def _projection_from_geokeys(shorts):
+    n_keys = shorts[3]
+    for i in range(n_keys):
+        key_id, location, count, value = shorts[4 + 4 * i : 8 + 4 * i]
+        if key_id in (2048, 3072) and location == 0:
+            return "EPSG:{}".format(value)
+    return None
+
+
+def write_geotiff(
+    path,
+    array,
+    geo_transform,
+    projection,
+    no_data_value,
+    metadata=None,
+    compress="deflate",
+    tiled=False,
+    tile_size=256,
+):
+    """Write a (bands, height, width) array as a GeoTIFF."""
+    array = np.asarray(array)
+    if array.ndim == 2:
+        array = array[np.newaxis]
+    if array.dtype == bool:
+        array = array.astype(np.uint8)
+    bands, height, width = array.shape
+    dtype = array.dtype
+    compression = _COMPRESSION_DEFLATE if compress == "deflate" else _COMPRESSION_NONE
+
+    # encode pixel payload per band (planar organization)
+    chunks = []  # list of (bytes) in file order
+    if tiled:
+        tw = th = int(tile_size)
+        tiles_x = -(-width // tw)
+        tiles_y = -(-height // th)
+        for b in range(bands):
+            for ty in range(tiles_y):
+                for tx in range(tiles_x):
+                    tile = np.zeros((th, tw), dtype=dtype)
+                    ys, xs = ty * th, tx * tw
+                    sub = array[b, ys : ys + th, xs : xs + tw]
+                    tile[: sub.shape[0], : sub.shape[1]] = sub
+                    chunks.append(_encode(tile.tobytes(), compression))
+    else:
+        for b in range(bands):
+            chunks.append(_encode(array[b].tobytes(), compression))
+
+    # assemble tags
+    tags = []
+
+    def tag(tid, ttype, values):
+        tags.append((tid, ttype, values))
+
+    tag(_IMAGE_WIDTH, _TYPE_LONG, [width])
+    tag(_IMAGE_LENGTH, _TYPE_LONG, [height])
+    tag(_BITS_PER_SAMPLE, _TYPE_SHORT, [dtype.itemsize * 8] * bands)
+    tag(_COMPRESSION, _TYPE_SHORT, [compression])
+    tag(_PHOTOMETRIC, _TYPE_SHORT, [1])  # BlackIsZero
+    if metadata is not None:
+        desc = json.dumps({"band_metadata": list(metadata)})
+        tag(_IMAGE_DESCRIPTION, _TYPE_ASCII, desc)
+    tag(_SAMPLES_PER_PIXEL, _TYPE_SHORT, [bands])
+    tag(_PLANAR_CONFIG, _TYPE_SHORT, [2])  # planar: band-sequential
+    tag(_SAMPLE_FORMAT, _TYPE_SHORT, [_SAMPLE_FORMATS[dtype.kind]] * bands)
+
+    p, a, _, q, _, d = geo_transform
+    tag(_MODEL_PIXEL_SCALE, _TYPE_DOUBLE, [abs(a), abs(d), 0.0])
+    tag(_MODEL_TIEPOINT, _TYPE_DOUBLE, [0.0, 0.0, 0.0, p, q, 0.0])
+    tag(_GEO_KEY_DIRECTORY, _TYPE_SHORT, _geokeys_for_projection(projection))
+    if no_data_value is not None:
+        tag(_GDAL_NODATA, _TYPE_ASCII, repr(no_data_value))
+
+    if tiled:
+        tag(_TILE_WIDTH, _TYPE_SHORT, [tw])
+        tag(_TILE_LENGTH, _TYPE_SHORT, [th])
+        offsets_tag = (_TILE_OFFSETS, _TYPE_LONG)
+        counts_tag = (_TILE_BYTE_COUNTS, _TYPE_LONG)
+    else:
+        tag(_ROWS_PER_STRIP, _TYPE_LONG, [height])
+        offsets_tag = (_STRIP_OFFSETS, _TYPE_LONG)
+        counts_tag = (_STRIP_BYTE_COUNTS, _TYPE_LONG)
+
+    # layout: header(8) | IFD | out-of-line tag data | chunk data
+    n_entries = len(tags) + 2  # plus offsets & counts
+    ifd_offset = 8
+    ifd_size = 2 + n_entries * 12 + 4
+
+    # serialize tag values, collecting out-of-line payloads
+    extra = bytearray()
+    extra_offset = ifd_offset + ifd_size
+
+    def pack_values(ttype, values):
+        if ttype == _TYPE_ASCII:
+            data = values.encode() + b"\x00"
+            return data, len(data)
+        fmt = {_TYPE_SHORT: "H", _TYPE_LONG: "I", _TYPE_DOUBLE: "d"}[ttype]
+        return struct.pack("<%d%s" % (len(values), fmt), *values), len(values)
+
+    entries = []
+    deferred = []  # (entry_index, data)
+
+    all_tags = tags + [
+        (offsets_tag[0], offsets_tag[1], [0] * len(chunks)),  # patched later
+        (counts_tag[0], counts_tag[1], [len(c) for c in chunks]),
+    ]
+    all_tags.sort(key=lambda t: t[0])
+
+    chunk_offsets_entry = None
+    for tid, ttype, values in all_tags:
+        data, count = pack_values(ttype, values)
+        if len(data) <= 4:
+            value_field = data + b"\x00" * (4 - len(data))
+            entries.append([tid, ttype, count, value_field, None])
+        else:
+            entries.append([tid, ttype, count, None, data])
+        if tid in (_STRIP_OFFSETS, _TILE_OFFSETS):
+            chunk_offsets_entry = entries[-1]
+
+    # place out-of-line data
+    for entry in entries:
+        if entry[4] is not None:
+            entry[3] = struct.pack("<I", extra_offset + len(extra))
+            extra.extend(entry[4])
+            if len(extra) % 2:
+                extra.append(0)
+
+    data_start = extra_offset + len(extra)
+
+    # compute chunk offsets and patch them in
+    offsets = []
+    pos = data_start
+    for c in chunks:
+        offsets.append(pos)
+        pos += len(c)
+    offsets_data = struct.pack("<%dI" % len(offsets), *offsets)
+    if chunk_offsets_entry[4] is not None:
+        # out-of-line: overwrite in extra at the recorded position
+        rel = struct.unpack("<I", chunk_offsets_entry[3])[0] - extra_offset
+        extra[rel : rel + len(offsets_data)] = offsets_data
+    else:
+        chunk_offsets_entry[3] = offsets_data + b"\x00" * (4 - len(offsets_data))
+
+    with open(path, "wb") as f:
+        f.write(b"II*\x00" + struct.pack("<I", ifd_offset))
+        f.write(struct.pack("<H", n_entries))
+        for tid, ttype, count, value_field, _ in entries:
+            f.write(struct.pack("<HHI", tid, ttype, count) + value_field)
+        f.write(struct.pack("<I", 0))  # no next IFD
+        f.write(bytes(extra))
+        for c in chunks:
+            f.write(c)
+
+
+def _encode(data, compression):
+    if compression == _COMPRESSION_DEFLATE:
+        return zlib.compress(data, 6)
+    return data
+
+
+def _decode(data, compression):
+    if compression in (_COMPRESSION_DEFLATE, _COMPRESSION_DEFLATE_OLD):
+        return zlib.decompress(data)
+    if compression == _COMPRESSION_NONE:
+        return data
+    raise NotImplementedError("Unsupported TIFF compression: %d" % compression)
+
+
+def _read_ifd(f, byte_order):
+    (n_entries,) = struct.unpack(byte_order + "H", f.read(2))
+    tags = {}
+    for _ in range(n_entries):
+        tid, ttype, count = struct.unpack(byte_order + "HHI", f.read(8))
+        value_field = f.read(4)
+        size = _TYPE_SIZES.get(ttype, 1) * count
+        if size <= 4:
+            data = value_field[:size]
+        else:
+            (offset,) = struct.unpack(byte_order + "I", value_field)
+            pos = f.tell()
+            f.seek(offset)
+            data = f.read(size)
+            f.seek(pos)
+        tags[tid] = _parse_tag_values(ttype, count, data, byte_order)
+    return tags
+
+
+def _parse_tag_values(ttype, count, data, byte_order):
+    if ttype == _TYPE_ASCII:
+        return data.rstrip(b"\x00").decode("utf-8", "replace")
+    fmt = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}.get(ttype)
+    if fmt is None:
+        return data
+    return list(struct.unpack(byte_order + "%d%s" % (count, fmt), data))
+
+
+def _open_tiff(path):
+    f = open(path, "rb")
+    header = f.read(8)
+    if header[:2] == b"II":
+        byte_order = "<"
+    elif header[:2] == b"MM":
+        byte_order = ">"
+    else:
+        f.close()
+        raise ValueError("Not a TIFF file: %s" % path)
+    (magic,) = struct.unpack(byte_order + "H", header[2:4])
+    if magic != 42:
+        f.close()
+        raise ValueError("Not a classic TIFF file: %s" % path)
+    (ifd_offset,) = struct.unpack(byte_order + "I", header[4:8])
+    f.seek(ifd_offset)
+    tags = _read_ifd(f, byte_order)
+    return f, byte_order, tags
+
+
+def _info_from_tags(tags):
+    width = tags[_IMAGE_WIDTH][0]
+    height = tags[_IMAGE_LENGTH][0]
+    bands = tags.get(_SAMPLES_PER_PIXEL, [1])[0]
+    bits = tags[_BITS_PER_SAMPLE][0]
+    sample_format = tags.get(_SAMPLE_FORMAT, [1])[0]
+    kind = {1: "u", 2: "i", 3: "f"}[sample_format]
+    dtype = "%s%d" % (kind, bits // 8)
+
+    scale = tags.get(_MODEL_PIXEL_SCALE, [1.0, 1.0, 0.0])
+    tiepoint = tags.get(_MODEL_TIEPOINT, [0.0] * 6)
+    geo_transform = (tiepoint[3], scale[0], 0.0, tiepoint[4], 0.0, -scale[1])
+
+    projection = None
+    if _GEO_KEY_DIRECTORY in tags:
+        projection = _projection_from_geokeys(tags[_GEO_KEY_DIRECTORY])
+
+    no_data_value = None
+    if _GDAL_NODATA in tags:
+        try:
+            no_data_value = float(tags[_GDAL_NODATA])
+        except ValueError:
+            pass
+
+    metadata = None
+    if _IMAGE_DESCRIPTION in tags:
+        try:
+            metadata = json.loads(tags[_IMAGE_DESCRIPTION]).get("band_metadata")
+        except (ValueError, AttributeError):
+            pass
+
+    return GeoTIFFInfo(
+        width=width,
+        height=height,
+        bands=bands,
+        dtype=dtype,
+        projection=projection,
+        geo_transform=geo_transform,
+        no_data_value=no_data_value,
+        metadata=metadata,
+    )
+
+
+def read_geotiff_info(path):
+    """Read only the header of a GeoTIFF."""
+    f, _, tags = _open_tiff(path)
+    f.close()
+    return _info_from_tags(tags)
+
+
+def read_geotiff(path):
+    """Read a full GeoTIFF into a RasterData-compatible object."""
+    from dask_geomodeling_tpu.raster.sources import RasterData
+
+    f, byte_order, tags = _open_tiff(path)
+    try:
+        info = _info_from_tags(tags)
+        dtype = np.dtype(info.dtype).newbyteorder(byte_order)
+        compression = tags.get(_COMPRESSION, [_COMPRESSION_NONE])[0]
+        planar = tags.get(_PLANAR_CONFIG, [1])[0]
+        array = np.zeros((info.bands, info.height, info.width), dtype=info.dtype)
+
+        if _TILE_OFFSETS in tags:
+            tw = tags[_TILE_WIDTH][0]
+            th = tags[_TILE_LENGTH][0]
+            offsets = tags[_TILE_OFFSETS]
+            counts = tags[_TILE_BYTE_COUNTS]
+            tiles_x = -(-info.width // tw)
+            tiles_y = -(-info.height // th)
+            idx = 0
+            n_planes = info.bands if planar == 2 else 1
+            samples = 1 if planar == 2 else info.bands
+            for plane in range(n_planes):
+                for ty in range(tiles_y):
+                    for tx in range(tiles_x):
+                        f.seek(offsets[idx])
+                        raw = _decode(f.read(counts[idx]), compression)
+                        idx += 1
+                        tile = np.frombuffer(raw, dtype=dtype)
+                        tile = tile[: th * tw * samples].reshape(th, tw, samples)
+                        ys, xs = ty * th, tx * tw
+                        h = min(th, info.height - ys)
+                        w = min(tw, info.width - xs)
+                        if planar == 2:
+                            array[plane, ys : ys + h, xs : xs + w] = tile[:h, :w, 0]
+                        else:
+                            for b in range(info.bands):
+                                array[b, ys : ys + h, xs : xs + w] = tile[:h, :w, b]
+        else:
+            offsets = tags[_STRIP_OFFSETS]
+            counts = tags[_STRIP_BYTE_COUNTS]
+            rows_per_strip = tags.get(_ROWS_PER_STRIP, [info.height])[0]
+            strips_per_plane = -(-info.height // rows_per_strip)
+            for idx, (offset, count) in enumerate(zip(offsets, counts)):
+                f.seek(offset)
+                raw = _decode(f.read(count), compression)
+                data = np.frombuffer(raw, dtype=dtype)
+                if planar == 2:
+                    plane = idx // strips_per_plane
+                    strip = idx % strips_per_plane
+                    y0 = strip * rows_per_strip
+                    rows = min(rows_per_strip, info.height - y0)
+                    array[plane, y0 : y0 + rows] = data[: rows * info.width].reshape(
+                        rows, info.width
+                    )
+                else:
+                    y0 = idx * rows_per_strip
+                    rows = min(rows_per_strip, info.height - y0)
+                    chunk = data[: rows * info.width * info.bands].reshape(
+                        rows, info.width, info.bands
+                    )
+                    for b in range(info.bands):
+                        array[b, y0 : y0 + rows] = chunk[:, :, b]
+    finally:
+        f.close()
+
+    return RasterData(
+        array=array,
+        projection=info.projection,
+        geo_transform=info.geo_transform,
+        no_data_value=info.no_data_value,
+        metadata=info.metadata,
+    )

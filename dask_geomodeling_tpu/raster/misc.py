@@ -1,0 +1,779 @@
+"""Miscellaneous raster blocks: Clip, Mask, Step, Classify, Reclassify,
+Rasterize, RasterizeWKT.
+
+Semantics match the reference (dask_geomodeling/raster/misc.py).  The
+pixel-wise blocks (Clip/Mask/MaskBelow/Step/Classify/Reclassify) carry
+``jax_impl`` twins so the TPU executor can fuse them into jitted XLA tile
+programs; Rasterize/RasterizeWKT consume host-side geometry sources and burn
+with the native rasterizer (geo/rasterize.py).
+"""
+import numpy as np
+
+from dask_geomodeling_tpu import utils
+from dask_geomodeling_tpu.config import config
+from dask_geomodeling_tpu.geo.features import GeoSeries
+from dask_geomodeling_tpu.geo.geometry import Point, box
+from dask_geomodeling_tpu.raster.base import BaseSingle, RasterBlock
+
+__all__ = [
+    "Clip",
+    "Classify",
+    "Reclassify",
+    "Mask",
+    "MaskBelow",
+    "Step",
+    "Rasterize",
+    "RasterizeWKT",
+]
+
+
+def _clip_process(data, source_data):
+    """Mask data where source_data has no data (or False)."""
+    if data is None:
+        return None
+    if "values" not in data:
+        return data
+    if np.all(data["values"] == data["no_data_value"]):
+        return data
+    if source_data is None:
+        return None
+
+    if source_data["values"].dtype == np.dtype("bool"):
+        mask = ~source_data["values"]
+    else:
+        mask = source_data["values"] == source_data["no_data_value"]
+
+    values = data["values"].copy()
+    values[mask] = data["no_data_value"]
+    return {"values": values, "no_data_value": data["no_data_value"]}
+
+
+def _clip_jax(data, source_data):
+    import jax.numpy as jnp
+
+    if data is None:
+        return None
+    if "values" not in data:
+        return data
+    if source_data is None:
+        return None
+    if source_data["values"].dtype == np.dtype("bool"):
+        mask = ~source_data["values"]
+    else:
+        mask = source_data["values"] == source_data["no_data_value"]
+    values = jnp.where(mask, data["no_data_value"], data["values"])
+    return {"values": values, "no_data_value": data["no_data_value"]}
+
+
+_clip_process.jax_impl = _clip_jax
+
+
+class Clip(BaseSingle):
+    """Clip one raster ('store') to the data/True extent of another
+    ('source'); inputs must share time resolution."""
+
+    def __init__(self, store, source):
+        if not isinstance(source, RasterBlock):
+            raise TypeError("'{}' object is not allowed".format(type(source)))
+        if store.temporal and not source.temporal:
+            raise ValueError(
+                "The values raster is temporal while the clipping mask is "
+                "not. Consider using Snap."
+            )
+        if not store.temporal and source.temporal:
+            raise ValueError(
+                "The clipping mask is temporal while the values raster is "
+                "not. Consider using Snap."
+            )
+        if store.temporal and (store.timedelta != source.timedelta):
+            raise ValueError(
+                "Time resolution of the clipping mask does not match that "
+                "of the values raster. Consider using Snap."
+            )
+        super().__init__(store, source)
+
+    @property
+    def source(self):
+        return self.args[1]
+
+    def get_sources_and_requests(self, **request):
+        # clamp start/stop to the common period so frames align
+        period = self.period
+        if period is None:
+            return [(None, None), (None, None)]
+
+        start = request.get("start")
+        if start is None:
+            start = period[1]
+        stop = request.get("stop")
+
+        if stop is not None:
+            if stop < period[0] or start > period[1]:
+                return [(None, None), (None, None)]
+            request["stop"] = min(max(stop, period[0]), period[1])
+        request["start"] = min(max(start, period[0]), period[1])
+        return [(source, request) for source in self.args]
+
+    process = staticmethod(_clip_process)
+
+    @property
+    def extent(self):
+        result, mask = [s.extent for s in self.args]
+        if result is None or mask is None:
+            return None
+        x1 = max(result[0], mask[0])
+        y1 = max(result[1], mask[1])
+        x2 = min(result[2], mask[2])
+        y2 = min(result[3], mask[3])
+        if x2 <= x1 or y2 <= y1:
+            return None
+        return x1, y1, x2, y2
+
+    @property
+    def geometry(self):
+        result, mask = [x.geometry for x in self.args]
+        if result is None or mask is None:
+            return None
+        extent = utils.Extent.from_geometry(result).intersection(
+            utils.Extent.from_geometry(mask)
+        )
+        if extent is None:
+            return None
+        return extent.as_geometry()
+
+    @property
+    def period(self):
+        periods = [x.period for x in self.args]
+        if any(period is None for period in periods):
+            return None
+        start = max(p[0] for p in periods)
+        stop = min(p[1] for p in periods)
+        if stop < start:
+            return None
+        return start, stop
+
+
+def _mask_dtype_from_value(value):
+    if isinstance(value, float):
+        return np.dtype("float32")
+    if value >= 0:
+        return utils.get_uint_dtype(value)
+    return utils.get_int_dtype(value)
+
+
+def _mask_process(data, value):
+    if data is None or "values" not in data:
+        return data
+    index = utils.get_index(data["values"], data["no_data_value"])
+    fillvalue = 1 if value == 0 else 0
+    dtype = _mask_dtype_from_value(value)
+    values = np.full_like(data["values"], fillvalue, dtype=dtype)
+    values[index] = value
+    return {"values": values, "no_data_value": fillvalue}
+
+
+def _mask_jax(data, value):
+    import jax.numpy as jnp
+
+    if data is None or "values" not in data:
+        return data
+    fillvalue = 1 if value == 0 else 0
+    dtype = _mask_dtype_from_value(value)
+    arr = data["values"]
+    if np.dtype(arr.dtype).kind == "f":
+        has_data = ~jnp.isclose(arr, data["no_data_value"])
+    else:
+        has_data = arr != data["no_data_value"]
+    values = jnp.where(has_data, dtype.type(value), dtype.type(fillvalue))
+    return {"values": values, "no_data_value": fillvalue}
+
+
+_mask_process.jax_impl = _mask_jax
+
+
+class Mask(BaseSingle):
+    """Replace data values with a constant; nodata is preserved."""
+
+    def __init__(self, store, value):
+        if not isinstance(value, (float, int)):
+            raise TypeError("'{}' object is not allowed".format(type(value)))
+        super().__init__(store, value)
+
+    @property
+    def value(self):
+        return self.args[1]
+
+    @property
+    def fillvalue(self):
+        return 1 if self.value == 0 else 0
+
+    @property
+    def dtype(self):
+        return _mask_dtype_from_value(self.value)
+
+    process = staticmethod(_mask_process)
+
+
+def _mask_below_process(data, value):
+    if data is None or "values" not in data:
+        return data
+    values, no_data_value = data["values"].copy(), data["no_data_value"]
+    values[values < value] = no_data_value
+    return {"values": values, "no_data_value": no_data_value}
+
+
+def _mask_below_jax(data, value):
+    import jax.numpy as jnp
+
+    if data is None or "values" not in data:
+        return data
+    values = data["values"]
+    no_data_value = data["no_data_value"]
+    values = jnp.where(values < value, np.dtype(values.dtype).type(no_data_value), values)
+    return {"values": values, "no_data_value": no_data_value}
+
+
+_mask_below_process.jax_impl = _mask_below_jax
+
+
+class MaskBelow(BaseSingle):
+    """Convert cells below a value to 'no data'."""
+
+    def __init__(self, store, value):
+        if not isinstance(value, (float, int)):
+            raise TypeError("'{}' object is not allowed".format(type(value)))
+        super().__init__(store, value)
+
+    process = staticmethod(_mask_below_process)
+
+
+def _step_process(data, left, right, location, at):
+    if data is None or "values" not in data:
+        return data
+    values, no_data_value = data["values"].copy(), data["no_data_value"]
+    mask = values == no_data_value
+    left_index = values < location
+    at_index = values == location
+    right_index = values > location
+    values[left_index] = left
+    values[at_index] = at
+    values[right_index] = right
+    values[mask] = no_data_value
+    return {"values": values, "no_data_value": no_data_value}
+
+
+def _step_jax(data, left, right, location, at):
+    import jax.numpy as jnp
+
+    if data is None or "values" not in data:
+        return data
+    values = data["values"]
+    no_data_value = data["no_data_value"]
+    dtype = np.dtype(values.dtype)
+    mask = values == no_data_value
+    out = jnp.where(values < location, dtype.type(left), values)
+    out = jnp.where(values == location, dtype.type(at), out)
+    out = jnp.where(values > location, dtype.type(right), out)
+    out = jnp.where(mask, dtype.type(no_data_value), out)
+    return {"values": out, "no_data_value": no_data_value}
+
+
+_step_process.jax_impl = _step_jax
+
+
+class Step(BaseSingle):
+    """Three-way step function: left if x < value, at if x == value, right
+    if x > value."""
+
+    def __init__(self, store, left=0, right=1, value=0, at=None):
+        at = (left + right) / 2 if at is None else at
+        for x in left, right, value, at:
+            if not isinstance(x, (float, int)):
+                raise TypeError("'{}' object is not allowed".format(type(x)))
+        super().__init__(store, left, right, value, at)
+
+    @property
+    def left(self):
+        return self.args[1]
+
+    @property
+    def right(self):
+        return self.args[2]
+
+    @property
+    def value(self):
+        return self.args[3]
+
+    @property
+    def at(self):
+        return self.args[4]
+
+    process = staticmethod(_step_process)
+
+
+def _classify_process(data, bins, right):
+    if data is None or "values" not in data:
+        return data
+    values = data["values"]
+    dtype = utils.get_uint_dtype(len(bins) + 2)
+    fillvalue = utils.get_dtype_max(dtype)
+    result_values = np.digitize(values, bins, right).astype(dtype)
+    result_values[values == data["no_data_value"]] = fillvalue
+    return {"values": result_values, "no_data_value": fillvalue}
+
+
+def _classify_jax(data, bins, right):
+    import jax.numpy as jnp
+
+    if data is None or "values" not in data:
+        return data
+    values = data["values"]
+    dtype = utils.get_uint_dtype(len(bins) + 2)
+    fillvalue = utils.get_dtype_max(dtype)
+    bins_arr = jnp.asarray(bins)
+    side = "left" if right else "right"  # np.digitize(right=False) == 'right'
+    result = jnp.searchsorted(bins_arr, values, side=side).astype(dtype)
+    result = jnp.where(values == data["no_data_value"], dtype.type(fillvalue), result)
+    return {"values": result, "no_data_value": fillvalue}
+
+
+_classify_process.jax_impl = _classify_jax
+
+
+class Classify(BaseSingle):
+    """Classify values into bins given by increasing edges; the output is
+    the bin index (0 = below the first edge)."""
+
+    def __init__(self, store, bins, right=False):
+        if not isinstance(store, RasterBlock):
+            raise TypeError("'{}' object is not allowed".format(type(store)))
+        if not hasattr(bins, "__iter__"):
+            raise TypeError("'{}' object is not allowed".format(type(bins)))
+        bins_arr = np.asarray(bins)
+        if bins_arr.ndim != 1:
+            raise TypeError("'bins' should be one-dimensional")
+        if not np.issubdtype(bins_arr.dtype, np.number):
+            raise TypeError("'bins' should be numeric")
+        bins_diff = np.diff(bins)
+        if not np.all(bins_diff > 0) or np.all(bins_diff < 0):
+            raise TypeError("'bins' should be monotonic")
+        super().__init__(store, bins_arr.tolist(), right)
+
+    @property
+    def bins(self):
+        return self.args[1]
+
+    @property
+    def right(self):
+        return self.args[2]
+
+    @property
+    def dtype(self):
+        return utils.get_uint_dtype(len(self.bins) + 2)
+
+    @property
+    def fillvalue(self):
+        return utils.get_dtype_max(self.dtype)
+
+    process = staticmethod(_classify_process)
+
+
+def _reclassify_table(data):
+    source, target = zip(*data)
+    return np.asarray(source), np.asarray(target)
+
+
+def _reclassify_process(store_data, process_kwargs):
+    if store_data is None or "values" not in store_data:
+        return store_data
+
+    no_data_value = store_data["no_data_value"]
+    values = store_data["values"]
+    source, target = _reclassify_table(process_kwargs["data"])
+    dtype = np.dtype(process_kwargs["dtype"])
+    fillvalue = process_kwargs["fillvalue"]
+
+    # map the nodata value onto the target nodata
+    if no_data_value is not None and no_data_value not in source:
+        source = np.append(source, no_data_value)
+        target = np.append(target, fillvalue)
+
+    inds = np.argsort(source)
+    source = source[inds]
+    target = target[inds]
+
+    if process_kwargs["select"]:
+        result = np.full(values.shape, fillvalue, dtype=dtype)
+    else:
+        result = values.astype(dtype)  # makes a copy
+
+    mask = np.isin(values.ravel(), source)
+    mask.shape = values.shape
+    result[mask] = target[np.searchsorted(source, values[mask])]
+    return {"values": result, "no_data_value": fillvalue}
+
+
+def _reclassify_jax(store_data, process_kwargs):
+    import jax.numpy as jnp
+
+    if store_data is None or "values" not in store_data:
+        return store_data
+
+    no_data_value = store_data["no_data_value"]
+    values = store_data["values"]
+    source, target = _reclassify_table(process_kwargs["data"])
+    dtype = np.dtype(process_kwargs["dtype"])
+    fillvalue = process_kwargs["fillvalue"]
+
+    if no_data_value is not None and no_data_value not in source:
+        source = np.append(source, no_data_value)
+        target = np.append(target, fillvalue)
+
+    inds = np.argsort(source)
+    source = jnp.asarray(source[inds])
+    target = jnp.asarray(target[inds].astype(dtype))
+
+    if process_kwargs["select"]:
+        base = jnp.full(values.shape, fillvalue, dtype=dtype)
+    else:
+        base = values.astype(dtype)
+
+    idx = jnp.searchsorted(source, values)
+    idx_clipped = jnp.clip(idx, 0, len(source) - 1 if len(source) else 0)
+    matched = source[idx_clipped] == values
+    result = jnp.where(matched, target[idx_clipped], base)
+    return {"values": result, "no_data_value": fillvalue}
+
+
+_reclassify_process.jax_impl = _reclassify_jax
+
+
+class Reclassify(BaseSingle):
+    """Reclassify integer/boolean rasters via [from, to] pairs; with
+    ``select`` unmapped cells become nodata."""
+
+    def __init__(self, store, data, select=False):
+        dtype = store.dtype
+        if dtype != bool and not np.issubdtype(dtype, np.integer):
+            raise TypeError("The store must be of boolean or integer datatype")
+
+        if not hasattr(data, "__iter__"):
+            raise TypeError("'{}' object is not allowed".format(type(data)))
+        try:
+            source, target = _reclassify_table(data)
+        except ValueError:
+            raise ValueError("Please supply a list of [from, to] values")
+        if source.dtype != bool and not np.issubdtype(source.dtype, np.integer):
+            raise TypeError(
+                "Cannot reclassify from value with type '{}'".format(source.dtype)
+            )
+        if len(np.unique(source)) != len(source):
+            raise ValueError("There are duplicates in the reclassify values")
+        if not np.issubdtype(target.dtype, np.number):
+            raise TypeError(
+                "Cannot reclassify to value with type '{}'".format(target.dtype)
+            )
+        data = [list(x) for x in zip(source.tolist(), target.tolist())]
+
+        if select is not True and select is not False:
+            raise TypeError("'{}' object is not allowed".format(type(select)))
+        super().__init__(store, data, select)
+
+    @property
+    def data(self):
+        return self.args[1]
+
+    @property
+    def select(self):
+        return self.args[2]
+
+    @property
+    def dtype(self):
+        _, target = _reclassify_table(self.data)
+        return target.dtype
+
+    @property
+    def fillvalue(self):
+        return utils.get_dtype_max(self.dtype)
+
+    def get_sources_and_requests(self, **request):
+        process_kwargs = {
+            "dtype": self.dtype.str,
+            "fillvalue": self.fillvalue,
+            "data": self.data,
+            "select": self.select,
+        }
+        return [(self.store, request), (process_kwargs, None)]
+
+    process = staticmethod(_reclassify_process)
+
+
+class Rasterize(RasterBlock):
+    """Rasterize a GeometryBlock, burning values from ``column_name`` (or a
+    boolean presence raster when no column is given)."""
+
+    def __init__(self, source, column_name=None, dtype=None, limit=None):
+        from dask_geomodeling_tpu.geometry.base import GeometryBlock
+
+        if not isinstance(source, GeometryBlock):
+            raise TypeError("'{}' object is not allowed".format(type(source)))
+        if column_name is not None and not isinstance(column_name, str):
+            raise TypeError("'{}' object is not allowed".format(type(column_name)))
+        if dtype is None:
+            dtype = "bool" if column_name is None else "int32"
+        else:
+            dtype = str(np.dtype(dtype))
+        if limit and not isinstance(limit, int):
+            raise TypeError("'{}' object is not allowed".format(type(limit)))
+        if limit and limit < 1:
+            raise ValueError("Limit should be greater than 1")
+        super().__init__(source, column_name, dtype, limit)
+
+    @property
+    def source(self):
+        return self.args[0]
+
+    @property
+    def column_name(self):
+        return self.args[1]
+
+    @property
+    def limit(self):
+        return self.args[3]
+
+    @property
+    def dtype(self):
+        return np.dtype(self.args[2])
+
+    @property
+    def fillvalue(self):
+        return None if self.dtype == bool else utils.get_dtype_max(self.dtype)
+
+    @property
+    def period(self):
+        return (self.DEFAULT_ORIGIN,) * 2
+
+    @property
+    def extent(self):
+        return None
+
+    @property
+    def timedelta(self):
+        return None
+
+    @property
+    def temporal(self):
+        return False
+
+    @property
+    def geometry(self):
+        return None
+
+    @property
+    def projection(self):
+        return None
+
+    @property
+    def geo_transform(self):
+        return None
+
+    def get_sources_and_requests(self, **request):
+        mode = request["mode"]
+        if mode == "time":
+            return [(self.period[-1], None), ({"mode": "time"}, None)]
+        if mode == "meta":
+            return [(None, None), ({"mode": "meta"}, None)]
+        if mode != "vals":
+            raise ValueError("Unknown mode '{}'".format(mode))
+
+        x1, y1, x2, y2 = request["bbox"]
+        width, height = request["width"], request["height"]
+
+        if x2 == x1 and y2 == y1:  # point
+            min_size = None
+        elif x1 < x2 and y1 < y2:
+            min_size = min((x2 - x1) / width, (y2 - y1) / height)
+        else:
+            raise ValueError("Invalid bbox ({})".format(request["bbox"]))
+
+        limit = self.limit
+        if self.limit is None:
+            limit = config.get("geomodeling.geometry-limit")
+
+        geom_request = {
+            "mode": "intersects",
+            "geometry": box(*request["bbox"]),
+            "projection": request["projection"],
+            "min_size": min_size,
+            "limit": limit,
+            "start": request.get("start"),
+            "stop": request.get("stop"),
+        }
+        process_kwargs = {
+            "mode": "vals",
+            "column_name": self.column_name,
+            "dtype": self.dtype,
+            "no_data_value": self.fillvalue,
+            "width": width,
+            "height": height,
+            "bbox": request["bbox"],
+        }
+        return [(self.source, geom_request), (process_kwargs, None)]
+
+    @staticmethod
+    def process(data, process_kwargs):
+        mode = process_kwargs["mode"]
+        if mode == "time":
+            return {"time": [data]}
+        if mode == "meta":
+            return {"meta": [None]}
+
+        column_name = process_kwargs["column_name"]
+        height = process_kwargs["height"]
+        width = process_kwargs["width"]
+        no_data_value = process_kwargs["no_data_value"]
+        dtype = process_kwargs["dtype"]
+        f = data["features"]
+
+        if column_name is None:
+            values = None
+        else:
+            try:
+                values = f[column_name]
+            except KeyError:
+                if f.index.name == column_name:
+                    values = f.index.to_series()
+                else:
+                    values = False
+
+        if len(f) == 0 or values is False:
+            values = np.full((1, height, width), no_data_value, dtype=dtype)
+            return {"values": values, "no_data_value": no_data_value}
+
+        result = utils.rasterize_geoseries(
+            geoseries=f["geometry"] if "geometry" in f else None,
+            values=values,
+            bbox=process_kwargs["bbox"],
+            projection=data["projection"],
+            height=height,
+            width=width,
+        )
+
+        values = result["values"]
+        with np.errstate(over="ignore", under="ignore"):
+            cast_values = values.astype(process_kwargs["dtype"])
+        if result["no_data_value"] != no_data_value:
+            cast_values[values == result["no_data_value"]] = no_data_value
+        return {"values": cast_values, "no_data_value": no_data_value}
+
+
+class RasterizeWKT(RasterBlock):
+    """Rasterize a single WKT geometry into a boolean mask."""
+
+    def __init__(self, wkt, projection):
+        if not isinstance(wkt, str):
+            raise TypeError("'{}' object is not allowed".format(type(wkt)))
+        if not isinstance(projection, str):
+            raise TypeError("'{}' object is not allowed".format(type(projection)))
+        try:
+            utils.shapely_from_wkt(wkt)
+        except utils.WKTReadingError:
+            raise ValueError("The provided geometry is not a valid WKT")
+        try:
+            utils.get_sr(projection)
+        except (TypeError, utils.TransformException):
+            raise ValueError("The provided projection is not valid")
+        super().__init__(wkt, projection)
+
+    @property
+    def wkt(self):
+        return self.args[0]
+
+    @property
+    def projection(self):
+        return self.args[1]
+
+    @property
+    def dtype(self):
+        return np.dtype("bool")
+
+    @property
+    def fillvalue(self):
+        return None
+
+    @property
+    def period(self):
+        return (self.DEFAULT_ORIGIN,) * 2
+
+    @property
+    def extent(self):
+        return tuple(
+            utils.shapely_transform(
+                utils.shapely_from_wkt(self.wkt), self.projection, "EPSG:4326"
+            ).bounds
+        )
+
+    @property
+    def timedelta(self):
+        return None
+
+    @property
+    def temporal(self):
+        return False
+
+    @property
+    def geometry(self):
+        geom = utils.shapely_from_wkt(self.wkt)
+        geom.srs = self.projection
+        return geom
+
+    @property
+    def geo_transform(self):
+        return None
+
+    def get_sources_and_requests(self, **request):
+        mode = request["mode"]
+        if mode == "time":
+            data = self.period[-1]
+        elif mode == "meta":
+            data = None
+        elif mode == "vals":
+            data = {"wkt": self.wkt, "projection": self.projection}
+        else:
+            raise ValueError("Unknown mode '{}'".format(mode))
+        return [(data, None), (request, None)]
+
+    @staticmethod
+    def process(data, request):
+        mode = request["mode"]
+        if mode == "time":
+            return {"time": [data]}
+        if mode == "meta":
+            return {"meta": [None]}
+
+        geometry = utils.shapely_from_wkt(data["wkt"])
+        if data["projection"] != request["projection"]:
+            geometry = utils.shapely_transform(
+                geometry, data["projection"], request["projection"]
+            )
+
+        x1, y1, x2, y2 = request["bbox"]
+        if (x1 == x2) and (y1 == y2):
+            bbox_geom = Point(x1, y1)
+        else:
+            bbox_geom = box(x1, y1, x2, y2)
+        if not geometry.intersects(bbox_geom):
+            return {
+                "values": np.full(
+                    (1, request["height"], request["width"]), False, dtype=bool
+                ),
+                "no_data_value": None,
+            }
+
+        return utils.rasterize_geoseries(
+            geoseries=GeoSeries([geometry]) if not geometry.is_empty else None,
+            bbox=request["bbox"],
+            projection=request["projection"],
+            height=request["height"],
+            width=request["width"],
+        )

@@ -1,0 +1,475 @@
+"""Raster sources: MemorySource and RasterFileSource.
+
+Behavior matches the reference (dask_geomodeling/raster/sources.py:38-564):
+sources snap the requested time window onto the band axis, handle point
+requests as single-pixel reads, and warp their data into the requested grid
+(nearest-neighbour).  The warp is this framework's own gather-based
+implementation (ops/warp.py) instead of gdal.ReprojectImage; file I/O uses
+the native GeoTIFF codec (io/geotiff.py) instead of gdal.Open.
+"""
+from dataclasses import dataclass
+from datetime import datetime, timedelta, timezone
+
+import numpy as np
+
+from dask_geomodeling_tpu import utils
+from dask_geomodeling_tpu.ops.warp import warp_numpy
+from dask_geomodeling_tpu.raster.base import RasterBlock
+
+__all__ = ["MemorySource", "RasterFileSource"]
+
+
+@dataclass
+class RasterData:
+    """In-memory raster payload shipped in process_kwargs."""
+
+    array: np.ndarray
+    projection: str
+    geo_transform: tuple
+    no_data_value: float
+    metadata: list
+
+
+def utc_from_ms_timestamp(timestamp):
+    """Naive UTC datetime from a milliseconds POSIX timestamp."""
+    return datetime.fromtimestamp(timestamp / 1000, tz=timezone.utc).replace(
+        tzinfo=None
+    )
+
+
+class RasterSourceBase(RasterBlock):
+    """Shared process() for memory- and file-backed sources."""
+
+    @staticmethod
+    def process(process_kwargs):
+        mode = process_kwargs["mode"]
+
+        # empty requests
+        if mode == "empty_vals":
+            return None
+        if mode == "empty_time":
+            return {"time": []}
+        if mode == "empty_meta":
+            return {"meta": []}
+
+        bands = process_kwargs["bands"]
+        length = bands[1] - bands[0]
+
+        if mode == "time":
+            start = process_kwargs["start"]
+            delta = process_kwargs["delta"]
+            return {"time": [start + i * delta for i in range(length)]}
+
+        # memory and file paths converge on a RasterData
+        raster_data = process_kwargs.get("raster_data")
+        if raster_data is None:
+            from dask_geomodeling_tpu.io.geotiff import read_geotiff
+
+            path = utils.safe_abspath(process_kwargs["url"])
+            raster_data = read_geotiff(path)
+
+        if mode == "meta":
+            metadata = raster_data.metadata or [None] * len(raster_data.array)
+            return {"meta": list(metadata[bands[0] : bands[1]])}
+
+        # vals
+        dtype = np.dtype(process_kwargs["dtype"])
+        bbox = process_kwargs["bbox"]
+        width = process_kwargs["width"]
+        height = process_kwargs["height"]
+        target_projection = process_kwargs["projection"]
+        target_no_data_value = np.dtype(dtype).type(process_kwargs["fillvalue"]).item()
+
+        if width == 0 or height == 0:
+            return np.empty((length, height, width), dtype=dtype)
+
+        array = raster_data.array
+        src_gt = utils.GeoTransform(raster_data.geo_transform)
+
+        # point request: read the single containing pixel
+        if bbox[0] == bbox[2] or bbox[1] == bbox[3]:
+            (source_x,), (source_y,) = utils.transform_points(
+                np.array([bbox[0]]),
+                np.array([bbox[1]]),
+                target_projection,
+                raster_data.projection,
+            )
+            source_i, source_j = src_gt.get_indices(((source_x, source_y),))
+            result = np.full((len(array), 1, 1), target_no_data_value, dtype=dtype)
+            if (
+                0 <= source_i[0] < array.shape[1]
+                and 0 <= source_j[0] < array.shape[2]
+            ):
+                result[:, 0, 0] = array[:, source_i[0], source_j[0]]
+            result = result[bands[0] : bands[1]]
+            return {"values": result, "no_data_value": target_no_data_value}
+
+        result = warp_numpy(
+            array,
+            src_gt,
+            raster_data.projection,
+            raster_data.no_data_value,
+            bbox,
+            target_projection,
+            width,
+            height,
+            dtype=dtype,
+            fillvalue=target_no_data_value,
+        )
+        result = result[bands[0] : bands[1]]
+        if result.dtype.kind == "f":
+            result[~np.isfinite(result)] = target_no_data_value
+        return {"values": result, "no_data_value": target_no_data_value}
+
+    def _snap_bands(self, request):
+        """Snap start/stop onto the band axis; None if empty."""
+        start, stop, band1, band2 = utils.snap_start_stop(
+            request.get("start"),
+            request.get("stop"),
+            utc_from_ms_timestamp(self.time_first),
+            self.timedelta,
+            len(self),
+        )
+        if start is None:
+            return None
+        return start, stop, (band1, band2 + 1)
+
+
+class MemorySource(RasterSourceBase):
+    """A raster source interfacing data from memory.
+
+    Args:
+      data (ndarray or number): pixel values, coerced to a 3D (t, y, x) array
+      no_data_value (number): the 'no data' marker
+      projection (str): projection of the data
+      pixel_size (float or (x, y)): pixel size in projection units
+      pixel_origin ((x, y)): location of pixel (0, 0)
+      time_first (int or datetime): timestamp of the first frame (ms)
+      time_delta (int, timedelta or None): frame spacing (ms)
+      metadata (list or None): per-frame metadata
+    """
+
+    def __init__(
+        self,
+        data,
+        no_data_value,
+        projection,
+        pixel_size,
+        pixel_origin,
+        time_first=0,
+        time_delta=None,
+        metadata=None,
+    ):
+        data = np.asarray(data)
+        if data.dtype == "i8":
+            data = data.astype("i4")  # parity with the reference's GDAL limit
+        if data.ndim == 2:
+            data = data[np.newaxis]
+        if data.ndim != 3:
+            raise ValueError("data should be two- or three-dimensional.")
+        no_data_value = data.dtype.type(no_data_value)
+        projection = utils.get_epsg_or_wkt(projection)
+        if not hasattr(pixel_size, "__iter__"):
+            pixel_size = [pixel_size] * 2
+        else:
+            pixel_size = list(pixel_size)
+            if len(pixel_size) != 2:
+                raise ValueError("pixel_size should have length 2")
+        pixel_size = [float(x) for x in pixel_size]
+        pixel_origin = [float(x) for x in pixel_origin]
+        if len(pixel_origin) != 2:
+            raise ValueError("pixel_origin should have length 2")
+        if isinstance(time_first, datetime):
+            time_first = utils.dt_to_ms(time_first)
+        else:
+            time_first = int(time_first)
+        if isinstance(time_delta, timedelta):
+            time_delta = int(time_delta.total_seconds() * 1000)
+        elif time_delta is None:
+            if data.shape[0] > 1:
+                raise ValueError("time_delta is required for temporal data")
+        else:
+            time_delta = int(time_delta)
+        if metadata is not None:
+            metadata = list(metadata)
+            if len(metadata) != data.shape[0]:
+                raise ValueError("Metadata length should match data length")
+        super().__init__(
+            data,
+            no_data_value,
+            projection,
+            pixel_size,
+            pixel_origin,
+            time_first,
+            time_delta,
+            metadata,
+        )
+
+    @property
+    def data(self):
+        return self.args[0]
+
+    @property
+    def no_data_value(self):
+        return self.args[1]
+
+    @property
+    def projection(self):
+        return self.args[2]
+
+    @property
+    def pixel_size(self):
+        return self.args[3]
+
+    @property
+    def pixel_origin(self):
+        return self.args[4]
+
+    @property
+    def time_first(self):
+        return self.args[5]
+
+    @property
+    def time_delta(self):
+        return self.args[6]
+
+    @property
+    def metadata(self):
+        return self.args[7]
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def fillvalue(self):
+        return self.no_data_value
+
+    @property
+    def geo_transform(self):
+        p, q = self.pixel_origin
+        a, d = self.pixel_size
+        return utils.GeoTransform((p, a, 0, q, 0, -d))
+
+    def _get_extent(self):
+        if not self.data.size:
+            return None
+        bbox = self.geo_transform.get_bbox((0, 0), self.data.shape[1:])
+        return utils.Extent(bbox, self.projection)
+
+    @property
+    def extent(self):
+        extent = self._get_extent()
+        if extent is None:
+            return None
+        return extent.transformed("EPSG:4326").bbox
+
+    @property
+    def geometry(self):
+        extent = self._get_extent()
+        if extent is None:
+            return None
+        return extent.as_geometry()
+
+    def __len__(self):
+        return self.data.shape[0]
+
+    @property
+    def period(self):
+        if len(self) == 0:
+            return None
+        if len(self) == 1:
+            return (utc_from_ms_timestamp(self.time_first),) * 2
+        first = utc_from_ms_timestamp(self.time_first)
+        return first, first + (len(self) - 1) * self.timedelta
+
+    @property
+    def timedelta(self):
+        if self.time_delta is None:
+            return None
+        return timedelta(milliseconds=self.time_delta)
+
+    @property
+    def temporal(self):
+        return self.time_delta is not None
+
+    def get_sources_and_requests(self, **request):
+        mode = request["mode"]
+
+        if mode == "meta" and self.metadata is None:
+            return [({"mode": "empty_meta"}, None)]
+
+        snapped = self._snap_bands(request)
+        if snapped is None:
+            return [({"mode": "empty_" + mode}, None)]
+        start, stop, bands = snapped
+
+        raster_data = RasterData(
+            array=self.data,
+            metadata=self.metadata,
+            geo_transform=tuple(self.geo_transform),
+            no_data_value=float(self.no_data_value),
+            projection=self.projection,
+        )
+
+        if mode == "vals":
+            process_kwargs = {
+                "mode": "vals",
+                "raster_data": raster_data,
+                "bbox": request["bbox"],
+                "width": request["width"],
+                "height": request["height"],
+                "projection": request["projection"],
+                "bands": bands,
+                "dtype": self.dtype,
+                "fillvalue": self.fillvalue,
+            }
+        elif mode == "meta":
+            process_kwargs = {
+                "mode": "meta",
+                "raster_data": raster_data,
+                "bands": bands,
+            }
+        elif mode == "time":
+            process_kwargs = {
+                "mode": "time",
+                "start": start,
+                "delta": self.timedelta or timedelta(0),
+                "bands": bands,
+            }
+        else:
+            raise RuntimeError("Unknown mode '{}'".format(mode))
+        return [(process_kwargs, None)]
+
+
+class RasterFileSource(RasterSourceBase):
+    """A raster source reading a GeoTIFF from a file path.
+
+    Args:
+      url (str): path to the file, sandboxed by ``geomodeling.root``
+      time_first (int or datetime): timestamp of the first frame (ms)
+      time_delta (int or timedelta): frame spacing (ms), default 5 minutes
+    """
+
+    def __init__(self, url, time_first=0, time_delta=300000):
+        url = utils.safe_file_url(url)
+        if isinstance(time_first, datetime):
+            time_first = utils.dt_to_ms(time_first)
+        else:
+            time_first = int(time_first)
+        if isinstance(time_delta, timedelta):
+            time_delta = int(time_delta.total_seconds() * 1000)
+        else:
+            time_delta = int(time_delta)
+        super().__init__(url, time_first, time_delta)
+
+    @property
+    def url(self):
+        return self.args[0]
+
+    @property
+    def time_first(self):
+        return self.args[1]
+
+    @property
+    def time_delta(self):
+        return self.args[2]
+
+    @property
+    def info(self):
+        """Cached header info of the GeoTIFF (no pixel data read)."""
+        try:
+            return self._info
+        except AttributeError:
+            from dask_geomodeling_tpu.io.geotiff import read_geotiff_info
+
+            self._info = read_geotiff_info(utils.safe_abspath(self.url))
+            return self._info
+
+    def close_dataset(self):
+        if hasattr(self, "_info"):
+            del self._info
+
+    @property
+    def projection(self):
+        return utils.get_epsg_or_wkt(self.info.projection)
+
+    @property
+    def dtype(self):
+        return np.dtype(self.info.dtype)
+
+    @property
+    def fillvalue(self):
+        return self.dtype.type(self.info.no_data_value)
+
+    @property
+    def geo_transform(self):
+        return utils.GeoTransform(self.info.geo_transform)
+
+    def _get_extent(self):
+        bbox = self.geo_transform.get_bbox(
+            (0, 0), (self.info.height, self.info.width)
+        )
+        return utils.Extent(bbox, self.projection)
+
+    @property
+    def extent(self):
+        return self._get_extent().transformed("EPSG:4326").bbox
+
+    @property
+    def geometry(self):
+        return self._get_extent().as_geometry()
+
+    def __len__(self):
+        return self.info.bands
+
+    @property
+    def period(self):
+        if len(self) == 0:
+            return None
+        if len(self) == 1:
+            return (utc_from_ms_timestamp(self.time_first),) * 2
+        first = utc_from_ms_timestamp(self.time_first)
+        return first, first + (len(self) - 1) * self.timedelta
+
+    @property
+    def timedelta(self):
+        if len(self) <= 1:
+            return None
+        return timedelta(milliseconds=self.time_delta)
+
+    @property
+    def temporal(self):
+        return len(self) > 1
+
+    def get_sources_and_requests(self, **request):
+        mode = request["mode"]
+        snapped = self._snap_bands(request)
+        if snapped is None:
+            return [({"mode": "empty_" + mode}, None)]
+        start, stop, bands = snapped
+
+        if mode == "vals":
+            process_kwargs = {
+                "mode": "vals",
+                "url": self.url,
+                "bbox": request["bbox"],
+                "width": request["width"],
+                "height": request["height"],
+                "projection": request["projection"],
+                "bands": bands,
+                "dtype": self.dtype,
+                "fillvalue": self.fillvalue,
+            }
+        elif mode == "meta":
+            process_kwargs = {"mode": "meta", "url": self.url, "bands": bands}
+        elif mode == "time":
+            process_kwargs = {
+                "mode": "time",
+                "start": start,
+                "delta": self.timedelta or timedelta(0),
+                "bands": bands,
+            }
+        else:
+            raise RuntimeError("Unknown mode '{}'".format(mode))
+        return [(process_kwargs, None)]
