@@ -1,0 +1,155 @@
+"""Benchmark: the BASELINE.json headline view on real hardware.
+
+View: Reclassify(Classify(Smooth(source + 1))) requested across a CRS
+boundary (EPSG:28992 source, EPSG:3857 request) — reproject + map algebra +
+stencil, the north-star pipeline — evaluated over a 10000x10000 px request
+as 512^2 tiles.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+value        = megapixels/sec/chip with the XLA executor
+vs_baseline  = speedup over the numpy host executor (the stand-in for the
+               reference's dask synchronous scheduler: same numpy/scipy
+               compute path, same tiling; dask itself is not installed in
+               this image).  Measured, not cited — the reference publishes
+               no numbers (BASELINE.md).
+"""
+import json
+import sys
+import time
+from datetime import datetime, timedelta
+
+import numpy as np
+
+
+def build_view(source_px=8192):
+    from dask_geomodeling_tpu.raster import Classify, MemorySource, Reclassify, Smooth
+
+    rng = np.random.RandomState(42)
+    data = (rng.rand(1, source_px, source_px) * 250).astype(np.float32)
+    data[0, :64, :64] = np.float32(np.finfo(np.float32).max)  # nodata patch
+
+    source = MemorySource(
+        data=data,
+        no_data_value=float(np.finfo(np.float32).max),
+        projection="EPSG:28992",
+        pixel_size=1.0,
+        pixel_origin=(85000, 455000),
+        time_first=datetime(2000, 1, 1),
+        time_delta=timedelta(hours=1),
+    )
+    view = Classify(
+        # the final Classify gives a compact uint8 output (fetch-friendly)
+        Reclassify(
+            Classify(Smooth(source + 1, size=3), bins=[50.0, 100.0, 150.0, 200.0]),
+            data=[[0, 1], [1, 5], [2, 9], [3, 13], [4, 17]],
+        ),
+        bins=[4, 8, 12, 16],
+    )
+    return source, view
+
+
+def tile_requests(source, out_px, tile):
+    """Tile the reprojected full extent into tile x tile requests."""
+    from dask_geomodeling_tpu.geo import Extent
+
+    x1, y1, x2, y2 = (
+        Extent(
+            source.geo_transform.get_bbox((0, 0), source.data.shape[1:]),
+            source.projection,
+        )
+        .transformed("EPSG:3857")
+        .bbox
+    )
+    n = out_px // tile
+    dx = (x2 - x1) / n
+    dy = (y2 - y1) / n
+    requests = []
+    for j in range(n):
+        for i in range(n):
+            requests.append(
+                dict(
+                    mode="vals",
+                    bbox=(x1 + i * dx, y1 + j * dy, x1 + (i + 1) * dx, y1 + (j + 1) * dy),
+                    projection="EPSG:3857",
+                    width=tile,
+                    height=tile,
+                    start=datetime(2000, 1, 1),
+                )
+            )
+    return requests
+
+
+def run_numpy(view, requests):
+    from dask_geomodeling_tpu import config
+
+    with config.set({"geomodeling.executor": "numpy"}):
+        t0 = time.perf_counter()
+        for request in requests:
+            result = view.get_data(**request)
+        elapsed = time.perf_counter() - t0
+    assert result is not None
+    return elapsed
+
+
+def full_request(source, out_px):
+    from dask_geomodeling_tpu.geo import Extent
+
+    bbox = (
+        Extent(
+            source.geo_transform.get_bbox((0, 0), source.data.shape[1:]),
+            source.projection,
+        )
+        .transformed("EPSG:3857")
+        .bbox
+    )
+    return dict(
+        mode="vals",
+        bbox=bbox,
+        projection="EPSG:3857",
+        width=out_px,
+        height=out_px,
+        start=datetime(2000, 1, 1),
+    )
+
+
+def main():
+    from dask_geomodeling_tpu.runtime.tiles import evaluate_tiled
+
+    out_px = int(sys.argv[1]) if len(sys.argv) > 1 else 10240
+    tile = 512
+    source, view = build_view()
+    requests = tile_requests(source, out_px, tile)
+    request = full_request(source, out_px)
+    total_mpx = out_px * out_px / 1e6
+
+    # warmup: numpy once; tiled-jax once with the REAL request (jit compile
+    # of the batched program + source HBM upload + tunnel initialization)
+    run_numpy(view, requests[:1])
+    evaluate_tiled(view, request, tile_size=tile, batch=64)
+
+    # numpy baseline (the reference's dask-sync equivalent) on a subset
+    n_base = max(len(requests) // 20, 4)
+    base_elapsed = run_numpy(view, requests[:n_base]) * (len(requests) / n_base)
+
+    t0 = time.perf_counter()
+    result = evaluate_tiled(view, request, tile_size=tile, batch=64)
+    jax_elapsed = time.perf_counter() - t0
+    assert result["values"].shape[-1] == out_px
+
+    value = total_mpx / jax_elapsed
+    baseline = total_mpx / base_elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "mpx_per_sec_per_chip_reclassify_smooth_reproject_512tiles",
+                "value": round(value, 2),
+                "unit": "megapixel/s",
+                "vs_baseline": round(value / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

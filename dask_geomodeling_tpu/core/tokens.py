@@ -126,6 +126,21 @@ def _feed_object(h, value):
             h.update(b"\x00O")
             _feed(h, func(value))
             return
+    import dataclasses
+
+    if dataclasses.is_dataclass(value) and not isinstance(value, type):
+        h.update(b"\x00C")
+        _feed(
+            h,
+            (
+                type(value).__module__ + "." + type(value).__qualname__,
+                {
+                    f.name: getattr(value, f.name)
+                    for f in dataclasses.fields(value)
+                },
+            ),
+        )
+        return
     token = getattr(value, "__token__", None)
     if token is not None:
         h.update(b"\x00O")

@@ -93,30 +93,30 @@ def _ellipsoid(name):
 # --- geodetic <-> geocentric, Helmert ---
 
 
-def _geodetic_to_geocentric(ell, lon, lat):
-    lam = np.radians(lon)
-    phi = np.radians(lat)
-    sin_phi = np.sin(phi)
-    nu = ell.a / np.sqrt(1.0 - ell.e2 * sin_phi**2)
-    x = nu * np.cos(phi) * np.cos(lam)
-    y = nu * np.cos(phi) * np.sin(lam)
+def _geodetic_to_geocentric(ell, lon, lat, xp=np):
+    lam = xp.radians(lon)
+    phi = xp.radians(lat)
+    sin_phi = xp.sin(phi)
+    nu = ell.a / xp.sqrt(1.0 - ell.e2 * sin_phi**2)
+    x = nu * xp.cos(phi) * xp.cos(lam)
+    y = nu * xp.cos(phi) * xp.sin(lam)
     z = nu * (1.0 - ell.e2) * sin_phi
     return x, y, z
 
 
-def _geocentric_to_geodetic(ell, x, y, z):
-    lam = np.arctan2(y, x)
-    p = np.hypot(x, y)
-    # Bowring's method with one refinement iteration
-    phi = np.arctan2(z, p * (1.0 - ell.e2))
+def _geocentric_to_geodetic(ell, x, y, z, xp=np):
+    lam = xp.arctan2(y, x)
+    p = xp.hypot(x, y)
+    # iterated prime-vertical correction (converges in a few rounds)
+    phi = xp.arctan2(z, p * (1.0 - ell.e2))
     for _ in range(3):
-        sin_phi = np.sin(phi)
-        nu = ell.a / np.sqrt(1.0 - ell.e2 * sin_phi**2)
-        phi = np.arctan2(z + ell.e2 * nu * sin_phi, p)
-    return np.degrees(lam), np.degrees(phi)
+        sin_phi = xp.sin(phi)
+        nu = ell.a / xp.sqrt(1.0 - ell.e2 * sin_phi**2)
+        phi = xp.arctan2(z + ell.e2 * nu * sin_phi, p)
+    return xp.degrees(lam), xp.degrees(phi)
 
 
-def _helmert(params, x, y, z, inverse=False):
+def _helmert(params, x, y, z, inverse=False, xp=np):
     tx, ty, tz, rx, ry, rz = (
         params[0],
         params[1],
@@ -148,10 +148,10 @@ class _GeographicProjection:
     is_geographic = True
     unit = "degree"
 
-    def forward(self, lon, lat):
+    def forward(self, lon, lat, xp=np):
         return lon, lat
 
-    def inverse(self, x, y):
+    def inverse(self, x, y, xp=np):
         return x, y
 
 
@@ -162,16 +162,16 @@ class _WebMercator:
     unit = "metre"
     R = 6378137.0
 
-    def forward(self, lon, lat):
-        lat = np.clip(np.asarray(lat, dtype=float), -89.9999999, 89.9999999)
-        x = self.R * np.radians(lon)
-        y = self.R * np.log(np.tan(np.pi / 4.0 + np.radians(lat) / 2.0))
+    def forward(self, lon, lat, xp=np):
+        lat = xp.clip(xp.asarray(lat, dtype=float), -89.9999999, 89.9999999)
+        x = self.R * xp.radians(lon)
+        y = self.R * xp.log(xp.tan(np.pi / 4.0 + xp.radians(lat) / 2.0))
         return x, y
 
-    def inverse(self, x, y):
-        lon = np.degrees(np.asarray(x, dtype=float) / self.R)
-        lat = np.degrees(
-            2.0 * np.arctan(np.exp(np.asarray(y, dtype=float) / self.R)) - np.pi / 2.0
+    def inverse(self, x, y, xp=np):
+        lon = xp.degrees(xp.asarray(x, dtype=float) / self.R)
+        lat = xp.degrees(
+            2.0 * xp.arctan(xp.exp(xp.asarray(y, dtype=float) / self.R)) - np.pi / 2.0
         )
         return lon, lat
 
@@ -212,47 +212,47 @@ class _TransverseMercator:
             xi0, _ = self._conformal_xi_eta(np.asarray(lat0, float), np.asarray(0.0))
             self.m0 = self.k0 * self.A * float(xi0)
 
-    def _conformal_xi_eta(self, lat, dlon):
+    def _conformal_xi_eta(self, lat, dlon, xp=np):
         e = self.ell.e
-        phi = np.radians(lat)
-        lam = np.radians(dlon)
-        s = np.sin(phi)
-        t = np.sinh(np.arctanh(s) - e * np.arctanh(e * s))
-        xi_p = np.arctan2(t, np.cos(lam))
-        eta_p = np.arcsinh(np.sin(lam) / np.hypot(t, np.cos(lam)))
-        xi = xi_p.copy()
-        eta = eta_p.copy()
+        phi = xp.radians(lat)
+        lam = xp.radians(dlon)
+        s = xp.sin(phi)
+        t = xp.sinh(xp.arctanh(s) - e * xp.arctanh(e * s))
+        xi_p = xp.arctan2(t, xp.cos(lam))
+        eta_p = xp.arcsinh(xp.sin(lam) / xp.hypot(t, xp.cos(lam)))
+        xi = xi_p
+        eta = eta_p
         for j, (a_j,) in enumerate(zip(self.alpha), start=1):
-            xi = xi + a_j * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
-            eta = eta + a_j * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+            xi = xi + a_j * xp.sin(2 * j * xi_p) * xp.cosh(2 * j * eta_p)
+            eta = eta + a_j * xp.cos(2 * j * xi_p) * xp.sinh(2 * j * eta_p)
         return xi, eta
 
-    def forward(self, lon, lat):
-        lon = np.asarray(lon, dtype=float)
-        lat = np.asarray(lat, dtype=float)
+    def forward(self, lon, lat, xp=np):
+        lon = xp.asarray(lon, dtype=float)
+        lat = xp.asarray(lat, dtype=float)
         dlon = (lon - self.lon0 + 180.0) % 360.0 - 180.0
-        xi, eta = self._conformal_xi_eta(lat, dlon)
+        xi, eta = self._conformal_xi_eta(lat, dlon, xp)
         x = self.fe + self.k0 * self.A * eta
         y = self.fn - self.m0 + self.k0 * self.A * xi
         return x, y
 
-    def inverse(self, x, y):
+    def inverse(self, x, y, xp=np):
         e = self.ell.e
-        eta = (np.asarray(x, dtype=float) - self.fe) / (self.k0 * self.A)
-        xi = (np.asarray(y, dtype=float) - self.fn + self.m0) / (self.k0 * self.A)
-        xi_p = xi.copy()
-        eta_p = eta.copy()
+        eta = (xp.asarray(x, dtype=float) - self.fe) / (self.k0 * self.A)
+        xi = (xp.asarray(y, dtype=float) - self.fn + self.m0) / (self.k0 * self.A)
+        xi_p = xi
+        eta_p = eta
         for j, (b_j,) in enumerate(zip(self.beta), start=1):
-            xi_p = xi_p - b_j * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
-            eta_p = eta_p - b_j * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
-        t = np.sin(xi_p) / np.hypot(np.sinh(eta_p), np.cos(xi_p))
-        lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+            xi_p = xi_p - b_j * xp.sin(2 * j * xi) * xp.cosh(2 * j * eta)
+            eta_p = eta_p - b_j * xp.cos(2 * j * xi) * xp.sinh(2 * j * eta)
+        t = xp.sin(xi_p) / xp.hypot(xp.sinh(eta_p), xp.cos(xi_p))
+        lam = xp.arctan2(xp.sinh(eta_p), xp.cos(xi_p))
         # invert the conformal latitude: s = tanh(asinh(t) + e*atanh(e*s))
-        s = np.tanh(np.arcsinh(t))
+        s = xp.tanh(xp.arcsinh(t))
         for _ in range(8):
-            s = np.tanh(np.arcsinh(t) + e * np.arctanh(e * s))
-        lat = np.degrees(np.arcsin(np.clip(s, -1.0, 1.0)))
-        lon = self.lon0 + np.degrees(lam)
+            s = xp.tanh(xp.arcsinh(t) + e * xp.arctanh(e * s))
+        lat = xp.degrees(xp.arcsin(xp.clip(s, -1.0, 1.0)))
+        lon = self.lon0 + xp.degrees(lam)
         return lon, lat
 
 
@@ -286,11 +286,11 @@ class _ObliqueStereographic:
         self.chi0 = np.arcsin((w2 - 1) / (w2 + 1))
         self.big_lam0 = self.lam0
 
-    def forward(self, lon, lat):
+    def forward(self, lon, lat, xp=np):
         e = self.ell.e
-        phi = np.radians(np.asarray(lat, dtype=float))
-        lam = np.radians(np.asarray(lon, dtype=float))
-        sin_phi = np.sin(phi)
+        phi = xp.radians(xp.asarray(lat, dtype=float))
+        lam = xp.radians(xp.asarray(lon, dtype=float))
+        sin_phi = xp.sin(phi)
         w = (
             self.c
             * (
@@ -300,44 +300,44 @@ class _ObliqueStereographic:
             )
             ** self.n
         )
-        chi = np.arcsin((w - 1) / (w + 1))
+        chi = xp.arcsin((w - 1) / (w + 1))
         big_lam = self.n * (lam - self.lam0) + self.big_lam0
         dl = big_lam - self.big_lam0
-        b = 1 + np.sin(chi) * np.sin(self.chi0) + np.cos(chi) * np.cos(
+        b = 1 + xp.sin(chi) * np.sin(self.chi0) + xp.cos(chi) * np.cos(
             self.chi0
-        ) * np.cos(dl)
-        x = self.fe + 2 * self.R * self.k0 * np.cos(chi) * np.sin(dl) / b
+        ) * xp.cos(dl)
+        x = self.fe + 2 * self.R * self.k0 * xp.cos(chi) * xp.sin(dl) / b
         y = self.fn + 2 * self.R * self.k0 * (
-            np.sin(chi) * np.cos(self.chi0)
-            - np.cos(chi) * np.sin(self.chi0) * np.cos(dl)
+            xp.sin(chi) * np.cos(self.chi0)
+            - xp.cos(chi) * np.sin(self.chi0) * xp.cos(dl)
         ) / b
         return x, y
 
-    def inverse(self, x, y):
+    def inverse(self, x, y, xp=np):
         e = self.ell.e
-        de = np.asarray(x, dtype=float) - self.fe
-        dn = np.asarray(y, dtype=float) - self.fn
+        de = xp.asarray(x, dtype=float) - self.fe
+        dn = xp.asarray(y, dtype=float) - self.fn
         rk2 = 2 * self.R * self.k0
         g = rk2 * np.tan(np.pi / 4 - self.chi0 / 2)
         h = 2 * rk2 * np.tan(self.chi0) + g
-        i = np.arctan2(de, h + dn)
-        j = np.arctan2(de, g - dn) - i
-        chi = self.chi0 + 2 * np.arctan2(dn - de * np.tan(j / 2), rk2)
+        i = xp.arctan2(de, h + dn)
+        j = xp.arctan2(de, g - dn) - i
+        chi = self.chi0 + 2 * xp.arctan2(dn - de * xp.tan(j / 2), rk2)
         big_lam = j + 2 * i + self.big_lam0
         lam = (big_lam - self.big_lam0) / self.n + self.lam0
         # isometric latitude, then iterate for phi
-        psi = 0.5 * np.log((1 + np.sin(chi)) / (self.c * (1 - np.sin(chi)))) / self.n
-        phi = 2 * np.arctan(np.exp(psi)) - np.pi / 2
+        psi = 0.5 * xp.log((1 + xp.sin(chi)) / (self.c * (1 - xp.sin(chi)))) / self.n
+        phi = 2 * xp.arctan(xp.exp(psi)) - np.pi / 2
         for _ in range(6):
-            sin_phi = np.sin(phi)
-            psi_i = np.log(
-                np.tan(phi / 2 + np.pi / 4)
+            sin_phi = xp.sin(phi)
+            psi_i = xp.log(
+                xp.tan(phi / 2 + np.pi / 4)
                 * ((1 - e * sin_phi) / (1 + e * sin_phi)) ** (e / 2)
             )
-            phi = phi - (psi_i - psi) * np.cos(phi) * (1 - e2s(e, sin_phi)) / (
+            phi = phi - (psi_i - psi) * xp.cos(phi) * (1 - e2s(e, sin_phi)) / (
                 1 - e * e
             )
-        return np.degrees(lam), np.degrees(phi)
+        return xp.degrees(lam), xp.degrees(phi)
 
 
 def e2s(e, sin_phi):
@@ -551,24 +551,30 @@ def _same_datum(a, b):
     )
 
 
-def transform_points(x, y, src_srs, dst_srs):
-    """Transform coordinate arrays from src to dst; returns (x, y) arrays."""
+def transform_points(x, y, src_srs, dst_srs, xp=np):
+    """Transform coordinate arrays from src to dst; returns (x, y) arrays.
+
+    Pass ``xp=jax.numpy`` to trace the transform into an XLA program (the
+    on-device warp path, ops/warp.py); the math is identical.
+    """
     src = get_sr(src_srs)
     dst = get_sr(dst_srs)
-    x = np.asarray(x, dtype=float)
-    y = np.asarray(y, dtype=float)
+    x = xp.asarray(x, dtype=float)
+    y = xp.asarray(y, dtype=float)
     if src == dst:
         return x, y
     try:
-        lon, lat = src.projection.inverse(x, y)
+        lon, lat = src.projection.inverse(x, y, xp)
         if not _same_datum(src, dst):
-            gx, gy, gz = _geodetic_to_geocentric(src.ellipsoid, lon, lat)
+            gx, gy, gz = _geodetic_to_geocentric(src.ellipsoid, lon, lat, xp)
             if src.helmert_to_wgs84 is not None:
-                gx, gy, gz = _helmert(src.helmert_to_wgs84, gx, gy, gz)
+                gx, gy, gz = _helmert(src.helmert_to_wgs84, gx, gy, gz, xp=xp)
             if dst.helmert_to_wgs84 is not None:
-                gx, gy, gz = _helmert(dst.helmert_to_wgs84, gx, gy, gz, inverse=True)
-            lon, lat = _geocentric_to_geodetic(dst.ellipsoid, gx, gy, gz)
-        return dst.projection.forward(lon, lat)
+                gx, gy, gz = _helmert(
+                    dst.helmert_to_wgs84, gx, gy, gz, inverse=True, xp=xp
+                )
+            lon, lat = _geocentric_to_geodetic(dst.ellipsoid, gx, gy, gz, xp)
+        return dst.projection.forward(lon, lat, xp)
     except TransformException:
         raise
     except Exception as e:

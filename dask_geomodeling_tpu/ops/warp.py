@@ -21,7 +21,7 @@ import numpy as np
 from dask_geomodeling_tpu.geo.crs import get_projection, transform_points
 from dask_geomodeling_tpu.geo.geotransform import GeoTransform
 
-__all__ = ["warp_indices", "warp_numpy", "gather_numpy"]
+__all__ = ["warp_indices", "warp_numpy", "gather_numpy", "warp_jax"]
 
 
 def warp_indices(src_gt, src_srs, src_shape, bbox, projection, width, height):
@@ -58,6 +58,60 @@ def gather_numpy(values, rows, cols, inside, fillvalue, dtype):
     safe_cols = np.where(inside, cols, 0)
     gathered = values[:, safe_rows, safe_cols]
     out[:, inside] = gathered[:, inside]
+    return out
+
+
+def warp_jax(
+    values,
+    src_gt,
+    src_srs,
+    no_data_value,
+    bbox,
+    projection,
+    width,
+    height,
+    dtype,
+    fillvalue,
+):
+    """On-device warp: CRS transform of the target pixel-center grid plus a
+    nearest-neighbour gather, all traced into one XLA program.
+
+    ``values`` is a (bands, h, w) traced array; ``bbox`` may be a traced
+    length-4 array (so one compiled program serves every tile of a request);
+    shapes, CRS pair and dtypes are static.  Semantically identical to
+    :func:`warp_numpy`.
+    """
+    import jax.numpy as jnp
+
+    bbox = jnp.asarray(bbox, dtype=jnp.float64)
+    x1, y1, x2, y2 = bbox[0], bbox[1], bbox[2], bbox[3]
+    pixel_w = (x2 - x1) / width
+    pixel_h = (y1 - y2) / height  # negative: y decreases with the row index
+    xs = x1 + pixel_w * (jnp.arange(width, dtype=jnp.float64) + 0.5)
+    ys = y2 + pixel_h * (jnp.arange(height, dtype=jnp.float64) + 0.5)
+    tx, ty = jnp.meshgrid(xs, ys)
+
+    if get_projection(src_srs).upper() != get_projection(projection).upper():
+        tx, ty = transform_points(tx, ty, projection, src_srs, xp=jnp)
+
+    sp, sa, sb, sq, sc, sd = src_gt
+    cols = jnp.floor((tx - sp) / sa).astype(jnp.int32)
+    rows = jnp.floor((ty - sq) / sd).astype(jnp.int32)
+
+    src_h, src_w = values.shape[-2], values.shape[-1]
+    inside = (rows >= 0) & (rows < src_h) & (cols >= 0) & (cols < src_w)
+    safe_rows = jnp.where(inside, rows, 0)
+    safe_cols = jnp.where(inside, cols, 0)
+
+    dtype = np.dtype(dtype)
+    gathered = values[:, safe_rows, safe_cols].astype(dtype)
+    out = jnp.where(inside[None], gathered, dtype.type(fillvalue))
+    if no_data_value is not None and no_data_value != fillvalue:
+        if dtype.kind == "f":
+            src_nodata = jnp.isclose(out, no_data_value)
+        else:
+            src_nodata = out == no_data_value
+        out = jnp.where(src_nodata, dtype.type(fillvalue), out)
     return out
 
 

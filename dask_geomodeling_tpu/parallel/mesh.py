@@ -1,0 +1,68 @@
+"""Device-mesh tile sharding.
+
+Scaling model (SURVEY §2.8): the tile axis is data-parallel ("dp") and the
+spatial y-axis of each tile block can additionally be sharded ("sp") with
+halo exchange for stencils.  Programs are jitted once over the mesh with
+``NamedSharding`` annotations; XLA inserts the collectives and they ride
+the ICI.  Multi-host launches reuse the same program under
+``jax.distributed`` — nothing in the view graphs changes.
+"""
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "shard_tile_batch", "sharded_pipeline"]
+
+
+def make_mesh(mesh_shape=None, axis_names=("dp", "sp")):
+    """Create a device mesh; default: all devices on the dp (tile) axis."""
+    devices = jax.devices()
+    if mesh_shape is None:
+        mesh_shape = (len(devices), 1)
+    if int(np.prod(mesh_shape)) != len(devices):
+        raise ValueError(
+            "mesh_shape %r does not match %d devices" % (mesh_shape, len(devices))
+        )
+    device_grid = np.array(devices).reshape(mesh_shape)
+    return Mesh(device_grid, axis_names)
+
+
+def shard_tile_batch(batch, mesh):
+    """Put a (tiles, bands, h, w) batch with tiles sharded over dp and the
+    tile rows sharded over sp."""
+    sharding = NamedSharding(mesh, P("dp", None, "sp", None))
+    return jax.device_put(batch, sharding)
+
+
+def sharded_pipeline(tile_fn, mesh, halo_radius=0):
+    """Wrap a per-shard tile function into a mesh-sharded jitted program.
+
+    ``tile_fn(values) -> values`` operates on a (tiles, bands, h, w) array
+    shard.  With ``halo_radius > 0`` the shard is padded with neighbour rows
+    over the sp axis (ICI ppermute) before ``tile_fn`` runs, and the result
+    is cropped back — ``tile_fn`` must accept the padded height and return
+    the same padded height (the crop removes the halo).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from dask_geomodeling_tpu.parallel.halo import exchange_halo_y
+
+    def per_shard(values):
+        # values: (tiles_shard, bands, h_shard, w)
+        t, b, h, w = values.shape
+        merged = values.reshape(t * b, h, w)
+        if halo_radius:
+            merged = exchange_halo_y(merged, halo_radius, "sp")
+        out = tile_fn(merged)
+        if halo_radius:
+            out = out[:, halo_radius:-halo_radius, :]
+        return out.reshape(t, b, h, w)
+
+    sharded = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=P("dp", None, "sp", None),
+        out_specs=P("dp", None, "sp", None),
+    )
+    return jax.jit(sharded)

@@ -23,6 +23,15 @@ from dask_geomodeling_tpu.raster.elemwise import (  # noqa
     Log,
     Log10,
 )
+from dask_geomodeling_tpu.raster.reduction import Max, reduce_rasters  # noqa
+from dask_geomodeling_tpu.raster.parallelize import RasterTiler  # noqa
+from dask_geomodeling_tpu.raster.spatial import (  # noqa
+    Dilate,
+    Smooth,
+    MovingMax,
+    HillShade,
+    Place,
+)
 from dask_geomodeling_tpu.raster.misc import (  # noqa
     Clip,
     Classify,

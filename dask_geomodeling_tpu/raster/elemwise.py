@@ -294,7 +294,9 @@ def wrap_math_process_func(func, jnp_func_name=None):
             result = jfunc(*compute_args)
         else:
             no_data_value = fillvalue
-            result = jfunc(*[jnp.asarray(a) for a in compute_args]).astype(dtype)
+            # numpy's ufunc(dtype=...) promotes operands before computing;
+            # match that to avoid wraparound in narrow input dtypes
+            result = jfunc(*[jnp.asarray(a).astype(dtype) for a in compute_args])
 
         if dtype.kind == "f":
             result = jnp.where(jnp.isfinite(result), result, fillvalue)

@@ -13,10 +13,54 @@ from datetime import datetime, timedelta, timezone
 import numpy as np
 
 from dask_geomodeling_tpu import utils
-from dask_geomodeling_tpu.ops.warp import warp_numpy
+from dask_geomodeling_tpu.ops.warp import warp_jax, warp_numpy
 from dask_geomodeling_tpu.raster.base import RasterBlock
 
 __all__ = ["MemorySource", "RasterFileSource"]
+
+
+def _source_jax_capable(process_kwargs):
+    """The device warp handles in-memory vals requests with a real bbox."""
+    if not isinstance(process_kwargs, dict):
+        return False
+    if process_kwargs.get("mode") != "vals":
+        return False
+    if process_kwargs.get("raster_data") is None:
+        return False
+    bbox = process_kwargs["bbox"]
+    if bbox[0] == bbox[2] or bbox[1] == bbox[3]:
+        return False  # point request: host single-pixel read
+    return process_kwargs["width"] > 0 and process_kwargs["height"] > 0
+
+
+def _source_process_jax(process_kwargs):
+    """Device twin of RasterSourceBase.process for the vals path: the CRS
+    transform of the target grid, the gather, and the nodata handling all
+    trace into the XLA program (ops/warp.py:warp_jax); the source payload is
+    a device-resident traced input."""
+    import jax.numpy as jnp
+
+    raster_data = process_kwargs["raster_data"]
+    bands = process_kwargs["bands"]
+    dtype = np.dtype(process_kwargs["dtype"])
+    fillvalue = np.dtype(dtype).type(process_kwargs["fillvalue"]).item()
+
+    values = raster_data.array[bands[0] : bands[1]]
+    result = warp_jax(
+        values,
+        tuple(raster_data.geo_transform),
+        raster_data.projection,
+        raster_data.no_data_value,
+        process_kwargs["bbox"],
+        process_kwargs["projection"],
+        process_kwargs["width"],
+        process_kwargs["height"],
+        dtype,
+        fillvalue,
+    )
+    if dtype.kind == "f":
+        result = jnp.where(jnp.isfinite(result), result, dtype.type(fillvalue))
+    return {"values": result, "no_data_value": fillvalue}
 
 
 @dataclass
@@ -120,6 +164,10 @@ class RasterSourceBase(RasterBlock):
         if result.dtype.kind == "f":
             result[~np.isfinite(result)] = target_no_data_value
         return {"values": result, "no_data_value": target_no_data_value}
+
+    process.__func__.jax_impl = _source_process_jax
+    process.__func__.jax_capable = _source_jax_capable
+    process.__func__.jax_dynamic = {"bbox"}
 
     def _snap_bands(self, request):
         """Snap start/stop onto the band axis; None if empty."""

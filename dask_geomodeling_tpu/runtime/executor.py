@@ -1,0 +1,447 @@
+"""The XLA executor: lower compute graphs to jitted device programs.
+
+Where the reference hands its compute graph to a dask scheduler that runs
+each ``process`` as a separate CPU task (reference core/graphs.py:42-49),
+this executor *stages* runs of device-capable nodes — process functions
+carrying a ``jax_impl`` twin — and compiles each staged run into ONE jitted
+XLA program.  XLA then fuses the whole pixel pipeline (e.g. warp-gather →
+Add → Classify → Reclassify) into a single pass over HBM, which is the
+entire performance story on TPU: these ops are memory-bound, so N fused
+ops cost one HBM round trip instead of N.
+
+Execution walks the graph in topological order.  Device nodes accumulate
+into a pending program; the program is flushed (compiled + executed) only
+when a host node needs one of its results, or at the end.  This staging is
+trivially cycle-safe and, because the DFS topo order keeps chains together,
+device pipelines fuse maximally in practice.
+
+Host nodes (file reads, geometry algebra, pandas time math) evaluate
+eagerly as usual and feed the device programs through ``jax.device_put``.
+
+Compiled programs are cached by a structural signature: the staged process
+chain + static literals + input shapes/dtypes.  Re-evaluating the same view
+over a different tile of the same shape is a cache hit.
+"""
+import dataclasses
+import logging
+import weakref
+from collections import defaultdict
+
+import numpy as np
+
+from dask_geomodeling_tpu.core.tokens import tokenize
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["compute_jax", "clear_program_cache", "program_cache_info"]
+
+_PROGRAM_CACHE = {}
+_CACHE_STATS = {"hits": 0, "misses": 0}
+_X64_ENABLED = False
+
+
+def _ensure_x64():
+    """Reference semantics require full int64/float64 support (dtype-max
+    sentinels); enable x64 once, lazily, before the first trace."""
+    global _X64_ENABLED
+    if not _X64_ENABLED:
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+        _X64_ENABLED = True
+
+
+def clear_program_cache():
+    _PROGRAM_CACHE.clear()
+    _CACHE_STATS.update(hits=0, misses=0)
+
+
+def program_cache_info():
+    return dict(_CACHE_STATS, size=len(_PROGRAM_CACHE))
+
+
+def _is_task(value):
+    return isinstance(value, tuple) and len(value) >= 1 and callable(value[0])
+
+
+def _is_device_node(value, graph):
+    if not (_is_task(value) and hasattr(value[0], "jax_impl")):
+        return False
+    capable = getattr(value[0], "jax_capable", None)
+    if capable is None:
+        return True
+    # the predicate sees only the literal (non-key) args; key args are
+    # replaced by None
+    literals = [
+        None if (isinstance(arg, str) and arg in graph) else arg
+        for arg in value[1:]
+    ]
+    return bool(capable(*literals))
+
+
+def _reachable(graph, name):
+    """Keys needed for ``name`` plus the key-dependency map."""
+    needed = []
+    seen = set()
+    stack = [name]
+    while stack:
+        key = stack.pop()
+        if key in seen:
+            continue
+        seen.add(key)
+        needed.append(key)
+        value = graph[key]
+        if _is_task(value):
+            for arg in value[1:]:
+                if isinstance(arg, str) and arg in graph:
+                    stack.append(arg)
+    deps = {
+        key: [
+            arg
+            for arg in (graph[key][1:] if _is_task(graph[key]) else ())
+            if isinstance(arg, str) and arg in graph
+        ]
+        for key in needed
+    }
+    return needed, deps
+
+
+def _toposort(needed, deps):
+    order = []
+    state = {}
+    for root in needed:
+        if state.get(root) == 2:
+            continue
+        stack = [(root, iter(deps[root]))]
+        state[root] = 1
+        while stack:
+            node, it = stack[-1]
+            advanced = False
+            for dep in it:
+                if state.get(dep) == 1:
+                    raise ValueError("Cycle in compute graph")
+                if state.get(dep) != 2:
+                    state[dep] = 1
+                    stack.append((dep, iter(deps[dep])))
+                    advanced = True
+                    break
+            if not advanced:
+                state[node] = 2
+                order.append(node)
+                stack.pop()
+    return order
+
+
+# --- structural splitting of data into (arrays, static skeleton) ---
+
+
+class _Leaf:
+    """Placeholder marking an array position in a static skeleton."""
+
+    __slots__ = ("index",)
+
+    def __init__(self, index):
+        self.index = index
+
+    def __token__(self):
+        return ("__leaf__", self.index)
+
+
+def _map_structure(func, obj):
+    if isinstance(obj, dict):
+        return {k: _map_structure(func, v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return type(obj)(_map_structure(func, v) for v in obj)
+    if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+        return dataclasses.replace(
+            obj,
+            **{
+                f.name: _map_structure(func, getattr(obj, f.name))
+                for f in dataclasses.fields(obj)
+            },
+        )
+    return func(obj)
+
+
+def _split_arrays(obj, arrays):
+    """Replace ndarrays in a nested structure with _Leaf placeholders."""
+
+    def visit(leaf):
+        if isinstance(leaf, np.ndarray) and leaf.ndim > 0:
+            arrays.append(leaf)
+            return _Leaf(len(arrays) - 1)
+        return leaf
+
+    return _map_structure(visit, obj)
+
+
+def _fill_arrays(obj, arrays):
+    def visit(leaf):
+        if isinstance(leaf, _Leaf):
+            return arrays[leaf.index]
+        return leaf
+
+    return _map_structure(visit, obj)
+
+
+def _to_numpy(obj):
+    import jax
+
+    def visit(leaf):
+        if isinstance(leaf, jax.Array):
+            return np.asarray(leaf)
+        return leaf
+
+    return _map_structure(visit, obj)
+
+
+def _literal_token(obj):
+    try:
+        return tokenize(obj)
+    except Exception:
+        return repr(obj)
+
+
+def _dynamicize(arg, dynamic):
+    """Convert the entries of a literal dict named in ``dynamic`` (the
+    process function's ``jax_dynamic`` attribute) into float64 arrays, so
+    they become *traced inputs* of the staged program instead of baked
+    constants.  This is what makes a warp program reusable across tiles:
+    the bbox varies per tile but the compiled program does not.
+    """
+    if not dynamic or not isinstance(arg, dict):
+        return arg
+    out = dict(arg)
+    for key in dynamic:
+        value = out.get(key)
+        if isinstance(value, (int, float, tuple, list)):
+            try:
+                out[key] = np.asarray(value, dtype=np.float64)
+            except (TypeError, ValueError):
+                pass
+    return out
+
+
+_DEVICE_ARRAY_CACHE = {}
+
+
+def _device_put_cached(arr):
+    """jax.device_put with an id-keyed cache so large source arrays are
+    transferred to HBM once and stay device-resident across tiles."""
+    import jax
+
+    key = id(arr)
+    entry = _DEVICE_ARRAY_CACHE.get(key)
+    if entry is not None and entry[0]() is arr:
+        return entry[1]
+    dev = jax.device_put(arr)
+    try:
+        ref = weakref.ref(arr, lambda _ref: _DEVICE_ARRAY_CACHE.pop(key, None))
+    except TypeError:
+        return dev  # not weakref-able; skip caching
+    _DEVICE_ARRAY_CACHE[key] = (ref, dev)
+    return dev
+
+
+class _StagedProgram:
+    """A run of device nodes compiled into one jitted XLA program.
+
+    Arrays found in the staged nodes' *literal* args (e.g. a source block's
+    pixel payload inside its process_kwargs) become traced program inputs
+    just like upstream node results — they go through the device transfer
+    cache, and the compiled program is content-independent.
+    """
+
+    def __init__(self, keys, graph, deps, name, consumers):
+        self.keys = keys
+        key_set = set(keys)
+        self.input_keys = []
+        for key in keys:
+            for dep in deps[key]:
+                if dep not in key_set and dep not in self.input_keys:
+                    self.input_keys.append(dep)
+        self.output_keys = [
+            key
+            for key in keys
+            if key == name or any(c not in key_set for c in consumers[key])
+        ]
+        self.graph = graph
+        self.deps = deps
+
+    def _split_with_offset(self, obj, all_arrays):
+        offset = len(all_arrays)
+        arrays = []
+        skel = _split_arrays(obj, arrays)
+
+        def shift(leaf):
+            if isinstance(leaf, _Leaf):
+                return _Leaf(leaf.index + offset)
+            return leaf
+
+        all_arrays.extend(arrays)
+        return _map_structure(shift, skel)
+
+    def signature(self, input_skeletons, literal_skeletons, input_shapes):
+        local_index = {key: i for i, key in enumerate(self.keys)}
+        input_index = {key: i for i, key in enumerate(self.input_keys)}
+        parts = []
+        for key in self.keys:
+            value = self.graph[key]
+            func = value[0]
+            arg_sig = []
+            for pos, arg in enumerate(value[1:]):
+                if isinstance(arg, str) and arg in self.graph:
+                    if arg in local_index:
+                        arg_sig.append(("n", local_index[arg]))
+                    else:
+                        arg_sig.append(("i", input_index[arg]))
+                else:
+                    arg_sig.append(
+                        ("l", _literal_token(literal_skeletons[key][pos]))
+                    )
+            parts.append(
+                (
+                    getattr(func, "__module__", "?"),
+                    getattr(func, "__qualname__", getattr(func, "__name__", "?")),
+                    tuple(arg_sig),
+                )
+            )
+        out_sig = [local_index[k] for k in self.output_keys]
+        skel_sig = [_literal_token(input_skeletons[k]) for k in self.input_keys]
+        return tokenize(parts, out_sig, skel_sig, input_shapes)
+
+    def run(self, cache):
+        all_arrays = []
+
+        # split upstream results into arrays (traced) + static skeletons
+        input_skeletons = {
+            ik: self._split_with_offset(cache[ik], all_arrays)
+            for ik in self.input_keys
+        }
+        # split literal args the same way: source payloads become inputs
+        literal_skeletons = {}
+        for key in self.keys:
+            value = self.graph[key]
+            dynamic = getattr(value[0], "jax_dynamic", None)
+            literal_skeletons[key] = {
+                pos: self._split_with_offset(
+                    _dynamicize(arg, dynamic), all_arrays
+                )
+                for pos, arg in enumerate(value[1:])
+                if not (isinstance(arg, str) and arg in self.graph)
+            }
+
+        if not all_arrays:
+            # no array payload (time/meta requests, empty results): the
+            # jax_impls run host-side; outputs are static structures that
+            # cannot be jit outputs anyway
+            self._run_eager(cache)
+            return
+
+        input_shapes = tuple((a.shape, str(a.dtype)) for a in all_arrays)
+        sig = self.signature(input_skeletons, literal_skeletons, input_shapes)
+
+        compiled = _PROGRAM_CACHE.get(sig)
+        if compiled is None:
+            _CACHE_STATS["misses"] += 1
+            compiled = self._compile(input_skeletons, literal_skeletons)
+            _PROGRAM_CACHE[sig] = compiled
+        else:
+            _CACHE_STATS["hits"] += 1
+
+        device_arrays = [_device_put_cached(a) for a in all_arrays]
+        outputs = compiled(*device_arrays)
+        for key, out in zip(self.output_keys, outputs):
+            cache[key] = _to_numpy(out)
+
+    def _run_eager(self, cache):
+        """Evaluate the staged nodes host-side with the original process
+        functions (identical semantics, no tracing)."""
+        graph = self.graph
+        values = {}
+        for key in self.keys:
+            value = graph[key]
+            args = [
+                values.get(arg, cache.get(arg))
+                if isinstance(arg, str) and arg in graph
+                else arg
+                for arg in value[1:]
+            ]
+            values[key] = value[0](*args)
+        for key in self.output_keys:
+            cache[key] = values[key]
+
+    def _compile(self, input_skeletons, literal_skeletons):
+        import jax
+
+        return jax.jit(self.build_runner(input_skeletons, literal_skeletons))
+
+    def build_runner(self, input_skeletons, literal_skeletons):
+        """The raw (unjitted) replay function over flat array inputs."""
+        graph = self.graph
+        local = [(key, graph[key][0].jax_impl, graph[key][1:]) for key in self.keys]
+        output_keys = self.output_keys
+
+        def run(*arrays):
+            values = {
+                key: _fill_arrays(skel, arrays)
+                for key, skel in input_skeletons.items()
+            }
+            for key, impl, raw_args in local:
+                call_args = []
+                for pos, arg in enumerate(raw_args):
+                    if isinstance(arg, str) and arg in graph:
+                        call_args.append(values[arg])
+                    else:
+                        call_args.append(
+                            _fill_arrays(literal_skeletons[key][pos], arrays)
+                        )
+                values[key] = impl(*call_args)
+            return tuple(values[k] for k in output_keys)
+
+        return run
+
+
+def compute_jax(graph, name):
+    """Evaluate a compute graph, lowering device-node runs to XLA."""
+    _ensure_x64()
+    needed, deps = _reachable(graph, name)
+    order = _toposort(needed, deps)
+
+    consumers = defaultdict(set)
+    for key in order:
+        for dep in deps[key]:
+            consumers[dep].add(key)
+
+    cache = {}
+    pending = []
+    pending_set = set()
+
+    def flush():
+        if not pending:
+            return
+        program = _StagedProgram(list(pending), graph, deps, name, consumers)
+        pending.clear()
+        pending_set.clear()
+        program.run(cache)
+
+    for key in order:
+        value = graph[key]
+        if _is_device_node(value, graph):
+            pending.append(key)
+            pending_set.add(key)
+            continue
+        if any(dep in pending_set for dep in deps[key]):
+            flush()
+        if _is_task(value):
+            func = value[0]
+            args = [
+                cache[arg] if isinstance(arg, str) and arg in graph else arg
+                for arg in value[1:]
+            ]
+            cache[key] = func(*args)
+        else:
+            cache[key] = value
+
+    flush()
+    return cache[name]

@@ -1,0 +1,202 @@
+"""Batched tile evaluation: the high-throughput request path.
+
+A big vals request is normalized onto a grid of fixed-size tiles.  When the
+whole view lowers to a single device program (sources + pixel pipeline, the
+common case), the per-tile program is ``vmap``-ed over the tile axis and
+dispatched in batches: B tiles = ONE device call and ONE result fetch.
+
+This amortizes dispatch latency and host↔device transfer overhead — on
+tunneled TPUs (~25 ms/dispatch) this is the difference between
+latency-bound and bandwidth-bound throughput.  Inputs shared by all tiles
+(the source payload) stay device-resident; per-tile inputs (the traced
+bbox) are stacked into a (B, ...) array.
+
+Falls back to per-tile ``get_data`` when the view contains host-side nodes.
+"""
+import numpy as np
+
+from dask_geomodeling_tpu.runtime import executor as _ex
+
+__all__ = ["evaluate_tiled", "TileProgram"]
+
+
+class NotLowerable(Exception):
+    """The view does not reduce to a single device program."""
+
+
+_TILE_PROGRAM_CACHE = {}
+
+
+def _get_tile_program(view, template_request):
+    """TilePrograms cached by (view token, static request shape) — a fresh
+    instance would mean a fresh jit trace and compile."""
+    from dask_geomodeling_tpu.core.tokens import tokenize
+
+    static = {k: v for k, v in template_request.items() if k != "bbox"}
+    key = (view.token, tokenize(static))
+    program = _TILE_PROGRAM_CACHE.get(key)
+    if program is None:
+        program = TileProgram(view, template_request)
+        _TILE_PROGRAM_CACHE[key] = program
+    return program
+
+
+class TileProgram:
+    """A vmapped, jitted per-tile program for one view + tile shape."""
+
+    def __init__(self, view, template_request):
+        _ex._ensure_x64()
+        graph, name = view.get_compute_graph(**template_request)
+        needed, deps = _ex._reachable(graph, name)
+        order = _ex._toposort(needed, deps)
+        for key in order:
+            if not _ex._is_device_node(graph[key], graph):
+                raise NotLowerable(
+                    "node %s is not device-capable" % key.split("_")[0]
+                )
+        consumers = {key: set() for key in order}
+        for key in order:
+            for dep in deps[key]:
+                consumers[dep].add(key)
+        self._program = _ex._StagedProgram(order, graph, deps, name, consumers)
+        self._name = name
+        self._compiled = None
+        self._in_axes = None
+        self._shared = None
+
+    def _tile_inputs(self, view, request):
+        """The flat input array list the staged program would receive."""
+        graph, name = view.get_compute_graph(**request)
+        needed, deps = _ex._reachable(graph, name)
+        order = _ex._toposort(needed, deps)
+        all_arrays = []
+        program = self._program
+        literal_skeletons = {}
+        for key, tkey in zip(program.keys, order):
+            value = graph[tkey]
+            dynamic = getattr(value[0], "jax_dynamic", None)
+            literal_skeletons[key] = {
+                pos: program._split_with_offset(
+                    _ex._dynamicize(arg, dynamic), all_arrays
+                )
+                for pos, arg in enumerate(value[1:])
+                if not (isinstance(arg, str) and arg in graph)
+            }
+        return all_arrays, literal_skeletons
+
+    def compile(self, view, requests):
+        """Trace + jit the vmapped program using the first two requests to
+        discover which inputs vary per tile."""
+        import jax
+
+        arrays_0, literal_skeletons = self._tile_inputs(view, requests[0])
+        arrays_1, _ = self._tile_inputs(view, requests[min(1, len(requests) - 1)])
+
+        self._in_axes = []
+        self._shared = []
+        for a0, a1 in zip(arrays_0, arrays_1):
+            varies = a0.shape != a1.shape or not np.array_equal(a0, a1)
+            self._in_axes.append(0 if varies else None)
+            self._shared.append(None if varies else a0)
+
+        inner = self._program.build_runner({}, literal_skeletons)
+
+        def one_tile(*arrays):
+            outputs = inner(*arrays)
+            return outputs[-1]["values"]  # the root node's pixel payload
+
+        if any(axis == 0 for axis in self._in_axes):
+            self._compiled = jax.jit(jax.vmap(one_tile, in_axes=self._in_axes))
+        else:
+            # single-tile degenerate case: emulate the batch axis
+            import jax.numpy as jnp
+
+            self._compiled = jax.jit(lambda *a: jnp.stack([one_tile(*a)]))
+        return arrays_0
+
+    def dispatch_batch(self, view, requests):
+        """Dispatch a batch of tile requests; returns the (async) device
+        result of shape (B, bands, h, w)."""
+        import jax
+
+        if self._compiled is None:
+            self.compile(view, requests)
+
+        per_tile_arrays = [self._tile_inputs(view, r)[0] for r in requests]
+        call_args = []
+        for pos, axis in enumerate(self._in_axes):
+            if axis is None:
+                call_args.append(_ex._device_put_cached(self._shared[pos]))
+            else:
+                call_args.append(
+                    jax.device_put(
+                        np.stack([arrays[pos] for arrays in per_tile_arrays])
+                    )
+                )
+        return self._compiled(*call_args)
+
+    def run_batch(self, view, requests):
+        """Evaluate a batch of tile requests; returns (B, bands, h, w)."""
+        return np.asarray(self.dispatch_batch(view, requests))
+
+
+def evaluate_tiled(view, request, tile_size=512, batch=32):
+    """Evaluate a big vals request as batched fixed-size tiles.
+
+    The request's width and height must be multiples of ``tile_size``.
+    Returns the assembled {"values", "no_data_value"} dict.
+    """
+    width, height = request["width"], request["height"]
+    if width % tile_size or height % tile_size:
+        raise ValueError("width/height must be multiples of tile_size")
+    x1, y1, x2, y2 = request["bbox"]
+    nx, ny = width // tile_size, height // tile_size
+    dx, dy = (x2 - x1) / nx, (y2 - y1) / ny
+
+    requests = []
+    for j in range(ny):
+        for i in range(nx):
+            requests.append(
+                dict(
+                    request,
+                    bbox=(
+                        x1 + i * dx,
+                        y1 + j * dy,
+                        x1 + (i + 1) * dx,
+                        y1 + (j + 1) * dy,
+                    ),
+                    width=tile_size,
+                    height=tile_size,
+                )
+            )
+
+    program = _get_tile_program(view, requests[0])
+
+    # phase 1: dispatch every batch (device work proceeds asynchronously);
+    # the final partial batch is padded to the full batch size so it reuses
+    # the same compiled program, and the padding is dropped on assembly
+    pending = []
+    for lo in range(0, len(requests), batch):
+        chunk = requests[lo : lo + batch]
+        if lo and len(chunk) < batch:
+            chunk = chunk + [chunk[-1]] * (batch - len(chunk))
+        pending.append((lo, program.dispatch_batch(view, chunk)))
+
+    # phase 2: fetch + assemble (fetches overlap the remaining device work)
+    out = None
+    no_data_value = view.fillvalue
+    for lo, device_result in pending:
+        result = np.asarray(device_result)
+        if out is None:
+            bands = result.shape[1]
+            out = np.empty((bands, height, width), result.dtype)
+        for offset, tile_result in enumerate(result):
+            idx = lo + offset
+            if idx >= len(requests):
+                break  # padding of the final batch
+            j, i = divmod(idx, nx)
+            # world y increases upward; array rows run downward
+            row0 = height - (j + 1) * tile_size
+            col0 = i * tile_size
+            out[:, row0 : row0 + tile_size, col0 : col0 + tile_size] = tile_result
+    return {"values": out, "no_data_value": no_data_value}

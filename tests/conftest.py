@@ -3,15 +3,9 @@
 JAX runs on CPU with a virtual 8-device mesh so multi-chip sharding paths
 are exercised without TPU hardware.
 """
-import os
-
-# must be set before jax initializes
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# The CPU/virtual-mesh setup lives in tests/force_cpu.py, loaded as an early
+# pytest plugin (see pyproject.toml addopts) so it runs before output
+# capture starts.
 
 from datetime import datetime, timedelta
 

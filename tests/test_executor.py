@@ -1,0 +1,147 @@
+"""JAX executor tests: numpy-path vs XLA-path equivalence and program
+caching (the TPU-vs-reference tolerance harness of SURVEY §4)."""
+from datetime import datetime, timedelta
+
+import numpy as np
+import pytest
+
+from dask_geomodeling_tpu import config
+from dask_geomodeling_tpu.raster import (
+    Add,
+    Classify,
+    Clip,
+    Divide,
+    FillNoData,
+    Greater,
+    Mask,
+    MaskBelow,
+    MemorySource,
+    Multiply,
+    Reclassify,
+    Step,
+    Subtract,
+)
+from dask_geomodeling_tpu.runtime.executor import (
+    clear_program_cache,
+    program_cache_info,
+)
+
+
+@pytest.fixture(scope="module")
+def src():
+    data = np.arange(300, dtype=np.uint8).reshape(3, 10, 10) % 250
+    data[0, :2, :2] = 255  # some nodata
+    return MemorySource(
+        data=data,
+        no_data_value=255,
+        projection="EPSG:28992",
+        pixel_size=0.5,
+        pixel_origin=(135000, 456000),
+        time_first=datetime(2000, 1, 1),
+        time_delta=timedelta(hours=1),
+        metadata=["meta%d" % i for i in range(3)],
+    )
+
+
+@pytest.fixture
+def request_full():
+    return {
+        "mode": "vals",
+        "start": datetime(2000, 1, 1),
+        "stop": datetime(2000, 1, 1, 3),
+        "width": 10,
+        "height": 10,
+        "bbox": (135000, 455995, 135005, 456000),
+        "projection": "EPSG:28992",
+    }
+
+
+def assert_jax_matches_numpy(view, request):
+    """Evaluate a view under both executors and compare bitwise."""
+    expected = view.get_data(**request)
+    with config.set({"geomodeling.executor": "jax"}):
+        actual = view.get_data(**request)
+    assert expected.keys() == actual.keys()
+    assert actual["no_data_value"] == expected["no_data_value"]
+    assert actual["values"].dtype == expected["values"].dtype
+    np.testing.assert_array_equal(actual["values"], expected["values"])
+
+
+VIEWS = {
+    "add_const": lambda s: Add(s, 10),
+    "math_chain": lambda s: Multiply(Subtract(Add(s, 10), 3), 2),
+    "divide": lambda s: Divide(s, 4),
+    "two_rasters": lambda s: Add(s, s),
+    "comparison": lambda s: Greater(s, 100),
+    "mask": lambda s: Mask(s, 7),
+    "mask_float": lambda s: Mask(s, 7.5),
+    "mask_below": lambda s: MaskBelow(s, 100),
+    "step": lambda s: Step(s, left=1, right=2, value=100, at=3),
+    "classify": lambda s: Classify(s, bins=[50, 100, 200]),
+    "reclassify": lambda s: Reclassify(
+        Classify(s, bins=[50, 100, 200]), data=[[1, 42], [2, 77]]
+    ),
+    "reclassify_select": lambda s: Reclassify(
+        Classify(s, bins=[50, 100, 200]), data=[[1, 42]], select=True
+    ),
+    "clip": lambda s: Clip(s, Greater(s, 30)),
+    "fill_nodata": lambda s: FillNoData(s, MaskBelow(s, 100)),
+    "benchmark_view": lambda s: Reclassify(
+        Classify(Add(s, 1), bins=[50, 100, 200]), data=[[0, 1], [1, 5], [2, 9], [3, 13]]
+    ),
+}
+
+
+@pytest.mark.parametrize("name", list(VIEWS))
+def test_jax_matches_numpy(src, request_full, name):
+    assert_jax_matches_numpy(VIEWS[name](src), request_full)
+
+
+def test_program_cache_hit(src, request_full):
+    clear_program_cache()
+    view = Multiply(Add(src, 10), 2)
+    with config.set({"geomodeling.executor": "jax"}):
+        view.get_data(**request_full)
+        info1 = program_cache_info()
+        # different bbox, same shape: program must be reused
+        request2 = dict(
+            request_full, bbox=(135001, 455995, 135006, 456000)
+        )
+        view.get_data(**request2)
+        info2 = program_cache_info()
+    assert info1["misses"] == 1
+    assert info2["hits"] >= 1
+    assert info2["misses"] == info1["misses"]
+
+
+def test_program_cache_distinguishes_literals(src, request_full):
+    clear_program_cache()
+    with config.set({"geomodeling.executor": "jax"}):
+        Add(src, 10).get_data(**request_full)
+        Add(src, 20).get_data(**request_full)
+    assert program_cache_info()["misses"] == 2
+
+
+def test_jax_time_and_meta_requests(src, request_full):
+    # non-vals modes pass through the executor unharmed
+    view = Add(src, 10)
+    with config.set({"geomodeling.executor": "jax"}):
+        time_data = view.get_data(**dict(request_full, mode="time"))
+        meta_data = view.get_data(**dict(request_full, mode="meta"))
+    assert len(time_data["time"]) == 3
+    assert len(meta_data["meta"]) == 3
+
+
+def test_jax_empty_result(src):
+    view = Add(src, 10)
+    with config.set({"geomodeling.executor": "jax"}):
+        result = view.get_data(
+            mode="vals",
+            start=datetime(2010, 1, 1),
+            stop=datetime(2010, 1, 2),
+            width=4,
+            height=4,
+            bbox=(135000, 455995, 135005, 456000),
+            projection="EPSG:28992",
+        )
+    assert result is None

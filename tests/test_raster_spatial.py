@@ -1,0 +1,331 @@
+"""Spatial stencil tests (modeled on the reference tests/test_raster_spatial
+coverage in test_raster.py): halo expansion, Dilate/MovingMax/Smooth/
+HillShade/Place, numpy-vs-scipy ground truth, and jax-vs-numpy equivalence.
+"""
+from datetime import datetime, timedelta
+
+import numpy as np
+import pytest
+from scipy import ndimage
+
+from dask_geomodeling_tpu import config
+from dask_geomodeling_tpu.raster import (
+    Dilate,
+    HillShade,
+    Max,
+    MemorySource,
+    MovingMax,
+    Place,
+    Smooth,
+)
+from dask_geomodeling_tpu.raster.spatial import (
+    expand_request_meters,
+    expand_request_pixels,
+)
+
+
+@pytest.fixture(scope="module")
+def sparse_source():
+    data = np.zeros((1, 20, 20), dtype=np.uint8)
+    data[0, 10, 10] = 7
+    data[0, 5, 5] = 3
+    data[0, 0, 0] = 255  # nodata
+    return MemorySource(
+        data=data,
+        no_data_value=255,
+        projection="EPSG:28992",
+        pixel_size=1.0,
+        pixel_origin=(135000, 456000),
+        time_first=datetime(2000, 1, 1),
+        time_delta=timedelta(hours=1),
+    )
+
+
+@pytest.fixture(scope="module")
+def float_source():
+    rng = np.random.RandomState(7)
+    data = (rng.rand(1, 20, 20) * 100).astype(np.float64)
+    return MemorySource(
+        data=data,
+        no_data_value=float(np.finfo(np.float64).max),
+        projection="EPSG:28992",
+        pixel_size=1.0,
+        pixel_origin=(135000, 456000),
+        time_first=datetime(2000, 1, 1),
+        time_delta=timedelta(hours=1),
+    )
+
+
+@pytest.fixture
+def request_20(sparse_source):
+    return {
+        "mode": "vals",
+        "start": datetime(2000, 1, 1),
+        "stop": datetime(2000, 1, 1),
+        "width": 20,
+        "height": 20,
+        "bbox": (135000, 455980, 135020, 456000),
+        "projection": "EPSG:28992",
+    }
+
+
+class TestRequestExpansion:
+    def test_expand_pixels(self):
+        request = {
+            "mode": "vals",
+            "bbox": (0, 0, 10, 10),
+            "width": 10,
+            "height": 10,
+        }
+        out = expand_request_pixels(request, radius=2)
+        assert out["bbox"] == (-2, -2, 12, 12)
+        assert out["width"] == 14 and out["height"] == 14
+
+    def test_expand_pixels_point(self):
+        request = {"mode": "vals", "bbox": (1, 1, 1, 1), "width": 1, "height": 1}
+        assert expand_request_pixels(request) is None
+
+    def test_expand_pixels_time(self):
+        assert expand_request_pixels({"mode": "time"}) is None
+
+    def test_expand_meters(self):
+        request = {
+            "mode": "vals",
+            "bbox": (0, 0, 10, 10),
+            "width": 10,
+            "height": 10,
+            "projection": "EPSG:28992",
+        }
+        out, radius_px = expand_request_meters(request, radius_m=3)
+        assert out["bbox"] == (-3, -3, 13, 13)
+        assert out["width"] == 16 and out["height"] == 16
+        assert radius_px == [3, 3]
+
+    def test_expand_meters_geographic(self):
+        request = {
+            "mode": "vals",
+            "bbox": (5.0, 52.0, 5.01, 52.01),
+            "width": 10,
+            "height": 10,
+            "projection": "EPSG:4326",
+        }
+        out, radius_px = expand_request_meters(request, radius_m=100)
+        assert out["bbox"][0] < 5.0
+        assert out["width"] > 10
+
+
+class TestDilate:
+    def test_dilate(self, sparse_source, request_20):
+        data = Dilate(sparse_source, values=[7]).get_data(**request_20)
+        values = data["values"][0]
+        # 3x3 cross around (10, 10)
+        assert values[10, 10] == 7
+        assert values[9, 10] == 7 and values[11, 10] == 7
+        assert values[10, 9] == 7 and values[10, 11] == 7
+        assert values[9, 9] == 0  # diagonal not dilated (cross-shaped)
+        assert values[5, 5] == 3  # untouched other value
+
+    def test_dilate_matches_scipy(self, sparse_source, request_20):
+        data = Dilate(sparse_source, values=[7, 3]).get_data(**request_20)
+        raw = sparse_source.get_data(**request_20)["values"]
+        expected = raw.copy()
+        for v in [7, 3]:
+            expected[ndimage.binary_dilation(raw == v)] = v
+        np.testing.assert_array_equal(data["values"], expected)
+
+    def test_dilate_jax_matches(self, sparse_source, request_20):
+        view = Dilate(sparse_source, values=[7, 3])
+        expected = view.get_data(**request_20)
+        with config.set({"geomodeling.executor": "jax"}):
+            actual = view.get_data(**request_20)
+        np.testing.assert_array_equal(actual["values"], expected["values"])
+
+
+class TestMovingMax:
+    def test_moving_max(self, sparse_source, request_20):
+        data = MovingMax(sparse_source, size=3).get_data(**request_20)
+        values = data["values"][0]
+        assert values[9:12, 9:12].max() == 7
+        assert values[9, 9] == 7  # 3x3 footprint includes diagonal-ish circle
+
+    def test_size_rounding(self, sparse_source):
+        assert MovingMax(sparse_source, 4).size == 5  # rounds to nearest odd
+        with pytest.raises(ValueError):
+            MovingMax(sparse_source, 1)
+
+    def test_moving_max_matches_scipy(self, sparse_source, request_20):
+        from dask_geomodeling_tpu.geo import get_footprint
+
+        for size in (3, 5, 7):
+            data = MovingMax(sparse_source, size=size).get_data(**request_20)
+            raw = sparse_source.get_data(**request_20)["values"].copy()
+            nodata_mask = raw == 255
+            raw[nodata_mask] = 0  # dtype min for uint8
+            expected = ndimage.maximum_filter(
+                raw, footprint=get_footprint(size)[np.newaxis]
+            )
+            expected[(expected == 0) & nodata_mask] = 255
+            np.testing.assert_array_equal(data["values"], expected, err_msg=str(size))
+
+    def test_moving_max_jax_matches(self, sparse_source, request_20):
+        for size in (3, 5):
+            view = MovingMax(sparse_source, size=size)
+            expected = view.get_data(**request_20)
+            with config.set({"geomodeling.executor": "jax"}):
+                actual = view.get_data(**request_20)
+            np.testing.assert_array_equal(actual["values"], expected["values"])
+
+
+class TestSmooth:
+    def test_smooth_exact(self, float_source, request_20):
+        data = Smooth(float_source, size=3).get_data(**request_20)
+        raw = float_source.get_data(**request_20)["values"]
+        # smoothing preserves the mean approximately (away from edges)
+        assert data["values"].shape == raw.shape
+        assert abs(data["values"][0, 5:15, 5:15].mean() - raw[0, 5:15, 5:15].mean()) < 5
+        assert data["values"].std() < raw.std()  # smoother
+
+    def test_smooth_zoom_mode(self, float_source, request_20):
+        # a large size triggers zoom mode (margin > 6 px)
+        data = Smooth(float_source, size=10).get_data(**request_20)
+        assert data["values"].shape == (1, 20, 20)
+
+    def test_smooth_validation(self, float_source):
+        with pytest.raises(TypeError):
+            Smooth(float_source, "a lot")
+
+    def test_smooth_jax_close(self, float_source, request_20):
+        view = Smooth(float_source, size=3)
+        expected = view.get_data(**request_20)
+        with config.set({"geomodeling.executor": "jax"}):
+            actual = view.get_data(**request_20)
+        np.testing.assert_allclose(
+            actual["values"], expected["values"], rtol=1e-6, atol=1e-9
+        )
+
+
+class TestHillShade:
+    @pytest.fixture(scope="class")
+    def dem_source(self):
+        y, x = np.mgrid[0:20, 0:20]
+        dem = (x + y).astype(np.float64)  # a tilted plane
+        return MemorySource(
+            data=dem[np.newaxis],
+            no_data_value=-9999.0,
+            projection="EPSG:28992",
+            pixel_size=1.0,
+            pixel_origin=(135000, 456000),
+            time_first=datetime(2000, 1, 1),
+            time_delta=timedelta(hours=1),
+        )
+
+    def test_hillshade(self, dem_source, request_20):
+        view = HillShade(dem_source)
+        assert view.dtype == np.uint8
+        assert view.fillvalue == 256
+        data = view.get_data(**request_20)
+        assert data["values"].dtype == np.uint8
+        assert data["no_data_value"] == 256
+        # a constant-slope plane has constant shading away from edges
+        interior = data["values"][0, 5:15, 5:15]
+        assert len(np.unique(interior)) == 1
+
+    def test_hillshade_jax_close(self, dem_source, request_20):
+        view = HillShade(dem_source)
+        expected = view.get_data(**request_20)
+        with config.set({"geomodeling.executor": "jax"}):
+            actual = view.get_data(**request_20)
+        # float32 rounding at the uint8 cast may differ by 1
+        diff = actual["values"].astype(int) - expected["values"].astype(int)
+        assert np.abs(diff).max() <= 1
+
+
+class TestPlace:
+    @pytest.fixture(scope="class")
+    def stamp_source(self):
+        data = np.full((1, 4, 4), 9, dtype=np.uint8)
+        return MemorySource(
+            data=data,
+            no_data_value=255,
+            projection="EPSG:28992",
+            pixel_size=1.0,
+            pixel_origin=(135000, 456000),
+            time_first=datetime(2000, 1, 1),
+            time_delta=timedelta(hours=1),
+        )
+
+    def test_place(self, stamp_source, request_20):
+        # place the 4x4 stamp (anchored at its center) at two locations
+        view = Place(
+            stamp_source,
+            place_projection="EPSG:28992",
+            anchor=(135002, 455998),
+            coordinates=[(135005, 455990), (135015, 455985)],
+        )
+        data = view.get_data(**request_20)
+        values = data["values"][0]
+        assert (values != data["no_data_value"]).sum() == 32  # two 4x4 stamps
+
+    def test_place_statistic_count(self, stamp_source, request_20):
+        view = Place(
+            stamp_source,
+            place_projection="EPSG:28992",
+            anchor=(135002, 455998),
+            coordinates=[(135010, 455990), (135011, 455990)],  # overlapping
+            statistic="count",
+        )
+        data = view.get_data(**request_20)
+        assert data["values"].max() == 2
+
+    def test_place_empty_coordinates(self, stamp_source, request_20):
+        view = Place(
+            stamp_source,
+            place_projection="EPSG:28992",
+            anchor=(135002, 455998),
+            coordinates=[],
+        )
+        data = view.get_data(**request_20)
+        assert (data["values"] == data["no_data_value"]).all()
+
+    def test_place_validation(self, stamp_source):
+        with pytest.raises(ValueError):
+            Place(stamp_source, "EPSG:28992", (1, 2, 3), [])
+        with pytest.raises(ValueError):
+            Place(stamp_source, "NOT_A_PROJ", (1, 2), [])
+        with pytest.raises(ValueError):
+            Place(stamp_source, "EPSG:28992", (1, 2), [], statistic="bogus")
+
+
+class TestMaxReduction:
+    def test_max(self, sparse_source, request_20):
+        shifted = MemorySource(
+            data=np.full((1, 20, 20), 5, dtype=np.uint8),
+            no_data_value=255,
+            projection="EPSG:28992",
+            pixel_size=1.0,
+            pixel_origin=(135000, 456000),
+            time_first=datetime(2000, 1, 1),
+            time_delta=timedelta(hours=1),
+        )
+        data = Max(sparse_source, shifted).get_data(**request_20)
+        values = data["values"][0]
+        assert values[10, 10] == 7
+        assert values[3, 3] == 5
+        assert values[0, 0] == 5  # nodata in a, data in b -> b
+
+    def test_max_jax_matches(self, sparse_source, request_20):
+        shifted = MemorySource(
+            data=np.full((1, 20, 20), 5, dtype=np.uint8),
+            no_data_value=255,
+            projection="EPSG:28992",
+            pixel_size=1.0,
+            pixel_origin=(135000, 456000),
+            time_first=datetime(2000, 1, 1),
+            time_delta=timedelta(hours=1),
+        )
+        view = Max(sparse_source, shifted)
+        expected = view.get_data(**request_20)
+        with config.set({"geomodeling.executor": "jax"}):
+            actual = view.get_data(**request_20)
+        np.testing.assert_array_equal(actual["values"], expected["values"])
+        assert actual["values"].dtype == expected["values"].dtype
