@@ -25,6 +25,15 @@ from dask_geomodeling_tpu.raster.elemwise import (  # noqa
 )
 from dask_geomodeling_tpu.raster.reduction import Max, reduce_rasters  # noqa
 from dask_geomodeling_tpu.raster.parallelize import RasterTiler  # noqa
+from dask_geomodeling_tpu.raster.combine import Group  # noqa
+from dask_geomodeling_tpu.raster.temporal import (  # noqa
+    Snap,
+    Shift,
+    TemporalSum,
+    TemporalAggregate,
+    Cumulative,
+    Resample,
+)
 from dask_geomodeling_tpu.raster.spatial import (  # noqa
     Dilate,
     Smooth,

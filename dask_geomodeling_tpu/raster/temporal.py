@@ -1,0 +1,1124 @@
+"""Temporal raster blocks: Snap, Shift, TemporalSum, TemporalAggregate,
+Cumulative, Resample.
+
+Semantics match the reference (dask_geomodeling/raster/temporal.py): the
+label/bin arithmetic is pandas-resample-faithful, timezone-aware, and runs
+host-side during request planning (it is metadata-sized).  The per-bin
+pixel reductions carry ``jax_impl`` twins: bin→frame index maps are static
+at trace time, so the reductions run as segment reductions over the band
+axis inside the fused XLA program.
+
+Timezone handling uses stdlib zoneinfo (the reference uses pytz, which is
+not in this environment; pandas accepts the IANA key strings either way).
+"""
+import warnings
+from datetime import timedelta as Timedelta
+from functools import partial
+from zoneinfo import ZoneInfo
+
+import numpy as np
+import pandas as pd
+from pandas.tseries.frequencies import to_offset
+
+from dask_geomodeling_tpu.geo import (
+    dtype_for_statistic,
+    find_neigbours,
+    get_dtype_max,
+    normalize_offset,
+    offset_to_timedelta,
+    parse_percentile_statistic,
+)
+from dask_geomodeling_tpu.raster.base import BaseSingle, RasterBlock
+
+__all__ = [
+    "Snap",
+    "Shift",
+    "TemporalSum",
+    "TemporalAggregate",
+    "Cumulative",
+    "Resample",
+]
+
+# frequencies whose labels sit at the END of the bin (pandas TimeGrouper)
+RESAMPLING_END_TYPES = {"ME", "YE", "QE", "BME", "BYE", "BQE", "W", "M", "A", "Q"}
+
+MICROSECOND = Timedelta(microseconds=1)
+
+
+def _validate_timezone(timezone):
+    """Return the canonical IANA key, validating it exists."""
+    return str(ZoneInfo(timezone).key)
+
+
+def _snap_process(process_kwargs, data=None):
+    if process_kwargs is None:
+        return data
+    nearest = process_kwargs["nearest"]
+    if "values" in data:
+        return {
+            "values": data["values"][np.asarray(nearest)],
+            "no_data_value": data["no_data_value"],
+        }
+    if "meta" in data:
+        return {"meta": [data["meta"][i] for i in nearest]}
+    return data
+
+
+def _snap_jax(process_kwargs, data=None):
+    if process_kwargs is None:
+        return data
+    nearest = process_kwargs["nearest"]
+    if "values" in data:
+        return {
+            "values": data["values"][np.asarray(nearest)],
+            "no_data_value": data["no_data_value"],
+        }
+    if "meta" in data:
+        return {"meta": [data["meta"][i] for i in nearest]}
+    return data
+
+
+_snap_process.jax_impl = _snap_jax
+
+
+class Snap(RasterBlock):
+    """Take cell values from 'store' with the time structure of 'index'.
+
+    During planning this block queries the time structure of both inputs
+    (nested host-side get_data, reference temporal.py:131)."""
+
+    def __init__(self, store, index):
+        for x in (store, index):
+            if not isinstance(x, RasterBlock):
+                raise TypeError("'{}' object is not allowed".format(type(x)))
+        super().__init__(store, index)
+
+    @property
+    def store(self):
+        return self.args[0]
+
+    @property
+    def index(self):
+        return self.args[1]
+
+    def __len__(self):
+        return len(self.index)
+
+    @property
+    def dtype(self):
+        return self.store.dtype
+
+    @property
+    def fillvalue(self):
+        return self.store.fillvalue
+
+    @property
+    def period(self):
+        return self.index.period if self.store else None
+
+    @property
+    def timedelta(self):
+        return self.index.timedelta
+
+    @property
+    def temporal(self):
+        return self.index.temporal
+
+    @property
+    def extent(self):
+        return self.store.extent
+
+    @property
+    def geometry(self):
+        return self.store.geometry
+
+    @property
+    def projection(self):
+        return self.store.projection
+
+    @property
+    def geo_transform(self):
+        return self.store.geo_transform
+
+    def get_sources_and_requests(self, **request):
+        store_period = self.store.period
+        index_period = self.index.period
+
+        if store_period is None or index_period is None:
+            return [(None, None)]
+
+        if request["mode"] == "time":
+            return [(None, None), (self.index, request)]
+
+        start = request.get("start")
+        stop = request.get("stop")
+        index_result = self.index.get_data(mode="time", start=start, stop=stop)
+        if index_result is None:
+            return [(None, None)]
+        index_time = index_result["time"]
+
+        if stop is None:
+            request["start"] = index_time[0]
+            return [(None, None), (self.store, request)]
+
+        if store_period[0] == store_period[1]:
+            store_time = [store_period[0]]
+        else:
+            # time structure near start, inside the interval, and near stop:
+            # result frames may snap to store frames outside [start, stop]
+            def get_store_time_set(start=None, stop=None):
+                result = self.store.get_data(mode="time", start=start, stop=stop)
+                if result is None:
+                    return set()
+                return set(result["time"])
+
+            store_time = sorted(
+                get_store_time_set(start=start)
+                | get_store_time_set(start=start, stop=stop)
+                | get_store_time_set(start=stop)
+            )
+
+        request["start"] = store_time[0]
+        request["stop"] = store_time[-1]
+        nearest = find_neigbours(store_time, index_time)
+        process_kwargs = {"nearest": nearest.tolist()}
+        return [(process_kwargs, None), (self.store, request)]
+
+    process = staticmethod(_snap_process)
+
+
+def _shift_process(data, time):
+    if data is None:
+        return None
+    if "time" in data:
+        return {"time": [t + time for t in data["time"]]}
+    return data
+
+
+_shift_process.jax_impl = _shift_process
+
+
+class Shift(BaseSingle):
+    """Shift a temporal raster by a timedelta (positive = into the future).
+
+    Args:
+      store (RasterBlock): raster to shift
+      time (int or timedelta): shift in milliseconds
+    """
+
+    def __init__(self, store, time):
+        if isinstance(time, Timedelta):
+            time = int(time.total_seconds() * 1000)
+        if not isinstance(time, int):
+            raise TypeError("'{}' object is not allowed".format(type(time)))
+        super().__init__(store, time)
+
+    @property
+    def time(self):
+        return Timedelta(milliseconds=self.args[1])
+
+    @property
+    def period(self):
+        period = self.store.period
+        if period is None:
+            return None
+        return period[0] + self.time, period[1] + self.time
+
+    def get_sources_and_requests(self, **request):
+        start = request.get("start", None)
+        stop = request.get("stop", None)
+        if start is not None:
+            request["start"] = start - self.time
+        if stop is not None:
+            request["stop"] = stop - self.time
+        return [(self.store, request), (self.time, None)]
+
+    process = staticmethod(_shift_process)
+
+
+def _temporal_sum_process(data):
+    if data is None:
+        return data
+    if "time" in data:
+        return {"time": data["time"][-1:]}
+    if "meta" in data:
+        return {"meta": data["meta"][-1:]}
+    if "values" in data:
+        return {
+            "values": data["values"].sum(axis=0)[np.newaxis, ...],
+            "no_data_value": data["no_data_value"],
+        }
+    return data
+
+
+_temporal_sum_process.jax_impl = _temporal_sum_process
+
+
+class TemporalSum(BaseSingle):
+    """Sum all frames into a single band (no nodata handling; see
+    TemporalAggregate for the nodata-aware variant)."""
+
+    process = staticmethod(_temporal_sum_process)
+
+
+# --- pandas label/bin helpers (host-side metadata math) ---
+
+
+def _dt_to_ts(dt, timezone):
+    """Naive-UTC datetime -> tz-aware pandas Timestamp."""
+    return pd.Timestamp(dt, tz="UTC").tz_convert(timezone)
+
+
+def _ts_to_dt(timestamp, timezone):
+    """Pandas timestamp -> naive-UTC python datetime."""
+    try:
+        timestamp = timestamp.tz_localize(timezone)
+    except TypeError:
+        pass
+    return timestamp.tz_convert("UTC").tz_localize(None).to_pydatetime(warn=False)
+
+
+def _get_bin_label(dt, frequency, closed, label, timezone):
+    """The label of the resampling bin that ``dt`` falls in."""
+    series = pd.Series([0], index=[_dt_to_ts(dt, timezone)])
+    for label_ts, bin_ in series.resample(frequency, closed=closed, label=label):
+        if len(bin_) != 0:
+            break
+    return _ts_to_dt(label_ts, timezone)
+
+
+def _get_bin_start(dt, frequency, closed, label, timezone):
+    """The (left) start of the bin ``dt`` falls in, as a Timestamp."""
+    series = pd.Series([0], index=[_dt_to_ts(dt, timezone)])
+    resampled = series.resample(frequency, closed=closed, label="left")
+    return resampled.first().index[0]
+
+
+def _shift_datetime(dt, frequency, timezone, n):
+    """Shift a naive datetime by n (possibly fractional) frequency steps."""
+    if n == 0:
+        return dt
+    ts = _dt_to_ts(dt, timezone)
+    freq = to_offset(frequency)
+    if isinstance(n, float):
+        # non-fixed frequencies (months): interpolate between whole steps
+        ts_1 = ts + freq * int(n // 1.0)
+        ts_2 = ts + freq * (int(n // 1.0) + 1)
+        fractional_shift = n % 1.0 if n > 0 else (-(n % 1.0))
+        ts = ts_1 + (ts_2 - ts_1) * fractional_shift
+    else:
+        ts = ts + n * freq
+    return _ts_to_dt(ts, timezone)
+
+
+def _get_closest_label(dt, frequency, timezone, side="both"):
+    """The resampling label closest to ``dt`` (optionally one-sided)."""
+    ts = _dt_to_ts(dt, timezone)
+    candidate = _dt_to_ts(
+        _get_bin_label(dt, frequency, "left", "left", timezone), timezone
+    )
+    freq = to_offset(frequency)
+    candidates = pd.date_range(candidate - freq, candidate + freq, freq=freq)
+    differences = (candidates - ts).to_series()
+    differences.index = candidates
+    if side == "right":
+        differences = differences[differences >= pd.Timedelta(0)]
+    elif side == "left":
+        differences = differences[differences <= pd.Timedelta(0)]
+    result = differences.abs().idxmin()
+    return _ts_to_dt(result, timezone)
+
+
+def _default_closed_label(frequency, closed, label):
+    """Fill in pandas' frequency-dependent defaults for closed/label."""
+    if frequency is None:
+        return ("right", "right")
+    rule = to_offset(frequency).rule_code
+    if rule in RESAMPLING_END_TYPES or (
+        "-" in rule and rule[: rule.find("-")] in RESAMPLING_END_TYPES
+    ):
+        closed = closed or "right"
+        label = label or "right"
+    else:
+        closed = closed or "left"
+        label = label or "left"
+    return closed, label
+
+
+def _label_to_bin_start(dt, frequency, closed, label, timezone):
+    """First datetime belonging to the bin labeled ``dt``."""
+    ts = _dt_to_ts(dt, timezone)
+    if label == "right":
+        ts -= to_offset(frequency)
+    if closed == "right":
+        ts += MICROSECOND
+    return _ts_to_dt(ts, timezone)
+
+
+def _label_to_bin_end(dt, frequency, closed, label, timezone):
+    """Last datetime belonging to the bin labeled ``dt``."""
+    ts = _dt_to_ts(dt, timezone)
+    if label == "left":
+        ts += to_offset(frequency)
+    if closed == "left":
+        ts -= MICROSECOND
+    return _ts_to_dt(ts, timezone)
+
+
+def _resampled_period(period, frequency, closed, label, timezone):
+    """The (start, stop) label interval containing data after resampling."""
+    if period is None:
+        return None
+    if frequency is None:
+        return period[-1], period[-1]
+    return tuple(
+        _get_bin_label(x, frequency, closed, label, timezone) for x in period
+    )
+
+
+def _snap_to_resampled_labels(period, start, stop, frequency, timezone):
+    """Snap requested start/stop onto resampled bin labels."""
+    if period is None:
+        return None, None
+
+    if start is None:
+        start = period[1]
+
+    if stop is None:
+        if start <= period[0]:
+            start = period[0]
+        elif start >= period[1]:
+            start = period[1]
+        else:
+            start = _get_closest_label(start, frequency, timezone, side="both")
+    else:
+        if start <= period[0]:
+            start = period[0]
+        elif start > period[1]:
+            return None, None
+        else:
+            start = _get_closest_label(start, frequency, timezone, side="right")
+        if stop >= period[1]:
+            stop = period[1]
+        elif stop < period[0]:
+            return None, None
+        else:
+            stop = _get_closest_label(stop, frequency, timezone, side="left")
+        if start > stop:
+            return None, None
+
+    return start, stop
+
+
+def _labels_to_start_stop(start_label, stop_label, frequency, closed, label, timezone):
+    """Source start/stop covering the bins of the given labels."""
+    assert frequency is not None
+    start = _label_to_bin_start(start_label, frequency, closed, label, timezone)
+    stop = _label_to_bin_end(
+        stop_label or start_label, frequency, closed, label, timezone
+    )
+    return start, stop
+
+
+def _get_label_range(start_label, stop_label, frequency, timezone):
+    """All labels between start_label and stop_label, inclusive."""
+    assert start_label is not None
+    if stop_label is None:
+        return [start_label]
+    labels = pd.date_range(
+        start=_dt_to_ts(start_label, timezone),
+        end=_dt_to_ts(stop_label, timezone),
+        freq=to_offset(frequency),
+    )
+    return [_ts_to_dt(ts, timezone) for ts in labels]
+
+
+def count_not_nan(x, *args, **kwargs):
+    return np.sum(~np.isnan(x), *args, **kwargs)
+
+
+def _aggregate_labels_and_indices(process_kwargs, time_data):
+    """Shared host-side label/bin-index computation for TemporalAggregate."""
+    start = process_kwargs["start"]
+    stop = process_kwargs["stop"]
+    frequency = process_kwargs["frequency"]
+    if frequency is None:
+        labels = pd.DatetimeIndex([start])
+    else:
+        labels = pd.date_range(start, stop or start, freq=frequency)
+    if time_data is None:
+        return labels, None
+
+    timezone = process_kwargs["timezone"]
+    times = time_data["time"]
+    series = (
+        pd.Series(index=times, dtype=float).tz_localize("UTC").tz_convert(timezone)
+    )
+    labels_tz = labels.tz_localize("UTC").tz_convert(timezone)
+    if frequency is None:
+        indices = {labels_tz[0]: range(len(times))}
+    else:
+        resampler = series.resample(
+            frequency,
+            closed=process_kwargs["closed"],
+            label=process_kwargs["label"],
+        )
+        indices = resampler.indices
+    return labels_tz, indices
+
+
+def _aggregate_process(process_kwargs, time_data=None, data=None):
+    mode = process_kwargs["mode"]
+    if process_kwargs.get("empty"):
+        return None if mode == "vals" else {mode: []}
+    if mode == "time":
+        labels, _ = _aggregate_labels_and_indices(process_kwargs, None)
+        return {"time": labels.to_pydatetime().tolist()}
+
+    if time_data is None or not time_data.get("time"):
+        return None if mode == "vals" else {mode: []}
+
+    labels, indices = _aggregate_labels_and_indices(process_kwargs, time_data)
+
+    if mode == "meta":
+        if data is None or "meta" not in data:
+            return {"meta": []}
+        meta = data["meta"]
+        return {"meta": [[meta[i] for i in indices[ts]] for ts in labels]}
+
+    if data is None or "values" not in data:
+        return None
+
+    values = data["values"]
+    if values.shape[0] != len(time_data["time"]):
+        raise RuntimeError("Shape of raster does not match number of timestamps")
+    statistic, percentile = parse_percentile_statistic(process_kwargs["statistic"])
+    if percentile:
+        extensive = False
+        agg_func = partial(np.nanpercentile, q=percentile)
+    else:
+        extensive = TemporalAggregate.STATISTICS[statistic]["extensive"]
+        agg_func = TemporalAggregate.STATISTICS[statistic]["func"]
+
+    dtype = process_kwargs["dtype"]
+    fillvalue = 0 if extensive else get_dtype_max(dtype)
+
+    # float (≥f32) working copy with NaN for nodata
+    values = values.astype(np.result_type(np.float32, dtype))
+    values[data["values"] == data["no_data_value"]] = np.nan
+
+    result = np.full(
+        shape=(len(labels), values.shape[1], values.shape[2]),
+        fill_value=fillvalue,
+        dtype=dtype,
+    )
+
+    for i, timestamp in enumerate(labels):
+        inds = indices[timestamp]
+        if len(inds) == 0:
+            continue
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", category=RuntimeWarning)
+            aggregated = agg_func(values[inds], axis=0)
+        no_data_mask = ~np.isfinite(aggregated)
+        if dtype != aggregated.dtype:
+            aggregated = aggregated.astype(dtype)
+        aggregated[no_data_mask] = fillvalue
+        result[i] = aggregated
+
+    return {"values": result, "no_data_value": get_dtype_max(dtype)}
+
+
+def _aggregate_jax(process_kwargs, time_data=None, data=None):
+    """Device twin: the label/bin math is static (time_data is a static
+    skeleton at trace time); per-bin reductions run on device."""
+    import jax.numpy as jnp
+
+    mode = process_kwargs["mode"]
+    if process_kwargs.get("empty") or mode != "vals":
+        return _aggregate_process(process_kwargs, time_data, data)
+    if time_data is None or not time_data.get("time"):
+        return None
+    if data is None or "values" not in data:
+        return None
+
+    labels, indices = _aggregate_labels_and_indices(process_kwargs, time_data)
+
+    statistic, percentile = parse_percentile_statistic(process_kwargs["statistic"])
+    extensive = (
+        False
+        if percentile
+        else TemporalAggregate.STATISTICS[statistic]["extensive"]
+    )
+    dtype = np.dtype(process_kwargs["dtype"])
+    fillvalue = 0 if extensive else get_dtype_max(dtype)
+
+    float_dtype = np.result_type(np.float32, dtype)
+    raw = data["values"]
+    values = jnp.where(
+        raw == data["no_data_value"], jnp.nan, raw.astype(float_dtype)
+    )
+
+    jnp_funcs = {
+        "sum": jnp.nansum,
+        "count": lambda x, axis: jnp.sum(~jnp.isnan(x), axis=axis),
+        "min": jnp.nanmin,
+        "max": jnp.nanmax,
+        "mean": jnp.nanmean,
+        "median": jnp.nanmedian,
+        "std": jnp.nanstd,
+        "var": jnp.nanvar,
+    }
+    if percentile:
+        agg_func = lambda x, axis: jnp.nanpercentile(x, percentile, axis=axis)
+    else:
+        agg_func = jnp_funcs[statistic]
+
+    rows = []
+    for timestamp in labels:
+        inds = list(indices[timestamp])
+        if len(inds) == 0:
+            rows.append(
+                jnp.full(values.shape[1:], dtype.type(fillvalue), dtype=dtype)
+            )
+            continue
+        aggregated = agg_func(values[np.asarray(inds)], axis=0)
+        no_data_mask = ~jnp.isfinite(aggregated)
+        aggregated = aggregated.astype(dtype)
+        rows.append(jnp.where(no_data_mask, dtype.type(fillvalue), aggregated))
+    result = jnp.stack(rows)
+    return {"values": result, "no_data_value": get_dtype_max(dtype)}
+
+
+_aggregate_process.jax_impl = _aggregate_jax
+
+
+class TemporalAggregate(BaseSingle):
+    """Aggregate a temporal raster into resampling bins.
+
+    Args:
+      source (RasterBlock): input raster
+      frequency (str or None): pandas offset string; None aggregates the
+        whole period into one frame
+      statistic (str): sum count min max mean median std var p<percentile>
+      closed, label (str or None): bin interval conventions (pandas)
+      timezone (str): timezone the resampling is performed in
+    """
+
+    STATISTICS = {
+        "sum": {"func": np.nansum, "extensive": True},
+        "count": {"func": count_not_nan, "extensive": True},
+        "min": {"func": np.nanmin, "extensive": False},
+        "max": {"func": np.nanmax, "extensive": False},
+        "mean": {"func": np.nanmean, "extensive": False},
+        "median": {"func": np.nanmedian, "extensive": False},
+        "std": {"func": np.nanstd, "extensive": False},
+        "var": {"func": np.nanvar, "extensive": False},
+    }
+
+    def __init__(
+        self,
+        source,
+        frequency,
+        statistic="sum",
+        closed=None,
+        label=None,
+        timezone="UTC",
+    ):
+        if not isinstance(source, RasterBlock):
+            raise TypeError("'{}' object is not allowed.".format(type(source)))
+        if frequency is not None:
+            if not isinstance(frequency, str):
+                raise TypeError("'{}' object is not allowed.".format(type(frequency)))
+            frequency = normalize_offset(frequency)
+            if closed not in {None, "left", "right"}:
+                raise ValueError("closed must be None, 'left', or 'right'.")
+            if label not in {None, "left", "right"}:
+                raise ValueError("label must be None, 'left', or 'right'.")
+            if not isinstance(timezone, str):
+                raise TypeError("'{}' object is not allowed.".format(type(timezone)))
+            timezone = _validate_timezone(timezone)
+        else:
+            closed = None
+            label = None
+            timezone = None
+        if not isinstance(statistic, str):
+            raise TypeError("'{}' object is not allowed.".format(type(statistic)))
+        statistic, percentile = parse_percentile_statistic(statistic.lower())
+        if percentile:
+            statistic = "p{0}".format(percentile)
+        elif statistic not in self.STATISTICS:
+            raise ValueError("Unknown statistic '{}'".format(statistic))
+        super().__init__(source, frequency, statistic, closed, label, timezone)
+
+    @property
+    def source(self):
+        return self.args[0]
+
+    @property
+    def frequency(self):
+        return normalize_offset(self.args[1])
+
+    @property
+    def statistic(self):
+        return self.args[2]
+
+    @property
+    def closed(self):
+        return self.args[3]
+
+    @property
+    def label(self):
+        return self.args[4]
+
+    @property
+    def timezone(self):
+        return self.args[5]
+
+    @property
+    def _snap_kwargs(self):
+        closed, label = _default_closed_label(self.frequency, self.closed, self.label)
+        return {
+            "frequency": self.frequency,
+            "closed": closed,
+            "label": label,
+            "timezone": self.timezone,
+        }
+
+    @property
+    def period(self):
+        return _resampled_period(self.source.period, **self._snap_kwargs)
+
+    @property
+    def timedelta(self):
+        if self.frequency is None:
+            return None
+        return offset_to_timedelta(self.frequency)
+
+    @property
+    def temporal(self):
+        return self.frequency is not None
+
+    @property
+    def dtype(self):
+        return dtype_for_statistic(self.source.dtype, self.statistic)
+
+    @property
+    def fillvalue(self):
+        return get_dtype_max(self.dtype)
+
+    def get_sources_and_requests(self, **request):
+        kwargs = self._snap_kwargs
+        start = request.get("start")
+        stop = request.get("stop")
+        mode = request["mode"]
+        period = self.period
+
+        start_label, stop_label = _snap_to_resampled_labels(
+            period, start, stop, frequency=self.frequency, timezone=self.timezone
+        )
+        if start_label is None:
+            return [({"empty": True, "mode": mode}, None)]
+
+        if mode == "time":
+            kwargs["mode"] = "time"
+            kwargs["start"] = start_label
+            kwargs["stop"] = stop_label
+            return [(kwargs, None)]
+
+        if self.frequency is None:
+            request["start"], request["stop"] = self.source.period
+        else:
+            request["start"], request["stop"] = _labels_to_start_stop(
+                start_label, stop_label, **kwargs
+            )
+
+        kwargs["mode"] = request["mode"]
+        kwargs["start"] = start_label
+        kwargs["stop"] = stop_label
+        if mode == "vals":
+            kwargs["dtype"] = np.dtype(self.dtype).str
+            kwargs["statistic"] = self.statistic
+
+        time_request = {
+            "mode": "time",
+            "start": request["start"],
+            "stop": request["stop"],
+        }
+        if "time_resolution" in request:
+            time_request["time_resolution"] = request["time_resolution"]
+
+        return [(kwargs, None), (self.source, time_request), (self.source, request)]
+
+    process = staticmethod(_aggregate_process)
+
+
+def accumulate_count_not_nan(x, *args, **kwargs):
+    return np.cumsum(~np.isnan(x), *args, **kwargs)
+
+
+def _cumulative_process(process_kwargs, time_data=None, data=None):
+    mode = process_kwargs["mode"]
+    if process_kwargs.get("empty"):
+        return None if mode == "vals" else {mode: []}
+    if mode == "time":
+        return time_data
+    if time_data is None or not time_data.get("time"):
+        return None if mode == "vals" else {mode: []}
+
+    start = process_kwargs["start"]
+    stop = process_kwargs["stop"]
+    frequency = process_kwargs["frequency"]
+    timezone = process_kwargs["timezone"]
+    times = (
+        pd.Series(index=time_data["time"], dtype=float)
+        .tz_localize("UTC")
+        .tz_convert(timezone)
+    )
+
+    if frequency is None:
+        indices = {None: range(len(times))}
+    else:
+        resampler = times.resample(
+            frequency,
+            closed=process_kwargs["closed"],
+            label=process_kwargs["label"],
+        )
+        indices = resampler.indices
+
+    start_ts = _dt_to_ts(start, timezone)
+    stop_ts = _dt_to_ts(stop, timezone)
+
+    if mode == "meta":
+        if data is None or "meta" not in data:
+            return {"meta": []}
+        meta = data["meta"]
+        result = []
+        for indices_in_bin in indices.values():
+            for length in range(1, len(indices_in_bin) + 1):
+                indices_for_cumulative = indices_in_bin[:length]
+                ts = times.index[indices_for_cumulative[-1]]
+                if ts < start_ts or (stop_ts is not None and ts > stop_ts):
+                    continue
+                result.append([meta[i] for i in indices_for_cumulative])
+        return {"meta": result}
+
+    if data is None or "values" not in data:
+        return None
+
+    values = data["values"]
+    if values.shape[0] != len(times):
+        raise RuntimeError("Shape of raster does not match number of timestamps")
+    statistic, percentile = parse_percentile_statistic(process_kwargs["statistic"])
+    if percentile:
+        extensive = False
+        agg_func = partial(np.nanpercentile, q=percentile)
+    else:
+        extensive = Cumulative.STATISTICS[statistic]["extensive"]
+        agg_func = Cumulative.STATISTICS[statistic]["func"]
+
+    dtype = process_kwargs["dtype"]
+    fillvalue = 0 if extensive else get_dtype_max(dtype)
+
+    values = values.astype(np.result_type(np.float32, dtype))
+    values[data["values"] == data["no_data_value"]] = np.nan
+
+    output_mask = (times.index >= start_ts) & (times.index <= stop_ts)
+    output_offset = np.where(output_mask)[0][0]
+    n_frames = output_mask.sum()
+    result = np.full(
+        shape=(n_frames, values.shape[1], values.shape[2]),
+        fill_value=fillvalue,
+        dtype=dtype,
+    )
+
+    for indices_in_bin in indices.values():
+        mask = output_mask[np.asarray(indices_in_bin)]
+        bin_data = values[np.asarray(indices_in_bin)]
+        accumulated = agg_func(bin_data, axis=0)[mask]
+        no_data_mask = ~np.isfinite(accumulated)
+        if dtype != accumulated.dtype:
+            accumulated = accumulated.astype(dtype)
+        accumulated[no_data_mask] = fillvalue
+        indices_in_result = np.asarray(indices_in_bin)[mask] - output_offset
+        result[indices_in_result] = accumulated
+
+    return {"values": result, "no_data_value": get_dtype_max(dtype)}
+
+
+class Cumulative(BaseSingle):
+    """Accumulate cell values over time, resetting each frequency period.
+
+    Args:
+      source (RasterBlock): input raster
+      statistic (str): "sum" or "count"
+      frequency (str or None): reset period as pandas offset string
+      timezone (str): timezone the period reset is computed in
+    """
+
+    STATISTICS = {
+        "sum": {"func": np.nancumsum, "extensive": True},
+        "count": {"func": accumulate_count_not_nan, "extensive": True},
+    }
+
+    def __init__(self, source, statistic="sum", frequency=None, timezone="UTC"):
+        if not isinstance(source, RasterBlock):
+            raise TypeError("'{}' object is not allowed.".format(type(source)))
+        if not isinstance(statistic, str):
+            raise TypeError("'{}' object is not allowed.".format(type(statistic)))
+        statistic, percentile = parse_percentile_statistic(statistic.lower())
+        if percentile:
+            statistic = "p{0}".format(percentile)
+        elif statistic not in self.STATISTICS:
+            raise ValueError("Unknown statistic '{}'".format(statistic))
+        if frequency is not None:
+            if not isinstance(frequency, str):
+                raise TypeError("'{}' object is not allowed.".format(type(frequency)))
+            frequency = normalize_offset(frequency)
+            if not isinstance(timezone, str):
+                raise TypeError("'{}' object is not allowed.".format(type(timezone)))
+            timezone = _validate_timezone(timezone)
+        else:
+            timezone = None
+        super().__init__(source, statistic, frequency, timezone)
+
+    @property
+    def source(self):
+        return self.args[0]
+
+    @property
+    def statistic(self):
+        return self.args[1]
+
+    @property
+    def frequency(self):
+        return normalize_offset(self.args[2])
+
+    @property
+    def timezone(self):
+        return self.args[3]
+
+    @property
+    def _snap_kwargs(self):
+        return {
+            "frequency": self.frequency,
+            "closed": "right",
+            "label": "right",
+            "timezone": self.timezone,
+        }
+
+    @property
+    def dtype(self):
+        return dtype_for_statistic(self.source.dtype, self.statistic)
+
+    @property
+    def fillvalue(self):
+        return get_dtype_max(self.dtype)
+
+    def get_sources_and_requests(self, **request):
+        if request["mode"] == "time":
+            return [({"mode": "time"}, None), (self.source, request)]
+
+        kwargs = self._snap_kwargs
+        start = request.get("start")
+        stop = request.get("stop")
+        mode = request["mode"]
+
+        # nested host-side evaluation: the output times determine how far
+        # back the accumulation must reach (reference temporal.py:875)
+        time_data = self.source.get_data(mode="time", start=start, stop=stop)
+        if time_data is None or not time_data.get("time"):
+            return [({"empty": True, "mode": mode}, None)]
+
+        start = time_data["time"][0]
+        stop = time_data["time"][-1]
+
+        if self.frequency is None:
+            request["start"] = self.source.period[0]
+            request["stop"] = stop
+        else:
+            request["start"] = _ts_to_dt(
+                _get_bin_start(start, **kwargs), self.timezone
+            )
+            request["stop"] = stop
+            if kwargs["closed"] != "left":
+                request["stop"] += MICROSECOND
+
+        kwargs["mode"] = request["mode"]
+        kwargs["start"] = start
+        kwargs["stop"] = stop
+        if mode == "vals":
+            kwargs["dtype"] = np.dtype(self.dtype).str
+            kwargs["statistic"] = self.statistic
+
+        time_request = {
+            "mode": "time",
+            "start": request["start"],
+            "stop": request["stop"],
+        }
+        return [(kwargs, None), (self.source, time_request), (self.source, request)]
+
+    process = staticmethod(_cumulative_process)
+
+
+def _resample_process(process_kwargs, data=None):
+    mode = process_kwargs["mode"]
+    if process_kwargs.get("empty"):
+        return None if mode == "vals" else {mode: []}
+    labels = _get_label_range(
+        process_kwargs["start"],
+        process_kwargs["stop"],
+        frequency=process_kwargs["frequency"],
+        timezone=process_kwargs["timezone"],
+    )
+    if mode == "time":
+        return {"time": labels}
+
+    nearest = process_kwargs["nearest"]
+    if "values" in data:
+        return {
+            "values": data["values"][np.asarray(nearest)],
+            "no_data_value": data["no_data_value"],
+        }
+    if "meta" in data:
+        return {"meta": [data["meta"][i] for i in nearest]}
+    return data
+
+
+_resample_process.jax_impl = _resample_process
+
+
+class Resample(BaseSingle):
+    """Re-snap raster frames to a new time frequency.
+
+    Args:
+      source (RasterBlock): input raster
+      frequency (str): pandas offset string to resample to
+      direction (str): 'nearest', 'backward', or 'forward'
+      timezone (str): timezone the label math is performed in
+    """
+
+    def __init__(self, source, frequency, direction="nearest", timezone="UTC"):
+        if not isinstance(source, RasterBlock):
+            raise TypeError("'{}' object is not allowed.".format(type(source)))
+        if not isinstance(frequency, str):
+            raise TypeError("'{}' object is not allowed.".format(type(frequency)))
+        frequency = normalize_offset(frequency)
+        if not isinstance(timezone, str):
+            raise TypeError("'{}' object is not allowed.".format(type(timezone)))
+        timezone = _validate_timezone(timezone)
+        if not isinstance(direction, str):
+            raise TypeError("'{}' object is not allowed.".format(type(direction)))
+        if direction not in {"nearest", "backward", "forward"}:
+            raise ValueError(
+                "direction must be one of 'nearest', 'backward', or 'forward'."
+            )
+        super().__init__(source, frequency, direction, timezone)
+
+    @property
+    def source(self):
+        return self.args[0]
+
+    @property
+    def frequency(self):
+        return normalize_offset(self.args[1])
+
+    @property
+    def direction(self):
+        return self.args[2]
+
+    @property
+    def timezone(self):
+        return self.args[3]
+
+    def _label_kwargs(self):
+        return {"frequency": self.frequency, "timezone": self.timezone}
+
+    @property
+    def period(self):
+        """The (start, stop) label period of the resampled raster.
+
+        Labels snap to source frames within one period of them; the edge
+        labels are found by inverting that relation per direction (see the
+        reference's derivation, temporal.py:1080-1125)."""
+        source_period = self.source.period
+        if source_period is None:
+            return None
+        kwargs = self._label_kwargs()
+        if self.direction in {"forward", "backward"}:
+            side = "left" if self.direction == "forward" else "right"
+            return (
+                _get_closest_label(source_period[0], side=side, **kwargs),
+                _get_closest_label(source_period[1], side=side, **kwargs),
+            )
+        period_start = _get_closest_label(source_period[0], side="left", **kwargs)
+        if source_period[0] >= _shift_datetime(period_start, n=0.5, **kwargs):
+            period_start = _get_closest_label(
+                source_period[0], side="right", **kwargs
+            )
+        period_end = _get_closest_label(source_period[1], side="right", **kwargs)
+        if source_period[1] < _shift_datetime(period_end, n=-0.5, **kwargs):
+            period_end = _get_closest_label(source_period[1], side="left", **kwargs)
+        return (period_start, period_end)
+
+    @property
+    def timedelta(self):
+        return offset_to_timedelta(self.frequency)
+
+    def get_sources_and_requests(self, **request):
+        process_kwargs = {
+            "mode": request["mode"],
+            "direction": self.direction,
+            **self._label_kwargs(),
+        }
+
+        process_kwargs["start"], process_kwargs["stop"] = _snap_to_resampled_labels(
+            self.period,
+            request.get("start"),
+            request.get("stop"),
+            **self._label_kwargs(),
+        )
+        if process_kwargs["start"] is None:
+            return [({"empty": True, "mode": process_kwargs["mode"]}, None)]
+
+        if process_kwargs["mode"] == "time":
+            return [(process_kwargs, None)]
+
+        index_time = _get_label_range(
+            process_kwargs["start"], process_kwargs["stop"], **self._label_kwargs()
+        )
+        if self.direction == "forward":
+            shift = 0
+        elif self.direction == "backward":
+            shift = -1
+        else:
+            shift = -0.5
+        index_start = _shift_datetime(
+            process_kwargs["start"], n=shift, **self._label_kwargs()
+        )
+        index_stop = _shift_datetime(
+            process_kwargs["stop"] or process_kwargs["start"],
+            n=shift + 1,
+            **self._label_kwargs(),
+        )
+
+        def get_store_time_set(start=None, stop=None):
+            result = self.store.get_data(mode="time", start=start, stop=stop)
+            if result is None:
+                return set()
+            return set(result["time"])
+
+        store_time = sorted(
+            get_store_time_set(start=index_start)
+            | get_store_time_set(start=index_start, stop=index_stop)
+            | get_store_time_set(start=index_stop)
+        )
+        if not store_time:
+            return [({"empty": True, "mode": process_kwargs["mode"]}, None)]
+        nearest = find_neigbours(store_time, index_time, self.direction)
+        request["start"] = store_time[nearest.min()]
+        request["stop"] = store_time[nearest.max()]
+        process_kwargs["nearest"] = (nearest - nearest.min()).tolist()
+        return [(process_kwargs, None), (self.store, request)]
+
+    process = staticmethod(_resample_process)

@@ -1,0 +1,350 @@
+"""Temporal block tests (modeled on reference tests/test_raster_temporal.py
+and test_raster.py Group coverage)."""
+from datetime import datetime, timedelta
+
+import numpy as np
+import pytest
+
+from dask_geomodeling_tpu import config
+from dask_geomodeling_tpu.raster import (
+    Cumulative,
+    Group,
+    MemorySource,
+    Resample,
+    Shift,
+    Snap,
+    TemporalAggregate,
+    TemporalSum,
+)
+
+
+def make_source(values, time_first, time_delta, nodata=255):
+    """(t,) values -> constant (t, 4, 4) uint8 MemorySource."""
+    data = np.stack([np.full((4, 4), v, dtype=np.uint8) for v in values])
+    return MemorySource(
+        data=data,
+        no_data_value=nodata,
+        projection="EPSG:28992",
+        pixel_size=1.0,
+        pixel_origin=(135000, 456000),
+        time_first=time_first,
+        time_delta=time_delta,
+    )
+
+
+@pytest.fixture(scope="module")
+def hourly():
+    # 6 hourly frames: 0..5, frame 3 is nodata
+    return make_source(
+        [0, 1, 2, 255, 4, 5], datetime(2000, 1, 1), timedelta(hours=1)
+    )
+
+
+@pytest.fixture
+def request_all():
+    return dict(
+        mode="vals",
+        start=datetime(2000, 1, 1),
+        stop=datetime(2000, 1, 2),
+        bbox=(135000, 455996, 135004, 456000),
+        projection="EPSG:28992",
+        width=4,
+        height=4,
+    )
+
+
+class TestSnap:
+    def test_snap_static_store(self, hourly, request_all):
+        static = make_source([9], datetime(2000, 1, 1), None)
+        view = Snap(static, hourly)
+        assert view.period == hourly.period
+        assert len(view) == 6
+        data = view.get_data(**request_all)
+        assert data["values"].shape == (6, 4, 4)
+        assert (data["values"] == 9).all()
+
+    def test_snap_temporal(self, hourly, request_all):
+        # store at 30-min offset: every index frame snaps to the nearest
+        store = make_source(
+            [10, 20], datetime(2000, 1, 1, 0, 40), timedelta(hours=4)
+        )
+        view = Snap(store, hourly)
+        data = view.get_data(**request_all)
+        assert data["values"].shape == (6, 4, 4)
+        assert data["values"][0, 0, 0] == 10
+        assert data["values"][5, 0, 0] == 20
+
+    def test_snap_time_mode(self, hourly, request_all):
+        static = make_source([9], datetime(2000, 1, 1), None)
+        data = Snap(static, hourly).get_data(**dict(request_all, mode="time"))
+        assert len(data["time"]) == 6
+        assert data["time"][0] == datetime(2000, 1, 1)
+
+    def test_snap_empty(self, hourly, request_all):
+        empty = MemorySource(
+            data=np.empty((0, 0, 0), dtype=np.uint8),
+            no_data_value=255,
+            projection="EPSG:28992",
+            pixel_size=1.0,
+            pixel_origin=(135000, 456000),
+        )
+        assert Snap(empty, hourly).get_data(**request_all) is None
+
+    def test_snap_jax_matches(self, hourly, request_all):
+        static = make_source([9], datetime(2000, 1, 1), None)
+        view = Snap(static, hourly)
+        expected = view.get_data(**request_all)
+        with config.set({"geomodeling.executor": "jax"}):
+            actual = view.get_data(**request_all)
+        np.testing.assert_array_equal(actual["values"], expected["values"])
+
+
+class TestShift:
+    def test_shift_period(self, hourly):
+        view = Shift(hourly, 3600000)  # +1 hour
+        assert view.period == (datetime(2000, 1, 1, 1), datetime(2000, 1, 1, 6))
+
+    def test_shift_values(self, hourly, request_all):
+        view = Shift(hourly, 3600000)
+        data = view.get_data(
+            **dict(request_all, start=datetime(2000, 1, 1, 1), stop=None)
+        )
+        # requesting 01:00 of the shifted raster returns the 00:00 frame
+        assert data["values"][0, 0, 0] == 0
+
+    def test_shift_time(self, hourly, request_all):
+        data = Shift(hourly, 3600000).get_data(**dict(request_all, mode="time"))
+        assert data["time"][0] == datetime(2000, 1, 1, 1)
+
+    def test_shift_validation(self, hourly):
+        with pytest.raises(TypeError):
+            Shift(hourly, "1 hour")
+
+
+class TestTemporalSum:
+    def test_sum(self, hourly, request_all):
+        data = TemporalSum(hourly).get_data(**request_all)
+        assert data["values"].shape == (1, 4, 4)
+        # numpy's sum over the band axis promotes uint8, nodata not excluded
+        assert data["values"][0, 0, 0] == 0 + 1 + 2 + 255 + 4 + 5
+
+
+class TestTemporalAggregate:
+    def test_attrs(self, hourly):
+        view = TemporalAggregate(hourly, "2h", statistic="mean")
+        assert view.timedelta == timedelta(hours=2)
+        assert view.temporal
+        assert view.dtype == np.float32
+
+    def test_none_frequency(self, hourly, request_all):
+        view = TemporalAggregate(hourly, None, statistic="sum")
+        assert not view.temporal
+        data = view.get_data(**request_all)
+        assert data["values"].shape == (1, 4, 4)
+        # nodata frame is skipped: 0+1+2+4+5 = 12
+        assert data["values"][0, 0, 0] == 12
+
+    def test_sum_2h(self, hourly, request_all):
+        view = TemporalAggregate(hourly, "2h", statistic="sum")
+        data = view.get_data(**request_all)
+        assert data["values"].shape == (3, 4, 4)
+        assert data["values"][0, 0, 0] == 1  # 0 + 1
+        assert data["values"][1, 0, 0] == 2  # 2 + nodata
+        assert data["values"][2, 0, 0] == 9  # 4 + 5
+
+    def test_mean_2h(self, hourly, request_all):
+        data = TemporalAggregate(hourly, "2h", statistic="mean").get_data(
+            **request_all
+        )
+        assert data["values"][0, 0, 0] == pytest.approx(0.5)
+        assert data["values"][1, 0, 0] == pytest.approx(2.0)  # nodata skipped
+
+    def test_count(self, hourly, request_all):
+        data = TemporalAggregate(hourly, "2h", statistic="count").get_data(
+            **request_all
+        )
+        assert data["values"][:, 0, 0].tolist() == [2, 1, 2]
+
+    def test_percentile(self, hourly, request_all):
+        data = TemporalAggregate(hourly, "2h", statistic="p50").get_data(
+            **request_all
+        )
+        assert data["values"][0, 0, 0] == pytest.approx(0.5)
+
+    def test_time_mode(self, hourly, request_all):
+        data = TemporalAggregate(hourly, "2h", statistic="sum").get_data(
+            **dict(request_all, mode="time")
+        )
+        assert data["time"] == [
+            datetime(2000, 1, 1, 0),
+            datetime(2000, 1, 1, 2),
+            datetime(2000, 1, 1, 4),
+        ]
+
+    def test_day_labels_right(self, hourly, request_all):
+        view = TemporalAggregate(
+            hourly, "D", statistic="sum", closed="right", label="right"
+        )
+        data = view.get_data(**dict(request_all, mode="time"))
+        assert len(data["time"]) >= 1
+
+    def test_timezone(self, hourly, request_all):
+        view = TemporalAggregate(
+            hourly, "D", statistic="sum", timezone="Europe/Amsterdam"
+        )
+        # day bins in CET: the label of the single bin is 2000-01-01 00:00
+        # CET == 1999-12-31 23:00 UTC, so the request must start earlier
+        data = view.get_data(**dict(request_all, start=datetime(1999, 12, 31)))
+        assert data is not None
+        assert data["values"][0, 0, 0] == 12  # 0+1+2+4+5, nodata skipped
+
+    def test_out_of_range(self, hourly, request_all):
+        view = TemporalAggregate(hourly, "2h", statistic="sum")
+        result = view.get_data(
+            **dict(
+                request_all,
+                start=datetime(2010, 1, 1),
+                stop=datetime(2010, 1, 2),
+            )
+        )
+        assert result is None
+
+    def test_validation(self, hourly):
+        with pytest.raises(ValueError):
+            TemporalAggregate(hourly, "h", statistic="bogus")
+        with pytest.raises(ValueError):
+            TemporalAggregate(hourly, "h", closed="middle")
+
+    def test_jax_matches(self, hourly, request_all):
+        view = TemporalAggregate(hourly, "2h", statistic="mean")
+        expected = view.get_data(**request_all)
+        with config.set({"geomodeling.executor": "jax"}):
+            actual = view.get_data(**request_all)
+        np.testing.assert_allclose(actual["values"], expected["values"])
+        assert actual["values"].dtype == expected["values"].dtype
+
+
+class TestCumulative:
+    def test_cumsum(self, hourly, request_all):
+        view = Cumulative(hourly, statistic="sum")
+        data = view.get_data(**request_all)
+        assert data["values"].shape == (6, 4, 4)
+        # nancumsum: nodata counts as 0
+        assert data["values"][:, 0, 0].tolist() == [0, 1, 3, 3, 7, 12]
+
+    def test_cumsum_with_reset(self, hourly, request_all):
+        view = Cumulative(hourly, statistic="sum", frequency="3h")
+        data = view.get_data(**request_all)
+        # bins are closed right: (00:00, 03:00] -> the reset is after 03:00
+        assert data["values"][:, 0, 0].tolist() == [0, 1, 3, 3, 4, 9]
+
+    def test_count(self, hourly, request_all):
+        view = Cumulative(hourly, statistic="count")
+        data = view.get_data(**request_all)
+        assert data["values"][:, 0, 0].tolist() == [1, 2, 3, 3, 4, 5]
+
+    def test_partial_request_accumulates_from_start(self, hourly, request_all):
+        view = Cumulative(hourly, statistic="sum")
+        data = view.get_data(
+            **dict(
+                request_all,
+                start=datetime(2000, 1, 1, 4),
+                stop=datetime(2000, 1, 1, 5),
+            )
+        )
+        # the accumulation includes frames before the requested window
+        assert data["values"][:, 0, 0].tolist() == [7, 12]
+
+    def test_validation(self, hourly):
+        with pytest.raises(ValueError):
+            Cumulative(hourly, statistic="mean")
+
+
+class TestResample:
+    def test_resample_nearest(self, hourly, request_all):
+        view = Resample(hourly, "2h")
+        data = view.get_data(**request_all)
+        times = view.get_data(**dict(request_all, mode="time"))["time"]
+        assert len(times) == len(data["values"])
+        assert times[0] == datetime(2000, 1, 1)
+        # label 00:00 snaps to frame 0, 02:00 to frame 2, 04:00 to frame 4
+        assert data["values"][0, 0, 0] == 0
+        assert data["values"][1, 0, 0] == 2
+        assert data["values"][2, 0, 0] == 4
+
+    def test_resample_timedelta(self, hourly):
+        assert Resample(hourly, "2h").timedelta == timedelta(hours=2)
+
+    def test_validation(self, hourly):
+        with pytest.raises(ValueError):
+            Resample(hourly, "2h", direction="sideways")
+
+
+class TestGroup:
+    def test_group_attrs(self, hourly):
+        late = make_source(
+            [7, 8], datetime(2000, 1, 1, 6), timedelta(hours=1)
+        )
+        group = Group(hourly, late)
+        assert group.period == (datetime(2000, 1, 1), datetime(2000, 1, 1, 7))
+        assert group.timedelta == timedelta(hours=1)
+
+    def test_group_by_bands(self, hourly, request_all):
+        late = make_source([7, 8], datetime(2000, 1, 1, 6), timedelta(hours=1))
+        data = Group(hourly, late).get_data(**request_all)
+        assert data["values"].shape == (8, 4, 4)
+        assert data["values"][0, 0, 0] == 0
+        assert data["values"][6, 0, 0] == 7
+        assert data["values"][7, 0, 0] == 8
+
+    def test_group_rightmost_wins(self, hourly, request_all):
+        other = make_source(
+            [101, 102, 103, 104, 105, 106], datetime(2000, 1, 1), timedelta(hours=1)
+        )
+        data = Group(hourly, other).get_data(**request_all)
+        assert data["values"][0, 0, 0] == 101
+        # nodata in 'other'? no: other has data everywhere -> other wins
+        assert data["values"][3, 0, 0] == 104
+
+    def test_group_nodata_transparent(self, hourly, request_all):
+        # rightmost has a nodata frame: the left raster shows through
+        other = make_source(
+            [101, 102, 103, 255, 105, 106], datetime(2000, 1, 1), timedelta(hours=1)
+        )
+        data = Group(hourly, other).get_data(**request_all)
+        # frame 3: both nodata -> nodata; frame 2: other wins
+        assert data["values"][2, 0, 0] == 103
+        assert data["values"][3, 0, 0] == data["no_data_value"]
+
+    def test_group_by_time(self, hourly, request_all):
+        # non-aligned timedelta: by_time merging
+        other = make_source(
+            [50, 51], datetime(2000, 1, 1, 0, 30), timedelta(minutes=90)
+        )
+        group = Group(hourly, other)
+        assert group.timedelta is None
+        data = group.get_data(**request_all)
+        times = group.get_data(**dict(request_all, mode="time"))["time"]
+        assert len(times) == len(data["values"])
+        # 6 hourly + 00:30; the 02:00 frame coincides (rightmost wins)
+        assert len(times) == 7
+        idx_0200 = times.index(datetime(2000, 1, 1, 2))
+        assert data["values"][idx_0200, 0, 0] == 51
+
+    def test_group_time_mode(self, hourly, request_all):
+        late = make_source([7], datetime(2000, 1, 1, 6), None)
+        group = Group(hourly, late)
+        data = group.get_data(**dict(request_all, mode="time"))
+        assert len(data["time"]) == 7
+
+    def test_group_latest(self, hourly, request_all):
+        late = make_source([7, 8], datetime(2000, 1, 1, 6), timedelta(hours=1))
+        data = Group(hourly, late).get_data(
+            **dict(request_all, start=None, stop=None)
+        )
+        assert data["values"].shape == (1, 4, 4)
+        assert data["values"][0, 0, 0] == 8
+
+    def test_group_validation(self, hourly):
+        with pytest.raises(TypeError):
+            Group(hourly, 5)
