@@ -116,7 +116,9 @@ def full_request(source, out_px):
 def main():
     from dask_geomodeling_tpu.runtime.tiles import evaluate_tiled
 
-    out_px = int(sys.argv[1]) if len(sys.argv) > 1 else 10240
+    # 5120 px = 100 tiles of 512^2; a tunneled-TPU jit compile takes ~5 min,
+    # so the default keeps the total run within typical driver budgets
+    out_px = int(sys.argv[1]) if len(sys.argv) > 1 else 5120
     tile = 512
     source, view = build_view()
     requests = tile_requests(source, out_px, tile)

@@ -30,6 +30,8 @@ class GeoSeries(pd.Series):
     def _constructor_from_mgr(self, mgr, axes):
         # pandas 3: construct from an internal manager without re-validation
         obj = GeoSeries._from_mgr(mgr, axes)
+        if not hasattr(obj, "_name"):
+            obj._name = getattr(self, "name", None)
         obj.crs = getattr(self, "crs", None)
         return obj
 

@@ -640,6 +640,11 @@ def _within(a, b):
     polys_b = _polygonize(b)
     if not polys_b:
         return False
+    # points on the boundary are NOT within (GEOS convention)
+    if isinstance(a, Point):
+        return any(
+            poly.contains_point(a.x, a.y, boundary=False) for poly in polys_b
+        )
     # all vertices of a inside b, and no boundary crossings exiting
     for coords in _linework(a) or [np.array(_points_of(a))]:
         for px, py in coords:

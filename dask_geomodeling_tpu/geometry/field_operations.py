@@ -1,0 +1,426 @@
+"""Operations on non-geometry feature columns (SeriesBlocks).
+
+Semantics match the reference (dask_geomodeling/geometry/field_operations.py):
+pandas-Series element-wise algebra, pd.cut-based classification with
+open-bound handling, Where/Mask with non-boolean conditions interpreted as
+notnull, Interp and Choose.
+"""
+import operator
+
+import numpy as np
+import pandas as pd
+
+from dask_geomodeling_tpu.geometry.base import (
+    BaseSingleSeries,
+    GeometryBlock,
+    SeriesBlock,
+)
+
+__all__ = [
+    "Classify",
+    "ClassifyFromColumns",
+    "Add",
+    "Subtract",
+    "Multiply",
+    "Divide",
+    "FloorDivide",
+    "Power",
+    "Modulo",
+    "Equal",
+    "NotEqual",
+    "Greater",
+    "GreaterEqual",
+    "Less",
+    "LessEqual",
+    "And",
+    "Or",
+    "Xor",
+    "Invert",
+    "Where",
+    "Mask",
+    "Round",
+    "Interp",
+    "Choose",
+]
+
+
+def _none_to_nan(series):
+    """Replace None by NaN; all-None series downcast to float."""
+    if series.dtype == object:
+        nones = series.isna()
+        if nones.all():
+            return pd.Series(index=series.index, name=series.name, dtype=float)
+        series = series.copy()
+        series[nones] = np.nan
+    return series
+
+
+class Classify(BaseSingleSeries):
+    """Classify a value column into bins.
+
+    Args:
+      source (SeriesBlock): numeric data to classify
+      bins (list): increasing bin edges
+      labels (list): classes; length len(bins)+1 (open outer bounds) or
+        len(bins)-1 (out-of-bins values become 'no data')
+      right (bool): whether the right bin edge is closed (default True)
+    """
+
+    def __init__(self, source, bins, labels, right=True):
+        if not isinstance(bins, list):
+            raise TypeError("'{}' object is not allowed".format(type(bins)))
+        if not isinstance(labels, list):
+            raise TypeError("'{}' object is not allowed".format(type(labels)))
+        if not isinstance(right, bool):
+            raise TypeError("'{}' object is not allowed".format(type(right)))
+        bins_arr = np.asarray(bins)
+        if bins_arr.ndim != 1:
+            raise TypeError("'bins' must be one-dimensional")
+        if (np.diff(bins) < 0).any():
+            raise ValueError("'bins' must increase monotonically.")
+        if len(labels) not in (len(bins) - 1, len(bins) + 1):
+            raise ValueError(
+                "Expected {} or {} labels, got {}".format(
+                    len(bins) - 1, len(bins) + 1, len(labels)
+                )
+            )
+        if len(set(labels)) != len(labels):
+            raise ValueError("Labels should be unique")
+        super().__init__(source, bins, labels, right)
+
+    @property
+    def bins(self):
+        return self.args[1]
+
+    @property
+    def labels(self):
+        return self.args[2]
+
+    @property
+    def right(self):
+        return self.args[3]
+
+    @staticmethod
+    def process(series, bins, labels, right):
+        open_bounds = len(labels) == len(bins) + 1
+        if open_bounds:
+            bins = np.concatenate([[-np.inf], bins, [np.inf]])
+        series = _none_to_nan(series)
+        result = pd.cut(series, bins, right=right, labels=labels)
+        # categorical -> the labels' own dtype (accommodating NaN)
+        result = result.astype(pd.Series(labels + [np.nan]).dtype)
+        if open_bounds:
+            # ±inf input must still classify into the outer labels
+            if right:
+                result[series == -np.inf] = labels[0]
+            else:
+                result[series == np.inf] = labels[-1]
+        return result
+
+
+class ClassifyFromColumns(SeriesBlock):
+    """Classify a value column using per-feature bin edges from other
+    columns (ordered low to high)."""
+
+    def __init__(self, source, value_column, bin_columns, labels, right=True):
+        if not isinstance(source, GeometryBlock):
+            raise TypeError("'{}' object is not allowed".format(type(source)))
+        if not isinstance(value_column, str):
+            raise TypeError("'{}' object is not allowed".format(type(value_column)))
+        if not isinstance(bin_columns, list):
+            raise TypeError("'{}' object is not allowed".format(type(bin_columns)))
+        if not isinstance(labels, list):
+            raise TypeError("'{}' object is not allowed".format(type(labels)))
+        if not isinstance(right, bool):
+            raise TypeError("'{}' object is not allowed".format(type(right)))
+        missing_columns = (set(bin_columns) | {value_column}) - source.columns
+        if missing_columns:
+            raise KeyError("Columns '{}' are not present".format(missing_columns))
+        if len(labels) not in (len(bin_columns) - 1, len(bin_columns) + 1):
+            raise ValueError(
+                "Expected {} or {} labels, got {}".format(
+                    len(bin_columns) - 1, len(bin_columns) + 1, len(labels)
+                )
+            )
+        if len(set(labels)) != len(labels):
+            raise ValueError("Labels should be unique")
+        super().__init__(source, value_column, bin_columns, labels, right)
+
+    @property
+    def source(self):
+        return self.args[0]
+
+    @property
+    def value_column(self):
+        return self.args[1]
+
+    @property
+    def bin_columns(self):
+        return self.args[2]
+
+    @property
+    def labels(self):
+        return self.args[3]
+
+    @property
+    def right(self):
+        return self.args[4]
+
+    @staticmethod
+    def process(data, value_column, bin_columns, labels, right):
+        if "features" not in data or len(data["features"]) == 0:
+            return pd.Series([], dtype=float)
+        features = data["features"]
+        series = _none_to_nan(features[value_column])
+        values = series.values
+        bins = features[bin_columns].values
+        n_bins = len(bin_columns)
+
+        # per-feature bins: count how many edges each value passes
+        with np.errstate(invalid="ignore"):
+            if right:
+                indices = np.sum(values[:, np.newaxis] > bins, axis=1)
+            else:
+                indices = np.sum(values[:, np.newaxis] >= bins, axis=1)
+
+        if len(labels) == n_bins + 1:
+            indices[np.isnan(values)] = len(labels)  # map NaN to NaN below
+        else:
+            # closed outer intervals: index 0 and n_bins are out of range
+            indices -= 1
+            indices[indices == -1] = len(labels)
+
+        labeled_data = pd.Series(labels + [np.nan]).loc[indices]
+        labeled_data.index = features.index
+        return labeled_data
+
+
+class BaseFieldOperation(BaseSingleSeries):
+    """Base for binary operations between a series and a series/constant."""
+
+    def __init__(self, source, other):
+        if not isinstance(other, (SeriesBlock, int, float, bool)):
+            raise TypeError("'{}' object is not allowed".format(type(other)))
+        super().__init__(source, other)
+
+    @property
+    def other(self):
+        return self.args[1]
+
+
+class Add(BaseFieldOperation):
+    """Element-wise addition."""
+
+    process = staticmethod(operator.add)
+
+
+class Subtract(BaseFieldOperation):
+    """Element-wise subtraction."""
+
+    process = staticmethod(operator.sub)
+
+
+class Multiply(BaseFieldOperation):
+    """Element-wise multiplication."""
+
+    process = staticmethod(operator.mul)
+
+
+class Divide(BaseFieldOperation):
+    """Element-wise division."""
+
+    process = staticmethod(operator.truediv)
+
+
+class FloorDivide(BaseFieldOperation):
+    """Element-wise floor division."""
+
+    process = staticmethod(operator.floordiv)
+
+
+class Power(BaseFieldOperation):
+    """Element-wise exponentiation."""
+
+    def __init__(self, source, other):
+        super().__init__(source, float(other))
+
+    process = staticmethod(operator.pow)
+
+
+class Modulo(BaseFieldOperation):
+    """Element-wise modulo."""
+
+    process = staticmethod(operator.mod)
+
+
+class Equal(BaseFieldOperation):
+    """Element-wise equality ('no data' never equals 'no data')."""
+
+    process = staticmethod(operator.eq)
+
+
+class NotEqual(BaseFieldOperation):
+    """Element-wise inequality."""
+
+    process = staticmethod(operator.ne)
+
+
+class Greater(BaseFieldOperation):
+    """Element-wise greater-than."""
+
+    process = staticmethod(operator.gt)
+
+
+class GreaterEqual(BaseFieldOperation):
+    """Element-wise greater-or-equal."""
+
+    process = staticmethod(operator.ge)
+
+
+class Less(BaseFieldOperation):
+    """Element-wise less-than."""
+
+    process = staticmethod(operator.lt)
+
+
+class LessEqual(BaseFieldOperation):
+    """Element-wise less-or-equal."""
+
+    process = staticmethod(operator.le)
+
+
+class BaseLogicOperation(BaseFieldOperation):
+    """Base for logic operations; the second operand must be a series."""
+
+    def __init__(self, source, other):
+        if not isinstance(other, SeriesBlock):
+            raise TypeError("'{}' object is not allowed".format(type(other)))
+        super().__init__(source, other)
+
+
+class And(BaseLogicOperation):
+    """Element-wise logical AND."""
+
+    process = staticmethod(operator.and_)
+
+
+class Or(BaseLogicOperation):
+    """Element-wise logical OR."""
+
+    process = staticmethod(operator.or_)
+
+
+class Xor(BaseLogicOperation):
+    """Element-wise logical XOR."""
+
+    process = staticmethod(operator.xor)
+
+
+class Invert(BaseSingleSeries):
+    """Invert a boolean series."""
+
+    process = staticmethod(operator.inv)
+
+
+class Where(BaseSingleSeries):
+    """Replace values where a condition is False.
+
+    Non-boolean conditions are interpreted as notnull (all data values,
+    including 0, count as True)."""
+
+    def __init__(self, source, cond, other):
+        if not isinstance(cond, SeriesBlock):
+            raise TypeError("'{}' object is not allowed".format(type(cond)))
+        super().__init__(source, cond, other)
+
+    @property
+    def cond(self):
+        return self.args[1]
+
+    @property
+    def other(self):
+        return self.args[2]
+
+    @staticmethod
+    def process(source, cond, other):
+        if cond.dtype != bool:
+            cond = ~pd.isnull(cond)
+        return source.where(cond, other)
+
+
+class Mask(BaseSingleSeries):
+    """Replace values where a condition is True (complement of Where)."""
+
+    def __init__(self, source, cond, other):
+        if not isinstance(cond, SeriesBlock):
+            raise TypeError("'{}' object is not allowed".format(type(cond)))
+        super().__init__(source, cond, other)
+
+    @property
+    def cond(self):
+        return self.args[1]
+
+    @property
+    def other(self):
+        return self.args[2]
+
+    @staticmethod
+    def process(source, cond, other):
+        if cond.dtype != bool:
+            cond = ~pd.isnull(cond)
+        return source.mask(cond, other)
+
+
+class Round(BaseSingleSeries):
+    """Round values to the given number of decimals."""
+
+    def __init__(self, source, decimals=0):
+        if not isinstance(decimals, int):
+            raise TypeError("'{}' object is not allowed".format(type(decimals)))
+        super().__init__(source, decimals)
+
+    process = staticmethod(np.around)
+
+
+class Interp(BaseSingleSeries):
+    """Piecewise-linear interpolation of the source values over (xp, fp)."""
+
+    def __init__(self, source, xp, fp, left=None, right=None):
+        xp = [float(x) for x in xp]
+        fp = [float(x) for x in fp]
+        if left is not None:
+            left = float(left)
+        if right is not None:
+            right = float(right)
+        if np.any(np.diff(xp) < 0):
+            raise ValueError("xp must be monotonically increasing")
+        super().__init__(source, xp, fp, left, right)
+
+    @staticmethod
+    def process(data, xp, fp, left, right):
+        result = np.interp(data, xp, fp, left, right)
+        return pd.Series(result, index=data.index)
+
+
+class Choose(BaseSingleSeries):
+    """Per-feature selection from multiple series by an integer source
+    (out-of-bounds indices become 'no data')."""
+
+    def __init__(self, source, *choices):
+        if not len(choices) >= 2:
+            raise ValueError("The number of choices must be greater than one.")
+        if not all(isinstance(choice, SeriesBlock) for choice in choices):
+            raise TypeError("All choices must be SeriesBlock objects")
+        super().__init__(source, *choices)
+
+    @property
+    def choices(self):
+        return self.args[1:]
+
+    @staticmethod
+    def process(source, *choices):
+        result = pd.Series(np.nan, dtype=object, index=source.index)
+        for i, choice in enumerate(choices):
+            mask = source == i
+            result[mask] = choice[source.index[mask]]
+        return result

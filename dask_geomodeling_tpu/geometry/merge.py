@@ -1,0 +1,123 @@
+"""Merging GeometryBlocks by index.
+
+Semantics match the reference (dask_geomodeling/geometry/merge.py):
+pd.merge on the index with how ∈ {left, right, inner, outer} and column
+suffixes; extent mode does bbox set-algebra.
+"""
+import pandas as pd
+
+from dask_geomodeling_tpu.geo.geometry import box
+from dask_geomodeling_tpu.geometry.base import GeometryBlock
+
+__all__ = ["MergeGeometryBlocks"]
+
+
+class MergeGeometryBlocks(GeometryBlock):
+    """Merge two GeometryBlocks on their feature index.
+
+    Args:
+      left, right (GeometryBlock): blocks to merge
+      how (str): 'left', 'right', 'inner' (default) or 'outer'
+      suffixes (tuple of 2 str): appended to overlapping column names
+    """
+
+    allow_how_joins = ("left", "right", "outer", "inner")
+
+    def __init__(self, left, right, how="inner", suffixes=("", "_right")):
+        if not isinstance(left, GeometryBlock):
+            raise TypeError("'{}' object is not allowed".format(type(left)))
+        if not isinstance(right, GeometryBlock):
+            raise TypeError("'{}' object is not allowed".format(type(right)))
+        if how not in self.allow_how_joins:
+            raise KeyError(
+                "'{}' is not part of the list of operations: {}".format(
+                    how, self.allow_how_joins
+                )
+            )
+        if (
+            len(suffixes) != 2
+            or not isinstance(suffixes[0], str)
+            or not isinstance(suffixes[1], str)
+        ):
+            raise TypeError("'{}' object is not allowed".format(type(suffixes)))
+        super().__init__(left, right, how, tuple(suffixes))
+
+    @property
+    def left(self):
+        return self.args[0]
+
+    @property
+    def right(self):
+        return self.args[1]
+
+    @property
+    def how(self):
+        return self.args[2]
+
+    @property
+    def suffixes(self):
+        return self.args[3]
+
+    @property
+    def columns(self):
+        left = self.left.columns
+        right = self.right.columns
+        result = left ^ right
+        overlap = left & right
+        for col in overlap:
+            result |= {col + self.suffixes[0], col + self.suffixes[1]}
+        return result
+
+    def get_sources_and_requests(self, **request):
+        process_kwargs = {
+            "how": self.how,
+            "suffixes": self.suffixes,
+            "mode": request["mode"],
+        }
+        return [(self.left, request), (self.right, request), (process_kwargs, None)]
+
+    @staticmethod
+    def process(left, right, kwargs):
+        mode = kwargs["mode"]
+        how = kwargs["how"]
+        projection = left["projection"]
+
+        if mode in ("intersects", "centroid"):
+            merged = pd.merge(
+                pd.DataFrame(left["features"]),
+                pd.DataFrame(right["features"]),
+                how=how,
+                suffixes=kwargs["suffixes"],
+                left_index=True,
+                right_index=True,
+            )
+            from dask_geomodeling_tpu.geo.features import GeoDataFrame
+
+            merged = GeoDataFrame(merged, crs=projection)
+            return {"features": merged, "projection": projection}
+        if mode == "extent":
+            if how == "left":
+                return left
+            if how == "right":
+                return right
+            if how == "inner":
+                values = None
+                if left["extent"] and right["extent"]:
+                    extent = box(*left["extent"]).intersection(
+                        box(*right["extent"])
+                    )
+                    if not extent.is_empty:
+                        values = extent.bounds
+                return {"extent": values, "projection": projection}
+            if how == "outer":
+                values = None
+                if left["extent"] and right["extent"]:
+                    values = (
+                        box(*left["extent"]).union(box(*right["extent"])).bounds
+                    )
+                elif left["extent"]:
+                    values = left["extent"]
+                elif right["extent"]:
+                    values = right["extent"]
+                return {"extent": values, "projection": projection}
+        raise ValueError("Unknown mode '{}'".format(mode))

@@ -1,0 +1,225 @@
+"""Geometry sources: GeometryFileSource and GeometryWKTSource.
+
+Semantics match the reference (dask_geomodeling/geometry/sources.py):
+bbox-prefiltered file reads, FID-or-custom index, equality filters, CRS
+conversion, min_size filtering, centroid-vs-intersects predicates and
+limit enforcement (global ``geomodeling.geometry-limit``).  File access
+uses the native vector codecs (io/vectorfile.py) instead of pyogrio.
+"""
+from dask_geomodeling_tpu import utils
+from dask_geomodeling_tpu.config import config
+from dask_geomodeling_tpu.geo.features import GeoDataFrame
+from dask_geomodeling_tpu.geometry.base import GeometryBlock
+
+__all__ = ["GeometryFileSource", "GeometryWKTSource"]
+
+
+class GeometryFileSource(GeometryBlock):
+    """A geometry source reading a vector file from disk.
+
+    Args:
+      url (str): path to the file, sandboxed by ``geomodeling.root``
+      layer (str, optional): layer name (GeoPackage); default first layer
+      id_field (str, optional): column to use as the feature index when the
+        file has no built-in FID
+    """
+
+    def __init__(self, url, layer=None, id_field=None):
+        safe_url = utils.safe_file_url(url)
+        super().__init__(safe_url, layer, id_field)
+
+    @property
+    def url(self):
+        return self.args[0]
+
+    @property
+    def layer(self):
+        return self.args[1]
+
+    @property
+    def id_field(self):
+        return self.args[2]
+
+    @property
+    def path(self):
+        return utils.safe_abspath(self.url)
+
+    @property
+    def columns(self):
+        from dask_geomodeling_tpu.io.vectorfile import read_vector_info
+
+        info = read_vector_info(self.path, layer=self.layer)
+        return set(info["fields"]) | {"geometry"}
+
+    def get_sources_and_requests(self, **request):
+        if request.get("filters") is None:
+            request["filters"] = dict()
+        if request["filters"]:
+            for field, value in request["filters"].items():
+                if "__" in field:
+                    raise ValueError("Filter '{}' is not supported".format(field))
+        mode = request.get("mode", "intersects").lower()
+        if mode not in ("extent", "intersects", "centroid"):
+            raise ValueError("Unknown mode '{}'".format(mode))
+        request["mode"] = mode
+        request["layer"] = self.layer
+        request["id_field"] = self.id_field
+        return [(self.url, None), (request, None)]
+
+    @staticmethod
+    def process(url, request):
+        from dask_geomodeling_tpu.io.vectorfile import read_vector
+
+        path = utils.safe_abspath(url)
+        f = read_vector(path, layer=request["layer"])
+
+        # bbox prefilter in the file's own CRS
+        filt_geom = request.get("geometry")
+        if filt_geom is not None and len(f):
+            from dask_geomodeling_tpu.geo import transform_extent
+            from dask_geomodeling_tpu.geo.geometry import box
+
+            bbox = filt_geom.bounds
+            if f.crs and f.crs.upper() != request["projection"].upper():
+                bbox = transform_extent(bbox, request["projection"], f.crs)
+            bounds = f.geometry.bounds
+            keep = ~(
+                (bounds["maxx"] < bbox[0])
+                | (bounds["minx"] > bbox[2])
+                | (bounds["maxy"] < bbox[1])
+                | (bounds["miny"] > bbox[3])
+            )
+            f = f[keep.values]
+
+        if len(f) == 0:
+            if request["mode"] == "extent":
+                return {"projection": request["projection"], "extent": None}
+            return {
+                "projection": request["projection"],
+                "features": GeoDataFrame([]),
+            }
+
+        if request["id_field"] is not None:
+            f = f.set_index(request["id_field"])
+
+        # equality filters on attribute columns
+        mask = None
+        for field, value in request["filters"].items():
+            if field not in f.columns:
+                continue
+            _mask = f[field] == value
+            mask = _mask if mask is None else (mask & _mask)
+        if mask is not None:
+            f = f[mask.values]
+
+        f = f.to_crs(request["projection"])
+
+        min_size = request.get("min_size")
+        if min_size and len(f):
+            bounds = f.geometry.bounds
+            widths = bounds["maxx"] - bounds["minx"]
+            heights = bounds["maxy"] - bounds["miny"]
+            f = f[((widths > min_size) | (heights > min_size)).values]
+
+        if request.get("geometry") is not None and len(f):
+            if request["mode"] == "centroid":
+                f = f[f.geometry.centroid.within(filt_geom).values]
+            else:
+                f = f[f.geometry.intersects(filt_geom).values]
+
+        if request["mode"] == "extent":
+            if len(f) == 0:
+                return {"projection": request["projection"], "extent": None}
+            return {
+                "projection": request["projection"],
+                "extent": tuple(f.geometry.total_bounds),
+            }
+
+        if request.get("limit") and len(f) > request["limit"]:
+            f = f.iloc[: request["limit"]]
+        elif request.get("limit") is None:
+            global_limit = config.get("geomodeling.geometry-limit")
+            if len(f) > global_limit:
+                raise RuntimeError(
+                    "The amount of returned geometries exceeded "
+                    "the maximum of {} geometries.".format(global_limit)
+                )
+
+        return {"projection": request["projection"], "features": f}
+
+
+class GeometryWKTSource(GeometryBlock):
+    """A single WKT geometry as a geometry source."""
+
+    def __init__(self, wkt, projection):
+        if not isinstance(wkt, str):
+            raise TypeError("'{}' object is not allowed".format(type(wkt)))
+        if not isinstance(projection, str):
+            raise TypeError("'{}' object is not allowed".format(type(projection)))
+        try:
+            utils.shapely_from_wkt(wkt)
+        except utils.WKTReadingError:
+            raise ValueError("The provided geometry is not a valid WKT")
+        try:
+            utils.get_sr(projection)
+        except (TypeError, utils.TransformException):
+            raise ValueError("The provided projection is not valid")
+        super().__init__(wkt, projection)
+
+    @property
+    def wkt(self):
+        return self.args[0]
+
+    @property
+    def projection(self):
+        return self.args[1]
+
+    @property
+    def columns(self):
+        return {"geometry"}
+
+    def get_sources_and_requests(self, **request):
+        data = {"wkt": self.wkt, "projection": self.projection}
+        return [(data, None), (request, None)]
+
+    @staticmethod
+    def process(data, request):
+        mode = request["mode"]
+        if mode not in ("extent", "intersects", "centroid"):
+            raise ValueError("Unknown mode '{}'".format(mode))
+
+        geometry = utils.shapely_from_wkt(data["wkt"])
+        if data["projection"] != request["projection"]:
+            geometry = utils.shapely_transform(
+                geometry, data["projection"], request["projection"]
+            )
+
+        def empty():
+            return {
+                "projection": request["projection"],
+                "features": GeoDataFrame([]),
+            }
+
+        f = GeoDataFrame(geometry=[geometry], crs=request["projection"])
+
+        min_size = request.get("min_size")
+        if min_size:
+            minx, miny, maxx, maxy = geometry.bounds
+            if (maxy - miny) < min_size or (maxx - minx) < min_size:
+                return empty()
+
+        if mode == "intersects":
+            if not geometry.intersects(request["geometry"]):
+                return empty()
+            return {"features": f, "projection": request["projection"]}
+        if mode == "centroid":
+            if not geometry.centroid.intersects(request["geometry"]):
+                return empty()
+            return {"features": f, "projection": request["projection"]}
+        # extent
+        if not geometry.intersects(request["geometry"]):
+            return {"projection": request["projection"], "extent": None}
+        return {
+            "extent": tuple(geometry.bounds),
+            "projection": request["projection"],
+        }

@@ -1,0 +1,296 @@
+"""Vector file I/O (replaces pyogrio/OGR, reference geometry/sources.py:4,95
+and sinks.py:199-216).
+
+Formats:
+
+- GeoJSON (.geojson / .json): stdlib json + the native geometry engine
+- GeoPackage (.gpkg): stdlib sqlite3 with the standard gpkg_* metadata
+  tables and the GP geometry blob header — readable by GDAL/QGIS
+
+API: ``read_vector``, ``read_vector_info``, ``write_vector``.
+"""
+import json
+import os
+import sqlite3
+import struct
+
+import numpy as np
+import pandas as pd
+
+from dask_geomodeling_tpu.geo import _wkt
+from dask_geomodeling_tpu.geo.features import GeoDataFrame, GeoSeries
+from dask_geomodeling_tpu.geo.geometry import shape
+
+__all__ = ["read_vector", "read_vector_info", "write_vector", "supported_extensions"]
+
+supported_extensions = {"geojson", "json", "gpkg"}
+
+
+def _format_of(path):
+    ext = os.path.splitext(path)[1].lstrip(".").lower()
+    if ext not in supported_extensions:
+        raise NotImplementedError("Unsupported vector format: '{}'".format(ext))
+    return ext
+
+
+# --- GeoJSON ---
+
+
+def _read_geojson(path):
+    with open(path) as f:
+        collection = json.load(f)
+    features = collection.get("features", [])
+    geometries = []
+    records = []
+    ids = []
+    for i, feature in enumerate(features):
+        geometries.append(shape(feature["geometry"]))
+        records.append(feature.get("properties") or {})
+        ids.append(feature.get("id", i))
+    frame = GeoDataFrame(
+        pd.DataFrame.from_records(records) if records else None,
+        geometry=geometries,
+        crs="EPSG:4326",
+    )
+    frame.index = pd.Index(ids, name="fid" if any(ids) else None)
+    return frame
+
+
+def _write_geojson(frame, path):
+    features = []
+    for idx, row in frame.iterrows():
+        geom = row[frame._geometry_column_name or "geometry"]
+        properties = {
+            k: _jsonify(v)
+            for k, v in row.items()
+            if k != (frame._geometry_column_name or "geometry")
+        }
+        features.append(
+            {
+                "type": "Feature",
+                "id": _jsonify(idx),
+                "geometry": geom.__geo_interface__ if geom is not None else None,
+                "properties": properties,
+            }
+        )
+    with open(path, "w") as f:
+        json.dump({"type": "FeatureCollection", "features": features}, f)
+
+
+def _jsonify(value):
+    if isinstance(value, (np.integer,)):
+        return int(value)
+    if isinstance(value, (np.floating,)):
+        return float(value) if np.isfinite(value) else None
+    if isinstance(value, np.bool_):
+        return bool(value)
+    if isinstance(value, (list, dict, str, int, float, bool)) or value is None:
+        return value
+    if pd.isna(value):
+        return None
+    return str(value)
+
+
+# --- GeoPackage ---
+
+_GPKG_INIT = """
+CREATE TABLE IF NOT EXISTS gpkg_spatial_ref_sys (
+  srs_name TEXT NOT NULL, srs_id INTEGER PRIMARY KEY,
+  organization TEXT NOT NULL, organization_coordsys_id INTEGER NOT NULL,
+  definition TEXT NOT NULL, description TEXT);
+CREATE TABLE IF NOT EXISTS gpkg_contents (
+  table_name TEXT PRIMARY KEY, data_type TEXT NOT NULL,
+  identifier TEXT UNIQUE, description TEXT DEFAULT '',
+  last_change DATETIME DEFAULT (strftime('%Y-%m-%dT%H:%M:%fZ','now')),
+  min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE,
+  srs_id INTEGER);
+CREATE TABLE IF NOT EXISTS gpkg_geometry_columns (
+  table_name TEXT NOT NULL, column_name TEXT NOT NULL,
+  geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL,
+  z TINYINT NOT NULL, m TINYINT NOT NULL,
+  CONSTRAINT pk_geom_cols PRIMARY KEY (table_name, column_name));
+"""
+
+
+def _gpkg_blob(geom, srs_id):
+    """Encode a geometry as a GeoPackage geometry blob (no envelope)."""
+    header = b"GP" + bytes([0, 0b00000001]) + struct.pack("<i", srs_id)
+    return header + _wkt.dumps_wkb(geom)
+
+
+def _gpkg_parse_blob(blob):
+    if blob[:2] != b"GP":
+        raise ValueError("Not a GeoPackage geometry blob")
+    flags = blob[3]
+    envelope_code = (flags >> 1) & 0b111
+    envelope_sizes = {0: 0, 1: 32, 2: 48, 3: 48, 4: 64}
+    offset = 8 + envelope_sizes.get(envelope_code, 0)
+    return _wkt.loads_wkb(blob[offset:])
+
+
+def _srs_id_of(crs):
+    from dask_geomodeling_tpu.geo.crs import get_sr
+
+    sr = get_sr(crs or "EPSG:4326")
+    return sr.code or 0
+
+
+def _write_gpkg(frame, path, layer):
+    geom_col = frame._geometry_column_name or "geometry"
+    srs_id = _srs_id_of(getattr(frame, "crs", None))
+    attr_cols = [c for c in frame.columns if c != geom_col]
+
+    con = sqlite3.connect(path)
+    try:
+        con.executescript(_GPKG_INIT)
+        con.execute("PRAGMA application_id = 1196444487")  # 'GPKG'
+        con.execute("PRAGMA user_version = 10200")
+        con.execute(
+            "INSERT OR IGNORE INTO gpkg_spatial_ref_sys VALUES (?,?,?,?,?,?)",
+            ("epsg:%d" % srs_id, srs_id, "EPSG", srs_id, "undefined", None),
+        )
+
+        col_defs = ", ".join('"%s"' % c for c in attr_cols)
+        con.execute(
+            'CREATE TABLE "{layer}" (fid INTEGER PRIMARY KEY, geom BLOB{cols})'.format(
+                layer=layer, cols=(", " + col_defs) if attr_cols else ""
+            )
+        )
+        bounds = frame.geometry.total_bounds if len(frame) else [None] * 4
+        con.execute(
+            "INSERT INTO gpkg_contents (table_name, data_type, identifier, "
+            "min_x, min_y, max_x, max_y, srs_id) VALUES (?,?,?,?,?,?,?,?)",
+            (layer, "features", layer, *[
+                float(b) if b is not None and not pd.isna(b) else None
+                for b in bounds
+            ], srs_id),
+        )
+        con.execute(
+            "INSERT INTO gpkg_geometry_columns VALUES (?,?,?,?,0,0)",
+            (layer, "geom", "GEOMETRY", srs_id),
+        )
+
+        placeholders = ",".join("?" * (2 + len(attr_cols)))
+        rows = []
+        for i, (idx, row) in enumerate(frame.iterrows(), start=1):
+            geom = row[geom_col]
+            blob = _gpkg_blob(geom, srs_id) if geom is not None else None
+            fid = idx if isinstance(idx, (int, np.integer)) else i
+            rows.append(
+                (int(fid), blob)
+                + tuple(_sql_value(row[c]) for c in attr_cols)
+            )
+        con.executemany(
+            'INSERT INTO "{layer}" VALUES ({ph})'.format(
+                layer=layer, ph=placeholders
+            ),
+            rows,
+        )
+        con.commit()
+    finally:
+        con.close()
+
+
+def _sql_value(value):
+    if isinstance(value, (np.integer,)):
+        return int(value)
+    if isinstance(value, (np.floating,)):
+        return float(value)
+    if isinstance(value, np.bool_):
+        return bool(value)
+    if isinstance(value, (list, dict)):
+        return json.dumps(value)
+    if value is not None and not isinstance(value, (str, bytes)) and pd.isna(value):
+        return None
+    return value
+
+
+def _read_gpkg(path, layer=None):
+    con = sqlite3.connect(path)
+    con.row_factory = sqlite3.Row
+    try:
+        contents = con.execute(
+            "SELECT table_name, srs_id FROM gpkg_contents "
+            "WHERE data_type = 'features'"
+        ).fetchall()
+        if not contents:
+            raise IOError("No feature layers in '{}'".format(path))
+        if layer is None:
+            table, srs_id = contents[0]["table_name"], contents[0]["srs_id"]
+        else:
+            matches = [c for c in contents if c["table_name"] == layer]
+            if not matches:
+                raise IOError("Layer '{}' not found in '{}'".format(layer, path))
+            table, srs_id = matches[0]["table_name"], matches[0]["srs_id"]
+        geom_col = con.execute(
+            "SELECT column_name FROM gpkg_geometry_columns WHERE table_name = ?",
+            (table,),
+        ).fetchone()["column_name"]
+
+        rows = con.execute('SELECT * FROM "{}"'.format(table)).fetchall()
+        geometries = []
+        records = []
+        fids = []
+        for row in rows:
+            row = dict(row)
+            fids.append(row.pop("fid", len(fids)))
+            blob = row.pop(geom_col)
+            geometries.append(_gpkg_parse_blob(blob) if blob else None)
+            records.append(row)
+        crs = "EPSG:%d" % srs_id if srs_id else None
+        frame = GeoDataFrame(
+            pd.DataFrame.from_records(records) if records else None,
+            geometry=geometries,
+            crs=crs,
+        )
+        frame.index = pd.Index(fids, name="fid")
+        return frame
+    finally:
+        con.close()
+
+
+# --- public API ---
+
+
+def read_vector(path, layer=None):
+    """Read a vector file into a GeoDataFrame (crs attribute set)."""
+    fmt = _format_of(path)
+    if fmt in ("geojson", "json"):
+        return _read_geojson(path)
+    return _read_gpkg(path, layer)
+
+
+def read_vector_info(path, layer=None):
+    """Return {'fields': [...], 'crs': str} without loading all features."""
+    fmt = _format_of(path)
+    if fmt in ("geojson", "json"):
+        frame = _read_geojson(path)
+        fields = [c for c in frame.columns if c != "geometry"]
+        return {"fields": fields, "crs": frame.crs}
+    con = sqlite3.connect(path)
+    try:
+        contents = con.execute(
+            "SELECT table_name, srs_id FROM gpkg_contents "
+            "WHERE data_type = 'features'"
+        ).fetchall()
+        if not contents:
+            raise IOError("No feature layers in '{}'".format(path))
+        table, srs_id = contents[0] if layer is None else next(
+            c for c in contents if c[0] == layer
+        )
+        cols = con.execute('PRAGMA table_info("{}")'.format(table)).fetchall()
+        fields = [c[1] for c in cols if c[1] not in ("fid", "geom")]
+        return {"fields": fields, "crs": "EPSG:%d" % srs_id if srs_id else None}
+    finally:
+        con.close()
+
+
+def write_vector(frame, path, layer=None):
+    """Write a GeoDataFrame to a vector file (format from the extension)."""
+    fmt = _format_of(path)
+    if fmt in ("geojson", "json"):
+        _write_geojson(frame, path)
+    else:
+        if os.path.exists(path):
+            os.remove(path)
+        _write_gpkg(frame, path, layer or "layer")

@@ -1,0 +1,204 @@
+"""Zonal statistics tests (modeled on reference
+tests/test_aggregate_raster.py): bucketing, stats vs ndimage ground truth,
+pixel budget, centroid fallback, threshold variant."""
+from datetime import datetime, timedelta
+
+import numpy as np
+import pytest
+from scipy import ndimage
+
+from dask_geomodeling_tpu import config
+from dask_geomodeling_tpu.geo.geometry import box
+from dask_geomodeling_tpu.geometry import (
+    AggregateRaster,
+    AggregateRasterAboveThreshold,
+)
+from dask_geomodeling_tpu.geometry.aggregate import bucketize
+from dask_geomodeling_tpu.raster import MemorySource
+from tests.factories import MockGeometry
+
+
+@pytest.fixture(scope="module")
+def raster():
+    data = np.arange(100, dtype=np.float64).reshape(1, 10, 10)
+    data[0, 0, 0] = 255  # nodata corner
+    return MemorySource(
+        data=data,
+        no_data_value=255.0,
+        projection="EPSG:3857",
+        pixel_size=1.0,
+        pixel_origin=(0, 10),  # covers (0, 0, 10, 10)
+        time_first=datetime(2000, 1, 1),
+        time_delta=timedelta(hours=1),
+    )
+
+
+@pytest.fixture
+def request_all():
+    return dict(
+        mode="intersects",
+        geometry=box(0, 0, 10, 10),
+        projection="EPSG:3857",
+        start=datetime(2000, 1, 1),
+    )
+
+
+def expected_stat(data, func):
+    """Ground truth over the 4x4 square (2,2)-(6,6) in world coordinates."""
+    # world (2,2,6,6) -> rows 4..8, cols 2..6 (row 0 is the top, y=10)
+    patch = data[4:8, 2:6]
+    return func(patch)
+
+
+class TestBucketize:
+    def test_disjoint(self):
+        bboxes = [(0, 0, 2, 2), (10, 10, 12, 12)]
+        buckets = bucketize(bboxes)
+        assert sorted(sum(buckets, [])) == [0, 1]
+
+    def test_overlapping_split(self):
+        bboxes = [(0, 0, 2, 2), (1, 1, 3, 3)]
+        buckets = bucketize(bboxes)
+        # the overlapping bboxes must be in different buckets
+        assert len(buckets) == 2
+
+    def test_large_count(self):
+        rng = np.random.RandomState(0)
+        origins = rng.rand(50, 2) * 100
+        bboxes = [(x, y, x + 1, y + 1) for x, y in origins]
+        buckets = bucketize(bboxes)
+        assert sorted(sum(buckets, [])) == list(range(50))
+
+
+class TestAggregateRaster:
+    square = [(2, 2), (6, 2), (6, 6), (2, 6)]
+
+    def _agg(self, raster, statistic, **kwargs):
+        geom = MockGeometry([self.square], properties=[{"id": 1}])
+        return AggregateRaster(geom, raster, statistic=statistic, **kwargs)
+
+    @pytest.mark.parametrize(
+        "statistic,func",
+        [
+            ("sum", np.sum),
+            ("mean", np.mean),
+            ("min", np.min),
+            ("max", np.max),
+            ("median", np.median),
+            ("p75", lambda x: np.percentile(x, 75)),
+        ],
+    )
+    def test_statistics(self, raster, request_all, statistic, func):
+        view = self._agg(raster, statistic)
+        data = view.get_data(**request_all)
+        result = data["features"]["agg"].iloc[0]
+        expected = expected_stat(raster.data[0], func)
+        assert result == pytest.approx(expected)
+
+    def test_count(self, raster, request_all):
+        view = self._agg(raster, "count")
+        data = view.get_data(**request_all)
+        assert data["features"]["agg"].iloc[0] == 16
+
+    def test_nodata_skipped(self, request_all):
+        data = np.full((1, 10, 10), 7.0)
+        data[0, 5, 3] = 255.0  # nodata inside the square
+        raster = MemorySource(
+            data=data,
+            no_data_value=255.0,
+            projection="EPSG:3857",
+            pixel_size=1.0,
+            pixel_origin=(0, 10),
+            time_first=datetime(2000, 1, 1),
+            time_delta=timedelta(hours=1),
+        )
+        view = self._agg(raster, "count")
+        result = view.get_data(**request_all)["features"]["agg"].iloc[0]
+        assert result == 15  # one cell is nodata
+
+    def test_columns(self, raster):
+        geom = MockGeometry([self.square], properties=[{"id": 1, "a": 2}])
+        view = AggregateRaster(geom, raster, column_name="zonal")
+        assert view.columns == {"geometry", "a", "zonal"}
+
+    def test_small_geometry_centroid_fallback(self, raster, request_all):
+        # a polygon much smaller than a pixel: centroid sampling
+        tiny = [(3.2, 3.2), (3.3, 3.2), (3.3, 3.3), (3.2, 3.3)]
+        geom = MockGeometry([tiny], properties=[{"id": 1}])
+        view = AggregateRaster(geom, raster, statistic="max")
+        data = view.get_data(**request_all)
+        # pixel containing (3.25, 3.25): row 6, col 3 -> value 63
+        assert data["features"]["agg"].iloc[0] == 63.0
+
+    def test_pixel_budget_exceeded(self, raster, request_all):
+        geom = MockGeometry([self.square], properties=[{"id": 1}])
+        view = AggregateRaster(geom, raster, max_pixels=4)
+        with pytest.raises(RuntimeError):
+            view.get_data(**request_all)
+
+    def test_auto_pixel_size(self, raster, request_all):
+        geom = MockGeometry([self.square], properties=[{"id": 1}])
+        view = AggregateRaster(
+            geom, raster, statistic="count", max_pixels=4, auto_pixel_size=True
+        )
+        data = view.get_data(**request_all)
+        # extensive stats are rescaled by the coarsening factor squared, so
+        # the count approximates the fine-grid count
+        assert data["features"]["agg"].iloc[0] == pytest.approx(16, rel=0.5)
+
+    def test_overlapping_geometries(self, raster, request_all):
+        # two overlapping squares must be aggregated independently
+        geom = MockGeometry(
+            [self.square, [(4, 4), (8, 4), (8, 8), (4, 8)]],
+            properties=[{"id": 1}, {"id": 2}],
+        )
+        view = AggregateRaster(geom, raster, statistic="count")
+        data = view.get_data(**request_all)
+        assert data["features"]["agg"].tolist() == [16.0, 16.0]
+
+    def test_empty_source(self, raster, request_all):
+        geom = MockGeometry([], properties=None)
+        view = AggregateRaster(geom, raster, statistic="sum")
+        data = view.get_data(**request_all)
+        assert len(data["features"]) == 0
+
+    def test_extent_mode(self, raster, request_all):
+        geom = MockGeometry([self.square], properties=[{"id": 1}])
+        view = AggregateRaster(geom, raster, statistic="sum")
+        data = view.get_data(**dict(request_all, mode="extent"))
+        assert data["extent"] == (2.0, 2.0, 6.0, 6.0)
+
+    def test_validation(self, raster):
+        geom = MockGeometry([self.square], properties=[{"id": 1}])
+        with pytest.raises(ValueError):
+            AggregateRaster(geom, raster, statistic="bogus")
+        with pytest.raises(TypeError):
+            AggregateRaster(geom, "not a raster")
+
+
+class TestAggregateAboveThreshold:
+    square = [(2, 2), (6, 2), (6, 6), (2, 6)]
+
+    def test_threshold(self, raster, request_all):
+        geom = MockGeometry(
+            [self.square, self.square],
+            properties=[
+                {"id": 1, "threshold": 0.0},
+                {"id": 2, "threshold": 50.0},
+            ],
+        )
+        view = AggregateRasterAboveThreshold(
+            geom, raster, statistic="count", threshold_name="threshold"
+        )
+        data = view.get_data(**request_all)
+        counts = data["features"]["agg"].tolist()
+        patch = raster.data[0, 4:8, 2:6]
+        assert counts[0] == 16
+        assert counts[1] == np.sum(patch >= 50.0)
+
+    def test_validation(self, raster):
+        geom = MockGeometry([self.square], properties=[{"id": 1}])
+        with pytest.raises(KeyError):
+            AggregateRasterAboveThreshold(
+                geom, raster, threshold_name="not_a_column"
+            )

@@ -1,0 +1,335 @@
+"""Geometry block tests (modeled on reference tests/test_geometry.py and
+test_field_operations coverage)."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from dask_geomodeling_tpu import config
+from dask_geomodeling_tpu.geo.geometry import Point, box
+from dask_geomodeling_tpu.geometry import (
+    Area,
+    Buffer,
+    Choose,
+    Classify,
+    ClassifyFromColumns,
+    Difference,
+    GeometryWKTSource,
+    GeometryTiler,
+    GetSeriesBlock,
+    Interp,
+    Intersection,
+    MergeGeometryBlocks,
+    ParseTextColumn,
+    Round,
+    SetSeriesBlock,
+    Simplify,
+    Where,
+)
+from dask_geomodeling_tpu.geometry import field_operations as field_ops
+from tests.factories import MockGeometry
+
+SQUARE1 = [(0, 0), (10, 0), (10, 10), (0, 10)]
+SQUARE2 = [(20, 20), (30, 20), (30, 30), (20, 30)]
+
+
+@pytest.fixture
+def source():
+    return MockGeometry(
+        polygons=[SQUARE1, SQUARE2],
+        properties=[
+            {"id": 1, "value": 4.0, "name": "a"},
+            {"id": 2, "value": 8.0, "name": "b"},
+        ],
+    )
+
+
+@pytest.fixture
+def request_all():
+    return dict(
+        mode="intersects", geometry=box(0, 0, 50, 50), projection="EPSG:3857"
+    )
+
+
+class TestSeriesBlocks:
+    def test_get_series(self, source, request_all):
+        series = GetSeriesBlock(source, "value")
+        data = series.get_data(**request_all)
+        assert isinstance(data, pd.Series)
+        assert data.tolist() == [4.0, 8.0]
+
+    def test_get_series_missing_column(self, source):
+        with pytest.raises(KeyError):
+            GetSeriesBlock(source, "bogus")
+
+    def test_set_series(self, source, request_all):
+        series = GetSeriesBlock(source, "value")
+        view = SetSeriesBlock(source, "doubled", field_ops.Multiply(series, 2))
+        data = view.get_data(**request_all)
+        assert data["features"]["doubled"].tolist() == [8.0, 16.0]
+
+    def test_set_constant(self, source, request_all):
+        view = SetSeriesBlock(source, "constant", 7)
+        data = view.get_data(**request_all)
+        assert (data["features"]["constant"] == 7).all()
+
+    def test_getitem_set_sugar(self, source, request_all):
+        view = source.set("sum", source["value"] + 1)
+        data = view.get_data(**request_all)
+        assert data["features"]["sum"].tolist() == [5.0, 9.0]
+
+
+class TestFieldOperations:
+    def _series(self, source):
+        return GetSeriesBlock(source, "value")
+
+    @pytest.mark.parametrize(
+        "cls,arg,expected",
+        [
+            (field_ops.Add, 1, [5.0, 9.0]),
+            (field_ops.Subtract, 1, [3.0, 7.0]),
+            (field_ops.Multiply, 2, [8.0, 16.0]),
+            (field_ops.Divide, 2, [2.0, 4.0]),
+            (field_ops.FloorDivide, 3, [1.0, 2.0]),
+            (field_ops.Power, 2, [16.0, 64.0]),
+            (field_ops.Modulo, 3, [1.0, 2.0]),
+        ],
+    )
+    def test_arithmetic(self, source, request_all, cls, arg, expected):
+        series = cls(self._series(source), arg)
+        assert series.get_data(**request_all).tolist() == expected
+
+    @pytest.mark.parametrize(
+        "cls,arg,expected",
+        [
+            (field_ops.Equal, 4.0, [True, False]),
+            (field_ops.NotEqual, 4.0, [False, True]),
+            (field_ops.Greater, 4.0, [False, True]),
+            (field_ops.GreaterEqual, 4.0, [True, True]),
+            (field_ops.Less, 8.0, [True, False]),
+            (field_ops.LessEqual, 8.0, [True, True]),
+        ],
+    )
+    def test_comparison(self, source, request_all, cls, arg, expected):
+        series = cls(self._series(source), arg)
+        assert series.get_data(**request_all).tolist() == expected
+
+    def test_logic(self, source, request_all):
+        series = self._series(source)
+        cond1 = field_ops.Greater(series, 2)
+        cond2 = field_ops.Less(series, 5)
+        assert field_ops.And(cond1, cond2).get_data(**request_all).tolist() == [
+            True,
+            False,
+        ]
+        assert field_ops.Or(cond1, cond2).get_data(**request_all).tolist() == [
+            True,
+            True,
+        ]
+        assert field_ops.Xor(cond1, cond2).get_data(**request_all).tolist() == [
+            False,
+            True,
+        ]
+        assert field_ops.Invert(cond1).get_data(**request_all).tolist() == [
+            False,
+            False,
+        ]
+
+    def test_where_and_mask(self, source, request_all):
+        series = self._series(source)
+        cond = field_ops.Greater(series, 5)
+        where = Where(series, cond, 0.0)
+        assert where.get_data(**request_all).tolist() == [0.0, 8.0]
+        mask = field_ops.Mask(series, cond, 0.0)
+        assert mask.get_data(**request_all).tolist() == [4.0, 0.0]
+
+    def test_round(self, source, request_all):
+        series = field_ops.Divide(self._series(source), 3)
+        assert Round(series, 1).get_data(**request_all).tolist() == [1.3, 2.7]
+
+    def test_interp(self, source, request_all):
+        series = self._series(source)
+        interp = Interp(series, xp=[0, 10], fp=[0, 100])
+        assert interp.get_data(**request_all).tolist() == [40.0, 80.0]
+
+    def test_choose(self, source, request_all):
+        index = field_ops.Subtract(self._series(source) / 4, 1)  # [0, 1]
+        a = field_ops.Multiply(self._series(source), 10)
+        b = field_ops.Multiply(self._series(source), 100)
+        chosen = Choose(index, a, b)
+        assert chosen.get_data(**request_all).tolist() == [40.0, 800.0]
+
+    def test_classify(self, source, request_all):
+        series = self._series(source)
+        classify = Classify(series, bins=[5], labels=["low", "high"])
+        assert classify.get_data(**request_all).tolist() == ["low", "high"]
+
+    def test_classify_closed_bins(self, source, request_all):
+        series = self._series(source)
+        classify = Classify(series, bins=[0, 5, 10], labels=["low", "high"])
+        assert classify.get_data(**request_all).tolist() == ["low", "high"]
+
+    def test_classify_validation(self, source):
+        series = self._series(source)
+        with pytest.raises(ValueError):
+            Classify(series, bins=[5, 3], labels=["a", "b", "c"])
+        with pytest.raises(ValueError):
+            Classify(series, bins=[3, 5], labels=["a", "b"])
+
+    def test_classify_from_columns(self, request_all):
+        source = MockGeometry(
+            polygons=[SQUARE1, SQUARE2],
+            properties=[
+                {"id": 1, "value": 4.0, "low": 0.0, "high": 5.0},
+                {"id": 2, "value": 8.0, "low": 5.0, "high": 7.0},
+            ],
+        )
+        classify = ClassifyFromColumns(
+            source, "value", ["low", "high"], ["A", "B", "C"]
+        )
+        assert classify.get_data(**request_all).tolist() == ["B", "C"]
+
+
+class TestSetOperations:
+    def test_intersection(self, source, request_all):
+        request = dict(request_all, geometry=box(0, 0, 5, 5))
+        data = Intersection(source).get_data(**request)
+        features = data["features"]
+        assert len(features) == 1
+        assert features.geometry.iloc[0].area == pytest.approx(25.0)
+
+    def test_difference(self, request_all):
+        a = MockGeometry([SQUARE1], properties=[{"id": 1}])
+        b = MockGeometry([[(5, 5), (15, 5), (15, 15), (5, 15)]], properties=[{"id": 1}])
+        data = Difference(a, b).get_data(**request_all)
+        assert data["features"].geometry.iloc[0].area == pytest.approx(75.0)
+
+    def test_difference_missing_in_b(self, request_all):
+        a = MockGeometry([SQUARE1], properties=[{"id": 1}])
+        b = MockGeometry([SQUARE2], properties=[{"id": 99}])
+        data = Difference(a, b).get_data(**request_all)
+        # index 1 is missing in b: geometry passes through unchanged
+        assert data["features"].geometry.iloc[0].area == pytest.approx(100.0)
+
+
+class TestConstructive:
+    def test_buffer(self, source, request_all):
+        data = Buffer(source, 1.0, "EPSG:3857").get_data(**request_all)
+        areas = [g.area for g in data["features"].geometry]
+        assert areas[0] > 100.0  # grew
+
+    def test_buffer_validation(self, source):
+        with pytest.raises(TypeError):
+            Buffer(source, "a lot", "EPSG:3857")
+
+    def test_simplify(self, request_all):
+        # polygon with a redundant vertex on an edge
+        poly = [(0, 0), (5, 0.0001), (10, 0), (10, 10), (0, 10)]
+        source = MockGeometry([poly], properties=[{"id": 1}])
+        data = Simplify(source, tolerance=0.01).get_data(**request_all)
+        simplified = data["features"].geometry.iloc[0]
+        assert len(simplified.exterior.coords) == 5  # closed square
+
+
+class TestGeomOperations:
+    def test_area(self, source, request_all):
+        data = Area(source, "EPSG:3857").get_data(**request_all)
+        assert data.tolist() == [100.0, 100.0]
+
+
+class TestMerge:
+    def test_merge_inner(self, source, request_all):
+        left = SetSeriesBlock(source, "x", 1)
+        right = SetSeriesBlock(source, "y", 2)
+        merged = MergeGeometryBlocks(left, right, how="inner")
+        data = merged.get_data(**request_all)
+        features = data["features"]
+        assert "x" in features.columns
+        assert "y" in features.columns
+        assert len(features) == 2
+
+    def test_merge_suffixes(self, source, request_all):
+        merged = MergeGeometryBlocks(source, source, suffixes=("_l", "_r"))
+        data = merged.get_data(**request_all)
+        assert "value_l" in data["features"].columns
+        assert "value_r" in data["features"].columns
+
+    def test_merge_extent(self, source, request_all):
+        merged = MergeGeometryBlocks(source, source, how="outer")
+        data = merged.get_data(**dict(request_all, mode="extent"))
+        assert data["extent"] == (0.0, 0.0, 30.0, 30.0)
+
+    def test_merge_validation(self, source):
+        with pytest.raises(KeyError):
+            MergeGeometryBlocks(source, source, how="sideways")
+
+
+class TestParseTextColumn:
+    def test_parse(self, request_all):
+        source = MockGeometry(
+            polygons=[SQUARE1, SQUARE2],
+            properties=[
+                {"id": 1, "description": "depth=1.2\nquality=good"},
+                {"id": 2, "description": "depth=3.4\nquality=bad"},
+            ],
+        )
+        parsed = ParseTextColumn(
+            source, "description", {"depth": "depth_m", "quality": "qual"}
+        )
+        assert parsed.columns == {"geometry", "description", "depth_m", "qual"}
+        data = parsed.get_data(**request_all)
+        features = data["features"]
+        assert features["depth_m"].tolist() == [1.2, 3.4]
+        assert features["qual"].tolist() == ["good", "bad"]
+
+    def test_autocast(self):
+        from dask_geomodeling_tpu.geometry.text import autocast_value
+
+        assert autocast_value("1.5") == 1.5
+        assert autocast_value("true") is True
+        assert autocast_value("null") is None
+        assert autocast_value("abc") == "abc"
+
+
+class TestWKTSource:
+    def test_intersects(self, request_all):
+        source = GeometryWKTSource(box(0, 0, 5, 5).wkt, "EPSG:3857")
+        data = source.get_data(**request_all)
+        assert len(data["features"]) == 1
+
+    def test_no_intersection(self, request_all):
+        source = GeometryWKTSource(box(100, 100, 105, 105).wkt, "EPSG:3857")
+        data = source.get_data(**request_all)
+        assert len(data["features"]) == 0
+
+    def test_extent(self, request_all):
+        source = GeometryWKTSource(box(0, 0, 5, 5).wkt, "EPSG:3857")
+        data = source.get_data(**dict(request_all, mode="extent"))
+        assert data["extent"] == (0.0, 0.0, 5.0, 5.0)
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            GeometryWKTSource("NOT WKT", "EPSG:3857")
+
+
+class TestGeometryTiler:
+    def test_tiled_centroid(self, source):
+        # tiles of 20 over (0, 0, 40, 40): centroids (5, 5) and (25, 25)
+        # each fall strictly inside exactly one tile
+        tiler = GeometryTiler(source, size=20.0, projection="EPSG:3857")
+        data = tiler.get_data(
+            mode="centroid", geometry=box(0, 0, 40, 40), projection="EPSG:3857"
+        )
+        # each feature in exactly one tile: no duplicates
+        assert len(data["features"]) == 2
+
+    def test_tiler_extent_passthrough(self, source):
+        tiler = GeometryTiler(source, size=25.0, projection="EPSG:3857")
+        data = tiler.get_data(
+            mode="extent", geometry=box(0, 0, 50, 50), projection="EPSG:3857"
+        )
+        assert data["extent"] == (0.0, 0.0, 30.0, 30.0)
+
+    def test_tiler_intersects_unsupported(self, source, request_all):
+        tiler = GeometryTiler(source, size=25.0, projection="EPSG:3857")
+        with pytest.raises(NotImplementedError):
+            tiler.get_data(**request_all)

@@ -1,0 +1,183 @@
+"""Geometry file source/sink tests with real files (modeled on reference
+tests/test_geometry.py:41-70 and test_geometry_sinks.py)."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from dask_geomodeling_tpu import config
+from dask_geomodeling_tpu.geo.features import GeoDataFrame
+from dask_geomodeling_tpu.geo.geometry import Point, box
+from dask_geomodeling_tpu.geometry import GeometryFileSource
+from dask_geomodeling_tpu.geometry.sinks import GeometryFileSink, to_file
+from dask_geomodeling_tpu.io.vectorfile import read_vector, write_vector
+
+
+@pytest.fixture
+def root(tmp_path):
+    with config.set({"geomodeling.root": str(tmp_path)}):
+        yield tmp_path
+
+
+@pytest.fixture
+def frame():
+    return GeoDataFrame(
+        pd.DataFrame({"value": [1.5, 2.5, 3.5], "name": ["a", "b", "c"]}),
+        geometry=[
+            box(0, 0, 2, 2),
+            box(4, 4, 6, 6),
+            box(8, 8, 10, 10),
+        ],
+        crs="EPSG:4326",
+    )
+
+
+class TestVectorFileIO:
+    @pytest.mark.parametrize("ext", ["geojson", "gpkg"])
+    def test_roundtrip(self, root, frame, ext):
+        path = str(root / ("test." + ext))
+        write_vector(frame, path)
+        result = read_vector(path)
+        assert len(result) == 3
+        assert result["value"].tolist() == [1.5, 2.5, 3.5]
+        assert result["name"].tolist() == ["a", "b", "c"]
+        assert result.geometry.iloc[0].equals(box(0, 0, 2, 2))
+
+    def test_gpkg_crs(self, root, frame):
+        path = str(root / "test.gpkg")
+        frame.crs = "EPSG:28992"
+        write_vector(frame, path)
+        result = read_vector(path)
+        assert result.crs == "EPSG:28992"
+
+    def test_unsupported_format(self, root, frame):
+        with pytest.raises(NotImplementedError):
+            write_vector(frame, str(root / "test.xyz"))
+
+
+class TestGeometryFileSource:
+    @pytest.fixture
+    def source(self, root, frame):
+        write_vector(frame, str(root / "data.geojson"))
+        return GeometryFileSource("data.geojson")
+
+    def test_columns(self, source):
+        assert source.columns == {"geometry", "value", "name"}
+
+    def test_intersects(self, source):
+        data = source.get_data(
+            mode="intersects", geometry=box(0, 0, 5, 5), projection="EPSG:4326"
+        )
+        assert len(data["features"]) == 2  # first two boxes intersect
+
+    def test_centroid_mode(self, source):
+        data = source.get_data(
+            mode="centroid", geometry=box(0, 0, 5, 5), projection="EPSG:4326"
+        )
+        assert len(data["features"]) == 1  # only centroid (1,1) is within
+
+    def test_extent_mode(self, source):
+        data = source.get_data(
+            mode="extent", geometry=box(0, 0, 20, 20), projection="EPSG:4326"
+        )
+        assert data["extent"] == (0.0, 0.0, 10.0, 10.0)
+
+    def test_filters(self, source):
+        data = source.get_data(
+            mode="intersects",
+            geometry=box(0, 0, 20, 20),
+            projection="EPSG:4326",
+            filters={"name": "b"},
+        )
+        assert len(data["features"]) == 1
+        assert data["features"]["value"].iloc[0] == 2.5
+
+    def test_filters_lookup_unsupported(self, source):
+        with pytest.raises(ValueError):
+            source.get_data(
+                mode="intersects",
+                geometry=box(0, 0, 20, 20),
+                projection="EPSG:4326",
+                filters={"name__in": ["b"]},
+            )
+
+    def test_limit(self, source):
+        data = source.get_data(
+            mode="intersects",
+            geometry=box(0, 0, 20, 20),
+            projection="EPSG:4326",
+            limit=1,
+        )
+        assert len(data["features"]) == 1
+
+    def test_global_limit(self, source):
+        with config.set({"geomodeling.geometry-limit": 2}):
+            with pytest.raises(RuntimeError):
+                source.get_data(
+                    mode="intersects",
+                    geometry=box(0, 0, 20, 20),
+                    projection="EPSG:4326",
+                )
+
+    def test_min_size(self, source):
+        data = source.get_data(
+            mode="intersects",
+            geometry=box(0, 0, 20, 20),
+            projection="EPSG:4326",
+            min_size=3.0,
+        )
+        assert len(data["features"]) == 0  # all boxes are 2x2
+
+
+class TestGeometryFileSink:
+    @pytest.fixture
+    def source(self, root, frame):
+        write_vector(frame, str(root / "data.geojson"))
+        return GeometryFileSource("data.geojson")
+
+    @pytest.mark.parametrize("ext", ["geojson", "gpkg"])
+    def test_sink(self, root, source, ext):
+        sink = GeometryFileSink(source, "out", extension=ext)
+        data = sink.get_data(
+            mode="intersects", geometry=box(0, 0, 20, 20), projection="EPSG:4326"
+        )
+        assert data["features"]["saved"].all()
+        files = list((root / "out").glob("*." + ext))
+        assert len(files) == 1
+        result = read_vector(str(files[0]))
+        assert len(result) == 3
+
+    def test_to_file(self, root, source):
+        target = root / "merged.geojson"
+        to_file(source, str(target), projection="EPSG:4326")
+        assert target.exists()
+        result = read_vector(str(target))
+        assert len(result) == 3
+
+    def test_to_file_tiled(self, root, source):
+        target = root / "tiled.geojson"
+        # tile edges must not coincide with feature centroids (at 1, 5, 9):
+        # centroids exactly on a tile edge are in no tile (GEOS 'within'
+        # convention, same as the reference)
+        to_file(source, str(target), tile_size=4.0, projection="EPSG:4326")
+        result = read_vector(str(target))
+        assert len(result) == 3  # all features, no duplicates
+
+    def test_fields_mapping(self, root, source):
+        sink = GeometryFileSink(
+            source, "out", extension="geojson", fields={"renamed": "value"}
+        )
+        sink.get_data(
+            mode="intersects", geometry=box(0, 0, 20, 20), projection="EPSG:4326"
+        )
+        files = list((root / "out").glob("*.geojson"))
+        result = read_vector(str(files[0]))
+        assert "renamed" in result.columns
+        assert "name" not in result.columns
+
+    def test_validation(self, source):
+        with pytest.raises(ValueError):
+            GeometryFileSink(source, "out", extension="bogus")
+        with pytest.raises(ValueError):
+            GeometryFileSink(
+                source, "out", extension="geojson", fields={"x": "nope"}
+            )

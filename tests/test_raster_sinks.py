@@ -1,0 +1,105 @@
+"""Raster sink + to_file export tests (modeled on the reference
+tests/test_raster_sinks.py): hash-named tiles, VRT merge, re-read."""
+from datetime import datetime, timedelta
+
+import numpy as np
+import pytest
+
+from dask_geomodeling_tpu import config
+from dask_geomodeling_tpu.io.vrt import read_vrt
+from dask_geomodeling_tpu.raster import MemorySource, RasterFileSink, to_file
+
+
+@pytest.fixture
+def source():
+    data = np.arange(64, dtype=np.uint8).reshape(1, 8, 8)
+    return MemorySource(
+        data=data,
+        no_data_value=255,
+        projection="EPSG:28992",
+        pixel_size=1.0,
+        pixel_origin=(135000, 456000),
+        time_first=datetime(2000, 1, 1),
+        time_delta=timedelta(hours=1),
+    )
+
+
+@pytest.fixture
+def root(tmp_path):
+    with config.set({"geomodeling.root": str(tmp_path)}):
+        yield tmp_path
+
+
+class TestRasterFileSink:
+    def test_writes_hash_named_tile(self, source, root):
+        sink = RasterFileSink(source, "tiles")
+        result = sink.get_data(
+            mode="vals",
+            bbox=(135000, 455992, 135008, 456000),
+            projection="EPSG:28992",
+            width=8,
+            height=8,
+            start=datetime(2000, 1, 1),
+        )
+        assert result is None  # the sink consumes the data
+        files = list((root / "tiles").glob("*.tif"))
+        assert len(files) == 1
+
+    def test_idempotent_rerun(self, source, root):
+        sink = RasterFileSink(source, "tiles")
+        request = dict(
+            mode="vals",
+            bbox=(135000, 455992, 135008, 456000),
+            projection="EPSG:28992",
+            width=8,
+            height=8,
+            start=datetime(2000, 1, 1),
+        )
+        sink.get_data(**request)
+        sink.get_data(**request)  # same hash: overwrites, no new file
+        assert len(list((root / "tiles").glob("*.tif"))) == 1
+
+    def test_roundtrip_content(self, source, root):
+        from dask_geomodeling_tpu.io.geotiff import read_geotiff
+
+        sink = RasterFileSink(source, "tiles")
+        sink.get_data(
+            mode="vals",
+            bbox=(135000, 455992, 135008, 456000),
+            projection="EPSG:28992",
+            width=8,
+            height=8,
+            start=datetime(2000, 1, 1),
+        )
+        tif = list((root / "tiles").glob("*.tif"))[0]
+        written = read_geotiff(str(tif))
+        np.testing.assert_array_equal(
+            written.array[0], np.arange(64, dtype=np.uint8).reshape(8, 8)
+        )
+        assert written.no_data_value == 255
+        assert written.projection == "EPSG:28992"
+
+
+class TestToFile:
+    def test_to_file_defaults(self, source, root):
+        target = root / "out.vrt"
+        to_file(source, str(target), tile_size=4, start=datetime(2000, 1, 1))
+        assert target.exists()
+        mosaic = read_vrt(str(target))
+        assert mosaic.array.shape == (1, 8, 8)
+        np.testing.assert_array_equal(
+            mosaic.array[0], np.arange(64, dtype=np.uint8).reshape(8, 8)
+        )
+
+    def test_to_file_creates_tiles(self, source, root):
+        to_file(
+            source, str(root / "out.vrt"), tile_size=4, start=datetime(2000, 1, 1)
+        )
+        # 8x8 raster with 4x4 tiles: 4 tiles
+        assert len(list((root / "tiles").glob("*.tif"))) == 4
+
+    def test_to_file_existing_target_raises(self, source, root):
+        target = root / "out.vrt"
+        target.write_text("occupied")
+        with pytest.raises(IOError):
+            to_file(source, str(target), tile_size=4, start=datetime(2000, 1, 1))
