@@ -236,6 +236,7 @@ class Block:
         return cls.deserialize(json.loads(val, **kwargs))
 
     def to_json(self, **kwargs):
+        kwargs.setdefault("cls", _BlockArgsEncoder)
         return json.dumps(self.serialize(), **kwargs)
 
     def serialize(self):
@@ -257,6 +258,31 @@ class Block:
         return "{}({})".format(
             type(self).__name__, ", ".join(repr(x) for x in self.args)
         )
+
+
+class _BlockArgsEncoder(json.JSONEncoder):
+    """JSON encoder for common Block argument types.
+
+    Arrays serialize as nested lists (constructors re-coerce them, possibly
+    widening the dtype), datetimes as ISO strings and timedeltas as seconds —
+    enough for views whose sources are data-carrying (e.g. MemorySource) to
+    travel over the WMS 'layers' parameter.
+    """
+
+    def default(self, o):
+        import datetime
+
+        import numpy as np
+
+        if isinstance(o, np.ndarray):
+            return o.tolist()
+        if isinstance(o, np.generic):
+            return o.item()
+        if isinstance(o, datetime.datetime):
+            return o.isoformat()
+        if isinstance(o, datetime.timedelta):
+            return o.total_seconds()
+        return super().default(o)
 
 
 class DummyBlock(Block):

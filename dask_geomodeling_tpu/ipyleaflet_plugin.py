@@ -1,0 +1,196 @@
+"""WMS tile serving and the ipyleaflet notebook integration.
+
+The reference ships a Jupyter/Tornado-only WMS handler
+(dask_geomodeling/ipyleaflet_plugin.py:18-139) demonstrating the service
+pattern: *serialized views travel, data does not* — every request carries
+the view JSON, is deserialized, evaluated for one 256x256 tile and rendered
+to PNG.
+
+This module factors that into:
+
+- :func:`render_wms_tile` — the framework-agnostic core (parse params,
+  overload guard, evaluate, colormap, PNG bytes); directly testable
+- :func:`wms_app` — a WSGI application usable under any server
+  (``python -m dask_geomodeling_tpu.wms_serve`` runs it standalone)
+- ``GeomodelingWMSHandler`` / ``GeomodelingLayer`` — the Tornado handler
+  and ipyleaflet layer, defined only when those packages are available
+"""
+from datetime import datetime
+from io import BytesIO
+from urllib.parse import parse_qs, urljoin
+
+import numpy as np
+
+from dask_geomodeling_tpu.core import Block
+
+__all__ = ["render_wms_tile", "wms_app"]
+
+
+class WMSError(Exception):
+    def __init__(self, status, message):
+        self.status = status
+        self.message = message
+        super().__init__(message)
+
+
+def render_wms_tile(params):
+    """Render one WMS GetMap request; returns PNG bytes.
+
+    ``params`` is a flat dict of query parameters (strings):
+    layers (view JSON), styles (matplotlib colormap), vmin, vmax, format,
+    srs, bbox, width, height, maxcellsize, time (ISO or empty).
+
+    Raises WMSError for client errors.
+    """
+    import matplotlib
+    from matplotlib.colors import Normalize
+    from PIL import Image
+
+    try:
+        block = Block.from_json(params["layers"])
+    except Exception as e:
+        raise WMSError(400, "Invalid 'layers' parameter: {}".format(e))
+    style = params.get("styles", "viridis")
+    vmin = float(params.get("vmin", 0.0))
+    vmax = float(params.get("vmax", 1.0))
+    img_format = params.get("format", "image/png")
+    if img_format.lower() != "image/png":
+        raise WMSError(400, "Only image/png is supported")
+    srs = params["srs"]
+    height = int(params["height"])
+    width = int(params["width"])
+    max_cell_size = float(params.get("maxcellsize", 10.0))
+    time_isoformat = params.get("time", "")
+    if time_isoformat:
+        time = datetime.strptime(time_isoformat, "%Y-%m-%dT%H:%M:%S.%fZ")
+    else:
+        time = None
+    bbox = [float(x) for x in params["bbox"].split(",")]
+
+    # overload protection (reference ipyleaflet_plugin.py:48-53)
+    cell_size_x = (bbox[2] - bbox[0]) / width
+    cell_size_y = (bbox[3] - bbox[1]) / height
+    if cell_size_x > max_cell_size or cell_size_y > max_cell_size:
+        raise WMSError(400, "Too large area requested")
+
+    data = block.get_data(
+        mode="vals",
+        bbox=tuple(bbox),
+        height=height,
+        width=width,
+        projection=srs,
+        start=time,
+    )
+    if data is None:
+        values = np.ma.masked_all((height, width))
+    else:
+        values = np.ma.masked_equal(data["values"][0], data["no_data_value"])
+
+    normalized = Normalize(vmin=vmin, vmax=vmax, clip=True)(values)
+    img = matplotlib.colormaps[style](normalized)
+    img[np.ma.getmaskarray(normalized), 3] = 0.0  # nodata is transparent
+    img_uint8 = (img * 255).astype(np.uint8)
+
+    stream = BytesIO()
+    Image.fromarray(img_uint8).save(stream, format="png")
+    return stream.getvalue()
+
+
+_NO_CACHE_HEADERS = [
+    ("Pragma", "no-cache"),
+    (
+        "Cache-Control",
+        "no-store, no-cache=Set-Cookie, proxy-revalidate, max-age=0, "
+        "post-check=0, pre-check=0",
+    ),
+    ("Expires", "Wed, 2 Dec 1837 21:00:12 GMT"),
+]
+
+
+def wms_app(environ, start_response):
+    """WSGI application serving WMS GetMap requests at any path."""
+    query = parse_qs(environ.get("QUERY_STRING", ""))
+    params = {k: v[0] for k, v in query.items()}
+    try:
+        raw = render_wms_tile(params)
+    except WMSError as e:
+        body = e.message.encode()
+        start_response(
+            "%d Bad Request" % e.status, [("Content-Type", "text/plain")]
+        )
+        return [body]
+    headers = [
+        ("Content-Type", "image/png"),
+        ("Content-Length", str(len(raw))),
+    ] + _NO_CACHE_HEADERS
+    start_response("200 OK", headers)
+    return [raw]
+
+
+try:  # pragma: no cover - optional notebook integration
+    from notebook.base.handlers import IPythonHandler
+    from notebook.utils import url_path_join
+
+    class GeomodelingWMSHandler(IPythonHandler):
+        """Tornado handler serving WMS tiles inside a Jupyter server."""
+
+        def get(self):
+            params = {
+                key: self.get_query_argument(key, default="")
+                for key in (
+                    "layers",
+                    "styles",
+                    "vmin",
+                    "vmax",
+                    "format",
+                    "srs",
+                    "height",
+                    "width",
+                    "maxcellsize",
+                    "time",
+                    "bbox",
+                )
+            }
+            try:
+                raw = render_wms_tile(params)
+            except WMSError as e:
+                self.set_status(e.status)
+                self.finish(e.message)
+                return
+            self.set_header("Content-Length", len(raw))
+            self.set_header("Content-Type", "image/png")
+            for key, value in _NO_CACHE_HEADERS:
+                self.set_header(key, value)
+            self.write(raw)
+            self.finish()
+
+    def load_jupyter_server_extension(nb_server_app):
+        web_app = nb_server_app.web_app
+        route_pattern = url_path_join(web_app.settings["base_url"], "/wms")
+        web_app.add_handlers(".*$", [(route_pattern, GeomodelingWMSHandler)])
+
+except ImportError:  # notebook not installed: WSGI app remains available
+    GeomodelingWMSHandler = None
+    load_jupyter_server_extension = None
+
+
+try:  # pragma: no cover - optional notebook integration
+    import traitlets
+    from ipyleaflet import WMSLayer
+
+    class GeomodelingLayer(WMSLayer):
+        """Visualize a RasterBlock on an ipyleaflet Map; the view JSON is
+        shipped as the WMS 'layers' parameter."""
+
+        format = traitlets.Unicode("image/png").tag(sync=True, o=True)
+        maxcellsize = traitlets.Float(10.0).tag(sync=True, o=True)
+        time = traitlets.Unicode("").tag(sync=True, o=True)
+        vmin = traitlets.Float(0.0).tag(sync=True, o=True)
+        vmax = traitlets.Float(1.0).tag(sync=True, o=True)
+
+        def __init__(self, block, url, **kwargs):
+            self.layers = block.to_json()
+            super().__init__(url=urljoin(url, "wms"), **kwargs)
+
+except ImportError:
+    GeomodelingLayer = None

@@ -24,6 +24,17 @@ from dask_geomodeling_tpu.geo.geotransform import GeoTransform
 __all__ = ["warp_indices", "warp_numpy", "gather_numpy", "warp_jax"]
 
 
+def _approx_stride():
+    """Coarse-grid stride of the approximate transformer.
+
+    A stride of 8 keeps the interpolation error well below gdalwarp's
+    default 0.125 px for the supported conformal projections; 1 disables
+    the approximation (exact per-pixel transform)."""
+    from dask_geomodeling_tpu.config import config
+
+    return int(config.get("geomodeling.warp-approx-stride", 8))
+
+
 def warp_indices(src_gt, src_srs, src_shape, bbox, projection, width, height):
     """Compute source (row, col) int32 index grids for a target raster.
 
@@ -87,12 +98,48 @@ def warp_jax(
     x1, y1, x2, y2 = bbox[0], bbox[1], bbox[2], bbox[3]
     pixel_w = (x2 - x1) / width
     pixel_h = (y1 - y2) / height  # negative: y decreases with the row index
-    xs = x1 + pixel_w * (jnp.arange(width, dtype=jnp.float64) + 0.5)
-    ys = y2 + pixel_h * (jnp.arange(height, dtype=jnp.float64) + 0.5)
-    tx, ty = jnp.meshgrid(xs, ys)
 
-    if get_projection(src_srs).upper() != get_projection(projection).upper():
-        tx, ty = transform_points(tx, ty, projection, src_srs, xp=jnp)
+    cross_crs = get_projection(src_srs).upper() != get_projection(projection).upper()
+    stride = _approx_stride() if cross_crs else 1
+
+    if cross_crs and stride > 1 and width > stride and height > stride:
+        # GDAL-style approximate transformer (gdalwarp's 0.125 px error
+        # model, reference raster/sources.py:141-144): transform a coarse
+        # grid of pixel centers exactly, then bilinearly interpolate the
+        # source coordinates.  This cuts the transcendental (float64) CRS
+        # math by stride^2 — the dominant compile+run cost on TPU.
+        cw = -(-width // stride) + 1  # coarse grid nodes (+1 to cover edge)
+        ch = -(-height // stride) + 1
+        cxs = x1 + pixel_w * (jnp.arange(cw, dtype=jnp.float64) * stride + 0.5)
+        cys = y2 + pixel_h * (jnp.arange(ch, dtype=jnp.float64) * stride + 0.5)
+        ctx, cty = jnp.meshgrid(cxs, cys)
+        ctx, cty = transform_points(ctx, cty, projection, src_srs, xp=jnp)
+
+        # fractional coarse-grid positions of every output pixel
+        fx = jnp.arange(width, dtype=jnp.float64) / stride
+        fy = jnp.arange(height, dtype=jnp.float64) / stride
+        ix = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, cw - 2)
+        iy = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, ch - 2)
+        wx = (fx - ix)[None, :]
+        wy = (fy - iy)[:, None]
+
+        def interp(coarse):
+            c00 = coarse[iy][:, ix]
+            c01 = coarse[iy][:, ix + 1]
+            c10 = coarse[iy + 1][:, ix]
+            c11 = coarse[iy + 1][:, ix + 1]
+            top = c00 + (c01 - c00) * wx
+            bottom = c10 + (c11 - c10) * wx
+            return top + (bottom - top) * wy
+
+        tx = interp(ctx)
+        ty = interp(cty)
+    else:
+        xs = x1 + pixel_w * (jnp.arange(width, dtype=jnp.float64) + 0.5)
+        ys = y2 + pixel_h * (jnp.arange(height, dtype=jnp.float64) + 0.5)
+        tx, ty = jnp.meshgrid(xs, ys)
+        if cross_crs:
+            tx, ty = transform_points(tx, ty, projection, src_srs, xp=jnp)
 
     sp, sa, sb, sq, sc, sd = src_gt
     cols = jnp.floor((tx - sp) / sa).astype(jnp.int32)

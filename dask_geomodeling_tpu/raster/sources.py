@@ -255,7 +255,15 @@ class MemorySource(RasterSourceBase):
 
     @property
     def data(self):
-        return self.args[0]
+        data = self.args[0]
+        if not isinstance(data, np.ndarray):
+            # views deserialized without validation carry plain lists
+            # (e.g. arrived as WMS 'layers' JSON); coerce once and cache
+            data = np.asarray(data)
+            if data.ndim == 2:
+                data = data[np.newaxis]
+            self.args = (data,) + tuple(self.args[1:])
+        return data
 
     @property
     def no_data_value(self):

@@ -202,6 +202,13 @@ def _literal_token(obj):
         return repr(obj)
 
 
+def execution_config_token():
+    """Token over config values that are baked into traced programs."""
+    from dask_geomodeling_tpu.config import config
+
+    return tokenize(config.get("geomodeling.warp-approx-stride", 8))
+
+
 def _dynamicize(arg, dynamic):
     """Convert the entries of a literal dict named in ``dynamic`` (the
     process function's ``jax_dynamic`` attribute) into float64 arrays, so
@@ -308,7 +315,9 @@ class _StagedProgram:
             )
         out_sig = [local_index[k] for k in self.output_keys]
         skel_sig = [_literal_token(input_skeletons[k]) for k in self.input_keys]
-        return tokenize(parts, out_sig, skel_sig, input_shapes)
+        return tokenize(
+            parts, out_sig, skel_sig, input_shapes, execution_config_token()
+        )
 
     def run(self, cache):
         all_arrays = []

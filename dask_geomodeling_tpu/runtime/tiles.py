@@ -33,7 +33,7 @@ def _get_tile_program(view, template_request):
     from dask_geomodeling_tpu.core.tokens import tokenize
 
     static = {k: v for k, v in template_request.items() if k != "bbox"}
-    key = (view.token, tokenize(static))
+    key = (view.token, tokenize(static, _ex.execution_config_token()))
     program = _TILE_PROGRAM_CACHE.get(key)
     if program is None:
         program = TileProgram(view, template_request)

@@ -52,14 +52,33 @@ def test_evaluate_tiled_matches_host(source, request_64):
 
 
 def test_evaluate_tiled_cross_crs(source, request_64):
+    from dask_geomodeling_tpu import config
     from dask_geomodeling_tpu.geo import Extent
 
     view = Classify(Add(source, 1), bins=[50.0, 150.0])
     bbox = Extent(request_64["bbox"], "EPSG:28992").transformed("EPSG:3857").bbox
     request = dict(request_64, bbox=bbox, projection="EPSG:3857")
     expected = view.get_data(**request)
-    actual = evaluate_tiled(view, request, tile_size=32, batch=4)
+    with config.set({"geomodeling.warp-approx-stride": 1}):
+        actual = evaluate_tiled(view, request, tile_size=32, batch=4)
     np.testing.assert_array_equal(actual["values"], expected["values"])
+
+
+def test_approx_warp_error_budget(source, request_64):
+    """The approximate transformer must stay within GDAL's 0.125 px error
+    model: almost all gathers identical to the exact transform."""
+    from dask_geomodeling_tpu import config
+    from dask_geomodeling_tpu.geo import Extent
+
+    view = Add(source, 1)
+    bbox = Extent(request_64["bbox"], "EPSG:28992").transformed("EPSG:3857").bbox
+    request = dict(request_64, bbox=bbox, projection="EPSG:3857")
+    with config.set({"geomodeling.warp-approx-stride": 1}):
+        exact = evaluate_tiled(view, request, tile_size=64)
+    with config.set({"geomodeling.warp-approx-stride": 8}):
+        approx = evaluate_tiled(view, request, tile_size=64)
+    mismatch = np.mean(exact["values"] != approx["values"])
+    assert mismatch < 0.01
 
 
 def test_evaluate_tiled_matches_raster_tiler(source, request_64):

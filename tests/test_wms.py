@@ -1,0 +1,88 @@
+"""WMS tile rendering tests (the reference's interactive workload,
+SURVEY §3.5): view JSON travels per request, tile is rendered to PNG."""
+import numpy as np
+import pytest
+
+from dask_geomodeling_tpu.ipyleaflet_plugin import WMSError, render_wms_tile, wms_app
+from dask_geomodeling_tpu.raster import MemorySource
+
+
+@pytest.fixture
+def view_json():
+    # args must be JSON-serializable: build from a list, not an ndarray
+    source = MemorySource(
+        data=[[float(i) for i in range(10)] for _ in range(10)],
+        no_data_value=255.0,
+        projection="EPSG:3857",
+        pixel_size=1.0,
+        pixel_origin=(0, 10),
+    )
+    return source.to_json()
+
+
+def base_params(view_json):
+    return {
+        "layers": view_json,
+        "styles": "viridis",
+        "vmin": "0",
+        "vmax": "10",
+        "format": "image/png",
+        "srs": "EPSG:3857",
+        "height": "64",
+        "width": "64",
+        "maxcellsize": "10.0",
+        "time": "",
+        "bbox": "0,0,10,10",
+    }
+
+
+def test_render_png(view_json):
+    raw = render_wms_tile(base_params(view_json))
+    assert raw[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_overload_guard(view_json):
+    params = base_params(view_json)
+    params["bbox"] = "0,0,100000,100000"
+    with pytest.raises(WMSError, match="Too large"):
+        render_wms_tile(params)
+
+
+def test_bad_format(view_json):
+    params = base_params(view_json)
+    params["format"] = "image/jpeg"
+    with pytest.raises(WMSError, match="image/png"):
+        render_wms_tile(params)
+
+
+def test_invalid_layers():
+    params = base_params("{not json")
+    with pytest.raises(WMSError, match="Invalid 'layers'"):
+        render_wms_tile(params)
+
+
+def test_wsgi_app(view_json):
+    from urllib.parse import urlencode
+
+    environ = {"QUERY_STRING": urlencode(base_params(view_json))}
+    captured = {}
+
+    def start_response(status, headers):
+        captured["status"] = status
+        captured["headers"] = dict(headers)
+
+    body = b"".join(wms_app(environ, start_response))
+    assert captured["status"] == "200 OK"
+    assert captured["headers"]["Content-Type"] == "image/png"
+    assert body[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_wsgi_app_error(view_json):
+    environ = {"QUERY_STRING": "layers=broken"}
+    captured = {}
+
+    def start_response(status, headers):
+        captured["status"] = status
+
+    wms_app(environ, start_response)
+    assert captured["status"].startswith("400")
