@@ -77,9 +77,47 @@ def _burn_line(mask, coords, gt, height, width):
         mask[rows[ok], cols[ok]] = True
 
 
+def _flatten_polygons(geometries):
+    """Flatten polygonal geometries for the native rasterizer; None if any
+    geometry is non-polygonal (the numpy path handles those)."""
+    coords = []
+    ring_sizes = []
+    ring_counts = []
+    for geom in geometries:
+        if geom is None or geom.is_empty:
+            ring_counts.append(0)
+            continue
+        polys = _polygonize(geom)
+        if not polys:
+            return None
+        rings = [r for poly in polys for r in poly._rings()]
+        ring_counts.append(len(rings))
+        for ring in rings:
+            ring_sizes.append(len(ring))
+            coords.append(np.asarray(ring, dtype=np.float64).ravel())
+    if not coords:
+        return None
+    return np.concatenate(coords), ring_sizes, ring_counts
+
+
+def _burn_native(geometries, burn, out, gt):
+    """Try the native scanline rasterizer; False if not applicable."""
+    from dask_geomodeling_tpu.native import rasterize_native
+
+    flat = _flatten_polygons(geometries)
+    if flat is None:
+        return False
+    coords, ring_sizes, ring_counts = flat
+    return rasterize_native(coords, ring_sizes, ring_counts, burn, out, gt)
+
+
 def burn_mask(geometries, gt, height, width):
     """Boolean (height, width) mask of cells covered by the geometries."""
     mask = np.zeros((height, width), dtype=bool)
+    geometries = list(geometries)
+    out8 = np.zeros((height, width), dtype=np.uint8)
+    if _burn_native(geometries, np.ones(len(geometries), np.uint8), out8, gt):
+        return out8.astype(bool)
     for geom in geometries:
         if geom is None or geom.is_empty:
             continue
@@ -107,6 +145,9 @@ def burn_mask(geometries, gt, height, width):
 def burn_values(geometries, burn, out, gt):
     """Burn per-geometry values into ``out`` (later features overwrite)."""
     height, width = out.shape
+    geometries = list(geometries)
+    if _burn_native(geometries, np.asarray(burn, dtype=out.dtype), out, gt):
+        return out
     for geom, value in zip(geometries, burn):
         if geom is None or geom.is_empty:
             continue

@@ -1,0 +1,127 @@
+"""Native (C++) components: the scanline rasterizer.
+
+Built on demand with the system compiler into a shared library next to the
+sources; loaded via ctypes.  ``load_rasterizer()`` returns None when no
+compiler is available — callers fall back to the numpy implementation
+(geo/rasterize.py).
+"""
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SOURCE = os.path.join(_HERE, "rasterize.cpp")
+_LIBRARY = os.path.join(_HERE, "_rasterize.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build():
+    cmd = [
+        "g++",
+        "-O3",
+        "-shared",
+        "-fPIC",
+        "-std=c++17",
+        _SOURCE,
+        "-o",
+        _LIBRARY,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def load_rasterizer():
+    """Load (building if necessary) the native rasterizer, or None."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        try:
+            if not os.path.exists(_LIBRARY) or os.path.getmtime(
+                _LIBRARY
+            ) < os.path.getmtime(_SOURCE):
+                _build()
+            lib = ctypes.CDLL(_LIBRARY)
+        except (OSError, subprocess.CalledProcessError) as e:
+            logger.warning("Native rasterizer unavailable (%s); using numpy", e)
+            return None
+
+        c_double_p = ctypes.POINTER(ctypes.c_double)
+        c_int64_p = ctypes.POINTER(ctypes.c_int64)
+        for name, value_type in (
+            ("rasterize_int32", ctypes.POINTER(ctypes.c_int32)),
+            ("rasterize_float64", c_double_p),
+            ("rasterize_uint8", ctypes.POINTER(ctypes.c_uint8)),
+        ):
+            func = getattr(lib, name)
+            func.restype = None
+            func.argtypes = [
+                c_double_p,
+                c_int64_p,
+                c_int64_p,
+                ctypes.c_int64,
+                value_type,
+                value_type,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_double,
+                ctypes.c_double,
+                ctypes.c_double,
+                ctypes.c_double,
+            ]
+        _lib = lib
+        return _lib
+
+
+_FUNC_BY_DTYPE = {
+    "int32": "rasterize_int32",
+    "float64": "rasterize_float64",
+    "uint8": "rasterize_uint8",
+}
+
+
+def rasterize_native(polygon_coords, ring_sizes, ring_counts, values, out, gt):
+    """Burn features into ``out`` (2D) using the native scanline rasterizer.
+
+    Args mirror the flat layout documented in rasterize.cpp.  Returns False
+    when the native library is unavailable (caller must fall back).
+    """
+    lib = load_rasterizer()
+    if lib is None:
+        return False
+    func_name = _FUNC_BY_DTYPE.get(str(out.dtype))
+    if func_name is None:
+        return False
+
+    coords = np.ascontiguousarray(polygon_coords, dtype=np.float64)
+    sizes = np.ascontiguousarray(ring_sizes, dtype=np.int64)
+    counts = np.ascontiguousarray(ring_counts, dtype=np.int64)
+    values = np.ascontiguousarray(values, dtype=out.dtype)
+    assert out.flags["C_CONTIGUOUS"]
+
+    p, a, _, q, _, d = gt
+    func = getattr(lib, func_name)
+    func(
+        coords.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(counts),
+        values.ctypes.data_as(func.argtypes[4]),
+        out.ctypes.data_as(func.argtypes[5]),
+        out.shape[0],
+        out.shape[1],
+        float(p),
+        float(a),
+        float(q),
+        float(d),
+    )
+    return True

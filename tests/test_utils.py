@@ -418,3 +418,48 @@ class TestRasterize:
             gs, (50, 50, 50, 50), "EPSG:28992", 1, 1, values=pd.Series([3.0])
         )
         assert result["values"][0, 0, 0] == utils.get_dtype_max(np.float64)
+
+
+class TestNativeRasterizer:
+    def test_native_matches_numpy(self):
+        import pandas as pd
+
+        from dask_geomodeling_tpu.geo import rasterize as rmod
+        from dask_geomodeling_tpu.geo.features import GeoSeries
+        from dask_geomodeling_tpu.geo.geometry import Polygon, box
+        from dask_geomodeling_tpu.native import load_rasterizer
+
+        if load_rasterizer() is None:
+            pytest.skip("no compiler available")
+
+        donut = Polygon(
+            [(0, 0), (50, 0), (50, 50), (0, 50)],
+            [[(20, 20), (30, 20), (30, 30), (20, 30)]],
+        )
+        tri = Polygon([(60, 60), (90, 60), (75, 95)])
+        gs = GeoSeries([donut, tri, box(40, 40, 70, 70)])
+        values = pd.Series([1, 2, 3], dtype="int32")
+        args = (gs, (0, 0, 100, 100), "EPSG:28992", 100, 100)
+
+        native = rmod.rasterize_geoseries(*args, values=values)
+        orig = rmod._burn_native
+        rmod._burn_native = lambda *a: False
+        try:
+            fallback = rmod.rasterize_geoseries(*args, values=values)
+        finally:
+            rmod._burn_native = orig
+        np.testing.assert_array_equal(native["values"], fallback["values"])
+
+    def test_native_bool_path(self):
+        from dask_geomodeling_tpu.geo import rasterize as rmod
+        from dask_geomodeling_tpu.geo.features import GeoSeries
+        from dask_geomodeling_tpu.geo.geometry import box
+        from dask_geomodeling_tpu.native import load_rasterizer
+
+        if load_rasterizer() is None:
+            pytest.skip("no compiler available")
+
+        gs = GeoSeries([box(2, 2, 8, 8)])
+        result = rmod.rasterize_geoseries(gs, (0, 0, 10, 10), "EPSG:28992", 10, 10)
+        assert result["values"].dtype == bool
+        assert result["values"].sum() == 36
