@@ -121,10 +121,22 @@ def moving_max_jax(values, size):
 def gaussian_blur_jax(values, sigma_y, sigma_x, fill):
     """Separable Gaussian with scipy-compatible kernels on (b, h, w) data,
     constant boundary ``fill``.  Computed in the input's float dtype
-    (float32 minimum)."""
+    (float32 minimum).  On TPU, float32 tiles that fit VMEM use the fused
+    Pallas kernel (ops/pallas_stencils.py)."""
     import jax.numpy as jnp
 
     compute_dtype = np.result_type(values.dtype, np.float32)
+    if compute_dtype == np.float32:
+        from dask_geomodeling_tpu.ops.pallas_stencils import (
+            gaussian_blur_pallas,
+            pallas_available,
+            pallas_fits,
+        )
+
+        if pallas_available() and pallas_fits(
+            values.shape[1], values.shape[2], sigma_y, sigma_x
+        ):
+            return gaussian_blur_pallas(values, sigma_y, sigma_x, fill)
     out = values.astype(compute_dtype)
 
     for axis, sigma in ((1, sigma_y), (2, sigma_x)):

@@ -329,3 +329,27 @@ class TestMaxReduction:
             actual = view.get_data(**request_20)
         np.testing.assert_array_equal(actual["values"], expected["values"])
         assert actual["values"].dtype == expected["values"].dtype
+
+
+class TestPallasGaussian:
+    def test_matches_scipy_interpret(self):
+        """The Pallas kernel (interpret mode on CPU) must match scipy."""
+        from dask_geomodeling_tpu.ops.pallas_stencils import (
+            gaussian_blur_pallas,
+            pallas_fits,
+        )
+
+        rng = np.random.RandomState(0)
+        x = (rng.rand(2, 64, 96) * 100).astype(np.float32)
+        assert pallas_fits(64, 96, 1.5, 2.0)
+        out = np.asarray(gaussian_blur_pallas(x, 1.5, 2.0, 0.0, interpret=True))
+        expected = ndimage.gaussian_filter(
+            x.astype(np.float64), (0, 1.5, 2.0), mode="constant", cval=0.0
+        )
+        np.testing.assert_allclose(out, expected, atol=1e-4)
+
+    def test_fits_budget(self):
+        from dask_geomodeling_tpu.ops.pallas_stencils import pallas_fits
+
+        assert pallas_fits(512, 512, 2.0, 2.0)
+        assert not pallas_fits(4096, 4096, 2.0, 2.0)
