@@ -325,6 +325,81 @@ class Group(BaseCombine):
         return {"meta": meta_result}
 
     @staticmethod
+    def _merge_vals_by_bands_jax(multi, bands, dtype, shape):
+        import jax.numpy as jnp
+
+        dtype = np.dtype(dtype)
+        fillvalue = get_dtype_max(dtype)
+        values = jnp.full(shape, dtype.type(fillvalue), dtype=dtype)
+        for data, (a, b) in zip(multi, bands):
+            src = data["values"]
+            if np.dtype(src.dtype).kind == "f":
+                has_data = ~jnp.isclose(src, data["no_data_value"])
+            else:
+                has_data = src != data["no_data_value"]
+            values = values.at[a:b].set(
+                jnp.where(has_data, src.astype(dtype), values[a:b])
+            )
+        return {"values": values, "no_data_value": fillvalue}
+
+    @staticmethod
+    def _merge_vals_by_time_jax(multi, times, kwargs):
+        import jax.numpy as jnp
+
+        sorted_times = Group._unique_times(times)
+        band_of = {t: i for i, t in enumerate(sorted_times)}
+        dtype = np.dtype(kwargs["dtype"])
+        fillvalue = get_dtype_max(dtype)
+
+        shape = (len(sorted_times),) + multi[0]["values"].shape[1:]
+        values = jnp.full(shape, dtype.type(fillvalue), dtype=dtype)
+        for data, time in zip(multi, times):
+            src = data["values"]
+            if np.dtype(src.dtype).kind == "f":
+                has_data = ~jnp.isclose(src, data["no_data_value"])
+            else:
+                has_data = src != data["no_data_value"]
+            for source_index, datetime in enumerate(time["time"]):
+                target = band_of[datetime]
+                values = values.at[target].set(
+                    jnp.where(
+                        has_data[source_index],
+                        src[source_index].astype(dtype),
+                        values[target],
+                    )
+                )
+
+        start, stop = kwargs["start"], kwargs["stop"]
+        if stop is None and len(sorted_times) > 1:
+            index = Group._nearest_index(sorted_times, start)
+            values = values[index : index + 1]
+        return {"values": values, "no_data_value": fillvalue}
+
+    @staticmethod
+    def _process_jax(process_kwargs, *args):
+        combine_mode = process_kwargs["combine_mode"]
+        mode = process_kwargs.get("mode", None)
+        if combine_mode == "by_bands" and mode == "vals":
+            multi = []
+            bands = []
+            for data, _bands in zip(args, process_kwargs["bands"]):
+                if data is None:
+                    continue
+                multi.append(data)
+                bands.append(_bands)
+            return Group._merge_vals_by_bands_jax(
+                multi, bands, process_kwargs["dtype"], process_kwargs["shape"]
+            )
+        if combine_mode == "by_time" and mode == "vals":
+            n = int(len(args) // 2)
+            multi, times = filter_none(args[:n]), filter_none(args[n:])
+            if len(multi) == 0:
+                return None
+            return Group._merge_vals_by_time_jax(multi, times, process_kwargs)
+        # time/meta/simple modes carry no arrays: identical host logic
+        return Group.process(process_kwargs, *args)
+
+    @staticmethod
     def process(process_kwargs, *args):
         combine_mode = process_kwargs["combine_mode"]
         mode = process_kwargs.get("mode", None)
@@ -371,3 +446,7 @@ class Group(BaseCombine):
                 multi=multi, bands=bands, nbands=process_kwargs["nbands"]
             )
         raise ValueError("Unknown combine_mode / mode combination")
+
+
+# device twin: by_bands/by_time vals merges run as fused masked selects
+Group.process.jax_impl = Group._process_jax

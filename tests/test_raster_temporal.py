@@ -348,3 +348,24 @@ class TestGroup:
     def test_group_validation(self, hourly):
         with pytest.raises(TypeError):
             Group(hourly, 5)
+
+
+class TestGroupJax:
+    def test_group_by_bands_jax_matches(self, hourly, request_all):
+        late = make_source([7, 8], datetime(2000, 1, 1, 6), timedelta(hours=1))
+        view = Group(hourly, late)
+        expected = view.get_data(**request_all)
+        with config.set({"geomodeling.executor": "jax"}):
+            actual = view.get_data(**request_all)
+        np.testing.assert_array_equal(actual["values"], expected["values"])
+        assert actual["values"].dtype == expected["values"].dtype
+
+    def test_group_by_time_jax_matches(self, hourly, request_all):
+        other = make_source(
+            [50, 51], datetime(2000, 1, 1, 0, 30), timedelta(minutes=90)
+        )
+        view = Group(hourly, other)
+        expected = view.get_data(**request_all)
+        with config.set({"geomodeling.executor": "jax"}):
+            actual = view.get_data(**request_all)
+        np.testing.assert_array_equal(actual["values"], expected["values"])
