@@ -107,10 +107,10 @@ class RasterSourceBase(RasterBlock):
         # memory and file paths converge on a RasterData
         raster_data = process_kwargs.get("raster_data")
         if raster_data is None:
-            from dask_geomodeling_tpu.io.geotiff import read_geotiff
+            from dask_geomodeling_tpu.runtime.pipeline import read_geotiff_cached
 
             path = utils.safe_abspath(process_kwargs["url"])
-            raster_data = read_geotiff(path)
+            raster_data = read_geotiff_cached(path)
 
         if mode == "meta":
             metadata = raster_data.metadata or [None] * len(raster_data.array)
@@ -506,9 +506,14 @@ class RasterFileSource(RasterSourceBase):
         start, stop, bands = snapped
 
         if mode == "vals":
+            # load through the host read cache at plan time: the payload
+            # becomes a device-resident traced input of the fused program,
+            # exactly like MemorySource (one decode + one HBM upload per file)
+            from dask_geomodeling_tpu.runtime.pipeline import read_geotiff_cached
+
             process_kwargs = {
                 "mode": "vals",
-                "url": self.url,
+                "raster_data": read_geotiff_cached(utils.safe_abspath(self.url)),
                 "bbox": request["bbox"],
                 "width": request["width"],
                 "height": request["height"],

@@ -1,0 +1,72 @@
+"""Host-side data feeding: read caching and asynchronous prefetch.
+
+The reference keeps a GDAL dataset handle open per file source (reference
+raster/sources.py:449-459) and relies on the OS page cache.  Here:
+
+- :func:`read_geotiff_cached` — an mtime-validated LRU of decoded rasters,
+  so evaluating many tiles against one file decodes it once
+- :class:`TilePrefetcher` — a small thread pool that overlaps host work
+  (file decode, request planning) with device execution; used to stage the
+  next tile batch while the current one computes (double buffering)
+"""
+import os
+import threading
+from collections import OrderedDict
+from concurrent.futures import ThreadPoolExecutor
+
+__all__ = ["read_geotiff_cached", "clear_read_cache", "TilePrefetcher"]
+
+_CACHE_LOCK = threading.Lock()
+_READ_CACHE = OrderedDict()
+_READ_CACHE_SIZE = 8
+
+
+def read_geotiff_cached(path):
+    """Read a GeoTIFF with an mtime-validated LRU cache."""
+    from dask_geomodeling_tpu.io.geotiff import read_geotiff
+
+    key = os.path.abspath(path)
+    mtime = os.path.getmtime(key)
+    with _CACHE_LOCK:
+        entry = _READ_CACHE.get(key)
+        if entry is not None and entry[0] == mtime:
+            _READ_CACHE.move_to_end(key)
+            return entry[1]
+    data = read_geotiff(key)
+    with _CACHE_LOCK:
+        _READ_CACHE[key] = (mtime, data)
+        _READ_CACHE.move_to_end(key)
+        while len(_READ_CACHE) > _READ_CACHE_SIZE:
+            _READ_CACHE.popitem(last=False)
+    return data
+
+
+def clear_read_cache():
+    with _CACHE_LOCK:
+        _READ_CACHE.clear()
+
+
+class TilePrefetcher:
+    """Double-buffered staging: submit host work for batch k+1 while the
+    device runs batch k.
+
+    Usage::
+
+        with TilePrefetcher() as prefetch:
+            pending = prefetch.map(stage_fn, batches)   # host thread pool
+            for staged in pending:                       # in order
+                device_result = dispatch(staged.result())
+    """
+
+    def __init__(self, workers=2):
+        self._pool = ThreadPoolExecutor(max_workers=workers)
+
+    def map(self, func, items):
+        return [self._pool.submit(func, item) for item in items]
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self._pool.shutdown(wait=True)
+        return False
