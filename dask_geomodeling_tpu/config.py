@@ -45,6 +45,9 @@ defaults = {
     # coarse-grid stride of the approximate warp transformer (GDAL's
     # 0.125 px error model); 1 = exact per-pixel CRS transform
     "geomodeling.warp-approx-stride": 8,
+    # run zonal statistics as device segment reductions (ops/segment.py);
+    # off by default: only pays off when devices are local, not tunneled
+    "geomodeling.aggregate-device": False,
 }
 
 

@@ -137,14 +137,37 @@ def aggregate_polygons(
         else:
             thresholds = None
 
+        use_device = (
+            config.get("geomodeling.aggregate-device", False)
+            and statistic in ("sum", "count", "mean", "min", "max")
+        )
         for frame_no, frame in enumerate(values):
             active = frame != no_data_value
             if threshold_values is not None:
                 valid = ~np.isnan(thresholds)
                 active[~valid] = False
                 active[valid] &= frame[valid] >= thresholds[valid]
+            # only labeled cells participate
+            active &= labels != rasterize_result["no_data_value"]
 
             if not active.any():
+                continue
+
+            if use_device:
+                from dask_geomodeling_tpu.ops.segment import labeled_statistic_jax
+
+                per_label = np.asarray(
+                    labeled_statistic_jax(
+                        frame,
+                        np.where(active, labels, 0),
+                        active,
+                        len(geometries),
+                        statistic,
+                    )
+                )
+                found = ~np.isnan(per_label)
+                idx = [i for i in select if found[i]]
+                agg[frame_no][idx] = per_label[idx]
                 continue
 
             active_labels = labels[active]

@@ -1,0 +1,77 @@
+"""Segment reductions: labeled (zonal) statistics on device.
+
+The device plane of AggregateRaster (SURVEY §2.4 "labeled statistics on
+device"): a label raster plus a value raster reduce per label with
+``jax.ops.segment_*`` — one flattened pass over the frame instead of
+scipy.ndimage's per-statistic C loops.  ``labeled_statistic_jax`` mirrors
+the exact ndimage semantics used by geometry/aggregate.py (only 'active'
+cells participate; absent labels yield NaN).
+
+Wiring note: with a remote/tunneled TPU the per-frame host↔device round
+trip dominates, so geometry/aggregate.py keeps scipy by default; set
+``geomodeling.aggregate-device`` when devices are local.
+"""
+import numpy as np
+
+__all__ = ["labeled_statistic_jax"]
+
+_SUPPORTED = ("sum", "count", "mean", "min", "max")
+
+
+def labeled_statistic_jax(values, labels, active, num_labels, statistic):
+    """Per-label statistic over the active cells of one frame.
+
+    Args:
+      values: (h, w) array of cell values
+      labels: (h, w) int array of label ids (0..num_labels-1; any id for
+        inactive cells)
+      active: (h, w) boolean array of cells that participate
+      num_labels (int, static): number of label slots in the output
+      statistic: one of sum count mean min max
+
+    Returns:
+      (num_labels,) float32 array; labels without active cells yield NaN
+      (for count: 0 participates, absent labels also give NaN to mirror
+      ndimage's index-not-found semantics in the caller).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if statistic not in _SUPPORTED:
+        raise ValueError("Unsupported device statistic '{}'".format(statistic))
+
+    flat_labels = labels.ravel()
+    flat_active = active.ravel()
+    flat_values = values.ravel().astype(jnp.float32)
+
+    counts = jax.ops.segment_sum(
+        flat_active.astype(jnp.float32), flat_labels, num_segments=num_labels
+    )
+    present = counts > 0
+
+    if statistic == "count":
+        return jnp.where(present, counts, jnp.nan)
+
+    if statistic in ("sum", "mean"):
+        total = jax.ops.segment_sum(
+            jnp.where(flat_active, flat_values, 0.0),
+            flat_labels,
+            num_segments=num_labels,
+        )
+        if statistic == "sum":
+            return jnp.where(present, total, jnp.nan)
+        return jnp.where(present, total / counts, jnp.nan)
+
+    if statistic == "min":
+        result = jax.ops.segment_min(
+            jnp.where(flat_active, flat_values, jnp.inf),
+            flat_labels,
+            num_segments=num_labels,
+        )
+    else:
+        result = jax.ops.segment_max(
+            jnp.where(flat_active, flat_values, -jnp.inf),
+            flat_labels,
+            num_segments=num_labels,
+        )
+    return jnp.where(present, result, jnp.nan)

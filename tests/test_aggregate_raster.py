@@ -202,3 +202,39 @@ class TestAggregateAboveThreshold:
             AggregateRasterAboveThreshold(
                 geom, raster, threshold_name="not_a_column"
             )
+
+
+class TestDeviceAggregate:
+    square = [(2, 2), (6, 2), (6, 6), (2, 6)]
+
+    @pytest.mark.parametrize("statistic", ["sum", "count", "mean", "min", "max"])
+    def test_device_matches_host(self, raster, request_all, statistic):
+        geom = MockGeometry(
+            [self.square, [(4, 4), (8, 4), (8, 8), (4, 8)]],
+            properties=[{"id": 1}, {"id": 2}],
+        )
+        view = AggregateRaster(geom, raster, statistic=statistic)
+        host = view.get_data(**request_all)["features"]["agg"].tolist()
+        with config.set({"geomodeling.aggregate-device": True}):
+            device = view.get_data(**request_all)["features"]["agg"].tolist()
+        np.testing.assert_allclose(device, host, rtol=1e-6)
+
+    def test_segment_kernel_matches_ndimage(self):
+        from dask_geomodeling_tpu.ops.segment import labeled_statistic_jax
+
+        rng = np.random.RandomState(1)
+        values = rng.rand(40, 40).astype(np.float32) * 100
+        labels = rng.randint(0, 5, (40, 40))
+        active = rng.rand(40, 40) > 0.3
+        for statistic, func in [
+            ("sum", ndimage.sum),
+            ("mean", ndimage.mean),
+            ("min", ndimage.minimum),
+            ("max", ndimage.maximum),
+        ]:
+            result = np.asarray(
+                labeled_statistic_jax(values, labels, active, 5, statistic)
+            )
+            masked_labels = np.where(active, labels + 1, 0)  # 0 = unlabeled
+            expected = func(values, labels=masked_labels, index=np.arange(1, 6))
+            np.testing.assert_allclose(result, expected, rtol=1e-5)
