@@ -172,6 +172,18 @@ class Geometry:
     # --- predicates ---
 
     def equals(self, other):
+        """Geometric equality: same point set, regardless of ring
+        orientation or starting vertex (polygons); exact otherwise."""
+        if isinstance(self, (Polygon, MultiPolygon)) and isinstance(
+            other, (Polygon, MultiPolygon)
+        ):
+            mine = sorted(
+                _canonical_rings(p) for p in _polygonize(self)
+            )
+            theirs = sorted(
+                _canonical_rings(p) for p in _polygonize(other)
+            )
+            return mine == theirs
         return self.wkb == other.wkb
 
     def __eq__(self, other):
@@ -751,6 +763,24 @@ def _simplify(geom, tol):
     if isinstance(geom, _Multi):
         return type(geom)([_simplify(g, tol) for g in geom.geoms])
     return geom
+
+
+def _canonical_ring(ring):
+    """Hashable canonical form: CCW orientation, rotated to start at the
+    lexicographically smallest vertex, closing vertex dropped."""
+    open_ring = np.asarray(ring)[:-1]
+    if _ring_area(np.vstack([open_ring, open_ring[:1]])) < 0:
+        open_ring = open_ring[::-1]
+    start = np.lexsort((open_ring[:, 1], open_ring[:, 0]))[0]
+    rolled = np.roll(open_ring, -start, axis=0)
+    return tuple(map(tuple, rolled))
+
+
+def _canonical_rings(poly):
+    return (
+        _canonical_ring(poly.shell),
+        tuple(sorted(_canonical_ring(h) for h in poly.holes)),
+    )
 
 
 def _convex_hull(points):

@@ -61,7 +61,11 @@ class GeometryFileSink(BaseSingle):
       fields (dict): {output field name: column name} mapping
     """
 
-    supported_extensions = {"geojson": "GeoJSON", "gpkg": "GPKG"}
+    supported_extensions = {
+        "geojson": "GeoJSON",
+        "gpkg": "GPKG",
+        "shp": "ESRI Shapefile",
+    }
 
     def __init__(self, source, url, extension="geojson", fields=None):
         safe_url = utils.safe_file_url(url)

@@ -1,0 +1,337 @@
+"""ESRI Shapefile codec (.shp / .shx / .dbf).
+
+Completes the reference's sink format set (reference geometry/sinks.py:
+supported_extensions includes "shp").  Supports the geometry types this
+framework produces — Point, PolyLine, Polygon (with multi-parts and holes)
+— and DBF attribute columns of text/number/bool type.  The CRS is written
+as a .prj with the WKT of the frame's CRS.
+"""
+import datetime
+import os
+import struct
+
+import numpy as np
+import pandas as pd
+
+__all__ = ["read_shapefile", "write_shapefile"]
+
+_SHAPE_NULL = 0
+_SHAPE_POINT = 1
+_SHAPE_POLYLINE = 3
+_SHAPE_POLYGON = 5
+
+
+def _rings_of(geom):
+    from dask_geomodeling_tpu.geo.geometry import (
+        LineString,
+        MultiLineString,
+        MultiPolygon,
+        Point,
+        Polygon,
+    )
+
+    if geom is None or geom.is_empty:
+        return _SHAPE_NULL, []
+    if isinstance(geom, Point):
+        return _SHAPE_POINT, [(geom.x, geom.y)]
+    if isinstance(geom, LineString):
+        return _SHAPE_POLYLINE, [np.asarray(geom.coordinates)]
+    if isinstance(geom, MultiLineString):
+        return _SHAPE_POLYLINE, [np.asarray(g.coordinates) for g in geom.geoms]
+    if isinstance(geom, Polygon):
+        return _SHAPE_POLYGON, _oriented_rings(geom)
+    if isinstance(geom, MultiPolygon):
+        rings = []
+        for poly in geom.geoms:
+            rings.extend(_oriented_rings(poly))
+        return _SHAPE_POLYGON, rings
+    raise TypeError("Cannot write %r to a shapefile" % geom.geom_type)
+
+
+def _oriented_rings(poly):
+    """Shapefile convention: outer rings clockwise, holes counter-clockwise."""
+    from dask_geomodeling_tpu.geo.geometry import _ring_area
+
+    rings = []
+    shell = np.asarray(poly.shell)
+    if _ring_area(shell) > 0:
+        shell = shell[::-1]
+    rings.append(shell)
+    for hole in poly.holes:
+        hole = np.asarray(hole)
+        if _ring_area(hole) < 0:
+            hole = hole[::-1]
+        rings.append(hole)
+    return rings
+
+
+def _encode_record(shape_type, parts):
+    if shape_type == _SHAPE_NULL:
+        return struct.pack("<i", _SHAPE_NULL)
+    if shape_type == _SHAPE_POINT:
+        x, y = parts[0]
+        return struct.pack("<idd", _SHAPE_POINT, x, y)
+    all_points = np.concatenate(parts)
+    bbox = (
+        all_points[:, 0].min(),
+        all_points[:, 1].min(),
+        all_points[:, 0].max(),
+        all_points[:, 1].max(),
+    )
+    out = struct.pack("<i4d", shape_type, *bbox)
+    out += struct.pack("<ii", len(parts), len(all_points))
+    offset = 0
+    for part in parts:
+        out += struct.pack("<i", offset)
+        offset += len(part)
+    out += np.asarray(all_points, "<f8").tobytes()
+    return out
+
+
+def _dbf_fields(frame, columns):
+    fields = []
+    for col in columns:
+        series = frame[col]
+        if pd.api.types.is_bool_dtype(series):
+            fields.append((col, "L", 1, 0))
+        elif pd.api.types.is_integer_dtype(series):
+            fields.append((col, "N", 18, 0))
+        elif pd.api.types.is_float_dtype(series):
+            fields.append((col, "N", 24, 8))
+        else:
+            width = max(
+                [len(str(v)) for v in series if v is not None] + [1]
+            )
+            fields.append((col, "C", min(width, 254), 0))
+    return fields
+
+
+def write_shapefile(frame, path):
+    """Write a GeoDataFrame to ``path`` (.shp; .shx/.dbf/.prj beside it)."""
+    base = os.path.splitext(path)[0]
+    geom_col = frame._geometry_column_name or "geometry"
+    columns = [c for c in frame.columns if c != geom_col]
+    geometries = list(frame[geom_col])
+
+    records = []
+    shape_type = _SHAPE_NULL
+    for geom in geometries:
+        st, parts = _rings_of(geom)
+        if st != _SHAPE_NULL:
+            shape_type = st
+        records.append(_encode_record(st, parts))
+
+    # .shp + .shx
+    offsets = []
+    content_length = 0
+    for record in records:
+        offsets.append(50 + content_length // 2)
+        content_length += 8 + len(record)
+
+    if geometries and any(g is not None and not g.is_empty for g in geometries):
+        pts = np.concatenate(
+            [
+                np.vstack(g._all_coords())
+                for g in geometries
+                if g is not None and not g.is_empty
+            ]
+        )
+        bbox = (pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max())
+    else:
+        bbox = (0.0, 0.0, 0.0, 0.0)
+
+    def header(file_length_words):
+        return (
+            struct.pack(">i5ii", 9994, 0, 0, 0, 0, 0, file_length_words)
+            + struct.pack("<ii", 1000, shape_type)
+            + struct.pack("<4d", *bbox)
+            + struct.pack("<4d", 0, 0, 0, 0)
+        )
+
+    with open(base + ".shp", "wb") as f:
+        f.write(header(50 + content_length // 2))
+        for i, record in enumerate(records):
+            f.write(struct.pack(">ii", i + 1, len(record) // 2))
+            f.write(record)
+
+    with open(base + ".shx", "wb") as f:
+        f.write(header(50 + 4 * len(records) // 2))
+        for offset, record in zip(offsets, records):
+            f.write(struct.pack(">ii", offset, len(record) // 2))
+
+    # .dbf
+    fields = _dbf_fields(frame, columns)
+    record_size = 1 + sum(w for _, _, w, _ in fields)
+    header_size = 32 + 32 * len(fields) + 1
+    now = datetime.date.today()
+    with open(base + ".dbf", "wb") as f:
+        f.write(
+            struct.pack(
+                "<BBBBIHH20x",
+                3,
+                now.year - 1900,
+                now.month,
+                now.day,
+                len(records),
+                header_size,
+                record_size,
+            )
+        )
+        for name, ftype, width, decimals in fields:
+            f.write(
+                struct.pack(
+                    "<11sc4xBB14x",
+                    name.encode()[:10].ljust(11, b"\x00"),
+                    ftype.encode(),
+                    width,
+                    decimals,
+                )
+            )
+        f.write(b"\x0d")
+        for _, row in frame.iterrows():
+            f.write(b" ")
+            for name, ftype, width, decimals in fields:
+                value = row[name]
+                if ftype == "L":
+                    text = "T" if value else "F"
+                elif ftype == "N":
+                    if value is None or (
+                        isinstance(value, float) and not np.isfinite(value)
+                    ):
+                        text = ""
+                    elif decimals:
+                        text = "%.*f" % (decimals, value)
+                    else:
+                        text = str(int(value))
+                    text = text.rjust(width)
+                else:
+                    text = "" if value is None else str(value)
+                f.write(text[:width].ljust(width).encode("ascii", "replace"))
+        f.write(b"\x1a")
+
+    # .prj
+    if getattr(frame, "crs", None):
+        from dask_geomodeling_tpu.geo.crs import get_sr
+
+        with open(base + ".prj", "w") as f:
+            f.write(get_sr(frame.crs).ExportToWkt())
+
+
+def read_shapefile(path):
+    """Read a shapefile into a GeoDataFrame."""
+    from dask_geomodeling_tpu.geo.features import GeoDataFrame
+    from dask_geomodeling_tpu.geo.geometry import (
+        LineString,
+        MultiLineString,
+        MultiPolygon,
+        Point,
+        Polygon,
+        _ring_area,
+    )
+
+    base = os.path.splitext(path)[0]
+    geometries = []
+    with open(base + ".shp", "rb") as f:
+        f.seek(24)
+        (file_length,) = struct.unpack(">i", f.read(4))
+        f.seek(100)
+        end = file_length * 2
+        while f.tell() < end:
+            _, length = struct.unpack(">ii", f.read(8))
+            record = f.read(length * 2)
+            (shape_type,) = struct.unpack("<i", record[:4])
+            if shape_type == _SHAPE_NULL:
+                geometries.append(None)
+            elif shape_type == _SHAPE_POINT:
+                x, y = struct.unpack("<dd", record[4:20])
+                geometries.append(Point(x, y))
+            elif shape_type in (_SHAPE_POLYLINE, _SHAPE_POLYGON):
+                n_parts, n_points = struct.unpack("<ii", record[36:44])
+                parts = struct.unpack("<%di" % n_parts, record[44 : 44 + 4 * n_parts])
+                coords = np.frombuffer(
+                    record, "<f8", count=n_points * 2, offset=44 + 4 * n_parts
+                ).reshape(n_points, 2)
+                pieces = [
+                    coords[parts[i] : (parts[i + 1] if i + 1 < n_parts else n_points)]
+                    for i in range(n_parts)
+                ]
+                if shape_type == _SHAPE_POLYLINE:
+                    geometries.append(
+                        LineString(pieces[0])
+                        if len(pieces) == 1
+                        else MultiLineString([LineString(p) for p in pieces])
+                    )
+                else:
+                    # clockwise rings are shells, counter-clockwise are holes
+                    polys = []
+                    for piece in pieces:
+                        if _ring_area(np.asarray(piece)) <= 0:  # shell
+                            polys.append(Polygon(piece))
+                        elif polys:
+                            polys[-1].holes.append(
+                                np.asarray(piece, dtype=float)
+                            )
+                        else:
+                            polys.append(Polygon(piece))
+                    geometries.append(
+                        polys[0] if len(polys) == 1 else MultiPolygon(polys)
+                    )
+            else:
+                raise NotImplementedError(
+                    "Shapefile shape type %d" % shape_type
+                )
+
+    # .dbf
+    records = []
+    with open(base + ".dbf", "rb") as f:
+        head = f.read(32)
+        n_records, header_size, record_size = struct.unpack("<IHH", head[4:12])
+        fields = []
+        while True:
+            descriptor = f.read(1)
+            if descriptor == b"\x0d":
+                break
+            descriptor += f.read(31)
+            name = descriptor[:11].split(b"\x00")[0].decode()
+            ftype = descriptor[11:12].decode()
+            width = descriptor[16]
+            decimals = descriptor[17]
+            fields.append((name, ftype, width, decimals))
+        for _ in range(n_records):
+            raw = f.read(record_size)
+            if not raw or raw[0:1] == b"*":
+                continue
+            pos = 1
+            record = {}
+            for name, ftype, width, decimals in fields:
+                text = raw[pos : pos + width].decode("ascii", "replace").strip()
+                pos += width
+                if ftype == "L":
+                    record[name] = text in ("T", "t", "Y", "y")
+                elif ftype == "N":
+                    if not text:
+                        record[name] = None
+                    elif decimals:
+                        record[name] = float(text)
+                    else:
+                        record[name] = int(text)
+                else:
+                    record[name] = text
+            records.append(record)
+
+    crs = None
+    if os.path.exists(base + ".prj"):
+        from dask_geomodeling_tpu.geo.crs import get_epsg_or_wkt
+
+        try:
+            crs = get_epsg_or_wkt(open(base + ".prj").read())
+        except Exception:
+            crs = None
+
+    frame = GeoDataFrame(
+        pd.DataFrame.from_records(records) if records else None,
+        geometry=geometries,
+        crs=crs,
+    )
+    frame.index.name = "fid"
+    return frame

@@ -6,6 +6,7 @@ Formats:
 - GeoJSON (.geojson / .json): stdlib json + the native geometry engine
 - GeoPackage (.gpkg): stdlib sqlite3 with the standard gpkg_* metadata
   tables and the GP geometry blob header — readable by GDAL/QGIS
+- ESRI Shapefile (.shp + .shx/.dbf/.prj): io/shapefile.py
 
 API: ``read_vector``, ``read_vector_info``, ``write_vector``.
 """
@@ -23,7 +24,7 @@ from dask_geomodeling_tpu.geo.geometry import shape
 
 __all__ = ["read_vector", "read_vector_info", "write_vector", "supported_extensions"]
 
-supported_extensions = {"geojson", "json", "gpkg"}
+supported_extensions = {"geojson", "json", "gpkg", "shp"}
 
 
 def _format_of(path):
@@ -257,14 +258,18 @@ def read_vector(path, layer=None):
     fmt = _format_of(path)
     if fmt in ("geojson", "json"):
         return _read_geojson(path)
+    if fmt == "shp":
+        from dask_geomodeling_tpu.io.shapefile import read_shapefile
+
+        return read_shapefile(path)
     return _read_gpkg(path, layer)
 
 
 def read_vector_info(path, layer=None):
     """Return {'fields': [...], 'crs': str} without loading all features."""
     fmt = _format_of(path)
-    if fmt in ("geojson", "json"):
-        frame = _read_geojson(path)
+    if fmt in ("geojson", "json", "shp"):
+        frame = read_vector(path)
         fields = [c for c in frame.columns if c != "geometry"]
         return {"fields": fields, "crs": frame.crs}
     con = sqlite3.connect(path)
@@ -290,6 +295,10 @@ def write_vector(frame, path, layer=None):
     fmt = _format_of(path)
     if fmt in ("geojson", "json"):
         _write_geojson(frame, path)
+    elif fmt == "shp":
+        from dask_geomodeling_tpu.io.shapefile import write_shapefile
+
+        write_shapefile(frame, path)
     else:
         if os.path.exists(path):
             os.remove(path)

@@ -32,7 +32,7 @@ def frame():
 
 
 class TestVectorFileIO:
-    @pytest.mark.parametrize("ext", ["geojson", "gpkg"])
+    @pytest.mark.parametrize("ext", ["geojson", "gpkg", "shp"])
     def test_roundtrip(self, root, frame, ext):
         path = str(root / ("test." + ext))
         write_vector(frame, path)
@@ -134,7 +134,7 @@ class TestGeometryFileSink:
         write_vector(frame, str(root / "data.geojson"))
         return GeometryFileSource("data.geojson")
 
-    @pytest.mark.parametrize("ext", ["geojson", "gpkg"])
+    @pytest.mark.parametrize("ext", ["geojson", "gpkg", "shp"])
     def test_sink(self, root, source, ext):
         sink = GeometryFileSink(source, "out", extension=ext)
         data = sink.get_data(
