@@ -48,6 +48,8 @@ defaults = {
     # run zonal statistics as device segment reductions (ops/segment.py);
     # off by default: only pays off when devices are local, not tunneled
     "geomodeling.aggregate-device": False,
+    # use the fused Pallas kernel for Gaussian smoothing on TPU
+    "geomodeling.pallas-smooth": True,
 }
 
 

@@ -82,10 +82,16 @@ def gaussian_blur_pallas(values, sigma_y, sigma_x, fill, interpret=False):
         kernel,
         grid=(bands,),
         in_specs=[
-            pl.BlockSpec((1, ph, pw), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+            # index-map components must share the program id's int32 type:
+            # literal 0 becomes int64 under x64 and Mosaic rejects the mix
+            pl.BlockSpec(
+                (1, ph, pw), lambda b: (b, b * 0, b * 0), memory_space=pltpu.VMEM
+            )
         ],
         out_specs=pl.BlockSpec(
-            (1, height, width), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            (1, height, width),
+            lambda b: (b, b * 0, b * 0),
+            memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((bands, height, width), jnp.float32),
         scratch_shapes=[pltpu.VMEM((height, pw), jnp.float32)],

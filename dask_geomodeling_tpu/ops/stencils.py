@@ -127,14 +127,17 @@ def gaussian_blur_jax(values, sigma_y, sigma_x, fill):
 
     compute_dtype = np.result_type(values.dtype, np.float32)
     if compute_dtype == np.float32:
+        from dask_geomodeling_tpu.config import config
         from dask_geomodeling_tpu.ops.pallas_stencils import (
             gaussian_blur_pallas,
             pallas_available,
             pallas_fits,
         )
 
-        if pallas_available() and pallas_fits(
-            values.shape[1], values.shape[2], sigma_y, sigma_x
+        if (
+            config.get("geomodeling.pallas-smooth", True)
+            and pallas_available()
+            and pallas_fits(values.shape[1], values.shape[2], sigma_y, sigma_x)
         ):
             return gaussian_blur_pallas(values, sigma_y, sigma_x, fill)
     out = values.astype(compute_dtype)

@@ -206,7 +206,10 @@ def execution_config_token():
     """Token over config values that are baked into traced programs."""
     from dask_geomodeling_tpu.config import config
 
-    return tokenize(config.get("geomodeling.warp-approx-stride", 8))
+    return tokenize(
+        config.get("geomodeling.warp-approx-stride", 8),
+        config.get("geomodeling.pallas-smooth", True),
+    )
 
 
 def _dynamicize(arg, dynamic):
