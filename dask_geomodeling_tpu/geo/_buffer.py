@@ -16,8 +16,6 @@ import numpy as np
 
 from dask_geomodeling_tpu.geo.geometry import (
     GeometryCollection,
-    LineString,
-    MultiLineString,
     MultiPoint,
     MultiPolygon,
     Point,

@@ -18,7 +18,6 @@ the coordinate system (used by Extent.from_geometry, mirroring how the
 reference keeps OGR geometries with an assigned spatial reference).
 """
 import math
-import struct
 
 import numpy as np
 

@@ -5,7 +5,7 @@ this module re-exports it so code written against the reference's layout
 ports over mechanically.
 """
 from dask_geomodeling_tpu.geo import *  # noqa: F401,F403
-from dask_geomodeling_tpu.geo import (  # noqa: F401
+from dask_geomodeling_tpu.geo import (  # noqa: F401 (not in geo's __all__)
     shapely_transform,
     shapely_from_wkt,
 )
