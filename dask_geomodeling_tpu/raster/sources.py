@@ -437,9 +437,28 @@ class RasterFileSource(RasterSourceBase):
         try:
             return self._info
         except AttributeError:
-            from dask_geomodeling_tpu.io.geotiff import read_geotiff_info
+            path = utils.safe_abspath(self.url)
+            if path.lower().endswith(".vrt"):
+                from dask_geomodeling_tpu.io.geotiff import GeoTIFFInfo
+                from dask_geomodeling_tpu.runtime.pipeline import (
+                    read_geotiff_cached,
+                )
 
-            self._info = read_geotiff_info(utils.safe_abspath(self.url))
+                data = read_geotiff_cached(path)
+                self._info = GeoTIFFInfo(
+                    width=data.array.shape[2],
+                    height=data.array.shape[1],
+                    bands=data.array.shape[0],
+                    dtype=str(data.array.dtype),
+                    projection=data.projection,
+                    geo_transform=data.geo_transform,
+                    no_data_value=data.no_data_value,
+                    metadata=data.metadata,
+                )
+            else:
+                from dask_geomodeling_tpu.io.geotiff import read_geotiff_info
+
+                self._info = read_geotiff_info(path)
             return self._info
 
     def close_dataset(self):

@@ -22,8 +22,9 @@ _READ_CACHE_SIZE = 8
 
 
 def read_geotiff_cached(path):
-    """Read a GeoTIFF with an mtime-validated LRU cache."""
+    """Read a GeoTIFF (or VRT mosaic) with an mtime-validated LRU cache."""
     from dask_geomodeling_tpu.io.geotiff import read_geotiff
+    from dask_geomodeling_tpu.io.vrt import read_vrt
 
     key = os.path.abspath(path)
     mtime = os.path.getmtime(key)
@@ -32,7 +33,10 @@ def read_geotiff_cached(path):
         if entry is not None and entry[0] == mtime:
             _READ_CACHE.move_to_end(key)
             return entry[1]
-    data = read_geotiff(key)
+    if key.lower().endswith(".vrt"):
+        data = read_vrt(key)
+    else:
+        data = read_geotiff(key)
     with _CACHE_LOCK:
         _READ_CACHE[key] = (mtime, data)
         _READ_CACHE.move_to_end(key)

@@ -13,9 +13,14 @@ bbox) are stacked into a (B, ...) array.
 
 Falls back to per-tile ``get_data`` when the view contains host-side nodes.
 """
+import logging
+import time
+
 import numpy as np
 
 from dask_geomodeling_tpu.runtime import executor as _ex
+
+logger = logging.getLogger(__name__)
 
 __all__ = ["evaluate_tiled", "TileProgram"]
 
@@ -175,12 +180,14 @@ def evaluate_tiled(view, request, tile_size=512, batch=32):
     # phase 1: dispatch every batch (device work proceeds asynchronously);
     # the final partial batch is padded to the full batch size so it reuses
     # the same compiled program, and the padding is dropped on assembly
+    t_dispatch = time.perf_counter()
     pending = []
     for lo in range(0, len(requests), batch):
         chunk = requests[lo : lo + batch]
         if lo and len(chunk) < batch:
             chunk = chunk + [chunk[-1]] * (batch - len(chunk))
         pending.append((lo, program.dispatch_batch(view, chunk)))
+    t_fetch = time.perf_counter()
 
     # phase 2: fetch + assemble (fetches overlap the remaining device work)
     out = None
@@ -199,4 +206,14 @@ def evaluate_tiled(view, request, tile_size=512, batch=32):
             row0 = height - (j + 1) * tile_size
             col0 = i * tile_size
             out[:, row0 : row0 + tile_size, col0 : col0 + tile_size] = tile_result
+    if logger.isEnabledFor(logging.DEBUG):
+        t_end = time.perf_counter()
+        logger.debug(
+            "evaluate_tiled: %d tiles, staging+dispatch %.3fs, "
+            "fetch+assemble %.3fs (%s)",
+            len(requests),
+            t_fetch - t_dispatch,
+            t_end - t_fetch,
+            _ex.program_cache_info(),
+        )
     return {"values": out, "no_data_value": no_data_value}

@@ -103,3 +103,28 @@ class TestToFile:
         target.write_text("occupied")
         with pytest.raises(IOError):
             to_file(source, str(target), tile_size=4, start=datetime(2000, 1, 1))
+
+
+class TestVRTRoundtrip:
+    def test_exported_vrt_is_a_source(self, source, root):
+        """The to_file output (VRT + tiles) can be read back as a source —
+        the reference's resumable-export loop (SURVEY §5)."""
+        from datetime import datetime, timedelta
+
+        from dask_geomodeling_tpu.raster import RasterFileSource
+
+        target = root / "out.vrt"
+        to_file(source, str(target), tile_size=4, start=datetime(2000, 1, 1))
+        reread = RasterFileSource("out.vrt", time_delta=timedelta(hours=1))
+        assert reread.dtype == np.uint8
+        data = reread.get_data(
+            mode="vals",
+            bbox=(135000, 455992, 135008, 456000),
+            projection="EPSG:28992",
+            width=8,
+            height=8,
+            start=datetime(1970, 1, 1),
+        )
+        np.testing.assert_array_equal(
+            data["values"][0], np.arange(64, dtype=np.uint8).reshape(8, 8)
+        )
