@@ -44,7 +44,7 @@ def sharded_pipeline(tile_fn, mesh, halo_radius=0):
     is cropped back — ``tile_fn`` must accept the padded height and return
     the same padded height (the crop removes the halo).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from dask_geomodeling_tpu.parallel.halo import exchange_halo_y
 
