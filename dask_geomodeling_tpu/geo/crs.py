@@ -344,6 +344,143 @@ def e2s(e, sin_phi):
     return e * e * sin_phi * sin_phi
 
 
+class _LambertConformalConic:
+    """Lambert conformal conic, 2 standard parallels (EPSG method 9802)."""
+
+    is_geographic = False
+    unit = "metre"
+
+    def __init__(self, ell, lon0, lat0, lat1, lat2, false_easting, false_northing):
+        self.ell = ell
+        self.lam0 = np.radians(lon0)
+        self.fe = false_easting
+        self.fn = false_northing
+        e = ell.e
+
+        def m(phi):
+            return np.cos(phi) / np.sqrt(1 - ell.e2 * np.sin(phi) ** 2)
+
+        def t(phi, xp=np):
+            sin_phi = xp.sin(phi)
+            return xp.tan(np.pi / 4 - phi / 2) / (
+                (1 - e * sin_phi) / (1 + e * sin_phi)
+            ) ** (e / 2)
+
+        self._t = t
+        phi0, phi1, phi2 = (np.radians(v) for v in (lat0, lat1, lat2))
+        m1, m2 = m(phi1), m(phi2)
+        t0, t1, t2 = t(phi0), t(phi1), t(phi2)
+        self.n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+        self.big_f = m1 / (self.n * t1**self.n)
+        self.rho0 = ell.a * self.big_f * t0**self.n
+
+    def forward(self, lon, lat, xp=np):
+        phi = xp.radians(xp.asarray(lat, dtype=float))
+        lam = xp.radians(xp.asarray(lon, dtype=float))
+        rho = self.ell.a * self.big_f * self._t(phi, xp) ** self.n
+        theta = self.n * (lam - self.lam0)
+        x = self.fe + rho * xp.sin(theta)
+        y = self.fn + self.rho0 - rho * xp.cos(theta)
+        return x, y
+
+    def inverse(self, x, y, xp=np):
+        e = self.ell.e
+        de = xp.asarray(x, dtype=float) - self.fe
+        dn = self.rho0 - (xp.asarray(y, dtype=float) - self.fn)
+        rho = np.sign(self.n) * xp.sqrt(de**2 + dn**2)
+        t_prime = (rho / (self.ell.a * self.big_f)) ** (1.0 / self.n)
+        theta = xp.arctan2(de, dn)
+        lam = theta / self.n + self.lam0
+        phi = np.pi / 2 - 2 * xp.arctan(t_prime)
+        for _ in range(6):
+            sin_phi = xp.sin(phi)
+            phi = np.pi / 2 - 2 * xp.arctan(
+                t_prime * ((1 - e * sin_phi) / (1 + e * sin_phi)) ** (e / 2)
+            )
+        return xp.degrees(lam), xp.degrees(phi)
+
+
+class _LambertAzimuthalEqualArea:
+    """Lambert azimuthal equal area, ellipsoidal (EPSG method 9820)."""
+
+    is_geographic = False
+    unit = "metre"
+
+    def __init__(self, ell, lon0, lat0, false_easting, false_northing):
+        self.ell = ell
+        self.lam0 = np.radians(lon0)
+        self.fe = false_easting
+        self.fn = false_northing
+        e, e2 = ell.e, ell.e2
+
+        def q(sin_phi, xp=np):
+            return (1 - e2) * (
+                sin_phi / (1 - e2 * sin_phi**2)
+                - (1 / (2 * e)) * xp.log((1 - e * sin_phi) / (1 + e * sin_phi))
+            )
+
+        self._q = q
+        phi0 = np.radians(lat0)
+        self.qp = q(1.0)
+        q0 = q(np.sin(phi0))
+        self.beta0 = np.arcsin(q0 / self.qp)
+        self.rq = ell.a * np.sqrt(self.qp / 2)
+        m0 = np.cos(phi0) / np.sqrt(1 - e2 * np.sin(phi0) ** 2)
+        self.d = ell.a * m0 / (self.rq * np.cos(self.beta0))
+
+    def forward(self, lon, lat, xp=np):
+        phi = xp.radians(xp.asarray(lat, dtype=float))
+        lam = xp.radians(xp.asarray(lon, dtype=float))
+        beta = xp.arcsin(
+            xp.clip(self._q(xp.sin(phi), xp) / self.qp, -1.0, 1.0)
+        )
+        dl = lam - self.lam0
+        b = self.rq * xp.sqrt(
+            2.0
+            / (
+                1
+                + np.sin(self.beta0) * xp.sin(beta)
+                + np.cos(self.beta0) * xp.cos(beta) * xp.cos(dl)
+            )
+        )
+        x = self.fe + b * self.d * xp.cos(beta) * xp.sin(dl)
+        y = self.fn + (b / self.d) * (
+            np.cos(self.beta0) * xp.sin(beta)
+            - np.sin(self.beta0) * xp.cos(beta) * xp.cos(dl)
+        )
+        return x, y
+
+    def inverse(self, x, y, xp=np):
+        e2 = self.ell.e2
+        e4, e6 = e2**2, e2**3
+        ex = (xp.asarray(x, dtype=float) - self.fe) / self.d
+        ny = (xp.asarray(y, dtype=float) - self.fn) * self.d
+        rho = xp.sqrt(ex**2 + ny**2)
+        rho_safe = xp.where(rho == 0, 1.0, rho)
+        ce = 2 * xp.arcsin(xp.clip(rho / (2 * self.rq), -1.0, 1.0))
+        beta = xp.arcsin(
+            xp.clip(
+                xp.cos(ce) * np.sin(self.beta0)
+                + (ny * xp.sin(ce) * np.cos(self.beta0)) / rho_safe,
+                -1.0,
+                1.0,
+            )
+        )
+        lam = self.lam0 + xp.arctan2(
+            ex * xp.sin(ce),
+            rho * np.cos(self.beta0) * xp.cos(ce)
+            - ny * np.sin(self.beta0) * xp.sin(ce),
+        )
+        # authalic latitude -> geodetic latitude (series)
+        phi = (
+            beta
+            + (e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * xp.sin(2 * beta)
+            + (23 * e4 / 360 + 251 * e6 / 3780) * xp.sin(4 * beta)
+            + (761 * e6 / 45360) * xp.sin(6 * beta)
+        )
+        return xp.degrees(lam), xp.degrees(phi)
+
+
 class SpatialReference:
     """A CRS: a datum plus a projection, identified by an EPSG code."""
 
@@ -475,6 +612,24 @@ def _registry_get(code):
             "ETRS89",
             _TransverseMercator(
                 _ellipsoid("GRS80"), -183.0 + 6.0 * zone, 0.0, 0.9996, 500000.0, 0.0
+            ),
+        )
+    if code == 2154:
+        return SpatialReference(
+            2154,
+            "RGF93 v1 / Lambert-93",
+            "ETRS89",  # RGF93 is ETRS89-aligned at this accuracy level
+            _LambertConformalConic(
+                _ellipsoid("GRS80"), 3.0, 46.5, 49.0, 44.0, 700000.0, 6600000.0
+            ),
+        )
+    if code == 3035:
+        return SpatialReference(
+            3035,
+            "ETRS89-extended / LAEA Europe",
+            "ETRS89",
+            _LambertAzimuthalEqualArea(
+                _ellipsoid("GRS80"), 10.0, 52.0, 4321000.0, 3210000.0
             ),
         )
     raise TransformException("Unsupported EPSG code: %d" % code)

@@ -353,3 +353,25 @@ class TestPallasGaussian:
 
         assert pallas_fits(512, 512, 2.0, 2.0)
         assert not pallas_fits(4096, 4096, 2.0, 2.0)
+
+
+class TestPlaceGroupMode:
+    def test_group_mode(self, sparse_source):
+        # request smaller than the source extent: per-coordinate requests
+        view = Place(
+            sparse_source,
+            place_projection="EPSG:28992",
+            anchor=(135010, 455990),
+            coordinates=[(135010, 455990)],  # identity placement
+        )
+        request = dict(
+            mode="vals",
+            start=datetime(2000, 1, 1),
+            bbox=(135008, 455988, 135012, 455992),
+            projection="EPSG:28992",
+            width=4,
+            height=4,
+        )
+        data = view.get_data(**request)
+        expected = sparse_source.get_data(**request)
+        np.testing.assert_array_equal(data["values"], expected["values"])

@@ -369,3 +369,18 @@ class TestGroupJax:
         with config.set({"geomodeling.executor": "jax"}):
             actual = view.get_data(**request_all)
         np.testing.assert_array_equal(actual["values"], expected["values"])
+
+
+class TestResampleDirections:
+    def test_forward(self, hourly, request_all):
+        view = Resample(hourly, "2h", direction="forward")
+        data = view.get_data(**request_all)
+        times = view.get_data(**dict(request_all, mode="time"))["time"]
+        assert len(times) == len(data["values"])
+        # label 00:00 snaps forward to frame 0 (exact match)
+        assert data["values"][0, 0, 0] == 0
+
+    def test_backward(self, hourly, request_all):
+        view = Resample(hourly, "2h", direction="backward")
+        data = view.get_data(**request_all)
+        assert data["values"][0, 0, 0] == 0

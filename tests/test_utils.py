@@ -463,3 +463,47 @@ class TestNativeRasterizer:
         result = rmod.rasterize_geoseries(gs, (0, 0, 10, 10), "EPSG:28992", 10, 10)
         assert result["values"].dtype == bool
         assert result["values"].sum() == 36
+
+
+class TestMoreProjections:
+    def test_lambert93(self):
+        # Paris in RGF93 / Lambert-93
+        x, y = utils.transform_points(2.3522, 48.8566, "EPSG:4326", "EPSG:2154")
+        assert float(x) == pytest.approx(652470, abs=10)
+        assert float(y) == pytest.approx(6862035, abs=10)
+        lon, lat = utils.transform_points(x, y, "EPSG:2154", "EPSG:4326")
+        assert float(lon) == pytest.approx(2.3522, abs=1e-9)
+        assert float(lat) == pytest.approx(48.8566, abs=1e-9)
+
+    def test_laea_europe(self):
+        # the projection center maps onto the false origin
+        x, y = utils.transform_points(10.0, 52.0, "EPSG:4326", "EPSG:3035")
+        assert float(x) == pytest.approx(4321000, abs=0.01)
+        assert float(y) == pytest.approx(3210000, abs=0.01)
+
+    def test_laea_roundtrip(self):
+        x, y = utils.transform_points(4.3517, 50.8503, "EPSG:4326", "EPSG:3035")
+        lon, lat = utils.transform_points(x, y, "EPSG:3035", "EPSG:4326")
+        assert float(lon) == pytest.approx(4.3517, abs=1e-8)
+        assert float(lat) == pytest.approx(50.8503, abs=1e-8)
+
+    def test_jax_traceable(self):
+        """The new projections must trace into XLA like the others."""
+        import jax
+        import jax.numpy as jnp
+
+        from dask_geomodeling_tpu.geo.crs import transform_points
+        from dask_geomodeling_tpu.runtime.executor import _ensure_x64
+
+        _ensure_x64()  # coordinate math requires float64
+
+        @jax.jit
+        def go(x, y):
+            return transform_points(x, y, "EPSG:3035", "EPSG:2154", xp=jnp)
+
+        x, y = go(jnp.asarray([3923672.0]), jnp.asarray([3097435.0]))
+        ex, ey = utils.transform_points(
+            np.array([3923672.0]), np.array([3097435.0]), "EPSG:3035", "EPSG:2154"
+        )
+        assert float(x[0]) == pytest.approx(float(ex[0]), abs=1e-3)
+        assert float(y[0]) == pytest.approx(float(ey[0]), abs=1e-3)
