@@ -123,3 +123,37 @@ def test_evaluate_tiled_with_smooth(source, request_64):
     np.testing.assert_array_equal(
         actual["values"][:, 8:24, 8:24], expected["values"][:, 8:24, 8:24]
     )
+
+def test_evaluate_tiled_multiband(source, request_64):
+    """Multi-band (time axis) tiles through the batched runtime."""
+    from datetime import datetime, timedelta
+
+    data = np.stack(
+        [np.full((64, 64), v, dtype=np.float32) for v in (1.0, 2.0, 3.0)]
+    )
+    multi = MemorySource(
+        data=data,
+        no_data_value=float(np.finfo(np.float32).max),
+        projection="EPSG:28992",
+        pixel_size=1.0,
+        pixel_origin=(135000, 456000),
+        time_first=datetime(2000, 1, 1),
+        time_delta=timedelta(hours=1),
+    )
+    view = Add(multi, 1)
+    request = dict(
+        request_64, start=datetime(2000, 1, 1), stop=datetime(2000, 1, 1, 2)
+    )
+    expected = view.get_data(**request)
+    actual = evaluate_tiled(view, request, tile_size=32, batch=3)
+    assert actual["values"].shape == (3, 64, 64)
+    np.testing.assert_array_equal(actual["values"], expected["values"])
+
+
+def test_evaluate_tiled_partial_batch_padding(source, request_64):
+    """A final partial batch is padded and the padding discarded."""
+    view = Add(source, 1)
+    expected = view.get_data(**request_64)
+    # 4 tiles with batch 3: the second batch is padded from 1 to 3
+    actual = evaluate_tiled(view, request_64, tile_size=32, batch=3)
+    np.testing.assert_array_equal(actual["values"], expected["values"])
