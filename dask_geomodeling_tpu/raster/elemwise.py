@@ -304,8 +304,17 @@ def wrap_math_process_func(func, jnp_func_name=None):
             result = jnp.where(nodata_mask, dtype.type(fillvalue), result)
         return {"no_data_value": no_data_value, "values": result}
 
+    # distinct (qual)names per ufunc: the executor's program-cache
+    # signature is keyed on them, and the factory-generic qualname would
+    # collide different operations with equal arguments
     math_process_func.__name__ = func.__name__
+    math_process_func.__qualname__ = "elemwise." + func.__name__
+    jax_impl.__qualname__ = "elemwise_jax." + func.__name__
     math_process_func.jax_impl = jax_impl
+    # numeric constants become traced inputs: Add(x, 10) and Add(x, 20)
+    # share one compiled program (the impl casts operands to the result
+    # dtype, so a float64-traced constant keeps integer semantics)
+    math_process_func.jax_dynamic = {"__scalars__"}
     return math_process_func
 
 

@@ -252,6 +252,8 @@ def wrap_reduction_function(statistic):
         )
 
     reduction_function.__name__ = "reduce_" + statistic
+    reduction_function.__qualname__ = "reduction.reduce_" + statistic
+    jax_impl.__qualname__ = "reduction_jax.reduce_" + statistic
     reduction_function.jax_impl = jax_impl
     return reduction_function
 

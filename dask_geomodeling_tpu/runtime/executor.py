@@ -213,24 +213,39 @@ def execution_config_token():
 
 
 def _dynamicize(arg, dynamic):
-    """Convert the entries of a literal dict named in ``dynamic`` (the
-    process function's ``jax_dynamic`` attribute) into float64 arrays, so
-    they become *traced inputs* of the staged program instead of baked
-    constants.  This is what makes a warp program reusable across tiles:
-    the bbox varies per tile but the compiled program does not.
+    """Convert literal values named in ``dynamic`` (the process function's
+    ``jax_dynamic`` attribute) into float64 arrays, so they become *traced
+    inputs* of the staged program instead of baked constants.  This is what
+    makes one compiled program serve many requests: the bbox varies per
+    tile, elementwise constants vary per view, the program does not.
+
+    ``dynamic`` entries name dict keys; the special entry "__scalars__"
+    additionally converts bare numeric positional literals.
     """
-    if not dynamic or not isinstance(arg, dict):
+    if not dynamic:
+        return arg
+    if (
+        "__scalars__" in dynamic
+        and isinstance(arg, (int, float))
+        and not isinstance(arg, bool)
+    ):
+        return np.full((1,), arg, dtype=np.float64)
+    if not isinstance(arg, dict):
         return arg
     out = dict(arg)
     for key in dynamic:
         value = out.get(key)
-        if isinstance(value, (int, float, tuple, list)):
+        if isinstance(value, (int, float, tuple, list)) and not isinstance(
+            value, bool
+        ):
             try:
                 out[key] = np.asarray(value, dtype=np.float64)
             except (TypeError, ValueError):
                 pass
     return out
 
+
+_EAGER = object()  # cache marker: this program shape evaluates host-side
 
 _DEVICE_ARRAY_CACHE = {}
 
@@ -354,6 +369,10 @@ class _StagedProgram:
         sig = self.signature(input_skeletons, literal_skeletons, input_shapes)
 
         compiled = _PROGRAM_CACHE.get(sig)
+        if compiled is _EAGER:
+            _CACHE_STATS["hits"] += 1
+            self._run_eager(cache)
+            return
         if compiled is None:
             _CACHE_STATS["misses"] += 1
             compiled = self._compile(input_skeletons, literal_skeletons)
@@ -362,7 +381,15 @@ class _StagedProgram:
             _CACHE_STATS["hits"] += 1
 
         device_arrays = [_device_put_cached(a) for a in all_arrays]
-        outputs = compiled(*device_arrays)
+        try:
+            outputs = compiled(*device_arrays)
+        except TypeError:
+            # static (non-array) outputs — e.g. a time/meta structure
+            # passing through impls — cannot leave a jitted function;
+            # remember and evaluate this program shape host-side
+            _PROGRAM_CACHE[sig] = _EAGER
+            self._run_eager(cache)
+            return
         for key, out in zip(self.output_keys, outputs):
             cache[key] = _to_numpy(out)
 

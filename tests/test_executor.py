@@ -114,11 +114,25 @@ def test_program_cache_hit(src, request_full):
     assert info2["misses"] == info1["misses"]
 
 
-def test_program_cache_distinguishes_literals(src, request_full):
+def test_program_cache_shares_across_constants(src, request_full):
+    # numeric constants are traced inputs: one program serves both views
+    clear_program_cache()
+    with config.set({"geomodeling.executor": "jax"}):
+        first = Add(src, 10).get_data(**request_full)
+        second = Add(src, 20).get_data(**request_full)
+    assert program_cache_info()["misses"] == 1
+    assert program_cache_info()["hits"] >= 1
+    np.testing.assert_array_equal(
+        second["values"][second["values"] != second["no_data_value"]] - 10,
+        first["values"][first["values"] != first["no_data_value"]],
+    )
+
+
+def test_program_cache_distinguishes_structure(src, request_full):
     clear_program_cache()
     with config.set({"geomodeling.executor": "jax"}):
         Add(src, 10).get_data(**request_full)
-        Add(src, 20).get_data(**request_full)
+        Multiply(src, 10).get_data(**request_full)
     assert program_cache_info()["misses"] == 2
 
 
