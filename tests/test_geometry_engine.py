@@ -274,3 +274,61 @@ class TestGeoDataFrame:
         sub = gdf.iloc[:2]
         assert isinstance(sub, GeoDataFrame)
         assert len(sub.geometry) == 2
+
+
+class TestOverlayProperties:
+    """Property-based checks: for any A, B the overlay results must satisfy
+    area(A) = area(A∩B) + area(A\\B) and area(A∪B) = area(A) + area(B) -
+    area(A∩B)."""
+
+    @staticmethod
+    def random_convex(rng, cx, cy, r, n):
+        # convex hull of random points: always a valid simple polygon
+        from dask_geomodeling_tpu.geo.geometry import _convex_hull
+
+        pts = np.column_stack(
+            [cx + (rng.rand(n + 4) - 0.5) * 2 * r, cy + (rng.rand(n + 4) - 0.5) * 2 * r]
+        )
+        return Polygon(_convex_hull(pts))
+
+    def test_area_identities_random(self):
+        rng = np.random.RandomState(42)
+        checked = 0
+        for trial in range(30):
+            a = self.random_convex(rng, 0, 0, 10, rng.randint(3, 9))
+            b = self.random_convex(
+                rng, rng.uniform(-8, 8), rng.uniform(-8, 8), 8, rng.randint(3, 9)
+            )
+            inter = a.intersection(b)
+            diff = a.difference(b)
+            union = a.union(b)
+            tol = 1e-6 * max(a.area, b.area)
+            assert abs(a.area - (inter.area + diff.area)) < tol, trial
+            assert abs(union.area - (a.area + b.area - inter.area)) < tol, trial
+            checked += 1
+        assert checked == 30
+
+    def test_box_grid_identities(self):
+        # axis-aligned boxes with shared edges and corner touches
+        boxes = [
+            (box(0, 0, 4, 4), box(4, 0, 8, 4)),   # shared edge
+            (box(0, 0, 4, 4), box(4, 4, 8, 8)),   # corner touch
+            (box(0, 0, 4, 4), box(1, 1, 3, 3)),   # containment
+            (box(0, 0, 4, 4), box(0, 0, 4, 4)),   # identity
+            (box(0, 0, 4, 4), box(2, -1, 6, 5)),  # straddling
+        ]
+        for a, b in boxes:
+            inter = a.intersection(b)
+            diff = a.difference(b)
+            union = a.union(b)
+            assert abs(a.area - (inter.area + diff.area)) < 1e-9
+            assert abs(union.area - (a.area + b.area - inter.area)) < 1e-9
+
+    def test_intersection_commutes(self):
+        rng = np.random.RandomState(7)
+        for _ in range(10):
+            a = self.random_convex(rng, 0, 0, 10, 6)
+            b = self.random_convex(rng, 3, 3, 8, 6)
+            ab = a.intersection(b).area
+            ba = b.intersection(a).area
+            assert abs(ab - ba) < 1e-9 * max(1.0, ab)
