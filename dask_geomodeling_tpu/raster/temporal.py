@@ -846,6 +846,90 @@ def _cumulative_process(process_kwargs, time_data=None, data=None):
     return {"values": result, "no_data_value": get_dtype_max(dtype)}
 
 
+def _cumulative_jax_capable(process_kwargs, *args):
+    if not isinstance(process_kwargs, dict):
+        return False
+    if process_kwargs.get("empty") or process_kwargs.get("mode") != "vals":
+        return False
+    statistic, percentile = parse_percentile_statistic(
+        process_kwargs.get("statistic", "")
+    )
+    return percentile is None and statistic in ("sum", "count")
+
+
+def _cumulative_jax(process_kwargs, time_data=None, data=None):
+    """Device twin of :func:`_cumulative_process` for sum/count statistics.
+
+    All bin/time logic runs host-side at trace time (``time_data`` is the
+    result of a host time-mode node, so it is concrete); only the pixel
+    accumulation traces into XLA as per-bin cumulative sums.
+    """
+    import jax.numpy as jnp
+
+    if time_data is None or not time_data.get("time"):
+        return None
+    if data is None or "values" not in data:
+        return None
+
+    timezone = process_kwargs["timezone"]
+    frequency = process_kwargs["frequency"]
+    times = (
+        pd.Series(index=time_data["time"], dtype=float)
+        .tz_localize("UTC")
+        .tz_convert(timezone)
+    )
+    if frequency is None:
+        indices = {None: range(len(times))}
+    else:
+        indices = times.resample(
+            frequency,
+            closed=process_kwargs["closed"],
+            label=process_kwargs["label"],
+        ).indices
+
+    start_ts = _dt_to_ts(process_kwargs["start"], timezone)
+    stop_ts = _dt_to_ts(process_kwargs["stop"], timezone)
+
+    values = data["values"]
+    if values.shape[0] != len(times):
+        raise RuntimeError("Shape of raster does not match number of timestamps")
+    statistic = process_kwargs["statistic"]
+    dtype = np.dtype(process_kwargs["dtype"])
+    fillvalue = 0  # sum/count are extensive
+
+    float_dtype = np.result_type(np.float32, dtype)
+    fvals = values.astype(float_dtype)
+    finite = fvals != float(data["no_data_value"])
+    if np.dtype(values.dtype).kind == "f":
+        finite = finite & ~jnp.isnan(fvals)
+
+    output_mask = np.asarray((times.index >= start_ts) & (times.index <= stop_ts))
+    output_offset = int(np.where(output_mask)[0][0])
+    n_frames = int(output_mask.sum())
+    result = jnp.full((n_frames,) + values.shape[1:], fillvalue, dtype)
+
+    for indices_in_bin in indices.values():
+        idx = np.asarray(indices_in_bin)
+        mask = output_mask[idx]
+        if not mask.any():
+            continue
+        if statistic == "count":
+            acc = jnp.cumsum(finite[idx].astype(float_dtype), axis=0)
+        else:
+            acc = jnp.cumsum(
+                jnp.where(finite[idx], fvals[idx], 0), axis=0
+            )
+        acc = acc[np.where(mask)[0]]
+        acc = jnp.where(jnp.isfinite(acc), acc, fillvalue).astype(dtype)
+        result = result.at[idx[mask] - output_offset].set(acc)
+
+    return {"values": result, "no_data_value": get_dtype_max(dtype)}
+
+
+_cumulative_process.jax_impl = _cumulative_jax
+_cumulative_process.jax_capable = _cumulative_jax_capable
+
+
 class Cumulative(BaseSingle):
     """Accumulate cell values over time, resetting each frequency period.
 

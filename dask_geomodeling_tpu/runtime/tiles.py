@@ -189,7 +189,13 @@ def evaluate_tiled(view, request, tile_size=512, batch=32):
         pending.append((lo, program.dispatch_batch(view, chunk)))
     t_fetch = time.perf_counter()
 
-    # phase 2: fetch + assemble (fetches overlap the remaining device work)
+    # phase 2: fetch + assemble (fetches overlap the remaining device work);
+    # start every device->host copy before blocking on the first one so the
+    # transport can pipeline transfers
+    for _, device_result in pending:
+        copy_async = getattr(device_result, "copy_to_host_async", None)
+        if copy_async is not None:
+            copy_async()
     out = None
     no_data_value = view.fillvalue
     for lo, device_result in pending:

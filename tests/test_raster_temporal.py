@@ -259,6 +259,28 @@ class TestCumulative:
         with pytest.raises(ValueError):
             Cumulative(hourly, statistic="mean")
 
+    @pytest.mark.parametrize("statistic", ["sum", "count"])
+    @pytest.mark.parametrize("frequency", [None, "3h"])
+    def test_jax_matches_numpy(self, hourly, request_all, statistic, frequency):
+        view = Cumulative(hourly, statistic=statistic, frequency=frequency)
+        expected = view.get_data(**request_all)
+        with config.set({"geomodeling.executor": "jax"}):
+            actual = view.get_data(**request_all)
+        assert actual["values"].dtype == expected["values"].dtype
+        assert actual["no_data_value"] == expected["no_data_value"]
+        np.testing.assert_array_equal(actual["values"], expected["values"])
+
+    def test_jax_partial_request(self, hourly, request_all):
+        view = Cumulative(hourly, statistic="sum")
+        request = dict(
+            request_all,
+            start=datetime(2000, 1, 1, 4),
+            stop=datetime(2000, 1, 1, 5),
+        )
+        with config.set({"geomodeling.executor": "jax"}):
+            data = view.get_data(**request)
+        assert data["values"][:, 0, 0].tolist() == [7, 12]
+
 
 class TestResample:
     def test_resample_nearest(self, hourly, request_all):
