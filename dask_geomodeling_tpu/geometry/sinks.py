@@ -65,6 +65,7 @@ class GeometryFileSink(BaseSingle):
         "geojson": "GeoJSON",
         "gpkg": "GPKG",
         "shp": "ESRI Shapefile",
+        "gml": "GML",
     }
 
     def __init__(self, source, url, extension="geojson", fields=None):

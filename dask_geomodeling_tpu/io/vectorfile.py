@@ -7,6 +7,7 @@ Formats:
 - GeoPackage (.gpkg): stdlib sqlite3 with the standard gpkg_* metadata
   tables and the GP geometry blob header — readable by GDAL/QGIS
 - ESRI Shapefile (.shp + .shx/.dbf/.prj): io/shapefile.py
+- GML (.gml): OGR-style GML 2.1.2 FeatureCollection (GML3 accepted on read)
 
 API: ``read_vector``, ``read_vector_info``, ``write_vector``.
 """
@@ -24,7 +25,7 @@ from dask_geomodeling_tpu.geo.geometry import shape
 
 __all__ = ["read_vector", "read_vector_info", "write_vector", "supported_extensions"]
 
-supported_extensions = {"geojson", "json", "gpkg", "shp"}
+supported_extensions = {"geojson", "json", "gpkg", "shp", "gml"}
 
 
 def _format_of(path):
@@ -90,6 +91,212 @@ def _jsonify(value):
     if pd.isna(value):
         return None
     return str(value)
+
+
+# --- GML (OGR-style GML 2.1.2 FeatureCollection; GML3 accepted on read) ---
+
+
+def _gml_local(tag):
+    return tag.rsplit("}", 1)[-1]
+
+
+def _gml_ring_coords(element):
+    """Coordinate list from the first coordinates/posList/pos descendant."""
+    for child in element.iter():
+        name = _gml_local(child.tag)
+        if name == "coordinates":
+            return [
+                tuple(float(v) for v in pair.split(","))
+                for pair in child.text.split()
+            ]
+        if name == "posList":
+            flat = [float(v) for v in child.text.split()]
+            return list(zip(flat[0::2], flat[1::2]))
+        if name == "pos":
+            return [tuple(float(v) for v in child.text.split())]
+    raise ValueError("GML element without coordinates: %s" % element.tag)
+
+
+_GML_MULTI = {
+    "MultiPoint": "MultiPoint",
+    "MultiLineString": "MultiLineString",
+    "MultiCurve": "MultiLineString",
+    "MultiPolygon": "MultiPolygon",
+    "MultiSurface": "MultiPolygon",
+}
+
+
+def _gml_geometry(element):
+    """A gml geometry element -> __geo_interface__ dict."""
+    name = _gml_local(element.tag)
+    if name == "Point":
+        return {"type": "Point", "coordinates": _gml_ring_coords(element)[0]}
+    if name in ("LineString", "Curve"):
+        return {"type": "LineString", "coordinates": _gml_ring_coords(element)}
+    if name in ("Polygon", "Surface"):
+        shell, holes = None, []
+        for boundary in element.iter():
+            bname = _gml_local(boundary.tag)
+            if bname in ("outerBoundaryIs", "exterior"):
+                shell = _gml_ring_coords(boundary)
+            elif bname in ("innerBoundaryIs", "interior"):
+                holes.append(_gml_ring_coords(boundary))
+        return {"type": "Polygon", "coordinates": [shell] + holes}
+    if name in _GML_MULTI:
+        parts = [
+            _gml_geometry(child[0])
+            for child in element
+            if _gml_local(child.tag).endswith("Member") and len(child)
+        ]
+        return {
+            "type": _GML_MULTI[name],
+            "coordinates": [p["coordinates"] for p in parts],
+        }
+    if name == "MultiGeometry":
+        return {
+            "type": "GeometryCollection",
+            "geometries": [
+                _gml_geometry(child[0])
+                for child in element
+                if _gml_local(child.tag).endswith("Member") and len(child)
+            ],
+        }
+    raise ValueError("Unsupported GML geometry: %s" % name)
+
+
+_GML_GEOMETRY_NAMES = (
+    {"Point", "LineString", "Curve", "Polygon", "Surface", "MultiGeometry"}
+    | set(_GML_MULTI)
+)
+
+
+def _read_gml(path):
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(path).getroot()
+    geometries, records, ids, crs = [], [], [], None
+    for member in root.iter():
+        if _gml_local(member.tag) not in ("featureMember", "member"):
+            continue
+        for feature in member:
+            geom, properties = None, {}
+            fid = feature.attrib.get("fid") or feature.attrib.get(
+                "{http://www.opengis.net/gml}id"
+            )
+            for prop in feature:
+                geom_children = [
+                    c for c in prop if _gml_local(c.tag) in _GML_GEOMETRY_NAMES
+                ]
+                if geom_children:
+                    crs = geom_children[0].attrib.get("srsName", crs)
+                    geom = shape(_gml_geometry(geom_children[0]))
+                else:
+                    properties[_gml_local(prop.tag)] = prop.text
+            geometries.append(geom)
+            records.append(properties)
+            ids.append(fid if fid is not None else len(ids))
+    frame = pd.DataFrame.from_records(records) if records else None
+    if frame is not None:
+        # no .xsd schema handling: sniff numeric columns like OGR does
+        for column in frame.columns:
+            for caster in (np.int64, np.float64):
+                try:
+                    frame[column] = frame[column].astype(caster)
+                    break
+                except (ValueError, TypeError):
+                    continue
+    frame = GeoDataFrame(frame, geometry=geometries, crs=crs or "EPSG:4326")
+    frame.index = pd.Index(ids)
+    return frame
+
+
+def _gml_coordinates(coords):
+    return "<gml:coordinates>%s</gml:coordinates>" % " ".join(
+        "%.17g,%.17g" % (x, y) for x, y in coords
+    )
+
+
+def _gml_geom_str(geo, srs=None):
+    srs_attr = ' srsName="%s"' % srs if srs else ""
+    kind = geo["type"]
+    if kind == "Point":
+        return "<gml:Point%s>%s</gml:Point>" % (
+            srs_attr,
+            _gml_coordinates([geo["coordinates"]]),
+        )
+    if kind == "LineString":
+        return "<gml:LineString%s>%s</gml:LineString>" % (
+            srs_attr,
+            _gml_coordinates(geo["coordinates"]),
+        )
+    if kind == "Polygon":
+        parts = []
+        for i, ring in enumerate(geo["coordinates"]):
+            boundary = "outerBoundaryIs" if i == 0 else "innerBoundaryIs"
+            parts.append(
+                "<gml:%s><gml:LinearRing>%s</gml:LinearRing></gml:%s>"
+                % (boundary, _gml_coordinates(ring), boundary)
+            )
+        return "<gml:Polygon%s>%s</gml:Polygon>" % (srs_attr, "".join(parts))
+    if kind in ("MultiPoint", "MultiLineString", "MultiPolygon"):
+        single = kind[5:]
+        member = {
+            "MultiPoint": "pointMember",
+            "MultiLineString": "lineStringMember",
+            "MultiPolygon": "polygonMember",
+        }[kind]
+        parts = [
+            "<gml:%s>%s</gml:%s>"
+            % (member, _gml_geom_str({"type": single, "coordinates": c}), member)
+            for c in geo["coordinates"]
+        ]
+        return "<gml:%s%s>%s</gml:%s>" % (kind, srs_attr, "".join(parts), kind)
+    if kind == "GeometryCollection":
+        parts = [
+            "<gml:geometryMember>%s</gml:geometryMember>" % _gml_geom_str(g)
+            for g in geo["geometries"]
+        ]
+        return "<gml:MultiGeometry%s>%s</gml:MultiGeometry>" % (
+            srs_attr,
+            "".join(parts),
+        )
+    raise ValueError("Unsupported geometry type: %s" % kind)
+
+
+def _write_gml(frame, path, layer=None):
+    from xml.sax.saxutils import escape
+
+    name = layer or os.path.splitext(os.path.basename(path))[0]
+    geometry_column = frame._geometry_column_name or "geometry"
+    crs = getattr(frame, "crs", None)
+    parts = [
+        '<?xml version="1.0" encoding="utf-8" ?>',
+        "<ogr:FeatureCollection",
+        '     xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance"',
+        '     xmlns:ogr="http://ogr.maptools.org/"',
+        '     xmlns:gml="http://www.opengis.net/gml">',
+    ]
+    for i, (idx, row) in enumerate(frame.iterrows()):
+        parts.append("  <gml:featureMember>")
+        parts.append('    <ogr:%s fid="%s.%s">' % (name, name, i))
+        geom = row[geometry_column]
+        if geom is not None:
+            parts.append(
+                "      <ogr:geometryProperty>%s</ogr:geometryProperty>"
+                % _gml_geom_str(geom.__geo_interface__, crs)
+            )
+        for key, value in row.items():
+            value = _jsonify(value)
+            if key == geometry_column or value is None:
+                continue
+            parts.append(
+                "      <ogr:%s>%s</ogr:%s>" % (key, escape(str(value)), key)
+            )
+        parts.append("    </ogr:%s>" % name)
+        parts.append("  </gml:featureMember>")
+    parts.append("</ogr:FeatureCollection>")
+    with open(path, "w") as f:
+        f.write("\n".join(parts))
 
 
 # --- GeoPackage ---
@@ -262,13 +469,15 @@ def read_vector(path, layer=None):
         from dask_geomodeling_tpu.io.shapefile import read_shapefile
 
         return read_shapefile(path)
+    if fmt == "gml":
+        return _read_gml(path)
     return _read_gpkg(path, layer)
 
 
 def read_vector_info(path, layer=None):
     """Return {'fields': [...], 'crs': str} without loading all features."""
     fmt = _format_of(path)
-    if fmt in ("geojson", "json", "shp"):
+    if fmt in ("geojson", "json", "shp", "gml"):
         frame = read_vector(path)
         fields = [c for c in frame.columns if c != "geometry"]
         return {"fields": fields, "crs": frame.crs}
@@ -299,6 +508,8 @@ def write_vector(frame, path, layer=None):
         from dask_geomodeling_tpu.io.shapefile import write_shapefile
 
         write_shapefile(frame, path)
+    elif fmt == "gml":
+        _write_gml(frame, path, layer)
     else:
         if os.path.exists(path):
             os.remove(path)

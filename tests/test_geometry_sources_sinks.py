@@ -32,7 +32,7 @@ def frame():
 
 
 class TestVectorFileIO:
-    @pytest.mark.parametrize("ext", ["geojson", "gpkg", "shp"])
+    @pytest.mark.parametrize("ext", ["geojson", "gpkg", "shp", "gml"])
     def test_roundtrip(self, root, frame, ext):
         path = str(root / ("test." + ext))
         write_vector(frame, path)
@@ -48,6 +48,23 @@ class TestVectorFileIO:
         write_vector(frame, path)
         result = read_vector(path)
         assert result.crs == "EPSG:28992"
+
+    def test_gml_crs_and_holes(self, root, frame):
+        from dask_geomodeling_tpu.geo.geometry import Polygon
+
+        donut = Polygon(
+            [(0, 0), (10, 0), (10, 10), (0, 10)],
+            [[(4, 4), (6, 4), (6, 6), (4, 6)]],
+        )
+        frame = GeoDataFrame(
+            pd.DataFrame({"value": [7]}), geometry=[donut], crs="EPSG:28992"
+        )
+        path = str(root / "test.gml")
+        write_vector(frame, path)
+        result = read_vector(path)
+        assert result.crs == "EPSG:28992"
+        assert result.geometry.iloc[0].equals(donut)
+        assert result["value"].tolist() == [7]
 
     def test_unsupported_format(self, root, frame):
         with pytest.raises(NotImplementedError):
@@ -134,7 +151,7 @@ class TestGeometryFileSink:
         write_vector(frame, str(root / "data.geojson"))
         return GeometryFileSource("data.geojson")
 
-    @pytest.mark.parametrize("ext", ["geojson", "gpkg", "shp"])
+    @pytest.mark.parametrize("ext", ["geojson", "gpkg", "shp", "gml"])
     def test_sink(self, root, source, ext):
         sink = GeometryFileSink(source, "out", extension=ext)
         data = sink.get_data(
