@@ -482,14 +482,16 @@ class _LambertAzimuthalEqualArea:
 
 
 class SpatialReference:
-    """A CRS: a datum plus a projection, identified by an EPSG code."""
+    """A CRS: a datum plus a projection, identified by an EPSG code (or by
+    its parameters, for CRSes parsed from WKT/proj4 without a known code)."""
 
-    def __init__(self, code, name, datum, projection, wkt=None):
+    def __init__(self, code, name, datum, projection, wkt=None, key=None):
         self.code = code
         self.name = name
         self.datum = datum  # key into DATUMS
         self.projection = projection
         self._wkt = wkt
+        self._key = key if key is not None else code
 
     @property
     def is_geographic(self):
@@ -520,10 +522,10 @@ class SpatialReference:
         return "<SpatialReference EPSG:{} {}>".format(self.code, self.name)
 
     def __eq__(self, other):
-        return isinstance(other, SpatialReference) and self.code == other.code
+        return isinstance(other, SpatialReference) and self._key == other._key
 
     def __hash__(self):
-        return hash(self.code)
+        return hash(self._key)
 
 
 def _make_wkt(sr):
@@ -537,11 +539,11 @@ def _make_wkt(sr):
             invf=(1.0 / sr.ellipsoid.f) if sr.ellipsoid.f else 0,
         )
     )
+    auth = ',AUTHORITY["EPSG","{}"]'.format(sr.code) if sr.code else ""
     if sr.is_geographic:
-        return geog + ',AUTHORITY["EPSG","{}"]]'.format(sr.code)
-    return (
-        'PROJCS["{name}",{geog}],UNIT["metre",1],'
-        'AUTHORITY["EPSG","{code}"]]'.format(name=sr.name, geog=geog, code=sr.code)
+        return geog + auth + "]"
+    return 'PROJCS["{name}",{geog}],UNIT["metre",1]{auth}]'.format(
+        name=sr.name, geog=geog, auth=auth
     )
 
 
@@ -640,6 +642,259 @@ _WKT_AUTH_RE = re.compile(r'AUTHORITY\[\"EPSG\",\s*\"?(\d+)\"?\]\s*\]\s*$')
 _WKT_ID_RE = re.compile(r'ID\[\"EPSG\",\s*(\d+)\]\s*\]\s*$')
 
 
+# --- parametric CRS parsing (WKT1 / proj4) for CRSes outside the registry ---
+
+
+_WKT_TOKEN_RE = re.compile(
+    r'"([^"]*)"|([A-Za-z_][A-Za-z0-9_]*)|([-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?)'
+    r"|([\[\]\(\),])"
+)
+
+
+def _parse_wkt(text):
+    """Parse a WKT1 string into a ('NAME', [args]) tree; args are strings,
+    floats, or nested nodes."""
+    tokens = []
+    for m in _WKT_TOKEN_RE.finditer(text):
+        if m.group(1) is not None:
+            tokens.append(("str", m.group(1)))
+        elif m.group(2) is not None:
+            tokens.append(("word", m.group(2)))
+        elif m.group(3) is not None:
+            tokens.append(("num", float(m.group(3))))
+        else:
+            tokens.append(("punct", m.group(4)))
+    pos = [0]
+
+    def node():
+        kind, word = tokens[pos[0]]
+        if kind != "word":
+            raise TransformException("Malformed WKT near token %r" % (word,))
+        pos[0] += 1
+        args = []
+        if pos[0] < len(tokens) and tokens[pos[0]][1] in "[(":
+            pos[0] += 1
+            while pos[0] < len(tokens):
+                kind, val = tokens[pos[0]]
+                if kind == "punct":
+                    pos[0] += 1
+                    if val in "])":
+                        break
+                    continue  # comma
+                if kind == "word":
+                    args.append(node())
+                else:
+                    args.append(val)
+                    pos[0] += 1
+        return (word.upper(), args)
+
+    return node()
+
+
+def _wkt_find(node, *names):
+    for arg in node[1]:
+        if isinstance(arg, tuple) and arg[0] in names:
+            return arg
+    return None
+
+
+def _intern_datum(name, a, inv_f, helmert):
+    """Return a DATUMS key for (ellipsoid, helmert), matching known datums
+    (so WKT-parsed CRSes compare equal-datum with registry ones) or
+    registering a synthetic entry."""
+    if helmert is not None:
+        helmert = tuple(float(v) for v in helmert)
+        if len(helmert) == 3:
+            helmert = helmert + (0.0, 0.0, 0.0, 0.0)
+        if not any(helmert):
+            helmert = None
+    for key, (ell_name, known_helmert) in DATUMS.items():
+        ka, kinvf = ELLIPSOIDS[ell_name]
+        if abs(ka - a) < 1e-3 and (
+            (np.isinf(kinvf) and not inv_f) or abs(kinvf - inv_f) < 1e-6
+        ):
+            if helmert is None and known_helmert is None:
+                return key
+            if helmert is not None and known_helmert is not None and all(
+                abs(x - y) < 1e-9 for x, y in zip(helmert, known_helmert)
+            ):
+                return key
+    ell_key = "custom:%.3f:%.9f" % (a, inv_f)
+    ELLIPSOIDS.setdefault(ell_key, (a, inv_f if inv_f else float("inf")))
+    key = "%s|%s|%s" % (name, ell_key, helmert)
+    DATUMS.setdefault(key, (ell_key, helmert))
+    return key
+
+
+def _build_projection(method, ell, p):
+    """Build a projection object from an EPSG/OGC method name and a
+    {parameter_name: value} dict (WKT1 and proj4 share these)."""
+    cm = p.get("central_meridian", p.get("longitude_of_center", 0.0))
+    lat0 = p.get("latitude_of_origin", p.get("latitude_of_center", 0.0))
+    k0 = p.get("scale_factor", 1.0)
+    fe = p.get("false_easting", 0.0)
+    fn = p.get("false_northing", 0.0)
+    method = method.lower()
+    if method in ("transverse_mercator", "gauss_kruger"):
+        return _TransverseMercator(ell, cm, lat0, k0, fe, fn)
+    if method in ("oblique_stereographic", "double_stereographic"):
+        return _ObliqueStereographic(
+            ell, lon0=cm, lat0=lat0, k0=k0, false_easting=fe, false_northing=fn
+        )
+    if method == "lambert_conformal_conic_1sp":
+        # 1SP: both standard parallels at the latitude of origin, k0 applied
+        # via the t-function ratio; our 2SP formulation with sp1 == sp2 ==
+        # lat0 reproduces it only for k0 == 1
+        if abs(k0 - 1.0) > 1e-12:
+            raise TransformException(
+                "Lambert_Conformal_Conic_1SP with scale_factor != 1 "
+                "is not supported"
+            )
+        return _LambertConformalConic(ell, cm, lat0, lat0, lat0, fe, fn)
+    if method in ("lambert_conformal_conic_2sp", "lambert_conformal_conic"):
+        sp1 = p.get("standard_parallel_1", lat0)
+        sp2 = p.get("standard_parallel_2", sp1)
+        return _LambertConformalConic(ell, cm, lat0, sp1, sp2, fe, fn)
+    if method == "lambert_azimuthal_equal_area":
+        return _LambertAzimuthalEqualArea(ell, cm, lat0, fe, fn)
+    if method in (
+        "mercator_1sp",
+        "mercator_auxiliary_sphere",
+        "popular_visualisation_pseudo_mercator",
+        "pseudo_mercator",
+    ):
+        return _WebMercator()
+    raise TransformException("Unsupported projection method: %s" % method)
+
+
+def _sr_from_wkt(text):
+    root = _parse_wkt(text)
+    if root[0] in ("GEOGCS", "GEOGCRS", "GEOGRAPHICCRS"):
+        projected, geog = False, root
+    elif root[0] in ("PROJCS", "PROJCRS", "PROJECTEDCRS"):
+        projected, geog = True, _wkt_find(root, "GEOGCS", "GEOGCRS", "BASEGEOGCRS")
+    else:
+        raise TransformException("Cannot parse WKT root: %s" % root[0])
+    if geog is None:
+        raise TransformException("WKT PROJCS without a GEOGCS")
+    datum_node = _wkt_find(geog, "DATUM")
+    spheroid = _wkt_find(datum_node, "SPHEROID", "ELLIPSOID")
+    a, inv_f = float(spheroid[1][1]), float(spheroid[1][2])
+    towgs84 = _wkt_find(datum_node, "TOWGS84")
+    helmert = [float(v) for v in towgs84[1]] if towgs84 else None
+    datum_key = _intern_datum(str(datum_node[1][0]), a, inv_f, helmert)
+    ell = _ellipsoid(DATUMS[datum_key][0])
+
+    name = str(root[1][0]) if root[1] else "unnamed"
+    auth = _wkt_find(root, "AUTHORITY", "ID")
+    code = None
+    if auth and str(auth[1][0]).upper() == "EPSG":
+        code = int(float(auth[1][1]))
+
+    if not projected:
+        projection = _GeographicProjection()
+        key = code or ("geog", datum_key)
+        return SpatialReference(code, name, datum_key, projection, wkt=text, key=key)
+
+    method_node = _wkt_find(root, "PROJECTION", "METHOD")
+    method = str(method_node[1][0])
+    params = {
+        str(arg[1][0]).lower(): float(arg[1][1])
+        for arg in root[1]
+        if isinstance(arg, tuple) and arg[0] == "PARAMETER"
+    }
+    unit = _wkt_find(root, "UNIT", "LENGTHUNIT")
+    if unit is not None and abs(float(unit[1][1]) - 1.0) > 1e-9:
+        raise TransformException("Only metre units are supported in PROJCS")
+    projection = _build_projection(method, ell, params)
+    key = code or (method.lower(), datum_key, tuple(sorted(params.items())))
+    return SpatialReference(code, name, datum_key, projection, wkt=text, key=key)
+
+
+_PROJ4_ELLPS = {
+    "WGS84": "WGS84",
+    "GRS80": "GRS80",
+    "bessel": "bessel",
+    "airy": "airy",
+    "sphere": "sphere",
+}
+
+_PROJ4_METHODS = {
+    "tmerc": "transverse_mercator",
+    "sterea": "oblique_stereographic",
+    "lcc": "lambert_conformal_conic_2sp",
+    "laea": "lambert_azimuthal_equal_area",
+    "merc": "mercator_1sp",
+    "webmerc": "popular_visualisation_pseudo_mercator",
+}
+
+
+def _sr_from_proj4(text):
+    parts = {}
+    for item in text.split():
+        if not item.startswith("+"):
+            continue
+        key, _, value = item[1:].partition("=")
+        parts[key] = value if value else True
+
+    if "ellps" in parts and parts["ellps"] in _PROJ4_ELLPS:
+        a, inv_f = ELLIPSOIDS[_PROJ4_ELLPS[parts["ellps"]]]
+    elif "a" in parts:
+        a = float(parts["a"])
+        if "rf" in parts:
+            inv_f = float(parts["rf"])
+        elif "b" in parts:
+            b = float(parts["b"])
+            inv_f = a / (a - b) if a != b else float("inf")
+        else:
+            inv_f = float("inf")
+    else:
+        a, inv_f = ELLIPSOIDS["WGS84"]
+    if np.isinf(inv_f):
+        inv_f = 0.0
+    helmert = None
+    if "towgs84" in parts:
+        helmert = [float(v) for v in str(parts["towgs84"]).split(",")]
+    datum_key = _intern_datum(
+        str(parts.get("datum", "proj4")), a, inv_f, helmert
+    )
+    ell = _ellipsoid(DATUMS[datum_key][0])
+
+    proj = parts.get("proj")
+    if proj in ("longlat", "latlong", "latlon", "lonlat"):
+        projection = _GeographicProjection()
+        return SpatialReference(
+            None, text, datum_key, projection, key=("geog", datum_key)
+        )
+    if proj == "utm":
+        zone = int(parts["zone"])
+        projection = _TransverseMercator(
+            ell, -183.0 + 6.0 * zone, 0.0, 0.9996, 500000.0,
+            10000000.0 if "south" in parts else 0.0,
+        )
+        key = ("utm", datum_key, zone, "south" in parts)
+        return SpatialReference(None, text, datum_key, projection, key=key)
+    if proj not in _PROJ4_METHODS:
+        raise TransformException("Unsupported proj4 projection: %r" % proj)
+    params = {
+        "central_meridian": float(parts.get("lon_0", 0)),
+        "latitude_of_origin": float(parts.get("lat_0", 0)),
+        "scale_factor": float(parts.get("k", parts.get("k_0", 1))),
+        "false_easting": float(parts.get("x_0", 0)),
+        "false_northing": float(parts.get("y_0", 0)),
+    }
+    if "lat_1" in parts:
+        params["standard_parallel_1"] = float(parts["lat_1"])
+    if "lat_2" in parts:
+        params["standard_parallel_2"] = float(parts["lat_2"])
+    method = _PROJ4_METHODS[proj]
+    if proj == "merc" and a == ELLIPSOIDS["sphere"][0] and not inv_f:
+        method = "popular_visualisation_pseudo_mercator"
+    projection = _build_projection(method, ell, params)
+    key = (method, datum_key, tuple(sorted(params.items())))
+    return SpatialReference(None, text, datum_key, projection, key=key)
+
+
 @lru_cache(maxsize=32)
 def get_sr(user_input):
     """Return a SpatialReference for an 'EPSG:xxxx' string, an EPSG integer,
@@ -656,11 +911,19 @@ def get_sr(user_input):
         return _registry_get(int(match.group(1)))
     if text.isdigit():
         return _registry_get(int(text))
-    # WKT: use the outermost (= last) AUTHORITY/ID entry
+    # WKT with an EPSG authority: prefer the registry entry for its datum
+    # metadata, falling back to a parametric parse for unknown codes
     for regex in (_WKT_AUTH_RE, _WKT_ID_RE):
         match = regex.search(text)
         if match:
-            return _registry_get(int(match.group(1)))
+            try:
+                return _registry_get(int(match.group(1)))
+            except TransformException:
+                break
+    if text.startswith("+"):
+        return _sr_from_proj4(text)
+    if "[" in text:
+        return _sr_from_wkt(text)
     # common names
     upper = text.upper()
     if "WGS" in upper and "84" in upper and "MERCATOR" not in upper:

@@ -220,6 +220,64 @@ class TestCRS:
         with pytest.raises(utils.TransformException):
             utils.get_sr("EPSG:99999")
 
+    def test_parametric_wkt_matches_registry(self):
+        # GDAL-style WKT WITHOUT an authority tag: parsed from parameters
+        wkt = (
+            'PROJCS["Amersfoort / RD New",GEOGCS["Amersfoort",'
+            'DATUM["Amersfoort",SPHEROID["Bessel 1841",6377397.155,'
+            "299.1528128],TOWGS84[565.417,50.3319,465.552,-0.398957,"
+            '0.343988,-1.8774,4.0725]],PRIMEM["Greenwich",0],'
+            'UNIT["degree",0.0174532925199433]],'
+            'PROJECTION["Oblique_Stereographic"],'
+            'PARAMETER["latitude_of_origin",52.1561605555556],'
+            'PARAMETER["central_meridian",5.38763888888889],'
+            'PARAMETER["scale_factor",0.9999079],'
+            'PARAMETER["false_easting",155000],'
+            'PARAMETER["false_northing",463000],UNIT["metre",1]]'
+        )
+        sr = utils.get_sr(wkt)
+        assert sr.datum == "Amersfoort"  # known datum re-matched from params
+        x, y = utils.transform_points(
+            np.array([5.2]), np.array([52.1]), "EPSG:4326", sr
+        )
+        xr, yr = utils.transform_points(
+            np.array([5.2]), np.array([52.1]), "EPSG:4326", "EPSG:28992"
+        )
+        assert float(x[0]) == pytest.approx(float(xr[0]), abs=1e-6)
+        assert float(y[0]) == pytest.approx(float(yr[0]), abs=1e-6)
+
+    @pytest.mark.parametrize(
+        "proj4,epsg,lonlat",
+        [
+            (
+                "+proj=lcc +lat_0=46.5 +lon_0=3 +lat_1=49 +lat_2=44 "
+                "+x_0=700000 +y_0=6600000 +ellps=GRS80 +towgs84=0,0,0,0,0,0,0",
+                "EPSG:2154",
+                (2.35, 48.85),
+            ),
+            ("+proj=utm +zone=33 +south +ellps=WGS84", "EPSG:32733", (15.0, -33.0)),
+            (
+                "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 "
+                "+ellps=GRS80",
+                "EPSG:3035",
+                (5.0, 52.0),
+            ),
+        ],
+    )
+    def test_proj4_matches_registry(self, proj4, epsg, lonlat):
+        lon, lat = np.array([lonlat[0]]), np.array([lonlat[1]])
+        x, y = utils.transform_points(lon, lat, "EPSG:4326", utils.get_sr(proj4))
+        xr, yr = utils.transform_points(lon, lat, "EPSG:4326", epsg)
+        assert float(x[0]) == pytest.approx(float(xr[0]), abs=1e-6)
+        assert float(y[0]) == pytest.approx(float(yr[0]), abs=1e-6)
+
+    def test_parametric_equality_and_identity(self):
+        a = utils.get_sr("+proj=utm +zone=31 +ellps=WGS84")
+        b = utils.get_sr("+proj=utm +zone=31 +ellps=WGS84")
+        assert a == b
+        x, y = utils.transform_points(np.array([1.0]), np.array([2.0]), a, b)
+        assert float(x[0]) == 1.0 and float(y[0]) == 2.0
+
 
 class TestTime:
     def test_snap_empty(self):
