@@ -101,19 +101,27 @@ class MergeGeometryBlocks(GeometryBlock):
             if how == "right":
                 return right
             if how == "inner":
+                # interval algebra (not geometry ops): extents touching at
+                # an edge or corner still intersect, as degenerate bboxes
                 values = None
                 if left["extent"] and right["extent"]:
-                    extent = box(*left["extent"]).intersection(
-                        box(*right["extent"])
-                    )
-                    if not extent.is_empty:
-                        values = extent.bounds
+                    lx1, ly1, lx2, ly2 = left["extent"]
+                    rx1, ry1, rx2, ry2 = right["extent"]
+                    x1, y1 = max(lx1, rx1), max(ly1, ry1)
+                    x2, y2 = min(lx2, rx2), min(ly2, ry2)
+                    if x1 <= x2 and y1 <= y2:
+                        values = (x1, y1, x2, y2)
                 return {"extent": values, "projection": projection}
             if how == "outer":
                 values = None
                 if left["extent"] and right["extent"]:
+                    lx1, ly1, lx2, ly2 = left["extent"]
+                    rx1, ry1, rx2, ry2 = right["extent"]
                     values = (
-                        box(*left["extent"]).union(box(*right["extent"])).bounds
+                        min(lx1, rx1),
+                        min(ly1, ry1),
+                        max(lx2, rx2),
+                        max(ly2, ry2),
                     )
                 elif left["extent"]:
                     values = left["extent"]

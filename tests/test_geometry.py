@@ -210,6 +210,54 @@ class TestSetOperations:
         # index 1 is missing in b: geometry passes through unchanged
         assert data["features"].geometry.iloc[0].area == pytest.approx(100.0)
 
+    # ported from reference tests/test_geometry.py:341-425
+    def test_intersection_with_request(self):
+        request = dict(
+            mode="intersects", projection="EPSG:3857", geometry=box(0, 0, 1, 1)
+        )
+        source = MockGeometry([((0.0, 0.0), (0.0, 2.0), (2.0, 2.0), (2.0, 0.0))])
+        view = Intersection(source)
+        result = view.get_data(**request)
+        assert result["features"]["geometry"].iloc[0].area == pytest.approx(1.0)
+        result = view.get_data(**dict(request, mode="extent"))
+        assert tuple(result["extent"]) == (0.0, 0.0, 1.0, 1.0)
+
+    def test_difference_scopes_other_request(self):
+        request = dict(
+            mode="intersects", projection="EPSG:3857", geometry=box(0, 0, 1, 1)
+        )
+        source = MockGeometry([((0.0, 0.0), (0.0, 2.0), (2.0, 2.0), (2.0, 0.0))])
+        other = MockGeometry([((0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (1.0, 0.0))])
+        view = Difference(source, other)
+        # the request to other carries the source's extent as geometry
+        sar = view.get_sources_and_requests(**request)
+        assert sar[-1][1]["geometry"].area == pytest.approx(4.0)
+        result = view.get_data(**request)
+        assert len(result["features"]) == 1
+        assert result["features"]["geometry"].iloc[0].area == pytest.approx(3.0)
+
+    def test_difference_with_empty_source(self):
+        request = dict(
+            mode="intersects", projection="EPSG:3857", geometry=box(0, 0, 1, 1)
+        )
+        source = MockGeometry([((0.0, 0.0), (0.0, 2.0), (2.0, 2.0), (2.0, 0.0))])
+        view = Difference(MockGeometry([]), source)
+        # no request is issued when the source is empty
+        sar = view.get_sources_and_requests(**request)
+        assert len(sar) == 1
+        assert sar[0][1] is None
+        assert len(view.get_data(**request)["features"]) == 0
+
+    def test_difference_with_empty_other(self):
+        request = dict(
+            mode="intersects", projection="EPSG:3857", geometry=box(0, 0, 1, 1)
+        )
+        source = MockGeometry([((0.0, 0.0), (0.0, 2.0), (2.0, 2.0), (2.0, 0.0))])
+        view = Difference(source, MockGeometry([]))
+        result = view.get_data(**request)
+        assert len(result["features"]) == 1
+        assert result["features"]["geometry"].iloc[0].area == pytest.approx(4.0)
+
 
 class TestConstructive:
     def test_buffer(self, source, request_all):
@@ -228,6 +276,86 @@ class TestConstructive:
         data = Simplify(source, tolerance=0.01).get_data(**request_all)
         simplified = data["features"].geometry.iloc[0]
         assert len(simplified.exterior.coords) == 5  # closed square
+
+
+class TestBufferBehaviors:
+    """Ported from reference tests/test_geometry.py:589-678; this framework
+    buffers via the distance field (round corners at any resolution), so
+    areas are asserted against the circular-arc buffer."""
+
+    def test_buffer_square(self):
+        source = Buffer(
+            MockGeometry([((1, 1), (2, 1), (2, 2), (1, 2))]),
+            distance=1.0,
+            projection="EPSG:3857",
+        )
+        request = dict(
+            mode="intersects", projection="EPSG:3857", geometry=box(0, 0, 10, 10)
+        )
+        data = source.get_data(**request)
+        # unit square + distance-1 round buffer: 1 + 4·1 + π·1²
+        expected = 1 + 4 + np.pi
+        assert data["features"].geometry.area.iloc[0] == pytest.approx(
+            expected, rel=0.02
+        )
+
+    def test_buffer_transform(self):
+        from dask_geomodeling_tpu.utils import shapely_transform
+
+        polygon = (
+            (155000, 463000),
+            (155001, 463000),
+            (155001, 463001),
+            (155000, 463001),
+        )
+        source = Buffer(
+            MockGeometry([polygon], projection="EPSG:28992"),
+            distance=0.1,
+            projection="EPSG:28992",
+        )
+        # request WGS84 to force a transform of the buffered geometry
+        request = dict(
+            mode="intersects", projection="EPSG:4326", geometry=box(4, 51, 7, 53)
+        )
+        data = source.get_data(**request)
+        actual = shapely_transform(
+            data["features"].geometry.iloc[0], "EPSG:4326", "EPSG:28992"
+        ).area
+        expected = 1 + 4 * 0.1 + np.pi * 0.1**2
+        assert actual == pytest.approx(expected, rel=0.02)
+
+    def test_buffer_extent_mode(self):
+        polygon = (
+            (155000, 463000),
+            (156000, 463000),
+            (156000, 464000),
+            (155000, 464000),
+        )
+        source = Buffer(
+            MockGeometry([polygon], projection="EPSG:28992"),
+            distance=10,
+            projection="EPSG:28992",
+        )
+        request = dict(
+            mode="extent", projection="EPSG:4326", geometry=box(4, 51, 7, 53)
+        )
+        data = source.get_data(**request)
+        # reference values (pyproj); our Helmert datum shift differs by <1m
+        expected = (
+            5.38705742335229,
+            52.15508055768161,
+            5.401968302292468,
+            52.16425103224139,
+        )
+        np.testing.assert_allclose(data["extent"], expected, atol=5e-5)
+
+    def test_buffer_empty(self):
+        source = Buffer(MockGeometry([]), distance=1.0, projection="EPSG:3857")
+        request = dict(
+            mode="intersects", projection="EPSG:3857", geometry=box(0, 0, 10, 10)
+        )
+        assert len(source.get_data(**request)["features"]) == 0
+        assert source.get_data(**dict(request, mode="extent"))["extent"] is None
 
 
 class TestGeomOperations:
@@ -261,6 +389,47 @@ class TestMerge:
     def test_merge_validation(self, source):
         with pytest.raises(KeyError):
             MergeGeometryBlocks(source, source, how="sideways")
+
+    # ported from reference tests/test_geometry.py:860-935
+    def test_merge_extent_variants(self):
+        request = dict(
+            geometry=box(0, 0, 10, 10), mode="extent", projection="EPSG:3857"
+        )
+        source_1 = MockGeometry([((2.0, 2.0), (3.0, 2.0), (3.0, 3.0), (2.0, 3.0))])
+        source_2 = MockGeometry([((3.0, 3.0), (4.0, 3.0), (4.0, 4.0), (3.0, 4.0))])
+        empty = MockGeometry([])
+        source_4 = MockGeometry([((5.0, 5.0), (6.0, 5.0), (6.0, 6.0), (5.0, 6.0))])
+
+        # inner join: extents intersect at the shared corner
+        result = MergeGeometryBlocks(source_1, source_2, how="inner").get_data(
+            **request
+        )
+        assert tuple(result["extent"]) == (3.0, 3.0, 3.0, 3.0)
+        # inner join, no intersection: None
+        result = MergeGeometryBlocks(source_1, source_4, how="inner").get_data(
+            **request
+        )
+        assert result["extent"] is None
+        # outer join, no intersection: union
+        result = MergeGeometryBlocks(source_1, source_4, how="outer").get_data(
+            **request
+        )
+        assert tuple(result["extent"]) == (2.0, 2.0, 6.0, 6.0)
+        # inner join with one empty: None
+        result = MergeGeometryBlocks(source_1, empty, how="inner").get_data(
+            **request
+        )
+        assert result["extent"] is None
+        # outer join with one empty: the other's extent
+        result = MergeGeometryBlocks(source_1, empty, how="outer").get_data(
+            **request
+        )
+        assert tuple(result["extent"]) == (2.0, 2.0, 3.0, 3.0)
+
+    def test_merge_empty_source(self, source, request_all):
+        merged = MergeGeometryBlocks(source, MockGeometry([]), how="inner")
+        data = merged.get_data(**request_all)
+        assert data["features"].empty
 
 
 class TestParseTextColumn:

@@ -145,6 +145,165 @@ class TestGeometryFileSource:
         assert len(data["features"]) == 0  # all boxes are 2x2
 
 
+class TestGeometryFileSourceBehaviors:
+    """Ported from reference tests/test_geometry.py:98-278
+    (TstGeometryFileSourceBase)."""
+
+    def make_source(self, root, name, polygons, properties=None):
+        from dask_geomodeling_tpu.geo.geometry import Polygon
+
+        geoms = [Polygon(p) for p in polygons]
+        frame = GeoDataFrame(
+            pd.DataFrame(
+                properties
+                if properties is not None
+                else [{"name": "test"} for _ in geoms]
+            ),
+            geometry=geoms,
+            crs="EPSG:4326",
+        )
+        write_vector(frame, str(root / (name + ".geojson")))
+        return GeometryFileSource(name + ".geojson")
+
+    @pytest.fixture
+    def squares(self, root):
+        return self.make_source(
+            root,
+            "squares",
+            [
+                [(i * 0.1, 0.0), (i * 0.1 + 0.05, 0.0),
+                 (i * 0.1 + 0.05, 0.5), (i * 0.1, 0.5)]
+                for i in range(10)
+            ],
+        )
+
+    def test_get_data(self, squares):
+        result = squares.get_data(
+            geometry=box(0, 0, 1, 1), projection="EPSG:4326"
+        )
+        assert result["projection"] == "EPSG:4326"
+        assert len(result["features"]) == 10
+
+    def test_limit(self, squares):
+        result = squares.get_data(
+            geometry=box(0, 0, 1, 1), projection="EPSG:4326", limit=3
+        )
+        assert len(result["features"]) == 3
+
+    def test_filters(self, squares):
+        result = squares.get_data(
+            geometry=box(0, 0, 1, 1), projection="EPSG:4326",
+            filters=dict(name="test"),
+        )
+        assert len(result["features"]) == 10
+        result = squares.get_data(
+            geometry=box(0, 0, 1, 1), projection="EPSG:4326",
+            filters=dict(name="a"),
+        )
+        assert len(result["features"]) == 0
+        # unknown fields are ignored
+        result = squares.get_data(
+            geometry=box(0, 0, 1, 1), projection="EPSG:4326", filters=dict(a=1)
+        )
+        assert len(result["features"]) == 10
+        # django ORM-style expressions raise
+        with pytest.raises(ValueError):
+            squares.get_data(
+                geometry=box(0, 0, 1, 1), projection="EPSG:4326",
+                filters={"name__in": ["tst"]},
+            )
+
+    def test_bbox_predicates(self, root):
+        square = [(0.5, 0.5), (0.5, 0.6), (0.6, 0.6), (0.6, 0.5)]
+        outside = [(x + 1, y) for x, y in square]
+        edge = [(x + 0.45, y) for x, y in square]
+        source = self.make_source(root, "bbox", [square, outside, edge])
+
+        result = source.get_data(
+            geometry=box(0.0, 0.0, 1.0, 1.0), projection="EPSG:4326"
+        )
+        assert len(result["features"]) == 2  # square and edge
+        result = source.get_data(
+            geometry=box(0.0, 0.0, 0.9, 1.0), projection="EPSG:4326"
+        )
+        assert len(result["features"]) == 1  # only square
+        # point requests at the 4 corners hit
+        for x, y in [(0.5, 0.5), (0.5, 0.6), (0.6, 0.5), (0.6, 0.6)]:
+            result = source.get_data(
+                geometry=box(x, y, x, y), projection="EPSG:4326"
+            )
+            assert len(result["features"]) == 1
+        # just outside each edge: miss
+        for x, y in [(0.49, 0.55), (0.61, 0.6), (0.55, 0.49), (0.6, 0.61)]:
+            result = source.get_data(
+                geometry=box(x, y, x, y), projection="EPSG:4326"
+            )
+            assert len(result["features"]) == 0
+
+    def test_size_filter(self, root):
+        full = [(0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (1.0, 0.0)]
+        small = [(0.0, 0.0), (0.0, 0.1), (0.1, 0.1), (0.1, 0.0)]
+        source = self.make_source(root, "sizes", [full, small])
+        for min_size, expected in [(1.1, 0), (0.9, 1), (0, 2)]:
+            result = source.get_data(
+                geometry=box(0, 0, 1, 1), projection="EPSG:4326",
+                min_size=min_size,
+            )
+            assert len(result["features"]) == expected
+
+    def test_centroid_mode(self, root):
+        # intersects the bbox but its centroid lies outside
+        triangle = [(0.8, 0.8), (2.0, 0.8), (2.0, 2.0)]
+        source = self.make_source(root, "centroid", [triangle])
+        result = source.get_data(
+            geometry=box(0, 0, 1, 1), projection="EPSG:4326", mode="centroid"
+        )
+        assert len(result["features"]) == 0
+        result = source.get_data(
+            geometry=box(0, 0, 1, 1), projection="EPSG:4326"
+        )
+        assert len(result["features"]) == 1
+
+    def test_reproject(self, squares):
+        from dask_geomodeling_tpu.geo import transform_extent
+
+        bbox3857 = transform_extent((0, 0, 1, 1), "EPSG:4326", "EPSG:3857")
+        result = squares.get_data(
+            geometry=box(*bbox3857), projection="EPSG:3857"
+        )
+        assert result["projection"] == "EPSG:3857"
+        assert result["features"].crs == "EPSG:3857"
+        assert len(result["features"]) == 10
+
+    def test_extent_mode(self, squares):
+        full = squares.get_data(geometry=box(0, 0, 1, 1), projection="EPSG:4326")
+        expected = tuple(full["features"].total_bounds)
+        result = squares.get_data(mode="extent", projection="EPSG:4326")
+        assert result["projection"] == "EPSG:4326"
+        assert tuple(result["extent"]) == pytest.approx(expected)
+        # limit does not influence the extent
+        result = squares.get_data(mode="extent", projection="EPSG:4326", limit=1)
+        assert tuple(result["extent"]) == pytest.approx(expected)
+
+    def test_extent_mode_reproject(self, squares):
+        result = squares.get_data(mode="extent", projection="EPSG:3857")
+        assert result["projection"] == "EPSG:3857"
+        assert result["extent"][2] > 10000.0
+
+    def test_custom_id_field(self, root):
+        source_block = self.make_source(
+            root,
+            "ids",
+            [[(0, 0), (1, 0), (1, 1), (0, 1)]] * 2,
+            properties=[{"code": 42, "name": "x"}, {"code": 7, "name": "y"}],
+        )
+        source_block = GeometryFileSource(source_block.url, id_field="code")
+        result = source_block.get_data(
+            geometry=box(0, 0, 1, 1), projection="EPSG:4326"
+        )
+        assert set(result["features"].index) == {42, 7}
+
+
 class TestGeometryFileSink:
     @pytest.fixture
     def source(self, root, frame):
