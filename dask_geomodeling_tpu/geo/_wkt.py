@@ -29,6 +29,7 @@ _WKB_TYPES = {v: k for k, v in _WKB_CODES.items()}
 
 
 def _fmt_num(v):
+    v = float(v)  # numpy scalars would otherwise leak their repr
     if v == int(v) and abs(v) < 1e15:
         return str(int(v))
     return repr(v)

@@ -458,6 +458,108 @@ class TestParseTextColumn:
         assert autocast_value("null") is None
         assert autocast_value("abc") == "abc"
 
+    # ported from reference tests/test_geometry.py:1492-1650
+    KEY_MAPPING = {
+        "modelname": "model_name",
+        "duration": "rainfall_duration",
+        "strength": "rainfall_strength",
+        "ahn2": "ahn2_used",
+    }
+    DESCRIPTION = (
+        "\nSimulation of Rotterdam"
+        "\n\nmodelname=rotterdam 01"
+        "\nduration=120\nstrength=70\nahn2=true"
+    )
+    EXPECTED = {
+        "model_name": "rotterdam 01",
+        "rainfall_duration": 120,
+        "rainfall_strength": 70,
+        "ahn2_used": True,
+    }
+
+    def make(self, descriptions):
+        source = MockGeometry(
+            polygons=[SQUARE1] * len(descriptions),
+            properties=[
+                {"id": i + 1, "description": d}
+                for i, d in enumerate(descriptions)
+            ],
+        )
+        return ParseTextColumn(source, "description", self.KEY_MAPPING)
+
+    def test_parser_results(self, request_all):
+        data = self.make([self.DESCRIPTION]).get_data(**request_all)["features"]
+        for col, expected in self.EXPECTED.items():
+            assert data.loc[1, col] == expected
+
+    def test_parser_empty_description(self, request_all):
+        data = self.make([None]).get_data(**request_all)["features"]
+        for col in self.EXPECTED:
+            assert pd.isna(data.loc[1, col])
+
+    def test_parser_empty_one_description(self, request_all):
+        data = self.make([None, self.DESCRIPTION]).get_data(
+            **request_all
+        )["features"]
+        for col, expected in self.EXPECTED.items():
+            assert pd.isna(data.loc[1, col])
+            assert data.loc[2, col] == expected
+
+    def test_parser_two_different(self, request_all):
+        other = (
+            "\nSimulation of Groningen"
+            "\n\nmodelname=groningen 01"
+            "\nduration=60\nstrength=120\nahn2=false"
+        )
+        data = self.make([self.DESCRIPTION, other]).get_data(
+            **request_all
+        )["features"]
+        expected2 = {
+            "model_name": "groningen 01",
+            "rainfall_duration": 60,
+            "rainfall_strength": 120,
+            "ahn2_used": False,
+        }
+        for col in self.EXPECTED:
+            assert data.loc[1, col] == self.EXPECTED[col]
+            assert data.loc[2, col] == expected2[col]
+
+    def test_parser_missing_and_null_keys(self, request_all):
+        description = (
+            "\nSimulation of Utrecht"
+            "\n\nmodelname=null"
+            "\nduration=60\nstrength=120"
+        )
+        record = self.make([description]).get_data(**request_all)[
+            "features"
+        ].iloc[0]
+        assert pd.isna(record["model_name"])  # explicit null
+        assert record["rainfall_duration"] == 60
+        assert record["rainfall_strength"] == 120
+        assert pd.isna(record["ahn2_used"])  # missing key
+
+    def test_parser_into_same_column(self, request_all):
+        source = MockGeometry(
+            polygons=[SQUARE1],
+            properties=[{"id": 1, "description": self.DESCRIPTION}],
+        )
+        view = ParseTextColumn(
+            source, "description", {"modelname": "description"}
+        )
+        data = view.get_data(**request_all)["features"]
+        assert data.loc[1, "description"] == "rotterdam 01"
+
+    def test_parser_into_same_column_non_existing(self, request_all):
+        source = MockGeometry(
+            polygons=[SQUARE1],
+            properties=[{"id": 1, "description": self.DESCRIPTION}],
+        )
+        view = ParseTextColumn(
+            source, "description", {"nonexisting": "description"}
+        )
+        data = view.get_data(**request_all)["features"]
+        assert pd.isna(data.loc[1, "description"])
+
 
 class TestWKTSource:
     def test_intersects(self, request_all):
@@ -478,6 +580,43 @@ class TestWKTSource:
     def test_validation(self):
         with pytest.raises(ValueError):
             GeometryWKTSource("NOT WKT", "EPSG:3857")
+
+    # ported from reference tests/test_geometry.py:427-530
+    def test_wrong_mode(self, request_all):
+        source = GeometryWKTSource(box(0, 0, 5, 5).wkt, "EPSG:3857")
+        with pytest.raises(ValueError, match="jose"):
+            source.get_data(**dict(request_all, mode="jose"))
+
+    def test_intersects_not_centroid(self):
+        # intersects the request bbox but its centroid does not:
+        # kept in intersects mode, dropped in centroid mode
+        request = dict(
+            mode="intersects",
+            geometry=box(135000.5, 455998, 135001.5, 455999.5),
+            projection="EPSG:28992",
+        )
+        geom = box(135001, 455998, 135002.5, 455999.5)
+        assert not geom.centroid.within(request["geometry"])
+        source = GeometryWKTSource(geom.wkt, "EPSG:28992")
+        assert len(source.get_data(**request)["features"]) == 1
+        assert len(
+            source.get_data(**dict(request, mode="centroid"))["features"]
+        ) == 0
+
+    def test_centroid_mode_kept(self, request_all):
+        source = GeometryWKTSource(box(0, 0, 5, 5).wkt, "EPSG:3857")
+        data = source.get_data(**dict(request_all, mode="centroid"))
+        assert len(data["features"]) == 1
+
+    def test_extent_empty(self, request_all):
+        source = GeometryWKTSource(box(100, 100, 105, 105).wkt, "EPSG:3857")
+        data = source.get_data(**dict(request_all, mode="extent"))
+        assert data == {"projection": "EPSG:3857", "extent": None}
+
+    def test_min_size_filters_out(self, request_all):
+        source = GeometryWKTSource(box(0, 0, 1, 1).wkt, "EPSG:3857")
+        data = source.get_data(**dict(request_all, min_size=2.0))
+        assert data["features"].empty
 
 
 class TestGeometryTiler:
@@ -502,3 +641,106 @@ class TestGeometryTiler:
         tiler = GeometryTiler(source, size=25.0, projection="EPSG:3857")
         with pytest.raises(NotImplementedError):
             tiler.get_data(**request_all)
+
+    # ported from reference tests/test_geometry.py:1388-1490
+    @pytest.fixture
+    def unit_source(self):
+        return MockGeometry(
+            polygons=[((2.0, 2.0), (8.0, 2.0), (8.0, 8.0), (2.0, 8.0))],
+            properties=[{"id": 1}],
+        )
+
+    @pytest.fixture
+    def centroid_request(self):
+        return dict(
+            mode="centroid", projection="EPSG:3857", geometry=box(0, 0, 10, 5)
+        )
+
+    def test_tiler_empty_source(self, centroid_request):
+        view = GeometryTiler(MockGeometry([]), 5.0, "EPSG:3857")
+        assert len(view.get_data(**centroid_request)["features"]) == 0
+
+    def test_tiler_some_tiles_empty(self, unit_source, centroid_request):
+        request = dict(centroid_request, geometry=box(0, 0, 10, 50))
+        view = GeometryTiler(unit_source, 10.0, "EPSG:3857")
+        assert len(view.get_data(**request)["features"]) == 1
+
+    def test_tiler_no_tiling(self, unit_source, centroid_request):
+        view = GeometryTiler(unit_source, 10, "EPSG:3857")
+        requests = [
+            x[1] for x in view.get_sources_and_requests(**centroid_request)
+        ]
+        assert len(requests) == 1
+        assert requests[0]["geometry"].area == 50.0
+
+    def test_tiler_two_tiles(self, unit_source, centroid_request):
+        view = GeometryTiler(unit_source, 5, "EPSG:3857")
+        requests = [
+            x[1] for x in view.get_sources_and_requests(**centroid_request)
+        ]
+        assert len(requests) == 2
+        for request in requests:
+            assert request["geometry"].area == pytest.approx(25.0)
+
+    def test_tiler_eight_tiles(self, unit_source, centroid_request):
+        view = GeometryTiler(unit_source, 2.5, "EPSG:3857")
+        requests = [
+            x[1] for x in view.get_sources_and_requests(**centroid_request)
+        ]
+        assert len(requests) == 8
+        for request in requests:
+            assert request["geometry"].area == pytest.approx(2.5 * 2.5)
+
+    def test_tiler_skip_empty_tiles(self, unit_source, centroid_request):
+        from dask_geomodeling_tpu.geo.geometry import Polygon
+
+        # L-shaped request: 3 of the 8 grid tiles fall in the empty notch
+        request = dict(
+            centroid_request,
+            geometry=Polygon(
+                ((0, 0), (10, 0), (10, 5), (9, 5), (9, 1), (0, 1), (0, 0))
+            ),
+        )
+        view = GeometryTiler(unit_source, 2.5, "EPSG:3857")
+        requests = [x[1] for x in view.get_sources_and_requests(**request)]
+        assert len(requests) == 5
+        for r in requests:
+            assert r["geometry"].area < 25.0
+
+    def test_tiler_resize(self, unit_source, centroid_request):
+        # size 8 over a 10-wide request: equalized down to two 5x5 tiles
+        view = GeometryTiler(unit_source, 8, "EPSG:3857")
+        requests = [
+            x[1] for x in view.get_sources_and_requests(**centroid_request)
+        ]
+        assert len(requests) == 2
+        for request in requests:
+            assert request["geometry"].area == pytest.approx(25.0)
+
+    def test_tiler_different_projection(self, unit_source, centroid_request):
+        from dask_geomodeling_tpu.geo import shapely_transform
+
+        view = GeometryTiler(unit_source, 5.00001, "EPSG:3857")
+        request = dict(
+            centroid_request,
+            projection="EPSG:4326",
+            geometry=shapely_transform(
+                centroid_request["geometry"], "EPSG:3857", "EPSG:4326"
+            ),
+        )
+        requests = [x[1] for x in view.get_sources_and_requests(**request)]
+        assert len(requests) == 2
+        for r in requests:
+            assert r["projection"] == "EPSG:3857"
+            assert r["geometry"].area == pytest.approx(25.0, rel=1e-4)
+
+    def test_tiler_merge_results(self, centroid_request):
+        source = MockGeometry(
+            polygons=[
+                ((2.0, 2.0), (3.0, 2.0), (3.0, 3.0), (2.0, 3.0)),
+                ((6.0, 2.0), (7.0, 2.0), (7.0, 3.0), (6.0, 3.0)),
+            ],
+            properties=[{"id": 1}, {"id": 2}],
+        )
+        view = GeometryTiler(source, 5, "EPSG:3857")
+        assert len(view.get_data(**centroid_request)["features"]) == 2
