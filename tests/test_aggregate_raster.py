@@ -176,6 +176,227 @@ class TestAggregateRaster:
             AggregateRaster(geom, "not a raster")
 
 
+class TestAggregateRequestShaping:
+    """Ported from reference tests/test_aggregate_raster.py:221-470:
+    raster request snapping, pixel-size scaling, time handling, chaining."""
+
+    @pytest.fixture
+    def constant_raster(self):
+        from tests.factories import MockRaster
+
+        return MockRaster(
+            origin=datetime(2018, 1, 1), timedelta=timedelta(hours=1), bands=1
+        )
+
+    @pytest.fixture
+    def geometry_source(self):
+        return MockGeometry(
+            polygons=[((2.0, 2.0), (8.0, 2.0), (8.0, 8.0), (2.0, 8.0))],
+            properties=[{"id": 1}],
+        )
+
+    @pytest.fixture
+    def geometry_request(self):
+        return dict(
+            mode="intersects", projection="EPSG:3857", geometry=box(0, 0, 10, 10)
+        )
+
+    def raster_request(self, view, **request):
+        return view.get_sources_and_requests(**request)[1][1]
+
+    def test_raster_request(self, geometry_source, constant_raster, geometry_request):
+        view = AggregateRaster(geometry_source, constant_raster, statistic="sum")
+        request = self.raster_request(view, **geometry_request)
+        np.testing.assert_almost_equal(request["bbox"], (2, 2, 8, 8))
+        assert request["width"] == 6
+        assert request["height"] == 6
+
+    def test_time_resolution_forwarded(
+        self, geometry_source, constant_raster, geometry_request
+    ):
+        view = AggregateRaster(geometry_source, constant_raster, statistic="sum")
+        request = self.raster_request(
+            view, **dict(geometry_request, time_resolution=3600000)
+        )
+        assert request["time_resolution"] == 3600000
+
+    @pytest.mark.parametrize(
+        "pixel_size,expected_wh", [(2, 3), (0.5, 12)]
+    )
+    def test_pixel_size(
+        self, geometry_source, constant_raster, geometry_request,
+        pixel_size, expected_wh,
+    ):
+        view = AggregateRaster(
+            geometry_source, constant_raster, statistic="sum",
+            pixel_size=pixel_size,
+        )
+        request = self.raster_request(view, **geometry_request)
+        np.testing.assert_almost_equal(request["bbox"], (2, 2, 8, 8))
+        assert request["width"] == expected_wh
+        assert request["height"] == expected_wh
+
+    def test_max_pixels(self, geometry_source, constant_raster, geometry_request):
+        view = AggregateRaster(
+            geometry_source, constant_raster, statistic="sum",
+            max_pixels=9, auto_pixel_size=True,
+        )
+        request = self.raster_request(view, **geometry_request)
+        np.testing.assert_almost_equal(request["bbox"], (2, 2, 8, 8))
+        assert request["width"] == 3
+        assert request["height"] == 3
+
+    @pytest.mark.parametrize(
+        "bbox,exp_bbox,exp_shape",
+        [
+            [(2.01, 1.99, 7.99, 8.01), (2, 1, 8, 9), (6, 8)],
+            [(1.99, 2.01, 8.01, 7.99), (1, 2, 9, 8), (8, 6)],
+            [(2.0, 2.0, 8.0, 8.0), (2, 2, 8, 8), (6, 6)],
+            [(2.9, 1.1, 8.9, 7.1), (2, 1, 9, 8), (7, 7)],
+            [(2.0, 1.0, 3.0, 2.0), (2.5, 1.5, 2.5, 1.5), (1, 1)],
+            [(2.0, 1.1, 3.0, 2.1), (2, 1, 3, 3), (1, 2)],
+            [(1.1, 1.0, 3.0, 2.0), (1, 1, 3, 2), (2, 1)],
+        ],
+    )
+    def test_snap_bbox(
+        self, constant_raster, geometry_request, bbox, exp_bbox, exp_shape
+    ):
+        x1, y1, x2, y2 = bbox
+        view = AggregateRaster(
+            MockGeometry([((x1, y1), (x2, y1), (x2, y2), (x1, y2))]),
+            constant_raster,
+        )
+        request = self.raster_request(view, **geometry_request)
+        np.testing.assert_almost_equal(request["bbox"], exp_bbox)
+        assert request["width"] == exp_shape[0]
+        assert request["height"] == exp_shape[1]
+
+    def test_max_pixels_with_snap(self, constant_raster, geometry_request):
+        x1, y1, x2, y2 = 2.01, 1.99, 7.99, 8.01
+        view = AggregateRaster(
+            MockGeometry([((x1, y1), (x2, y1), (x2, y2), (x1, y2))]),
+            constant_raster,
+            max_pixels=20,
+            auto_pixel_size=True,
+        )
+        request = self.raster_request(view, **geometry_request)
+        # pixel_size doubles, so the snap grid coarsens too
+        np.testing.assert_almost_equal(request["bbox"], (2, 0, 8, 10))
+        assert request["width"] == 3
+        assert request["height"] == 5
+
+    def test_no_auto_scaling(
+        self, geometry_source, constant_raster, geometry_request
+    ):
+        view = AggregateRaster(
+            geometry_source, constant_raster, statistic="sum", max_pixels=9
+        )
+        with pytest.raises(RuntimeError):
+            view.get_sources_and_requests(**geometry_request)
+
+    def test_raster_limit_fallback(
+        self, geometry_source, constant_raster, geometry_request
+    ):
+        view = AggregateRaster(geometry_source, constant_raster, statistic="sum")
+        with config.set({"geomodeling.raster-limit": 9}):
+            with pytest.raises(RuntimeError):
+                view.get_sources_and_requests(**geometry_request)
+
+    def test_extensive_scaling(
+        self, geometry_source, constant_raster, geometry_request
+    ):
+        # sum is extensive: a coarsened aggregation is rescaled by the
+        # squared pixel-size ratio
+        view1 = AggregateRaster(geometry_source, constant_raster, statistic="sum")
+        view2 = AggregateRaster(
+            geometry_source, constant_raster, statistic="sum",
+            pixel_size=0.1, max_pixels=6**2, auto_pixel_size=True,
+        )
+        agg1 = view1.get_data(**geometry_request)["features"].iloc[0]["agg"]
+        agg2 = view2.get_data(**geometry_request)["features"].iloc[0]["agg"]
+        assert agg1 * (10**2) == agg2
+
+    def test_intensive_scaling(
+        self, geometry_source, constant_raster, geometry_request
+    ):
+        # mean is intensive: no rescaling
+        view1 = AggregateRaster(geometry_source, constant_raster, statistic="mean")
+        view2 = AggregateRaster(
+            geometry_source, constant_raster, statistic="mean",
+            pixel_size=0.1, max_pixels=6**2, auto_pixel_size=True,
+        )
+        agg1 = view1.get_data(**geometry_request)["features"].iloc[0]["agg"]
+        agg2 = view2.get_data(**geometry_request)["features"].iloc[0]["agg"]
+        assert agg1 == agg2
+
+    def test_different_projection(
+        self, geometry_source, constant_raster, geometry_request
+    ):
+        view = AggregateRaster(
+            geometry_source, constant_raster, statistic="mean",
+            projection="EPSG:3857",
+        )
+        request = dict(
+            geometry_request,
+            projection="EPSG:4326",
+            geometry=box(-180, -85, 180, 85),
+        )
+        raster_request = self.raster_request(view, **request)
+        assert raster_request["projection"] == "EPSG:3857"
+        result = view.get_data(**request)
+        assert result["projection"] == "EPSG:4326"
+        assert result["features"].iloc[0]["agg"] == 1.0
+
+    def test_time(self, geometry_source, geometry_request):
+        from tests.factories import MockRaster
+
+        raster = MockRaster(
+            origin=datetime(2018, 1, 1), timedelta=timedelta(hours=1), bands=3
+        )
+        view = AggregateRaster(geometry_source, raster, statistic="mean")
+        request = dict(geometry_request)
+
+        # full range: one aggregate per frame
+        request["start"], request["stop"] = raster.period
+        value = view.get_data(**request)["features"].iloc[0]["agg"][0]
+        assert len(value) == 3
+
+        # single frame: scalar
+        request["stop"] = None
+        value = view.get_data(**request)["features"].iloc[0]["agg"]
+        assert value == 1.0
+
+        # out of range: NaN
+        request["start"] = raster.period[0] + timedelta(days=1)
+        request["stop"] = raster.period[1] + timedelta(days=1)
+        value = view.get_data(**request)["features"].iloc[0]["agg"]
+        assert np.isnan(value)
+
+    def test_chained_aggregation(
+        self, geometry_source, constant_raster, geometry_request
+    ):
+        from tests.factories import MockRaster
+
+        first = AggregateRaster(geometry_source, constant_raster, statistic="sum")
+        raster2 = MockRaster(
+            origin=datetime(2018, 1, 1), timedelta=timedelta(hours=1),
+            bands=1, value=7,
+        )
+        chained = AggregateRaster(
+            first, raster2, statistic="mean", column_name="agg2"
+        )
+        feature = chained.get_data(**geometry_request)["features"].iloc[0]
+        assert feature["agg"] == 36.0
+        assert feature["agg2"] == 7.0
+
+    def test_empty_dataset(self, constant_raster, geometry_request):
+        view = AggregateRaster(
+            MockGeometry([]), constant_raster, statistic="sum"
+        )
+        result = view.get_data(**geometry_request)
+        assert len(result["features"]) == 0
+
+
 class TestAggregateAboveThreshold:
     square = [(2, 2), (6, 2), (6, 6), (2, 6)]
 
