@@ -204,6 +204,116 @@ class TestRasterize:
         data = Rasterize(geom).get_data(**dict(request_2x2, mode="time"))
         assert data["time"] == [datetime(1970, 1, 1)]
 
+    # ported from reference tests/test_raster.py:1643-1810
+    @pytest.fixture
+    def mixed_source(self):
+        squares = [
+            ((0.0, 1.0), (0.0, 2.0), (1.0, 2.0), (1.0, 1.0)),  # 1 pixel inside
+            ((10.0, 2.0), (10.0, 3.0), (20.0, 3.0), (20.0, 2.0)),  # outside
+            ((1.0, 2.0), (1.0, 13.0), (12.0, 13.0), (12.0, 2.0)),  # partial
+        ]
+        return MockGeometry(
+            squares, [{"id": x, "value": x / 3} for x in (51, 212, 512)]
+        )
+
+    @pytest.fixture
+    def vals_request(self):
+        return dict(
+            mode="vals", width=2, height=3, bbox=(0, 0, 2, 3),
+            projection="EPSG:3857",
+        )
+
+    @pytest.fixture
+    def point_request(self):
+        return dict(
+            mode="vals", width=1, height=1, bbox=(0, 0, 0, 0),
+            projection="EPSG:3857",
+        )
+
+    def test_vals_request(self, mixed_source, vals_request):
+        data = Rasterize(mixed_source, "id").get_data(**vals_request)
+        values = data["values"][0, ::-1]  # x, y -> j, i
+        assert values[1, 0] == 51
+        assert values[2, 1] == 512
+        assert np.sum(values == data["no_data_value"]) == 4
+
+    def test_overlapping_last_on_top(self, vals_request):
+        squares = [
+            ((0.0, 0.0), (2.0, 0.0), (2.0, 3.0), (0.0, 3.0)),  # full bbox
+            ((0.0, 1.0), (0.0, 2.0), (1.0, 2.0), (1.0, 1.0)),  # 1 pixel
+        ]
+        data = Rasterize(MockGeometry(squares), "id").get_data(**vals_request)
+        values = data["values"][0]
+        assert values[1, 0] == 1
+        assert np.sum(values == 0) == 5
+
+    @pytest.mark.parametrize("offset", [0.0, 0.49, 0.51, 1.0])
+    @pytest.mark.parametrize("axis", ["x", "y"])
+    def test_shifting_pixel(self, vals_request, offset, axis):
+        # pixel-center sampling: the burned cell flips at offset 0.5
+        pixel = np.array(((0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)))
+        shift = [offset, 0.0] if axis == "x" else [0.0, offset]
+        data = Rasterize(MockGeometry([pixel + shift]), "id").get_data(
+            **vals_request
+        )
+        if axis == "x":
+            expected = (2, 0) if offset < 0.5 else (2, 1)
+        else:
+            expected = (2, 0) if offset < 0.5 else (1, 0)
+        assert data["values"][0][expected] == 0
+        assert np.sum(data["values"] == 0) == 1
+
+    def test_point_request(self, point_request):
+        pixel = np.array(((0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)))
+        # no geometry: nodata
+        data = Rasterize(MockGeometry([]), "id").get_data(**point_request)
+        assert data["values"].tolist() == [[[data["no_data_value"]]]]
+        # the last geometry wins
+        data = Rasterize(MockGeometry([pixel, pixel]), "id").get_data(
+            **point_request
+        )
+        assert data["values"].tolist() == [[[1]]]
+        data = Rasterize(
+            MockGeometry([pixel, pixel], [{"id": x} for x in (51, 212)]), "id"
+        ).get_data(**point_request)
+        assert data["values"].tolist() == [[[212]]]
+
+    def test_limit(self, mixed_source, vals_request):
+        data = Rasterize(mixed_source, "id", limit=1).get_data(**vals_request)
+        assert np.sum(data["values"] == data["no_data_value"]) == 5
+
+    def test_rasterize_id_as_uint(self, mixed_source, vals_request):
+        data = Rasterize(mixed_source, column_name="id", dtype="uint8").get_data(
+            **vals_request
+        )
+        values = data["values"][0, ::-1]
+        assert values.dtype == np.uint8
+        assert data["no_data_value"] == 255
+        assert values[1, 0] == np.uint8(51)
+        assert values[2, 1] == np.array(512).astype(np.uint8)  # wraps
+
+    def test_rasterize_value_as_float16(self, mixed_source, vals_request):
+        data = Rasterize(
+            mixed_source, column_name="value", dtype="float16"
+        ).get_data(**vals_request)
+        values = data["values"][0, ::-1]
+        assert values.dtype == np.float16
+        assert values[1, 0] == np.float16(51 / 3)
+        assert values[2, 1] == np.float16(512 / 3)
+
+    def test_geometry_request_shaping(self, mixed_source):
+        (_, req), _ = Rasterize(mixed_source, "id").get_sources_and_requests(
+            mode="vals", width=256, height=100, bbox=(0, 0, 10, 10),
+            projection="EPSG:3857",
+            start=datetime(2018, 1, 1), stop=datetime(2019, 1, 1),
+        )
+        assert req["mode"] == "intersects"
+        assert req["geometry"].area == 100.0
+
+    def test_meta_mode(self, mixed_source):
+        data = Rasterize(mixed_source, "id").get_data(mode="meta")
+        assert data["meta"] == [None]
+
 
 class TestRasterizeWKT:
     def test_rasterize_wkt(self, request_2x2):

@@ -338,6 +338,123 @@ class TestGroup:
         assert data["values"][2, 0, 0] == 103
         assert data["values"][3, 0, 0] == data["no_data_value"]
 
+    # ported from reference tests/test_raster.py:1005-1125 (gap handling)
+    @pytest.fixture
+    def gappy_group(self):
+        from tests.factories import MockRaster
+
+        s1 = MockRaster(
+            origin=datetime(2000, 1, 1), timedelta=timedelta(minutes=5), bands=3
+        )
+        s6 = MockRaster(
+            origin=datetime(2000, 1, 1, 0, 20),
+            timedelta=timedelta(minutes=5),
+            bands=1,
+        )
+        return Group(s1, s6)
+
+    def test_start_in_gap(self, gappy_group):
+        request = dict(
+            start=datetime(2000, 1, 1, 0, 15), stop=datetime(2000, 1, 1, 0, 20)
+        )
+        time = gappy_group.get_data(mode="time", **request)["time"]
+        assert time == [
+            datetime(2000, 1, 1, 0, 15),
+            datetime(2000, 1, 1, 0, 20),
+        ]
+        meta = gappy_group.get_data(mode="meta", **request)["meta"]
+        assert meta == ["", "Testmeta for band 0"]
+        data = gappy_group.get_data(mode="vals", width=1, height=1, **request)
+        assert data["values"].tolist() == [[[gappy_group.fillvalue]], [[1]]]
+
+    def test_stop_in_gap(self, gappy_group):
+        request = dict(
+            start=datetime(2000, 1, 1, 0, 10), stop=datetime(2000, 1, 1, 0, 15)
+        )
+        time = gappy_group.get_data(mode="time", **request)["time"]
+        assert time == [
+            datetime(2000, 1, 1, 0, 10),
+            datetime(2000, 1, 1, 0, 15),
+        ]
+        meta = gappy_group.get_data(mode="meta", **request)["meta"]
+        assert meta == ["Testmeta for band 2", ""]
+        data = gappy_group.get_data(mode="vals", width=1, height=1, **request)
+        assert data["values"].tolist() == [[[1]], [[gappy_group.fillvalue]]]
+
+    @pytest.mark.parametrize("with_stop", [True, False])
+    def test_only_gap(self, gappy_group, with_stop):
+        request = dict(start=datetime(2000, 1, 1, 0, 15))
+        if with_stop:
+            request["stop"] = datetime(2000, 1, 1, 0, 15)
+        time = gappy_group.get_data(mode="time", **request)["time"]
+        assert time == [datetime(2000, 1, 1, 0, 15)]
+        assert gappy_group.get_data(mode="meta", **request)["meta"] == [""]
+        data = gappy_group.get_data(mode="vals", width=1, height=1, **request)
+        assert data["values"].tolist() == [[[gappy_group.fillvalue]]]
+
+    def test_no_request_period_overlap(self):
+        from tests.factories import MockRaster
+
+        view = Group(
+            MockRaster(
+                origin=datetime(2000, 1, 1),
+                timedelta=timedelta(minutes=5),
+                bands=3,
+            )
+        )
+        for hours in (-1, 1):
+            shift = timedelta(hours=hours)
+            request = dict(
+                start=view.period[0] + shift, stop=view.period[1] + shift
+            )
+            assert view.get_data(mode="time", **request) is None
+            assert view.get_data(mode="meta", **request) is None
+            assert (
+                view.get_data(mode="vals", width=1, height=1, **request) is None
+            )
+
+    def test_fill_priority(self, hourly, request_all):
+        # the rightmost source wins; nodata is always shadowed
+        one = make_source([1] * 6, datetime(2000, 1, 1), timedelta(hours=1))
+        two = make_source([2] * 6, datetime(2000, 1, 1), timedelta(hours=1))
+        nodata = make_source([255] * 6, datetime(2000, 1, 1), timedelta(hours=1))
+        assert Group(two, one).get_data(**request_all)["values"][0, 0, 0] == 1
+        assert Group(one, two).get_data(**request_all)["values"][0, 0, 0] == 2
+        for args in [(nodata, one), (one, nodata)]:
+            assert Group(*args).get_data(**request_all)["values"][0, 0, 0] == 1
+
+    def test_group_by_time_interleaved(self):
+        # ported from reference test_group_by_time: interleaved timedeltas
+        from tests.factories import MockRaster
+
+        s1 = MockRaster(
+            origin=datetime(2000, 1, 1), timedelta=timedelta(minutes=5), bands=3
+        )
+        s2 = MockRaster(
+            origin=datetime(2000, 1, 1), timedelta=timedelta(minutes=3), bands=6
+        )
+        s4 = MockRaster(origin=None)
+        view = Group(s1, s2, s1, s4)
+        time = view.get_data(
+            mode="time", start=datetime(2000, 1, 1), stop=datetime(2001, 1, 1)
+        )["time"]
+        assert time == [
+            datetime(2000, 1, 1, 0, 0),
+            datetime(2000, 1, 1, 0, 3),
+            datetime(2000, 1, 1, 0, 5),
+            datetime(2000, 1, 1, 0, 6),
+            datetime(2000, 1, 1, 0, 9),
+            datetime(2000, 1, 1, 0, 10),
+            datetime(2000, 1, 1, 0, 12),
+            datetime(2000, 1, 1, 0, 15),
+        ]
+        meta = view.get_data(
+            mode="meta", start=datetime(2000, 1, 1), stop=datetime(2001, 1, 1)
+        )["meta"]
+        assert meta == [
+            "Testmeta for band {}".format(i) for i in (0, 1, 1, 2, 3, 2, 4, 5)
+        ]
+
     def test_group_by_time(self, hourly, request_all):
         # non-aligned timedelta: by_time merging
         other = make_source(
