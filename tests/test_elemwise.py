@@ -170,6 +170,133 @@ class TestMathBlocks:
             Add(a, other)
 
 
+class TestElementwisePropagation:
+    """Attribute propagation through two-operand elementwise blocks, ported
+    from reference tests/test_raster.py:59-298 (TestElementwise)."""
+
+    def test_propagate_timedelta(self):
+        from tests.factories import MockRaster
+
+        s = MockRaster(timedelta=timedelta(hours=1))
+        for args in [(s, 2), (2, s), (s, s)]:
+            assert Add(*args).timedelta == s.timedelta
+
+    def test_propagate_nonequidistant_time(self):
+        from tests.factories import MockRaster
+
+        s1 = MockRaster(timedelta=timedelta(hours=1))
+        s2 = MockRaster(timedelta=None, temporal=True)
+        for args in [(s1, s2), (s2, s1)]:
+            assert Add(*args).timedelta is None
+
+    def test_propagate_temporal(self):
+        from tests.factories import MockRaster
+
+        s1 = MockRaster(timedelta=timedelta(hours=1))
+        s2 = MockRaster(timedelta=None)
+        assert Add(s1, s1).temporal
+        assert not Add(s2, s2).temporal
+        with pytest.raises(ValueError):
+            Add(s1, s2)
+        with pytest.raises(ValueError):
+            Add(s2, s1)
+
+    def test_propagate_period(self):
+        from tests.factories import MockRaster
+
+        s1 = MockRaster(
+            origin=datetime(2018, 4, 1), timedelta=timedelta(hours=1), bands=6
+        )
+        s2 = MockRaster(
+            origin=datetime(2018, 4, 1, 2), timedelta=timedelta(hours=1), bands=6
+        )
+        for args in [(s1, 2), (2, s1), (s1, s1)]:
+            assert Add(*args).period == s1.period
+        # intersection
+        view = Add(s1, s2)
+        assert view.period == (s2.period[0], s1.period[1])
+        # disjoint: None
+        s3 = MockRaster(
+            origin=datetime(2018, 4, 2), timedelta=timedelta(hours=1), bands=6
+        )
+        assert Add(s1, s3).period is None
+
+    def test_propagate_none_period(self):
+        from tests.factories import MockRaster
+
+        s1 = MockRaster(origin=None, temporal=True)
+        s2 = MockRaster(
+            origin=datetime(2018, 4, 1),
+            timedelta=timedelta(hours=1),
+            bands=6,
+            temporal=True,
+        )
+        for args in [(s1, 2), (2, s1), (s1, s1), (s1, s2), (s2, s1)]:
+            assert Add(*args).period is None
+
+    def test_propagate_extent(self):
+        from tests.factories import MockRaster
+
+        s1 = MockRaster(value=np.empty((1, 2)))
+        s2 = MockRaster(value=np.empty((3, 4)))
+        for args in [(s1, 2), (2, s1), (s1, s1)]:
+            assert Add(*args).extent == s1.extent
+        assert Add(s1, s2).extent == (0, 0, 2, 1)
+
+    def test_propagate_none_extent(self):
+        from tests.factories import MockRaster
+
+        s1 = MockRaster(value=None)
+        s2 = MockRaster(value=np.empty((1, 2)))
+        for args in [(s1, 2), (2, s1), (s1, s1), (s1, s2), (s2, s1)]:
+            assert Add(*args).extent is None
+
+    def test_propagate_geometry(self):
+        from tests.factories import MockRaster
+
+        s1 = MockRaster(value=np.empty((1, 2)))
+        s2 = MockRaster(value=np.empty((3, 4)))
+        for args in [(s1, s2), (s2, s1)]:
+            geometry = Add(*args).geometry
+            assert geometry.bounds == (0.0, 0.0, 2.0, 1.0)
+
+    def test_propagate_projection(self):
+        from tests.factories import MockRaster
+
+        m = lambda proj, v=1: MockRaster(value=v, projection=proj)
+        assert Add(m("EPSG:3857"), 1).projection == "EPSG:3857"
+        assert Add(1, m("EPSG:3857")).projection == "EPSG:3857"
+        assert Add(m("EPSG:3857"), m("EPSG:3857", 2)).projection == "EPSG:3857"
+        assert Add(m("EPSG:3857"), m("EPSG:4326", 2)).projection is None
+        assert Add(m("EPSG:3857"), m(None, 2)).projection is None
+        assert Add(m(None), m(None, 2)).projection is None
+
+    def test_propagate_geo_transform(self):
+        from tests.factories import MockRaster
+
+        class WithGT(MockRaster):
+            def __init__(self, gt):
+                super().__init__(value=1)
+                self._gt = gt
+
+            @property
+            def geo_transform(self):
+                return self._gt
+
+        gt = (0, 1, 0, 1, 0, -1)
+        assert tuple(Add(WithGT(gt), 1).geo_transform) == gt
+        assert tuple(Add(1, WithGT(gt)).geo_transform) == gt
+        # aligned grids (integer pixel offset) propagate the first
+        assert tuple(
+            Add(WithGT(gt), WithGT((5, 1, 0, -8, 0, -1))).geo_transform
+        ) == gt
+        # non-matching pixel sizes: None
+        assert Add(WithGT(gt), WithGT((0, 2, 0, 1, 0, -2))).geo_transform is None
+        # None propagates
+        assert Add(WithGT(None), WithGT(gt)).geo_transform is None
+        assert Add(WithGT(gt), WithGT(None)).geo_transform is None
+
+
 class TestComparisons:
     def test_greater(self, a, request_2x2):
         data = Greater(a, 0).get_data(**request_2x2)

@@ -338,6 +338,47 @@ class TestGroup:
         assert data["values"][2, 0, 0] == 103
         assert data["values"][3, 0, 0] == data["no_data_value"]
 
+    # ported from reference tests/test_raster.py:644-835 (TestCombine):
+    # combine semantics are UNION (vs intersection for elementwise)
+    def test_propagate_period_union(self):
+        from tests.factories import MockRaster
+
+        s1 = MockRaster(
+            origin=datetime(2018, 4, 1), timedelta=timedelta(hours=1), bands=6
+        )
+        s2 = MockRaster(
+            origin=datetime(2018, 4, 1, 2), timedelta=timedelta(hours=1), bands=6
+        )
+        assert Group(s1, s1).period == s1.period
+        combined = Group(s1, s2)
+        assert combined.period == (s1.period[0], s2.period[1])
+
+    def test_propagate_extent_union(self):
+        from tests.factories import MockRaster
+
+        s1 = MockRaster(value=np.empty((1, 2)))
+        s2 = MockRaster(value=np.empty((3, 4)))
+        assert Group(s1, s1).extent == s1.extent
+        for args in [(s1, s2), (s2, s1)]:
+            assert Group(*args).extent == (0, 0, 4, 3)
+
+    def test_propagate_geometry_union(self):
+        from tests.factories import MockRaster
+
+        s1 = MockRaster(value=np.empty((1, 2)))
+        s2 = MockRaster(value=np.empty((3, 4)))
+        for args in [(s1, s2), (s2, s1)]:
+            assert Group(*args).geometry.bounds == (0.0, 0.0, 4.0, 3.0)
+
+    def test_empty_length(self):
+        from tests.factories import MockRaster
+
+        assert len(Group(MockRaster(origin=None))) == 0
+
+    def test_only_view_sources(self):
+        with pytest.raises(TypeError):
+            Group("not a raster")
+
     # ported from reference tests/test_raster.py:1005-1125 (gap handling)
     @pytest.fixture
     def gappy_group(self):
