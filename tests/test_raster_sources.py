@@ -171,3 +171,154 @@ class TestRasterFileSource:
     def test_time(self, tif_source):
         data = tif_source.get_data(mode="time")
         assert data["time"] == [datetime(1970, 1, 1, 1)]
+
+
+class TestSinglePixelSourceSweep:
+    """Ported from reference tests/test_raster_sources.py:19-263
+    (TstRasterSourceBase): a one-pixel raster at (136700, 455800), pixel
+    size 5, value 5 — exercised through both MemorySource and a GeoTIFF
+    RasterFileSource."""
+
+    @pytest.fixture(params=["memory", "geotiff"])
+    def pixel_source(self, request, tmp_path):
+        memory = MemorySource(
+            data=np.array([[[5]]], dtype=np.uint8),
+            no_data_value=255,
+            projection="EPSG:28992",
+            pixel_size=5,
+            pixel_origin=(136700, 455800),
+        )
+        if request.param == "memory":
+            return memory
+        from dask_geomodeling_tpu import config
+        from dask_geomodeling_tpu.io.geotiff import write_geotiff
+
+        path = tmp_path / "single_pixel.tif"
+        write_geotiff(
+            str(path),
+            np.array([[[5]]], dtype=np.uint8),
+            geo_transform=(136700.0, 5.0, 0.0, 455800.0, 0.0, -5.0),
+            projection="EPSG:28992",
+            no_data_value=255,
+        )
+        with config.set({"geomodeling.root": str(tmp_path)}):
+            source = RasterFileSource("single_pixel.tif")
+            source.period  # cache file info inside the config context
+            return source
+
+    @pytest.fixture
+    def temporal_source(self):
+        return MemorySource(
+            data=np.array([[[4]], [[5]]], dtype=np.uint8),
+            no_data_value=255,
+            projection="EPSG:28992",
+            pixel_size=5,
+            pixel_origin=(136700, 455800),
+            time_first=datetime(2000, 1, 1),
+            time_delta=timedelta(days=1),
+            metadata=["meta 1", "meta 2"],
+        )
+
+    def request_bbox(self, bbox, width, height):
+        return dict(
+            mode="vals", projection="EPSG:28992", bbox=bbox,
+            width=width, height=height,
+        )
+
+    def test_bbox_1x1(self, pixel_source):
+        data = pixel_source.get_data(
+            **self.request_bbox((136700, 455795, 136705, 455800), 1, 1)
+        )
+        assert data["values"].shape == (1, 1, 1)
+        np.testing.assert_array_equal(data["values"], 5)
+
+    @pytest.mark.parametrize("dx,dy", [(0, -5), (-5, 0), (0, 5), (5, 0)])
+    def test_bbox_1x1_nodata(self, pixel_source, dx, dy):
+        data = pixel_source.get_data(
+            **self.request_bbox(
+                (136700 + dx, 455795 + dy, 136705 + dx, 455800 + dy), 1, 1
+            )
+        )
+        np.testing.assert_array_equal(data["values"], data["no_data_value"])
+
+    def test_bbox_2x1(self, pixel_source):
+        data = pixel_source.get_data(
+            **self.request_bbox((136700, 455795, 136710, 455800), 2, 1)
+        )
+        assert data["values"].shape == (1, 1, 2)
+        np.testing.assert_array_equal(
+            data["values"], [[[5, data["no_data_value"]]]]
+        )
+
+    def test_bbox_1x2(self, pixel_source):
+        # y axis swap: nodata lands on the low-y = high-row side
+        data = pixel_source.get_data(
+            **self.request_bbox((136700, 455790, 136705, 455800), 1, 2)
+        )
+        assert data["values"].shape == (1, 2, 1)
+        np.testing.assert_array_equal(
+            data["values"], [[[5], [data["no_data_value"]]]]
+        )
+
+    def test_bbox_4x2(self, pixel_source):
+        data = pixel_source.get_data(
+            **self.request_bbox((136700, 455795, 136710, 455800), 4, 2)
+        )
+        n = data["no_data_value"]
+        np.testing.assert_array_equal(
+            data["values"], [[[5, 5, n, n], [5, 5, n, n]]]
+        )
+
+    def test_bbox_zoom_in(self, pixel_source):
+        data = pixel_source.get_data(
+            **self.request_bbox((136700, 455795, 136705, 455800), 5, 5)
+        )
+        assert data["values"].shape == (1, 5, 5)
+        np.testing.assert_array_equal(data["values"], 5)
+
+    def test_get_time_nearest(self, temporal_source):
+        for start, expected in [
+            (datetime(1970, 1, 1), datetime(2000, 1, 1)),
+            (datetime(2000, 1, 1), datetime(2000, 1, 1)),
+            (datetime(2000, 1, 1, 12), datetime(2000, 1, 1)),
+            (datetime(2000, 1, 1, 12, 1), datetime(2000, 1, 2)),
+            (datetime(2000, 1, 2), datetime(2000, 1, 2)),
+            (datetime(2018, 1, 1), datetime(2000, 1, 2)),
+        ]:
+            data = temporal_source.get_data(mode="time", start=start)
+            assert data["time"] == [expected]
+
+    def test_get_time_range(self, temporal_source):
+        cases = [
+            ((datetime(1970, 1, 1), datetime(1999, 12, 31, 12, 59)), []),
+            ((datetime(2000, 1, 2, 0, 1), datetime(2018, 1, 1)), []),
+            ((datetime(1970, 1, 1), datetime(2000, 1, 1)), [datetime(2000, 1, 1)]),
+            ((datetime(2000, 1, 1), datetime(2000, 1, 1)), [datetime(2000, 1, 1)]),
+            (
+                (datetime(2000, 1, 1), datetime(2000, 1, 1, 23, 59)),
+                [datetime(2000, 1, 1)],
+            ),
+            (
+                (datetime(1970, 1, 1), datetime(2010, 1, 1)),
+                [datetime(2000, 1, 1), datetime(2000, 1, 2)],
+            ),
+            (
+                (datetime(2000, 1, 1), datetime(2000, 1, 2)),
+                [datetime(2000, 1, 1), datetime(2000, 1, 2)],
+            ),
+        ]
+        for (start, stop), expected in cases:
+            data = temporal_source.get_data(mode="time", start=start, stop=stop)
+            assert data["time"] == expected
+
+    def test_get_meta(self, temporal_source):
+        assert temporal_source.get_data(mode="meta")["meta"] == ["meta 2"]
+        assert temporal_source.get_data(
+            mode="meta", start=datetime(1970, 1, 1)
+        )["meta"] == ["meta 1"]
+        assert temporal_source.get_data(
+            mode="meta", start=datetime(1970, 1, 1), stop=datetime(2010, 1, 1)
+        )["meta"] == ["meta 1", "meta 2"]
+        assert temporal_source.get_data(
+            mode="meta", start=datetime(1970, 1, 1), stop=datetime(1971, 1, 1)
+        )["meta"] == []
