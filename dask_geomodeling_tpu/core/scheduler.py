@@ -18,7 +18,10 @@ device-capable subgraphs into single jitted XLA programs before evaluation.
 """
 import os
 import sys
+import time
 from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
+
+from dask_geomodeling_tpu.runtime import profile as _profile
 
 __all__ = ["get_sync", "get_threaded", "get_processes", "get_scheduler"]
 
@@ -56,7 +59,18 @@ def get_sync(graph, keys, pack_exception=None):
         func = value[0]
         args = [_resolve(arg) for arg in value[1:]]
         try:
-            return func(*args)
+            profiler = _profile.active_profiler()
+            if profiler is None:
+                return func(*args)
+            t0 = time.perf_counter()
+            result = func(*args)
+            profiler._record(
+                getattr(func, "__qualname__", getattr(func, "__name__", "?")),
+                "task",
+                time.perf_counter() - t0,
+                t0,
+            )
+            return result
         except Exception as e:
             if pack_exception is not None:
                 pack_exception(e, None)

@@ -30,6 +30,7 @@ from collections import defaultdict
 import numpy as np
 
 from dask_geomodeling_tpu.core.tokens import tokenize
+from dask_geomodeling_tpu.runtime.profile import span as _span
 
 logger = logging.getLogger(__name__)
 
@@ -375,14 +376,17 @@ class _StagedProgram:
             return
         if compiled is None:
             _CACHE_STATS["misses"] += 1
-            compiled = self._compile(input_skeletons, literal_skeletons)
+            with _span("stage[%d nodes]" % len(self.keys), "compile"):
+                compiled = self._compile(input_skeletons, literal_skeletons)
             _PROGRAM_CACHE[sig] = compiled
         else:
             _CACHE_STATS["hits"] += 1
 
-        device_arrays = [_device_put_cached(a) for a in all_arrays]
+        with _span("device_put[%d]" % len(all_arrays), "transfer"):
+            device_arrays = [_device_put_cached(a) for a in all_arrays]
         try:
-            outputs = compiled(*device_arrays)
+            with _span("stage[%d nodes]" % len(self.keys), "device"):
+                outputs = compiled(*device_arrays)
         except TypeError:
             # static (non-array) outputs — e.g. a time/meta structure
             # passing through impls — cannot leave a jitted function;
@@ -390,8 +394,9 @@ class _StagedProgram:
             _PROGRAM_CACHE[sig] = _EAGER
             self._run_eager(cache)
             return
-        for key, out in zip(self.output_keys, outputs):
-            cache[key] = _to_numpy(out)
+        with _span("fetch[%d outputs]" % len(self.output_keys), "transfer"):
+            for key, out in zip(self.output_keys, outputs):
+                cache[key] = _to_numpy(out)
 
     def _run_eager(self, cache):
         """Evaluate the staged nodes host-side with the original process

@@ -180,13 +180,16 @@ def evaluate_tiled(view, request, tile_size=512, batch=32):
     # phase 1: dispatch every batch (device work proceeds asynchronously);
     # the final partial batch is padded to the full batch size so it reuses
     # the same compiled program, and the padding is dropped on assembly
+    from dask_geomodeling_tpu.runtime.profile import span as _span
+
     t_dispatch = time.perf_counter()
     pending = []
-    for lo in range(0, len(requests), batch):
-        chunk = requests[lo : lo + batch]
-        if lo and len(chunk) < batch:
-            chunk = chunk + [chunk[-1]] * (batch - len(chunk))
-        pending.append((lo, program.dispatch_batch(view, chunk)))
+    with _span("dispatch[%d tiles]" % len(requests), "tiles"):
+        for lo in range(0, len(requests), batch):
+            chunk = requests[lo : lo + batch]
+            if lo and len(chunk) < batch:
+                chunk = chunk + [chunk[-1]] * (batch - len(chunk))
+            pending.append((lo, program.dispatch_batch(view, chunk)))
     t_fetch = time.perf_counter()
 
     # phase 2: fetch + assemble (fetches overlap the remaining device work);
@@ -198,20 +201,23 @@ def evaluate_tiled(view, request, tile_size=512, batch=32):
             copy_async()
     out = None
     no_data_value = view.fillvalue
-    for lo, device_result in pending:
-        result = np.asarray(device_result)
-        if out is None:
-            bands = result.shape[1]
-            out = np.empty((bands, height, width), result.dtype)
-        for offset, tile_result in enumerate(result):
-            idx = lo + offset
-            if idx >= len(requests):
-                break  # padding of the final batch
-            j, i = divmod(idx, nx)
-            # world y increases upward; array rows run downward
-            row0 = height - (j + 1) * tile_size
-            col0 = i * tile_size
-            out[:, row0 : row0 + tile_size, col0 : col0 + tile_size] = tile_result
+    with _span("fetch+assemble[%d tiles]" % len(requests), "tiles"):
+        for lo, device_result in pending:
+            result = np.asarray(device_result)
+            if out is None:
+                bands = result.shape[1]
+                out = np.empty((bands, height, width), result.dtype)
+            for offset, tile_result in enumerate(result):
+                idx = lo + offset
+                if idx >= len(requests):
+                    break  # padding of the final batch
+                j, i = divmod(idx, nx)
+                # world y increases upward; array rows run downward
+                row0 = height - (j + 1) * tile_size
+                col0 = i * tile_size
+                out[
+                    :, row0 : row0 + tile_size, col0 : col0 + tile_size
+                ] = tile_result
     if logger.isEnabledFor(logging.DEBUG):
         t_end = time.perf_counter()
         logger.debug(
