@@ -91,3 +91,57 @@ def test_dryrun_multichip_entry(devices):
     module = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(module)
     module.dryrun_multichip(8)  # must not raise
+
+
+def test_sharded_gaussian_smooth_matches_scipy(devices):
+    """The real Smooth kernel (gaussian_blur_jax) under the sharded
+    pipeline with halo exchange must match scipy on the unsharded array."""
+    from scipy import ndimage
+
+    from dask_geomodeling_tpu.ops.stencils import (
+        gaussian_blur_jax,
+        gaussian_kernel_1d,
+    )
+    from dask_geomodeling_tpu.parallel import (
+        make_mesh,
+        shard_tile_batch,
+        sharded_pipeline,
+    )
+
+    sigma = 1.0
+    _, radius = gaussian_kernel_1d(sigma)
+    mesh = make_mesh((4, 2))
+    rng = np.random.RandomState(2)
+    batch = rng.rand(4, 1, 64, 32).astype(np.float32)
+
+    def smooth(values):
+        import jax.numpy as jnp
+
+        out = gaussian_blur_jax(values, sigma, sigma, 0.0)
+        return jnp.asarray(out)
+
+    program = sharded_pipeline(smooth, mesh, halo_radius=radius)
+    out = np.asarray(program(shard_tile_batch(batch, mesh)))
+
+    merged = batch.reshape(4, 64, 32)
+    expected = np.stack(
+        [
+            ndimage.gaussian_filter(m, sigma, mode="constant", cval=0.0)
+            for m in merged
+        ]
+    )
+    np.testing.assert_allclose(out.reshape(4, 64, 32), expected, atol=1e-5)
+
+
+def test_mesh_2x4_variant(devices):
+    from dask_geomodeling_tpu.parallel import (
+        make_mesh,
+        shard_tile_batch,
+        sharded_pipeline,
+    )
+
+    mesh = make_mesh((2, 4))
+    batch = np.arange(8 * 1 * 16 * 8, dtype=np.float32).reshape(8, 1, 16, 8)
+    program = sharded_pipeline(lambda v: v + 1, mesh)
+    out = np.asarray(program(shard_tile_batch(batch, mesh)))
+    np.testing.assert_allclose(out, batch + 1)
