@@ -53,6 +53,110 @@ def request_all():
     )
 
 
+class TestSnapDetailed:
+    """Ported from reference tests/test_raster.py:1126-1253 (TestSnap):
+    snapping a 5-min store to a 3-min index — nearest-frame selection,
+    left/right expansion, repeats, and empty handling."""
+
+    @pytest.fixture
+    def raster(self):
+        from tests.factories import MockRaster
+
+        return MockRaster(
+            origin=datetime(2000, 1, 1), value=7,
+            timedelta=timedelta(minutes=5), bands=3,
+        )
+
+    @pytest.fixture
+    def index(self):
+        from tests.factories import MockRaster
+
+        return MockRaster(
+            origin=datetime(2000, 1, 1), timedelta=timedelta(minutes=3), bands=6
+        )
+
+    @pytest.fixture
+    def view(self, raster, index):
+        return Snap(raster, index)
+
+    def t(self, minute):
+        return datetime(2000, 1, 1, 0, minute)
+
+    def test_snap_attributes(self, view, index):
+        assert view.period == index.period
+        assert view.timedelta == index.timedelta
+        assert len(view) == len(index)
+        assert view.temporal == index.temporal
+
+    def test_snap_empty_index(self, raster):
+        from tests.factories import MockRaster
+
+        view = Snap(raster, MockRaster(origin=None))
+        data = view.get_data(
+            mode="vals", start=datetime(2000, 1, 1),
+            stop=datetime(2010, 1, 1, 2), width=2, height=3,
+        )
+        assert data is None
+
+    @pytest.mark.parametrize("mode", ["vals", "meta", "time"])
+    def test_snap_no_result(self, view, mode):
+        data = view.get_data(
+            mode=mode, start=datetime(2001, 1, 1), stop=datetime(2002, 1, 1)
+        )
+        assert data is None
+
+    def test_snap_single_band(self, view):
+        data = view.get_data(mode="vals", width=1, height=1)
+        assert data["values"].tolist() == [[[7]]]
+        assert view.get_data(mode="meta")["meta"] == ["Testmeta for band 2"]
+        assert view.get_data(mode="time")["time"] == [
+            datetime(2000, 1, 1, 0, 15)
+        ]
+
+    def test_snap_multiband_range(self, view):
+        data = view.get_data(mode="time", start=self.t(6), stop=self.t(9))
+        assert data["time"] == [self.t(6), self.t(9)]
+        data = view.get_data(mode="vals", start=self.t(6), stop=self.t(9))
+        assert data["values"].tolist() == [[[7]], [[7]]]
+
+    @pytest.mark.parametrize(
+        "start,stop,expected_bands",
+        [
+            (6, 9, [1, 2]),
+            (6, 7, [1]),  # expand left
+            (8, 9, [2]),  # expand right
+            (12, 15, [2, 2]),  # expand left repeat
+            (5, 10, [1, 2]),  # both sides
+            (7, 9, [2]),  # left time, no data
+            (6, 8, [1]),  # right time, no data
+        ],
+    )
+    def test_snap_meta_table(self, view, start, stop, expected_bands):
+        data = view.get_data(start=self.t(start), stop=self.t(stop), mode="meta")
+        assert data["meta"] == [
+            "Testmeta for band %d" % b for b in expected_bands
+        ]
+
+    def test_snap_inner_no_data(self, raster, index):
+        view = Snap(index, raster)
+        data = view.get_data(start=self.t(3), stop=self.t(5), mode="meta")
+        assert data["meta"] == ["Testmeta for band 2"]
+
+    def test_snap_repeat(self):
+        from tests.factories import MockRaster
+
+        store1 = MockRaster(
+            origin=datetime(2000, 1, 1), timedelta=timedelta(minutes=5), bands=1
+        )
+        store2 = MockRaster(
+            origin=datetime(2000, 1, 1), timedelta=timedelta(minutes=5), bands=3
+        )
+        data = Snap(store1, store2).get_data(
+            mode="meta", start=datetime(2000, 1, 1), stop=datetime(2001, 1, 1)
+        )
+        assert data["meta"] == ["Testmeta for band 0"] * 3
+
+
 class TestSnap:
     def test_snap_static_store(self, hourly, request_all):
         static = make_source([9], datetime(2000, 1, 1), None)
