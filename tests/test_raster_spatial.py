@@ -375,3 +375,96 @@ class TestPlaceGroupMode:
         data = view.get_data(**request)
         expected = sparse_source.get_data(**request)
         np.testing.assert_array_equal(data["values"], expected["values"])
+
+
+class TestSpatialHaloExpansion:
+    """Ported from reference tests/test_raster.py:1469-1641: values OUTSIDE
+    the requested bbox must influence dilation/moving-max/smooth results
+    (request expansion + crop), and point requests skip the stencil."""
+
+    @pytest.fixture
+    def corner_store(self):
+        from tests.factories import MockRaster
+
+        return MockRaster(
+            origin=datetime(2000, 1, 1),
+            value=np.array([[0, 2], [0, 0], [0, 0]]),
+            timedelta=timedelta(minutes=5),
+            bands=1,
+        )
+
+    @pytest.fixture
+    def vals_request(self):
+        return dict(
+            mode="vals", start=datetime(2000, 1, 1),
+            stop=datetime(2000, 1, 1),
+            bbox=(0, 0, 2, 3), width=2, height=3, projection="EPSG:3857",
+        )
+
+    def test_dilate_values(self, corner_store, vals_request):
+        view = Dilate(corner_store, values=[2])
+        data = view.get_data(**vals_request)
+        assert data["values"].tolist() == [[[2, 2], [0, 2], [0, 0]]]
+        # point request skips dilation
+        point = dict(vals_request, bbox=(0, 0, 0, 0), width=1, height=1)
+        assert Dilate(corner_store, values=[2]).get_data(**point)[
+            "values"
+        ].tolist() == [[[0]]]
+        # non-matching value: no dilation
+        data = Dilate(corner_store, values=[1]).get_data(**vals_request)
+        assert data["values"].tolist() == [corner_store.value.tolist()]
+
+    def test_dilate_from_outside_bbox(self, corner_store, vals_request):
+        view = Dilate(corner_store, values=[2])
+        request = dict(vals_request, bbox=(1, 1, 2, 2), width=1, height=1)
+        data = view.get_data(**request)
+        # the 2 lives outside this bbox; dilation brings it in
+        assert data["values"].tolist() == [[[2]]]
+
+    def test_moving_max_values(self, corner_store, vals_request):
+        view = MovingMax(corner_store, size=3)
+        data = view.get_data(**vals_request)
+        assert data["values"].tolist() == [[[2, 2], [2, 2], [0, 0]]]
+        point = dict(vals_request, bbox=(0, 0, 0, 0), width=1, height=1)
+        assert view.get_data(**point)["values"].tolist() == [[[0]]]
+
+    def test_moving_max_from_outside_bbox(self, corner_store, vals_request):
+        view = MovingMax(corner_store, size=3)
+        request = dict(vals_request, bbox=(1, 1, 2, 2), width=1, height=1)
+        assert view.get_data(**request)["values"].tolist() == [[[2]]]
+
+    @pytest.mark.parametrize(
+        "bbox",
+        [
+            (0, 0, 101, 101),
+            (0, 0, 48, 48),  # the peak is outside this bbox
+            (50, 50, 60, 60),  # partial
+        ],
+    )
+    def test_smooth_margin_bboxes(self, bbox):
+        from scipy import ndimage
+        from tests.factories import MockRaster
+
+        values = np.zeros((101, 101), dtype=np.float32)
+        peak = 1000
+        values[48:53, 48:53] = peak
+        sigma = 1
+        store = MockRaster(
+            origin=datetime(2000, 1, 1), value=values,
+            timedelta=timedelta(minutes=5), bands=1,
+        )
+        view = Smooth(store, size=sigma * 3)
+        expected = ndimage.gaussian_filter(
+            values, sigma=sigma, mode="constant", cval=0
+        )
+        request = dict(
+            mode="vals", start=datetime(2000, 1, 1), stop=datetime(2000, 1, 1),
+            bbox=bbox, width=bbox[2] - bbox[0], height=bbox[3] - bbox[1],
+            projection="EPSG:3857",
+        )
+        data = view.get_data(**request)
+        np.testing.assert_allclose(
+            data["values"][0],
+            expected[bbox[1] : bbox[3], bbox[0] : bbox[2]],
+            atol=peak * 0.0001,
+        )
