@@ -565,3 +565,25 @@ class TestMoreProjections:
         )
         assert float(x[0]) == pytest.approx(float(ex[0]), abs=1e-3)
         assert float(y[0]) == pytest.approx(float(ey[0]), abs=1e-3)
+
+
+class TestMemoryDataset:
+    def test_create_dataset(self):
+        array = np.arange(6, dtype=np.uint8).reshape(1, 2, 3)
+        with utils.Dataset(
+            array,
+            geo_transform=(0.0, 1.0, 0.0, 2.0, 0.0, -1.0),
+            projection="EPSG:28992",
+            no_data_value=255,
+        ) as dataset:
+            assert dataset.RasterCount == 1
+            assert dataset.RasterYSize == 2
+            assert dataset.RasterXSize == 3
+            assert dataset.GetGeoTransform() == (0.0, 1.0, 0.0, 2.0, 0.0, -1.0)
+            assert "28992" in dataset.GetProjection()
+            assert dataset.GetNoDataValue() == 255
+            np.testing.assert_array_equal(dataset.ReadAsArray(), array)
+
+    def test_create_dataset_validation(self):
+        with pytest.raises(ValueError):
+            utils.create_dataset(np.zeros((2, 2)))
