@@ -172,6 +172,11 @@ class GeometryFileSink(BaseSingle):
         if len(source_paths) == 1:
             move_or_copy = shutil.move if remove_source else shutil.copy
             move_or_copy(source_paths[0], target)
+            if remove_source:
+                try:
+                    os.rmdir(path)
+                except OSError:
+                    pass
             return
 
         frames = [read_vector(p) for p in source_paths]

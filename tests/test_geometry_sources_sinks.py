@@ -357,3 +357,89 @@ class TestGeometryFileSink:
             GeometryFileSink(
                 source, "out", extension="geojson", fields={"x": "nope"}
             )
+
+
+class TestGeometrySinkBehaviors:
+    """Ported from reference tests/test_geometry_sinks.py:176-280."""
+
+    @pytest.fixture
+    def source(self, root, frame):
+        write_vector(frame, str(root / "data.geojson"))
+        return GeometryFileSource("data.geojson")
+
+    @pytest.fixture
+    def request_all(self):
+        return dict(
+            mode="intersects", geometry=box(0, 0, 20, 20),
+            projection="EPSG:4326",
+        )
+
+    def test_fields_non_available(self, source, root):
+        with pytest.raises(ValueError):
+            GeometryFileSink(
+                source, "out", extension="shp",
+                fields={"target": "nonexisting"},
+            )
+
+    def test_fields_mapping(self, source, root, request_all):
+        sink = GeometryFileSink(
+            source, "out", extension="geojson",
+            fields={"target": "name", "v": "value"},
+        )
+        sink.get_data(**request_all)
+        files = list((root / "out").glob("*.geojson"))
+        result = read_vector(str(files[0]))
+        assert set(result.columns) == {"geometry", "target", "v"}
+
+    def test_merge_files_cleanup(self, source, root, request_all):
+        sink = GeometryFileSink(source, "parts", extension="geojson")
+        sink.get_data(**request_all)
+        assert (root / "parts").is_dir()
+        GeometryFileSink.merge_files(
+            str(root / "parts"), str(root / "combined.geojson"),
+            remove_source=True,
+        )
+        assert not (root / "parts").is_dir()
+        assert len(read_vector(str(root / "combined.geojson"))) == 3
+
+    def test_with_tiler_writes_only_nonempty_tiles(self, root, request_all):
+        from dask_geomodeling_tpu.geometry import GeometryTiler
+
+        # 2 features in a 20x20 request tiled at 10: only 2 of 4 tiles hit
+        frame = GeoDataFrame(
+            pd.DataFrame({"value": [1, 2]}),
+            geometry=[box(1, 1, 3, 3), box(11, 11, 13, 13)],
+            crs="EPSG:4326",
+        )
+        write_vector(frame, str(root / "two.geojson"))
+        source = GeometryFileSource("two.geojson")
+        block = GeometryTiler(
+            GeometryFileSink(source, "tiled_out", extension="geojson"),
+            size=10.0,
+            projection="EPSG:4326",
+        )
+        block.get_data(**dict(request_all, mode="centroid"))
+        files = list((root / "tiled_out").glob("*.geojson"))
+        assert len(files) == 2
+        assert all(len(read_vector(str(f))) == 1 for f in files)
+
+    def test_categorical_column(self, source, root, request_all):
+        from dask_geomodeling_tpu.geometry import Classify
+
+        with_categorical = source.set(
+            "categorical",
+            Classify(source["value"], bins=[2.0], labels=["A", "B"]),
+        )
+        sink = GeometryFileSink(
+            with_categorical, "cat_out", extension="geojson",
+            fields={"label": "categorical"},
+        )
+        sink.get_data(**request_all)
+        files = list((root / "cat_out").glob("*.geojson"))
+        result = read_vector(str(files[0]))
+        assert sorted(result["label"].tolist()) == ["A", "B", "B"]
+
+    def test_to_file_dry_run(self, source, root, request_all):
+        target = root / "dry.geojson"
+        to_file(source, str(target), dry_run=True, **request_all)
+        assert not target.exists()
