@@ -6,7 +6,7 @@ back); simplification tolerance defaults to the request's ``min_size``.
 """
 import numbers
 
-from dask_geomodeling_tpu.geo import Extent, shapely_transform
+from dask_geomodeling_tpu.geo import Extent
 from dask_geomodeling_tpu.geometry.base import BaseSingle
 
 __all__ = ["Buffer", "Simplify"]

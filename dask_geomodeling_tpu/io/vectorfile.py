@@ -20,7 +20,7 @@ import numpy as np
 import pandas as pd
 
 from dask_geomodeling_tpu.geo import _wkt
-from dask_geomodeling_tpu.geo.features import GeoDataFrame, GeoSeries
+from dask_geomodeling_tpu.geo.features import GeoDataFrame
 from dask_geomodeling_tpu.geo.geometry import shape
 
 __all__ = ["read_vector", "read_vector_info", "write_vector", "supported_extensions"]
