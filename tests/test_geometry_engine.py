@@ -332,3 +332,42 @@ class TestOverlayProperties:
             ab = a.intersection(b).area
             ba = b.intersection(a).area
             assert abs(ab - ba) < 1e-9 * max(1.0, ab)
+
+
+class TestOverlayDegenerateCases:
+    """Shared edges, corner touches, identical inputs, and hole-plug
+    algebra — the classic robustness traps of boolean overlay."""
+
+    def test_edge_adjacent(self):
+        a, b = box(0, 0, 2, 2), box(2, 0, 4, 2)
+        assert a.intersection(b).area == 0.0
+        assert a.union(b).area == 8.0
+
+    def test_corner_touch(self):
+        a, b = box(0, 0, 2, 2), box(2, 2, 4, 4)
+        assert a.intersection(b).area == 0.0
+        assert a.union(b).area == 8.0
+
+    def test_partial_shared_edge(self):
+        a, b = box(0, 0, 2, 2), box(0, 0, 2, 1)  # b inside a, shares edges
+        assert a.difference(b).area == pytest.approx(2.0)
+        assert a.union(b).area == pytest.approx(4.0)
+        assert a.intersection(b).area == pytest.approx(2.0)
+
+    def test_identical_inputs(self):
+        a, b = box(0, 0, 2, 2), box(0, 0, 2, 2)
+        assert a.difference(b).area == 0.0
+        assert a.union(b).area == 4.0
+        assert a.intersection(b).area == 4.0
+
+    def test_hole_plug_algebra(self):
+        donut = Polygon(
+            [(0, 0), (4, 0), (4, 4), (0, 4)],
+            [[(1, 1), (3, 1), (3, 3), (1, 3)]],
+        )
+        plug = box(1, 1, 3, 3)
+        assert donut.area == 12.0
+        assert donut.union(plug).area == 16.0  # hole is filled
+        assert donut.intersection(plug).area == 0.0
+        assert donut.difference(plug).area == 12.0
+        assert plug.difference(donut).area == 4.0
