@@ -159,3 +159,37 @@ def test_jax_empty_result(src):
             projection="EPSG:28992",
         )
     assert result is None
+
+
+def test_file_source_fuses_on_device(tmp_path):
+    """RasterFileSource payloads load at plan time, so file-backed views
+    run through the same fused device path as MemorySource views."""
+    from dask_geomodeling_tpu.io.geotiff import write_geotiff
+    from dask_geomodeling_tpu.raster import RasterFileSource
+
+    data = np.arange(64, dtype=np.uint8).reshape(1, 8, 8)
+    write_geotiff(
+        str(tmp_path / "src.tif"),
+        data,
+        geo_transform=(135000.0, 1.0, 0.0, 456000.0, 0.0, -1.0),
+        projection="EPSG:28992",
+        no_data_value=255,
+    )
+    with config.set({"geomodeling.root": str(tmp_path)}):
+        source = RasterFileSource("src.tif")
+        view = Multiply(Add(source, 10), 2)
+        request = dict(
+            mode="vals",
+            bbox=(135000, 455992, 135008, 456000),
+            projection="EPSG:28992",
+            width=8,
+            height=8,
+            start=datetime(1970, 1, 1),
+        )
+        expected = view.get_data(**request)
+        clear_program_cache()
+        with config.set({"geomodeling.executor": "jax"}):
+            actual = view.get_data(**request)
+        assert program_cache_info()["misses"] == 1  # one fused program
+        np.testing.assert_array_equal(actual["values"], expected["values"])
+        assert actual["values"].dtype == expected["values"].dtype
