@@ -253,19 +253,37 @@ _DEVICE_ARRAY_CACHE = {}
 
 def _device_put_cached(arr):
     """jax.device_put with an id-keyed cache so large source arrays are
-    transferred to HBM once and stay device-resident across tiles."""
+    transferred to HBM once and stay device-resident across tiles.
+
+    Cached residency is bounded by ``geomodeling.hbm-budget``: when a new
+    payload would exceed the budget, the least-recently-used cached arrays
+    are evicted (their device buffers are deleted once unreferenced by any
+    pending computation)."""
     import jax
+
+    from dask_geomodeling_tpu import config
 
     key = id(arr)
     entry = _DEVICE_ARRAY_CACHE.get(key)
     if entry is not None and entry[0]() is arr:
+        _DEVICE_ARRAY_CACHE[key] = _DEVICE_ARRAY_CACHE.pop(key)  # LRU bump
         return entry[1]
+    nbytes = getattr(arr, "nbytes", 0)
+    budget = config.get("geomodeling.hbm-budget", None)
+    if budget:
+        resident = sum(e[2] for e in _DEVICE_ARRAY_CACHE.values())
+        for old_key in list(_DEVICE_ARRAY_CACHE):
+            if resident + nbytes <= budget:
+                break
+            resident -= _DEVICE_ARRAY_CACHE.pop(old_key)[2]
     dev = jax.device_put(arr)
+    if budget and nbytes > budget:
+        return dev  # larger than the whole budget: never cache
     try:
         ref = weakref.ref(arr, lambda _ref: _DEVICE_ARRAY_CACHE.pop(key, None))
     except TypeError:
         return dev  # not weakref-able; skip caching
-    _DEVICE_ARRAY_CACHE[key] = (ref, dev)
+    _DEVICE_ARRAY_CACHE[key] = (ref, dev, nbytes)
     return dev
 
 

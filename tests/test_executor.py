@@ -193,3 +193,32 @@ def test_file_source_fuses_on_device(tmp_path):
         assert program_cache_info()["misses"] == 1  # one fused program
         np.testing.assert_array_equal(actual["values"], expected["values"])
         assert actual["values"].dtype == expected["values"].dtype
+
+
+def test_hbm_budget_evicts_lru():
+    from dask_geomodeling_tpu.runtime import executor as ex
+
+    ex._DEVICE_ARRAY_CACHE.clear()
+    a = np.zeros(1000, dtype=np.float64)  # 8000 bytes
+    b = np.zeros(1000, dtype=np.float64)
+    c = np.zeros(1000, dtype=np.float64)
+    with config.set({"geomodeling.hbm-budget": 20000}):
+        ex._device_put_cached(a)
+        ex._device_put_cached(b)
+        assert len(ex._DEVICE_ARRAY_CACHE) == 2
+        ex._device_put_cached(a)  # bump a to most-recent
+        ex._device_put_cached(c)  # must evict b (LRU), not a
+        cached_ids = set(ex._DEVICE_ARRAY_CACHE)
+        assert id(a) in cached_ids
+        assert id(b) not in cached_ids
+        assert id(c) in cached_ids
+
+
+def test_hbm_budget_never_caches_oversized():
+    from dask_geomodeling_tpu.runtime import executor as ex
+
+    ex._DEVICE_ARRAY_CACHE.clear()
+    big = np.zeros(10000, dtype=np.float64)  # 80000 bytes
+    with config.set({"geomodeling.hbm-budget": 20000}):
+        ex._device_put_cached(big)
+        assert len(ex._DEVICE_ARRAY_CACHE) == 0
