@@ -777,3 +777,69 @@ class RasterizeWKT(RasterBlock):
             height=request["height"],
             width=request["width"],
         )
+
+
+def _rasterize_wkt_jax_capable(data, request):
+    from dask_geomodeling_tpu.geo.geometry import MultiPolygon, Polygon
+
+    if not isinstance(request, dict) or request.get("mode") != "vals":
+        return False
+    x1, y1, x2, y2 = request["bbox"]
+    if x1 == x2 or y1 == y2:
+        return False  # point request: host path
+    geometry = utils.shapely_from_wkt(data["wkt"])
+    if geometry.is_empty or not isinstance(geometry, (Polygon, MultiPolygon)):
+        return False
+    # the (E, h, w) crossing tensor must stay small enough to fuse
+    n_vertices = sum(
+        sum(len(ring) for ring in polygon._rings())
+        for polygon in getattr(geometry, "geoms", [geometry])
+    )
+    return n_vertices <= 2048
+
+
+def _rasterize_wkt_jax(data, request):
+    """Device twin of RasterizeWKT.process: even-odd crossing-number test
+    at pixel centers, identical parity conventions to the host scanline
+    (geo/rasterize.py:30-63).  The geometry is static; the bbox traces."""
+    import jax.numpy as jnp
+
+    geometry = utils.shapely_from_wkt(data["wkt"])
+    if data["projection"] != request["projection"]:
+        geometry = utils.shapely_transform(
+            geometry, data["projection"], request["projection"]
+        )
+
+    starts, ends = [], []
+    for polygon in getattr(geometry, "geoms", [geometry]):
+        for ring in polygon._rings():
+            ring = np.asarray(ring, dtype=np.float64)
+            starts.append(ring[:-1])
+            ends.append(ring[1:])
+    starts = np.concatenate(starts, axis=0)
+    ends = np.concatenate(ends, axis=0)
+
+    width, height = request["width"], request["height"]
+    bbox = jnp.asarray(request["bbox"], jnp.float64)
+    x1, y1, x2, y2 = bbox[0], bbox[1], bbox[2], bbox[3]
+    x_centers = x1 + (jnp.arange(width) + 0.5) * (x2 - x1) / width
+    y_centers = y2 - (jnp.arange(height) + 0.5) * (y2 - y1) / height
+
+    ax = starts[:, 0][:, None]  # (E, 1)
+    ay = starts[:, 1][:, None]
+    bx = ends[:, 0][:, None]
+    by = ends[:, 1][:, None]
+    crosses_row = (ay > y_centers) != (by > y_centers)  # (E, h)
+    denom = np.where(ends[:, 1] == starts[:, 1], 1.0, ends[:, 1] - starts[:, 1])
+    xint = ax + (y_centers - ay) * (bx - ax) / denom[:, None]  # (E, h)
+    # pixel inside iff the count of strictly-greater crossings is odd
+    crossings = (
+        crosses_row[:, :, None] & (xint[:, :, None] > x_centers[None, None, :])
+    )
+    inside = (jnp.sum(crossings, axis=0) % 2).astype(bool)
+    return {"values": inside[None], "no_data_value": None}
+
+
+RasterizeWKT.process.jax_impl = _rasterize_wkt_jax
+RasterizeWKT.process.jax_capable = _rasterize_wkt_jax_capable
+RasterizeWKT.process.jax_dynamic = {"bbox"}

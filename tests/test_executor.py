@@ -222,3 +222,69 @@ def test_hbm_budget_never_caches_oversized():
     with config.set({"geomodeling.hbm-budget": 20000}):
         ex._device_put_cached(big)
         assert len(ex._DEVICE_ARRAY_CACHE) == 0
+
+
+class TestRasterizeWKTDevice:
+    """The RasterizeWKT device twin: even-odd crossing parity at pixel
+    centers, bitwise-identical to the host scanline rasterizer."""
+
+    WKT = (
+        "POLYGON ((135000.6 455995.2, 135004.4 455995.7, 135003.9 455999.8, "
+        "135001.1 455998.9, 135000.6 455995.2), (135002 455997, 135003 "
+        "455997, 135003 455998, 135002 455998, 135002 455997))"
+    )
+
+    @pytest.fixture
+    def mask_request(self):
+        return dict(
+            mode="vals", width=40, height=40,
+            bbox=(135000, 455995, 135005, 456000),
+            projection="EPSG:28992", start=datetime(2000, 1, 1),
+        )
+
+    def test_matches_host_bitwise(self, mask_request):
+        from dask_geomodeling_tpu.raster import RasterizeWKT
+
+        view = RasterizeWKT(self.WKT, "EPSG:28992")
+        assert_jax_matches_numpy(view, mask_request)
+
+    def test_program_reused_across_bboxes(self, mask_request):
+        from dask_geomodeling_tpu.raster import RasterizeWKT
+
+        view = RasterizeWKT(self.WKT, "EPSG:28992")
+        clear_program_cache()
+        with config.set({"geomodeling.executor": "jax"}):
+            view.get_data(**mask_request)
+            shifted = dict(
+                mask_request, bbox=(135000.5, 455995.5, 135005.5, 456000.5)
+            )
+            view.get_data(**shifted)
+        assert program_cache_info()["misses"] == 1
+
+    def test_clip_mask_pipeline_fuses(self, src, mask_request):
+        from dask_geomodeling_tpu.raster import Clip, RasterizeWKT, Snap
+
+        wkt = (
+            "POLYGON ((135000.6 455995.2, 135004.4 455995.7, "
+            "135003.9 455999.8, 135001.1 455998.9, 135000.6 455995.2))"
+        )
+        view = Clip(src, Snap(RasterizeWKT(wkt, "EPSG:28992"), src))
+        request = dict(
+            mask_request, width=10, height=10, stop=datetime(2000, 1, 1, 3)
+        )
+        expected = view.get_data(**request)
+        clear_program_cache()
+        with config.set({"geomodeling.executor": "jax"}):
+            actual = view.get_data(**request)
+        assert program_cache_info()["misses"] == 1  # the whole chain fused
+        np.testing.assert_array_equal(actual["values"], expected["values"])
+
+    def test_point_request_stays_on_host(self, mask_request):
+        from dask_geomodeling_tpu.raster import RasterizeWKT
+
+        view = RasterizeWKT(self.WKT, "EPSG:28992")
+        request = dict(
+            mask_request, bbox=(135002.5, 455997.5, 135002.5, 455997.5),
+            width=1, height=1,
+        )
+        assert_jax_matches_numpy(view, request)
