@@ -593,6 +593,7 @@ class Place(BaseSingle):
                     "coordinates": coordinates,
                     "src_bbox": _request["bbox"],
                     "dst_bbox": request["bbox"],
+                    "dst_shape": (request["height"], request["width"]),
                     "cellsize": (size_x, size_y),
                     "statistic": self.statistic,
                 }
@@ -714,3 +715,96 @@ class Place(BaseSingle):
                 "no_data_value": out_no_data_value,
             }
         return reduce_rasters(stack, process_kwargs["statistic"])
+
+
+def _place_jax_capable(process_kwargs, *rest):
+    if not isinstance(process_kwargs, dict):
+        return False
+    mode = process_kwargs.get("mode")
+    if mode == "group":
+        return True
+    if mode == "warp":
+        # an out-of-range placement lowers to an all-nodata frame, which is
+        # a reduce no-op for every nodata-skipping statistic — but not for
+        # sum/count's zero-fill semantics, so those stay on host
+        return process_kwargs["statistic"] not in ("sum", "count")
+    return False
+
+
+def _place_jax(process_kwargs, *multi):
+    """Device twin of Place.process for warp and group modes.
+
+    Warp mode pastes the source block once per coordinate with
+    ``lax.dynamic_update_slice`` into a halo-padded canvas (so clipped and
+    out-of-range placements fall off the cropped border instead of
+    clamping), then merges the placements with the nodata-skipping
+    statistic. The dst bbox traces; placements shift per tile in one
+    cached program."""
+    import jax
+    import jax.numpy as jnp
+
+    from dask_geomodeling_tpu.raster.reduction import reduce_rasters_jax
+
+    mode = process_kwargs["mode"]
+    if mode in {"meta", "time"}:
+        return multi[0]
+    if mode == "null":
+        return None
+    if mode == "group":
+        stack = [data for data in multi if data is not None]
+        if len(stack) == 0:
+            return None
+        return reduce_rasters_jax(
+            stack,
+            process_kwargs["statistic"],
+            stack[0]["no_data_value"],
+            stack[0]["values"].dtype,
+        )
+
+    data = multi[0]
+    if data is None:
+        return None
+    ndv = data["no_data_value"]
+    source = data["values"]
+    dtype = source.dtype
+    src_d, src_h, src_w = source.shape
+    dst_h, dst_w = process_kwargs["dst_shape"]
+
+    anchor = process_kwargs["anchor"]
+    src_bbox = process_kwargs["src_bbox"]
+    size_x, size_y = process_kwargs["cellsize"]
+    anchor_px = (
+        (anchor[0] - src_bbox[0]) / size_x,
+        (anchor[1] - src_bbox[1]) / size_y,
+    )
+    dst_bbox = jnp.asarray(process_kwargs["dst_bbox"], jnp.float64).reshape(-1)
+    x1, y1 = dst_bbox[0], dst_bbox[1]
+
+    stack = []
+    for x, y in process_kwargs["coordinates"]:
+        di = jnp.round((x - x1) / size_x - anchor_px[0]).astype(jnp.int32)
+        dj = jnp.round((y - y1) / size_y - anchor_px[1]).astype(jnp.int32)
+        dj = dst_h - src_h - dj
+        # clip into the halo so fully-out placements crop away entirely
+        di = jnp.clip(di, -src_w, dst_w)
+        dj = jnp.clip(dj, -src_h, dst_h)
+        canvas = jnp.full(
+            (src_d, dst_h + 2 * src_h, dst_w + 2 * src_w), ndv, dtype
+        )
+        canvas = jax.lax.dynamic_update_slice(
+            canvas, source, (jnp.int32(0), dj + src_h, di + src_w)
+        )
+        placed = canvas[:, src_h : src_h + dst_h, src_w : src_w + dst_w]
+        stack.append({"values": placed, "no_data_value": ndv})
+
+    if len(stack) == 0:
+        return {
+            "values": jnp.full((src_d, dst_h, dst_w), ndv, dtype),
+            "no_data_value": ndv,
+        }
+    return reduce_rasters_jax(stack, process_kwargs["statistic"], ndv, dtype)
+
+
+Place.process.jax_impl = _place_jax
+Place.process.jax_capable = _place_jax_capable
+Place.process.jax_dynamic = {"dst_bbox"}

@@ -468,3 +468,81 @@ class TestSpatialHaloExpansion:
             expected[bbox[1] : bbox[3], bbox[0] : bbox[2]],
             atol=peak * 0.0001,
         )
+
+
+class TestPlaceDevice:
+    """Place's warp-mode device twin: dynamic_update_slice placements
+    merged by nodata-skipping statistics, bitwise vs the host scatter."""
+
+    @pytest.fixture
+    def place_source(self):
+        data = np.arange(64, dtype=np.float64).reshape(1, 8, 8)
+        data[0, 1, 1] = 99.0  # nodata pixel stays transparent
+        return MemorySource(
+            data=data, no_data_value=99.0, projection="EPSG:28992",
+            pixel_size=1.0, pixel_origin=(135000, 456000),
+            time_first=datetime(2000, 1, 1), time_delta=None,
+        )
+
+    @pytest.fixture
+    def place_request(self):
+        return dict(
+            mode="vals", bbox=(135000, 455968, 135032, 456000),
+            width=32, height=32, projection="EPSG:28992",
+            start=datetime(2000, 1, 1),
+        )
+
+    COORDINATES = [
+        (135005, 455990),
+        (135010, 455985),  # overlaps the first placement
+        (135028, 455970),  # clipped at the border
+        (134000, 455000),  # fully out of range
+    ]
+
+    @pytest.mark.parametrize("statistic", ["last", "first", "max", "mean"])
+    def test_matches_host(self, place_source, place_request, statistic):
+        from dask_geomodeling_tpu.runtime.executor import (
+            clear_program_cache,
+            program_cache_info,
+        )
+
+        view = Place(
+            place_source, "EPSG:28992", anchor=(135004, 455996),
+            coordinates=self.COORDINATES, statistic=statistic,
+        )
+        expected = view.get_data(**place_request)
+        clear_program_cache()
+        with config.set({"geomodeling.executor": "jax"}):
+            actual = view.get_data(**place_request)
+        assert program_cache_info()["misses"] == 1
+        np.testing.assert_array_equal(actual["values"], expected["values"])
+
+    def test_program_reused_across_bboxes(self, place_source, place_request):
+        from dask_geomodeling_tpu.runtime.executor import (
+            clear_program_cache,
+            program_cache_info,
+        )
+
+        view = Place(
+            place_source, "EPSG:28992", anchor=(135004, 455996),
+            coordinates=[(135005, 455990)], statistic="last",
+        )
+        clear_program_cache()
+        with config.set({"geomodeling.executor": "jax"}):
+            view.get_data(**place_request)
+            view.get_data(
+                **dict(place_request, bbox=(135001, 455969, 135033, 456001))
+            )
+        assert program_cache_info() == {"hits": 1, "misses": 1, "size": 1}
+
+    def test_sum_matches_on_host_path(self, place_source, place_request):
+        # sum/count are declined by the twin (zero-fill semantics differ for
+        # out-of-range placements); the jax executor must still match
+        view = Place(
+            place_source, "EPSG:28992", anchor=(135004, 455996),
+            coordinates=self.COORDINATES, statistic="sum",
+        )
+        expected = view.get_data(**place_request)
+        with config.set({"geomodeling.executor": "jax"}):
+            actual = view.get_data(**place_request)
+        np.testing.assert_array_equal(actual["values"], expected["values"])
