@@ -192,3 +192,26 @@ class TestSinkEdgeBehaviors:
         empty.mkdir()
         with pytest.raises(IOError):
             RasterFileSink.merge_files(str(empty), str(root / "no_sources.vrt"))
+
+
+class TestGeoTIFFInterop:
+    """Files written by the native codec must be readable by third-party
+    TIFF readers (PIL here; GDAL/QGIS use the same baseline TIFF layout)."""
+
+    @pytest.mark.parametrize("kwargs", [
+        {},
+        {"compress": "deflate", "tiled": True},
+    ])
+    def test_pil_reads_our_tiffs(self, tmp_path, kwargs):
+        from PIL import Image
+
+        from dask_geomodeling_tpu.io.geotiff import write_geotiff
+
+        data = (np.arange(300, dtype=np.uint8) % 250).reshape(1, 15, 20)
+        path = str(tmp_path / "interop.tif")
+        write_geotiff(
+            path, data, geo_transform=(0, 1, 0, 15, 0, -1),
+            projection="EPSG:28992", no_data_value=255, **kwargs,
+        )
+        arr = np.asarray(Image.open(path))
+        np.testing.assert_array_equal(arr, data[0])
