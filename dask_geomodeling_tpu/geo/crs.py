@@ -176,6 +176,46 @@ class _WebMercator:
         return lon, lat
 
 
+class _Mercator:
+    """Ellipsoidal Mercator variant A (EPSG method 9804, e.g. EPSG:3395)."""
+
+    is_geographic = False
+    unit = "metre"
+
+    def __init__(self, ell, lon0=0.0, k0=1.0, false_easting=0.0, false_northing=0.0):
+        self.ell = ell
+        self.lam0 = np.radians(lon0)
+        self.k0 = k0
+        self.fe = false_easting
+        self.fn = false_northing
+
+    def forward(self, lon, lat, xp=np):
+        e = self.ell.e
+        lat = xp.clip(xp.asarray(lat, dtype=float), -89.9999999, 89.9999999)
+        phi = xp.radians(lat)
+        lam = xp.radians(xp.asarray(lon, dtype=float))
+        sin_phi = xp.sin(phi)
+        x = self.fe + self.ell.a * self.k0 * (lam - self.lam0)
+        y = self.fn + self.ell.a * self.k0 * xp.log(
+            xp.tan(np.pi / 4.0 + phi / 2.0)
+            * ((1.0 - e * sin_phi) / (1.0 + e * sin_phi)) ** (e / 2.0)
+        )
+        return x, y
+
+    def inverse(self, x, y, xp=np):
+        e = self.ell.e
+        ak0 = self.ell.a * self.k0
+        lam = (xp.asarray(x, dtype=float) - self.fe) / ak0 + self.lam0
+        t = xp.exp(-(xp.asarray(y, dtype=float) - self.fn) / ak0)
+        phi = np.pi / 2.0 - 2.0 * xp.arctan(t)
+        for _ in range(6):
+            sin_phi = xp.sin(phi)
+            phi = np.pi / 2.0 - 2.0 * xp.arctan(
+                t * ((1.0 - e * sin_phi) / (1.0 + e * sin_phi)) ** (e / 2.0)
+            )
+        return xp.degrees(lam), xp.degrees(phi)
+
+
 class _TransverseMercator:
     """Ellipsoidal transverse Mercator, 4th-order Krüger series in n.
 
@@ -569,6 +609,12 @@ def _registry_get(code):
         )
     if code == 4277:
         return SpatialReference(4277, "OSGB36", "OSGB36", _GeographicProjection())
+    if code == 4269:
+        return SpatialReference(4269, "NAD83", "ETRS89", _GeographicProjection())
+    if code == 3395:
+        return SpatialReference(
+            3395, "WGS 84 / World Mercator", "WGS84", _Mercator(_ellipsoid("WGS84"))
+        )
     if code in (3857, 900913, 3785):
         return SpatialReference(
             3857, "WGS 84 / Pseudo-Mercator", "WGS84", _WebMercator()
@@ -757,8 +803,15 @@ def _build_projection(method, ell, p):
         return _LambertConformalConic(ell, cm, lat0, sp1, sp2, fe, fn)
     if method == "lambert_azimuthal_equal_area":
         return _LambertAzimuthalEqualArea(ell, cm, lat0, fe, fn)
+    if method == "mercator_1sp" and ell.e > 0:
+        return _Mercator(ell, lon0=cm, k0=k0, false_easting=fe, false_northing=fn)
+    if method == "mercator_2sp" and ell.e > 0:
+        sp1 = np.radians(p.get("standard_parallel_1", 0.0))
+        k0 = np.cos(sp1) / np.sqrt(1 - ell.e2 * np.sin(sp1) ** 2)
+        return _Mercator(ell, lon0=cm, k0=k0, false_easting=fe, false_northing=fn)
     if method in (
         "mercator_1sp",
+        "mercator_2sp",
         "mercator_auxiliary_sphere",
         "popular_visualisation_pseudo_mercator",
         "pseudo_mercator",
@@ -883,13 +936,18 @@ def _sr_from_proj4(text):
         "false_easting": float(parts.get("x_0", 0)),
         "false_northing": float(parts.get("y_0", 0)),
     }
+    if "lat_ts" in parts:
+        params["standard_parallel_1"] = float(parts["lat_ts"])
     if "lat_1" in parts:
         params["standard_parallel_1"] = float(parts["lat_1"])
     if "lat_2" in parts:
         params["standard_parallel_2"] = float(parts["lat_2"])
     method = _PROJ4_METHODS[proj]
-    if proj == "merc" and a == ELLIPSOIDS["sphere"][0] and not inv_f:
-        method = "popular_visualisation_pseudo_mercator"
+    if proj == "merc":
+        if a == ELLIPSOIDS["sphere"][0] and not inv_f:
+            method = "popular_visualisation_pseudo_mercator"
+        elif "lat_ts" in parts:
+            method = "mercator_2sp"
     projection = _build_projection(method, ell, params)
     key = (method, datum_key, tuple(sorted(params.items())))
     return SpatialReference(None, text, datum_key, projection, key=key)

@@ -587,3 +587,78 @@ class TestMemoryDataset:
     def test_create_dataset_validation(self):
         with pytest.raises(ValueError):
             utils.create_dataset(np.zeros((2, 2)))
+
+
+class TestEllipsoidalMercator:
+    """EPSG:3395 (Mercator variant A) must use the ellipsoidal formulas —
+    at 52N it differs from spherical web mercator by ~34 km."""
+
+    def test_matches_isometric_latitude(self):
+        import math
+
+        a, invf = 6378137.0, 298.257223563
+        e = math.sqrt((1 / invf) * (2 - 1 / invf))
+        phi = math.radians(52.0)
+        psi = math.atanh(math.sin(phi)) - e * math.atanh(e * math.sin(phi))
+        x, y = utils.transform_points(
+            np.array([5.0]), np.array([52.0]), "EPSG:4326", "EPSG:3395"
+        )
+        assert float(x[0]) == pytest.approx(a * math.radians(5.0), abs=1e-6)
+        assert float(y[0]) == pytest.approx(a * psi, abs=1e-6)
+
+    def test_differs_from_spherical(self):
+        _, y3395 = utils.transform_points(
+            np.array([5.0]), np.array([52.0]), "EPSG:4326", "EPSG:3395"
+        )
+        _, y3857 = utils.transform_points(
+            np.array([5.0]), np.array([52.0]), "EPSG:4326", "EPSG:3857"
+        )
+        assert 30000 < float(y3857[0]) - float(y3395[0]) < 40000
+
+    def test_roundtrip(self):
+        x, y = utils.transform_points(
+            np.array([5.0]), np.array([52.0]), "EPSG:4326", "EPSG:3395"
+        )
+        lon, lat = utils.transform_points(x, y, "EPSG:3395", "EPSG:4326")
+        assert float(lon[0]) == pytest.approx(5.0, abs=1e-12)
+        assert float(lat[0]) == pytest.approx(52.0, abs=1e-12)
+
+    def test_parametric_wkt_matches_registry(self):
+        wkt = (
+            'PROJCS["WGS 84 / World Mercator",GEOGCS["WGS 84",'
+            'DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],'
+            'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+            'PROJECTION["Mercator_1SP"],PARAMETER["central_meridian",0],'
+            'PARAMETER["scale_factor",1],PARAMETER["false_easting",0],'
+            'PARAMETER["false_northing",0],UNIT["metre",1]]'
+        )
+        x1, y1 = utils.transform_points(
+            np.array([5.0]), np.array([52.0]), "EPSG:4326", utils.get_sr(wkt)
+        )
+        x2, y2 = utils.transform_points(
+            np.array([5.0]), np.array([52.0]), "EPSG:4326", "EPSG:3395"
+        )
+        assert float(x1[0]) == float(x2[0]) and float(y1[0]) == float(y2[0])
+
+    def test_proj4_lat_ts_variant_b(self):
+        import math
+
+        sr = utils.get_sr("+proj=merc +lat_ts=45 +ellps=WGS84")
+        x, _ = utils.transform_points(
+            np.array([5.0]), np.array([52.0]), "EPSG:4326", sr
+        )
+        a, invf = 6378137.0, 298.257223563
+        e2 = (1 / invf) * (2 - 1 / invf)
+        k0 = math.cos(math.radians(45)) / math.sqrt(
+            1 - e2 * math.sin(math.radians(45)) ** 2
+        )
+        assert float(x[0]) == pytest.approx(a * math.radians(5.0) * k0, abs=1e-6)
+
+    def test_nad83_geographic(self):
+        sr = utils.get_sr("EPSG:4269")
+        assert sr.IsGeographic()
+        x, y = utils.transform_points(
+            np.array([-100.0]), np.array([40.0]), "EPSG:4269", "EPSG:4326"
+        )
+        # NAD83 is treated as WGS84-coincident at this accuracy level
+        assert float(x[0]) == pytest.approx(-100.0, abs=1e-9)
