@@ -4,12 +4,19 @@ The reference delegates CRS parsing and transforms to OSR/PROJ
 (dask_geomodeling/utils.py:396-533).  This environment has no PROJ, so this
 module implements the math natively and vectorized over numpy arrays:
 
-- geographic CRS (EPSG:4326 WGS84, EPSG:4258 ETRS89, EPSG:4289 Amersfoort,
-  EPSG:4277 OSGB36)
-- spherical ("web") Mercator (EPSG:3857)
+- geographic CRS (EPSG:4326 WGS84, 4258 ETRS89, 4269 NAD83,
+  4289 Amersfoort, 4277 OSGB36)
+- spherical ("web") Mercator (EPSG:3857) and ellipsoidal Mercator
+  variant A/B, EPSG method 9804 (EPSG:3395)
 - transverse Mercator via 4th-order Krüger series (UTM EPSG:326xx/327xx,
   ETRS89 UTM EPSG:258xx, British National Grid EPSG:27700)
 - oblique stereographic, EPSG method 9809 (Dutch RD New EPSG:28992)
+- polar stereographic variant A/B, EPSG methods 9810/9829
+  (EPSG:3413 Arctic, EPSG:3031 Antarctic)
+- Lambert conformal conic 2SP, method 9802 (EPSG:2154 Lambert-93)
+- Lambert azimuthal equal area, method 9820 (EPSG:3035 LAEA Europe)
+- Albers equal area conic, method 9822 (EPSG:5070 Conus Albers)
+- parametric WKT1 / proj4 parsing for all of the above methods
 - 7-parameter Helmert datum shifts (position-vector convention) through
   geocentric coordinates
 
@@ -521,6 +528,131 @@ class _LambertAzimuthalEqualArea:
         return xp.degrees(lam), xp.degrees(phi)
 
 
+class _AlbersEqualArea:
+    """Albers equal area conic, ellipsoidal (EPSG method 9822)."""
+
+    is_geographic = False
+    unit = "metre"
+
+    def __init__(self, ell, lon0, lat0, sp1, sp2, false_easting, false_northing):
+        self.ell = ell
+        self.lam0 = np.radians(lon0)
+        self.fe = false_easting
+        self.fn = false_northing
+        e, e2 = ell.e, ell.e2
+
+        def q(sin_phi, xp=np):
+            return (1 - e2) * (
+                sin_phi / (1 - e2 * sin_phi**2)
+                - (1 / (2 * e)) * xp.log((1 - e * sin_phi) / (1 + e * sin_phi))
+            )
+
+        def m(phi):
+            return np.cos(phi) / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+
+        self._q = q
+        self.qp = q(1.0)
+        phi1, phi2 = np.radians(sp1), np.radians(sp2)
+        m1, m2 = m(phi1), m(phi2)
+        q1, q2 = q(np.sin(phi1)), q(np.sin(phi2))
+        if abs(sp1 - sp2) < 1e-12:
+            self.n = np.sin(phi1)
+        else:
+            self.n = (m1**2 - m2**2) / (q2 - q1)
+        self.c = m1**2 + self.n * q1
+        self.rho0 = ell.a * np.sqrt(self.c - self.n * q(np.sin(np.radians(lat0)))) / self.n
+
+    def forward(self, lon, lat, xp=np):
+        phi = xp.radians(xp.asarray(lat, dtype=float))
+        lam = xp.radians(xp.asarray(lon, dtype=float))
+        q = self._q(xp.sin(phi), xp)
+        rho = self.ell.a * xp.sqrt(self.c - self.n * q) / self.n
+        theta = self.n * (lam - self.lam0)
+        x = self.fe + rho * xp.sin(theta)
+        y = self.fn + self.rho0 - rho * xp.cos(theta)
+        return x, y
+
+    def inverse(self, x, y, xp=np):
+        e2 = self.ell.e2
+        e4, e6 = e2**2, e2**3
+        de = xp.asarray(x, dtype=float) - self.fe
+        dn = self.rho0 - (xp.asarray(y, dtype=float) - self.fn)
+        rho = xp.sqrt(de**2 + dn**2)
+        theta = xp.arctan2(np.sign(self.n) * de, np.sign(self.n) * dn)
+        lam = self.lam0 + theta / self.n
+        q = (self.c - (rho * self.n / self.ell.a) ** 2) / self.n
+        beta = xp.arcsin(xp.clip(q / self.qp, -1.0, 1.0))
+        # authalic -> geodetic latitude series (same as LAEA)
+        phi = (
+            beta
+            + (e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * xp.sin(2 * beta)
+            + (23 * e4 / 360 + 251 * e6 / 3780) * xp.sin(4 * beta)
+            + (761 * e6 / 45360) * xp.sin(6 * beta)
+        )
+        return xp.degrees(lam), xp.degrees(phi)
+
+
+class _PolarStereographic:
+    """Polar stereographic, ellipsoidal (EPSG method 9810 variant A /
+    9829 variant B via a standard parallel)."""
+
+    is_geographic = False
+    unit = "metre"
+
+    def __init__(
+        self, ell, lon0, k0=None, standard_parallel=None,
+        false_easting=0.0, false_northing=0.0, north=True,
+    ):
+        self.ell = ell
+        self.lam0 = np.radians(lon0)
+        self.fe = false_easting
+        self.fn = false_northing
+        self.sign = 1.0 if north else -1.0
+        e = ell.e
+        self._root = np.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+        if k0 is None:
+            # variant B: scale from the standard parallel, computed in the
+            # north-mirrored frame the forward/inverse also use
+            phi_f = np.radians(abs(standard_parallel))
+            sin_f = np.sin(phi_f)
+            t_f = np.tan(np.pi / 4 - phi_f / 2) * (
+                (1 + e * sin_f) / (1 - e * sin_f)
+            ) ** (e / 2)
+            m_f = np.cos(phi_f) / np.sqrt(1 - ell.e2 * sin_f**2)
+            k0 = m_f * self._root / (2 * t_f)
+        self.k0 = k0
+
+    def _t(self, phi, xp=np):
+        e = self.ell.e
+        sin_phi = xp.sin(phi)
+        return xp.tan(np.pi / 4 - phi / 2) * (
+            (1 + e * sin_phi) / (1 - e * sin_phi)
+        ) ** (e / 2)
+
+    def forward(self, lon, lat, xp=np):
+        phi = self.sign * xp.radians(xp.asarray(lat, dtype=float))
+        lam = self.sign * (xp.radians(xp.asarray(lon, dtype=float)) - self.lam0)
+        rho = 2 * self.ell.a * self.k0 * self._t(phi, xp) / self._root
+        x = self.fe + self.sign * rho * xp.sin(lam)
+        y = self.fn - rho * xp.cos(lam)
+        return x, y
+
+    def inverse(self, x, y, xp=np):
+        e = self.ell.e
+        de = self.sign * (xp.asarray(x, dtype=float) - self.fe)
+        dn = xp.asarray(y, dtype=float) - self.fn
+        rho = xp.hypot(de, dn)
+        t = rho * self._root / (2 * self.ell.a * self.k0)
+        phi = np.pi / 2 - 2 * xp.arctan(t)
+        for _ in range(6):
+            sin_phi = xp.sin(phi)
+            phi = np.pi / 2 - 2 * xp.arctan(
+                t * ((1 - e * sin_phi) / (1 + e * sin_phi)) ** (e / 2)
+            )
+        lam = self.lam0 + self.sign * xp.arctan2(de, -dn)
+        return xp.degrees(lam), self.sign * xp.degrees(phi)
+
+
 class SpatialReference:
     """A CRS: a datum plus a projection, identified by an EPSG code (or by
     its parameters, for CRSes parsed from WKT/proj4 without a known code)."""
@@ -671,6 +803,33 @@ def _registry_get(code):
                 _ellipsoid("GRS80"), 3.0, 46.5, 49.0, 44.0, 700000.0, 6600000.0
             ),
         )
+    if code == 5070:
+        return SpatialReference(
+            5070,
+            "NAD83 / Conus Albers",
+            "ETRS89",  # NAD83 treated as WGS84-coincident
+            _AlbersEqualArea(
+                _ellipsoid("GRS80"), -96.0, 23.0, 29.5, 45.5, 0.0, 0.0
+            ),
+        )
+    if code == 3413:
+        return SpatialReference(
+            3413,
+            "WGS 84 / NSIDC Sea Ice Polar Stereographic North",
+            "WGS84",
+            _PolarStereographic(
+                _ellipsoid("WGS84"), -45.0, standard_parallel=70.0, north=True
+            ),
+        )
+    if code == 3031:
+        return SpatialReference(
+            3031,
+            "WGS 84 / Antarctic Polar Stereographic",
+            "WGS84",
+            _PolarStereographic(
+                _ellipsoid("WGS84"), 0.0, standard_parallel=71.0, north=False
+            ),
+        )
     if code == 3035:
         return SpatialReference(
             3035,
@@ -803,6 +962,23 @@ def _build_projection(method, ell, p):
         return _LambertConformalConic(ell, cm, lat0, sp1, sp2, fe, fn)
     if method == "lambert_azimuthal_equal_area":
         return _LambertAzimuthalEqualArea(ell, cm, lat0, fe, fn)
+    if method == "albers_conic_equal_area":
+        sp1 = p.get("standard_parallel_1", lat0)
+        sp2 = p.get("standard_parallel_2", sp1)
+        return _AlbersEqualArea(ell, cm, lat0, sp1, sp2, fe, fn)
+    if method in ("polar_stereographic", "polar_stereographic_variant_b"):
+        # GDAL WKT1: latitude_of_origin is the standard parallel unless it
+        # is exactly +/-90, in which case scale_factor applies (variant A)
+        north = lat0 >= 0
+        if abs(abs(lat0) - 90.0) < 1e-9:
+            return _PolarStereographic(
+                ell, cm, k0=k0, false_easting=fe, false_northing=fn,
+                north=north,
+            )
+        return _PolarStereographic(
+            ell, cm, standard_parallel=abs(lat0), false_easting=fe,
+            false_northing=fn, north=north,
+        )
     if method == "mercator_1sp" and ell.e > 0:
         return _Mercator(ell, lon0=cm, k0=k0, false_easting=fe, false_northing=fn)
     if method == "mercator_2sp" and ell.e > 0:
@@ -873,6 +1049,7 @@ _PROJ4_ELLPS = {
 }
 
 _PROJ4_METHODS = {
+    "aea": "albers_conic_equal_area",
     "tmerc": "transverse_mercator",
     "sterea": "oblique_stereographic",
     "lcc": "lambert_conformal_conic_2sp",
@@ -926,6 +1103,31 @@ def _sr_from_proj4(text):
             10000000.0 if "south" in parts else 0.0,
         )
         key = ("utm", datum_key, zone, "south" in parts)
+        return SpatialReference(None, text, datum_key, projection, key=key)
+    if proj == "stere":
+        lat_0 = float(parts.get("lat_0", 0))
+        if abs(abs(lat_0) - 90.0) > 1e-9:
+            raise TransformException(
+                "Only polar +proj=stere is supported (+proj=sterea for oblique)"
+            )
+        north = lat_0 > 0
+        fe = float(parts.get("x_0", 0))
+        fn = float(parts.get("y_0", 0))
+        lon_0 = float(parts.get("lon_0", 0))
+        if "lat_ts" in parts:
+            projection = _PolarStereographic(
+                ell, lon_0, standard_parallel=abs(float(parts["lat_ts"])),
+                false_easting=fe, false_northing=fn, north=north,
+            )
+        else:
+            projection = _PolarStereographic(
+                ell, lon_0, k0=float(parts.get("k", parts.get("k_0", 1))),
+                false_easting=fe, false_northing=fn, north=north,
+            )
+        key = (
+            "stere", datum_key, lon_0, parts.get("lat_ts"),
+            parts.get("k", parts.get("k_0")), fe, fn, north,
+        )
         return SpatialReference(None, text, datum_key, projection, key=key)
     if proj not in _PROJ4_METHODS:
         raise TransformException("Unsupported proj4 projection: %r" % proj)

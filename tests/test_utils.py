@@ -662,3 +662,111 @@ class TestEllipsoidalMercator:
         )
         # NAD83 is treated as WGS84-coincident at this accuracy level
         assert float(x[0]) == pytest.approx(-100.0, abs=1e-9)
+
+
+class TestAlbersAndPolarStereographic:
+    """EPSG:5070 / 3413 / 3031 validated through differential map
+    properties (equal-area Jacobian determinant, conformal isotropy,
+    unit scale at the standard parallel) — independent of the formulas."""
+
+    @staticmethod
+    def jacobian(sr, lon, lat, h=1e-7):
+        import math
+
+        x0, y0 = utils.transform_points(
+            np.array([lon]), np.array([lat]), "EPSG:4326", sr
+        )
+        xl, yl = utils.transform_points(
+            np.array([lon + h]), np.array([lat]), "EPSG:4326", sr
+        )
+        xp_, yp_ = utils.transform_points(
+            np.array([lon]), np.array([lat + h]), "EPSG:4326", sr
+        )
+        d = math.radians(h)
+        return np.array(
+            [
+                [(xl[0] - x0[0]) / d, (xp_[0] - x0[0]) / d],
+                [(yl[0] - y0[0]) / d, (yp_[0] - y0[0]) / d],
+            ]
+        )
+
+    @pytest.mark.parametrize("lon,lat", [(-96, 23), (-120, 40), (-75, 45)])
+    def test_albers_is_equal_area(self, lon, lat):
+        import math
+
+        a, invf = 6378137.0, 298.257222101  # GRS80
+        e2 = (1 / invf) * (2 - 1 / invf)
+        J = self.jacobian(utils.get_sr("EPSG:5070"), lon, lat)
+        phi = math.radians(lat)
+        expected = a * a * math.cos(phi) * (1 - e2) / (
+            1 - e2 * math.sin(phi) ** 2
+        ) ** 2
+        assert np.linalg.det(J) / expected == pytest.approx(1.0, abs=1e-5)
+
+    def test_albers_origin_and_roundtrip(self):
+        x, y = utils.transform_points(
+            np.array([-96.0]), np.array([23.0]), "EPSG:4326", "EPSG:5070"
+        )
+        assert float(x[0]) == pytest.approx(0.0, abs=1e-6)
+        assert float(y[0]) == pytest.approx(0.0, abs=1e-6)
+        x, y = utils.transform_points(
+            np.array([-120.0]), np.array([40.0]), "EPSG:4326", "EPSG:5070"
+        )
+        lon, lat = utils.transform_points(x, y, "EPSG:5070", "EPSG:4326")
+        assert float(lon[0]) == pytest.approx(-120.0, abs=1e-9)
+        assert float(lat[0]) == pytest.approx(40.0, abs=1e-7)
+
+    @pytest.mark.parametrize(
+        "epsg,sp,points",
+        [
+            ("EPSG:3413", 70.0, [(-45, 70), (10, 80), (-100, 65)]),
+            ("EPSG:3031", -71.0, [(0, -71), (90, -80), (-60, -65)]),
+        ],
+    )
+    def test_polar_stereographic_conformal(self, epsg, sp, points):
+        import math
+
+        a, invf = 6378137.0, 298.257223563  # WGS84
+        e2 = (1 / invf) * (2 - 1 / invf)
+        sr = utils.get_sr(epsg)
+        for lon, lat in points:
+            J = self.jacobian(sr, float(lon), float(lat))
+            phi = math.radians(lat)
+            nu = a / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+            rho_m = a * (1 - e2) / (1 - e2 * math.sin(phi) ** 2) ** 1.5
+            k_par = math.hypot(J[0, 0], J[1, 0]) / (nu * math.cos(phi))
+            k_mer = math.hypot(J[0, 1], J[1, 1]) / rho_m
+            assert k_par == pytest.approx(k_mer, rel=1e-5)  # conformal
+            if lat == sp:
+                assert k_par == pytest.approx(1.0, abs=1e-6)  # true scale
+
+    def test_polar_stereographic_known_point(self):
+        # (0E, 71S) on EPSG:3031 is (0, -2082760.11): the standard-parallel
+        # radius of the Antarctic grid
+        x, y = utils.transform_points(
+            np.array([0.0]), np.array([-71.0]), "EPSG:4326", "EPSG:3031"
+        )
+        assert float(x[0]) == pytest.approx(0.0, abs=1e-6)
+        assert float(y[0]) == pytest.approx(-2082760.1085, abs=0.01)
+
+    def test_proj4_matches_registry(self):
+        for proj4, epsg, lonlat in [
+            (
+                "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +ellps=WGS84",
+                "EPSG:3413",
+                (10.0, 80.0),
+            ),
+            (
+                "+proj=aea +lat_0=23 +lon_0=-96 +lat_1=29.5 +lat_2=45.5 "
+                "+ellps=GRS80",
+                "EPSG:5070",
+                (-120.0, 40.0),
+            ),
+        ]:
+            lon, lat = np.array([lonlat[0]]), np.array([lonlat[1]])
+            x1, y1 = utils.transform_points(
+                lon, lat, "EPSG:4326", utils.get_sr(proj4)
+            )
+            x2, y2 = utils.transform_points(lon, lat, "EPSG:4326", epsg)
+            assert float(x1[0]) == pytest.approx(float(x2[0]), abs=1e-9)
+            assert float(y1[0]) == pytest.approx(float(y2[0]), abs=1e-9)
