@@ -770,3 +770,40 @@ class TestAlbersAndPolarStereographic:
             x2, y2 = utils.transform_points(lon, lat, "EPSG:4326", epsg)
             assert float(x1[0]) == pytest.approx(float(x2[0]), abs=1e-9)
             assert float(y1[0]) == pytest.approx(float(y2[0]), abs=1e-9)
+
+
+class TestProjectionsTraceIntoXLA:
+    """Every registry projection must produce identical results when traced
+    under jit with xp=jax.numpy — the on-device warp contract."""
+
+    POINTS = {
+        "EPSG:3857": (5.0, 52.0),
+        "EPSG:3395": (5.0, 52.0),
+        "EPSG:28992": (5.0, 52.0),
+        "EPSG:27700": (-2.0, 53.0),
+        "EPSG:32631": (5.0, 52.0),
+        "EPSG:2154": (2.35, 48.85),
+        "EPSG:3035": (10.0, 52.0),
+        "EPSG:5070": (-100.0, 40.0),
+        "EPSG:3413": (10.0, 80.0),
+        "EPSG:3031": (45.0, -75.0),
+    }
+
+    @pytest.mark.parametrize("epsg", sorted(POINTS))
+    def test_traced_matches_numpy(self, epsg):
+        import jax
+        import jax.numpy as jnp
+
+        jax.config.update("jax_enable_x64", True)
+        lon, lat = self.POINTS[epsg]
+
+        @jax.jit
+        def traced(x, y):
+            return utils.transform_points(x, y, "EPSG:4326", epsg, xp=jnp)
+
+        xj, yj = traced(jnp.array([lon]), jnp.array([lat]))
+        xn, yn = utils.transform_points(
+            np.array([lon]), np.array([lat]), "EPSG:4326", epsg
+        )
+        assert float(xj[0]) == pytest.approx(float(xn[0]), abs=1e-6)
+        assert float(yj[0]) == pytest.approx(float(yn[0]), abs=1e-6)
