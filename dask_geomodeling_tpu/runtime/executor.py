@@ -251,9 +251,13 @@ _EAGER = object()  # cache marker: this program shape evaluates host-side
 _DEVICE_ARRAY_CACHE = {}
 
 
-def _device_put_cached(arr):
+def _device_put_cached(arr, sharding=None):
     """jax.device_put with an id-keyed cache so large source arrays are
     transferred to HBM once and stay device-resident across tiles.
+
+    ``sharding`` (a jax.sharding.Sharding) places the array on a device
+    mesh instead of the default device; it participates in the cache key
+    so replicated copies stay resident per mesh.
 
     Cached residency is bounded by ``geomodeling.hbm-budget``: when a new
     payload would exceed the budget, the least-recently-used cached arrays
@@ -263,7 +267,7 @@ def _device_put_cached(arr):
 
     from dask_geomodeling_tpu import config
 
-    key = id(arr)
+    key = (id(arr), None if sharding is None else tokenize(repr(sharding)))
     entry = _DEVICE_ARRAY_CACHE.get(key)
     if entry is not None and entry[0]() is arr:
         _DEVICE_ARRAY_CACHE[key] = _DEVICE_ARRAY_CACHE.pop(key)  # LRU bump
@@ -276,7 +280,10 @@ def _device_put_cached(arr):
             if resident + nbytes <= budget:
                 break
             resident -= _DEVICE_ARRAY_CACHE.pop(old_key)[2]
-    dev = jax.device_put(arr)
+    if sharding is None:
+        dev = jax.device_put(arr)
+    else:
+        dev = jax.device_put(arr, sharding)
     if budget and nbytes > budget:
         return dev  # larger than the whole budget: never cache
     try:

@@ -29,6 +29,36 @@ class NotLowerable(Exception):
     """The view does not reduce to a single device program."""
 
 
+def _tile_batch_mesh(batch_size):
+    """A 1-D data-parallel mesh over all devices for tile-batch sharding,
+    or None when disabled (no ``geomodeling.mesh-shape``), single-device,
+    or the batch does not divide evenly."""
+    from dask_geomodeling_tpu import config
+
+    if config.get("geomodeling.mesh-shape", None) is None:
+        return None
+    import jax
+
+    n_devices = len(jax.devices())
+    if n_devices <= 1 or batch_size % n_devices:
+        return None
+    return _get_dp_mesh(n_devices)
+
+
+def _get_dp_mesh(n_devices):
+    mesh = _DP_MESH_CACHE.get(n_devices)
+    if mesh is None:
+        import jax
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(jax.devices()), ("dp",))
+        _DP_MESH_CACHE[n_devices] = mesh
+    return mesh
+
+
+_DP_MESH_CACHE = {}
+
+
 _TILE_PROGRAM_CACHE = {}
 
 
@@ -121,23 +151,38 @@ class TileProgram:
 
     def dispatch_batch(self, view, requests):
         """Dispatch a batch of tile requests; returns the (async) device
-        result of shape (B, bands, h, w)."""
+        result of shape (B, bands, h, w).
+
+        With ``geomodeling.mesh-shape`` set and multiple devices present,
+        the batch axis is sharded over a data-parallel device mesh: shared
+        inputs replicate (cached per mesh), per-tile inputs split over dp,
+        and XLA partitions the vmapped program across the chips."""
         import jax
 
         if self._compiled is None:
             self.compile(view, requests)
 
+        mesh = _tile_batch_mesh(len(requests))
+        batch_sharding = shared_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            batch_sharding = NamedSharding(mesh, PartitionSpec("dp"))
+            shared_sharding = NamedSharding(mesh, PartitionSpec())
+
         per_tile_arrays = [self._tile_inputs(view, r)[0] for r in requests]
         call_args = []
         for pos, axis in enumerate(self._in_axes):
             if axis is None:
-                call_args.append(_ex._device_put_cached(self._shared[pos]))
-            else:
                 call_args.append(
-                    jax.device_put(
-                        np.stack([arrays[pos] for arrays in per_tile_arrays])
-                    )
+                    _ex._device_put_cached(self._shared[pos], shared_sharding)
                 )
+            else:
+                stacked = np.stack([arrays[pos] for arrays in per_tile_arrays])
+                if batch_sharding is not None:
+                    call_args.append(jax.device_put(stacked, batch_sharding))
+                else:
+                    call_args.append(jax.device_put(stacked))
         return self._compiled(*call_args)
 
     def run_batch(self, view, requests):

@@ -208,7 +208,7 @@ def test_hbm_budget_evicts_lru():
         assert len(ex._DEVICE_ARRAY_CACHE) == 2
         ex._device_put_cached(a)  # bump a to most-recent
         ex._device_put_cached(c)  # must evict b (LRU), not a
-        cached_ids = set(ex._DEVICE_ARRAY_CACHE)
+        cached_ids = {key[0] for key in ex._DEVICE_ARRAY_CACHE}
         assert id(a) in cached_ids
         assert id(b) not in cached_ids
         assert id(c) in cached_ids

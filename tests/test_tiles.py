@@ -157,3 +157,46 @@ def test_evaluate_tiled_partial_batch_padding(source, request_64):
     # 4 tiles with batch 3: the second batch is padded from 1 to 3
     actual = evaluate_tiled(view, request_64, tile_size=32, batch=3)
     np.testing.assert_array_equal(actual["values"], expected["values"])
+
+
+def test_evaluate_tiled_mesh_sharded(source, request_64):
+    """With geomodeling.mesh-shape set, the tile batch shards over all
+    devices and the result is bitwise identical to the host path."""
+    import jax
+
+    from dask_geomodeling_tpu import config
+    from dask_geomodeling_tpu.runtime.tiles import _get_tile_program
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+
+    view = Reclassify(
+        Classify(Add(source, 1), bins=[50.0, 150.0]), data=[[1, 42]]
+    )
+    expected = view.get_data(**request_64)
+    with config.set({"geomodeling.mesh-shape": (8, 1)}):
+        actual = evaluate_tiled(view, request_64, tile_size=16, batch=8)
+        # the dispatched result really spans all devices
+        program = _get_tile_program(view, request_64)
+        requests = [
+            dict(request_64, width=16, height=16)
+            for _ in range(8)
+        ]
+        result = program.dispatch_batch(view, requests)
+        assert len(result.sharding.device_set) == 8
+    np.testing.assert_array_equal(actual["values"], expected["values"])
+
+
+def test_evaluate_tiled_mesh_indivisible_falls_back(source, request_64):
+    import jax
+
+    from dask_geomodeling_tpu import config
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    view = Classify(Add(source, 1), bins=[50.0, 150.0])
+    expected = view.get_data(**request_64)
+    with config.set({"geomodeling.mesh-shape": (8, 1)}):
+        # 4 tiles of 32^2 per batch: not divisible by 8 devices -> unsharded
+        actual = evaluate_tiled(view, request_64, tile_size=32, batch=4)
+    np.testing.assert_array_equal(actual["values"], expected["values"])
