@@ -43,6 +43,8 @@ def get_sync(graph, keys, pack_exception=None):
     callback, reference graphs.py:21-27).
     """
     cache = {}
+    if _profile.active():
+        _profile.announce_total(sum(1 for v in graph.values() if _is_task(v)))
 
     def evaluate(key):
         if key in cache:
@@ -59,12 +61,11 @@ def get_sync(graph, keys, pack_exception=None):
         func = value[0]
         args = [_resolve(arg) for arg in value[1:]]
         try:
-            profiler = _profile.active_profiler()
-            if profiler is None:
+            if not _profile.active():
                 return func(*args)
             t0 = time.perf_counter()
             result = func(*args)
-            profiler._record(
+            _profile.record(
                 getattr(func, "__qualname__", getattr(func, "__name__", "?")),
                 "task",
                 time.perf_counter() - t0,

@@ -29,7 +29,7 @@ import time
 from collections import defaultdict
 from contextlib import contextmanager
 
-__all__ = ["Profiler", "jax_trace", "record", "active_profiler"]
+__all__ = ["Profiler", "ProgressBar", "jax_trace", "record", "active_profiler"]
 
 _state = threading.local()
 
@@ -39,11 +39,29 @@ def active_profiler():
     return getattr(_state, "profiler", None)
 
 
+def active():
+    """True when a Profiler or ProgressBar is active in this thread."""
+    return (
+        getattr(_state, "profiler", None) is not None
+        or getattr(_state, "progress", None) is not None
+    )
+
+
 def record(name, category, duration, t0=None, meta=None):
     """Record a completed event if a profiler is active (hook entry point)."""
     profiler = getattr(_state, "profiler", None)
     if profiler is not None:
         profiler._record(name, category, duration, t0, meta)
+    bar = getattr(_state, "progress", None)
+    if bar is not None and category in ("task", "tiles"):
+        bar._advance(name)
+
+
+def announce_total(n):
+    """Tell an active ProgressBar how many units of work are planned."""
+    bar = getattr(_state, "progress", None)
+    if bar is not None:
+        bar._add_total(n)
 
 
 @contextmanager
@@ -163,6 +181,70 @@ class Profiler:
         ]
         with open(path, "w") as f:
             json.dump({"traceEvents": trace}, f)
+
+
+class ProgressBar:
+    """A terminal progress bar over view evaluation, the
+    dask.diagnostics.ProgressBar counterpart::
+
+        with ProgressBar():
+            view.get_data(**request)
+
+    The host scheduler announces its task count and reports each completed
+    task; the tile runtime reports dispatched/fetched batches. Output goes
+    to ``stream`` (default stderr); ``minimum`` suppresses output for
+    evaluations shorter than that many seconds.
+    """
+
+    def __init__(self, stream=None, width=40, minimum=0.0):
+        import sys
+
+        self.stream = stream if stream is not None else sys.stderr
+        self.width = width
+        self.minimum = minimum
+        self.total = 0
+        self.done = 0
+        self._t0 = None
+        self._drawn = False
+
+    def __enter__(self):
+        if getattr(_state, "progress", None) is not None:
+            raise RuntimeError("A ProgressBar is already active in this thread")
+        _state.progress = self
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        _state.progress = None
+        if self._drawn:
+            self._draw(final=True)
+            self.stream.write("\n")
+            self.stream.flush()
+        return False
+
+    def _add_total(self, n):
+        self.total += n
+
+    def _advance(self, name):
+        self.done += 1
+        if time.perf_counter() - self._t0 >= self.minimum:
+            self._draw()
+
+    def _draw(self, final=False):
+        elapsed = time.perf_counter() - self._t0
+        total = max(self.total, self.done)
+        if total:
+            frac = min(self.done / total, 1.0)
+            filled = int(self.width * frac)
+            bar = "#" * filled + "-" * (self.width - filled)
+            line = "\r[%s] %d/%d (%3.0f%%) %.1fs" % (
+                bar, self.done, total, frac * 100, elapsed
+            )
+        else:
+            line = "\r%d tasks %.1fs" % (self.done, elapsed)
+        self.stream.write(line)
+        self.stream.flush()
+        self._drawn = True
 
 
 @contextmanager

@@ -225,8 +225,10 @@ def evaluate_tiled(view, request, tile_size=512, batch=32):
     # phase 1: dispatch every batch (device work proceeds asynchronously);
     # the final partial batch is padded to the full batch size so it reuses
     # the same compiled program, and the padding is dropped on assembly
+    from dask_geomodeling_tpu.runtime import profile as _profile
     from dask_geomodeling_tpu.runtime.profile import span as _span
 
+    _profile.announce_total(-(-len(requests) // batch))
     t_dispatch = time.perf_counter()
     pending = []
     with _span("dispatch[%d tiles]" % len(requests), "tiles"):
@@ -248,7 +250,11 @@ def evaluate_tiled(view, request, tile_size=512, batch=32):
     no_data_value = view.fillvalue
     with _span("fetch+assemble[%d tiles]" % len(requests), "tiles"):
         for lo, device_result in pending:
+            t_batch = time.perf_counter()
             result = np.asarray(device_result)
+            _profile.record(
+                "tile_batch", "tiles", time.perf_counter() - t_batch, t_batch
+            )
             if out is None:
                 bands = result.shape[1]
                 out = np.empty((bands, height, width), result.dtype)

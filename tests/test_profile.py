@@ -83,3 +83,42 @@ def test_nested_profiler_raises():
     with Profiler():
         with pytest.raises(RuntimeError):
             Profiler().__enter__()
+
+
+class TestProgressBar:
+    def test_reports_task_progress(self, source, request_full):
+        import io
+
+        from dask_geomodeling_tpu.raster import Multiply
+        from dask_geomodeling_tpu.runtime.profile import ProgressBar
+
+        stream = io.StringIO()
+        view = Multiply(Add(source, 10), 2)
+        with ProgressBar(stream=stream) as bar:
+            view.get_data(**request_full)
+        output = stream.getvalue()
+        assert bar.done > 0
+        assert bar.total >= bar.done
+        assert "100%" in output
+        assert output.endswith("\n")
+
+    def test_reports_tile_batches(self, source, request_full):
+        import io
+
+        from dask_geomodeling_tpu.runtime.profile import ProgressBar
+        from dask_geomodeling_tpu.runtime.tiles import evaluate_tiled
+
+        stream = io.StringIO()
+        request = dict(request_full, width=20, height=20)
+        with ProgressBar(stream=stream) as bar:
+            evaluate_tiled(Add(source, 10), request, tile_size=10, batch=2)
+        assert bar.done == 2  # two fetched batches
+        assert bar.total == 2
+        assert "2/2" in stream.getvalue()
+
+    def test_nested_raises(self):
+        from dask_geomodeling_tpu.runtime.profile import ProgressBar
+
+        with ProgressBar():
+            with pytest.raises(RuntimeError):
+                ProgressBar().__enter__()
