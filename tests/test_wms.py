@@ -86,3 +86,14 @@ def test_wsgi_app_error(view_json):
 
     wms_app(environ, start_response)
     assert captured["status"].startswith("400")
+
+
+def test_render_under_jax_executor(view_json):
+    """The serving path works unchanged under the XLA executor."""
+    from dask_geomodeling_tpu import config
+
+    expected = render_wms_tile(base_params(view_json))
+    with config.set({"geomodeling.executor": "jax"}):
+        actual = render_wms_tile(base_params(view_json))
+    assert actual[:8] == b"\x89PNG\r\n\x1a\n"
+    assert actual == expected  # identical pixels -> identical PNG bytes
