@@ -401,8 +401,22 @@ class _StagedProgram:
             return
         if compiled is None:
             _CACHE_STATS["misses"] += 1
-            with _span("stage[%d nodes]" % len(self.keys), "compile"):
-                compiled = self._compile(input_skeletons, literal_skeletons)
+            try:
+                with _span("stage[%d nodes]" % len(self.keys), "compile"):
+                    compiled = self._compile(input_skeletons, literal_skeletons)
+            except Exception:
+                # tracing/compilation failure (an impl that can't lower, a
+                # compiler bug, resource exhaustion): the host path has
+                # identical semantics, so degrade gracefully and remember
+                logger.warning(
+                    "device compile failed for staged program %s; "
+                    "falling back to the host path",
+                    sig,
+                    exc_info=True,
+                )
+                _PROGRAM_CACHE[sig] = _EAGER
+                self._run_eager(cache)
+                return
             _PROGRAM_CACHE[sig] = compiled
         else:
             _CACHE_STATS["hits"] += 1
@@ -417,6 +431,18 @@ class _StagedProgram:
             # passing through impls — cannot leave a jitted function;
             # remember and evaluate this program shape host-side
             _PROGRAM_CACHE[sig] = _EAGER
+            self._run_eager(cache)
+            return
+        except Exception:
+            # runtime device failure (OOM, transfer error): serve this
+            # request from the host path; keep the program cached so the
+            # device is retried on the next request
+            logger.warning(
+                "device execution failed for staged program %s; "
+                "serving this request from the host path",
+                sig,
+                exc_info=True,
+            )
             self._run_eager(cache)
             return
         with _span("fetch[%d outputs]" % len(self.output_keys), "transfer"):

@@ -288,3 +288,47 @@ class TestRasterizeWKTDevice:
             width=1, height=1,
         )
         assert_jax_matches_numpy(view, request)
+
+
+class TestDeviceFailureFallback:
+    """Device failures degrade to the host path instead of failing the
+    request (the jax twins are semantically identical)."""
+
+    def test_compile_failure_falls_back(self, src, request_full, monkeypatch):
+        from dask_geomodeling_tpu.runtime import executor as ex
+
+        def broken_compile(self, *args, **kwargs):
+            raise RuntimeError("simulated compiler failure")
+
+        monkeypatch.setattr(ex._StagedProgram, "_compile", broken_compile)
+        clear_program_cache()
+        view = Add(src, 10)
+        expected = view.get_data(**request_full)
+        with config.set({"geomodeling.executor": "jax"}):
+            actual = view.get_data(**request_full)
+        np.testing.assert_array_equal(actual["values"], expected["values"])
+        # the failing shape is remembered: no second compile attempt
+        with config.set({"geomodeling.executor": "jax"}):
+            view.get_data(**request_full)
+
+    def test_runtime_failure_serves_from_host(self, src, request_full, monkeypatch):
+        from dask_geomodeling_tpu.runtime import executor as ex
+
+        clear_program_cache()
+        view = Multiply(src, 3)
+        expected = view.get_data(**request_full)
+
+        real_compile = ex._StagedProgram._compile
+
+        def compile_to_failing(self, *args, **kwargs):
+            compiled = real_compile(self, *args, **kwargs)
+
+            def failing(*arrays):
+                raise RuntimeError("simulated device OOM")
+
+            return failing
+
+        monkeypatch.setattr(ex._StagedProgram, "_compile", compile_to_failing)
+        with config.set({"geomodeling.executor": "jax"}):
+            actual = view.get_data(**request_full)
+        np.testing.assert_array_equal(actual["values"], expected["values"])
