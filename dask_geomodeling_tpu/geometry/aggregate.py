@@ -137,9 +137,9 @@ def aggregate_polygons(
         else:
             thresholds = None
 
-        use_device = (
-            config.get("geomodeling.aggregate-device", False)
-            and statistic in ("sum", "count", "mean", "min", "max")
+        use_device = config.get("geomodeling.aggregate-device", False) and (
+            statistic in ("sum", "count", "mean", "min", "max", "median",
+                          "percentile")
         )
         for frame_no, frame in enumerate(values):
             active = frame != no_data_value
@@ -154,17 +154,28 @@ def aggregate_polygons(
                 continue
 
             if use_device:
-                from dask_geomodeling_tpu.ops.segment import labeled_statistic_jax
-
-                per_label = np.asarray(
-                    labeled_statistic_jax(
-                        frame,
-                        np.where(active, labels, 0),
-                        active,
-                        len(geometries),
-                        statistic,
-                    )
+                from dask_geomodeling_tpu.ops.segment import (
+                    labeled_percentile_jax,
+                    labeled_statistic_jax,
                 )
+
+                if statistic in ("median", "percentile"):
+                    q = 50.0 if statistic == "median" else percentile
+                    per_label = np.asarray(
+                        labeled_percentile_jax(
+                            frame, labels, active, len(geometries), q
+                        )
+                    )
+                else:
+                    per_label = np.asarray(
+                        labeled_statistic_jax(
+                            frame,
+                            np.where(active, labels, 0),
+                            active,
+                            len(geometries),
+                            statistic,
+                        )
+                    )
                 found = ~np.isnan(per_label)
                 idx = [i for i in select if found[i]]
                 agg[frame_no][idx] = per_label[idx]

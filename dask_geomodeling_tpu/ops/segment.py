@@ -13,7 +13,7 @@ trip dominates, so geometry/aggregate.py keeps scipy by default; set
 """
 import numpy as np
 
-__all__ = ["labeled_statistic_jax"]
+__all__ = ["labeled_statistic_jax", "labeled_percentile_jax"]
 
 _SUPPORTED = ("sum", "count", "mean", "min", "max")
 
@@ -75,3 +75,39 @@ def labeled_statistic_jax(values, labels, active, num_labels, statistic):
             num_segments=num_labels,
         )
     return jnp.where(present, result, jnp.nan)
+
+
+def labeled_percentile_jax(values, labels, active, num_labels, q):
+    """Per-label percentile over active cells (device zonal median/p<N>).
+
+    One lexsort by (label, value) orders every segment; per-segment
+    boundaries come from a segment count + exclusive cumsum, and the
+    percentile is linearly interpolated between the two bracketing sorted
+    values (numpy's 'linear' rule, matching geo/measurements.percentile).
+    Labels without active cells yield NaN.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    flat_values = values.ravel().astype(jnp.float32)
+    # inactive cells go to a sentinel segment sorted after all real labels
+    flat_labels = jnp.where(active.ravel(), labels.ravel(), num_labels)
+
+    order = jnp.lexsort((flat_values, flat_labels))
+    sorted_values = flat_values[order]
+
+    counts = jax.ops.segment_sum(
+        jnp.ones_like(flat_values), flat_labels, num_segments=num_labels + 1
+    )[:num_labels]
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)[:-1]]
+    )
+    position = starts + (q / 100.0) * (counts - 1)
+    lower = jnp.floor(position).astype(jnp.int32)
+    upper = jnp.ceil(position).astype(jnp.int32)
+    n = sorted_values.shape[0]
+    v_lo = sorted_values[jnp.clip(lower, 0, n - 1)]
+    v_hi = sorted_values[jnp.clip(upper, 0, n - 1)]
+    frac = position - lower
+    result = v_lo + frac * (v_hi - v_lo)
+    return jnp.where(counts > 0, result, jnp.nan)

@@ -428,7 +428,9 @@ class TestAggregateAboveThreshold:
 class TestDeviceAggregate:
     square = [(2, 2), (6, 2), (6, 6), (2, 6)]
 
-    @pytest.mark.parametrize("statistic", ["sum", "count", "mean", "min", "max"])
+    @pytest.mark.parametrize(
+        "statistic", ["sum", "count", "mean", "min", "max", "median", "p75"]
+    )
     def test_device_matches_host(self, raster, request_all, statistic):
         geom = MockGeometry(
             [self.square, [(4, 4), (8, 4), (8, 8), (4, 8)]],
@@ -439,6 +441,25 @@ class TestDeviceAggregate:
         with config.set({"geomodeling.aggregate-device": True}):
             device = view.get_data(**request_all)["features"]["agg"].tolist()
         np.testing.assert_allclose(device, host, rtol=1e-6)
+
+    def test_percentile_kernel_matches_numpy(self):
+        from dask_geomodeling_tpu.ops.segment import labeled_percentile_jax
+
+        rng = np.random.RandomState(3)
+        values = rng.rand(40, 40).astype(np.float32) * 100
+        labels = rng.randint(0, 6, (40, 40))
+        active = rng.rand(40, 40) > 0.3
+        active &= labels != 5  # label 5 has no active cells
+        for q in (50.0, 75.0, 10.0, 100.0, 0.0):
+            result = np.asarray(
+                labeled_percentile_jax(values, labels, active, 6, q)
+            )
+            for label in range(5):
+                group = values[(labels == label) & active]
+                np.testing.assert_allclose(
+                    result[label], np.percentile(group, q), rtol=1e-5
+                )
+            assert np.isnan(result[5])
 
     def test_segment_kernel_matches_ndimage(self):
         from dask_geomodeling_tpu.ops.segment import labeled_statistic_jax
