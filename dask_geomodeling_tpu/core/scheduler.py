@@ -115,6 +115,10 @@ def _toposort_needed(graph, keys):
 
 def _get_pooled_impl(pool_cls, graph, keys, num_workers):
     _, deps, dependents = _toposort_needed(graph, keys)
+    if _profile.active():
+        _profile.announce_total(
+            sum(1 for key in deps if _is_task(graph[key]))
+        )
     cache = {}
     remaining = {key: len(ds) for key, ds in deps.items()}
     ready = [key for key, n in remaining.items() if n == 0]
@@ -140,13 +144,27 @@ def _get_pooled_impl(pool_cls, graph, keys, num_workers):
                     continue
                 func = value[0]
                 args = [_resolve(arg) for arg in value[1:]]
-                futures[pool.submit(func, *args)] = key
+                futures[pool.submit(_timed_call, func, args)] = key
             if not futures:
                 continue
             done, _ = wait(list(futures), return_when=FIRST_COMPLETED)
             for fut in done:
                 _complete(futures.pop(fut), fut.result())
     return [cache[key] for key in keys]
+
+
+def _timed_call(func, args):
+    if not _profile.active():
+        return func(*args)
+    t0 = time.perf_counter()
+    result = func(*args)
+    _profile.record(
+        getattr(func, "__qualname__", getattr(func, "__name__", "?")),
+        "task",
+        time.perf_counter() - t0,
+        t0,
+    )
+    return result
 
 
 def get_threaded(graph, keys, num_workers=None, **kwargs):

@@ -33,33 +33,39 @@ __all__ = ["Profiler", "ProgressBar", "jax_trace", "record", "active_profiler"]
 
 _state = threading.local()
 
+# scheduler pool workers are separate threads: fall back to the process-wide
+# registration (set by whichever thread entered the context manager)
+_global = {"profiler": None, "progress": None}
+
+
+def _current(kind):
+    local = getattr(_state, kind, None)
+    return local if local is not None else _global[kind]
+
 
 def active_profiler():
-    """The Profiler active in this thread (or None)."""
-    return getattr(_state, "profiler", None)
+    """The Profiler active in this thread or process (or None)."""
+    return _current("profiler")
 
 
 def active():
-    """True when a Profiler or ProgressBar is active in this thread."""
-    return (
-        getattr(_state, "profiler", None) is not None
-        or getattr(_state, "progress", None) is not None
-    )
+    """True when a Profiler or ProgressBar is active."""
+    return _current("profiler") is not None or _current("progress") is not None
 
 
 def record(name, category, duration, t0=None, meta=None):
     """Record a completed event if a profiler is active (hook entry point)."""
-    profiler = getattr(_state, "profiler", None)
+    profiler = _current("profiler")
     if profiler is not None:
         profiler._record(name, category, duration, t0, meta)
-    bar = getattr(_state, "progress", None)
+    bar = _current("progress")
     if bar is not None and category in ("task", "tiles"):
         bar._advance(name)
 
 
 def announce_total(n):
     """Tell an active ProgressBar how many units of work are planned."""
-    bar = getattr(_state, "progress", None)
+    bar = _current("progress")
     if bar is not None:
         bar._add_total(n)
 
@@ -67,7 +73,7 @@ def announce_total(n):
 @contextmanager
 def span(name, category, meta=None):
     """Context manager recording one event around a code region."""
-    profiler = getattr(_state, "profiler", None)
+    profiler = _current("profiler")
     if profiler is None:
         yield
         return
@@ -98,12 +104,15 @@ class Profiler:
         if getattr(_state, "profiler", None) is not None:
             raise RuntimeError("A Profiler is already active in this thread")
         _state.profiler = self
+        _global["profiler"] = self
         self._t_enter = time.perf_counter()
         return self
 
     def __exit__(self, *exc):
         self._t_exit = time.perf_counter()
         _state.profiler = None
+        if _global["profiler"] is self:
+            _global["profiler"] = None
         return False
 
     # --- recording ---
@@ -206,16 +215,20 @@ class ProgressBar:
         self.done = 0
         self._t0 = None
         self._drawn = False
+        self._lock = threading.Lock()
 
     def __enter__(self):
         if getattr(_state, "progress", None) is not None:
             raise RuntimeError("A ProgressBar is already active in this thread")
         _state.progress = self
+        _global["progress"] = self
         self._t0 = time.perf_counter()
         return self
 
     def __exit__(self, *exc):
         _state.progress = None
+        if _global["progress"] is self:
+            _global["progress"] = None
         if self._drawn:
             self._draw(final=True)
             self.stream.write("\n")
@@ -223,10 +236,12 @@ class ProgressBar:
         return False
 
     def _add_total(self, n):
-        self.total += n
+        with self._lock:
+            self.total += n
 
     def _advance(self, name):
-        self.done += 1
+        with self._lock:
+            self.done += 1
         if time.perf_counter() - self._t0 >= self.minimum:
             self._draw()
 

@@ -122,3 +122,14 @@ class TestProgressBar:
         with ProgressBar():
             with pytest.raises(RuntimeError):
                 ProgressBar().__enter__()
+
+
+def test_profiler_covers_threaded_scheduler(source, request_full):
+    from dask_geomodeling_tpu.raster import Multiply
+
+    view = Multiply(Add(source, 10), 2)
+    with config.set({"scheduler": "threads"}):
+        with Profiler() as prof:
+            view.get_data(**request_full)
+    names = {e["name"] for e in prof.events}
+    assert any("multiply" in n for n in names)
