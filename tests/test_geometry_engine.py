@@ -308,6 +308,32 @@ class TestOverlayProperties:
             checked += 1
         assert checked == 30
 
+    def test_area_identities_with_holes(self):
+        # A is a donut (hole = the shrunken shell); identities must hold
+        # through the hole handling of the overlay engine
+        rng = np.random.RandomState(7)
+        checked = 0
+        for trial in range(20):
+            shell = self.random_convex(rng, 0, 0, 10, rng.randint(4, 9))
+            # shrink about the centroid so the hole stays strictly inside
+            cx, cy = shell.centroid.coords0
+            hole_ring = [
+                (cx + (x - cx) * 0.4, cy + (y - cy) * 0.4)
+                for x, y in shell.exterior.coords[:-1]
+            ]
+            a = Polygon(list(shell.exterior.coords[:-1]), [hole_ring])
+            b = self.random_convex(
+                rng, rng.uniform(-6, 6), rng.uniform(-6, 6), 7, rng.randint(3, 9)
+            )
+            inter = a.intersection(b)
+            diff = a.difference(b)
+            union = a.union(b)
+            tol = 1e-6 * max(a.area, b.area)
+            assert abs(a.area - (inter.area + diff.area)) < tol, trial
+            assert abs(union.area - (a.area + b.area - inter.area)) < tol, trial
+            checked += 1
+        assert checked == 20
+
     def test_box_grid_identities(self):
         # axis-aligned boxes with shared edges and corner touches
         boxes = [
