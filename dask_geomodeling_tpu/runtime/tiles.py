@@ -149,6 +149,43 @@ class TileProgram:
             self._compiled = jax.jit(lambda *a: jnp.stack([one_tile(*a)]))
         return arrays_0
 
+    def stage_batch(self, view, requests):
+        """Host-side staging for one batch: the stacked per-tile input
+        arrays (pure CPU work — safe to run on a prefetch thread)."""
+        if self._compiled is None:
+            self.compile(view, requests)
+        per_tile_arrays = [self._tile_inputs(view, r)[0] for r in requests]
+        return [
+            None
+            if axis is None
+            else np.stack([arrays[pos] for arrays in per_tile_arrays])
+            for pos, axis in enumerate(self._in_axes)
+        ]
+
+    def dispatch_staged(self, staged, batch_size):
+        """Transfer a staged batch and launch the program (async)."""
+        import jax
+
+        mesh = _tile_batch_mesh(batch_size)
+        batch_sharding = shared_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            batch_sharding = NamedSharding(mesh, PartitionSpec("dp"))
+            shared_sharding = NamedSharding(mesh, PartitionSpec())
+
+        call_args = []
+        for pos, stacked in enumerate(staged):
+            if stacked is None:
+                call_args.append(
+                    _ex._device_put_cached(self._shared[pos], shared_sharding)
+                )
+            elif batch_sharding is not None:
+                call_args.append(jax.device_put(stacked, batch_sharding))
+            else:
+                call_args.append(jax.device_put(stacked))
+        return self._compiled(*call_args)
+
     def dispatch_batch(self, view, requests):
         """Dispatch a batch of tile requests; returns the (async) device
         result of shape (B, bands, h, w).
@@ -157,33 +194,9 @@ class TileProgram:
         the batch axis is sharded over a data-parallel device mesh: shared
         inputs replicate (cached per mesh), per-tile inputs split over dp,
         and XLA partitions the vmapped program across the chips."""
-        import jax
-
-        if self._compiled is None:
-            self.compile(view, requests)
-
-        mesh = _tile_batch_mesh(len(requests))
-        batch_sharding = shared_sharding = None
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            batch_sharding = NamedSharding(mesh, PartitionSpec("dp"))
-            shared_sharding = NamedSharding(mesh, PartitionSpec())
-
-        per_tile_arrays = [self._tile_inputs(view, r)[0] for r in requests]
-        call_args = []
-        for pos, axis in enumerate(self._in_axes):
-            if axis is None:
-                call_args.append(
-                    _ex._device_put_cached(self._shared[pos], shared_sharding)
-                )
-            else:
-                stacked = np.stack([arrays[pos] for arrays in per_tile_arrays])
-                if batch_sharding is not None:
-                    call_args.append(jax.device_put(stacked, batch_sharding))
-                else:
-                    call_args.append(jax.device_put(stacked))
-        return self._compiled(*call_args)
+        return self.dispatch_staged(
+            self.stage_batch(view, requests), len(requests)
+        )
 
     def run_batch(self, view, requests):
         """Evaluate a batch of tile requests; returns (B, bands, h, w)."""
@@ -230,13 +243,30 @@ def evaluate_tiled(view, request, tile_size=512, batch=32):
 
     _profile.announce_total(-(-len(requests) // batch))
     t_dispatch = time.perf_counter()
+    chunks = []
+    for lo in range(0, len(requests), batch):
+        chunk = requests[lo : lo + batch]
+        if lo and len(chunk) < batch:
+            chunk = chunk + [chunk[-1]] * (batch - len(chunk))
+        chunks.append((lo, chunk))
+
+    # stage batch k+1 on a prefetch thread while batch k transfers and the
+    # device computes (double buffering); compile once up front so worker
+    # threads never race the jit trace
+    from dask_geomodeling_tpu.runtime.pipeline import TilePrefetcher
+
     pending = []
     with _span("dispatch[%d tiles]" % len(requests), "tiles"):
-        for lo in range(0, len(requests), batch):
-            chunk = requests[lo : lo + batch]
-            if lo and len(chunk) < batch:
-                chunk = chunk + [chunk[-1]] * (batch - len(chunk))
-            pending.append((lo, program.dispatch_batch(view, chunk)))
+        if program._compiled is None:
+            program.compile(view, chunks[0][1])
+        with TilePrefetcher() as prefetcher:
+            futures = prefetcher.map(
+                lambda item: program.stage_batch(view, item[1]), chunks
+            )
+            for (lo, chunk), future in zip(chunks, futures):
+                pending.append(
+                    (lo, program.dispatch_staged(future.result(), len(chunk)))
+                )
     t_fetch = time.perf_counter()
 
     # phase 2: fetch + assemble (fetches overlap the remaining device work);
