@@ -405,6 +405,20 @@ class TestResample:
         with pytest.raises(ValueError):
             Resample(hourly, "2h", direction="sideways")
 
+    def test_resample_single_timestep(self, hourly, request_all):
+        # reference changelog 2.6.1: single-time-step requests must work
+        view = Resample(hourly, "2h")
+        for kwargs in [
+            dict(start=datetime(2000, 1, 1, 2)),
+            dict(start=datetime(2000, 1, 1, 2), stop=datetime(2000, 1, 1, 2)),
+        ]:
+            request = dict(request_all)
+            request.pop("start"), request.pop("stop", None)
+            data = view.get_data(**request, **kwargs)
+            assert data["values"][:, 0, 0].tolist() == [2]
+            time = view.get_data(mode="time", **kwargs)
+            assert time["time"] == [datetime(2000, 1, 1, 2)]
+
 
 class TestGroup:
     def test_group_attrs(self, hourly):
