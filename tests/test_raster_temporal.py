@@ -682,3 +682,55 @@ class TestResampleDirections:
         view = Resample(hourly, "2h", direction="backward")
         data = view.get_data(**request_all)
         assert data["values"][0, 0, 0] == 0
+
+
+class TestMonthStartFrequency:
+    """Reference changelog 2.4.2/2.4.3: TemporalAggregate and Cumulative
+    with month-start ('MS') frequency."""
+
+    @pytest.fixture
+    def weekly(self):
+        return make_source(
+            list(range(10)), datetime(2000, 1, 10), timedelta(days=7)
+        )
+
+    def test_temporal_aggregate_ms(self, weekly, request_all):
+        view = TemporalAggregate(weekly, statistic="sum", frequency="MS")
+        request = dict(
+            request_all, start=datetime(2000, 1, 1), stop=datetime(2000, 4, 1)
+        )
+        data = view.get_data(**request)
+        time = view.get_data(**dict(request, mode="time"))
+        assert time["time"] == [
+            datetime(2000, 1, 1),
+            datetime(2000, 2, 1),
+            datetime(2000, 3, 1),
+        ]
+        # Jan: frames 0-3, Feb: 4-7, Mar: 8-9
+        assert data["values"][:, 0, 0].tolist() == [6, 22, 17]
+
+    def test_cumulative_ms_resets(self, weekly, request_all):
+        view = Cumulative(weekly, statistic="sum", frequency="MS")
+        request = dict(
+            request_all, start=datetime(2000, 1, 1), stop=datetime(2000, 4, 1)
+        )
+        data = view.get_data(**request)
+        assert data["values"][:, 0, 0].tolist() == [
+            0, 1, 3, 6,  # January accumulates
+            4, 9, 15, 22,  # resets at Feb 1
+            8, 17,  # resets at Mar 1
+        ]
+
+
+class TestClipNoneTimes:
+    """Reference changelog 2.5.3/2.5.4: Clip with start or stop None."""
+
+    def test_clip_none_start_stop(self, hourly, request_all):
+        from dask_geomodeling_tpu.raster import Clip, Greater
+
+        clip = Clip(hourly, Greater(hourly, 2))
+        base = {k: v for k, v in request_all.items() if k not in ("start", "stop")}
+        last = clip.get_data(**base)
+        assert last["values"].shape[0] == 1  # latest frame only
+        only_start = clip.get_data(**base, start=datetime(2000, 1, 1, 2))
+        assert only_start["values"].shape[0] == 1
