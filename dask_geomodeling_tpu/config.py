@@ -38,6 +38,10 @@ defaults = {
     "geomodeling.tile-size": 512,
     # number of tiles evaluated per device program invocation
     "geomodeling.tile-batch": 8,
+    # overlap host staging of batch k+1 with device work on batch k; off by
+    # default: over a tunneled TPU the extra host threads can contend with
+    # the transfer stream (measured 17.7 -> ~12-14 Mpx/s on the bench view)
+    "geomodeling.tile-prefetch": False,
     # logical device mesh shape used by the sharded executor, e.g. (8,)
     "geomodeling.mesh-shape": None,
     # per-batch HBM budget in bytes for admission control of tile batches

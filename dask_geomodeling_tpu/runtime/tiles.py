@@ -250,23 +250,30 @@ def evaluate_tiled(view, request, tile_size=512, batch=32):
             chunk = chunk + [chunk[-1]] * (batch - len(chunk))
         chunks.append((lo, chunk))
 
-    # stage batch k+1 on a prefetch thread while batch k transfers and the
-    # device computes (double buffering); compile once up front so worker
-    # threads never race the jit trace
-    from dask_geomodeling_tpu.runtime.pipeline import TilePrefetcher
+    # optionally stage batch k+1 on a prefetch thread while batch k
+    # transfers and computes (double buffering; opt-in, see config)
+    from dask_geomodeling_tpu import config as _config
 
+    prefetch = _config.get("geomodeling.tile-prefetch", False)
     pending = []
     with _span("dispatch[%d tiles]" % len(requests), "tiles"):
-        if program._compiled is None:
-            program.compile(view, chunks[0][1])
-        with TilePrefetcher() as prefetcher:
-            futures = prefetcher.map(
-                lambda item: program.stage_batch(view, item[1]), chunks
-            )
-            for (lo, chunk), future in zip(chunks, futures):
-                pending.append(
-                    (lo, program.dispatch_staged(future.result(), len(chunk)))
+        if prefetch:
+            from dask_geomodeling_tpu.runtime.pipeline import TilePrefetcher
+
+            # compile once up front so workers never race the jit trace
+            if program._compiled is None:
+                program.compile(view, chunks[0][1])
+            with TilePrefetcher() as prefetcher:
+                futures = prefetcher.map(
+                    lambda item: program.stage_batch(view, item[1]), chunks
                 )
+                for (lo, chunk), future in zip(chunks, futures):
+                    pending.append(
+                        (lo, program.dispatch_staged(future.result(), len(chunk)))
+                    )
+        else:
+            for lo, chunk in chunks:
+                pending.append((lo, program.dispatch_batch(view, chunk)))
     t_fetch = time.perf_counter()
 
     # phase 2: fetch + assemble (fetches overlap the remaining device work);

@@ -200,3 +200,16 @@ def test_evaluate_tiled_mesh_indivisible_falls_back(source, request_64):
         # 4 tiles of 32^2 per batch: not divisible by 8 devices -> unsharded
         actual = evaluate_tiled(view, request_64, tile_size=32, batch=4)
     np.testing.assert_array_equal(actual["values"], expected["values"])
+
+
+def test_evaluate_tiled_with_prefetch(source, request_64):
+    """The opt-in prefetch staging path produces identical results."""
+    from dask_geomodeling_tpu import config
+
+    view = Reclassify(
+        Classify(Add(source, 1), bins=[50.0, 150.0]), data=[[1, 42]]
+    )
+    expected = view.get_data(**request_64)
+    with config.set({"geomodeling.tile-prefetch": True}):
+        actual = evaluate_tiled(view, request_64, tile_size=32, batch=2)
+    np.testing.assert_array_equal(actual["values"], expected["values"])
