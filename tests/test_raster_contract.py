@@ -132,3 +132,25 @@ def test_attribute_contract(cls, source, geom_source):
     for attribute in ATTRIBUTES:
         assert hasattr(block, attribute), attribute
         getattr(block, attribute)  # must not raise
+
+
+@pytest.mark.parametrize(
+    "cls", exported_raster_blocks(), ids=lambda c: c.__name__
+)
+def test_serialization_roundtrip_contract(cls, source, geom_source):
+    """Every exported block must survive to_json/from_json with an
+    identical token (views travel between services as JSON)."""
+    from dask_geomodeling_tpu.core.graphs import Block
+
+    block = make_instance(cls, source, geom_source)
+    if block is None:
+        pytest.skip("constructed via dedicated fixtures elsewhere")
+    if not block.args or any(
+        isinstance(arg, MockGeometry)
+        or (isinstance(arg, Block) and isinstance(arg.args[0], MockGeometry))
+        for arg in block.args
+    ):
+        pytest.skip("test-only mock sources do not import by path")
+    restored = type(block).from_json(block.to_json())
+    assert restored.token == block.token
+    assert type(restored) is type(block)
