@@ -276,9 +276,17 @@ def evaluate_tiled(view, request, tile_size=512, batch=32):
                 pending.append((lo, program.dispatch_batch(view, chunk)))
     t_fetch = time.perf_counter()
 
-    # phase 2: fetch + assemble (fetches overlap the remaining device work);
-    # start every device->host copy before blocking on the first one so the
-    # transport can pipeline transfers
+    # phase 2: fetch + assemble (fetches overlap the remaining device work).
+    # The padded final batch is sliced ON DEVICE to the valid tiles first,
+    # so padding never crosses the (bandwidth-bound) device->host link; then
+    # every copy starts before blocking on the first one so the transport
+    # can pipeline transfers
+    pending = [
+        (lo, device_result[: len(requests) - lo])
+        if lo + batch > len(requests)
+        else (lo, device_result)
+        for lo, device_result in pending
+    ]
     for _, device_result in pending:
         copy_async = getattr(device_result, "copy_to_host_async", None)
         if copy_async is not None:
