@@ -145,11 +145,17 @@ class TestGeometryFileSource:
         assert len(data["features"]) == 0  # all boxes are 2x2
 
 
+@pytest.fixture(params=["geojson", "gpkg", "shp", "gml"])
+def vector_format(request):
+    return request.param
+
+
 class TestGeometryFileSourceBehaviors:
     """Ported from reference tests/test_geometry.py:98-278
-    (TstGeometryFileSourceBase)."""
+    (TstGeometryFileSourceBase); like the reference, the suite runs over
+    every vector driver."""
 
-    def make_source(self, root, name, polygons, properties=None):
+    def make_source(self, root, name, polygons, properties=None, fmt="geojson"):
         from dask_geomodeling_tpu.geo.geometry import Polygon
 
         geoms = [Polygon(p) for p in polygons]
@@ -162,11 +168,11 @@ class TestGeometryFileSourceBehaviors:
             geometry=geoms,
             crs="EPSG:4326",
         )
-        write_vector(frame, str(root / (name + ".geojson")))
-        return GeometryFileSource(name + ".geojson")
+        write_vector(frame, str(root / (name + "." + fmt)))
+        return GeometryFileSource(name + "." + fmt)
 
     @pytest.fixture
-    def squares(self, root):
+    def squares(self, root, vector_format):
         return self.make_source(
             root,
             "squares",
@@ -175,6 +181,7 @@ class TestGeometryFileSourceBehaviors:
                  (i * 0.1 + 0.05, 0.5), (i * 0.1, 0.5)]
                 for i in range(10)
             ],
+            fmt=vector_format,
         )
 
     def test_get_data(self, squares):
