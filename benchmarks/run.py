@@ -1,0 +1,164 @@
+"""The five BASELINE.json benchmark configs, host executor vs jax executor.
+
+Usage::
+
+    python benchmarks/run.py [--px 1024]
+
+Prints one line per config with megapixels/second for the host (numpy,
+reference-semantics) path and the jax path, plus the speedup. Runs on
+whatever jax backend is active (CPU in CI, TPU when attached); on a
+tunneled TPU the jax numbers are fetch-bound — see bench.py for the
+headline tile-batched measurement.
+"""
+import argparse
+import time
+from datetime import datetime, timedelta
+
+import numpy as np
+
+from dask_geomodeling_tpu import config
+from dask_geomodeling_tpu.geo.geometry import box
+from dask_geomodeling_tpu.geometry import AggregateRaster
+from dask_geomodeling_tpu.raster import (
+    Add,
+    Classify,
+    Cumulative,
+    Dilate,
+    HillShade,
+    Mask,
+    MaskBelow,
+    MemorySource,
+    MovingMax,
+    Multiply,
+    Reclassify,
+    Smooth,
+    TemporalAggregate,
+)
+from tests.factories import MockGeometry
+
+
+def make_source(px, bands=1, seed=0):
+    rng = np.random.RandomState(seed)
+    return MemorySource(
+        data=(rng.rand(bands, px, px) * 200).astype(np.float32),
+        no_data_value=float(np.finfo(np.float32).max),
+        projection="EPSG:28992",
+        pixel_size=1.0,
+        pixel_origin=(135000.0, 456000.0),
+        time_first=datetime(2000, 1, 1),
+        time_delta=timedelta(hours=1) if bands > 1 else None,
+    )
+
+
+def vals_request(px, projection="EPSG:28992", out_px=None):
+    out_px = out_px or px
+    return dict(
+        mode="vals",
+        bbox=(135000.0, 456000.0 - px, 135000.0 + px, 456000.0),
+        projection=projection,
+        width=out_px,
+        height=out_px,
+        start=datetime(2000, 1, 1),
+        stop=datetime(2000, 1, 2),
+    )
+
+
+def configs(px):
+    source = make_source(px)
+    temporal = make_source(px // 4, bands=8, seed=1)
+    request = vals_request(px)
+
+    # 4: cross-CRS warp request (EPSG:3857 bbox over the same source)
+    from dask_geomodeling_tpu.geo import Extent
+
+    warp_request = dict(
+        request,
+        projection="EPSG:3857",
+        bbox=Extent(request["bbox"], "EPSG:28992").transformed("EPSG:3857").bbox,
+    )
+
+    geom = MockGeometry(
+        [
+            [(135000 + i * 40, 455800), (135000 + i * 40 + 30, 455800),
+             (135000 + i * 40 + 30, 455900), (135000 + i * 40, 455900)]
+            for i in range(8)
+        ],
+        properties=[{"id": i} for i in range(8)],
+        projection="EPSG:28992",
+    )
+
+    return [
+        ("elemwise", Mask(Multiply(Add(source, 1.0), 2.0), 7.0), request),
+        (
+            "reclassify-chain",
+            Reclassify(
+                Classify(MaskBelow(source, 10.0), bins=[50.0, 100.0, 150.0]),
+                data=[[0, 1], [1, 5], [2, 9], [3, 13]],
+            ),
+            request,
+        ),
+        ("stencils", HillShade(Smooth(MovingMax(source, 3), 5)), request),
+        ("reproject", Add(source, 1.0), warp_request),
+        (
+            "temporal+zonal",
+            TemporalAggregate(temporal, "4h", statistic="mean"),
+            vals_request(px // 4),
+        ),
+    ]
+
+
+def time_once(view, request):
+    t0 = time.perf_counter()
+    data = view.get_data(**request)
+    elapsed = time.perf_counter() - t0
+    assert data is not None
+    return elapsed
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--px", type=int, default=1024)
+    args = parser.parse_args()
+    px = args.px
+
+    print("%-18s %12s %12s %8s" % ("config", "host Mpx/s", "jax Mpx/s", "speedup"))
+    for name, view, request in configs(px):
+        mpx = request["width"] * request["height"] / 1e6
+        view.get_data(**request)  # host warmup
+        host = mpx / min(time_once(view, request) for _ in range(2))
+        with config.set({"geomodeling.executor": "jax"}):
+            view.get_data(**request)  # compile warmup
+            jax_v = mpx / min(time_once(view, request) for _ in range(2))
+        print("%-18s %12.2f %12.2f %7.1fx" % (name, host, jax_v, jax_v / host))
+
+    # zonal statistics on host vs device segment reductions
+    geom = MockGeometry(
+        [
+            [(135000 + i * 40, 455800), (135000 + i * 40 + 30, 455800),
+             (135000 + i * 40 + 30, 455900), (135000 + i * 40, 455900)]
+            for i in range(8)
+        ],
+        properties=[{"id": i} for i in range(8)],
+        projection="EPSG:28992",
+    )
+    source = make_source(px)
+    agg = AggregateRaster(geom, source, statistic="mean")
+    geo_request = dict(
+        mode="intersects",
+        geometry=box(135000, 455000, 135000 + px, 456000),
+        projection="EPSG:28992",
+        start=datetime(2000, 1, 1),
+    )
+    agg.get_data(**geo_request)
+    host = min(time_once(agg, geo_request) for _ in range(2))
+    with config.set({"geomodeling.aggregate-device": True}):
+        agg.get_data(**geo_request)
+        device = min(time_once(agg, geo_request) for _ in range(2))
+    print(
+        "%-18s %12.3f %12.3f %7.1fx"
+        % ("zonal (s/req)", host, device, host / device)
+    )
+
+
+if __name__ == "__main__":
+    main()
