@@ -1,5 +1,8 @@
 """Geometry buffering via signed-distance-field contouring.
 
+Replaces shapely/GEOS buffer used by the reference
+(reference geometry/constructive.py:40-75 Buffer block).
+
 ``buffer(geom, d)`` is the Minkowski sum (d>0) / erosion (d<0) of the
 geometry with a disc.  Rather than offsetting edges and resolving
 self-intersections (the fragile part of classic buffering), the buffered

@@ -1,5 +1,11 @@
 """Planar boolean overlay: intersection / union / difference.
 
+Replaces shapely/GEOS set operations used throughout the reference
+(e.g. reference geometry/set_operations.py:60-118 and
+geometry/parallelize.py tile clipping). Matches GEOS semantics for valid
+inputs; results on invalid (self-intersecting) polygons are undefined,
+as in GEOS.
+
 Algorithm (robust for polygons with holes, including shared edges):
 
 1. Split every boundary edge of A at its intersections with B's edges (and

@@ -1,4 +1,8 @@
-"""WKT / WKB / GeoJSON serialization for the geometry engine."""
+"""WKT / WKB / GeoJSON serialization for the geometry engine.
+
+Replaces shapely.wkt/wkb used by the reference (e.g. reference
+geometry/sources.py GeometryWKTSource and raster/misc.py RasterizeWKT).
+"""
 import re
 import struct
 
