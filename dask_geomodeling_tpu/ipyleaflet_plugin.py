@@ -119,6 +119,11 @@ def wms_app(environ, start_response):
             "%d Bad Request" % e.status, [("Content-Type", "text/plain")]
         )
         return [body]
+    except (KeyError, ValueError, TypeError) as e:
+        # malformed query parameters are client errors, not server crashes
+        body = ("Invalid request parameters: %s" % e).encode()
+        start_response("400 Bad Request", [("Content-Type", "text/plain")])
+        return [body]
     headers = [
         ("Content-Type", "image/png"),
         ("Content-Length", str(len(raw))),

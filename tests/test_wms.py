@@ -97,3 +97,40 @@ def test_render_under_jax_executor(view_json):
         actual = render_wms_tile(base_params(view_json))
     assert actual[:8] == b"\x89PNG\r\n\x1a\n"
     assert actual == expected  # identical pixels -> identical PNG bytes
+
+
+def test_live_http_server(view_json):
+    """End to end over a real socket: wsgiref serving wms_app."""
+    import threading
+    import urllib.parse
+    import urllib.request
+    from wsgiref.simple_server import make_server
+
+    httpd = make_server("127.0.0.1", 0, wms_app)
+    port = httpd.server_address[1]
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        query = urllib.parse.urlencode(base_params(view_json))
+        with urllib.request.urlopen(
+            "http://127.0.0.1:%d/wms?%s" % (port, query), timeout=30
+        ) as response:
+            assert response.status == 200
+            assert response.headers["Content-Type"] == "image/png"
+            body = response.read()
+        assert body[:8] == b"\x89PNG\r\n\x1a\n"
+        # a client error comes back as a 4xx, not a server crash
+        bad = urllib.parse.urlencode(
+            dict(base_params(view_json), bbox="not,a,bbox")
+        )
+        try:
+            urllib.request.urlopen(
+                "http://127.0.0.1:%d/wms?%s" % (port, bad), timeout=30
+            )
+            raised = False
+        except urllib.error.HTTPError as e:
+            raised = 400 <= e.code < 500
+        assert raised
+    finally:
+        httpd.shutdown()
+        thread.join(timeout=5)
