@@ -174,11 +174,19 @@ def get_threaded(graph, keys, num_workers=None, **kwargs):
 
 
 def get_processes(graph, keys, num_workers=None, **kwargs):
-    """Process-pool scheduler. Tasks and data must be picklable."""
+    """Process-pool scheduler. Tasks and data must be picklable.
+
+    Workers use the 'spawn' start method: forking a process after JAX (or
+    any threaded runtime) has initialized in the parent can deadlock."""
+    import functools
+    import multiprocessing
     from concurrent.futures import ProcessPoolExecutor
 
     num_workers = num_workers or (os.cpu_count() or 4)
-    return _get_pooled_impl(ProcessPoolExecutor, graph, keys, num_workers)
+    pool_cls = functools.partial(
+        ProcessPoolExecutor, mp_context=multiprocessing.get_context("spawn")
+    )
+    return _get_pooled_impl(pool_cls, graph, keys, num_workers)
 
 
 _SCHEDULERS = {

@@ -233,6 +233,17 @@ def _unpack_math_args(process_kwargs, args):
     return compute_args, mask_parts
 
 
+class _FunctionNamespace:
+    """Pickle anchor: factory-made process functions register themselves
+    here under their ufunc name, so that their dotted ``__qualname__``
+    resolves via attribute lookup (multiprocessing schedulers pickle the
+    compute graph, including the process functions)."""
+
+
+elemwise = _FunctionNamespace()
+elemwise_jax = _FunctionNamespace()
+
+
 def wrap_math_process_func(func, jnp_func_name=None):
     """Build a process function applying ``func`` to the data values only.
 
@@ -310,6 +321,8 @@ def wrap_math_process_func(func, jnp_func_name=None):
     math_process_func.__name__ = func.__name__
     math_process_func.__qualname__ = "elemwise." + func.__name__
     jax_impl.__qualname__ = "elemwise_jax." + func.__name__
+    setattr(elemwise, func.__name__, math_process_func)
+    setattr(elemwise_jax, func.__name__, jax_impl)
     math_process_func.jax_impl = jax_impl
     # numeric constants become traced inputs: Add(x, 10) and Add(x, 20)
     # share one compiled program (the impl casts operands to the result

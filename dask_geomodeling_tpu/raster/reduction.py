@@ -222,6 +222,15 @@ class BaseReduction(BaseElementwise):
         return extent.as_geometry()
 
 
+class _FunctionNamespace:
+    """Pickle anchor for factory-made reduction process functions (see
+    elemwise._FunctionNamespace)."""
+
+
+reduction = _FunctionNamespace()
+reduction_jax = _FunctionNamespace()
+
+
 def wrap_reduction_function(statistic):
     def reduction_function(process_kwargs, *args):
         stack = []
@@ -254,6 +263,8 @@ def wrap_reduction_function(statistic):
     reduction_function.__name__ = "reduce_" + statistic
     reduction_function.__qualname__ = "reduction.reduce_" + statistic
     jax_impl.__qualname__ = "reduction_jax.reduce_" + statistic
+    setattr(reduction, "reduce_" + statistic, reduction_function)
+    setattr(reduction_jax, "reduce_" + statistic, jax_impl)
     reduction_function.jax_impl = jax_impl
     return reduction_function
 

@@ -266,3 +266,43 @@ class TestSchedulers:
 
         with pytest.raises(ValueError):
             get_scheduler("nonsense")
+
+
+def test_get_processes():
+    import operator
+
+    from dask_geomodeling_tpu.core import get_processes
+
+    graph = {
+        "a": (int, "4"),
+        "b": (operator.add, "a", 2),
+        "c": (operator.mul, "b", "b"),
+    }
+    assert get_processes(graph, ["c", "b"]) == [36, 6]
+
+
+def test_view_evaluates_under_processes_scheduler():
+    from datetime import datetime
+
+    import numpy as np
+
+    from dask_geomodeling_tpu import config
+    from dask_geomodeling_tpu.raster import Add, MemorySource
+
+    source = MemorySource(
+        data=np.full((1, 4, 4), 3, dtype=np.uint8),
+        no_data_value=255,
+        projection="EPSG:28992",
+        pixel_size=1.0,
+        pixel_origin=(135000, 456000),
+    )
+    view = Add(source, 10)
+    request = dict(
+        mode="vals", bbox=(135000, 455996, 135004, 456000),
+        projection="EPSG:28992", width=4, height=4,
+        start=datetime(1970, 1, 1),
+    )
+    expected = view.get_data(**request)
+    with config.set({"scheduler": "processes"}):
+        actual = view.get_data(**request)
+    np.testing.assert_array_equal(actual["values"], expected["values"])
