@@ -274,6 +274,7 @@ def _wkb_read(buf, pos):
 
 
 def to_geo_interface(geom):
+    """Geometry -> __geo_interface__ dict."""
     t = geom.geom_type
     if isinstance(geom, Point):
         return {"type": t, "coordinates": (geom.x, geom.y)}

@@ -388,6 +388,7 @@ class _ObliqueStereographic:
 
 
 def e2s(e, sin_phi):
+    """EPSG int -> 'EPSG:<code>' string (reference utils.py helper)."""
     return e * e * sin_phi * sin_phi
 
 

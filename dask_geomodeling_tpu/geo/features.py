@@ -16,6 +16,7 @@ __all__ = ["GeoSeries", "GeoDataFrame"]
 
 
 class GeoSeries(pd.Series):
+    """A pandas Series of geometries with vectorized spatial operations."""
     _metadata = ["crs"]
 
     def __init__(self, data=None, index=None, crs=None, **kwargs):

@@ -42,6 +42,7 @@ _EPS = 1e-12
 
 
 class WKTReadingError(Exception):
+    """Raised when WKT/WKB input cannot be parsed."""
     pass
 
 
@@ -280,6 +281,7 @@ class Geometry:
 
 
 class Point(Geometry):
+    """A point geometry (x, y)."""
     geom_type = "Point"
 
     def __init__(self, x, y=None):
@@ -313,6 +315,7 @@ class Point(Geometry):
 
 
 class LineString(Geometry):
+    """An open polyline of 2D coordinates."""
     geom_type = "LineString"
 
     def __init__(self, coordinates):
@@ -347,6 +350,7 @@ class LineString(Geometry):
 
 
 class LinearRing(LineString):
+    """A closed ring of 2D coordinates."""
     geom_type = "LinearRing"
 
     def __init__(self, coordinates):
@@ -354,6 +358,7 @@ class LinearRing(LineString):
 
 
 class Polygon(Geometry):
+    """A polygon: one exterior ring plus optional interior rings (holes)."""
     geom_type = "Polygon"
 
     def __init__(self, shell=None, holes=None):
@@ -471,21 +476,25 @@ class _Multi(Geometry):
 
 
 class MultiPoint(_Multi):
+    """A collection of Points."""
     geom_type = "MultiPoint"
     part_type = Point
 
 
 class MultiLineString(_Multi):
+    """A collection of LineStrings."""
     geom_type = "MultiLineString"
     part_type = LineString
 
 
 class MultiPolygon(_Multi):
+    """A collection of Polygons."""
     geom_type = "MultiPolygon"
     part_type = Polygon
 
 
 class GeometryCollection(_Multi):
+    """A heterogeneous collection of geometries."""
     geom_type = "GeometryCollection"
     part_type = Geometry
 
@@ -525,12 +534,14 @@ def shape(obj):
 
 
 def from_wkt(text):
+    """Parse a WKT string into a Geometry."""
     from dask_geomodeling_tpu.geo import _wkt
 
     return _wkt.loads(text)
 
 
 def from_wkb(data):
+    """Parse WKB bytes into a Geometry."""
     from dask_geomodeling_tpu.geo import _wkt
 
     return _wkt.loads_wkb(data)

@@ -122,6 +122,7 @@ def ms_to_dt(ms):
 
 
 def filter_none(lst):
+    """Drop None entries from a list."""
     return [x for x in lst if x is not None]
 
 

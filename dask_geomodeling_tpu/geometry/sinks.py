@@ -195,6 +195,7 @@ class GeometryFileSink(BaseSingle):
 
 @contextmanager
 def DryRunTempDir(*args, **kwargs):
+    """Stand-in temporary directory that never touches the filesystem."""
     yield "/tmp/dummy"
 
 

@@ -27,6 +27,7 @@ __all__ = ["render_wms_tile", "wms_app"]
 
 
 class WMSError(Exception):
+    """A WMS client error carrying an HTTP status code and message."""
     def __init__(self, status, message):
         self.status = status
         self.message = message

@@ -17,7 +17,9 @@ logger = logging.getLogger(__name__)
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SOURCE = os.path.join(_HERE, "rasterize.cpp")
-_LIBRARY = os.path.join(_HERE, "_rasterize.so")
+# the non-".so" filename keeps Python's import machinery from mistaking
+# the ctypes library for an importable extension module in package walks
+_LIBRARY = os.path.join(_HERE, "librasterize.bin")
 
 _lock = threading.Lock()
 _lib = None

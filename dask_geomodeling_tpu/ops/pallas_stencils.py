@@ -22,6 +22,7 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 
 
 def pallas_available():
+    """True when the Pallas TPU backend can run fused kernels here."""
     import jax
 
     try:

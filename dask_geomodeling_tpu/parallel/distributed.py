@@ -50,6 +50,7 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
 
 
 def is_initialized():
+    """True when jax.distributed has been initialized in this process."""
     return _initialized
 
 

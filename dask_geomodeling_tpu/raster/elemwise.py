@@ -180,6 +180,7 @@ class BaseMath(BaseElementwise):
 
 
 class BaseComparison(BaseMath):
+    """Base for raster-vs-raster/constant comparisons (bool results)."""
     @property
     def dtype(self):
         return np.dtype("bool")

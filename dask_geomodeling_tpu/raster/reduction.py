@@ -39,6 +39,7 @@ STATISTICS = {
 
 
 def check_statistic(statistic):
+    """Raise ValueError for statistics outside STATISTICS / p<number>."""
     if statistic not in STATISTICS:
         statistic, percentile = parse_percentile_statistic(statistic)
         if percentile is None:
@@ -232,6 +233,7 @@ reduction_jax = _FunctionNamespace()
 
 
 def wrap_reduction_function(statistic):
+    """Build the nodata-skipping process function for one statistic."""
     def reduction_function(process_kwargs, *args):
         stack = []
         for arg in args:

@@ -434,6 +434,7 @@ def _get_label_range(start_label, stop_label, frequency, timezone):
 
 
 def count_not_nan(x, *args, **kwargs):
+    """Count of non-NaN values along an axis."""
     return np.sum(~np.isnan(x), *args, **kwargs)
 
 
@@ -754,6 +755,7 @@ class TemporalAggregate(BaseSingle):
 
 
 def accumulate_count_not_nan(x, *args, **kwargs):
+    """Running count of non-NaN values along an axis."""
     return np.cumsum(~np.isnan(x), *args, **kwargs)
 
 

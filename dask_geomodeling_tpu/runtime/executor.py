@@ -53,11 +53,13 @@ def _ensure_x64():
 
 
 def clear_program_cache():
+    """Drop all compiled programs and reset cache statistics."""
     _PROGRAM_CACHE.clear()
     _CACHE_STATS.update(hits=0, misses=0)
 
 
 def program_cache_info():
+    """{"hits", "misses", "size"} counters of the program cache."""
     return dict(_CACHE_STATS, size=len(_PROGRAM_CACHE))
 
 

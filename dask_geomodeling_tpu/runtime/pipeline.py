@@ -46,6 +46,7 @@ def read_geotiff_cached(path):
 
 
 def clear_read_cache():
+    """Drop all cached decoded rasters."""
     with _CACHE_LOCK:
         _READ_CACHE.clear()
 

@@ -10,6 +10,7 @@ from dask_geomodeling_tpu.ipyleaflet_plugin import wms_app
 
 
 def main(port=8787):
+    """Serve the WMS WSGI app forever on ``port``."""
     with make_server("", port, wms_app) as httpd:
         print("Serving WMS on port %d (GET /wms?layers=<view json>&...)" % port)
         httpd.serve_forever()
