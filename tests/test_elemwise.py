@@ -382,3 +382,45 @@ class TestFillNoData:
     def test_validation(self, a):
         with pytest.raises(TypeError):
             FillNoData(a, 5)
+
+
+@pytest.mark.parametrize("inverse", [False, True])
+@pytest.mark.parametrize(
+    "temporal1,delta1,temporal2,delta2,ok",
+    [
+        # nontemporal - nontemporal
+        (False, None, False, None, True),
+        (False, timedelta(minutes=5), False, timedelta(minutes=5), True),
+        (False, None, False, timedelta(minutes=5), True),
+        # nontemporal - temporal: never allowed
+        (False, None, True, None, False),
+        (False, None, True, timedelta(hours=1), False),
+        (False, timedelta(minutes=5), True, None, False),
+        (False, timedelta(minutes=5), True, timedelta(hours=1), False),
+        # temporal - temporal: equidistant deltas must match
+        (True, timedelta(hours=1), True, timedelta(hours=1), True),
+        (True, timedelta(hours=1), True, timedelta(hours=2), False),
+        (True, timedelta(hours=1), True, None, True),
+        (True, None, True, None, True),
+    ],
+)
+def test_elemwise_time_structure_validation(
+    temporal1, delta1, temporal2, delta2, inverse, ok
+):
+    """Ported from reference tests/test_raster_elemwise.py: the full
+    temporal/timedelta compatibility matrix of two-raster elementwise."""
+    from tests.factories import MockRaster
+
+    raster1 = MockRaster(
+        origin=datetime(2000, 1, 1), timedelta=delta1, temporal=temporal1
+    )
+    raster2 = MockRaster(
+        origin=datetime(2000, 1, 1), timedelta=delta2, temporal=temporal2
+    )
+    if inverse:
+        raster1, raster2 = raster2, raster1
+    if ok:
+        Add(raster1, raster2)
+    else:
+        with pytest.raises(ValueError):
+            Add(raster1, raster2)
