@@ -1,0 +1,96 @@
+"""Generative executor equivalence: random view trees evaluated under the
+host and jax executors must agree bitwise. This is the broad-spectrum net
+for subtle device-twin semantics bugs (dtype promotion, nodata rules,
+literal handling) that targeted tests might miss."""
+from datetime import datetime, timedelta
+
+import numpy as np
+import pytest
+
+from dask_geomodeling_tpu import config
+from dask_geomodeling_tpu import raster as R
+
+
+@pytest.fixture(scope="module")
+def sources():
+    rng = np.random.RandomState(7)
+    uint8 = R.MemorySource(
+        data=(rng.rand(2, 12, 12) * 250).astype(np.uint8),
+        no_data_value=255,
+        projection="EPSG:28992",
+        pixel_size=0.5,
+        pixel_origin=(135000, 456000),
+        time_first=datetime(2000, 1, 1),
+        time_delta=timedelta(hours=1),
+    )
+    f32_data = (rng.rand(2, 12, 12) * 100).astype(np.float32)
+    f32_data[0, :3, :3] = np.float32(np.finfo(np.float32).max)  # nodata
+    f32 = R.MemorySource(
+        data=f32_data,
+        no_data_value=float(np.finfo(np.float32).max),
+        projection="EPSG:28992",
+        pixel_size=0.5,
+        pixel_origin=(135000, 456000),
+        time_first=datetime(2000, 1, 1),
+        time_delta=timedelta(hours=1),
+    )
+    return [uint8, f32]
+
+
+def random_view(rng, sources, depth):
+    """Build a random block tree of the given depth."""
+    if depth == 0:
+        return sources[rng.randint(len(sources))]
+
+    def sub():
+        return random_view(rng, sources, depth - 1)
+
+    choice = rng.randint(10)
+    const = float(np.round(rng.rand() * 20 + 1, 2))
+    if choice == 0:
+        return R.Add(sub(), const)
+    if choice == 1:
+        return R.Multiply(sub(), const)
+    if choice == 2:
+        return R.Subtract(sub(), const)
+    if choice == 3:
+        return R.Add(sub(), sub())
+    if choice == 4:
+        return R.Greater(sub(), const)
+    if choice == 5:
+        return R.Mask(sub(), value=int(const))
+    if choice == 6:
+        return R.MaskBelow(sub(), int(const))
+    if choice == 7:
+        return R.Classify(sub(), bins=[10.0, 50.0, 120.0])
+    if choice == 8:
+        return R.FillNoData(sub(), sub())
+    return R.Clip(sub(), R.Greater(sub(), const))
+
+
+@pytest.fixture
+def request_full():
+    return dict(
+        mode="vals",
+        start=datetime(2000, 1, 1),
+        stop=datetime(2000, 1, 1, 1),
+        width=12,
+        height=12,
+        bbox=(135000, 455994, 135006, 456000),
+        projection="EPSG:28992",
+    )
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_random_view_equivalence(sources, request_full, seed):
+    rng = np.random.RandomState(seed)
+    view = random_view(rng, sources, depth=rng.randint(2, 5))
+    expected = view.get_data(**request_full)
+    with config.set({"geomodeling.executor": "jax"}):
+        actual = view.get_data(**request_full)
+    if expected is None:
+        assert actual is None
+        return
+    assert actual["values"].dtype == expected["values"].dtype
+    assert actual["no_data_value"] == expected["no_data_value"]
+    np.testing.assert_array_equal(actual["values"], expected["values"])
