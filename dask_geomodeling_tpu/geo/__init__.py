@@ -1,6 +1,7 @@
 """Geo foundation: transforms, CRS, geometry engine, rasterization."""
 from dask_geomodeling_tpu.geo.dtypes import (  # noqa
     get_index,
+    get_index_jax,
     get_dtype_max,
     get_dtype_min,
     get_int_dtype,

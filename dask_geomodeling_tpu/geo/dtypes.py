@@ -29,6 +29,19 @@ def get_index(values, no_data_value):
     return np.logical_not(equal(values, no_data_value))
 
 
+def get_index_jax(values, no_data_value):
+    """Device twin of :func:`get_index`: data-cell mask with GDAL
+    semantics — floats compare with isclose; a None nodata (boolean
+    rasters from comparisons) means every cell is data."""
+    import jax.numpy as jnp
+
+    if no_data_value is None:
+        return jnp.ones(jnp.shape(values), bool)
+    if np.dtype(values.dtype).kind == "f":
+        return ~jnp.isclose(values, no_data_value)
+    return values != no_data_value
+
+
 def get_dtype_max(dtype):
     """Return the maximum of a dtype as a python scalar."""
     d = np.dtype(dtype)

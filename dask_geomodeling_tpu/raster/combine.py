@@ -13,6 +13,7 @@ from datetime import timedelta as Timedelta
 import numpy as np
 
 from dask_geomodeling_tpu.geo import (
+    get_index_jax,
     Extent,
     GeoTransform,
     filter_none,
@@ -333,10 +334,7 @@ class Group(BaseCombine):
         values = jnp.full(shape, dtype.type(fillvalue), dtype=dtype)
         for data, (a, b) in zip(multi, bands):
             src = data["values"]
-            if np.dtype(src.dtype).kind == "f":
-                has_data = ~jnp.isclose(src, data["no_data_value"])
-            else:
-                has_data = src != data["no_data_value"]
+            has_data = get_index_jax(src, data["no_data_value"])
             values = values.at[a:b].set(
                 jnp.where(has_data, src.astype(dtype), values[a:b])
             )
@@ -355,10 +353,7 @@ class Group(BaseCombine):
         values = jnp.full(shape, dtype.type(fillvalue), dtype=dtype)
         for data, time in zip(multi, times):
             src = data["values"]
-            if np.dtype(src.dtype).kind == "f":
-                has_data = ~jnp.isclose(src, data["no_data_value"])
-            else:
-                has_data = src != data["no_data_value"]
+            has_data = get_index_jax(src, data["no_data_value"])
             for source_index, datetime in enumerate(time["time"]):
                 target = band_of[datetime]
                 values = values.at[target].set(

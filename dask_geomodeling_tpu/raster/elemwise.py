@@ -12,7 +12,13 @@ path below is the host reference used by the default executor and the tests.
 """
 import numpy as np
 
-from dask_geomodeling_tpu.geo import Extent, GeoTransform, get_dtype_max, get_index
+from dask_geomodeling_tpu.geo import (
+    Extent,
+    GeoTransform,
+    get_dtype_max,
+    get_index,
+    get_index_jax,
+)
 from dask_geomodeling_tpu.raster.base import BaseSingle, RasterBlock
 
 __all__ = [
@@ -551,10 +557,7 @@ def _fill_no_data_jax(process_kwargs, *args):
 
     values = jnp.full(data_list[0].shape, fillvalue, dtype=dtype)
     for data, no_data_value in zip(data_list, no_data_values):
-        if np.dtype(data.dtype).kind == "f":
-            has_data = ~jnp.isclose(data, no_data_value)
-        else:
-            has_data = data != no_data_value
+        has_data = get_index_jax(data, no_data_value)
         values = jnp.where(has_data, data.astype(dtype), values)
     return {"values": values, "no_data_value": fillvalue}
 

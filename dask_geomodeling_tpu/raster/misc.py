@@ -61,8 +61,11 @@ def _clip_jax(data, source_data):
         mask = ~source_data["values"]
     else:
         mask = source_data["values"] == source_data["no_data_value"]
-    values = jnp.where(mask, data["no_data_value"], data["values"])
-    return {"values": values, "no_data_value": data["no_data_value"]}
+    no_data_value = data["no_data_value"]
+    # boolean stores have no nodata sentinel; numpy casts None to False
+    fill = False if no_data_value is None else no_data_value
+    values = jnp.where(mask, fill, data["values"])
+    return {"values": values, "no_data_value": no_data_value}
 
 
 _clip_process.jax_impl = _clip_jax
@@ -180,10 +183,7 @@ def _mask_jax(data, value):
     fillvalue = 1 if value == 0 else 0
     dtype = _mask_dtype_from_value(value)
     arr = data["values"]
-    if np.dtype(arr.dtype).kind == "f":
-        has_data = ~jnp.isclose(arr, data["no_data_value"])
-    else:
-        has_data = arr != data["no_data_value"]
+    has_data = utils.get_index_jax(arr, data["no_data_value"])
     values = jnp.where(has_data, dtype.type(value), dtype.type(fillvalue))
     return {"values": values, "no_data_value": fillvalue}
 

@@ -10,6 +10,7 @@ from functools import partial
 import numpy as np
 
 from dask_geomodeling_tpu.geo import (
+    get_index_jax,
     Extent,
     filter_none,
     get_index,
@@ -115,10 +116,7 @@ def reduce_rasters_jax(stack, statistic, no_data_value, dtype):
     dtype = np.dtype(dtype)
 
     def data_mask(data):
-        values = data["values"]
-        if np.dtype(values.dtype).kind == "f":
-            return ~jnp.isclose(values, data["no_data_value"])
-        return values != data["no_data_value"]
+        return get_index_jax(data["values"], data["no_data_value"])
 
     if statistic == "last":
         out = jnp.full(stack[0]["values"].shape, no_data_value, dtype)

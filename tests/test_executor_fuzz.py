@@ -94,3 +94,27 @@ def test_random_view_equivalence(sources, request_full, seed):
     assert actual["values"].dtype == expected["values"].dtype
     assert actual["no_data_value"] == expected["no_data_value"]
     np.testing.assert_array_equal(actual["values"], expected["values"])
+
+
+@pytest.mark.parametrize("seed", range(25, 35))
+def test_random_view_tiled_equivalence(sources, seed):
+    """Random trees through the batched tile runtime (vmapped programs)."""
+    from dask_geomodeling_tpu.runtime.tiles import NotLowerable, evaluate_tiled
+
+    rng = np.random.RandomState(seed)
+    view = random_view(rng, sources, depth=rng.randint(2, 4))
+    request = dict(
+        mode="vals",
+        start=datetime(2000, 1, 1),
+        stop=datetime(2000, 1, 1),
+        width=12,
+        height=12,
+        bbox=(135000, 455994, 135006, 456000),
+        projection="EPSG:28992",
+    )
+    expected = view.get_data(**request)
+    try:
+        actual = evaluate_tiled(view, request, tile_size=6, batch=2)
+    except NotLowerable:
+        pytest.skip("tree contains a host-only node")
+    np.testing.assert_array_equal(actual["values"], expected["values"])
