@@ -145,3 +145,54 @@ def test_random_view_tiled_equivalence(sources, seed):
     except NotLowerable:
         pytest.skip("tree contains a host-only node")
     assert_values_match(actual["values"], expected["values"])
+
+
+class TestWarpFuzz:
+    """The device warp (traced CRS math + gather) must reproduce the host
+    warp across projection families and random windows."""
+
+    CRS_PAIRS = [
+        ("EPSG:28992", "EPSG:4326"),
+        ("EPSG:28992", "EPSG:3857"),
+        ("EPSG:28992", "EPSG:3395"),
+        ("EPSG:28992", "EPSG:32631"),
+        ("EPSG:28992", "EPSG:2154"),
+        ("EPSG:28992", "EPSG:3035"),
+        ("EPSG:28992", "EPSG:27700"),
+    ]
+
+    @pytest.mark.parametrize("dst", [pair[1] for pair in CRS_PAIRS])
+    def test_exact_warp_matches_host(self, dst):
+        from dask_geomodeling_tpu.geo import Extent
+        from dask_geomodeling_tpu.ops.warp import warp_jax, warp_numpy
+        from dask_geomodeling_tpu.runtime.executor import _ensure_x64
+
+        _ensure_x64()  # f64 coordinate math, as the executor guarantees
+
+        rng = np.random.RandomState(hash(dst) % 2**31)
+        values = (rng.rand(2, 20, 20) * 200).astype(np.float32)
+        values[0, :4, :4] = 255.0
+        src_gt = (135000.0, 2.0, 0.0, 456000.0, 0.0, -2.0)
+
+        for _ in range(3):
+            # a random sub-window of the source footprint, in dst CRS
+            x1 = 135000 + rng.rand() * 10
+            y2 = 456000 - rng.rand() * 10
+            x2 = x1 + 10 + rng.rand() * 15
+            y1 = y2 - 10 - rng.rand() * 15
+            bbox = Extent((x1, y1, x2, y2), "EPSG:28992").transformed(dst).bbox
+            kwargs = dict(
+                src_gt=src_gt,
+                src_srs="EPSG:28992",
+                no_data_value=255.0,
+                bbox=bbox,
+                projection=dst,
+                width=16,
+                height=16,
+                dtype=np.float32,
+                fillvalue=255.0,
+            )
+            with config.set({"geomodeling.warp-approx-stride": 1}):
+                expected = warp_numpy(values, **kwargs)
+                actual = np.asarray(warp_jax(values, **kwargs))
+            np.testing.assert_array_equal(actual, expected)
