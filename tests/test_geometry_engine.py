@@ -397,3 +397,67 @@ class TestOverlayDegenerateCases:
         assert donut.intersection(plug).area == 0.0
         assert donut.difference(plug).area == 12.0
         assert plug.difference(donut).area == 4.0
+
+
+class TestSerializationFuzz:
+    """WKT and WKB round-trips over random geometries of every type."""
+
+    @staticmethod
+    def random_geometry(rng, depth=0):
+        from dask_geomodeling_tpu.geo.geometry import (
+            GeometryCollection,
+            LineString,
+            MultiLineString,
+            MultiPoint,
+            MultiPolygon,
+            Point,
+            _convex_hull,
+        )
+
+        kind = rng.randint(7 if depth == 0 else 6)
+        if kind == 0:
+            return Point(*np.round(rng.randn(2) * 100, 6))
+        if kind == 1:
+            return LineString(np.round(rng.randn(rng.randint(2, 6), 2) * 50, 6))
+        if kind == 2:
+            pts = rng.randn(8, 2) * 30
+            return Polygon(_convex_hull(np.round(pts, 6)))
+        if kind == 3:
+            return MultiPoint(
+                [Point(*np.round(rng.randn(2) * 10, 6)) for _ in range(3)]
+            )
+        if kind == 4:
+            return MultiLineString(
+                [
+                    LineString(np.round(rng.randn(3, 2) * 10, 6))
+                    for _ in range(2)
+                ]
+            )
+        if kind == 5:
+            polys = []
+            for i in range(2):
+                pts = rng.randn(8, 2) * 10 + i * 100
+                polys.append(Polygon(_convex_hull(np.round(pts, 6))))
+            return MultiPolygon(polys)
+        return GeometryCollection(
+            [
+                TestSerializationFuzz.random_geometry(rng, depth + 1)
+                for _ in range(2)
+            ]
+        )
+
+    @pytest.mark.parametrize("seed", range(20))
+    def test_wkt_wkb_roundtrip(self, seed):
+        from dask_geomodeling_tpu.geo import _wkt
+        from dask_geomodeling_tpu.geo.geometry import from_wkb, from_wkt
+
+        rng = np.random.RandomState(seed)
+        geom = self.random_geometry(rng)
+
+        via_wkt = from_wkt(geom.wkt)
+        assert via_wkt.geom_type == geom.geom_type
+        assert via_wkt.equals(geom), geom.wkt
+
+        via_wkb = from_wkb(_wkt.dumps_wkb(geom))
+        assert via_wkb.geom_type == geom.geom_type
+        assert via_wkb.equals(geom)
