@@ -46,6 +46,9 @@ defaults = {
     "geomodeling.mesh-shape": None,
     # per-batch HBM budget in bytes for admission control of tile batches
     "geomodeling.hbm-budget": 2 * (1024**3),
+    # directory for XLA's persistent compilation cache (None = disabled);
+    # makes process restarts warm-start instead of recompiling for minutes
+    "geomodeling.compilation-cache": None,
     # coarse-grid stride of the approximate warp transformer (GDAL's
     # 0.125 px error model); 1 = exact per-pixel CRS transform
     "geomodeling.warp-approx-stride": 8,

@@ -50,6 +50,27 @@ def _ensure_x64():
 
         jax.config.update("jax_enable_x64", True)
         _X64_ENABLED = True
+        _setup_compilation_cache()
+
+
+def _setup_compilation_cache():
+    """Point XLA's persistent compilation cache at
+    ``geomodeling.compilation-cache`` (a directory path) when configured.
+    Compiles over a tunneled TPU take minutes; the on-disk cache makes
+    process restarts and repeated benchmarks warm-start."""
+    from dask_geomodeling_tpu import config
+
+    cache_dir = config.get("geomodeling.compilation-cache", None)
+    if not cache_dir:
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - older jax without the knobs
+        logger.warning("could not enable the persistent compilation cache",
+                       exc_info=True)
 
 
 def clear_program_cache():

@@ -332,3 +332,20 @@ class TestDeviceFailureFallback:
         with config.set({"geomodeling.executor": "jax"}):
             actual = view.get_data(**request_full)
         np.testing.assert_array_equal(actual["values"], expected["values"])
+
+
+def test_compilation_cache_config(tmp_path, src, request_full):
+    """geomodeling.compilation-cache points XLA's persistent cache at the
+    configured directory (real TPU compiles persist across processes)."""
+    import jax
+
+    from dask_geomodeling_tpu.runtime import executor as ex
+
+    cache_dir = str(tmp_path / "xla_cache")
+    ex._X64_ENABLED = False  # re-run the lazy setup with the config applied
+    with config.set({
+        "geomodeling.compilation-cache": cache_dir,
+        "geomodeling.executor": "jax",
+    }):
+        Add(src, 10).get_data(**request_full)
+    assert jax.config.jax_compilation_cache_dir == cache_dir
