@@ -15,6 +15,7 @@ vs_baseline  = speedup over the numpy host executor (the stand-in for the
                no numbers (BASELINE.md).
 """
 import json
+import os
 import sys
 import time
 from datetime import datetime, timedelta
@@ -114,7 +115,18 @@ def full_request(source, out_px):
 
 
 def main():
+    from dask_geomodeling_tpu import config
     from dask_geomodeling_tpu.runtime.tiles import evaluate_tiled
+
+    # warm-start repeated runs: XLA's persistent compilation cache lives
+    # next to the repo so the minutes-long tunnel compile happens once
+    config.set(
+        {
+            "geomodeling.compilation-cache": os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), ".xla_cache"
+            )
+        }
+    )
 
     # 5120 px = 100 tiles of 512^2; a tunneled-TPU jit compile takes ~5 min,
     # so the default keeps the total run within typical driver budgets
