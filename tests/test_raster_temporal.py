@@ -551,6 +551,16 @@ class TestGroup:
         data = gappy_group.get_data(mode="vals", width=1, height=1, **request)
         assert data["values"].tolist() == [[[gappy_group.fillvalue]]]
 
+    def test_gap_frames_under_jax_executor(self, gappy_group):
+        request = dict(
+            mode="vals", width=2, height=2,
+            start=datetime(2000, 1, 1, 0, 15), stop=datetime(2000, 1, 1, 0, 20),
+        )
+        host = gappy_group.get_data(**request)
+        with config.set({"geomodeling.executor": "jax"}):
+            device = gappy_group.get_data(**request)
+        np.testing.assert_array_equal(device["values"], host["values"])
+
     def test_no_request_period_overlap(self):
         from tests.factories import MockRaster
 
