@@ -134,3 +134,32 @@ def test_live_http_server(view_json):
     finally:
         httpd.shutdown()
         thread.join(timeout=5)
+
+
+def test_time_parameter(view_json):
+    """A temporal layer renders the requested ISO time frame."""
+    from datetime import datetime, timedelta
+
+    source = MemorySource(
+        data=[[[float(i)] * 4 for _ in range(4)] for i in (1, 9)],
+        no_data_value=255.0,
+        projection="EPSG:3857",
+        pixel_size=1.0,
+        pixel_origin=(0, 4),
+        time_first=datetime(2000, 1, 1),
+        time_delta=timedelta(hours=1),
+    )
+    params = dict(
+        base_params(source.to_json()),
+        bbox="0,0,4,4",
+        vmax="10",
+        time="2000-01-01T01:00:00.000000Z",
+    )
+    with_time = render_wms_tile(params)
+    without_time = render_wms_tile(dict(params, time=""))
+    assert with_time[:8] == b"\x89PNG\r\n\x1a\n"
+    # frame 0 (values 1) vs latest frame (values 9): different pixels
+    assert with_time != render_wms_tile(
+        dict(params, time="2000-01-01T00:00:00.000000Z")
+    )
+    assert without_time == with_time  # no time = latest frame = 01:00
