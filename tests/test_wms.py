@@ -163,3 +163,30 @@ def test_time_parameter(view_json):
         dict(params, time="2000-01-01T00:00:00.000000Z")
     )
     assert without_time == with_time  # no time = latest frame = 01:00
+
+
+def test_concurrent_rendering(view_json):
+    """Typical production serving: many tiles rendered on a thread pool
+    must equal serial rendering (program/config caches are shared)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def tile_params(i, j):
+        return dict(
+            base_params(view_json), bbox="%d,%d,%d,%d" % (i, j, i + 5, j + 5)
+        )
+
+    jobs = [tile_params(i, j) for i in range(0, 10, 5) for j in range(0, 10, 5)]
+    serial = [render_wms_tile(p) for p in jobs]
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        for _ in range(3):  # repeat to shake out cache races
+            concurrent = list(pool.map(render_wms_tile, jobs))
+            assert concurrent == serial
+    # the same under the XLA executor (shared program cache)
+    from dask_geomodeling_tpu import config
+
+    with config.set({"geomodeling.executor": "jax"}):
+        serial_jax = [render_wms_tile(p) for p in jobs]
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            concurrent_jax = list(pool.map(render_wms_tile, jobs))
+        assert concurrent_jax == serial_jax
+    assert serial_jax == serial  # executors agree on the rendered pixels
