@@ -1,8 +1,9 @@
 """Constructive geometry operations: Buffer and Simplify.
 
-Semantics match the reference (dask_geomodeling/geometry/constructive.py):
-buffering happens in a chosen projection (transform → buffer → transform
-back); simplification tolerance defaults to the request's ``min_size``.
+Contract follows reference dask_geomodeling/geometry/constructive.py:
+buffering transforms features into a working projection, buffers there,
+and transforms back; simplification tolerance defaults to the request's
+``min_size``.
 """
 import numbers
 
@@ -10,6 +11,35 @@ from dask_geomodeling_tpu.geo import Extent
 from dask_geomodeling_tpu.geometry.base import BaseSingle
 
 __all__ = ["Buffer", "Simplify"]
+
+
+def _buffer_features(data, plan):
+    frame = data["features"]
+    if len(frame) == 0:
+        return data
+    request_srs = data["projection"]
+    grown = (
+        frame.geometry.to_crs(plan["buf_srs"])
+        .buffer(plan["distance"], plan["resolution"])
+        .to_crs(request_srs)
+    )
+    return {
+        "features": frame.set_geometry(grown),
+        "projection": request_srs,
+    }
+
+
+def _buffer_extent(data, plan):
+    if not data["extent"]:
+        return data
+    request_srs = data["projection"]
+    grown = (
+        Extent(data["extent"], request_srs)
+        .transformed(plan["buf_srs"])
+        .buffered(plan["distance"])
+        .transformed(request_srs)
+    )
+    return {"extent": grown.bbox, "projection": request_srs}
 
 
 class Buffer(BaseSingle):
@@ -31,52 +61,24 @@ class Buffer(BaseSingle):
             raise TypeError("Argument 'resolution' must be an int.")
         super().__init__(source, distance, projection, resolution)
 
-    @property
-    def distance(self):
-        return self.args[1]
-
-    @property
-    def projection(self):
-        return self.args[2]
-
-    @property
-    def resolution(self):
-        return self.args[3]
+    distance = property(lambda self: self.args[1])
+    projection = property(lambda self: self.args[2])
+    resolution = property(lambda self: self.args[3])
 
     def get_sources_and_requests(self, **request):
-        process_kwargs = {
+        plan = {
             "distance": self.distance,
             "buf_srs": self.projection,
             "resolution": self.resolution,
         }
-        return [(self.source, request), (process_kwargs, None)]
+        return [(self.source, request), (plan, None)]
 
     @staticmethod
-    def process(data, kwargs):
+    def process(data, plan):
         if "features" in data:
-            if len(data["features"]) == 0:
-                return data
-            req_srs = data["projection"]
-            buf_srs = kwargs["buf_srs"]
-            features = data["features"].set_geometry(
-                data["features"]
-                .geometry.to_crs(buf_srs)
-                .buffer(kwargs["distance"], kwargs["resolution"])
-                .to_crs(req_srs)
-            )
-            return {"features": features, "projection": req_srs}
+            return _buffer_features(data, plan)
         if "extent" in data:
-            if not data["extent"]:
-                return data
-            req_srs = data["projection"]
-            buf_srs = kwargs["buf_srs"]
-            extent = (
-                Extent(data["extent"], req_srs)
-                .transformed(buf_srs)
-                .buffered(kwargs["distance"])
-                .transformed(req_srs)
-            )
-            return {"extent": extent.bbox, "projection": req_srs}
+            return _buffer_extent(data, plan)
         raise NotImplementedError("Unknown mode in Buffer.process")
 
 
@@ -85,33 +87,30 @@ class Simplify(BaseSingle):
     ``min_size``)."""
 
     def __init__(self, source, tolerance=None, preserve_topology=True):
-        if tolerance is not None:
-            tolerance = float(tolerance)
-        super().__init__(source, tolerance, bool(preserve_topology))
+        super().__init__(
+            source,
+            None if tolerance is None else float(tolerance),
+            bool(preserve_topology),
+        )
 
-    @property
-    def tolerance(self):
-        return self.args[1]
-
-    @property
-    def preserve_topology(self):
-        return self.args[2]
+    tolerance = property(lambda self: self.args[1])
+    preserve_topology = property(lambda self: self.args[2])
 
     def get_sources_and_requests(self, **request):
-        process_kwargs = {
+        plan = {
             "tolerance": self.tolerance or request.get("min_size") or 0.0,
             "preserve_topology": self.preserve_topology,
         }
-        return [(self.source, request), (process_kwargs, None)]
+        return [(self.source, request), (plan, None)]
 
     @staticmethod
-    def process(data, kwargs):
+    def process(data, plan):
         if "features" not in data:
-            # the extent is assumed unchanged by simplification
-            return data
-        features = data["features"].set_geometry(
-            data["features"].geometry.simplify(
-                kwargs["tolerance"], preserve_topology=kwargs["preserve_topology"]
-            )
+            return data  # extents are assumed unchanged by simplification
+        simplified = data["features"].geometry.simplify(
+            plan["tolerance"], preserve_topology=plan["preserve_topology"]
         )
-        return {"features": features, "projection": data["projection"]}
+        return {
+            "features": data["features"].set_geometry(simplified),
+            "projection": data["projection"],
+        }

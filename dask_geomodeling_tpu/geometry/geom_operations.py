@@ -1,12 +1,16 @@
-"""Operations returning series from geometry fields: Area.
+"""Series derived from the geometry field itself: Area.
 
-Semantics match the reference (dask_geomodeling/geometry/geom_operations.py).
+Contract follows reference dask_geomodeling/geometry/geom_operations.py —
+the area is computed after transforming into the requested projection (an
+equal-area CRS gives physical areas; the request CRS may not).
 """
 import pandas as pd
 
 from dask_geomodeling_tpu.geometry.base import GeometryBlock, SeriesBlock
 
 __all__ = ["Area"]
+
+_EMPTY = pd.Series([], dtype=float)
 
 
 class Area(SeriesBlock):
@@ -19,18 +23,14 @@ class Area(SeriesBlock):
             raise TypeError("Argument 'projection' must be a str.")
         super().__init__(source, projection)
 
-    @property
-    def source(self):
-        return self.args[0]
-
-    @property
-    def projection(self):
-        return self.args[1]
+    source = property(lambda self: self.args[0])
+    projection = property(lambda self: self.args[1])
 
     @staticmethod
     def process(data, projection):
-        if "features" not in data or len(data["features"]) == 0:
-            return pd.Series([], dtype=float)
-        geometry = data["features"].geometry
-        geometry.crs = data["projection"]
-        return geometry.to_crs(projection).area
+        frame = data.get("features")
+        if frame is None or not len(frame):
+            return _EMPTY.copy()
+        shapes = frame.geometry
+        shapes.crs = data["projection"]
+        return shapes.to_crs(projection).area

@@ -1,11 +1,12 @@
 """Geometry request tiling.
 
-Semantics match the reference (dask_geomodeling/geometry/parallelize.py):
-the request geometry is tiled into ≤size boxes in a chosen projection;
-only 'centroid' mode is tiled (it guarantees each feature lands in exactly
-one tile) and the partial frames are concatenated.
+Contract follows reference dask_geomodeling/geometry/parallelize.py: the
+request geometry is covered by a grid of at-most-``size`` boxes in a
+chosen projection, every tile is clipped to the requested geometry (empty
+tiles are skipped), and the per-tile frames concatenate. Only 'centroid'
+mode is tiled — it guarantees each feature lands in exactly one tile —
+and 'extent' passes through.
 """
-from itertools import product
 from math import ceil
 
 import pandas as pd
@@ -16,6 +17,30 @@ from dask_geomodeling_tpu.geo.geometry import box
 from dask_geomodeling_tpu.geometry.base import BaseSingle
 
 __all__ = ["GeometryTiler"]
+
+
+def _cover_with_boxes(geometry, size):
+    """At-most-``size`` boxes covering ``geometry``, equalized so the grid
+    divides the bounds exactly; boxes not touching the geometry drop out."""
+    min_x, min_y, max_x, max_y = geometry.bounds
+    n_cols = ceil((max_x - min_x) / size)
+    n_rows = ceil((max_y - min_y) / size)
+    if n_cols <= 1 and n_rows <= 1:
+        return None  # no tiling needed
+    step_x = (max_x - min_x) / n_cols
+    step_y = (max_y - min_y) / n_rows
+    pieces = []
+    for col in range(n_cols):
+        for row in range(n_rows):
+            tile = box(
+                min_x + step_x * col,
+                min_y + step_y * row,
+                min_x + step_x * (col + 1),
+                min_y + step_y * (row + 1),
+            ).intersection(geometry)
+            if not tile.is_empty:
+                pieces.append(tile)
+    return pieces
 
 
 class GeometryTiler(BaseSingle):
@@ -34,13 +59,8 @@ class GeometryTiler(BaseSingle):
             raise TypeError("'{}' object is not allowed".format(type(projection)))
         super().__init__(source, float(size), projection)
 
-    @property
-    def size(self):
-        return self.args[1]
-
-    @property
-    def projection(self):
-        return self.args[2]
+    size = property(lambda self: self.args[1])
+    projection = property(lambda self: self.args[2])
 
     def get_sources_and_requests(self, **request):
         mode = request["mode"]
@@ -49,58 +69,33 @@ class GeometryTiler(BaseSingle):
         if mode != "centroid":
             raise NotImplementedError("Cannot process '{}' mode".format(mode))
 
-        req_geometry = request["geometry"]
-        tile_srs = self.projection
-        request_srs = request["projection"]
-
-        geometry = shapely_transform(req_geometry, request_srs, tile_srs)
-
-        x1, y1, x2, y2 = geometry.bounds
-        ncols = ceil((x2 - x1) / self.size)
-        nrows = ceil((y2 - y1) / self.size)
-
-        if ncols <= 1 and nrows <= 1:
+        geometry = shapely_transform(
+            request["geometry"], request["projection"], self.projection
+        )
+        pieces = _cover_with_boxes(geometry, self.size)
+        if pieces is None:
             return [(self.source, request)]
 
-        # equalize tile dimensions over the extent
-        size_x = (x2 - x1) / ncols
-        size_y = (y2 - y1) / nrows
-        tiles = [
-            box(
-                x1 + i * size_x,
-                y1 + j * size_y,
-                x1 + (i + 1) * size_x,
-                y1 + (j + 1) * size_y,
-            )
-            for i, j in product(range(ncols), range(nrows))
-        ]
-
-        # clip tiles to the requested geometry, dropping empty ones
-        clipped = [tile.intersection(geometry) for tile in tiles]
-        clipped = [tile for tile in clipped if not tile.is_empty]
-
-        request["projection"] = tile_srs
+        tiled = dict(request, projection=self.projection)
         return [
-            (self.source, {**request, "geometry": tile}) for tile in clipped
+            (self.source, dict(tiled, geometry=piece)) for piece in pieces
         ]
 
     @staticmethod
-    def process(*all_data):
-        if len(all_data) == 0:
+    def process(*partials):
+        if len(partials) == 0:
             return {"features": GeoDataFrame([]), "projection": None}
-        if len(all_data) == 1:
-            return all_data[0]  # non-tiled or extent requests
-        features_lst = [
-            data["features"]
-            for data in all_data
-            if data is not None and len(data.get("features")) != 0
+        if len(partials) == 1:
+            return partials[0]  # untiled or extent requests
+        frames = [
+            part["features"]
+            for part in partials
+            if part is not None and len(part.get("features")) != 0
         ]
-        if len(features_lst) == 0:
-            features = GeoDataFrame([])
-        elif len(features_lst) == 1:
-            features = features_lst[0]
+        if not frames:
+            merged = GeoDataFrame([])
+        elif len(frames) == 1:
+            merged = frames[0]
         else:
-            features = pd.concat(features_lst)
-
-        projection = all_data[0]["projection"]
-        return {"features": features, "projection": projection}
+            merged = pd.concat(frames)
+        return {"features": merged, "projection": partials[0]["projection"]}

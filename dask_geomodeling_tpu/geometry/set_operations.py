@@ -1,16 +1,33 @@
 """Geometry set operations: Difference and Intersection.
 
-Semantics match the reference (dask_geomodeling/geometry/set_operations.py):
+Contract follows reference dask_geomodeling/geometry/set_operations.py:
 Difference pre-flights the source's extent to scope the other's request,
 aligns features by index, and passes geometries missing in 'other' through
 unchanged; Intersection clips features to the request geometry.
 """
 from dask_geomodeling_tpu.geo.features import GeoDataFrame
 from dask_geomodeling_tpu.geo.geometry import box
-
 from dask_geomodeling_tpu.geometry.base import BaseSingle, GeometryBlock
 
 __all__ = ["Difference", "Intersection"]
+
+
+def _subtract_aligned(source_data, other_data):
+    """Per-index difference; indexes absent from ``other`` pass through."""
+    minuend = source_data["features"]
+    subtrahend = other_data["features"]
+    if not len(minuend) or not len(subtrahend):
+        return source_data
+
+    left = minuend.geometry
+    right = subtrahend.geometry.reindex(left.index)
+    shrunk = left.difference(right)
+    absent = right.isna().values
+    shrunk = shrunk.where(~absent, left)  # A - nothing = A
+    return {
+        "features": minuend.set_geometry(shrunk),
+        "projection": source_data["projection"],
+    }
 
 
 class Difference(BaseSingle):
@@ -21,52 +38,33 @@ class Difference(BaseSingle):
             raise TypeError("'{}' object is not allowed".format(type(other)))
         super().__init__(source, other)
 
-    @property
-    def other(self):
-        return self.args[1]
+    other = property(lambda self: self.args[1])
 
     def get_sources_and_requests(self, **request):
         if request["mode"] == "extent":
-            # the true extent could shrink, but that requires evaluation
+            # the true extent could only shrink; computing that would mean
+            # evaluating, so the source's extent is reported as-is
             return [(self.source, request)]
 
-        # pre-flight the source extent to scope the other's request
-        extent_request = request.copy()
-        extent_request["mode"] = "extent"
-        extent = self.source.get_data(**extent_request)["extent"]
-
+        # scope the other's request by the source's actual extent
+        extent = self.source.get_data(**dict(request, mode="extent"))["extent"]
         if extent is None:
-            projection = request["projection"]
-            return [({"empty": True, "projection": projection}, None)]
+            empty = {"empty": True, "projection": request["projection"]}
+            return [(empty, None)]
 
-        other_request = request.copy()
-        other_request["geometry"] = box(*extent)
-        return [(self.source, request), (self.other, other_request)]
+        scoped = dict(request, geometry=box(*extent))
+        return [(self.source, request), (self.other, scoped)]
 
     @staticmethod
     def process(source_data, other_data=None):
-        if other_data is None:
-            if source_data.get("empty"):
-                return {
-                    "features": GeoDataFrame([]),
-                    "projection": source_data["projection"],
-                }
-            return source_data
-
-        a = source_data["features"]
-        b = other_data["features"]
-        if len(a) == 0 or len(b) == 0:
-            return source_data
-
-        a_series = a.geometry
-        b_series = b.geometry.reindex(a_series.index)
-        result_series = a_series.difference(b_series)
-
-        # A - None = A: restore geometries missing in b
-        missing_in_b = b_series.isna()
-        result_series = result_series.where(~missing_in_b.values, a_series)
-        result = a.set_geometry(result_series)
-        return {"features": result, "projection": source_data["projection"]}
+        if other_data is not None:
+            return _subtract_aligned(source_data, other_data)
+        if source_data.get("empty"):
+            return {
+                "features": GeoDataFrame([]),
+                "projection": source_data["projection"],
+            }
+        return source_data
 
 
 class Intersection(BaseSingle):
@@ -83,30 +81,25 @@ class Intersection(BaseSingle):
             )
         super().__init__(source, other)
 
-    @property
-    def other(self):
-        return self.args[1]
+    other = property(lambda self: self.args[1])
 
     def get_sources_and_requests(self, **request):
         return [(self.source, request), (request["geometry"], None)]
 
     @staticmethod
     def process(data, geometry):
-        # features arrive in the projection of the request geometry
+        # features arrive already in the request geometry's projection
         if "features" in data:
-            features = data["features"]
-            features = features.set_geometry(
-                features.geometry.intersection(geometry)
-            )
-            return {"features": features, "projection": data["projection"]}
+            clipped = data["features"].geometry.intersection(geometry)
+            return {
+                "features": data["features"].set_geometry(clipped),
+                "projection": data["projection"],
+            }
         if "extent" in data:
-            bbox1 = data["extent"]
-            bbox2 = geometry.bounds
-            bbox = (
-                max(bbox1[0], bbox2[0]),
-                max(bbox1[1], bbox2[1]),
-                min(bbox1[2], bbox2[2]),
-                min(bbox1[3], bbox2[3]),
+            gx1, gy1, gx2, gy2 = geometry.bounds
+            ex1, ey1, ex2, ey2 = data["extent"]
+            clipped_bbox = (
+                max(ex1, gx1), max(ey1, gy1), min(ex2, gx2), min(ey2, gy2)
             )
-            return {"extent": bbox, "projection": data["projection"]}
+            return {"extent": clipped_bbox, "projection": data["projection"]}
         return data

@@ -1,8 +1,11 @@
-"""Text column parsing.
+"""Typed columns out of free-text metadata.
 
-Semantics match the reference (dask_geomodeling/geometry/text.py):
-``key=value`` pairs are regex-parsed out of a text column into typed
-columns, deduplicating work via pandas categoricals.
+Feature tables often carry a free-text description column holding
+newline-separated ``key=value`` lines (simulation metadata and the like).
+``ParseTextColumn`` lifts chosen keys out of that column into properly
+typed columns of their own. Contract follows reference
+dask_geomodeling/geometry/text.py: the key/value grammar below, null/bool/
+float autocasting, NaN for missing keys, and per-unique-string parse reuse.
 """
 import re
 
@@ -13,25 +16,34 @@ from dask_geomodeling_tpu.geometry.base import BaseSingle, GeometryBlock
 
 __all__ = ["ParseTextColumn"]
 
-# key: any ASCII char except '='; value: any ASCII char
+# grammar: a key is ASCII without '='; a value is any ASCII to line end
 REGEX_KEYVALUE = re.compile(r"((?:[ -<>-~])+)=((?:[ -~])*)")
+
+_LITERALS = {"null": None, "true": True, "false": False}
+_MISSING = object()  # sentinel: key absent from the description
 
 
 def autocast_value(value):
     """Cast a parsed string to string, float, bool or None."""
     if value is None:
         return None
-    value_lcase = value.lower()
-    if value_lcase == "null":
-        return None
-    if value_lcase == "false":
-        return False
-    if value_lcase == "true":
-        return True
+    lowered = value.lower()
+    if lowered in _LITERALS:
+        return _LITERALS[lowered]
     try:
         return float(value)
     except ValueError:
         return value
+
+
+def _parse_description(text, keys):
+    """One description string -> {key: typed value} for the wanted keys."""
+    if not isinstance(text, str):
+        return {}
+    found = dict(REGEX_KEYVALUE.findall(text))
+    return {
+        key: autocast_value(found[key]) for key in keys if key in found
+    }
 
 
 class ParseTextColumn(BaseSingle):
@@ -71,50 +83,41 @@ class ParseTextColumn(BaseSingle):
         return self.source.columns | set(self.key_mapping.values())
 
     def get_sources_and_requests(self, **request):
-        process_kwargs = {
+        plan = {
             "source_column": self.source_column,
             "key_mapping": self.key_mapping,
         }
-        return [(self.source, request), (process_kwargs, None)]
+        return [(self.source, request), (plan, None)]
 
     @staticmethod
-    def process(data, kwargs):
-        source_column = kwargs["source_column"]
-        key_mapping = kwargs["key_mapping"]
-
+    def process(data, plan):
         if "features" not in data or len(data["features"]) == 0:
             return data
 
-        f = data["features"].copy()
-        # parse each unique string once via the categorical codes
-        column = f[source_column].astype("category")
+        keys = list(plan["key_mapping"])
+        out_names = list(plan["key_mapping"].values())
+        features = data["features"].copy()
+        texts = features[plan["source_column"]]
 
-        if len(column.cat.categories) == 0:
-            for col in key_mapping.values():
-                f[col] = np.nan
-            return {"features": f, "projection": data["projection"]}
+        # each distinct description parses once, however many rows share it
+        cache = {}
+        per_key_lookup = {key: {} for key in keys}
+        for text in texts:
+            if text in cache or (isinstance(text, float) and np.isnan(text)):
+                continue
+            cache[text] = parsed = _parse_description(text, keys)
+            for key in keys:
+                per_key_lookup[key][text] = parsed.get(key, _MISSING)
 
-        def parser(description):
-            pairs = dict(REGEX_KEYVALUE.findall(description))
-            return [autocast_value(pairs.get(key)) for key in key_mapping.keys()]
-
-        extra_columns = pd.DataFrame(
-            [parser(x) for x in column.cat.categories],
-            columns=list(key_mapping.values()),
-        )
-
-        try:
-            extra_columns_aligned = extra_columns.reindex(column.cat.codes)
-            extra_columns_aligned.index = f.index
-        except KeyError:
-            extra_columns_aligned = pd.DataFrame(
-                [], columns=list(key_mapping.values())
-            )
-
-        for name in extra_columns_aligned.columns:
-            if extra_columns_aligned[name].isnull().all():
-                f[name] = np.nan
+        for key, out_name in zip(keys, out_names):
+            lookup = per_key_lookup[key]
+            cells = [lookup.get(text, _MISSING) for text in texts]
+            if all(cell is _MISSING or cell is None for cell in cells):
+                features[out_name] = np.nan
             else:
-                f[name] = extra_columns_aligned[name]
+                features[out_name] = pd.Series(
+                    [None if cell is _MISSING else cell for cell in cells],
+                    index=features.index,
+                )
 
-        return {"features": f, "projection": data["projection"]}
+        return {"features": features, "projection": data["projection"]}

@@ -10,6 +10,35 @@ from dask_geomodeling_tpu.core import Block
 __all__ = ["RasterBlock", "BaseSingle"]
 
 
+def _operator(block_name, reflected=False, unary=False, const=None):
+    """An operator overload that builds the named elemwise block lazily
+    (the elemwise module imports this one)."""
+    if unary:
+
+        def method(self):
+            import dask_geomodeling_tpu.raster as blocks
+
+            cls = getattr(blocks, block_name)
+            return cls(self) if const is None else cls(self, const)
+
+    elif reflected:
+
+        def method(self, other):
+            import dask_geomodeling_tpu.raster as blocks
+
+            return getattr(blocks, block_name)(other, self)
+
+    else:
+
+        def method(self, other):
+            import dask_geomodeling_tpu.raster as blocks
+
+            return getattr(blocks, block_name)(self, other)
+
+    method.__doc__ = "Build a %s block from this raster." % block_name
+    return method
+
+
 class RasterBlock(Block):
     """The base block for temporal rasters.
 
@@ -42,158 +71,70 @@ class RasterBlock(Block):
 
     def __len__(self):
         """Number of temporal bands."""
-        try:
-            start, stop = self.period
-        except TypeError:
-            return 0  # period is None
-
-        if start == stop:
+        span = self.period
+        if span is None:
+            return 0
+        first, last = span
+        if first == last:
             return 1
+        step = self.timedelta
+        if step is None:
+            # non-equidistant: the data itself knows its time axis
+            time_axis = self.get_data(mode="time", start=first, stop=last)
+            return len(time_axis["time"])
+        return 1 + int((last - first).total_seconds() // step.total_seconds())
 
-        timedelta = self.timedelta
-        if timedelta is None:
-            # non-equidistant: ask the data for its time axis
-            return len(self.get_data(mode="time", start=start, stop=stop)["time"])
-
-        period_seconds = (stop - start).total_seconds()
-        delta_seconds = timedelta.total_seconds()
-        return int(period_seconds / delta_seconds) + 1
-
-    def __add__(self, other):
-        from dask_geomodeling_tpu.raster import Add
-
-        return Add(self, other)
-
-    __radd__ = __add__
-
-    def __mul__(self, other):
-        from dask_geomodeling_tpu.raster import Multiply
-
-        return Multiply(self, other)
-
-    __rmul__ = __mul__
-
-    def __neg__(self):
-        from dask_geomodeling_tpu.raster import Multiply
-
-        return Multiply(self, -1)
-
-    def __sub__(self, other):
-        from dask_geomodeling_tpu.raster import Subtract
-
-        return Subtract(self, other)
-
-    def __truediv__(self, other):
-        from dask_geomodeling_tpu.raster import Divide
-
-        return Divide(self, other)
-
-    def __pow__(self, other):
-        from dask_geomodeling_tpu.raster import Power
-
-        return Power(self, other)
-
-    def __eq__(self, other):
-        from dask_geomodeling_tpu.raster import Equal
-
-        return Equal(self, other)
-
-    def __ne__(self, other):
-        from dask_geomodeling_tpu.raster import NotEqual
-
-        return NotEqual(self, other)
-
-    def __gt__(self, other):
-        from dask_geomodeling_tpu.raster import Greater
-
-        return Greater(self, other)
-
-    def __ge__(self, other):
-        from dask_geomodeling_tpu.raster import GreaterEqual
-
-        return GreaterEqual(self, other)
-
-    def __lt__(self, other):
-        from dask_geomodeling_tpu.raster import Less
-
-        return Less(self, other)
-
-    def __le__(self, other):
-        from dask_geomodeling_tpu.raster import LessEqual
-
-        return LessEqual(self, other)
-
-    def __invert__(self):
-        from dask_geomodeling_tpu.raster import Invert
-
-        return Invert(self)
-
-    def __and__(self, other):
-        from dask_geomodeling_tpu.raster import And
-
-        return And(self, other)
-
-    def __or__(self, other):
-        from dask_geomodeling_tpu.raster import Or
-
-        return Or(self, other)
-
-    def __xor__(self, other):
-        from dask_geomodeling_tpu.raster import Xor
-
-        return Xor(self, other)
+    __add__ = __radd__ = _operator("Add")
+    __mul__ = __rmul__ = _operator("Multiply")
+    __neg__ = _operator("Multiply", unary=True, const=-1)
+    __sub__ = _operator("Subtract")
+    __truediv__ = _operator("Divide")
+    __pow__ = _operator("Power")
+    __eq__ = _operator("Equal")
+    __ne__ = _operator("NotEqual")
+    __gt__ = _operator("Greater")
+    __ge__ = _operator("GreaterEqual")
+    __lt__ = _operator("Less")
+    __le__ = _operator("LessEqual")
+    __invert__ = _operator("Invert", unary=True)
+    __and__ = _operator("And")
+    __or__ = _operator("Or")
+    __xor__ = _operator("Xor")
 
     # Equal/NotEqual overload __eq__; keep Blocks hashable by identity-ish
     __hash__ = Block.__hash__
 
 
 class BaseSingle(RasterBlock):
-    """Base class for raster blocks wrapping a single raster ("store")."""
+    """Base class for raster blocks wrapping a single raster ("store");
+    every raster attribute delegates to the wrapped store unless a
+    subclass overrides it."""
 
     def __init__(self, store, *args):
         if not isinstance(store, RasterBlock):
             raise TypeError("'{}' object is not allowed".format(type(store)))
         super().__init__(store, *args)
 
-    @property
-    def store(self):
-        return self.args[0]
+    store = property(lambda self: self.args[0])
 
     def __len__(self):
         return len(self.store)
 
-    @property
-    def extent(self):
-        return self.store.extent
 
-    @property
-    def period(self):
-        return self.store.period
+def _delegate(attribute):
+    return property(lambda self: getattr(self.store, attribute))
 
-    @property
-    def timedelta(self):
-        return self.store.timedelta
 
-    @property
-    def temporal(self):
-        return self.store.temporal
-
-    @property
-    def dtype(self):
-        return self.store.dtype
-
-    @property
-    def fillvalue(self):
-        return self.store.fillvalue
-
-    @property
-    def geometry(self):
-        return self.store.geometry
-
-    @property
-    def projection(self):
-        return self.store.projection
-
-    @property
-    def geo_transform(self):
-        return self.store.geo_transform
+for _attribute in (
+    "extent",
+    "period",
+    "timedelta",
+    "temporal",
+    "dtype",
+    "fillvalue",
+    "geometry",
+    "projection",
+    "geo_transform",
+):
+    setattr(BaseSingle, _attribute, _delegate(_attribute))
+del _attribute

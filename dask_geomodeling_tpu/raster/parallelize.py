@@ -1,9 +1,10 @@
 """Request tiling: the intra-request parallelism primitive.
 
-Semantics match the reference RasterTiler (dask_geomodeling/raster/
-parallelize.py:13-125): a vals request is split into a grid of subrequests
-of at most ``tile_size`` pixels, evaluated independently, and reassembled
-(with the y-axis flip between world and array coordinates).
+Contract follows the reference RasterTiler (dask_geomodeling/raster/
+parallelize.py:13-125): a vals request splits into a grid of subrequests
+of at most ``tile_size`` pixels each — edge tiles truncate, the cell size
+is preserved exactly — and the partial rasters reassemble into the
+requested window (with the world-y/array-row flip).
 
 In this framework tiling is also the *execution model*: the TPU runtime
 normalizes big requests onto fixed-size tile batches (runtime/tiles.py) so
@@ -11,13 +12,20 @@ one compiled XLA program serves every tile, and a device mesh shards the
 tile axis (parallel/mesh.py).  This block remains for explicit, reference-
 compatible tiling of arbitrary views.
 """
-from itertools import product
-
 import numpy as np
 
 from dask_geomodeling_tpu.raster.base import BaseSingle
 
 __all__ = ["RasterTiler"]
+
+
+def _tile_edges(lo, hi, step):
+    """World coordinates of tile boundaries covering [lo, hi]."""
+    edges = list(np.arange(lo, hi, step))
+    edges.append(hi)
+    if len(edges) > 1 and edges[-2] == hi:
+        edges.pop()
+    return edges
 
 
 class RasterTiler(BaseSingle):
@@ -37,7 +45,7 @@ class RasterTiler(BaseSingle):
             tile_size = [int(x) for x in tile_size]
         else:
             tile_size = [int(tile_size), int(tile_size)]
-        if tile_size[0] <= 0 or tile_size[1] <= 0:
+        if min(tile_size) <= 0:
             raise ValueError("'tile_size' should be greater than 0")
         super().__init__(source, tile_size)
 
@@ -45,77 +53,73 @@ class RasterTiler(BaseSingle):
     def tile_size(self):
         return self.args[1]
 
+    def _plan_tiles(self, request):
+        """Yield (col, row, subrequest) covering the requested window."""
+        x1, y1, x2, y2 = request["bbox"]
+        cell_w = (x2 - x1) / request["width"]
+        cell_h = (y2 - y1) / request["height"]
+        xs = _tile_edges(x1, x2, cell_w * self.tile_size[0])
+        ys = _tile_edges(y1, y2, cell_h * self.tile_size[1])
+        for col in range(len(xs) - 1):
+            for row in range(len(ys) - 1):
+                bbox = (xs[col], ys[row], xs[col + 1], ys[row + 1])
+                yield col, row, {
+                    **request,
+                    "bbox": bbox,
+                    "width": int(round((bbox[2] - bbox[0]) / cell_w)),
+                    "height": int(round((bbox[3] - bbox[1]) / cell_h)),
+                }
+
     def get_sources_and_requests(self, **request):
         if request["mode"] != "vals":
             return [(None, None), (self.store, request)]
 
         x1, y1, x2, y2 = request["bbox"]
-        cellsize_x = (x2 - x1) / request["width"]
-        cellsize_y = (y2 - y1) / request["height"]
-        if cellsize_x == 0 and cellsize_y == 0:
-            # point requests pass through
+        if x1 == x2 and y1 == y2:
+            # point requests pass through untiled
             return [(None, None), (self.store, request)]
 
-        tilesize_x = cellsize_x * self.tile_size[0]
-        tilesize_y = cellsize_y * self.tile_size[1]
-        x = np.arange(x1, x2, tilesize_x)
-        y = np.arange(y1, y2, tilesize_y)
-        if x[-1] != x2:
-            x = np.append(x, x2)
-        if y[-1] != y2:
-            y = np.append(y, y2)
-
-        count_x, count_y = len(x) - 1, len(y) - 1
-
-        result = [
-            (
-                {
-                    "dtype": self.dtype,
-                    "fillvalue": self.fillvalue,
-                    "shape_yx": (request["height"], request["width"]),
-                    "count_xy": (count_x, count_y),
-                    "tilesize_xy": self.tile_size,
-                },
-                None,
-            )
+        subrequests = list(self._plan_tiles(request))
+        plan = {
+            "dtype": self.dtype,
+            "fillvalue": self.fillvalue,
+            "out_height": request["height"],
+            "out_width": request["width"],
+            # bottom-left pixel offset of each tile in the output grid
+            "offsets": [
+                (col * self.tile_size[0], row * self.tile_size[1])
+                for col, row, _ in subrequests
+            ],
+        }
+        return [(plan, None)] + [
+            (self.store, subrequest) for _, _, subrequest in subrequests
         ]
-        for i, j in product(range(count_x), range(count_y)):
-            _request = {
-                **request,
-                "bbox": (x[i], y[j], x[i + 1], y[j + 1]),
-                "width": int(round((x[i + 1] - x[i]) / cellsize_x)),
-                "height": int(round((y[j + 1] - y[j]) / cellsize_y)),
-            }
-            result.append((self.store, _request))
-
-        return result
 
     @staticmethod
-    def process(process_kwargs, *all_data):
-        if len(all_data) == 0:
+    def process(plan, *tiles):
+        if len(tiles) == 0:
             return None
-        if process_kwargs is None:
-            return all_data[0]  # non-tiled / meta / time requests
+        if plan is None:
+            return tiles[0]  # point / meta / time requests pass through
 
-        shape_yx = process_kwargs["shape_yx"]
-        for data in all_data:
-            if data is not None:
-                shape = (data["values"].shape[0],) + shape_yx
-                break
-        else:
+        bands = next(
+            (t["values"].shape[0] for t in tiles if t is not None), None
+        )
+        if bands is None:
             return None
 
-        values = np.full(shape, process_kwargs["fillvalue"], process_kwargs["dtype"])
-
-        # tiles were generated x-major from low x/y; the vertical array axis
-        # runs opposite to world y, hence the negative index arithmetic
-        count_x, count_y = process_kwargs["count_xy"]
-        tilesize_x, tilesize_y = process_kwargs["tilesize_xy"]
-        for index, data in zip(product(range(count_x), range(count_y)), all_data):
-            if data is None:
+        out_h, out_w = plan["out_height"], plan["out_width"]
+        mosaic = np.full(
+            (bands, out_h, out_w), plan["fillvalue"], plan["dtype"]
+        )
+        for (x_off, y_off), tile in zip(plan["offsets"], tiles):
+            if tile is None:
                 continue
-            vals = data["values"]
-            j = index[0] * tilesize_x
-            i = index[1] * tilesize_y
-            values[:, -(i + vals.shape[1]) : -i or None, j : j + vals.shape[2]] = vals
-        return {"values": values, "no_data_value": process_kwargs["fillvalue"]}
+            part = tile["values"]
+            # world y grows upward while rows grow downward: a tile whose
+            # bottom-left sits y_off pixels up fills rows ending at
+            # out_h - y_off
+            row_end = out_h - y_off
+            row_start = row_end - part.shape[1]
+            mosaic[:, row_start:row_end, x_off : x_off + part.shape[2]] = part
+        return {"values": mosaic, "no_data_value": plan["fillvalue"]}
