@@ -305,37 +305,14 @@ class AggregateRaster(GeometryBlock):
             *args
         )
 
-    @property
-    def source(self):
-        return self.args[0]
-
-    @property
-    def raster(self):
-        return self.args[1]
-
-    @property
-    def statistic(self):
-        return self.args[2]
-
-    @property
-    def projection(self):
-        return self.args[3]
-
-    @property
-    def pixel_size(self):
-        return self.args[4]
-
-    @property
-    def max_pixels(self):
-        return self.args[5]
-
-    @property
-    def column_name(self):
-        return self.args[6]
-
-    @property
-    def auto_pixel_size(self):
-        return self.args[7]
+    source = property(lambda self: self.args[0])
+    raster = property(lambda self: self.args[1])
+    statistic = property(lambda self: self.args[2])
+    projection = property(lambda self: self.args[3])
+    pixel_size = property(lambda self: self.args[4])
+    max_pixels = property(lambda self: self.args[5])
+    column_name = property(lambda self: self.args[6])
+    auto_pixel_size = property(lambda self: self.args[7])
 
     @property
     def columns(self):
@@ -541,9 +518,7 @@ class AggregateRasterAboveThreshold(AggregateRaster):
             threshold_name,
         )
 
-    @property
-    def threshold_name(self):
-        return self.args[8]
+    threshold_name = property(lambda self: self.args[8])
 
     def get_sources_and_requests(self, **request):
         src_and_req = super().get_sources_and_requests(**request)

@@ -160,9 +160,7 @@ class GetSeriesBlock(SeriesBlock):
             raise KeyError("Column '{}' is not available".format(name))
         super().__init__(source, name)
 
-    @property
-    def source(self):
-        return self.args[0]
+    source = property(lambda self: self.args[0])
 
     @staticmethod
     def process(data, name):
@@ -190,9 +188,7 @@ class SetSeriesBlock(GeometryBlock):
                 raise TypeError("'{}' object is not allowed".format(type(column)))
         super().__init__(source, *args)
 
-    @property
-    def source(self):
-        return self.args[0]
+    source = property(lambda self: self.args[0])
 
     @property
     def columns(self):
@@ -216,9 +212,7 @@ class BaseSingle(GeometryBlock):
             raise TypeError("'{}' object is not allowed".format(type(source)))
         super().__init__(source, *args)
 
-    @property
-    def source(self):
-        return self.args[0]
+    source = property(lambda self: self.args[0])
 
     @property
     def columns(self):
@@ -233,6 +227,4 @@ class BaseSingleSeries(SeriesBlock):
             raise TypeError("'{}' object is not allowed".format(type(source)))
         super().__init__(source, *args)
 
-    @property
-    def source(self):
-        return self.args[0]
+    source = property(lambda self: self.args[0])

@@ -88,17 +88,9 @@ class Classify(BaseSingleSeries):
             raise ValueError("Labels should be unique")
         super().__init__(source, bins, labels, right)
 
-    @property
-    def bins(self):
-        return self.args[1]
-
-    @property
-    def labels(self):
-        return self.args[2]
-
-    @property
-    def right(self):
-        return self.args[3]
+    bins = property(lambda self: self.args[1])
+    labels = property(lambda self: self.args[2])
+    right = property(lambda self: self.args[3])
 
     @staticmethod
     def process(series, bins, labels, right):
@@ -146,25 +138,11 @@ class ClassifyFromColumns(SeriesBlock):
             raise ValueError("Labels should be unique")
         super().__init__(source, value_column, bin_columns, labels, right)
 
-    @property
-    def source(self):
-        return self.args[0]
-
-    @property
-    def value_column(self):
-        return self.args[1]
-
-    @property
-    def bin_columns(self):
-        return self.args[2]
-
-    @property
-    def labels(self):
-        return self.args[3]
-
-    @property
-    def right(self):
-        return self.args[4]
+    source = property(lambda self: self.args[0])
+    value_column = property(lambda self: self.args[1])
+    bin_columns = property(lambda self: self.args[2])
+    labels = property(lambda self: self.args[3])
+    right = property(lambda self: self.args[4])
 
     @staticmethod
     def process(data, value_column, bin_columns, labels, right):
@@ -203,9 +181,7 @@ class BaseFieldOperation(BaseSingleSeries):
             raise TypeError("'{}' object is not allowed".format(type(other)))
         super().__init__(source, other)
 
-    @property
-    def other(self):
-        return self.args[1]
+    other = property(lambda self: self.args[1])
 
 
 class Add(BaseFieldOperation):
@@ -333,13 +309,8 @@ class Where(BaseSingleSeries):
             raise TypeError("'{}' object is not allowed".format(type(cond)))
         super().__init__(source, cond, other)
 
-    @property
-    def cond(self):
-        return self.args[1]
-
-    @property
-    def other(self):
-        return self.args[2]
+    cond = property(lambda self: self.args[1])
+    other = property(lambda self: self.args[2])
 
     @staticmethod
     def process(source, cond, other):
@@ -356,13 +327,8 @@ class Mask(BaseSingleSeries):
             raise TypeError("'{}' object is not allowed".format(type(cond)))
         super().__init__(source, cond, other)
 
-    @property
-    def cond(self):
-        return self.args[1]
-
-    @property
-    def other(self):
-        return self.args[2]
+    cond = property(lambda self: self.args[1])
+    other = property(lambda self: self.args[2])
 
     @staticmethod
     def process(source, cond, other):

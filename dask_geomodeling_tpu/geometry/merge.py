@@ -34,39 +34,25 @@ class MergeGeometryBlocks(GeometryBlock):
                     how, self.allow_how_joins
                 )
             )
-        if (
-            len(suffixes) != 2
-            or not isinstance(suffixes[0], str)
-            or not isinstance(suffixes[1], str)
+        if len(suffixes) != 2 or not all(
+            isinstance(suffix, str) for suffix in suffixes
         ):
             raise TypeError("'{}' object is not allowed".format(type(suffixes)))
         super().__init__(left, right, how, tuple(suffixes))
 
-    @property
-    def left(self):
-        return self.args[0]
-
-    @property
-    def right(self):
-        return self.args[1]
-
-    @property
-    def how(self):
-        return self.args[2]
-
-    @property
-    def suffixes(self):
-        return self.args[3]
+    left = property(lambda self: self.args[0])
+    right = property(lambda self: self.args[1])
+    how = property(lambda self: self.args[2])
+    suffixes = property(lambda self: self.args[3])
 
     @property
     def columns(self):
-        left = self.left.columns
-        right = self.right.columns
-        result = left ^ right
-        overlap = left & right
-        for col in overlap:
-            result |= {col + self.suffixes[0], col + self.suffixes[1]}
-        return result
+        mine, theirs = self.left.columns, self.right.columns
+        shared = mine & theirs
+        lsuf, rsuf = self.suffixes
+        return (mine ^ theirs) | {
+            name + suffix for name in shared for suffix in (lsuf, rsuf)
+        }
 
     def get_sources_and_requests(self, **request):
         process_kwargs = {

@@ -28,17 +28,9 @@ class GeometryFileSource(GeometryBlock):
         safe_url = utils.safe_file_url(url)
         super().__init__(safe_url, layer, id_field)
 
-    @property
-    def url(self):
-        return self.args[0]
-
-    @property
-    def layer(self):
-        return self.args[1]
-
-    @property
-    def id_field(self):
-        return self.args[2]
+    url = property(lambda self: self.args[0])
+    layer = property(lambda self: self.args[1])
+    id_field = property(lambda self: self.args[2])
 
     @property
     def path(self):
@@ -166,13 +158,8 @@ class GeometryWKTSource(GeometryBlock):
             raise ValueError("The provided projection is not valid")
         super().__init__(wkt, projection)
 
-    @property
-    def wkt(self):
-        return self.args[0]
-
-    @property
-    def projection(self):
-        return self.args[1]
+    wkt = property(lambda self: self.args[0])
+    projection = property(lambda self: self.args[1])
 
     @property
     def columns(self):

@@ -134,6 +134,28 @@ class BaseCombine(RasterBlock):
         return geo_transform
 
 
+def _snap_window_to_grid(start, stop, period, td_sec):
+    """Clamp [start, stop] to ``period`` and snap both ends onto the
+    equidistant frame grid anchored at the period origin (start rounds up
+    to the next frame, stop rounds down to the previous one)."""
+    origin, period_end = period
+    if start is None:
+        start = period_end
+    elif start < origin:
+        start = origin
+    else:
+        remainder = (origin - start).total_seconds() % td_sec
+        start += Timedelta(seconds=remainder)
+    if stop is None:
+        stop = start
+    elif stop > period_end:
+        stop = period_end
+    else:
+        remainder = (stop - origin).total_seconds() % td_sec
+        stop -= Timedelta(seconds=remainder)
+    return start, stop
+
+
 class Group(BaseCombine):
     """Combine rasters along x, y and time; rightmost raster wins where
     multiple have data at the same timestep."""
@@ -198,22 +220,7 @@ class Group(BaseCombine):
         else:  # merge by bands
             td_sec = timedelta.total_seconds()
             period = self.period
-            origin = period[0]
-            if start is None:
-                start = period[1]
-            elif start < period[0]:
-                start = period[0]
-            else:
-                start_delta = (origin - start).total_seconds() % td_sec
-                start += Timedelta(seconds=start_delta)
-
-            if stop is None:
-                stop = start
-            elif stop > period[1]:
-                stop = period[1]
-            else:
-                stop_delta = (stop - origin).total_seconds() % td_sec
-                stop -= Timedelta(seconds=stop_delta)
+            start, stop = _snap_window_to_grid(start, stop, period, td_sec)
 
             if mode == "time":
                 return [
@@ -229,19 +236,20 @@ class Group(BaseCombine):
                     )
                 ]
 
-            sources = self.get_relevant_sources(start, stop)
-            requests = []
-            bands = []
-            for source in sources:
-                this_start = max(start, source.period[0])
-                this_stop = min(stop, source.period[1])
-                first_i = int((this_start - start).total_seconds() // td_sec)
-                last_i = int((this_stop - start).total_seconds() // td_sec)
-                bands.append((first_i, last_i + 1))
-
-                this_request = request.copy()
-                this_request.update(start=this_start, stop=this_stop)
-                requests.append((source, this_request))
+            requests, bands = [], []
+            for source in self.get_relevant_sources(start, stop):
+                window = (
+                    max(start, source.period[0]),
+                    min(stop, source.period[1]),
+                )
+                lo, hi = (
+                    int((edge - start).total_seconds() // td_sec)
+                    for edge in window
+                )
+                bands.append((lo, hi + 1))
+                requests.append(
+                    (source, dict(request, start=window[0], stop=window[1]))
+                )
             process_kwargs = dict(combine_mode="by_bands", mode=mode, bands=bands)
             nbands = int((stop - start).total_seconds() // td_sec) + 1
             if mode == "meta":

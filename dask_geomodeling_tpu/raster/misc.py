@@ -95,9 +95,7 @@ class Clip(BaseSingle):
             )
         super().__init__(store, source)
 
-    @property
-    def source(self):
-        return self.args[1]
+    source = property(lambda self: self.args[1])
 
     def get_sources_and_requests(self, **request):
         # clamp start/stop to the common period so frames align
@@ -199,9 +197,7 @@ class Mask(BaseSingle):
             raise TypeError("'{}' object is not allowed".format(type(value)))
         super().__init__(store, value)
 
-    @property
-    def value(self):
-        return self.args[1]
+    value = property(lambda self: self.args[1])
 
     @property
     def fillvalue(self):
@@ -292,21 +288,10 @@ class Step(BaseSingle):
                 raise TypeError("'{}' object is not allowed".format(type(x)))
         super().__init__(store, left, right, value, at)
 
-    @property
-    def left(self):
-        return self.args[1]
-
-    @property
-    def right(self):
-        return self.args[2]
-
-    @property
-    def value(self):
-        return self.args[3]
-
-    @property
-    def at(self):
-        return self.args[4]
+    left = property(lambda self: self.args[1])
+    right = property(lambda self: self.args[2])
+    value = property(lambda self: self.args[3])
+    at = property(lambda self: self.args[4])
 
     process = staticmethod(_step_process)
 
@@ -359,13 +344,8 @@ class Classify(BaseSingle):
             raise TypeError("'bins' should be monotonic")
         super().__init__(store, bins_arr.tolist(), right)
 
-    @property
-    def bins(self):
-        return self.args[1]
-
-    @property
-    def right(self):
-        return self.args[2]
+    bins = property(lambda self: self.args[1])
+    right = property(lambda self: self.args[2])
 
     @property
     def dtype(self):
@@ -479,13 +459,8 @@ class Reclassify(BaseSingle):
             raise TypeError("'{}' object is not allowed".format(type(select)))
         super().__init__(store, data, select)
 
-    @property
-    def data(self):
-        return self.args[1]
-
-    @property
-    def select(self):
-        return self.args[2]
+    data = property(lambda self: self.args[1])
+    select = property(lambda self: self.args[2])
 
     @property
     def dtype(self):
@@ -529,17 +504,9 @@ class Rasterize(RasterBlock):
             raise ValueError("Limit should be greater than 1")
         super().__init__(source, column_name, dtype, limit)
 
-    @property
-    def source(self):
-        return self.args[0]
-
-    @property
-    def column_name(self):
-        return self.args[1]
-
-    @property
-    def limit(self):
-        return self.args[3]
+    source = property(lambda self: self.args[0])
+    column_name = property(lambda self: self.args[1])
+    limit = property(lambda self: self.args[3])
 
     @property
     def dtype(self):
@@ -685,13 +652,8 @@ class RasterizeWKT(RasterBlock):
             raise ValueError("The provided projection is not valid")
         super().__init__(wkt, projection)
 
-    @property
-    def wkt(self):
-        return self.args[0]
-
-    @property
-    def projection(self):
-        return self.args[1]
+    wkt = property(lambda self: self.args[0])
+    projection = property(lambda self: self.args[1])
 
     @property
     def dtype(self):

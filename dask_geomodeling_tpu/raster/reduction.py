@@ -47,6 +47,24 @@ def check_statistic(statistic):
             raise ValueError('Unknown statistic "{}"'.format(statistic))
 
 
+def _overwrite_with_data(out, layers):
+    """Later layers overwrite earlier ones wherever they hold data."""
+    for layer in layers:
+        has_data = get_index(layer["values"], layer["no_data_value"])
+        out[has_data] = layer["values"][has_data]
+    return out
+
+
+def _nan_stacked(layers, shape, dtype):
+    """Stack layers into one float array with nodata translated to NaN."""
+    lifted = np.result_type(dtype, np.float16)  # must be able to hold NaN
+    stacked = np.full((len(layers),) + shape, np.nan, lifted)
+    for axis0, layer in enumerate(layers):
+        has_data = get_index(layer["values"], layer["no_data_value"])
+        stacked[axis0, has_data] = layer["values"][has_data]
+    return stacked
+
+
 def reduce_rasters(stack, statistic, no_data_value=None, dtype=None):
     """Apply a nodata-skipping statistic along a stack of raster dicts.
 
@@ -72,37 +90,32 @@ def reduce_rasters(stack, statistic, no_data_value=None, dtype=None):
         no_data_value = stack[0]["no_data_value"]
     shape = stack[0]["values"].shape
 
-    # sum and count never produce nodata: fill with zeros
-    fill_value = 0 if statistic in {"sum", "count"} else no_data_value
-    out = np.full(shape, fill_value, dtype)
+    # sum and count never produce nodata: their neutral fill is zero
+    fill = 0 if statistic in {"sum", "count"} else no_data_value
+    out = np.full(shape, fill, dtype)
 
     if statistic == "last":
-        for data in stack:
-            index = get_index(data["values"], data["no_data_value"])
-            out[index] = data["values"][index]
-    elif statistic == "first":
-        for data in stack[::-1]:
-            index = get_index(data["values"], data["no_data_value"])
-            out[index] = data["values"][index]
-    elif statistic == "count":
-        for data in stack:
-            out += get_index(data["values"], data["no_data_value"])
+        return {
+            "values": _overwrite_with_data(out, stack),
+            "no_data_value": no_data_value,
+        }
+    if statistic == "first":
+        return {
+            "values": _overwrite_with_data(out, stack[::-1]),
+            "no_data_value": no_data_value,
+        }
+    if statistic == "count":
+        for layer in stack:
+            out += get_index(layer["values"], layer["no_data_value"])
+        return {"values": out, "no_data_value": no_data_value}
+
+    if statistic == "percentile":
+        reducer = partial(np.nanpercentile, q=percentile)
     else:
-        if statistic == "percentile":
-            func = partial(np.nanpercentile, q=percentile)
-        else:
-            func = STATISTICS[statistic]
-        # translate nodata to NaN (dtype at least float16 to hold NaN)
-        stack_array = np.full(
-            (len(stack),) + shape, np.nan, np.result_type(dtype, np.float16)
-        )
-        for i, data in enumerate(stack):
-            index = get_index(data["values"], data["no_data_value"])
-            stack_array[i, index] = data["values"][index]
-
-        not_all_nan = ~np.all(np.isnan(stack_array), axis=0)
-        out[not_all_nan] = func(stack_array[:, not_all_nan], axis=0)
-
+        reducer = STATISTICS[statistic]
+    stacked = _nan_stacked(stack, shape, dtype)
+    some_data = ~np.all(np.isnan(stacked), axis=0)
+    out[some_data] = reducer(stacked[:, some_data], axis=0)
     return {"values": out, "no_data_value": no_data_value}
 
 

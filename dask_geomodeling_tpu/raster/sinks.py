@@ -130,6 +130,21 @@ def to_file(source, url, tile_size, **request):
     source raster's native values.
     """
     request["mode"] = "vals"
+    _complete_request_from_source(request, source)
+
+    path = utils.safe_abspath(url)
+    if os.path.isdir(path):
+        path = os.path.join(path, "output.vrt")
+    tiles_dir = os.path.join(os.path.split(path)[0], "tiles")
+
+    tiler = RasterTiler(RasterFileSink(source, tiles_dir), tile_size)
+    tiler.get_data(**request)
+
+    RasterFileSink.merge_files(tiles_dir, path)
+
+
+def _complete_request_from_source(request, source):
+    """Fill projection/bbox/width/height from the source's native grid."""
     if "projection" not in request:
         if source.projection is None:
             raise ValueError(
@@ -144,25 +159,14 @@ def to_file(source, url, tile_size, **request):
                 "Please provide a 'bbox' argument."
             )
         request["bbox"] = source.geometry.bounds
-    if "width" not in request or "height" not in request:
-        if source.geo_transform is None:
-            raise ValueError(
-                "Cannot determine the pixel size from the source raster. "
-                "Please provide 'width' and 'height' arguments."
-            )
-        geo_transform = source.geo_transform
-        x1, y1, x2, y2 = request["bbox"]
-        request["width"] = int(round((x2 - x1) / abs(float(geo_transform[1]))))
-        request["height"] = int(round((y2 - y1) / abs(float(geo_transform[5]))))
-
-    path = utils.safe_abspath(url)
-
-    if os.path.isdir(path):
-        path = os.path.join(path, "output.vrt")
-    tiles_dir = os.path.join(os.path.split(path)[0], "tiles")
-
-    sink = RasterFileSink(source, tiles_dir)
-    tiler = RasterTiler(sink, tile_size)
-    tiler.get_data(**request)
-
-    RasterFileSink.merge_files(tiles_dir, path)
+    if "width" in request and "height" in request:
+        return
+    grid = source.geo_transform
+    if grid is None:
+        raise ValueError(
+            "Cannot determine the pixel size from the source raster. "
+            "Please provide 'width' and 'height' arguments."
+        )
+    x1, y1, x2, y2 = request["bbox"]
+    request["width"] = int(round((x2 - x1) / abs(float(grid[1]))))
+    request["height"] = int(round((y2 - y1) / abs(float(grid[5]))))

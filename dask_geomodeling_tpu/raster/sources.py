@@ -265,33 +265,13 @@ class MemorySource(RasterSourceBase):
             self.args = (data,) + tuple(self.args[1:])
         return data
 
-    @property
-    def no_data_value(self):
-        return self.args[1]
-
-    @property
-    def projection(self):
-        return self.args[2]
-
-    @property
-    def pixel_size(self):
-        return self.args[3]
-
-    @property
-    def pixel_origin(self):
-        return self.args[4]
-
-    @property
-    def time_first(self):
-        return self.args[5]
-
-    @property
-    def time_delta(self):
-        return self.args[6]
-
-    @property
-    def metadata(self):
-        return self.args[7]
+    no_data_value = property(lambda self: self.args[1])
+    projection = property(lambda self: self.args[2])
+    pixel_size = property(lambda self: self.args[3])
+    pixel_origin = property(lambda self: self.args[4])
+    time_first = property(lambda self: self.args[5])
+    time_delta = property(lambda self: self.args[6])
+    metadata = property(lambda self: self.args[7])
 
     @property
     def dtype(self):
@@ -419,17 +399,9 @@ class RasterFileSource(RasterSourceBase):
             time_delta = int(time_delta)
         super().__init__(url, time_first, time_delta)
 
-    @property
-    def url(self):
-        return self.args[0]
-
-    @property
-    def time_first(self):
-        return self.args[1]
-
-    @property
-    def time_delta(self):
-        return self.args[2]
+    url = property(lambda self: self.args[0])
+    time_first = property(lambda self: self.args[1])
+    time_delta = property(lambda self: self.args[2])
 
     @property
     def info(self):

@@ -129,9 +129,7 @@ class Dilate(BaseSingle):
         values = np.asarray(values, dtype=store.dtype)
         super().__init__(store, values.tolist())
 
-    @property
-    def values(self):
-        return self.args[1]
+    values = property(lambda self: self.args[1])
 
     def get_sources_and_requests(self, **request):
         new_request = expand_request_pixels(request, radius=1)
@@ -195,9 +193,7 @@ class MovingMax(BaseSingle):
             raise ValueError("The size should be odd and larger than 1")
         super().__init__(store, size)
 
-    @property
-    def size(self):
-        return self.args[1]
+    size = property(lambda self: self.args[1])
 
     def get_sources_and_requests(self, **request):
         size = self.size
@@ -294,13 +290,8 @@ class Smooth(BaseSingle):
                 raise TypeError("'{}' object is not allowed".format(type(x)))
         super().__init__(store, size, fill)
 
-    @property
-    def size(self):
-        return self.args[1]
-
-    @property
-    def fill(self):
-        return self.args[2]
+    size = property(lambda self: self.args[1])
+    fill = property(lambda self: self.args[2])
 
     def get_sources_and_requests(self, **request):
         if request["mode"] != "vals":
@@ -407,17 +398,9 @@ class HillShade(BaseSingle):
                 raise TypeError("'{}' object is not allowed".format(type(x)))
         super().__init__(store, float(altitude), float(azimuth), fill)
 
-    @property
-    def altitude(self):
-        return self.args[1]
-
-    @property
-    def azimuth(self):
-        return self.args[2]
-
-    @property
-    def fill(self):
-        return self.args[3]
+    altitude = property(lambda self: self.args[1])
+    azimuth = property(lambda self: self.args[2])
+    fill = property(lambda self: self.args[3])
 
     @property
     def dtype(self):
@@ -488,21 +471,10 @@ class Place(BaseSingle):
         check_statistic(statistic)
         super().__init__(store, place_projection, anchor, coordinates, statistic)
 
-    @property
-    def place_projection(self):
-        return self.args[1]
-
-    @property
-    def anchor(self):
-        return self.args[2]
-
-    @property
-    def coordinates(self):
-        return self.args[3]
-
-    @property
-    def statistic(self):
-        return self.args[4]
+    place_projection = property(lambda self: self.args[1])
+    anchor = property(lambda self: self.args[2])
+    coordinates = property(lambda self: self.args[3])
+    statistic = property(lambda self: self.args[4])
 
     @property
     def projection(self):

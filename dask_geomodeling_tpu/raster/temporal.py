@@ -93,13 +93,8 @@ class Snap(RasterBlock):
                 raise TypeError("'{}' object is not allowed".format(type(x)))
         super().__init__(store, index)
 
-    @property
-    def store(self):
-        return self.args[0]
-
-    @property
-    def index(self):
-        return self.args[1]
+    store = property(lambda self: self.args[0])
+    index = property(lambda self: self.args[1])
 
     def __len__(self):
         return len(self.index)
@@ -652,29 +647,16 @@ class TemporalAggregate(BaseSingle):
             raise ValueError("Unknown statistic '{}'".format(statistic))
         super().__init__(source, frequency, statistic, closed, label, timezone)
 
-    @property
-    def source(self):
-        return self.args[0]
+    source = property(lambda self: self.args[0])
 
     @property
     def frequency(self):
         return normalize_offset(self.args[1])
 
-    @property
-    def statistic(self):
-        return self.args[2]
-
-    @property
-    def closed(self):
-        return self.args[3]
-
-    @property
-    def label(self):
-        return self.args[4]
-
-    @property
-    def timezone(self):
-        return self.args[5]
+    statistic = property(lambda self: self.args[2])
+    closed = property(lambda self: self.args[3])
+    label = property(lambda self: self.args[4])
+    timezone = property(lambda self: self.args[5])
 
     @property
     def _snap_kwargs(self):
@@ -968,21 +950,14 @@ class Cumulative(BaseSingle):
             timezone = None
         super().__init__(source, statistic, frequency, timezone)
 
-    @property
-    def source(self):
-        return self.args[0]
-
-    @property
-    def statistic(self):
-        return self.args[1]
+    source = property(lambda self: self.args[0])
+    statistic = property(lambda self: self.args[1])
 
     @property
     def frequency(self):
         return normalize_offset(self.args[2])
 
-    @property
-    def timezone(self):
-        return self.args[3]
+    timezone = property(lambda self: self.args[3])
 
     @property
     def _snap_kwargs(self):
@@ -1101,21 +1076,14 @@ class Resample(BaseSingle):
             )
         super().__init__(source, frequency, direction, timezone)
 
-    @property
-    def source(self):
-        return self.args[0]
+    source = property(lambda self: self.args[0])
 
     @property
     def frequency(self):
         return normalize_offset(self.args[1])
 
-    @property
-    def direction(self):
-        return self.args[2]
-
-    @property
-    def timezone(self):
-        return self.args[3]
+    direction = property(lambda self: self.args[2])
+    timezone = property(lambda self: self.args[3])
 
     def _label_kwargs(self):
         return {"frequency": self.frequency, "timezone": self.timezone}
