@@ -461,3 +461,48 @@ class TestSerializationFuzz:
         via_wkb = from_wkb(_wkt.dumps_wkb(geom))
         assert via_wkb.geom_type == geom.geom_type
         assert via_wkb.equals(geom)
+
+
+class TestPredicateOverlayConsistency:
+    """Predicates must agree with the overlay engine: intersects iff the
+    intersection has positive area (for overlapping convex polygons), and
+    within implies the intersection equals the contained polygon."""
+
+    @pytest.mark.parametrize("seed", range(15))
+    def test_intersects_consistent_with_overlay(self, seed):
+        from dask_geomodeling_tpu.geo.geometry import _convex_hull
+
+        rng = np.random.RandomState(100 + seed)
+
+        def hull(cx, cy, r):
+            pts = np.column_stack(
+                [cx + (rng.rand(8) - 0.5) * 2 * r, cy + (rng.rand(8) - 0.5) * 2 * r]
+            )
+            return Polygon(_convex_hull(pts))
+
+        a = hull(0, 0, 10)
+        b = hull(rng.uniform(-15, 15), rng.uniform(-15, 15), 8)
+        inter = a.intersection(b)
+        if inter.area > 1e-9:
+            assert a.intersects(b)
+        if a.intersects(b) and not inter.is_empty:
+            # intersection is inside both inputs
+            assert inter.area <= a.area + 1e-9
+            assert inter.area <= b.area + 1e-9
+
+    @pytest.mark.parametrize("seed", range(10))
+    def test_within_implies_identity_intersection(self, seed):
+        from dask_geomodeling_tpu.geo.geometry import _convex_hull
+
+        rng = np.random.RandomState(200 + seed)
+        pts = np.column_stack([(rng.rand(8) - 0.5) * 20, (rng.rand(8) - 0.5) * 20])
+        outer = Polygon(_convex_hull(pts))
+        cx, cy = outer.centroid.coords0
+        inner = Polygon(
+            [(cx + (x - cx) * 0.3, cy + (y - cy) * 0.3)
+             for x, y in outer.exterior.coords[:-1]]
+        )
+        assert inner.within(outer)
+        assert outer.contains(inner)
+        assert inner.intersection(outer).area == pytest.approx(inner.area, rel=1e-9)
+        assert outer.union(inner).area == pytest.approx(outer.area, rel=1e-9)
