@@ -506,3 +506,30 @@ class TestPredicateOverlayConsistency:
         assert outer.contains(inner)
         assert inner.intersection(outer).area == pytest.approx(inner.area, rel=1e-9)
         assert outer.union(inner).area == pytest.approx(outer.area, rel=1e-9)
+
+
+class TestPointInPolygonOracle:
+    """contains() agrees with matplotlib.path (an independent even-odd
+    implementation) for random points strictly off the boundary."""
+
+    @pytest.mark.parametrize("seed", range(10))
+    def test_against_matplotlib(self, seed):
+        from matplotlib.path import Path
+
+        from dask_geomodeling_tpu.geo.geometry import _convex_hull
+
+        rng = np.random.RandomState(300 + seed)
+        pts = np.column_stack([(rng.rand(10) - 0.5) * 20, (rng.rand(10) - 0.5) * 20])
+        poly = Polygon(_convex_hull(pts))
+        ring = np.array(list(poly.exterior.coords))
+        oracle = Path(ring)
+
+        probes = (rng.rand(200, 2) - 0.5) * 24
+        for x, y in probes:
+            # skip probes within epsilon of any edge (convention differs)
+            d = poly.exterior.distance(Point(x, y))
+            if d < 1e-9:
+                continue
+            assert poly.contains_point(x, y) == bool(
+                oracle.contains_point((x, y))
+            ), (x, y)
