@@ -55,6 +55,29 @@ def _none_to_nan(series):
     return series
 
 
+def _require(condition, exc, message):
+    if not condition:
+        raise exc(message)
+
+
+def _typecheck(value, types):
+    if not isinstance(value, types):
+        raise TypeError("'{}' object is not allowed".format(type(value)))
+
+
+def _check_labels(labels, n_edges):
+    _require(
+        len(labels) in (n_edges - 1, n_edges + 1),
+        ValueError,
+        "Expected {} or {} labels, got {}".format(
+            n_edges - 1, n_edges + 1, len(labels)
+        ),
+    )
+    _require(
+        len(set(labels)) == len(labels), ValueError, "Labels should be unique"
+    )
+
+
 class Classify(BaseSingleSeries):
     """Classify a value column into bins.
 
@@ -67,25 +90,17 @@ class Classify(BaseSingleSeries):
     """
 
     def __init__(self, source, bins, labels, right=True):
-        if not isinstance(bins, list):
-            raise TypeError("'{}' object is not allowed".format(type(bins)))
-        if not isinstance(labels, list):
-            raise TypeError("'{}' object is not allowed".format(type(labels)))
-        if not isinstance(right, bool):
-            raise TypeError("'{}' object is not allowed".format(type(right)))
-        bins_arr = np.asarray(bins)
-        if bins_arr.ndim != 1:
-            raise TypeError("'bins' must be one-dimensional")
-        if (np.diff(bins) < 0).any():
-            raise ValueError("'bins' must increase monotonically.")
-        if len(labels) not in (len(bins) - 1, len(bins) + 1):
-            raise ValueError(
-                "Expected {} or {} labels, got {}".format(
-                    len(bins) - 1, len(bins) + 1, len(labels)
-                )
-            )
-        if len(set(labels)) != len(labels):
-            raise ValueError("Labels should be unique")
+        for arg, types in ((bins, list), (labels, list), (right, bool)):
+            _typecheck(arg, types)
+        _require(
+            np.asarray(bins).ndim == 1, TypeError,
+            "'bins' must be one-dimensional",
+        )
+        _require(
+            not (np.diff(bins) < 0).any(), ValueError,
+            "'bins' must increase monotonically.",
+        )
+        _check_labels(labels, len(bins))
         super().__init__(source, bins, labels, right)
 
     bins = property(lambda self: self.args[1])
@@ -115,27 +130,20 @@ class ClassifyFromColumns(SeriesBlock):
     columns (ordered low to high)."""
 
     def __init__(self, source, value_column, bin_columns, labels, right=True):
-        if not isinstance(source, GeometryBlock):
-            raise TypeError("'{}' object is not allowed".format(type(source)))
-        if not isinstance(value_column, str):
-            raise TypeError("'{}' object is not allowed".format(type(value_column)))
-        if not isinstance(bin_columns, list):
-            raise TypeError("'{}' object is not allowed".format(type(bin_columns)))
-        if not isinstance(labels, list):
-            raise TypeError("'{}' object is not allowed".format(type(labels)))
-        if not isinstance(right, bool):
-            raise TypeError("'{}' object is not allowed".format(type(right)))
+        for arg, types in (
+            (source, GeometryBlock),
+            (value_column, str),
+            (bin_columns, list),
+            (labels, list),
+            (right, bool),
+        ):
+            _typecheck(arg, types)
         missing_columns = (set(bin_columns) | {value_column}) - source.columns
-        if missing_columns:
-            raise KeyError("Columns '{}' are not present".format(missing_columns))
-        if len(labels) not in (len(bin_columns) - 1, len(bin_columns) + 1):
-            raise ValueError(
-                "Expected {} or {} labels, got {}".format(
-                    len(bin_columns) - 1, len(bin_columns) + 1, len(labels)
-                )
-            )
-        if len(set(labels)) != len(labels):
-            raise ValueError("Labels should be unique")
+        _require(
+            not missing_columns, KeyError,
+            "Columns '{}' are not present".format(missing_columns),
+        )
+        _check_labels(labels, len(bin_columns))
         super().__init__(source, value_column, bin_columns, labels, right)
 
     source = property(lambda self: self.args[0])
