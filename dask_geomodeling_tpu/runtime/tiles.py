@@ -76,6 +76,24 @@ def _get_tile_program(view, template_request):
     return program
 
 
+def _same_array(a, b):
+    """Equality with an identity fast path (source payloads are the same
+    ndarray object across per-tile graph builds, so big arrays never get
+    a full element-wise comparison)."""
+    return a is b or (
+        a.shape == b.shape and a.dtype == b.dtype and np.array_equal(a, b)
+    )
+
+
+def _collect_array_ids(obj, out):
+    def visit(leaf):
+        if isinstance(leaf, np.ndarray):
+            out.add(id(leaf))
+        return leaf
+
+    _ex._map_structure(visit, obj)
+
+
 class TileProgram:
     """A vmapped, jitted per-tile program for one view + tile shape."""
 
@@ -98,43 +116,75 @@ class TileProgram:
         self._compiled = None
         self._in_axes = None
         self._shared = None
+        self._literal_skeletons = None
 
     def _tile_inputs(self, view, request):
-        """The flat input array list the staged program would receive."""
+        """The flat input array list the staged program would receive,
+        plus which positions hold *request-derived traced inputs* (arrays
+        minted by ``_dynamicize`` from ``jax_dynamic`` literals — the bbox
+        and friends).  Those positions vary per tile by construction."""
         graph, name = view.get_compute_graph(**request)
         needed, deps = _ex._reachable(graph, name)
         order = _ex._toposort(needed, deps)
         all_arrays = []
+        dynamic_positions = set()
         program = self._program
         literal_skeletons = {}
         for key, tkey in zip(program.keys, order):
             value = graph[tkey]
             dynamic = getattr(value[0], "jax_dynamic", None)
-            literal_skeletons[key] = {
-                pos: program._split_with_offset(
+            skeletons = {}
+            for pos, arg in enumerate(value[1:]):
+                if isinstance(arg, str) and arg in graph:
+                    continue
+                start = len(all_arrays)
+                skeletons[pos] = program._split_with_offset(
                     _ex._dynamicize(arg, dynamic), all_arrays
                 )
-                for pos, arg in enumerate(value[1:])
-                if not (isinstance(arg, str) and arg in graph)
-            }
-        return all_arrays, literal_skeletons
+                if dynamic:
+                    # arrays present in `arg` itself pass through
+                    # _dynamicize untouched; new array objects were minted
+                    # from request-dependent literals
+                    original = set()
+                    _collect_array_ids(arg, original)
+                    for idx in range(start, len(all_arrays)):
+                        if id(all_arrays[idx]) not in original:
+                            dynamic_positions.add(idx)
+            literal_skeletons[key] = skeletons
+        return all_arrays, literal_skeletons, dynamic_positions
 
     def compile(self, view, requests):
-        """Trace + jit the vmapped program using the first two requests to
-        discover which inputs vary per tile."""
-        import jax
+        """Trace + jit the vmapped program.
 
-        arrays_0, literal_skeletons = self._tile_inputs(view, requests[0])
-        arrays_1, _ = self._tile_inputs(view, requests[min(1, len(requests) - 1)])
+        Which inputs vary per tile is decided by *provenance* — arrays
+        minted by ``_dynamicize`` (traced request fields like the bbox)
+        always get a batch axis — plus a sweep over ALL the given
+        requests' staged arrays.  ``stage_batch`` re-checks every later
+        batch and promotes (recompiles) rather than ever baking a wrong
+        shared constant.
+        """
+        arrays_0, literal_skeletons, dynamic_positions = self._tile_inputs(
+            view, requests[0]
+        )
+        later = [self._tile_inputs(view, r)[0] for r in requests[1:]]
 
         self._in_axes = []
         self._shared = []
-        for a0, a1 in zip(arrays_0, arrays_1):
-            varies = a0.shape != a1.shape or not np.array_equal(a0, a1)
+        for pos, a0 in enumerate(arrays_0):
+            varies = pos in dynamic_positions or any(
+                not _same_array(a0, arrays[pos]) for arrays in later
+            )
             self._in_axes.append(0 if varies else None)
             self._shared.append(None if varies else a0)
+        self._literal_skeletons = literal_skeletons
+        self._build()
+        return arrays_0
 
-        inner = self._program.build_runner({}, literal_skeletons)
+    def _build(self):
+        """(Re)jit the vmapped tile program for the current in_axes."""
+        import jax
+
+        inner = self._program.build_runner({}, self._literal_skeletons)
 
         def one_tile(*arrays):
             outputs = inner(*arrays)
@@ -147,14 +197,37 @@ class TileProgram:
             import jax.numpy as jnp
 
             self._compiled = jax.jit(lambda *a: jnp.stack([one_tile(*a)]))
-        return arrays_0
 
     def stage_batch(self, view, requests):
         """Host-side staging for one batch: the stacked per-tile input
-        arrays (pure CPU work — safe to run on a prefetch thread)."""
+        arrays (pure CPU work — safe to run on a prefetch thread).
+
+        Every position currently treated as a shared constant is verified
+        against this batch's actual per-tile arrays; a mismatch promotes
+        the position to a varying input and recompiles, so a literal that
+        happened to be equal on the compile batch can never silently
+        produce wrong pixels later."""
         if self._compiled is None:
             self.compile(view, requests)
         per_tile_arrays = [self._tile_inputs(view, r)[0] for r in requests]
+        promoted = []
+        for pos, axis in enumerate(self._in_axes):
+            if axis is not None:
+                continue
+            shared = self._shared[pos]
+            if not all(
+                _same_array(shared, arrays[pos]) for arrays in per_tile_arrays
+            ):
+                self._in_axes[pos] = 0
+                self._shared[pos] = None
+                promoted.append(pos)
+        if promoted:
+            logger.warning(
+                "tile inputs %s assumed shared turned out to vary; "
+                "promoting to batch inputs and recompiling",
+                promoted,
+            )
+            self._build()
         return [
             None
             if axis is None
