@@ -57,6 +57,9 @@ defaults = {
     "geomodeling.aggregate-device": False,
     # use the fused Pallas kernel for Gaussian smoothing on TPU
     "geomodeling.pallas-smooth": True,
+    # with the jax executor, route vals requests larger than one tile
+    # through the batched tile runtime (runtime/tiles.py) automatically
+    "geomodeling.auto-tile": True,
 }
 
 

@@ -62,6 +62,42 @@ class RasterBlock(Block):
 
     DEFAULT_ORIGIN = Datetime(1970, 1, 1, 0, 0)
 
+    def get_data(self, **request):
+        """Evaluate the request.
+
+        With the jax executor active, vals requests larger than one tile
+        automatically route through the batched tile runtime
+        (runtime/tiles.py): the whole view compiles to ONE vmapped XLA
+        program and B tiles ship per device dispatch.  Views containing
+        host-only nodes fall back to the staged executor transparently.
+        """
+        from dask_geomodeling_tpu.config import config
+
+        if (
+            request.get("mode") == "vals"
+            and config.get("geomodeling.executor", "numpy") == "jax"
+            and config.get("geomodeling.auto-tile", True)
+        ):
+            tile_size = config.get("geomodeling.tile-size", 512)
+            width = request.get("width") or 0
+            height = request.get("height") or 0
+            if max(width, height) > tile_size:
+                from dask_geomodeling_tpu.runtime.tiles import (
+                    NotLowerable,
+                    evaluate_tiled,
+                )
+
+                try:
+                    return evaluate_tiled(
+                        self,
+                        request,
+                        tile_size=tile_size,
+                        batch=config.get("geomodeling.tile-batch", 8),
+                    )
+                except NotLowerable:
+                    pass  # host nodes present: the staged executor handles it
+        return super().get_data(**request)
+
     def to_file(self, *args, **kwargs):
         """Export data from this block to a file on disk; see
         :func:`dask_geomodeling_tpu.raster.sinks.to_file`."""

@@ -279,15 +279,26 @@ class TileProgram:
 def evaluate_tiled(view, request, tile_size=512, batch=32):
     """Evaluate a big vals request as batched fixed-size tiles.
 
-    The request's width and height must be multiples of ``tile_size``.
+    Arbitrary width/height: every tile request is a full
+    ``tile_size``-square at the request's exact cell size — edge tiles
+    extend past the requested bbox (sources over-fetch; out-of-extent
+    pixels come back as fill) and the out-of-request margin is cropped on
+    assembly.  One compiled program therefore serves every tile,
+    including ragged edges, with semantics equal to the reference's
+    RasterTiler grid (reference raster/parallelize.py:93-125) for the
+    in-request pixels.
+
     Returns the assembled {"values", "no_data_value"} dict.
     """
+    if request.get("mode", "vals") != "vals":
+        raise ValueError("evaluate_tiled handles vals requests only")
     width, height = request["width"], request["height"]
-    if width % tile_size or height % tile_size:
-        raise ValueError("width/height must be multiples of tile_size")
+    if width <= 0 or height <= 0:
+        raise ValueError("width/height must be positive")
     x1, y1, x2, y2 = request["bbox"]
-    nx, ny = width // tile_size, height // tile_size
-    dx, dy = (x2 - x1) / nx, (y2 - y1) / ny
+    nx, ny = -(-width // tile_size), -(-height // tile_size)
+    cell_w, cell_h = (x2 - x1) / width, (y2 - y1) / height
+    dx, dy = cell_w * tile_size, cell_h * tile_size
 
     requests = []
     for j in range(ny):
@@ -381,12 +392,17 @@ def evaluate_tiled(view, request, tile_size=512, batch=32):
                 if idx >= len(requests):
                     break  # padding of the final batch
                 j, i = divmod(idx, nx)
-                # world y increases upward; array rows run downward
-                row0 = height - (j + 1) * tile_size
+                # valid (in-request) part of this tile; edge tiles overflow
+                # east/north of the bbox and get cropped here
+                vw = min(tile_size, width - i * tile_size)
+                vh = min(tile_size, height - j * tile_size)
+                # world y increases upward; array rows run downward — the
+                # valid rows are the BOTTOM vh rows of the tile array
+                row_end = height - j * tile_size
                 col0 = i * tile_size
-                out[
-                    :, row0 : row0 + tile_size, col0 : col0 + tile_size
-                ] = tile_result
+                out[:, row_end - vh : row_end, col0 : col0 + vw] = (
+                    tile_result[:, tile_size - vh :, :vw]
+                )
     if logger.isEnabledFor(logging.DEBUG):
         t_end = time.perf_counter()
         logger.debug(

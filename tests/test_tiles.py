@@ -89,10 +89,68 @@ def test_evaluate_tiled_matches_raster_tiler(source, request_64):
     np.testing.assert_array_equal(actual["values"], expected["values"])
 
 
-def test_evaluate_tiled_validates_size(source, request_64):
-    view = Add(source, 1)
+def test_evaluate_tiled_ragged_edges(source, request_64):
+    """Width/height not divisible by tile_size: edge tiles run as full
+    padded tiles and crop on assembly, matching the host path exactly."""
+    view = Reclassify(
+        Classify(Add(source, 1), bins=[50.0, 150.0]), data=[[1, 42]]
+    )
+    x1, y1, x2, y2 = request_64["bbox"]
+    request = dict(request_64, width=63, height=50, bbox=(x1, y1, x1 + 63, y1 + 50))
+    expected = view.get_data(**request)
+    actual = evaluate_tiled(view, request, tile_size=32, batch=3)
+    assert actual["values"].shape == expected["values"].shape
+    np.testing.assert_array_equal(actual["values"], expected["values"])
+
+
+def test_evaluate_tiled_rejects_non_vals(source, request_64):
     with pytest.raises(ValueError):
-        evaluate_tiled(view, dict(request_64, width=63), tile_size=32)
+        evaluate_tiled(Add(source, 1), dict(request_64, mode="time"))
+
+
+def test_get_data_auto_tiles(source, request_64, monkeypatch):
+    """With the jax executor, a vals request larger than one tile routes
+    through evaluate_tiled from plain get_data."""
+    from dask_geomodeling_tpu import config
+    from dask_geomodeling_tpu.runtime import tiles
+
+    view = Classify(Add(source, 1), bins=[50.0, 150.0])
+    expected = view.get_data(**request_64)
+
+    calls = []
+    real = tiles.evaluate_tiled
+
+    def spy(*args, **kwargs):
+        calls.append(kwargs.get("tile_size"))
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(tiles, "evaluate_tiled", spy)
+    with config.set(
+        {"geomodeling.executor": "jax", "geomodeling.tile-size": 32}
+    ):
+        actual = view.get_data(**request_64)
+    assert calls == [32]
+    np.testing.assert_array_equal(actual["values"], expected["values"])
+
+
+def test_get_data_auto_tile_falls_back_on_host_nodes(source, request_64):
+    """A view with host-only nodes still answers through the staged
+    executor when auto-tiling bails with NotLowerable."""
+    from dask_geomodeling_tpu import config
+    from dask_geomodeling_tpu.raster import Rasterize
+    from tests.factories import MockGeometry
+
+    geom = MockGeometry(
+        [[(135000, 455936), (135064, 455936), (135064, 456000), (135000, 456000)]],
+        projection="EPSG:28992",
+    )
+    view = Add(Rasterize(geom), 0)
+    expected = view.get_data(**request_64)
+    with config.set(
+        {"geomodeling.executor": "jax", "geomodeling.tile-size": 32}
+    ):
+        actual = view.get_data(**request_64)
+    np.testing.assert_array_equal(actual["values"], expected["values"])
 
 
 def test_not_lowerable(source, request_64):
