@@ -60,6 +60,9 @@ defaults = {
     # with the jax executor, route vals requests larger than one tile
     # through the batched tile runtime (runtime/tiles.py) automatically
     "geomodeling.auto-tile": True,
+    # pack small-range integer/boolean tile outputs to 2-8 pixels per
+    # byte before the device->host fetch (runtime/fetchcodec.py)
+    "geomodeling.fetch-pack": True,
 }
 
 

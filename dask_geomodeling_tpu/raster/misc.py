@@ -189,6 +189,15 @@ def _mask_jax(data, value):
 _mask_process.jax_impl = _mask_jax
 
 
+def _mask_out_range(data, value):
+    if isinstance(value, float):
+        return None  # float32 output: not packable
+    return (min(value, 1 if value == 0 else 0), max(value, 1 if value == 0 else 0))
+
+
+_mask_process.jax_out_range = _mask_out_range
+
+
 class Mask(BaseSingle):
     """Replace data values with a constant; nodata is preserved."""
 
@@ -277,6 +286,15 @@ def _step_jax(data, left, right, location, at):
 _step_process.jax_impl = _step_jax
 
 
+def _step_out_range(data, left, right, location, at):
+    if any(isinstance(x, float) for x in (left, right, at)):
+        return None
+    return (min(left, right, at), max(left, right, at))
+
+
+_step_process.jax_out_range = _step_out_range
+
+
 class Step(BaseSingle):
     """Three-way step function: left if x < value, at if x == value, right
     if x > value."""
@@ -323,6 +341,9 @@ def _classify_jax(data, bins, right):
 
 
 _classify_process.jax_impl = _classify_jax
+# every non-nodata output is a bin index in [0, len(bins)] — lets the
+# tile runtime pack the fetch (runtime/fetchcodec.py)
+_classify_process.jax_out_range = lambda data, bins, right: (0, len(bins))
 
 
 class Classify(BaseSingle):
@@ -426,6 +447,20 @@ def _reclassify_jax(store_data, process_kwargs):
 
 
 _reclassify_process.jax_impl = _reclassify_jax
+
+
+def _reclassify_out_range(store_data, process_kwargs):
+    # bounded only with select=True: otherwise unmapped source values
+    # pass through and the output range is the store's, unknown here
+    if not process_kwargs["select"]:
+        return None
+    targets = [t for _, t in process_kwargs["data"]]
+    if any(isinstance(t, float) and not float(t).is_integer() for t in targets):
+        return None
+    return (int(min(targets)), int(max(targets)))
+
+
+_reclassify_process.jax_out_range = _reclassify_out_range
 
 
 class Reclassify(BaseSingle):

@@ -1,0 +1,132 @@
+"""Packed device→host fetch for small-range integer outputs.
+
+The tunneled TPU's device→host link (~7-45 MB/s) is the binding
+constraint of the tile runtime: ~98% of a big classified-map request is
+spent fetching result bytes.  Classified/boolean outputs carry only a
+handful of distinct values, so shipping one byte per pixel wastes most
+of the wire.
+
+This codec packs G pixels into one byte on device (base-S positional
+encoding, fused by XLA into the tile program's final elementwise pass)
+and unpacks on host with vectorized numpy.  It is *lossless by
+construction*: a block's ``process`` may declare
+
+    process.jax_out_range = lambda *literal_args: (lo, hi)  # or None
+
+guaranteeing every non-nodata output value lies in [lo, hi] (literal
+args follow the ``jax_capable`` convention: graph-key args arrive as
+None).  With S = range size (+1 for an out-of-range nodata code) and
+G = floor(log_S 256):
+
+    S <= 2  (boolean masks)   -> 8 px/byte
+    S <= 4                    -> 4 px/byte
+    S <= 6                    -> 3 px/byte
+    S <= 16                   -> 2 px/byte
+
+The reference has no analog — it ships raw float64 numpy arrays between
+dask workers (reference core/graphs.py:42-49); this is TPU-tunnel
+engineering, gated by ``geomodeling.fetch-pack`` (default on).
+"""
+import numpy as np
+
+__all__ = ["FetchCodec", "derive_codec"]
+
+
+class FetchCodec:
+    """Base-S pixel packer: ``encode`` runs inside the traced tile
+    program, ``decode`` reverses it on host, bit-exactly."""
+
+    def __init__(self, lo, fill, fill_code, symbols, group, dtype):
+        self.lo = int(lo)
+        self.fill = fill
+        self.fill_code = fill_code  # None when fill is inside [lo, hi]
+        self.symbols = int(symbols)
+        self.group = int(group)
+        self.dtype = np.dtype(dtype)
+
+    def __repr__(self):
+        return "FetchCodec(S=%d, %d px/byte, dtype=%s)" % (
+            self.symbols,
+            self.group,
+            self.dtype,
+        )
+
+    def encode(self, values):
+        """(bands, h, w) traced array -> (bands, ceil(h*w/G)) uint8."""
+        import jax.numpy as jnp
+
+        bands = values.shape[0]
+        flat = values.reshape(bands, -1).astype(jnp.int32)
+        if self.fill_code is not None:
+            flat = jnp.where(
+                values.reshape(bands, -1) == self.fill,
+                self.fill_code,
+                flat - self.lo,
+            )
+        else:
+            flat = flat - self.lo
+        pad = (-flat.shape[1]) % self.group
+        if pad:
+            flat = jnp.pad(flat, ((0, 0), (0, pad)))
+        groups = flat.reshape(bands, -1, self.group)
+        weights = np.array(
+            [self.symbols ** (self.group - 1 - k) for k in range(self.group)],
+            np.int32,
+        )
+        return jnp.sum(groups * weights, axis=-1).astype(jnp.uint8)
+
+    def decode(self, packed, height, width):
+        """(B, bands, m) uint8 -> (B, bands, height, width) self.dtype."""
+        packed = np.asarray(packed)
+        n_batch, bands, m = packed.shape
+        x = packed.astype(np.int32)
+        codes = np.empty((n_batch, bands, m, self.group), np.int32)
+        for k in range(self.group - 1, -1, -1):
+            codes[..., k] = x % self.symbols
+            x //= self.symbols
+        codes = codes.reshape(n_batch, bands, m * self.group)[
+            :, :, : height * width
+        ]
+        values = (codes + self.lo).astype(self.dtype)
+        if self.fill_code is not None:
+            values[codes == self.fill_code] = self.fill
+        return values.reshape(n_batch, bands, height, width)
+
+
+def derive_codec(dtype, fillvalue, root_func, root_literals):
+    """A FetchCodec for a tile program's root node, or None.
+
+    ``dtype``/``fillvalue`` describe the view's output; ``root_func`` is
+    the root node's process function and ``root_literals`` its literal
+    args (graph-key args as None), matching the ``jax_capable`` calling
+    convention.
+    """
+    dtype = np.dtype(dtype)
+    if dtype == bool:
+        lo, hi, fill = 0, 1, None
+    elif np.issubdtype(dtype, np.integer):
+        out_range = getattr(root_func, "jax_out_range", None)
+        if out_range is None:
+            return None
+        bounds = out_range(*root_literals)
+        if bounds is None:
+            return None
+        lo, hi = int(bounds[0]), int(bounds[1])
+        fill = fillvalue
+    else:
+        return None
+
+    if fill is None or lo <= fill <= hi:
+        symbols = max(hi - lo + 1, 2)
+        fill_code = None
+    else:
+        symbols = hi - lo + 2
+        fill_code = symbols - 1
+    if symbols > 16:
+        return None
+    group = 1
+    while symbols ** (group + 1) <= 256:
+        group += 1
+    if group < 2:
+        return None
+    return FetchCodec(lo, fill, fill_code, symbols, group, dtype)

@@ -117,6 +117,26 @@ class TileProgram:
         self._in_axes = None
         self._shared = None
         self._literal_skeletons = None
+        self._tile_shape = (template_request["height"], template_request["width"])
+
+        # packed fetch: small-range outputs ship G pixels per byte over
+        # the (bandwidth-bound) device->host link; see runtime/fetchcodec
+        from dask_geomodeling_tpu import config
+        from dask_geomodeling_tpu.runtime.fetchcodec import derive_codec
+
+        self.codec = None
+        if config.get("geomodeling.fetch-pack", True):
+            root = graph[name]
+            literals = [
+                None if (isinstance(arg, str) and arg in graph) else arg
+                for arg in root[1:]
+            ]
+            try:
+                self.codec = derive_codec(
+                    view.dtype, view.fillvalue, root[0], literals
+                )
+            except Exception:
+                logger.warning("fetch codec derivation failed", exc_info=True)
 
     def _tile_inputs(self, view, request):
         """The flat input array list the staged program would receive,
@@ -185,10 +205,14 @@ class TileProgram:
         import jax
 
         inner = self._program.build_runner({}, self._literal_skeletons)
+        codec = self.codec
 
         def one_tile(*arrays):
             outputs = inner(*arrays)
-            return outputs[-1]["values"]  # the root node's pixel payload
+            values = outputs[-1]["values"]  # the root node's pixel payload
+            if codec is not None:
+                values = codec.encode(values)
+            return values
 
         if any(axis == 0 for axis in self._in_axes):
             self._compiled = jax.jit(jax.vmap(one_tile, in_axes=self._in_axes))
@@ -271,9 +295,18 @@ class TileProgram:
             self.stage_batch(view, requests), len(requests)
         )
 
+    def fetch(self, device_result):
+        """Materialize a dispatched batch on host, unpacking the fetch
+        codec when one is active; returns (B, bands, h, w)."""
+        result = np.asarray(device_result)
+        if self.codec is not None:
+            height, width = self._tile_shape
+            result = self.codec.decode(result, height, width)
+        return result
+
     def run_batch(self, view, requests):
         """Evaluate a batch of tile requests; returns (B, bands, h, w)."""
-        return np.asarray(self.dispatch_batch(view, requests))
+        return self.fetch(self.dispatch_batch(view, requests))
 
 
 def evaluate_tiled(view, request, tile_size=512, batch=32):
@@ -380,7 +413,7 @@ def evaluate_tiled(view, request, tile_size=512, batch=32):
     with _span("fetch+assemble[%d tiles]" % len(requests), "tiles"):
         for lo, device_result in pending:
             t_batch = time.perf_counter()
-            result = np.asarray(device_result)
+            result = program.fetch(device_result)
             _profile.record(
                 "tile_batch", "tiles", time.perf_counter() - t_batch, t_batch
             )

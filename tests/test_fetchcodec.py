@@ -1,0 +1,143 @@
+"""Packed device->host fetch: lossless by construction, bit-exact with
+the unpacked path and the host executor."""
+from datetime import datetime, timedelta
+
+import numpy as np
+import pytest
+
+from dask_geomodeling_tpu import config
+from dask_geomodeling_tpu.raster import (
+    Add,
+    Classify,
+    MemorySource,
+    Reclassify,
+    Step,
+)
+from dask_geomodeling_tpu.runtime.fetchcodec import FetchCodec, derive_codec
+from dask_geomodeling_tpu.runtime.tiles import _get_tile_program, evaluate_tiled
+
+
+@pytest.fixture(scope="module")
+def source():
+    rng = np.random.RandomState(7)
+    data = (rng.rand(1, 64, 64) * 250).astype(np.float32)
+    data[0, :8, :8] = np.float32(np.finfo(np.float32).max)  # nodata patch
+    return MemorySource(
+        data=data,
+        no_data_value=float(np.finfo(np.float32).max),
+        projection="EPSG:28992",
+        pixel_size=1.0,
+        pixel_origin=(135000, 456000),
+        time_first=datetime(2000, 1, 1),
+        time_delta=timedelta(hours=1),
+    )
+
+
+@pytest.fixture
+def request_64():
+    return dict(
+        mode="vals",
+        bbox=(135000, 455936, 135064, 456000),
+        projection="EPSG:28992",
+        width=64,
+        height=64,
+        start=datetime(2000, 1, 1),
+    )
+
+
+@pytest.mark.parametrize(
+    "lo,hi,fill,dtype,shape",
+    [
+        (0, 4, 255, "uint8", (1, 13, 17)),  # classify-style, S=6 -> 3 px/B
+        (0, 1, None, "bool", (2, 9, 31)),  # boolean mask, S=2 -> 8 px/B
+        (-3, 2, 127, "int8", (1, 16, 16)),  # negative lo, S=7 -> 2 px/B
+        (0, 1, 0, "uint8", (3, 5, 5)),  # fill inside range: no extra code
+        (0, 14, 255, "int64", (1, 32, 32)),  # S=16 boundary -> 2 px/B
+    ],
+)
+def test_codec_roundtrip(lo, hi, fill, dtype, shape):
+    import jax
+
+    rng = np.random.RandomState(42)
+    values = rng.randint(lo, hi + 1, size=shape).astype(dtype)
+    if fill is not None:
+        mask = rng.rand(*shape) < 0.3
+        values[mask] = fill
+
+    codec = derive_codec(dtype, fill, None, None) if dtype == "bool" else None
+    if codec is None:
+        func = lambda *a: (lo, hi)
+        func.jax_out_range = func
+        codec = derive_codec(dtype, fill, func, [])
+    assert codec is not None
+    packed = np.asarray(jax.jit(codec.encode)(values))
+    assert packed.dtype == np.uint8
+    assert packed.shape[1] <= -(-shape[1] * shape[2] // 2)  # >= 2 px/byte
+    decoded = codec.decode(packed[None], shape[1], shape[2])[0]
+    assert decoded.dtype == np.dtype(dtype)
+    np.testing.assert_array_equal(decoded, values)
+
+
+def test_derive_codec_rejects():
+    assert derive_codec("float32", np.nan, None, None) is None
+
+    def wide(*a):
+        return (0, 100)
+
+    wide.jax_out_range = wide
+    assert derive_codec("uint8", 255, wide, []) is None
+
+    from dask_geomodeling_tpu.raster.misc import _reclassify_process
+
+    out_range = _reclassify_process.jax_out_range
+    assert out_range(None, {"select": False, "data": [[1, 2]]}) is None
+    assert out_range(None, {"select": True, "data": [[1, 2], [3, 9]]}) == (2, 9)
+
+
+def _tiled(view, request, **kw):
+    return evaluate_tiled(view, request, tile_size=32, batch=2, **kw)
+
+
+def test_classify_packed_equals_host(source, request_64):
+    view = Classify(Add(source, 1), bins=[50.0, 100.0, 150.0, 200.0])
+    expected = view.get_data(**request_64)
+    with config.set({"geomodeling.fetch-pack": True}):
+        packed = _tiled(view, request_64)
+        program = _get_tile_program(view, dict(request_64, width=32, height=32))
+        assert program.codec is not None and program.codec.group == 3
+    with config.set({"geomodeling.fetch-pack": False}):
+        unpacked = _tiled(view, request_64)
+    np.testing.assert_array_equal(packed["values"], expected["values"])
+    np.testing.assert_array_equal(unpacked["values"], expected["values"])
+    assert packed["values"].dtype == expected["values"].dtype
+
+
+def test_boolean_packed_equals_host(source, request_64):
+    view = Add(source, 0) > 125.0
+    assert view.dtype == np.dtype(bool)
+    expected = view.get_data(**request_64)
+    with config.set({"geomodeling.fetch-pack": True}):
+        packed = _tiled(view, request_64)
+        program = _get_tile_program(view, dict(request_64, width=32, height=32))
+        assert program.codec is not None and program.codec.group == 8
+    np.testing.assert_array_equal(packed["values"], expected["values"])
+
+
+def test_reclassify_select_packed_equals_host(source, request_64):
+    view = Reclassify(
+        Classify(Add(source, 1), bins=[50.0, 150.0]),
+        data=[[0, -2], [1, 5], [2, 3]],
+        select=True,
+    )
+    expected = view.get_data(**request_64)
+    with config.set({"geomodeling.fetch-pack": True}):
+        packed = _tiled(view, request_64)
+    np.testing.assert_array_equal(packed["values"], expected["values"])
+
+
+def test_step_packed_equals_host(source, request_64):
+    view = Step(Add(source, 1), left=0, right=2, value=125.0, at=1)
+    expected = view.get_data(**request_64)
+    with config.set({"geomodeling.fetch-pack": True}):
+        packed = _tiled(view, request_64)
+    np.testing.assert_array_equal(packed["values"], expected["values"])
