@@ -143,19 +143,28 @@ def main():
     base_elapsed = run_numpy(view, requests[:n_base]) * (len(requests) / n_base)
     baseline = total_mpx / base_elapsed
 
+    telemetry = {}
     try:
         # warmup with the REAL request shape (jit compile of the batched
         # program + source HBM upload + tunnel initialization), then time
-        # several steady-state runs, keeping the best (tunneled fetch
-        # rates swing up to 3x with time of day)
+        # several steady-state runs; the number of record is the MEDIAN
+        # (tunneled fetch rates swing up to 3x with time of day — the
+        # min/max spread and a raw fetch-bandwidth probe ship as telemetry
+        # so regressions separate from tunnel weather)
         evaluate_tiled(view, request, tile_size=tile, batch=64)
-        jax_elapsed = float("inf")
+        runs = []
         for _ in range(3):
             t0 = time.perf_counter()
             result = evaluate_tiled(view, request, tile_size=tile, batch=64)
-            jax_elapsed = min(jax_elapsed, time.perf_counter() - t0)
+            runs.append(time.perf_counter() - t0)
         assert result["values"].shape[-1] == out_px
-        value = total_mpx / jax_elapsed
+        runs.sort()
+        value = total_mpx / runs[len(runs) // 2]
+        telemetry = {
+            "mpx_per_sec_min": round(total_mpx / runs[-1], 2),
+            "mpx_per_sec_max": round(total_mpx / runs[0], 2),
+            "tunnel_fetch_mb_per_sec": round(measure_fetch_bandwidth(), 2),
+        }
     except Exception as e:
         # never leave the driver without a data point: report the host path
         print("# jax path failed: %r" % e, file=sys.stderr)
@@ -167,9 +176,22 @@ def main():
                 "value": round(value, 2),
                 "unit": "megapixel/s",
                 "vs_baseline": round(value / baseline, 2),
+                **telemetry,
             }
         )
     )
+
+
+def measure_fetch_bandwidth(nbytes=4 * 1024 * 1024):
+    """Raw device->host tunnel bandwidth (MB/s) via a dummy fetch."""
+    import jax
+    import jax.numpy as jnp
+
+    buf = jax.jit(lambda: jnp.arange(nbytes, dtype=jnp.uint8))()
+    buf.block_until_ready()
+    t0 = time.perf_counter()
+    np.asarray(buf)
+    return nbytes / (time.perf_counter() - t0) / 1e6
 
 
 if __name__ == "__main__":
