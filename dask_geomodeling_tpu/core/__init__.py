@@ -8,6 +8,7 @@ from dask_geomodeling_tpu.core.scheduler import (  # noqa
 from dask_geomodeling_tpu.core.graphs import (  # noqa
     Block,
     DummyBlock,
+    arg,
     compute,
     construct,
     construct_multiple,

@@ -23,7 +23,32 @@ from dask_geomodeling_tpu.core.tokens import tokenize
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["construct", "construct_multiple", "compute", "Block", "DummyBlock"]
+__all__ = [
+    "construct",
+    "construct_multiple",
+    "compute",
+    "arg",
+    "Block",
+    "DummyBlock",
+]
+
+
+def arg(index, doc=None):
+    """Declarative accessor binding a Block attribute to a constructor
+    argument: ``pixel_size = arg(4, "aggregation cell size")``.
+
+    Blocks store their (validated) constructor arguments immutably in
+    ``self.args``; most public attributes are direct views onto one slot.
+    Declaring them with ``arg`` keeps the slot layout visible at class
+    level instead of scattering boilerplate property bodies.
+    """
+
+    def fget(self):
+        return self.args[index]
+
+    if doc:
+        fget.__doc__ = doc
+    return property(fget)
 
 
 def _construct_exc_callback(e, dumps):

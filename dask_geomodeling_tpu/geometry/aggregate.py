@@ -1,17 +1,19 @@
 """Zonal statistics: AggregateRaster and AggregateRasterAboveThreshold.
 
-Semantics match the reference (dask_geomodeling/geometry/aggregate.py):
-the source extent is pre-flighted to build the raster request; the pixel
-budget is enforced (with optional automatic coarsening by integer factors);
-the grid snaps to (0, 0); features are rasterized in disjoint buckets
-(level+cells hashing) so overlapping features don't clobber each other's
-labels; per-frame labeled statistics run over the label raster; features
-covering no cell centers fall back to centroid point sampling; extensive
-statistics are rescaled by the coarsening factor squared.
+Behavioral parity with the reference blocks of the same names
+(dask_geomodeling/geometry/aggregate.py): a pre-flight extent request
+scopes the raster read; a pixel budget is enforced (optionally coarsening
+the cell by an integer factor); the aggregation grid snaps to (0, 0);
+features rasterize in mutually disjoint groups so overlapping features
+don't clobber each other's labels; features covering no cell center fall
+back to centroid sampling; extensive statistics (sum/count) rescale by
+the squared coarsening factor.
 
-The per-frame labeled statistics are scipy.ndimage on host; on the TPU
-executor the same segment reductions are planned as device kernels
-(segment-sum over flattened labels), tracked in ops/.
+The planning and data paths are this framework's own: grid planning is a
+standalone :func:`plan_aggregation_grid`, disjoint grouping a single-pass
+shelf packer (:func:`bucketize`), and the per-frame labeled statistics
+can run as device segment reductions (ops/segment.py) when
+``geomodeling.aggregate-device`` is set.
 """
 from collections import defaultdict
 from functools import partial
@@ -22,6 +24,7 @@ from scipy import ndimage
 
 from dask_geomodeling_tpu import utils
 from dask_geomodeling_tpu.config import config
+from dask_geomodeling_tpu.core import arg
 from dask_geomodeling_tpu.geo import measurements
 from dask_geomodeling_tpu.geo.features import GeoDataFrame
 from dask_geomodeling_tpu.geometry.base import GeometryBlock
@@ -29,63 +32,106 @@ from dask_geomodeling_tpu.raster import RasterBlock
 
 __all__ = ["AggregateRaster", "AggregateRasterAboveThreshold", "bucketize"]
 
+# per-statistic host reducer + whether the result scales with cell area
+STATISTIC_REGISTRY = {
+    "sum": (ndimage.sum, True),
+    "count": (ndimage.sum, True),
+    "min": (ndimage.minimum, False),
+    "max": (ndimage.maximum, False),
+    "mean": (ndimage.mean, False),
+    "median": (ndimage.median, False),
+    "percentile": (measurements.percentile, False),
+}
 
-class Bucket:
-    """Track features in a sparse grid spanning at most 4 cells each."""
-
-    def __init__(self):
-        self.cells = set()
-        self.indices = []
-
-    def __contains__(self, cells):
-        return bool(self.cells & cells)
-
-    def add(self, index, cells):
-        self.indices.append(index)
-        self.cells.update(cells)
+DEVICE_STATISTICS = {"sum", "count", "mean", "min", "max", "median", "percentile"}
 
 
-def calculate_level_and_cells(bbox):
-    """Return (level, cells): the power-of-two grid level sized to the bbox
-    and the (at most 4) occupied cell indices at that level."""
+def _footprint(bbox):
+    """(level, cells): the power-of-two shelf a bbox belongs to and the
+    <=4 grid cells it may touch at that shelf's cell size."""
     x1, y1, x2, y2 = bbox
     level = -ceil(log(max(x2 - x1, y2 - y1), 2))
-
-    width = 0.5**level
-    height = 0.5**level
-
-    j1 = floor(x1 / width)
-    j2 = floor(x2 / width)
-    i1 = floor(y1 / height)
-    i2 = floor(y2 / height)
-
-    return level, {(i1, j1), (i1, j2), (i2, j1), (i2, j2)}
+    span = 0.5**level
+    columns = {floor(x1 / span), floor(x2 / span)}
+    rows = {floor(y1 / span), floor(y2 / span)}
+    return level, {(r, c) for r in rows for c in columns}
 
 
 def bucketize(bboxes):
-    """Partition bbox indices into lists of mutually disjoint bboxes.
+    """Partition bbox indices into groups of mutually disjoint bboxes.
 
-    Favors speed over minimal bucket count: cell-set intersection instead
-    of exact bbox intersection tests."""
-    bucket_dict = defaultdict(list)
-
+    Single-pass first-fit shelf packing: features are shelved by
+    power-of-two size level; within a shelf, a feature joins the first
+    group whose occupied grid cells it does not touch.  Conservative (cell
+    contact counts as overlap) and fast (no pairwise bbox intersections).
+    """
+    shelves = defaultdict(list)  # level -> [(occupied_cells, indices), ...]
     for index, bbox in enumerate(bboxes):
-        level, cells = calculate_level_and_cells(bbox)
-        bucket_list = bucket_dict[level]
-        for bucket in bucket_list:
-            if cells in bucket:
-                continue
-            break
+        level, cells = _footprint(bbox)
+        for occupied, members in shelves[level]:
+            if occupied.isdisjoint(cells):
+                occupied |= cells
+                members.append(index)
+                break
         else:
-            bucket = Bucket()
-            bucket_list.append(bucket)
-        bucket.add(index=index, cells=cells)
+            shelves[level].append((set(cells), [index]))
+    return [members for shelf in shelves.values() for _, members in shelf]
 
-    return [
-        bucket.indices
-        for bucket_list in bucket_dict.values()
-        for bucket in bucket_list
-    ]
+
+def plan_aggregation_grid(bbox, cell, budget, allow_coarsen):
+    """Fit a (0, 0)-anchored pixel grid of size ``cell`` over ``bbox``.
+
+    When the grid would exceed ``budget`` pixels, the cell coarsens by the
+    smallest sufficient integer factor (``allow_coarsen``) or the request
+    is refused.  Returns ``(actual_cell, snapped_bbox, width, height)``.
+    """
+    x1, y1, x2, y2 = bbox
+    demand = int((x2 - x1) * (y2 - y1) / cell**2)
+    if demand > budget:
+        if not allow_coarsen:
+            raise RuntimeError(
+                "The required raster size for the aggregation exceeded "
+                "the maximum ({} > {})".format(demand, budget)
+            )
+        cell *= ceil(sqrt(demand / budget))
+    snapped = (
+        floor(x1 / cell) * cell,
+        floor(y1 / cell) * cell,
+        ceil(x2 / cell) * cell,
+        ceil(y2 / cell) * cell,
+    )
+    width = max(int((snapped[2] - snapped[0]) / cell), 1)
+    height = max(int((snapped[3] - snapped[1]) / cell), 1)
+    return cell, snapped, width, height
+
+
+def _masked_frame(frame, no_data_value, labels, label_fill, thresholds):
+    """Boolean mask of cells participating in this frame's statistics."""
+    active = frame != no_data_value
+    if thresholds is not None:
+        valid = ~np.isnan(thresholds)
+        active[~valid] = False
+        active[valid] &= frame[valid] >= thresholds[valid]
+    active &= labels != label_fill
+    return active
+
+
+def _device_frame_statistic(frame, labels, active, n, statistic, percentile):
+    """Per-label statistics via device segment reductions; NaN where a
+    label received no cells."""
+    from dask_geomodeling_tpu.ops.segment import (
+        labeled_percentile_jax,
+        labeled_statistic_jax,
+    )
+
+    if statistic in ("median", "percentile"):
+        q = 50.0 if statistic == "median" else percentile
+        return np.asarray(labeled_percentile_jax(frame, labels, active, n, q))
+    return np.asarray(
+        labeled_statistic_jax(
+            frame, np.where(active, labels, 0), active, n, statistic
+        )
+    )
 
 
 def aggregate_polygons(
@@ -102,120 +148,90 @@ def aggregate_polygons(
 
     Returns (agg array of shape (t, n_geometries), indices covering no cell).
     """
-    agg_func = AggregateRaster.STATISTICS[statistic]["func"]
+    reducer = STATISTIC_REGISTRY[statistic][0]
     if statistic == "percentile":
-        agg_func = partial(agg_func, qval=percentile)
-
+        reducer = partial(reducer, qval=percentile)
     if threshold_values is not None:
-        threshold_values = np.concatenate(
-            [threshold_values, np.array([np.nan], dtype=threshold_values.dtype)]
+        # appending NaN lets np.take(..., mode="clip") mark unlabeled cells
+        threshold_values = np.append(threshold_values, np.nan).astype(
+            threshold_values.dtype
         )
-    depth, height, width = values.shape
-    geometries_no_cells = set()
 
-    agg = np.full((depth, len(geometries)), np.nan, dtype="f4")
-    for select in bucketize(geometries.bounds.values):
-        rasterize_result = utils.rasterize_geoseries(
-            geometries.iloc[select],
+    depth, height, width = values.shape
+    n = len(geometries)
+    uncovered = set()
+    agg = np.full((depth, n), np.nan, dtype="f4")
+
+    device_capable = (
+        config.get("geomodeling.aggregate-device", False)
+        and statistic in DEVICE_STATISTICS
+    )
+
+    for group in bucketize(geometries.bounds.values):
+        burned = utils.rasterize_geoseries(
+            geometries.iloc[group],
             agg_bbox,
             agg_srs,
             height,
             width,
-            values=np.asarray(select, dtype=np.int32),
+            values=np.asarray(group, dtype=np.int32),
         )
-        labels = rasterize_result["values"][0]
-        unique_labels = set(
-            np.unique(labels[labels != rasterize_result["no_data_value"]]).tolist()
-        )
-        geometries_no_cells |= set(select) - unique_labels
-        if not unique_labels:
+        labels = burned["values"][0]
+        label_fill = burned["no_data_value"]
+        covered = set(np.unique(labels[labels != label_fill]).tolist())
+        uncovered |= set(group) - covered
+        if not covered:
             continue
 
-        if threshold_values is not None:
-            # mode="clip" maps unlabeled cells onto the appended NaN
-            thresholds = np.take(threshold_values, labels, mode="clip")
-        else:
-            thresholds = None
-
-        use_device = config.get("geomodeling.aggregate-device", False) and (
-            statistic in ("sum", "count", "mean", "min", "max", "median",
-                          "percentile")
+        thresholds = (
+            np.take(threshold_values, labels, mode="clip")
+            if threshold_values is not None
+            else None
         )
-        for frame_no, frame in enumerate(values):
-            active = frame != no_data_value
-            if threshold_values is not None:
-                valid = ~np.isnan(thresholds)
-                active[~valid] = False
-                active[valid] &= frame[valid] >= thresholds[valid]
-            # only labeled cells participate
-            active &= labels != rasterize_result["no_data_value"]
 
+        for frame_no, frame in enumerate(values):
+            active = _masked_frame(
+                frame, no_data_value, labels, label_fill, thresholds
+            )
             if not active.any():
                 continue
 
-            if use_device:
-                from dask_geomodeling_tpu.ops.segment import (
-                    labeled_percentile_jax,
-                    labeled_statistic_jax,
+            if device_capable:
+                per_label = _device_frame_statistic(
+                    frame, labels, active, n, statistic, percentile
                 )
-
-                if statistic in ("median", "percentile"):
-                    q = 50.0 if statistic == "median" else percentile
-                    per_label = np.asarray(
-                        labeled_percentile_jax(
-                            frame, labels, active, len(geometries), q
-                        )
-                    )
-                else:
-                    per_label = np.asarray(
-                        labeled_statistic_jax(
-                            frame,
-                            np.where(active, labels, 0),
-                            active,
-                            len(geometries),
-                            statistic,
-                        )
-                    )
                 found = ~np.isnan(per_label)
-                idx = [i for i in select if found[i]]
-                agg[frame_no][idx] = per_label[idx]
+                hit = [i for i in group if found[i]]
+                agg[frame_no][hit] = per_label[hit]
                 continue
 
             active_labels = labels[active]
-            select_and_active = list(set(np.unique(active_labels)) & set(select))
-            if not select_and_active:
-                continue
-
-            agg[frame_no][select_and_active] = agg_func(
-                1 if statistic == "count" else frame[active],
-                labels=active_labels,
-                index=select_and_active,
-            )
-    return agg, list(geometries_no_cells)
+            hit = list(set(np.unique(active_labels)) & set(group))
+            if hit:
+                agg[frame_no][hit] = reducer(
+                    1 if statistic == "count" else frame[active],
+                    labels=active_labels,
+                    index=hit,
+                )
+    return agg, list(uncovered)
 
 
-def aggregate_points(points, values, no_data_value, agg_bbox, threshold_values, statistic):
+def aggregate_points(
+    points, values, no_data_value, agg_bbox, threshold_values, statistic
+):
     """Aggregate by sampling the raster at point coordinates."""
     _, height, width = values.shape
     gt = utils.GeoTransform.from_bbox(agg_bbox, height, width)
     i_y, i_x = gt.get_indices(np.array([points.x.values, points.y.values]).T)
-    point_values = values[
-        :, np.clip(i_y, 0, height - 1), np.clip(i_x, 0, width - 1)
-    ]
+    sampled = values[:, np.clip(i_y, 0, height - 1), np.clip(i_x, 0, width - 1)]
 
-    active = point_values != no_data_value
+    active = sampled != no_data_value
     if threshold_values is not None:
-        threshold_values = threshold_values[np.newaxis, :]
-        valid = ~np.isnan(threshold_values)
-        active[~valid.repeat(len(active), axis=0)] = False
-        active[valid.repeat(len(active), axis=0)] &= (
-            point_values[valid.repeat(len(active), axis=0)]
-            >= np.broadcast_to(threshold_values, point_values.shape)[
-                valid.repeat(len(active), axis=0)
-            ]
-        )
+        per_point = np.broadcast_to(threshold_values[np.newaxis, :], sampled.shape)
+        with np.errstate(invalid="ignore"):
+            active &= ~np.isnan(per_point) & (sampled >= per_point)
 
-    agg = point_values.astype("f4")
+    agg = sampled.astype("f4")
     agg[~active] = np.nan
     if statistic == "count":
         agg[active] = 1.0
@@ -236,14 +252,10 @@ class AggregateRaster(GeometryBlock):
       auto_pixel_size (bool): coarsen automatically when over budget
     """
 
+    # kept for API parity with the reference's class attribute
     STATISTICS = {
-        "sum": {"func": ndimage.sum, "extensive": True},
-        "count": {"func": ndimage.sum, "extensive": True},
-        "min": {"func": ndimage.minimum, "extensive": False},
-        "max": {"func": ndimage.maximum, "extensive": False},
-        "mean": {"func": ndimage.mean, "extensive": False},
-        "median": {"func": ndimage.median, "extensive": False},
-        "percentile": {"func": measurements.percentile, "extensive": False},
+        name: {"func": func, "extensive": extensive}
+        for name, (func, extensive) in STATISTIC_REGISTRY.items()
     }
 
     def __init__(
@@ -267,31 +279,22 @@ class AggregateRaster(GeometryBlock):
         statistic, percentile = utils.parse_percentile_statistic(statistic.lower())
         if percentile:
             statistic = "p{0}".format(percentile)
-        elif statistic not in self.STATISTICS or statistic == "percentile":
+        elif statistic not in STATISTIC_REGISTRY or statistic == "percentile":
             raise ValueError("Unknown statistic '{}'".format(statistic))
 
         if projection is None:
             projection = raster.projection
         if not isinstance(projection, str):
             raise TypeError("'{}' object is not allowed".format(type(projection)))
-        if pixel_size is None:
-            geo_transform = raster.geo_transform
-            if geo_transform is None:
-                raise ValueError(
-                    "Cannot get the pixel_size from the source "
-                    "raster. Please provide a pixel_size."
-                )
-            pixel_size = min(
-                abs(float(geo_transform[1])), abs(float(geo_transform[5]))
-            )
-        else:
-            pixel_size = abs(float(pixel_size))
-        if pixel_size == 0.0:
-            raise ValueError("Pixel size cannot be 0")
+
+        pixel_size = self._resolve_pixel_size(pixel_size, raster)
+
         if max_pixels is not None:
             max_pixels = int(max_pixels)
         if not isinstance(auto_pixel_size, bool):
-            raise TypeError("'{}' object is not allowed".format(type(auto_pixel_size)))
+            raise TypeError(
+                "'{}' object is not allowed".format(type(auto_pixel_size))
+            )
 
         super().__init__(
             source,
@@ -305,14 +308,29 @@ class AggregateRaster(GeometryBlock):
             *args
         )
 
-    source = property(lambda self: self.args[0])
-    raster = property(lambda self: self.args[1])
-    statistic = property(lambda self: self.args[2])
-    projection = property(lambda self: self.args[3])
-    pixel_size = property(lambda self: self.args[4])
-    max_pixels = property(lambda self: self.args[5])
-    column_name = property(lambda self: self.args[6])
-    auto_pixel_size = property(lambda self: self.args[7])
+    @staticmethod
+    def _resolve_pixel_size(pixel_size, raster):
+        if pixel_size is None:
+            geo_transform = raster.geo_transform
+            if geo_transform is None:
+                raise ValueError(
+                    "Cannot get the pixel_size from the source "
+                    "raster. Please provide a pixel_size."
+                )
+            return min(abs(float(geo_transform[1])), abs(float(geo_transform[5])))
+        pixel_size = abs(float(pixel_size))
+        if pixel_size == 0.0:
+            raise ValueError("Pixel size cannot be 0")
+        return pixel_size
+
+    source = arg(0)
+    raster = arg(1)
+    statistic = arg(2)
+    projection = arg(3, "projection the aggregation grid lives in")
+    pixel_size = arg(4, "requested aggregation cell size")
+    max_pixels = arg(5)
+    column_name = arg(6)
+    auto_pixel_size = arg(7)
 
     @property
     def columns(self):
@@ -325,165 +343,132 @@ class AggregateRaster(GeometryBlock):
         req_srs = request["projection"]
         agg_srs = self.projection
 
-        # pre-flight: the extent of the geometry data scopes the raster
-        extent_request = {**request, "mode": "extent"}
-        extent = self.source.get_data(**extent_request)["extent"]
-
+        # pre-flight: the features' extent scopes the raster read
+        extent = self.source.get_data(**{**request, "mode": "extent"})["extent"]
         if extent is None:
-            return [
-                (None, None),
-                (None, None),
-                ({"empty": True, "projection": req_srs}, None),
-            ]
+            empty = {"empty": True, "projection": req_srs}
+            return [(None, None), (None, None), (empty, None)]
 
-        x1, y1, x2, y2 = utils.Extent(extent, req_srs).transformed(agg_srs).bbox
+        budget = self.max_pixels
+        if budget is None:
+            budget = config.get("geomodeling.raster-limit")
+        cell, agg_bbox, width, height = plan_aggregation_grid(
+            utils.Extent(extent, req_srs).transformed(agg_srs).bbox,
+            self.pixel_size,
+            budget,
+            self.auto_pixel_size,
+        )
 
-        required_pixels = int(((x2 - x1) * (y2 - y1)) / (self.pixel_size**2))
+        raster_request = self._raster_request(
+            request, agg_srs, agg_bbox, width, height
+        )
+        plan = {
+            "mode": request.get("mode", "intersects"),
+            "pixel_size": self.pixel_size,
+            "agg_srs": agg_srs,
+            "req_srs": req_srs,
+            "actual_pixel_size": cell,
+            "statistic": self.statistic,
+            "result_column": self.column_name,
+            "agg_bbox": agg_bbox,
+        }
+        return [(self.source, request), (self.raster, raster_request), (plan, None)]
 
-        max_pixels = self.max_pixels
-        if max_pixels is None:
-            max_pixels = config.get("geomodeling.raster-limit")
-        pixel_size = self.pixel_size
-
-        if required_pixels > max_pixels and self.auto_pixel_size:
-            # coarsen by integer multiples of the pixel size
-            pixel_size *= ceil(sqrt(required_pixels / max_pixels))
-        elif required_pixels > max_pixels:
-            raise RuntimeError(
-                "The required raster size for the aggregation exceeded "
-                "the maximum ({} > {})".format(required_pixels, max_pixels)
-            )
-
-        # snap the grid to (0, 0) to prevent subpixel shifts
-        x1 = floor(x1 / pixel_size) * pixel_size
-        y1 = floor(y1 / pixel_size) * pixel_size
-        x2 = ceil(x2 / pixel_size) * pixel_size
-        y2 = ceil(y2 / pixel_size) * pixel_size
-
-        width = max(int((x2 - x1) / pixel_size), 1)
-        height = max(int((y2 - y1) / pixel_size), 1)
-
-        # single-cell requests become true point requests (no edge effects)
+    @staticmethod
+    def _raster_request(request, agg_srs, agg_bbox, width, height):
         if width == 1 and height == 1:
-            raster_req_bbox = ((x1 + x2) / 2, (y1 + y2) / 2) * 2
+            # single-cell grids become true point requests (no edge effects)
+            x1, y1, x2, y2 = agg_bbox
+            bbox = ((x1 + x2) / 2, (y1 + y2) / 2) * 2
         else:
-            raster_req_bbox = (x1, y1, x2, y2)
-
+            bbox = agg_bbox
         raster_request = {
             "mode": "vals",
             "projection": agg_srs,
             "start": request.get("start"),
             "stop": request.get("stop"),
-            "bbox": raster_req_bbox,
+            "bbox": bbox,
             "width": width,
             "height": height,
         }
         if "time_resolution" in request:
             raster_request["time_resolution"] = request["time_resolution"]
-
-        process_kwargs = {
-            "mode": request.get("mode", "intersects"),
-            "pixel_size": self.pixel_size,
-            "agg_srs": agg_srs,
-            "req_srs": req_srs,
-            "actual_pixel_size": pixel_size,
-            "statistic": self.statistic,
-            "result_column": self.column_name,
-            "agg_bbox": (x1, y1, x2, y2),
-        }
-
-        return [
-            (self.source, request),
-            (self.raster, raster_request),
-            (process_kwargs, None),
-        ]
+        return raster_request
 
     @staticmethod
-    def process(geom_data, raster_data, process_kwargs):
-        if process_kwargs.get("empty"):
+    def process(geom_data, raster_data, plan):
+        if plan.get("empty"):
             return {
                 "features": GeoDataFrame([]),
-                "projection": process_kwargs["projection"],
+                "projection": plan["projection"],
             }
-        if process_kwargs["mode"] == "extent":
+        if plan["mode"] == "extent":
             return geom_data
 
         features = geom_data["features"]
         if len(features) == 0:
             return geom_data
-
         result = features.copy()
 
-        req_srs = process_kwargs["req_srs"]
-        agg_srs = process_kwargs["agg_srs"]
+        statistic, percentile = utils.parse_percentile_statistic(plan["statistic"])
+        extensive = STATISTIC_REGISTRY[statistic][1]
+        column = plan["result_column"]
+
+        threshold_column = plan.get("threshold_name")
+        thresholds = (
+            features[threshold_column].values.astype("f4")
+            if threshold_column
+            else None
+        )
+
+        values = raster_data["values"] if raster_data is not None else None
+        no_data_value = (
+            raster_data["no_data_value"] if raster_data is not None else None
+        )
+        if values is None or np.all(values == no_data_value):
+            result[column] = 0 if extensive else np.nan
+            return {"features": result, "projection": plan["req_srs"]}
 
         geometry = features.geometry
-        geometry.crs = req_srs
-        agg_geometries = geometry.to_crs(agg_srs)
+        geometry.crs = plan["req_srs"]
+        agg_geometries = geometry.to_crs(plan["agg_srs"])
 
-        statistic, percentile = utils.parse_percentile_statistic(
-            process_kwargs["statistic"]
-        )
-        extensive = AggregateRaster.STATISTICS[statistic]["extensive"]
-        result_column = process_kwargs["result_column"]
-
-        threshold_name = process_kwargs.get("threshold_name")
-        if threshold_name:
-            threshold_values = features[threshold_name].values.astype("f4")
-        else:
-            threshold_values = None
-
-        agg_bbox = process_kwargs["agg_bbox"]
-        if raster_data is None:
-            values = no_data_value = None
-        else:
-            values = raster_data["values"]
-            no_data_value = raster_data["no_data_value"]
-        if values is None or np.all(values == no_data_value):
-            result[result_column] = 0 if extensive else np.nan
-            return {"features": result, "projection": req_srs}
-
-        pixel_size = process_kwargs["pixel_size"]
-        actual_pixel_size = process_kwargs["actual_pixel_size"]
-
-        agg, geometries_no_cells = aggregate_polygons(
+        agg, uncovered = aggregate_polygons(
             agg_geometries,
             values,
             no_data_value,
-            agg_bbox,
-            agg_srs,
-            threshold_values,
+            plan["agg_bbox"],
+            plan["agg_srs"],
+            thresholds,
             statistic,
             percentile,
         )
-
-        if geometries_no_cells:
-            # cell-less features: sample the raster at their centroid
-            agg[:, geometries_no_cells] = aggregate_points(
-                agg_geometries.iloc[geometries_no_cells].centroid,
+        if uncovered:
+            # features without any covered cell center: centroid sampling
+            agg[:, uncovered] = aggregate_points(
+                agg_geometries.iloc[uncovered].centroid,
                 values,
                 no_data_value,
-                agg_bbox,
-                None
-                if threshold_values is None
-                else threshold_values[geometries_no_cells],
+                plan["agg_bbox"],
+                None if thresholds is None else thresholds[uncovered],
                 statistic,
             )
 
-        if extensive:  # sum and count scale with the cell area
+        if extensive:
             agg[~np.isfinite(agg)] = 0
-            if actual_pixel_size != pixel_size:
-                agg *= (actual_pixel_size / pixel_size) ** 2
+            # sum/count scale with the cell area under auto coarsening
+            scale = plan["actual_pixel_size"] / plan["pixel_size"]
+            if scale != 1:
+                agg *= scale**2
         else:
             agg[~np.isfinite(agg)] = np.nan
 
         if values.shape[0] == 1:
-            result[result_column] = agg[0]
+            result[column] = agg[0]
         else:
             # multiband: store the per-feature time series as a list cell
-            result[result_column] = [[x] for x in agg.T]
-
-        return {"features": result, "projection": req_srs}
+            result[column] = [[x] for x in agg.T]
+        return {"features": result, "projection": plan["req_srs"]}
 
 
 class AggregateRasterAboveThreshold(AggregateRaster):
@@ -518,10 +503,9 @@ class AggregateRasterAboveThreshold(AggregateRaster):
             threshold_name,
         )
 
-    threshold_name = property(lambda self: self.args[8])
+    threshold_name = arg(8)
 
     def get_sources_and_requests(self, **request):
-        src_and_req = super().get_sources_and_requests(**request)
-        process_kwargs = src_and_req[2][0]
-        process_kwargs["threshold_name"] = self.threshold_name
-        return src_and_req
+        plan_sources = super().get_sources_and_requests(**request)
+        plan_sources[2][0]["threshold_name"] = self.threshold_name
+        return plan_sources
