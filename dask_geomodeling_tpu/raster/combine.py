@@ -1,11 +1,16 @@
 """Raster combination: Group.
 
-Semantics match the reference (dask_geomodeling/raster/combine.py): greedy
-attributes (period/extent are unions), relevant-source selection by period
-overlap with a closest-store fallback, and two merge strategies — by_bands
-when all sources share an aligned timedelta (slice assignment into the
-result stack), by_time otherwise (extra mode='time' subrequests map source
-frames onto the unified time axis).
+Behavioral parity with the reference Group (dask_geomodeling/raster/
+combine.py): greedy attributes (period/extent unions), relevant-source
+selection by period overlap with a closest-store fallback, and two merge
+strategies — ``by_bands`` when all sources tick on one aligned clock
+(slice assignment into the result stack), ``by_time`` otherwise (extra
+mode='time' subrequests map each source's frames onto the unified axis).
+
+Structure is this framework's own: greedy attributes share one
+``_combined`` reducer; planning splits into ``_plan_by_time`` /
+``_plan_by_bands``; vals merges carry a ``jax_impl`` twin so grouped
+pipelines fuse into device programs.
 """
 import itertools
 from datetime import timedelta as Timedelta
@@ -13,16 +18,27 @@ from datetime import timedelta as Timedelta
 import numpy as np
 
 from dask_geomodeling_tpu.geo import (
-    get_index_jax,
     Extent,
     GeoTransform,
     filter_none,
     get_dtype_max,
     get_index,
+    get_index_jax,
 )
 from dask_geomodeling_tpu.raster.base import RasterBlock
 
 __all__ = ["Group"]
+
+
+def _combined(values, reduce_many):
+    """None when nothing is present, the single value when one is, the
+    reduction otherwise — the shape of every greedy Group attribute."""
+    present = filter_none(values)
+    if not present:
+        return None
+    if len(present) == 1:
+        return present[0]
+    return reduce_many(present)
 
 
 class BaseCombine(RasterBlock):
@@ -30,36 +46,32 @@ class BaseCombine(RasterBlock):
     attributes; rasters without data are ignored)."""
 
     def __init__(self, *args):
-        for arg in args:
-            if not isinstance(arg, RasterBlock):
-                raise TypeError("'{}' object is not allowed".format(type(arg)))
+        for source in args:
+            if not isinstance(source, RasterBlock):
+                raise TypeError("'{}' object is not allowed".format(type(source)))
         super().__init__(*args)
 
     @staticmethod
     def get_aligned_timedelta(sources):
-        """The common timedelta if all sources are aligned, else None."""
-        timedeltas = []
-        periods = []
-        for arg in sources:
-            timedelta, period = arg.timedelta, arg.period
-            if period is not None and timedelta is not None:
-                timedeltas.append(timedelta)
-                periods.append(period)
-
-        if len(timedeltas) == 0:
+        """The common timedelta if all sources tick on one clock, else None."""
+        clocks = [
+            (s.timedelta, s.period[0])
+            for s in sources
+            if s.timedelta is not None and s.period is not None
+        ]
+        if not clocks:
             return None
-        if len(timedeltas) == 1:
-            return timedeltas[0]
-
-        if not timedeltas[1:] == timedeltas[:-1]:
+        step, anchor = clocks[0]
+        if any(other_step != step for other_step, _ in clocks[1:]):
             return None
-        # periods must be an integer number of timedeltas apart
-        timedelta_sec = timedeltas[0].total_seconds()
-        first, _ = periods[0]
-        for a, _ in periods[1:]:
-            if (first - a).total_seconds() % timedelta_sec != 0:
-                return None
-        return timedeltas[0]
+        seconds = step.total_seconds()
+        # every origin must sit a whole number of steps from the first
+        if any(
+            (anchor - origin).total_seconds() % seconds
+            for _, origin in clocks[1:]
+        ):
+            return None
+        return step
 
     @property
     def timedelta(self):
@@ -67,29 +79,29 @@ class BaseCombine(RasterBlock):
 
     @property
     def temporal(self):
-        return any(x.temporal for x in self.args)
+        return any(source.temporal for source in self.args)
 
     @property
     def period(self):
-        periods = filter_none([x.period for x in self.args])
-        if len(periods) == 0:
-            return None
-        if len(periods) == 1:
-            return periods[0]
-        return min(p[0] for p in periods), max(p[1] for p in periods)
+        return _combined(
+            [source.period for source in self.args],
+            lambda spans: (
+                min(span[0] for span in spans),
+                max(span[1] for span in spans),
+            ),
+        )
 
     @property
     def extent(self):
-        extents = filter_none([x.extent for x in self.args])
-        if len(extents) == 0:
-            return None
-        if len(extents) == 1:
-            return extents[0]
-        x1 = min(e[0] for e in extents)
-        y1 = min(e[1] for e in extents)
-        x2 = max(e[2] for e in extents)
-        y2 = max(e[3] for e in extents)
-        return x1, y1, x2, y2
+        return _combined(
+            [source.extent for source in self.args],
+            lambda boxes: (
+                min(box[0] for box in boxes),
+                min(box[1] for box in boxes),
+                max(box[2] for box in boxes),
+                max(box[3] for box in boxes),
+            ),
+        )
 
     @property
     def dtype(self):
@@ -101,37 +113,33 @@ class BaseCombine(RasterBlock):
 
     @property
     def geometry(self):
-        geometries = filter_none([x.geometry for x in self.args])
-        if len(geometries) == 0:
-            return None
-        if len(geometries) == 1:
-            return geometries[0]
-        extent = Extent.from_geometry(geometries[0])
-        for geometry in geometries[1:]:
-            extent = extent.union(Extent.from_geometry(geometry))
-        return extent.as_geometry()
+        def union_all(geometries):
+            extent = Extent.from_geometry(geometries[0])
+            for geometry in geometries[1:]:
+                extent = extent.union(Extent.from_geometry(geometry))
+            return extent.as_geometry()
+
+        return _combined([source.geometry for source in self.args], union_all)
 
     @property
     def projection(self):
-        projection = self.args[0].projection
-        if projection is None:
+        candidates = [source.projection for source in self.args]
+        first = candidates[0]
+        if first is None or any(other != first for other in candidates[1:]):
             return None
-        for arg in self.args[1:]:
-            if projection != arg.projection:
-                return None
-        return projection
+        return first
 
     @property
     def geo_transform(self):
-        geo_transform = self.args[0].geo_transform
-        if geo_transform is None:
+        first = self.args[0].geo_transform
+        if first is None:
             return None
-        geo_transform = GeoTransform(geo_transform)
-        for arg in self.args[1:]:
-            other = arg.geo_transform
-            if other is None or not geo_transform.aligns_with(other):
+        first = GeoTransform(first)
+        for source in self.args[1:]:
+            other = source.geo_transform
+            if other is None or not first.aligns_with(other):
                 return None
-        return geo_transform
+        return first
 
 
 def _snap_window_to_grid(start, stop, period, td_sec):
@@ -156,6 +164,9 @@ def _snap_window_to_grid(start, stop, period, td_sec):
     return start, stop
 
 
+_NOTHING = (dict(combine_mode="simple"), None)
+
+
 class Group(BaseCombine):
     """Combine rasters along x, y and time; rightmost raster wins where
     multiple have data at the same timestep."""
@@ -166,103 +177,97 @@ class Group(BaseCombine):
         if not stores:
             return []
 
-        starts, stops = zip(*(s.period for s in stores))
-
         if start is None:
-            last = max(stops)
-            return [s for b, s in zip(stops, stores) if b == last]
+            # latest frame only: every store ending at the global maximum
+            last = max(s.period[1] for s in stores)
+            return [s for s in stores if s.period[1] == last]
 
         if stop is None:
-            zipped = zip(starts, stops, stores)
-            result = [s for a, b, s in zipped if a <= start <= b]
-            if result:
-                return result
-            # no store contains start: take the closest one(s)
-            closest = min(starts + stops, key=lambda d: abs(d - start))
-            zipped = zip(stops + starts, stores + stores)
-            return [s for d, s in zipped if d == closest]
+            # single instant: stores containing it, else the closest edge(s)
+            containing = [s for s in stores if s.period[0] <= start <= s.period[1]]
+            if containing:
+                return containing
+            edges = [edge for s in stores for edge in s.period]
+            closest = min(edges, key=lambda edge: abs(edge - start))
+            return [s for s in stores if closest in s.period]
 
-        zipped = zip(starts, stops, stores)
-        return [s for a, b, s in zipped if not (stop < a or start > b)]
+        return [
+            s for s in stores if not (stop < s.period[0] or start > s.period[1])
+        ]
 
     def get_sources_and_requests(self, **request):
         start = request.get("start", None)
         stop = request.get("stop", None)
         mode = request["mode"]
 
-        if self.period is None:
-            return [(dict(combine_mode="simple"), None)]
-
-        if (
-            start is not None
-            and stop is not None
-            and (start > self.period[1] or stop < self.period[0])
-        ):
-            return [(dict(combine_mode="simple"), None)]
+        span = self.period
+        if span is None:
+            return [_NOTHING]
+        if start is not None and stop is not None:
+            if start > span[1] or stop < span[0]:
+                return [_NOTHING]
 
         timedelta = self.timedelta
-        if timedelta is None:  # merge by time
-            sources = self.get_relevant_sources(start, stop)
-            if not sources:
-                return [(dict(combine_mode="simple"), None)]
-            requests = []
-            time_requests = []
-            for source in sources:
-                requests.append((source, request))
-                if mode != "time":
-                    time_request = dict(mode="time", start=start, stop=stop)
-                    time_requests.append((source, time_request))
+        if timedelta is None:
+            return self._plan_by_time(request, mode, start, stop)
+        return self._plan_by_bands(request, mode, start, stop, timedelta)
 
-            process_kwargs = dict(
-                combine_mode="by_time", mode=mode, start=start, stop=stop
-            )
-            requests = requests + time_requests
-        else:  # merge by bands
-            td_sec = timedelta.total_seconds()
-            period = self.period
-            start, stop = _snap_window_to_grid(start, stop, period, td_sec)
-
-            if mode == "time":
-                return [
-                    (
-                        dict(
-                            combine_mode="by_bands",
-                            mode=mode,
-                            start=start,
-                            stop=stop,
-                            timedelta=timedelta,
-                        ),
-                        None,
-                    )
-                ]
-
-            requests, bands = [], []
-            for source in self.get_relevant_sources(start, stop):
-                window = (
-                    max(start, source.period[0]),
-                    min(stop, source.period[1]),
-                )
-                lo, hi = (
-                    int((edge - start).total_seconds() // td_sec)
-                    for edge in window
-                )
-                bands.append((lo, hi + 1))
-                requests.append(
-                    (source, dict(request, start=window[0], stop=window[1]))
-                )
-            process_kwargs = dict(combine_mode="by_bands", mode=mode, bands=bands)
-            nbands = int((stop - start).total_seconds() // td_sec) + 1
-            if mode == "meta":
-                process_kwargs["nbands"] = nbands
-            if mode == "vals":
-                process_kwargs["shape"] = (
-                    nbands,
-                    request["height"],
-                    request["width"],
-                )
+    def _plan_by_time(self, request, mode, start, stop):
+        """Unaligned sources: each vals/meta subrequest is paired with a
+        time subrequest mapping its frames onto the unified axis."""
+        sources = self.get_relevant_sources(start, stop)
+        if not sources:
+            return [_NOTHING]
+        plan = dict(combine_mode="by_time", mode=mode, start=start, stop=stop)
         if mode == "vals":
-            process_kwargs["dtype"] = self.dtype
-        return [(process_kwargs, None)] + requests
+            plan["dtype"] = self.dtype
+        data_requests = [(source, request) for source in sources]
+        if mode == "time":
+            return [(plan, None)] + data_requests
+        axis_request = dict(mode="time", start=start, stop=stop)
+        return (
+            [(plan, None)]
+            + data_requests
+            + [(source, axis_request) for source in sources]
+        )
+
+    def _plan_by_bands(self, request, mode, start, stop, timedelta):
+        """Aligned sources: every source's window maps to a band slice of
+        the result stack."""
+        td_sec = timedelta.total_seconds()
+        start, stop = _snap_window_to_grid(start, stop, self.period, td_sec)
+
+        if mode == "time":
+            plan = dict(
+                combine_mode="by_bands",
+                mode=mode,
+                start=start,
+                stop=stop,
+                timedelta=timedelta,
+            )
+            return [(plan, None)]
+
+        data_requests, bands = [], []
+        for source in self.get_relevant_sources(start, stop):
+            lo_time = max(start, source.period[0])
+            hi_time = min(stop, source.period[1])
+            lo = int((lo_time - start).total_seconds() // td_sec)
+            hi = int((hi_time - start).total_seconds() // td_sec)
+            bands.append((lo, hi + 1))
+            data_requests.append(
+                (source, dict(request, start=lo_time, stop=hi_time))
+            )
+
+        plan = dict(combine_mode="by_bands", mode=mode, bands=bands)
+        nbands = int((stop - start).total_seconds() // td_sec) + 1
+        if mode == "meta":
+            plan["nbands"] = nbands
+        elif mode == "vals":
+            plan["dtype"] = self.dtype
+            plan["shape"] = (nbands, request["height"], request["width"])
+        return [(plan, None)] + data_requests
+
+    # --- process-side helpers ---
 
     @staticmethod
     def _unique_times(multi):
@@ -276,20 +281,31 @@ class Group(BaseCombine):
         return min(enumerate(time), key=lambda d: abs(d[1] - start))[0]
 
     @staticmethod
+    def _split_by_time_args(args):
+        """by_time vals/meta args are [data...] + [time axis...] halves."""
+        n = len(args) // 2
+        return filter_none(args[:n]), filter_none(args[n:])
+
+    @staticmethod
+    def _present_bands(args, bands):
+        """Drop sources that returned no data, with their band slices."""
+        pairs = [(d, b) for d, b in zip(args, bands) if d is not None]
+        return [d for d, _ in pairs], [b for _, b in pairs]
+
+    @staticmethod
     def _merge_vals_by_time(multi, times, kwargs):
         sorted_times = Group._unique_times(times)
-        bands = {y: x for x, y in enumerate(sorted_times)}
+        band_of = {t: i for i, t in enumerate(sorted_times)}
         fillvalue = get_dtype_max(kwargs["dtype"])
 
         shape = (len(sorted_times),) + multi[0]["values"].shape[1:]
         values = np.full(shape, fillvalue, dtype=kwargs["dtype"])
 
         for data, time in zip(multi, times):
-            for source_index, datetime in enumerate(time["time"]):
+            for source_index, instant in enumerate(time["time"]):
                 source_band = data["values"][source_index]
                 index = get_index(source_band, data["no_data_value"])
-                target_band = values[bands[datetime]]
-                target_band[index] = source_band[index]
+                values[band_of[instant]][index] = source_band[index]
 
         start, stop = kwargs["start"], kwargs["stop"]
         if stop is None and len(sorted_times) > 1:
@@ -301,19 +317,19 @@ class Group(BaseCombine):
     @staticmethod
     def _merge_meta_by_time(multi, times, kwargs):
         sorted_times = Group._unique_times(times)
-        bands = {y: x for x, y in enumerate(sorted_times)}
-        meta_result = [None] * len(sorted_times)
+        band_of = {t: i for i, t in enumerate(sorted_times)}
+        merged = [None] * len(sorted_times)
 
         for data, time in zip(multi, times):
-            for source_index, datetime in enumerate(time["time"]):
-                meta_result[bands[datetime]] = data["meta"][source_index]
+            for source_index, instant in enumerate(time["time"]):
+                merged[band_of[instant]] = data["meta"][source_index]
 
         start, stop = kwargs["start"], kwargs["stop"]
         if stop is None and len(sorted_times) > 1:
             index = Group._nearest_index(sorted_times, start)
-            meta_result = meta_result[index : index + 1]
+            merged = merged[index : index + 1]
 
-        return {"meta": meta_result}
+        return {"meta": merged}
 
     @staticmethod
     def _merge_vals_by_bands(multi, bands, dtype, shape):
@@ -326,12 +342,12 @@ class Group(BaseCombine):
 
     @staticmethod
     def _merge_meta_by_bands(multi, bands, nbands):
-        meta_result = [""] * nbands
+        merged = [""] * nbands
         for data, (a, b) in zip(multi, bands):
             for i, meta in zip(range(a, b), data["meta"]):
                 if meta:
-                    meta_result[i] = meta
-        return {"meta": meta_result}
+                    merged[i] = meta
+        return {"meta": merged}
 
     @staticmethod
     def _merge_vals_by_bands_jax(multi, bands, dtype, shape):
@@ -362,8 +378,8 @@ class Group(BaseCombine):
         for data, time in zip(multi, times):
             src = data["values"]
             has_data = get_index_jax(src, data["no_data_value"])
-            for source_index, datetime in enumerate(time["time"]):
-                target = band_of[datetime]
+            for source_index, instant in enumerate(time["time"]):
+                target = band_of[instant]
                 values = values.at[target].set(
                     jnp.where(
                         has_data[source_index],
@@ -383,20 +399,13 @@ class Group(BaseCombine):
         combine_mode = process_kwargs["combine_mode"]
         mode = process_kwargs.get("mode", None)
         if combine_mode == "by_bands" and mode == "vals":
-            multi = []
-            bands = []
-            for data, _bands in zip(args, process_kwargs["bands"]):
-                if data is None:
-                    continue
-                multi.append(data)
-                bands.append(_bands)
+            multi, bands = Group._present_bands(args, process_kwargs["bands"])
             return Group._merge_vals_by_bands_jax(
                 multi, bands, process_kwargs["dtype"], process_kwargs["shape"]
             )
         if combine_mode == "by_time" and mode == "vals":
-            n = int(len(args) // 2)
-            multi, times = filter_none(args[:n]), filter_none(args[n:])
-            if len(multi) == 0:
+            multi, times = Group._split_by_time_args(args)
+            if not multi:
                 return None
             return Group._merge_vals_by_time_jax(multi, times, process_kwargs)
         # time/meta/simple modes carry no arrays: identical host logic
@@ -408,46 +417,40 @@ class Group(BaseCombine):
         mode = process_kwargs.get("mode", None)
         if combine_mode == "simple":
             return None
-        if combine_mode == "by_time" and mode == "time":
-            sorted_times = Group._unique_times(args)
-            start, stop = process_kwargs["start"], process_kwargs["stop"]
-            if stop is None and len(sorted_times) > 1:
-                index = Group._nearest_index(sorted_times, start)
-                sorted_times = sorted_times[index : index + 1]
-            return {"time": sorted_times}
-        if combine_mode == "by_time" and mode in ("meta", "vals"):
-            n = int(len(args) // 2)
-            multi, times = filter_none(args[:n]), filter_none(args[n:])
-            if len(multi) == 0:
-                return None
-            if mode == "vals":
-                return Group._merge_vals_by_time(multi, times, process_kwargs)
-            return Group._merge_meta_by_time(multi, times, process_kwargs)
-        if combine_mode == "by_bands" and mode == "time":
-            start = process_kwargs["start"]
-            stop = process_kwargs["stop"]
-            delta = process_kwargs["timedelta"]
-            length = (stop - start).total_seconds() // delta.total_seconds()
-            length = int(length) + 1
-            return {"time": [start + i * delta for i in range(length)]}
-        if combine_mode == "by_bands" and mode in ("meta", "vals"):
-            multi = []
-            bands = []
-            for data, _bands in zip(args, process_kwargs["bands"]):
-                if data is None:
-                    continue
-                multi.append(data)
-                bands.append(_bands)
-            if mode == "vals":
-                return Group._merge_vals_by_bands(
-                    multi=multi,
-                    bands=bands,
-                    dtype=process_kwargs["dtype"],
-                    shape=process_kwargs["shape"],
+
+        if combine_mode == "by_time":
+            if mode == "time":
+                sorted_times = Group._unique_times(args)
+                start, stop = process_kwargs["start"], process_kwargs["stop"]
+                if stop is None and len(sorted_times) > 1:
+                    index = Group._nearest_index(sorted_times, start)
+                    sorted_times = sorted_times[index : index + 1]
+                return {"time": sorted_times}
+            if mode in ("meta", "vals"):
+                multi, times = Group._split_by_time_args(args)
+                if not multi:
+                    return None
+                if mode == "vals":
+                    return Group._merge_vals_by_time(multi, times, process_kwargs)
+                return Group._merge_meta_by_time(multi, times, process_kwargs)
+
+        if combine_mode == "by_bands":
+            if mode == "time":
+                start = process_kwargs["start"]
+                stop = process_kwargs["stop"]
+                delta = process_kwargs["timedelta"]
+                count = int((stop - start).total_seconds() // delta.total_seconds())
+                return {"time": [start + i * delta for i in range(count + 1)]}
+            if mode in ("meta", "vals"):
+                multi, bands = Group._present_bands(args, process_kwargs["bands"])
+                if mode == "vals":
+                    return Group._merge_vals_by_bands(
+                        multi, bands, process_kwargs["dtype"], process_kwargs["shape"]
+                    )
+                return Group._merge_meta_by_bands(
+                    multi, bands, process_kwargs["nbands"]
                 )
-            return Group._merge_meta_by_bands(
-                multi=multi, bands=bands, nbands=process_kwargs["nbands"]
-            )
+
         raise ValueError("Unknown combine_mode / mode combination")
 
 

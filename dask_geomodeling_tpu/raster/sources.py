@@ -1,11 +1,13 @@
 """Raster sources: MemorySource and RasterFileSource.
 
-Behavior matches the reference (dask_geomodeling/raster/sources.py:38-564):
-sources snap the requested time window onto the band axis, handle point
-requests as single-pixel reads, and warp their data into the requested grid
-(nearest-neighbour).  The warp is this framework's own gather-based
-implementation (ops/warp.py) instead of gdal.ReprojectImage; file I/O uses
-the native GeoTIFF codec (io/geotiff.py) instead of gdal.Open.
+Behavioral parity with the reference sources (dask_geomodeling/raster/
+sources.py:38-564): the requested time window snaps onto the band axis,
+point requests read the single containing pixel, and data warps into the
+requested grid (nearest-neighbour, GDAL's 0.125 px error model).  The
+warp is this framework's own gather-based implementation (ops/warp.py)
+instead of gdal.ReprojectImage; file I/O is the native GeoTIFF codec
+(io/geotiff.py) instead of gdal.Open; and the vals path carries a device
+twin so source reads fuse into XLA tile programs.
 """
 from dataclasses import dataclass
 from datetime import datetime, timedelta, timezone
@@ -13,10 +15,17 @@ from datetime import datetime, timedelta, timezone
 import numpy as np
 
 from dask_geomodeling_tpu import utils
+from dask_geomodeling_tpu.core import arg
 from dask_geomodeling_tpu.ops.warp import warp_jax, warp_numpy
 from dask_geomodeling_tpu.raster.base import RasterBlock
 
 __all__ = ["MemorySource", "RasterFileSource"]
+
+_EMPTY_ANSWERS = {
+    "empty_vals": None,
+    "empty_time": {"time": []},
+    "empty_meta": {"meta": []},
+}
 
 
 def _source_jax_capable(process_kwargs):
@@ -81,89 +90,98 @@ def utc_from_ms_timestamp(timestamp):
     )
 
 
+def _as_ms(value, default=None):
+    """Milliseconds from a datetime/timedelta/number timestamp or spacing."""
+    if isinstance(value, datetime):
+        return utils.dt_to_ms(value)
+    if isinstance(value, timedelta):
+        return int(value.total_seconds() * 1000)
+    if value is None:
+        return default
+    return int(value)
+
+
 class RasterSourceBase(RasterBlock):
-    """Shared process() for memory- and file-backed sources."""
+    """Shared process() and temporal/extent attributes for memory- and
+    file-backed sources."""
 
     @staticmethod
     def process(process_kwargs):
         mode = process_kwargs["mode"]
-
-        # empty requests
-        if mode == "empty_vals":
-            return None
-        if mode == "empty_time":
-            return {"time": []}
-        if mode == "empty_meta":
-            return {"meta": []}
+        if mode in _EMPTY_ANSWERS:
+            return _EMPTY_ANSWERS[mode]
 
         bands = process_kwargs["bands"]
-        length = bands[1] - bands[0]
-
         if mode == "time":
             start = process_kwargs["start"]
             delta = process_kwargs["delta"]
-            return {"time": [start + i * delta for i in range(length)]}
+            return {
+                "time": [start + i * delta for i in range(bands[1] - bands[0])]
+            }
 
-        # memory and file paths converge on a RasterData
+        # memory and file paths converge on a RasterData payload
         raster_data = process_kwargs.get("raster_data")
         if raster_data is None:
             from dask_geomodeling_tpu.runtime.pipeline import read_geotiff_cached
 
-            path = utils.safe_abspath(process_kwargs["url"])
-            raster_data = read_geotiff_cached(path)
+            raster_data = read_geotiff_cached(
+                utils.safe_abspath(process_kwargs["url"])
+            )
 
         if mode == "meta":
             metadata = raster_data.metadata or [None] * len(raster_data.array)
             return {"meta": list(metadata[bands[0] : bands[1]])}
+        return RasterSourceBase._answer_vals(process_kwargs, raster_data)
 
-        # vals
+    @staticmethod
+    def _answer_vals(process_kwargs, raster_data):
+        bands = process_kwargs["bands"]
         dtype = np.dtype(process_kwargs["dtype"])
         bbox = process_kwargs["bbox"]
-        width = process_kwargs["width"]
-        height = process_kwargs["height"]
-        target_projection = process_kwargs["projection"]
-        target_no_data_value = np.dtype(dtype).type(process_kwargs["fillvalue"]).item()
+        width, height = process_kwargs["width"], process_kwargs["height"]
+        fill = np.dtype(dtype).type(process_kwargs["fillvalue"]).item()
 
         if width == 0 or height == 0:
-            return np.empty((length, height, width), dtype=dtype)
+            return np.empty((bands[1] - bands[0], height, width), dtype=dtype)
 
-        array = raster_data.array
-        src_gt = utils.GeoTransform(raster_data.geo_transform)
-
-        # point request: read the single containing pixel
         if bbox[0] == bbox[2] or bbox[1] == bbox[3]:
-            (source_x,), (source_y,) = utils.transform_points(
-                np.array([bbox[0]]),
-                np.array([bbox[1]]),
-                target_projection,
-                raster_data.projection,
+            result = RasterSourceBase._read_point(
+                raster_data, bbox, process_kwargs["projection"], dtype, fill
             )
-            source_i, source_j = src_gt.get_indices(((source_x, source_y),))
-            result = np.full((len(array), 1, 1), target_no_data_value, dtype=dtype)
-            if (
-                0 <= source_i[0] < array.shape[1]
-                and 0 <= source_j[0] < array.shape[2]
-            ):
-                result[:, 0, 0] = array[:, source_i[0], source_j[0]]
-            result = result[bands[0] : bands[1]]
-            return {"values": result, "no_data_value": target_no_data_value}
-
-        result = warp_numpy(
-            array,
-            src_gt,
-            raster_data.projection,
-            raster_data.no_data_value,
-            bbox,
-            target_projection,
-            width,
-            height,
-            dtype=dtype,
-            fillvalue=target_no_data_value,
-        )
+        else:
+            result = warp_numpy(
+                raster_data.array,
+                utils.GeoTransform(raster_data.geo_transform),
+                raster_data.projection,
+                raster_data.no_data_value,
+                bbox,
+                process_kwargs["projection"],
+                width,
+                height,
+                dtype=dtype,
+                fillvalue=fill,
+            )
         result = result[bands[0] : bands[1]]
         if result.dtype.kind == "f":
-            result[~np.isfinite(result)] = target_no_data_value
-        return {"values": result, "no_data_value": target_no_data_value}
+            result[~np.isfinite(result)] = fill
+        return {"values": result, "no_data_value": fill}
+
+    @staticmethod
+    def _read_point(raster_data, bbox, projection, dtype, fill):
+        """A 1x1 read of the pixel containing the (reprojected) point."""
+        array = raster_data.array
+        (x,), (y,) = utils.transform_points(
+            np.array([bbox[0]]),
+            np.array([bbox[1]]),
+            projection,
+            raster_data.projection,
+        )
+        gt = utils.GeoTransform(raster_data.geo_transform)
+        (i,), (j,) = gt.get_indices(((x, y),))
+        result = np.full((len(array), 1, 1), fill, dtype=dtype)
+        if 0 <= i < array.shape[1] and 0 <= j < array.shape[2]:
+            result[:, 0, 0] = array[:, i, j]
+        return result
 
     process.__func__.jax_impl = _source_process_jax
     process.__func__.jax_capable = _source_jax_capable
@@ -181,6 +199,65 @@ class RasterSourceBase(RasterBlock):
         if start is None:
             return None
         return start, stop, (band1, band2 + 1)
+
+    # --- planning, shared by both sources ---
+
+    def get_sources_and_requests(self, **request):
+        mode = request["mode"]
+        if mode not in ("vals", "meta", "time"):
+            raise RuntimeError("Unknown mode '{}'".format(mode))
+        snapped = self._snap_bands(request)
+        if snapped is None:
+            return [({"mode": "empty_" + mode}, None)]
+        start, stop, bands = snapped
+
+        if mode == "time":
+            plan = {
+                "mode": "time",
+                "start": start,
+                "delta": self.timedelta or timedelta(0),
+                "bands": bands,
+            }
+        else:
+            plan = self._payload_plan(mode)
+            plan["bands"] = bands
+            if mode == "vals":
+                plan.update(
+                    mode="vals",
+                    bbox=request["bbox"],
+                    width=request["width"],
+                    height=request["height"],
+                    projection=request["projection"],
+                    dtype=self.dtype,
+                    fillvalue=self.fillvalue,
+                )
+        return [(plan, None)]
+
+    def _payload_plan(self, mode):
+        """How this source ships its pixels/metadata (subclass hook)."""
+        raise NotImplementedError
+
+    # --- temporal/extent attributes, shared by both sources ---
+
+    @property
+    def period(self):
+        count = len(self)
+        if count == 0:
+            return None
+        first = utc_from_ms_timestamp(self.time_first)
+        if count == 1:
+            return (first, first)
+        return first, first + (count - 1) * self.timedelta
+
+    @property
+    def extent(self):
+        extent = self._get_extent()
+        return None if extent is None else extent.transformed("EPSG:4326").bbox
+
+    @property
+    def geometry(self):
+        extent = self._get_extent()
+        return None if extent is None else extent.as_geometry()
 
 
 class MemorySource(RasterSourceBase):
@@ -208,36 +285,15 @@ class MemorySource(RasterSourceBase):
         time_delta=None,
         metadata=None,
     ):
-        data = np.asarray(data)
-        if data.dtype == "i8":
-            data = data.astype("i4")  # parity with the reference's GDAL limit
-        if data.ndim == 2:
-            data = data[np.newaxis]
-        if data.ndim != 3:
-            raise ValueError("data should be two- or three-dimensional.")
+        data = self._coerce_data(data)
         no_data_value = data.dtype.type(no_data_value)
         projection = utils.get_epsg_or_wkt(projection)
-        if not hasattr(pixel_size, "__iter__"):
-            pixel_size = [pixel_size] * 2
-        else:
-            pixel_size = list(pixel_size)
-            if len(pixel_size) != 2:
-                raise ValueError("pixel_size should have length 2")
-        pixel_size = [float(x) for x in pixel_size]
-        pixel_origin = [float(x) for x in pixel_origin]
-        if len(pixel_origin) != 2:
-            raise ValueError("pixel_origin should have length 2")
-        if isinstance(time_first, datetime):
-            time_first = utils.dt_to_ms(time_first)
-        else:
-            time_first = int(time_first)
-        if isinstance(time_delta, timedelta):
-            time_delta = int(time_delta.total_seconds() * 1000)
-        elif time_delta is None:
-            if data.shape[0] > 1:
-                raise ValueError("time_delta is required for temporal data")
-        else:
-            time_delta = int(time_delta)
+        pixel_size = self._coerce_pair(pixel_size, "pixel_size")
+        pixel_origin = self._coerce_pair(pixel_origin, "pixel_origin")
+        time_first = _as_ms(time_first, 0)
+        time_delta = _as_ms(time_delta)
+        if time_delta is None and data.shape[0] > 1:
+            raise ValueError("time_delta is required for temporal data")
         if metadata is not None:
             metadata = list(metadata)
             if len(metadata) != data.shape[0]:
@@ -253,6 +309,24 @@ class MemorySource(RasterSourceBase):
             metadata,
         )
 
+    @staticmethod
+    def _coerce_data(data):
+        data = np.asarray(data)
+        if data.dtype == "i8":
+            data = data.astype("i4")  # parity with the reference's GDAL limit
+        if data.ndim == 2:
+            data = data[np.newaxis]
+        if data.ndim != 3:
+            raise ValueError("data should be two- or three-dimensional.")
+        return data
+
+    @staticmethod
+    def _coerce_pair(value, name):
+        pair = [value] * 2 if not hasattr(value, "__iter__") else list(value)
+        if len(pair) != 2:
+            raise ValueError("%s should have length 2" % name)
+        return [float(x) for x in pair]
+
     @property
     def data(self):
         data = self.args[0]
@@ -265,13 +339,13 @@ class MemorySource(RasterSourceBase):
             self.args = (data,) + tuple(self.args[1:])
         return data
 
-    no_data_value = property(lambda self: self.args[1])
-    projection = property(lambda self: self.args[2])
-    pixel_size = property(lambda self: self.args[3])
-    pixel_origin = property(lambda self: self.args[4])
-    time_first = property(lambda self: self.args[5])
-    time_delta = property(lambda self: self.args[6])
-    metadata = property(lambda self: self.args[7])
+    no_data_value = arg(1)
+    projection = arg(2)
+    pixel_size = arg(3)
+    pixel_origin = arg(4)
+    time_first = arg(5)
+    time_delta = arg(6)
+    metadata = arg(7)
 
     @property
     def dtype(self):
@@ -293,31 +367,8 @@ class MemorySource(RasterSourceBase):
         bbox = self.geo_transform.get_bbox((0, 0), self.data.shape[1:])
         return utils.Extent(bbox, self.projection)
 
-    @property
-    def extent(self):
-        extent = self._get_extent()
-        if extent is None:
-            return None
-        return extent.transformed("EPSG:4326").bbox
-
-    @property
-    def geometry(self):
-        extent = self._get_extent()
-        if extent is None:
-            return None
-        return extent.as_geometry()
-
     def __len__(self):
         return self.data.shape[0]
-
-    @property
-    def period(self):
-        if len(self) == 0:
-            return None
-        if len(self) == 1:
-            return (utc_from_ms_timestamp(self.time_first),) * 2
-        first = utc_from_ms_timestamp(self.time_first)
-        return first, first + (len(self) - 1) * self.timedelta
 
     @property
     def timedelta(self):
@@ -330,16 +381,11 @@ class MemorySource(RasterSourceBase):
         return self.time_delta is not None
 
     def get_sources_and_requests(self, **request):
-        mode = request["mode"]
-
-        if mode == "meta" and self.metadata is None:
+        if request["mode"] == "meta" and self.metadata is None:
             return [({"mode": "empty_meta"}, None)]
+        return super().get_sources_and_requests(**request)
 
-        snapped = self._snap_bands(request)
-        if snapped is None:
-            return [({"mode": "empty_" + mode}, None)]
-        start, stop, bands = snapped
-
+    def _payload_plan(self, mode):
         raster_data = RasterData(
             array=self.data,
             metadata=self.metadata,
@@ -347,35 +393,7 @@ class MemorySource(RasterSourceBase):
             no_data_value=float(self.no_data_value),
             projection=self.projection,
         )
-
-        if mode == "vals":
-            process_kwargs = {
-                "mode": "vals",
-                "raster_data": raster_data,
-                "bbox": request["bbox"],
-                "width": request["width"],
-                "height": request["height"],
-                "projection": request["projection"],
-                "bands": bands,
-                "dtype": self.dtype,
-                "fillvalue": self.fillvalue,
-            }
-        elif mode == "meta":
-            process_kwargs = {
-                "mode": "meta",
-                "raster_data": raster_data,
-                "bands": bands,
-            }
-        elif mode == "time":
-            process_kwargs = {
-                "mode": "time",
-                "start": start,
-                "delta": self.timedelta or timedelta(0),
-                "bands": bands,
-            }
-        else:
-            raise RuntimeError("Unknown mode '{}'".format(mode))
-        return [(process_kwargs, None)]
+        return {"mode": mode, "raster_data": raster_data}
 
 
 class RasterFileSource(RasterSourceBase):
@@ -388,20 +406,15 @@ class RasterFileSource(RasterSourceBase):
     """
 
     def __init__(self, url, time_first=0, time_delta=300000):
-        url = utils.safe_file_url(url)
-        if isinstance(time_first, datetime):
-            time_first = utils.dt_to_ms(time_first)
-        else:
-            time_first = int(time_first)
-        if isinstance(time_delta, timedelta):
-            time_delta = int(time_delta.total_seconds() * 1000)
-        else:
-            time_delta = int(time_delta)
-        super().__init__(url, time_first, time_delta)
+        super().__init__(
+            utils.safe_file_url(url),
+            _as_ms(time_first, 0),
+            _as_ms(time_delta, 300000),
+        )
 
-    url = property(lambda self: self.args[0])
-    time_first = property(lambda self: self.args[1])
-    time_delta = property(lambda self: self.args[2])
+    url = arg(0)
+    time_first = arg(1)
+    time_delta = arg(2)
 
     @property
     def info(self):
@@ -459,25 +472,8 @@ class RasterFileSource(RasterSourceBase):
         )
         return utils.Extent(bbox, self.projection)
 
-    @property
-    def extent(self):
-        return self._get_extent().transformed("EPSG:4326").bbox
-
-    @property
-    def geometry(self):
-        return self._get_extent().as_geometry()
-
     def __len__(self):
         return self.info.bands
-
-    @property
-    def period(self):
-        if len(self) == 0:
-            return None
-        if len(self) == 1:
-            return (utc_from_ms_timestamp(self.time_first),) * 2
-        first = utc_from_ms_timestamp(self.time_first)
-        return first, first + (len(self) - 1) * self.timedelta
 
     @property
     def timedelta(self):
@@ -489,39 +485,15 @@ class RasterFileSource(RasterSourceBase):
     def temporal(self):
         return len(self) > 1
 
-    def get_sources_and_requests(self, **request):
-        mode = request["mode"]
-        snapped = self._snap_bands(request)
-        if snapped is None:
-            return [({"mode": "empty_" + mode}, None)]
-        start, stop, bands = snapped
+    def _payload_plan(self, mode):
+        if mode == "meta":
+            return {"mode": "meta", "url": self.url}
+        # load through the host read cache at plan time: the payload
+        # becomes a device-resident traced input of the fused program,
+        # exactly like MemorySource (one decode + one HBM upload per file)
+        from dask_geomodeling_tpu.runtime.pipeline import read_geotiff_cached
 
-        if mode == "vals":
-            # load through the host read cache at plan time: the payload
-            # becomes a device-resident traced input of the fused program,
-            # exactly like MemorySource (one decode + one HBM upload per file)
-            from dask_geomodeling_tpu.runtime.pipeline import read_geotiff_cached
-
-            process_kwargs = {
-                "mode": "vals",
-                "raster_data": read_geotiff_cached(utils.safe_abspath(self.url)),
-                "bbox": request["bbox"],
-                "width": request["width"],
-                "height": request["height"],
-                "projection": request["projection"],
-                "bands": bands,
-                "dtype": self.dtype,
-                "fillvalue": self.fillvalue,
-            }
-        elif mode == "meta":
-            process_kwargs = {"mode": "meta", "url": self.url, "bands": bands}
-        elif mode == "time":
-            process_kwargs = {
-                "mode": "time",
-                "start": start,
-                "delta": self.timedelta or timedelta(0),
-                "bands": bands,
-            }
-        else:
-            raise RuntimeError("Unknown mode '{}'".format(mode))
-        return [(process_kwargs, None)]
+        return {
+            "mode": mode,
+            "raster_data": read_geotiff_cached(utils.safe_abspath(self.url)),
+        }
