@@ -11,6 +11,7 @@ import numpy as np
 
 from dask_geomodeling_tpu import utils
 from dask_geomodeling_tpu.config import config
+from dask_geomodeling_tpu.core import arg
 from dask_geomodeling_tpu.geo.features import GeoSeries
 from dask_geomodeling_tpu.geo.geometry import Point, box
 from dask_geomodeling_tpu.raster.base import BaseSingle, RasterBlock
@@ -95,7 +96,7 @@ class Clip(BaseSingle):
             )
         super().__init__(store, source)
 
-    source = property(lambda self: self.args[1])
+    source = arg(1)
 
     def get_sources_and_requests(self, **request):
         # clamp start/stop to the common period so frames align
@@ -206,7 +207,7 @@ class Mask(BaseSingle):
             raise TypeError("'{}' object is not allowed".format(type(value)))
         super().__init__(store, value)
 
-    value = property(lambda self: self.args[1])
+    value = arg(1)
 
     @property
     def fillvalue(self):
@@ -306,10 +307,10 @@ class Step(BaseSingle):
                 raise TypeError("'{}' object is not allowed".format(type(x)))
         super().__init__(store, left, right, value, at)
 
-    left = property(lambda self: self.args[1])
-    right = property(lambda self: self.args[2])
-    value = property(lambda self: self.args[3])
-    at = property(lambda self: self.args[4])
+    left = arg(1)
+    right = arg(2)
+    value = arg(3)
+    at = arg(4)
 
     process = staticmethod(_step_process)
 
@@ -365,8 +366,8 @@ class Classify(BaseSingle):
             raise TypeError("'bins' should be monotonic")
         super().__init__(store, bins_arr.tolist(), right)
 
-    bins = property(lambda self: self.args[1])
-    right = property(lambda self: self.args[2])
+    bins = arg(1)
+    right = arg(2)
 
     @property
     def dtype(self):
@@ -494,8 +495,8 @@ class Reclassify(BaseSingle):
             raise TypeError("'{}' object is not allowed".format(type(select)))
         super().__init__(store, data, select)
 
-    data = property(lambda self: self.args[1])
-    select = property(lambda self: self.args[2])
+    data = arg(1)
+    select = arg(2)
 
     @property
     def dtype(self):
@@ -518,7 +519,30 @@ class Reclassify(BaseSingle):
     process = staticmethod(_reclassify_process)
 
 
-class Rasterize(RasterBlock):
+class _GeometryRaster(RasterBlock):
+    """Base for rasters burned from vector data: static in time, with no
+    intrinsic grid, projection, or extent of their own."""
+
+    @property
+    def period(self):
+        return (self.DEFAULT_ORIGIN,) * 2
+
+    extent = None
+    timedelta = None
+    temporal = False
+    geometry = None
+    projection = None
+    geo_transform = None
+
+    @staticmethod
+    def _static_answer(mode, instant):
+        """The time/meta response of a single static frame."""
+        if mode == "time":
+            return {"time": [instant]}
+        return {"meta": [None]}
+
+
+class Rasterize(_GeometryRaster):
     """Rasterize a GeometryBlock, burning values from ``column_name`` (or a
     boolean presence raster when no column is given)."""
 
@@ -539,9 +563,9 @@ class Rasterize(RasterBlock):
             raise ValueError("Limit should be greater than 1")
         super().__init__(source, column_name, dtype, limit)
 
-    source = property(lambda self: self.args[0])
-    column_name = property(lambda self: self.args[1])
-    limit = property(lambda self: self.args[3])
+    source = arg(0)
+    column_name = arg(1)
+    limit = arg(3)
 
     @property
     def dtype(self):
@@ -551,67 +575,37 @@ class Rasterize(RasterBlock):
     def fillvalue(self):
         return None if self.dtype == bool else utils.get_dtype_max(self.dtype)
 
-    @property
-    def period(self):
-        return (self.DEFAULT_ORIGIN,) * 2
-
-    @property
-    def extent(self):
-        return None
-
-    @property
-    def timedelta(self):
-        return None
-
-    @property
-    def temporal(self):
-        return False
-
-    @property
-    def geometry(self):
-        return None
-
-    @property
-    def projection(self):
-        return None
-
-    @property
-    def geo_transform(self):
-        return None
+    @staticmethod
+    def _cell_floor(bbox, width, height):
+        """The smallest cell edge of the target grid; None for points."""
+        x1, y1, x2, y2 = bbox
+        if x2 == x1 and y2 == y1:
+            return None
+        if not (x1 < x2 and y1 < y2):
+            raise ValueError("Invalid bbox ({})".format(bbox))
+        return min((x2 - x1) / width, (y2 - y1) / height)
 
     def get_sources_and_requests(self, **request):
         mode = request["mode"]
-        if mode == "time":
-            return [(self.period[-1], None), ({"mode": "time"}, None)]
-        if mode == "meta":
-            return [(None, None), ({"mode": "meta"}, None)]
+        if mode in ("time", "meta"):
+            instant = self.period[-1] if mode == "time" else None
+            return [(instant, None), ({"mode": mode}, None)]
         if mode != "vals":
             raise ValueError("Unknown mode '{}'".format(mode))
 
-        x1, y1, x2, y2 = request["bbox"]
         width, height = request["width"], request["height"]
-
-        if x2 == x1 and y2 == y1:  # point
-            min_size = None
-        elif x1 < x2 and y1 < y2:
-            min_size = min((x2 - x1) / width, (y2 - y1) / height)
-        else:
-            raise ValueError("Invalid bbox ({})".format(request["bbox"]))
-
-        limit = self.limit
-        if self.limit is None:
-            limit = config.get("geomodeling.geometry-limit")
-
         geom_request = {
             "mode": "intersects",
             "geometry": box(*request["bbox"]),
             "projection": request["projection"],
-            "min_size": min_size,
-            "limit": limit,
+            "min_size": self._cell_floor(request["bbox"], width, height),
+            "limit": self.limit
+            if self.limit is not None
+            else config.get("geomodeling.geometry-limit"),
             "start": request.get("start"),
             "stop": request.get("stop"),
         }
-        process_kwargs = {
+        burn_kwargs = {
             "mode": "vals",
             "column_name": self.column_name,
             "dtype": self.dtype,
@@ -620,56 +614,54 @@ class Rasterize(RasterBlock):
             "height": height,
             "bbox": request["bbox"],
         }
-        return [(self.source, geom_request), (process_kwargs, None)]
+        return [(self.source, geom_request), (burn_kwargs, None)]
 
     @staticmethod
-    def process(data, process_kwargs):
-        mode = process_kwargs["mode"]
-        if mode == "time":
-            return {"time": [data]}
-        if mode == "meta":
-            return {"meta": [None]}
-
-        column_name = process_kwargs["column_name"]
-        height = process_kwargs["height"]
-        width = process_kwargs["width"]
-        no_data_value = process_kwargs["no_data_value"]
-        dtype = process_kwargs["dtype"]
-        f = data["features"]
-
+    def _burn_values(features, column_name):
+        """The per-feature burn values, None (presence mask), or False
+        (missing column)."""
         if column_name is None:
-            values = None
-        else:
-            try:
-                values = f[column_name]
-            except KeyError:
-                if f.index.name == column_name:
-                    values = f.index.to_series()
-                else:
-                    values = False
+            return None
+        if column_name in features:
+            return features[column_name]
+        if features.index.name == column_name:
+            return features.index.to_series()
+        return False
 
-        if len(f) == 0 or values is False:
-            values = np.full((1, height, width), no_data_value, dtype=dtype)
-            return {"values": values, "no_data_value": no_data_value}
+    @staticmethod
+    def process(data, burn_kwargs):
+        mode = burn_kwargs["mode"]
+        if mode in ("time", "meta"):
+            return _GeometryRaster._static_answer(mode, data)
 
-        result = utils.rasterize_geoseries(
-            geoseries=f["geometry"] if "geometry" in f else None,
-            values=values,
-            bbox=process_kwargs["bbox"],
+        dtype = burn_kwargs["dtype"]
+        fill = burn_kwargs["no_data_value"]
+        shape = (1, burn_kwargs["height"], burn_kwargs["width"])
+        features = data["features"]
+        burn = Rasterize._burn_values(features, burn_kwargs["column_name"])
+        if len(features) == 0 or burn is False:
+            return {
+                "values": np.full(shape, fill, dtype=dtype),
+                "no_data_value": fill,
+            }
+
+        burned = utils.rasterize_geoseries(
+            geoseries=features["geometry"] if "geometry" in features else None,
+            values=burn,
+            bbox=burn_kwargs["bbox"],
             projection=data["projection"],
-            height=height,
-            width=width,
+            height=shape[1],
+            width=shape[2],
         )
-
-        values = result["values"]
+        raw = burned["values"]
         with np.errstate(over="ignore", under="ignore"):
-            cast_values = values.astype(process_kwargs["dtype"])
-        if result["no_data_value"] != no_data_value:
-            cast_values[values == result["no_data_value"]] = no_data_value
-        return {"values": cast_values, "no_data_value": no_data_value}
+            values = raw.astype(dtype)
+        if burned["no_data_value"] != fill:
+            values[raw == burned["no_data_value"]] = fill
+        return {"values": values, "no_data_value": fill}
 
 
-class RasterizeWKT(RasterBlock):
+class RasterizeWKT(_GeometryRaster):
     """Rasterize a single WKT geometry into a boolean mask."""
 
     def __init__(self, wkt, projection):
@@ -687,20 +679,10 @@ class RasterizeWKT(RasterBlock):
             raise ValueError("The provided projection is not valid")
         super().__init__(wkt, projection)
 
-    wkt = property(lambda self: self.args[0])
-    projection = property(lambda self: self.args[1])
-
-    @property
-    def dtype(self):
-        return np.dtype("bool")
-
-    @property
-    def fillvalue(self):
-        return None
-
-    @property
-    def period(self):
-        return (self.DEFAULT_ORIGIN,) * 2
+    wkt = arg(0)
+    projection = arg(1)
+    dtype = np.dtype("bool")
+    fillvalue = None
 
     @property
     def extent(self):
@@ -711,22 +693,10 @@ class RasterizeWKT(RasterBlock):
         )
 
     @property
-    def timedelta(self):
-        return None
-
-    @property
-    def temporal(self):
-        return False
-
-    @property
     def geometry(self):
         geom = utils.shapely_from_wkt(self.wkt)
         geom.srs = self.projection
         return geom
-
-    @property
-    def geo_transform(self):
-        return None
 
     def get_sources_and_requests(self, **request):
         mode = request["mode"]
@@ -743,10 +713,8 @@ class RasterizeWKT(RasterBlock):
     @staticmethod
     def process(data, request):
         mode = request["mode"]
-        if mode == "time":
-            return {"time": [data]}
-        if mode == "meta":
-            return {"meta": [None]}
+        if mode in ("time", "meta"):
+            return _GeometryRaster._static_answer(mode, data)
 
         geometry = utils.shapely_from_wkt(data["wkt"])
         if data["projection"] != request["projection"]:
@@ -755,17 +723,12 @@ class RasterizeWKT(RasterBlock):
             )
 
         x1, y1, x2, y2 = request["bbox"]
-        if (x1 == x2) and (y1 == y2):
-            bbox_geom = Point(x1, y1)
-        else:
-            bbox_geom = box(x1, y1, x2, y2)
-        if not geometry.intersects(bbox_geom):
-            return {
-                "values": np.full(
-                    (1, request["height"], request["width"]), False, dtype=bool
-                ),
-                "no_data_value": None,
-            }
+        probe = Point(x1, y1) if (x1 == x2 and y1 == y2) else box(x1, y1, x2, y2)
+        if not geometry.intersects(probe):
+            empty = np.full(
+                (1, request["height"], request["width"]), False, dtype=bool
+            )
+            return {"values": empty, "no_data_value": None}
 
         return utils.rasterize_geoseries(
             geoseries=GeoSeries([geometry]) if not geometry.is_empty else None,

@@ -20,6 +20,7 @@ import numpy as np
 import pandas as pd
 from pandas.tseries.frequencies import to_offset
 
+from dask_geomodeling_tpu.core import arg
 from dask_geomodeling_tpu.geo import (
     dtype_for_statistic,
     find_neigbours,
@@ -81,31 +82,23 @@ def _snap_jax(process_kwargs, data=None):
 _snap_process.jax_impl = _snap_jax
 
 
-class Snap(RasterBlock):
+class Snap(BaseSingle):
     """Take cell values from 'store' with the time structure of 'index'.
 
+    Spatial attributes delegate to the store (BaseSingle); the temporal
+    ones — period, timedelta, temporal, length — come from the index.
     During planning this block queries the time structure of both inputs
     (nested host-side get_data, reference temporal.py:131)."""
 
     def __init__(self, store, index):
-        for x in (store, index):
-            if not isinstance(x, RasterBlock):
-                raise TypeError("'{}' object is not allowed".format(type(x)))
+        if not isinstance(index, RasterBlock):
+            raise TypeError("'{}' object is not allowed".format(type(index)))
         super().__init__(store, index)
 
-    store = property(lambda self: self.args[0])
-    index = property(lambda self: self.args[1])
+    index = arg(1)
 
     def __len__(self):
         return len(self.index)
-
-    @property
-    def dtype(self):
-        return self.store.dtype
-
-    @property
-    def fillvalue(self):
-        return self.store.fillvalue
 
     @property
     def period(self):
@@ -118,22 +111,6 @@ class Snap(RasterBlock):
     @property
     def temporal(self):
         return self.index.temporal
-
-    @property
-    def extent(self):
-        return self.store.extent
-
-    @property
-    def geometry(self):
-        return self.store.geometry
-
-    @property
-    def projection(self):
-        return self.store.projection
-
-    @property
-    def geo_transform(self):
-        return self.store.geo_transform
 
     def get_sources_and_requests(self, **request):
         store_period = self.store.period
@@ -161,16 +138,8 @@ class Snap(RasterBlock):
         else:
             # time structure near start, inside the interval, and near stop:
             # result frames may snap to store frames outside [start, stop]
-            def get_store_time_set(start=None, stop=None):
-                result = self.store.get_data(mode="time", start=start, stop=stop)
-                if result is None:
-                    return set()
-                return set(result["time"])
-
-            store_time = sorted(
-                get_store_time_set(start=start)
-                | get_store_time_set(start=start, stop=stop)
-                | get_store_time_set(start=stop)
+            store_time = _probe_time_union(
+                self.store, (start, None), (start, stop), (stop, None)
             )
 
         request["start"] = store_time[0]
@@ -324,6 +293,43 @@ def _get_closest_label(dt, frequency, timezone, side="both"):
     return _ts_to_dt(result, timezone)
 
 
+def _validate_resampling(statistic, allowed, frequency, closed, label, timezone):
+    """Shared constructor validation for the resampling blocks; returns
+    the normalized (statistic, frequency, closed, label, timezone)."""
+    if frequency is not None:
+        if not isinstance(frequency, str):
+            raise TypeError("'{}' object is not allowed.".format(type(frequency)))
+        frequency = normalize_offset(frequency)
+        if closed not in {None, "left", "right"}:
+            raise ValueError("closed must be None, 'left', or 'right'.")
+        if label not in {None, "left", "right"}:
+            raise ValueError("label must be None, 'left', or 'right'.")
+        if not isinstance(timezone, str):
+            raise TypeError("'{}' object is not allowed.".format(type(timezone)))
+        timezone = _validate_timezone(timezone)
+    else:
+        closed = label = timezone = None
+    if not isinstance(statistic, str):
+        raise TypeError("'{}' object is not allowed.".format(type(statistic)))
+    statistic, percentile = parse_percentile_statistic(statistic.lower())
+    if percentile:
+        statistic = "p{0}".format(percentile)
+    elif statistic not in allowed:
+        raise ValueError("Unknown statistic '{}'".format(statistic))
+    return statistic, frequency, closed, label, timezone
+
+
+def _bin_conventions(frequency, closed, label, timezone):
+    """The keyword set every label/bin helper consumes."""
+    closed, label = _default_closed_label(frequency, closed, label)
+    return {
+        "frequency": frequency,
+        "closed": closed,
+        "label": label,
+        "timezone": timezone,
+    }
+
+
 def _default_closed_label(frequency, closed, label):
     """Fill in pandas' frequency-dependent defaults for closed/label."""
     if frequency is None:
@@ -433,6 +439,46 @@ def count_not_nan(x, *args, **kwargs):
     return np.sum(~np.isnan(x), *args, **kwargs)
 
 
+def _probe_time_union(block, *windows):
+    """Sorted union of a block's time structure over several windows."""
+    instants = set()
+    for start, stop in windows:
+        result = block.get_data(mode="time", start=start, stop=stop)
+        if result is not None:
+            instants |= set(result["time"])
+    return sorted(instants)
+
+
+def _resolve_reducer(statistic_string, table):
+    """(reducer, extensive) for a statistic name or p<percentile>."""
+    statistic, percentile = parse_percentile_statistic(statistic_string)
+    if percentile:
+        return partial(np.nanpercentile, q=percentile), False
+    return table[statistic]["func"], table[statistic]["extensive"]
+
+
+def _nan_masked_frames(data, expected_frames, dtype):
+    """Float working copy of the pixel stack with NaN at nodata cells."""
+    values = data["values"]
+    if values.shape[0] != expected_frames:
+        raise RuntimeError("Shape of raster does not match number of timestamps")
+    out = values.astype(np.result_type(np.float32, dtype))
+    out[values == data["no_data_value"]] = np.nan
+    return out
+
+
+class _StatisticDtypeMixin:
+    """dtype/fillvalue derived from the source dtype and the statistic."""
+
+    @property
+    def dtype(self):
+        return dtype_for_statistic(self.source.dtype, self.statistic)
+
+    @property
+    def fillvalue(self):
+        return get_dtype_max(self.dtype)
+
+
 def _aggregate_labels_and_indices(process_kwargs, time_data):
     """Shared host-side label/bin-index computation for TemporalAggregate."""
     start = process_kwargs["start"]
@@ -485,23 +531,12 @@ def _aggregate_process(process_kwargs, time_data=None, data=None):
     if data is None or "values" not in data:
         return None
 
-    values = data["values"]
-    if values.shape[0] != len(time_data["time"]):
-        raise RuntimeError("Shape of raster does not match number of timestamps")
-    statistic, percentile = parse_percentile_statistic(process_kwargs["statistic"])
-    if percentile:
-        extensive = False
-        agg_func = partial(np.nanpercentile, q=percentile)
-    else:
-        extensive = TemporalAggregate.STATISTICS[statistic]["extensive"]
-        agg_func = TemporalAggregate.STATISTICS[statistic]["func"]
-
+    agg_func, extensive = _resolve_reducer(
+        process_kwargs["statistic"], TemporalAggregate.STATISTICS
+    )
     dtype = process_kwargs["dtype"]
     fillvalue = 0 if extensive else get_dtype_max(dtype)
-
-    # float (≥f32) working copy with NaN for nodata
-    values = values.astype(np.result_type(np.float32, dtype))
-    values[data["values"] == data["no_data_value"]] = np.nan
+    values = _nan_masked_frames(data, len(time_data["time"]), dtype)
 
     result = np.full(
         shape=(len(labels), values.shape[1], values.shape[2]),
@@ -589,7 +624,7 @@ def _aggregate_jax(process_kwargs, time_data=None, data=None):
 _aggregate_process.jax_impl = _aggregate_jax
 
 
-class TemporalAggregate(BaseSingle):
+class TemporalAggregate(_StatisticDtypeMixin, BaseSingle):
     """Aggregate a temporal raster into resampling bins.
 
     Args:
@@ -623,50 +658,26 @@ class TemporalAggregate(BaseSingle):
     ):
         if not isinstance(source, RasterBlock):
             raise TypeError("'{}' object is not allowed.".format(type(source)))
-        if frequency is not None:
-            if not isinstance(frequency, str):
-                raise TypeError("'{}' object is not allowed.".format(type(frequency)))
-            frequency = normalize_offset(frequency)
-            if closed not in {None, "left", "right"}:
-                raise ValueError("closed must be None, 'left', or 'right'.")
-            if label not in {None, "left", "right"}:
-                raise ValueError("label must be None, 'left', or 'right'.")
-            if not isinstance(timezone, str):
-                raise TypeError("'{}' object is not allowed.".format(type(timezone)))
-            timezone = _validate_timezone(timezone)
-        else:
-            closed = None
-            label = None
-            timezone = None
-        if not isinstance(statistic, str):
-            raise TypeError("'{}' object is not allowed.".format(type(statistic)))
-        statistic, percentile = parse_percentile_statistic(statistic.lower())
-        if percentile:
-            statistic = "p{0}".format(percentile)
-        elif statistic not in self.STATISTICS:
-            raise ValueError("Unknown statistic '{}'".format(statistic))
+        statistic, frequency, closed, label, timezone = _validate_resampling(
+            statistic, self.STATISTICS, frequency, closed, label, timezone
+        )
         super().__init__(source, frequency, statistic, closed, label, timezone)
 
-    source = property(lambda self: self.args[0])
+    source = arg(0)
+    statistic = arg(2)
+    closed = arg(3)
+    label = arg(4)
+    timezone = arg(5)
 
     @property
     def frequency(self):
         return normalize_offset(self.args[1])
 
-    statistic = property(lambda self: self.args[2])
-    closed = property(lambda self: self.args[3])
-    label = property(lambda self: self.args[4])
-    timezone = property(lambda self: self.args[5])
-
     @property
     def _snap_kwargs(self):
-        closed, label = _default_closed_label(self.frequency, self.closed, self.label)
-        return {
-            "frequency": self.frequency,
-            "closed": closed,
-            "label": label,
-            "timezone": self.timezone,
-        }
+        return _bin_conventions(
+            self.frequency, self.closed, self.label, self.timezone
+        )
 
     @property
     def period(self):
@@ -682,56 +693,38 @@ class TemporalAggregate(BaseSingle):
     def temporal(self):
         return self.frequency is not None
 
-    @property
-    def dtype(self):
-        return dtype_for_statistic(self.source.dtype, self.statistic)
-
-    @property
-    def fillvalue(self):
-        return get_dtype_max(self.dtype)
-
     def get_sources_and_requests(self, **request):
-        kwargs = self._snap_kwargs
-        start = request.get("start")
-        stop = request.get("stop")
         mode = request["mode"]
-        period = self.period
-
         start_label, stop_label = _snap_to_resampled_labels(
-            period, start, stop, frequency=self.frequency, timezone=self.timezone
+            self.period,
+            request.get("start"),
+            request.get("stop"),
+            frequency=self.frequency,
+            timezone=self.timezone,
         )
         if start_label is None:
             return [({"empty": True, "mode": mode}, None)]
 
+        conventions = self._snap_kwargs
+        plan = dict(conventions, mode=mode, start=start_label, stop=stop_label)
         if mode == "time":
-            kwargs["mode"] = "time"
-            kwargs["start"] = start_label
-            kwargs["stop"] = stop_label
-            return [(kwargs, None)]
+            return [(plan, None)]
 
+        # the source window covering the labeled bins
         if self.frequency is None:
-            request["start"], request["stop"] = self.source.period
+            window = self.source.period
         else:
-            request["start"], request["stop"] = _labels_to_start_stop(
-                start_label, stop_label, **kwargs
-            )
+            window = _labels_to_start_stop(start_label, stop_label, **conventions)
+        request["start"], request["stop"] = window
 
-        kwargs["mode"] = request["mode"]
-        kwargs["start"] = start_label
-        kwargs["stop"] = stop_label
         if mode == "vals":
-            kwargs["dtype"] = np.dtype(self.dtype).str
-            kwargs["statistic"] = self.statistic
+            plan["dtype"] = np.dtype(self.dtype).str
+            plan["statistic"] = self.statistic
 
-        time_request = {
-            "mode": "time",
-            "start": request["start"],
-            "stop": request["stop"],
-        }
+        time_request = {"mode": "time", "start": window[0], "stop": window[1]}
         if "time_resolution" in request:
             time_request["time_resolution"] = request["time_resolution"]
-
-        return [(kwargs, None), (self.source, time_request), (self.source, request)]
+        return [(plan, None), (self.source, time_request), (self.source, request)]
 
     process = staticmethod(_aggregate_process)
 
@@ -790,22 +783,12 @@ def _cumulative_process(process_kwargs, time_data=None, data=None):
     if data is None or "values" not in data:
         return None
 
-    values = data["values"]
-    if values.shape[0] != len(times):
-        raise RuntimeError("Shape of raster does not match number of timestamps")
-    statistic, percentile = parse_percentile_statistic(process_kwargs["statistic"])
-    if percentile:
-        extensive = False
-        agg_func = partial(np.nanpercentile, q=percentile)
-    else:
-        extensive = Cumulative.STATISTICS[statistic]["extensive"]
-        agg_func = Cumulative.STATISTICS[statistic]["func"]
-
+    agg_func, extensive = _resolve_reducer(
+        process_kwargs["statistic"], Cumulative.STATISTICS
+    )
     dtype = process_kwargs["dtype"]
     fillvalue = 0 if extensive else get_dtype_max(dtype)
-
-    values = values.astype(np.result_type(np.float32, dtype))
-    values[data["values"] == data["no_data_value"]] = np.nan
+    values = _nan_masked_frames(data, len(times), dtype)
 
     output_mask = (times.index >= start_ts) & (times.index <= stop_ts)
     output_offset = np.where(output_mask)[0][0]
@@ -914,7 +897,7 @@ _cumulative_process.jax_impl = _cumulative_jax
 _cumulative_process.jax_capable = _cumulative_jax_capable
 
 
-class Cumulative(BaseSingle):
+class Cumulative(_StatisticDtypeMixin, BaseSingle):
     """Accumulate cell values over time, resetting each frequency period.
 
     Args:
@@ -932,92 +915,61 @@ class Cumulative(BaseSingle):
     def __init__(self, source, statistic="sum", frequency=None, timezone="UTC"):
         if not isinstance(source, RasterBlock):
             raise TypeError("'{}' object is not allowed.".format(type(source)))
-        if not isinstance(statistic, str):
-            raise TypeError("'{}' object is not allowed.".format(type(statistic)))
-        statistic, percentile = parse_percentile_statistic(statistic.lower())
-        if percentile:
-            statistic = "p{0}".format(percentile)
-        elif statistic not in self.STATISTICS:
-            raise ValueError("Unknown statistic '{}'".format(statistic))
-        if frequency is not None:
-            if not isinstance(frequency, str):
-                raise TypeError("'{}' object is not allowed.".format(type(frequency)))
-            frequency = normalize_offset(frequency)
-            if not isinstance(timezone, str):
-                raise TypeError("'{}' object is not allowed.".format(type(timezone)))
-            timezone = _validate_timezone(timezone)
-        else:
-            timezone = None
+        statistic, frequency, _, _, timezone = _validate_resampling(
+            statistic, self.STATISTICS, frequency, "right", "right", timezone
+        )
         super().__init__(source, statistic, frequency, timezone)
 
-    source = property(lambda self: self.args[0])
-    statistic = property(lambda self: self.args[1])
+    source = arg(0)
+    statistic = arg(1)
+    timezone = arg(3)
 
     @property
     def frequency(self):
         return normalize_offset(self.args[2])
 
-    timezone = property(lambda self: self.args[3])
-
     @property
     def _snap_kwargs(self):
-        return {
-            "frequency": self.frequency,
-            "closed": "right",
-            "label": "right",
-            "timezone": self.timezone,
-        }
-
-    @property
-    def dtype(self):
-        return dtype_for_statistic(self.source.dtype, self.statistic)
-
-    @property
-    def fillvalue(self):
-        return get_dtype_max(self.dtype)
+        return _bin_conventions(self.frequency, "right", "right", self.timezone)
 
     def get_sources_and_requests(self, **request):
-        if request["mode"] == "time":
-            return [({"mode": "time"}, None), (self.source, request)]
-
-        kwargs = self._snap_kwargs
-        start = request.get("start")
-        stop = request.get("stop")
         mode = request["mode"]
+        if mode == "time":
+            return [({"mode": "time"}, None), (self.source, request)]
 
         # nested host-side evaluation: the output times determine how far
         # back the accumulation must reach (reference temporal.py:875)
-        time_data = self.source.get_data(mode="time", start=start, stop=stop)
+        time_data = self.source.get_data(
+            mode="time", start=request.get("start"), stop=request.get("stop")
+        )
         if time_data is None or not time_data.get("time"):
             return [({"empty": True, "mode": mode}, None)]
+        first, last = time_data["time"][0], time_data["time"][-1]
 
-        start = time_data["time"][0]
-        stop = time_data["time"][-1]
-
+        conventions = self._snap_kwargs
         if self.frequency is None:
             request["start"] = self.source.period[0]
-            request["stop"] = stop
+            request["stop"] = last
         else:
+            # reach back to the start of the bin containing the first frame
             request["start"] = _ts_to_dt(
-                _get_bin_start(start, **kwargs), self.timezone
+                _get_bin_start(first, **conventions), self.timezone
             )
-            request["stop"] = stop
-            if kwargs["closed"] != "left":
+            request["stop"] = last
+            if conventions["closed"] != "left":
                 request["stop"] += MICROSECOND
 
-        kwargs["mode"] = request["mode"]
-        kwargs["start"] = start
-        kwargs["stop"] = stop
+        plan = dict(conventions, mode=mode, start=first, stop=last)
         if mode == "vals":
-            kwargs["dtype"] = np.dtype(self.dtype).str
-            kwargs["statistic"] = self.statistic
+            plan["dtype"] = np.dtype(self.dtype).str
+            plan["statistic"] = self.statistic
 
         time_request = {
             "mode": "time",
             "start": request["start"],
             "stop": request["stop"],
         }
-        return [(kwargs, None), (self.source, time_request), (self.source, request)]
+        return [(plan, None), (self.source, time_request), (self.source, request)]
 
     process = staticmethod(_cumulative_process)
 
@@ -1026,24 +978,16 @@ def _resample_process(process_kwargs, data=None):
     mode = process_kwargs["mode"]
     if process_kwargs.get("empty"):
         return None if mode == "vals" else {mode: []}
-    labels = _get_label_range(
-        process_kwargs["start"],
-        process_kwargs["stop"],
-        frequency=process_kwargs["frequency"],
-        timezone=process_kwargs["timezone"],
-    )
     if mode == "time":
+        labels = _get_label_range(
+            process_kwargs["start"],
+            process_kwargs["stop"],
+            frequency=process_kwargs["frequency"],
+            timezone=process_kwargs["timezone"],
+        )
         return {"time": labels}
-
-    nearest = process_kwargs["nearest"]
-    if "values" in data:
-        return {
-            "values": data["values"][np.asarray(nearest)],
-            "no_data_value": data["no_data_value"],
-        }
-    if "meta" in data:
-        return {"meta": [data["meta"][i] for i in nearest]}
-    return data
+    # vals/meta: re-index the source frames onto the labels
+    return _snap_process({"nearest": process_kwargs["nearest"]}, data)
 
 
 _resample_process.jax_impl = _resample_process
@@ -1076,14 +1020,13 @@ class Resample(BaseSingle):
             )
         super().__init__(source, frequency, direction, timezone)
 
-    source = property(lambda self: self.args[0])
+    source = arg(0)
+    direction = arg(2)
+    timezone = arg(3)
 
     @property
     def frequency(self):
         return normalize_offset(self.args[1])
-
-    direction = property(lambda self: self.args[2])
-    timezone = property(lambda self: self.args[3])
 
     def _label_kwargs(self):
         return {"frequency": self.frequency, "timezone": self.timezone}
@@ -1156,16 +1099,11 @@ class Resample(BaseSingle):
             **self._label_kwargs(),
         )
 
-        def get_store_time_set(start=None, stop=None):
-            result = self.store.get_data(mode="time", start=start, stop=stop)
-            if result is None:
-                return set()
-            return set(result["time"])
-
-        store_time = sorted(
-            get_store_time_set(start=index_start)
-            | get_store_time_set(start=index_start, stop=index_stop)
-            | get_store_time_set(start=index_stop)
+        store_time = _probe_time_union(
+            self.store,
+            (index_start, None),
+            (index_start, index_stop),
+            (index_stop, None),
         )
         if not store_time:
             return [({"empty": True, "mode": process_kwargs["mode"]}, None)]
