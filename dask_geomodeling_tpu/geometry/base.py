@@ -10,7 +10,7 @@ plane.
 """
 import pandas as pd
 
-from dask_geomodeling_tpu.core import Block
+from dask_geomodeling_tpu.core import arg, Block
 
 __all__ = ["GeometryBlock", "SeriesBlock", "GetSeriesBlock", "SetSeriesBlock"]
 
@@ -160,7 +160,7 @@ class GetSeriesBlock(SeriesBlock):
             raise KeyError("Column '{}' is not available".format(name))
         super().__init__(source, name)
 
-    source = property(lambda self: self.args[0])
+    source = arg(0)
 
     @staticmethod
     def process(data, name):
@@ -188,7 +188,7 @@ class SetSeriesBlock(GeometryBlock):
                 raise TypeError("'{}' object is not allowed".format(type(column)))
         super().__init__(source, *args)
 
-    source = property(lambda self: self.args[0])
+    source = arg(0)
 
     @property
     def columns(self):
@@ -212,7 +212,7 @@ class BaseSingle(GeometryBlock):
             raise TypeError("'{}' object is not allowed".format(type(source)))
         super().__init__(source, *args)
 
-    source = property(lambda self: self.args[0])
+    source = arg(0)
 
     @property
     def columns(self):
@@ -227,4 +227,4 @@ class BaseSingleSeries(SeriesBlock):
             raise TypeError("'{}' object is not allowed".format(type(source)))
         super().__init__(source, *args)
 
-    source = property(lambda self: self.args[0])
+    source = arg(0)

@@ -9,6 +9,7 @@ import numbers
 
 from dask_geomodeling_tpu.geo import Extent
 from dask_geomodeling_tpu.geometry.base import BaseSingle
+from dask_geomodeling_tpu.core import arg
 
 __all__ = ["Buffer", "Simplify"]
 
@@ -61,9 +62,9 @@ class Buffer(BaseSingle):
             raise TypeError("Argument 'resolution' must be an int.")
         super().__init__(source, distance, projection, resolution)
 
-    distance = property(lambda self: self.args[1])
-    projection = property(lambda self: self.args[2])
-    resolution = property(lambda self: self.args[3])
+    distance = arg(1)
+    projection = arg(2)
+    resolution = arg(3)
 
     def get_sources_and_requests(self, **request):
         plan = {
@@ -93,8 +94,8 @@ class Simplify(BaseSingle):
             bool(preserve_topology),
         )
 
-    tolerance = property(lambda self: self.args[1])
-    preserve_topology = property(lambda self: self.args[2])
+    tolerance = arg(1)
+    preserve_topology = arg(2)
 
     def get_sources_and_requests(self, **request):
         plan = {

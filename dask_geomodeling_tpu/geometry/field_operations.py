@@ -10,6 +10,7 @@ import operator
 import numpy as np
 import pandas as pd
 
+from dask_geomodeling_tpu.core import arg
 from dask_geomodeling_tpu.geometry.base import (
     BaseSingleSeries,
     GeometryBlock,
@@ -103,9 +104,9 @@ class Classify(BaseSingleSeries):
         _check_labels(labels, len(bins))
         super().__init__(source, bins, labels, right)
 
-    bins = property(lambda self: self.args[1])
-    labels = property(lambda self: self.args[2])
-    right = property(lambda self: self.args[3])
+    bins = arg(1)
+    labels = arg(2)
+    right = arg(3)
 
     @staticmethod
     def process(series, bins, labels, right):
@@ -146,11 +147,11 @@ class ClassifyFromColumns(SeriesBlock):
         _check_labels(labels, len(bin_columns))
         super().__init__(source, value_column, bin_columns, labels, right)
 
-    source = property(lambda self: self.args[0])
-    value_column = property(lambda self: self.args[1])
-    bin_columns = property(lambda self: self.args[2])
-    labels = property(lambda self: self.args[3])
-    right = property(lambda self: self.args[4])
+    source = arg(0)
+    value_column = arg(1)
+    bin_columns = arg(2)
+    labels = arg(3)
+    right = arg(4)
 
     @staticmethod
     def process(data, value_column, bin_columns, labels, right):
@@ -189,7 +190,7 @@ class BaseFieldOperation(BaseSingleSeries):
             raise TypeError("'{}' object is not allowed".format(type(other)))
         super().__init__(source, other)
 
-    other = property(lambda self: self.args[1])
+    other = arg(1)
 
 
 class Add(BaseFieldOperation):
@@ -317,8 +318,8 @@ class Where(BaseSingleSeries):
             raise TypeError("'{}' object is not allowed".format(type(cond)))
         super().__init__(source, cond, other)
 
-    cond = property(lambda self: self.args[1])
-    other = property(lambda self: self.args[2])
+    cond = arg(1)
+    other = arg(2)
 
     @staticmethod
     def process(source, cond, other):
@@ -335,8 +336,8 @@ class Mask(BaseSingleSeries):
             raise TypeError("'{}' object is not allowed".format(type(cond)))
         super().__init__(source, cond, other)
 
-    cond = property(lambda self: self.args[1])
-    other = property(lambda self: self.args[2])
+    cond = arg(1)
+    other = arg(2)
 
     @staticmethod
     def process(source, cond, other):

@@ -7,6 +7,7 @@ equal-area CRS gives physical areas; the request CRS may not).
 import pandas as pd
 
 from dask_geomodeling_tpu.geometry.base import GeometryBlock, SeriesBlock
+from dask_geomodeling_tpu.core import arg
 
 __all__ = ["Area"]
 
@@ -23,8 +24,8 @@ class Area(SeriesBlock):
             raise TypeError("Argument 'projection' must be a str.")
         super().__init__(source, projection)
 
-    source = property(lambda self: self.args[0])
-    projection = property(lambda self: self.args[1])
+    source = arg(0)
+    projection = arg(1)
 
     @staticmethod
     def process(data, projection):

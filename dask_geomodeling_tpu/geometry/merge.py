@@ -8,6 +8,7 @@ import pandas as pd
 
 from dask_geomodeling_tpu.geo.geometry import box
 from dask_geomodeling_tpu.geometry.base import GeometryBlock
+from dask_geomodeling_tpu.core import arg
 
 __all__ = ["MergeGeometryBlocks"]
 
@@ -40,10 +41,10 @@ class MergeGeometryBlocks(GeometryBlock):
             raise TypeError("'{}' object is not allowed".format(type(suffixes)))
         super().__init__(left, right, how, tuple(suffixes))
 
-    left = property(lambda self: self.args[0])
-    right = property(lambda self: self.args[1])
-    how = property(lambda self: self.args[2])
-    suffixes = property(lambda self: self.args[3])
+    left = arg(0)
+    right = arg(1)
+    how = arg(2)
+    suffixes = arg(3)
 
     @property
     def columns(self):

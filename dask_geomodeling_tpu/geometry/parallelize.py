@@ -15,6 +15,7 @@ from dask_geomodeling_tpu.geo import shapely_transform
 from dask_geomodeling_tpu.geo.features import GeoDataFrame
 from dask_geomodeling_tpu.geo.geometry import box
 from dask_geomodeling_tpu.geometry.base import BaseSingle
+from dask_geomodeling_tpu.core import arg
 
 __all__ = ["GeometryTiler"]
 
@@ -59,8 +60,8 @@ class GeometryTiler(BaseSingle):
             raise TypeError("'{}' object is not allowed".format(type(projection)))
         super().__init__(source, float(size), projection)
 
-    size = property(lambda self: self.args[1])
-    projection = property(lambda self: self.args[2])
+    size = arg(1)
+    projection = arg(2)
 
     def get_sources_and_requests(self, **request):
         mode = request["mode"]

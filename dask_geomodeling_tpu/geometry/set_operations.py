@@ -8,6 +8,7 @@ unchanged; Intersection clips features to the request geometry.
 from dask_geomodeling_tpu.geo.features import GeoDataFrame
 from dask_geomodeling_tpu.geo.geometry import box
 from dask_geomodeling_tpu.geometry.base import BaseSingle, GeometryBlock
+from dask_geomodeling_tpu.core import arg
 
 __all__ = ["Difference", "Intersection"]
 
@@ -38,7 +39,7 @@ class Difference(BaseSingle):
             raise TypeError("'{}' object is not allowed".format(type(other)))
         super().__init__(source, other)
 
-    other = property(lambda self: self.args[1])
+    other = arg(1)
 
     def get_sources_and_requests(self, **request):
         if request["mode"] == "extent":
@@ -81,7 +82,7 @@ class Intersection(BaseSingle):
             )
         super().__init__(source, other)
 
-    other = property(lambda self: self.args[1])
+    other = arg(1)
 
     def get_sources_and_requests(self, **request):
         return [(self.source, request), (request["geometry"], None)]

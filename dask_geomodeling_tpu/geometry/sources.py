@@ -10,6 +10,7 @@ from dask_geomodeling_tpu import utils
 from dask_geomodeling_tpu.config import config
 from dask_geomodeling_tpu.geo.features import GeoDataFrame
 from dask_geomodeling_tpu.geometry.base import GeometryBlock
+from dask_geomodeling_tpu.core import arg
 
 __all__ = ["GeometryFileSource", "GeometryWKTSource"]
 
@@ -28,9 +29,9 @@ class GeometryFileSource(GeometryBlock):
         safe_url = utils.safe_file_url(url)
         super().__init__(safe_url, layer, id_field)
 
-    url = property(lambda self: self.args[0])
-    layer = property(lambda self: self.args[1])
-    id_field = property(lambda self: self.args[2])
+    url = arg(0)
+    layer = arg(1)
+    id_field = arg(2)
 
     @property
     def path(self):
@@ -158,8 +159,8 @@ class GeometryWKTSource(GeometryBlock):
             raise ValueError("The provided projection is not valid")
         super().__init__(wkt, projection)
 
-    wkt = property(lambda self: self.args[0])
-    projection = property(lambda self: self.args[1])
+    wkt = arg(0)
+    projection = arg(1)
 
     @property
     def columns(self):

@@ -5,7 +5,7 @@ Attribute and request/response contract identical to the reference
 """
 from datetime import datetime as Datetime
 
-from dask_geomodeling_tpu.core import Block
+from dask_geomodeling_tpu.core import arg, Block
 
 __all__ = ["RasterBlock", "BaseSingle"]
 
@@ -151,7 +151,7 @@ class BaseSingle(RasterBlock):
             raise TypeError("'{}' object is not allowed".format(type(store)))
         super().__init__(store, *args)
 
-    store = property(lambda self: self.args[0])
+    store = arg(0)
 
     def __len__(self):
         return len(self.store)

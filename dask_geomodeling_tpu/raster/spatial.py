@@ -26,6 +26,7 @@ from dask_geomodeling_tpu.geo import (
 from dask_geomodeling_tpu.geo.geometry import Point, box
 from dask_geomodeling_tpu.raster.base import BaseSingle, RasterBlock
 from dask_geomodeling_tpu.raster.reduction import check_statistic, reduce_rasters
+from dask_geomodeling_tpu.core import arg
 
 __all__ = ["Dilate", "Smooth", "MovingMax", "HillShade", "Place"]
 
@@ -129,7 +130,7 @@ class Dilate(BaseSingle):
         values = np.asarray(values, dtype=store.dtype)
         super().__init__(store, values.tolist())
 
-    values = property(lambda self: self.args[1])
+    values = arg(1)
 
     def get_sources_and_requests(self, **request):
         new_request = expand_request_pixels(request, radius=1)
@@ -193,7 +194,7 @@ class MovingMax(BaseSingle):
             raise ValueError("The size should be odd and larger than 1")
         super().__init__(store, size)
 
-    size = property(lambda self: self.args[1])
+    size = arg(1)
 
     def get_sources_and_requests(self, **request):
         size = self.size
@@ -290,8 +291,8 @@ class Smooth(BaseSingle):
                 raise TypeError("'{}' object is not allowed".format(type(x)))
         super().__init__(store, size, fill)
 
-    size = property(lambda self: self.args[1])
-    fill = property(lambda self: self.args[2])
+    size = arg(1)
+    fill = arg(2)
 
     def get_sources_and_requests(self, **request):
         if request["mode"] != "vals":
@@ -398,9 +399,9 @@ class HillShade(BaseSingle):
                 raise TypeError("'{}' object is not allowed".format(type(x)))
         super().__init__(store, float(altitude), float(azimuth), fill)
 
-    altitude = property(lambda self: self.args[1])
-    azimuth = property(lambda self: self.args[2])
-    fill = property(lambda self: self.args[3])
+    altitude = arg(1)
+    azimuth = arg(2)
+    fill = arg(3)
 
     @property
     def dtype(self):
@@ -471,10 +472,10 @@ class Place(BaseSingle):
         check_statistic(statistic)
         super().__init__(store, place_projection, anchor, coordinates, statistic)
 
-    place_projection = property(lambda self: self.args[1])
-    anchor = property(lambda self: self.args[2])
-    coordinates = property(lambda self: self.args[3])
-    statistic = property(lambda self: self.args[4])
+    place_projection = arg(1)
+    anchor = arg(2)
+    coordinates = arg(3)
+    statistic = arg(4)
 
     @property
     def projection(self):
