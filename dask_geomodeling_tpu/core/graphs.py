@@ -250,6 +250,16 @@ class Block:
     @staticmethod
     def from_import_path(path):
         module, name = path.rsplit(".", 1)
+        # untrusted deserialization surfaces (e.g. the WMS server) restrict
+        # which modules may be imported BEFORE any import side effect runs
+        allowed = config.get("geomodeling.block-import-paths", None)
+        if allowed is not None and not any(
+            module == prefix or module.startswith(prefix + ".")
+            for prefix in allowed
+        ):
+            raise TypeError(
+                '"{}" is outside the allowed block import paths.'.format(path)
+            )
         __import__(module)
         klass = getattr(sys.modules[module], name)
         if isinstance(klass, type) and issubclass(klass, Block):

@@ -1,20 +1,33 @@
-"""Standalone WMS server: ``python -m dask_geomodeling_tpu.wms_serve [port]``.
+"""Standalone WMS server: ``python -m dask_geomodeling_tpu.wms_serve [port] [host]``.
 
 Serves the WSGI app from ipyleaflet_plugin with the stdlib server — handy
 for driving views from any WMS client without a Jupyter stack.
+
+Hardened defaults for the unauthenticated surface: binds 127.0.0.1 (pass
+an explicit host to expose it) and restricts Block deserialization to
+``dask_geomodeling_tpu.*`` import paths so a query string cannot trigger
+arbitrary module imports (``geomodeling.block-import-paths``).
 """
 import sys
 from wsgiref.simple_server import make_server
 
+from dask_geomodeling_tpu import config
 from dask_geomodeling_tpu.ipyleaflet_plugin import wms_app
 
 
-def main(port=8787):
-    """Serve the WMS WSGI app forever on ``port``."""
-    with make_server("", port, wms_app) as httpd:
-        print("Serving WMS on port %d (GET /wms?layers=<view json>&...)" % port)
+def main(port=8787, host="127.0.0.1", block_import_paths=("dask_geomodeling_tpu",)):
+    """Serve the WMS WSGI app forever on ``host:port``."""
+    config.set({"geomodeling.block-import-paths": list(block_import_paths)})
+    with make_server(host, port, wms_app) as httpd:
+        print(
+            "Serving WMS on %s:%d (GET /wms?layers=<view json>&...)"
+            % (host, port)
+        )
         httpd.serve_forever()
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 8787)
+    main(
+        int(sys.argv[1]) if len(sys.argv) > 1 else 8787,
+        sys.argv[2] if len(sys.argv) > 2 else "127.0.0.1",
+    )

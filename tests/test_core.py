@@ -233,6 +233,24 @@ class TestSerialization:
         path = Add.get_import_path()
         assert Block.from_import_path(path) is Add
 
+    def test_import_path_allowlist(self):
+        from dask_geomodeling_tpu import config
+        from dask_geomodeling_tpu.raster import Add as RasterAdd
+
+        with config.set(
+            {"geomodeling.block-import-paths": ["dask_geomodeling_tpu"]}
+        ):
+            assert (
+                Block.from_import_path(RasterAdd.get_import_path()) is RasterAdd
+            )
+            with pytest.raises(TypeError, match="outside the allowed"):
+                Block.from_import_path("subprocess.Popen")
+            with pytest.raises(TypeError, match="outside the allowed"):
+                Block.from_import_path(Add.get_import_path())  # test-local
+        # unrestricted by default: invalid targets still fail the type check
+        with pytest.raises(TypeError):
+            Block.from_import_path("collections.OrderedDict")
+
 
 class TestSchedulers:
     def _make_graph(self):
