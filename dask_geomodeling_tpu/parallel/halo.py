@@ -13,12 +13,14 @@ import jax.numpy as jnp
 __all__ = ["exchange_halo_y"]
 
 
-def exchange_halo_y(values, radius, axis_name):
+def exchange_halo_y(values, radius, axis_name, top_pad=None, bottom_pad=None):
     """Pad a (b, h, w) shard with ``radius`` rows from its y-neighbours.
 
     Must run inside ``shard_map`` with ``axis_name`` mapping the spatial
-    y-axis of the global raster.  Boundary shards receive zeros (matching a
-    constant-fill stencil edge).
+    y-axis of the global raster.  At the global boundary, shards receive
+    ``top_pad`` / ``bottom_pad`` (real out-of-request source rows of shape
+    (b, radius, w), matching the reference's request over-fetch,
+    reference raster/spatial.py:27-47) or zeros when no pads are given.
 
     Returns an array of shape (b, h + 2*radius, w).
     """
@@ -38,9 +40,13 @@ def exchange_halo_y(values, radius, axis_name):
         top_edge, axis_name, [(i, (i - 1) % n) for i in range(n)]
     )
 
-    # zero the wrapped-around edges at the global boundary
-    zeros = jnp.zeros_like(from_above)
-    from_above = jnp.where(idx == 0, zeros, from_above)
-    from_below = jnp.where(idx == n - 1, zeros, from_below)
+    # the wrapped-around edges at the global boundary see real source
+    # pixels (when supplied) instead of the neighbour across the wrap
+    if top_pad is None:
+        top_pad = jnp.zeros_like(from_above)
+    if bottom_pad is None:
+        bottom_pad = jnp.zeros_like(from_below)
+    from_above = jnp.where(idx == 0, top_pad, from_above)
+    from_below = jnp.where(idx == n - 1, bottom_pad, from_below)
 
     return jnp.concatenate([from_above, values, from_below], axis=1)

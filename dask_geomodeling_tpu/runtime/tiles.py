@@ -30,33 +30,59 @@ class NotLowerable(Exception):
 
 
 def _tile_batch_mesh(batch_size):
-    """A 1-D data-parallel mesh over all devices for tile-batch sharding,
-    or None when disabled (no ``geomodeling.mesh-shape``), single-device,
-    or the batch does not divide evenly."""
+    """The (dp, sp) device mesh for tile-batch sharding, or None when
+    disabled (no ``geomodeling.mesh-shape``), single-device, mismatched
+    with the device count, or the batch does not divide over dp.
+
+    ``geomodeling.mesh-shape`` is (dp,) or (dp, sp): the tile/batch axis
+    shards over dp; with sp > 1 each tile's row axis additionally shards
+    over sp (XLA partitions the pixel pipeline spatially and inserts the
+    halo collectives stencils need)."""
     from dask_geomodeling_tpu import config
 
-    if config.get("geomodeling.mesh-shape", None) is None:
+    shape = config.get("geomodeling.mesh-shape", None)
+    if shape is None:
         return None
     import jax
 
     n_devices = len(jax.devices())
-    if n_devices <= 1 or batch_size % n_devices:
+    dp = int(shape[0])
+    sp = int(shape[1]) if len(shape) > 1 else 1
+    if n_devices <= 1 or dp * sp != n_devices or batch_size % dp:
         return None
-    return _get_dp_mesh(n_devices)
+    return _get_mesh(dp, sp)
 
 
-def _get_dp_mesh(n_devices):
-    mesh = _DP_MESH_CACHE.get(n_devices)
+def _get_mesh(dp, sp):
+    mesh = _MESH_CACHE.get((dp, sp))
     if mesh is None:
         import jax
         from jax.sharding import Mesh
 
-        mesh = Mesh(np.array(jax.devices()), ("dp",))
-        _DP_MESH_CACHE[n_devices] = mesh
+        mesh = Mesh(np.array(jax.devices()).reshape(dp, sp), ("dp", "sp"))
+        _MESH_CACHE[(dp, sp)] = mesh
     return mesh
 
 
-_DP_MESH_CACHE = {}
+_MESH_CACHE = {}
+
+
+def _tile_batch_mesh_for_build():
+    """The configured mesh for program builds (batch divisibility is not
+    known at build time, so only the device-count match is enforced)."""
+    from dask_geomodeling_tpu import config
+
+    shape = config.get("geomodeling.mesh-shape", None)
+    if shape is None:
+        return None
+    import jax
+
+    n_devices = len(jax.devices())
+    dp = int(shape[0])
+    sp = int(shape[1]) if len(shape) > 1 else 1
+    if n_devices <= 1 or dp * sp != n_devices:
+        return None
+    return _get_mesh(dp, sp)
 
 
 _TILE_PROGRAM_CACHE = {}
@@ -201,26 +227,48 @@ class TileProgram:
         return arrays_0
 
     def _build(self):
-        """(Re)jit the vmapped tile program for the current in_axes."""
+        """(Re)jit the vmapped tile program for the current in_axes.
+
+        With a (dp, sp>1) mesh configured, the batched pixel output gets a
+        sharding constraint splitting each tile's row axis over sp — XLA
+        partitions the fused pixel pipeline spatially across those chips
+        (inserting the halo collectives stencils need) before the (dp-
+        sharded) fetch codec runs."""
         import jax
 
         inner = self._program.build_runner({}, self._literal_skeletons)
         codec = self.codec
+        mesh = _tile_batch_mesh_for_build()
 
         def one_tile(*arrays):
             outputs = inner(*arrays)
-            values = outputs[-1]["values"]  # the root node's pixel payload
-            if codec is not None:
-                values = codec.encode(values)
-            return values
+            return outputs[-1]["values"]  # the root node's pixel payload
 
         if any(axis == 0 for axis in self._in_axes):
-            self._compiled = jax.jit(jax.vmap(one_tile, in_axes=self._in_axes))
+            vmapped = jax.vmap(one_tile, in_axes=self._in_axes)
         else:
             # single-tile degenerate case: emulate the batch axis
             import jax.numpy as jnp
 
-            self._compiled = jax.jit(lambda *a: jnp.stack([one_tile(*a)]))
+            def vmapped(*a):
+                return jnp.stack([one_tile(*a)])
+
+        def batched(*arrays):
+            values = vmapped(*arrays)
+            if mesh is not None and mesh.shape.get("sp", 1) > 1:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                values = jax.lax.with_sharding_constraint(
+                    values,
+                    NamedSharding(
+                        mesh, PartitionSpec("dp", None, "sp", None)
+                    ),
+                )
+            if codec is not None:
+                values = jax.vmap(codec.encode)(values)
+            return values
+
+        self._compiled = jax.jit(batched)
 
     def stage_batch(self, view, requests):
         """Host-side staging for one batch: the stacked per-tile input

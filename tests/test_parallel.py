@@ -133,6 +133,109 @@ def test_sharded_gaussian_smooth_matches_scipy(devices):
     np.testing.assert_allclose(out.reshape(4, 64, 32), expected, atol=1e-5)
 
 
+def test_sharded_smooth_real_boundary_pads(devices):
+    """Halo parity at the GLOBAL boundary: with real out-of-request source
+    rows supplied as boundary pads, the sp-sharded Gaussian equals scipy
+    over the full (larger) source — not the zero-filled approximation."""
+    from scipy import ndimage
+
+    from dask_geomodeling_tpu.ops.stencils import (
+        gaussian_blur_jax,
+        gaussian_kernel_1d,
+    )
+    from dask_geomodeling_tpu.parallel import (
+        make_mesh,
+        shard_tile_batch,
+        sharded_pipeline,
+    )
+
+    sigma = 1.0
+    _, radius = gaussian_kernel_1d(sigma)
+    mesh = make_mesh((4, 2))
+    rng = np.random.RandomState(3)
+    # a source taller than the request window: rows [radius, radius+64)
+    source = rng.rand(4, 1, 64 + 2 * radius, 32).astype(np.float32)
+    batch = source[:, :, radius:-radius, :]
+    top_pad = source[:, :, :radius, :]
+    bottom_pad = source[:, :, -radius:, :]
+
+    def smooth(values):
+        import jax.numpy as jnp
+
+        return jnp.asarray(gaussian_blur_jax(values, sigma, sigma, 0.0))
+
+    program = sharded_pipeline(smooth, mesh, halo_radius=radius, boundary="pads")
+    out = np.asarray(
+        program(
+            shard_tile_batch(batch, mesh),
+            jax.device_put(top_pad),
+            jax.device_put(bottom_pad),
+        )
+    )
+
+    # ground truth: smooth the full source, crop to the request window
+    merged = source.reshape(4, 64 + 2 * radius, 32)
+    expected = np.stack(
+        [
+            ndimage.gaussian_filter(m, sigma, mode="constant", cval=0.0)
+            for m in merged
+        ]
+    )[:, radius:-radius, :]
+    np.testing.assert_allclose(out.reshape(4, 64, 32), expected, atol=1e-5)
+    # and the zero-filled variant must NOT match at the global edges
+    zero_program = sharded_pipeline(smooth, mesh, halo_radius=radius)
+    zero_out = np.asarray(zero_program(shard_tile_batch(batch, mesh)))
+    assert not np.allclose(zero_out.reshape(4, 64, 32), expected, atol=1e-5)
+
+
+def test_evaluate_tiled_dp_sp_mesh_stencil(devices):
+    """evaluate_tiled with a (dp, sp) mesh on a stencil view: the tile
+    rows shard over sp (XLA inserts the halo collectives) and the result
+    stays bitwise identical to the host path."""
+    from datetime import datetime, timedelta
+
+    from dask_geomodeling_tpu import config
+    from dask_geomodeling_tpu.raster import Add, Classify, MemorySource, Smooth
+    from dask_geomodeling_tpu.runtime.tiles import evaluate_tiled
+
+    rng = np.random.RandomState(4)
+    source = MemorySource(
+        data=(rng.rand(1, 64, 64) * 250).astype(np.float32),
+        no_data_value=float(np.finfo(np.float32).max),
+        projection="EPSG:28992",
+        pixel_size=1.0,
+        pixel_origin=(135000, 456000),
+        time_first=datetime(2000, 1, 1),
+        time_delta=timedelta(hours=1),
+    )
+    from dask_geomodeling_tpu.raster import MovingMax
+
+    request = dict(
+        mode="vals",
+        bbox=(135000, 455936, 135064, 456000),
+        projection="EPSG:28992",
+        width=64,
+        height=64,
+        start=datetime(2000, 1, 1),
+    )
+    # max-based stencil: order-independent, so sp partitioning is bitwise
+    view = Classify(MovingMax(Add(source, 1), size=5), bins=[50.0, 150.0])
+    expected = view.get_data(**request)
+    with config.set({"geomodeling.mesh-shape": (4, 2)}):
+        actual = evaluate_tiled(view, request, tile_size=32, batch=4)
+    np.testing.assert_array_equal(actual["values"], expected["values"])
+
+    # sum-based stencil: partitioning may reorder float adds; the smoothed
+    # field must agree to float tolerance
+    smooth_view = Smooth(Add(source, 1), size=2)
+    expected_smooth = smooth_view.get_data(**request)
+    with config.set({"geomodeling.mesh-shape": (4, 2)}):
+        actual_smooth = evaluate_tiled(smooth_view, request, tile_size=32, batch=4)
+    np.testing.assert_allclose(
+        actual_smooth["values"], expected_smooth["values"], rtol=2e-4
+    )
+
+
 def test_mesh_2x4_variant(devices):
     from dask_geomodeling_tpu.parallel import (
         make_mesh,
