@@ -393,12 +393,16 @@ def e2s(e, sin_phi):
 
 
 class _LambertConformalConic:
-    """Lambert conformal conic, 2 standard parallels (EPSG method 9802)."""
+    """Lambert conformal conic: 2 standard parallels (EPSG method 9802) or,
+    with ``lat1 == lat2 == lat0``, the 1SP form with its ``k0`` scale at
+    the latitude of origin (EPSG method 9801)."""
 
     is_geographic = False
     unit = "metre"
 
-    def __init__(self, ell, lon0, lat0, lat1, lat2, false_easting, false_northing):
+    def __init__(
+        self, ell, lon0, lat0, lat1, lat2, false_easting, false_northing, k0=1.0
+    ):
         self.ell = ell
         self.lam0 = np.radians(lon0)
         self.fe = false_easting
@@ -416,10 +420,15 @@ class _LambertConformalConic:
 
         self._t = t
         phi0, phi1, phi2 = (np.radians(v) for v in (lat0, lat1, lat2))
-        m1, m2 = m(phi1), m(phi2)
-        t0, t1, t2 = t(phi0), t(phi1), t(phi2)
-        self.n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
-        self.big_f = m1 / (self.n * t1**self.n)
+        m1 = m(phi1)
+        t0, t1 = t(phi0), t(phi1)
+        if phi1 == phi2:
+            # 1SP limit: the cone touches at phi1, n -> sin(phi1)
+            self.n = np.sin(phi1)
+        else:
+            m2, t2 = m(phi2), t(phi2)
+            self.n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+        self.big_f = k0 * m1 / (self.n * t1**self.n)
         self.rho0 = ell.a * self.big_f * t0**self.n
 
     def forward(self, lon, lat, xp=np):
@@ -652,6 +661,251 @@ class _PolarStereographic:
             )
         lam = self.lam0 + self.sign * xp.arctan2(de, -dn)
         return xp.degrees(lam), self.sign * xp.degrees(phi)
+
+
+def _rectifying_series(ell):
+    """(A, forward, inverse) meridian-arc series in the third flattening:
+    M(phi) = A * (phi + sum fwd_j sin(2j phi)) and its inverse
+    phi(mu) = mu + sum inv_j sin(2j mu) (Karney/Snyder rectifying
+    latitude, accurate to n^4)."""
+    n = ell.f / (2.0 - ell.f)
+    big_a = ell.a / (1 + n) * (1 + n**2 / 4 + n**4 / 64)
+    forward = (
+        -3 * n / 2 + 9 * n**3 / 16,
+        15 * n**2 / 16 - 15 * n**4 / 32,
+        -35 * n**3 / 48,
+        315 * n**4 / 512,
+    )
+    inverse = (
+        3 * n / 2 - 27 * n**3 / 32,
+        21 * n**2 / 16 - 55 * n**4 / 32,
+        151 * n**3 / 96,
+        1097 * n**4 / 512,
+    )
+    return big_a, forward, inverse
+
+
+def _meridian_arc(big_a, coeffs, phi, xp=np):
+    mu = phi
+    for j, c in enumerate(coeffs, start=1):
+        mu = mu + c * xp.sin(2 * j * phi)
+    return big_a * mu
+
+
+def _inverse_meridian_arc(big_a, coeffs, arc, xp=np):
+    mu = arc / big_a
+    phi = mu
+    for j, c in enumerate(coeffs, start=1):
+        phi = phi + c * xp.sin(2 * j * mu)
+    return phi
+
+
+class _EquidistantCylindrical:
+    """Equidistant cylindrical, ellipsoidal (EPSG method 1028; spherical
+    9823 is the e=0 case).  True scale along the standard parallel and
+    along every meridian."""
+
+    is_geographic = False
+    unit = "metre"
+
+    def __init__(self, ell, lon0, lat1, lat0, false_easting, false_northing):
+        self.ell = ell
+        self.lon0 = lon0
+        self.fe = false_easting
+        self.fn = false_northing
+        phi1 = np.radians(lat1)
+        self.nu1_cos = (
+            ell.a * np.cos(phi1) / np.sqrt(1 - ell.e2 * np.sin(phi1) ** 2)
+        )
+        self.big_a, self._fwd, self._inv = _rectifying_series(ell)
+        self.m0 = _meridian_arc(self.big_a, self._fwd, np.radians(lat0))
+
+    def forward(self, lon, lat, xp=np):
+        lon = xp.asarray(lon, dtype=float)
+        phi = xp.radians(xp.asarray(lat, dtype=float))
+        dlam = xp.radians((lon - self.lon0 + 180.0) % 360.0 - 180.0)
+        x = self.fe + self.nu1_cos * dlam
+        y = self.fn + _meridian_arc(self.big_a, self._fwd, phi, xp) - self.m0
+        return x, y
+
+    def inverse(self, x, y, xp=np):
+        x = xp.asarray(x, dtype=float)
+        y = xp.asarray(y, dtype=float)
+        lam = (x - self.fe) / self.nu1_cos
+        phi = _inverse_meridian_arc(self.big_a, self._inv, y - self.fn + self.m0, xp)
+        return self.lon0 + xp.degrees(lam), xp.degrees(phi)
+
+
+class _CassiniSoldner:
+    """Cassini-Soldner, ellipsoidal (EPSG method 9806).  True scale along
+    the central meridian; Snyder's series forms."""
+
+    is_geographic = False
+    unit = "metre"
+
+    def __init__(self, ell, lon0, lat0, false_easting, false_northing):
+        self.ell = ell
+        self.lon0 = lon0
+        self.fe = false_easting
+        self.fn = false_northing
+        self.big_a, self._fwd, self._inv = _rectifying_series(ell)
+        self.m0 = _meridian_arc(self.big_a, self._fwd, np.radians(lat0))
+
+    def forward(self, lon, lat, xp=np):
+        ell = self.ell
+        lon = xp.asarray(lon, dtype=float)
+        phi = xp.radians(xp.asarray(lat, dtype=float))
+        dlam = xp.radians((lon - self.lon0 + 180.0) % 360.0 - 180.0)
+        sin_phi, cos_phi, tan_phi = xp.sin(phi), xp.cos(phi), xp.tan(phi)
+        nu = ell.a / xp.sqrt(1 - ell.e2 * sin_phi**2)
+        big_a = dlam * cos_phi
+        big_t = tan_phi**2
+        big_c = ell.e2 * cos_phi**2 / (1 - ell.e2)
+        x = self.fe + nu * (
+            big_a
+            - big_t * big_a**3 / 6
+            - (8 - big_t + 8 * big_c) * big_t * big_a**5 / 120
+        )
+        m = _meridian_arc(self.big_a, self._fwd, phi, xp)
+        y = self.fn + m - self.m0 + nu * tan_phi * (
+            big_a**2 / 2 + (5 - big_t + 6 * big_c) * big_a**4 / 24
+        )
+        return x, y
+
+    def inverse(self, x, y, xp=np):
+        ell = self.ell
+        x = xp.asarray(x, dtype=float)
+        y = xp.asarray(y, dtype=float)
+        phi1 = _inverse_meridian_arc(
+            self.big_a, self._inv, self.m0 + (y - self.fn), xp
+        )
+        sin1, cos1, tan1 = xp.sin(phi1), xp.cos(phi1), xp.tan(phi1)
+        w1 = 1 - ell.e2 * sin1**2
+        nu1 = ell.a / xp.sqrt(w1)
+        rho1 = ell.a * (1 - ell.e2) / w1**1.5
+        big_t1 = tan1**2
+        big_d = (x - self.fe) / nu1
+        phi = phi1 - (nu1 * tan1 / rho1) * (
+            big_d**2 / 2 - (1 + 3 * big_t1) * big_d**4 / 24
+        )
+        lam = (
+            big_d - big_t1 * big_d**3 / 3 + (1 + 3 * big_t1) * big_t1 * big_d**5 / 15
+        ) / cos1
+        return self.lon0 + xp.degrees(lam), xp.degrees(phi)
+
+
+class _HotineObliqueMercator:
+    """Hotine oblique Mercator, ellipsoidal: EPSG method 9812 (variant A,
+    false grid coordinates at the projection's natural origin) and 9815
+    (variant B, false grid coordinates at the projection centre).
+
+    Formulas per EPSG Guidance Note 7-2 §3.2.6.
+    """
+
+    is_geographic = False
+    unit = "metre"
+
+    def __init__(
+        self,
+        ell,
+        lonc,
+        latc,
+        azimuth,
+        rectified_grid_angle,
+        k0,
+        false_easting,
+        false_northing,
+        variant="B",
+    ):
+        self.ell = ell
+        self.fe = false_easting
+        self.fn = false_northing
+        self.variant = variant
+        e, e2 = ell.e, ell.e2
+        phi_c = np.radians(latc)
+        lam_c = np.radians(lonc)
+        alpha_c = np.radians(azimuth)
+        self.gamma_c = np.radians(rectified_grid_angle)
+
+        sin_c, cos_c = np.sin(phi_c), np.cos(phi_c)
+        self.B = np.sqrt(1 + e2 * cos_c**4 / (1 - e2))
+        self.A = (
+            ell.a * self.B * k0 * np.sqrt(1 - e2) / (1 - e2 * sin_c**2)
+        )
+        t_c = np.tan(np.pi / 4 - phi_c / 2) / (
+            (1 - e * sin_c) / (1 + e * sin_c)
+        ) ** (e / 2)
+        big_d = self.B * np.sqrt(1 - e2) / (cos_c * np.sqrt(1 - e2 * sin_c**2))
+        dd = max(big_d * big_d, 1.0)
+        big_f = big_d + np.sqrt(dd - 1) * np.sign(phi_c)
+        self.H = big_f * t_c**self.B
+        big_g = (big_f - 1 / big_f) / 2
+        self.gamma0 = np.arcsin(np.sin(alpha_c) / big_d)
+        self.lam0 = lam_c - np.arcsin(big_g * np.tan(self.gamma0)) / self.B
+        # variant B: the (u, v) origin shifts to the projection centre
+        if abs(azimuth - 90.0) < 1e-12:
+            self.uc = self.A * (lam_c - self.lam0)
+        else:
+            self.uc = (self.A / self.B) * np.arctan2(
+                np.sqrt(dd - 1), np.cos(alpha_c)
+            ) * np.sign(phi_c)
+        self._uc_sign = 1.0 if latc >= 0 else -1.0
+
+    def _to_uv(self, lon, lat, xp):
+        e = self.ell.e
+        phi = xp.radians(xp.asarray(lat, dtype=float))
+        lam = xp.radians(xp.asarray(lon, dtype=float))
+        sin_phi = xp.sin(phi)
+        t = xp.tan(np.pi / 4 - phi / 2) / (
+            (1 - e * sin_phi) / (1 + e * sin_phi)
+        ) ** (e / 2)
+        big_q = self.H / t**self.B
+        big_s = (big_q - 1 / big_q) / 2
+        big_t = (big_q + 1 / big_q) / 2
+        dl = (lam - self.lam0 + np.pi) % (2 * np.pi) - np.pi
+        big_v = xp.sin(self.B * dl)
+        big_u = (-big_v * np.cos(self.gamma0) + big_s * np.sin(self.gamma0)) / big_t
+        v = self.A * xp.log((1 - big_u) / (1 + big_u)) / (2 * self.B)
+        u = (self.A / self.B) * xp.arctan2(
+            big_s * np.cos(self.gamma0) + big_v * np.sin(self.gamma0),
+            xp.cos(self.B * dl),
+        )
+        return u, v
+
+    def forward(self, lon, lat, xp=np):
+        u, v = self._to_uv(lon, lat, xp)
+        if self.variant == "B":
+            u = u - abs(self.uc) * self._uc_sign
+        x = v * np.cos(self.gamma_c) + u * np.sin(self.gamma_c) + self.fe
+        y = u * np.cos(self.gamma_c) - v * np.sin(self.gamma_c) + self.fn
+        return x, y
+
+    def inverse(self, x, y, xp=np):
+        e = self.ell.e
+        dx = xp.asarray(x, dtype=float) - self.fe
+        dy = xp.asarray(y, dtype=float) - self.fn
+        v = dx * np.cos(self.gamma_c) - dy * np.sin(self.gamma_c)
+        u = dy * np.cos(self.gamma_c) + dx * np.sin(self.gamma_c)
+        if self.variant == "B":
+            u = u + abs(self.uc) * self._uc_sign
+        big_q = xp.exp(-self.B * v / self.A)
+        big_s = (big_q - 1 / big_q) / 2
+        big_t = (big_q + 1 / big_q) / 2
+        big_v = xp.sin(self.B * u / self.A)
+        big_u = (big_v * np.cos(self.gamma0) + big_s * np.sin(self.gamma0)) / big_t
+        t = (self.H / xp.sqrt((1 + big_u) / (1 - big_u))) ** (1 / self.B)
+        chi = np.pi / 2 - 2 * xp.arctan(t)
+        phi = chi
+        for _ in range(8):
+            sin_phi = xp.sin(phi)
+            phi = np.pi / 2 - 2 * xp.arctan(
+                t * ((1 - e * sin_phi) / (1 + e * sin_phi)) ** (e / 2)
+            )
+        lam = self.lam0 - xp.arctan2(
+            big_s * np.cos(self.gamma0) - big_v * np.sin(self.gamma0),
+            xp.cos(self.B * u / self.A),
+        ) / self.B
+        return xp.degrees(lam), xp.degrees(phi)
 
 
 class SpatialReference:
@@ -948,15 +1202,8 @@ def _build_projection(method, ell, p):
             ell, lon0=cm, lat0=lat0, k0=k0, false_easting=fe, false_northing=fn
         )
     if method == "lambert_conformal_conic_1sp":
-        # 1SP: both standard parallels at the latitude of origin, k0 applied
-        # via the t-function ratio; our 2SP formulation with sp1 == sp2 ==
-        # lat0 reproduces it only for k0 == 1
-        if abs(k0 - 1.0) > 1e-12:
-            raise TransformException(
-                "Lambert_Conformal_Conic_1SP with scale_factor != 1 "
-                "is not supported"
-            )
-        return _LambertConformalConic(ell, cm, lat0, lat0, lat0, fe, fn)
+        # EPSG 9801: the cone touches at the latitude of origin with k0
+        return _LambertConformalConic(ell, cm, lat0, lat0, lat0, fe, fn, k0=k0)
     if method in ("lambert_conformal_conic_2sp", "lambert_conformal_conic"):
         sp1 = p.get("standard_parallel_1", lat0)
         sp2 = p.get("standard_parallel_2", sp1)
@@ -994,6 +1241,41 @@ def _build_projection(method, ell, p):
         "pseudo_mercator",
     ):
         return _WebMercator()
+    if method in (
+        "equirectangular",
+        "equidistant_cylindrical",
+        "equidistant_cylindrical_spherical",
+        "plate_carree",
+    ):
+        # EPSG 1028/9823: standard parallel from either parameter name
+        lat1 = p.get("standard_parallel_1", p.get("latitude_of_origin", 0.0))
+        lat_origin = p.get("latitude_of_origin", 0.0) if "standard_parallel_1" in p else 0.0
+        return _EquidistantCylindrical(ell, cm, lat1, lat_origin, fe, fn)
+    if method == "cassini_soldner":
+        return _CassiniSoldner(ell, cm, lat0, fe, fn)
+    if method in (
+        "hotine_oblique_mercator",
+        "hotine_oblique_mercator_variant_a",
+        "hotine_oblique_mercator_azimuth_natural_origin",
+        "oblique_mercator",
+        "hotine_oblique_mercator_azimuth_center",
+        "hotine_oblique_mercator_variant_b",
+    ):
+        azimuth = p.get("azimuth", 90.0)
+        gamma = p.get("rectified_grid_angle", azimuth)
+        variant = (
+            "A"
+            if method
+            in (
+                "hotine_oblique_mercator",
+                "hotine_oblique_mercator_variant_a",
+                "hotine_oblique_mercator_azimuth_natural_origin",
+            )
+            else "B"
+        )
+        return _HotineObliqueMercator(
+            ell, cm, lat0, azimuth, gamma, k0, fe, fn, variant=variant
+        )
     raise TransformException("Unsupported projection method: %s" % method)
 
 
@@ -1057,6 +1339,9 @@ _PROJ4_METHODS = {
     "laea": "lambert_azimuthal_equal_area",
     "merc": "mercator_1sp",
     "webmerc": "popular_visualisation_pseudo_mercator",
+    "eqc": "equidistant_cylindrical",
+    "cass": "cassini_soldner",
+    "omerc": "hotine_oblique_mercator_azimuth_center",
 }
 
 
@@ -1151,6 +1436,18 @@ def _sr_from_proj4(text):
             method = "popular_visualisation_pseudo_mercator"
         elif "lat_ts" in parts:
             method = "mercator_2sp"
+    elif proj == "lcc" and "lat_1" not in parts and "lat_2" not in parts:
+        method = "lambert_conformal_conic_1sp"
+    elif proj == "eqc" and "lat_ts" in parts:
+        # +lat_ts is the standard parallel; +lat_0 offsets the y origin
+        params["standard_parallel_1"] = float(parts["lat_ts"])
+    elif proj == "omerc":
+        params["central_meridian"] = float(parts.get("lonc", parts.get("lon_0", 0)))
+        params["azimuth"] = float(parts.get("alpha", 90))
+        if "gamma" in parts:
+            params["rectified_grid_angle"] = float(parts["gamma"])
+        if "no_uoff" in parts or "no_off" in parts:
+            method = "hotine_oblique_mercator"
     projection = _build_projection(method, ell, params)
     key = (method, datum_key, tuple(sorted(params.items())))
     return SpatialReference(None, text, datum_key, projection, key=key)

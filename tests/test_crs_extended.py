@@ -1,0 +1,224 @@
+"""Extended CRS coverage: LCC-1SP (EPSG 9801), equidistant cylindrical
+(1028), Cassini-Soldner (9806), Hotine oblique Mercator (9812/9815).
+
+Validation strategy (no PROJ in this image): spherical-limit equivalence
+with closed-form formulas, ellipsoidal meridian-arc cross-check against
+numerical integration, differential scale checks at defining points
+(conformal k0 contracts), and forward/inverse roundtrip fuzz.
+"""
+import numpy as np
+import pytest
+from scipy import integrate
+
+from dask_geomodeling_tpu.geo.crs import (
+    _CassiniSoldner,
+    _EquidistantCylindrical,
+    _HotineObliqueMercator,
+    _LambertConformalConic,
+    _ellipsoid,
+    get_sr,
+    transform_points,
+)
+
+WGS84 = _ellipsoid("WGS84")
+R_SPHERE = 6370997.0
+
+
+def _sphere():
+    import dask_geomodeling_tpu.geo.crs as crs
+
+    key = ("sphere",)
+    if key not in crs.ELLIPSOIDS:
+        crs.ELLIPSOIDS = crs.ELLIPSOIDS  # no-op; sphere exists already
+    return _ellipsoid("sphere")
+
+
+def _meridian_distance(ell, lat0, lat1):
+    """Ellipsoidal meridian arc by numerical integration (ground truth)."""
+
+    def rho(phi):
+        return ell.a * (1 - ell.e2) / (1 - ell.e2 * np.sin(phi) ** 2) ** 1.5
+
+    return integrate.quad(
+        rho, np.radians(lat0), np.radians(lat1), epsabs=1e-6
+    )[0]
+
+
+def _roundtrip(proj, lons, lats, tol=1e-8):
+    x, y = proj.forward(lons, lats)
+    lon2, lat2 = proj.inverse(x, y)
+    np.testing.assert_allclose(lon2, lons, atol=tol)
+    np.testing.assert_allclose(lat2, lats, atol=tol)
+
+
+class TestEquidistantCylindrical:
+    def test_spherical_closed_form(self):
+        sphere = _sphere()
+        proj = _EquidistantCylindrical(sphere, 10.0, 30.0, 0.0, 0.0, 0.0)
+        lon, lat = 25.0, 42.0
+        x, y = proj.forward(lon, lat)
+        r = sphere.a
+        assert abs(x - r * np.cos(np.radians(30.0)) * np.radians(15.0)) < 1e-6
+        assert abs(y - r * np.radians(42.0)) < 1e-6
+
+    def test_meridian_arc_matches_integration(self):
+        proj = _EquidistantCylindrical(WGS84, 0.0, 0.0, 0.0, 0.0, 0.0)
+        for lat in (15.0, 45.0, 75.0, -60.0):
+            _, y = proj.forward(0.0, lat)
+            assert abs(y - _meridian_distance(WGS84, 0.0, lat)) < 1e-3
+
+    def test_roundtrip(self):
+        rng = np.random.RandomState(0)
+        proj = _EquidistantCylindrical(WGS84, 12.0, 35.0, 5.0, 1000.0, 2000.0)
+        _roundtrip(proj, rng.uniform(-170, 170, 50), rng.uniform(-85, 85, 50))
+
+    def test_proj4_parse(self):
+        sr = get_sr("+proj=eqc +lat_ts=30 +lon_0=10 +ellps=WGS84 +towgs84=0,0,0")
+        x, y = sr.projection.forward(25.0, 42.0)
+        assert np.isfinite(x) and np.isfinite(y)
+
+
+class TestCassiniSoldner:
+    def test_spherical_closed_form(self):
+        sphere = _sphere()
+        proj = _CassiniSoldner(sphere, -61.0, 10.0, 0.0, 0.0)
+        r = sphere.a
+        for lon, lat in [(-60.0, 11.0), (-62.5, 9.0), (-61.0, 12.0)]:
+            x, y = proj.forward(lon, lat)
+            dlam = np.radians(lon + 61.0)
+            phi = np.radians(lat)
+            x_true = r * np.arcsin(np.cos(phi) * np.sin(dlam))
+            y_true = r * (
+                np.arctan2(np.tan(phi), np.cos(dlam)) - np.radians(10.0)
+            )
+            assert abs(x - x_true) < 0.5  # series vs exact, small dlam
+            assert abs(y - y_true) < 0.5
+
+    def test_central_meridian_true_scale(self):
+        proj = _CassiniSoldner(WGS84, 5.0, 52.0, 0.0, 0.0)
+        x, y = proj.forward(5.0, 53.5)
+        assert abs(x) < 1e-9
+        assert abs(y - _meridian_distance(WGS84, 52.0, 53.5)) < 1e-3
+
+    def test_roundtrip(self):
+        rng = np.random.RandomState(1)
+        proj = _CassiniSoldner(WGS84, -61.3333, 10.4417, 86501.46, 65379.01)
+        # Cassini series are valid near the central meridian
+        _roundtrip(
+            proj,
+            -61.3333 + rng.uniform(-3, 3, 50),
+            10.4417 + rng.uniform(-4, 4, 50),
+            tol=1e-7,
+        )
+
+
+class TestHotineObliqueMercator:
+    def _rso_borneo(self, variant):
+        # Timbalai 1948 / RSO Borneo parameters (EPSG guidance example)
+        return _HotineObliqueMercator(
+            _ellipsoid("evrst30")
+            if False
+            else WGS84,  # everest not registered; WGS84 exercises the math
+            115.0,
+            4.0,
+            53.31582,  # azimuth
+            53.13010,  # rectified grid angle
+            0.99984,
+            590476.87,
+            442857.65,
+            variant=variant,
+        )
+
+    def test_center_maps_to_false_origin_variant_b(self):
+        proj = self._rso_borneo("B")
+        x, y = proj.forward(115.0, 4.0)
+        assert abs(x - 590476.87) < 1e-3
+        assert abs(y - 442857.65) < 1e-3
+
+    def test_conformal_scale_at_center(self):
+        """At the projection centre the point scale equals kc."""
+        proj = self._rso_borneo("B")
+        lat, lon, kc = 4.0, 115.0, 0.99984
+        x0, y0 = proj.forward(lon, lat)
+        # geodesic displacements of ~10 m in two directions
+        rho = WGS84.a * (1 - WGS84.e2) / (1 - WGS84.e2 * np.sin(np.radians(lat)) ** 2) ** 1.5
+        nu = WGS84.a / np.sqrt(1 - WGS84.e2 * np.sin(np.radians(lat)) ** 2)
+        dphi = 10.0 / rho
+        dlam = 10.0 / (nu * np.cos(np.radians(lat)))
+        for dlon, dlat in [(0.0, np.degrees(dphi)), (np.degrees(dlam), 0.0)]:
+            x1, y1 = proj.forward(lon + dlon, lat + dlat)
+            scale = np.hypot(x1 - x0, y1 - y0) / 10.0
+            assert abs(scale - kc) < 1e-4
+
+    @pytest.mark.parametrize("variant", ["A", "B"])
+    def test_roundtrip(self, variant):
+        rng = np.random.RandomState(2)
+        proj = self._rso_borneo(variant)
+        _roundtrip(
+            proj,
+            115.0 + rng.uniform(-5, 5, 50),
+            4.0 + rng.uniform(-3, 3, 50),
+            tol=1e-7,
+        )
+
+    def test_variants_differ_by_uc_shift(self):
+        a = self._rso_borneo("A")
+        b = self._rso_borneo("B")
+        xa, ya = a.forward(116.0, 5.0)
+        xb, yb = b.forward(116.0, 5.0)
+        du = np.hypot(xa - xb, ya - yb)
+        assert abs(du - abs(b.uc)) < 1e-6
+
+    def test_proj4_parse_roundtrip(self):
+        sr = get_sr(
+            "+proj=omerc +lat_0=4 +lonc=115 +alpha=53.31582 +gamma=53.1301 "
+            "+k_0=0.99984 +x_0=590476.87 +y_0=442857.65 +ellps=WGS84 "
+            "+towgs84=0,0,0"
+        )
+        x, y = sr.projection.forward(115.5, 4.5)
+        lon, lat = sr.projection.inverse(x, y)
+        assert abs(lon - 115.5) < 1e-8 and abs(lat - 4.5) < 1e-8
+
+
+class TestLambertConformalConic1SP:
+    def test_finite_and_roundtrip(self):
+        # regression: sp1 == sp2 used to produce NaN (0/0 in n)
+        proj = _LambertConformalConic(WGS84, 0.0, 45.0, 45.0, 45.0, 0.0, 0.0)
+        x, y = proj.forward(1.0, 46.0)
+        assert np.isfinite(x) and np.isfinite(y)
+        rng = np.random.RandomState(3)
+        _roundtrip(proj, rng.uniform(-20, 20, 50), rng.uniform(25, 65, 50))
+
+    def test_scale_at_origin_is_k0(self):
+        k0 = 0.99987742
+        proj = _LambertConformalConic(
+            WGS84, 2.337229, 46.8, 46.8, 46.8, 600000.0, 2200000.0, k0=k0
+        )
+        lat, lon = 46.8, 2.337229
+        x0, y0 = proj.forward(lon, lat)
+        nu = WGS84.a / np.sqrt(1 - WGS84.e2 * np.sin(np.radians(lat)) ** 2)
+        dlam = 10.0 / (nu * np.cos(np.radians(lat)))
+        x1, y1 = proj.forward(lon + np.degrees(dlam), lat)
+        assert abs(np.hypot(x1 - x0, y1 - y0) / 10.0 - k0) < 1e-6
+
+    def test_wkt_parse(self):
+        wkt = (
+            'PROJCS["Jamaica-style LCC 1SP",GEOGCS["WGS 84",'
+            'DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563],'
+            "TOWGS84[0,0,0,0,0,0,0]],"
+            'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+            'PROJECTION["Lambert_Conformal_Conic_1SP"],'
+            'PARAMETER["latitude_of_origin",18],'
+            'PARAMETER["central_meridian",-77],'
+            'PARAMETER["scale_factor",0.99],'
+            'PARAMETER["false_easting",250000],'
+            'PARAMETER["false_northing",150000],UNIT["metre",1]]'
+        )
+        sr = get_sr(wkt)
+        x, y = sr.projection.forward(-77.0, 18.0)
+        assert abs(x - 250000.0) < 1e-6 and abs(y - 150000.0) < 1e-6
+        px, py = sr.projection.forward(-76.5, 17.8)
+        (lon,), (lat,) = transform_points(
+            np.array([px]), np.array([py]), wkt, "EPSG:4326"
+        )
+        assert abs(lon - -76.5) < 1e-8 and abs(lat - 17.8) < 1e-8

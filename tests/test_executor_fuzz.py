@@ -159,6 +159,20 @@ class TestWarpFuzz:
         ("EPSG:28992", "EPSG:2154"),
         ("EPSG:28992", "EPSG:3035"),
         ("EPSG:28992", "EPSG:27700"),
+        # round-2 additions: equidistant cylindrical, Cassini-Soldner,
+        # Hotine oblique Mercator, LCC-1SP with scale factor
+        ("EPSG:28992", "+proj=eqc +lat_ts=45 +lon_0=5 +ellps=WGS84 +towgs84=0,0,0"),
+        ("EPSG:28992", "+proj=cass +lat_0=52 +lon_0=5 +ellps=WGS84 +towgs84=0,0,0"),
+        (
+            "EPSG:28992",
+            "+proj=omerc +lat_0=52 +lonc=5 +alpha=45 +gamma=45 +k_0=0.9999 "
+            "+ellps=WGS84 +towgs84=0,0,0",
+        ),
+        (
+            "EPSG:28992",
+            "+proj=lcc +lat_0=52 +lon_0=5 +k_0=0.9999 +x_0=600000 "
+            "+y_0=2200000 +ellps=WGS84 +towgs84=0,0,0",
+        ),
     ]
 
     @pytest.mark.parametrize("dst", [pair[1] for pair in CRS_PAIRS])
