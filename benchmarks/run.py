@@ -142,22 +142,23 @@ def main():
         projection="EPSG:28992",
     )
     source = make_source(px)
-    agg = AggregateRaster(geom, source, statistic="mean")
     geo_request = dict(
         mode="intersects",
         geometry=box(135000, 455000, 135000 + px, 456000),
         projection="EPSG:28992",
         start=datetime(2000, 1, 1),
     )
-    agg.get_data(**geo_request)
-    host = min(time_once(agg, geo_request) for _ in range(2))
-    with config.set({"geomodeling.aggregate-device": True}):
+    for statistic in ("mean", "median", "std", "p90"):
+        agg = AggregateRaster(geom, source, statistic=statistic)
         agg.get_data(**geo_request)
-        device = min(time_once(agg, geo_request) for _ in range(2))
-    print(
-        "%-18s %12.3f %12.3f %7.1fx"
-        % ("zonal (s/req)", host, device, host / device)
-    )
+        host = min(time_once(agg, geo_request) for _ in range(2))
+        with config.set({"geomodeling.aggregate-device": True}):
+            agg.get_data(**geo_request)
+            device = min(time_once(agg, geo_request) for _ in range(2))
+        print(
+            "%-18s %12.3f %12.3f %7.1fx"
+            % ("zonal %s (s/req)" % statistic, host, device, host / device)
+        )
 
 
 if __name__ == "__main__":

@@ -53,7 +53,10 @@ defaults = {
     # 0.125 px error model); 1 = exact per-pixel CRS transform
     "geomodeling.warp-approx-stride": 8,
     # run zonal statistics as device segment reductions (ops/segment.py);
-    # off by default: only pays off when devices are local, not tunneled
+    # off by default from measurement (benchmarks/run.py zonal rows):
+    # per-frame host<->device round trips lose to scipy.ndimage at typical
+    # aggregation sizes (0.2-0.5x on CPU-XLA; worse over the TPU tunnel) —
+    # enable when frames are large and devices are local
     "geomodeling.aggregate-device": False,
     # use the fused Pallas kernel for Gaussian smoothing on TPU
     "geomodeling.pallas-smooth": True,

@@ -32,7 +32,9 @@ from dask_geomodeling_tpu.raster import RasterBlock
 
 __all__ = ["AggregateRaster", "AggregateRasterAboveThreshold", "bucketize"]
 
-# per-statistic host reducer + whether the result scales with cell area
+# per-statistic host reducer + whether the result scales with cell area.
+# std/var extend the reference's set (they fall out of the same labeled
+# machinery on both the host and device paths).
 STATISTIC_REGISTRY = {
     "sum": (ndimage.sum, True),
     "count": (ndimage.sum, True),
@@ -40,10 +42,12 @@ STATISTIC_REGISTRY = {
     "max": (ndimage.maximum, False),
     "mean": (ndimage.mean, False),
     "median": (ndimage.median, False),
+    "std": (ndimage.standard_deviation, False),
+    "var": (ndimage.variance, False),
     "percentile": (measurements.percentile, False),
 }
 
-DEVICE_STATISTICS = {"sum", "count", "mean", "min", "max", "median", "percentile"}
+DEVICE_STATISTICS = frozenset(STATISTIC_REGISTRY)
 
 
 def _footprint(bbox):
@@ -208,11 +212,14 @@ def aggregate_polygons(
             active_labels = labels[active]
             hit = list(set(np.unique(active_labels)) & set(group))
             if hit:
-                agg[frame_no][hit] = reducer(
-                    1 if statistic == "count" else frame[active],
-                    labels=active_labels,
-                    index=hit,
-                )
+                # ndimage's std/var warn on internal empty divisions even
+                # though every hit label has cells; the results are exact
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    agg[frame_no][hit] = reducer(
+                        1 if statistic == "count" else frame[active],
+                        labels=active_labels,
+                        index=hit,
+                    )
     return agg, list(uncovered)
 
 

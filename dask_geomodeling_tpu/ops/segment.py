@@ -15,7 +15,7 @@ import numpy as np
 
 __all__ = ["labeled_statistic_jax", "labeled_percentile_jax"]
 
-_SUPPORTED = ("sum", "count", "mean", "min", "max")
+_SUPPORTED = ("sum", "count", "mean", "min", "max", "std", "var", "median")
 
 
 def labeled_statistic_jax(values, labels, active, num_labels, statistic):
@@ -27,7 +27,7 @@ def labeled_statistic_jax(values, labels, active, num_labels, statistic):
         inactive cells)
       active: (h, w) boolean array of cells that participate
       num_labels (int, static): number of label slots in the output
-      statistic: one of sum count mean min max
+      statistic: one of sum count mean min max std var median
 
     Returns:
       (num_labels,) float32 array; labels without active cells yield NaN
@@ -39,6 +39,9 @@ def labeled_statistic_jax(values, labels, active, num_labels, statistic):
 
     if statistic not in _SUPPORTED:
         raise ValueError("Unsupported device statistic '{}'".format(statistic))
+
+    if statistic == "median":
+        return labeled_percentile_jax(values, labels, active, num_labels, 50.0)
 
     flat_labels = labels.ravel()
     flat_active = active.ravel()
@@ -52,7 +55,7 @@ def labeled_statistic_jax(values, labels, active, num_labels, statistic):
     if statistic == "count":
         return jnp.where(present, counts, jnp.nan)
 
-    if statistic in ("sum", "mean"):
+    if statistic in ("sum", "mean", "std", "var"):
         total = jax.ops.segment_sum(
             jnp.where(flat_active, flat_values, 0.0),
             flat_labels,
@@ -60,7 +63,21 @@ def labeled_statistic_jax(values, labels, active, num_labels, statistic):
         )
         if statistic == "sum":
             return jnp.where(present, total, jnp.nan)
-        return jnp.where(present, total / counts, jnp.nan)
+        mean = total / jnp.where(present, counts, 1.0)
+        if statistic == "mean":
+            return jnp.where(present, mean, jnp.nan)
+        # shifted second pass (ddof=0, matching ndimage.variance): gather
+        # each cell's segment mean and accumulate squared deviations
+        deviation = flat_values - mean[flat_labels]
+        sq = jax.ops.segment_sum(
+            jnp.where(flat_active, deviation * deviation, 0.0),
+            flat_labels,
+            num_segments=num_labels,
+        )
+        variance = sq / jnp.where(present, counts, 1.0)
+        if statistic == "var":
+            return jnp.where(present, variance, jnp.nan)
+        return jnp.where(present, jnp.sqrt(variance), jnp.nan)
 
     if statistic == "min":
         result = jax.ops.segment_min(

@@ -85,6 +85,8 @@ class TestAggregateRaster:
             ("min", np.min),
             ("max", np.max),
             ("median", np.median),
+            ("std", np.std),
+            ("var", np.var),
             ("p75", lambda x: np.percentile(x, 75)),
         ],
     )
@@ -429,7 +431,8 @@ class TestDeviceAggregate:
     square = [(2, 2), (6, 2), (6, 6), (2, 6)]
 
     @pytest.mark.parametrize(
-        "statistic", ["sum", "count", "mean", "min", "max", "median", "p75"]
+        "statistic",
+        ["sum", "count", "mean", "min", "max", "median", "std", "var", "p75"],
     )
     def test_device_matches_host(self, raster, request_all, statistic):
         geom = MockGeometry(
@@ -473,6 +476,9 @@ class TestDeviceAggregate:
             ("mean", ndimage.mean),
             ("min", ndimage.minimum),
             ("max", ndimage.maximum),
+            ("std", ndimage.standard_deviation),
+            ("var", ndimage.variance),
+            ("median", ndimage.median),
         ]:
             result = np.asarray(
                 labeled_statistic_jax(values, labels, active, 5, statistic)
