@@ -1,18 +1,23 @@
 """Native GeoTIFF codec (replaces GDAL dataset I/O, reference
 dask_geomodeling/raster/sources.py:66-71,449-455 and sinks.py:107-141).
 
-Supports classic little-endian TIFF with:
+Read support (foreign files):
 
+- classic TIFF and BigTIFF, little- and big-endian
 - striped or tiled layout, chunky (contig) or planar organization
-- uncompressed or DEFLATE (zlib) compression, horizontal differencing
-  predictor for integers
+- uncompressed, DEFLATE (zlib), LZW (with early-change), PackBits
+- horizontal-differencing predictor (2) for integer samples
 - dtypes: u1 i1 u2 i2 u4 i4 f4 f8 (bool is stored as u1)
-- GeoTIFF georeferencing: ModelPixelScale + ModelTiepoint, EPSG code via the
-  GeoKeyDirectory; nodata via the GDAL_NODATA ASCII tag; per-band metadata
-  as JSON in ImageDescription
+- GeoTIFF georeferencing: ModelPixelScale + ModelTiepoint, EPSG code via
+  the GeoKeyDirectory; nodata via the GDAL_NODATA ASCII tag; per-band
+  metadata as JSON in ImageDescription
 
-Bands are the time axis (t, y, x), written planar (one plane per band) so a
-band slice is one contiguous read — this is what the async tile feeder
+Write support: classic or BigTIFF (auto-selected when the payload would
+overflow classic TIFF's 32-bit offsets — >4 GB exports), little- or
+big-endian, uncompressed or DEFLATE, striped or tiled.
+
+Bands are the time axis (t, y, x), written planar (one plane per band) so
+a band slice is one contiguous read — this is what the async tile feeder
 streams into HBM.
 """
 import json
@@ -47,18 +52,23 @@ _MODEL_TIEPOINT = 33922
 _GEO_KEY_DIRECTORY = 34735
 _GDAL_NODATA = 42113
 
+_TYPE_ASCII = 2
 _TYPE_SHORT = 3
 _TYPE_LONG = 4
-_TYPE_RATIONAL = 5
-_TYPE_ASCII = 2
 _TYPE_DOUBLE = 12
+_TYPE_LONG8 = 16
 
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
+_TYPE_SIZES = {
+    1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4,
+    12: 8, 16: 8, 17: 8, 18: 8,
+}
 
 _SAMPLE_FORMATS = {"u": 1, "i": 2, "f": 3, "b": 1}
 
 _COMPRESSION_NONE = 1
+_COMPRESSION_LZW = 5
 _COMPRESSION_DEFLATE = 8
+_COMPRESSION_PACKBITS = 32773
 _COMPRESSION_DEFLATE_OLD = 32946
 
 
@@ -104,6 +114,41 @@ def _projection_from_geokeys(shorts):
     return None
 
 
+class _TiffLayout:
+    """Structural constants of the two TIFF container formats."""
+
+    def __init__(self, bigtiff, byte_order):
+        self.bigtiff = bigtiff
+        self.bo = byte_order
+        if bigtiff:
+            self.header_size = 16
+            self.entry_size = 20
+            self.count_fmt = "Q"  # IFD entry count
+            self.offset_fmt = "Q"
+            self.inline_size = 8
+            self.offsets_type = _TYPE_LONG8
+        else:
+            self.header_size = 8
+            self.entry_size = 12
+            self.count_fmt = "H"
+            self.offset_fmt = "I"
+            self.inline_size = 4
+            self.offsets_type = _TYPE_LONG
+
+    def header(self, ifd_offset):
+        magic = b"II" if self.bo == "<" else b"MM"
+        if self.bigtiff:
+            return magic + struct.pack(
+                self.bo + "HHHQ", 43, 8, 0, ifd_offset
+            )
+        return magic + struct.pack(self.bo + "HI", 42, ifd_offset)
+
+    def ifd_size(self, n_entries):
+        count_size = 8 if self.bigtiff else 2
+        next_size = 8 if self.bigtiff else 4
+        return count_size + n_entries * self.entry_size + next_size
+
+
 def write_geotiff(
     path,
     array,
@@ -114,8 +159,14 @@ def write_geotiff(
     compress="deflate",
     tiled=False,
     tile_size=256,
+    bigtiff=None,
+    byte_order="<",
 ):
-    """Write a (bands, height, width) array as a GeoTIFF."""
+    """Write a (bands, height, width) array as a GeoTIFF.
+
+    ``bigtiff=None`` auto-selects: the BigTIFF container is used whenever
+    the pixel payload could overflow classic TIFF's 32-bit offsets.
+    """
     array = np.asarray(array)
     if array.ndim == 2:
         array = array[np.newaxis]
@@ -124,6 +175,11 @@ def write_geotiff(
     bands, height, width = array.shape
     dtype = array.dtype
     compression = _COMPRESSION_DEFLATE if compress == "deflate" else _COMPRESSION_NONE
+    if bigtiff is None:
+        bigtiff = array.nbytes > 2**32 - 2**16
+    layout = _TiffLayout(bigtiff, byte_order)
+    bo = byte_order
+    file_dtype = dtype.newbyteorder(bo)
 
     # encode pixel payload per band (planar organization)
     chunks = []  # list of (bytes) in file order
@@ -134,14 +190,17 @@ def write_geotiff(
         for b in range(bands):
             for ty in range(tiles_y):
                 for tx in range(tiles_x):
-                    tile = np.zeros((th, tw), dtype=dtype)
+                    tile = np.zeros((th, tw), dtype=file_dtype)
                     ys, xs = ty * th, tx * tw
                     sub = array[b, ys : ys + th, xs : xs + tw]
                     tile[: sub.shape[0], : sub.shape[1]] = sub
                     chunks.append(_encode(tile.tobytes(), compression))
     else:
         for b in range(bands):
-            chunks.append(_encode(array[b].tobytes(), compression))
+            chunks.append(
+                _encode(np.ascontiguousarray(array[b], file_dtype).tobytes(),
+                        compression)
+            )
 
     # assemble tags
     tags = []
@@ -171,17 +230,17 @@ def write_geotiff(
     if tiled:
         tag(_TILE_WIDTH, _TYPE_SHORT, [tw])
         tag(_TILE_LENGTH, _TYPE_SHORT, [th])
-        offsets_tag = (_TILE_OFFSETS, _TYPE_LONG)
-        counts_tag = (_TILE_BYTE_COUNTS, _TYPE_LONG)
+        offsets_tag = (_TILE_OFFSETS, layout.offsets_type)
+        counts_tag = (_TILE_BYTE_COUNTS, layout.offsets_type)
     else:
         tag(_ROWS_PER_STRIP, _TYPE_LONG, [height])
-        offsets_tag = (_STRIP_OFFSETS, _TYPE_LONG)
-        counts_tag = (_STRIP_BYTE_COUNTS, _TYPE_LONG)
+        offsets_tag = (_STRIP_OFFSETS, layout.offsets_type)
+        counts_tag = (_STRIP_BYTE_COUNTS, layout.offsets_type)
 
-    # layout: header(8) | IFD | out-of-line tag data | chunk data
+    # layout: header | IFD | out-of-line tag data | chunk data
     n_entries = len(tags) + 2  # plus offsets & counts
-    ifd_offset = 8
-    ifd_size = 2 + n_entries * 12 + 4
+    ifd_offset = layout.header_size
+    ifd_size = layout.ifd_size(n_entries)
 
     # serialize tag values, collecting out-of-line payloads
     extra = bytearray()
@@ -191,11 +250,15 @@ def write_geotiff(
         if ttype == _TYPE_ASCII:
             data = values.encode() + b"\x00"
             return data, len(data)
-        fmt = {_TYPE_SHORT: "H", _TYPE_LONG: "I", _TYPE_DOUBLE: "d"}[ttype]
-        return struct.pack("<%d%s" % (len(values), fmt), *values), len(values)
+        fmt = {
+            _TYPE_SHORT: "H",
+            _TYPE_LONG: "I",
+            _TYPE_DOUBLE: "d",
+            _TYPE_LONG8: "Q",
+        }[ttype]
+        return struct.pack(bo + "%d%s" % (len(values), fmt), *values), len(values)
 
     entries = []
-    deferred = []  # (entry_index, data)
 
     all_tags = tags + [
         (offsets_tag[0], offsets_tag[1], [0] * len(chunks)),  # patched later
@@ -203,11 +266,12 @@ def write_geotiff(
     ]
     all_tags.sort(key=lambda t: t[0])
 
+    inline = layout.inline_size
     chunk_offsets_entry = None
     for tid, ttype, values in all_tags:
         data, count = pack_values(ttype, values)
-        if len(data) <= 4:
-            value_field = data + b"\x00" * (4 - len(data))
+        if len(data) <= inline:
+            value_field = data + b"\x00" * (inline - len(data))
             entries.append([tid, ttype, count, value_field, None])
         else:
             entries.append([tid, ttype, count, None, data])
@@ -217,7 +281,9 @@ def write_geotiff(
     # place out-of-line data
     for entry in entries:
         if entry[4] is not None:
-            entry[3] = struct.pack("<I", extra_offset + len(extra))
+            entry[3] = struct.pack(
+                bo + layout.offset_fmt, extra_offset + len(extra)
+            )
             extra.extend(entry[4])
             if len(extra) % 2:
                 extra.append(0)
@@ -230,20 +296,29 @@ def write_geotiff(
     for c in chunks:
         offsets.append(pos)
         pos += len(c)
-    offsets_data = struct.pack("<%dI" % len(offsets), *offsets)
+    offset_item = "Q" if layout.offsets_type == _TYPE_LONG8 else "I"
+    offsets_data = struct.pack(bo + "%d%s" % (len(offsets), offset_item), *offsets)
     if chunk_offsets_entry[4] is not None:
         # out-of-line: overwrite in extra at the recorded position
-        rel = struct.unpack("<I", chunk_offsets_entry[3])[0] - extra_offset
+        (abs_pos,) = struct.unpack(bo + layout.offset_fmt, chunk_offsets_entry[3])
+        rel = abs_pos - extra_offset
         extra[rel : rel + len(offsets_data)] = offsets_data
     else:
-        chunk_offsets_entry[3] = offsets_data + b"\x00" * (4 - len(offsets_data))
+        chunk_offsets_entry[3] = offsets_data + b"\x00" * (
+            inline - len(offsets_data)
+        )
 
     with open(path, "wb") as f:
-        f.write(b"II*\x00" + struct.pack("<I", ifd_offset))
-        f.write(struct.pack("<H", n_entries))
+        f.write(layout.header(ifd_offset))
+        f.write(struct.pack(bo + layout.count_fmt, n_entries))
         for tid, ttype, count, value_field, _ in entries:
-            f.write(struct.pack("<HHI", tid, ttype, count) + value_field)
-        f.write(struct.pack("<I", 0))  # no next IFD
+            f.write(
+                struct.pack(
+                    bo + "HH" + ("Q" if bigtiff else "I"), tid, ttype, count
+                )
+                + value_field
+            )
+        f.write(struct.pack(bo + layout.offset_fmt, 0))  # no next IFD
         f.write(bytes(extra))
         for c in chunks:
             f.write(c)
@@ -255,25 +330,120 @@ def _encode(data, compression):
     return data
 
 
+def _lzw_decode(data):
+    """TIFF LZW (MSB-first bit packing, early code-width change)."""
+    out = bytearray()
+    max_width = 12
+    table = []
+    width = 9
+    next_code = 258
+
+    def reset_table():
+        nonlocal table, width, next_code
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        next_code = 258
+
+    reset_table()
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    prev = None
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return bytes(out)
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        if code == 256:  # ClearCode
+            reset_table()
+            prev = None
+            continue
+        if code == 257:  # EndOfInformation
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+        else:
+            if code < next_code:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("Corrupt LZW stream")
+            table.append(prev + entry[:1])
+            next_code += 1
+            # TIFF early change (matches libtiff; validated against
+            # Pillow/libtiff-written streams in tests)
+            if next_code == (1 << width) - 1 and width < max_width:
+                width += 1
+        out += entry
+        prev = entry
+
+
+def _packbits_decode(data):
+    """TIFF PackBits byte-run decoding."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        header = data[pos]
+        pos += 1
+        if header < 128:  # literal run of header+1 bytes
+            out += data[pos : pos + header + 1]
+            pos += header + 1
+        elif header > 128:  # repeat next byte 257-header times
+            out += data[pos : pos + 1] * (257 - header)
+            pos += 1
+        # header == 128: no-op
+    return bytes(out)
+
+
 def _decode(data, compression):
     if compression in (_COMPRESSION_DEFLATE, _COMPRESSION_DEFLATE_OLD):
         return zlib.decompress(data)
+    if compression == _COMPRESSION_LZW:
+        return _lzw_decode(data)
+    if compression == _COMPRESSION_PACKBITS:
+        return _packbits_decode(data)
     if compression == _COMPRESSION_NONE:
         return data
     raise NotImplementedError("Unsupported TIFF compression: %d" % compression)
 
 
-def _read_ifd(f, byte_order):
-    (n_entries,) = struct.unpack(byte_order + "H", f.read(2))
+def _undo_predictor(chunk, predictor, samples):
+    """Invert horizontal differencing in place on a (rows, w, samples)
+    array (modular accumulation matches the wraparound differencing)."""
+    if predictor == 2:
+        np.cumsum(chunk, axis=1, dtype=chunk.dtype, out=chunk)
+    elif predictor not in (None, 1):
+        raise NotImplementedError("Unsupported TIFF predictor: %d" % predictor)
+    return chunk
+
+
+def _read_ifd(f, byte_order, bigtiff):
+    if bigtiff:
+        (n_entries,) = struct.unpack(byte_order + "Q", f.read(8))
+        entry_head, inline = "HHQ", 8
+    else:
+        (n_entries,) = struct.unpack(byte_order + "H", f.read(2))
+        entry_head, inline = "HHI", 4
     tags = {}
     for _ in range(n_entries):
-        tid, ttype, count = struct.unpack(byte_order + "HHI", f.read(8))
-        value_field = f.read(4)
+        tid, ttype, count = struct.unpack(
+            byte_order + entry_head, f.read(4 + inline)
+        )
+        value_field = f.read(inline)
         size = _TYPE_SIZES.get(ttype, 1) * count
-        if size <= 4:
+        if size <= inline:
             data = value_field[:size]
         else:
-            (offset,) = struct.unpack(byte_order + "I", value_field)
+            (offset,) = struct.unpack(
+                byte_order + ("Q" if bigtiff else "I"), value_field
+            )
             pos = f.tell()
             f.seek(offset)
             data = f.read(size)
@@ -285,7 +455,10 @@ def _read_ifd(f, byte_order):
 def _parse_tag_values(ttype, count, data, byte_order):
     if ttype == _TYPE_ASCII:
         return data.rstrip(b"\x00").decode("utf-8", "replace")
-    fmt = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}.get(ttype)
+    fmt = {
+        1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d",
+        16: "Q", 17: "q", 18: "Q",
+    }.get(ttype)
     if fmt is None:
         return data
     return list(struct.unpack(byte_order + "%d%s" % (count, fmt), data))
@@ -293,7 +466,7 @@ def _parse_tag_values(ttype, count, data, byte_order):
 
 def _open_tiff(path):
     f = open(path, "rb")
-    header = f.read(8)
+    header = f.read(4)
     if header[:2] == b"II":
         byte_order = "<"
     elif header[:2] == b"MM":
@@ -302,12 +475,21 @@ def _open_tiff(path):
         f.close()
         raise ValueError("Not a TIFF file: %s" % path)
     (magic,) = struct.unpack(byte_order + "H", header[2:4])
-    if magic != 42:
+    if magic == 42:
+        bigtiff = False
+        (ifd_offset,) = struct.unpack(byte_order + "I", f.read(4))
+    elif magic == 43:
+        bigtiff = True
+        offset_size, reserved = struct.unpack(byte_order + "HH", f.read(4))
+        if offset_size != 8 or reserved != 0:
+            f.close()
+            raise ValueError("Unsupported BigTIFF offset size: %s" % path)
+        (ifd_offset,) = struct.unpack(byte_order + "Q", f.read(8))
+    else:
         f.close()
-        raise ValueError("Not a classic TIFF file: %s" % path)
-    (ifd_offset,) = struct.unpack(byte_order + "I", header[4:8])
+        raise ValueError("Not a TIFF file (magic %d): %s" % (magic, path))
     f.seek(ifd_offset)
-    tags = _read_ifd(f, byte_order)
+    tags = _read_ifd(f, byte_order, bigtiff)
     return f, byte_order, tags
 
 
@@ -370,6 +552,7 @@ def read_geotiff(path):
         info = _info_from_tags(tags)
         dtype = np.dtype(info.dtype).newbyteorder(byte_order)
         compression = tags.get(_COMPRESSION, [_COMPRESSION_NONE])[0]
+        predictor = tags.get(_PREDICTOR, [1])[0]
         planar = tags.get(_PLANAR_CONFIG, [1])[0]
         array = np.zeros((info.bands, info.height, info.width), dtype=info.dtype)
 
@@ -391,6 +574,8 @@ def read_geotiff(path):
                         idx += 1
                         tile = np.frombuffer(raw, dtype=dtype)
                         tile = tile[: th * tw * samples].reshape(th, tw, samples)
+                        if predictor != 1:
+                            tile = _undo_predictor(tile.copy(), predictor, samples)
                         ys, xs = ty * th, tx * tw
                         h = min(th, info.height - ys)
                         w = min(tw, info.width - xs)
@@ -413,15 +598,20 @@ def read_geotiff(path):
                     strip = idx % strips_per_plane
                     y0 = strip * rows_per_strip
                     rows = min(rows_per_strip, info.height - y0)
-                    array[plane, y0 : y0 + rows] = data[: rows * info.width].reshape(
-                        rows, info.width
-                    )
+                    chunk = data[: rows * info.width].reshape(rows, info.width, 1)
+                    if predictor != 1:
+                        chunk = _undo_predictor(chunk.copy(), predictor, 1)
+                    array[plane, y0 : y0 + rows] = chunk[:, :, 0]
                 else:
                     y0 = idx * rows_per_strip
                     rows = min(rows_per_strip, info.height - y0)
                     chunk = data[: rows * info.width * info.bands].reshape(
                         rows, info.width, info.bands
                     )
+                    if predictor != 1:
+                        chunk = _undo_predictor(
+                            chunk.copy(), predictor, info.bands
+                        )
                     for b in range(info.bands):
                         array[b, y0 : y0 + rows] = chunk[:, :, b]
     finally:

@@ -460,7 +460,14 @@ class RasterFileSource(RasterSourceBase):
 
     @property
     def fillvalue(self):
-        return self.dtype.type(self.info.no_data_value)
+        # foreign files may omit the nodata tag; default to the framework
+        # convention (dtype max) like the reference's dtype rules
+        no_data = self.info.no_data_value
+        if no_data is None:
+            from dask_geomodeling_tpu.geo import get_dtype_max
+
+            return self.dtype.type(get_dtype_max(self.dtype))
+        return self.dtype.type(no_data)
 
     @property
     def geo_transform(self):
