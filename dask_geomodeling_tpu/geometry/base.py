@@ -43,102 +43,50 @@ class GeometryBlock(Block):
         return to_file(self, *args, **kwargs)
 
 
+def _series_operator(block_name, unary=False, const=None):
+    """An operator overload building the named field-operation block
+    lazily (field_operations imports this module) — the same idiom as
+    raster/base.py's _operator."""
+    if unary:
+
+        def method(self):
+            import dask_geomodeling_tpu.geometry as blocks
+
+            cls = getattr(blocks, block_name)
+            return cls(self) if const is None else cls(self, const)
+
+    else:
+
+        def method(self, other):
+            import dask_geomodeling_tpu.geometry as blocks
+
+            return getattr(blocks, block_name)(self, other)
+
+    method.__doc__ = "Build a %s block from this series." % block_name
+    return method
+
+
 class SeriesBlock(Block):
     """A block representing one column of a GeometryBlock."""
 
-    def __add__(self, other):
-        from dask_geomodeling_tpu.geometry import Add
-
-        return Add(self, other)
-
-    __radd__ = __add__
-
-    def __mul__(self, other):
-        from dask_geomodeling_tpu.geometry import Multiply
-
-        return Multiply(self, other)
-
-    __rmul__ = __mul__
-
-    def __neg__(self):
-        from dask_geomodeling_tpu.geometry import Multiply
-
-        return Multiply(self, -1)
-
-    def __sub__(self, other):
-        from dask_geomodeling_tpu.geometry import Subtract
-
-        return Subtract(self, other)
-
-    def __floordiv__(self, other):
-        from dask_geomodeling_tpu.geometry import FloorDivide
-
-        return FloorDivide(self, other)
-
-    def __mod__(self, other):
-        from dask_geomodeling_tpu.geometry import Modulo
-
-        return Modulo(self, other)
-
-    def __truediv__(self, other):
-        from dask_geomodeling_tpu.geometry import Divide
-
-        return Divide(self, other)
-
-    def __pow__(self, other):
-        from dask_geomodeling_tpu.geometry import Power
-
-        return Power(self, other)
-
-    def __eq__(self, other):
-        from dask_geomodeling_tpu.geometry import Equal
-
-        return Equal(self, other)
-
-    def __ne__(self, other):
-        from dask_geomodeling_tpu.geometry import NotEqual
-
-        return NotEqual(self, other)
-
-    def __gt__(self, other):
-        from dask_geomodeling_tpu.geometry import Greater
-
-        return Greater(self, other)
-
-    def __ge__(self, other):
-        from dask_geomodeling_tpu.geometry import GreaterEqual
-
-        return GreaterEqual(self, other)
-
-    def __lt__(self, other):
-        from dask_geomodeling_tpu.geometry import Less
-
-        return Less(self, other)
-
-    def __le__(self, other):
-        from dask_geomodeling_tpu.geometry import LessEqual
-
-        return LessEqual(self, other)
-
-    def __invert__(self):
-        from dask_geomodeling_tpu.geometry import Invert
-
-        return Invert(self)
-
-    def __and__(self, other):
-        from dask_geomodeling_tpu.geometry import And
-
-        return And(self, other)
-
-    def __or__(self, other):
-        from dask_geomodeling_tpu.geometry import Or
-
-        return Or(self, other)
-
-    def __xor__(self, other):
-        from dask_geomodeling_tpu.geometry import Xor
-
-        return Xor(self, other)
+    __add__ = __radd__ = _series_operator("Add")
+    __mul__ = __rmul__ = _series_operator("Multiply")
+    __neg__ = _series_operator("Multiply", unary=True, const=-1)
+    __sub__ = _series_operator("Subtract")
+    __floordiv__ = _series_operator("FloorDivide")
+    __mod__ = _series_operator("Modulo")
+    __truediv__ = _series_operator("Divide")
+    __pow__ = _series_operator("Power")
+    __eq__ = _series_operator("Equal")
+    __ne__ = _series_operator("NotEqual")
+    __gt__ = _series_operator("Greater")
+    __ge__ = _series_operator("GreaterEqual")
+    __lt__ = _series_operator("Less")
+    __le__ = _series_operator("LessEqual")
+    __invert__ = _series_operator("Invert", unary=True)
+    __and__ = _series_operator("And")
+    __or__ = _series_operator("Or")
+    __xor__ = _series_operator("Xor")
 
     __hash__ = Block.__hash__
 

@@ -59,86 +59,95 @@ class GeometryFileSource(GeometryBlock):
         request["id_field"] = self.id_field
         return [(self.url, None), (request, None)]
 
+    # the read is a pipeline of pure frame filters; each stage below is
+    # independently testable and shared between modes
+
+    @staticmethod
+    def _bbox_prefilter(f, filt_geom, projection):
+        """Keep features whose bounds touch the filter bbox (file CRS)."""
+        from dask_geomodeling_tpu.geo import transform_extent
+
+        bbox = filt_geom.bounds
+        if f.crs and f.crs.upper() != projection.upper():
+            bbox = transform_extent(bbox, projection, f.crs)
+        bounds = f.geometry.bounds
+        keep = ~(
+            (bounds["maxx"] < bbox[0])
+            | (bounds["minx"] > bbox[2])
+            | (bounds["maxy"] < bbox[1])
+            | (bounds["miny"] > bbox[3])
+        )
+        return f[keep.values]
+
+    @staticmethod
+    def _attribute_filter(f, filters):
+        """Equality filters ANDed over attribute columns."""
+        mask = None
+        for field, value in filters.items():
+            if field not in f.columns:
+                continue
+            term = f[field] == value
+            mask = term if mask is None else (mask & term)
+        return f if mask is None else f[mask.values]
+
+    @staticmethod
+    def _size_filter(f, min_size):
+        """Drop features smaller than min_size in both dimensions."""
+        bounds = f.geometry.bounds
+        widths = bounds["maxx"] - bounds["minx"]
+        heights = bounds["maxy"] - bounds["miny"]
+        return f[((widths > min_size) | (heights > min_size)).values]
+
+    @staticmethod
+    def _predicate_filter(f, filt_geom, mode):
+        if mode == "centroid":
+            return f[f.geometry.centroid.within(filt_geom).values]
+        return f[f.geometry.intersects(filt_geom).values]
+
+    @staticmethod
+    def _enforce_limit(f, limit):
+        if limit:
+            return f.iloc[:limit]
+        if limit is None:
+            ceiling = config.get("geomodeling.geometry-limit")
+            if len(f) > ceiling:
+                raise RuntimeError(
+                    "The amount of returned geometries exceeded "
+                    "the maximum of {} geometries.".format(ceiling)
+                )
+        return f
+
     @staticmethod
     def process(url, request):
         from dask_geomodeling_tpu.io.vectorfile import read_vector
 
-        path = utils.safe_abspath(url)
-        f = read_vector(path, layer=request["layer"])
-
-        # bbox prefilter in the file's own CRS
+        projection = request["projection"]
+        mode = request["mode"]
         filt_geom = request.get("geometry")
-        if filt_geom is not None and len(f):
-            from dask_geomodeling_tpu.geo import transform_extent
-            from dask_geomodeling_tpu.geo.geometry import box
 
-            bbox = filt_geom.bounds
-            if f.crs and f.crs.upper() != request["projection"].upper():
-                bbox = transform_extent(bbox, request["projection"], f.crs)
-            bounds = f.geometry.bounds
-            keep = ~(
-                (bounds["maxx"] < bbox[0])
-                | (bounds["minx"] > bbox[2])
-                | (bounds["maxy"] < bbox[1])
-                | (bounds["miny"] > bbox[3])
-            )
-            f = f[keep.values]
+        f = read_vector(utils.safe_abspath(url), layer=request["layer"])
+        if filt_geom is not None and len(f):
+            f = GeometryFileSource._bbox_prefilter(f, filt_geom, projection)
 
         if len(f) == 0:
-            if request["mode"] == "extent":
-                return {"projection": request["projection"], "extent": None}
-            return {
-                "projection": request["projection"],
-                "features": GeoDataFrame([]),
-            }
+            if mode == "extent":
+                return {"projection": projection, "extent": None}
+            return {"projection": projection, "features": GeoDataFrame([])}
 
         if request["id_field"] is not None:
             f = f.set_index(request["id_field"])
+        f = GeometryFileSource._attribute_filter(f, request["filters"])
+        f = f.to_crs(projection)
+        if request.get("min_size") and len(f):
+            f = GeometryFileSource._size_filter(f, request["min_size"])
+        if filt_geom is not None and len(f):
+            f = GeometryFileSource._predicate_filter(f, filt_geom, mode)
 
-        # equality filters on attribute columns
-        mask = None
-        for field, value in request["filters"].items():
-            if field not in f.columns:
-                continue
-            _mask = f[field] == value
-            mask = _mask if mask is None else (mask & _mask)
-        if mask is not None:
-            f = f[mask.values]
-
-        f = f.to_crs(request["projection"])
-
-        min_size = request.get("min_size")
-        if min_size and len(f):
-            bounds = f.geometry.bounds
-            widths = bounds["maxx"] - bounds["minx"]
-            heights = bounds["maxy"] - bounds["miny"]
-            f = f[((widths > min_size) | (heights > min_size)).values]
-
-        if request.get("geometry") is not None and len(f):
-            if request["mode"] == "centroid":
-                f = f[f.geometry.centroid.within(filt_geom).values]
-            else:
-                f = f[f.geometry.intersects(filt_geom).values]
-
-        if request["mode"] == "extent":
-            if len(f) == 0:
-                return {"projection": request["projection"], "extent": None}
-            return {
-                "projection": request["projection"],
-                "extent": tuple(f.geometry.total_bounds),
-            }
-
-        if request.get("limit") and len(f) > request["limit"]:
-            f = f.iloc[: request["limit"]]
-        elif request.get("limit") is None:
-            global_limit = config.get("geomodeling.geometry-limit")
-            if len(f) > global_limit:
-                raise RuntimeError(
-                    "The amount of returned geometries exceeded "
-                    "the maximum of {} geometries.".format(global_limit)
-                )
-
-        return {"projection": request["projection"], "features": f}
+        if mode == "extent":
+            extent = tuple(f.geometry.total_bounds) if len(f) else None
+            return {"projection": projection, "extent": extent}
+        f = GeometryFileSource._enforce_limit(f, request.get("limit"))
+        return {"projection": projection, "features": f}
 
 
 class GeometryWKTSource(GeometryBlock):

@@ -285,9 +285,11 @@ def _device_put_cached(arr, sharding=None):
     so replicated copies stay resident per mesh.
 
     Cached residency is bounded by ``geomodeling.hbm-budget``: when a new
-    payload would exceed the budget, the least-recently-used cached arrays
-    are evicted (their device buffers are deleted once unreferenced by any
-    pending computation)."""
+    payload would exceed the budget, the least-recently-used entries are
+    dropped from this cache.  Dropping only releases OUR reference — jax
+    keeps the underlying device buffer alive until every in-flight
+    computation using it completes, so eviction can never invalidate a
+    pending result; it just allows the memory to be reclaimed later."""
     import jax
 
     from dask_geomodeling_tpu import config
