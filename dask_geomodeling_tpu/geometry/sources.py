@@ -137,6 +137,10 @@ class GeometryFileSource(GeometryBlock):
         if request["id_field"] is not None:
             f = f.set_index(request["id_field"])
         f = GeometryFileSource._attribute_filter(f, request["filters"])
+        if f.crs is None:
+            # CRS-less formats (e.g. CSV/WKT) are taken to already be in
+            # the requested projection, like OGR sources without an SRS
+            f.crs = projection
         f = f.to_crs(projection)
         if request.get("min_size") and len(f):
             f = GeometryFileSource._size_filter(f, request["min_size"])

@@ -4,10 +4,15 @@ and sinks.py:199-216).
 Formats:
 
 - GeoJSON (.geojson / .json): stdlib json + the native geometry engine
+- GeoJSON sequences (.geojsonl / .ndjson): newline-delimited features
 - GeoPackage (.gpkg): stdlib sqlite3 with the standard gpkg_* metadata
   tables and the GP geometry blob header — readable by GDAL/QGIS
 - ESRI Shapefile (.shp + .shx/.dbf/.prj): io/shapefile.py
 - GML (.gml): OGR-style GML 2.1.2 FeatureCollection (GML3 accepted on read)
+- KML (.kml): Placemarks with Point/LineString/Polygon/MultiGeometry
+  (always EPSG:4326, per the spec)
+- CSV (.csv): a WKT geometry column ("geometry"/"wkt"/"WKT"), matching
+  OGR's CSV driver conventions
 
 API: ``read_vector``, ``read_vector_info``, ``write_vector``.
 """
@@ -25,7 +30,17 @@ from dask_geomodeling_tpu.geo.geometry import shape
 
 __all__ = ["read_vector", "read_vector_info", "write_vector", "supported_extensions"]
 
-supported_extensions = {"geojson", "json", "gpkg", "shp", "gml"}
+supported_extensions = {
+    "geojson",
+    "json",
+    "geojsonl",
+    "ndjson",
+    "gpkg",
+    "shp",
+    "gml",
+    "kml",
+    "csv",
+}
 
 
 def _format_of(path):
@@ -38,10 +53,7 @@ def _format_of(path):
 # --- GeoJSON ---
 
 
-def _read_geojson(path):
-    with open(path) as f:
-        collection = json.load(f)
-    features = collection.get("features", [])
+def _frame_from_features(features, crs="EPSG:4326"):
     geometries = []
     records = []
     ids = []
@@ -52,29 +64,47 @@ def _read_geojson(path):
     frame = GeoDataFrame(
         pd.DataFrame.from_records(records) if records else None,
         geometry=geometries,
-        crs="EPSG:4326",
+        crs=crs,
     )
     frame.index = pd.Index(ids, name="fid" if any(ids) else None)
     return frame
 
 
-def _write_geojson(frame, path):
-    features = []
+def _read_geojson(path):
+    with open(path) as f:
+        collection = json.load(f)
+    return _frame_from_features(collection.get("features", []))
+
+
+def _read_geojsonl(path):
+    with open(path) as f:
+        features = [json.loads(line) for line in f if line.strip()]
+    return _frame_from_features(features)
+
+
+def _write_geojsonl(frame, path):
+    with open(path, "w") as f:
+        for feature in _geojson_features(frame):
+            f.write(json.dumps(feature))
+            f.write("\n")
+
+
+def _geojson_features(frame):
+    geometry_column = frame._geometry_column_name or "geometry"
     for idx, row in frame.iterrows():
-        geom = row[frame._geometry_column_name or "geometry"]
-        properties = {
-            k: _jsonify(v)
-            for k, v in row.items()
-            if k != (frame._geometry_column_name or "geometry")
+        geom = row[geometry_column]
+        yield {
+            "type": "Feature",
+            "id": _jsonify(idx),
+            "geometry": geom.__geo_interface__ if geom is not None else None,
+            "properties": {
+                k: _jsonify(v) for k, v in row.items() if k != geometry_column
+            },
         }
-        features.append(
-            {
-                "type": "Feature",
-                "id": _jsonify(idx),
-                "geometry": geom.__geo_interface__ if geom is not None else None,
-                "properties": properties,
-            }
-        )
+
+
+def _write_geojson(frame, path):
+    features = list(_geojson_features(frame))
     with open(path, "w") as f:
         json.dump({"type": "FeatureCollection", "features": features}, f)
 
@@ -460,24 +490,213 @@ def _read_gpkg(path, layer=None):
 # --- public API ---
 
 
+# --- KML (Placemarks, always WGS84 lon/lat per the OGC spec) ---
+
+
+def _kml_coords(text):
+    pts = []
+    for token in (text or "").split():
+        parts = token.split(",")
+        pts.append((float(parts[0]), float(parts[1])))
+    return pts
+
+
+def _kml_geometry(element):
+    from dask_geomodeling_tpu.geo.geometry import (
+        GeometryCollection,
+        LineString,
+        Point,
+        Polygon,
+    )
+
+    local = _gml_local(element.tag)
+    if local == "Point":
+        (pt,) = _kml_coords(element.findtext("{*}coordinates"))
+        return Point(*pt)
+    if local == "LineString":
+        return LineString(_kml_coords(element.findtext("{*}coordinates")))
+    if local == "Polygon":
+        outer = _kml_coords(
+            element.find("{*}outerBoundaryIs/{*}LinearRing").findtext(
+                "{*}coordinates"
+            )
+        )
+        holes = [
+            _kml_coords(ring.findtext("{*}coordinates"))
+            for ring in element.findall("{*}innerBoundaryIs/{*}LinearRing")
+        ]
+        return Polygon(outer, holes)
+    if local == "MultiGeometry":
+        return GeometryCollection([_kml_geometry(child) for child in element])
+    raise NotImplementedError("Unsupported KML geometry: %s" % local)
+
+
+def _read_kml(path):
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(path).getroot()
+    geometries, records, ids = [], [], []
+    for i, placemark in enumerate(root.iter()):
+        if _gml_local(placemark.tag) != "Placemark":
+            continue
+        record = {}
+        geometry = None
+        for child in placemark:
+            local = _gml_local(child.tag)
+            if local in ("name", "description"):
+                record[local] = child.text
+            elif local == "ExtendedData":
+                for data in child.findall("{*}Data"):
+                    record[data.get("name")] = data.findtext("{*}value")
+            elif local in ("Point", "LineString", "Polygon", "MultiGeometry"):
+                geometry = _kml_geometry(child)
+        if geometry is None:
+            continue
+        geometries.append(geometry)
+        records.append(record)
+        ids.append(placemark.get("id", i))
+    table = pd.DataFrame.from_records(records) if records else None
+    if table is not None:
+        # KML ExtendedData values are untyped text; recover numbers the
+        # way OGR's KML driver does
+        for column in table.columns:
+            try:
+                table[column] = pd.to_numeric(table[column])
+            except (ValueError, TypeError):
+                pass
+    frame = GeoDataFrame(table, geometry=geometries, crs="EPSG:4326")
+    frame.index = pd.Index(ids, name="fid" if any(ids) else None)
+    return frame
+
+
+def _kml_geom_str(geom):
+    kind = type(geom).__name__
+
+    def coords(pts):
+        return " ".join(
+            "%s,%s" % (repr(float(x)), repr(float(y))) for x, y in pts
+        )
+
+    if kind == "Point":
+        return "<Point><coordinates>%s</coordinates></Point>" % coords(
+            list(geom.coords)
+        )
+    if kind == "LineString":
+        return (
+            "<LineString><coordinates>%s</coordinates></LineString>"
+            % coords(list(geom.coords))
+        )
+    if kind == "Polygon":
+        parts = [
+            "<outerBoundaryIs><LinearRing><coordinates>%s</coordinates>"
+            "</LinearRing></outerBoundaryIs>" % coords(list(geom.exterior.coords))
+        ]
+        for ring in geom.interiors:
+            parts.append(
+                "<innerBoundaryIs><LinearRing><coordinates>%s</coordinates>"
+                "</LinearRing></innerBoundaryIs>" % coords(list(ring.coords))
+            )
+        return "<Polygon>%s</Polygon>" % "".join(parts)
+    geoms = getattr(geom, "geoms", None)
+    if geoms is not None:
+        return "<MultiGeometry>%s</MultiGeometry>" % "".join(
+            _kml_geom_str(g) for g in geoms
+        )
+    raise NotImplementedError("Cannot write %s to KML" % kind)
+
+
+def _write_kml(frame, path):
+    from xml.sax.saxutils import escape
+
+    geometry_column = frame._geometry_column_name or "geometry"
+    rows = []
+    for idx, row in frame.iterrows():
+        fields = "".join(
+            '<Data name="%s"><value>%s</value></Data>'
+            % (escape(str(k)), escape(str(_jsonify(v))))
+            for k, v in row.items()
+            if k != geometry_column
+        )
+        rows.append(
+            '<Placemark id="%s"><ExtendedData>%s</ExtendedData>%s</Placemark>'
+            % (escape(str(idx)), fields, _kml_geom_str(row[geometry_column]))
+        )
+    with open(path, "w") as f:
+        f.write(
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            '<kml xmlns="http://www.opengis.net/kml/2.2">'
+            "<Document>%s</Document></kml>" % "".join(rows)
+        )
+
+
+# --- CSV with a WKT geometry column (OGR CSV driver conventions) ---
+
+_CSV_GEOMETRY_COLUMNS = ("geometry", "wkt", "WKT", "the_geom")
+
+
+def _read_csv(path):
+    import csv as _csv
+
+    from dask_geomodeling_tpu.geo.geometry import from_wkt
+
+    with open(path, newline="") as f:
+        rows = list(_csv.DictReader(f))
+    if not rows:
+        return GeoDataFrame([], geometry=[], crs=None)
+    geometry_column = next(
+        (c for c in _CSV_GEOMETRY_COLUMNS if c in rows[0]), None
+    )
+    if geometry_column is None:
+        raise IOError("No WKT geometry column in '{}'".format(path))
+    geometries = [from_wkt(row.pop(geometry_column)) for row in rows]
+    frame = pd.DataFrame.from_records(rows)
+    # numeric-looking columns come back typed, like OGR's CSV driver
+    for column in frame.columns:
+        try:
+            frame[column] = pd.to_numeric(frame[column])
+        except (ValueError, TypeError):
+            pass
+    return GeoDataFrame(frame, geometry=geometries, crs=None)
+
+
+def _write_csv(frame, path):
+    import csv as _csv
+
+    geometry_column = frame._geometry_column_name or "geometry"
+    fields = [c for c in frame.columns if c != geometry_column]
+    with open(path, "w", newline="") as f:
+        writer = _csv.writer(f)
+        writer.writerow(["geometry"] + fields)
+        for _, row in frame.iterrows():
+            writer.writerow(
+                [row[geometry_column].wkt] + [_jsonify(row[c]) for c in fields]
+            )
+
+
 def read_vector(path, layer=None):
     """Read a vector file into a GeoDataFrame (crs attribute set)."""
     fmt = _format_of(path)
     if fmt in ("geojson", "json"):
         return _read_geojson(path)
+    if fmt in ("geojsonl", "ndjson"):
+        return _read_geojsonl(path)
     if fmt == "shp":
         from dask_geomodeling_tpu.io.shapefile import read_shapefile
 
         return read_shapefile(path)
     if fmt == "gml":
         return _read_gml(path)
+    if fmt == "kml":
+        return _read_kml(path)
+    if fmt == "csv":
+        return _read_csv(path)
     return _read_gpkg(path, layer)
 
 
 def read_vector_info(path, layer=None):
     """Return {'fields': [...], 'crs': str} without loading all features."""
     fmt = _format_of(path)
-    if fmt in ("geojson", "json", "shp", "gml"):
+    if fmt != "gpkg":
         frame = read_vector(path)
         fields = [c for c in frame.columns if c != "geometry"]
         return {"fields": fields, "crs": frame.crs}
@@ -504,12 +723,18 @@ def write_vector(frame, path, layer=None):
     fmt = _format_of(path)
     if fmt in ("geojson", "json"):
         _write_geojson(frame, path)
+    elif fmt in ("geojsonl", "ndjson"):
+        _write_geojsonl(frame, path)
     elif fmt == "shp":
         from dask_geomodeling_tpu.io.shapefile import write_shapefile
 
         write_shapefile(frame, path)
     elif fmt == "gml":
         _write_gml(frame, path, layer)
+    elif fmt == "kml":
+        _write_kml(frame, path)
+    elif fmt == "csv":
+        _write_csv(frame, path)
     else:
         if os.path.exists(path):
             os.remove(path)
