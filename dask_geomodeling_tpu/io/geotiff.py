@@ -402,15 +402,22 @@ def _packbits_decode(data):
     return bytes(out)
 
 
-def _decode(data, compression):
-    if compression in (_COMPRESSION_DEFLATE, _COMPRESSION_DEFLATE_OLD):
-        return zlib.decompress(data)
-    if compression == _COMPRESSION_LZW:
-        return _lzw_decode(data)
-    if compression == _COMPRESSION_PACKBITS:
-        return _packbits_decode(data)
+def _decode(data, compression, expected_size=None):
     if compression == _COMPRESSION_NONE:
         return data
+    if compression in (_COMPRESSION_DEFLATE, _COMPRESSION_DEFLATE_OLD):
+        return zlib.decompress(data)
+    if compression in (_COMPRESSION_LZW, _COMPRESSION_PACKBITS):
+        kind = "lzw" if compression == _COMPRESSION_LZW else "packbits"
+        if expected_size is not None:
+            from dask_geomodeling_tpu.native import tiff_decode_native
+
+            decoded = tiff_decode_native(kind, data, expected_size)
+            if decoded is not None:
+                return decoded
+        if kind == "lzw":
+            return _lzw_decode(data)
+        return _packbits_decode(data)
     raise NotImplementedError("Unsupported TIFF compression: %d" % compression)
 
 
@@ -566,11 +573,14 @@ def read_geotiff(path):
             idx = 0
             n_planes = info.bands if planar == 2 else 1
             samples = 1 if planar == 2 else info.bands
+            tile_nbytes = th * tw * samples * dtype.itemsize
             for plane in range(n_planes):
                 for ty in range(tiles_y):
                     for tx in range(tiles_x):
                         f.seek(offsets[idx])
-                        raw = _decode(f.read(counts[idx]), compression)
+                        raw = _decode(
+                            f.read(counts[idx]), compression, tile_nbytes
+                        )
                         idx += 1
                         tile = np.frombuffer(raw, dtype=dtype)
                         tile = tile[: th * tw * samples].reshape(th, tw, samples)
@@ -589,9 +599,11 @@ def read_geotiff(path):
             counts = tags[_STRIP_BYTE_COUNTS]
             rows_per_strip = tags.get(_ROWS_PER_STRIP, [info.height])[0]
             strips_per_plane = -(-info.height // rows_per_strip)
+            samples = 1 if planar == 2 else info.bands
+            strip_nbytes = rows_per_strip * info.width * samples * dtype.itemsize
             for idx, (offset, count) in enumerate(zip(offsets, counts)):
                 f.seek(offset)
-                raw = _decode(f.read(count), compression)
+                raw = _decode(f.read(count), compression, strip_nbytes)
                 data = np.frombuffer(raw, dtype=dtype)
                 if planar == 2:
                     plane = idx // strips_per_plane

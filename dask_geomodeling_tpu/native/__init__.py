@@ -1,9 +1,9 @@
-"""Native (C++) components: the scanline rasterizer.
+"""Native (C++) components: the scanline rasterizer and TIFF decoders.
 
-Built on demand with the system compiler into a shared library next to the
-sources; loaded via ctypes.  ``load_rasterizer()`` returns None when no
-compiler is available — callers fall back to the numpy implementation
-(geo/rasterize.py).
+Built on demand with the system compiler into shared libraries next to
+the sources; loaded via ctypes.  The loaders return None when no compiler
+is available — callers fall back to the pure-Python implementations
+(geo/rasterize.py, io/geotiff.py).
 """
 import ctypes
 import logging
@@ -82,6 +82,76 @@ def load_rasterizer():
             ]
         _lib = lib
         return _lib
+
+
+_TIFF_SOURCE = os.path.join(_HERE, "tiffcodec.cpp")
+_TIFF_LIBRARY = os.path.join(_HERE, "libtiffcodec.bin")
+_tiff_lib = None
+_tiff_tried = False
+
+
+def load_tiffcodec():
+    """Load (building if necessary) the native TIFF decoders, or None."""
+    global _tiff_lib, _tiff_tried
+    with _lock:
+        if _tiff_lib is not None or _tiff_tried:
+            return _tiff_lib
+        _tiff_tried = True
+        try:
+            if not os.path.exists(_TIFF_LIBRARY) or os.path.getmtime(
+                _TIFF_LIBRARY
+            ) < os.path.getmtime(_TIFF_SOURCE):
+                subprocess.run(
+                    [
+                        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                        _TIFF_SOURCE, "-o", _TIFF_LIBRARY,
+                    ],
+                    check=True,
+                    capture_output=True,
+                )
+            lib = ctypes.CDLL(_TIFF_LIBRARY)
+        except (OSError, subprocess.CalledProcessError) as e:
+            logger.warning("Native TIFF codec unavailable (%s); using Python", e)
+            return None
+        u8_p = ctypes.POINTER(ctypes.c_uint8)
+        for name in ("lzw_decode", "packbits_decode"):
+            func = getattr(lib, name)
+            func.restype = ctypes.c_int64
+            func.argtypes = [u8_p, ctypes.c_int64, u8_p, ctypes.c_int64]
+        _tiff_lib = lib
+        return _tiff_lib
+
+
+def tiff_decode_native(kind, data, expected_size):
+    """Decode an LZW/PackBits TIFF chunk natively.
+
+    Returns the decoded bytes, None when the native library is missing
+    (caller falls back to Python), or raises on corrupt input.
+    """
+    lib = load_tiffcodec()
+    if lib is None:
+        return None
+    func = lib.lzw_decode if kind == "lzw" else lib.packbits_decode
+    # chunks may decode to slightly more than the nominal tile/strip
+    # payload (trailing pad rows); give some slack then retry-grow
+    capacity = int(expected_size) + 4096
+    for _ in range(3):
+        out = np.empty(capacity, dtype=np.uint8)
+        n = func(
+            np.frombuffer(data, dtype=np.uint8).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_uint8)
+            ),
+            len(data),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            capacity,
+        )
+        if n == -1:
+            raise ValueError("Corrupt %s stream" % kind)
+        if n == -2:
+            capacity *= 4
+            continue
+        return out[: int(n)].tobytes()
+    raise ValueError("%s output exceeded expected size" % kind)
 
 
 _FUNC_BY_DTYPE = {
