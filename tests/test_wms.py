@@ -190,3 +190,61 @@ def test_concurrent_rendering(view_json):
             concurrent_jax = list(pool.map(render_wms_tile, jobs))
         assert concurrent_jax == serial_jax
     assert serial_jax == serial  # executors agree on the rendered pixels
+
+
+def test_geomodeling_layer_with_stub_ipyleaflet(monkeypatch):
+    """Exercise the ipyleaflet layer class by injecting a stub WMSLayer
+    (the real package is not in this image; the subclass logic — traits,
+    view JSON in 'layers', wms url joining — is what we own)."""
+    import importlib
+    import sys
+    import types
+
+    import traitlets
+
+    class StubWMSLayer(traitlets.HasTraits):
+        url = traitlets.Unicode("")
+        layers = traitlets.Unicode("")
+
+        def __init__(self, url="", **kwargs):
+            super().__init__()
+            self.url = url
+            for key, value in kwargs.items():
+                setattr(self, key, value)
+
+    stub = types.ModuleType("ipyleaflet")
+    stub.WMSLayer = StubWMSLayer
+    monkeypatch.setitem(sys.modules, "ipyleaflet", stub)
+
+    import dask_geomodeling_tpu.ipyleaflet_plugin as plugin
+
+    plugin = importlib.reload(plugin)
+    try:
+        assert plugin.GeomodelingLayer is not None
+
+        from datetime import datetime
+
+        import numpy as np
+
+        from dask_geomodeling_tpu.core import Block
+        from dask_geomodeling_tpu.raster import MemorySource
+
+        view = MemorySource(
+            data=np.zeros((1, 4, 4), dtype="u1"),
+            no_data_value=255,
+            projection="EPSG:3857",
+            pixel_size=1.0,
+            pixel_origin=(0.0, 4.0),
+            time_first=datetime(2000, 1, 1),
+            time_delta=None,
+        )
+        layer = plugin.GeomodelingLayer(
+            view, "http://localhost:8888/", vmin=0.0, vmax=10.0
+        )
+        assert layer.url == "http://localhost:8888/wms"
+        assert Block.from_json(layer.layers).token == view.token
+        assert layer.vmax == 10.0
+    finally:
+        # restore the module as imported without the stub
+        monkeypatch.delitem(sys.modules, "ipyleaflet")
+        importlib.reload(plugin)
