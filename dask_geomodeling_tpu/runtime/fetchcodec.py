@@ -75,22 +75,30 @@ class FetchCodec:
         )
         return jnp.sum(groups * weights, axis=-1).astype(jnp.uint8)
 
+    def _decode_table(self):
+        """(256, group) lookup: byte -> final output values (fill
+        resolved), so decoding is ONE numpy gather per packed byte."""
+        table = getattr(self, "_lut", None)
+        if table is None:
+            digits = np.empty((256, self.group), np.int64)
+            x = np.arange(256, dtype=np.int64)
+            for k in range(self.group - 1, -1, -1):
+                digits[:, k] = x % self.symbols
+                x //= self.symbols
+            values = (digits + self.lo).astype(self.dtype)
+            if self.fill_code is not None:
+                values[digits == self.fill_code] = self.fill
+            self._lut = table = values
+        return table
+
     def decode(self, packed, height, width):
         """(B, bands, m) uint8 -> (B, bands, height, width) self.dtype."""
         packed = np.asarray(packed)
         n_batch, bands, m = packed.shape
-        x = packed.astype(np.int32)
-        codes = np.empty((n_batch, bands, m, self.group), np.int32)
-        for k in range(self.group - 1, -1, -1):
-            codes[..., k] = x % self.symbols
-            x //= self.symbols
-        codes = codes.reshape(n_batch, bands, m * self.group)[
-            :, :, : height * width
-        ]
-        values = (codes + self.lo).astype(self.dtype)
-        if self.fill_code is not None:
-            values[codes == self.fill_code] = self.fill
-        return values.reshape(n_batch, bands, height, width)
+        values = self._decode_table()[packed].reshape(n_batch, bands, -1)
+        return values[:, :, : height * width].reshape(
+            n_batch, bands, height, width
+        )
 
 
 def derive_codec(dtype, fillvalue, root_func, root_literals):
