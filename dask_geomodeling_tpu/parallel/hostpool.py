@@ -1,0 +1,226 @@
+"""Multi-machine host-plane scheduling: a TCP worker pool.
+
+The reference hands its task graphs to dask.distributed for multi-machine
+evaluation (reference core/graphs.py:42-49 — any dask scheduler works).
+This framework's device plane already scales via jax.distributed + meshes
+(parallel/distributed.py); this module scales the HOST plane — geometry
+algebra, file feeds, numpy process functions — across machines with a
+self-contained pool:
+
+    pool = HostPool(port=7777, token="s3cret")      # on the scheduler
+    # on each worker machine:
+    #   python -m dask_geomodeling_tpu.parallel.hostworker \
+    #       scheduler-host:7777 --token s3cret
+    pool.wait_for_workers(4)
+    with config.set({"scheduler": pool.scheduler}):
+        view.get_data(...)                           # graph fans out
+
+Tasks and results travel as pickles (like dask.distributed's default) —
+run it on trusted networks only, authenticated by the shared token.
+Worker disconnects requeue the in-flight task on another worker;
+application exceptions propagate to the caller.
+"""
+import io
+import logging
+import pickle
+import queue
+import socket
+import struct
+import threading
+from concurrent.futures import Future
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["HostPool", "worker_main"]
+
+_HEADER = struct.Struct("<Q")
+
+
+def _send_msg(sock, payload):
+    data = pickle.dumps(payload, protocol=pickle.HIGHEST_PROTOCOL)
+    sock.sendall(_HEADER.pack(len(data)) + data)
+
+
+def _recv_exact(sock, size):
+    buf = io.BytesIO()
+    while buf.tell() < size:
+        chunk = sock.recv(size - buf.tell())
+        if not chunk:
+            raise ConnectionError("Connection closed")
+        buf.write(chunk)
+    return buf.getvalue()
+
+
+def _recv_msg(sock):
+    (size,) = _HEADER.unpack(_recv_exact(sock, _HEADER.size))
+    return pickle.loads(_recv_exact(sock, size))
+
+
+class HostPool:
+    """Accepts worker connections and distributes task callables to them.
+
+    Also usable as a drop-in for the scheduler pools: ``submit`` returns a
+    concurrent.futures.Future, and ``scheduler`` is a callable accepted by
+    ``config.set({"scheduler": ...})``.
+    """
+
+    def __init__(self, port=0, host="127.0.0.1", token=""):
+        self._token = token
+        self._tasks = queue.Queue()  # (payload_bytes, Future)
+        self._workers = set()
+        self._lock = threading.Lock()
+        self._closed = False
+        self._worker_joined = threading.Condition(self._lock)
+        self._server = socket.create_server((host, port))
+        self.address = "%s:%d" % self._server.getsockname()[:2]
+        self._acceptor = threading.Thread(target=self._accept_loop, daemon=True)
+        self._acceptor.start()
+
+    # --- worker side of the pool ---
+
+    def _accept_loop(self):
+        while not self._closed:
+            try:
+                sock, peer = self._server.accept()
+            except OSError:
+                return  # server closed
+            threading.Thread(
+                target=self._serve_worker, args=(sock, peer), daemon=True
+            ).start()
+
+    def _serve_worker(self, sock, peer):
+        try:
+            hello = _recv_msg(sock)
+            if hello != {"token": self._token}:
+                _send_msg(sock, {"error": "bad token"})
+                sock.close()
+                return
+            _send_msg(sock, {"ok": True})
+        except (ConnectionError, pickle.UnpicklingError, OSError):
+            sock.close()
+            return
+        with self._worker_joined:
+            self._workers.add(peer)
+            self._worker_joined.notify_all()
+        logger.info("host worker %s joined (%d total)", peer, len(self._workers))
+        try:
+            while not self._closed:
+                task = self._tasks.get()
+                if task is None:  # shutdown sentinel
+                    self._tasks.put(None)  # wake the next handler too
+                    return
+                payload, future = task
+                if future.done():
+                    continue
+                try:
+                    sock.sendall(_HEADER.pack(len(payload)) + payload)
+                    status, value = _recv_msg(sock)
+                except (ConnectionError, OSError, pickle.UnpicklingError):
+                    # worker died mid-task: requeue for another worker
+                    logger.warning("host worker %s lost; requeueing task", peer)
+                    self._tasks.put((payload, future))
+                    return
+                if status == "ok":
+                    future.set_result(value)
+                else:
+                    future.set_exception(value)
+        finally:
+            with self._worker_joined:
+                self._workers.discard(peer)
+            sock.close()
+
+    # --- caller side ---
+
+    @property
+    def n_workers(self):
+        with self._lock:
+            return len(self._workers)
+
+    def wait_for_workers(self, count, timeout=30.0):
+        with self._worker_joined:
+            if not self._worker_joined.wait_for(
+                lambda: len(self._workers) >= count, timeout=timeout
+            ):
+                raise TimeoutError(
+                    "Only %d/%d workers joined" % (len(self._workers), count)
+                )
+
+    def submit(self, func, *args):
+        future = Future()
+        payload = pickle.dumps(
+            (func, args), protocol=pickle.HIGHEST_PROTOCOL
+        )
+        self._tasks.put((payload, future))
+        return future
+
+    def scheduler(self, graph, keys, **kwargs):
+        """A scheduler callable over this pool (config: ``scheduler``)."""
+        from dask_geomodeling_tpu.core.scheduler import _get_pooled_impl
+
+        if self.n_workers == 0:
+            raise RuntimeError(
+                "No host workers connected to %s; start them with "
+                "python -m dask_geomodeling_tpu.parallel.hostworker"
+                % self.address
+            )
+        pool = self
+
+        class _View:
+            """Non-closing executor view for the pooled scheduler impl."""
+
+            def __init__(self, _n):
+                pass
+
+            def __enter__(self):
+                return pool
+
+            def __exit__(self, *exc):
+                return False
+
+        return _get_pooled_impl(_View, graph, keys, None)
+
+    def close(self):
+        self._closed = True
+        self._tasks.put(None)
+        try:
+            self._server.close()
+        except OSError:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def worker_main(address, token="", once=False):
+    """Connect to a HostPool and execute tasks until disconnected.
+
+    ``address`` is "host:port".  With ``once`` the worker exits after the
+    first task (used by tests).
+    """
+    host, _, port = address.rpartition(":")
+    sock = socket.create_connection((host, int(port)))
+    try:
+        _send_msg(sock, {"token": token})
+        reply = _recv_msg(sock)
+        if reply != {"ok": True}:
+            raise PermissionError("Pool rejected the worker: %r" % (reply,))
+        while True:
+            func, args = _recv_msg(sock)
+            try:
+                result = ("ok", func(*args))
+            except Exception as e:  # application error: ship it back
+                try:
+                    pickle.dumps(e)
+                except Exception:
+                    e = RuntimeError(repr(e))
+                result = ("error", e)
+            _send_msg(sock, result)
+            if once:
+                return
+    except ConnectionError:
+        pass
+    finally:
+        sock.close()

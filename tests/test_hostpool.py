@@ -1,0 +1,127 @@
+"""Multi-machine host-plane scheduling over the TCP worker pool."""
+import operator
+import os
+import subprocess
+import sys
+import time
+from datetime import datetime
+
+import numpy as np
+import pytest
+
+from dask_geomodeling_tpu import config
+from dask_geomodeling_tpu.parallel.hostpool import HostPool
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _spawn_worker(address, token="hunter2"):
+    env = dict(os.environ, PYTHONPATH=REPO)
+    return subprocess.Popen(
+        [
+            sys.executable,
+            "-m",
+            "dask_geomodeling_tpu.parallel.hostworker",
+            address,
+            "--token",
+            token,
+        ],
+        env=env,
+        cwd=REPO,
+    )
+
+
+@pytest.fixture
+def pool():
+    with HostPool(token="hunter2") as p:
+        workers = [_spawn_worker(p.address) for _ in range(2)]
+        try:
+            p.wait_for_workers(2, timeout=60)
+            yield p
+        finally:
+            for w in workers:
+                w.kill()
+                w.wait()
+
+
+def _boom():
+    raise ValueError("boom")
+
+
+def _slow_identity(x):
+    time.sleep(2.0)
+    return x
+
+
+class TestHostPool:
+    def test_graph_evaluation(self, pool):
+        graph = {
+            "a": (operator.add, 1, 2),
+            "b": (operator.mul, "a", 10),
+            "c": (operator.add, "a", "b"),
+        }
+        assert pool.scheduler(graph, ["c", "a"]) == [33, 3]
+
+    def test_view_get_data_matches_sync(self, pool):
+        from dask_geomodeling_tpu.raster import Classify, MemorySource, Smooth
+
+        source = MemorySource(
+            data=(np.random.RandomState(0).rand(1, 32, 32) * 200).astype(
+                np.float32
+            ),
+            no_data_value=float(np.finfo(np.float32).max),
+            projection="EPSG:28992",
+            pixel_size=1.0,
+            pixel_origin=(135000, 456000),
+            time_first=datetime(2000, 1, 1),
+            time_delta=None,
+        )
+        view = Classify(Smooth(source + 1, size=3), bins=[50.0, 150.0])
+        request = dict(
+            mode="vals",
+            bbox=(135000, 455968, 135032, 456000),
+            projection="EPSG:28992",
+            width=32,
+            height=32,
+            start=datetime(2000, 1, 1),
+        )
+        expected = view.get_data(**request)
+        with config.set({"scheduler": pool.scheduler}):
+            distributed = view.get_data(**request)
+        np.testing.assert_array_equal(
+            distributed["values"], expected["values"]
+        )
+
+    def test_exception_propagates(self, pool):
+        with pytest.raises(ValueError, match="boom"):
+            pool.scheduler({"x": (_boom,)}, ["x"])
+
+    def test_worker_death_requeues(self):
+        with HostPool(token="t") as p:
+            first = _spawn_worker(p.address, token="t")
+            try:
+                p.wait_for_workers(1, timeout=60)
+                future = p.submit(_slow_identity, 42)
+                time.sleep(0.5)  # the (only) worker is mid-sleep
+                first.kill()
+                first.wait()
+                replacement = _spawn_worker(p.address, token="t")
+                try:
+                    # the requeued task completes on the replacement
+                    assert future.result(timeout=60) == 42
+                finally:
+                    replacement.kill()
+                    replacement.wait()
+            finally:
+                first.kill()
+                first.wait()
+
+    def test_bad_token_rejected(self):
+        with HostPool(token="right") as p:
+            worker = _spawn_worker(p.address, token="wrong")
+            try:
+                assert worker.wait(timeout=60) != 0
+                assert p.n_workers == 0
+            finally:
+                worker.kill()
+                worker.wait()
