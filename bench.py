@@ -151,11 +151,11 @@ def main():
         # (tunneled fetch rates swing up to 3x with time of day — the
         # min/max spread and a raw fetch-bandwidth probe ship as telemetry
         # so regressions separate from tunnel weather)
-        evaluate_tiled(view, request, tile_size=tile, batch=64)
+        evaluate_tiled(view, request, tile_size=tile, batch=50)
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
-            result = evaluate_tiled(view, request, tile_size=tile, batch=64)
+            result = evaluate_tiled(view, request, tile_size=tile, batch=50)
             runs.append(time.perf_counter() - t0)
         assert result["values"].shape[-1] == out_px
         runs.sort()

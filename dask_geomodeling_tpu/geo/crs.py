@@ -908,6 +908,110 @@ class _HotineObliqueMercator:
         return xp.degrees(lam), xp.degrees(phi)
 
 
+class _Krovak:
+    """Krovak oblique conformal conic (EPSG method 9819), as used by the
+    Czech/Slovak S-JTSK grids.  Formulas per EPSG Guidance Note 7-2
+    §3.2.7.  Coordinates follow the GDAL/PROJ "Krovak" convention
+    (east/north = negated EPSG southing/westing, so values are negative
+    over Czechia, matching +proj=krovak)."""
+
+    is_geographic = False
+    unit = "metre"
+
+    def __init__(
+        self,
+        ell,
+        lonc,
+        latc,
+        azimuth,
+        pseudo_standard_parallel,
+        k0,
+        false_easting,
+        false_northing,
+    ):
+        self.ell = ell
+        self.fe = false_easting
+        self.fn = false_northing
+        e, e2 = ell.e, ell.e2
+        phi_c = np.radians(latc)
+        self.lam0 = np.radians(lonc)
+        self.alpha_c = np.radians(azimuth)
+        psi = np.radians(pseudo_standard_parallel)
+
+        sin_c = np.sin(phi_c)
+        self.A = ell.a * np.sqrt(1 - e2) / (1 - e2 * sin_c**2)
+        self.B = np.sqrt(1 + e2 * np.cos(phi_c) ** 4 / (1 - e2))
+        self.gamma0 = np.arcsin(sin_c / self.B)
+        self.t0 = (
+            np.tan(np.pi / 4 + self.gamma0 / 2)
+            * ((1 + e * sin_c) / (1 - e * sin_c)) ** (e * self.B / 2)
+            / np.tan(np.pi / 4 + phi_c / 2) ** self.B
+        )
+        self.n = np.sin(psi)
+        self.r0 = k0 * self.A / np.tan(psi)
+        self.tan_psi_half = np.tan(psi / 2 + np.pi / 4)
+
+    def forward(self, lon, lat, xp=np):
+        e = self.ell.e
+        phi = xp.radians(xp.asarray(lat, dtype=float))
+        lam = xp.radians(xp.asarray(lon, dtype=float))
+        sin_phi = xp.sin(phi)
+        big_u = 2 * (
+            xp.arctan(
+                self.t0
+                * xp.tan(phi / 2 + np.pi / 4) ** self.B
+                / ((1 + e * sin_phi) / (1 - e * sin_phi)) ** (e * self.B / 2)
+            )
+            - np.pi / 4
+        )
+        big_v = self.B * (self.lam0 - lam)
+        big_t = xp.arcsin(
+            np.cos(self.alpha_c) * xp.sin(big_u)
+            + np.sin(self.alpha_c) * xp.cos(big_u) * xp.cos(big_v)
+        )
+        big_d = xp.arcsin(xp.cos(big_u) * xp.sin(big_v) / xp.cos(big_t))
+        theta = self.n * big_d
+        r = (
+            self.r0
+            * self.tan_psi_half**self.n
+            / xp.tan(big_t / 2 + np.pi / 4) ** self.n
+        )
+        southing = r * xp.cos(theta)
+        westing = r * xp.sin(theta)
+        return -westing + self.fe, -southing + self.fn
+
+    def inverse(self, x, y, xp=np):
+        e = self.ell.e
+        westing = -(xp.asarray(x, dtype=float) - self.fe)
+        southing = -(xp.asarray(y, dtype=float) - self.fn)
+        r = xp.hypot(southing, westing)
+        theta = xp.arctan2(westing, southing)
+        big_d = theta / self.n
+        big_t = 2 * (
+            xp.arctan((self.r0 / r) ** (1 / self.n) * self.tan_psi_half)
+            - np.pi / 4
+        )
+        big_u = xp.arcsin(
+            np.cos(self.alpha_c) * xp.sin(big_t)
+            - np.sin(self.alpha_c) * xp.cos(big_t) * xp.cos(big_d)
+        )
+        big_v = xp.arcsin(xp.cos(big_t) * xp.sin(big_d) / xp.cos(big_u))
+        lam = self.lam0 - big_v / self.B
+
+        # invert the conformal-sphere latitude iteratively
+        phi = big_u
+        for _ in range(8):
+            sin_phi = xp.sin(phi)
+            phi = 2 * (
+                xp.arctan(
+                    (xp.tan(big_u / 2 + np.pi / 4) / self.t0) ** (1 / self.B)
+                    * ((1 + e * sin_phi) / (1 - e * sin_phi)) ** (e / 2)
+                )
+                - np.pi / 4
+            )
+        return xp.degrees(lam), xp.degrees(phi)
+
+
 class SpatialReference:
     """A CRS: a datum plus a projection, identified by an EPSG code (or by
     its parameters, for CRSes parsed from WKT/proj4 without a known code)."""
@@ -1276,6 +1380,17 @@ def _build_projection(method, ell, p):
         return _HotineObliqueMercator(
             ell, cm, lat0, azimuth, gamma, k0, fe, fn, variant=variant
         )
+    if method in ("krovak", "krovak_east_north"):
+        return _Krovak(
+            ell,
+            cm,
+            lat0,
+            p.get("azimuth", 30.28813975277778),
+            p.get("pseudo_standard_parallel_1", 78.5),
+            k0,
+            fe,
+            fn,
+        )
     raise TransformException("Unsupported projection method: %s" % method)
 
 
@@ -1342,6 +1457,7 @@ _PROJ4_METHODS = {
     "eqc": "equidistant_cylindrical",
     "cass": "cassini_soldner",
     "omerc": "hotine_oblique_mercator_azimuth_center",
+    "krovak": "krovak",
 }
 
 
@@ -1448,6 +1564,15 @@ def _sr_from_proj4(text):
             params["rectified_grid_angle"] = float(parts["gamma"])
         if "no_uoff" in parts or "no_off" in parts:
             method = "hotine_oblique_mercator"
+    elif proj == "krovak":
+        # PROJ's built-in S-JTSK defaults
+        params["latitude_of_origin"] = float(parts.get("lat_0", 49.5))
+        params["central_meridian"] = float(
+            parts.get("lon_0", 24.833333333333332)
+        )
+        params["azimuth"] = float(parts.get("alpha", 30.28813975277778))
+        if "k" not in parts and "k_0" not in parts:
+            params["scale_factor"] = 0.9999
     projection = _build_projection(method, ell, params)
     key = (method, datum_key, tuple(sorted(params.items())))
     return SpatialReference(None, text, datum_key, projection, key=key)

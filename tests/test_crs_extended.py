@@ -180,6 +180,49 @@ class TestHotineObliqueMercator:
         assert abs(lon - 115.5) < 1e-8 and abs(lat - 4.5) < 1e-8
 
 
+class TestKrovak:
+    def _sjtsk(self):
+        from dask_geomodeling_tpu.geo.crs import _Krovak
+
+        return _Krovak(
+            _ellipsoid("bessel"),
+            24.833333333333332,
+            49.5,
+            30.28813975277778,
+            78.5,
+            0.9999,
+            0.0,
+            0.0,
+        )
+
+    def test_epsg_worked_example(self):
+        """EPSG Guidance 7-2 §3.2.7: the S-JTSK test point."""
+        proj = self._sjtsk()
+        lon = 16 + 50 / 60 + 59.1790 / 3600
+        lat = 50 + 12 / 60 + 32.4416 / 3600
+        x, y = proj.forward(lon, lat)
+        # GDAL/PROJ east-north convention = negated southing/westing
+        assert abs(x - -568991.00) < 0.05
+        assert abs(y - -1050538.63) < 0.05
+        lon2, lat2 = proj.inverse(x, y)
+        assert abs(lon2 - lon) < 1e-9 and abs(lat2 - lat) < 1e-9
+
+    def test_roundtrip(self):
+        rng = np.random.RandomState(5)
+        proj = self._sjtsk()
+        _roundtrip(
+            proj,
+            15.0 + rng.uniform(-3, 6, 50),
+            49.5 + rng.uniform(-2, 2, 50),
+            tol=1e-9,
+        )
+
+    def test_proj4_defaults(self):
+        sr = get_sr("+proj=krovak +ellps=bessel +towgs84=0,0,0")
+        x, y = sr.projection.forward(17.0, 50.0)
+        assert -800000 < x < -400000 and -1200000 < y < -900000
+
+
 class TestLambertConformalConic1SP:
     def test_finite_and_roundtrip(self):
         # regression: sp1 == sp2 used to produce NaN (0/0 in n)

@@ -173,6 +173,7 @@ class TestWarpFuzz:
             "+proj=lcc +lat_0=52 +lon_0=5 +k_0=0.9999 +x_0=600000 "
             "+y_0=2200000 +ellps=WGS84 +towgs84=0,0,0",
         ),
+        ("EPSG:28992", "+proj=krovak +ellps=bessel +towgs84=589,76,480"),
     ]
 
     @pytest.mark.parametrize("dst", [pair[1] for pair in CRS_PAIRS])
