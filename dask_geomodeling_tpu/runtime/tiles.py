@@ -319,16 +319,23 @@ class TileProgram:
             batch_sharding = NamedSharding(mesh, PartitionSpec("dp"))
             shared_sharding = NamedSharding(mesh, PartitionSpec())
 
+        # coalesce the per-tile uploads into ONE device_put: each separate
+        # transfer pays a tunnel round trip, which dominates for the many
+        # small stacked bbox/literal arrays of a batch
+        varying = [s for s in staged if s is not None]
+        if varying:
+            if batch_sharding is not None:
+                moved = iter(jax.device_put(varying, batch_sharding))
+            else:
+                moved = iter(jax.device_put(varying))
         call_args = []
         for pos, stacked in enumerate(staged):
             if stacked is None:
                 call_args.append(
                     _ex._device_put_cached(self._shared[pos], shared_sharding)
                 )
-            elif batch_sharding is not None:
-                call_args.append(jax.device_put(stacked, batch_sharding))
             else:
-                call_args.append(jax.device_put(stacked))
+                call_args.append(next(moved))
         return self._compiled(*call_args)
 
     def dispatch_batch(self, view, requests):
