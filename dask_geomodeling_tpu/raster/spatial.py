@@ -453,24 +453,36 @@ class Place(BaseSingle):
             raise ValueError(
                 "'{}' is not a valid projection string".format(place_projection)
             )
-        anchor = list(anchor)
-        if len(anchor) != 2:
-            raise ValueError("Expected 2 numbers in the 'anchor' parameter")
-        for x in anchor:
+        check_statistic(statistic)
+        super().__init__(
+            store,
+            place_projection,
+            self._coerce_point(anchor, "anchor"),
+            self._coerce_points(coordinates),
+            statistic,
+        )
+
+    @staticmethod
+    def _coerce_point(value, name):
+        point = list(value)
+        if len(point) != 2:
+            raise ValueError("Expected 2 numbers in the '%s' parameter" % name)
+        for x in point:
             if not isinstance(x, (int, float)):
                 raise TypeError("'{}' object is not allowed".format(type(x)))
+        return point
+
+    @staticmethod
+    def _coerce_points(coordinates):
         if coordinates is None or len(coordinates) == 0:
-            coordinates = []
-        else:
-            coordinates = np.asarray(coordinates, dtype=float)
-            if coordinates.ndim != 2 or coordinates.shape[1] != 2:
-                raise ValueError(
-                    "Expected a list of lists of 2 numbers in the "
-                    "'coordinates' parameter"
-                )
-            coordinates = coordinates.tolist()
-        check_statistic(statistic)
-        super().__init__(store, place_projection, anchor, coordinates, statistic)
+            return []
+        coordinates = np.asarray(coordinates, dtype=float)
+        if coordinates.ndim != 2 or coordinates.shape[1] != 2:
+            raise ValueError(
+                "Expected a list of lists of 2 numbers in the "
+                "'coordinates' parameter"
+            )
+        return coordinates.tolist()
 
     place_projection = arg(1)
     anchor = arg(2)
@@ -518,19 +530,57 @@ class Place(BaseSingle):
         geom.srs = extent.srs
         return geom
 
+    def _points_in(self, projection):
+        """Anchor and target coordinates transformed to ``projection``."""
+        anchor = shapely_transform(
+            Point(self.anchor), self.place_projection, projection
+        ).coords[0]
+        coordinates = [
+            shapely_transform(
+                Point(coord), self.place_projection, projection
+            ).coords[0]
+            for coord in self.coordinates
+        ]
+        return anchor, coordinates
+
+    @staticmethod
+    def _warp_mode_plan(request, anchor, coordinates, source_box, cell):
+        """One full-extent fetch shifted on the output grid, when that is
+        cheaper than per-coordinate requests; None otherwise."""
+        xmin, ymin, xmax, ymax = source_box
+        size_x, size_y = cell
+        full_height = math.ceil((ymax - ymin) / size_y)
+        full_width = math.ceil((xmax - xmin) / size_x)
+        if full_height * full_width > request["width"] * request["height"]:
+            return None
+        source_request = dict(
+            request,
+            width=full_width,
+            height=full_height,
+            bbox=(
+                xmin,
+                ymin,
+                xmin + full_width * size_x,
+                ymin + full_height * size_y,
+            ),
+        )
+        plan = {
+            "mode": "warp",
+            "anchor": anchor,
+            "coordinates": coordinates,
+            "src_bbox": source_request["bbox"],
+            "dst_bbox": request["bbox"],
+            "dst_shape": (request["height"], request["width"]),
+            "cellsize": cell,
+            "statistic": None,  # filled by the caller
+        }
+        return plan, source_request
+
     def get_sources_and_requests(self, **request):
         if request["mode"] != "vals":
             return ({"mode": request["mode"]}, None), (self.store, request)
 
-        anchor = shapely_transform(
-            Point(self.anchor), self.place_projection, request["projection"]
-        ).coords[0]
-        coordinates = [
-            shapely_transform(
-                Point(coord), self.place_projection, request["projection"]
-            ).coords[0]
-            for coord in self.coordinates
-        ]
+        anchor, coordinates = self._points_in(request["projection"])
 
         extent_geometry = self.store.geometry
         if extent_geometry is None:
@@ -545,32 +595,18 @@ class Place(BaseSingle):
         size_x = (x2 - x1) / request["width"]
         size_y = (y2 - y1) / request["height"]
 
-        # if the full source extent is cheaper than per-coordinate requests,
-        # fetch it once and shift it on the output grid ("warp" mode)
         if size_x > 0 and size_y > 0:
-            full_height = math.ceil((ymax - ymin) / size_y)
-            full_width = math.ceil((xmax - xmin) / size_x)
-            if full_height * full_width <= request["width"] * request["height"]:
-                _request = request.copy()
-                _request["width"] = full_width
-                _request["height"] = full_height
-                _request["bbox"] = (
-                    xmin,
-                    ymin,
-                    xmin + full_width * size_x,
-                    ymin + full_height * size_y,
-                )
-                process_kwargs = {
-                    "mode": "warp",
-                    "anchor": anchor,
-                    "coordinates": coordinates,
-                    "src_bbox": _request["bbox"],
-                    "dst_bbox": request["bbox"],
-                    "dst_shape": (request["height"], request["width"]),
-                    "cellsize": (size_x, size_y),
-                    "statistic": self.statistic,
-                }
-                return [(process_kwargs, None), (self.store, _request)]
+            warp = self._warp_mode_plan(
+                request,
+                anchor,
+                coordinates,
+                (xmin, ymin, xmax, ymax),
+                (size_x, size_y),
+            )
+            if warp is not None:
+                plan, source_request = warp
+                plan["statistic"] = self.statistic
+                return [(plan, None), (self.store, source_request)]
 
         # per-coordinate shifted requests ("group" mode)
         sources_and_requests = []
@@ -587,21 +623,22 @@ class Place(BaseSingle):
             _request = request.copy()
             _request["bbox"] = tuple(bbox)
             sources_and_requests.append((self.store, _request))
-        if len(sources_and_requests) == 0:
+        if not sources_and_requests:
             # no coordinate overlaps; a time request provides the band depth
-            _request = request.copy()
-            _request["mode"] = "time"
-            process_kwargs = {
-                "mode": "empty",
-                "dtype": self.dtype,
-                "fillvalue": self.fillvalue,
-                "width": request["width"],
-                "height": request["height"],
-                "statistic": self.statistic,
-            }
-            return [(process_kwargs, None), (self.store, _request)]
-        process_kwargs = {"mode": "group", "statistic": self.statistic}
-        return [(process_kwargs, None)] + sources_and_requests
+            empty_plan = dict(
+                mode="empty",
+                dtype=self.dtype,
+                fillvalue=self.fillvalue,
+                width=request["width"],
+                height=request["height"],
+                statistic=self.statistic,
+            )
+            return [
+                (empty_plan, None),
+                (self.store, dict(request, mode="time")),
+            ]
+        group_plan = dict(mode="group", statistic=self.statistic)
+        return [(group_plan, None)] + sources_and_requests
 
     @staticmethod
     def process(process_kwargs, *multi):
