@@ -52,6 +52,9 @@ defaults = {
     # coarse-grid stride of the approximate warp transformer (GDAL's
     # 0.125 px error model); 1 = exact per-pixel CRS transform
     "geomodeling.warp-approx-stride": 8,
+    # warp resampling: "nearest" (GDAL GRA_NearestNeighbour, the
+    # reference's choice) or "bilinear"
+    "geomodeling.warp-interpolation": "nearest",
     # run zonal statistics as device segment reductions (ops/segment.py);
     # off by default from measurement (benchmarks/run.py zonal rows):
     # per-frame host<->device round trips lose to scipy.ndimage at typical

@@ -61,6 +61,26 @@ def warp_indices(src_gt, src_srs, src_shape, bbox, projection, width, height):
     return rows, cols, inside
 
 
+def _fractional_indices(src_gt, src_srs, src_shape, bbox, projection, width, height):
+    """Fractional source (row, col) grids at target pixel centers, with
+    the nearest-containment inside mask (shared with warp_indices)."""
+    gt = GeoTransform.from_bbox(bbox, height, width)
+    p, a, b, q, c, d = gt
+    xs = p + a * (np.arange(width) + 0.5)
+    ys = q + d * (np.arange(height) + 0.5)
+    tx, ty = np.meshgrid(xs, ys)
+    if get_projection(src_srs).upper() != get_projection(projection).upper():
+        tx, ty = transform_points(tx, ty, projection, src_srs)
+    sp, sa, sb, sq, sc, sd = src_gt
+    frac_cols = (tx - sp) / sa
+    frac_rows = (ty - sq) / sd
+    src_h, src_w = src_shape[-2], src_shape[-1]
+    rows = np.floor(frac_rows)
+    cols = np.floor(frac_cols)
+    inside = (rows >= 0) & (rows < src_h) & (cols >= 0) & (cols < src_w)
+    return frac_rows - 0.5, frac_cols - 0.5, inside
+
+
 def gather_numpy(values, rows, cols, inside, fillvalue, dtype):
     """Gather source values at (rows, cols); outside cells get fillvalue."""
     bands = values.shape[0]
@@ -70,6 +90,47 @@ def gather_numpy(values, rows, cols, inside, fillvalue, dtype):
     gathered = values[:, safe_rows, safe_cols]
     out[:, inside] = gathered[:, inside]
     return out
+
+
+def _bilinear_sample(values, fr, fc, inside, no_data_value, fillvalue, dtype, xp):
+    """Bilinear sample of (bands, h, w) at fractional indices (fr, fc).
+
+    Edge neighbours clamp; a cell is nodata when it falls outside the
+    source or when ANY participating neighbour is nodata (GDAL-like:
+    never interpolate across the nodata boundary).
+    """
+    src_h, src_w = values.shape[-2], values.shape[-1]
+    r0 = xp.clip(xp.floor(fr), 0, src_h - 1).astype(np.int32)
+    c0 = xp.clip(xp.floor(fc), 0, src_w - 1).astype(np.int32)
+    r1 = xp.clip(r0 + 1, 0, src_h - 1)
+    c1 = xp.clip(c0 + 1, 0, src_w - 1)
+    wr = xp.clip(fr - r0, 0.0, 1.0)
+    wc = xp.clip(fc - c0, 0.0, 1.0)
+
+    v00 = values[:, r0, c0].astype(np.float64)
+    v01 = values[:, r0, c1].astype(np.float64)
+    v10 = values[:, r1, c0].astype(np.float64)
+    v11 = values[:, r1, c1].astype(np.float64)
+
+    top = v00 + (v01 - v00) * wc
+    bottom = v10 + (v11 - v10) * wc
+    blended = top + (bottom - top) * wr
+
+    valid = inside[None]
+    if no_data_value is not None:
+        def is_nodata(v):
+            if np.dtype(values.dtype).kind == "f":
+                return xp.isclose(v, no_data_value)
+            return v == no_data_value
+
+        touched = (
+            is_nodata(v00) | is_nodata(v01) | is_nodata(v10) | is_nodata(v11)
+        )
+        valid = valid & ~touched
+    dtype = np.dtype(dtype)
+    if dtype.kind in "iub":
+        blended = xp.rint(blended)
+    return xp.where(valid, blended.astype(dtype), dtype.type(fillvalue))
 
 
 def warp_jax(
@@ -83,9 +144,10 @@ def warp_jax(
     height,
     dtype,
     fillvalue,
+    interpolation="nearest",
 ):
     """On-device warp: CRS transform of the target pixel-center grid plus a
-    nearest-neighbour gather, all traced into one XLA program.
+    nearest-neighbour (or bilinear) gather, all traced into one XLA program.
 
     ``values`` is a (bands, h, w) traced array; ``bbox`` may be a traced
     length-4 array (so one compiled program serves every tile of a request);
@@ -142,15 +204,28 @@ def warp_jax(
             tx, ty = transform_points(tx, ty, projection, src_srs, xp=jnp)
 
     sp, sa, sb, sq, sc, sd = src_gt
-    cols = jnp.floor((tx - sp) / sa).astype(jnp.int32)
-    rows = jnp.floor((ty - sq) / sd).astype(jnp.int32)
+    frac_cols = (tx - sp) / sa
+    frac_rows = (ty - sq) / sd
+    cols = jnp.floor(frac_cols).astype(jnp.int32)
+    rows = jnp.floor(frac_rows).astype(jnp.int32)
 
     src_h, src_w = values.shape[-2], values.shape[-1]
     inside = (rows >= 0) & (rows < src_h) & (cols >= 0) & (cols < src_w)
-    safe_rows = jnp.where(inside, rows, 0)
-    safe_cols = jnp.where(inside, cols, 0)
 
     dtype = np.dtype(dtype)
+    if interpolation == "bilinear":
+        return _bilinear_sample(
+            values,
+            frac_rows - 0.5,
+            frac_cols - 0.5,
+            inside,
+            no_data_value,
+            fillvalue,
+            dtype,
+            jnp,
+        )
+    safe_rows = jnp.where(inside, rows, 0)
+    safe_cols = jnp.where(inside, cols, 0)
     gathered = values[:, safe_rows, safe_cols].astype(dtype)
     out = jnp.where(inside[None], gathered, dtype.type(fillvalue))
     if no_data_value is not None and no_data_value != fillvalue:
@@ -173,10 +248,18 @@ def warp_numpy(
     height,
     dtype=None,
     fillvalue=None,
+    interpolation="nearest",
 ):
     """Full host warp of a (bands, h, w) array into the requested grid."""
     dtype = np.dtype(dtype) if dtype is not None else values.dtype
     fillvalue = no_data_value if fillvalue is None else fillvalue
+    if interpolation == "bilinear":
+        fr, fc, inside = _fractional_indices(
+            src_gt, src_srs, values.shape, bbox, projection, width, height
+        )
+        return _bilinear_sample(
+            values, fr, fc, inside, no_data_value, fillvalue, dtype, np
+        )
     rows, cols, inside = warp_indices(
         src_gt, src_srs, values.shape, bbox, projection, width, height
     )

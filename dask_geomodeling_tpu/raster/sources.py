@@ -54,6 +54,8 @@ def _source_process_jax(process_kwargs):
     dtype = np.dtype(process_kwargs["dtype"])
     fillvalue = np.dtype(dtype).type(process_kwargs["fillvalue"]).item()
 
+    from dask_geomodeling_tpu.config import config
+
     values = raster_data.array[bands[0] : bands[1]]
     result = warp_jax(
         values,
@@ -66,6 +68,7 @@ def _source_process_jax(process_kwargs):
         process_kwargs["height"],
         dtype,
         fillvalue,
+        interpolation=config.get("geomodeling.warp-interpolation", "nearest"),
     )
     if dtype.kind == "f":
         result = jnp.where(jnp.isfinite(result), result, dtype.type(fillvalue))
@@ -149,6 +152,8 @@ class RasterSourceBase(RasterBlock):
                 raster_data, bbox, process_kwargs["projection"], dtype, fill
             )
         else:
+            from dask_geomodeling_tpu.config import config
+
             result = warp_numpy(
                 raster_data.array,
                 utils.GeoTransform(raster_data.geo_transform),
@@ -160,6 +165,9 @@ class RasterSourceBase(RasterBlock):
                 height,
                 dtype=dtype,
                 fillvalue=fill,
+                interpolation=config.get(
+                    "geomodeling.warp-interpolation", "nearest"
+                ),
             )
         result = result[bands[0] : bands[1]]
         if result.dtype.kind == "f":

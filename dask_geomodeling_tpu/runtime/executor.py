@@ -232,6 +232,7 @@ def execution_config_token():
 
     return tokenize(
         config.get("geomodeling.warp-approx-stride", 8),
+        config.get("geomodeling.warp-interpolation", "nearest"),
         config.get("geomodeling.pallas-smooth", True),
         config.get("geomodeling.fetch-pack", True),
         config.get("geomodeling.mesh-shape", None),
