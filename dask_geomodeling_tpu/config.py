@@ -63,6 +63,9 @@ defaults = {
     "geomodeling.aggregate-device": False,
     # use the fused Pallas kernel for Gaussian smoothing on TPU
     "geomodeling.pallas-smooth": True,
+    # use the fused Pallas kernel for the moving-max footprint filter
+    # (MovingMax/Dilate) on TPU
+    "geomodeling.pallas-stencils": True,
     # with the jax executor, route vals requests larger than one tile
     # through the batched tile runtime (runtime/tiles.py) automatically
     "geomodeling.auto-tile": True,

@@ -7,6 +7,11 @@ convolution round trips.  The row pass accumulates sublane-shifted slices,
 the column pass lane-shifted slices; both are VPU elementwise work with
 static trip counts, so Mosaic unrolls them fully.
 
+``moving_max_pallas`` does the same for the circular-footprint maximum
+filter behind MovingMax/Dilate: the footprint decomposes into statically
+shifted VMEM slices folded with ``maximum`` — one HBM round trip instead
+of one reduce_window per footprint row.
+
 Grid: one program per band; the whole padded band lives in VMEM (a 512²
 float32 tile with a typical Gaussian radius is ~1.2 MB, far under the
 16 MB VMEM).  Callers fall back to the XLA implementation (ops/stencils.py)
@@ -16,7 +21,13 @@ import numpy as np
 
 from dask_geomodeling_tpu.ops.stencils import gaussian_kernel_1d
 
-__all__ = ["gaussian_blur_pallas", "pallas_available", "pallas_fits"]
+__all__ = [
+    "gaussian_blur_pallas",
+    "moving_max_pallas",
+    "pallas_available",
+    "pallas_fits",
+    "moving_max_pallas_fits",
+]
 
 _VMEM_BUDGET = 12 * 1024 * 1024
 
@@ -98,3 +109,86 @@ def gaussian_blur_pallas(values, sigma_y, sigma_x, fill, interpret=False):
         scratch_shapes=[pltpu.VMEM((height, pw), jnp.float32)],
         interpret=interpret,
     )(padded)
+
+
+def moving_max_pallas_fits(height, width, size, dtype):
+    """Whether the padded band + output fit VMEM and the dtype maps onto
+    a 32-bit VPU type losslessly."""
+    dtype = np.dtype(dtype)
+    if dtype.kind == "f" and dtype.itemsize > 4:
+        return False
+    if dtype.kind == "i" and dtype.itemsize > 4:
+        return False
+    if dtype.kind == "u" and dtype.itemsize > 2:
+        return False  # uint32 does not fit int32 losslessly
+    if dtype.kind not in "iufb":
+        return False
+    radius = int(size) // 2
+    ph, pw = height + 2 * radius, width + 2 * radius
+    return (ph * pw + height * width) * 4 <= _VMEM_BUDGET
+
+
+def moving_max_pallas(values, size, interpret=False):
+    """Circular-footprint maximum filter over (bands, h, w) data: the
+    footprint unrolls into statically shifted VMEM slices folded with
+    ``maximum`` (one kernel, one HBM round trip).  Semantics identical to
+    ops/stencils.py:moving_max_jax."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from dask_geomodeling_tpu.ops.stencils import _footprint_runs
+
+    dtype = np.dtype(values.dtype)
+    bands, height, width = values.shape
+    radius = int(size) // 2
+    runs = _footprint_runs(size)
+
+    if dtype.kind == "f":
+        compute = jnp.float32
+        pad_value = np.float32(-np.inf)
+    else:
+        compute = jnp.int32
+        pad_value = np.int32(np.iinfo(np.int32).min)
+
+    padded = jnp.pad(
+        values.astype(compute),
+        ((0, 0), (radius, radius), (radius, radius)),
+        constant_values=pad_value,
+    )
+    ph, pw = padded.shape[1], padded.shape[2]
+
+    def kernel(in_ref, out_ref):
+        # accumulate through out_ref: folding in VMEM keeps the live set
+        # at one slice + the accumulator instead of materializing every
+        # shifted slice of the unrolled footprint at once
+        first = True
+        for dy, dx_lo, dx_hi in runs:
+            y0 = radius + dy
+            for dx in range(dx_lo, dx_hi + 1):
+                x0 = radius + dx
+                piece = in_ref[0, y0 : y0 + height, x0 : x0 + width]
+                if first:
+                    out_ref[0, :, :] = piece
+                    first = False
+                else:
+                    out_ref[0, :, :] = jnp.maximum(out_ref[0, :, :], piece)
+
+    result = pl.pallas_call(
+        kernel,
+        grid=(bands,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, ph, pw), lambda b: (b, b * 0, b * 0), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, height, width),
+            lambda b: (b, b * 0, b * 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bands, height, width), compute),
+        interpret=interpret,
+    )(padded)
+    return result.astype(dtype)

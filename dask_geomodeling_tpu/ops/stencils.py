@@ -80,11 +80,29 @@ def _footprint_runs(size):
 def moving_max_jax(values, size):
     """Circular-footprint maximum filter over (b, h, w) data.
 
-    Decomposed per footprint row: a 1-D window max over x (run length of
-    that row), shifted in y, then a max over rows.
+    On TPU the fused Pallas kernel handles fitting tiles
+    (ops/pallas_stencils.py, gated by ``geomodeling.pallas-stencils``);
+    otherwise decomposed per footprint row: a 1-D window max over x (run
+    length of that row), shifted in y, then a max over rows.
     """
     import jax.numpy as jnp
     from jax import lax
+
+    from dask_geomodeling_tpu.config import config
+    from dask_geomodeling_tpu.ops.pallas_stencils import (
+        moving_max_pallas,
+        moving_max_pallas_fits,
+        pallas_available,
+    )
+
+    if (
+        config.get("geomodeling.pallas-stencils", True)
+        and pallas_available()
+        and moving_max_pallas_fits(
+            values.shape[1], values.shape[2], size, values.dtype
+        )
+    ):
+        return moving_max_pallas(values, size)
 
     dtype = np.dtype(values.dtype)
     neg_inf = dtype.type(

@@ -234,6 +234,7 @@ def execution_config_token():
         config.get("geomodeling.warp-approx-stride", 8),
         config.get("geomodeling.warp-interpolation", "nearest"),
         config.get("geomodeling.pallas-smooth", True),
+        config.get("geomodeling.pallas-stencils", True),
         config.get("geomodeling.fetch-pack", True),
         config.get("geomodeling.mesh-shape", None),
     )

@@ -546,3 +546,49 @@ class TestPlaceDevice:
         with config.set({"geomodeling.executor": "jax"}):
             actual = view.get_data(**place_request)
         np.testing.assert_array_equal(actual["values"], expected["values"])
+
+
+class TestMovingMaxPallas:
+    def test_matches_xla_interpret(self):
+        """The Pallas moving-max (interpret mode on CPU) must match the
+        reduce_window decomposition and scipy across dtypes and sizes."""
+        from scipy import ndimage as ndi
+
+        from dask_geomodeling_tpu.geo.dtypes import get_footprint
+        from dask_geomodeling_tpu.ops.pallas_stencils import (
+            moving_max_pallas,
+            moving_max_pallas_fits,
+        )
+        from dask_geomodeling_tpu.ops.stencils import moving_max_jax
+
+        rng = np.random.RandomState(0)
+        for dtype, size in [("f4", 5), ("u1", 3), ("i4", 7), ("u2", 5)]:
+            x = (rng.rand(2, 40, 48) * 200).astype(dtype)
+            assert moving_max_pallas_fits(40, 48, size, dtype)
+            pallas_out = np.asarray(moving_max_pallas(x, size, interpret=True))
+            with config.set({"geomodeling.pallas-stencils": False}):
+                xla_out = np.asarray(moving_max_jax(x, size))
+            np.testing.assert_array_equal(pallas_out, xla_out)
+            expected = np.stack(
+                [
+                    ndi.maximum_filter(
+                        band, footprint=get_footprint(size), mode="nearest"
+                    )
+                    for band in x
+                ]
+            )
+            # interiors equal scipy (edge modes differ by design)
+            r = size // 2
+            np.testing.assert_array_equal(
+                pallas_out[:, r:-r, r:-r], expected[:, r:-r, r:-r]
+            )
+
+    def test_fits_limits(self):
+        from dask_geomodeling_tpu.ops.pallas_stencils import (
+            moving_max_pallas_fits,
+        )
+
+        assert moving_max_pallas_fits(512, 512, 5, "f4")
+        assert not moving_max_pallas_fits(4096, 4096, 5, "f4")
+        assert not moving_max_pallas_fits(64, 64, 5, "f8")
+        assert not moving_max_pallas_fits(64, 64, 5, "u4")
