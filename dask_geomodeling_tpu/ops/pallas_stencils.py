@@ -78,17 +78,22 @@ def gaussian_blur_pallas(values, sigma_y, sigma_x, fill, interpret=False):
     wx = [np.float32(w) for w in weights_x]
 
     def kernel(in_ref, out_ref, scratch):
+        # accumulate IN PLACE through the refs: a single unrolled add
+        # chain makes Mosaic stack-allocate every shifted slice at once,
+        # blowing the 16 MB scoped VMEM at larger radii (especially under
+        # vmap); ref accumulation keeps the live set at one slice
+
         # row (y) pass into scratch: (height, pw)
-        acc = in_ref[0, 0:height, :] * wy[0]
+        scratch[:, :] = in_ref[0, 0:height, :] * wy[0]
         for i in range(1, 2 * radius_y + 1):
-            acc = acc + in_ref[0, i : i + height, :] * wy[i]
-        scratch[:, :] = acc
+            scratch[:, :] = scratch[:, :] + in_ref[0, i : i + height, :] * wy[i]
 
         # column (x) pass: (height, width)
-        acc2 = scratch[:, 0:width] * wx[0]
+        out_ref[0, :, :] = scratch[:, 0:width] * wx[0]
         for j in range(1, 2 * radius_x + 1):
-            acc2 = acc2 + scratch[:, j : j + width] * wx[j]
-        out_ref[0, :, :] = acc2
+            out_ref[0, :, :] = (
+                out_ref[0, :, :] + scratch[:, j : j + width] * wx[j]
+            )
 
     return pl.pallas_call(
         kernel,

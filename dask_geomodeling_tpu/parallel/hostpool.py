@@ -116,7 +116,10 @@ class HostPool:
                     sock.sendall(_HEADER.pack(len(payload)) + payload)
                     status, value = _recv_msg(sock)
                 except (ConnectionError, OSError, pickle.UnpicklingError):
-                    # worker died mid-task: requeue for another worker
+                    # worker died mid-task: requeue.  The pool is elastic —
+                    # the task waits for any remaining or newly joining
+                    # worker (callers bound their own patience via
+                    # Future.result(timeout) / wait_for_workers).
                     logger.warning("host worker %s lost; requeueing task", peer)
                     self._tasks.put((payload, future))
                     return
