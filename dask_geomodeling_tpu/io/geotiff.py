@@ -175,9 +175,6 @@ def write_geotiff(
     bands, height, width = array.shape
     dtype = array.dtype
     compression = _COMPRESSION_DEFLATE if compress == "deflate" else _COMPRESSION_NONE
-    if bigtiff is None:
-        bigtiff = array.nbytes > 2**32 - 2**16
-    layout = _TiffLayout(bigtiff, byte_order)
     bo = byte_order
     file_dtype = dtype.newbyteorder(bo)
 
@@ -202,6 +199,13 @@ def write_geotiff(
                         compression)
             )
 
+    if bigtiff is None:
+        # decide from the ACTUAL encoded payload (tiled writes pad tiles
+        # to full size, so array.nbytes can badly undercount), with slack
+        # for the header/IFD/out-of-line tag data
+        bigtiff = sum(len(c) for c in chunks) > 2**32 - 2**16
+    layout = _TiffLayout(bigtiff, byte_order)
+
     # assemble tags
     tags = []
 
@@ -225,7 +229,8 @@ def write_geotiff(
     tag(_MODEL_TIEPOINT, _TYPE_DOUBLE, [0.0, 0.0, 0.0, p, q, 0.0])
     tag(_GEO_KEY_DIRECTORY, _TYPE_SHORT, _geokeys_for_projection(projection))
     if no_data_value is not None:
-        tag(_GDAL_NODATA, _TYPE_ASCII, repr(no_data_value))
+        # plain-float repr: numpy scalars would render "np.float64(...)"
+        tag(_GDAL_NODATA, _TYPE_ASCII, repr(float(no_data_value)))
 
     if tiled:
         tag(_TILE_WIDTH, _TYPE_SHORT, [tw])
@@ -597,7 +602,10 @@ def read_geotiff(path):
         else:
             offsets = tags[_STRIP_OFFSETS]
             counts = tags[_STRIP_BYTE_COUNTS]
-            rows_per_strip = tags.get(_ROWS_PER_STRIP, [info.height])[0]
+            # many writers use 2**32-1 as the "single strip" convention
+            rows_per_strip = min(
+                tags.get(_ROWS_PER_STRIP, [info.height])[0], info.height
+            )
             strips_per_plane = -(-info.height // rows_per_strip)
             samples = 1 if planar == 2 else info.bands
             strip_nbytes = rows_per_strip * info.width * samples * dtype.itemsize

@@ -35,35 +35,15 @@ def _approx_stride():
     return int(config.get("geomodeling.warp-approx-stride", 8))
 
 
-def warp_indices(src_gt, src_srs, src_shape, bbox, projection, width, height):
-    """Compute source (row, col) int32 index grids for a target raster.
-
-    Returns ``(rows, cols, inside)`` each of shape (height, width); ``inside``
-    marks target cells whose source index is within bounds.
-    """
-    gt = GeoTransform.from_bbox(bbox, height, width)
-    p, a, b, q, c, d = gt
-    # target pixel centers
-    xs = p + a * (np.arange(width) + 0.5)
-    ys = q + d * (np.arange(height) + 0.5)
-    tx, ty = np.meshgrid(xs, ys)
-
-    if get_projection(src_srs).upper() != get_projection(projection).upper():
-        tx, ty = transform_points(tx, ty, projection, src_srs)
-
-    # source fractional indices
-    sp, sa, sb, sq, sc, sd = src_gt
-    cols = np.floor((tx - sp) / sa).astype(np.int64)
-    rows = np.floor((ty - sq) / sd).astype(np.int64)
-
-    src_h, src_w = src_shape[-2], src_shape[-1]
-    inside = (rows >= 0) & (rows < src_h) & (cols >= 0) & (cols < src_w)
-    return rows, cols, inside
-
-
 def _fractional_indices(src_gt, src_srs, src_shape, bbox, projection, width, height):
     """Fractional source (row, col) grids at target pixel centers, with
-    the nearest-containment inside mask (shared with warp_indices)."""
+    the nearest-containment inside mask.
+
+    Out-of-domain CRS transforms (e.g. a Lambert grid asked for a point
+    past the pole) yield NaN coordinates; those cells are explicitly
+    OUTSIDE (NaN comparisons are False, and the mask also guards the
+    NaN->int cast on the device path).
+    """
     gt = GeoTransform.from_bbox(bbox, height, width)
     p, a, b, q, c, d = gt
     xs = p + a * (np.arange(width) + 0.5)
@@ -79,6 +59,22 @@ def _fractional_indices(src_gt, src_srs, src_shape, bbox, projection, width, hei
     cols = np.floor(frac_cols)
     inside = (rows >= 0) & (rows < src_h) & (cols >= 0) & (cols < src_w)
     return frac_rows - 0.5, frac_cols - 0.5, inside
+
+
+def warp_indices(src_gt, src_srs, src_shape, bbox, projection, width, height):
+    """Compute source (row, col) int64 index grids for a target raster.
+
+    Returns ``(rows, cols, inside)`` each of shape (height, width); ``inside``
+    marks target cells whose source index is within bounds.
+    """
+    fr, fc, inside = _fractional_indices(
+        src_gt, src_srs, src_shape, bbox, projection, width, height
+    )
+    # NaN floors to INT64_MIN here, which `inside` already excludes
+    with np.errstate(invalid="ignore"):
+        rows = np.floor(fr + 0.5).astype(np.int64)
+        cols = np.floor(fc + 0.5).astype(np.int64)
+    return rows, cols, inside
 
 
 def gather_numpy(values, rows, cols, inside, fillvalue, dtype):
@@ -100,6 +96,10 @@ def _bilinear_sample(values, fr, fc, inside, no_data_value, fillvalue, dtype, xp
     never interpolate across the nodata boundary).
     """
     src_h, src_w = values.shape[-2], values.shape[-1]
+    # out-of-domain cells carry NaN indices; `inside` already excludes
+    # them, but the gather indices must still be in bounds
+    fr = xp.where(xp.isfinite(fr), fr, 0.0)
+    fc = xp.where(xp.isfinite(fc), fc, 0.0)
     r0 = xp.clip(xp.floor(fr), 0, src_h - 1).astype(np.int32)
     c0 = xp.clip(xp.floor(fc), 0, src_w - 1).astype(np.int32)
     r1 = xp.clip(r0 + 1, 0, src_h - 1)
@@ -210,7 +210,13 @@ def warp_jax(
     rows = jnp.floor(frac_rows).astype(jnp.int32)
 
     src_h, src_w = values.shape[-2], values.shape[-1]
-    inside = (rows >= 0) & (rows < src_h) & (cols >= 0) & (cols < src_w)
+    # out-of-domain CRS transforms produce NaN, which XLA casts to int32
+    # ZERO (not a sentinel like numpy's INT64_MIN) — mask them explicitly
+    # or pixel [0, 0] would leak into out-of-domain cells
+    finite = jnp.isfinite(frac_rows) & jnp.isfinite(frac_cols)
+    inside = (
+        finite & (rows >= 0) & (rows < src_h) & (cols >= 0) & (cols < src_w)
+    )
 
     dtype = np.dtype(dtype)
     if interpolation == "bilinear":

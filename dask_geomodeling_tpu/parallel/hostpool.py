@@ -115,13 +115,24 @@ class HostPool:
                 try:
                     sock.sendall(_HEADER.pack(len(payload)) + payload)
                     status, value = _recv_msg(sock)
-                except (ConnectionError, OSError, pickle.UnpicklingError):
+                except (ConnectionError, OSError):
                     # worker died mid-task: requeue.  The pool is elastic —
                     # the task waits for any remaining or newly joining
                     # worker (callers bound their own patience via
                     # Future.result(timeout) / wait_for_workers).
                     logger.warning("host worker %s lost; requeueing task", peer)
                     self._tasks.put((payload, future))
+                    return
+                except Exception as e:
+                    # the reply arrived but could not be unpickled (e.g. a
+                    # result class importable only on the worker): this is
+                    # deterministic, so fail the caller instead of
+                    # requeueing it into every worker
+                    future.set_exception(
+                        RuntimeError(
+                            "Could not deserialize the worker reply: %r" % e
+                        )
+                    )
                     return
                 if status == "ok":
                     future.set_result(value)
@@ -215,11 +226,19 @@ def worker_main(address, token="", once=False):
             try:
                 result = ("ok", func(*args))
             except Exception as e:  # application error: ship it back
-                try:
-                    pickle.dumps(e)
-                except Exception:
-                    e = RuntimeError(repr(e))
                 result = ("error", e)
+            # both results and exceptions must survive pickling, or the
+            # failed send would kill this worker (and, via requeue, the
+            # next one, and the next...)
+            try:
+                pickle.dumps(result[1])
+            except Exception as e:
+                result = (
+                    "error",
+                    RuntimeError(
+                        "Task %s was unpicklable: %r" % (result[0], e)
+                    ),
+                )
             _send_msg(sock, result)
             if once:
                 return

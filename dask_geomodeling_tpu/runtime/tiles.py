@@ -102,6 +102,16 @@ def _get_tile_program(view, template_request):
     return program
 
 
+import collections
+import threading
+
+#: a consistent staging snapshot: inputs + the exact program state they
+#: were staged against (see TileProgram.stage_batch)
+_StagedBatch = collections.namedtuple(
+    "_StagedBatch", ["stacked", "in_axes", "shared", "compiled"]
+)
+
+
 def _same_array(a, b):
     """Equality with an identity fast path (source payloads are the same
     ndarray object across per-tile graph builds, so big arrays never get
@@ -143,6 +153,7 @@ class TileProgram:
         self._in_axes = None
         self._shared = None
         self._literal_skeletons = None
+        self._stage_lock = threading.Lock()
         self._tile_shape = (template_request["height"], template_request["width"])
 
         # packed fetch: small-range outputs ship G pixels per byte over
@@ -209,19 +220,28 @@ class TileProgram:
         batch and promotes (recompiles) rather than ever baking a wrong
         shared constant.
         """
+        with self._stage_lock:
+            return self._compile_locked(view, requests, None)
+
+    def _compile_locked(self, view, requests, per_tile_arrays):
         arrays_0, literal_skeletons, dynamic_positions = self._tile_inputs(
             view, requests[0]
         )
-        later = [self._tile_inputs(view, r)[0] for r in requests[1:]]
+        if per_tile_arrays is None:
+            later = [self._tile_inputs(view, r)[0] for r in requests[1:]]
+        else:
+            later = per_tile_arrays[1:]
 
-        self._in_axes = []
-        self._shared = []
+        in_axes = []
+        shared = []
         for pos, a0 in enumerate(arrays_0):
             varies = pos in dynamic_positions or any(
                 not _same_array(a0, arrays[pos]) for arrays in later
             )
-            self._in_axes.append(0 if varies else None)
-            self._shared.append(None if varies else a0)
+            in_axes.append(0 if varies else None)
+            shared.append(None if varies else a0)
+        self._in_axes = in_axes
+        self._shared = shared
         self._literal_skeletons = literal_skeletons
         self._build()
         return arrays_0
@@ -271,44 +291,61 @@ class TileProgram:
         self._compiled = jax.jit(batched)
 
     def stage_batch(self, view, requests):
-        """Host-side staging for one batch: the stacked per-tile input
-        arrays (pure CPU work — safe to run on a prefetch thread).
+        """Host-side staging for one batch: a consistent snapshot of
+        (stacked per-tile inputs, in_axes, shared constants, compiled
+        program).  Pure CPU work — safe to run on a prefetch thread: the
+        snapshot pins the program state the batch was staged against, and
+        promotion replaces (never mutates) the shared lists under a lock.
 
         Every position currently treated as a shared constant is verified
         against this batch's actual per-tile arrays; a mismatch promotes
         the position to a varying input and recompiles, so a literal that
         happened to be equal on the compile batch can never silently
         produce wrong pixels later."""
-        if self._compiled is None:
-            self.compile(view, requests)
         per_tile_arrays = [self._tile_inputs(view, r)[0] for r in requests]
-        promoted = []
-        for pos, axis in enumerate(self._in_axes):
-            if axis is not None:
-                continue
-            shared = self._shared[pos]
-            if not all(
-                _same_array(shared, arrays[pos]) for arrays in per_tile_arrays
-            ):
-                self._in_axes[pos] = 0
-                self._shared[pos] = None
-                promoted.append(pos)
-        if promoted:
-            logger.warning(
-                "tile inputs %s assumed shared turned out to vary; "
-                "promoting to batch inputs and recompiling",
-                promoted,
-            )
-            self._build()
-        return [
+        with self._stage_lock:
+            if self._compiled is None:
+                self._compile_locked(view, requests, per_tile_arrays)
+            promoted = [
+                pos
+                for pos, axis in enumerate(self._in_axes)
+                if axis is None
+                and not all(
+                    _same_array(self._shared[pos], arrays[pos])
+                    for arrays in per_tile_arrays
+                )
+            ]
+            if promoted:
+                logger.warning(
+                    "tile inputs %s assumed shared turned out to vary; "
+                    "promoting to batch inputs and recompiling",
+                    promoted,
+                )
+                # copy-on-write: batches staged against the previous
+                # layout keep their own consistent snapshots
+                self._in_axes = [
+                    0 if pos in promoted else axis
+                    for pos, axis in enumerate(self._in_axes)
+                ]
+                self._shared = [
+                    None if pos in promoted else shared
+                    for pos, shared in enumerate(self._shared)
+                ]
+                self._build()
+            in_axes, shared, compiled = self._in_axes, self._shared, self._compiled
+        stacked = [
             None
             if axis is None
             else np.stack([arrays[pos] for arrays in per_tile_arrays])
-            for pos, axis in enumerate(self._in_axes)
+            for pos, axis in enumerate(in_axes)
         ]
+        return _StagedBatch(stacked, in_axes, shared, compiled)
 
     def dispatch_staged(self, staged, batch_size):
-        """Transfer a staged batch and launch the program (async)."""
+        """Transfer a staged batch snapshot and launch its program
+        (async).  The snapshot carries the in_axes/shared/compiled state
+        it was staged against, so a concurrent promotion (prefetch
+        threads) can never mismatch inputs and program."""
         import jax
 
         mesh = _tile_batch_mesh(batch_size)
@@ -322,21 +359,21 @@ class TileProgram:
         # coalesce the per-tile uploads into ONE device_put: each separate
         # transfer pays a tunnel round trip, which dominates for the many
         # small stacked bbox/literal arrays of a batch
-        varying = [s for s in staged if s is not None]
+        varying = [s for s in staged.stacked if s is not None]
         if varying:
             if batch_sharding is not None:
                 moved = iter(jax.device_put(varying, batch_sharding))
             else:
                 moved = iter(jax.device_put(varying))
         call_args = []
-        for pos, stacked in enumerate(staged):
+        for pos, stacked in enumerate(staged.stacked):
             if stacked is None:
                 call_args.append(
-                    _ex._device_put_cached(self._shared[pos], shared_sharding)
+                    _ex._device_put_cached(staged.shared[pos], shared_sharding)
                 )
             else:
                 call_args.append(next(moved))
-        return self._compiled(*call_args)
+        return staged.compiled(*call_args)
 
     def dispatch_batch(self, view, requests):
         """Dispatch a batch of tile requests; returns the (async) device

@@ -125,3 +125,24 @@ class TestHostPool:
             finally:
                 worker.kill()
                 worker.wait()
+
+
+def _returns_unpicklable():
+    return lambda: 1  # lambdas cannot pickle
+
+
+def test_unpicklable_result_fails_cleanly():
+    """A task whose RESULT cannot pickle must fail the future with a
+    RuntimeError instead of killing workers one by one."""
+    with HostPool(token="t") as p:
+        worker = _spawn_worker(p.address, token="t")
+        try:
+            p.wait_for_workers(1, timeout=60)
+            future = p.submit(_returns_unpicklable)
+            with pytest.raises(RuntimeError, match="unpicklable"):
+                future.result(timeout=60)
+            # the worker survived and serves the next task
+            assert p.submit(operator.add, 2, 3).result(timeout=60) == 5
+        finally:
+            worker.kill()
+            worker.wait()

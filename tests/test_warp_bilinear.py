@@ -126,6 +126,38 @@ def test_source_config_knob():
     )
 
 
+def test_out_of_domain_transform_yields_fill():
+    """Regression: coordinates past the projection domain transform to
+    NaN; XLA casts NaN->int32 as ZERO, which used to gather source pixel
+    [0, 0] instead of returning fill (host numpy's NaN->INT64_MIN path
+    was already outside).  Both paths and both interpolations must agree
+    on fill."""
+    from dask_geomodeling_tpu.runtime.executor import _ensure_x64
+
+    _ensure_x64()
+    values = np.full((1, 20, 20), 100.0, dtype=np.float32)
+    # Lambert-93 source; the target bbox reaches latitude > 90
+    kwargs = dict(
+        src_gt=(600000.0, 100.0, 0.0, 6700000.0, 0.0, -100.0),
+        src_srs="EPSG:2154",
+        no_data_value=None,
+        bbox=(2.0, 88.0, 4.0, 96.0),
+        projection="EPSG:4326",
+        width=8,
+        height=16,
+        dtype=np.float32,
+        fillvalue=-9999.0,
+    )
+    with config.set({"geomodeling.warp-approx-stride": 1}):
+        for interpolation in ("nearest", "bilinear"):
+            host = warp_numpy(values, interpolation=interpolation, **kwargs)
+            device = np.asarray(
+                warp_jax(values, interpolation=interpolation, **kwargs)
+            )
+            assert (host == -9999.0).all(), interpolation
+            np.testing.assert_array_equal(device, host)
+
+
 def test_integer_bilinear_rounds():
     values = np.arange(100, dtype=np.uint8).reshape(1, 10, 10) * 2
     kwargs = _warp_kwargs(
