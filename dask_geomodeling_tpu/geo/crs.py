@@ -388,7 +388,7 @@ class _ObliqueStereographic:
 
 
 def e2s(e, sin_phi):
-    """EPSG int -> 'EPSG:<code>' string (reference utils.py helper)."""
+    """The recurring term e^2 * sin^2(phi) of the ellipsoidal series."""
     return e * e * sin_phi * sin_phi
 
 
@@ -446,7 +446,9 @@ class _LambertConformalConic:
         dn = self.rho0 - (xp.asarray(y, dtype=float) - self.fn)
         rho = np.sign(self.n) * xp.sqrt(de**2 + dn**2)
         t_prime = (rho / (self.ell.a * self.big_f)) ** (1.0 / self.n)
-        theta = xp.arctan2(de, dn)
+        # southern cones (n < 0) need both components sign-corrected, or
+        # theta lands in the wrong quadrant (EPSG 9802 inverse)
+        theta = xp.arctan2(np.sign(self.n) * de, np.sign(self.n) * dn)
         lam = theta / self.n + self.lam0
         phi = np.pi / 2 - 2 * xp.arctan(t_prime)
         for _ in range(6):
@@ -640,17 +642,20 @@ class _PolarStereographic:
         ) ** (e / 2)
 
     def forward(self, lon, lat, xp=np):
+        # computed in the north-mirrored frame; the southern aspect flips
+        # BOTH axes back (EPSG 9810/9829 south: E = FE + rho sin(lam-lam0),
+        # N = FN + rho cos(lam-lam0) — the +cos is the tell-tale)
         phi = self.sign * xp.radians(xp.asarray(lat, dtype=float))
         lam = self.sign * (xp.radians(xp.asarray(lon, dtype=float)) - self.lam0)
         rho = 2 * self.ell.a * self.k0 * self._t(phi, xp) / self._root
         x = self.fe + self.sign * rho * xp.sin(lam)
-        y = self.fn - rho * xp.cos(lam)
+        y = self.fn - self.sign * rho * xp.cos(lam)
         return x, y
 
     def inverse(self, x, y, xp=np):
         e = self.ell.e
         de = self.sign * (xp.asarray(x, dtype=float) - self.fe)
-        dn = xp.asarray(y, dtype=float) - self.fn
+        dn = self.sign * (xp.asarray(y, dtype=float) - self.fn)
         rho = xp.hypot(de, dn)
         t = rho * self._root / (2 * self.ell.a * self.k0)
         phi = np.pi / 2 - 2 * xp.arctan(t)
@@ -1298,7 +1303,24 @@ def _build_projection(method, ell, p):
     k0 = p.get("scale_factor", 1.0)
     fe = p.get("false_easting", 0.0)
     fn = p.get("false_northing", 0.0)
-    method = method.lower()
+    # normalize both WKT1 identifiers and WKT2 human-readable names
+    method = method.lower().replace(" ", "_").replace("-", "_")
+    method = {
+        "lambert_conic_conformal_(2sp)": "lambert_conformal_conic_2sp",
+        "lambert_conic_conformal_2sp": "lambert_conformal_conic_2sp",
+        "lambert_conic_conformal_(1sp)": "lambert_conformal_conic_1sp",
+        "lambert_conic_conformal_1sp": "lambert_conformal_conic_1sp",
+        "albers_equal_area": "albers_conic_equal_area",
+        "mercator_variant_a": "mercator_1sp",
+        "mercator_variant_b": "mercator_2sp",
+        "mercator_(variant_a)": "mercator_1sp",
+        "mercator_(variant_b)": "mercator_2sp",
+        "polar_stereographic_(variant_a)": "polar_stereographic",
+        "polar_stereographic_variant_a": "polar_stereographic",
+        "polar_stereographic_(variant_b)": "polar_stereographic_variant_b",
+        "hotine_oblique_mercator_(variant_a)": "hotine_oblique_mercator_variant_a",
+        "hotine_oblique_mercator_(variant_b)": "hotine_oblique_mercator_variant_b",
+    }.get(method, method)
     if method in ("transverse_mercator", "gauss_kruger"):
         return _TransverseMercator(ell, cm, lat0, k0, fe, fn)
     if method in ("oblique_stereographic", "double_stereographic"):
@@ -1394,6 +1416,38 @@ def _build_projection(method, ell, p):
     raise TransformException("Unsupported projection method: %s" % method)
 
 
+# WKT2 parameter names (EPSG registry wording) -> the WKT1 snake names
+# the projection builder consumes
+_WKT2_PARAMS = {
+    "latitude_of_natural_origin": "latitude_of_origin",
+    "longitude_of_natural_origin": "central_meridian",
+    "scale_factor_at_natural_origin": "scale_factor",
+    "latitude_of_1st_standard_parallel": "standard_parallel_1",
+    "latitude_of_2nd_standard_parallel": "standard_parallel_2",
+    "latitude_of_false_origin": "latitude_of_origin",
+    "longitude_of_false_origin": "central_meridian",
+    "easting_at_false_origin": "false_easting",
+    "northing_at_false_origin": "false_northing",
+    "latitude_of_projection_centre": "latitude_of_center",
+    "longitude_of_projection_centre": "longitude_of_center",
+    "azimuth_at_projection_centre": "azimuth",
+    "azimuth_of_initial_line": "azimuth",
+    "angle_from_rectified_to_skew_grid": "rectified_grid_angle",
+    "scale_factor_at_projection_centre": "scale_factor",
+    "scale_factor_on_initial_line": "scale_factor",
+    "latitude_of_pseudo_standard_parallel": "pseudo_standard_parallel_1",
+    "scale_factor_on_pseudo_standard_parallel": "scale_factor",
+    "latitude_of_standard_parallel": "standard_parallel_1",
+    "easting_at_projection_centre": "false_easting",
+    "northing_at_projection_centre": "false_northing",
+}
+
+
+def _wkt_param_name(name):
+    key = name.lower().replace(" ", "_")
+    return _WKT2_PARAMS.get(key, key)
+
+
 def _sr_from_wkt(text):
     root = _parse_wkt(text)
     if root[0] in ("GEOGCS", "GEOGCRS", "GEOGRAPHICCRS"):
@@ -1404,7 +1458,7 @@ def _sr_from_wkt(text):
         raise TransformException("Cannot parse WKT root: %s" % root[0])
     if geog is None:
         raise TransformException("WKT PROJCS without a GEOGCS")
-    datum_node = _wkt_find(geog, "DATUM")
+    datum_node = _wkt_find(geog, "DATUM", "TRF", "ENSEMBLE")
     spheroid = _wkt_find(datum_node, "SPHEROID", "ELLIPSOID")
     a, inv_f = float(spheroid[1][1]), float(spheroid[1][2])
     towgs84 = _wkt_find(datum_node, "TOWGS84")
@@ -1423,11 +1477,19 @@ def _sr_from_wkt(text):
         key = code or ("geog", datum_key)
         return SpatialReference(code, name, datum_key, projection, wkt=text, key=key)
 
-    method_node = _wkt_find(root, "PROJECTION", "METHOD")
+    # WKT1 keeps PROJECTION/PARAMETER at the root; WKT2 nests METHOD and
+    # PARAMETER inside a CONVERSION node and uses human-readable names
+    conversion = _wkt_find(root, "CONVERSION", "DERIVINGCONVERSION")
+    param_scope = conversion if conversion is not None else root
+    method_node = _wkt_find(param_scope, "PROJECTION", "METHOD")
+    if method_node is None:
+        raise TransformException(
+            "WKT projected CRS without a PROJECTION/METHOD node"
+        )
     method = str(method_node[1][0])
     params = {
-        str(arg[1][0]).lower(): float(arg[1][1])
-        for arg in root[1]
+        _wkt_param_name(str(arg[1][0])): float(arg[1][1])
+        for arg in param_scope[1]
         if isinstance(arg, tuple) and arg[0] == "PARAMETER"
     }
     unit = _wkt_find(root, "UNIT", "LENGTHUNIT")
@@ -1623,8 +1685,6 @@ def crs_to_srs(crs):
     """Canonical string for a CRS-like object (or None)."""
     if crs is None:
         return None
-    if isinstance(crs, str):
-        return get_projection(crs)
     return get_projection(crs)
 
 

@@ -52,9 +52,14 @@ DEVICE_STATISTICS = frozenset(STATISTIC_REGISTRY)
 
 def _footprint(bbox):
     """(level, cells): the power-of-two shelf a bbox belongs to and the
-    <=4 grid cells it may touch at that shelf's cell size."""
+    <=4 grid cells it may touch at that shelf's cell size.
+
+    Degenerate (zero-extent) bboxes — points, vertical/horizontal lines —
+    get a tiny but finite span so they shelve instead of hitting
+    ``log(0)``."""
     x1, y1, x2, y2 = bbox
-    level = -ceil(log(max(x2 - x1, y2 - y1), 2))
+    extent = max(x2 - x1, y2 - y1, 1e-9)
+    level = -ceil(log(extent, 2))
     span = 0.5**level
     columns = {floor(x1 / span), floor(x2 / span)}
     rows = {floor(y1 / span), floor(y2 / span)}
@@ -284,7 +289,7 @@ class AggregateRaster(GeometryBlock):
         if not isinstance(statistic, str):
             raise TypeError("'{}' object is not allowed".format(type(statistic)))
         statistic, percentile = utils.parse_percentile_statistic(statistic.lower())
-        if percentile:
+        if percentile is not None:
             statistic = "p{0}".format(percentile)
         elif statistic not in STATISTIC_REGISTRY or statistic == "percentile":
             raise ValueError("Unknown statistic '{}'".format(statistic))

@@ -141,9 +141,11 @@ def _gml_ring_coords(element):
             ]
         if name == "posList":
             flat = [float(v) for v in child.text.split()]
-            return list(zip(flat[0::2], flat[1::2]))
+            # honor srsDimension (3D posLists are common); z is dropped
+            dim = int(child.get("srsDimension", 2))
+            return list(zip(flat[0::dim], flat[1::dim]))
         if name == "pos":
-            return [tuple(float(v) for v in child.text.split())]
+            return [tuple(float(v) for v in child.text.split()[:2])]
     raise ValueError("GML element without coordinates: %s" % element.tag)
 
 
@@ -409,11 +411,16 @@ def _write_gpkg(frame, path, layer):
         )
 
         placeholders = ",".join("?" * (2 + len(attr_cols)))
+        # fid is an INTEGER PRIMARY KEY: only a unique integer index can
+        # serve as it; otherwise fall back to sequential fids
+        index_as_fid = frame.index.is_unique and all(
+            isinstance(idx, (int, np.integer)) for idx in frame.index
+        )
         rows = []
         for i, (idx, row) in enumerate(frame.iterrows(), start=1):
             geom = row[geom_col]
             blob = _gpkg_blob(geom, srs_id) if geom is not None else None
-            fid = idx if isinstance(idx, (int, np.integer)) else i
+            fid = idx if index_as_fid else i
             rows.append(
                 (int(fid), blob)
                 + tuple(_sql_value(row[c]) for c in attr_cols)
@@ -536,9 +543,10 @@ def _read_kml(path):
 
     root = ET.parse(path).getroot()
     geometries, records, ids = [], [], []
-    for i, placemark in enumerate(root.iter()):
-        if _gml_local(placemark.tag) != "Placemark":
-            continue
+    placemarks = [
+        el for el in root.iter() if _gml_local(el.tag) == "Placemark"
+    ]
+    for i, placemark in enumerate(placemarks):
         record = {}
         geometry = None
         for child in placemark:
@@ -617,9 +625,14 @@ def _write_kml(frame, path):
             for k, v in row.items()
             if k != geometry_column
         )
+        geom = row[geometry_column]
         rows.append(
             '<Placemark id="%s"><ExtendedData>%s</ExtendedData>%s</Placemark>'
-            % (escape(str(idx)), fields, _kml_geom_str(row[geometry_column]))
+            % (
+                escape(str(idx)),
+                fields,
+                "" if geom is None else _kml_geom_str(geom),
+            )
         )
     with open(path, "w") as f:
         f.write(
@@ -648,7 +661,10 @@ def _read_csv(path):
     )
     if geometry_column is None:
         raise IOError("No WKT geometry column in '{}'".format(path))
-    geometries = [from_wkt(row.pop(geometry_column)) for row in rows]
+    geometries = [
+        from_wkt(wkt) if (wkt := row.pop(geometry_column)) else None
+        for row in rows
+    ]
     frame = pd.DataFrame.from_records(rows)
     # numeric-looking columns come back typed, like OGR's CSV driver
     for column in frame.columns:
@@ -668,8 +684,10 @@ def _write_csv(frame, path):
         writer = _csv.writer(f)
         writer.writerow(["geometry"] + fields)
         for _, row in frame.iterrows():
+            geom = row[geometry_column]
             writer.writerow(
-                [row[geometry_column].wkt] + [_jsonify(row[c]) for c in fields]
+                [geom.wkt if geom is not None else ""]
+                + [_jsonify(row[c]) for c in fields]
             )
 
 

@@ -113,13 +113,20 @@ def labeled_percentile_jax(values, labels, active, num_labels, q):
     order = jnp.lexsort((flat_values, flat_labels))
     sorted_values = flat_values[order]
 
+    # integer counts + float64 rank arithmetic: float32 loses exact
+    # positions past 2^24 cells per frame
     counts = jax.ops.segment_sum(
-        jnp.ones_like(flat_values), flat_labels, num_segments=num_labels + 1
+        jnp.ones(flat_values.shape, jnp.int32),
+        flat_labels,
+        num_segments=num_labels + 1,
     )[:num_labels]
     starts = jnp.concatenate(
         [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)[:-1]]
     )
-    position = starts + (q / 100.0) * (counts - 1)
+    rank_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    position = starts.astype(rank_dtype) + (q / 100.0) * (
+        counts.astype(rank_dtype) - 1
+    )
     lower = jnp.floor(position).astype(jnp.int32)
     upper = jnp.ceil(position).astype(jnp.int32)
     n = sorted_values.shape[0]

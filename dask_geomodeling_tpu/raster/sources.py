@@ -145,17 +145,24 @@ class RasterSourceBase(RasterBlock):
         fill = np.dtype(dtype).type(process_kwargs["fillvalue"]).item()
 
         if width == 0 or height == 0:
-            return np.empty((bands[1] - bands[0], height, width), dtype=dtype)
+            return {
+                "values": np.empty(
+                    (bands[1] - bands[0], height, width), dtype=dtype
+                ),
+                "no_data_value": fill,
+            }
 
         if bbox[0] == bbox[2] or bbox[1] == bbox[3]:
             result = RasterSourceBase._read_point(
                 raster_data, bbox, process_kwargs["projection"], dtype, fill
-            )
+            )[bands[0] : bands[1]]
         else:
             from dask_geomodeling_tpu.config import config
 
+            # slice the band window BEFORE the warp (the device twin does
+            # the same): reprojecting unrequested bands is pure waste
             result = warp_numpy(
-                raster_data.array,
+                raster_data.array[bands[0] : bands[1]],
                 utils.GeoTransform(raster_data.geo_transform),
                 raster_data.projection,
                 raster_data.no_data_value,
@@ -169,7 +176,6 @@ class RasterSourceBase(RasterBlock):
                     "geomodeling.warp-interpolation", "nearest"
                 ),
             )
-        result = result[bands[0] : bands[1]]
         if result.dtype.kind == "f":
             result[~np.isfinite(result)] = fill
         return {"values": result, "no_data_value": fill}

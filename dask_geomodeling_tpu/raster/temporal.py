@@ -312,7 +312,7 @@ def _validate_resampling(statistic, allowed, frequency, closed, label, timezone)
     if not isinstance(statistic, str):
         raise TypeError("'{}' object is not allowed.".format(type(statistic)))
     statistic, percentile = parse_percentile_statistic(statistic.lower())
-    if percentile:
+    if percentile is not None:
         statistic = "p{0}".format(percentile)
     elif statistic not in allowed:
         raise ValueError("Unknown statistic '{}'".format(statistic))
@@ -452,7 +452,7 @@ def _probe_time_union(block, *windows):
 def _resolve_reducer(statistic_string, table):
     """(reducer, extensive) for a statistic name or p<percentile>."""
     statistic, percentile = parse_percentile_statistic(statistic_string)
-    if percentile:
+    if percentile is not None:
         return partial(np.nanpercentile, q=percentile), False
     return table[statistic]["func"], table[statistic]["extensive"]
 
@@ -578,7 +578,7 @@ def _aggregate_jax(process_kwargs, time_data=None, data=None):
     statistic, percentile = parse_percentile_statistic(process_kwargs["statistic"])
     extensive = (
         False
-        if percentile
+        if percentile is not None
         else TemporalAggregate.STATISTICS[statistic]["extensive"]
     )
     dtype = np.dtype(process_kwargs["dtype"])
@@ -600,7 +600,7 @@ def _aggregate_jax(process_kwargs, time_data=None, data=None):
         "std": jnp.nanstd,
         "var": jnp.nanvar,
     }
-    if percentile:
+    if percentile is not None:
         agg_func = lambda x, axis: jnp.nanpercentile(x, percentile, axis=axis)
     else:
         agg_func = jnp_funcs[statistic]

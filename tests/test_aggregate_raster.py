@@ -486,3 +486,26 @@ class TestDeviceAggregate:
             masked_labels = np.where(active, labels + 1, 0)  # 0 = unlabeled
             expected = func(values, labels=masked_labels, index=np.arange(1, 6))
             np.testing.assert_allclose(result, expected, rtol=1e-5)
+
+
+def test_bucketize_degenerate_bboxes():
+    """Point features have zero-extent bboxes; bucketize must shelve them
+    instead of raising log(0) domain errors."""
+    buckets = bucketize([(5.0, 5.0, 5.0, 5.0), (0.0, 0.0, 2.0, 2.0), (5.0, 5.0, 5.0, 5.0)])
+    assert sorted(sum(buckets, [])) == [0, 1, 2]
+    # the two identical points must land in different buckets (they touch)
+    assert all(not ({0, 2} <= set(b)) for b in buckets)
+
+
+def test_p0_statistic_accepted(raster, request_all):
+    """'p0' (the 0th percentile = min) is a valid statistic; a falsy-zero
+    check used to reject it."""
+    from tests.factories import MockGeometry
+
+    geom = MockGeometry([[(2, 2), (6, 2), (6, 6), (2, 6)]], properties=[{"id": 1}])
+    view = AggregateRaster(geom, raster, statistic="p0")
+    result = view.get_data(**request_all)["features"]["agg"].iloc[0]
+    expected = view_min = AggregateRaster(geom, raster, statistic="min").get_data(
+        **request_all
+    )["features"]["agg"].iloc[0]
+    assert result == pytest.approx(expected)

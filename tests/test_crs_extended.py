@@ -265,3 +265,53 @@ class TestLambertConformalConic1SP:
             np.array([px]), np.array([py]), wkt, "EPSG:4326"
         )
         assert abs(lon - -76.5) < 1e-8 and abs(lat - 17.8) < 1e-8
+
+
+class TestWKT2:
+    UTM31 = """PROJCRS["WGS 84 / UTM zone 31N",
+        BASEGEOGCRS["WGS 84",
+            ENSEMBLE["World Geodetic System 1984 ensemble",
+                MEMBER["World Geodetic System 1984 (Transit)"],
+                ELLIPSOID["WGS 84",6378137,298.257223563,LENGTHUNIT["metre",1]]],
+            PRIMEM["Greenwich",0,ANGLEUNIT["degree",0.0174532925199433]]],
+        CONVERSION["UTM zone 31N",
+            METHOD["Transverse Mercator",ID["EPSG",9807]],
+            PARAMETER["Latitude of natural origin",0,ANGLEUNIT["degree",0.0174532925199433]],
+            PARAMETER["Longitude of natural origin",3,ANGLEUNIT["degree",0.0174532925199433]],
+            PARAMETER["Scale factor at natural origin",0.9996,SCALEUNIT["unity",1]],
+            PARAMETER["False easting",500000,LENGTHUNIT["metre",1]],
+            PARAMETER["False northing",0,LENGTHUNIT["metre",1]]],
+        CS[Cartesian,2],
+            AXIS["(E)",east],
+            AXIS["(N)",north],
+            LENGTHUNIT["metre",1]]"""
+
+    def test_conversion_nesting_and_ensemble_datum(self):
+        """WKT2 nests METHOD/PARAMETER inside CONVERSION and may use a
+        datum ENSEMBLE; parsing must match the registry projection."""
+        sr = get_sr(self.UTM31)
+        ref = get_sr("EPSG:32631")
+        x, y = sr.projection.forward(5.0, 52.0)
+        xr, yr = ref.projection.forward(5.0, 52.0)
+        assert abs(x - xr) < 1e-6 and abs(y - yr) < 1e-6
+
+    def test_false_origin_parameter_names(self):
+        wkt = (
+            'PROJCRS["custom LCC",'
+            'BASEGEOGCRS["GRS80 based",'
+            'DATUM["unknown",ELLIPSOID["GRS 1980",6378137,298.257222101]],'
+            'PRIMEM["Greenwich",0]],'
+            'CONVERSION["LCC",'
+            'METHOD["Lambert Conic Conformal (2SP)",ID["EPSG",9802]],'
+            'PARAMETER["Latitude of false origin",46.5],'
+            'PARAMETER["Longitude of false origin",3],'
+            'PARAMETER["Latitude of 1st standard parallel",49],'
+            'PARAMETER["Latitude of 2nd standard parallel",44],'
+            'PARAMETER["Easting at false origin",700000],'
+            'PARAMETER["Northing at false origin",6600000]],'
+            "CS[Cartesian,2],"
+            'LENGTHUNIT["metre",1]]'
+        )
+        sr = get_sr(wkt)
+        x, y = sr.projection.forward(3.0, 46.5)
+        assert abs(x - 700000) < 1e-6 and abs(y - 6600000) < 1e-6

@@ -741,13 +741,45 @@ class TestAlbersAndPolarStereographic:
                 assert k_par == pytest.approx(1.0, abs=1e-6)  # true scale
 
     def test_polar_stereographic_known_point(self):
-        # (0E, 71S) on EPSG:3031 is (0, -2082760.11): the standard-parallel
-        # radius of the Antarctic grid
+        # (0E, 71S) on EPSG:3031 is (0, +2082760.11): on the south polar
+        # aspect the Greenwich meridian points towards +y (N = FN +
+        # rho cos(lam - lam0), EPSG 9829) — a previous sign bug mirrored
+        # the grid across the x-axis
         x, y = utils.transform_points(
             np.array([0.0]), np.array([-71.0]), "EPSG:4326", "EPSG:3031"
         )
         assert float(x[0]) == pytest.approx(0.0, abs=1e-6)
-        assert float(y[0]) == pytest.approx(-2082760.1085, abs=0.01)
+        assert float(y[0]) == pytest.approx(2082760.1085, abs=0.01)
+
+    def test_polar_stereographic_south_epsg_worked_example(self):
+        """EPSG Guidance 7-2 method 9829 (Australian Antarctic, EPSG:3032):
+        75S 120E -> E 7255380.79, N 7053389.56."""
+        from dask_geomodeling_tpu.geo.crs import _PolarStereographic, _ellipsoid
+
+        p = _PolarStereographic(
+            _ellipsoid("WGS84"),
+            70.0,
+            standard_parallel=71.0,
+            false_easting=6000000.0,
+            false_northing=6000000.0,
+            north=False,
+        )
+        x, y = p.forward(120.0, -75.0)
+        assert float(x) == pytest.approx(7255380.79, abs=0.01)
+        assert float(y) == pytest.approx(7053389.56, abs=0.01)
+
+    def test_lcc_southern_cone_roundtrip(self):
+        """Southern-hemisphere LCC (n < 0) must invert to the same
+        coordinates (regression: theta lacked the sign(n) correction)."""
+        sr = utils.get_sr(
+            "+proj=lcc +lat_1=-30 +lat_2=-60 +lat_0=-45 +lon_0=135 "
+            "+ellps=GRS80 +towgs84=0,0,0"
+        )
+        for lon, lat in [(135.0, -45.0), (140.0, -35.0), (120.0, -55.0)]:
+            x, y = sr.projection.forward(lon, lat)
+            lon2, lat2 = sr.projection.inverse(x, y)
+            assert float(lon2) == pytest.approx(lon, abs=1e-9)
+            assert float(lat2) == pytest.approx(lat, abs=1e-9)
 
     def test_proj4_matches_registry(self):
         for proj4, epsg, lonlat in [
