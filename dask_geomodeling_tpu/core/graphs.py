@@ -331,7 +331,9 @@ class DummyBlock(Block):
 
     @property
     def token(self):
-        return self.name.split("_")[1]
+        # the token is the part after the LAST underscore: class-name
+        # prefixes may themselves contain underscores
+        return self.name.rsplit("_", 1)[1]
 
     @property
     def name(self):

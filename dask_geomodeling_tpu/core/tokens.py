@@ -14,6 +14,7 @@ by reference graphs.py:170-171), unless they define ``__geom_token__``,
 import datetime
 import hashlib
 import struct
+import types
 import uuid
 import warnings
 
@@ -52,8 +53,12 @@ def _feed(h, value):
     # ordered by expected frequency
     if value is None:
         h.update(b"\x00N")
-    elif isinstance(value, bool):  # before int (bool is an int subclass)
+    elif isinstance(value, (bool, np.bool_)):  # before int (bool subclasses int)
         h.update(b"\x00B" + (b"1" if value else b"0"))
+    elif isinstance(value, (np.datetime64, np.timedelta64)):
+        # before np.integer: timedelta64 subclasses np.signedinteger but
+        # int() of coarse units raises; hash unit + raw ticks instead
+        h.update(b"\x00n" + value.dtype.str.encode() + value.tobytes())
     elif isinstance(value, (int, np.integer)):
         h.update(b"\x00i" + str(int(value)).encode())
     elif isinstance(value, (float, np.floating)):
@@ -104,18 +109,30 @@ def _feed(h, value):
         h.update(b"\x00c" + struct.pack("<dd", value.real, value.imag))
     elif isinstance(value, slice):
         _feed(h, ("__slice__", value.start, value.stop, value.step))
+    elif isinstance(value, np.generic):
+        # any remaining numpy scalar: unit-exact via dtype + raw bytes
+        h.update(b"\x00g" + value.dtype.str.encode() + value.tobytes())
     elif isinstance(value, type):
         h.update(b"\x00T%s.%s" % (value.__module__.encode(), value.__qualname__.encode()))
-    elif callable(value):
-        h.update(
-            b"\x00F%s.%s"
-            % (
-                getattr(value, "__module__", "?").encode(),
-                getattr(value, "__qualname__", repr(value)).encode(),
-            )
-        )
+    elif isinstance(
+        value,
+        (types.FunctionType, types.BuiltinFunctionType, types.MethodType),
+    ):
+        # plain functions hash by qualname; callable INSTANCES fall through
+        # to _feed_object so their __token__ / registered normalizers win
+        _feed_callable(h, value)
     else:
         _feed_object(h, value)
+
+
+def _feed_callable(h, value):
+    h.update(
+        b"\x00F%s.%s"
+        % (
+            getattr(value, "__module__", "?").encode(),
+            getattr(value, "__qualname__", repr(value)).encode(),
+        )
+    )
 
 
 def _feed_object(h, value):
@@ -166,6 +183,10 @@ def _feed_object(h, value):
                 return
         except Exception:
             pass
+    # stateless callable instances (no __token__, no normalizer): qualname
+    if callable(value):
+        _feed_callable(h, value)
+        return
     # fallback: random token (matches dask semantics for untokenizable input)
     warnings.warn(
         "Cannot tokenize object of type %r; using a random token" % type(value),

@@ -111,26 +111,48 @@ def _is_lineal(geom):
 
 
 def _overlay_nonareal(geom, polys, op):
-    """Intersection of points/lines with an areal geometry."""
-    if op != "intersection":
-        raise NotImplementedError(
-            "Only 'intersection' is supported for non-areal overlays"
-        )
+    """Overlay of a point/line subject with an areal geometry.
+
+    ``intersection`` keeps the parts inside, ``difference`` the parts
+    outside (lines split at the polygon boundary either way); ``union``
+    is the areal geometry plus the outside parts, as a collection.
+    """
 
     def inside(px, py):
         return any(p.contains_point(px, py) for p in polys)
 
-    pts = [Point(px, py) for px, py in _points_of(geom) if inside(px, py)]
-    lines = []
-    for part in _lines_of(geom):
-        lines.extend(_clip_line(part, polys, inside))
-    if pts and not lines:
-        return pts[0] if len(pts) == 1 else MultiPoint(pts)
-    if lines and not pts:
-        return lines[0] if len(lines) == 1 else MultiLineString(lines)
-    if pts and lines:
-        return GeometryCollection(pts + lines)
-    return Polygon()  # empty
+    def collect(keep):
+        pts = [Point(px, py) for px, py in _points_of(geom) if keep(px, py)]
+        lines = []
+        for part in _lines_of(geom):
+            lines.extend(_clip_line(part, polys, keep))
+        if pts and not lines:
+            return pts[0] if len(pts) == 1 else MultiPoint(pts)
+        if lines and not pts:
+            return lines[0] if len(lines) == 1 else MultiLineString(lines)
+        if pts and lines:
+            return GeometryCollection(pts + lines)
+        return Polygon()  # empty
+
+    if op == "intersection":
+        return collect(inside)
+    if op == "difference":
+        return collect(lambda px, py: not inside(px, py))
+    if op == "union":
+        outside = collect(lambda px, py: not inside(px, py))
+        if isinstance(outside, Polygon) and outside.is_empty:
+            parts = list(polys)
+        else:
+            lineal = (
+                list(outside.geoms)
+                if isinstance(outside, (MultiPoint, MultiLineString, GeometryCollection))
+                else [outside]
+            )
+            parts = list(polys) + lineal
+        if len(parts) == 1:
+            return parts[0]
+        return GeometryCollection(parts)
+    raise NotImplementedError("Unsupported non-areal overlay: %s" % op)
 
 
 def _lines_of(geom):

@@ -618,11 +618,23 @@ def _any_segment_intersection(lines_a, lines_b):
     return False
 
 
+def _nonareal_linework(geom):
+    """Linework of the NON-polygon parts only (a polygon's rings are
+    covered by the areal containment test)."""
+    if isinstance(geom, LineString):
+        return [geom.coordinates]
+    if isinstance(geom, (MultiLineString, GeometryCollection)):
+        return [c for g in geom.geoms for c in _nonareal_linework(g)]
+    return []
+
+
 def _point_in_geom(px, py, geom, boundary=True):
     for poly in _polygonize(geom):
         if poly.contains_point(px, py, boundary=boundary):
             return True
-    for line in _linework(geom) if not _polygonize(geom) else []:
+    # line parts are tested even in mixed collections (a point on a line
+    # inside a GeometryCollection with polygons still intersects)
+    for line in _nonareal_linework(geom):
         if _point_on_segments(px, py, line):
             return boundary
     for qx, qy in _points_of(geom):
@@ -658,6 +670,21 @@ def _intersects(a, b):
     return False
 
 
+def _strictly_cross(p1, p2, q1, q2):
+    """True when segments p1p2 and q1q2 cross at an interior point of
+    both (touching/collinear contact does not count)."""
+
+    def orient(a, b, c):
+        v = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        if abs(v) < _EPS:
+            return 0
+        return 1 if v > 0 else -1
+
+    o1, o2 = orient(q1, q2, p1), orient(q1, q2, p2)
+    o3, o4 = orient(p1, p2, q1), orient(p1, p2, q2)
+    return o1 != 0 and o2 != 0 and o1 != o2 and o3 != 0 and o4 != 0 and o3 != o4
+
+
 def _within(a, b):
     polys_b = _polygonize(b)
     if not polys_b:
@@ -667,13 +694,29 @@ def _within(a, b):
         return any(
             poly.contains_point(a.x, a.y, boundary=False) for poly in polys_b
         )
-    # all vertices of a inside b, and no boundary crossings exiting
-    for coords in _linework(a) or [np.array(_points_of(a))]:
+    # all vertices of a inside b...
+    linework_a = _linework(a) or [np.array(_points_of(a))]
+    for coords in linework_a:
         for px, py in coords:
             if not _point_in_geom(px, py, b):
                 return False
-    # proper crossing check: a's boundary may touch but for polygons we also
-    # need b's holes not to poke into a; sample a's representative point
+    # ...and no segment of a exits b: a strict boundary crossing means
+    # part of a lies outside even though every vertex is inside (concave
+    # shells); midpoints guard crossings that graze a boundary vertex
+    boundary_b = [np.asarray(r) for poly in polys_b for r in poly._rings()]
+    for coords in linework_a:
+        coords = np.asarray(coords)
+        for i in range(len(coords) - 1):
+            p1, p2 = coords[i], coords[i + 1]
+            mx, my = (p1[0] + p2[0]) / 2.0, (p1[1] + p2[1]) / 2.0
+            if not _point_in_geom(mx, my, b):
+                return False
+            for ring in boundary_b:
+                for j in range(len(ring) - 1):
+                    if _strictly_cross(p1, p2, ring[j], ring[j + 1]):
+                        return False
+    # for polygons we also need b's holes not to poke into a; sample a's
+    # representative point
     polys_a = _polygonize(a)
     if polys_a:
         rp = _representative_point(polys_a[0])
@@ -706,18 +749,28 @@ def _seg_point_distance(a, b, p):
     return float(np.hypot(*(p - proj)))
 
 
+def _distance_runs(geom, stacked):
+    """Linework runs for distance: point-only geometries contribute each
+    point as its own degenerate run — never phantom segments between
+    unrelated points."""
+    lines = _linework(geom)
+    if lines:
+        return lines
+    return [stacked[i : i + 1] for i in range(len(stacked))]
+
+
 def _distance(a, b):
     if a.intersects(b):
         return 0.0
     pts_a = np.vstack(a._all_coords())
     pts_b = np.vstack(b._all_coords())
     best = np.inf
-    for line in _linework(a) or [pts_a]:
+    for line in _distance_runs(a, pts_a):
         for p in pts_b:
             for i in range(max(len(line) - 1, 1)):
                 seg_b = line[min(i + 1, len(line) - 1)]
                 best = min(best, _seg_point_distance(line[i], seg_b, p))
-    for line in _linework(b) or [pts_b]:
+    for line in _distance_runs(b, pts_b):
         for p in pts_a:
             for i in range(max(len(line) - 1, 1)):
                 seg_b = line[min(i + 1, len(line) - 1)]

@@ -432,11 +432,31 @@ class _StagedProgram:
             _CACHE_STATS["misses"] += 1
             try:
                 with _span("stage[%d nodes]" % len(self.keys), "compile"):
-                    compiled = self._compile(input_skeletons, literal_skeletons)
+                    # trace + compile EAGERLY (jax.jit alone is lazy): a
+                    # deterministic trace/lower failure must be discovered
+                    # here, remembered as _EAGER, and never retried — on a
+                    # tunneled TPU each retry would repay a minutes-long
+                    # compile before falling back
+                    compiled = self._compile(
+                        input_skeletons, literal_skeletons, all_arrays
+                    )
+            except TypeError:
+                # usually static (non-array) outputs — a time/meta
+                # structure passing through impls cannot leave a jitted
+                # function; a tracing bug in an impl lands here too
+                logger.debug(
+                    "staged program %s is not jittable (static outputs "
+                    "or a tracing TypeError); evaluating host-side",
+                    sig,
+                    exc_info=True,
+                )
+                _PROGRAM_CACHE[sig] = _EAGER
+                self._run_eager(cache)
+                return
             except Exception:
-                # tracing/compilation failure (an impl that can't lower, a
-                # compiler bug, resource exhaustion): the host path has
-                # identical semantics, so degrade gracefully and remember
+                # other trace/compile failure (an impl that can't lower, a
+                # compiler bug): the host path has identical semantics, so
+                # degrade gracefully and remember
                 logger.warning(
                     "device compile failed for staged program %s; "
                     "falling back to the host path",
@@ -455,13 +475,6 @@ class _StagedProgram:
         try:
             with _span("stage[%d nodes]" % len(self.keys), "device"):
                 outputs = compiled(*device_arrays)
-        except TypeError:
-            # static (non-array) outputs — e.g. a time/meta structure
-            # passing through impls — cannot leave a jitted function;
-            # remember and evaluate this program shape host-side
-            _PROGRAM_CACHE[sig] = _EAGER
-            self._run_eager(cache)
-            return
         except Exception:
             # runtime device failure (OOM, transfer error): serve this
             # request from the host path; keep the program cached so the
@@ -495,10 +508,13 @@ class _StagedProgram:
         for key in self.output_keys:
             cache[key] = values[key]
 
-    def _compile(self, input_skeletons, literal_skeletons):
+    def _compile(self, input_skeletons, literal_skeletons, all_arrays):
+        """AOT trace + compile for the concrete input shapes, so failures
+        surface (and are remembered) at compile time, once."""
         import jax
 
-        return jax.jit(self.build_runner(input_skeletons, literal_skeletons))
+        runner = jax.jit(self.build_runner(input_skeletons, literal_skeletons))
+        return runner.lower(*all_arrays).compile()
 
     def build_runner(self, input_skeletons, literal_skeletons):
         """The raw (unjitted) replay function over flat array inputs."""
@@ -540,14 +556,26 @@ def compute_jax(graph, name):
     cache = {}
     pending = []
     pending_set = set()
+    # release intermediates after their LAST consumer: a deep pipeline
+    # over large tiles must hold the live set, not every node's result
+    remaining = {key: len(consumers[key]) for key in order}
+
+    def release(consumed_key):
+        for dep in deps[consumed_key]:
+            remaining[dep] -= 1
+            if remaining[dep] == 0 and dep != name:
+                cache.pop(dep, None)
 
     def flush():
         if not pending:
             return
         program = _StagedProgram(list(pending), graph, deps, name, consumers)
+        keys = list(pending)
         pending.clear()
         pending_set.clear()
         program.run(cache)
+        for key in keys:
+            release(key)
 
     for key in order:
         value = graph[key]
@@ -564,6 +592,7 @@ def compute_jax(graph, name):
                 for arg in value[1:]
             ]
             cache[key] = func(*args)
+            release(key)
         else:
             cache[key] = value
 

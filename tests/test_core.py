@@ -7,6 +7,7 @@ round trips, construct with and without validation.
 import pickle
 from datetime import datetime, timedelta
 
+import numpy as np
 import pytest
 
 from dask_geomodeling_tpu import Block, DummyBlock, construct, tokenize
@@ -324,3 +325,38 @@ def test_view_evaluates_under_processes_scheduler():
     with config.set({"scheduler": "processes"}):
         actual = view.get_data(**request)
     np.testing.assert_array_equal(actual["values"], expected["values"])
+
+
+class TestTokenizeNumpyScalars:
+    """Round-2 review regressions: numpy scalar tokens must be
+    deterministic (random tokens break dedup + the program cache)."""
+
+    def test_timedelta64_and_datetime64(self):
+        assert tokenize(np.timedelta64(5, "m")) == tokenize(np.timedelta64(5, "m"))
+        assert tokenize(np.timedelta64(5, "m")) != tokenize(np.timedelta64(5, "s"))
+        assert tokenize(np.datetime64("2020-01-01")) == tokenize(
+            np.datetime64("2020-01-01")
+        )
+
+    def test_numpy_bool(self):
+        assert tokenize(np.bool_(True)) == tokenize(np.bool_(True))
+        assert tokenize(np.bool_(True)) == tokenize(True)
+        assert tokenize(np.bool_(False)) != tokenize(np.bool_(True))
+
+    def test_stateful_callable_uses_token_protocol(self):
+        class Stateful:
+            def __init__(self, v):
+                self.v = v
+
+            def __call__(self):
+                return self.v
+
+            def __token__(self):
+                return ("Stateful", self.v)
+
+        assert tokenize(Stateful(1)) == tokenize(Stateful(1))
+        assert tokenize(Stateful(1)) != tokenize(Stateful(2))
+
+    def test_dummy_block_token_with_underscored_name(self):
+        token = "0123456789abcdef0123456789abcdef"
+        assert DummyBlock("some_block_" + token).token == token

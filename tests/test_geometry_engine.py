@@ -533,3 +533,39 @@ class TestPointInPolygonOracle:
             assert poly.contains_point(x, y) == bool(
                 oracle.contains_point((x, y))
             ), (x, y)
+
+
+class TestReviewRegressions:
+    """Verified engine bugs from the round-2 adversarial review."""
+
+    def test_within_concave_edge_crossing(self):
+        # all vertices inside the U, but the segment crosses the gap
+        u = Polygon(
+            [(0, 0), (10, 0), (10, 10), (7, 10), (7, 3), (3, 3), (3, 10), (0, 10)]
+        )
+        assert not LineString([(1, 5), (9, 5)]).within(u)
+        assert LineString([(1, 1), (9, 1)]).within(u)
+
+    def test_multipoint_distance_no_phantom_segments(self):
+        import numpy as np
+
+        d = MultiPoint([(0, 0), (10, 10)]).distance(Point(5.1, 4.9))
+        expected = min(np.hypot(5.1, 4.9), np.hypot(10 - 5.1, 10 - 4.9))
+        assert d == pytest.approx(expected)
+
+    def test_point_on_line_in_mixed_collection(self):
+        gc = GeometryCollection([box(0, 0, 1, 1), LineString([(5, 5), (6, 6)])])
+        assert Point(5.5, 5.5).intersects(gc)
+
+    def test_nonareal_difference_and_union(self):
+        square = box(0, 0, 4, 4)
+        # point minus polygon: kept when outside, empty when inside
+        assert Point(10, 10).difference(square).x == 10
+        assert Point(2, 2).difference(square).is_empty
+        # line minus polygon: split at the boundary, outside parts kept
+        cut = LineString([(-2, 2), (6, 2)]).difference(square)
+        assert cut.geom_type == "MultiLineString"
+        assert sorted(round(g.length, 6) for g in cut.geoms) == [2.0, 2.0]
+        # union keeps the polygon and the outside lineal parts
+        merged = Point(10, 10).union(square)
+        assert merged.geom_type == "GeometryCollection"
