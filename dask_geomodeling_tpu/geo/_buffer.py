@@ -76,9 +76,8 @@ def buffer(geom, distance, resolution=16):
     else:
         signed = dist
 
-    level = distance if distance < 0 else distance
-    # result region: signed distance <= distance (for erosion: <= distance<0)
-    field = signed - level
+    # result region: signed distance <= distance (for erosion: distance < 0)
+    field = signed - distance
     rings = _marching_squares(field, xs, ys)
     return _rings_to_polygons(rings)
 
@@ -249,10 +248,14 @@ def _edge_key(cy, cx, edge_out):
 def _rings_to_polygons(rings):
     if not rings:
         return Polygon()
-    # simplify the stair-step artifacts barely (half a cell) and classify
+    # classify by nesting depth tested at a VERTEX of each ring: marching-
+    # squares contours never touch, so a vertex of ring i is strictly
+    # inside or outside every other ring (the vertex MEAN can fall outside
+    # concave rings, and interior sample points can land in nested rings)
+    points = [tuple(ring[0]) for ring in rings]
     depths = []
     for i, ring in enumerate(rings):
-        px, py = ring[:-1].mean(axis=0)
+        px, py = points[i]
         depths.append(
             sum(
                 1
@@ -267,8 +270,11 @@ def _rings_to_polygons(rings):
         shell = rings[i] if _ring_area(rings[i]) > 0 else rings[i][::-1]
         my_holes = []
         for j in holes:
-            px, py = rings[j][:-1].mean(axis=0)
-            if _point_in_ring(px, py, rings[i]):
+            px, py = points[j]
+            # a hole belongs to its IMMEDIATE parent: the exterior exactly
+            # one level up (an island's lake would otherwise also punch
+            # through the outermost shell)
+            if depths[j] == depths[i] + 1 and _point_in_ring(px, py, rings[i]):
                 hole = rings[j] if _ring_area(rings[j]) < 0 else rings[j][::-1]
                 my_holes.append(hole)
         polys.append(Polygon(shell, my_holes))

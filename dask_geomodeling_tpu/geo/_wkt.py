@@ -232,15 +232,32 @@ def _wkb_read(buf, pos):
     fmt = "<" if little else ">"
     (code,) = struct.unpack_from(fmt + "I", buf, pos + 1)
     pos += 5
-    gtype = _WKB_TYPES[code & 0xFF]
+    # EWKB (PostGIS) dimensionality/SRID flags...
+    has_z = bool(code & 0x80000000)
+    has_m = bool(code & 0x40000000)
+    if code & 0x20000000:
+        pos += 4  # skip the embedded SRID
+    base = code & 0x0FFFFFFF
+    # ...and ISO WKB type offsets (1000=Z, 2000=M, 3000=ZM)
+    iso = (base % 0x20000000) // 1000
+    if iso in (1, 3):
+        has_z = True
+    if iso in (2, 3):
+        has_m = True
+    base = base % 1000
+    dims = 2 + has_z + has_m
+    stride = 8 * dims
+    gtype = _WKB_TYPES.get(base)
+    if gtype is None:
+        raise WKTReadingError("Unsupported WKB geometry code: %d" % code)
     if gtype == "Point":
-        x, y = struct.unpack_from(fmt + "dd", buf, pos)
-        return Point(x, y), pos + 16
+        coords = struct.unpack_from(fmt + "d" * dims, buf, pos)
+        return Point(coords[0], coords[1]), pos + stride
     if gtype == "LineString":
         (n,) = struct.unpack_from(fmt + "I", buf, pos)
         pos += 4
-        arr = np.frombuffer(buf, dtype=fmt + "f8", count=n * 2, offset=pos)
-        return LineString(arr.reshape(n, 2)), pos + n * 16
+        arr = np.frombuffer(buf, dtype=fmt + "f8", count=n * dims, offset=pos)
+        return LineString(arr.reshape(n, dims)[:, :2].copy()), pos + n * stride
     if gtype == "Polygon":
         (nrings,) = struct.unpack_from(fmt + "I", buf, pos)
         pos += 4
@@ -248,9 +265,9 @@ def _wkb_read(buf, pos):
         for _ in range(nrings):
             (n,) = struct.unpack_from(fmt + "I", buf, pos)
             pos += 4
-            arr = np.frombuffer(buf, dtype=fmt + "f8", count=n * 2, offset=pos)
-            rings.append(arr.reshape(n, 2).copy())
-            pos += n * 16
+            arr = np.frombuffer(buf, dtype=fmt + "f8", count=n * dims, offset=pos)
+            rings.append(arr.reshape(n, dims)[:, :2].copy())
+            pos += n * stride
         if not rings:
             return Polygon(), pos
         return Polygon(rings[0], rings[1:]), pos

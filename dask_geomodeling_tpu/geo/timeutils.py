@@ -80,6 +80,11 @@ def snap_start_stop(start, stop, time_first, time_delta, length):
         else:
             first_i = max(int(np.ceil((start - period[0]) / time_delta)), 0)
             last_i = min(int(np.floor((stop - period[0]) / time_delta)), length - 1)
+            if first_i > last_i:
+                # the closed interval lies strictly between two frames:
+                # nothing to return (an inverted range would produce
+                # 0-band arrays with start > stop downstream)
+                return (None,) * 4
             start = period[0] + time_delta * first_i
             stop = period[0] + time_delta * last_i
     return start, stop, first_i, last_i
@@ -139,14 +144,15 @@ def offset_to_timedelta(freq):
 
 def normalize_offset(freq):
     """Normalize a pandas frequency string to the current pandas dialect
-    (pre-3.0 aliases like 'M', 'H', 'S' are translated)."""
+    (pre-3.0 aliases like 'M', 'H', 'S' are translated, including
+    anchored forms like 'Q-DEC' or 'A-JAN')."""
     if freq is None:
         return None
-    match = re.match(r"^(\d*)(.+)$", freq)
+    match = re.match(r"^(\d*)([^-]+)(-.+)?$", freq)
     if match:
-        prefix, alias = match.groups()
+        prefix, alias, anchor = match.groups()
         if alias in _REMOVED_ALIASES:
-            freq = prefix + _REMOVED_ALIASES[alias]
+            freq = prefix + _REMOVED_ALIASES[alias] + (anchor or "")
     with warnings.catch_warnings():
         warnings.simplefilter("ignore", FutureWarning)
         return to_offset(freq).freqstr

@@ -95,7 +95,10 @@ def _dbf_fields(frame, columns):
         if pd.api.types.is_bool_dtype(series):
             fields.append((col, "L", 1, 0))
         elif pd.api.types.is_integer_dtype(series):
-            fields.append((col, "N", 18, 0))
+            width = max(
+                [len(str(int(v))) for v in series if not pd.isna(v)] + [1]
+            )
+            fields.append((col, "N", min(max(width, 10), 20), 0))
         elif pd.api.types.is_float_dtype(series):
             fields.append((col, "N", 24, 8))
         else:
@@ -118,6 +121,12 @@ def write_shapefile(frame, path):
     for geom in geometries:
         st, parts = _rings_of(geom)
         if st != _SHAPE_NULL:
+            if shape_type != _SHAPE_NULL and st != shape_type:
+                raise ValueError(
+                    "Shapefiles cannot mix geometry types (%d vs %d); "
+                    "split the frame or use GeoPackage/GeoJSON"
+                    % (shape_type, st)
+                )
             shape_type = st
         records.append(_encode_record(st, parts))
 
@@ -155,7 +164,7 @@ def write_shapefile(frame, path):
             f.write(record)
 
     with open(base + ".shx", "wb") as f:
-        f.write(header(50 + 4 * len(records) // 2))
+        f.write(header(50 + 4 * len(records)))
         for offset, record in zip(offsets, records):
             f.write(struct.pack(">ii", offset, len(record) // 2))
 
@@ -192,20 +201,27 @@ def write_shapefile(frame, path):
             f.write(b" ")
             for name, ftype, width, decimals in fields:
                 value = row[name]
+                null = value is None or (
+                    not isinstance(value, (list, tuple, np.ndarray))
+                    and pd.isna(value)
+                )
                 if ftype == "L":
-                    text = "T" if value else "F"
+                    text = "?" if null else ("T" if value else "F")
                 elif ftype == "N":
-                    if value is None or (
-                        isinstance(value, float) and not np.isfinite(value)
-                    ):
+                    if null:
                         text = ""
                     elif decimals:
                         text = "%.*f" % (decimals, value)
                     else:
                         text = str(int(value))
+                    if len(text) > width:
+                        raise ValueError(
+                            "Value %r does not fit DBF field %s (N/%d)"
+                            % (value, name, width)
+                        )
                     text = text.rjust(width)
                 else:
-                    text = "" if value is None else str(value)
+                    text = "" if null else str(value)
                 f.write(text[:width].ljust(width).encode("ascii", "replace"))
         f.write(b"\x1a")
 
@@ -299,8 +315,11 @@ def read_shapefile(path):
             fields.append((name, ftype, width, decimals))
         for _ in range(n_records):
             raw = f.read(record_size)
-            if not raw or raw[0:1] == b"*":
+            if not raw:
                 continue
+            # soft-deleted rows ('*' flag) still occupy a .shp geometry
+            # slot: parse them anyway so attributes stay aligned with
+            # geometries (skipping would shift every later row)
             pos = 1
             record = {}
             for name, ftype, width, decimals in fields:

@@ -569,3 +569,49 @@ class TestReviewRegressions:
         # union keeps the polygon and the outside lineal parts
         merged = Point(10, 10).union(square)
         assert merged.geom_type == "GeometryCollection"
+
+
+class TestWKBFlags:
+    def test_ewkb_srid_and_z(self):
+        import struct
+
+        # PostGIS EWKB: SRID flag + payload must be skipped
+        ewkb = struct.pack("<BIIdd", 1, 0x20000001, 4326, 5.0, 52.0)
+        g = from_wkb(ewkb)
+        assert (g.x, g.y) == (5.0, 52.0)
+        # ISO Z code 1001 and EWKB Z flag: third ordinate dropped
+        for blob in (
+            struct.pack("<BIddd", 1, 1001, 5.0, 52.0, 10.0),
+            struct.pack("<BIddd", 1, 0x80000001, 5.0, 52.0, 10.0),
+        ):
+            g = from_wkb(blob)
+            assert (g.x, g.y) == (5.0, 52.0)
+
+    def test_unknown_code_raises_reading_error(self):
+        import struct
+
+        from dask_geomodeling_tpu.geo._wkt import WKTReadingError
+
+        with pytest.raises(WKTReadingError):
+            from_wkb(struct.pack("<BIdd", 1, 999, 0.0, 0.0))
+
+
+class TestBufferRingAssembly:
+    def test_island_in_lake_nesting(self):
+        import numpy as np
+
+        from dask_geomodeling_tpu.geo._buffer import _rings_to_polygons
+
+        def square(lo, hi):
+            return np.array(
+                [(lo, lo), (hi, lo), (hi, hi), (lo, hi), (lo, lo)], float
+            )
+
+        result = _rings_to_polygons([square(0, 10), square(2, 8), square(4, 6)])
+        assert result.geom_type == "MultiPolygon"
+        # the island keeps no hole, and its interior is in the result
+        assert result.intersects(Point(5.0, 5.0))
+        # the lake stays empty
+        assert not result.intersects(Point(3.0, 3.0))
+        # the outer band is filled
+        assert result.intersects(Point(1.0, 1.0))

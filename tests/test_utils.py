@@ -839,3 +839,28 @@ class TestProjectionsTraceIntoXLA:
         )
         assert float(xj[0]) == pytest.approx(float(xn[0]), abs=1e-6)
         assert float(yj[0]) == pytest.approx(float(yn[0]), abs=1e-6)
+
+
+class TestSnapStartStopEmptyWindow:
+    def test_closed_interval_between_frames(self):
+        """A closed window strictly between two frames selects nothing
+        (used to return an inverted range with start > stop)."""
+        from datetime import datetime, timedelta
+
+        from dask_geomodeling_tpu.geo.timeutils import snap_start_stop
+
+        result = snap_start_stop(
+            datetime(2000, 1, 1, 0, 10),
+            datetime(2000, 1, 1, 0, 50),
+            datetime(2000, 1, 1),
+            timedelta(hours=1),
+            10,
+        )
+        assert result == (None, None, None, None)
+
+    def test_anchored_legacy_offsets(self):
+        from dask_geomodeling_tpu.geo.timeutils import normalize_offset
+
+        assert normalize_offset("Q-DEC") == "QE-DEC"
+        assert normalize_offset("A-JAN") == "YE-JAN"
+        assert normalize_offset("M") == "ME"
