@@ -154,6 +154,68 @@ def tiff_decode_native(kind, data, expected_size):
     raise ValueError("%s output exceeded expected size" % kind)
 
 
+_FETCH_SOURCE = os.path.join(_HERE, "fetchdecode.cpp")
+_FETCH_LIBRARY = os.path.join(_HERE, "libfetchdecode.bin")
+_fetch_lib = None
+_fetch_tried = False
+
+
+def load_fetchdecode():
+    """Load (building if necessary) the native fetch unpacker, or None."""
+    global _fetch_lib, _fetch_tried
+    with _lock:
+        if _fetch_lib is not None or _fetch_tried:
+            return _fetch_lib
+        _fetch_tried = True
+        try:
+            if not os.path.exists(_FETCH_LIBRARY) or os.path.getmtime(
+                _FETCH_LIBRARY
+            ) < os.path.getmtime(_FETCH_SOURCE):
+                subprocess.run(
+                    [
+                        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                        "-pthread", _FETCH_SOURCE, "-o", _FETCH_LIBRARY,
+                    ],
+                    check=True,
+                    capture_output=True,
+                )
+            lib = ctypes.CDLL(_FETCH_LIBRARY)
+        except (OSError, subprocess.CalledProcessError) as e:
+            logger.warning("Native fetch decoder unavailable (%s); using numpy", e)
+            return None
+        u8_p = ctypes.POINTER(ctypes.c_uint8)
+        lib.fetch_decode.restype = None
+        lib.fetch_decode.argtypes = [
+            u8_p, ctypes.c_int64, u8_p, ctypes.c_int64, u8_p,
+        ]
+        _fetch_lib = lib
+        return _fetch_lib
+
+
+def fetch_decode_native(packed, lut, out):
+    """Gather ``out[i] = lut[packed[i]]`` rows natively.
+
+    ``packed`` is a C-contiguous uint8 array (any shape), ``lut`` a
+    C-contiguous (256, ...) array whose row byte-width matches ``out``'s
+    trailing extent; ``out`` must be C-contiguous with out.size ==
+    packed.size * lut[0].size elements of lut's dtype.  Returns False when
+    the native library is unavailable (caller falls back to numpy).
+    """
+    lib = load_fetchdecode()
+    if lib is None:
+        return False
+    stride = lut.nbytes // 256
+    u8_p = ctypes.POINTER(ctypes.c_uint8)
+    lib.fetch_decode(
+        packed.ctypes.data_as(u8_p),
+        packed.size,
+        lut.ctypes.data_as(u8_p),
+        stride,
+        out.ctypes.data_as(u8_p),
+    )
+    return True
+
+
 _FUNC_BY_DTYPE = {
     "int32": "rasterize_int32",
     "float64": "rasterize_float64",

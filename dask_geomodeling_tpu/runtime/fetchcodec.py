@@ -93,10 +93,16 @@ class FetchCodec:
 
     def decode(self, packed, height, width):
         """(B, bands, m) uint8 -> (B, bands, height, width) self.dtype."""
-        packed = np.asarray(packed)
+        from dask_geomodeling_tpu import native
+
+        packed = np.ascontiguousarray(packed, dtype=np.uint8)
         n_batch, bands, m = packed.shape
-        values = self._decode_table()[packed].reshape(n_batch, bands, -1)
-        return values[:, :, : height * width].reshape(
+        table = self._decode_table()
+        out = np.empty((n_batch, bands, m * self.group), self.dtype)
+        # per-byte LUT gather: threaded C++ when available, numpy fallback
+        if not native.fetch_decode_native(packed, table, out):
+            out[...] = table[packed].reshape(n_batch, bands, -1)
+        return out[:, :, : height * width].reshape(
             n_batch, bands, height, width
         )
 

@@ -78,6 +78,32 @@ def test_codec_roundtrip(lo, hi, fill, dtype, shape):
     np.testing.assert_array_equal(decoded, values)
 
 
+@pytest.mark.parametrize(
+    "lo,fill,fill_code,symbols,group,dtype",
+    [
+        (0, None, None, 2, 8, "bool"),
+        (0, 255, 5, 6, 3, "uint8"),
+        (-3, 100, 15, 16, 2, "int32"),  # multi-byte dtype -> wide LUT rows
+        (1, None, None, 4, 4, "uint8"),
+    ],
+)
+def test_native_decode_equals_numpy(lo, fill, fill_code, symbols, group, dtype):
+    """The threaded C++ unpacker is bit-exact with the numpy LUT gather
+    (and decode works identically whichever one a host has)."""
+    codec = FetchCodec(lo, fill, fill_code, symbols, group, dtype)
+    rng = np.random.RandomState(3)
+    h, w = 37, 53  # force padding slack in the packed rows
+    m = -(-h * w // group)
+    packed = rng.randint(0, symbols**group, (4, 2, m)).astype(np.uint8)
+    table = codec._decode_table()
+    expected = (
+        table[packed].reshape(4, 2, -1)[:, :, : h * w].reshape(4, 2, h, w)
+    )
+    got = codec.decode(packed, h, w)
+    assert got.dtype == expected.dtype
+    np.testing.assert_array_equal(got, expected)
+
+
 def test_derive_codec_rejects():
     assert derive_codec("float32", np.nan, None, None) is None
 
