@@ -59,6 +59,7 @@ ELLIPSOIDS = {
     "GRS80": (6378137.0, 298.257222101),
     "bessel": (6377397.155, 299.1528128),
     "airy": (6377563.396, 299.3249646),
+    "intl": (6378388.0, 297.0),  # International 1924 (Hayford)
     "sphere": (6378137.0, float("inf")),  # web mercator sphere
 }
 
@@ -77,6 +78,11 @@ DATUMS = {
     "OSGB36": (
         "airy",
         (446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894),
+    ),
+    # NZGD49 to WGS84 (EPSG transformation 1564)
+    "NZGD49": (
+        "intl",
+        (59.47, -5.04, 187.44, 0.47, -0.10, 1.024, -4.5993),
     ),
 }
 
@@ -1017,6 +1023,123 @@ class _Krovak:
         return xp.degrees(lam), xp.degrees(phi)
 
 
+class _NewZealandMapGrid:
+    """New Zealand Map Grid (EPSG method 9811, EPSG:27200).
+
+    A sixth-order complex-polynomial conformal projection fitted to the
+    shape of New Zealand (LINZ standard LINZS25000; the series
+    coefficients are the published ones, as also used by PROJ's
+    ``+proj=nzmg``).  The latitude series works in units of 1e5 arc
+    seconds of latitude difference from the -41° origin; longitudes are
+    plain radian offsets from 173°E.  Complex arithmetic is spelled out
+    on (real, imag) pairs so the same code paths run under numpy and
+    traced jnp (``xp``), like every other projection here."""
+
+    is_geographic = False
+    unit = "metre"
+
+    # psi(delta-phi) series, delta-phi in 1e5 arcsec (forward)
+    _TPSI = (
+        0.6399175073, -0.1358797613, 0.063294409, -0.02526853, 0.0117879,
+        -0.0055161, 0.0026906, -0.001333, 0.00067, -0.00034,
+    )
+    # delta-phi(psi) series (inverse first estimate)
+    _TPHI = (
+        1.5627014243, 0.5185406398, -0.03333098, -0.1052906, -0.0368594,
+        0.007317, 0.01220, 0.00394, -0.0013,
+    )
+    # complex series: z = psi + i*dlam -> (northing + i*easting) / a
+    _BF = (
+        (0.7557853228, 0.0),
+        (0.249204646, 0.003371507),
+        (-0.001541739, 0.041058560),
+        (-0.10162907, 0.01727609),
+        (-0.26623489, -0.36249218),
+        (-0.6870983, -1.1651967),
+    )
+    # inverse first estimate: (northing + i*easting)/a -> psi + i*dlam
+    _BW = (
+        (1.3231270439, 0.0),
+        (-0.577245789, -0.007809598),
+        (0.508307513, -0.112208952),
+        (-0.15094762, 0.18200602),
+        (1.01418179, 1.64497696),
+        (1.9660549, 2.5127645),
+    )
+    #: radians -> units of 1e5 arc seconds
+    _RAD_TO_SEC5 = 180.0 * 3600.0 / np.pi * 1e-5
+
+    def __init__(self, ell, lon0=173.0, lat0=-41.0,
+                 false_easting=2510000.0, false_northing=6023150.0):
+        self.ell = ell
+        self.lam0 = np.radians(lon0)
+        self.phi0 = np.radians(lat0)
+        self.fe = false_easting
+        self.fn = false_northing
+
+    def forward(self, lon, lat, xp=np):
+        phi = xp.radians(xp.asarray(lat, dtype=float))
+        lam = xp.radians(xp.asarray(lon, dtype=float))
+        dphi = (phi - self.phi0) * self._RAD_TO_SEC5
+        psi = 0.0
+        for c in self._TPSI[::-1]:
+            psi = (psi + c) * dphi
+        zr, zi = psi, lam - self.lam0
+        pr, pi = _complex_poly(zr, zi, self._BF)
+        return pi * self.ell.a + self.fe, pr * self.ell.a + self.fn
+
+    def inverse(self, x, y, xp=np):
+        zr = (xp.asarray(y, dtype=float) - self.fn) / self.ell.a
+        zi = (xp.asarray(x, dtype=float) - self.fe) / self.ell.a
+        # first estimate, then Newton against the forward series; three
+        # fixed iterations reach <1e-12 over the projection's domain and
+        # trace cleanly under jit (no data-dependent loop)
+        pr, pi = _complex_poly(zr, zi, self._BW)
+        for _ in range(3):
+            fr, fi, dr, di = _complex_poly_d1(pr, pi, self._BF)
+            fr, fi = fr - zr, fi - zi
+            den = dr * dr + di * di
+            pr = pr - (fr * dr + fi * di) / den
+            pi = pi - (fi * dr - fr * di) / den
+        psi, dlam = pr, pi
+        # latitude: tphi-series estimate refined against the tpsi series
+        dphi = 0.0
+        for c in self._TPHI[::-1]:
+            dphi = (dphi + c) * psi
+        for _ in range(2):
+            f = 0.0
+            fp = 0.0
+            for j in range(len(self._TPSI) - 1, -1, -1):
+                f = f * dphi + self._TPSI[j]
+                fp = fp * dphi + (j + 1) * self._TPSI[j]
+            f = f * dphi - psi
+            dphi = dphi - f / fp
+        phi = self.phi0 + dphi / self._RAD_TO_SEC5
+        lam = self.lam0 + dlam
+        return xp.degrees(lam), xp.degrees(phi)
+
+
+def _complex_poly(zr, zi, coeffs):
+    """sum coeffs[j] * z**(j+1) (zero constant term), Horner on pairs."""
+    pr, pi = coeffs[-1]
+    for cr, ci in coeffs[-2::-1]:
+        pr, pi = cr + pr * zr - pi * zi, ci + pi * zr + pr * zi
+    return pr * zr - pi * zi, pr * zi + pi * zr
+
+
+def _complex_poly_d1(zr, zi, coeffs):
+    """Value and derivative of sum coeffs[j] * z**(j+1)."""
+    fr, fi = _complex_poly(zr, zi, coeffs)
+    dr, di = len(coeffs) * coeffs[-1][0], len(coeffs) * coeffs[-1][1]
+    for j in range(len(coeffs) - 2, -1, -1):
+        cr, ci = coeffs[j]
+        dr, di = (
+            (j + 1) * cr + dr * zr - di * zi,
+            (j + 1) * ci + di * zr + dr * zi,
+        )
+    return fr, fi, dr, di
+
+
 class SpatialReference:
     """A CRS: a datum plus a projection, identified by an EPSG code (or by
     its parameters, for CRSes parsed from WKT/proj4 without a known code)."""
@@ -1107,6 +1230,8 @@ def _registry_get(code):
         return SpatialReference(4277, "OSGB36", "OSGB36", _GeographicProjection())
     if code == 4269:
         return SpatialReference(4269, "NAD83", "ETRS89", _GeographicProjection())
+    if code == 4272:
+        return SpatialReference(4272, "NZGD49", "NZGD49", _GeographicProjection())
     if code == 3395:
         return SpatialReference(
             3395, "WGS 84 / World Mercator", "WGS84", _Mercator(_ellipsoid("WGS84"))
@@ -1193,6 +1318,13 @@ def _registry_get(code):
             _PolarStereographic(
                 _ellipsoid("WGS84"), 0.0, standard_parallel=71.0, north=False
             ),
+        )
+    if code == 27200:
+        return SpatialReference(
+            27200,
+            "NZGD49 / New Zealand Map Grid",
+            "NZGD49",
+            _NewZealandMapGrid(_ellipsoid("intl")),
         )
     if code == 3035:
         return SpatialReference(
@@ -1413,6 +1545,14 @@ def _build_projection(method, ell, p):
             fe,
             fn,
         )
+    if method == "new_zealand_map_grid":
+        return _NewZealandMapGrid(
+            ell,
+            lon0=cm if cm else 173.0,
+            lat0=lat0 if lat0 else -41.0,
+            false_easting=fe if fe else 2510000.0,
+            false_northing=fn if fn else 6023150.0,
+        )
     raise TransformException("Unsupported projection method: %s" % method)
 
 
@@ -1505,6 +1645,7 @@ _PROJ4_ELLPS = {
     "GRS80": "GRS80",
     "bessel": "bessel",
     "airy": "airy",
+    "intl": "intl",
     "sphere": "sphere",
 }
 
@@ -1520,6 +1661,7 @@ _PROJ4_METHODS = {
     "cass": "cassini_soldner",
     "omerc": "hotine_oblique_mercator_azimuth_center",
     "krovak": "krovak",
+    "nzmg": "new_zealand_map_grid",
 }
 
 

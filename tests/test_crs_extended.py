@@ -315,3 +315,94 @@ class TestWKT2:
         sr = get_sr(wkt)
         x, y = sr.projection.forward(3.0, 46.5)
         assert abs(x - 700000) < 1e-6 and abs(y - 6600000) < 1e-6
+
+
+class TestNewZealandMapGrid:
+    """EPSG method 9811 (EPSG:27200) — complex-series conformal fit.
+
+    No PROJ in this image: validated by (a) the defining origin mapping,
+    (b) conformality of the composite TM(intl)->NZMG Jacobian (any wrong
+    series coefficient breaks analyticity), (c) the back-derived point
+    scale staying inside NZMG's documented 0.9998..1.0005 envelope over
+    the NZ domain, and (d) roundtrip fuzz to machine precision."""
+
+    def _grid(self):
+        from dask_geomodeling_tpu.geo.crs import _NewZealandMapGrid
+
+        return _NewZealandMapGrid(_ellipsoid("intl"))
+
+    def test_origin_maps_to_false_origin(self):
+        x, y = self._grid().forward(173.0, -41.0)
+        assert abs(x - 2510000.0) < 1e-6
+        assert abs(y - 6023150.0) < 1e-6
+
+    def test_roundtrip(self):
+        rng = np.random.RandomState(11)
+        lons = 166.0 + rng.rand(500) * 13.0
+        lats = -47.5 + rng.rand(500) * 13.0
+        _roundtrip(self._grid(), lons, lats, tol=1e-10)
+
+    def test_conformal_and_scale_envelope(self):
+        from dask_geomodeling_tpu.geo.crs import _TransverseMercator
+
+        nz = self._grid()
+        tm = _TransverseMercator(_ellipsoid("intl"), 173.0, 0.0, 1.0, 0.0, 0.0)
+        h = 50.0
+        for lon, lat in [(173.0, -41.0), (168.0, -45.0), (176.5, -37.5),
+                         (178.0, -38.5), (172.0, -43.5)]:
+            ex, ny = tm.forward(lon, lat)
+            pts = [(ex + h, ny), (ex - h, ny), (ex, ny + h), (ex, ny - h)]
+            lls = [tm.inverse(px, py) for px, py in pts]
+            nzs = [nz.forward(*ll) for ll in lls]
+            j11 = (nzs[0][0] - nzs[1][0]) / (2 * h)
+            j21 = (nzs[0][1] - nzs[1][1]) / (2 * h)
+            j12 = (nzs[2][0] - nzs[3][0]) / (2 * h)
+            j22 = (nzs[2][1] - nzs[3][1]) / (2 * h)
+            assert abs(j11 - j22) < 1e-8 and abs(j12 + j21) < 1e-8
+            # NZMG scale = composite scale x TM point scale
+            dlam = np.radians(lon - 173.0)
+            k_tm = 1.0 + (dlam * np.cos(np.radians(lat))) ** 2 / 2.0
+            k_nz = np.hypot(j11, j21) * k_tm
+            assert 0.9997 < k_nz < 1.0006, (lon, lat, k_nz)
+
+    def test_epsg_and_proj4_registry(self):
+        sr = get_sr("EPSG:27200")
+        assert sr.datum == "NZGD49"
+        x, y = sr.projection.forward(173.0, -41.0)
+        assert abs(x - 2510000.0) < 1e-6
+        sr2 = get_sr("+proj=nzmg +ellps=intl +lat_0=-41 +lon_0=173 "
+                     "+x_0=2510000 +y_0=6023150 +towgs84=59.47,-5.04,187.44,"
+                     "0.47,-0.1,1.024,-4.5993")
+        x2, y2 = sr2.projection.forward(175.0, -40.0)
+        x1, y1 = sr.projection.forward(175.0, -40.0)
+        np.testing.assert_allclose([x1, y1], [x2, y2], atol=1e-6)
+
+    def test_datum_shift_to_wgs84(self):
+        # NZGD49->WGS84 moves coordinates by a couple hundred metres
+        lon, lat = transform_points(
+            np.array([2510000.0]), np.array([6023150.0]),
+            "EPSG:27200", "EPSG:4326",
+        )
+        assert abs(lon[0] - 173.0) < 0.01 and abs(lat[0] + 41.0) < 0.01
+        assert abs(lon[0] - 173.0) > 1e-5 or abs(lat[0] + 41.0) > 1e-5
+
+    def test_jnp_matches_numpy(self):
+        import jax
+        import jax.numpy as jnp
+
+        from dask_geomodeling_tpu.runtime.executor import _ensure_x64
+
+        _ensure_x64()  # f64 coordinate math, as the executor guarantees
+        nz = self._grid()
+        rng = np.random.RandomState(5)
+        lons = 167.0 + rng.rand(64) * 11.0
+        lats = -46.5 + rng.rand(64) * 11.0
+        x_np, y_np = nz.forward(lons, lats)
+        fwd = jax.jit(lambda lo, la: nz.forward(lo, la, xp=jnp))
+        x_j, y_j = fwd(lons, lats)
+        np.testing.assert_allclose(np.asarray(x_j), x_np, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(y_j), y_np, atol=1e-6)
+        inv = jax.jit(lambda x, y: nz.inverse(x, y, xp=jnp))
+        lo_j, la_j = inv(x_np, y_np)
+        np.testing.assert_allclose(np.asarray(lo_j), lons, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(la_j), lats, atol=1e-9)
