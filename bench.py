@@ -128,9 +128,12 @@ def main():
         }
     )
 
-    # 5120 px = 100 tiles of 512^2; a tunneled-TPU jit compile takes ~5 min,
-    # so the default keeps the total run within typical driver budgets
-    out_px = int(sys.argv[1]) if len(sys.argv) > 1 else 5120
+    # 10240 px = 400 tiles of 512^2 (the north-star 10k x 10k shape): 7
+    # batches of 64 reach steady-state compute/fetch pipelining, measured
+    # ~30% above the 2-batch 5120 default (BASELINE.md round-2 sweep).
+    # The repo-local .xla_cache warm-starts the otherwise ~5 min tunnel
+    # compile of the batched program.
+    out_px = int(sys.argv[1]) if len(sys.argv) > 1 else 10240
     tile = 512
     source, view = build_view()
     requests = tile_requests(source, out_px, tile)
@@ -151,11 +154,11 @@ def main():
         # (tunneled fetch rates swing up to 3x with time of day — the
         # min/max spread and a raw fetch-bandwidth probe ship as telemetry
         # so regressions separate from tunnel weather)
-        evaluate_tiled(view, request, tile_size=tile, batch=50)
+        evaluate_tiled(view, request, tile_size=tile, batch=64)
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
-            result = evaluate_tiled(view, request, tile_size=tile, batch=50)
+            result = evaluate_tiled(view, request, tile_size=tile, batch=64)
             runs.append(time.perf_counter() - t0)
         assert result["values"].shape[-1] == out_px
         runs.sort()
