@@ -74,6 +74,12 @@ defaults = {
     # pack small-range integer/boolean tile outputs to 2-8 pixels per
     # byte before the device->host fetch (runtime/fetchcodec.py)
     "geomodeling.fetch-pack": True,
+    # cross-CRS warp gather implementation in the tile runtime: "auto"
+    # lowers the gather to MXU one-hot matmuls (ops/matmul_gather.py,
+    # bit-exact, ~8x faster than XLA's gather on TPU) for batches inside
+    # the host-checked smoothness domain; "plain" always uses the
+    # general gather
+    "geomodeling.warp-gather": "auto",
 }
 
 

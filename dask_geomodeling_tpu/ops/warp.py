@@ -16,12 +16,53 @@ Nearest-neighbour convention matches GDAL: the source pixel *containing* the
 transformed target pixel center (floor of fractional index).  Cells falling
 outside the source raster become nodata.
 """
+import contextlib
+import threading
+
 import numpy as np
 
 from dask_geomodeling_tpu.geo.crs import get_projection, transform_points
 from dask_geomodeling_tpu.geo.geotransform import GeoTransform
 
-__all__ = ["warp_indices", "warp_numpy", "gather_numpy", "warp_jax"]
+__all__ = [
+    "warp_indices",
+    "warp_numpy",
+    "gather_numpy",
+    "warp_jax",
+    "gather_mode",
+    "collect_warp_sites",
+]
+
+# Trace-time gather-mode plumbing: the tile runtime decides per batch
+# whether the cross-CRS warp may use the MXU matmul gather (see
+# ops/matmul_gather.py — exact only inside a host-checked smoothness
+# domain).  The decision cannot be a traced branch (vmap would execute
+# both sides), so the runtime re-traces its program under this
+# threadlocal; warp_jax reads it at trace time only.
+_LOCAL = threading.local()
+
+
+@contextlib.contextmanager
+def gather_mode(mode):
+    """Trace with the given cross-CRS gather mode ("plain"/"matmul")."""
+    previous = getattr(_LOCAL, "gather", "plain")
+    _LOCAL.gather = mode
+    try:
+        yield
+    finally:
+        _LOCAL.gather = previous
+
+
+@contextlib.contextmanager
+def collect_warp_sites():
+    """Collect the static parameters of every warp traced in this block
+    (one entry per cross-CRS warp_jax call) for host-side domain checks."""
+    previous = getattr(_LOCAL, "sites", None)
+    _LOCAL.sites = sites = []
+    try:
+        yield sites
+    finally:
+        _LOCAL.sites = previous
 
 
 def _approx_stride():
@@ -164,6 +205,25 @@ def warp_jax(
     cross_crs = get_projection(src_srs).upper() != get_projection(projection).upper()
     stride = _approx_stride() if cross_crs else 1
 
+    sites = getattr(_LOCAL, "sites", None)
+    if sites is not None and cross_crs:
+        from dask_geomodeling_tpu.ops.matmul_gather import gather_matmul_eligible
+
+        sites.append(
+            dict(
+                src_gt=tuple(float(v) for v in src_gt),
+                src_srs=src_srs,
+                projection=projection,
+                src_shape=tuple(values.shape),
+                eligible=(
+                    interpolation != "bilinear"
+                    and gather_matmul_eligible(
+                        values.dtype, values.shape, height, width
+                    )
+                ),
+            )
+        )
+
     if cross_crs and stride > 1 and width > stride and height > stride:
         # GDAL-style approximate transformer (gdalwarp's 0.125 px error
         # model, reference raster/sources.py:141-144): transform a coarse
@@ -259,9 +319,24 @@ def warp_jax(
             dtype,
             jnp,
         )
-    safe_rows = jnp.where(inside, rows, 0)
-    safe_cols = jnp.where(inside, cols, 0)
-    gathered = values[:, safe_rows, safe_cols].astype(dtype)
+    use_matmul = cross_crs and getattr(_LOCAL, "gather", "plain") == "matmul"
+    if use_matmul:
+        from dask_geomodeling_tpu.ops.matmul_gather import (
+            gather_matmul_eligible,
+            gather_matmul_jax,
+        )
+
+        use_matmul = gather_matmul_eligible(
+            values.dtype, values.shape, height, width
+        )
+    if use_matmul:
+        # MXU path: exact inside the host-verified smoothness domain
+        # (the runtime only traces with this mode for checked batches)
+        gathered = gather_matmul_jax(values, rows, cols, inside).astype(dtype)
+    else:
+        safe_rows = jnp.where(inside, rows, 0)
+        safe_cols = jnp.where(inside, cols, 0)
+        gathered = values[:, safe_rows, safe_cols].astype(dtype)
     out = jnp.where(inside[None], gathered, dtype.type(fillvalue))
     if no_data_value is not None and no_data_value != fillvalue:
         if dtype.kind == "f":

@@ -237,6 +237,7 @@ def execution_config_token():
         config.get("geomodeling.pallas-stencils", True),
         config.get("geomodeling.fetch-pack", True),
         config.get("geomodeling.mesh-shape", None),
+        config.get("geomodeling.warp-gather", "auto"),
     )
 
 

@@ -106,9 +106,10 @@ import collections
 import threading
 
 #: a consistent staging snapshot: inputs + the exact program state they
-#: were staged against (see TileProgram.stage_batch)
+#: were staged against (see TileProgram.stage_batch); ``gather`` is the
+#: trace-time cross-CRS gather mode the snapshot's program must run under
 _StagedBatch = collections.namedtuple(
-    "_StagedBatch", ["stacked", "in_axes", "shared", "compiled"]
+    "_StagedBatch", ["stacked", "in_axes", "shared", "compiled", "gather"]
 )
 
 
@@ -150,6 +151,10 @@ class TileProgram:
         self._program = _ex._StagedProgram(order, graph, deps, name, consumers)
         self._name = name
         self._compiled = None
+        self._compiled_fast = None  # matmul-gather variant, traced lazily
+        self._batched = None
+        self._warp_sites = None  # cross-CRS warp statics, collected once
+        self._fast_domains = None  # False = fast path impossible
         self._in_axes = None
         self._shared = None
         self._literal_skeletons = None
@@ -288,7 +293,10 @@ class TileProgram:
                 values = jax.vmap(codec.encode)(values)
             return values
 
+        self._batched = batched
         self._compiled = jax.jit(batched)
+        # the fast-gather variant must retrace against the new in_axes
+        self._compiled_fast = None
 
     def stage_batch(self, view, requests):
         """Host-side staging for one batch: a consistent snapshot of
@@ -333,13 +341,88 @@ class TileProgram:
                 ]
                 self._build()
             in_axes, shared, compiled = self._in_axes, self._shared, self._compiled
+            gather = "plain"
+            if self._fast_gather_ok(len(requests), requests, per_tile_arrays[0]):
+                if self._compiled_fast is None:
+                    import jax
+
+                    self._compiled_fast = jax.jit(self._batched)
+                compiled = self._compiled_fast
+                gather = "matmul"
         stacked = [
             None
             if axis is None
             else np.stack([arrays[pos] for arrays in per_tile_arrays])
             for pos, axis in enumerate(in_axes)
         ]
-        return _StagedBatch(stacked, in_axes, shared, compiled)
+        return _StagedBatch(stacked, in_axes, shared, compiled, gather)
+
+    def _fast_gather_ok(self, batch_size, requests, example_arrays):
+        """Whether this batch may run the MXU matmul-gather warp variant:
+        the view must contain only eligible cross-CRS warps and every
+        request must sit inside their host-computed smoothness domains
+        (ops/matmul_gather.py).  Called under the stage lock."""
+        from dask_geomodeling_tpu import config
+        from dask_geomodeling_tpu.ops.matmul_gather import (
+            gather_domain,
+            requests_in_domain,
+        )
+
+        if config.get("geomodeling.warp-gather", "auto") != "auto":
+            return False
+        if self._fast_domains is False:
+            return False
+        if self._warp_sites is None:
+            self._collect_warp_sites(batch_size, example_arrays)
+        if self._fast_domains is None:
+            if not self._warp_sites or not all(
+                site["eligible"] for site in self._warp_sites
+            ):
+                self._fast_domains = False
+            else:
+                domains = [
+                    gather_domain(
+                        site["src_gt"],
+                        site["src_srs"],
+                        site["projection"],
+                        site["src_shape"],
+                    )
+                    for site in self._warp_sites
+                ]
+                self._fast_domains = (
+                    False if any(d is None for d in domains) else domains
+                )
+        if self._fast_domains is False:
+            return False
+        return all(
+            requests_in_domain(domain, requests)
+            for domain in self._fast_domains
+        )
+
+    def _collect_warp_sites(self, batch_size, example_arrays):
+        """Trace the program abstractly once to learn its cross-CRS warp
+        sites (no device work; jax.eval_shape)."""
+        import jax
+
+        from dask_geomodeling_tpu.ops import warp as _warp
+
+        structs = []
+        for pos, axis in enumerate(self._in_axes):
+            if axis is None:
+                a = self._shared[pos]
+                structs.append(jax.ShapeDtypeStruct(a.shape, a.dtype))
+            else:
+                a = example_arrays[pos]
+                structs.append(
+                    jax.ShapeDtypeStruct((batch_size,) + a.shape, a.dtype)
+                )
+        try:
+            with _warp.collect_warp_sites() as sites:
+                jax.eval_shape(self._batched, *structs)
+            self._warp_sites = sites
+        except Exception:
+            logger.warning("warp site collection failed", exc_info=True)
+            self._warp_sites = []
 
     def dispatch_staged(self, staged, batch_size):
         """Transfer a staged batch snapshot and launch its program
@@ -373,7 +456,12 @@ class TileProgram:
                 )
             else:
                 call_args.append(next(moved))
-        return staged.compiled(*call_args)
+        # the gather mode is read at trace time (first call of this jit
+        # object); wrapping every call is harmless afterwards
+        from dask_geomodeling_tpu.ops import warp as _warp
+
+        with _warp.gather_mode(staged.gather):
+            return staged.compiled(*call_args)
 
     def dispatch_batch(self, view, requests):
         """Dispatch a batch of tile requests; returns the (async) device

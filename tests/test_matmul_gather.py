@@ -1,0 +1,202 @@
+"""MXU matmul gather: the cross-CRS warp's hot path.
+
+The kernel (ops/matmul_gather.py) must reproduce the plain fancy-indexed
+gather bit-exactly for smooth index fields — including masked (outside)
+regions, source-edge window clipping, and exactness-preserving dtypes —
+and the tile runtime must only engage it inside the host-checked
+smoothness domain, falling back to the plain gather otherwise.
+"""
+from datetime import datetime, timedelta
+
+import numpy as np
+import pytest
+
+from dask_geomodeling_tpu import config
+from dask_geomodeling_tpu.geo import Extent
+from dask_geomodeling_tpu.ops.matmul_gather import (
+    AMP,
+    BLOCK,
+    WINDOW,
+    gather_domain,
+    gather_matmul_eligible,
+    gather_matmul_jax,
+    requests_in_domain,
+)
+from dask_geomodeling_tpu.raster import Add, Classify, MemorySource
+from dask_geomodeling_tpu.runtime.tiles import _get_tile_program, evaluate_tiled
+
+
+def _field(theta, scale, r_off, c_off, h=256, w=256):
+    i = np.arange(h)[:, None]
+    j = np.arange(w)[None, :]
+    rows = np.floor(
+        r_off + scale * (np.cos(theta) * i + np.sin(theta) * j)
+    ).astype(np.int32)
+    cols = np.floor(
+        c_off + scale * (np.cos(theta) * j - np.sin(theta) * i)
+    ).astype(np.int32)
+    return rows, cols
+
+
+@pytest.fixture(scope="module")
+def src():
+    return np.random.RandomState(0).rand(2, 1024, 1024).astype(np.float32)
+
+
+class TestKernel:
+    def test_smooth_rotated_field_bitexact(self, src):
+        rows, cols = _field(np.deg2rad(1.2), 1.5, 100, 120)
+        inside = np.ones(rows.shape, bool)
+        out = np.asarray(gather_matmul_jax(src, rows, cols, inside))
+        np.testing.assert_array_equal(out, src[:, rows, cols])
+
+    def test_masked_outside_with_garbage_indices(self, src):
+        rows, cols = _field(np.deg2rad(-0.8), 1.3, 200, 60)
+        inside = np.zeros(rows.shape, bool)
+        inside[30:220, 10:250] = True
+        r = np.where(inside, rows, -99999)
+        c = np.where(inside, cols, 2**30)
+        out = np.asarray(gather_matmul_jax(src, r, c, inside))
+        np.testing.assert_array_equal(
+            out[:, inside], src[:, rows, cols][:, inside]
+        )
+
+    def test_window_clips_at_source_edges(self, src):
+        low_r, low_c = _field(np.deg2rad(0.5), 1.1, 1, 2)
+        ins_low = (low_r >= 0) & (low_c >= 0)  # rotation dips below 0
+        rl = np.where(ins_low, low_r, 0)
+        cl = np.where(ins_low, low_c, 0)
+        out = np.asarray(gather_matmul_jax(src, rl, cl, ins_low))
+        np.testing.assert_array_equal(
+            out[:, ins_low], src[:, rl, cl][:, ins_low]
+        )
+
+        hi_r, hi_c = _field(np.deg2rad(0.5), 1.2, 1024 - 1.2 * 320, 1024 - 1.2 * 320)
+        ins = (hi_r >= 0) & (hi_r < 1024) & (hi_c >= 0) & (hi_c < 1024)
+        r = np.where(ins, hi_r, 0)
+        c = np.where(ins, hi_c, 0)
+        out = np.asarray(gather_matmul_jax(src, r, c, ins))
+        np.testing.assert_array_equal(out[:, ins], src[:, r, c][:, ins])
+
+    def test_blocks_and_lines_without_inside_pixels(self, src):
+        rows, cols = _field(np.deg2rad(1.0), 1.4, 50, 80)
+        inside = np.zeros(rows.shape, bool)
+        inside[:90, 150:] = True  # only the top-right corner carries data
+        r = np.where(inside, rows, 123456789)
+        c = np.where(inside, cols, -7)
+        out = np.asarray(gather_matmul_jax(src, r, c, inside))
+        np.testing.assert_array_equal(
+            out[:, inside], src[:, rows, cols][:, inside]
+        )
+
+    @pytest.mark.parametrize("dtype", ["uint8", "int16", "bool"])
+    def test_exact_dtypes(self, src, dtype):
+        if dtype == "bool":
+            v = src[:1] > 0.5
+        else:
+            v = (src[:1] * 255).astype(dtype)
+        rows, cols = _field(np.deg2rad(0.9), 1.6, 70, 40)
+        inside = np.ones(rows.shape, bool)
+        out = np.asarray(gather_matmul_jax(v, rows, cols, inside))
+        assert out.dtype == v.dtype
+        np.testing.assert_array_equal(out, v[:, rows, cols])
+
+    def test_residual_at_amp_limit(self, src):
+        # rotation chosen so the worst in-block residual is exactly AMP
+        theta = np.arctan(AMP / (BLOCK / 2) / 1.0)
+        rows, cols = _field(theta, 1.0, 200, 200)
+        # verify the construction actually stresses the limit
+        blk = rows[:, :BLOCK]
+        res = np.abs(blk - blk[:, [BLOCK // 2]]).max()
+        assert AMP - 1 <= res <= AMP
+        inside = np.ones(rows.shape, bool)
+        out = np.asarray(gather_matmul_jax(src, rows, cols, inside))
+        np.testing.assert_array_equal(out, src[:, rows, cols])
+
+    def test_eligibility(self):
+        assert gather_matmul_eligible("float32", (1, WINDOW, WINDOW), 256, 256)
+        assert not gather_matmul_eligible("float64", (1, 1024, 1024), 256, 256)
+        assert not gather_matmul_eligible("int32", (1, 1024, 1024), 256, 256)
+        assert not gather_matmul_eligible("float32", (1, 1024, 1024), 100, 256)
+        assert not gather_matmul_eligible("float32", (1, 64, 64), 256, 256)
+
+
+class TestDomain:
+    def test_same_crs_domain(self):
+        domain = gather_domain(
+            (0.0, 2.0, 0.0, 100.0, 0.0, -2.0), "EPSG:28992", "EPSG:28992",
+            (1, 512, 512),
+        )
+        assert domain is not None and domain[1] == 0.0
+
+    def test_cross_crs_domain_and_zoom_rejection(self):
+        domain = gather_domain(
+            (85000.0, 4.0, 0.0, 455000.0, 0.0, -4.0),
+            "EPSG:28992",
+            "EPSG:3857",
+            (1, 512, 512),
+        )
+        assert domain is not None
+        ok = dict(bbox=(0, 0, 2048, 2048), width=512, height=512)
+        assert requests_in_domain(domain, [ok])
+        far_out = dict(bbox=(0, 0, 500000, 500000), width=128, height=128)
+        assert not requests_in_domain(domain, [far_out])
+        assert not requests_in_domain(None, [ok])
+        assert not requests_in_domain(domain, [dict(ok, width=0)])
+
+
+class TestRuntimeIntegration:
+    @pytest.fixture()
+    def view(self):
+        data = (np.random.RandomState(7).rand(1, 512, 512) * 250).astype(
+            np.float32
+        )
+        data[0, :32, :32] = np.float32(np.finfo(np.float32).max)
+        source = MemorySource(
+            data=data,
+            no_data_value=float(np.finfo(np.float32).max),
+            projection="EPSG:28992",
+            pixel_size=4.0,
+            pixel_origin=(85000, 455000),
+            time_first=datetime(2000, 1, 1),
+            time_delta=timedelta(hours=1),
+        )
+        return Classify(Add(source, 1), bins=[50.0, 100.0, 150.0, 200.0])
+
+    def _request(self, zoom=1.0):
+        extent = Extent(
+            (85000, 455000 - 2048 * zoom, 85000 + 2048 * zoom, 455000),
+            "EPSG:28992",
+        )
+        return dict(
+            mode="vals",
+            bbox=extent.transformed("EPSG:3857").bbox,
+            projection="EPSG:3857",
+            width=512,
+            height=512,
+            start=datetime(2000, 1, 1),
+        )
+
+    def test_fast_path_engages_and_matches_plain(self, view):
+        request = self._request()
+        with config.set({"geomodeling.warp-gather": "plain"}):
+            plain = evaluate_tiled(view, request, tile_size=256, batch=2)
+        fast = evaluate_tiled(view, request, tile_size=256, batch=2)
+        program = _get_tile_program(view, dict(request, width=256, height=256))
+        assert program._warp_sites and program._warp_sites[0]["eligible"]
+        assert program._fast_domains not in (None, False)
+        assert program._compiled_fast is not None
+        np.testing.assert_array_equal(plain["values"], fast["values"])
+
+    def test_out_of_domain_falls_back(self, view):
+        # 16x zoom-out: block source span exceeds the static window
+        request = self._request(zoom=16.0)
+        result = evaluate_tiled(view, request, tile_size=256, batch=2)
+        program = _get_tile_program(view, dict(request, width=256, height=256))
+        staged = program.stage_batch(
+            view, [dict(request, width=256, height=256)]
+        )
+        assert staged.gather == "plain"
+        with config.set({"geomodeling.warp-gather": "plain"}):
+            expected = evaluate_tiled(view, request, tile_size=256, batch=2)
+        np.testing.assert_array_equal(result["values"], expected["values"])
