@@ -65,12 +65,13 @@ _EXACT_DTYPES = ("float32", "uint8", "int8", "uint16", "int16", "bool")
 
 
 def gather_matmul_eligible(values_dtype, src_shape, height, width):
-    """Static eligibility: dtype exact in f32, shapes block-aligned, and
-    the source at least one window big (dynamic_slice needs it)."""
+    """Static eligibility: dtype exact in f32 and the source at least one
+    window big (dynamic_slice needs it).  Non-block-aligned outputs (halo
+    -expanded stencil tiles) are padded internally."""
     return (
         str(np.dtype(values_dtype)) in _EXACT_DTYPES
-        and height % BLOCK == 0
-        and width % BLOCK == 0
+        and height > 0
+        and width > 0
         and src_shape[-2] >= WINDOW
         and src_shape[-1] >= WINDOW
     )
@@ -89,7 +90,19 @@ def gather_matmul_jax(values, rows, cols, inside):
 
     bands, src_h, src_w = values.shape
     height, width = rows.shape
-    nb_i, nb_j = height // BLOCK, width // BLOCK
+    # pad halo-expanded (non-block-aligned) outputs to the block grid;
+    # pad pixels are outside, so they pin to the anchors and cost nothing
+    # but the extra matmul rows, and are cropped before returning
+    pad_h = (-height) % BLOCK
+    pad_w = (-width) % BLOCK
+    if pad_h or pad_w:
+        import jax.numpy as _jnp
+
+        rows = _jnp.pad(rows, ((0, pad_h), (0, pad_w)), mode="edge")
+        cols = _jnp.pad(cols, ((0, pad_h), (0, pad_w)), mode="edge")
+        inside = _jnp.pad(inside, ((0, pad_h), (0, pad_w)))
+    full_h, full_w = height + pad_h, width + pad_w
+    nb_i, nb_j = full_h // BLOCK, full_w // BLOCK
     out_dtype = values.dtype
     vals_f32 = values.astype(jnp.float32)
     rows = rows.astype(jnp.int32)
@@ -183,7 +196,7 @@ def gather_matmul_jax(values, rows, cols, inside):
     out = (
         blocks.reshape(nb_i, nb_j, bands, BLOCK, BLOCK)
         .transpose(2, 0, 3, 1, 4)
-        .reshape(bands, height, width)
+        .reshape(bands, full_h, full_w)[:, :height, :width]
     )
     if np.dtype(out_dtype) == np.bool_:
         return out != 0

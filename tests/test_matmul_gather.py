@@ -115,10 +115,18 @@ class TestKernel:
 
     def test_eligibility(self):
         assert gather_matmul_eligible("float32", (1, WINDOW, WINDOW), 256, 256)
+        # halo-expanded stencil tiles are padded internally
+        assert gather_matmul_eligible("float32", (1, 1024, 1024), 518, 522)
         assert not gather_matmul_eligible("float64", (1, 1024, 1024), 256, 256)
         assert not gather_matmul_eligible("int32", (1, 1024, 1024), 256, 256)
-        assert not gather_matmul_eligible("float32", (1, 1024, 1024), 100, 256)
         assert not gather_matmul_eligible("float32", (1, 64, 64), 256, 256)
+
+    def test_non_block_aligned_shapes(self, src):
+        rows, cols = _field(np.deg2rad(1.1), 1.4, 60, 90, h=210, w=187)
+        inside = np.ones(rows.shape, bool)
+        out = np.asarray(gather_matmul_jax(src, rows, cols, inside))
+        assert out.shape == (2, 210, 187)
+        np.testing.assert_array_equal(out, src[:, rows, cols])
 
 
 class TestDomain:
