@@ -1546,12 +1546,13 @@ def _build_projection(method, ell, p):
             fn,
         )
     if method == "new_zealand_map_grid":
+        # presence-based defaults: an explicit zero parameter is honored
         return _NewZealandMapGrid(
             ell,
-            lon0=cm if cm else 173.0,
-            lat0=lat0 if lat0 else -41.0,
-            false_easting=fe if fe else 2510000.0,
-            false_northing=fn if fn else 6023150.0,
+            lon0=p.get("central_meridian", 173.0),
+            lat0=p.get("latitude_of_origin", -41.0),
+            false_easting=p.get("false_easting", 2510000.0),
+            false_northing=p.get("false_northing", 6023150.0),
         )
     raise TransformException("Unsupported projection method: %s" % method)
 
@@ -1768,6 +1769,12 @@ def _sr_from_proj4(text):
             params["rectified_grid_angle"] = float(parts["gamma"])
         if "no_uoff" in parts or "no_off" in parts:
             method = "hotine_oblique_mercator"
+    elif proj == "nzmg":
+        # PROJ's built-in New Zealand Map Grid defaults
+        params["central_meridian"] = float(parts.get("lon_0", 173.0))
+        params["latitude_of_origin"] = float(parts.get("lat_0", -41.0))
+        params["false_easting"] = float(parts.get("x_0", 2510000.0))
+        params["false_northing"] = float(parts.get("y_0", 6023150.0))
     elif proj == "krovak":
         # PROJ's built-in S-JTSK defaults
         params["latitude_of_origin"] = float(parts.get("lat_0", 49.5))

@@ -96,15 +96,35 @@ def gather_matmul_jax(values, rows, cols, inside):
     pad_h = (-height) % BLOCK
     pad_w = (-width) % BLOCK
     if pad_h or pad_w:
-        import jax.numpy as _jnp
-
-        rows = _jnp.pad(rows, ((0, pad_h), (0, pad_w)), mode="edge")
-        cols = _jnp.pad(cols, ((0, pad_h), (0, pad_w)), mode="edge")
-        inside = _jnp.pad(inside, ((0, pad_h), (0, pad_w)))
+        rows = jnp.pad(rows, ((0, pad_h), (0, pad_w)), mode="edge")
+        cols = jnp.pad(cols, ((0, pad_h), (0, pad_w)), mode="edge")
+        inside = jnp.pad(inside, ((0, pad_h), (0, pad_w)))
     full_h, full_w = height + pad_h, width + pad_w
     nb_i, nb_j = full_h // BLOCK, full_w // BLOCK
     out_dtype = values.dtype
     vals_f32 = values.astype(jnp.float32)
+    # 0 * NaN = NaN would poison a whole block's matmul for one
+    # non-finite source cell; sanitize the operand and carry a class
+    # band (0 finite / 1 NaN / 2 +inf / 3 -inf) through the same
+    # one-hot products so non-finite cells come back as canonical
+    # NaN/inf values (exact small-int products; NaN payloads are
+    # canonicalized, as XLA itself does)
+    restore_nonfinite = np.dtype(out_dtype).kind == "f"
+    if restore_nonfinite:
+        finite = jnp.isfinite(vals_f32)
+        nf_class = jnp.where(
+            finite,
+            jnp.float32(0),
+            jnp.where(
+                jnp.isnan(vals_f32),
+                jnp.float32(1),
+                jnp.where(vals_f32 > 0, jnp.float32(2), jnp.float32(3)),
+            ),
+        )
+        vals_f32 = jnp.concatenate(
+            [jnp.where(finite, vals_f32, 0.0), nf_class], axis=0
+        )
+    op_bands = vals_f32.shape[0]
     rows = rows.astype(jnp.int32)
     cols = cols.astype(jnp.int32)
 
@@ -148,7 +168,7 @@ def gather_matmul_jax(values, rows, cols, inside):
         r0 = jnp.clip(jnp.min(ri) - AMP, 0, src_h - WINDOW)
         c0 = jnp.clip(jnp.min(cj) - AMP, 0, src_w - WINDOW)
         win = jax.lax.dynamic_slice(
-            vals_f32, (jnp.int32(0), r0, c0), (bands, WINDOW, WINDOW)
+            vals_f32, (jnp.int32(0), r0, c0), (op_bands, WINDOW, WINDOW)
         )
 
         # stacked candidate one-hots: rowsel[(a, i)] = ri[i] + a - r0.
@@ -178,14 +198,14 @@ def gather_matmul_jax(values, rows, cols, inside):
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )  # ((a i), bands, (b j))
-        g = g.reshape(_AMP2, BLOCK, bands, _AMP2, BLOCK).transpose(
+        g = g.reshape(_AMP2, BLOCK, op_bands, _AMP2, BLOCK).transpose(
             0, 3, 2, 1, 4
         )  # (a, b, bands, i, j)
 
         # VPU selection of the true (a, b) candidate per pixel
         da = r_eff - ri[:, None]  # (BLOCK, BLOCK) in [-AMP, AMP]
         db = c_eff - cj[None, :]
-        out = jnp.zeros((bands, BLOCK, BLOCK), jnp.float32)
+        out = jnp.zeros((op_bands, BLOCK, BLOCK), jnp.float32)
         for a in range(_AMP2):
             for b in range(_AMP2):
                 mask = (da == (a - AMP)) & (db == (b - AMP))
@@ -194,10 +214,21 @@ def gather_matmul_jax(values, rows, cols, inside):
 
     blocks = jax.lax.map(one_block, jnp.arange(nb_i * nb_j, dtype=jnp.int32))
     out = (
-        blocks.reshape(nb_i, nb_j, bands, BLOCK, BLOCK)
+        blocks.reshape(nb_i, nb_j, op_bands, BLOCK, BLOCK)
         .transpose(2, 0, 3, 1, 4)
-        .reshape(bands, full_h, full_w)[:, :height, :width]
+        .reshape(op_bands, full_h, full_w)[:, :height, :width]
     )
+    if restore_nonfinite:
+        vals, nf = out[:bands], out[bands:]
+        out = jnp.where(
+            nf == 1,
+            jnp.float32(np.nan),
+            jnp.where(
+                nf == 2,
+                jnp.float32(np.inf),
+                jnp.where(nf == 3, jnp.float32(-np.inf), vals),
+            ),
+        )
     if np.dtype(out_dtype) == np.bool_:
         return out != 0
     return out.astype(out_dtype)

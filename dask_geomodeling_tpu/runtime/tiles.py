@@ -295,8 +295,13 @@ class TileProgram:
 
         self._batched = batched
         self._compiled = jax.jit(batched)
-        # the fast-gather variant must retrace against the new in_axes
+        # a rebuild changes what is traced (promoted literals): the fast
+        # variant must retrace and the warp sites/domains recollect — a
+        # promoted source literal (e.g. a per-tile geotransform) must not
+        # keep validating against the first batch's stale snapshot
         self._compiled_fast = None
+        self._warp_sites = None
+        self._fast_domains = None
 
     def stage_batch(self, view, requests):
         """Host-side staging for one batch: a consistent snapshot of

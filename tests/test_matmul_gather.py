@@ -121,6 +121,29 @@ class TestKernel:
         assert not gather_matmul_eligible("int32", (1, 1024, 1024), 256, 256)
         assert not gather_matmul_eligible("float32", (1, 64, 64), 256, 256)
 
+    def test_nonfinite_source_cells_do_not_poison_blocks(self, src):
+        """0 * NaN = NaN would otherwise contaminate a whole 128^2 block;
+        every non-finite class must come back for exactly its own cells."""
+        v = src[:1].copy()
+        v[0, 150, 160] = np.nan
+        v[0, 200, 210] = np.inf
+        v[0, 260, 120] = -np.inf
+        rows, cols = _field(np.deg2rad(1.0), 1.3, 100, 100)
+        inside = np.ones(rows.shape, bool)
+        out = np.asarray(gather_matmul_jax(v, rows, cols, inside))
+        exp = v[:, rows, cols]
+        np.testing.assert_array_equal(np.isnan(out), np.isnan(exp))
+        np.testing.assert_array_equal(
+            np.isposinf(out), np.isposinf(exp)
+        )
+        np.testing.assert_array_equal(
+            np.isneginf(out), np.isneginf(exp)
+        )
+        finite = np.isfinite(exp)
+        np.testing.assert_array_equal(out[finite], exp[finite])
+        # the NaN cell is actually hit by this field
+        assert np.isnan(exp).any() and np.isinf(exp).any()
+
     def test_non_block_aligned_shapes(self, src):
         rows, cols = _field(np.deg2rad(1.1), 1.4, 60, 90, h=210, w=187)
         inside = np.ones(rows.shape, bool)
