@@ -11,10 +11,15 @@ tunneled TPU the jax numbers are fetch-bound — see bench.py for the
 headline tile-batched measurement.
 """
 import argparse
+import os
+import sys
 import time
 from datetime import datetime, timedelta
 
 import numpy as np
+
+# runnable as `python benchmarks/run.py` from anywhere
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from dask_geomodeling_tpu import config
 from dask_geomodeling_tpu.geo.geometry import box

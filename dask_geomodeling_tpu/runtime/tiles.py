@@ -158,6 +158,8 @@ class TileProgram:
         self._in_axes = None
         self._shared = None
         self._literal_skeletons = None
+        self._inputs_cache = collections.OrderedDict()
+        self._cache_lock = threading.Lock()
         self._stage_lock = threading.Lock()
         self._tile_shape = (template_request["height"], template_request["width"])
 
@@ -184,7 +186,30 @@ class TileProgram:
         """The flat input array list the staged program would receive,
         plus which positions hold *request-derived traced inputs* (arrays
         minted by ``_dynamicize`` from ``jax_dynamic`` literals — the bbox
-        and friends).  Those positions vary per tile by construction."""
+        and friends).  Those positions vary per tile by construction.
+
+        Memoized per request token: planning is deterministic (immutable
+        blocks; this program instance is already pinned to one execution
+        config), and repeated tiles dominate steady-state serving — the
+        per-tile Python graph build is ~15% of a big request's wall time.
+        The cached arrays are treated as read-only everywhere downstream.
+        """
+        from dask_geomodeling_tpu.core.tokens import tokenize
+
+        key = tokenize(request)
+        with self._cache_lock:
+            cached = self._inputs_cache.get(key)
+            if cached is not None:
+                self._inputs_cache.move_to_end(key)
+                return cached
+        result = self._tile_inputs_uncached(view, request)
+        with self._cache_lock:
+            self._inputs_cache[key] = result
+            if len(self._inputs_cache) > 4096:
+                self._inputs_cache.popitem(last=False)
+        return result
+
+    def _tile_inputs_uncached(self, view, request):
         graph, name = view.get_compute_graph(**request)
         needed, deps = _ex._reachable(graph, name)
         order = _ex._toposort(needed, deps)
