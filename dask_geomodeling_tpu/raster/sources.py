@@ -411,7 +411,12 @@ class MemorySource(RasterSourceBase):
 
 
 class RasterFileSource(RasterSourceBase):
-    """A raster source reading a GeoTIFF from a file path.
+    """A raster source reading a raster file from a path.
+
+    Formats (all decoded natively — reference raster/sources.py:66-71
+    reads via ``gdal.Open``): GeoTIFF (classic + BigTIFF, deflate/LZW/
+    PackBits, both endiannesses), VRT mosaics, Esri ASCII grids
+    (``.asc``/``.agr``) and XYZ gridded text (``.xyz``).
 
     Args:
       url (str): path to the file, sandboxed by ``geomodeling.root``
@@ -437,7 +442,7 @@ class RasterFileSource(RasterSourceBase):
             return self._info
         except AttributeError:
             path = utils.safe_abspath(self.url)
-            if path.lower().endswith(".vrt"):
+            if path.lower().endswith((".vrt", ".asc", ".agr", ".xyz")):
                 from dask_geomodeling_tpu.io.geotiff import GeoTIFFInfo
                 from dask_geomodeling_tpu.runtime.pipeline import (
                     read_geotiff_cached,

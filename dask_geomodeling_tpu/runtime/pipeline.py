@@ -33,8 +33,17 @@ def read_geotiff_cached(path):
         if entry is not None and entry[0] == mtime:
             _READ_CACHE.move_to_end(key)
             return entry[1]
-    if key.lower().endswith(".vrt"):
+    lower = key.lower()
+    if lower.endswith(".vrt"):
         data = read_vrt(key)
+    elif lower.endswith((".asc", ".agr")):
+        from dask_geomodeling_tpu.io.asciigrid import read_ascii_grid
+
+        data = read_ascii_grid(key)
+    elif lower.endswith(".xyz"):
+        from dask_geomodeling_tpu.io.asciigrid import read_xyz
+
+        data = read_xyz(key)
     else:
         data = read_geotiff(key)
     with _CACHE_LOCK:
