@@ -66,6 +66,8 @@ class GeometryFileSink(BaseSingle):
         "gpkg": "GPKG",
         "shp": "ESRI Shapefile",
         "gml": "GML",
+        # beyond the reference's four sink drivers (sinks.py:30-35):
+        "parquet": "GeoParquet",
     }
 
     def __init__(self, source, url, extension="geojson", fields=None):

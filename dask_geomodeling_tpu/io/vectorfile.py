@@ -13,6 +13,9 @@ Formats:
   (always EPSG:4326, per the spec)
 - CSV (.csv): a WKT geometry column ("geometry"/"wkt"/"WKT"), matching
   OGR's CSV driver conventions
+- GeoParquet (.parquet / .geoparquet): pyarrow Parquet with the
+  GeoParquet 1.0 "geo" schema metadata (WKB-encoded primary geometry
+  column, PROJJSON-style EPSG crs identification)
 
 API: ``read_vector``, ``read_vector_info``, ``write_vector``.
 """
@@ -40,6 +43,8 @@ supported_extensions = {
     "gml",
     "kml",
     "csv",
+    "parquet",
+    "geoparquet",
 }
 
 
@@ -691,9 +696,96 @@ def _write_csv(frame, path):
             )
 
 
+# --- GeoParquet (pyarrow; GeoParquet 1.0 "geo" metadata) ---
+
+
+def _crs_to_projjson(crs):
+    """A PROJJSON-style crs object for the GeoParquet metadata (EPSG id
+    when recognizable, a WKT/user string passthrough otherwise)."""
+    if crs is None:
+        return None
+    from dask_geomodeling_tpu.geo.crs import get_sr
+
+    try:
+        code = get_sr(crs).code
+    except Exception:
+        code = None
+    if code:
+        return {"id": {"authority": "EPSG", "code": int(code)}}
+    return str(crs)
+
+
+def _crs_from_projjson(value):
+    if value is None:
+        return "EPSG:4326"  # GeoParquet default is OGC:CRS84
+    if isinstance(value, str):
+        return value
+    ident = value.get("id") or {}
+    if ident.get("authority") == "EPSG" and ident.get("code"):
+        return "EPSG:%d" % int(ident["code"])
+    return "EPSG:4326"
+
+
+def _write_parquet(frame, path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    columns = {}
+    for name in frame.columns:
+        if name == "geometry":
+            continue
+        columns[name] = pa.array(list(frame[name]))
+    wkb = [g.wkb if g is not None else None for g in frame.geometry]
+    columns["geometry"] = pa.array(wkb, pa.binary())
+    geometry_types = sorted(
+        {g.geom_type for g in frame.geometry if g is not None}
+    )
+    geo = {
+        "version": "1.0.0",
+        "primary_column": "geometry",
+        "columns": {
+            "geometry": {
+                "encoding": "WKB",
+                "geometry_types": geometry_types,
+                "crs": _crs_to_projjson(getattr(frame, "crs", None)),
+            }
+        },
+    }
+    table = pa.table(columns)
+    table = table.replace_schema_metadata(
+        {b"geo": json.dumps(geo).encode()}
+    )
+    pq.write_table(table, path)
+
+
+def _read_parquet(path):
+    import pyarrow.parquet as pq
+
+    from dask_geomodeling_tpu.geo.features import GeoDataFrame
+    from dask_geomodeling_tpu.geo.geometry import from_wkb
+
+    table = pq.read_table(path)
+    metadata = table.schema.metadata or {}
+    geo = json.loads(metadata.get(b"geo", b"{}") or b"{}")
+    primary = geo.get("primary_column", "geometry")
+    if primary not in table.column_names:
+        raise IOError("No geometry column in '{}'".format(path))
+    crs = _crs_from_projjson(
+        (geo.get("columns", {}).get(primary, {}) or {}).get("crs")
+    )
+    wkb = table.column(primary).to_pylist()
+    geometries = [from_wkb(b) if b is not None else None for b in wkb]
+    frame = table.drop_columns([primary]).to_pandas()
+    return GeoDataFrame(
+        frame if len(frame.columns) else None, geometry=geometries, crs=crs
+    )
+
+
 def read_vector(path, layer=None):
     """Read a vector file into a GeoDataFrame (crs attribute set)."""
     fmt = _format_of(path)
+    if fmt in ("parquet", "geoparquet"):
+        return _read_parquet(path)
     if fmt in ("geojson", "json"):
         return _read_geojson(path)
     if fmt in ("geojsonl", "ndjson"):
@@ -753,6 +845,8 @@ def write_vector(frame, path, layer=None):
         _write_kml(frame, path)
     elif fmt == "csv":
         _write_csv(frame, path)
+    elif fmt in ("parquet", "geoparquet"):
+        _write_parquet(frame, path)
     else:
         if os.path.exists(path):
             os.remove(path)

@@ -34,7 +34,7 @@ def frame():
 class TestVectorFileIO:
     @pytest.mark.parametrize(
         "ext",
-        ["geojson", "geojsonl", "gpkg", "shp", "gml", "kml", "csv"],
+        ["geojson", "geojsonl", "gpkg", "shp", "gml", "kml", "csv", "parquet"],
     )
     def test_roundtrip(self, root, frame, ext):
         path = str(root / ("test." + ext))
@@ -44,6 +44,24 @@ class TestVectorFileIO:
         assert result["value"].tolist() == [1.5, 2.5, 3.5]
         assert result["name"].tolist() == ["a", "b", "c"]
         assert result.geometry.iloc[0].equals(box(0, 0, 2, 2))
+
+    def test_parquet_crs_and_metadata(self, root, frame):
+        import json
+
+        import pyarrow.parquet as pq
+
+        path = str(root / "test.parquet")
+        frame.crs = "EPSG:28992"
+        write_vector(frame, path)
+        geo = json.loads(pq.read_table(path).schema.metadata[b"geo"])
+        assert geo["primary_column"] == "geometry"
+        assert geo["columns"]["geometry"]["encoding"] == "WKB"
+        assert geo["columns"]["geometry"]["crs"]["id"] == {
+            "authority": "EPSG",
+            "code": 28992,
+        }
+        result = read_vector(path)
+        assert result.crs == "EPSG:28992"
 
     def test_gpkg_crs(self, root, frame):
         path = str(root / "test.gpkg")
@@ -148,7 +166,7 @@ class TestGeometryFileSource:
         assert len(data["features"]) == 0  # all boxes are 2x2
 
 
-@pytest.fixture(params=["geojson", "geojsonl", "gpkg", "shp", "gml", "kml", "csv"])
+@pytest.fixture(params=["geojson", "geojsonl", "gpkg", "shp", "gml", "kml", "csv", "parquet"])
 def vector_format(request):
     return request.param
 
@@ -324,7 +342,7 @@ class TestGeometryFileSink:
         write_vector(frame, str(root / "data.geojson"))
         return GeometryFileSource("data.geojson")
 
-    @pytest.mark.parametrize("ext", ["geojson", "gpkg", "shp", "gml"])
+    @pytest.mark.parametrize("ext", ["geojson", "gpkg", "shp", "gml", "parquet"])
     def test_sink(self, root, source, ext):
         sink = GeometryFileSink(source, "out", extension=ext)
         data = sink.get_data(
