@@ -219,6 +219,28 @@ class TestRuntimeIntegration:
         assert program._compiled_fast is not None
         np.testing.assert_array_equal(plain["values"], fast["values"])
 
+    def test_sharded_mesh_matches_single_device(self, view):
+        """The MXU gather must survive XLA partitioning: a (dp, sp) mesh
+        shards the batch and each tile's rows, and the blocked matmul
+        machinery must still produce single-device-identical pixels."""
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the virtual 8-device mesh")
+        request = self._request()
+        with config.set({"geomodeling.warp-gather": "plain"}):
+            plain = evaluate_tiled(view, request, tile_size=256, batch=4)
+        with config.set({"geomodeling.mesh-shape": (4, 2)}):
+            sharded = evaluate_tiled(view, request, tile_size=256, batch=4)
+            program = _get_tile_program(
+                view, dict(request, width=256, height=256)
+            )
+            staged = program.stage_batch(
+                view, [dict(request, width=256, height=256)]
+            )
+            assert staged.gather == "matmul"
+        np.testing.assert_array_equal(plain["values"], sharded["values"])
+
     def test_out_of_domain_falls_back(self, view):
         # 16x zoom-out: block source span exceeds the static window
         request = self._request(zoom=16.0)
