@@ -68,6 +68,7 @@ class GeometryFileSink(BaseSingle):
         "gml": "GML",
         # beyond the reference's four sink drivers (sinks.py:30-35):
         "parquet": "GeoParquet",
+        "fgb": "FlatGeobuf",
     }
 
     def __init__(self, source, url, extension="geojson", fields=None):

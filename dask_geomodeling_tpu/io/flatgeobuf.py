@@ -1,0 +1,548 @@
+"""FlatGeobuf (.fgb) vector read/write.
+
+The reference reads FlatGeobuf through pyogrio/OGR's FlatGeobuf driver
+(reference geometry/sources.py:95 reads any OGR format); this is a
+native implementation over the ``flatbuffers`` runtime, written from the
+published FlatGeobuf 3 specification (magic ``fgb\\x03fgb\\x00``, header
+and per-feature flatbuffers, little-endian size prefixes, optional
+packed Hilbert R-tree index).
+
+Reading accepts files with or without the spatial index (the index is
+skipped by the spec's packed-R-tree size formula: 40-byte nodes over
+ceil-division levels).  Writing emits no index (``index_node_size`` 0),
+which every conforming reader accepts.  Property values encode per the
+spec's column-indexed binary layout; column types map from pandas dtypes
+(Bool/Int/Long/Double/String/Json).
+
+Geometries cover Point/MultiPoint/LineString/MultiLineString/Polygon/
+MultiPolygon — the same set the rest of the engine's drivers handle.
+"""
+import json
+import math
+import struct
+
+import numpy as np
+
+__all__ = ["read_flatgeobuf", "write_flatgeobuf"]
+
+MAGIC = b"fgb\x03fgb\x00"
+
+# GeometryType enum (spec header.fbs)
+_GT_UNKNOWN = 0
+_GT_POINT = 1
+_GT_LINESTRING = 2
+_GT_POLYGON = 3
+_GT_MULTIPOINT = 4
+_GT_MULTILINESTRING = 5
+_GT_MULTIPOLYGON = 6
+
+_GT_BY_NAME = {
+    "Point": _GT_POINT,
+    "LineString": _GT_LINESTRING,
+    "Polygon": _GT_POLYGON,
+    "MultiPoint": _GT_MULTIPOINT,
+    "MultiLineString": _GT_MULTILINESTRING,
+    "MultiPolygon": _GT_MULTIPOLYGON,
+}
+
+# ColumnType enum (spec header.fbs)
+_CT_BYTE = 0
+_CT_UBYTE = 1
+_CT_BOOL = 2
+_CT_SHORT = 3
+_CT_USHORT = 4
+_CT_INT = 5
+_CT_UINT = 6
+_CT_LONG = 7
+_CT_ULONG = 8
+_CT_FLOAT = 9
+_CT_DOUBLE = 10
+_CT_STRING = 11
+_CT_JSON = 12
+_CT_DATETIME = 13
+_CT_BINARY = 14
+
+_FIXED_FMT = {
+    _CT_BYTE: "<b",
+    _CT_UBYTE: "<B",
+    _CT_BOOL: "<B",
+    _CT_SHORT: "<h",
+    _CT_USHORT: "<H",
+    _CT_INT: "<i",
+    _CT_UINT: "<I",
+    _CT_LONG: "<q",
+    _CT_ULONG: "<Q",
+    _CT_FLOAT: "<f",
+    _CT_DOUBLE: "<d",
+}
+
+_NODE_BYTES = 40  # 4 float64 bounds + uint64 offset
+
+
+def _packed_rtree_size(num_items, node_size):
+    """Byte size of the spec's packed Hilbert R-tree."""
+    if num_items == 0:
+        return 0
+    node_size = max(int(node_size), 2)
+    n = num_items
+    total = n
+    while n != 1:
+        n = math.ceil(n / node_size)
+        total += n
+    return total * _NODE_BYTES
+
+
+# --- low-level flatbuffers table access ---
+
+
+def _table(buf, pos):
+    import flatbuffers
+
+    return flatbuffers.table.Table(buf, pos)
+
+
+def _root(buf):
+    (pos,) = struct.unpack_from("<I", buf, 0)
+    return _table(buf, pos)
+
+
+def _field_offset(tab, slot):
+    return tab.Offset(4 + 2 * slot)
+
+
+def _get_scalar(tab, slot, flags, default):
+    o = _field_offset(tab, slot)
+    if not o:
+        return default
+    return tab.Get(flags, o + tab.Pos)
+
+
+def _get_string(tab, slot):
+    o = _field_offset(tab, slot)
+    if not o:
+        return None
+    return tab.String(o + tab.Pos).decode("utf-8")
+
+
+def _get_vector(tab, slot, np_dtype):
+    o = _field_offset(tab, slot)
+    if not o:
+        return None
+    n = tab.VectorLen(o)
+    start = tab.Vector(o)
+    return np.frombuffer(tab.Bytes, dtype=np_dtype, count=n, offset=start)
+
+
+def _get_table_vector(tab, slot):
+    """List of sub-tables in a vector-of-tables field."""
+    o = _field_offset(tab, slot)
+    if not o:
+        return []
+    n = tab.VectorLen(o)
+    out = []
+    for i in range(n):
+        elem = tab.Vector(o) + 4 * i
+        out.append(_table(tab.Bytes, tab.Indirect(elem)))
+    return out
+
+
+def _get_bytes_vector(tab, slot):
+    o = _field_offset(tab, slot)
+    if not o:
+        return b""
+    n = tab.VectorLen(o)
+    start = tab.Vector(o)
+    return bytes(tab.Bytes[start : start + n])
+
+
+# --- geometry decode ---
+
+
+def _pairs(xy):
+    return [(xy[i], xy[i + 1]) for i in range(0, len(xy), 2)]
+
+
+def _rings(xy, ends):
+    pts = _pairs(xy)
+    if ends is None or len(ends) == 0:
+        return [pts]
+    rings = []
+    start = 0
+    for end in ends:
+        rings.append(pts[start : int(end)])
+        start = int(end)
+    return rings
+
+
+def _decode_geometry(tab, geometry_type):
+    from dask_geomodeling_tpu.geo.geometry import (
+        LineString,
+        MultiLineString,
+        MultiPoint,
+        MultiPolygon,
+        Point,
+        Polygon,
+    )
+    from flatbuffers import number_types as N
+
+    # Geometry table slots (spec feature.fbs): ends=0, xy=1, z=2, m=3,
+    # t=4, tm=5, type=6, parts=7
+    gtype = _get_scalar(tab, 6, N.Uint8Flags, 0) or geometry_type
+    xy = _get_vector(tab, 1, "<f8")
+    ends = _get_vector(tab, 0, "<u4")
+    parts = _get_table_vector(tab, 7)
+
+    if gtype == _GT_POINT:
+        (pt,) = _pairs(xy)
+        return Point(*pt)
+    if gtype == _GT_MULTIPOINT:
+        return MultiPoint([Point(*p) for p in _pairs(xy)])
+    if gtype == _GT_LINESTRING:
+        return LineString(_pairs(xy))
+    if gtype == _GT_MULTILINESTRING:
+        return MultiLineString(
+            [LineString(r) for r in _rings(xy, ends)]
+        )
+    if gtype == _GT_POLYGON:
+        rings = _rings(xy, ends)
+        return Polygon(rings[0], rings[1:] or None)
+    if gtype == _GT_MULTIPOLYGON:
+        polys = []
+        for part in parts:
+            polys.append(_decode_geometry(part, _GT_POLYGON))
+        return MultiPolygon(polys)
+    raise NotImplementedError("FlatGeobuf geometry type %d" % gtype)
+
+
+def _decode_properties(raw, columns):
+    values = {}
+    pos = 0
+    n = len(raw)
+    while pos + 2 <= n:
+        (idx,) = struct.unpack_from("<H", raw, pos)
+        pos += 2
+        name, ctype = columns[idx]
+        if ctype in _FIXED_FMT:
+            fmt = _FIXED_FMT[ctype]
+            (value,) = struct.unpack_from(fmt, raw, pos)
+            pos += struct.calcsize(fmt)
+            if ctype == _CT_BOOL:
+                value = bool(value)
+        else:
+            (length,) = struct.unpack_from("<I", raw, pos)
+            pos += 4
+            data = raw[pos : pos + length]
+            pos += length
+            if ctype == _CT_BINARY:
+                value = bytes(data)
+            else:
+                value = data.decode("utf-8")
+                if ctype == _CT_JSON:
+                    value = json.loads(value)
+        values[name] = value
+    return values
+
+
+def read_flatgeobuf(path):
+    """Read a FlatGeobuf file into a GeoDataFrame."""
+    import pandas as pd
+
+    from dask_geomodeling_tpu.geo.features import GeoDataFrame
+    from flatbuffers import number_types as N
+
+    buf = memoryview(open(path, "rb").read())
+    if bytes(buf[:8]) != MAGIC:
+        raise IOError("Not a FlatGeobuf file: '%s'" % path)
+    pos = 8
+    (header_size,) = struct.unpack_from("<I", buf, pos)
+    pos += 4
+    header = _root(buf[pos : pos + header_size])
+    pos += header_size
+
+    # Header slots (spec header.fbs): name=0, envelope=1, geometry_type=2,
+    # has_z=3, has_m=4, has_t=5, has_tm=6, columns=7, features_count=8,
+    # index_node_size=9, crs=10
+    geometry_type = _get_scalar(header, 2, N.Uint8Flags, 0)
+    features_count = _get_scalar(header, 8, N.Uint64Flags, 0)
+    index_node_size = _get_scalar(header, 9, N.Uint16Flags, 16)
+    columns = []
+    for col in _get_table_vector(header, 7):
+        # Column slots: name=0, type=1
+        columns.append(
+            (_get_string(col, 0), _get_scalar(col, 1, N.Uint8Flags, 0))
+        )
+    crs_tab_offset = _field_offset(header, 10)
+    crs = None
+    if crs_tab_offset:
+        crs_tab = _table(
+            header.Bytes, header.Indirect(crs_tab_offset + header.Pos)
+        )
+        # Crs slots: org=0, code=1, name=2, description=3, wkt=4
+        org = _get_string(crs_tab, 0)
+        code = _get_scalar(crs_tab, 1, N.Int32Flags, 0)
+        wkt = _get_string(crs_tab, 4)
+        if org and code:
+            crs = "%s:%d" % (org, code)
+        elif wkt:
+            crs = wkt
+    if crs is None:
+        crs = "EPSG:4326"
+
+    if index_node_size:
+        pos += _packed_rtree_size(features_count, index_node_size)
+
+    geometries = []
+    records = []
+    end = len(buf)
+    while pos + 4 <= end:
+        (size,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        feature = _root(buf[pos : pos + size])
+        pos += size
+        # Feature slots: geometry=0, properties=1, columns=2
+        geom_offset = _field_offset(feature, 0)
+        if geom_offset:
+            geom_tab = _table(
+                feature.Bytes, feature.Indirect(geom_offset + feature.Pos)
+            )
+            geometries.append(_decode_geometry(geom_tab, geometry_type))
+        else:
+            geometries.append(None)
+        records.append(
+            _decode_properties(_get_bytes_vector(feature, 1), columns)
+        )
+
+    frame = GeoDataFrame(
+        pd.DataFrame.from_records(records) if any(records) else None,
+        geometry=geometries,
+        crs=crs,
+    )
+    return frame
+
+
+# --- writing ---
+
+
+def _column_type_of(series):
+    import pandas as pd
+
+    kind = series.dtype.kind
+    if kind == "b":
+        return _CT_BOOL
+    if kind == "i":
+        return _CT_LONG if series.dtype.itemsize > 4 else _CT_INT
+    if kind == "u":
+        return _CT_ULONG
+    if kind == "f":
+        return _CT_DOUBLE
+    sample = next((v for v in series if v is not None), None)
+    if isinstance(sample, bool):
+        return _CT_BOOL
+    if isinstance(sample, (int, np.integer)):
+        return _CT_LONG
+    if isinstance(sample, (float, np.floating)):
+        return _CT_DOUBLE
+    if isinstance(sample, (list, dict)):
+        return _CT_JSON
+    if isinstance(sample, bytes):
+        return _CT_BINARY
+    return _CT_STRING
+
+
+def _encode_properties(record, column_order, column_types):
+    out = bytearray()
+    for idx, name in enumerate(column_order):
+        value = record.get(name)
+        if value is None or (
+            isinstance(value, float) and math.isnan(value)
+        ):
+            continue
+        ctype = column_types[idx]
+        out += struct.pack("<H", idx)
+        if ctype in _FIXED_FMT:
+            if ctype == _CT_BOOL:
+                value = int(bool(value))
+            elif ctype in (_CT_INT, _CT_LONG, _CT_ULONG):
+                value = int(value)
+            else:
+                value = float(value)
+            out += struct.pack(_FIXED_FMT[ctype], value)
+        else:
+            if ctype == _CT_JSON:
+                data = json.dumps(value).encode("utf-8")
+            elif ctype == _CT_BINARY:
+                data = bytes(value)
+            else:
+                data = str(value).encode("utf-8")
+            out += struct.pack("<I", len(data)) + data
+    return bytes(out)
+
+
+def _geometry_arrays(geom):
+    """(geometry_type, xy list, ends list, parts) for one geometry."""
+    gt = _GT_BY_NAME.get(geom.geom_type)
+    if gt is None:
+        raise NotImplementedError(
+            "FlatGeobuf cannot encode %s" % geom.geom_type
+        )
+    if gt == _GT_POINT:
+        return gt, [geom.x, geom.y], None, None
+    if gt == _GT_MULTIPOINT:
+        xy = []
+        for part in geom.geoms:
+            xy += [part.x, part.y]
+        return gt, xy, None, None
+    if gt == _GT_LINESTRING:
+        xy = []
+        for x, y in geom.coords:
+            xy += [x, y]
+        return gt, xy, None, None
+    if gt == _GT_MULTILINESTRING:
+        xy = []
+        ends = []
+        for part in geom.geoms:
+            for x, y in part.coords:
+                xy += [x, y]
+            ends.append(len(xy) // 2)
+        return gt, xy, ends, None
+    if gt == _GT_POLYGON:
+        xy = []
+        ends = []
+        rings = [geom.exterior] + list(geom.interiors)
+        for ring in rings:
+            for x, y in ring.coords:
+                xy += [x, y]
+            ends.append(len(xy) // 2)
+        if len(ends) == 1:
+            ends = None  # single ring: ends may be omitted
+        return gt, xy, ends, None
+    # MultiPolygon: child part tables
+    parts = [_geometry_arrays(p) for p in geom.geoms]
+    return gt, None, None, parts
+
+
+def _build_geometry(builder, arrays):
+    gt, xy, ends, parts = arrays
+    part_offsets = None
+    if parts is not None:
+        part_offsets = [_build_geometry(builder, p) for p in parts]
+
+    xy_off = ends_off = parts_off = None
+    if xy is not None:
+        builder.StartVector(8, len(xy), 8)
+        for value in reversed(xy):
+            builder.PrependFloat64(value)
+        xy_off = builder.EndVector()
+    if ends is not None:
+        builder.StartVector(4, len(ends), 4)
+        for value in reversed(ends):
+            builder.PrependUint32(value)
+        ends_off = builder.EndVector()
+    if part_offsets is not None:
+        builder.StartVector(4, len(part_offsets), 4)
+        for off in reversed(part_offsets):
+            builder.PrependUOffsetTRelative(off)
+        parts_off = builder.EndVector()
+
+    builder.StartObject(8)
+    if ends_off is not None:
+        builder.PrependUOffsetTRelativeSlot(0, ends_off, 0)
+    if xy_off is not None:
+        builder.PrependUOffsetTRelativeSlot(1, xy_off, 0)
+    builder.PrependUint8Slot(6, gt, 0)
+    if parts_off is not None:
+        builder.PrependUOffsetTRelativeSlot(7, parts_off, 0)
+    return builder.EndObject()
+
+
+def write_flatgeobuf(frame, path, name="layer"):
+    """Write a GeoDataFrame as FlatGeobuf (no spatial index)."""
+    import flatbuffers
+
+    from dask_geomodeling_tpu.geo.crs import get_sr
+
+    column_order = [c for c in frame.columns if c != "geometry"]
+    column_types = [_column_type_of(frame[c]) for c in column_order]
+    geometries = list(frame.geometry)
+    geometry_types = {
+        g.geom_type for g in geometries if g is not None
+    }
+    header_gt = (
+        _GT_BY_NAME[next(iter(geometry_types))]
+        if len(geometry_types) == 1
+        else _GT_UNKNOWN
+    )
+
+    # header
+    builder = flatbuffers.Builder(1024)
+    name_off = builder.CreateString(name)
+    column_offs = []
+    for cname, ctype in zip(column_order, column_types):
+        cname_off = builder.CreateString(cname)
+        builder.StartObject(11)
+        builder.PrependUOffsetTRelativeSlot(0, cname_off, 0)
+        builder.PrependUint8Slot(1, ctype, 0)
+        # nullable defaults true in the spec; leave remaining slots default
+        column_offs.append(builder.EndObject())
+    builder.StartVector(4, len(column_offs), 4)
+    for off in reversed(column_offs):
+        builder.PrependUOffsetTRelative(off)
+    columns_off = builder.EndVector()
+
+    crs_off = None
+    crs = getattr(frame, "crs", None)
+    if crs:
+        try:
+            code = get_sr(crs).code
+        except Exception:
+            code = None
+        org_off = builder.CreateString("EPSG")
+        builder.StartObject(6)
+        if code:
+            builder.PrependUOffsetTRelativeSlot(0, org_off, 0)
+            builder.PrependInt32Slot(1, int(code), 0)
+        crs_off = builder.EndObject()
+
+    builder.StartObject(14)
+    builder.PrependUOffsetTRelativeSlot(0, name_off, 0)
+    builder.PrependUint8Slot(2, header_gt, 0)
+    builder.PrependUOffsetTRelativeSlot(7, columns_off, 0)
+    builder.PrependUint64Slot(8, len(geometries), 0)
+    builder.PrependUint16Slot(9, 0, 16)  # no index (default is 16)
+    if crs_off is not None:
+        builder.PrependUOffsetTRelativeSlot(10, crs_off, 0)
+    header = builder.EndObject()
+    builder.Finish(header)
+    header_bytes = bytes(builder.Output())
+
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        f.write(struct.pack("<I", len(header_bytes)))
+        f.write(header_bytes)
+        records = frame.to_dict("records") if column_order else [
+            {} for _ in geometries
+        ]
+        for geom, record in zip(geometries, records):
+            fb = flatbuffers.Builder(1024)
+            props = _encode_properties(record, column_order, column_types)
+            props_off = None
+            if props:
+                fb.StartVector(1, len(props), 1)
+                for byte in reversed(props):
+                    fb.PrependUint8(byte)
+                props_off = fb.EndVector()
+            geom_off = (
+                _build_geometry(fb, _geometry_arrays(geom))
+                if geom is not None
+                else None
+            )
+            fb.StartObject(3)
+            if geom_off is not None:
+                fb.PrependUOffsetTRelativeSlot(0, geom_off, 0)
+            if props_off is not None:
+                fb.PrependUOffsetTRelativeSlot(1, props_off, 0)
+            feature = fb.EndObject()
+            fb.Finish(feature)
+            body = bytes(fb.Output())
+            f.write(struct.pack("<I", len(body)))
+            f.write(body)

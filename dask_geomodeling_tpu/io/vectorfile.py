@@ -16,6 +16,8 @@ Formats:
 - GeoParquet (.parquet / .geoparquet): pyarrow Parquet with the
   GeoParquet 1.0 "geo" schema metadata (WKB-encoded primary geometry
   column, PROJJSON-style EPSG crs identification)
+- FlatGeobuf (.fgb): io/flatgeobuf.py (flatbuffers runtime; reads files
+  with or without the packed Hilbert R-tree index, writes without)
 
 API: ``read_vector``, ``read_vector_info``, ``write_vector``.
 """
@@ -45,6 +47,7 @@ supported_extensions = {
     "csv",
     "parquet",
     "geoparquet",
+    "fgb",
 }
 
 
@@ -786,6 +789,10 @@ def read_vector(path, layer=None):
     fmt = _format_of(path)
     if fmt in ("parquet", "geoparquet"):
         return _read_parquet(path)
+    if fmt == "fgb":
+        from dask_geomodeling_tpu.io.flatgeobuf import read_flatgeobuf
+
+        return read_flatgeobuf(path)
     if fmt in ("geojson", "json"):
         return _read_geojson(path)
     if fmt in ("geojsonl", "ndjson"):
@@ -847,6 +854,10 @@ def write_vector(frame, path, layer=None):
         _write_csv(frame, path)
     elif fmt in ("parquet", "geoparquet"):
         _write_parquet(frame, path)
+    elif fmt == "fgb":
+        from dask_geomodeling_tpu.io.flatgeobuf import write_flatgeobuf
+
+        write_flatgeobuf(frame, path, layer or "layer")
     else:
         if os.path.exists(path):
             os.remove(path)

@@ -34,7 +34,7 @@ def frame():
 class TestVectorFileIO:
     @pytest.mark.parametrize(
         "ext",
-        ["geojson", "geojsonl", "gpkg", "shp", "gml", "kml", "csv", "parquet"],
+        ["geojson", "geojsonl", "gpkg", "shp", "gml", "kml", "csv", "parquet", "fgb"],
     )
     def test_roundtrip(self, root, frame, ext):
         path = str(root / ("test." + ext))
@@ -62,6 +62,39 @@ class TestVectorFileIO:
         }
         result = read_vector(path)
         assert result.crs == "EPSG:28992"
+
+    def test_fgb_crs_and_index_skip(self, root, frame):
+        import struct
+
+        from dask_geomodeling_tpu.io.flatgeobuf import (
+            MAGIC,
+            _packed_rtree_size,
+            read_flatgeobuf,
+        )
+
+        path = str(root / "test.fgb")
+        frame.crs = "EPSG:28992"
+        write_vector(frame, path)
+        result = read_vector(path)
+        assert result.crs == "EPSG:28992"
+        assert result.geometry.iloc[2].equals(box(8, 8, 10, 10))
+
+        # a file with a spatial index: the reader must skip exactly the
+        # packed-R-tree bytes (spec formula).  Patch the header's
+        # index_node_size=0 -> 16 and splice dummy index bytes in.
+        raw = open(path, "rb").read()
+        header_size = struct.unpack_from("<I", raw, 8)[0]
+        head = bytearray(raw[: 12 + header_size])
+        marker = struct.pack("<H", 0) + struct.pack("<Q", 3)
+        # index_node_size (uint16, written just before features_count)
+        idx = bytes(head).rindex(marker)
+        head[idx : idx + 2] = struct.pack("<H", 16)
+        index = b"\0" * _packed_rtree_size(3, 16)
+        patched = bytes(head) + index + raw[12 + header_size :]
+        open(path, "wb").write(patched)
+        result = read_flatgeobuf(path)
+        assert len(result) == 3
+        assert result["value"].tolist() == [1.5, 2.5, 3.5]
 
     def test_gpkg_crs(self, root, frame):
         path = str(root / "test.gpkg")
@@ -166,7 +199,7 @@ class TestGeometryFileSource:
         assert len(data["features"]) == 0  # all boxes are 2x2
 
 
-@pytest.fixture(params=["geojson", "geojsonl", "gpkg", "shp", "gml", "kml", "csv", "parquet"])
+@pytest.fixture(params=["geojson", "geojsonl", "gpkg", "shp", "gml", "kml", "csv", "parquet", "fgb"])
 def vector_format(request):
     return request.param
 
@@ -342,7 +375,7 @@ class TestGeometryFileSink:
         write_vector(frame, str(root / "data.geojson"))
         return GeometryFileSource("data.geojson")
 
-    @pytest.mark.parametrize("ext", ["geojson", "gpkg", "shp", "gml", "parquet"])
+    @pytest.mark.parametrize("ext", ["geojson", "gpkg", "shp", "gml", "parquet", "fgb"])
     def test_sink(self, root, source, ext):
         sink = GeometryFileSink(source, "out", extension=ext)
         data = sink.get_data(
