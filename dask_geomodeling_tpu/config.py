@@ -74,6 +74,10 @@ defaults = {
     # pack small-range integer/boolean tile outputs to 2-8 pixels per
     # byte before the device->host fetch (runtime/fetchcodec.py)
     "geomodeling.fetch-pack": True,
+    # precompute the approximate transformer's coarse grid on host and
+    # ship it as a per-tile input (vectorized numpy beats emulated-f64
+    # TPU transcendentals by >10x; ~35 KB f32 per 512^2 tile)
+    "geomodeling.warp-host-grid": True,
     # cross-CRS warp gather implementation in the tile runtime: "auto"
     # lowers the gather to MXU one-hot matmuls (ops/matmul_gather.py,
     # bit-exact, ~8x faster than XLA's gather on TPU) for batches inside

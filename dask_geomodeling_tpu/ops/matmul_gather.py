@@ -1,10 +1,12 @@
-"""Exact nearest-neighbour warp gather as MXU matmuls.
+"""Exact nearest-neighbour warp gather via candidate axis-gather slices.
 
-XLA's general 2-D gather on TPU is memory-latency bound: ~0.26-0.34 s for
-a 50-tile batch of 512^2 gathers from an 8192^2 float32 source, which
-makes the cross-CRS warp the hottest op of the tile runtime (the same
-batch's one-hot matmul probe runs in ~0.033 s — the MXU is an order of
-magnitude faster at moving these bytes than the gather unit).
+XLA's general 2-D gather on TPU is element-latency bound: ~0.3-0.5 s for
+a 64-tile batch of 512^2 gathers from an 8192^2 float32 source, which
+made the cross-CRS warp the hottest op of the tile runtime.  Axis
+gathers — ``v[:, idx1d, :]`` with a traced 1-D index vector — lower to
+fast slice copies instead (same batch: the whole same-CRS pipeline runs
+in ~0.05 s), so the fast path expresses the warp entirely in axis
+gathers plus elementwise selects.
 
 A warp's index field is smooth: within a 128x128 output block the source
 row index varies along the output column only by a few pixels (CRS
@@ -14,20 +16,24 @@ a small residual*:
     rows[i, j] = Ri[i] + a(i, j),   |a| <= AMP
     cols[i, j] = Cj[j] + b(i, j),   |b| <= AMP
 
-with per-block anchors Ri/Cj read from the index field itself.  The
-candidate values v[Ri[i]+a, Cj[j]+b] for all (a, b) are computed with two
-one-hot matrix products against a block-local source window, and the true
-(a, b) per pixel picks the answer with VPU selects:
+with per-block anchors Ri/Cj read from the index field itself.  All
+(2*AMP+1)^2 candidate values are materialized with two chained axis
+gathers per candidate column offset —
 
-    U = OH_rows(stacked candidates) @ window          # rows stage, MXU
-    G = U @ OH_cols(stacked candidates)^T             # cols stage, MXU
-    out[i, j] = G[a(i,j), i, b(i,j), j]               # 49 selects, VPU
+    C_b   = win[:, :, Cj + b]          # (bands, W, B)  axis gather
+    G_a_b = C_b[:, Ri + a, :]          # (bands, B, B)  axis gather
+    out[i, j] = G_{a(i,j), b(i,j)}[i, j]   # 49 selects, VPU
 
-One-hot matmuls reproduce the gathered float32 values bit-exactly
-(verified on hardware): each output sums exactly one product 1.0 * value.
+— against a per-tile source window that is itself extracted with two
+chained axis gathers (slice copies move only the selected bytes, so the
+whole thing is bandwidth- not latency-bound; measured 0.107 s for the
+64-tile batch above, ~4x the one-hot-matmul formulation this module
+originally used and ~3-5x XLA's gather).  Slice copies preserve values
+bit-exactly for EVERY dtype — NaN/Inf payloads included — so there is no
+precision machinery and no dtype restriction.
 
 The caller must guarantee the smoothness contract (residuals within AMP,
-block source span within the window); `gather_domain` bounds the index
+the tile's source span within WINDOW); `gather_domain` bounds the index
 field's Jacobian for a CRS pair on the host so the tile runtime can check
 each batch of requests cheaply and fall back to the plain gather outside
 the domain (runtime/tiles.py).  Outside-source pixels are pinned to their
@@ -36,8 +42,8 @@ them with the fill value via its `inside` mask, as with the plain gather.
 
 Replaces the hot loop of the reference's ``gdal.ReprojectImage``
 (reference raster/sources.py:133-144) — there is no reference analog of
-the decomposition itself; it is how a gather becomes a systolic-array
-workload.
+the decomposition itself; it is how a gather becomes a bandwidth-bound
+TPU workload.
 """
 import numpy as np
 
@@ -51,34 +57,27 @@ __all__ = [
     "requests_in_domain",
 ]
 
-#: output block edge (one matmul tile row of work)
+#: output block edge (anchor granularity)
 BLOCK = 128
-#: block-local source window edge (static; must cover block span + 2*AMP)
-WINDOW = 384
+#: per-TILE source window edge (static; must cover the tile's source
+#: span + 2*AMP; extracted with fast axis gathers)
+WINDOW = 1024
 #: max |residual| between an index and its block anchor
 AMP = 3
 
 _AMP2 = 2 * AMP + 1
 
-# dtypes whose values round-trip exactly through float32 products
-_EXACT_DTYPES = ("float32", "uint8", "int8", "uint16", "int16", "bool")
-
 
 def gather_matmul_eligible(values_dtype, src_shape, height, width):
-    """Static eligibility: dtype exact in f32 and the source at least one
-    window big (dynamic_slice needs it).  Non-block-aligned outputs (halo
-    -expanded stencil tiles) are padded internally."""
-    return (
-        str(np.dtype(values_dtype)) in _EXACT_DTYPES
-        and height > 0
-        and width > 0
-        and src_shape[-2] >= WINDOW
-        and src_shape[-1] >= WINDOW
-    )
+    """Static eligibility: any dtype (slice copies are bit-exact); only
+    degenerate shapes are rejected.  Sources smaller than the window work
+    via index clipping; non-block-aligned outputs (halo-expanded stencil
+    tiles) are padded internally."""
+    return height > 0 and width > 0
 
 
 def gather_matmul_jax(values, rows, cols, inside):
-    """``values[:, rows, cols]`` for one tile, via blocked one-hot matmuls.
+    """``values[:, rows, cols]`` for one tile, via candidate axis gathers.
 
     values: (bands, src_h, src_w); rows/cols: (h, w) int32 (any values at
     ``~inside`` positions); inside: (h, w) bool.  Returns (bands, h, w) of
@@ -92,7 +91,7 @@ def gather_matmul_jax(values, rows, cols, inside):
     height, width = rows.shape
     # pad halo-expanded (non-block-aligned) outputs to the block grid;
     # pad pixels are outside, so they pin to the anchors and cost nothing
-    # but the extra matmul rows, and are cropped before returning
+    # but extra block area, and are cropped before returning
     pad_h = (-height) % BLOCK
     pad_w = (-width) % BLOCK
     if pad_h or pad_w:
@@ -101,51 +100,53 @@ def gather_matmul_jax(values, rows, cols, inside):
         inside = jnp.pad(inside, ((0, pad_h), (0, pad_w)))
     full_h, full_w = height + pad_h, width + pad_w
     nb_i, nb_j = full_h // BLOCK, full_w // BLOCK
-    out_dtype = values.dtype
-    vals_f32 = values.astype(jnp.float32)
-    # 0 * NaN = NaN would poison a whole block's matmul for one
-    # non-finite source cell; sanitize the operand and carry a class
-    # band (0 finite / 1 NaN / 2 +inf / 3 -inf) through the same
-    # one-hot products so non-finite cells come back as canonical
-    # NaN/inf values (exact small-int products; NaN payloads are
-    # canonicalized, as XLA itself does)
-    restore_nonfinite = np.dtype(out_dtype).kind == "f"
-    if restore_nonfinite:
-        finite = jnp.isfinite(vals_f32)
-        nf_class = jnp.where(
-            finite,
-            jnp.float32(0),
-            jnp.where(
-                jnp.isnan(vals_f32),
-                jnp.float32(1),
-                jnp.where(vals_f32 > 0, jnp.float32(2), jnp.float32(3)),
-            ),
-        )
-        vals_f32 = jnp.concatenate(
-            [jnp.where(finite, vals_f32, 0.0), nf_class], axis=0
-        )
-    op_bands = vals_f32.shape[0]
+    values = jnp.asarray(values)
     rows = rows.astype(jnp.int32)
     cols = cols.astype(jnp.int32)
+
+    # one per-TILE source window, extracted with two chained AXIS gathers
+    # (traced 1-D index vectors -> fast slice copies); everything after
+    # addresses the window, clipped into range (clipped/aliased values
+    # are never selected: a candidate only wins when the true index
+    # equals anchor+offset, which is in range by the contract)
+    big = jnp.int32(2**30)
+    r_in = jnp.where(inside, rows, big)
+    c_in = jnp.where(inside, cols, big)
+    r_base = jnp.clip(
+        jnp.min(r_in) - AMP, 0, max(src_h - WINDOW, 0)
+    ).astype(jnp.int32)
+    c_base = jnp.clip(
+        jnp.min(c_in) - AMP, 0, max(src_w - WINDOW, 0)
+    ).astype(jnp.int32)
+    row_idx = jnp.clip(
+        r_base + jnp.arange(WINDOW, dtype=jnp.int32), 0, src_h - 1
+    )
+    col_idx = jnp.clip(
+        c_base + jnp.arange(WINDOW, dtype=jnp.int32), 0, src_w - 1
+    )
+    win = values[:, row_idx, :][:, :, col_idx]  # (bands, WINDOW, WINDOW)
+    lrows = rows - r_base
+    lcols = cols - c_base
 
     mid_pen_j = jnp.abs(jnp.arange(BLOCK, dtype=jnp.int32) - BLOCK // 2)
     offsets = jnp.arange(-AMP, AMP + 1, dtype=jnp.int32)
 
-    def one_block(pq):
-        p = pq // nb_j
-        q = pq % nb_j
+    def one_block(p, q):
+        # fully unrolled static blocks: just TWO axis gathers per block
+        # (all candidate offsets stacked into the index vectors) plus
+        # static-slice selects — lax.map over blocks serializes the
+        # schedule and measured 5x slower than this
         i0 = p * BLOCK
         j0 = q * BLOCK
-        r = jax.lax.dynamic_slice(rows, (i0, j0), (BLOCK, BLOCK))
-        c = jax.lax.dynamic_slice(cols, (i0, j0), (BLOCK, BLOCK))
-        ins = jax.lax.dynamic_slice(inside, (i0, j0), (BLOCK, BLOCK))
+        r = lrows[i0 : i0 + BLOCK, j0 : j0 + BLOCK]
+        c = lcols[i0 : i0 + BLOCK, j0 : j0 + BLOCK]
+        ins = inside[i0 : i0 + BLOCK, j0 : j0 + BLOCK]
 
         # anchors: the index at the inside pixel nearest the block middle
         # of each row/column (inside cells are contiguous per line, so
         # every inside cell stays within BLOCK/2 of its anchor).  Lines
         # with no inside pixel take the block's overall nearest-inside
-        # index as a benign reference — a wild value there would misplace
-        # the window for the lines that do carry data.
+        # index as a benign reference.
         pen_row = jnp.where(ins, mid_pen_j[None, :], jnp.int32(2 * BLOCK))
         jstar = jnp.argmin(pen_row, axis=1)
         ri = r[jnp.arange(BLOCK), jstar]  # (BLOCK,) row anchor per out row
@@ -153,85 +154,45 @@ def gather_matmul_jax(values, rows, cols, inside):
         istar = jnp.argmin(pen_col, axis=0)
         cj = c[istar, jnp.arange(BLOCK)]  # (BLOCK,) col anchor per out col
         flat_star = jnp.argmax(ins.reshape(-1))  # first inside pixel
-        ref_r = r.reshape(-1)[flat_star]
-        ref_c = c.reshape(-1)[flat_star]
-        row_any = ins.any(axis=1)
-        col_any = ins.any(axis=0)
-        ri = jnp.where(row_any, ri, ref_r)
-        cj = jnp.where(col_any, cj, ref_c)
+        ri = jnp.where(ins.any(axis=1), ri, r.reshape(-1)[flat_star])
+        cj = jnp.where(ins.any(axis=0), cj, c.reshape(-1)[flat_star])
 
         # pin outside pixels to the anchors: zero residual, never selects
         r_eff = jnp.where(ins, r, ri[:, None])
         c_eff = jnp.where(ins, c, cj[None, :])
-
-        # block-local window (contract: anchor span + 2*AMP fits WINDOW)
-        r0 = jnp.clip(jnp.min(ri) - AMP, 0, src_h - WINDOW)
-        c0 = jnp.clip(jnp.min(cj) - AMP, 0, src_w - WINDOW)
-        win = jax.lax.dynamic_slice(
-            vals_f32, (jnp.int32(0), r0, c0), (op_bands, WINDOW, WINDOW)
-        )
-
-        # stacked candidate one-hots: rowsel[(a, i)] = ri[i] + a - r0.
-        # Candidates clipped out of the window select nothing later
-        # (r_eff is inside the window whenever it equals ri + a).
-        rowsel = (ri[None, :] + offsets[:, None] - r0).reshape(-1)
-        colsel = (cj[None, :] + offsets[:, None] - c0).reshape(-1)
-        iota = jax.lax.broadcasted_iota(
-            jnp.int32, (_AMP2 * BLOCK, WINDOW), 1
-        )
-        oh_rows = (rowsel[:, None] == iota).astype(jnp.float32)
-        oh_cols = (colsel[:, None] == iota).astype(jnp.float32)
-
-        # rows stage: U[band, (a, i), s] = win[band, ri[i]+a, s]
-        u = jax.lax.dot_general(
-            oh_rows,
-            win,
-            (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )  # ((a i), bands, WINDOW)
-        # cols stage: G[(a, i), band, (b, j)] = win[band, ri+a, cj+b]
-        g = jax.lax.dot_general(
-            u,
-            oh_cols,
-            (((2,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )  # ((a i), bands, (b j))
-        g = g.reshape(_AMP2, BLOCK, op_bands, _AMP2, BLOCK).transpose(
-            0, 3, 2, 1, 4
-        )  # (a, b, bands, i, j)
-
-        # VPU selection of the true (a, b) candidate per pixel
         da = r_eff - ri[:, None]  # (BLOCK, BLOCK) in [-AMP, AMP]
         db = c_eff - cj[None, :]
-        out = jnp.zeros((op_bands, BLOCK, BLOCK), jnp.float32)
+
+        # stacked candidate index vectors: one gather per axis brings in
+        # every (a, b) combination; G[a, b] is then a static slice
+        rowsel = jnp.clip(
+            (offsets[:, None] + ri[None, :]).reshape(-1), 0, WINDOW - 1
+        )  # (AMP2 * BLOCK,)
+        colsel = jnp.clip(
+            (offsets[:, None] + cj[None, :]).reshape(-1), 0, WINDOW - 1
+        )
+        c_all = win[:, :, colsel]  # (bands, WINDOW, AMP2*BLOCK)
+        g_all = c_all[:, rowsel, :]  # (bands, AMP2*BLOCK, AMP2*BLOCK)
+
+        out = jnp.zeros((bands, BLOCK, BLOCK), win.dtype)
         for a in range(_AMP2):
+            ga = g_all[:, a * BLOCK : (a + 1) * BLOCK, :]
+            mask_a = da == (a - AMP)
             for b in range(_AMP2):
-                mask = (da == (a - AMP)) & (db == (b - AMP))
-                out = jnp.where(mask[None], g[a, b], out)
+                g_ab = ga[:, :, b * BLOCK : (b + 1) * BLOCK]
+                mask = mask_a & (db == (b - AMP))
+                out = jnp.where(mask[None], g_ab, out)
         return out
 
-    blocks = jax.lax.map(one_block, jnp.arange(nb_i * nb_j, dtype=jnp.int32))
-    out = (
-        blocks.reshape(nb_i, nb_j, op_bands, BLOCK, BLOCK)
-        .transpose(2, 0, 3, 1, 4)
-        .reshape(op_bands, full_h, full_w)[:, :height, :width]
-    )
-    if restore_nonfinite:
-        vals, nf = out[:bands], out[bands:]
-        out = jnp.where(
-            nf == 1,
-            jnp.float32(np.nan),
-            jnp.where(
-                nf == 2,
-                jnp.float32(np.inf),
-                jnp.where(nf == 3, jnp.float32(-np.inf), vals),
-            ),
-        )
-    if np.dtype(out_dtype) == np.bool_:
-        return out != 0
-    return out.astype(out_dtype)
+    return jnp.concatenate(
+        [
+            jnp.concatenate(
+                [one_block(p, q) for q in range(nb_j)], axis=2
+            )
+            for p in range(nb_i)
+        ],
+        axis=1,
+    )[:, :height, :width]
 
 
 def gather_domain(src_gt, src_srs, projection, src_shape):
@@ -301,8 +262,8 @@ def requests_in_domain(domain, requests):
     ``domain`` comes from :func:`gather_domain`; requests carry bbox and
     width/height.  Checks (conservatively, both axes):
 
-    - block span: BLOCK output px at the diagonal rate + residuals + 2
-      must fit WINDOW
+    - tile span: the request's output extent at the diagonal rate +
+      residuals + 2 must fit the per-tile WINDOW
     - residual: BLOCK/2 output px at the off-diagonal rate stays < AMP
     """
     if domain is None:
@@ -317,7 +278,7 @@ def requests_in_domain(domain, requests):
         cell = max(abs(x2 - x1) / width, abs(y1 - y2) / height)
         if cell <= 0 or not np.isfinite(cell):
             return False
-        span = BLOCK * cell * diag + 2 * AMP + 2
+        span = max(width, height) * cell * diag + 2 * AMP + 2
         residual = (BLOCK / 2 + 1) * cell * off
         if span > WINDOW or residual > AMP - 0.5:
             return False

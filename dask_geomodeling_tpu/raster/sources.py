@@ -69,6 +69,7 @@ def _source_process_jax(process_kwargs):
         dtype,
         fillvalue,
         interpolation=config.get("geomodeling.warp-interpolation", "nearest"),
+        coarse_grid=process_kwargs.get("warp_grid"),
     )
     if dtype.kind == "f":
         result = jnp.where(jnp.isfinite(result), result, dtype.type(fillvalue))
@@ -199,7 +200,7 @@ class RasterSourceBase(RasterBlock):
 
     process.__func__.jax_impl = _source_process_jax
     process.__func__.jax_capable = _source_jax_capable
-    process.__func__.jax_dynamic = {"bbox"}
+    process.__func__.jax_dynamic = {"bbox", "warp_grid"}
 
     def _snap_bands(self, request):
         """Snap start/stop onto the band axis; None if empty."""
@@ -245,7 +246,53 @@ class RasterSourceBase(RasterBlock):
                     dtype=self.dtype,
                     fillvalue=self.fillvalue,
                 )
+                grid = self._host_warp_grid(request)
+                if grid is not None:
+                    plan["warp_grid"] = grid
         return [(plan, None)]
+
+    def _host_warp_grid(self, request):
+        """Host-precomputed coarse fractional-index grid for a cross-CRS
+        vals request (ops/warp.py:host_coarse_grid), or None.
+
+        The grid ships as a per-tile traced input of the device program
+        so the transcendental CRS math runs as vectorized host numpy
+        instead of emulated-f64 TPU code (the dominant device cost of a
+        cross-CRS tile).  The host executor's warp stays exact
+        per-pixel and ignores it.  Mirrors warp_jax's approximate-
+        transformer branch condition exactly; cheap (memoized with the
+        rest of staging by the tile runtime).
+        """
+        from dask_geomodeling_tpu.config import config
+        from dask_geomodeling_tpu.geo.crs import get_projection
+        from dask_geomodeling_tpu.ops.warp import host_coarse_grid
+
+        if not config.get("geomodeling.warp-host-grid", True):
+            return None
+        width, height = request["width"], request["height"]
+        bbox = request["bbox"]
+        if width <= 0 or height <= 0 or bbox[0] == bbox[2] or bbox[1] == bbox[3]:
+            return None
+        stride = int(config.get("geomodeling.warp-approx-stride", 8))
+        if stride <= 1 or width <= stride or height <= stride:
+            return None
+        try:
+            if (
+                get_projection(self.projection).upper()
+                == get_projection(request["projection"]).upper()
+            ):
+                return None
+            return host_coarse_grid(
+                tuple(self.geo_transform),
+                self.projection,
+                bbox,
+                request["projection"],
+                width,
+                height,
+                stride,
+            )
+        except Exception:
+            return None  # unparseable CRS etc.: the device path decides
 
     def _payload_plan(self, mode):
         """How this source ships its pixels/metadata (subclass hook)."""

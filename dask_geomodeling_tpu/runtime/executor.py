@@ -238,6 +238,7 @@ def execution_config_token():
         config.get("geomodeling.fetch-pack", True),
         config.get("geomodeling.mesh-shape", None),
         config.get("geomodeling.warp-gather", "auto"),
+        config.get("geomodeling.warp-host-grid", True),
     )
 
 

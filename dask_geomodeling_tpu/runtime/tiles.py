@@ -153,6 +153,7 @@ class TileProgram:
         self._compiled = None
         self._compiled_fast = None  # matmul-gather variant, traced lazily
         self._batched = None
+        self._batched_fast = None
         self._warp_sites = None  # cross-CRS warp statics, collected once
         self._fast_domains = None  # False = fast path impossible
         self._in_axes = None
@@ -303,23 +304,36 @@ class TileProgram:
             def vmapped(*a):
                 return jnp.stack([one_tile(*a)])
 
-        def batched(*arrays):
-            values = vmapped(*arrays)
-            if mesh is not None and mesh.shape.get("sp", 1) > 1:
-                from jax.sharding import NamedSharding, PartitionSpec
+        def make_batched(gather):
+            # one DISTINCT function object per gather mode, entering the
+            # trace-time mode context INSIDE the function body: jax's
+            # pjit trace cache keys on the function identity, so wrapping
+            # one shared function in two jax.jit objects silently REUSES
+            # whichever mode traced first — the fast variant would replay
+            # the plain trace
+            from dask_geomodeling_tpu.ops import warp as _warp
 
-                values = jax.lax.with_sharding_constraint(
-                    values,
-                    NamedSharding(
-                        mesh, PartitionSpec("dp", None, "sp", None)
-                    ),
-                )
-            if codec is not None:
-                values = jax.vmap(codec.encode)(values)
-            return values
+            def batched(*arrays):
+                with _warp.gather_mode(gather):
+                    values = vmapped(*arrays)
+                if mesh is not None and mesh.shape.get("sp", 1) > 1:
+                    from jax.sharding import NamedSharding, PartitionSpec
 
-        self._batched = batched
-        self._compiled = jax.jit(batched)
+                    values = jax.lax.with_sharding_constraint(
+                        values,
+                        NamedSharding(
+                            mesh, PartitionSpec("dp", None, "sp", None)
+                        ),
+                    )
+                if codec is not None:
+                    values = jax.vmap(codec.encode)(values)
+                return values
+
+            return batched
+
+        self._batched = make_batched("plain")
+        self._batched_fast = make_batched("matmul")
+        self._compiled = jax.jit(self._batched)
         # a rebuild changes what is traced (promoted literals): the fast
         # variant must retrace and the warp sites/domains recollect — a
         # promoted source literal (e.g. a per-tile geotransform) must not
@@ -376,7 +390,7 @@ class TileProgram:
                 if self._compiled_fast is None:
                     import jax
 
-                    self._compiled_fast = jax.jit(self._batched)
+                    self._compiled_fast = jax.jit(self._batched_fast)
                 compiled = self._compiled_fast
                 gather = "matmul"
         stacked = [

@@ -89,8 +89,11 @@ class TestKernel:
             out[:, inside], src[:, rows, cols][:, inside]
         )
 
-    @pytest.mark.parametrize("dtype", ["uint8", "int16", "bool"])
+    @pytest.mark.parametrize("dtype", ["uint8", "int16", "bool", "float64", "int64"])
     def test_exact_dtypes(self, src, dtype):
+        from dask_geomodeling_tpu.runtime.executor import _ensure_x64
+
+        _ensure_x64()  # 64-bit dtypes, as the executor guarantees
         if dtype == "bool":
             v = src[:1] > 0.5
         else:
@@ -117,9 +120,21 @@ class TestKernel:
         assert gather_matmul_eligible("float32", (1, WINDOW, WINDOW), 256, 256)
         # halo-expanded stencil tiles are padded internally
         assert gather_matmul_eligible("float32", (1, 1024, 1024), 518, 522)
-        assert not gather_matmul_eligible("float64", (1, 1024, 1024), 256, 256)
-        assert not gather_matmul_eligible("int32", (1, 1024, 1024), 256, 256)
-        assert not gather_matmul_eligible("float32", (1, 64, 64), 256, 256)
+        # slice copies are bit-exact for every dtype
+        assert gather_matmul_eligible("float64", (1, 1024, 1024), 256, 256)
+        assert gather_matmul_eligible("int32", (1, 1024, 1024), 256, 256)
+        # sources smaller than the window clip their indices and stay exact
+        assert gather_matmul_eligible("float32", (1, 64, 64), 256, 256)
+        assert not gather_matmul_eligible("float32", (1, 1024, 1024), 0, 256)
+
+    def test_source_smaller_than_window(self, src):
+        small = src[:, :200, :150]
+        rows, cols = _field(np.deg2rad(0.8), 0.5, 10, 5)
+        ins = (rows >= 0) & (rows < 200) & (cols >= 0) & (cols < 150)
+        r = np.where(ins, rows, 0)
+        c = np.where(ins, cols, 0)
+        out = np.asarray(gather_matmul_jax(small, r, c, ins))
+        np.testing.assert_array_equal(out[:, ins], small[:, r, c][:, ins])
 
     def test_nonfinite_source_cells_do_not_poison_blocks(self, src):
         """0 * NaN = NaN would otherwise contaminate a whole 128^2 block;
