@@ -31,7 +31,12 @@ def _sidecar_projection(path):
         if os.path.exists(prj):
             text = open(prj).read().strip()
             if text:
-                return text
+                from dask_geomodeling_tpu.geo.crs import get_epsg_or_wkt
+
+                try:
+                    return get_epsg_or_wkt(text)
+                except Exception:
+                    return text
     return "EPSG:4326"
 
 
@@ -66,10 +71,15 @@ def read_ascii_grid(path):
                 data_start = pos
                 break
         f.seek(data_start)
-        values = np.loadtxt(f, dtype=np.float64, ndmin=2)
+        # token stream, not line-oriented: Esri tooling wraps long rows
+        tokens = f.read().split()
 
     ncols = int(header["ncols"])
     nrows = int(header["nrows"])
+    if len(tokens) < nrows * ncols:
+        raise ValueError("%s: expected %d values, found %d"
+                         % (path, nrows * ncols, len(tokens)))
+    values = np.array(tokens[: nrows * ncols], dtype=np.float64)
     values = values.reshape(nrows, ncols)
     dx = header.get("dx", header.get("cellsize"))
     dy = header.get("dy", header.get("cellsize"))

@@ -86,9 +86,12 @@ def _packed_rtree_size(num_items, node_size):
     node_size = max(int(node_size), 2)
     n = num_items
     total = n
-    while n != 1:
+    # spec semantics are do-while: even a single item gets a root level
+    while True:
         n = math.ceil(n / node_size)
         total += n
+        if n == 1:
+            break
     return total * _NODE_BYTES
 
 
@@ -281,8 +284,9 @@ def read_flatgeobuf(path):
         org = _get_string(crs_tab, 0)
         code = _get_scalar(crs_tab, 1, N.Int32Flags, 0)
         wkt = _get_string(crs_tab, 4)
-        if org and code:
-            crs = "%s:%d" % (org, code)
+        if code:
+            # spec header.fbs: org NULL means EPSG
+            crs = "%s:%d" % (org or "EPSG", code)
         elif wkt:
             crs = wkt
     if crs is None:
@@ -335,7 +339,15 @@ def _column_type_of(series):
         return _CT_ULONG
     if kind == "f":
         return _CT_DOUBLE
-    sample = next((v for v in series if v is not None), None)
+    sample = next(
+        (
+            v
+            for v in series
+            if v is not None
+            and not (isinstance(v, float) and math.isnan(v))
+        ),
+        None,
+    )
     if isinstance(sample, bool):
         return _CT_BOOL
     if isinstance(sample, (int, np.integer)):
@@ -429,15 +441,9 @@ def _build_geometry(builder, arrays):
 
     xy_off = ends_off = parts_off = None
     if xy is not None:
-        builder.StartVector(8, len(xy), 8)
-        for value in reversed(xy):
-            builder.PrependFloat64(value)
-        xy_off = builder.EndVector()
+        xy_off = builder.CreateNumpyVector(np.asarray(xy, dtype="<f8"))
     if ends is not None:
-        builder.StartVector(4, len(ends), 4)
-        for value in reversed(ends):
-            builder.PrependUint32(value)
-        ends_off = builder.EndVector()
+        ends_off = builder.CreateNumpyVector(np.asarray(ends, dtype="<u4"))
     if part_offsets is not None:
         builder.StartVector(4, len(part_offsets), 4)
         for off in reversed(part_offsets):
@@ -497,10 +503,14 @@ def write_flatgeobuf(frame, path, name="layer"):
         except Exception:
             code = None
         org_off = builder.CreateString("EPSG")
+        wkt_off = None if code else builder.CreateString(str(crs))
         builder.StartObject(6)
         if code:
             builder.PrependUOffsetTRelativeSlot(0, org_off, 0)
             builder.PrependInt32Slot(1, int(code), 0)
+        else:
+            # no EPSG mapping: pass the CRS text through the wkt slot
+            builder.PrependUOffsetTRelativeSlot(4, wkt_off, 0)
         crs_off = builder.EndObject()
 
     builder.StartObject(14)
@@ -525,12 +535,7 @@ def write_flatgeobuf(frame, path, name="layer"):
         for geom, record in zip(geometries, records):
             fb = flatbuffers.Builder(1024)
             props = _encode_properties(record, column_order, column_types)
-            props_off = None
-            if props:
-                fb.StartVector(1, len(props), 1)
-                for byte in reversed(props):
-                    fb.PrependUint8(byte)
-                props_off = fb.EndVector()
+            props_off = fb.CreateByteVector(props) if props else None
             geom_off = (
                 _build_geometry(fb, _geometry_arrays(geom))
                 if geom is not None

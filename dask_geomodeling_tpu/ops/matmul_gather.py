@@ -278,7 +278,9 @@ def requests_in_domain(domain, requests):
         cell = max(abs(x2 - x1) / width, abs(y1 - y2) / height)
         if cell <= 0 or not np.isfinite(cell):
             return False
-        span = max(width, height) * cell * diag + 2 * AMP + 2
+        # a rotated tile's source span picks up the off-diagonal term
+        # too: rows drift by width*cell*off across the columns
+        span = max(width, height) * cell * (diag + off) + 2 * AMP + 2
         residual = (BLOCK / 2 + 1) * cell * off
         if span > WINDOW or residual > AMP - 0.5:
             return False

@@ -117,10 +117,13 @@ def host_coarse_grid(src_gt, src_srs, bbox, projection, width, height, stride):
     as emulated-f64 device code (measured: the coarse transform was
     ~0.4 s of a 64-tile batch on TPU vs milliseconds on host — the
     dominant device cost of a cross-CRS warp after the matmul gather).
-    float32 fractional indices keep <6e-4 px of error for sources up to
-    8M px across — far inside the transformer's 0.125 px model — and
-    make the device-side interpolation pure f32 as well.  Out-of-domain
-    transforms carry NaN, which the warp's finite mask already handles.
+    float32 fractional indices have ~6e-8 relative precision: ~6e-4 px
+    at a 10k-px source, ~0.006 px at 100k, staying inside the
+    transformer's 0.125 px model for any source up to ~2M px across
+    (beyond that the f32 ULP alone would exceed the model; no real
+    source approaches it).  The device-side interpolation becomes pure
+    f32 as well.  Out-of-domain transforms carry NaN, which the warp's
+    finite mask already handles.
     """
     gt = GeoTransform.from_bbox(bbox, height, width)
     p, a, b, q, c, d = gt

@@ -160,6 +160,7 @@ class TileProgram:
         self._shared = None
         self._literal_skeletons = None
         self._inputs_cache = collections.OrderedDict()
+        self._file_deps = None
         self._cache_lock = threading.Lock()
         self._stage_lock = threading.Lock()
         self._tile_shape = (template_request["height"], template_request["width"])
@@ -194,6 +195,10 @@ class TileProgram:
         config), and repeated tiles dominate steady-state serving — the
         per-tile Python graph build is ~15% of a big request's wall time.
         The cached arrays are treated as read-only everywhere downstream.
+        File-backed payloads are guarded by ``_check_file_deps`` (called
+        once per staged batch), which drops the cache when a source file
+        changes on disk — the memo must not outlive the mtime validation
+        the file read cache performs at plan time.
         """
         from dask_geomodeling_tpu.core.tokens import tokenize
 
@@ -209,6 +214,49 @@ class TileProgram:
             if len(self._inputs_cache) > 4096:
                 self._inputs_cache.popitem(last=False)
         return result
+
+    def _check_file_deps(self, view):
+        """Invalidate the staged-inputs memo when a file-backed source
+        changed on disk.  Walks the view once for blocks carrying a
+        ``url`` and stats each file per staged batch (cheap); an mtime
+        change clears the cache so the next plan re-reads through the
+        mtime-validated file cache."""
+        import os
+
+        from dask_geomodeling_tpu import utils
+
+        deps = self._file_deps
+        if deps is None:
+            deps = {}
+            seen = set()
+            stack = [view]
+            while stack:
+                block = stack.pop()
+                if id(block) in seen:
+                    continue
+                seen.add(id(block))
+                url = getattr(block, "url", None)
+                if isinstance(url, str):
+                    try:
+                        path = utils.safe_abspath(url)
+                        deps[path] = os.path.getmtime(path)
+                    except Exception:
+                        pass
+                for argument in getattr(block, "args", ()):
+                    if hasattr(argument, "args"):
+                        stack.append(argument)
+            self._file_deps = deps
+        elif deps:
+            for path, mtime in deps.items():
+                try:
+                    current = os.path.getmtime(path)
+                except OSError:
+                    current = None
+                if current != mtime:
+                    with self._cache_lock:
+                        self._inputs_cache.clear()
+                    deps[path] = current
+                    logger.info("source file %s changed; staging cache dropped", path)
 
     def _tile_inputs_uncached(self, view, request):
         graph, name = view.get_compute_graph(**request)
@@ -354,6 +402,7 @@ class TileProgram:
         the position to a varying input and recompiles, so a literal that
         happened to be equal on the compile batch can never silently
         produce wrong pixels later."""
+        self._check_file_deps(view)
         per_tile_arrays = [self._tile_inputs(view, r)[0] for r in requests]
         with self._stage_lock:
             if self._compiled is None:

@@ -105,3 +105,17 @@ class TestXYZ:
         (root / "pts.xyz").write_text("0,0,1\n1,0,2\n0,1,3\n1,1,4\n")
         data = read_xyz(str(root / "pts.xyz"))
         np.testing.assert_array_equal(data.array[0], [[3, 4], [1, 2]])
+
+
+class TestWrappedRows:
+    def test_wrapped_data_lines(self, root):
+        """Esri tooling wraps long rows: the format is token-oriented."""
+        path = root / "wrapped.asc"
+        path.write_text(
+            "ncols 4\nnrows 2\nxllcorner 0\nyllcorner 0\ncellsize 1\n"
+            "1 2\n3 4\n5 6 7 8\n"
+        )
+        data = read_ascii_grid(str(path))
+        np.testing.assert_array_equal(
+            data.array[0], [[1, 2, 3, 4], [5, 6, 7, 8]]
+        )

@@ -96,6 +96,31 @@ class TestVectorFileIO:
         assert len(result) == 3
         assert result["value"].tolist() == [1.5, 2.5, 3.5]
 
+    def test_fgb_single_feature_index_and_nan_column(self, root):
+        import struct
+
+        from dask_geomodeling_tpu.io.flatgeobuf import (
+            _packed_rtree_size,
+            read_flatgeobuf,
+            write_flatgeobuf,
+        )
+
+        # spec do-while: a single indexed feature still gets a root level
+        assert _packed_rtree_size(1, 16) == 80
+        # an object column whose FIRST value is missing must still type
+        # as string, and a wkt-only crs must roundtrip
+        frame = GeoDataFrame(
+            pd.DataFrame({"name": [float("nan"), "x"]}),
+            geometry=[box(0, 0, 1, 1), box(2, 2, 3, 3)],
+            crs="+proj=longlat +ellps=WGS84 +towgs84=0,0,0",
+        )
+        path = str(root / "one.fgb")
+        write_flatgeobuf(frame, path)
+        result = read_flatgeobuf(path)
+        assert result["name"].tolist()[1] == "x"
+        assert pd.isna(result["name"].tolist()[0])
+        assert result.crs.startswith("+proj=longlat")
+
     def test_gpkg_crs(self, root, frame):
         path = str(root / "test.gpkg")
         frame.crs = "EPSG:28992"

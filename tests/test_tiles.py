@@ -335,3 +335,43 @@ def test_evaluate_tiled_with_prefetch(source, request_64):
     with config.set({"geomodeling.tile-prefetch": True}):
         actual = evaluate_tiled(view, request_64, tile_size=32, batch=2)
     np.testing.assert_array_equal(actual["values"], expected["values"])
+
+
+def test_staging_memo_invalidated_on_file_change(tmp_path):
+    """The per-tile staging memo must not outlive the file read cache's
+    mtime validation: rewriting the source file on disk must be visible
+    on the next identical tiled request."""
+    import os
+    import time
+
+    from dask_geomodeling_tpu import config
+    from dask_geomodeling_tpu.io.geotiff import write_geotiff
+    from dask_geomodeling_tpu.raster import RasterFileSource
+
+    with config.set({"geomodeling.root": str(tmp_path)}):
+        path = str(tmp_path / "src.tif")
+        data = np.full((1, 64, 64), 7, np.uint8)
+        write_geotiff(
+            path, data,
+            geo_transform=(135000.0, 1.0, 0.0, 456000.0, 0.0, -1.0),
+            projection="EPSG:28992", no_data_value=255,
+        )
+        source = RasterFileSource("src.tif", time_first=datetime(2000, 1, 1))
+        view = source + 1
+        request = dict(
+            mode="vals", bbox=(135000, 455936, 135064, 456000),
+            projection="EPSG:28992", width=64, height=64,
+            start=datetime(2000, 1, 1),
+        )
+        first = evaluate_tiled(view, request, tile_size=32, batch=2)
+        assert first["values"][0, 0, 0] == 8
+
+        time.sleep(0.01)
+        write_geotiff(
+            path, np.full((1, 64, 64), 11, np.uint8),
+            geo_transform=(135000.0, 1.0, 0.0, 456000.0, 0.0, -1.0),
+            projection="EPSG:28992", no_data_value=255,
+        )
+        os.utime(path, (time.time() + 2, time.time() + 2))
+        second = evaluate_tiled(view, request, tile_size=32, batch=2)
+        assert second["values"][0, 0, 0] == 12
