@@ -166,12 +166,21 @@ def gather_numpy(values, rows, cols, inside, fillvalue, dtype):
     return out
 
 
-def _bilinear_sample(values, fr, fc, inside, no_data_value, fillvalue, dtype, xp):
+def _bilinear_sample(
+    values, fr, fc, inside, no_data_value, fillvalue, dtype, xp, gather=None
+):
     """Bilinear sample of (bands, h, w) at fractional indices (fr, fc).
 
     Edge neighbours clamp; a cell is nodata when it falls outside the
     source or when ANY participating neighbour is nodata (GDAL-like:
     never interpolate across the nodata boundary).
+
+    ``gather`` optionally replaces the element-gather of the four corner
+    fields (``values[:, r, c]``) with a faster implementation returning
+    bit-identical values (the candidate-slice engine for cross-CRS, axis
+    gathers for same-CRS); blending is unchanged either way.  ``fr``/
+    ``fc`` may be broadcastable (e.g. (h, 1) and (1, w) for separable
+    same-CRS maps).
     """
     src_h, src_w = values.shape[-2], values.shape[-1]
     # out-of-domain cells carry NaN indices; `inside` already excludes
@@ -185,10 +194,14 @@ def _bilinear_sample(values, fr, fc, inside, no_data_value, fillvalue, dtype, xp
     wr = xp.clip(fr - r0, 0.0, 1.0)
     wc = xp.clip(fc - c0, 0.0, 1.0)
 
-    v00 = values[:, r0, c0].astype(np.float64)
-    v01 = values[:, r0, c1].astype(np.float64)
-    v10 = values[:, r1, c0].astype(np.float64)
-    v11 = values[:, r1, c1].astype(np.float64)
+    if gather is None:
+        def gather(r, c):
+            return values[:, r, c]
+
+    v00 = gather(r0, c0).astype(np.float64)
+    v01 = gather(r0, c1).astype(np.float64)
+    v10 = gather(r1, c0).astype(np.float64)
+    v11 = gather(r1, c1).astype(np.float64)
 
     top = v00 + (v01 - v00) * wc
     bottom = v10 + (v11 - v10) * wc
@@ -258,11 +271,8 @@ def warp_jax(
                 src_srs=src_srs,
                 projection=projection,
                 src_shape=tuple(values.shape),
-                eligible=(
-                    interpolation != "bilinear"
-                    and gather_matmul_eligible(
-                        values.dtype, values.shape, height, width
-                    )
+                eligible=gather_matmul_eligible(
+                    values.dtype, values.shape, height, width
                 ),
             )
         )
@@ -346,6 +356,43 @@ def warp_jax(
                 src_nodata = out == no_data_value
             out = jnp.where(src_nodata, dtype.type(fillvalue), out)
         return out
+    elif not cross_crs:
+        # same-CRS bilinear: the corner index fields are outer products
+        # of 1-D maps, so each of the four corner gathers decomposes into
+        # axis gathers; broadcastable 1-D fracs keep the f64 blend
+        # bit-identical to the 2-D meshgrid formulation
+        xs = x1 + pixel_w * (jnp.arange(width, dtype=jnp.float64) + 0.5)
+        ys = y2 + pixel_h * (jnp.arange(height, dtype=jnp.float64) + 0.5)
+        sp, sa, sb, sq, sc, sd = src_gt
+        fcols = (xs - sp) / sa
+        frows = (ys - sq) / sd
+        src_h, src_w = values.shape[-2], values.shape[-1]
+        in_c = (
+            jnp.isfinite(fcols)
+            & (jnp.floor(fcols) >= 0)
+            & (jnp.floor(fcols) < src_w)
+        )
+        in_r = (
+            jnp.isfinite(frows)
+            & (jnp.floor(frows) >= 0)
+            & (jnp.floor(frows) < src_h)
+        )
+        inside = in_r[:, None] & in_c[None, :]
+
+        def gather(r, c):
+            return values[:, r[:, 0], :][:, :, c[0, :]]
+
+        return _bilinear_sample(
+            values,
+            (frows - 0.5)[:, None],
+            (fcols - 0.5)[None, :],
+            inside,
+            no_data_value,
+            fillvalue,
+            np.dtype(dtype),
+            jnp,
+            gather=gather,
+        )
     else:
         xs = x1 + pixel_w * (jnp.arange(width, dtype=jnp.float64) + 0.5)
         ys = y2 + pixel_h * (jnp.arange(height, dtype=jnp.float64) + 0.5)
@@ -372,17 +419,6 @@ def warp_jax(
     )
 
     dtype = np.dtype(dtype)
-    if interpolation == "bilinear":
-        return _bilinear_sample(
-            values,
-            frac_rows - 0.5,
-            frac_cols - 0.5,
-            inside,
-            no_data_value,
-            fillvalue,
-            dtype,
-            jnp,
-        )
     use_matmul = cross_crs and getattr(_LOCAL, "gather", "plain") == "matmul"
     if use_matmul:
         from dask_geomodeling_tpu.ops.matmul_gather import (
@@ -393,8 +429,29 @@ def warp_jax(
         use_matmul = gather_matmul_eligible(
             values.dtype, values.shape, height, width
         )
+    if interpolation == "bilinear":
+        # the four corner fields are smooth index fields with the same
+        # residual structure as the nearest map, so the candidate-slice
+        # engine serves them too (bit-identical corner values -> the f64
+        # blend is unchanged); element gathers remain the fallback
+        gather = None
+        if use_matmul:
+            def gather(r, c):
+                return gather_matmul_jax(values, r, c, inside)
+
+        return _bilinear_sample(
+            values,
+            frac_rows - 0.5,
+            frac_cols - 0.5,
+            inside,
+            no_data_value,
+            fillvalue,
+            dtype,
+            jnp,
+            gather=gather,
+        )
     if use_matmul:
-        # MXU path: exact inside the host-verified smoothness domain
+        # fast path: exact inside the host-verified smoothness domain
         # (the runtime only traces with this mode for checked batches)
         gathered = gather_matmul_jax(values, rows, cols, inside).astype(dtype)
     else:

@@ -268,3 +268,59 @@ class TestRuntimeIntegration:
         with config.set({"geomodeling.warp-gather": "plain"}):
             expected = evaluate_tiled(view, request, tile_size=256, batch=2)
         np.testing.assert_array_equal(result["values"], expected["values"])
+
+
+class TestBilinearFastPath:
+    def test_bilinear_fast_matches_plain(self):
+        """The candidate-slice engine serves the four bilinear corner
+        gathers with bit-identical values, so blended output must equal
+        the plain element-gather path exactly."""
+        data = (np.random.RandomState(5).rand(1, 512, 512) * 250).astype(
+            np.float32
+        )
+        data[0, 60:70, 80:90] = np.float32(np.finfo(np.float32).max)
+        source = MemorySource(
+            data=data,
+            no_data_value=float(np.finfo(np.float32).max),
+            projection="EPSG:28992",
+            pixel_size=4.0,
+            pixel_origin=(85000, 455000),
+            time_first=datetime(2000, 1, 1),
+            time_delta=timedelta(hours=1),
+        )
+        view = Add(source, 1)
+        extent = Extent(
+            (85000, 455000 - 2048, 85000 + 2048, 455000), "EPSG:28992"
+        )
+        request = dict(
+            mode="vals",
+            bbox=extent.transformed("EPSG:3857").bbox,
+            projection="EPSG:3857",
+            width=512,
+            height=512,
+            start=datetime(2000, 1, 1),
+        )
+        with config.set({"geomodeling.warp-interpolation": "bilinear"}):
+            fast = evaluate_tiled(view, request, tile_size=256, batch=2)
+            program = _get_tile_program(
+                view, dict(request, width=256, height=256)
+            )
+            staged = program.stage_batch(
+                view, [dict(request, width=256, height=256)]
+            )
+            assert staged.gather == "matmul"
+            with config.set({"geomodeling.warp-gather": "plain"}):
+                plain = evaluate_tiled(view, request, tile_size=256, batch=2)
+            host = view.get_data(**request)
+        np.testing.assert_array_equal(fast["values"], plain["values"])
+        # sanity vs host only: host bilinear uses EXACT per-pixel
+        # transforms while the device uses the stride-8 approximate
+        # transformer, so blended values legitimately differ wherever the
+        # ≤0.125 px coordinate model shifts the sample point on a
+        # gradient — the contract under test is fast == plain above
+        close = np.isclose(
+            fast["values"], host["values"], rtol=1e-5, atol=1e-3
+        ) | (host["values"] == host["no_data_value"]) | (
+            fast["values"] == fast["no_data_value"]
+        )
+        assert close.mean() > 0.85
