@@ -76,14 +76,17 @@ def gather_matmul_eligible(values_dtype, src_shape, height, width):
     return height > 0 and width > 0
 
 
-def gather_matmul_jax(values, rows, cols, inside):
+def gather_matmul_jax(values, rows, cols, inside, amp=AMP):
     """``values[:, rows, cols]`` for one tile, via candidate axis gathers.
 
     values: (bands, src_h, src_w); rows/cols: (h, w) int32 (any values at
     ``~inside`` positions); inside: (h, w) bool.  Returns (bands, h, w) of
     values.dtype; ~inside cells carry unspecified values (caller fills).
-    Requires :func:`gather_matmul_eligible` and the smoothness contract.
+    Requires :func:`gather_matmul_eligible` and the smoothness contract
+    for the given ``amp`` (candidate traffic scales with (2*amp+1)^2, so
+    the runtime prefers the smallest amp whose residual bound holds).
     """
+    amp2 = 2 * amp + 1
     import jax
     import jax.numpy as jnp
 
@@ -113,10 +116,10 @@ def gather_matmul_jax(values, rows, cols, inside):
     r_in = jnp.where(inside, rows, big)
     c_in = jnp.where(inside, cols, big)
     r_base = jnp.clip(
-        jnp.min(r_in) - AMP, 0, max(src_h - WINDOW, 0)
+        jnp.min(r_in) - amp, 0, max(src_h - WINDOW, 0)
     ).astype(jnp.int32)
     c_base = jnp.clip(
-        jnp.min(c_in) - AMP, 0, max(src_w - WINDOW, 0)
+        jnp.min(c_in) - amp, 0, max(src_w - WINDOW, 0)
     ).astype(jnp.int32)
     row_idx = jnp.clip(
         r_base + jnp.arange(WINDOW, dtype=jnp.int32), 0, src_h - 1
@@ -129,7 +132,7 @@ def gather_matmul_jax(values, rows, cols, inside):
     lcols = cols - c_base
 
     mid_pen_j = jnp.abs(jnp.arange(BLOCK, dtype=jnp.int32) - BLOCK // 2)
-    offsets = jnp.arange(-AMP, AMP + 1, dtype=jnp.int32)
+    offsets = jnp.arange(-amp, amp + 1, dtype=jnp.int32)
 
     def one_block(p, q):
         # fully unrolled static blocks: just TWO axis gathers per block
@@ -160,7 +163,7 @@ def gather_matmul_jax(values, rows, cols, inside):
         # pin outside pixels to the anchors: zero residual, never selects
         r_eff = jnp.where(ins, r, ri[:, None])
         c_eff = jnp.where(ins, c, cj[None, :])
-        da = r_eff - ri[:, None]  # (BLOCK, BLOCK) in [-AMP, AMP]
+        da = r_eff - ri[:, None]  # (BLOCK, BLOCK) in [-amp, amp]
         db = c_eff - cj[None, :]
 
         # stacked candidate index vectors: one gather per axis brings in
@@ -171,16 +174,16 @@ def gather_matmul_jax(values, rows, cols, inside):
         colsel = jnp.clip(
             (offsets[:, None] + cj[None, :]).reshape(-1), 0, WINDOW - 1
         )
-        c_all = win[:, :, colsel]  # (bands, WINDOW, AMP2*BLOCK)
-        g_all = c_all[:, rowsel, :]  # (bands, AMP2*BLOCK, AMP2*BLOCK)
+        c_all = win[:, :, colsel]  # (bands, WINDOW, amp2*BLOCK)
+        g_all = c_all[:, rowsel, :]  # (bands, amp2*BLOCK, amp2*BLOCK)
 
         out = jnp.zeros((bands, BLOCK, BLOCK), win.dtype)
-        for a in range(_AMP2):
+        for a in range(amp2):
             ga = g_all[:, a * BLOCK : (a + 1) * BLOCK, :]
-            mask_a = da == (a - AMP)
-            for b in range(_AMP2):
+            mask_a = da == (a - amp)
+            for b in range(amp2):
                 g_ab = ga[:, :, b * BLOCK : (b + 1) * BLOCK]
-                mask = mask_a & (db == (b - AMP))
+                mask = mask_a & (db == (b - amp))
                 out = jnp.where(mask[None], g_ab, out)
         return out
 
@@ -256,7 +259,7 @@ def gather_domain(src_gt, src_srs, projection, src_shape):
     return (float(np.nanmax(diag)) * 1.25, float(np.nanmax(off)) * 1.25 + 1e-12)
 
 
-def requests_in_domain(domain, requests):
+def requests_in_domain(domain, requests, amp=AMP):
     """Whether every request's tile satisfies the smoothness contract.
 
     ``domain`` comes from :func:`gather_domain`; requests carry bbox and
@@ -280,8 +283,8 @@ def requests_in_domain(domain, requests):
             return False
         # a rotated tile's source span picks up the off-diagonal term
         # too: rows drift by width*cell*off across the columns
-        span = max(width, height) * cell * (diag + off) + 2 * AMP + 2
+        span = max(width, height) * cell * (diag + off) + 2 * amp + 2
         residual = (BLOCK / 2 + 1) * cell * off
-        if span > WINDOW or residual > AMP - 0.5:
+        if span > WINDOW or residual > amp - 0.5:
             return False
     return True

@@ -419,7 +419,9 @@ def warp_jax(
     )
 
     dtype = np.dtype(dtype)
-    use_matmul = cross_crs and getattr(_LOCAL, "gather", "plain") == "matmul"
+    mode = getattr(_LOCAL, "gather", "plain")
+    use_matmul = cross_crs and mode.startswith("matmul")
+    amp = 2 if mode.endswith("-a2") else 3
     if use_matmul:
         from dask_geomodeling_tpu.ops.matmul_gather import (
             gather_matmul_eligible,
@@ -437,7 +439,7 @@ def warp_jax(
         gather = None
         if use_matmul:
             def gather(r, c):
-                return gather_matmul_jax(values, r, c, inside)
+                return gather_matmul_jax(values, r, c, inside, amp=amp)
 
         return _bilinear_sample(
             values,
@@ -453,7 +455,9 @@ def warp_jax(
     if use_matmul:
         # fast path: exact inside the host-verified smoothness domain
         # (the runtime only traces with this mode for checked batches)
-        gathered = gather_matmul_jax(values, rows, cols, inside).astype(dtype)
+        gathered = gather_matmul_jax(
+            values, rows, cols, inside, amp=amp
+        ).astype(dtype)
     else:
         safe_rows = jnp.where(inside, rows, 0)
         safe_cols = jnp.where(inside, cols, 0)

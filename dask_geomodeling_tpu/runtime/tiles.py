@@ -151,7 +151,7 @@ class TileProgram:
         self._program = _ex._StagedProgram(order, graph, deps, name, consumers)
         self._name = name
         self._compiled = None
-        self._compiled_fast = None  # matmul-gather variant, traced lazily
+        self._compiled_fast = {}  # gather-mode variants, traced lazily
         self._batched = None
         self._batched_fast = None
         self._warp_sites = None  # cross-CRS warp statics, collected once
@@ -380,13 +380,17 @@ class TileProgram:
             return batched
 
         self._batched = make_batched("plain")
-        self._batched_fast = make_batched("matmul")
+        # one variant per candidate amplitude: the runtime prefers the
+        # cheaper amp-2 engine when the batch's residual bound allows it
+        self._batched_fast = {
+            mode: make_batched(mode) for mode in ("matmul", "matmul-a2")
+        }
         self._compiled = jax.jit(self._batched)
         # a rebuild changes what is traced (promoted literals): the fast
-        # variant must retrace and the warp sites/domains recollect — a
+        # variants must retrace and the warp sites/domains recollect — a
         # promoted source literal (e.g. a per-tile geotransform) must not
         # keep validating against the first batch's stale snapshot
-        self._compiled_fast = None
+        self._compiled_fast = {}
         self._warp_sites = None
         self._fast_domains = None
 
@@ -434,14 +438,17 @@ class TileProgram:
                 ]
                 self._build()
             in_axes, shared, compiled = self._in_axes, self._shared, self._compiled
-            gather = "plain"
-            if self._fast_gather_ok(len(requests), requests, per_tile_arrays[0]):
-                if self._compiled_fast is None:
+            gather = self._fast_gather_ok(
+                len(requests), requests, per_tile_arrays[0]
+            ) or "plain"
+            if gather != "plain":
+                if gather not in self._compiled_fast:
                     import jax
 
-                    self._compiled_fast = jax.jit(self._batched_fast)
-                compiled = self._compiled_fast
-                gather = "matmul"
+                    self._compiled_fast[gather] = jax.jit(
+                        self._batched_fast[gather]
+                    )
+                compiled = self._compiled_fast[gather]
         stacked = [
             None
             if axis is None
@@ -451,10 +458,12 @@ class TileProgram:
         return _StagedBatch(stacked, in_axes, shared, compiled, gather)
 
     def _fast_gather_ok(self, batch_size, requests, example_arrays):
-        """Whether this batch may run the MXU matmul-gather warp variant:
-        the view must contain only eligible cross-CRS warps and every
-        request must sit inside their host-computed smoothness domains
-        (ops/matmul_gather.py).  Called under the stage lock."""
+        """The fast-gather mode this batch may run ("matmul-a2" when the
+        cheaper 5x5-candidate engine's residual bound holds, "matmul" for
+        the 7x7 engine, None otherwise): the view must contain only
+        eligible cross-CRS warps and every request must sit inside their
+        host-computed smoothness domains (ops/matmul_gather.py).  Called
+        under the stage lock."""
         from dask_geomodeling_tpu import config
         from dask_geomodeling_tpu.ops.matmul_gather import (
             gather_domain,
@@ -462,9 +471,9 @@ class TileProgram:
         )
 
         if config.get("geomodeling.warp-gather", "auto") != "auto":
-            return False
+            return None
         if self._fast_domains is False:
-            return False
+            return None
         if self._warp_sites is None:
             self._collect_warp_sites(batch_size, example_arrays)
         if self._fast_domains is None:
@@ -486,11 +495,14 @@ class TileProgram:
                     False if any(d is None for d in domains) else domains
                 )
         if self._fast_domains is False:
-            return False
-        return all(
-            requests_in_domain(domain, requests)
-            for domain in self._fast_domains
-        )
+            return None
+        for mode, amp in (("matmul-a2", 2), ("matmul", 3)):
+            if all(
+                requests_in_domain(domain, requests, amp=amp)
+                for domain in self._fast_domains
+            ):
+                return mode
+        return None
 
     def _collect_warp_sites(self, batch_size, example_arrays):
         """Trace the program abstractly once to learn its cross-CRS warp

@@ -324,3 +324,46 @@ class TestBilinearFastPath:
             fast["values"] == fast["no_data_value"]
         )
         assert close.mean() > 0.85
+
+
+def test_amp_variant_selection_and_equality():
+    """The runtime picks the cheaper 5x5-candidate engine when the
+    residual bound allows, and all engine variants agree bitwise."""
+    rng = np.random.RandomState(9)
+    src = rng.rand(1, 1024, 1024).astype(np.float32)
+    rows, cols = _field(np.deg2rad(0.6), 1.2, 80, 60)
+    inside = np.ones(rows.shape, bool)
+    exp = src[:, rows, cols]
+    for amp in (2, 3):
+        out = np.asarray(gather_matmul_jax(src, rows, cols, inside, amp=amp))
+        np.testing.assert_array_equal(out, exp)
+
+    data = (np.random.RandomState(7).rand(1, 512, 512) * 250).astype(np.float32)
+    source = MemorySource(
+        data=data, no_data_value=255.0, projection="EPSG:28992",
+        pixel_size=4.0, pixel_origin=(85000, 455000),
+        time_first=datetime(2000, 1, 1), time_delta=timedelta(hours=1),
+    )
+    view = Add(source, 1)
+    bbox = Extent(
+        (85000, 455000 - 2048, 85000 + 2048, 455000), "EPSG:28992"
+    ).transformed("EPSG:3857").bbox
+    request = dict(mode="vals", bbox=bbox, projection="EPSG:3857",
+                   width=512, height=512, start=datetime(2000, 1, 1))
+    program = _get_tile_program(view, dict(request, width=256, height=256))
+    tile = dict(request, width=256, height=256,
+                bbox=(bbox[0], bbox[1],
+                      (bbox[0] + bbox[2]) / 2, (bbox[1] + bbox[3]) / 2))
+    staged = program.stage_batch(view, [tile])
+    # 28992<->3857 rotation over NL is inside the amp-2 residual bound
+    # at this cell size; a coarser request (half the width) exceeds it
+    # and picks the 7x7 engine instead
+    assert staged.gather == "matmul-a2"
+    coarse = program.stage_batch(
+        view, [dict(request, width=256, height=256)]
+    )
+    assert coarse.gather == "matmul"
+    fast = evaluate_tiled(view, request, tile_size=256, batch=2)
+    with config.set({"geomodeling.warp-gather": "plain"}):
+        plain = evaluate_tiled(view, request, tile_size=256, batch=2)
+    np.testing.assert_array_equal(fast["values"], plain["values"])
