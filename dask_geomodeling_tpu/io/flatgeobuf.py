@@ -503,7 +503,16 @@ def write_flatgeobuf(frame, path, name="layer"):
         except Exception:
             code = None
         org_off = builder.CreateString("EPSG")
-        wkt_off = None if code else builder.CreateString(str(crs))
+        wkt_off = None
+        if not code:
+            # emit real WKT1 for the wkt slot so spec-conformant readers
+            # (GDAL importFromWkt) can parse it; fall back to the raw
+            # string only when the CRS cannot be exported
+            try:
+                wkt_text = get_sr(crs).ExportToWkt()
+            except Exception:
+                wkt_text = str(crs)
+            wkt_off = builder.CreateString(wkt_text)
         builder.StartObject(6)
         if code:
             builder.PrependUOffsetTRelativeSlot(0, org_off, 0)

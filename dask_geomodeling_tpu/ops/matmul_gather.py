@@ -50,6 +50,7 @@ import numpy as np
 __all__ = [
     "AMP",
     "BLOCK",
+    "GATHER_MODES",
     "WINDOW",
     "gather_matmul_eligible",
     "gather_matmul_jax",
@@ -65,7 +66,12 @@ WINDOW = 1024
 #: max |residual| between an index and its block anchor
 AMP = 3
 
-_AMP2 = 2 * AMP + 1
+#: trace-time gather-mode strings -> candidate amplitude; the single
+#: source of truth shared by the warp (trace side) and the tile runtime
+#: (host-side domain checks) — candidate traffic scales with
+#: (2*amp+1)^2, so the runtime prefers the smallest amp whose residual
+#: bound holds
+GATHER_MODES = {"matmul-a2": 2, "matmul": AMP}
 
 
 def gather_matmul_eligible(values_dtype, src_shape, height, width):

@@ -327,12 +327,13 @@ def warp_jax(
             ctx, cty = transform_points(ctx, cty, projection, src_srs, xp=jnp)
             tx = interp(ctx)
             ty = interp(cty)
-    elif not cross_crs and interpolation != "bilinear":
-        # same-CRS nearest warp: the index map is an outer product of two
-        # 1-D affine maps, so the gather decomposes into one row gather
-        # plus one column gather.  TPU lowers those axis gathers ~an order
-        # of magnitude faster than a general 2-D gather, and the floor of
-        # the broadcast 1-D f64 values is bit-identical to the 2-D path.
+    elif not cross_crs:
+        # same-CRS warps: the index map is an outer product of two 1-D
+        # affine maps, so nearest gathers decompose into one row gather
+        # plus one column gather (TPU lowers those axis gathers ~an order
+        # of magnitude faster than a general 2-D gather; the floor of the
+        # broadcast 1-D f64 values is bit-identical to the 2-D path) and
+        # bilinear corners decompose the same way.
         xs = x1 + pixel_w * (jnp.arange(width, dtype=jnp.float64) + 0.5)
         ys = y2 + pixel_h * (jnp.arange(height, dtype=jnp.float64) + 0.5)
         sp, sa, sb, sq, sc, sd = src_gt
@@ -343,11 +344,32 @@ def warp_jax(
         src_h, src_w = values.shape[-2], values.shape[-1]
         in_c = jnp.isfinite(fcols) & (cols1 >= 0) & (cols1 < src_w)
         in_r = jnp.isfinite(frows) & (rows1 >= 0) & (rows1 < src_h)
+        inside = in_r[:, None] & in_c[None, :]
         dtype = np.dtype(dtype)
+
+        if interpolation == "bilinear":
+            # the corner index fields are outer products of 1-D maps too,
+            # so each of the four corner gathers decomposes into axis
+            # gathers; broadcastable 1-D fracs keep the f64 blend
+            # bit-identical to the 2-D meshgrid formulation
+            def gather(r, c):
+                return values[:, r[:, 0], :][:, :, c[0, :]]
+
+            return _bilinear_sample(
+                values,
+                (frows - 0.5)[:, None],
+                (fcols - 0.5)[None, :],
+                inside,
+                no_data_value,
+                fillvalue,
+                dtype,
+                jnp,
+                gather=gather,
+            )
+
         gathered = values[:, jnp.where(in_r, rows1, 0), :][
             :, :, jnp.where(in_c, cols1, 0)
         ].astype(dtype)
-        inside = in_r[:, None] & in_c[None, :]
         out = jnp.where(inside[None], gathered, dtype.type(fillvalue))
         if no_data_value is not None and no_data_value != fillvalue:
             if dtype.kind == "f":
@@ -356,43 +378,6 @@ def warp_jax(
                 src_nodata = out == no_data_value
             out = jnp.where(src_nodata, dtype.type(fillvalue), out)
         return out
-    elif not cross_crs:
-        # same-CRS bilinear: the corner index fields are outer products
-        # of 1-D maps, so each of the four corner gathers decomposes into
-        # axis gathers; broadcastable 1-D fracs keep the f64 blend
-        # bit-identical to the 2-D meshgrid formulation
-        xs = x1 + pixel_w * (jnp.arange(width, dtype=jnp.float64) + 0.5)
-        ys = y2 + pixel_h * (jnp.arange(height, dtype=jnp.float64) + 0.5)
-        sp, sa, sb, sq, sc, sd = src_gt
-        fcols = (xs - sp) / sa
-        frows = (ys - sq) / sd
-        src_h, src_w = values.shape[-2], values.shape[-1]
-        in_c = (
-            jnp.isfinite(fcols)
-            & (jnp.floor(fcols) >= 0)
-            & (jnp.floor(fcols) < src_w)
-        )
-        in_r = (
-            jnp.isfinite(frows)
-            & (jnp.floor(frows) >= 0)
-            & (jnp.floor(frows) < src_h)
-        )
-        inside = in_r[:, None] & in_c[None, :]
-
-        def gather(r, c):
-            return values[:, r[:, 0], :][:, :, c[0, :]]
-
-        return _bilinear_sample(
-            values,
-            (frows - 0.5)[:, None],
-            (fcols - 0.5)[None, :],
-            inside,
-            no_data_value,
-            fillvalue,
-            np.dtype(dtype),
-            jnp,
-            gather=gather,
-        )
     else:
         xs = x1 + pixel_w * (jnp.arange(width, dtype=jnp.float64) + 0.5)
         ys = y2 + pixel_h * (jnp.arange(height, dtype=jnp.float64) + 0.5)
@@ -420,14 +405,16 @@ def warp_jax(
 
     dtype = np.dtype(dtype)
     mode = getattr(_LOCAL, "gather", "plain")
-    use_matmul = cross_crs and mode.startswith("matmul")
-    amp = 2 if mode.endswith("-a2") else 3
+    use_matmul = cross_crs and mode != "plain"
+    amp = None
     if use_matmul:
         from dask_geomodeling_tpu.ops.matmul_gather import (
+            GATHER_MODES,
             gather_matmul_eligible,
             gather_matmul_jax,
         )
 
+        amp = GATHER_MODES[mode]
         use_matmul = gather_matmul_eligible(
             values.dtype, values.shape, height, width
         )

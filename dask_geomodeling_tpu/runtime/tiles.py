@@ -253,10 +253,25 @@ class TileProgram:
                 except OSError:
                     current = None
                 if current != mtime:
+                    # a header-level change (geotransform, nodata,
+                    # projection) lives in the static literal skeletons,
+                    # not just the arrays: force a full re-plan/retrace,
+                    # not merely a memo drop
                     with self._cache_lock:
                         self._inputs_cache.clear()
+                    with self._stage_lock:
+                        self._compiled = None
+                        self._compiled_fast = {}
+                        self._in_axes = None
+                        self._shared = None
+                        self._literal_skeletons = None
+                        self._warp_sites = None
+                        self._fast_domains = None
                     deps[path] = current
-                    logger.info("source file %s changed; staging cache dropped", path)
+                    logger.info(
+                        "source file %s changed; staging cache and compiled "
+                        "programs dropped", path
+                    )
 
     def _tile_inputs_uncached(self, view, request):
         graph, name = view.get_compute_graph(**request)
@@ -299,6 +314,7 @@ class TileProgram:
         batch and promotes (recompiles) rather than ever baking a wrong
         shared constant.
         """
+        self._check_file_deps(view)
         with self._stage_lock:
             return self._compile_locked(view, requests, None)
 
@@ -382,8 +398,10 @@ class TileProgram:
         self._batched = make_batched("plain")
         # one variant per candidate amplitude: the runtime prefers the
         # cheaper amp-2 engine when the batch's residual bound allows it
+        from dask_geomodeling_tpu.ops.matmul_gather import GATHER_MODES
+
         self._batched_fast = {
-            mode: make_batched(mode) for mode in ("matmul", "matmul-a2")
+            mode: make_batched(mode) for mode in GATHER_MODES
         }
         self._compiled = jax.jit(self._batched)
         # a rebuild changes what is traced (promoted literals): the fast
@@ -466,6 +484,7 @@ class TileProgram:
         under the stage lock."""
         from dask_geomodeling_tpu import config
         from dask_geomodeling_tpu.ops.matmul_gather import (
+            GATHER_MODES,
             gather_domain,
             requests_in_domain,
         )
@@ -496,7 +515,7 @@ class TileProgram:
                 )
         if self._fast_domains is False:
             return None
-        for mode, amp in (("matmul-a2", 2), ("matmul", 3)):
+        for mode, amp in sorted(GATHER_MODES.items(), key=lambda kv: kv[1]):
             if all(
                 requests_in_domain(domain, requests, amp=amp)
                 for domain in self._fast_domains

@@ -119,7 +119,12 @@ class TestVectorFileIO:
         result = read_flatgeobuf(path)
         assert result["name"].tolist()[1] == "x"
         assert pd.isna(result["name"].tolist()[0])
-        assert result.crs.startswith("+proj=longlat")
+        # non-EPSG CRSes ride the wkt slot as real WKT1 (parseable by
+        # spec-conformant readers); it must reparse to the same CRS
+        from dask_geomodeling_tpu.geo.crs import get_sr
+
+        assert result.crs.startswith("GEOGCS[")
+        assert get_sr(result.crs).is_geographic
 
     def test_gpkg_crs(self, root, frame):
         path = str(root / "test.gpkg")

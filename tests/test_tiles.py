@@ -375,3 +375,45 @@ def test_staging_memo_invalidated_on_file_change(tmp_path):
         os.utime(path, (time.time() + 2, time.time() + 2))
         second = evaluate_tiled(view, request, tile_size=32, batch=2)
         assert second["values"][0, 0, 0] == 12
+
+
+def test_header_change_forces_recompile(tmp_path):
+    """A header-level file change (shifted geotransform) lives in the
+    static literal skeletons, not the pixel arrays — it must force a
+    full re-plan, not merely a staging-memo drop."""
+    import os
+    import time
+
+    from dask_geomodeling_tpu import config
+    from dask_geomodeling_tpu.io.geotiff import write_geotiff
+    from dask_geomodeling_tpu.raster import RasterFileSource
+
+    with config.set({"geomodeling.root": str(tmp_path)}):
+        path = str(tmp_path / "hdr.tif")
+        data = np.arange(64 * 64, dtype=np.int32).reshape(1, 64, 64) % 200
+        write_geotiff(
+            path, data,
+            geo_transform=(0.0, 1.0, 0.0, 64.0, 0.0, -1.0),
+            projection="EPSG:28992", no_data_value=255,
+        )
+        source = RasterFileSource("hdr.tif", time_first=datetime(2000, 1, 1))
+        view = source + 0
+        request = dict(
+            mode="vals", bbox=(0, 32, 32, 64), projection="EPSG:28992",
+            width=32, height=32, start=datetime(2000, 1, 1),
+        )
+        first = evaluate_tiled(view, request, tile_size=32, batch=1)
+
+        time.sleep(0.01)
+        # same pixels, origin shifted 32 px east: the request now reads
+        # a different part of the raster
+        write_geotiff(
+            path, data,
+            geo_transform=(-32.0, 1.0, 0.0, 64.0, 0.0, -1.0),
+            projection="EPSG:28992", no_data_value=255,
+        )
+        os.utime(path, (time.time() + 2, time.time() + 2))
+        second = evaluate_tiled(view, request, tile_size=32, batch=1)
+        host = view.get_data(**request)
+        np.testing.assert_array_equal(second["values"], host["values"])
+        assert not np.array_equal(first["values"], second["values"])
