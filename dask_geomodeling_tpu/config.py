@@ -36,10 +36,12 @@ defaults = {
     "geomodeling.executor": "numpy",
     # fixed tile edge for the tiled TPU runtime (pixels)
     "geomodeling.tile-size": 512,
-    # number of tiles evaluated per device program invocation (50
-    # measured optimal on the tunneled chip: enough fetch/compute overlap
-    # without per-batch fixed costs dominating)
-    "geomodeling.tile-batch": 50,
+    # number of tiles evaluated per device program invocation (measured
+    # sweep at the 10240^2 north-star shape: 64 > 50 > 100 — enough
+    # fetch/compute overlap without per-batch fixed costs dominating;
+    # bench.py uses the same value so auto-tiled get_data requests share
+    # its warm compilation cache)
+    "geomodeling.tile-batch": 64,
     # overlap host staging of batch k+1 with device work on batch k; off by
     # default: over a tunneled TPU the extra host threads can contend with
     # the transfer stream (measured 17.7 -> ~12-14 Mpx/s on the bench view)
