@@ -613,8 +613,12 @@ class TileProgram:
         return self.fetch(self.dispatch_batch(view, requests))
 
 
-def evaluate_tiled(view, request, tile_size=512, batch=32):
+def evaluate_tiled(view, request, tile_size=512, batch=None):
     """Evaluate a big vals request as batched fixed-size tiles.
+
+    ``batch`` defaults to ``geomodeling.tile-batch`` (the measured sweep
+    optimum), so explicit callers and the auto-tile route share compiled
+    programs.
 
     Arbitrary width/height: every tile request is a full
     ``tile_size``-square at the request's exact cell size — edge tiles
@@ -629,6 +633,10 @@ def evaluate_tiled(view, request, tile_size=512, batch=32):
     """
     if request.get("mode", "vals") != "vals":
         raise ValueError("evaluate_tiled handles vals requests only")
+    if batch is None:
+        from dask_geomodeling_tpu import config as _cfg
+
+        batch = int(_cfg.get("geomodeling.tile-batch", 64))
     width, height = request["width"], request["height"]
     if width <= 0 or height <= 0:
         raise ValueError("width/height must be positive")
