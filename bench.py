@@ -156,7 +156,9 @@ def main():
         # so regressions separate from tunnel weather)
         evaluate_tiled(view, request, tile_size=tile, batch=64)
         runs = []
-        for _ in range(3):
+        # tunnel throughput jitters ~2x run to run; five samples make
+        # the median robust to a single slow transfer
+        for _ in range(5):
             t0 = time.perf_counter()
             result = evaluate_tiled(view, request, tile_size=tile, batch=64)
             runs.append(time.perf_counter() - t0)
