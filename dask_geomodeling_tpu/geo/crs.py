@@ -79,10 +79,11 @@ DATUMS = {
         "airy",
         (446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894),
     ),
-    # NZGD49 to WGS84 (EPSG transformation 1564)
+    # NZGD49 to WGS84 (EPSG transformation 1564; position-vector rotation
+    # convention, so the published coordinate-frame signs are negated)
     "NZGD49": (
         "intl",
-        (59.47, -5.04, 187.44, 0.47, -0.10, 1.024, -4.5993),
+        (59.47, -5.04, 187.44, -0.47, 0.10, -1.024, -4.5993),
     ),
 }
 
@@ -1874,17 +1875,26 @@ def transform_points(x, y, src_srs, dst_srs, xp=np):
     if src == dst:
         return x, y
     try:
-        lon, lat = src.projection.inverse(x, y, xp)
-        if not _same_datum(src, dst):
-            gx, gy, gz = _geodetic_to_geocentric(src.ellipsoid, lon, lat, xp)
-            if src.helmert_to_wgs84 is not None:
-                gx, gy, gz = _helmert(src.helmert_to_wgs84, gx, gy, gz, xp=xp)
-            if dst.helmert_to_wgs84 is not None:
-                gx, gy, gz = _helmert(
-                    dst.helmert_to_wgs84, gx, gy, gz, inverse=True, xp=xp
+        # out-of-domain points compute silently to NaN (the warp fills
+        # them); np.errstate is a no-op for traced jnp inputs
+        with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
+            lon, lat = src.projection.inverse(x, y, xp)
+            if not _same_datum(src, dst):
+                gx, gy, gz = _geodetic_to_geocentric(
+                    src.ellipsoid, lon, lat, xp
                 )
-            lon, lat = _geocentric_to_geodetic(dst.ellipsoid, gx, gy, gz, xp)
-        return dst.projection.forward(lon, lat, xp)
+                if src.helmert_to_wgs84 is not None:
+                    gx, gy, gz = _helmert(
+                        src.helmert_to_wgs84, gx, gy, gz, xp=xp
+                    )
+                if dst.helmert_to_wgs84 is not None:
+                    gx, gy, gz = _helmert(
+                        dst.helmert_to_wgs84, gx, gy, gz, inverse=True, xp=xp
+                    )
+                lon, lat = _geocentric_to_geodetic(
+                    dst.ellipsoid, gx, gy, gz, xp
+                )
+            return dst.projection.forward(lon, lat, xp)
     except TransformException:
         raise
     except Exception as e:

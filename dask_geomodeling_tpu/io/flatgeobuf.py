@@ -195,6 +195,9 @@ def _decode_geometry(tab, geometry_type):
     ends = _get_vector(tab, 0, "<u4")
     parts = _get_table_vector(tab, 7)
 
+    if (xy is None or len(xy) == 0) and not parts:
+        # empty geometry: no coordinate vector and no sub-parts
+        return None
     if gtype == _GT_POINT:
         (pt,) = _pairs(xy)
         return Point(*pt)
@@ -254,7 +257,9 @@ def read_flatgeobuf(path):
     from flatbuffers import number_types as N
 
     buf = memoryview(open(path, "rb").read())
-    if bytes(buf[:8]) != MAGIC:
+    # Byte 7 is the patch version, which readers must ignore (current
+    # writers emit 0x01); validate only the magic + major version bytes.
+    if bytes(buf[:7]) != MAGIC[:7]:
         raise IOError("Not a FlatGeobuf file: '%s'" % path)
     pos = 8
     (header_size,) = struct.unpack_from("<I", buf, pos)

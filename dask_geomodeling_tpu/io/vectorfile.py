@@ -703,8 +703,12 @@ def _write_csv(frame, path):
 
 
 def _crs_to_projjson(crs):
-    """A PROJJSON-style crs object for the GeoParquet metadata (EPSG id
-    when recognizable, a WKT/user string passthrough otherwise)."""
+    """A PROJJSON-style crs object for the GeoParquet metadata.
+
+    GeoParquet 1.0 requires the geo metadata ``crs`` field to be a PROJJSON
+    object or null, so non-EPSG CRSes map to null here (the original string
+    travels in a sibling table-metadata key for lossless round trips).
+    """
     if crs is None:
         return None
     from dask_geomodeling_tpu.geo.crs import get_sr
@@ -715,7 +719,7 @@ def _crs_to_projjson(crs):
         code = None
     if code:
         return {"id": {"authority": "EPSG", "code": int(code)}}
-    return str(crs)
+    return None
 
 
 def _crs_from_projjson(value):
@@ -755,9 +759,13 @@ def _write_parquet(frame, path):
         },
     }
     table = pa.table(columns)
-    table = table.replace_schema_metadata(
-        {b"geo": json.dumps(geo).encode()}
-    )
+    metadata = {b"geo": json.dumps(geo).encode()}
+    crs = getattr(frame, "crs", None)
+    if crs is not None and geo["columns"]["geometry"]["crs"] is None:
+        # non-EPSG CRS: the spec-required field is null, but keep the
+        # user string in our own metadata key so round trips are lossless
+        metadata[b"geomodeling_crs"] = str(crs).encode()
+    table = table.replace_schema_metadata(metadata)
     pq.write_table(table, path)
 
 
@@ -773,9 +781,12 @@ def _read_parquet(path):
     primary = geo.get("primary_column", "geometry")
     if primary not in table.column_names:
         raise IOError("No geometry column in '{}'".format(path))
-    crs = _crs_from_projjson(
-        (geo.get("columns", {}).get(primary, {}) or {}).get("crs")
-    )
+    if b"geomodeling_crs" in metadata:
+        crs = metadata[b"geomodeling_crs"].decode("utf-8")
+    else:
+        crs = _crs_from_projjson(
+            (geo.get("columns", {}).get(primary, {}) or {}).get("crs")
+        )
     wkb = table.column(primary).to_pylist()
     geometries = [from_wkb(b) if b is not None else None for b in wkb]
     frame = table.drop_columns([primary]).to_pandas()

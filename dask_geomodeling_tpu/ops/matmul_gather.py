@@ -169,8 +169,12 @@ def gather_matmul_jax(values, rows, cols, inside, amp=AMP):
         # pin outside pixels to the anchors: zero residual, never selects
         r_eff = jnp.where(ins, r, ri[:, None])
         c_eff = jnp.where(ins, c, cj[None, :])
-        da = r_eff - ri[:, None]  # (BLOCK, BLOCK) in [-amp, amp]
-        db = c_eff - cj[None, :]
+        # clip residuals into the candidate range so a violated smoothness
+        # contract (host-side domain check underestimating the residual)
+        # degrades to an at-most-amp-px-off nearest neighbour instead of
+        # leaving the zeros initializer in the output
+        da = jnp.clip(r_eff - ri[:, None], -amp, amp)
+        db = jnp.clip(c_eff - cj[None, :], -amp, amp)
 
         # stacked candidate index vectors: one gather per axis brings in
         # every (a, b) combination; G[a, b] is then a static slice

@@ -88,12 +88,9 @@ class RasterBlock(Block):
                 )
 
                 try:
-                    return evaluate_tiled(
-                        self,
-                        request,
-                        tile_size=tile_size,
-                        batch=config.get("geomodeling.tile-batch", 8),
-                    )
+                    # batch resolves inside evaluate_tiled from
+                    # geomodeling.tile-batch (single source of truth)
+                    return evaluate_tiled(self, request, tile_size=tile_size)
                 except NotLowerable:
                     pass  # host nodes present: the staged executor handles it
         return super().get_data(**request)

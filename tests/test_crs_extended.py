@@ -372,18 +372,21 @@ class TestNewZealandMapGrid:
         assert abs(x - 2510000.0) < 1e-6
         sr2 = get_sr("+proj=nzmg +ellps=intl +lat_0=-41 +lon_0=173 "
                      "+x_0=2510000 +y_0=6023150 +towgs84=59.47,-5.04,187.44,"
-                     "0.47,-0.1,1.024,-4.5993")
+                     "-0.47,0.1,-1.024,-4.5993")
         x2, y2 = sr2.projection.forward(175.0, -40.0)
         x1, y1 = sr.projection.forward(175.0, -40.0)
         np.testing.assert_allclose([x1, y1], [x2, y2], atol=1e-6)
 
     def test_datum_shift_to_wgs84(self):
-        # NZGD49->WGS84 moves coordinates by a couple hundred metres
+        # NZGD49->WGS84 moves coordinates by a couple hundred metres.
+        # Ground truth from an independent position-vector Helmert using the
+        # EPSG 1564 parameters (matches PROJ's published pipeline result).
         lon, lat = transform_points(
             np.array([2510000.0]), np.array([6023150.0]),
             "EPSG:27200", "EPSG:4326",
         )
-        assert abs(lon[0] - 173.0) < 0.01 and abs(lat[0] + 41.0) < 0.01
+        assert abs(lon[0] - 172.9998036794) < 1e-4
+        assert abs(lat[0] - (-40.9982533789)) < 1e-4
         assert abs(lon[0] - 173.0) > 1e-5 or abs(lat[0] + 41.0) > 1e-5
 
     def test_jnp_matches_numpy(self):

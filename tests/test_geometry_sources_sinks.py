@@ -126,6 +126,57 @@ class TestVectorFileIO:
         assert result.crs.startswith("GEOGCS[")
         assert get_sr(result.crs).is_geographic
 
+    def test_parquet_non_epsg_crs_null_in_geo(self, root, frame):
+        # GeoParquet 1.0: crs must be a PROJJSON object or null; a bare
+        # WKT/proj4 string is invalid.  The original rides our own key.
+        import json
+
+        import pyarrow.parquet as pq
+
+        path = str(root / "wktcrs.parquet")
+        frame.crs = "+proj=longlat +ellps=intl +towgs84=0,0,0"
+        write_vector(frame, path)
+        meta = pq.read_table(path).schema.metadata
+        geo = json.loads(meta[b"geo"])
+        assert geo["columns"]["geometry"]["crs"] is None
+        result = read_vector(path)
+        assert result.crs == "+proj=longlat +ellps=intl +towgs84=0,0,0"
+
+    def test_fgb_patch_version_ignored(self, root, frame):
+        # spec: byte 7 is the patch version and readers must ignore it;
+        # GDAL and the flatgeobuf lib emit 0x01 there.
+        from dask_geomodeling_tpu.io.flatgeobuf import read_flatgeobuf
+
+        path = str(root / "patch.fgb")
+        write_vector(frame, path)
+        raw = bytearray(open(path, "rb").read())
+        raw[7] = 0x01
+        open(path, "wb").write(bytes(raw))
+        result = read_flatgeobuf(path)
+        assert len(result) == 3
+        # but a wrong major version (byte 3) is still rejected
+        raw[3] = 0x02
+        open(path, "wb").write(bytes(raw))
+        with pytest.raises(IOError):
+            read_flatgeobuf(path)
+
+    def test_fgb_empty_geometry_decodes_to_none(self):
+        import flatbuffers
+
+        from dask_geomodeling_tpu.io.flatgeobuf import (
+            _GT_POLYGON,
+            _decode_geometry,
+            _root,
+        )
+
+        # a geometry table with no xy vector and no parts (empty geometry)
+        b = flatbuffers.Builder(16)
+        b.StartObject(8)
+        off = b.EndObject()
+        b.Finish(off)
+        tab = _root(bytes(b.Output()))
+        assert _decode_geometry(tab, _GT_POLYGON) is None
+
     def test_gpkg_crs(self, root, frame):
         path = str(root / "test.gpkg")
         frame.crs = "EPSG:28992"

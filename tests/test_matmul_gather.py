@@ -166,6 +166,30 @@ class TestKernel:
         assert out.shape == (2, 210, 187)
         np.testing.assert_array_equal(out, src[:, rows, cols])
 
+    def test_contract_violation_degrades_to_clipped_neighbour(self, src):
+        """A residual beyond AMP (host domain check underestimating) must
+        come back as the at-most-AMP-px-off neighbour, never the zeros
+        initializer."""
+        rows, cols = _field(np.deg2rad(0.5), 1.2, 100, 120)
+        inside = np.ones(rows.shape, bool)
+        # spike a few pixels AMP+4 rows away from their block anchors
+        bad = np.zeros(rows.shape, bool)
+        bad[10, 10] = bad[70, 200] = bad[130, 40] = True
+        rows_bad = np.where(bad, rows + AMP + 4, rows)
+        out = np.asarray(gather_matmul_jax(src, rows_bad, cols, inside))
+        exp = src[:, rows, cols]
+        # good pixels stay bit-exact
+        np.testing.assert_array_equal(out[:, ~bad], exp[:, ~bad])
+        # violated pixels match some nearby row (the clipped candidate is
+        # at anchor+AMP, at most 2*AMP from the true row) — NOT zeros
+        for i, j in zip(*np.nonzero(bad)):
+            neighbourhood = src[
+                :, rows[i, j] - 2 * AMP : rows[i, j] + 2 * AMP + 1, cols[i, j]
+            ]
+            for band in range(out.shape[0]):
+                assert out[band, i, j] in neighbourhood[band]
+        assert not (out[:, bad] == 0).all()
+
 
 class TestDomain:
     def test_same_crs_domain(self):
