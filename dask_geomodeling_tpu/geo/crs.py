@@ -16,7 +16,18 @@ module implements the math natively and vectorized over numpy arrays:
 - Lambert conformal conic 2SP, method 9802 (EPSG:2154 Lambert-93)
 - Lambert azimuthal equal area, method 9820 (EPSG:3035 LAEA Europe)
 - Albers equal area conic, method 9822 (EPSG:5070 Conus Albers)
-- parametric WKT1 / proj4 parsing for all of the above methods
+- the long-tail families: American polyconic 9818, Bonne 9827,
+  sinusoidal, cylindrical equal area 9835 (EPSG:6933 EASE-Grid 2.0),
+  Mollweide, Robinson (spline through Robinson's table), Van der
+  Grinten, Eckert IV, Miller, Gall stereographic, Equal Earth 1078
+  (EPSG:8857), azimuthal equidistant (polar series + Vincenty geodesics
+  oblique), orthographic 9840, gnomonic, Swiss oblique Mercator
+  (somerc = Hotine variant B at azimuth 90, EPSG:21781/2056)
+- parametric WKT1 / WKT2 / ESRI-WKT / proj4 parsing for all of the
+  above methods, ESRI:53xxx/54xxx world codes, named proj4 datums, and
+  non-metre linear units (US survey foot state plane definitions)
+- a generic damped-Newton inverse for families without a closed-form
+  inverse, so any parametric definition in a known family transforms
 - 7-parameter Helmert datum shifts (position-vector convention) through
   geocentric coordinates
 
@@ -61,6 +72,10 @@ ELLIPSOIDS = {
     "airy": (6377563.396, 299.3249646),
     "intl": (6378388.0, 297.0),  # International 1924 (Hayford)
     "sphere": (6378137.0, float("inf")),  # web mercator sphere
+    "clrk66": (6378206.4, 294.9786982),  # Clarke 1866 (NAD27)
+    "krass": (6378245.0, 298.3),  # Krassowsky 1940 (Pulkovo)
+    "GRS67": (6378160.0, 298.247167427),
+    "authalic": (6371000.0, float("inf")),  # ESRI 53xxx sphere
 }
 
 # --- datums: ellipsoid + position-vector Helmert to WGS84 ---
@@ -85,6 +100,24 @@ DATUMS = {
         "intl",
         (59.47, -5.04, 187.44, -0.47, 0.10, -1.024, -4.5993),
     ),
+    # NAD27 to WGS84 (the CONUS mean 3-parameter shift, EPSG 1173)
+    "NAD27": ("clrk66", (-8.0, 160.0, 176.0, 0.0, 0.0, 0.0, 0.0)),
+    # ED50 to WGS84 (mean European 3-parameter shift, EPSG 1133)
+    "ED50": ("intl", (-87.0, -98.0, -121.0, 0.0, 0.0, 0.0, 0.0)),
+    # Pulkovo 1942 to WGS84 (EPSG 1267, position vector)
+    "Pulkovo42": (
+        "krass",
+        (25.0, -141.0, -78.5, 0.0, -0.35, -0.736, 0.0),
+    ),
+    # CH1903 to WGS84 (geocentric translations, EPSG 1676)
+    "CH1903": ("bessel", (674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0)),
+    # Reseau National Belge 1972 to WGS84 (EPSG 15929, position vector)
+    "BD72": (
+        "intl",
+        (-106.8686, 52.2978, -103.7239, 0.3366, -0.457, 1.8422, -1.2747),
+    ),
+    # S-JTSK to WGS84 (the common 3-parameter shift, EPSG 1622-family)
+    "S-JTSK": ("bessel", (589.0, 76.0, 480.0, 0.0, 0.0, 0.0, 0.0)),
 }
 
 _ARCSEC = np.pi / (180.0 * 3600.0)
@@ -480,6 +513,8 @@ class _LambertAzimuthalEqualArea:
         e, e2 = ell.e, ell.e2
 
         def q(sin_phi, xp=np):
+            if e == 0:  # spherical limit (e.g. EPSG:2163 US Atlas sphere)
+                return 2.0 * sin_phi
             return (1 - e2) * (
                 sin_phi / (1 - e2 * sin_phi**2)
                 - (1 / (2 * e)) * xp.log((1 - e * sin_phi) / (1 + e * sin_phi))
@@ -561,6 +596,8 @@ class _AlbersEqualArea:
         e, e2 = ell.e, ell.e2
 
         def q(sin_phi, xp=np):
+            if e == 0:  # spherical limit
+                return 2.0 * sin_phi
             return (1 - e2) * (
                 sin_phi / (1 - e2 * sin_phi**2)
                 - (1 / (2 * e)) * xp.log((1 - e * sin_phi) / (1 + e * sin_phi))
@@ -853,7 +890,11 @@ class _HotineObliqueMercator:
         self.H = big_f * t_c**self.B
         big_g = (big_f - 1 / big_f) / 2
         self.gamma0 = np.arcsin(np.sin(alpha_c) / big_d)
-        self.lam0 = lam_c - np.arcsin(big_g * np.tan(self.gamma0)) / self.B
+        # azimuth 90 (Swiss somerc): G*tan(gamma0) == 1 exactly, but
+        # rounding can push it past 1 -> NaN without the clip
+        self.lam0 = lam_c - np.arcsin(
+            np.clip(big_g * np.tan(self.gamma0), -1.0, 1.0)
+        ) / self.B
         # variant B: the (u, v) origin shifts to the projection centre
         if abs(azimuth - 90.0) < 1e-12:
             self.uc = self.A * (lam_c - self.lam0)
@@ -1141,6 +1182,933 @@ def _complex_poly_d1(zr, zi, coeffs):
     return fr, fi, dr, di
 
 
+# --- generic Newton inverse + the long-tail projection families ---
+#
+# The reference handles *any* CRS through OSR/PROJ (reference
+# utils.py:396-473).  The families below extend the native coverage to
+# the common long tail; projections without a closed-form inverse invert
+# their own forward map with a damped 2-D Newton iteration, so any
+# parametric definition in a known family transforms instead of raising.
+
+
+def _newton_inverse(forward, x, y, lon, lat, xp=np, iters=18):
+    """Invert ``forward(lon, lat) -> (x, y)`` by damped 2-D Newton with a
+    finite-difference Jacobian.  Fixed iteration count (traceable under
+    jnp); quadratic convergence makes 18 rounds ample for any seed within
+    the projection's domain.  Non-convergent points come back NaN."""
+    h = 1e-7  # degrees: ~1 cm on the ground; safe for f64 differences
+    for _ in range(iters):
+        fx, fy = forward(lon, lat, xp)
+        fx1, fy1 = forward(lon + h, lat, xp)
+        fx2, fy2 = forward(lon, lat + h, xp)
+        j11 = (fx1 - fx) / h
+        j21 = (fy1 - fy) / h
+        j12 = (fx2 - fx) / h
+        j22 = (fy2 - fy) / h
+        det = j11 * j22 - j12 * j21
+        det = xp.where(det == 0.0, np.nan, det)
+        rx = x - fx
+        ry = y - fy
+        # damp steps: a wild Jacobian at a domain edge must not fling the
+        # iterate out of the hemisphere
+        dlon = xp.clip((j22 * rx - j12 * ry) / det, -20.0, 20.0)
+        dlat = xp.clip((j11 * ry - j21 * rx) / det, -20.0, 20.0)
+        lon = lon + dlon
+        lat = xp.clip(lat + dlat, -89.999999, 89.999999)
+    return lon, lat
+
+
+class _NumericInverse:
+    """Mixin: projections defined by their forward map only.  Subclasses
+    provide ``_inverse_seed(x, y, xp) -> (lon, lat)`` (a rough guess; the
+    default assumes roughly-metric coordinates about the origin)."""
+
+    def _inverse_seed(self, x, y, xp):
+        a = self.ell.a
+        lon = self.lon0 + xp.degrees((x - self.fe) / a)
+        lat = xp.degrees((y - self.fn) / a) + getattr(self, "lat0", 0.0)
+        return xp.clip(lon, self.lon0 - 179.0, self.lon0 + 179.0), xp.clip(
+            lat, -89.0, 89.0
+        )
+
+    def inverse(self, x, y, xp=np):
+        x = xp.asarray(x, dtype=float)
+        y = xp.asarray(y, dtype=float)
+        lon, lat = self._inverse_seed(x, y, xp)
+        return _newton_inverse(self.forward, x, y, lon, lat, xp)
+
+
+def _authalic_coeffs(ell):
+    """(qp, (c2, c4, c6)): total authalic q and the authalic->geodetic
+    latitude series phi = beta + c2 sin 2b + c4 sin 4b + c6 sin 6b."""
+    e2 = ell.e2
+    e4 = e2 * e2
+    e6 = e4 * e2
+    if ell.e == 0:
+        return 2.0, (0.0, 0.0, 0.0)
+    qp = (1 - e2) * (
+        1 / (1 - e2) - (1 / (2 * ell.e)) * np.log((1 - ell.e) / (1 + ell.e))
+    )
+    return qp, (
+        e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040,
+        23 * e4 / 360 + 251 * e6 / 3780,
+        761 * e6 / 45360,
+    )
+
+
+def _authalic_q(ell, phi, xp=np):
+    """Snyder's q (3-12): the equal-area integrand at latitude phi."""
+    if ell.e == 0:
+        return 2.0 * xp.sin(phi)
+    sin_phi = xp.sin(phi)
+    esin = ell.e * sin_phi
+    return (1 - ell.e2) * (
+        sin_phi / (1 - ell.e2 * sin_phi**2)
+        - (1 / (2 * ell.e)) * xp.log((1 - esin) / (1 + esin))
+    )
+
+
+def _authalic_to_geodetic(coeffs, beta, xp=np):
+    c2, c4, c6 = coeffs
+    return (
+        beta
+        + c2 * xp.sin(2 * beta)
+        + c4 * xp.sin(4 * beta)
+        + c6 * xp.sin(6 * beta)
+    )
+
+
+class _AmericanPolyconic(_NumericInverse):
+    """American polyconic, ellipsoidal (EPSG method 9818; Snyder 18-12..15)."""
+
+    is_geographic = False
+    unit = "metre"
+
+    def __init__(self, ell, lon0, lat0, false_easting=0.0, false_northing=0.0):
+        self.ell = ell
+        self.lon0 = lon0
+        self.lat0 = lat0
+        self.fe = false_easting
+        self.fn = false_northing
+        self.big_a, self._fwd, self._inv = _rectifying_series(ell)
+        self.m0 = _meridian_arc(self.big_a, self._fwd, np.radians(lat0))
+
+    def forward(self, lon, lat, xp=np):
+        ell = self.ell
+        lon = xp.asarray(lon, dtype=float)
+        phi = xp.radians(xp.asarray(lat, dtype=float))
+        dlam = xp.radians((lon - self.lon0 + 180.0) % 360.0 - 180.0)
+        sin_phi = xp.sin(phi)
+        # guard the equator singularity: cot(phi) blows up, but the limit
+        # is the plain equidistant cylindrical line
+        tiny = xp.abs(phi) < 1e-10
+        phi_safe = xp.where(tiny, 1e-10, phi)
+        sin_safe = xp.sin(phi_safe)
+        nu = ell.a / xp.sqrt(1 - ell.e2 * sin_safe**2)
+        cot = xp.cos(phi_safe) / sin_safe
+        big_e = dlam * sin_safe
+        m = _meridian_arc(self.big_a, self._fwd, phi, xp)
+        x = xp.where(tiny, ell.a * dlam, nu * cot * xp.sin(big_e))
+        y = xp.where(
+            tiny,
+            -self.m0,
+            m - self.m0 + nu * cot * (1 - xp.cos(big_e)),
+        )
+        return self.fe + x, self.fn + y
+
+
+class _Bonne:
+    """Bonne pseudoconic equal area, ellipsoidal (EPSG method 9827;
+    Snyder p. 138-140)."""
+
+    is_geographic = False
+    unit = "metre"
+
+    def __init__(self, ell, lon0, lat1, false_easting=0.0, false_northing=0.0):
+        self.ell = ell
+        self.lon0 = lon0
+        self.fe = false_easting
+        self.fn = false_northing
+        phi1 = np.radians(lat1)
+        self.sign = 1.0 if lat1 >= 0 else -1.0
+        m1 = np.cos(phi1) / np.sqrt(1 - ell.e2 * np.sin(phi1) ** 2)
+        self.big_a, self._fwd, self._inv = _rectifying_series(ell)
+        self.m1 = _meridian_arc(self.big_a, self._fwd, phi1)
+        self.rho1 = ell.a * m1 / np.sin(phi1)
+
+    def forward(self, lon, lat, xp=np):
+        ell = self.ell
+        lon = xp.asarray(lon, dtype=float)
+        phi = xp.radians(xp.asarray(lat, dtype=float))
+        dlam = xp.radians((lon - self.lon0 + 180.0) % 360.0 - 180.0)
+        m = xp.cos(phi) / xp.sqrt(1 - ell.e2 * xp.sin(phi) ** 2)
+        arc = _meridian_arc(self.big_a, self._fwd, phi, xp)
+        rho = self.rho1 + self.m1 - arc
+        rho_safe = xp.where(rho == 0.0, 1e-12, rho)
+        big_e = ell.a * m * dlam / rho_safe
+        x = rho * xp.sin(big_e)
+        y = self.rho1 - rho * xp.cos(big_e)
+        return self.fe + x, self.fn + y
+
+    def inverse(self, x, y, xp=np):
+        ell = self.ell
+        x = xp.asarray(x, dtype=float) - self.fe
+        y = xp.asarray(y, dtype=float) - self.fn
+        rho = self.sign * xp.hypot(x, self.rho1 - y)
+        arc = self.rho1 + self.m1 - rho
+        phi = _inverse_meridian_arc(self.big_a, self._inv, arc, xp)
+        m = xp.cos(phi) / xp.sqrt(1 - ell.e2 * xp.sin(phi) ** 2)
+        m_safe = xp.where(xp.abs(m) < 1e-12, 1e-12, m)
+        big_e = xp.arctan2(self.sign * x, self.sign * (self.rho1 - y))
+        dlam = rho * big_e / (ell.a * m_safe)
+        return self.lon0 + xp.degrees(dlam), xp.degrees(phi)
+
+
+class _Sinusoidal:
+    """Sinusoidal equal area, ellipsoidal (Snyder p. 243-248; the MODIS
+    grid ESRI:54008 / the spherical 53008)."""
+
+    is_geographic = False
+    unit = "metre"
+
+    def __init__(self, ell, lon0, false_easting=0.0, false_northing=0.0):
+        self.ell = ell
+        self.lon0 = lon0
+        self.fe = false_easting
+        self.fn = false_northing
+        self.big_a, self._fwd, self._inv = _rectifying_series(ell)
+
+    def forward(self, lon, lat, xp=np):
+        ell = self.ell
+        lon = xp.asarray(lon, dtype=float)
+        phi = xp.radians(xp.asarray(lat, dtype=float))
+        dlam = xp.radians((lon - self.lon0 + 180.0) % 360.0 - 180.0)
+        x = ell.a * dlam * xp.cos(phi) / xp.sqrt(1 - ell.e2 * xp.sin(phi) ** 2)
+        y = _meridian_arc(self.big_a, self._fwd, phi, xp)
+        return self.fe + x, self.fn + y
+
+    def inverse(self, x, y, xp=np):
+        ell = self.ell
+        x = xp.asarray(x, dtype=float) - self.fe
+        y = xp.asarray(y, dtype=float) - self.fn
+        phi = _inverse_meridian_arc(self.big_a, self._inv, y, xp)
+        cos_phi = xp.cos(phi)
+        cos_safe = xp.where(xp.abs(cos_phi) < 1e-12, 1e-12, cos_phi)
+        dlam = x * xp.sqrt(1 - ell.e2 * xp.sin(phi) ** 2) / (ell.a * cos_safe)
+        return self.lon0 + xp.degrees(dlam), xp.degrees(phi)
+
+
+class _CylindricalEqualArea:
+    """Lambert cylindrical equal area, normal aspect, ellipsoidal (EPSG
+    method 9835; EPSG:6933 EASE-Grid 2.0; Snyder 10-1/10-2)."""
+
+    is_geographic = False
+    unit = "metre"
+
+    def __init__(self, ell, lon0, lat_ts, false_easting=0.0, false_northing=0.0):
+        self.ell = ell
+        self.lon0 = lon0
+        self.fe = false_easting
+        self.fn = false_northing
+        phi_ts = np.radians(lat_ts)
+        self.k0 = np.cos(phi_ts) / np.sqrt(1 - ell.e2 * np.sin(phi_ts) ** 2)
+        self.qp, self._auth = _authalic_coeffs(ell)
+
+    def forward(self, lon, lat, xp=np):
+        ell = self.ell
+        lon = xp.asarray(lon, dtype=float)
+        phi = xp.radians(xp.asarray(lat, dtype=float))
+        dlam = xp.radians((lon - self.lon0 + 180.0) % 360.0 - 180.0)
+        x = ell.a * self.k0 * dlam
+        y = ell.a * _authalic_q(ell, phi, xp) / (2 * self.k0)
+        return self.fe + x, self.fn + y
+
+    def inverse(self, x, y, xp=np):
+        ell = self.ell
+        x = xp.asarray(x, dtype=float) - self.fe
+        y = xp.asarray(y, dtype=float) - self.fn
+        dlam = x / (ell.a * self.k0)
+        sin_beta = xp.clip(2 * y * self.k0 / (ell.a * self.qp), -1.0, 1.0)
+        beta = xp.arcsin(sin_beta)
+        phi = _authalic_to_geodetic(self._auth, beta, xp)
+        return self.lon0 + xp.degrees(dlam), xp.degrees(phi)
+
+
+class _Mollweide:
+    """Mollweide pseudocylindrical equal area, spherical (ESRI:54009 uses
+    the semi-major axis as the radius, as PROJ does)."""
+
+    is_geographic = False
+    unit = "metre"
+
+    def __init__(self, ell, lon0, false_easting=0.0, false_northing=0.0):
+        self.ell = ell
+        self.r = ell.a
+        self.lon0 = lon0
+        self.fe = false_easting
+        self.fn = false_northing
+
+    def forward(self, lon, lat, xp=np):
+        lon = xp.asarray(lon, dtype=float)
+        phi = xp.radians(xp.asarray(lat, dtype=float))
+        dlam = xp.radians((lon - self.lon0 + 180.0) % 360.0 - 180.0)
+        target = np.pi * xp.sin(phi)
+        theta = phi
+        for _ in range(10):  # Newton for 2t + sin 2t = pi sin phi
+            f = 2 * theta + xp.sin(2 * theta) - target
+            theta = theta - f / (2 + 2 * xp.cos(2 * theta) + 1e-15)
+        x = (2 * np.sqrt(2) / np.pi) * self.r * dlam * xp.cos(theta)
+        y = np.sqrt(2) * self.r * xp.sin(theta)
+        return self.fe + x, self.fn + y
+
+    def inverse(self, x, y, xp=np):
+        x = xp.asarray(x, dtype=float) - self.fe
+        y = xp.asarray(y, dtype=float) - self.fn
+        theta = xp.arcsin(xp.clip(y / (np.sqrt(2) * self.r), -1.0, 1.0))
+        phi = xp.arcsin(
+            xp.clip((2 * theta + xp.sin(2 * theta)) / np.pi, -1.0, 1.0)
+        )
+        cos_theta = xp.cos(theta)
+        cos_safe = xp.where(cos_theta < 1e-12, 1e-12, cos_theta)
+        dlam = np.pi * x / (2 * np.sqrt(2) * self.r * cos_safe)
+        return self.lon0 + xp.degrees(dlam), xp.degrees(phi)
+
+
+#: Robinson's table: X (length multiplier) and Y (parallel distance) at
+#: every 5 degrees of latitude (Robinson 1974; the values PROJ embeds)
+_ROBINSON_TABLE = np.array(
+    [
+        # lat, X, Y
+        [0, 1.0000, 0.0000],
+        [5, 0.9986, 0.0620],
+        [10, 0.9954, 0.1240],
+        [15, 0.9900, 0.1860],
+        [20, 0.9822, 0.2480],
+        [25, 0.9730, 0.3100],
+        [30, 0.9600, 0.3720],
+        [35, 0.9427, 0.4340],
+        [40, 0.9216, 0.4958],
+        [45, 0.8962, 0.5571],
+        [50, 0.8679, 0.6176],
+        [55, 0.8350, 0.6769],
+        [60, 0.7986, 0.7346],
+        [65, 0.7597, 0.7903],
+        [70, 0.7186, 0.8435],
+        [75, 0.6732, 0.8936],
+        [80, 0.6213, 0.9394],
+        [85, 0.5722, 0.9761],
+        [90, 0.5322, 1.0000],
+    ]
+)
+
+
+def _natural_spline_coeffs(xs, ys):
+    """Second derivatives of the natural cubic spline through (xs, ys)."""
+    n = len(xs)
+    h = np.diff(xs)
+    mat = np.zeros((n, n))
+    rhs = np.zeros(n)
+    mat[0, 0] = mat[-1, -1] = 1.0
+    for i in range(1, n - 1):
+        mat[i, i - 1] = h[i - 1]
+        mat[i, i] = 2 * (h[i - 1] + h[i])
+        mat[i, i + 1] = h[i]
+        rhs[i] = 3 * ((ys[i + 1] - ys[i]) / h[i] - (ys[i] - ys[i - 1]) / h[i - 1])
+    return np.linalg.solve(mat, rhs)
+
+
+def _spline_eval(xs, ys, c, x, xp=np):
+    """Evaluate the natural cubic spline (and clamp outside the knots)."""
+    x = xp.clip(x, xs[0], xs[-1])
+    i = xp.clip(xp.searchsorted(xp.asarray(xs), x) - 1, 0, len(xs) - 2)
+    xs_a = xp.asarray(xs)
+    ys_a = xp.asarray(ys)
+    c_a = xp.asarray(c)
+    x0 = xs_a[i]
+    h = xs_a[i + 1] - x0
+    y0 = ys_a[i]
+    y1 = ys_a[i + 1]
+    c0 = c_a[i]
+    c1 = c_a[i + 1]
+    b = (y1 - y0) / h - h * (2 * c0 + c1) / 3
+    d = (c1 - c0) / (3 * h)
+    t = x - x0
+    return y0 + t * (b + t * (c0 + t * d))
+
+
+class _Robinson(_NumericInverse):
+    """Robinson pseudocylindrical (ESRI:54030), natural cubic splines
+    through Robinson's 5-degree table."""
+
+    is_geographic = False
+    unit = "metre"
+
+    def __init__(self, ell, lon0, false_easting=0.0, false_northing=0.0):
+        self.ell = ell
+        self.r = ell.a
+        self.lon0 = lon0
+        self.lat0 = 0.0
+        self.fe = false_easting
+        self.fn = false_northing
+        lats = _ROBINSON_TABLE[:, 0]
+        self._xs = lats
+        self._xv = _ROBINSON_TABLE[:, 1]
+        self._yv = _ROBINSON_TABLE[:, 2]
+        self._xc = _natural_spline_coeffs(lats, self._xv)
+        self._yc = _natural_spline_coeffs(lats, self._yv)
+
+    def forward(self, lon, lat, xp=np):
+        lon = xp.asarray(lon, dtype=float)
+        lat = xp.asarray(lat, dtype=float)
+        dlam = xp.radians((lon - self.lon0 + 180.0) % 360.0 - 180.0)
+        alat = xp.abs(lat)
+        big_x = _spline_eval(self._xs, self._xv, self._xc, alat, xp)
+        big_y = _spline_eval(self._xs, self._yv, self._yc, alat, xp)
+        x = 0.8487 * self.r * big_x * dlam
+        y = 1.3523 * self.r * xp.sign(lat) * big_y
+        return self.fe + x, self.fn + y
+
+    def _inverse_seed(self, x, y, xp):
+        lat = xp.clip(xp.degrees((y - self.fn) / (1.3523 * self.r)) * 90.0 / 57.3, -89.0, 89.0)
+        lon = self.lon0 + xp.degrees((x - self.fe) / (0.8487 * self.r))
+        return xp.clip(lon, self.lon0 - 179.0, self.lon0 + 179.0), lat
+
+
+class _VanDerGrinten(_NumericInverse):
+    """Van der Grinten I, spherical (ESRI:54029; Snyder 33-1..33-13)."""
+
+    is_geographic = False
+    unit = "metre"
+
+    def __init__(self, ell, lon0, false_easting=0.0, false_northing=0.0):
+        self.ell = ell
+        self.r = ell.a
+        self.lon0 = lon0
+        self.lat0 = 0.0
+        self.fe = false_easting
+        self.fn = false_northing
+
+    def forward(self, lon, lat, xp=np):
+        lon = xp.asarray(lon, dtype=float)
+        lat = xp.asarray(lat, dtype=float)
+        dlam = xp.radians((lon - self.lon0 + 180.0) % 360.0 - 180.0)
+        phi = xp.radians(lat)
+        theta = xp.arcsin(xp.clip(xp.abs(2 * phi / np.pi), 0.0, 1.0))
+        # domain guards: the equator and the central meridian are limits
+        small_phi = xp.abs(phi) < 1e-10
+        small_lam = xp.abs(dlam) < 1e-10
+        lam_safe = xp.where(small_lam, 1e-10, dlam)
+        big_a = 0.5 * xp.abs(np.pi / lam_safe - lam_safe / np.pi)
+        cos_theta = xp.cos(theta)
+        g_den = xp.where(small_phi, 1.0, xp.sin(theta))
+        big_g = cos_theta / (g_den + cos_theta - 1)
+        big_p = big_g * (2 / xp.where(small_phi, 1.0, xp.sin(theta)) - 1)
+        a2 = big_a * big_a
+        p2 = big_p * big_p
+        q = a2 + big_g
+        den = p2 + a2
+        # Snyder 33-1 / 33-2
+        root = xp.sqrt(
+            xp.clip(
+                a2 * (big_g - p2) ** 2 - den * (big_g * big_g - p2), 0.0, None
+            )
+        )
+        x = (
+            np.pi
+            * self.r
+            * xp.sign(dlam)
+            * (big_a * (big_g - p2) + root)
+            / den
+        )
+        y_root = xp.sqrt(xp.clip((a2 + 1) * den - q * q, 0.0, None))
+        y = np.pi * self.r * xp.sign(lat) * (big_p * q - big_a * y_root) / den
+        pole = xp.abs(xp.abs(lat) - 90.0) < 1e-9
+        x = xp.where(small_lam | pole, 0.0, x)
+        y = xp.where(small_phi, 0.0, y)
+        x = xp.where(small_phi & ~small_lam, self.r * lam_safe, x)
+        y = xp.where(
+            (small_lam & ~small_phi) | pole,
+            np.pi * self.r * xp.tan(theta / 2) * xp.sign(lat),
+            y,
+        )
+        return self.fe + x, self.fn + y
+
+
+class _EckertIV:
+    """Eckert IV pseudocylindrical equal area, spherical (ESRI:54012)."""
+
+    is_geographic = False
+    unit = "metre"
+
+    def __init__(self, ell, lon0, false_easting=0.0, false_northing=0.0):
+        self.ell = ell
+        self.r = ell.a
+        self.lon0 = lon0
+        self.fe = false_easting
+        self.fn = false_northing
+
+    def forward(self, lon, lat, xp=np):
+        lon = xp.asarray(lon, dtype=float)
+        phi = xp.radians(xp.asarray(lat, dtype=float))
+        dlam = xp.radians((lon - self.lon0 + 180.0) % 360.0 - 180.0)
+        target = (2 + np.pi / 2) * xp.sin(phi)
+        theta = phi / 2
+        for _ in range(12):  # Newton: t + sin t cos t + 2 sin t = target
+            f = theta + xp.sin(theta) * xp.cos(theta) + 2 * xp.sin(theta) - target
+            df = 1 + xp.cos(2 * theta) + 2 * xp.cos(theta)
+            theta = theta - f / (df + 1e-15)
+        x = (2 / np.sqrt(np.pi * (4 + np.pi))) * self.r * dlam * (
+            1 + xp.cos(theta)
+        )
+        y = 2 * np.sqrt(np.pi / (4 + np.pi)) * self.r * xp.sin(theta)
+        return self.fe + x, self.fn + y
+
+    def inverse(self, x, y, xp=np):
+        x = xp.asarray(x, dtype=float) - self.fe
+        y = xp.asarray(y, dtype=float) - self.fn
+        theta = xp.arcsin(
+            xp.clip(y / (2 * np.sqrt(np.pi / (4 + np.pi)) * self.r), -1.0, 1.0)
+        )
+        phi = xp.arcsin(
+            xp.clip(
+                (theta + xp.sin(theta) * xp.cos(theta) + 2 * xp.sin(theta))
+                / (2 + np.pi / 2),
+                -1.0,
+                1.0,
+            )
+        )
+        den = (2 / np.sqrt(np.pi * (4 + np.pi))) * self.r * (1 + xp.cos(theta))
+        dlam = x / xp.where(den < 1e-12, 1e-12, den)
+        return self.lon0 + xp.degrees(dlam), xp.degrees(phi)
+
+
+class _MillerCylindrical:
+    """Miller cylindrical, spherical (ESRI:54003)."""
+
+    is_geographic = False
+    unit = "metre"
+
+    def __init__(self, ell, lon0, false_easting=0.0, false_northing=0.0):
+        self.ell = ell
+        self.r = ell.a
+        self.lon0 = lon0
+        self.fe = false_easting
+        self.fn = false_northing
+
+    def forward(self, lon, lat, xp=np):
+        lon = xp.asarray(lon, dtype=float)
+        phi = xp.radians(xp.asarray(lat, dtype=float))
+        dlam = xp.radians((lon - self.lon0 + 180.0) % 360.0 - 180.0)
+        x = self.r * dlam
+        y = self.r * xp.log(xp.tan(np.pi / 4 + 0.4 * phi)) / 0.8
+        return self.fe + x, self.fn + y
+
+    def inverse(self, x, y, xp=np):
+        x = xp.asarray(x, dtype=float) - self.fe
+        y = xp.asarray(y, dtype=float) - self.fn
+        dlam = x / self.r
+        phi = 2.5 * (xp.arctan(xp.exp(0.8 * y / self.r)) - np.pi / 4)
+        return self.lon0 + xp.degrees(dlam), xp.degrees(phi)
+
+
+class _GallStereographic:
+    """Gall stereographic, spherical (ESRI:54016)."""
+
+    is_geographic = False
+    unit = "metre"
+
+    def __init__(self, ell, lon0, false_easting=0.0, false_northing=0.0):
+        self.ell = ell
+        self.r = ell.a
+        self.lon0 = lon0
+        self.fe = false_easting
+        self.fn = false_northing
+
+    def forward(self, lon, lat, xp=np):
+        lon = xp.asarray(lon, dtype=float)
+        phi = xp.radians(xp.asarray(lat, dtype=float))
+        dlam = xp.radians((lon - self.lon0 + 180.0) % 360.0 - 180.0)
+        x = self.r * dlam / np.sqrt(2)
+        y = self.r * (1 + np.sqrt(2) / 2) * xp.tan(phi / 2)
+        return self.fe + x, self.fn + y
+
+    def inverse(self, x, y, xp=np):
+        x = xp.asarray(x, dtype=float) - self.fe
+        y = xp.asarray(y, dtype=float) - self.fn
+        dlam = x * np.sqrt(2) / self.r
+        phi = 2 * xp.arctan(y / (self.r * (1 + np.sqrt(2) / 2)))
+        return self.lon0 + xp.degrees(dlam), xp.degrees(phi)
+
+
+class _EqualEarth:
+    """Equal Earth pseudocylindrical equal area (EPSG method 1078,
+    EPSG:8857; Savric, Patterson & Jenny 2018), over the authalic
+    latitude so it is ellipsoid-exact like PROJ's implementation."""
+
+    is_geographic = False
+    unit = "metre"
+    _A1 = 1.340264
+    _A2 = -0.081106
+    _A3 = 0.000893
+    _A4 = 0.003796
+    _M = np.sqrt(3) / 2
+
+    def __init__(self, ell, lon0, false_easting=0.0, false_northing=0.0):
+        self.ell = ell
+        self.lon0 = lon0
+        self.fe = false_easting
+        self.fn = false_northing
+        self.qp, self._auth = _authalic_coeffs(ell)
+        self.rq = ell.a * np.sqrt(self.qp / 2)
+
+    def _y_of_theta(self, theta, xp):
+        t2 = theta * theta
+        t6 = t2 * t2 * t2
+        return theta * (
+            self._A1 + self._A2 * t2 + t6 * (self._A3 + self._A4 * t2)
+        )
+
+    def _dy_dtheta(self, theta, xp):
+        t2 = theta * theta
+        t6 = t2 * t2 * t2
+        return (
+            self._A1
+            + 3 * self._A2 * t2
+            + t6 * (7 * self._A3 + 9 * self._A4 * t2)
+        )
+
+    def forward(self, lon, lat, xp=np):
+        ell = self.ell
+        lon = xp.asarray(lon, dtype=float)
+        phi = xp.radians(xp.asarray(lat, dtype=float))
+        dlam = xp.radians((lon - self.lon0 + 180.0) % 360.0 - 180.0)
+        beta = xp.arcsin(
+            xp.clip(_authalic_q(ell, phi, xp) / self.qp, -1.0, 1.0)
+        )
+        theta = xp.arcsin(self._M * xp.sin(beta))
+        x = (
+            2
+            * np.sqrt(3)
+            * self.rq
+            * dlam
+            * xp.cos(theta)
+            / (3 * self._dy_dtheta(theta, xp))
+        )
+        y = self.rq * self._y_of_theta(theta, xp)
+        return self.fe + x, self.fn + y
+
+    def inverse(self, x, y, xp=np):
+        x = xp.asarray(x, dtype=float) - self.fe
+        y = xp.asarray(y, dtype=float) - self.fn
+        yn = y / self.rq
+        theta = yn
+        for _ in range(12):  # Newton on y(theta)
+            f = self._y_of_theta(theta, xp) - yn
+            theta = theta - f / self._dy_dtheta(theta, xp)
+        beta = xp.arcsin(xp.clip(xp.sin(theta) / self._M, -1.0, 1.0))
+        phi = _authalic_to_geodetic(self._auth, beta, xp)
+        dlam = (
+            3
+            * x
+            * self._dy_dtheta(theta, xp)
+            / (2 * np.sqrt(3) * self.rq * xp.cos(theta))
+        )
+        return self.lon0 + xp.degrees(dlam), xp.degrees(phi)
+
+
+def _vincenty_inverse(ell, lat1, lon1, lat2, lon2, xp=np, iters=20):
+    """Geodesic distance and forward azimuth from point 1 to point 2
+    (Vincenty, fixed iterations; nearly-antipodal pairs come back NaN-free
+    but with reduced accuracy)."""
+    f = ell.f
+    b = ell.b
+    u1 = xp.arctan((1 - f) * xp.tan(xp.radians(lat1)))
+    u2 = xp.arctan((1 - f) * xp.tan(xp.radians(lat2)))
+    ell_lam = xp.radians(lon2 - lon1)
+    sin_u1, cos_u1 = xp.sin(u1), xp.cos(u1)
+    sin_u2, cos_u2 = xp.sin(u2), xp.cos(u2)
+    lam = ell_lam
+    for _ in range(iters):
+        sin_lam, cos_lam = xp.sin(lam), xp.cos(lam)
+        sin_sigma = xp.sqrt(
+            (cos_u2 * sin_lam) ** 2
+            + (cos_u1 * sin_u2 - sin_u1 * cos_u2 * cos_lam) ** 2
+        )
+        cos_sigma = sin_u1 * sin_u2 + cos_u1 * cos_u2 * cos_lam
+        sigma = xp.arctan2(sin_sigma, cos_sigma)
+        sin_safe = xp.where(sin_sigma == 0.0, 1e-15, sin_sigma)
+        sin_alpha = cos_u1 * cos_u2 * sin_lam / sin_safe
+        cos2_alpha = 1 - sin_alpha**2
+        cos2_safe = xp.where(cos2_alpha == 0.0, 1e-15, cos2_alpha)
+        cos_2sm = cos_sigma - 2 * sin_u1 * sin_u2 / cos2_safe
+        c = f / 16 * cos2_alpha * (4 + f * (4 - 3 * cos2_alpha))
+        lam = ell_lam + (1 - c) * f * sin_alpha * (
+            sigma
+            + c
+            * sin_sigma
+            * (cos_2sm + c * cos_sigma * (-1 + 2 * cos_2sm**2))
+        )
+    u_sq = cos2_alpha * (ell.a**2 - b**2) / b**2
+    big_a = 1 + u_sq / 16384 * (4096 + u_sq * (-768 + u_sq * (320 - 175 * u_sq)))
+    big_b = u_sq / 1024 * (256 + u_sq * (-128 + u_sq * (74 - 47 * u_sq)))
+    delta_sigma = (
+        big_b
+        * sin_sigma
+        * (
+            cos_2sm
+            + big_b
+            / 4
+            * (
+                cos_sigma * (-1 + 2 * cos_2sm**2)
+                - big_b
+                / 6
+                * cos_2sm
+                * (-3 + 4 * sin_sigma**2)
+                * (-3 + 4 * cos_2sm**2)
+            )
+        )
+    )
+    s = b * big_a * (sigma - delta_sigma)
+    alpha1 = xp.arctan2(
+        cos_u2 * xp.sin(lam), cos_u1 * sin_u2 - sin_u1 * cos_u2 * xp.cos(lam)
+    )
+    return s, alpha1
+
+
+def _vincenty_direct(ell, lat1, lon1, alpha1, s, xp=np, iters=8):
+    """Destination point given start, azimuth, and geodesic distance."""
+    f = ell.f
+    b = ell.b
+    u1 = xp.arctan((1 - f) * xp.tan(xp.radians(lat1)))
+    sin_u1, cos_u1 = xp.sin(u1), xp.cos(u1)
+    sin_a1, cos_a1 = xp.sin(alpha1), xp.cos(alpha1)
+    sigma1 = xp.arctan2(xp.tan(u1), cos_a1)
+    sin_alpha = cos_u1 * sin_a1
+    cos2_alpha = 1 - sin_alpha**2
+    u_sq = cos2_alpha * (ell.a**2 - b**2) / b**2
+    big_a = 1 + u_sq / 16384 * (4096 + u_sq * (-768 + u_sq * (320 - 175 * u_sq)))
+    big_b = u_sq / 1024 * (256 + u_sq * (-128 + u_sq * (74 - 47 * u_sq)))
+    sigma = s / (b * big_a)
+    for _ in range(iters):
+        cos_2sm = xp.cos(2 * sigma1 + sigma)
+        sin_sigma, cos_sigma = xp.sin(sigma), xp.cos(sigma)
+        delta = (
+            big_b
+            * sin_sigma
+            * (
+                cos_2sm
+                + big_b
+                / 4
+                * (
+                    cos_sigma * (-1 + 2 * cos_2sm**2)
+                    - big_b
+                    / 6
+                    * cos_2sm
+                    * (-3 + 4 * sin_sigma**2)
+                    * (-3 + 4 * cos_2sm**2)
+                )
+            )
+        )
+        sigma = s / (b * big_a) + delta
+    sin_sigma, cos_sigma = xp.sin(sigma), xp.cos(sigma)
+    cos_2sm = xp.cos(2 * sigma1 + sigma)
+    lat2 = xp.arctan2(
+        sin_u1 * cos_sigma + cos_u1 * sin_sigma * cos_a1,
+        (1 - f)
+        * xp.sqrt(
+            sin_alpha**2 + (sin_u1 * sin_sigma - cos_u1 * cos_sigma * cos_a1) ** 2
+        ),
+    )
+    lam = xp.arctan2(
+        sin_sigma * sin_a1,
+        cos_u1 * cos_sigma - sin_u1 * sin_sigma * cos_a1,
+    )
+    c = f / 16 * cos2_alpha * (4 + f * (4 - 3 * cos2_alpha))
+    dl = lam - (1 - c) * f * sin_alpha * (
+        sigma
+        + c * sin_sigma * (cos_2sm + c * cos_sigma * (-1 + 2 * cos_2sm**2))
+    )
+    return xp.degrees(lat2), lon1 + xp.degrees(dl)
+
+
+class _AzimuthalEquidistant:
+    """Azimuthal equidistant, ellipsoidal via Vincenty geodesics (the
+    approach of PROJ's aeqd; EPSG method 1125 is the spherical case)."""
+
+    is_geographic = False
+    unit = "metre"
+
+    def __init__(self, ell, lon0, lat0, false_easting=0.0, false_northing=0.0):
+        self.ell = ell
+        self.lon0 = lon0
+        self.lat0 = lat0
+        self.fe = false_easting
+        self.fn = false_northing
+        self.polar = abs(abs(lat0) - 90.0) < 1e-9
+        self.north = lat0 > 0
+        if self.polar:
+            self.big_a, self._fwd, self._inv = _rectifying_series(ell)
+            self.mp = _meridian_arc(self.big_a, self._fwd, np.radians(90.0))
+
+    def forward(self, lon, lat, xp=np):
+        lon = xp.asarray(lon, dtype=float)
+        lat = xp.asarray(lat, dtype=float)
+        dlam = xp.radians((lon - self.lon0 + 180.0) % 360.0 - 180.0)
+        if self.polar:
+            m = _meridian_arc(self.big_a, self._fwd, xp.radians(lat), xp)
+            rho = self.mp - m if self.north else self.mp + m
+            x = rho * xp.sin(dlam)
+            y = (-rho if self.north else rho) * xp.cos(dlam)
+            return self.fe + x, self.fn + y
+        s, alpha = _vincenty_inverse(
+            self.ell, self.lat0, self.lon0, lat, self.lon0 + xp.degrees(dlam), xp
+        )
+        # the center itself: distance 0, azimuth undefined -> (0, 0)
+        x = xp.where(s < 1e-9, 0.0, s * xp.sin(alpha))
+        y = xp.where(s < 1e-9, 0.0, s * xp.cos(alpha))
+        return self.fe + x, self.fn + y
+
+    def inverse(self, x, y, xp=np):
+        x = xp.asarray(x, dtype=float) - self.fe
+        y = xp.asarray(y, dtype=float) - self.fn
+        if self.polar:
+            rho = xp.hypot(x, y)
+            m = self.mp - rho if self.north else rho - self.mp
+            lat = xp.degrees(
+                _inverse_meridian_arc(self.big_a, self._inv, m, xp)
+            )
+            dlam = xp.arctan2(x, -y if self.north else y)
+            return self.lon0 + xp.degrees(dlam), lat
+        s = xp.hypot(x, y)
+        alpha = xp.arctan2(x, y)
+        lat, lon = _vincenty_direct(self.ell, self.lat0, self.lon0, alpha, s, xp)
+        lat = xp.where(s < 1e-9, self.lat0, lat)
+        lon = xp.where(s < 1e-9, self.lon0, lon)
+        return lon, lat
+
+
+class _Orthographic(_NumericInverse):
+    """Orthographic, ellipsoidal (EPSG method 9840)."""
+
+    is_geographic = False
+    unit = "metre"
+
+    def __init__(self, ell, lon0, lat0, false_easting=0.0, false_northing=0.0):
+        self.ell = ell
+        self.lon0 = lon0
+        self.lat0 = lat0
+        self.fe = false_easting
+        self.fn = false_northing
+        phi0 = np.radians(lat0)
+        self.sin0, self.cos0 = np.sin(phi0), np.cos(phi0)
+        self.nu0 = ell.a / np.sqrt(1 - ell.e2 * self.sin0**2)
+
+    def forward(self, lon, lat, xp=np):
+        ell = self.ell
+        lon = xp.asarray(lon, dtype=float)
+        phi = xp.radians(xp.asarray(lat, dtype=float))
+        dlam = xp.radians((lon - self.lon0 + 180.0) % 360.0 - 180.0)
+        sin_phi, cos_phi = xp.sin(phi), xp.cos(phi)
+        nu = ell.a / xp.sqrt(1 - ell.e2 * sin_phi**2)
+        # the far hemisphere is unprojectable: NaN (as PROJ errors there)
+        cos_c = self.sin0 * sin_phi + self.cos0 * cos_phi * xp.cos(dlam)
+        far = cos_c < -1e-10
+        x = xp.where(far, np.nan, nu * cos_phi * xp.sin(dlam))
+        y = xp.where(
+            far,
+            np.nan,
+            nu * (sin_phi * self.cos0 - cos_phi * self.sin0 * xp.cos(dlam))
+            + ell.e2 * (self.nu0 * self.sin0 - nu * sin_phi) * self.cos0,
+        )
+        return self.fe + x, self.fn + y
+
+    def _inverse_seed(self, x, y, xp):
+        a = self.ell.a
+        lon = self.lon0 + xp.degrees(
+            xp.arcsin(xp.clip((x - self.fe) / a, -0.99, 0.99))
+        )
+        lat = self.lat0 + xp.degrees(
+            xp.arcsin(xp.clip((y - self.fn) / a, -0.99, 0.99))
+        )
+        return lon, xp.clip(lat, -89.0, 89.0)
+
+
+class _Gnomonic:
+    """Gnomonic, spherical."""
+
+    is_geographic = False
+    unit = "metre"
+
+    def __init__(self, ell, lon0, lat0, false_easting=0.0, false_northing=0.0):
+        self.ell = ell
+        self.r = ell.a
+        self.lon0 = lon0
+        self.lat0 = lat0
+        self.fe = false_easting
+        self.fn = false_northing
+        phi0 = np.radians(lat0)
+        self.sin0, self.cos0 = np.sin(phi0), np.cos(phi0)
+
+    def forward(self, lon, lat, xp=np):
+        lon = xp.asarray(lon, dtype=float)
+        phi = xp.radians(xp.asarray(lat, dtype=float))
+        dlam = xp.radians((lon - self.lon0 + 180.0) % 360.0 - 180.0)
+        sin_phi, cos_phi = xp.sin(phi), xp.cos(phi)
+        cos_c = self.sin0 * sin_phi + self.cos0 * cos_phi * xp.cos(dlam)
+        # the far hemisphere is unprojectable: NaN
+        cos_c = xp.where(cos_c <= 1e-10, np.nan, cos_c)
+        x = self.r * cos_phi * xp.sin(dlam) / cos_c
+        y = (
+            self.r
+            * (self.cos0 * sin_phi - self.sin0 * cos_phi * xp.cos(dlam))
+            / cos_c
+        )
+        return self.fe + x, self.fn + y
+
+    def inverse(self, x, y, xp=np):
+        x = xp.asarray(x, dtype=float) - self.fe
+        y = xp.asarray(y, dtype=float) - self.fn
+        rho = xp.hypot(x, y)
+        c = xp.arctan(rho / self.r)
+        sin_c, cos_c = xp.sin(c), xp.cos(c)
+        rho_safe = xp.where(rho == 0.0, 1e-15, rho)
+        phi = xp.arcsin(
+            xp.clip(
+                cos_c * self.sin0 + y * sin_c * self.cos0 / rho_safe, -1.0, 1.0
+            )
+        )
+        dlam = xp.arctan2(
+            x * sin_c, rho_safe * self.cos0 * cos_c - y * self.sin0 * sin_c
+        )
+        phi = xp.where(rho == 0.0, np.radians(self.lat0), phi)
+        dlam = xp.where(rho == 0.0, 0.0, dlam)
+        return self.lon0 + xp.degrees(dlam), xp.degrees(phi)
+
+
+class _ScaledUnitProjection:
+    """Wrap a projection whose CRS uses non-metre linear units (e.g. US
+    survey foot state plane systems): grid coordinates = metres / factor."""
+
+    is_geographic = False
+
+    def __init__(self, inner, factor, unit_name="unknown"):
+        self._inner = inner
+        self.factor = factor
+        self.unit = unit_name
+        self.ell = inner.ell
+
+    def forward(self, lon, lat, xp=np):
+        x, y = self._inner.forward(lon, lat, xp)
+        return x / self.factor, y / self.factor
+
+    def inverse(self, x, y, xp=np):
+        return self._inner.inverse(
+            xp.asarray(x, dtype=float) * self.factor,
+            xp.asarray(y, dtype=float) * self.factor,
+            xp,
+        )
+
+
 class SpatialReference:
     """A CRS: a datum plus a projection, identified by an EPSG code (or by
     its parameters, for CRSes parsed from WKT/proj4 without a known code)."""
@@ -1336,10 +2304,206 @@ def _registry_get(code):
                 _ellipsoid("GRS80"), 10.0, 52.0, 4321000.0, 3210000.0
             ),
         )
+    if code == 4267:
+        return SpatialReference(4267, "NAD27", "NAD27", _GeographicProjection())
+    if code == 4230:
+        return SpatialReference(4230, "ED50", "ED50", _GeographicProjection())
+    if code == 4284:
+        return SpatialReference(
+            4284, "Pulkovo 1942", "Pulkovo42", _GeographicProjection()
+        )
+    if code == 4167:
+        return SpatialReference(
+            4167, "NZGD2000", "WGS84", _GeographicProjection()
+        )
+    if code == 2193:
+        return SpatialReference(
+            2193,
+            "NZGD2000 / New Zealand Transverse Mercator 2000",
+            "WGS84",  # NZGD2000 is WGS84-coincident at this accuracy
+            _TransverseMercator(
+                _ellipsoid("GRS80"), 173.0, 0.0, 0.9996, 1600000.0, 10000000.0
+            ),
+        )
+    if code == 31370:
+        return SpatialReference(
+            31370,
+            "BD72 / Belgian Lambert 72",
+            "BD72",
+            _LambertConformalConic(
+                _ellipsoid("intl"),
+                4.367486666666666,
+                90.0,
+                51.16666723333333,
+                49.8333339,
+                150000.013,
+                5400088.438,
+            ),
+        )
+    if code in (21781, 2056):
+        lv95 = code == 2056
+        return SpatialReference(
+            code,
+            "CH1903+ / LV95" if lv95 else "CH1903 / LV03",
+            "CH1903",
+            _HotineObliqueMercator(
+                _ellipsoid("bessel"),
+                7.439583333333333,
+                46.952405555555565,
+                90.0,
+                90.0,
+                1.0,
+                2600000.0 if lv95 else 600000.0,
+                1200000.0 if lv95 else 200000.0,
+                variant="B",
+            ),
+        )
+    if code == 3112:
+        return SpatialReference(
+            3112,
+            "GDA94 / Geoscience Australia Lambert",
+            "WGS84",  # GDA94 treated as WGS84-coincident
+            _LambertConformalConic(
+                _ellipsoid("GRS80"), 134.0, 0.0, -18.0, -36.0, 0.0, 0.0
+            ),
+        )
+    if code == 3577:
+        return SpatialReference(
+            3577,
+            "GDA94 / Australian Albers",
+            "WGS84",
+            _AlbersEqualArea(
+                _ellipsoid("GRS80"), 132.0, 0.0, -18.0, -36.0, 0.0, 0.0
+            ),
+        )
+    if 28348 <= code <= 28358:
+        zone = code - 28300
+        return SpatialReference(
+            code,
+            "GDA94 / MGA zone %d" % zone,
+            "WGS84",
+            _TransverseMercator(
+                _ellipsoid("GRS80"),
+                -183.0 + 6.0 * zone,
+                0.0,
+                0.9996,
+                500000.0,
+                10000000.0,
+            ),
+        )
+    if 26901 <= code <= 26923:
+        zone = code - 26900
+        return SpatialReference(
+            code,
+            "NAD83 / UTM zone %dN" % zone,
+            "ETRS89",  # NAD83 treated as WGS84-coincident
+            _TransverseMercator(
+                _ellipsoid("GRS80"), -183.0 + 6.0 * zone, 0.0, 0.9996,
+                500000.0, 0.0,
+            ),
+        )
+    if 23028 <= code <= 23038:
+        zone = code - 23000
+        return SpatialReference(
+            code,
+            "ED50 / UTM zone %dN" % zone,
+            "ED50",
+            _TransverseMercator(
+                _ellipsoid("intl"), -183.0 + 6.0 * zone, 0.0, 0.9996,
+                500000.0, 0.0,
+            ),
+        )
+    if code in (32661, 32761):
+        north = code == 32661
+        return SpatialReference(
+            code,
+            "WGS 84 / UPS %s" % ("North" if north else "South"),
+            "WGS84",
+            _PolarStereographic(
+                _ellipsoid("WGS84"), 0.0, k0=0.994, false_easting=2000000.0,
+                false_northing=2000000.0, north=north,
+            ),
+        )
+    if code == 5514:
+        return SpatialReference(
+            5514,
+            "S-JTSK / Krovak East North",
+            "S-JTSK",
+            _Krovak(
+                _ellipsoid("bessel"),
+                24.833333333333332,
+                49.5,
+                30.28813975277778,
+                78.5,
+                0.9999,
+                0.0,
+                0.0,
+            ),
+        )
+    if code == 6933:
+        return SpatialReference(
+            6933,
+            "WGS 84 / NSIDC EASE-Grid 2.0 Global",
+            "WGS84",
+            _CylindricalEqualArea(_ellipsoid("WGS84"), 0.0, 30.0),
+        )
+    if code == 8857:
+        return SpatialReference(
+            8857,
+            "WGS 84 / Equal Earth Greenwich",
+            "WGS84",
+            _EqualEarth(_ellipsoid("WGS84"), 0.0),
+        )
+    if code == 2163:
+        return SpatialReference(
+            2163,
+            "US National Atlas Equal Area",
+            "WGS84",  # the sphere is its own "datum"; treated as WGS84
+            _LambertAzimuthalEqualArea(
+                _Ellipsoid(6370997.0, float("inf")), -100.0, 45.0, 0.0, 0.0
+            ),
+        )
     raise TransformException("Unsupported EPSG code: %d" % code)
 
 
+#: the commonly-encountered ESRI :54xxx "World" series (WGS84 ellipsoid)
+#: and :53xxx sphere series; method + ellipsoid name per code suffix
+_ESRI_WORLD = {
+    3: ("miller_cylindrical", {}),
+    8: ("sinusoidal", {}),
+    9: ("mollweide", {}),
+    12: ("eckert_iv", {}),
+    16: ("gall_stereographic", {}),
+    17: ("bonne", {"standard_parallel_1": 60.0}),
+    24: ("polyconic", {}),
+    29: ("van_der_grinten", {}),
+    30: ("robinson", {}),
+    32: ("azimuthal_equidistant", {}),
+    34: ("cylindrical_equal_area", {}),
+}
+
+
+@lru_cache(maxsize=None)
+def _esri_registry_get(code):
+    series = code // 1000
+    suffix = code % 1000
+    if series in (53, 54) and suffix in _ESRI_WORLD:
+        method, extra = _ESRI_WORLD[suffix]
+        ell = _ellipsoid("WGS84" if series == 54 else "authalic")
+        datum = "WGS84"
+        projection = _build_projection(method, ell, dict(extra))
+        return SpatialReference(
+            None,
+            "ESRI:%d" % code,
+            datum,
+            projection,
+            key=("esri", code),
+        )
+    raise TransformException("Unsupported ESRI code: %d" % code)
+
+
 _EPSG_RE = re.compile(r"^(?:EPSG|epsg):(\d+)$")
+_ESRI_RE = re.compile(r"^(?:ESRI|esri):(\d+)$")
 _WKT_AUTH_RE = re.compile(r'AUTHORITY\[\"EPSG\",\s*\"?(\d+)\"?\]\s*\]\s*$')
 _WKT_ID_RE = re.compile(r'ID\[\"EPSG\",\s*(\d+)\]\s*\]\s*$')
 
@@ -1555,6 +2719,44 @@ def _build_projection(method, ell, p):
             false_easting=p.get("false_easting", 2510000.0),
             false_northing=p.get("false_northing", 6023150.0),
         )
+    if method in ("polyconic", "american_polyconic"):
+        return _AmericanPolyconic(ell, cm, lat0, fe, fn)
+    if method == "bonne":
+        return _Bonne(ell, cm, p.get("standard_parallel_1", lat0), fe, fn)
+    if method == "sinusoidal":
+        return _Sinusoidal(ell, cm, fe, fn)
+    if method in (
+        "cylindrical_equal_area",
+        "lambert_cylindrical_equal_area",
+        "lambert_cylindrical_equal_area_spherical",
+    ):
+        return _CylindricalEqualArea(
+            ell, cm, p.get("standard_parallel_1", lat0), fe, fn
+        )
+    if method == "mollweide":
+        return _Mollweide(ell, cm, fe, fn)
+    if method == "robinson":
+        return _Robinson(ell, cm, fe, fn)
+    if method in ("vandergrinten", "van_der_grinten_i", "van_der_grinten"):
+        return _VanDerGrinten(ell, cm, fe, fn)
+    if method == "eckert_iv":
+        return _EckertIV(ell, cm, fe, fn)
+    if method == "miller_cylindrical":
+        return _MillerCylindrical(ell, cm, fe, fn)
+    if method == "gall_stereographic":
+        return _GallStereographic(ell, cm, fe, fn)
+    if method == "equal_earth":
+        return _EqualEarth(ell, cm, fe, fn)
+    if method in (
+        "azimuthal_equidistant",
+        "modified_azimuthal_equidistant",
+        "azimuthal_equidistant_spherical",
+    ):
+        return _AzimuthalEquidistant(ell, cm, lat0, fe, fn)
+    if method == "orthographic":
+        return _Orthographic(ell, cm, lat0, fe, fn)
+    if method == "gnomonic":
+        return _Gnomonic(ell, cm, lat0, fe, fn)
     raise TransformException("Unsupported projection method: %s" % method)
 
 
@@ -1635,10 +2837,24 @@ def _sr_from_wkt(text):
         if isinstance(arg, tuple) and arg[0] == "PARAMETER"
     }
     unit = _wkt_find(root, "UNIT", "LENGTHUNIT")
-    if unit is not None and abs(float(unit[1][1]) - 1.0) > 1e-9:
-        raise TransformException("Only metre units are supported in PROJCS")
-    projection = _build_projection(method, ell, params)
-    key = code or (method.lower(), datum_key, tuple(sorted(params.items())))
+    factor = float(unit[1][1]) if unit is not None else 1.0
+    if abs(factor - 1.0) > 1e-12:
+        # WKT expresses false easting/northing in the CRS's linear unit
+        # (e.g. US survey foot state plane); the projection math runs in
+        # metres, so convert the offsets in and scale the grid out
+        for param in ("false_easting", "false_northing"):
+            if param in params:
+                params[param] = params[param] * factor
+        projection = _ScaledUnitProjection(
+            _build_projection(method, ell, params),
+            factor,
+            str(unit[1][0]),
+        )
+    else:
+        projection = _build_projection(method, ell, params)
+    key = code or (
+        method.lower(), datum_key, tuple(sorted(params.items())), factor
+    )
     return SpatialReference(code, name, datum_key, projection, wkt=text, key=key)
 
 
@@ -1649,6 +2865,19 @@ _PROJ4_ELLPS = {
     "airy": "airy",
     "intl": "intl",
     "sphere": "sphere",
+    "clrk66": "clrk66",
+    "krass": "krass",
+    "GRS67": "GRS67",
+}
+
+#: proj4 +datum= names -> DATUMS keys (ellipsoid + towgs84 implied)
+_PROJ4_DATUMS = {
+    "WGS84": "WGS84",
+    "NAD83": "ETRS89",
+    "NAD27": "NAD27",
+    "OSGB36": "OSGB36",
+    "nzgd49": "NZGD49",
+    "ED50": "ED50",
 }
 
 _PROJ4_METHODS = {
@@ -1662,8 +2891,31 @@ _PROJ4_METHODS = {
     "eqc": "equidistant_cylindrical",
     "cass": "cassini_soldner",
     "omerc": "hotine_oblique_mercator_azimuth_center",
+    "somerc": "hotine_oblique_mercator_azimuth_center",
     "krovak": "krovak",
     "nzmg": "new_zealand_map_grid",
+    "poly": "polyconic",
+    "bonne": "bonne",
+    "sinu": "sinusoidal",
+    "cea": "cylindrical_equal_area",
+    "moll": "mollweide",
+    "robin": "robinson",
+    "vandg": "van_der_grinten",
+    "eck4": "eckert_iv",
+    "mill": "miller_cylindrical",
+    "gall": "gall_stereographic",
+    "eqearth": "equal_earth",
+    "aeqd": "azimuthal_equidistant",
+    "ortho": "orthographic",
+    "gnom": "gnomonic",
+}
+
+#: proj4 +units values -> metres per unit (subset; +to_meter overrides)
+_PROJ4_UNITS = {
+    "m": 1.0,
+    "ft": 0.3048,
+    "us-ft": 1200.0 / 3937.0,
+    "km": 1000.0,
 }
 
 
@@ -1675,7 +2927,15 @@ def _sr_from_proj4(text):
         key, _, value = item[1:].partition("=")
         parts[key] = value if value else True
 
-    if "ellps" in parts and parts["ellps"] in _PROJ4_ELLPS:
+    if "datum" in parts and str(parts["datum"]) in _PROJ4_DATUMS:
+        # a named datum implies the ellipsoid AND the WGS84 shift
+        datum_key = _PROJ4_DATUMS[str(parts["datum"])]
+        ell_name, known_helmert = DATUMS[datum_key]
+        a, inv_f = ELLIPSOIDS[ell_name]
+        if "towgs84" not in parts and known_helmert is not None:
+            parts = dict(parts)
+            parts["towgs84"] = ",".join(str(v) for v in known_helmert)
+    elif "ellps" in parts and parts["ellps"] in _PROJ4_ELLPS:
         a, inv_f = ELLIPSOIDS[_PROJ4_ELLPS[parts["ellps"]]]
     elif "a" in parts:
         a = float(parts["a"])
@@ -1763,12 +3023,14 @@ def _sr_from_proj4(text):
     elif proj == "eqc" and "lat_ts" in parts:
         # +lat_ts is the standard parallel; +lat_0 offsets the y origin
         params["standard_parallel_1"] = float(parts["lat_ts"])
-    elif proj == "omerc":
+    elif proj in ("omerc", "somerc"):
+        # somerc (Swiss oblique Mercator) = variant B with azimuth 90 and
+        # rectified grid angle 90 (EPSG method 9815, e.g. EPSG:21781)
         params["central_meridian"] = float(parts.get("lonc", parts.get("lon_0", 0)))
         params["azimuth"] = float(parts.get("alpha", 90))
         if "gamma" in parts:
             params["rectified_grid_angle"] = float(parts["gamma"])
-        if "no_uoff" in parts or "no_off" in parts:
+        if proj == "omerc" and ("no_uoff" in parts or "no_off" in parts):
             method = "hotine_oblique_mercator"
     elif proj == "nzmg":
         # PROJ's built-in New Zealand Map Grid defaults
@@ -1786,7 +3048,23 @@ def _sr_from_proj4(text):
         if "k" not in parts and "k_0" not in parts:
             params["scale_factor"] = 0.9999
     projection = _build_projection(method, ell, params)
-    key = (method, datum_key, tuple(sorted(params.items())))
+    # +units / +to_meter: proj4 keeps x_0/y_0 in metres; only the grid
+    # coordinates are expressed in the unit
+    factor = None
+    if "to_meter" in parts:
+        factor = float(parts["to_meter"])
+    elif "units" in parts and parts["units"] != "m":
+        try:
+            factor = _PROJ4_UNITS[str(parts["units"])]
+        except KeyError:
+            raise TransformException(
+                "Unsupported proj4 unit: %r" % parts["units"]
+            )
+    if factor is not None and abs(factor - 1.0) > 1e-12:
+        projection = _ScaledUnitProjection(
+            projection, factor, str(parts.get("units", "unit"))
+        )
+    key = (method, datum_key, tuple(sorted(params.items())), factor)
     return SpatialReference(None, text, datum_key, projection, key=key)
 
 
@@ -1804,6 +3082,9 @@ def get_sr(user_input):
     match = _EPSG_RE.match(text)
     if match:
         return _registry_get(int(match.group(1)))
+    match = _ESRI_RE.match(text)
+    if match:
+        return _esri_registry_get(int(match.group(1)))
     if text.isdigit():
         return _registry_get(int(text))
     # WKT with an EPSG authority: prefer the registry entry for its datum

@@ -174,6 +174,16 @@ class TestWarpFuzz:
             "+y_0=2200000 +ellps=WGS84 +towgs84=0,0,0",
         ),
         ("EPSG:28992", "+proj=krovak +ellps=bessel +towgs84=589,76,480"),
+        # round-3 additions: the long-tail families (incl. the generic
+        # Newton-inverted path used by robin/vandg)
+        ("EPSG:28992", "+proj=poly +lat_0=52 +lon_0=5 +ellps=WGS84 +towgs84=0,0,0"),
+        ("EPSG:28992", "+proj=bonne +lat_1=52 +lon_0=5 +ellps=WGS84 +towgs84=0,0,0"),
+        ("EPSG:28992", "+proj=sinu +lon_0=5 +ellps=WGS84 +towgs84=0,0,0"),
+        ("EPSG:28992", "+proj=cea +lat_ts=45 +lon_0=5 +ellps=WGS84 +towgs84=0,0,0"),
+        ("EPSG:28992", "+proj=aeqd +lat_0=52 +lon_0=5 +ellps=WGS84 +towgs84=0,0,0"),
+        ("EPSG:28992", "+proj=eqearth +ellps=WGS84 +towgs84=0,0,0"),
+        ("EPSG:28992", "+proj=robin +ellps=WGS84 +towgs84=0,0,0"),
+        ("EPSG:28992", "+proj=somerc +lat_0=52 +lon_0=5 +ellps=WGS84 +towgs84=0,0,0"),
     ]
 
     @pytest.mark.parametrize("dst", [pair[1] for pair in CRS_PAIRS])
