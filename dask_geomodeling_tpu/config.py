@@ -31,9 +31,13 @@ defaults = {
     "scheduler": None,
     "temporary_directory": None,
     # --- TPU runtime additions ---
-    # executor for raster vals requests: "numpy" (host reference path) or
-    # "jax" (lower the compute graph to a jitted XLA program)
-    "geomodeling.executor": "numpy",
+    # executor for raster vals requests: "numpy" (host reference path),
+    # "jax" (always lower to a jitted XLA program), or "auto" (route each
+    # request by measured host/device rates, runtime/router.py)
+    "geomodeling.executor": "auto",
+    # minimum request pixels before "auto" considers the device path
+    # (below this a dispatch cannot amortize over a tunneled TPU)
+    "geomodeling.auto-min-device-px": 65536,
     # fixed tile edge for the tiled TPU runtime (pixels)
     "geomodeling.tile-size": 512,
     # number of tiles evaluated per device program invocation (measured

@@ -125,24 +125,6 @@ def _masked_frame(frame, no_data_value, labels, label_fill, thresholds):
     return active
 
 
-def _device_frame_statistic(frame, labels, active, n, statistic, percentile):
-    """Per-label statistics via device segment reductions; NaN where a
-    label received no cells."""
-    from dask_geomodeling_tpu.ops.segment import (
-        labeled_percentile_jax,
-        labeled_statistic_jax,
-    )
-
-    if statistic in ("median", "percentile"):
-        q = 50.0 if statistic == "median" else percentile
-        return np.asarray(labeled_percentile_jax(frame, labels, active, n, q))
-    return np.asarray(
-        labeled_statistic_jax(
-            frame, np.where(active, labels, 0), active, n, statistic
-        )
-    )
-
-
 def aggregate_polygons(
     geometries,
     values,
@@ -175,6 +157,7 @@ def aggregate_polygons(
         config.get("geomodeling.aggregate-device", False)
         and statistic in DEVICE_STATISTICS
     )
+    device_buckets = []  # (labels, (t, h, w) active) per covered bucket
 
     for group in bucketize(geometries.bounds.values):
         burned = utils.rasterize_geoseries(
@@ -198,20 +181,30 @@ def aggregate_polygons(
             else None
         )
 
+        if device_capable:
+            # participation masks for ALL frames at once, in the original
+            # dtype (scipy-path semantics); the device work batches below
+            device_buckets.append(
+                (
+                    labels,
+                    np.stack(
+                        [
+                            _masked_frame(
+                                frame, no_data_value, labels, label_fill,
+                                thresholds,
+                            )
+                            for frame in values
+                        ]
+                    ),
+                )
+            )
+            continue
+
         for frame_no, frame in enumerate(values):
             active = _masked_frame(
                 frame, no_data_value, labels, label_fill, thresholds
             )
             if not active.any():
-                continue
-
-            if device_capable:
-                per_label = _device_frame_statistic(
-                    frame, labels, active, n, statistic, percentile
-                )
-                found = ~np.isnan(per_label)
-                hit = [i for i in group if found[i]]
-                agg[frame_no][hit] = per_label[hit]
                 continue
 
             active_labels = labels[active]
@@ -225,6 +218,27 @@ def aggregate_polygons(
                         labels=active_labels,
                         index=hit,
                     )
+
+    if device_buckets:
+        # one dispatch for the full (buckets x frames) matrix, one fetch
+        from dask_geomodeling_tpu.ops.segment import (
+            labeled_statistics_batch_jax,
+        )
+
+        q = 50.0 if statistic == "median" else (percentile or 50.0)
+        result = np.asarray(
+            labeled_statistics_batch_jax(
+                values,
+                np.stack([labels for labels, _ in device_buckets]),
+                np.stack([active for _, active in device_buckets]),
+                n,
+                statistic,
+                q,
+            )
+        )
+        for per_bucket in result:  # (t, n); buckets fill disjoint labels
+            found = ~np.isnan(per_bucket)
+            agg[found] = per_bucket[found]
     return agg, list(uncovered)
 
 

@@ -1,10 +1,9 @@
 """Geometry sinks: GeometryFileSink and the tiled ``to_file`` export.
 
-Semantics match the reference (dask_geomodeling/geometry/sinks.py):
+Covers the reference's sink surface (dask_geomodeling/geometry/sinks.py):
 per-request-hash files, JSON-serialized nested columns, categorical
 conversion, GeoJSON reprojection to EPSG:4326, merge_files gathering
-partials.  Formats come from the native codecs (io/vectorfile.py:
-geojson, gpkg).
+partials.  Formats come from the native codecs (io/vectorfile.py).
 """
 import glob
 import json
@@ -12,12 +11,14 @@ import logging
 import os
 import shutil
 import tempfile
+from collections import namedtuple
 from contextlib import contextmanager
 
 import pandas as pd
 
 from dask_geomodeling_tpu import utils
 from dask_geomodeling_tpu.config import config
+from dask_geomodeling_tpu.core import arg
 from dask_geomodeling_tpu.core.tokens import tokenize
 from dask_geomodeling_tpu.geo.features import GeoDataFrame
 from dask_geomodeling_tpu.geo.geometry import box
@@ -28,27 +29,72 @@ __all__ = ["GeometryFileSink", "to_file"]
 
 logger = logging.getLogger(__name__)
 
+#: output format registry: extension -> (driver label, per-format rules);
+#: "force_crs" reprojects before writing (GeoJSON is 4326 by spec)
+_FORMATS = {
+    "geojson": ("GeoJSON", {"force_crs": "EPSG:4326"}),
+    "gpkg": ("GPKG", {}),
+    "shp": ("ESRI Shapefile", {}),
+    "gml": ("GML", {}),
+    # beyond the reference's four sink drivers (sinks.py:30-35):
+    "parquet": ("GeoParquet", {}),
+    "fgb": ("FlatGeobuf", {}),
+}
 
-def _to_json(value):
-    if isinstance(value, (list, dict)):
-        try:
-            return json.dumps(value)
-        except TypeError:
-            return "<unable to export>"
-    return value
+#: everything one partial-file write needs, planned at request-rewrite time
+_FeatureWriteSpec = namedtuple(
+    "_FeatureWriteSpec", ["directory", "fields", "extension", "stem"]
+)
 
 
-def _rename_columns(gdf, fields, index_name):
-    """Keep only the geometry + mapped columns, renaming per ``fields``."""
-    result = GeoDataFrame(
-        pd.DataFrame(index=gdf.index), geometry=list(gdf.geometry), crs=gdf.crs
-    )
-    for new_col, old_col in fields.items():
-        if old_col not in gdf.columns and old_col == index_name:
-            result[new_col] = gdf.index
-        else:
-            result[new_col] = gdf[old_col]
-    return result
+def _normalize_extension(extension):
+    """A registry key from user input ('.gpkg' and 'gpkg' both work)."""
+    if not isinstance(extension, str):
+        raise TypeError("'{}' object is not allowed".format(type(extension)))
+    key = extension.lstrip(".")
+    if key not in _FORMATS:
+        raise ValueError("Format '{}' is unsupported".format(key))
+    return key
+
+
+def _field_mapping(fields, columns):
+    """The {output name: source column} mapping, defaulting to identity
+    over every non-geometry column."""
+    if fields is None:
+        return {name: name for name in columns if name != "geometry"}
+    if not isinstance(fields, dict):
+        raise TypeError("'{}' object is not allowed".format(type(fields)))
+    missing = set(fields.values()) - set(columns)
+    if missing:
+        raise ValueError("Columns {} are not available".format(missing))
+    return fields
+
+
+def _export_series(gdf, column, index_name):
+    """One output column's data: a frame column, or the index by name."""
+    if column == index_name and column not in gdf.columns:
+        return pd.Series(gdf.index, index=gdf.index)
+    return gdf[column]
+
+
+def _writable_values(series):
+    """File-format-safe values: nested objects JSON-encoded, categoricals
+    decayed to their category dtype — one pass per column."""
+
+    def encode(value):
+        if isinstance(value, (list, dict)):
+            try:
+                return json.dumps(value)
+            except TypeError:
+                return "<unable to export>"
+        return value
+
+    if str(series.dtype) == "category":
+        base = series.cat.categories.dtype
+        series = series.astype(base)
+    if series.dtype == object:
+        series = series.map(encode)
+    return series
 
 
 class GeometryFileSink(BaseSingle):
@@ -61,99 +107,69 @@ class GeometryFileSink(BaseSingle):
       fields (dict): {output field name: column name} mapping
     """
 
-    supported_extensions = {
-        "geojson": "GeoJSON",
-        "gpkg": "GPKG",
-        "shp": "ESRI Shapefile",
-        "gml": "GML",
-        # beyond the reference's four sink drivers (sinks.py:30-35):
-        "parquet": "GeoParquet",
-        "fgb": "FlatGeobuf",
-    }
+    supported_extensions = {key: spec[0] for key, spec in _FORMATS.items()}
 
     def __init__(self, source, url, extension="geojson", fields=None):
-        safe_url = utils.safe_file_url(url)
-        if not isinstance(extension, str):
-            raise TypeError("'{}' object is not allowed".format(type(extension)))
-        if len(extension) > 0 and extension[0] == ".":
-            extension = extension[1:]
-        if extension not in self.supported_extensions:
-            raise ValueError("Format '{}' is unsupported".format(extension))
-        if fields is None:
-            fields = {x: x for x in source.columns if x != "geometry"}
-        elif not isinstance(fields, dict):
-            raise TypeError("'{}' object is not allowed".format(type(fields)))
-        else:
-            missing = set(fields.values()) - source.columns
-            if missing:
-                raise ValueError("Columns {} are not available".format(missing))
-        super().__init__(source, safe_url, extension, fields)
+        super().__init__(
+            source,
+            utils.safe_file_url(url),
+            _normalize_extension(extension),
+            _field_mapping(fields, source.columns),
+        )
 
-    @property
-    def url(self):
-        return self.args[1]
-
-    @property
-    def extension(self):
-        return self.args[2]
-
-    @property
-    def fields(self):
-        return self.args[3]
+    url = arg(1, "sandboxed target directory URL")
+    extension = arg(2, "output format key")
+    fields = arg(3, "output-name to column-name mapping")
 
     @property
     def columns(self):
         return {"saved"}
 
     def get_sources_and_requests(self, **request):
-        process_kwargs = {
-            "url": self.url,
-            "fields": self.fields,
-            "extension": self.extension,
-            "hash": tokenize(request)[:7],
-        }
-        return [(self.source, request), (process_kwargs, None)]
+        spec = _FeatureWriteSpec(
+            directory=self.url,
+            fields=self.fields,
+            extension=self.extension,
+            stem=tokenize(request)[:7],
+        )
+        return [(self.source, request), (spec, None)]
 
     @staticmethod
-    def process(data, process_kwargs):
+    def process(data, spec):
         from dask_geomodeling_tpu.io.vectorfile import write_vector
 
         if "features" not in data or len(data["features"]) == 0:
             return data
-
-        features = data["features"].copy()
-        features.crs = data["projection"]
+        spec = _FeatureWriteSpec(*spec)
         projection = data["projection"]
-        path = utils.safe_abspath(process_kwargs["url"])
-        fields = process_kwargs["fields"]
-        extension = process_kwargs["extension"]
+        source = data["features"]
 
-        os.makedirs(path, exist_ok=True)
-        filename = ".".join([process_kwargs["hash"], extension])
+        # assemble the output frame column by column (format-safe values)
+        frame = GeoDataFrame(
+            pd.DataFrame(index=source.index),
+            geometry=list(source.geometry),
+            crs=projection,
+        )
+        for name, column in spec.fields.items():
+            frame[name] = _writable_values(
+                _export_series(source, column, source.index.name)
+            )
 
-        features = _rename_columns(features, fields, features.index.name)
+        rules = _FORMATS[spec.extension][1]
+        forced = rules.get("force_crs")
+        if forced and projection.upper() != forced:
+            frame = frame.to_crs(forced)
 
-        # serialize nested values, convert categoricals to plain dtypes
-        for col in fields.keys():
-            series = features[col]
-            if series.dtype == object or (
-                str(series.dtype) == "category"
-                and series.cat.categories.dtype == object
-            ):
-                features[col] = series.map(_to_json)
-        for col in fields.keys():
-            series = features[col]
-            if str(series.dtype) == "category":
-                features[col] = series.astype(series.cat.categories.dtype)
+        directory = utils.safe_abspath(spec.directory)
+        os.makedirs(directory, exist_ok=True)
+        write_vector(
+            frame,
+            os.path.join(directory, spec.stem + "." + spec.extension),
+        )
 
-        if extension == "geojson" and projection.upper() != "EPSG:4326":
-            features = features.to_crs("EPSG:4326")
-
-        write_vector(features, os.path.join(path, filename))
-
-        result = GeoDataFrame(pd.DataFrame(index=features.index))
-        result["saved"] = True
-        return {"features": result, "projection": projection}
+        saved = GeoDataFrame(pd.DataFrame(index=source.index))
+        saved["saved"] = True
+        return {"features": saved, "projection": projection}
 
     @staticmethod
     def merge_files(path, target, remove_source=False):
@@ -167,33 +183,30 @@ class GeometryFileSink(BaseSingle):
             raise IOError("Target '{}' already exists".format(target))
 
         ext = os.path.splitext(target)[1]
-        source_paths = sorted(glob.glob(os.path.join(path, "*" + ext)))
-        if len(source_paths) == 0:
+        partials = sorted(glob.glob(os.path.join(path, "*" + ext)))
+        if not partials:
             raise IOError(
                 "No source files found with matching extension '{}'".format(ext)
             )
-        if len(source_paths) == 1:
-            move_or_copy = shutil.move if remove_source else shutil.copy
-            move_or_copy(source_paths[0], target)
-            if remove_source:
-                try:
-                    os.rmdir(path)
-                except OSError:
-                    pass
-            return
 
-        frames = [read_vector(p) for p in source_paths]
-        crs = frames[0].crs
-        merged = GeoDataFrame(pd.concat([pd.DataFrame(f) for f in frames]), crs=crs)
-        merged._geometry_column_name = "geometry"
-        write_vector(merged, target)
+        if len(partials) == 1:
+            (shutil.move if remove_source else shutil.copy)(partials[0], target)
+        else:
+            frames = [read_vector(partial) for partial in partials]
+            merged = GeoDataFrame(
+                pd.concat([pd.DataFrame(frame) for frame in frames]),
+                crs=frames[0].crs,
+            )
+            merged._geometry_column_name = "geometry"
+            write_vector(merged, target)
+            if remove_source:
+                for partial in partials:
+                    os.remove(partial)
         if remove_source:
-            for source_path in source_paths:
-                os.remove(source_path)
             try:
                 os.rmdir(path)
             except OSError:
-                pass
+                pass  # directory not empty: other extensions remain
 
 
 @contextmanager
@@ -213,11 +226,12 @@ def to_file(source, url, fields=None, tile_size=None, dry_run=False, **request):
       dry_run (bool): only validate the arguments
       **request: geometry request fields (mode defaults to 'centroid')
     """
-    if "mode" not in request:
-        request["mode"] = "centroid"
+    request.setdefault("mode", "centroid")
     if "geometry" not in request:
-        result = source.get_data(mode="extent", projection=request["projection"])
-        request["geometry"] = box(*result["extent"])
+        extent = source.get_data(
+            mode="extent", projection=request["projection"]
+        )["extent"]
+        request["geometry"] = box(*extent)
 
     path = utils.safe_abspath(url)
     extension = os.path.splitext(path)[1]

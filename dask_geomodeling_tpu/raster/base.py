@@ -73,26 +73,61 @@ class RasterBlock(Block):
         """
         from dask_geomodeling_tpu.config import config
 
+        executor = config.get("geomodeling.executor", "numpy")
+        mode_vals = request.get("mode") == "vals"
+        tile_size = config.get("geomodeling.tile-size", 512)
+        width = request.get("width") or 0
+        height = request.get("height") or 0
         if (
-            request.get("mode") == "vals"
-            and config.get("geomodeling.executor", "numpy") == "jax"
+            executor == "jax"
+            and mode_vals
             and config.get("geomodeling.auto-tile", True)
+            and max(width, height) > tile_size
         ):
-            tile_size = config.get("geomodeling.tile-size", 512)
-            width = request.get("width") or 0
-            height = request.get("height") or 0
-            if max(width, height) > tile_size:
-                from dask_geomodeling_tpu.runtime.tiles import (
-                    NotLowerable,
-                    evaluate_tiled,
-                )
+            from dask_geomodeling_tpu.runtime.tiles import (
+                NotLowerable,
+                evaluate_tiled,
+            )
 
-                try:
-                    # batch resolves inside evaluate_tiled from
-                    # geomodeling.tile-batch (single source of truth)
-                    return evaluate_tiled(self, request, tile_size=tile_size)
-                except NotLowerable:
-                    pass  # host nodes present: the staged executor handles it
+            try:
+                # batch resolves inside evaluate_tiled from
+                # geomodeling.tile-batch (single source of truth)
+                return evaluate_tiled(self, request, tile_size=tile_size)
+            except NotLowerable:
+                pass  # host nodes present: the staged executor handles it
+        if executor == "auto" and mode_vals:
+            # per-request host/device routing by measured rates
+            # (runtime/router.py); the host path stays the safe default
+            from dask_geomodeling_tpu.runtime import router
+
+            eligible = width * height >= config.get(
+                "geomodeling.auto-min-device-px", 65536
+            )
+            if router.choose(self, request, eligible) == "jax":
+                if max(width, height) > tile_size:
+                    from dask_geomodeling_tpu.runtime.tiles import (
+                        NotLowerable,
+                        evaluate_tiled,
+                    )
+
+                    with router.timed_route(self, request, "jax") as timer:
+                        try:
+                            return evaluate_tiled(
+                                self, request, tile_size=tile_size
+                            )
+                        except NotLowerable:
+                            timer.failed = True
+                else:
+                    # sub-tile request: the staged executor avoids the
+                    # tile padding waste (handles host nodes itself)
+                    from dask_geomodeling_tpu.runtime.executor import (
+                        compute_jax,
+                    )
+
+                    with router.timed_route(self, request, "jax"):
+                        return compute_jax(*self.get_compute_graph(**request))
+            with router.timed_route(self, request, "numpy"):
+                return super().get_data(**request)
         return super().get_data(**request)
 
     def to_file(self, *args, **kwargs):

@@ -1,25 +1,33 @@
 """Raster sinks: RasterFileSink and the tiled ``to_file`` export.
 
-Semantics match the reference (dask_geomodeling/raster/sinks.py): each vals
-request writes one deflate-compressed tiled GeoTIFF named by a hash of the
-request (idempotent re-runs — this doubles as resumable export state,
-SURVEY §5 "Checkpoint / resume"); ``to_file`` runs the sink under a
-RasterTiler and merges the tiles into a VRT.
+Covers the reference's sink surface (dask_geomodeling/raster/sinks.py):
+each vals request writes one deflate-compressed tiled GeoTIFF named by a
+hash of the request (idempotent re-runs — this doubles as resumable
+export state, SURVEY §5 "Checkpoint / resume"); ``to_file`` runs the
+sink under a RasterTiler and merges the tiles into a VRT.
 """
 import glob
 import logging
 import os
+from collections import namedtuple
 
 import numpy as np
 
 from dask_geomodeling_tpu import utils
+from dask_geomodeling_tpu.core import arg
 from dask_geomodeling_tpu.core.tokens import tokenize
+from dask_geomodeling_tpu.geo.geotransform import GeoTransform
 from dask_geomodeling_tpu.raster.base import BaseSingle, RasterBlock
 from dask_geomodeling_tpu.raster.parallelize import RasterTiler
 
 __all__ = ["RasterFileSink", "to_file"]
 
 logger = logging.getLogger(__name__)
+
+#: everything one tile write needs, planned at request-rewrite time
+_TileWriteSpec = namedtuple(
+    "_TileWriteSpec", ["directory", "stem", "bbox", "projection"]
+)
 
 
 class RasterFileSink(BaseSingle):
@@ -33,73 +41,54 @@ class RasterFileSink(BaseSingle):
     def __init__(self, source, url):
         if not isinstance(source, RasterBlock):
             raise TypeError("'{}' object is not allowed".format(type(source)))
-        safe_url = utils.safe_file_url(url)
-        super().__init__(source, safe_url)
+        super().__init__(source, utils.safe_file_url(url))
 
-    @property
-    def url(self):
-        return self.args[1]
+    url = arg(1, "sandboxed target directory URL")
 
     def get_sources_and_requests(self, **request):
-        if request["mode"] != "vals":
-            return [(self.store, request), ({}, None)]
-
-        process_kwargs = {
-            "url": self.url,
-            "hash": tokenize(request)[:7],
-            "bbox": request["bbox"],
-            "projection": request["projection"],
-        }
-        return [(self.store, request), (process_kwargs, None)]
+        spec = None
+        if request["mode"] == "vals":
+            spec = _TileWriteSpec(
+                directory=self.url,
+                stem=tokenize(request)[:7],
+                bbox=request["bbox"],
+                projection=request["projection"],
+            )
+        return [(self.store, request), (spec, None)]
 
     @staticmethod
-    def process(data, process_kwargs):
+    def process(data, spec=None):
         from dask_geomodeling_tpu.io.geotiff import write_geotiff
 
-        if not process_kwargs:
+        if spec is None:
             return data  # non-vals mode passes through
-
         if data is None or "values" not in data:
             return None
+        spec = _TileWriteSpec(*spec)
 
-        values = data["values"]
-        no_data_value = data["no_data_value"]
-
+        values = np.asarray(data["values"])
         if values.ndim != 3 or values.shape[0] != 1:
             raise ValueError(
                 "Expected a single-band raster (shape (1, H, W)), got shape "
                 "{}".format(values.shape)
             )
+        fill = data["no_data_value"]
+        if fill is not None and not np.any(values != fill):
+            return None  # an all-nodata tile leaves no file behind
 
-        band_data = values[0]
-        if no_data_value is not None and np.all(band_data == no_data_value):
-            return None  # skip all-nodata tiles
-
-        height, width = band_data.shape
-        path = utils.safe_abspath(process_kwargs["url"])
-        os.makedirs(path, exist_ok=True)
-        filepath = os.path.join(path, process_kwargs["hash"] + ".tif")
-
-        x1, y1, x2, y2 = process_kwargs["bbox"]
-        geo_transform = (
-            x1,
-            (x2 - x1) / width,
-            0,
-            y2,
-            0,
-            -(y2 - y1) / height,
-        )
-
+        directory = utils.safe_abspath(spec.directory)
+        os.makedirs(directory, exist_ok=True)
+        height, width = values.shape[1:]
+        if values.dtype == bool:
+            values = values.astype(np.uint8)
         write_geotiff(
-            filepath,
-            band_data[np.newaxis].astype(
-                band_data.dtype if band_data.dtype != bool else np.uint8
+            os.path.join(directory, spec.stem + ".tif"),
+            values,
+            geo_transform=tuple(
+                GeoTransform.from_bbox(spec.bbox, height, width)
             ),
-            geo_transform=geo_transform,
-            projection=process_kwargs["projection"],
-            no_data_value=(
-                float(no_data_value) if no_data_value is not None else None
-            ),
+            projection=spec.projection,
+            no_data_value=None if fill is None else float(fill),
             compress="deflate",
             tiled=True,
         )
@@ -129,8 +118,7 @@ def to_file(source, url, tile_size, **request):
     Missing request fields (projection, bbox, width, height) default to the
     source raster's native values.
     """
-    request["mode"] = "vals"
-    _complete_request_from_source(request, source)
+    request = _native_request(source, request)
 
     path = utils.safe_abspath(url)
     if os.path.isdir(path):
@@ -143,30 +131,44 @@ def to_file(source, url, tile_size, **request):
     RasterFileSink.merge_files(tiles_dir, path)
 
 
-def _complete_request_from_source(request, source):
-    """Fill projection/bbox/width/height from the source's native grid."""
-    if "projection" not in request:
-        if source.projection is None:
+#: export request fields derivable from a source raster's native grid:
+#: field -> (source attribute to derive from, derivation)
+_NATIVE_FIELDS = (
+    ("projection", "projection", lambda source: source.projection),
+    ("bbox", "extent", lambda source: source.geometry.bounds),
+)
+
+
+def _native_request(source, overrides):
+    """A full vals request: the source's native grid + user overrides.
+
+    Inverted flow vs. filling blanks in place: the request is *built*
+    from the native-grid table, then user-supplied fields replace the
+    derived ones, so each derivation only runs (and only needs to be
+    derivable) when the user left that field out.
+    """
+    request = dict(overrides, mode="vals")
+    for field, label, derive in _NATIVE_FIELDS:
+        if field in request:
+            continue
+        try:
+            derived = derive(source)
+            if derived is None:
+                raise ValueError(label)
+        except (AttributeError, ValueError):
             raise ValueError(
-                "Cannot determine the projection from the source raster. "
-                "Please provide a 'projection' argument."
+                "Cannot determine the {} from the source raster. "
+                "Please provide a '{}' argument.".format(label, field)
             )
-        request["projection"] = source.projection
-    if "bbox" not in request:
-        if source.geometry is None:
+        request[field] = derived
+    if not ("width" in request and "height" in request):
+        grid = source.geo_transform
+        if grid is None:
             raise ValueError(
-                "Cannot determine the extent from the source raster. "
-                "Please provide a 'bbox' argument."
+                "Cannot determine the pixel size from the source raster. "
+                "Please provide 'width' and 'height' arguments."
             )
-        request["bbox"] = source.geometry.bounds
-    if "width" in request and "height" in request:
-        return
-    grid = source.geo_transform
-    if grid is None:
-        raise ValueError(
-            "Cannot determine the pixel size from the source raster. "
-            "Please provide 'width' and 'height' arguments."
-        )
-    x1, y1, x2, y2 = request["bbox"]
-    request["width"] = int(round((x2 - x1) / abs(float(grid[1]))))
-    request["height"] = int(round((y2 - y1) / abs(float(grid[5]))))
+        x1, y1, x2, y2 = request["bbox"]
+        request["width"] = int(round((x2 - x1) / abs(float(grid[1]))))
+        request["height"] = int(round((y2 - y1) / abs(float(grid[5]))))
+    return request

@@ -1,0 +1,184 @@
+"""The executor=auto per-request router (runtime/router.py).
+
+Reference analog: the dask scheduler seam (reference core/graphs.py:42-49)
+is a global switch; here "auto" picks host or device per (view, size)
+from measured rates, so every request matches-or-beats the host path.
+"""
+from datetime import datetime
+
+import numpy as np
+import pytest
+
+from dask_geomodeling_tpu import config
+from dask_geomodeling_tpu.raster import Add, MemorySource, Smooth
+from dask_geomodeling_tpu.runtime import router
+
+
+@pytest.fixture(autouse=True)
+def clean_router():
+    router.reset()
+    yield
+    router.reset()
+
+
+@pytest.fixture
+def big_source():
+    rng = np.random.RandomState(0)
+    return MemorySource(
+        data=(rng.rand(1, 320, 320) * 200).astype(np.float32),
+        no_data_value=float(np.finfo(np.float32).max),
+        projection="EPSG:28992",
+        pixel_size=1.0,
+        pixel_origin=(135000.0, 456000.0),
+        time_first=datetime(2000, 1, 1),
+    )
+
+
+def big_request(px=320):
+    return dict(
+        mode="vals",
+        bbox=(135000.0, 456000.0 - px, 135000.0 + px, 456000.0),
+        projection="EPSG:28992",
+        width=px,
+        height=px,
+        start=datetime(2000, 1, 1),
+    )
+
+
+class TestChoose:
+    def test_ineligible_is_host(self, big_source):
+        request = big_request()
+        assert router.choose(big_source, request, eligible=False) == "numpy"
+
+    def test_first_call_is_host(self, big_source):
+        assert router.choose(big_source, big_request(), True) == "numpy"
+
+    def test_explores_device_after_host_measurement(self, big_source):
+        request = big_request()
+        router.record(big_source, request, "numpy", 0.01)
+        assert router.choose(big_source, request, True) == "jax"
+
+    def test_first_device_run_is_compile_tainted(self, big_source):
+        request = big_request()
+        router.record(big_source, request, "numpy", 0.01)
+        router.record(big_source, request, "jax", 60.0)  # compile run
+        # still unmeasured: explore again
+        assert router.choose(big_source, request, True) == "jax"
+        router.record(big_source, request, "jax", 0.001)  # warm run
+        assert router.choose(big_source, request, True) == "jax"
+
+    def test_winner_by_measured_rate(self, big_source):
+        request = big_request()
+        router.record(big_source, request, "numpy", 0.001)  # fast host
+        router.record(big_source, request, "jax", 1.0)
+        router.record(big_source, request, "jax", 1.0)  # slow device
+        assert router.choose(big_source, request, True) == "numpy"
+
+    def test_lowering_failure_pins_host(self, big_source):
+        request = big_request()
+        router.record(big_source, request, "numpy", 0.01)
+        router.record(big_source, request, "jax", 0.0, failed=True)
+        assert router.choose(big_source, request, True) == "numpy"
+        assert router.stats()[router._key(big_source, request)]["host_only"]
+
+    def test_size_buckets_are_independent(self, big_source):
+        small = big_request(64)
+        big = big_request(320)
+        router.record(big_source, big, "numpy", 0.01)
+        # the small bucket has no host measurement yet
+        assert router.choose(big_source, small, True) == "numpy"
+        assert router.choose(big_source, big, True) == "jax"
+
+    def test_ema_adapts(self, big_source):
+        request = big_request()
+        router.record(big_source, request, "numpy", 1.0)
+        for _ in range(3):
+            router.record(big_source, request, "jax", 1.0)
+        # device starts equal; host speeds up 100x (tunnel recovered)
+        for _ in range(10):
+            router.record(big_source, request, "numpy", 0.01)
+        assert router.choose(big_source, request, True) == "numpy"
+
+
+class TestGetDataIntegration:
+    def test_auto_explores_then_settles(self, big_source, monkeypatch):
+        """Full get_data flow: host first, device twice, then winner."""
+        from dask_geomodeling_tpu.runtime import tiles
+
+        calls = []
+        real = tiles.evaluate_tiled
+
+        def spy(view, request, tile_size=512, batch=None):
+            calls.append("jax")
+            return real(view, request, tile_size=tile_size, batch=batch)
+
+        monkeypatch.setattr(tiles, "evaluate_tiled", spy)
+        view = Add(big_source, 1.0)
+        request = big_request()
+        with config.set(
+            {
+                "geomodeling.executor": "auto",
+                "geomodeling.auto-min-device-px": 1024,
+                "geomodeling.tile-size": 128,
+            }
+        ):
+            host_result = None
+            results = [view.get_data(**request) for _ in range(5)]
+        # first call was host-only; exploration ran the device path
+        assert 2 <= len(calls) <= 5
+        reference = results[0]["values"]
+        for result in results[1:]:
+            np.testing.assert_array_equal(result["values"], reference)
+
+    def test_auto_small_requests_never_touch_device(
+        self, big_source, monkeypatch
+    ):
+        from dask_geomodeling_tpu.runtime import tiles
+
+        def boom(*args, **kwargs):
+            raise AssertionError("device path must not run")
+
+        monkeypatch.setattr(tiles, "evaluate_tiled", boom)
+        view = Add(big_source, 1.0)
+        request = big_request(32)
+        with config.set({"geomodeling.executor": "auto"}):
+            for _ in range(4):
+                view.get_data(**request)
+
+    def test_auto_host_only_view_falls_back(self, big_source, monkeypatch):
+        """A view that cannot lower marks itself host-only after one try."""
+        from dask_geomodeling_tpu.runtime import tiles
+
+        calls = []
+        real = tiles.evaluate_tiled
+
+        def failing(view, request, tile_size=512, batch=None):
+            calls.append("try")
+            raise tiles.NotLowerable("host-only node")
+
+        monkeypatch.setattr(tiles, "evaluate_tiled", failing)
+        view = Add(big_source, 1.0)
+        request = big_request()
+        with config.set(
+            {
+                "geomodeling.executor": "auto",
+                "geomodeling.auto-min-device-px": 1024,
+                "geomodeling.tile-size": 128,  # force the tiled route
+            }
+        ):
+            results = [view.get_data(**request) for _ in range(4)]
+        assert len(calls) == 1  # one failed try, then pinned to host
+        for result in results:
+            assert result is not None
+
+    def test_numpy_executor_untouched(self, big_source, monkeypatch):
+        from dask_geomodeling_tpu.runtime import tiles
+
+        def boom(*args, **kwargs):
+            raise AssertionError("device path must not run")
+
+        monkeypatch.setattr(tiles, "evaluate_tiled", boom)
+        view = Add(big_source, 1.0)
+        with config.set({"geomodeling.executor": "numpy"}):
+            for _ in range(3):
+                view.get_data(**big_request())
