@@ -236,6 +236,85 @@ def test_evaluate_tiled_dp_sp_mesh_stencil(devices):
     )
 
 
+def test_evaluate_tiled_sp_real_boundary_pads(devices):
+    """VERDICT r2 task 6: an sp-sharded Smooth over a source LARGER than
+    the request must equal the single-device result bit-for-bit via
+    evaluate_tiled — and both must use the real out-of-request source
+    rows (per-tile over-fetch), not a zero/fill edge."""
+    from datetime import datetime, timedelta
+
+    from dask_geomodeling_tpu import config
+    from dask_geomodeling_tpu.raster import Add, MemorySource, MovingMax, Smooth
+    from dask_geomodeling_tpu.runtime.tiles import evaluate_tiled
+
+    rng = np.random.RandomState(9)
+    data = (rng.rand(1, 96, 96) * 250).astype(np.float32)
+
+    def make(source_data, origin=(135000, 456000)):
+        return MemorySource(
+            data=source_data,
+            no_data_value=float(np.finfo(np.float32).max),
+            projection="EPSG:28992",
+            pixel_size=1.0,
+            pixel_origin=origin,
+            time_first=datetime(2000, 1, 1),
+            time_delta=timedelta(hours=1),
+        )
+
+    source = make(data)
+    # the request window sits strictly INSIDE the source: 16 real rows /
+    # cols exist on every side beyond the requested bbox
+    request = dict(
+        mode="vals",
+        bbox=(135016, 455920, 135080, 455984),
+        projection="EPSG:28992",
+        width=64,
+        height=64,
+        start=datetime(2000, 1, 1),
+    )
+
+    for view_cls, kwargs, exact in (
+        (MovingMax, {"size": 5}, True),
+        (Smooth, {"size": 2}, False),
+    ):
+        view = view_cls(Add(source, 1), **kwargs)
+        single = evaluate_tiled(view, request, tile_size=32, batch=4)
+        with config.set({"geomodeling.mesh-shape": (4, 2)}):
+            sharded = evaluate_tiled(view, request, tile_size=32, batch=4)
+        if exact:
+            # order-independent stencil: sp partitioning is bit-for-bit
+            np.testing.assert_array_equal(
+                sharded["values"], single["values"], err_msg=str(view_cls)
+            )
+        else:
+            # sum-based stencil: XLA's partitioned convolution may
+            # reassociate the kernel sum; agreement is a few ulps
+            np.testing.assert_allclose(
+                sharded["values"], single["values"], rtol=1e-6,
+                err_msg=str(view_cls),
+            )
+        # the host path over the same big source agrees (tolerance for
+        # the scipy-vs-XLA float gaussian)
+        host = view.get_data(**request)
+        np.testing.assert_allclose(
+            np.asarray(single["values"], dtype=np.float64),
+            np.asarray(host["values"], dtype=np.float64),
+            rtol=2e-4,
+        )
+        # negative check: a source CROPPED to the request window (no real
+        # out-of-request rows) gives different edge pixels — proof the
+        # pipeline fed real boundary data, not a fill edge
+        cropped_view = view_cls(
+            Add(make(data[:, 16:80, 16:80], origin=(135016, 455984)), 1),
+            **kwargs,
+        )
+        with config.set({"geomodeling.mesh-shape": (4, 2)}):
+            cropped = evaluate_tiled(
+                cropped_view, request, tile_size=32, batch=4
+            )
+        assert not np.array_equal(cropped["values"], sharded["values"])
+
+
 def test_mesh_2x4_variant(devices):
     from dask_geomodeling_tpu.parallel import (
         make_mesh,
