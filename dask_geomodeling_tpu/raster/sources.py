@@ -463,7 +463,9 @@ class RasterFileSource(RasterSourceBase):
     Formats (all decoded natively — reference raster/sources.py:66-71
     reads via ``gdal.Open``): GeoTIFF (classic + BigTIFF, deflate/LZW/
     PackBits, both endiannesses), VRT mosaics, Esri ASCII grids
-    (``.asc``/``.agr``) and XYZ gridded text (``.xyz``).
+    (``.asc``/``.agr``), XYZ gridded text (``.xyz``), PNG with world
+    file (``.png`` + ``.pgw``/``.wld``/``.prj``), and CF netCDF classic
+    (``.nc``/``.cdf``/``.nc3``).
 
     Args:
       url (str): path to the file, sandboxed by ``geomodeling.root``
@@ -489,7 +491,9 @@ class RasterFileSource(RasterSourceBase):
             return self._info
         except AttributeError:
             path = utils.safe_abspath(self.url)
-            if path.lower().endswith((".vrt", ".asc", ".agr", ".xyz")):
+            if path.lower().endswith(
+                (".vrt", ".asc", ".agr", ".xyz", ".png", ".nc", ".cdf", ".nc3")
+            ):
                 from dask_geomodeling_tpu.io.geotiff import GeoTIFFInfo
                 from dask_geomodeling_tpu.runtime.pipeline import (
                     read_geotiff_cached,

@@ -44,6 +44,14 @@ def read_geotiff_cached(path):
         from dask_geomodeling_tpu.io.asciigrid import read_xyz
 
         data = read_xyz(key)
+    elif lower.endswith(".png"):
+        from dask_geomodeling_tpu.io.png import read_png
+
+        data = read_png(key)
+    elif lower.endswith((".nc", ".cdf", ".nc3")):
+        from dask_geomodeling_tpu.io.netcdf import read_netcdf
+
+        data = read_netcdf(key)
     else:
         data = read_geotiff(key)
     with _CACHE_LOCK:

@@ -1,0 +1,249 @@
+"""PNG and netCDF-classic raster sources (native readers for formats the
+reference opens via GDAL's PNG/netCDF drivers,
+reference raster/sources.py:66-71)."""
+import struct
+import zlib
+from datetime import datetime
+
+import numpy as np
+import pytest
+
+from dask_geomodeling_tpu import config
+from dask_geomodeling_tpu.io.netcdf import read_netcdf, write_netcdf
+from dask_geomodeling_tpu.io.png import read_png, write_png
+from dask_geomodeling_tpu.raster import RasterFileSource
+
+
+@pytest.fixture()
+def root(tmp_path):
+    with config.set({"geomodeling.root": str(tmp_path)}):
+        yield tmp_path
+
+
+class TestPng:
+    def test_gray8_roundtrip_with_world_file(self, root):
+        values = np.arange(12, dtype=np.uint8).reshape(1, 3, 4)
+        gt = (1000.0, 50.0, 0.0, 2150.0, 0.0, -50.0)
+        path = str(root / "gray.png")
+        write_png(path, values, geo_transform=gt, projection="EPSG:28992")
+        data = read_png(path)
+        np.testing.assert_array_equal(data.array, values)
+        np.testing.assert_allclose(data.geo_transform, gt)
+        assert data.projection == "EPSG:28992"
+
+    def test_gray16(self, root):
+        values = (np.arange(12, dtype=np.uint16) * 1000).reshape(1, 3, 4)
+        path = str(root / "gray16.png")
+        write_png(path, values)
+        data = read_png(path)
+        assert data.array.dtype == np.uint16
+        np.testing.assert_array_equal(data.array, values)
+
+    def test_rgb_and_rgba(self, root):
+        rng = np.random.RandomState(0)
+        for bands, name in ((3, "rgb"), (4, "rgba")):
+            values = rng.randint(0, 255, (bands, 5, 7)).astype(np.uint8)
+            path = str(root / (name + ".png"))
+            write_png(path, values)
+            data = read_png(path)
+            np.testing.assert_array_equal(data.array, values)
+
+    def test_all_filter_types_decode(self, root):
+        """Hand-encode each scanline with a different filter (a foreign
+        file: our writer only emits filter None)."""
+        rng = np.random.RandomState(1)
+        values = rng.randint(0, 255, (5, 8)).astype(np.uint8)
+        bpp = 1
+
+        def sub(line, prev):
+            out = line.astype(np.int16).copy()
+            out[bpp:] -= line[:-bpp]
+            return (out % 256).astype(np.uint8)
+
+        def up(line, prev):
+            return ((line.astype(np.int16) - prev) % 256).astype(np.uint8)
+
+        def average(line, prev):
+            out = np.empty_like(line)
+            recon = np.zeros(len(line), np.int16)
+            for i in range(len(line)):
+                left = recon[i - bpp] if i >= bpp else 0
+                pred = (left + prev[i]) >> 1
+                out[i] = (int(line[i]) - pred) % 256
+                recon[i] = line[i]
+            return out
+
+        def paeth(line, prev):
+            out = np.empty_like(line)
+            for i in range(len(line)):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                out[i] = (int(line[i]) - pred) % 256
+            return out
+
+        filters = [
+            (0, lambda line, prev: line),
+            (1, sub),
+            (2, up),
+            (3, average),
+            (4, paeth),
+        ]
+        stream = b""
+        prev = np.zeros(8, np.int16)
+        for row, (ftype, encode) in zip(values, filters):
+            stream += bytes([ftype]) + encode(row, prev).tobytes()
+            prev = row.astype(np.int16)
+
+        def chunk(tag, payload):
+            crc = zlib.crc32(tag + payload) & 0xFFFFFFFF
+            return (
+                struct.pack(">I", len(payload))
+                + tag
+                + payload
+                + struct.pack(">I", crc)
+            )
+
+        raw = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 5, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(stream))
+            + chunk(b"IEND", b"")
+        )
+        path = str(root / "filters.png")
+        open(path, "wb").write(raw)
+        data = read_png(path)
+        np.testing.assert_array_equal(data.array[0], values)
+
+    def test_sub_byte_depths(self, root):
+        # 1-bit: 8 pixels per byte, big-endian bit order
+        def chunk(tag, payload):
+            crc = zlib.crc32(tag + payload) & 0xFFFFFFFF
+            return (
+                struct.pack(">I", len(payload))
+                + tag
+                + payload
+                + struct.pack(">I", crc)
+            )
+
+        bits = np.array([[1, 0, 1, 1, 0, 0, 1, 0]], np.uint8)
+        packed = np.packbits(bits[0])
+        stream = b"\x00" + packed.tobytes()
+        raw = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 1, 1, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(stream))
+            + chunk(b"IEND", b"")
+        )
+        path = str(root / "bits.png")
+        open(path, "wb").write(raw)
+        data = read_png(path)
+        np.testing.assert_array_equal(data.array[0], bits)
+
+    def test_raster_file_source(self, root):
+        values = np.arange(12, dtype=np.uint8).reshape(1, 3, 4)
+        gt = (1000.0, 50.0, 0.0, 2150.0, 0.0, -50.0)
+        write_png(
+            str(root / "source.png"), values, geo_transform=gt,
+            projection="EPSG:28992",
+        )
+        source = RasterFileSource(
+            "source.png", time_first=datetime(2000, 1, 1)
+        )
+        assert source.projection == "EPSG:28992"
+        result = source.get_data(
+            mode="vals", bbox=(1000.0, 2000.0, 1200.0, 2150.0),
+            projection="EPSG:28992", width=4, height=3,
+            start=datetime(2000, 1, 1),
+        )
+        np.testing.assert_array_equal(result["values"], values)
+
+    def test_not_a_png(self, root):
+        path = root / "junk.png"
+        path.write_bytes(b"not a png at all")
+        with pytest.raises(IOError):
+            read_png(str(path))
+
+
+class TestNetcdf:
+    def test_roundtrip_float(self, root):
+        values = np.linspace(0, 1, 12, dtype=np.float32).reshape(1, 3, 4)
+        gt = (1000.0, 50.0, 0.0, 2150.0, 0.0, -50.0)
+        path = str(root / "data.nc")
+        write_netcdf(
+            path, values, gt, projection="EPSG:28992", no_data_value=-1.0
+        )
+        data = read_netcdf(path)
+        np.testing.assert_allclose(data.array, values)
+        np.testing.assert_allclose(data.geo_transform, gt)
+        assert data.no_data_value == -1.0
+        # the CRS travels as a spatial_ref WKT global attribute
+        from dask_geomodeling_tpu.geo.crs import get_sr
+
+        assert get_sr(data.projection).code == 28992
+
+    def test_multiband_int(self, root):
+        values = np.arange(24, dtype=np.int16).reshape(2, 3, 4)
+        gt = (0.0, 1.0, 0.0, 3.0, 0.0, -1.0)
+        path = str(root / "multi.nc")
+        write_netcdf(path, values, gt)
+        data = read_netcdf(path)
+        assert data.array.shape == (2, 3, 4)
+        np.testing.assert_array_equal(data.array, values)
+
+    def test_south_up_flips(self, root):
+        # ascending y coordinates (south-up storage) must flip into the
+        # north-up contract
+        values = np.arange(12, dtype=np.float32).reshape(1, 3, 4)
+        gt_south = (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)  # dy > 0
+        path = str(root / "south.nc")
+        write_netcdf(path, values, gt_south)
+        data = read_netcdf(path)
+        assert data.geo_transform[5] < 0
+        np.testing.assert_array_equal(data.array[0], values[0, ::-1])
+
+    def test_scale_offset_unpacking(self, root):
+        # CF packing: stored int16 + scale/offset unpack to float32;
+        # fill cells become the float32 sentinel
+        packed = np.array([[[0, 100], [200, -32768]]], np.int16)
+        gt = (0.0, 1.0, 0.0, 2.0, 0.0, -1.0)
+        path = str(root / "packed.nc")
+        write_netcdf(
+            path, packed, gt, no_data_value=-32768,
+            scale_factor=0.01, add_offset=20.0,
+        )
+        data = read_netcdf(path)
+        assert data.array.dtype == np.float32
+        np.testing.assert_allclose(
+            data.array[0, 0], [20.0, 21.0], atol=1e-6
+        )
+        np.testing.assert_allclose(data.array[0, 1, 0], 22.0, atol=1e-6)
+        assert data.no_data_value == float(np.finfo(np.float32).max)
+        assert data.array[0, 1, 1] == data.no_data_value
+
+    def test_netcdf4_rejected(self, root):
+        path = root / "h5.nc"
+        path.write_bytes(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
+        with pytest.raises(NotImplementedError):
+            read_netcdf(str(path))
+
+    def test_raster_file_source(self, root):
+        values = np.arange(12, dtype=np.float32).reshape(1, 3, 4)
+        gt = (1000.0, 50.0, 0.0, 2150.0, 0.0, -50.0)
+        write_netcdf(
+            str(root / "source.nc"), values, gt, projection="EPSG:28992",
+            no_data_value=-9999.0,
+        )
+        source = RasterFileSource(
+            "source.nc", time_first=datetime(2000, 1, 1)
+        )
+        assert source.fillvalue == -9999.0
+        result = source.get_data(
+            mode="vals", bbox=(1000.0, 2000.0, 1200.0, 2150.0),
+            projection="EPSG:28992", width=4, height=3,
+            start=datetime(2000, 1, 1),
+        )
+        np.testing.assert_array_equal(result["values"], values)
