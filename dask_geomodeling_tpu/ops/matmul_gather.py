@@ -51,6 +51,7 @@ __all__ = [
     "AMP",
     "BLOCK",
     "GATHER_MODES",
+    "GATHER_MODE_ORDER",
     "WINDOW",
     "gather_matmul_eligible",
     "gather_matmul_jax",
@@ -66,12 +67,23 @@ WINDOW = 1024
 #: max |residual| between an index and its block anchor
 AMP = 3
 
-#: trace-time gather-mode strings -> candidate amplitude; the single
-#: source of truth shared by the warp (trace side) and the tile runtime
-#: (host-side domain checks) — candidate traffic scales with
-#: (2*amp+1)^2, so the runtime prefers the smallest amp whose residual
-#: bound holds
-GATHER_MODES = {"matmul-a2": 2, "matmul": AMP}
+#: trace-time gather-mode strings -> (block, amp); the single source of
+#: truth shared by the warp (trace side) and the tile runtime (host-side
+#: domain checks).  Candidate select traffic scales with (2*amp+1)^2
+#: over the whole tile regardless of block size, so the runtime prefers
+#: the smallest amp whose residual bound holds — and the residual bound
+#: itself scales with block/2, so a smaller block unlocks a smaller amp
+#: (b64-a1: 9 candidates vs the 7x7 engine's 49)
+GATHER_MODES = {
+    "matmul-b64-a1": (64, 1),
+    "matmul-a2": (BLOCK, 2),
+    "matmul": (BLOCK, AMP),
+}
+
+#: preference order: cheapest candidate count first
+GATHER_MODE_ORDER = sorted(
+    GATHER_MODES, key=lambda mode: (GATHER_MODES[mode][1], -GATHER_MODES[mode][0])
+)
 
 
 def gather_matmul_eligible(values_dtype, src_shape, height, width):
@@ -82,20 +94,22 @@ def gather_matmul_eligible(values_dtype, src_shape, height, width):
     return height > 0 and width > 0
 
 
-def gather_matmul_jax(values, rows, cols, inside, amp=AMP):
+def gather_matmul_jax(values, rows, cols, inside, amp=AMP, block=BLOCK):
     """``values[:, rows, cols]`` for one tile, via candidate axis gathers.
 
     values: (bands, src_h, src_w); rows/cols: (h, w) int32 (any values at
     ``~inside`` positions); inside: (h, w) bool.  Returns (bands, h, w) of
     values.dtype; ~inside cells carry unspecified values (caller fills).
     Requires :func:`gather_matmul_eligible` and the smoothness contract
-    for the given ``amp`` (candidate traffic scales with (2*amp+1)^2, so
-    the runtime prefers the smallest amp whose residual bound holds).
+    for the given ``amp``/``block`` (candidate traffic scales with
+    (2*amp+1)^2, so the runtime prefers the smallest amp whose residual
+    bound holds; a smaller anchor block tightens that bound).
     """
     amp2 = 2 * amp + 1
     import jax
     import jax.numpy as jnp
 
+    BLOCK = block  # anchor-block edge for this call
     bands, src_h, src_w = values.shape
     height, width = rows.shape
     # pad halo-expanded (non-block-aligned) outputs to the block grid;
@@ -269,7 +283,7 @@ def gather_domain(src_gt, src_srs, projection, src_shape):
     return (float(np.nanmax(diag)) * 1.25, float(np.nanmax(off)) * 1.25 + 1e-12)
 
 
-def requests_in_domain(domain, requests, amp=AMP):
+def requests_in_domain(domain, requests, amp=AMP, block=BLOCK):
     """Whether every request's tile satisfies the smoothness contract.
 
     ``domain`` comes from :func:`gather_domain`; requests carry bbox and
@@ -277,7 +291,7 @@ def requests_in_domain(domain, requests, amp=AMP):
 
     - tile span: the request's output extent at the diagonal rate +
       residuals + 2 must fit the per-tile WINDOW
-    - residual: BLOCK/2 output px at the off-diagonal rate stays < AMP
+    - residual: block/2 output px at the off-diagonal rate stays < amp
     """
     if domain is None:
         return False
@@ -294,7 +308,7 @@ def requests_in_domain(domain, requests, amp=AMP):
         # a rotated tile's source span picks up the off-diagonal term
         # too: rows drift by width*cell*off across the columns
         span = max(width, height) * cell * (diag + off) + 2 * amp + 2
-        residual = (BLOCK / 2 + 1) * cell * off
+        residual = (block / 2 + 1) * cell * off
         if span > WINDOW or residual > amp - 0.5:
             return False
     return True

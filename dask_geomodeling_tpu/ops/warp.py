@@ -414,7 +414,7 @@ def warp_jax(
             gather_matmul_jax,
         )
 
-        amp = GATHER_MODES[mode]
+        block, amp = GATHER_MODES[mode]
         use_matmul = gather_matmul_eligible(
             values.dtype, values.shape, height, width
         )
@@ -426,7 +426,9 @@ def warp_jax(
         gather = None
         if use_matmul:
             def gather(r, c):
-                return gather_matmul_jax(values, r, c, inside, amp=amp)
+                return gather_matmul_jax(
+                    values, r, c, inside, amp=amp, block=block
+                )
 
         return _bilinear_sample(
             values,
@@ -443,7 +445,7 @@ def warp_jax(
         # fast path: exact inside the host-verified smoothness domain
         # (the runtime only traces with this mode for checked batches)
         gathered = gather_matmul_jax(
-            values, rows, cols, inside, amp=amp
+            values, rows, cols, inside, amp=amp, block=block
         ).astype(dtype)
     else:
         safe_rows = jnp.where(inside, rows, 0)

@@ -461,7 +461,16 @@ def _reclassify_out_range(store_data, process_kwargs):
     return (int(min(targets)), int(max(targets)))
 
 
+def _reclassify_out_values(store_data, process_kwargs):
+    # the exact discrete output alphabet (select=True): the fetch codec
+    # packs sparse target lists by count, not by value span
+    if _reclassify_out_range(store_data, process_kwargs) is None:
+        return None
+    return sorted({int(t) for _, t in process_kwargs["data"]})
+
+
 _reclassify_process.jax_out_range = _reclassify_out_range
+_reclassify_process.jax_out_values = _reclassify_out_values
 
 
 class Reclassify(BaseSingle):

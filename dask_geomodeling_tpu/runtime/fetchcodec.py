@@ -34,37 +34,58 @@ __all__ = ["FetchCodec", "derive_codec"]
 
 class FetchCodec:
     """Base-S pixel packer: ``encode`` runs inside the traced tile
-    program, ``decode`` reverses it on host, bit-exactly."""
+    program, ``decode`` reverses it on host, bit-exactly.
 
-    def __init__(self, lo, fill, fill_code, symbols, group, dtype):
+    ``palette`` (optional, sorted int array) maps a sparse discrete
+    output alphabet (e.g. Reclassify targets [1, 5, 9, 13, 17]) onto
+    dense codes, so the symbol count is the number of distinct values
+    rather than the value range — a range-based codec would need
+    range-size symbols (often > 16 and unusable) where the palette needs
+    len(palette).
+    """
+
+    def __init__(self, lo, fill, fill_code, symbols, group, dtype,
+                 palette=None):
         self.lo = int(lo)
         self.fill = fill
-        self.fill_code = fill_code  # None when fill is inside [lo, hi]
+        self.fill_code = fill_code  # None when fill is inside the alphabet
         self.symbols = int(symbols)
         self.group = int(group)
         self.dtype = np.dtype(dtype)
+        self.palette = (
+            None if palette is None else np.asarray(palette, np.int64)
+        )
 
     def __repr__(self):
-        return "FetchCodec(S=%d, %d px/byte, dtype=%s)" % (
+        return "FetchCodec(S=%d, %d px/byte, dtype=%s%s)" % (
             self.symbols,
             self.group,
             self.dtype,
+            "" if self.palette is None else ", palette",
         )
+
+    def _codes(self, values, jnp):
+        """Traced value -> dense code mapping (pre-fill handling)."""
+        bands = values.shape[0]
+        flat = values.reshape(bands, -1)
+        if self.palette is not None:
+            return jnp.searchsorted(
+                jnp.asarray(self.palette), flat.astype(jnp.int64)
+            ).astype(jnp.int32)
+        return flat.astype(jnp.int32) - self.lo
 
     def encode(self, values):
         """(bands, h, w) traced array -> (bands, ceil(h*w/G)) uint8."""
         import jax.numpy as jnp
 
         bands = values.shape[0]
-        flat = values.reshape(bands, -1).astype(jnp.int32)
+        flat = self._codes(values, jnp)
         if self.fill_code is not None:
             flat = jnp.where(
                 values.reshape(bands, -1) == self.fill,
                 self.fill_code,
-                flat - self.lo,
+                flat,
             )
-        else:
-            flat = flat - self.lo
         pad = (-flat.shape[1]) % self.group
         if pad:
             flat = jnp.pad(flat, ((0, 0), (0, pad)))
@@ -85,7 +106,11 @@ class FetchCodec:
             for k in range(self.group - 1, -1, -1):
                 digits[:, k] = x % self.symbols
                 x //= self.symbols
-            values = (digits + self.lo).astype(self.dtype)
+            if self.palette is not None:
+                clipped = np.clip(digits, 0, len(self.palette) - 1)
+                values = self.palette[clipped].astype(self.dtype)
+            else:
+                values = (digits + self.lo).astype(self.dtype)
             if self.fill_code is not None:
                 values[digits == self.fill_code] = self.fill
             self._lut = table = values
@@ -113,28 +138,47 @@ def derive_codec(dtype, fillvalue, root_func, root_literals):
     ``dtype``/``fillvalue`` describe the view's output; ``root_func`` is
     the root node's process function and ``root_literals`` its literal
     args (graph-key args as None), matching the ``jax_capable`` calling
-    convention.
+    convention.  A ``jax_out_values`` declaration (exact discrete output
+    set, e.g. Reclassify's target list) beats ``jax_out_range``: the
+    symbol count becomes the number of distinct values, not the value
+    span, so sparse alphabets like [1, 5, 9, 13, 17] pack at 3 px/byte
+    where the 17-value range would disable packing entirely.
     """
     dtype = np.dtype(dtype)
+    palette = None
     if dtype == bool:
         lo, hi, fill = 0, 1, None
     elif np.issubdtype(dtype, np.integer):
-        out_range = getattr(root_func, "jax_out_range", None)
-        if out_range is None:
-            return None
-        bounds = out_range(*root_literals)
-        if bounds is None:
-            return None
-        lo, hi = int(bounds[0]), int(bounds[1])
         fill = fillvalue
+        out_values = getattr(root_func, "jax_out_values", None)
+        values = out_values(*root_literals) if out_values is not None else None
+        if values is not None:
+            palette = np.unique(np.asarray(list(values), np.int64))
+            if len(palette) < 1:
+                return None
+            lo, hi = int(palette[0]), int(palette[-1])
+            if len(palette) == hi - lo + 1:
+                palette = None  # contiguous: the plain base-S codec
+        else:
+            out_range = getattr(root_func, "jax_out_range", None)
+            if out_range is None:
+                return None
+            bounds = out_range(*root_literals)
+            if bounds is None:
+                return None
+            lo, hi = int(bounds[0]), int(bounds[1])
     else:
         return None
 
-    if fill is None or lo <= fill <= hi:
-        symbols = max(hi - lo + 1, 2)
+    alphabet = len(palette) if palette is not None else hi - lo + 1
+    if fill is None or (
+        lo <= fill <= hi
+        and (palette is None or int(fill) in palette)
+    ):
+        symbols = max(alphabet, 2)
         fill_code = None
     else:
-        symbols = hi - lo + 2
+        symbols = alphabet + 1
         fill_code = symbols - 1
     if symbols > 16:
         return None
@@ -143,4 +187,4 @@ def derive_codec(dtype, fillvalue, root_func, root_literals):
         group += 1
     if group < 2:
         return None
-    return FetchCodec(lo, fill, fill_code, symbols, group, dtype)
+    return FetchCodec(lo, fill, fill_code, symbols, group, dtype, palette)

@@ -514,6 +514,7 @@ class TileProgram:
         under the stage lock."""
         from dask_geomodeling_tpu import config
         from dask_geomodeling_tpu.ops.matmul_gather import (
+            GATHER_MODE_ORDER,
             GATHER_MODES,
             gather_domain,
             requests_in_domain,
@@ -549,9 +550,10 @@ class TileProgram:
                 )
         if self._fast_domains is False:
             return None
-        for mode, amp in sorted(GATHER_MODES.items(), key=lambda kv: kv[1]):
+        for mode in GATHER_MODE_ORDER:
+            block, amp = GATHER_MODES[mode]
             if all(
-                requests_in_domain(domain, requests, amp=amp)
+                requests_in_domain(domain, requests, amp=amp, block=block)
                 for domain in self._fast_domains
             ):
                 return mode
@@ -778,32 +780,56 @@ def evaluate_tiled(view, request, tile_size=512, batch=None):
             copy_async()
     out = None
     no_data_value = view.fillvalue
+
+    def fetch_one(item):
+        lo, device_result = item
+        t_batch = time.perf_counter()
+        result = program.fetch(device_result)
+        _profile.record(
+            "tile_batch", "tiles", time.perf_counter() - t_batch, t_batch
+        )
+        return lo, result
+
+    # concurrent per-batch fetches: the tunnel serializes a lone blocking
+    # copy at well under the wire rate, while a few in-flight RPCs
+    # pipeline (measured 22 -> 30 MB/s with 4 workers); decode rides the
+    # worker thread, assembly stays on this thread
+    fetch_workers = min(
+        _config.get("geomodeling.fetch-workers", 4), len(pending)
+    )
     with _span("fetch+assemble[%d tiles]" % len(requests), "tiles"):
-        for lo, device_result in pending:
-            t_batch = time.perf_counter()
-            result = program.fetch(device_result)
-            _profile.record(
-                "tile_batch", "tiles", time.perf_counter() - t_batch, t_batch
-            )
-            if out is None:
-                bands = result.shape[1]
-                out = np.empty((bands, height, width), result.dtype)
-            for offset, tile_result in enumerate(result):
-                idx = lo + offset
-                if idx >= len(requests):
-                    break  # padding of the final batch
-                j, i = divmod(idx, nx)
-                # valid (in-request) part of this tile; edge tiles overflow
-                # east/north of the bbox and get cropped here
-                vw = min(tile_size, width - i * tile_size)
-                vh = min(tile_size, height - j * tile_size)
-                # world y increases upward; array rows run downward — the
-                # valid rows are the BOTTOM vh rows of the tile array
-                row_end = height - j * tile_size
-                col0 = i * tile_size
-                out[:, row_end - vh : row_end, col0 : col0 + vw] = (
-                    tile_result[:, tile_size - vh :, :vw]
-                )
+        if fetch_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(fetch_workers)
+            fetched = pool.map(fetch_one, pending)
+        else:
+            pool = None
+            fetched = map(fetch_one, pending)
+        try:
+            for lo, result in fetched:
+                if out is None:
+                    bands = result.shape[1]
+                    out = np.empty((bands, height, width), result.dtype)
+                for offset, tile_result in enumerate(result):
+                    idx = lo + offset
+                    if idx >= len(requests):
+                        break  # padding of the final batch
+                    j, i = divmod(idx, nx)
+                    # valid (in-request) part of this tile; edge tiles
+                    # overflow east/north of the bbox, cropped here
+                    vw = min(tile_size, width - i * tile_size)
+                    vh = min(tile_size, height - j * tile_size)
+                    # world y increases upward; array rows run downward —
+                    # the valid rows are the BOTTOM vh rows of the tile
+                    row_end = height - j * tile_size
+                    col0 = i * tile_size
+                    out[:, row_end - vh : row_end, col0 : col0 + vw] = (
+                        tile_result[:, tile_size - vh :, :vw]
+                    )
+        finally:
+            if pool is not None:
+                pool.shutdown()
     if logger.isEnabledFor(logging.DEBUG):
         t_end = time.perf_counter()
         logger.debug(

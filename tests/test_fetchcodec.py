@@ -120,6 +120,83 @@ def test_derive_codec_rejects():
     assert out_range(None, {"select": True, "data": [[1, 2], [3, 9]]}) == (2, 9)
 
 
+class TestPaletteCodec:
+    """Sparse discrete alphabets (jax_out_values) pack by value COUNT."""
+
+    def _palette_func(self, values):
+        func = lambda *a: None
+        func.jax_out_values = lambda *a: values
+        func.jax_out_range = lambda *a: None
+        return func
+
+    def test_sparse_targets_pack(self):
+        import jax
+
+        # range span 17 would disable packing; 5 values + fill -> S=6
+        func = self._palette_func([1, 5, 9, 13, 17])
+        codec = derive_codec("int64", 2**63 - 1, func, [])
+        assert codec is not None
+        assert codec.symbols == 6 and codec.group == 3
+        rng = np.random.RandomState(0)
+        values = np.array([1, 5, 9, 13, 17])[
+            rng.randint(0, 5, (1, 21, 33))
+        ].astype(np.int64)
+        values[0, 3, 4] = 2**63 - 1  # fill
+        packed = np.asarray(jax.jit(codec.encode)(values))
+        decoded = codec.decode(packed[None], 21, 33)[0]
+        np.testing.assert_array_equal(decoded, values)
+
+    def test_fill_inside_palette(self):
+        import jax
+
+        func = self._palette_func([0, 10, 20])
+        codec = derive_codec("int32", 20, func, [])
+        assert codec.fill_code is None and codec.symbols == 3
+        values = np.array([[0, 10, 20, 20, 0]], np.int32)[None]
+        packed = np.asarray(jax.jit(codec.encode)(values[0]))
+        np.testing.assert_array_equal(
+            codec.decode(packed[None], 1, 5)[0], values
+        )
+
+    def test_contiguous_values_skip_palette(self):
+        func = self._palette_func([0, 1, 2, 3])
+        codec = derive_codec("uint8", 255, func, [])
+        assert codec is not None and codec.palette is None
+
+    def test_too_many_values_rejected(self):
+        func = self._palette_func(list(range(0, 64, 4)))  # 16 + fill = 17
+        assert derive_codec("uint8", 255, func, []) is None
+
+    def test_reclassify_declares_values(self):
+        from dask_geomodeling_tpu.raster.misc import _reclassify_process
+
+        kwargs = {"select": True, "data": [[0, 1], [1, 5], [2, 9], [3, 17]]}
+        assert _reclassify_process.jax_out_values(None, kwargs) == [1, 5, 9, 17]
+        assert (
+            _reclassify_process.jax_out_values(
+                None, {"select": False, "data": [[0, 1]]}
+            )
+            is None
+        )
+
+    def test_reclassify_sparse_targets_tiled(self, source, request_64):
+        """End to end: a Reclassify view with sparse targets rides the
+        palette codec through the tile runtime, bit-exactly."""
+        view = Reclassify(
+            Classify(Add(source, 1), bins=[3.0, 6.0]),
+            data=[[0, 2], [1, 50], [2, 90]],
+            select=True,
+        )
+        from dask_geomodeling_tpu.runtime.tiles import _get_tile_program
+
+        expected = view.get_data(**request_64)
+        actual = _tiled(view, request_64)
+        program = _get_tile_program(view, dict(request_64, width=32, height=32))
+        assert program.codec is not None and program.codec.palette is not None
+        np.testing.assert_array_equal(actual["values"], expected["values"])
+        assert actual["no_data_value"] == expected["no_data_value"]
+
+
 def _tiled(view, request, **kw):
     return evaluate_tiled(view, request, tile_size=32, batch=2, **kw)
 

@@ -159,6 +159,25 @@ class TestKernel:
         # the NaN cell is actually hit by this field
         assert np.isnan(exp).any() and np.isinf(exp).any()
 
+    def test_block64_amp1_bitexact(self, src):
+        """The cheap 3x3-candidate engine (64-px anchor blocks) is exact
+        for fields whose residuals stay within 1 px of the anchors."""
+        rows, cols = _field(np.deg2rad(0.15), 1.2, 100, 120)
+        inside = np.ones(rows.shape, bool)
+        out = np.asarray(
+            gather_matmul_jax(src, rows, cols, inside, amp=1, block=64)
+        )
+        np.testing.assert_array_equal(out, src[:, rows, cols])
+
+    def test_block64_non_aligned(self, src):
+        rows, cols = _field(np.deg2rad(0.1), 1.1, 60, 90, h=150, w=90)
+        inside = np.ones(rows.shape, bool)
+        out = np.asarray(
+            gather_matmul_jax(src, rows, cols, inside, amp=1, block=64)
+        )
+        assert out.shape == (2, 150, 90)
+        np.testing.assert_array_equal(out, src[:, rows, cols])
+
     def test_non_block_aligned_shapes(self, src):
         rows, cols = _field(np.deg2rad(1.1), 1.4, 60, 90, h=210, w=187)
         inside = np.ones(rows.shape, bool)
