@@ -126,6 +126,16 @@ def main():
     args = parser.parse_args()
     px = args.px
 
+    # warm-start repeated runs (same cache dir as bench.py)
+    config.set(
+        {
+            "geomodeling.compilation-cache": os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                ".xla_cache",
+            )
+        }
+    )
+
     from dask_geomodeling_tpu.runtime import router
 
     print(
@@ -136,17 +146,26 @@ def main():
         mpx = request["width"] * request["height"] / 1e6
         with config.set({"geomodeling.executor": "numpy"}):
             view.get_data(**request)  # host warmup
-            host = mpx / min(time_once(view, request) for _ in range(2))
         with config.set({"geomodeling.executor": "jax"}):
             view.get_data(**request)  # compile warmup
-            jax_v = mpx / min(time_once(view, request) for _ in range(2))
-        # auto: run the exploration phase (host, compile, device measure),
-        # then time the settled route — the steady-state behavior
+        # auto: run the exploration phase (host, compile, device measure)
         router.reset()
         with config.set({"geomodeling.executor": "auto"}):
             for _ in range(4):
                 view.get_data(**request)
-            auto_v = mpx / min(time_once(view, request) for _ in range(2))
+        # paired timing: host/jax/auto interleaved within each round, so
+        # machine-state drift hits all three columns equally
+        host_times, jax_times, auto_times = [], [], []
+        for _ in range(2):
+            with config.set({"geomodeling.executor": "numpy"}):
+                host_times.append(time_once(view, request))
+            with config.set({"geomodeling.executor": "jax"}):
+                jax_times.append(time_once(view, request))
+            with config.set({"geomodeling.executor": "auto"}):
+                auto_times.append(time_once(view, request))
+        host = mpx / min(host_times)
+        jax_v = mpx / min(jax_times)
+        auto_v = mpx / min(auto_times)
         print(
             "%-18s %12.2f %12.2f %12.2f %7.1fx %8.1fx"
             % (name, host, jax_v, auto_v, jax_v / host, auto_v / host)

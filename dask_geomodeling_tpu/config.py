@@ -29,6 +29,11 @@ defaults = {
     "geomodeling.geometry-limit": 10000,
     # scheduler used by ``compute``: sync | threads | processes
     "scheduler": None,
+    # in-memory byte budget for the pooled schedulers' intermediate
+    # results; beyond it, least-recently-used results spill to disk
+    # (parallel/spill.py, the dask.distributed spilling analog).
+    # None/0 = unlimited (results are still released after last use)
+    "geomodeling.scheduler-memory-limit": None,
     "temporary_directory": None,
     # --- TPU runtime additions ---
     # executor for raster vals requests: "numpy" (host reference path),

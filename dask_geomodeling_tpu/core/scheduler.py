@@ -113,21 +113,46 @@ def _toposort_needed(graph, keys):
     return needed, deps, dependents
 
 
+def _make_result_cache():
+    """The intermediate-result store: a plain dict, or a disk-spilling
+    buffer when ``geomodeling.scheduler-memory-limit`` is set (the
+    dask.distributed memory-spilling analog)."""
+    from dask_geomodeling_tpu.config import config
+
+    limit = config.get("geomodeling.scheduler-memory-limit", None)
+    if not limit:
+        return {}
+    from dask_geomodeling_tpu.parallel.spill import SpillBuffer
+
+    return SpillBuffer(int(limit))
+
+
 def _get_pooled_impl(pool_cls, graph, keys, num_workers):
     _, deps, dependents = _toposort_needed(graph, keys)
     if _profile.active():
         _profile.announce_total(
             sum(1 for key in deps if _is_task(graph[key]))
         )
-    cache = {}
+    cache = _make_result_cache()
     remaining = {key: len(ds) for key, ds in deps.items()}
+    pending_uses = {key: len(ds) for key, ds in dependents.items()}
+    requested = set(keys)
     ready = [key for key, n in remaining.items() if n == 0]
 
     def _resolve(arg):
         return cache[arg] if _is_key(arg, graph) else arg
 
+    def _release(used_keys):
+        # results whose last consumer just ran leave the cache (bounds
+        # peak memory over wide graphs, like dask's key release)
+        for key in used_keys:
+            pending_uses[key] -= 1
+            if pending_uses[key] == 0 and key not in requested:
+                cache.pop(key, None)
+
     def _complete(key, result):
         cache[key] = result
+        _release(deps[key])
         for dep in dependents[key]:
             remaining[dep] -= 1
             if remaining[dep] == 0:
@@ -150,7 +175,11 @@ def _get_pooled_impl(pool_cls, graph, keys, num_workers):
             done, _ = wait(list(futures), return_when=FIRST_COMPLETED)
             for fut in done:
                 _complete(futures.pop(fut), fut.result())
-    return [cache[key] for key in keys]
+    result = [cache[key] for key in keys]
+    close = getattr(cache, "close", None)
+    if close is not None:
+        close()
+    return result
 
 
 def _timed_call(func, args):

@@ -48,6 +48,8 @@ supported_extensions = {
     "parquet",
     "geoparquet",
     "fgb",
+    "mif",
+    "dxf",
 }
 
 
@@ -804,6 +806,14 @@ def read_vector(path, layer=None):
         from dask_geomodeling_tpu.io.flatgeobuf import read_flatgeobuf
 
         return read_flatgeobuf(path)
+    if fmt == "mif":
+        from dask_geomodeling_tpu.io.mapinfo import read_mif
+
+        return read_mif(path)
+    if fmt == "dxf":
+        from dask_geomodeling_tpu.io.dxf import read_dxf
+
+        return read_dxf(path)
     if fmt in ("geojson", "json"):
         return _read_geojson(path)
     if fmt in ("geojsonl", "ndjson"):
@@ -869,6 +879,14 @@ def write_vector(frame, path, layer=None):
         from dask_geomodeling_tpu.io.flatgeobuf import write_flatgeobuf
 
         write_flatgeobuf(frame, path, layer or "layer")
+    elif fmt == "mif":
+        from dask_geomodeling_tpu.io.mapinfo import write_mif
+
+        write_mif(frame, path)
+    elif fmt == "dxf":
+        from dask_geomodeling_tpu.io.dxf import write_dxf
+
+        write_dxf(frame, path)
     else:
         if os.path.exists(path):
             os.remove(path)

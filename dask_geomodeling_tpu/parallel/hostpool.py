@@ -21,12 +21,14 @@ Worker disconnects requeue the in-flight task on another worker;
 application exceptions propagate to the caller.
 """
 import io
+import json
 import logging
 import pickle
 import queue
 import socket
 import struct
 import threading
+import time
 from concurrent.futures import Future
 
 logger = logging.getLogger(__name__)
@@ -64,17 +66,25 @@ class HostPool:
     ``config.set({"scheduler": ...})``.
     """
 
-    def __init__(self, port=0, host="127.0.0.1", token=""):
+    def __init__(self, port=0, host="127.0.0.1", token="", dashboard_port=None):
         self._token = token
         self._tasks = queue.Queue()  # (payload_bytes, Future)
         self._workers = set()
         self._lock = threading.Lock()
         self._closed = False
         self._worker_joined = threading.Condition(self._lock)
+        self._started = time.time()
+        #: per-worker and pool-wide task counters (the dashboard's data)
+        self._stats = {"completed": 0, "failed": 0, "requeued": 0}
+        self._worker_stats = {}
         self._server = socket.create_server((host, port))
         self.address = "%s:%d" % self._server.getsockname()[:2]
         self._acceptor = threading.Thread(target=self._accept_loop, daemon=True)
         self._acceptor.start()
+        self._dashboard = None
+        self.dashboard_address = None
+        if dashboard_port is not None:
+            self._start_dashboard(host, dashboard_port)
 
     # --- worker side of the pool ---
 
@@ -121,6 +131,8 @@ class HostPool:
                     # worker (callers bound their own patience via
                     # Future.result(timeout) / wait_for_workers).
                     logger.warning("host worker %s lost; requeueing task", peer)
+                    with self._lock:
+                        self._stats["requeued"] += 1
                     self._tasks.put((payload, future))
                     return
                 except Exception as e:
@@ -134,6 +146,16 @@ class HostPool:
                         )
                     )
                     return
+                with self._lock:
+                    counters = self._worker_stats.setdefault(
+                        "%s:%d" % peer, {"completed": 0, "failed": 0}
+                    )
+                    if status == "ok":
+                        self._stats["completed"] += 1
+                        counters["completed"] += 1
+                    else:
+                        self._stats["failed"] += 1
+                        counters["failed"] += 1
                 if status == "ok":
                     future.set_result(value)
                 else:
@@ -142,6 +164,58 @@ class HostPool:
             with self._worker_joined:
                 self._workers.discard(peer)
             sock.close()
+
+    # --- diagnostics dashboard (the dask.distributed dashboard role) ---
+
+    def status(self):
+        """A JSON-able snapshot: workers, queue depth, task counters."""
+        with self._lock:
+            return {
+                "address": self.address,
+                "uptime_sec": round(time.time() - self._started, 1),
+                "n_workers": len(self._workers),
+                "workers": sorted("%s:%d" % w for w in self._workers),
+                "queued_tasks": self._tasks.qsize(),
+                **self._stats,
+                "per_worker": {
+                    k: dict(v) for k, v in self._worker_stats.items()
+                },
+            }
+
+    def _start_dashboard(self, host, port):
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        pool = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_GET(self):
+                if self.path in ("/", "/status", "/status.json"):
+                    body = json.dumps(pool.status(), indent=2).encode()
+                    ctype = "application/json"
+                    if self.path == "/":
+                        body = (
+                            b"<html><body><h2>HostPool %s</h2><pre>%s</pre>"
+                            b"</body></html>"
+                            % (pool.address.encode(), body)
+                        )
+                        ctype = "text/html"
+                    self.send_response(200)
+                    self.send_header("Content-Type", ctype)
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                else:
+                    self.send_response(404)
+                    self.end_headers()
+
+            def log_message(self, *args):
+                pass  # stay quiet; the pool has its own logger
+
+        self._dashboard = ThreadingHTTPServer((host, port), Handler)
+        self.dashboard_address = "%s:%d" % self._dashboard.server_address[:2]
+        threading.Thread(
+            target=self._dashboard.serve_forever, daemon=True
+        ).start()
 
     # --- caller side ---
 
@@ -196,6 +270,9 @@ class HostPool:
     def close(self):
         self._closed = True
         self._tasks.put(None)
+        if self._dashboard is not None:
+            self._dashboard.shutdown()
+            self._dashboard.server_close()
         try:
             self._server.close()
         except OSError:
