@@ -153,22 +153,32 @@ def main():
         with config.set({"geomodeling.executor": "auto"}):
             for _ in range(4):
                 view.get_data(**request)
-        # paired timing: host/jax/auto interleaved within each round, so
-        # machine-state drift hits all three columns equally
+        # paired timing: columns interleave within each round so drift
+        # hits them equally; auto runs before jax so a jax run's
+        # background cleanup never drags the auto measurement
         host_times, jax_times, auto_times = [], [], []
-        for _ in range(2):
+        for _ in range(4):
             with config.set({"geomodeling.executor": "numpy"}):
                 host_times.append(time_once(view, request))
-            with config.set({"geomodeling.executor": "jax"}):
-                jax_times.append(time_once(view, request))
             with config.set({"geomodeling.executor": "auto"}):
                 auto_times.append(time_once(view, request))
+            with config.set({"geomodeling.executor": "jax"}):
+                jax_times.append(time_once(view, request))
         host = mpx / min(host_times)
         jax_v = mpx / min(jax_times)
         auto_v = mpx / min(auto_times)
+        routes = {
+            ("jax" if s["jax"] is not None
+             and s["jax"] >= 1.15 * (s["numpy"] or 1e9) else "host")
+            for s in router.stats().values()
+            if s["numpy"] is not None
+        }
         print(
-            "%-18s %12.2f %12.2f %12.2f %7.1fx %8.1fx"
-            % (name, host, jax_v, auto_v, jax_v / host, auto_v / host)
+            "%-18s %12.2f %12.2f %12.2f %7.1fx %8.1fx  route=%s"
+            % (
+                name, host, jax_v, auto_v, jax_v / host, auto_v / host,
+                ",".join(sorted(routes)) or "host",
+            )
         )
 
     # zonal statistics on host (scipy) vs the single-dispatch batched

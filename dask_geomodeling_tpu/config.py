@@ -43,6 +43,10 @@ defaults = {
     # minimum request pixels before "auto" considers the device path
     # (below this a dispatch cannot amortize over a tunneled TPU)
     "geomodeling.auto-min-device-px": 65536,
+    # the measured device rate must exceed margin * host rate before
+    # "auto" routes a request kind to the device (hysteresis: close
+    # calls stay on the safe host default)
+    "geomodeling.auto-margin": 1.15,
     # fixed tile edge for the tiled TPU runtime (pixels)
     "geomodeling.tile-size": 512,
     # number of tiles evaluated per device program invocation (measured

@@ -68,7 +68,13 @@ def choose(view, request, eligible):
             return "numpy"
         if state["jax_runs"] < 2 or state["jax"] is None:
             return "jax"
-        return "jax" if state["jax"] >= state["numpy"] else "numpy"
+        # hysteresis toward the host default: the device must win by a
+        # clear margin, or close-call noise flip-flops the route onto
+        # whichever path happened to spike during exploration
+        from dask_geomodeling_tpu.config import config
+
+        margin = config.get("geomodeling.auto-margin", 1.15)
+        return "jax" if state["jax"] >= margin * state["numpy"] else "numpy"
 
 
 def record(view, request, executor, elapsed, failed=False):

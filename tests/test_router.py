@@ -67,6 +67,17 @@ class TestChoose:
         router.record(big_source, request, "jax", 0.001)  # warm run
         assert router.choose(big_source, request, True) == "jax"
 
+    def test_close_call_stays_on_host(self, big_source):
+        # hysteresis: a device rate within the margin of the host rate
+        # keeps the safe host route (close-call noise must not flip it)
+        request = big_request()
+        router.record(big_source, request, "numpy", 0.0100)
+        router.record(big_source, request, "jax", 1.0)  # tainted warmup
+        router.record(big_source, request, "jax", 0.0095)  # ~5% faster
+        assert router.choose(big_source, request, True) == "numpy"
+        with config.set({"geomodeling.auto-margin": 1.0}):
+            assert router.choose(big_source, request, True) == "jax"
+
     def test_winner_by_measured_rate(self, big_source):
         request = big_request()
         router.record(big_source, request, "numpy", 0.001)  # fast host
