@@ -47,6 +47,10 @@ defaults = {
     # "auto" routes a request kind to the device (hysteresis: close
     # calls stay on the safe host default)
     "geomodeling.auto-margin": 1.15,
+    # NTv2 grid-shift files per datum name, e.g. {"NZGD49": ".../nz.gsb"}:
+    # upgrades that datum's WGS84 leg from Helmert (~0.5 m) to grid
+    # interpolation (geo/ntv2.py)
+    "geomodeling.ntv2-grids": None,
     # fixed tile edge for the tiled TPU runtime (pixels)
     "geomodeling.tile-size": 512,
     # number of tiles evaluated per device program invocation (measured

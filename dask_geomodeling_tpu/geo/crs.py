@@ -3143,6 +3143,45 @@ def _same_datum(a, b):
     )
 
 
+def _datum_shift(src, dst, lon, lat, xp):
+    """Geographic coordinates src datum -> dst datum.
+
+    A registered NTv2 grid (``geomodeling.ntv2-grids``) upgrades a
+    datum's WGS84 leg from the 7-parameter Helmert (~0.5 m) to grid
+    interpolation (cm-level); without grids the legs fuse into one
+    geocentric chain exactly as before.
+    """
+    from dask_geomodeling_tpu.geo import ntv2
+
+    src_grid = ntv2.grid_for_datum(src.datum)
+    dst_grid = ntv2.grid_for_datum(dst.datum)
+    if src_grid is None and dst_grid is None:
+        gx, gy, gz = _geodetic_to_geocentric(src.ellipsoid, lon, lat, xp)
+        if src.helmert_to_wgs84 is not None:
+            gx, gy, gz = _helmert(src.helmert_to_wgs84, gx, gy, gz, xp=xp)
+        if dst.helmert_to_wgs84 is not None:
+            gx, gy, gz = _helmert(
+                dst.helmert_to_wgs84, gx, gy, gz, inverse=True, xp=xp
+            )
+        return _geocentric_to_geodetic(dst.ellipsoid, gx, gy, gz, xp)
+    # grid legs run through explicit WGS84 geographic coordinates
+    if src_grid is not None:
+        lon, lat = src_grid.forward(lon, lat, xp)
+    elif src.helmert_to_wgs84 is not None:
+        gx, gy, gz = _geodetic_to_geocentric(src.ellipsoid, lon, lat, xp)
+        gx, gy, gz = _helmert(src.helmert_to_wgs84, gx, gy, gz, xp=xp)
+        lon, lat = _geocentric_to_geodetic(_ellipsoid("WGS84"), gx, gy, gz, xp)
+    if dst_grid is not None:
+        lon, lat = dst_grid.inverse(lon, lat, xp)
+    elif dst.helmert_to_wgs84 is not None:
+        gx, gy, gz = _geodetic_to_geocentric(_ellipsoid("WGS84"), lon, lat, xp)
+        gx, gy, gz = _helmert(
+            dst.helmert_to_wgs84, gx, gy, gz, inverse=True, xp=xp
+        )
+        lon, lat = _geocentric_to_geodetic(dst.ellipsoid, gx, gy, gz, xp)
+    return lon, lat
+
+
 def transform_points(x, y, src_srs, dst_srs, xp=np):
     """Transform coordinate arrays from src to dst; returns (x, y) arrays.
 
@@ -3161,20 +3200,7 @@ def transform_points(x, y, src_srs, dst_srs, xp=np):
         with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
             lon, lat = src.projection.inverse(x, y, xp)
             if not _same_datum(src, dst):
-                gx, gy, gz = _geodetic_to_geocentric(
-                    src.ellipsoid, lon, lat, xp
-                )
-                if src.helmert_to_wgs84 is not None:
-                    gx, gy, gz = _helmert(
-                        src.helmert_to_wgs84, gx, gy, gz, xp=xp
-                    )
-                if dst.helmert_to_wgs84 is not None:
-                    gx, gy, gz = _helmert(
-                        dst.helmert_to_wgs84, gx, gy, gz, inverse=True, xp=xp
-                    )
-                lon, lat = _geocentric_to_geodetic(
-                    dst.ellipsoid, gx, gy, gz, xp
-                )
+                lon, lat = _datum_shift(src, dst, lon, lat, xp)
             return dst.projection.forward(lon, lat, xp)
     except TransformException:
         raise

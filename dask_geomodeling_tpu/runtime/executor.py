@@ -239,6 +239,8 @@ def execution_config_token():
         config.get("geomodeling.mesh-shape", None),
         config.get("geomodeling.warp-gather", "auto"),
         config.get("geomodeling.warp-host-grid", True),
+        # traced CRS math reads registered datum grids
+        sorted((config.get("geomodeling.ntv2-grids", None) or {}).items()),
     )
 
 
