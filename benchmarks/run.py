@@ -209,19 +209,39 @@ def main():
         stop=datetime(2000, 1, 2),
     )
     print(
-        "%-18s %12s %12s %9s"
-        % ("zonal (s/req)", "host", "device", "host/dev")
+        "%-18s %10s %10s %10s %9s %9s"
+        % ("zonal (s/req)", "host", "upload", "resident", "host/up", "host/res")
     )
     for statistic in ("mean", "median", "std", "p90"):
         agg = AggregateRaster(geom, zonal_source, statistic=statistic)
-        agg.get_data(**geo_request)
-        host = min(time_once(agg, geo_request) for _ in range(2))
-        with config.set({"geomodeling.aggregate-device": True}):
+        with config.set({"geomodeling.executor": "numpy"}):
             agg.get_data(**geo_request)
-            device = min(time_once(agg, geo_request) for _ in range(2))
+            host = min(time_once(agg, geo_request) for _ in range(2))
+        # device masks + stats, frames uploaded from host
+        with config.set(
+            {
+                "geomodeling.aggregate-device": True,
+                "geomodeling.executor": "numpy",
+            }
+        ):
+            agg.get_data(**geo_request)
+            upload = min(time_once(agg, geo_request) for _ in range(2))
+        # device-RESIDENT: the raster subtree stages on device and the
+        # frames never cross the host link (jax_accepts_device_arrays)
+        with config.set(
+            {
+                "geomodeling.aggregate-device": True,
+                "geomodeling.executor": "jax",
+            }
+        ):
+            agg.get_data(**geo_request)
+            resident = min(time_once(agg, geo_request) for _ in range(2))
         print(
-            "%-18s %12.3f %12.3f %8.1fx"
-            % (statistic, host, device, host / device)
+            "%-18s %10.3f %10.3f %10.3f %8.1fx %8.1fx"
+            % (
+                statistic, host, upload, resident,
+                host / upload, host / resident,
+            )
         )
 
 

@@ -148,16 +148,26 @@ def aggregate_polygons(
             threshold_values.dtype
         )
 
+    device_capable = (
+        config.get("geomodeling.aggregate-device", False)
+        and statistic in DEVICE_STATISTICS
+    )
+    # frames may arrive as a DEVICE array (the staged executor leaves
+    # them resident via jax_accepts_device_arrays): the device path then
+    # masks on device and no frame bytes cross the host link; any other
+    # path materializes them first
+    values_on_device = not isinstance(values, np.ndarray)
+    if values_on_device and not device_capable:
+        values = np.asarray(values)
+        values_on_device = False
+
     depth, height, width = values.shape
     n = len(geometries)
     uncovered = set()
     agg = np.full((depth, n), np.nan, dtype="f4")
 
-    device_capable = (
-        config.get("geomodeling.aggregate-device", False)
-        and statistic in DEVICE_STATISTICS
-    )
     device_buckets = []  # (labels, (t, h, w) active) per covered bucket
+    last_label_fill = None  # one rasterizer fill id across buckets
 
     for group in bucketize(geometries.bounds.values):
         burned = utils.rasterize_geoseries(
@@ -169,10 +179,15 @@ def aggregate_polygons(
             values=np.asarray(group, dtype=np.int32),
         )
         labels = burned["values"][0]
-        label_fill = burned["no_data_value"]
+        label_fill = last_label_fill = burned["no_data_value"]
         covered = set(np.unique(labels[labels != label_fill]).tolist())
         uncovered |= set(group) - covered
         if not covered:
+            continue
+
+        if device_capable and values_on_device:
+            # masks compute on device; only the labels ship
+            device_buckets.append((labels, None))
             continue
 
         thresholds = (
@@ -221,21 +236,39 @@ def aggregate_polygons(
 
     if device_buckets:
         # one dispatch for the full (buckets x frames) matrix, one fetch
-        from dask_geomodeling_tpu.ops.segment import (
-            labeled_statistics_batch_jax,
-        )
-
         q = 50.0 if statistic == "median" else (percentile or 50.0)
-        result = np.asarray(
-            labeled_statistics_batch_jax(
-                values,
-                np.stack([labels for labels, _ in device_buckets]),
-                np.stack([active for _, active in device_buckets]),
-                n,
-                statistic,
-                q,
+        if values_on_device:
+            from dask_geomodeling_tpu.ops.segment import (
+                labeled_statistics_batch_device,
             )
-        )
+
+            result = np.asarray(
+                labeled_statistics_batch_device(
+                    values,
+                    np.stack([labels for labels, _ in device_buckets]),
+                    last_label_fill,
+                    no_data_value,
+                    threshold_values,
+                    n,
+                    statistic,
+                    q,
+                )
+            )
+        else:
+            from dask_geomodeling_tpu.ops.segment import (
+                labeled_statistics_batch_jax,
+            )
+
+            result = np.asarray(
+                labeled_statistics_batch_jax(
+                    values,
+                    np.stack([labels for labels, _ in device_buckets]),
+                    np.stack([active for _, active in device_buckets]),
+                    n,
+                    statistic,
+                    q,
+                )
+            )
         for per_bucket in result:  # (t, n); buckets fill disjoint labels
             found = ~np.isnan(per_bucket)
             agg[found] = per_bucket[found]
@@ -250,6 +283,8 @@ def aggregate_points(
     gt = utils.GeoTransform.from_bbox(agg_bbox, height, width)
     i_y, i_x = gt.get_indices(np.array([points.x.values, points.y.values]).T)
     sampled = values[:, np.clip(i_y, 0, height - 1), np.clip(i_x, 0, width - 1)]
+    # device-resident frames: the (t, n_points) sample is tiny — fetch it
+    sampled = np.asarray(sampled)
 
     active = sampled != no_data_value
     if threshold_values is not None:
@@ -451,7 +486,9 @@ class AggregateRaster(GeometryBlock):
         no_data_value = (
             raster_data["no_data_value"] if raster_data is not None else None
         )
-        if values is None or np.all(values == no_data_value):
+        # .all() stays a device reduction (scalar fetch) when the frames
+        # arrived device-resident; np.all would fetch the full stack
+        if values is None or bool((values == no_data_value).all()):
             result[column] = 0 if extensive else np.nan
             return {"features": result, "projection": plan["req_srs"]}
 
@@ -495,6 +532,13 @@ class AggregateRaster(GeometryBlock):
             # multiband: store the per-feature time series as a list cell
             result[column] = [[x] for x in agg.T]
         return {"features": result, "projection": plan["req_srs"]}
+
+
+# the staged executor may leave the raster stack ON DEVICE for this
+# consumer: aggregate_polygons masks and reduces it there, so a
+# device-computed raster pipeline feeds zonal statistics without any
+# frame bytes crossing the host link
+AggregateRaster.process.jax_accepts_device_arrays = True
 
 
 class AggregateRasterAboveThreshold(AggregateRaster):

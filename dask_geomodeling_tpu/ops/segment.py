@@ -17,6 +17,7 @@ __all__ = [
     "labeled_statistic_jax",
     "labeled_percentile_jax",
     "labeled_statistics_batch_jax",
+    "labeled_statistics_batch_device",
 ]
 
 _SUPPORTED = ("sum", "count", "mean", "min", "max", "std", "var", "median")
@@ -202,4 +203,79 @@ def labeled_statistics_batch_jax(
         np.ascontiguousarray(values, dtype=np.float32),
         np.ascontiguousarray(labels, dtype=np.int32),
         np.ascontiguousarray(active),
+    )
+
+
+_DEVICE_BATCH_JIT_CACHE = {}
+
+
+def labeled_statistics_batch_device(
+    values, labels, label_fill, no_data_value, thresholds, num_labels,
+    statistic, q=50.0,
+):
+    """Like :func:`labeled_statistics_batch_jax`, but for DEVICE-RESIDENT
+    frame values: the participation masks compute on device (in the
+    values' own dtype, so nodata semantics match what the device pipeline
+    produced) and no frame bytes ever cross the host link.
+
+    Args:
+      values: (t, h, w) jax array (a staged-executor output left on
+        device via ``jax_accepts_device_arrays``)
+      labels: (B, h, w) int label ids per bucket (host, small)
+      label_fill: the rasterizer's fill id
+      no_data_value: the frames' nodata sentinel
+      thresholds: (num_labels + 1,) per-label thresholds with NaN at the
+        trailing slot (threshold-variant), or None
+      num_labels / statistic / q: as in the host-mask variant
+
+    Returns (B, t, num_labels) float32 on device (one small fetch away).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if statistic == "median":
+        statistic, q = "percentile", 50.0
+    if statistic != "percentile" and statistic not in _SUPPORTED:
+        raise ValueError("Unsupported device statistic '{}'".format(statistic))
+
+    key = (
+        num_labels, statistic, float(q), float(label_fill),
+        thresholds is not None,
+    )
+    fn = _DEVICE_BATCH_JIT_CACHE.get(key)
+    if fn is None:
+
+        def one_pair(frame, f32, lab, ndv, thr):
+            active = (frame != ndv) & (lab != label_fill)
+            if thresholds is not None:
+                per_cell = thr[jnp.clip(lab, 0, num_labels)]
+                active = active & ~jnp.isnan(per_cell) & (f32 >= per_cell)
+            if statistic == "percentile":
+                return labeled_percentile_jax(f32, lab, active, num_labels, q)
+            return labeled_statistic_jax(
+                f32, jnp.where(active, lab, 0), active, num_labels, statistic
+            )
+
+        def batch(values, labels, ndv, thr):
+            f32 = values.astype(jnp.float32)
+            per_bucket = jax.vmap(one_pair, in_axes=(0, 0, None, None, None))
+            return jax.vmap(
+                lambda lab: per_bucket(values, f32, lab, ndv, thr),
+                in_axes=0,
+            )(labels)
+
+        fn = jax.jit(batch)
+        _DEVICE_BATCH_JIT_CACHE[key] = fn
+
+    ndv_scalar = np.dtype(values.dtype).type(no_data_value)
+    thr = (
+        np.zeros(num_labels + 1, np.float32)
+        if thresholds is None
+        else np.ascontiguousarray(thresholds, dtype=np.float32)
+    )
+    return fn(
+        values,
+        np.ascontiguousarray(labels, dtype=np.int32),
+        ndv_scalar,
+        thr,
     )

@@ -349,6 +349,24 @@ class _StagedProgram:
             for key in keys
             if key == name or any(c not in key_set for c in consumers[key])
         ]
+        # outputs whose every consumer is a host node that opts into
+        # device arrays (process.jax_accepts_device_arrays, e.g. the
+        # zonal statistics aggregator) skip the device->host fetch — the
+        # consumer's own device work reads them in place
+        self.device_output_keys = set()
+        for key in self.output_keys:
+            if key == name:
+                continue
+            external = [c for c in consumers[key] if c not in key_set]
+            if external and all(
+                _is_task(graph[c])
+                and not _is_device_node(graph[c], graph)
+                and getattr(
+                    graph[c][0], "jax_accepts_device_arrays", False
+                )
+                for c in external
+            ):
+                self.device_output_keys.add(key)
         self.graph = graph
         self.deps = deps
 
@@ -493,7 +511,9 @@ class _StagedProgram:
             return
         with _span("fetch[%d outputs]" % len(self.output_keys), "transfer"):
             for key, out in zip(self.output_keys, outputs):
-                cache[key] = _to_numpy(out)
+                cache[key] = (
+                    out if key in self.device_output_keys else _to_numpy(out)
+                )
 
     def _run_eager(self, cache):
         """Evaluate the staged nodes host-side with the original process

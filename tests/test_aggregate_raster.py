@@ -494,6 +494,104 @@ class TestDeviceAggregate:
             rtol=1e-6,
         )
 
+    @pytest.mark.parametrize(
+        "statistic", ["sum", "count", "mean", "min", "max", "median", "std", "p75"]
+    )
+    def test_device_resident_raster_matches_host(self, monkeypatch, statistic):
+        """With the jax executor, a device-computed raster pipeline feeds
+        zonal statistics WITHOUT fetching the frames: the staged executor
+        leaves them on device (jax_accepts_device_arrays) and the masks
+        compute there too."""
+        from dask_geomodeling_tpu.ops import segment
+        from dask_geomodeling_tpu.raster import Add
+
+        data = np.arange(300, dtype=np.float64).reshape(3, 10, 10)
+        data[0, 0, :] = 255.0  # nodata row
+        raster = MemorySource(
+            data=data,
+            no_data_value=255.0,
+            projection="EPSG:3857",
+            pixel_size=1.0,
+            pixel_origin=(0, 10),
+            time_first=datetime(2000, 1, 1),
+            time_delta=timedelta(hours=1),
+        )
+        geom = MockGeometry(
+            [self.square, [(3, 3), (7, 3), (7, 7), (3, 7)]],
+            properties=[{"id": 1}, {"id": 2}],
+        )
+        view = AggregateRaster(geom, Add(raster, 1.0), statistic=statistic)
+        request = dict(
+            mode="intersects",
+            geometry=box(0, 0, 10, 10),
+            projection="EPSG:3857",
+            start=datetime(2000, 1, 1),
+            stop=datetime(2000, 1, 1, 3),
+        )
+        host = view.get_data(**request)["features"]["agg"].tolist()
+
+        seen = {}
+        real = segment.labeled_statistics_batch_device
+
+        def spy(values, *args, **kwargs):
+            seen["device_values"] = not isinstance(values, np.ndarray)
+            return real(values, *args, **kwargs)
+
+        monkeypatch.setattr(segment, "labeled_statistics_batch_device", spy)
+        with config.set(
+            {
+                "geomodeling.aggregate-device": True,
+                "geomodeling.executor": "jax",
+            }
+        ):
+            device = view.get_data(**request)["features"]["agg"].tolist()
+        assert seen.get("device_values") is True  # frames never fetched
+        np.testing.assert_allclose(
+            np.array(device, dtype=float), np.array(host, dtype=float),
+            rtol=1e-6,
+        )
+
+    def test_device_resident_threshold_variant(self, monkeypatch):
+        from dask_geomodeling_tpu.ops import segment
+        from dask_geomodeling_tpu.raster import Add
+
+        data = np.arange(100, dtype=np.float64).reshape(1, 10, 10)
+        raster = MemorySource(
+            data=data,
+            no_data_value=255.0,
+            projection="EPSG:3857",
+            pixel_size=1.0,
+            pixel_origin=(0, 10),
+            time_first=datetime(2000, 1, 1),
+            time_delta=timedelta(hours=1),
+        )
+        geom = MockGeometry(
+            [self.square, [(3, 3), (7, 3), (7, 7), (3, 7)]],
+            properties=[
+                {"id": 1, "threshold": 30.0},
+                {"id": 2, "threshold": 60.0},
+            ],
+        )
+        view = AggregateRasterAboveThreshold(
+            geom, Add(raster, 1.0), statistic="count",
+            threshold_name="threshold",
+        )
+        request = dict(
+            mode="intersects",
+            geometry=box(0, 0, 10, 10),
+            projection="EPSG:3857",
+            start=datetime(2000, 1, 1),
+        )
+        host = view.get_data(**request)["features"]["agg"].tolist()
+        with config.set(
+            {
+                "geomodeling.aggregate-device": True,
+                "geomodeling.executor": "jax",
+            }
+        ):
+            device = view.get_data(**request)["features"]["agg"].tolist()
+        np.testing.assert_allclose(device, host, rtol=1e-6)
+
     def test_percentile_kernel_matches_numpy(self):
         from dask_geomodeling_tpu.ops.segment import labeled_percentile_jax
 
