@@ -76,6 +76,7 @@ ELLIPSOIDS = {
     "krass": (6378245.0, 298.3),  # Krassowsky 1940 (Pulkovo)
     "GRS67": (6378160.0, 298.247167427),
     "authalic": (6371000.0, float("inf")),  # ESRI 53xxx sphere
+    "clrk80ign": (6378249.2, 293.4660212936269),  # Clarke 1880 IGN (NTF)
 }
 
 # --- datums: ellipsoid + position-vector Helmert to WGS84 ---
@@ -118,6 +119,15 @@ DATUMS = {
     ),
     # S-JTSK to WGS84 (the common 3-parameter shift, EPSG 1622-family)
     "S-JTSK": ("bessel", (589.0, 76.0, 480.0, 0.0, 0.0, 0.0, 0.0)),
+    # DHDN to WGS84 (EPSG 1777, position vector)
+    "DHDN": (
+        "bessel",
+        (598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7),
+    ),
+    # HD72 to WGS84 (EPSG 1448)
+    "HD72": ("GRS67", (52.17, -71.82, -14.9, 0.0, 0.0, 0.0, 0.0)),
+    # NTF to WGS84 (the standard 3-parameter shift, EPSG 1193)
+    "NTF": ("clrk80ign", (-168.0, -60.0, 320.0, 0.0, 0.0, 0.0, 0.0)),
 }
 
 _ARCSEC = np.pi / (180.0 * 3600.0)
@@ -2461,6 +2471,56 @@ def _registry_get(code):
             "WGS84",  # the sphere is its own "datum"; treated as WGS84
             _LambertAzimuthalEqualArea(
                 _Ellipsoid(6370997.0, float("inf")), -100.0, 45.0, 0.0, 0.0
+            ),
+        )
+    if code == 3067:
+        return SpatialReference(
+            3067,
+            "ETRS89 / TM35FIN(E,N)",
+            "ETRS89",
+            _TransverseMercator(
+                _ellipsoid("GRS80"), 27.0, 0.0, 0.9996, 500000.0, 0.0
+            ),
+        )
+    if code == 2180:
+        return SpatialReference(
+            2180,
+            "ETRS89 / Poland CS92",
+            "ETRS89",
+            _TransverseMercator(
+                _ellipsoid("GRS80"), 19.0, 0.0, 0.9993, 500000.0, -5300000.0
+            ),
+        )
+    if code == 23700:
+        return SpatialReference(
+            23700,
+            "HD72 / EOV",
+            "HD72",
+            _HotineObliqueMercator(
+                _ellipsoid("GRS67"),
+                19.04857177777778,
+                47.14439372222222,
+                90.0,
+                90.0,
+                0.99993,
+                650000.0,
+                200000.0,
+                variant="B",
+            ),
+        )
+    if 31466 <= code <= 31469:
+        zone = code - 31464  # 31466 = 3-degree Gauss-Krueger zone 2
+        return SpatialReference(
+            code,
+            "DHDN / 3-degree Gauss-Kruger zone %d" % zone,
+            "DHDN",
+            _TransverseMercator(
+                _ellipsoid("bessel"),
+                3.0 * zone,
+                0.0,
+                1.0,
+                zone * 1000000.0 + 500000.0,
+                0.0,
             ),
         )
     raise TransformException("Unsupported EPSG code: %d" % code)

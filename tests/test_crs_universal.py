@@ -58,6 +58,10 @@ ROUNDTRIP_DEFS = [
     ("EPSG:2163", np.array([-170.0, -100.0, -65.0]), np.array([18.0, 45.0, 71.0])),
     ("EPSG:32661", np.array([-120.0, 0.0, 100.0]), np.array([60.0, 75.0, 89.5])),
     ("EPSG:32761", np.array([-120.0, 0.0, 100.0]), np.array([-89.5, -75.0, -60.0])),
+    ("EPSG:3067", np.array([21.0, 27.0, 31.0]), np.array([60.0, 64.5, 70.0])),
+    ("EPSG:2180", np.array([14.5, 19.0, 24.0]), np.array([49.0, 52.0, 54.8])),
+    ("EPSG:23700", np.array([16.2, 19.05, 22.8]), np.array([45.8, 47.15, 48.5])),
+    ("EPSG:31467", np.array([7.6, 9.0, 10.4]), np.array([47.3, 50.0, 54.9])),
     # ESRI world series
     ("ESRI:54003", _WORLD_LONS, _WORLD_LATS),
     ("ESRI:54008", _WORLD_LONS, _WORLD_LATS),
