@@ -154,11 +154,28 @@ def main():
         # (tunneled fetch rates swing up to 3x with time of day — the
         # min/max spread and a raw fetch-bandwidth probe ship as telemetry
         # so regressions separate from tunnel weather)
-        evaluate_tiled(view, request, tile_size=tile, batch=64)
+        result = evaluate_tiled(view, request, tile_size=tile, batch=64)
+        # correctness spot check: a host-path crop must match bit-exactly
+        check = dict(request)
+        x1, y1, x2, y2 = request["bbox"]
+        n = 64
+        frac_x = (x2 - x1) * n / out_px
+        frac_y = (y2 - y1) * n / out_px
+        check.update(
+            bbox=(x1, y2 - frac_y, x1 + frac_x, y2), width=n, height=n
+        )
+        from dask_geomodeling_tpu import config as _cfg
+
+        with _cfg.set({"geomodeling.executor": "numpy"}):
+            expected = view.get_data(**check)
+        np.testing.assert_array_equal(
+            result["values"][:, :n, :n], expected["values"]
+        )
         runs = []
-        # tunnel throughput jitters ~2x run to run; five samples make
-        # the median robust to a single slow transfer
-        for _ in range(5):
+        # tunnel throughput jitters up to 3x run to run (same-session
+        # swings of 27-86 Mpx/s measured); nine samples keep the median
+        # robust against a slow-transfer cluster
+        for _ in range(9):
             t0 = time.perf_counter()
             result = evaluate_tiled(view, request, tile_size=tile, batch=64)
             runs.append(time.perf_counter() - t0)

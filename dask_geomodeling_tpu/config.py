@@ -67,6 +67,8 @@ defaults = {
     "geomodeling.mesh-shape": None,
     # per-batch HBM budget in bytes for admission control of tile batches
     "geomodeling.hbm-budget": 2 * (1024**3),
+    # max compiled tile programs kept (LRU); bounds long-running services
+    "geomodeling.tile-program-cache": 64,
     # directory for XLA's persistent compilation cache (None = disabled);
     # makes process restarts warm-start instead of recompiling for minutes
     "geomodeling.compilation-cache": None,

@@ -13,6 +13,7 @@ bbox) are stacked into a (B, ...) array.
 
 Falls back to per-tile ``get_data`` when the view contains host-side nodes.
 """
+import collections
 import logging
 import time
 
@@ -86,7 +87,7 @@ def _tile_batch_mesh_for_build():
     return _get_mesh(dp, sp)
 
 
-_TILE_PROGRAM_CACHE = {}
+_TILE_PROGRAM_CACHE = collections.OrderedDict()
 
 #: gather-engine observability (VERDICT r2 weak #7: a silent 2x perf
 #: cliff): batches staged per gather mode, warp-site collection failures/
@@ -115,7 +116,10 @@ def reset_gather_stats():
 
 def _get_tile_program(view, template_request):
     """TilePrograms cached by (view token, static request shape) — a fresh
-    instance would mean a fresh jit trace and compile."""
+    instance would mean a fresh jit trace and compile.  LRU-bounded
+    (``geomodeling.tile-program-cache``) so long-running services (WMS)
+    don't accumulate compiled programs without limit."""
+    from dask_geomodeling_tpu.config import config
     from dask_geomodeling_tpu.core.tokens import tokenize
 
     static = {k: v for k, v in template_request.items() if k != "bbox"}
@@ -124,10 +128,14 @@ def _get_tile_program(view, template_request):
     if program is None:
         program = TileProgram(view, template_request)
         _TILE_PROGRAM_CACHE[key] = program
+    else:
+        _TILE_PROGRAM_CACHE.move_to_end(key)
+    limit = config.get("geomodeling.tile-program-cache", 64)
+    while len(_TILE_PROGRAM_CACHE) > max(int(limit), 1):
+        _TILE_PROGRAM_CACHE.popitem(last=False)
     return program
 
 
-import collections
 import threading
 
 #: a consistent staging snapshot: inputs + the exact program state they
