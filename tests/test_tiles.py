@@ -417,3 +417,20 @@ def test_header_change_forces_recompile(tmp_path):
         host = view.get_data(**request)
         np.testing.assert_array_equal(second["values"], host["values"])
         assert not np.array_equal(first["values"], second["values"])
+
+
+def test_tile_program_cache_lru_bound(source, request_64):
+    """The program cache is LRU-bounded (long-running WMS services must
+    not accumulate compiled programs without limit)."""
+    from dask_geomodeling_tpu import config
+    from dask_geomodeling_tpu.runtime import tiles
+
+    with config.set({"geomodeling.tile-program-cache": 2}):
+        views = [Add(source, float(k)) for k in range(4)]
+        for view in views:
+            evaluate_tiled(view, request_64, tile_size=32, batch=2)
+        assert len(tiles._TILE_PROGRAM_CACHE) <= 2
+    # the most recent program is still cached (hit, no rebuild)
+    before = len(tiles._TILE_PROGRAM_CACHE)
+    evaluate_tiled(views[-1], request_64, tile_size=32, batch=2)
+    assert len(tiles._TILE_PROGRAM_CACHE) >= before
