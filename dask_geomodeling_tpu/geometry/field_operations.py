@@ -361,20 +361,22 @@ class Interp(BaseSingleSeries):
     """Piecewise-linear interpolation of the source values over (xp, fp)."""
 
     def __init__(self, source, xp, fp, left=None, right=None):
-        xp = [float(x) for x in xp]
-        fp = [float(x) for x in fp]
-        if left is not None:
-            left = float(left)
-        if right is not None:
-            right = float(right)
-        if np.any(np.diff(xp) < 0):
+        knots, ordinates = (
+            [float(value) for value in sequence] for sequence in (xp, fp)
+        )
+        if any(b < a for a, b in zip(knots, knots[1:])):
             raise ValueError("xp must be monotonically increasing")
-        super().__init__(source, xp, fp, left, right)
+        clamps = tuple(
+            None if value is None else float(value) for value in (left, right)
+        )
+        super().__init__(source, knots, ordinates, *clamps)
+
+    xp = arg(1, "interpolation knots (monotonically increasing)")
+    fp = arg(2, "ordinate at each knot")
 
     @staticmethod
     def process(data, xp, fp, left, right):
-        result = np.interp(data, xp, fp, left, right)
-        return pd.Series(result, index=data.index)
+        return pd.Series(np.interp(data, xp, fp, left, right), index=data.index)
 
 
 class Choose(BaseSingleSeries):
@@ -394,8 +396,21 @@ class Choose(BaseSingleSeries):
 
     @staticmethod
     def process(source, *choices):
-        result = pd.Series(np.nan, dtype=object, index=source.index)
-        for i, choice in enumerate(choices):
-            mask = source == i
-            result[mask] = choice[source.index[mask]]
-        return result
+        # one vectorized row pick instead of a per-choice masked scan:
+        # align every choice to the source index, then gather rows whose
+        # selector is a valid integer; everything else stays 'no data'
+        table = np.empty((len(choices), len(source)), dtype=object)
+        for slot, choice in enumerate(choices):
+            table[slot] = choice.reindex(source.index).to_numpy()
+        selector = pd.to_numeric(source, errors="coerce").to_numpy(dtype=float)
+        with np.errstate(invalid="ignore"):
+            valid = (
+                np.isfinite(selector)
+                & (selector >= 0)
+                & (selector < len(choices))
+                & (selector == np.floor(selector))
+            )
+        picked = np.full(len(source), np.nan, dtype=object)
+        rows = np.flatnonzero(valid)
+        picked[rows] = table[selector[rows].astype(np.intp), rows]
+        return pd.Series(picked, dtype=object, index=source.index)

@@ -12,6 +12,7 @@ import re
 import numpy as np
 import pandas as pd
 
+from dask_geomodeling_tpu.core import arg
 from dask_geomodeling_tpu.geometry.base import BaseSingle, GeometryBlock
 
 __all__ = ["ParseTextColumn"]
@@ -56,27 +57,25 @@ class ParseTextColumn(BaseSingle):
     """
 
     def __init__(self, source, source_column, key_mapping):
-        if not isinstance(source, GeometryBlock):
-            raise TypeError("'{}' object is not allowed.".format(type(source)))
-        if not isinstance(source_column, str):
-            raise TypeError("'{}' object is not allowed.".format(type(source_column)))
+        expectations = (
+            (source, GeometryBlock),
+            (source_column, str),
+            (key_mapping, dict),
+        )
+        for value, expected in expectations:
+            if not isinstance(value, expected):
+                raise TypeError(
+                    "'{}' object is not allowed.".format(type(value))
+                )
         if source_column not in source.columns:
-            raise KeyError("Column '{}' is not available.".format(source_column))
-        if not isinstance(key_mapping, dict):
-            raise TypeError("'{}' object is not allowed.".format(type(key_mapping)))
+            raise KeyError(
+                "Column '{}' is not available.".format(source_column)
+            )
         super().__init__(source, source_column, key_mapping)
 
-    @property
-    def source(self):
-        return self.args[0]
-
-    @property
-    def source_column(self):
-        return self.args[1]
-
-    @property
-    def key_mapping(self):
-        return self.args[2]
+    source = arg(0)
+    source_column = arg(1, "text column holding the key=value lines")
+    key_mapping = arg(2, "{key: output column} selection")
 
     @property
     def columns(self):
