@@ -115,6 +115,10 @@ class timed_route:
         return self
 
     def __exit__(self, exc_type, exc, tb):
+        if exc_type is not None and not self.failed:
+            # an aborted run measures nothing (its elapsed time is not a
+            # throughput); lowering failures set .failed explicitly
+            return False
         record(
             self._view,
             self._request,
