@@ -492,7 +492,10 @@ class RasterFileSource(RasterSourceBase):
         except AttributeError:
             path = utils.safe_abspath(self.url)
             if path.lower().endswith(
-                (".vrt", ".asc", ".agr", ".xyz", ".png", ".nc", ".cdf", ".nc3")
+                (
+                    ".vrt", ".asc", ".agr", ".xyz", ".png", ".nc", ".cdf",
+                    ".nc3", ".jpg", ".jpeg",
+                )
             ):
                 from dask_geomodeling_tpu.io.geotiff import GeoTIFFInfo
                 from dask_geomodeling_tpu.runtime.pipeline import (

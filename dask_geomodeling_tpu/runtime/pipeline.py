@@ -48,6 +48,10 @@ def read_geotiff_cached(path):
         from dask_geomodeling_tpu.io.png import read_png
 
         data = read_png(key)
+    elif lower.endswith((".jpg", ".jpeg")):
+        from dask_geomodeling_tpu.io.jpeg import read_jpeg
+
+        data = read_jpeg(key)
     elif lower.endswith((".nc", ".cdf", ".nc3")):
         from dask_geomodeling_tpu.io.netcdf import read_netcdf
 

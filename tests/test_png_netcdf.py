@@ -168,6 +168,51 @@ class TestPng:
             read_png(str(path))
 
 
+class TestJpeg:
+    def test_jpeg_with_world_file(self, root):
+        PIL = pytest.importorskip("PIL.Image")
+        from dask_geomodeling_tpu.io.jpeg import read_jpeg
+
+        rng = np.random.RandomState(0)
+        pixels = rng.randint(0, 255, (16, 16), dtype=np.uint8)
+        path = str(root / "photo.jpg")
+        PIL.fromarray(pixels, mode="L").save(path, quality=95)
+        gt = (1000.0, 50.0, 0.0, 2800.0, 0.0, -50.0)
+        (root / "photo.jgw").write_text(
+            "\n".join(
+                "%.10f" % v
+                for v in (50.0, 0.0, 0.0, -50.0, 1025.0, 2775.0)
+            )
+        )
+        (root / "photo.prj").write_text("EPSG:28992")
+        data = read_jpeg(path)
+        assert data.array.shape == (1, 16, 16)
+        np.testing.assert_allclose(data.geo_transform, gt)
+        assert data.projection == "EPSG:28992"
+        # lossy codec: values within JPEG quantization error
+        assert np.abs(
+            data.array[0].astype(int) - pixels.astype(int)
+        ).mean() < 20
+
+    def test_jpeg_rgb_source(self, root):
+        PIL = pytest.importorskip("PIL.Image")
+
+        rng = np.random.RandomState(1)
+        pixels = rng.randint(0, 255, (8, 8, 3), dtype=np.uint8)
+        path = str(root / "rgb.jpg")
+        PIL.fromarray(pixels, mode="RGB").save(path, quality=95)
+        (root / "rgb.jgw").write_text(
+            "\n".join(str(v) for v in (1.0, 0.0, 0.0, -1.0, 0.5, 7.5))
+        )
+        source = RasterFileSource("rgb.jpg", time_first=datetime(2000, 1, 1))
+        result = source.get_data(
+            mode="vals", bbox=(0.0, 0.0, 8.0, 8.0),
+            projection=source.projection, width=8, height=8,
+            start=datetime(2000, 1, 1),
+        )
+        assert result["values"].shape == (1, 8, 8)  # band 1 of 3
+
+
 class TestNetcdf:
     def test_roundtrip_float(self, root):
         values = np.linspace(0, 1, 12, dtype=np.float32).reshape(1, 3, 4)
