@@ -39,6 +39,7 @@ _FORMATS = {
     # beyond the reference's four sink drivers (sinks.py:30-35):
     "parquet": ("GeoParquet", {}),
     "fgb": ("FlatGeobuf", {}),
+    "mif": ("MapInfo MIF/MID", {}),
 }
 
 #: everything one partial-file write needs, planned at request-rewrite time

@@ -34,7 +34,8 @@ def frame():
 class TestVectorFileIO:
     @pytest.mark.parametrize(
         "ext",
-        ["geojson", "geojsonl", "gpkg", "shp", "gml", "kml", "csv", "parquet", "fgb"],
+        ["geojson", "geojsonl", "gpkg", "shp", "gml", "kml", "csv",
+         "parquet", "fgb", "mif"],
     )
     def test_roundtrip(self, root, frame, ext):
         path = str(root / ("test." + ext))

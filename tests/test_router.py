@@ -182,6 +182,36 @@ class TestGetDataIntegration:
         for result in results:
             assert result is not None
 
+    def test_concurrent_auto_requests_consistent(self, big_source):
+        """WMS-style load: many threads hammering one view under auto
+        must all get identical results while the router explores and
+        settles concurrently."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        view = Add(big_source, 1.0)
+        request = big_request()
+        expected = None
+        with config.set(
+            {
+                "geomodeling.executor": "auto",
+                "geomodeling.auto-min-device-px": 1024,
+                "geomodeling.tile-size": 128,
+            }
+        ):
+            expected = view.get_data(**request)["values"]
+            with ThreadPoolExecutor(max_workers=6) as pool:
+                results = list(
+                    pool.map(
+                        lambda _: view.get_data(**request)["values"],
+                        range(18),
+                    )
+                )
+        for result in results:
+            np.testing.assert_array_equal(result, expected)
+        # the route settled to a single measured state, not a torn one
+        state = router.stats()[router._key(view, request)]
+        assert state["numpy"] is not None
+
     def test_numpy_executor_untouched(self, big_source, monkeypatch):
         from dask_geomodeling_tpu.runtime import tiles
 
