@@ -1464,9 +1464,14 @@ class _Mollweide:
         dlam = xp.radians((lon - self.lon0 + 180.0) % 360.0 - 180.0)
         target = np.pi * xp.sin(phi)
         theta = phi
-        for _ in range(10):  # Newton for 2t + sin 2t = pi sin phi
+        for _ in range(14):  # Newton for 2t + sin 2t = pi sin phi
             f = 2 * theta + xp.sin(2 * theta) - target
             theta = theta - f / (2 + 2 * xp.cos(2 * theta) + 1e-15)
+        # the derivative vanishes at the poles and Newton stalls there;
+        # the limit is exact
+        theta = xp.where(
+            xp.abs(phi) > np.pi / 2 - 1e-7, xp.sign(phi) * (np.pi / 2), theta
+        )
         x = (2 * np.sqrt(2) / np.pi) * self.r * dlam * xp.cos(theta)
         y = np.sqrt(2) * self.r * xp.sin(theta)
         return self.fe + x, self.fn + y
@@ -1663,10 +1668,14 @@ class _EckertIV:
         dlam = xp.radians((lon - self.lon0 + 180.0) % 360.0 - 180.0)
         target = (2 + np.pi / 2) * xp.sin(phi)
         theta = phi / 2
-        for _ in range(12):  # Newton: t + sin t cos t + 2 sin t = target
+        for _ in range(16):  # Newton: t + sin t cos t + 2 sin t = target
             f = theta + xp.sin(theta) * xp.cos(theta) + 2 * xp.sin(theta) - target
             df = 1 + xp.cos(2 * theta) + 2 * xp.cos(theta)
             theta = theta - f / (df + 1e-15)
+        # Newton stalls where the derivative vanishes (the poles)
+        theta = xp.where(
+            xp.abs(phi) > np.pi / 2 - 1e-7, xp.sign(phi) * (np.pi / 2), theta
+        )
         x = (2 / np.sqrt(np.pi * (4 + np.pi))) * self.r * dlam * (
             1 + xp.cos(theta)
         )

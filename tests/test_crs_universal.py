@@ -186,6 +186,16 @@ class TestGroundTruth:
         assert abs(x - 1776774.5) < 1.0
         assert abs(y - 1319657.8) < 1.0
 
+    def test_equal_area_poles_roundtrip(self):
+        # Newton solvers must not stall at the poles (derivative -> 0)
+        for definition in ("+proj=moll +ellps=WGS84", "+proj=eck4 +ellps=WGS84"):
+            sr = get_sr(definition)
+            lats = np.array([-90.0, -89.99, 89.99, 90.0])
+            lons = np.zeros(4)
+            x, y = sr.projection.forward(lons, lats)
+            lo, la = sr.projection.inverse(x, y)
+            np.testing.assert_allclose(la, lats, atol=1e-6)
+
     def test_orthographic_far_hemisphere_nan(self):
         sr = get_sr("+proj=ortho +ellps=WGS84 +lat_0=40 +lon_0=10")
         x, y = sr.projection.forward(np.array([-175.0]), np.array([-40.0]))
