@@ -64,6 +64,30 @@ def test_evaluate_tiled_cross_crs(source, request_64):
     np.testing.assert_array_equal(actual["values"], expected["values"])
 
 
+@pytest.mark.parametrize(
+    "target",
+    [
+        "ESRI:54030",  # Robinson: Newton-inverse CRS through the runtime
+        "+proj=aeqd +ellps=WGS84 +lat_0=52 +lon_0=5 +towgs84=0,0,0",
+        "+proj=eqearth +ellps=WGS84 +towgs84=0,0,0",
+    ],
+)
+def test_evaluate_tiled_cross_crs_long_tail(source, request_64, target):
+    """The tile runtime's full cross-CRS machinery (host coarse grids,
+    domain checks, gather engines) over round-3 projection families,
+    including the generic damped-Newton inverse."""
+    from dask_geomodeling_tpu import config
+    from dask_geomodeling_tpu.geo import Extent
+
+    view = Classify(Add(source, 1), bins=[50.0, 150.0])
+    bbox = Extent(request_64["bbox"], "EPSG:28992").transformed(target).bbox
+    request = dict(request_64, bbox=bbox, projection=target)
+    expected = view.get_data(**request)
+    with config.set({"geomodeling.warp-approx-stride": 1}):
+        actual = evaluate_tiled(view, request, tile_size=32, batch=4)
+    np.testing.assert_array_equal(actual["values"], expected["values"])
+
+
 def test_approx_warp_error_budget(source, request_64):
     """The approximate transformer must stay within GDAL's 0.125 px error
     model: almost all gathers identical to the exact transform."""
