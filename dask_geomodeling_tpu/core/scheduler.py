@@ -158,28 +158,31 @@ def _get_pooled_impl(pool_cls, graph, keys, num_workers):
             if remaining[dep] == 0:
                 ready.append(dep)
 
-    with pool_cls(num_workers) as pool:
-        futures = {}
-        while ready or futures:
-            while ready:
-                key = ready.pop()
-                value = graph[key]
-                if not _is_task(value):
-                    _complete(key, _resolve(value))
+    try:
+        with pool_cls(num_workers) as pool:
+            futures = {}
+            while ready or futures:
+                while ready:
+                    key = ready.pop()
+                    value = graph[key]
+                    if not _is_task(value):
+                        _complete(key, _resolve(value))
+                        continue
+                    func = value[0]
+                    args = [_resolve(arg) for arg in value[1:]]
+                    futures[pool.submit(_timed_call, func, args)] = key
+                if not futures:
                     continue
-                func = value[0]
-                args = [_resolve(arg) for arg in value[1:]]
-                futures[pool.submit(_timed_call, func, args)] = key
-            if not futures:
-                continue
-            done, _ = wait(list(futures), return_when=FIRST_COMPLETED)
-            for fut in done:
-                _complete(futures.pop(fut), fut.result())
-    result = [cache[key] for key in keys]
-    close = getattr(cache, "close", None)
-    if close is not None:
-        close()
-    return result
+                done, _ = wait(list(futures), return_when=FIRST_COMPLETED)
+                for fut in done:
+                    _complete(futures.pop(fut), fut.result())
+        return [cache[key] for key in keys]
+    finally:
+        # a raising task must not leak the spill tempdir (close also
+        # runs on success, after the results left the cache)
+        close = getattr(cache, "close", None)
+        if close is not None:
+            close()
 
 
 def _timed_call(func, args):

@@ -2543,8 +2543,10 @@ _ESRI_WORLD = {
     9: ("mollweide", {}),
     12: ("eckert_iv", {}),
     16: ("gall_stereographic", {}),
-    17: ("bonne", {"standard_parallel_1": 60.0}),
-    24: ("polyconic", {}),
+    # 54017 World Behrmann: cylindrical equal area, standard parallel 30
+    17: ("cylindrical_equal_area", {"standard_parallel_1": 30.0}),
+    21: ("polyconic", {}),
+    24: ("bonne", {"standard_parallel_1": 60.0}),
     29: ("van_der_grinten", {}),
     30: ("robinson", {}),
     32: ("azimuthal_equidistant", {}),

@@ -236,7 +236,12 @@ def aggregate_polygons(
 
     if device_buckets:
         # one dispatch for the full (buckets x frames) matrix, one fetch
-        q = 50.0 if statistic == "median" else (percentile or 50.0)
+        # explicit None check: p0 (the 0th percentile) is falsy but valid
+        q = (
+            50.0
+            if statistic == "median" or percentile is None
+            else float(percentile)
+        )
         if values_on_device:
             from dask_geomodeling_tpu.ops.segment import (
                 labeled_statistics_batch_device,

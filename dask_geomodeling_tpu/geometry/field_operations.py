@@ -402,7 +402,21 @@ class Choose(BaseSingleSeries):
         table = np.empty((len(choices), len(source)), dtype=object)
         for slot, choice in enumerate(choices):
             table[slot] = choice.reindex(source.index).to_numpy()
-        selector = pd.to_numeric(source, errors="coerce").to_numpy(dtype=float)
+        raw = source.to_numpy()
+        if raw.dtype.kind in "iufb":
+            selector = raw.astype(float)
+        else:
+            # object selectors: only NUMBERS select (string "1" never
+            # equals 1 — the reference's masked-equality semantics)
+            selector = np.array(
+                [
+                    float(value)
+                    if isinstance(value, (int, float, np.integer, np.floating))
+                    else np.nan
+                    for value in raw
+                ],
+                dtype=float,
+            )
         with np.errstate(invalid="ignore"):
             valid = (
                 np.isfinite(selector)

@@ -32,19 +32,9 @@ def read_jpeg(path):
         array = np.ascontiguousarray(pixels.transpose(2, 0, 1))
 
     # world files share the PNG conventions (.jgw preferred, .wld too)
-    base, _ = os.path.splitext(path)
-    geo_transform = None
-    for candidate in (base + ".jgw", base + ".JGW"):
-        if os.path.exists(candidate):
-            lines = [
-                float(line)
-                for line in open(candidate).read().split()[:6]
-            ]
-            dx, roty, rotx, dy, cx, cy = lines
-            geo_transform = (cx - dx / 2, dx, rotx, cy - dy / 2, roty, dy)
-            break
-    if geo_transform is None:
-        geo_transform = _world_file(path)  # .wld or the unit fallback
+    geo_transform = _world_file(
+        path, extensions=(".jgw", ".JGW", ".wld", ".WLD")
+    )
 
     return RasterData(
         array=np.ascontiguousarray(array),

@@ -142,20 +142,18 @@ def _read_var(raw, var, dims, numrecs):
         count = int(np.prod(shape)) if shape else 1
         data = np.frombuffer(raw, dtype, count, var["begin"])
         return data.reshape(shape) if shape else data[0]
-    # record variable: slabs of vsize bytes per record, interleaved over
-    # all record variables; vsize is the padded per-record size
+    # record variable: one slab per record, spaced by the interleaving
+    # stride (the sum of all record-variable vsizes when several
+    # interleave, the bare slab when this one records alone)
     per_record = int(np.prod(shape[1:])) if len(shape) > 1 else 1
-    recsize = var["vsize"]
-    out = np.empty((numrecs, per_record), dtype)
-    # recsize spacing only holds when several record vars interleave; a
-    # single record variable packs contiguously (netCDF spec note)
     records = []
     pos = var["begin"]
-    for rec in range(numrecs):
+    for _ in range(numrecs):
         records.append(np.frombuffer(raw, dtype, per_record, pos))
         pos += var["_slab_stride"]
-    out = np.stack(records) if records else out
-    return out.reshape([numrecs] + shape[1:])
+    if not records:
+        return np.empty([0] + shape[1:], dtype)
+    return np.stack(records).reshape([numrecs] + shape[1:])
 
 
 def _crs_from_atts(var_atts, gatts, variables, data_var):
@@ -209,6 +207,18 @@ def read_netcdf(path, variable=None):
             np.prod([dims[d][1] for d in var["dimids"][1:]] or [1])
         )
         var["_slab_stride"] = stride if len(record_vars) > 1 else per * size
+    if numrecs == 0xFFFFFFFF:
+        # the STREAMING sentinel: the count derives from the file length
+        if record_vars:
+            begin = min(v["begin"] for v in record_vars)
+            slab = (
+                stride
+                if len(record_vars) > 1
+                else record_vars[0]["_slab_stride"]
+            )
+            numrecs = max((len(raw) - begin) // max(slab, 1), 0)
+        else:
+            numrecs = 0
 
     dim_names = [d[0] for d in dims]
     coord_vars = {

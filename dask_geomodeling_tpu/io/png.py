@@ -111,10 +111,14 @@ def _unpack_bits(rows, width, samples, depth):
     return (cells * weights).sum(axis=2, dtype=np.uint16)[..., None]
 
 
-def _world_file(path):
-    """The 6-line ESRI world file geotransform, if a sidecar exists."""
+def _world_file(path, extensions=(".pgw", ".wld", ".PGW")):
+    """The 6-line ESRI world file geotransform, if a sidecar exists.
+
+    ``extensions`` lists the sidecar suffixes in preference order (PNG:
+    .pgw; JPEG passes .jgw first).
+    """
     base, _ = os.path.splitext(path)
-    for candidate in (base + ".pgw", base + ".wld", base + ".PGW"):
+    for candidate in (base + ext for ext in extensions):
         if os.path.exists(candidate):
             lines = [
                 float(line.strip())
@@ -145,8 +149,8 @@ def read_png(path):
             )
         elif chunk == b"IDAT":
             idat.append(data)
-        elif chunk == b"tRNS" and len(data) >= 2:
-            transparent = struct.unpack(">H", data[:2])[0]
+        elif chunk == b"tRNS":
+            transparent = data  # interpretation depends on the color type
         elif chunk == b"IEND":
             break
     if width is None:
@@ -170,11 +174,18 @@ def read_png(path):
         pixels.transpose(2, 0, 1).astype(dtype)
     )  # (bands, h, w)
 
-    # nodata: the tRNS gray level when present, else the dtype max
-    if transparent is not None and ctype in (0, 3):
-        no_data_value = float(transparent)
-    else:
-        no_data_value = float(np.iinfo(dtype).max)
+    # nodata from tRNS: the uint16 gray level for grayscale; for palette
+    # images the chunk is one alpha byte per index — the first fully
+    # transparent index is the nodata value
+    no_data_value = float(np.iinfo(dtype).max)
+    if transparent:
+        if ctype == 0 and len(transparent) >= 2:
+            no_data_value = float(struct.unpack(">H", transparent[:2])[0])
+        elif ctype == 3:
+            alphas = np.frombuffer(transparent, np.uint8)
+            clear = np.flatnonzero(alphas == 0)
+            if clear.size:
+                no_data_value = float(clear[0])
     return RasterData(
         array=array,
         projection=_sidecar_projection(path),

@@ -15,6 +15,7 @@ Falls back to per-tile ``get_data`` when the view contains host-side nodes.
 """
 import collections
 import logging
+import threading
 import time
 
 import numpy as np
@@ -88,6 +89,7 @@ def _tile_batch_mesh_for_build():
 
 
 _TILE_PROGRAM_CACHE = collections.OrderedDict()
+_TILE_PROGRAM_LOCK = threading.Lock()
 
 #: gather-engine observability (VERDICT r2 weak #7: a silent 2x perf
 #: cliff): batches staged per gather mode, warp-site collection failures/
@@ -124,19 +126,20 @@ def _get_tile_program(view, template_request):
 
     static = {k: v for k, v in template_request.items() if k != "bbox"}
     key = (view.token, tokenize(static, _ex.execution_config_token()))
-    program = _TILE_PROGRAM_CACHE.get(key)
-    if program is None:
-        program = TileProgram(view, template_request)
-        _TILE_PROGRAM_CACHE[key] = program
-    else:
-        _TILE_PROGRAM_CACHE.move_to_end(key)
-    limit = config.get("geomodeling.tile-program-cache", 64)
-    while len(_TILE_PROGRAM_CACHE) > max(int(limit), 1):
-        _TILE_PROGRAM_CACHE.popitem(last=False)
+    with _TILE_PROGRAM_LOCK:
+        program = _TILE_PROGRAM_CACHE.get(key)
+        if program is None:
+            # building under the lock also prevents two concurrent
+            # requests from tracing (and tunnel-compiling) duplicates
+            program = TileProgram(view, template_request)
+            _TILE_PROGRAM_CACHE[key] = program
+        else:
+            _TILE_PROGRAM_CACHE.move_to_end(key)
+        limit = config.get("geomodeling.tile-program-cache", 64)
+        while len(_TILE_PROGRAM_CACHE) > max(int(limit), 1):
+            _TILE_PROGRAM_CACHE.popitem(last=False)
     return program
 
-
-import threading
 
 #: a consistent staging snapshot: inputs + the exact program state they
 #: were staged against (see TileProgram.stage_batch); ``gather`` is the

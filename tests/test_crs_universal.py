@@ -278,6 +278,18 @@ class TestEsriWkt:
         np.testing.assert_allclose(x, xr, atol=1e-6)
         np.testing.assert_allclose(y, yr, atol=1e-6)
 
+    def test_esri_world_code_identities(self):
+        # review finding: 54017 is BEHRMANN (cea sp=30), 54024 is Bonne,
+        # 54021 is polyconic
+        from dask_geomodeling_tpu.geo.crs import _AmericanPolyconic, _Bonne
+
+        behrmann = get_sr("ESRI:54017")
+        x, y = behrmann.projection.forward(10.0, 45.0)
+        # Behrmann at 45N: positive y; x = a*k0*lam with k0 ~ cos(30)
+        assert y > 0 and 960000 < x < 970000
+        assert isinstance(get_sr("ESRI:54024").projection, _Bonne)
+        assert isinstance(get_sr("ESRI:54021").projection, _AmericanPolyconic)
+
     def test_esri_sinusoidal_modis_style(self):
         wkt = (
             'PROJCS["Sinusoidal",GEOGCS["GCS_Undefined",'

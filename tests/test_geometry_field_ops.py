@@ -202,6 +202,21 @@ class TestChoose:
         assert values[0] == "A"
         assert values[1] == "G"
 
+    def test_choose_string_selector_never_selects(self):
+        """A string "1" must NOT select choice 1 (masked-equality
+        semantics: "1" == 1 is False); only real numbers select."""
+        from dask_geomodeling_tpu.geometry.field_operations import Choose
+
+        index = pd.RangeIndex(4)
+        selector = pd.Series(["1", 0, 1.0, None], index=index, dtype=object)
+        a = pd.Series(["a0", "a1", "a2", "a3"], index=index)
+        b = pd.Series(["b0", "b1", "b2", "b3"], index=index)
+        result = Choose.process(selector, a, b)
+        assert pd.isna(result[0])  # string selector: no data
+        assert result[1] == "a1"
+        assert result[2] == "b2"
+        assert pd.isna(result[3])
+
     def test_choose_different_length(self, source, request_all):
         val = VALUES + [1]
         other = MockGeometry(

@@ -161,6 +161,37 @@ class TestPng:
         )
         np.testing.assert_array_equal(result["values"], values)
 
+    def test_palette_trns_alpha_bytes(self, root):
+        """Palette tRNS is per-index ALPHA bytes: the first transparent
+        index is nodata (review finding: was parsed as a uint16 level)."""
+        import zlib as _zlib
+
+        def chunk(tag, payload):
+            crc = _zlib.crc32(tag + payload) & 0xFFFFFFFF
+            return (
+                struct.pack(">I", len(payload))
+                + tag
+                + payload
+                + struct.pack(">I", crc)
+            )
+
+        indices = np.array([[0, 1, 2, 1]], np.uint8)
+        stream = b"\x00" + indices.tobytes()
+        raw = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 1, 8, 3, 0, 0, 0))
+            + chunk(b"PLTE", bytes(9))
+            # index 1 fully transparent, 0 and 2 opaque
+            + chunk(b"tRNS", b"\xff\x00\xff")
+            + chunk(b"IDAT", _zlib.compress(stream))
+            + chunk(b"IEND", b"")
+        )
+        path = str(root / "pal.png")
+        open(path, "wb").write(raw)
+        data = read_png(path)
+        np.testing.assert_array_equal(data.array[0], indices)
+        assert data.no_data_value == 1.0
+
     def test_not_a_png(self, root):
         path = root / "junk.png"
         path.write_bytes(b"not a png at all")

@@ -65,6 +65,38 @@ class TestSpillBuffer:
             (result,) = get_threaded(graph, ["root"])
         assert result == sum(500.0 * i for i in range(10))
 
+    def test_spill_dir_removed_on_task_failure(self):
+        """A raising task must not leak the spill tempdir (review
+        finding: close only ran on the success path)."""
+        import os
+
+        from dask_geomodeling_tpu.core import scheduler as sched
+        from dask_geomodeling_tpu.parallel import spill as spill_mod
+
+        created = []
+        original = spill_mod.SpillBuffer
+
+        class Tracking(original):
+            def __init__(self, *args, **kwargs):
+                super().__init__(*args, **kwargs)
+                created.append(self._dir)
+
+        spill_mod.SpillBuffer = Tracking
+        try:
+            def boom_task(x):
+                raise RuntimeError("task failed")
+
+            graph = {
+                "leaf": (lambda: np.zeros(500),),
+                "root": (boom_task, "leaf"),
+            }
+            with config.set({"geomodeling.scheduler-memory-limit": 100}):
+                with pytest.raises(RuntimeError):
+                    sched.get_threaded(graph, ["root"])
+        finally:
+            spill_mod.SpillBuffer = original
+        assert created and not os.path.exists(created[0])
+
     def test_release_after_last_use(self):
         """Intermediates leave the cache once every consumer ran."""
         from dask_geomodeling_tpu.core import scheduler as sched
