@@ -40,6 +40,55 @@ def _coords(tokens):
     ]
 
 
+def _point_in_ring(point, ring):
+    """Even-odd crossing test of ``point`` against a coordinate ring."""
+    x, y = point
+    inside = False
+    for (x1, y1), (x2, y2) in zip(ring, ring[1:] + ring[:1]):
+        if (y1 > y) != (y2 > y):
+            x_cross = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+            if x < x_cross:
+                inside = not inside
+    return inside
+
+
+def _region_to_geometry(rings):
+    """MIF Region rings -> Polygon/MultiPolygon by even-odd containment.
+
+    MapInfo Regions list every ring of every part flat; a ring contained
+    in an odd number of other rings is a hole of its innermost
+    container, otherwise it is a part's exterior (GDAL's grouping).
+    """
+    from dask_geomodeling_tpu.geo.geometry import MultiPolygon, Polygon
+
+    if len(rings) == 1:
+        return Polygon(rings[0])
+    containers = []
+    for index, ring in enumerate(rings):
+        inside = [
+            other
+            for other in range(len(rings))
+            if other != index and _point_in_ring(ring[0], rings[other])
+        ]
+        containers.append(inside)
+    exteriors = [i for i, inside in enumerate(containers) if len(inside) % 2 == 0]
+    holes_of = {i: [] for i in exteriors}
+    for index, inside in enumerate(containers):
+        if len(inside) % 2 == 1:
+            # hole of its innermost containing exterior (the container
+            # itself contained by the most rings)
+            parents = [i for i in inside if i in holes_of]
+            if parents:
+                parent = max(parents, key=lambda i: len(containers[i]))
+                holes_of[parent].append(rings[index])
+    parts = [
+        Polygon(rings[i], holes_of[i] or None) for i in exteriors
+    ]
+    if len(parts) == 1:
+        return parts[0]
+    return MultiPolygon(parts)
+
+
 _MIF_TYPES = {
     "integer": "int64",
     "smallint": "int64",
@@ -149,7 +198,7 @@ def read_mif(path):
                 geometries.append(LineString(points))
         elif kind == "region":
             rings = read_counted_sections(int(tokens[1]))
-            geometries.append(Polygon(rings[0], rings[1:] or None))
+            geometries.append(_region_to_geometry(rings))
         elif kind == "rect":
             x1, y1, x2, y2 = (float(v) for v in tokens[1:5])
             geometries.append(box(min(x1, x2), min(y1, y2), max(x1, x2), max(y1, y2)))

@@ -95,6 +95,31 @@ class TestMif:
         assert len(got.interiors) == 1
         assert abs(got.area - poly.area) < 1e-9
 
+    def test_multipolygon_region_grouping(self, root):
+        """A Region with several disjoint rings is a MULTIPOLYGON, not
+        one polygon with the other parts as holes; nested rings group by
+        even-odd containment (GDAL's Region semantics)."""
+        from dask_geomodeling_tpu.geo.geometry import MultiPolygon
+
+        donut = Polygon(
+            [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)],
+            [[(4, 4), (6, 4), (6, 6), (4, 6), (4, 4)]],
+        )
+        island = box(20, 20, 22, 22)
+        multi = MultiPolygon([donut, island])
+        frame = GeoDataFrame(
+            pd.DataFrame({"id": [1]}), geometry=[multi], crs="EPSG:4326"
+        )
+        path = str(root / "multi.mif")
+        write_mif(frame, path)
+        result = read_mif(path)
+        got = result.geometry.iloc[0]
+        assert got.geom_type == "MultiPolygon"
+        assert abs(got.area - multi.area) < 1e-9
+        parts = sorted(got.geoms, key=lambda p: p.area)
+        assert abs(parts[0].area - 4.0) < 1e-9  # the island
+        assert len(parts[1].interiors) == 1  # the donut kept its hole
+
     def test_foreign_mif_with_styling(self, root):
         # a hand-written file with Pen/Brush clauses and a Rect, as
         # MapInfo exports them
