@@ -3029,6 +3029,28 @@ def _sr_from_proj4(text):
     )
     ell = _ellipsoid(DATUMS[datum_key][0])
 
+    # +units / +to_meter apply to EVERY projected early return below;
+    # proj4 keeps x_0/y_0 in metres, only grid coordinates scale
+    factor = None
+    if "to_meter" in parts:
+        factor = float(parts["to_meter"])
+    elif "units" in parts and parts["units"] != "m":
+        try:
+            factor = _PROJ4_UNITS[str(parts["units"])]
+        except KeyError:
+            raise TransformException(
+                "Unsupported proj4 unit: %r" % parts["units"]
+            )
+    if factor is not None and abs(factor - 1.0) <= 1e-12:
+        factor = None
+
+    def scaled(projection):
+        if factor is None:
+            return projection
+        return _ScaledUnitProjection(
+            projection, factor, str(parts.get("units", "unit"))
+        )
+
     proj = parts.get("proj")
     if proj in ("longlat", "latlong", "latlon", "lonlat"):
         projection = _GeographicProjection()
@@ -3037,11 +3059,13 @@ def _sr_from_proj4(text):
         )
     if proj == "utm":
         zone = int(parts["zone"])
-        projection = _TransverseMercator(
-            ell, -183.0 + 6.0 * zone, 0.0, 0.9996, 500000.0,
-            10000000.0 if "south" in parts else 0.0,
+        projection = scaled(
+            _TransverseMercator(
+                ell, -183.0 + 6.0 * zone, 0.0, 0.9996, 500000.0,
+                10000000.0 if "south" in parts else 0.0,
+            )
         )
-        key = ("utm", datum_key, zone, "south" in parts)
+        key = ("utm", datum_key, zone, "south" in parts, factor)
         return SpatialReference(None, text, datum_key, projection, key=key)
     if proj == "stere":
         lat_0 = float(parts.get("lat_0", 0))
@@ -3065,9 +3089,11 @@ def _sr_from_proj4(text):
             )
         key = (
             "stere", datum_key, lon_0, parts.get("lat_ts"),
-            parts.get("k", parts.get("k_0")), fe, fn, north,
+            parts.get("k", parts.get("k_0")), fe, fn, north, factor,
         )
-        return SpatialReference(None, text, datum_key, projection, key=key)
+        return SpatialReference(
+            None, text, datum_key, scaled(projection), key=key
+        )
     if proj not in _PROJ4_METHODS:
         raise TransformException("Unsupported proj4 projection: %r" % proj)
     params = {
@@ -3118,23 +3144,7 @@ def _sr_from_proj4(text):
         params["azimuth"] = float(parts.get("alpha", 30.28813975277778))
         if "k" not in parts and "k_0" not in parts:
             params["scale_factor"] = 0.9999
-    projection = _build_projection(method, ell, params)
-    # +units / +to_meter: proj4 keeps x_0/y_0 in metres; only the grid
-    # coordinates are expressed in the unit
-    factor = None
-    if "to_meter" in parts:
-        factor = float(parts["to_meter"])
-    elif "units" in parts and parts["units"] != "m":
-        try:
-            factor = _PROJ4_UNITS[str(parts["units"])]
-        except KeyError:
-            raise TransformException(
-                "Unsupported proj4 unit: %r" % parts["units"]
-            )
-    if factor is not None and abs(factor - 1.0) > 1e-12:
-        projection = _ScaledUnitProjection(
-            projection, factor, str(parts.get("units", "unit"))
-        )
+    projection = scaled(_build_projection(method, ell, params))
     key = (method, datum_key, tuple(sorted(params.items())), factor)
     return SpatialReference(None, text, datum_key, projection, key=key)
 
@@ -3235,21 +3245,39 @@ def _datum_shift(src, dst, lon, lat, xp):
                 dst.helmert_to_wgs84, gx, gy, gz, inverse=True, xp=xp
             )
         return _geocentric_to_geodetic(dst.ellipsoid, gx, gy, gz, xp)
-    # grid legs run through explicit WGS84 geographic coordinates
-    if src_grid is not None:
-        lon, lat = src_grid.forward(lon, lat, xp)
-    elif src.helmert_to_wgs84 is not None:
-        gx, gy, gz = _geodetic_to_geocentric(src.ellipsoid, lon, lat, xp)
-        gx, gy, gz = _helmert(src.helmert_to_wgs84, gx, gy, gz, xp=xp)
-        lon, lat = _geocentric_to_geodetic(_ellipsoid("WGS84"), gx, gy, gz, xp)
-    if dst_grid is not None:
-        lon, lat = dst_grid.inverse(lon, lat, xp)
-    elif dst.helmert_to_wgs84 is not None:
-        gx, gy, gz = _geodetic_to_geocentric(_ellipsoid("WGS84"), lon, lat, xp)
+    # grid legs run through explicit WGS84 geographic coordinates;
+    # points OUTSIDE a grid's coverage take the datum's Helmert leg
+    # instead of extrapolated edge shifts (PROJ leaves them unshifted)
+    def helmert_leg(sr, lon, lat, inverse):
+        if sr.helmert_to_wgs84 is None:
+            return lon, lat
+        source_ell = _ellipsoid("WGS84") if inverse else sr.ellipsoid
+        target_ell = sr.ellipsoid if inverse else _ellipsoid("WGS84")
+        gx, gy, gz = _geodetic_to_geocentric(source_ell, lon, lat, xp)
         gx, gy, gz = _helmert(
-            dst.helmert_to_wgs84, gx, gy, gz, inverse=True, xp=xp
+            sr.helmert_to_wgs84, gx, gy, gz, inverse=inverse, xp=xp
         )
-        lon, lat = _geocentric_to_geodetic(dst.ellipsoid, gx, gy, gz, xp)
+        return _geocentric_to_geodetic(target_ell, gx, gy, gz, xp)
+
+    def grid_leg(grid, sr, lon, lat, inverse):
+        covered = grid.coverage(lon, lat, xp)
+        grid_lon, grid_lat = (
+            grid.inverse(lon, lat, xp) if inverse else grid.forward(lon, lat, xp)
+        )
+        fallback_lon, fallback_lat = helmert_leg(sr, lon, lat, inverse)
+        return (
+            xp.where(covered, grid_lon, fallback_lon),
+            xp.where(covered, grid_lat, fallback_lat),
+        )
+
+    if src_grid is not None:
+        lon, lat = grid_leg(src_grid, src, lon, lat, inverse=False)
+    else:
+        lon, lat = helmert_leg(src, lon, lat, inverse=False)
+    if dst_grid is not None:
+        lon, lat = grid_leg(dst_grid, dst, lon, lat, inverse=True)
+    else:
+        lon, lat = helmert_leg(dst, lon, lat, inverse=True)
     return lon, lat
 
 

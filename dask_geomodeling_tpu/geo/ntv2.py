@@ -97,7 +97,6 @@ class NTv2Grid:
             inside = np.mean(
                 np.asarray(grid.contains(lon_deg, lat_deg), dtype=float)
             )
-            score = inside + 1e-9 / max(grid.lat_inc, 1e-12)
             if inside > 0 and (
                 best is None
                 or inside > best_score
@@ -107,6 +106,22 @@ class NTv2Grid:
             elif best is None:
                 best = grid
         return best or self.subgrids[0]
+
+    def coverage(self, lon, lat, xp=np):
+        """Boolean mask: which points any sub-grid covers (out-of-
+        coverage points must NOT receive extrapolated edge shifts)."""
+        lat_sec = xp.asarray(lat, dtype=float) * 3600.0
+        lon_west = -xp.asarray(lon, dtype=float) * 3600.0
+        inside = None
+        for grid in self.subgrids:
+            this = (
+                (lat_sec >= grid.s_lat)
+                & (lat_sec <= grid.n_lat)
+                & (lon_west >= grid.e_long)
+                & (lon_west <= grid.w_long)
+            )
+            inside = this if inside is None else (inside | this)
+        return inside
 
     def forward(self, lon, lat, xp=np):
         """Source-datum lon/lat -> target-datum lon/lat (degrees)."""

@@ -48,6 +48,21 @@ _FeatureWriteSpec = namedtuple(
 )
 
 
+_SIDECAR_EXTENSIONS = (".mid", ".shx", ".dbf", ".prj")
+
+
+def _sidecar_pairs(source, target):
+    """Existing (source sidecar, target sidecar) path pairs for formats
+    whose attributes travel in companion files."""
+    source_base, _ = os.path.splitext(source)
+    target_base, _ = os.path.splitext(target)
+    return [
+        (source_base + ext, target_base + ext)
+        for ext in _SIDECAR_EXTENSIONS
+        if os.path.exists(source_base + ext)
+    ]
+
+
 def _normalize_extension(extension):
     """A registry key from user input ('.gpkg' and 'gpkg' both work)."""
     if not isinstance(extension, str):
@@ -191,7 +206,14 @@ class GeometryFileSink(BaseSingle):
             )
 
         if len(partials) == 1:
-            (shutil.move if remove_source else shutil.copy)(partials[0], target)
+            transfer = shutil.move if remove_source else shutil.copy
+            transfer(partials[0], target)
+            # formats with attribute/CRS sidecars (MIF's .mid, .prj)
+            # travel as a file family
+            for source_sidecar, target_sidecar in _sidecar_pairs(
+                partials[0], target
+            ):
+                transfer(source_sidecar, target_sidecar)
         else:
             frames = [read_vector(partial) for partial in partials]
             merged = GeoDataFrame(
@@ -203,6 +225,8 @@ class GeometryFileSink(BaseSingle):
             if remove_source:
                 for partial in partials:
                     os.remove(partial)
+                    for source_sidecar, _ in _sidecar_pairs(partial, target):
+                        os.remove(source_sidecar)
         if remove_source:
             try:
                 os.rmdir(path)

@@ -40,6 +40,8 @@ def read_jpeg(path):
         array=np.ascontiguousarray(array),
         projection=_sidecar_projection(path),
         geo_transform=geo_transform,
-        no_data_value=float(np.iinfo(array.dtype).max),
+        # JPEG has no transparency concept: no nodata (white pixels are
+        # data, as GDAL's JPEG driver reports)
+        no_data_value=None,
         metadata=[""] * array.shape[0],
     )

@@ -219,21 +219,27 @@ def read_mif(path):
                 break
         rows = []
         if mid is not None:
-            for line in open(mid, errors="replace").read().splitlines():
-                if not line.strip():
-                    continue
-                values = [v.strip().strip('"') for v in line.split(delimiter)]
-                row = {}
-                for (name, ctype), value in zip(columns, values):
-                    if ctype == "int64":
-                        row[name] = int(value) if value else 0
-                    elif ctype == "float64":
-                        row[name] = float(value) if value else np.nan
-                    elif ctype == "bool":
-                        row[name] = value.upper() in ("T", "TRUE", "1")
-                    else:
-                        row[name] = value
-                rows.append(row)
+            import csv
+
+            with open(mid, newline="", errors="replace") as handle:
+                reader = csv.reader(
+                    handle, delimiter=delimiter, quotechar='"'
+                )
+                for values in reader:
+                    if not values:
+                        continue
+                    row = {}
+                    for (name, ctype), value in zip(columns, values):
+                        value = value.strip()
+                        if ctype == "int64":
+                            row[name] = int(value) if value else 0
+                        elif ctype == "float64":
+                            row[name] = float(value) if value else np.nan
+                        elif ctype == "bool":
+                            row[name] = value.upper() in ("T", "TRUE", "1")
+                        else:
+                            row[name] = value
+                    rows.append(row)
         records = pd.DataFrame.from_records(rows) if rows else pd.DataFrame(
             {name: pd.Series(dtype=ctype) for name, ctype in columns}
         )
@@ -331,14 +337,18 @@ def write_mif(frame, path):
         lines.extend(_geometry_section(geom))
     open(path, "w").write("\n".join(lines) + "\n")
 
+    import csv
+
     base, _ = os.path.splitext(path)
-    with open(base + ".mid", "w") as f:
+    with open(base + ".mid", "w", newline="") as f:
+        writer = csv.writer(f, delimiter=",", quotechar='"',
+                            quoting=csv.QUOTE_MINIMAL)
         for _, row in frame.iterrows():
             out = []
             for name in fields:
                 value = row[name]
                 if isinstance(value, str):
-                    out.append('"%s"' % value.replace('"', "'"))
+                    out.append(value)
                 elif isinstance(value, (bool, np.bool_)):
                     out.append("T" if value else "F")
                 elif value is None or (
@@ -347,4 +357,4 @@ def write_mif(frame, path):
                     out.append("")
                 else:
                     out.append(str(value))
-            f.write(",".join(out) + "\n")
+            writer.writerow(out)

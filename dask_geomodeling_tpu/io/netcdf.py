@@ -156,7 +156,7 @@ def _read_var(raw, var, dims, numrecs):
     return np.stack(records).reshape([numrecs] + shape[1:])
 
 
-def _crs_from_atts(var_atts, gatts, variables, data_var):
+def _crs_from_atts(gatts, variables, data_var):
     """CF georeferencing: explicit WKT beats grid_mapping translation."""
     mapping = None
     name = data_var["atts"].get("grid_mapping")
@@ -316,7 +316,7 @@ def read_netcdf(path, variable=None):
     label = atts.get("long_name") or atts.get("units") or data_var["name"]
     return RasterData(
         array=array,
-        projection=_crs_from_atts(atts, gatts, variables, data_var),
+        projection=_crs_from_atts(gatts, variables, data_var),
         geo_transform=geo_transform,
         no_data_value=float(fill),
         metadata=[str(label)] * array.shape[0],

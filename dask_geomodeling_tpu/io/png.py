@@ -176,8 +176,10 @@ def read_png(path):
 
     # nodata from tRNS: the uint16 gray level for grayscale; for palette
     # images the chunk is one alpha byte per index — the first fully
-    # transparent index is the nodata value
-    no_data_value = float(np.iinfo(dtype).max)
+    # transparent index is the nodata value.  Without declared
+    # transparency there is NO nodata (saturated pixels are data, as
+    # GDAL's PNG driver reports)
+    no_data_value = None
     if transparent:
         if ctype == 0 and len(transparent) >= 2:
             no_data_value = float(struct.unpack(">H", transparent[:2])[0])

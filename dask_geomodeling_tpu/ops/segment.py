@@ -249,7 +249,15 @@ def labeled_statistics_batch_device(
             active = (frame != ndv) & (lab != label_fill)
             if thresholds is not None:
                 per_cell = thr[jnp.clip(lab, 0, num_labels)]
-                active = active & ~jnp.isnan(per_cell) & (f32 >= per_cell)
+                # compare in the promoted dtype of (frame, f32 threshold)
+                # — the host path's numpy semantics — not in f32, which
+                # would collapse near-threshold f64 values
+                compare = jnp.promote_types(frame.dtype, per_cell.dtype)
+                active = (
+                    active
+                    & ~jnp.isnan(per_cell)
+                    & (frame.astype(compare) >= per_cell.astype(compare))
+                )
             if statistic == "percentile":
                 return labeled_percentile_jax(f32, lab, active, num_labels, q)
             return labeled_statistic_jax(

@@ -104,28 +104,42 @@ class RasterBlock(Block):
                 "geomodeling.auto-min-device-px", 65536
             )
             if router.choose(self, request, eligible) == "jax":
-                if max(width, height) > tile_size:
-                    from dask_geomodeling_tpu.runtime.tiles import (
-                        NotLowerable,
-                        evaluate_tiled,
-                    )
+                try:
+                    if max(width, height) > tile_size:
+                        from dask_geomodeling_tpu.runtime.tiles import (
+                            NotLowerable,
+                            evaluate_tiled,
+                        )
 
-                    with router.timed_route(self, request, "jax") as timer:
-                        try:
-                            return evaluate_tiled(
-                                self, request, tile_size=tile_size
+                        with router.timed_route(self, request, "jax") as timer:
+                            try:
+                                return evaluate_tiled(
+                                    self, request, tile_size=tile_size
+                                )
+                            except NotLowerable:
+                                timer.failed = True
+                    else:
+                        # sub-tile request: the staged executor avoids
+                        # the tile padding waste (handles host nodes)
+                        from dask_geomodeling_tpu.runtime.executor import (
+                            compute_jax,
+                        )
+
+                        with router.timed_route(self, request, "jax"):
+                            return compute_jax(
+                                *self.get_compute_graph(**request)
                             )
-                        except NotLowerable:
-                            timer.failed = True
-                else:
-                    # sub-tile request: the staged executor avoids the
-                    # tile padding waste (handles host nodes itself)
-                    from dask_geomodeling_tpu.runtime.executor import (
-                        compute_jax,
-                    )
+                except Exception:
+                    # any device failure (tunnel RPC, compile OOM, ...)
+                    # serves this request from the host path; repeated
+                    # failures pin the key to the host route
+                    import logging
 
-                    with router.timed_route(self, request, "jax"):
-                        return compute_jax(*self.get_compute_graph(**request))
+                    logging.getLogger(__name__).warning(
+                        "device route failed; serving from the host path",
+                        exc_info=True,
+                    )
+                    router.record_error(self, request)
             with router.timed_route(self, request, "numpy"):
                 return super().get_data(**request)
         return super().get_data(**request)

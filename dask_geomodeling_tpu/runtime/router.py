@@ -20,17 +20,24 @@ host-only nodes always run on the host.  Rates are exponential moving
 averages keyed by (view token, log2 size bucket), so a long-running
 process adapts to tunnel weather.
 """
+import collections
 import math
 import threading
 import time
 
-__all__ = ["choose", "record", "reset", "stats"]
+__all__ = ["choose", "record", "record_error", "reset", "stats"]
 
 _EMA_ALPHA = 0.4
 
+#: device-run errors tolerated before a key pins to the host path
+_MAX_DEVICE_ERRORS = 3
+
+#: routing-table entries kept (LRU); bounds long-running services
+_MAX_ROUTES = 4096
+
 _lock = threading.Lock()
-#: (view_token, bucket) -> state dict
-_routes = {}
+#: (view_token, bucket) -> state dict, LRU-ordered
+_routes = collections.OrderedDict()
 
 
 def _key(view, request):
@@ -46,9 +53,14 @@ def _state(key):
             "numpy": None,  # Mpx/s EMA
             "jax": None,
             "jax_runs": 0,
+            "jax_errors": 0,
             "host_only": False,
         }
         _routes[key] = state
+        while len(_routes) > _MAX_ROUTES:
+            _routes.popitem(last=False)
+    else:
+        _routes.move_to_end(key)
     return state
 
 
@@ -62,7 +74,11 @@ def choose(view, request, eligible):
     key = _key(view, request)
     with _lock:
         state = _state(key)
-        if not eligible or state["host_only"]:
+        if (
+            not eligible
+            or state["host_only"]
+            or state["jax_errors"] >= _MAX_DEVICE_ERRORS
+        ):
             return "numpy"
         if state["numpy"] is None:
             return "numpy"
@@ -75,6 +91,14 @@ def choose(view, request, eligible):
 
         margin = config.get("geomodeling.auto-margin", 1.15)
         return "jax" if state["jax"] >= margin * state["numpy"] else "numpy"
+
+
+def record_error(view, request):
+    """Record a device-run failure (compile/tunnel/runtime error): after
+    a few of these the key routes to the host unconditionally, so a
+    flaky device path cannot hard-fail a view forever."""
+    with _lock:
+        _state(_key(view, request))["jax_errors"] += 1
 
 
 def record(view, request, executor, elapsed, failed=False):

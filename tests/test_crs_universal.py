@@ -245,6 +245,28 @@ class TestUnits:
         assert abs((xf - 1968500.0) * factor - xm) < 1e-3
         assert abs((yf - 13123333.333) * factor - ym) < 1e-3
 
+    def test_proj4_units_on_utm_and_stere(self):
+        """+units applies on the utm/stere fast paths too (review
+        finding: the early returns silently ignored it)."""
+        utm_ft = get_sr("+proj=utm +zone=10 +datum=WGS84 +units=us-ft")
+        utm_m = get_sr("+proj=utm +zone=10 +datum=WGS84")
+        xf, yf = utm_ft.projection.forward(-123.0, 45.0)
+        xm, ym = utm_m.projection.forward(-123.0, 45.0)
+        factor = 1200.0 / 3937.0
+        assert abs(xf * factor - xm) < 1e-6
+        assert abs(yf * factor - ym) < 1e-6
+        stere_ft = get_sr(
+            "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +datum=WGS84 "
+            "+units=ft"
+        )
+        stere_m = get_sr(
+            "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +datum=WGS84"
+        )
+        xf, yf = stere_ft.projection.forward(-50.0, 75.0)
+        xm, ym = stere_m.projection.forward(-50.0, 75.0)
+        assert abs(xf * 0.3048 - xm) < 1e-6
+        assert abs(yf * 0.3048 - ym) < 1e-6
+
     def test_proj4_units_ft(self):
         sr = get_sr("+proj=tmerc +ellps=WGS84 +lon_0=9 +k=0.9996 +units=ft")
         sm = get_sr("+proj=tmerc +ellps=WGS84 +lon_0=9 +k=0.9996")

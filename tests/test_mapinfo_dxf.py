@@ -144,6 +144,48 @@ class TestMif:
         assert result["id"].tolist() == [7, 9]
         assert result.geometry.iloc[0].equals(box(1, 2, 5, 8))
 
+    def test_delimiter_inside_quoted_string(self, root):
+        """A comma inside a quoted string value must survive the MID
+        round trip (review finding: naive split corrupted rows)."""
+        frame = GeoDataFrame(
+            pd.DataFrame({"name": ['a, "b"', "plain"], "n": [7, 9]}),
+            geometry=[Point(1, 1), Point(2, 2)],
+            crs="EPSG:4326",
+        )
+        path = str(root / "quoted.mif")
+        write_mif(frame, path)
+        result = read_mif(path)
+        assert result["name"].tolist() == ['a, "b"', "plain"]
+        assert result["n"].tolist() == [7, 9]
+
+    def test_sink_merge_single_partial_keeps_mid(self, root, frame):
+        """merge_files with ONE MIF partial must move the .mid sidecar
+        too (review finding: attributes were lost)."""
+        import os
+
+        from dask_geomodeling_tpu.geometry.sinks import GeometryFileSink
+        from dask_geomodeling_tpu.io.vectorfile import write_vector
+
+        write_vector(frame, str(root / "src.geojson"))
+        from dask_geomodeling_tpu.geometry.sources import GeometryFileSource
+
+        source = GeometryFileSource("src.geojson")
+        sink = GeometryFileSink(source, "partials", extension="mif")
+        from datetime import datetime
+
+        sink.get_data(
+            mode="intersects",
+            geometry=box(-1, -1, 11, 11),
+            projection="EPSG:4326",
+            start=datetime(2000, 1, 1),
+        )
+        GeometryFileSink.merge_files(
+            "partials", "merged.mif", remove_source=True
+        )
+        merged = read_vector(str(root / "merged.mif"))
+        assert merged["name"].tolist() == ["a", "b", "c"]
+        assert not os.path.exists(str(root / "partials"))
+
     def test_nonearth_crs_preserved(self, root, frame):
         frame.crs = "EPSG:28992"
         path = str(root / "ne.mif")

@@ -162,6 +162,25 @@ class TestTransformWiring:
         assert abs(lon[0] - 5.0) < 1e-8
         assert abs(lat[0] - 52.0) < 1e-8
 
+    def test_out_of_coverage_falls_back_to_helmert(self, constant_grid):
+        """Points outside the grid take the Helmert leg, not extrapolated
+        edge shifts (review finding)."""
+        src = "+proj=longlat +ellps=intl +towgs84=59.47,-5.04,187.44"
+        from dask_geomodeling_tpu.geo.crs import get_sr
+
+        datum = get_sr(src).datum
+        inside = (np.array([5.0]), np.array([52.0]))
+        outside = (np.array([100.0]), np.array([-30.0]))  # far away
+        helmert_out = transform_points(*outside, src, "EPSG:4326")
+        with config.set({"geomodeling.ntv2-grids": {datum: constant_grid}}):
+            grid_in = transform_points(*inside, src, "EPSG:4326")
+            grid_out = transform_points(*outside, src, "EPSG:4326")
+        # inside: the grid's exact +2"/-1" shift
+        assert abs(grid_in[1][0] - (52.0 + 2.0 / 3600)) < 1e-9
+        # outside: bitwise the Helmert result, no edge extrapolation
+        np.testing.assert_array_equal(grid_out[0], helmert_out[0])
+        np.testing.assert_array_equal(grid_out[1], helmert_out[1])
+
     def test_traced_matches_numpy(self, constant_grid):
         import jax
         import jax.numpy as jnp
