@@ -82,7 +82,12 @@ def random_view(rng, sources, depth):
     if choice == 13:
         return R.Max(sub(), sub())
     if choice == 14:
-        return R.Group(sub(), sub())
+        first, second = sub(), sub()
+        if np.result_type(first.dtype, second.dtype) == np.dtype(bool):
+            # Group of two boolean rasters has no representable fill
+            # value (get_dtype_max(bool) raises, same as the reference)
+            first = R.Add(first, 1)  # promotes to an integer raster
+        return R.Group(first, second)
     return R.Clip(sub(), R.Greater(sub(), const))
 
 

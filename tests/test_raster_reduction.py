@@ -112,3 +112,26 @@ def test_reduce_jax_matches(statistic, stack):
         reduce_rasters_jax(stack, statistic, 255, np.float32)["values"]
     )
     np.testing.assert_allclose(actual, expected["values"], rtol=1e-6)
+
+
+@pytest.mark.parametrize("statistic", ["max", "min", "first", "last", "mean"])
+def test_reduce_jax_boolean_stack_none_nodata(statistic):
+    """Boolean rasters carry no nodata (None): the device twin must
+    mirror numpy's None handling instead of crashing (fuzz seed 451)."""
+    from dask_geomodeling_tpu.raster.reduction import (
+        reduce_rasters,
+        reduce_rasters_jax,
+    )
+
+    stack = [
+        {"values": np.array([[True, False], [False, True]]),
+         "no_data_value": None},
+        {"values": np.array([[False, False], [True, True]]),
+         "no_data_value": None},
+    ]
+    expected = reduce_rasters(stack, statistic, None, None)
+    actual = reduce_rasters_jax(stack, statistic, None, None)
+    np.testing.assert_array_equal(
+        np.asarray(actual["values"]), expected["values"]
+    )
+    assert actual["no_data_value"] == expected["no_data_value"]
