@@ -119,13 +119,18 @@ class GeometryFileSource(GeometryBlock):
 
     @staticmethod
     def process(url, request):
-        from dask_geomodeling_tpu.io.vectorfile import read_vector
+        from dask_geomodeling_tpu.runtime.pipeline import read_vector_cached
 
         projection = request["projection"]
         mode = request["mode"]
         filt_geom = request.get("geometry")
 
-        f = read_vector(utils.safe_abspath(url), layer=request["layer"])
+        # the cache hands back a shared frame; the shallow copy keeps
+        # attribute writes (crs below) off the cached object while the
+        # payload columns stay shared
+        f = read_vector_cached(
+            utils.safe_abspath(url), layer=request["layer"]
+        ).copy(deep=False)
         if filt_geom is not None and len(f):
             f = GeometryFileSource._bbox_prefilter(f, filt_geom, projection)
 

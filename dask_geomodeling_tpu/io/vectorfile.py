@@ -835,7 +835,9 @@ def read_vector_info(path, layer=None):
     """Return {'fields': [...], 'crs': str} without loading all features."""
     fmt = _format_of(path)
     if fmt != "gpkg":
-        frame = read_vector(path)
+        from dask_geomodeling_tpu.runtime.pipeline import read_vector_cached
+
+        frame = read_vector_cached(path, layer)
         fields = [c for c in frame.columns if c != "geometry"]
         return {"fields": fields, "crs": frame.crs}
     con = sqlite3.connect(path)

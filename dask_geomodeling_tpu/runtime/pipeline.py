@@ -66,10 +66,47 @@ def read_geotiff_cached(path):
     return data
 
 
+_VECTOR_CACHE = {}
+_VECTOR_CACHE_SIZE = 16
+
+
+def read_vector_cached(path, layer=None):
+    """Read a vector file with an mtime-validated LRU cache.
+
+    The raster side has had this since round 1 (``read_geotiff_cached``);
+    without it a Rasterize-over-features pipeline re-parses the whole
+    vector file once per tile request.  Callers must treat the returned
+    frame as read-only (GeometryFileSource hands out shallow copies).
+    """
+    from collections import OrderedDict
+
+    from dask_geomodeling_tpu.io.vectorfile import read_vector
+
+    key = (os.path.abspath(path), layer)
+    mtime = os.path.getmtime(key[0])
+    with _CACHE_LOCK:
+        if not isinstance(_VECTOR_CACHE.get("store"), OrderedDict):
+            _VECTOR_CACHE["store"] = OrderedDict()
+        store = _VECTOR_CACHE["store"]
+        entry = store.get(key)
+        if entry is not None and entry[0] == mtime:
+            store.move_to_end(key)
+            return entry[1]
+    frame = read_vector(key[0], layer=layer)
+    with _CACHE_LOCK:
+        store = _VECTOR_CACHE["store"]
+        store[key] = (mtime, frame)
+        store.move_to_end(key)
+        while len(store) > _VECTOR_CACHE_SIZE:
+            store.popitem(last=False)
+    return frame
+
+
 def clear_read_cache():
-    """Drop all cached decoded rasters."""
+    """Drop all cached decoded rasters and vector frames."""
     with _CACHE_LOCK:
         _READ_CACHE.clear()
+        _VECTOR_CACHE.clear()
 
 
 class TilePrefetcher:

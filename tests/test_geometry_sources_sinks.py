@@ -127,6 +127,65 @@ class TestVectorFileIO:
         assert result.crs.startswith("GEOGCS[")
         assert get_sr(result.crs).is_geographic
 
+    def test_vector_read_cache(self, root, frame):
+        """GeometryFileSource parses a file once per mtime, not once per
+        request — and cached frames are isolated from request-side
+        mutations (crs assignment, reprojection)."""
+        import time as _time
+        from datetime import datetime
+
+        from dask_geomodeling_tpu.geometry.sources import GeometryFileSource
+        from dask_geomodeling_tpu.io import vectorfile
+        from dask_geomodeling_tpu.runtime import pipeline
+
+        pipeline.clear_read_cache()
+        path = root / "cached.geojson"
+        frame.crs = "EPSG:4326"
+        write_vector(frame, str(path))
+        source = GeometryFileSource("cached.geojson")
+
+        calls = []
+        real = vectorfile.read_vector
+
+        def counting(p, layer=None):
+            calls.append(p)
+            return real(p, layer=layer)
+
+        import unittest.mock as mock
+
+        request = dict(
+            mode="intersects",
+            geometry=box(-1, -1, 11, 11),
+            projection="EPSG:4326",
+            start=datetime(2000, 1, 1),
+        )
+        with mock.patch.object(vectorfile, "read_vector", counting):
+            first = source.get_data(**request)
+            second = source.get_data(**request)
+            # a different projection must not see frames poisoned by the
+            # previous request's reprojection
+            third = source.get_data(
+                **dict(request, projection="EPSG:3857",
+                       geometry=box(-1e7, -1e7, 1e7, 1e7))
+            )
+        assert len(calls) == 1  # parsed once, served thrice
+        assert len(first["features"]) == 3
+        assert len(second["features"]) == 3
+        assert len(third["features"]) == 3
+        # EPSG:3857 coordinates are metres, far from the degree values
+        assert third["features"].geometry.iloc[1].bounds[0] > 100000
+
+        # touching the file invalidates the cache
+        _time.sleep(0.01)
+        write_vector(frame.iloc[:2], str(path))
+        import os
+
+        os.utime(str(path), (os.path.getmtime(str(path)) + 2,) * 2)
+        with mock.patch.object(vectorfile, "read_vector", counting):
+            fourth = source.get_data(**request)
+        assert len(calls) == 2
+        assert len(fourth["features"]) == 2
+
     def test_parquet_non_epsg_crs_null_in_geo(self, root, frame):
         # GeoParquet 1.0: crs must be a PROJJSON object or null; a bare
         # WKT/proj4 string is invalid.  The original rides our own key.
