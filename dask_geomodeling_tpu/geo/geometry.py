@@ -141,16 +141,24 @@ class Geometry:
 
     @property
     def bounds(self):
+        # geometries are immutable: memoize (a 20k-feature tile request
+        # was spending ~0.5 s per request recomputing these)
+        cached = getattr(self, "_bounds_cache", None)
+        if cached is not None:
+            return cached
         coords = [c for c in self._all_coords() if len(c)]
         if not coords:
-            return ()
-        pts = np.vstack(coords)
-        return (
-            float(pts[:, 0].min()),
-            float(pts[:, 1].min()),
-            float(pts[:, 0].max()),
-            float(pts[:, 1].max()),
-        )
+            result = ()
+        else:
+            pts = np.vstack(coords)
+            result = (
+                float(pts[:, 0].min()),
+                float(pts[:, 1].min()),
+                float(pts[:, 0].max()),
+                float(pts[:, 1].max()),
+            )
+        self._bounds_cache = result
+        return result
 
     def _all_coords(self):
         """List of coordinate arrays of all constituent parts."""
