@@ -133,21 +133,25 @@ def reduce_rasters_jax(stack, statistic, no_data_value, dtype):
         # element's nodata, exactly like the numpy twin above
         no_data_value = stack[0]["no_data_value"]
     dtype = np.dtype(dtype)
-    # numpy's np.full(shape, None, bool) quietly casts None -> False
-    # (boolean rasters have no nodata); mirror that scalar here while the
-    # returned dict still carries no_data_value=None
-    fill_scalar = np.full((), no_data_value, dtype)[()]
+
+    def fill_scalar():
+        # numpy's np.full(shape, None, bool) quietly casts None -> False
+        # (boolean rasters have no nodata); mirror that scalar here while
+        # the returned dict still carries no_data_value=None.  Deferred so
+        # sum/count (whose neutral fill is zero, like the numpy twin) never
+        # materialize a None fill for integer stacks.
+        return np.full((), no_data_value, dtype)[()]
 
     def data_mask(data):
         return get_index_jax(data["values"], data["no_data_value"])
 
     if statistic == "last":
-        out = jnp.full(stack[0]["values"].shape, fill_scalar, dtype)
+        out = jnp.full(stack[0]["values"].shape, fill_scalar(), dtype)
         for data in stack:
             out = jnp.where(data_mask(data), data["values"].astype(dtype), out)
         return {"values": out, "no_data_value": no_data_value}
     if statistic == "first":
-        out = jnp.full(stack[0]["values"].shape, fill_scalar, dtype)
+        out = jnp.full(stack[0]["values"].shape, fill_scalar(), dtype)
         for data in stack[::-1]:
             out = jnp.where(data_mask(data), data["values"].astype(dtype), out)
         return {"values": out, "no_data_value": no_data_value}
@@ -183,7 +187,7 @@ def reduce_rasters_jax(stack, statistic, no_data_value, dtype):
     else:
         result = funcs[statistic](arrays, axis=0)
     not_all_nan = ~jnp.all(jnp.isnan(arrays), axis=0)
-    fill = 0 if statistic == "sum" else fill_scalar
+    fill = 0 if statistic == "sum" else fill_scalar()
     result = jnp.where(not_all_nan, result, fill).astype(dtype)
     return {"values": result, "no_data_value": no_data_value}
 

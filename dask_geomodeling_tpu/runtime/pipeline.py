@@ -27,10 +27,10 @@ def read_geotiff_cached(path):
     from dask_geomodeling_tpu.io.vrt import read_vrt
 
     key = os.path.abspath(path)
-    mtime = os.path.getmtime(key)
+    stamp = _file_stamp(key)
     with _CACHE_LOCK:
         entry = _READ_CACHE.get(key)
-        if entry is not None and entry[0] == mtime:
+        if entry is not None and entry[0] == stamp:
             _READ_CACHE.move_to_end(key)
             return entry[1]
     lower = key.lower()
@@ -59,15 +59,22 @@ def read_geotiff_cached(path):
     else:
         data = read_geotiff(key)
     with _CACHE_LOCK:
-        _READ_CACHE[key] = (mtime, data)
+        _READ_CACHE[key] = (stamp, data)
         _READ_CACHE.move_to_end(key)
         while len(_READ_CACHE) > _READ_CACHE_SIZE:
             _READ_CACHE.popitem(last=False)
     return data
 
 
-_VECTOR_CACHE = {}
+_VECTOR_CACHE = OrderedDict()
 _VECTOR_CACHE_SIZE = 16
+
+
+def _file_stamp(path):
+    # (mtime_ns, size): plain mtime has 1 s granularity on some filesystems,
+    # so a rewrite within the same tick would serve the stale parse.
+    st = os.stat(path)
+    return (st.st_mtime_ns, st.st_size)
 
 
 def read_vector_cached(path, layer=None):
@@ -78,27 +85,21 @@ def read_vector_cached(path, layer=None):
     vector file once per tile request.  Callers must treat the returned
     frame as read-only (GeometryFileSource hands out shallow copies).
     """
-    from collections import OrderedDict
-
     from dask_geomodeling_tpu.io.vectorfile import read_vector
 
     key = (os.path.abspath(path), layer)
-    mtime = os.path.getmtime(key[0])
+    stamp = _file_stamp(key[0])
     with _CACHE_LOCK:
-        if not isinstance(_VECTOR_CACHE.get("store"), OrderedDict):
-            _VECTOR_CACHE["store"] = OrderedDict()
-        store = _VECTOR_CACHE["store"]
-        entry = store.get(key)
-        if entry is not None and entry[0] == mtime:
-            store.move_to_end(key)
+        entry = _VECTOR_CACHE.get(key)
+        if entry is not None and entry[0] == stamp:
+            _VECTOR_CACHE.move_to_end(key)
             return entry[1]
     frame = read_vector(key[0], layer=layer)
     with _CACHE_LOCK:
-        store = _VECTOR_CACHE["store"]
-        store[key] = (mtime, frame)
-        store.move_to_end(key)
-        while len(store) > _VECTOR_CACHE_SIZE:
-            store.popitem(last=False)
+        _VECTOR_CACHE[key] = (stamp, frame)
+        _VECTOR_CACHE.move_to_end(key)
+        while len(_VECTOR_CACHE) > _VECTOR_CACHE_SIZE:
+            _VECTOR_CACHE.popitem(last=False)
     return frame
 
 

@@ -131,7 +131,6 @@ class TestVectorFileIO:
         """GeometryFileSource parses a file once per mtime, not once per
         request — and cached frames are isolated from request-side
         mutations (crs assignment, reprojection)."""
-        import time as _time
         from datetime import datetime
 
         from dask_geomodeling_tpu.geometry.sources import GeometryFileSource
@@ -175,16 +174,49 @@ class TestVectorFileIO:
         # EPSG:3857 coordinates are metres, far from the degree values
         assert third["features"].geometry.iloc[1].bounds[0] > 100000
 
-        # touching the file invalidates the cache
-        _time.sleep(0.01)
+        # rewriting the file invalidates the cache: validation compares
+        # (st_mtime_ns, st_size), so no artificial utime bump is needed
+        # even on coarse-mtime filesystems
         write_vector(frame.iloc[:2], str(path))
-        import os
-
-        os.utime(str(path), (os.path.getmtime(str(path)) + 2,) * 2)
         with mock.patch.object(vectorfile, "read_vector", counting):
             fourth = source.get_data(**request)
         assert len(calls) == 2
         assert len(fourth["features"]) == 2
+
+    def test_vector_cache_clear_during_parse(self, root, frame):
+        """clear_read_cache() racing an in-flight parse must not break the
+        insert that follows (the cache store object survives clear())."""
+        from datetime import datetime
+
+        import unittest.mock as mock
+
+        from dask_geomodeling_tpu.geometry.sources import GeometryFileSource
+        from dask_geomodeling_tpu.io import vectorfile
+        from dask_geomodeling_tpu.runtime import pipeline
+
+        pipeline.clear_read_cache()
+        path = root / "race.geojson"
+        frame.crs = "EPSG:4326"
+        write_vector(frame, str(path))
+        source = GeometryFileSource("race.geojson")
+
+        real = vectorfile.read_vector
+
+        def clearing(p, layer=None):
+            result = real(p, layer=layer)
+            # simulate another thread clearing between miss and insert
+            pipeline.clear_read_cache()
+            return result
+
+        request = dict(
+            mode="intersects",
+            geometry=box(-1, -1, 11, 11),
+            projection="EPSG:4326",
+            start=datetime(2000, 1, 1),
+        )
+        with mock.patch.object(vectorfile, "read_vector", clearing):
+            result = source.get_data(**request)
+        assert len(result["features"]) == 3
 
     def test_parquet_non_epsg_crs_null_in_geo(self, root, frame):
         # GeoParquet 1.0: crs must be a PROJJSON object or null; a bare

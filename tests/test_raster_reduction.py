@@ -135,3 +135,26 @@ def test_reduce_jax_boolean_stack_none_nodata(statistic):
         np.asarray(actual["values"]), expected["values"]
     )
     assert actual["no_data_value"] == expected["no_data_value"]
+
+
+@pytest.mark.parametrize("statistic", ["sum", "count"])
+def test_reduce_jax_int_stack_none_nodata(statistic):
+    """Integer stacks with no_data_value=None: sum/count use a zero fill
+    like the numpy twin and must not materialize None as an int fill."""
+    from dask_geomodeling_tpu.raster.reduction import (
+        reduce_rasters,
+        reduce_rasters_jax,
+    )
+
+    stack = [
+        {"values": np.array([[1, 2], [3, 4]], dtype=np.int32),
+         "no_data_value": None},
+        {"values": np.array([[5, 6], [7, 8]], dtype=np.int32),
+         "no_data_value": None},
+    ]
+    expected = reduce_rasters(stack, statistic, None, None)
+    actual = reduce_rasters_jax(stack, statistic, None, None)
+    np.testing.assert_array_equal(
+        np.asarray(actual["values"]), expected["values"]
+    )
+    assert actual["no_data_value"] == expected["no_data_value"]
