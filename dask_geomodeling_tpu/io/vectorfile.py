@@ -18,6 +18,8 @@ Formats:
   column, PROJJSON-style EPSG crs identification)
 - FlatGeobuf (.fgb): io/flatgeobuf.py (flatbuffers runtime; reads files
   with or without the packed Hilbert R-tree index, writes without)
+- GPX (.gpx): waypoints/routes/tracks layers (always EPSG:4326);
+  writes points as waypoints and (multi)linestrings as tracks
 
 API: ``read_vector``, ``read_vector_info``, ``write_vector``.
 """
@@ -50,6 +52,7 @@ supported_extensions = {
     "fgb",
     "mif",
     "dxf",
+    "gpx",
 }
 
 
@@ -652,6 +655,178 @@ def _write_kml(frame, path):
         )
 
 
+# --- GPX (waypoints/routes/tracks; always EPSG:4326 per the spec) ---
+
+
+_GPX_LAYERS = ("waypoints", "routes", "tracks")
+
+
+def _gpx_points(element, tag):
+    """(lon, lat) pairs of all <tag> descendants, document order."""
+    return [
+        (float(pt.get("lon")), float(pt.get("lat")))
+        for pt in element.iter()
+        if _gml_local(pt.tag) == tag
+    ]
+
+
+def _gpx_fields(element, record):
+    """Copy simple child text fields (name/desc/cmt/type/ele...) in."""
+    for child in element:
+        local = _gml_local(child.tag)
+        if local in ("name", "desc", "cmt", "type", "sym", "src") and (
+            child.text or ""
+        ).strip():
+            record[local] = child.text.strip()
+        elif local == "ele":
+            record["ele"] = float(child.text)
+
+
+def _read_gpx(path, layer=None):
+    """Read a GPX file.
+
+    OGR's GPX driver exposes layers ``waypoints``/``routes``/``tracks``
+    (reference sources read via pyogrio, geometry/sources.py:95); pass
+    ``layer`` to select one.  The default concatenates all three with a
+    ``layer`` column, so a layer-less ``read_vector`` still sees every
+    feature.
+    """
+    import xml.etree.ElementTree as ET
+
+    if layer is not None and layer not in _GPX_LAYERS:
+        raise ValueError(
+            "Unknown GPX layer '{}' (expected one of {})".format(
+                layer, _GPX_LAYERS
+            )
+        )
+    root = ET.parse(path).getroot()
+    geometries, records = [], []
+
+    def want(name):
+        return layer is None or layer == name
+
+    for element in root:
+        local = _gml_local(element.tag)
+        record = {}
+        if local == "wpt" and want("waypoints"):
+            record["layer"] = "waypoints"
+            _gpx_fields(element, record)
+            geometries.append(
+                shape(
+                    {
+                        "type": "Point",
+                        "coordinates": (
+                            float(element.get("lon")),
+                            float(element.get("lat")),
+                        ),
+                    }
+                )
+            )
+            records.append(record)
+        elif local == "rte" and want("routes"):
+            points = _gpx_points(element, "rtept")
+            if len(points) < 2:
+                continue
+            record["layer"] = "routes"
+            _gpx_fields(element, record)
+            geometries.append(
+                shape({"type": "LineString", "coordinates": points})
+            )
+            records.append(record)
+        elif local == "trk" and want("tracks"):
+            segments = [
+                _gpx_points(seg, "trkpt")
+                for seg in element
+                if _gml_local(seg.tag) == "trkseg"
+            ]
+            segments = [s for s in segments if len(s) >= 2]
+            if not segments:
+                continue
+            record["layer"] = "tracks"
+            _gpx_fields(element, record)
+            geometries.append(
+                shape(
+                    {"type": "MultiLineString", "coordinates": segments}
+                )
+            )
+            records.append(record)
+    if layer is not None:
+        for record in records:
+            record.pop("layer", None)
+    frame = GeoDataFrame(
+        pd.DataFrame.from_records(records) if records else None,
+        geometry=geometries,
+        crs="EPSG:4326",
+    )
+    return frame
+
+
+def _gpx_escape(text):
+    return (
+        str(text)
+        .replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+    )
+
+
+def _write_gpx(frame, path):
+    """Write points as waypoints and (multi)linestrings as tracks.
+
+    Like OGR's GPX writer, geometries outside the GPX data model
+    (polygons) are rejected; attribute columns beyond the GPX simple
+    fields are dropped (GPX has no extension schema here).
+    """
+    geometry_column = frame._geometry_column_name or "geometry"
+    lines = ['<?xml version="1.0" encoding="UTF-8"?>']
+    lines.append(
+        '<gpx version="1.1" creator="dask_geomodeling_tpu" '
+        'xmlns="http://www.topografix.com/GPX/1/1">'
+    )
+
+    def fields(row):
+        out = []
+        for key in ("ele", "name", "cmt", "desc", "src", "sym", "type"):
+            if key in row and row[key] is not None and not pd.isna(row[key]):
+                out.append(
+                    "<%s>%s</%s>" % (key, _gpx_escape(row[key]), key)
+                )
+        return "".join(out)
+
+    def trkseg(coords):
+        return "<trkseg>%s</trkseg>" % "".join(
+            '<trkpt lat="%s" lon="%s"></trkpt>'
+            % (repr(float(y)), repr(float(x)))
+            for x, y in coords
+        )
+
+    for _, row in frame.iterrows():
+        geom = row[geometry_column]
+        if geom is None:
+            continue
+        kind = type(geom).__name__
+        if kind == "Point":
+            (x, y), = list(geom.coords)
+            lines.append(
+                '<wpt lat="%s" lon="%s">%s</wpt>'
+                % (repr(float(y)), repr(float(x)), fields(row))
+            )
+        elif kind == "LineString":
+            lines.append(
+                "<trk>%s%s</trk>" % (fields(row), trkseg(list(geom.coords)))
+            )
+        elif kind == "MultiLineString":
+            segs = "".join(trkseg(list(g.coords)) for g in geom.geoms)
+            lines.append("<trk>%s%s</trk>" % (fields(row), segs))
+        else:
+            raise ValueError(
+                "GPX cannot represent '%s' geometries" % kind
+            )
+    lines.append("</gpx>")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+
+
 # --- CSV with a WKT geometry column (OGR CSV driver conventions) ---
 
 _CSV_GEOMETRY_COLUMNS = ("geometry", "wkt", "WKT", "the_geom")
@@ -828,6 +1003,8 @@ def read_vector(path, layer=None):
         return _read_kml(path)
     if fmt == "csv":
         return _read_csv(path)
+    if fmt == "gpx":
+        return _read_gpx(path, layer)
     return _read_gpkg(path, layer)
 
 
@@ -875,6 +1052,8 @@ def write_vector(frame, path, layer=None):
         _write_kml(frame, path)
     elif fmt == "csv":
         _write_csv(frame, path)
+    elif fmt == "gpx":
+        _write_gpx(frame, path)
     elif fmt in ("parquet", "geoparquet"):
         _write_parquet(frame, path)
     elif fmt == "fgb":

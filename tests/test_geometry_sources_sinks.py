@@ -46,6 +46,98 @@ class TestVectorFileIO:
         assert result["name"].tolist() == ["a", "b", "c"]
         assert result.geometry.iloc[0].equals(box(0, 0, 2, 2))
 
+    def test_gpx_read_layers_and_roundtrip(self, root):
+        """GPX: waypoints/routes/tracks layers (OGR GPX driver envelope)."""
+        from dask_geomodeling_tpu.geo.geometry import LineString
+
+        gpx = """<?xml version="1.0" encoding="UTF-8"?>
+<gpx version="1.1" creator="test" xmlns="http://www.topografix.com/GPX/1/1">
+  <wpt lat="52.1" lon="4.3"><ele>2.5</ele><name>home</name></wpt>
+  <wpt lat="52.2" lon="4.4"><name>work</name></wpt>
+  <rte><name>commute</name>
+    <rtept lat="52.1" lon="4.3"/><rtept lat="52.2" lon="4.4"/>
+  </rte>
+  <trk><name>run</name>
+    <trkseg><trkpt lat="52.0" lon="4.0"/><trkpt lat="52.05" lon="4.05"/></trkseg>
+    <trkseg><trkpt lat="52.1" lon="4.1"/><trkpt lat="52.15" lon="4.15"/></trkseg>
+  </trk>
+</gpx>"""
+        path = str(root / "test.gpx")
+        with open(path, "w") as f:
+            f.write(gpx)
+
+        everything = read_vector(path)
+        assert len(everything) == 4
+        assert everything["layer"].tolist() == [
+            "waypoints", "waypoints", "routes", "tracks",
+        ]
+        assert everything.crs == "EPSG:4326"
+
+        waypoints = read_vector(path, layer="waypoints")
+        assert len(waypoints) == 2
+        assert "layer" not in waypoints.columns
+        assert waypoints["name"].tolist() == ["home", "work"]
+        assert waypoints["ele"].iloc[0] == 2.5
+        assert waypoints.geometry.iloc[0].coords[0] == (4.3, 52.1)
+
+        routes = read_vector(path, layer="routes")
+        assert len(routes) == 1
+        assert type(routes.geometry.iloc[0]).__name__ == "LineString"
+
+        tracks = read_vector(path, layer="tracks")
+        assert len(tracks) == 1
+        track = tracks.geometry.iloc[0]
+        assert type(track).__name__ == "MultiLineString"
+        assert len(list(track.geoms)) == 2
+
+        with pytest.raises(ValueError):
+            read_vector(path, layer="nope")
+
+        # write round trip: points + lines survive; polygons rejected
+        out = str(root / "out.gpx")
+        mixed = GeoDataFrame(
+            pd.DataFrame({"name": ["p", "l"]}),
+            geometry=[Point(4.3, 52.1), LineString([(4.0, 52.0), (4.1, 52.1)])],
+            crs="EPSG:4326",
+        )
+        write_vector(mixed, out)
+        back = read_vector(out)
+        assert len(back) == 2
+        assert set(back["layer"]) == {"waypoints", "tracks"}
+        assert back["name"].tolist() == ["p", "l"]
+        np.testing.assert_allclose(
+            list(back.geometry.iloc[0].coords)[0], (4.3, 52.1)
+        )
+
+        from dask_geomodeling_tpu.geo.geometry import box as _box
+
+        bad = GeoDataFrame(
+            None, geometry=[_box(0, 0, 1, 1)], crs="EPSG:4326"
+        )
+        with pytest.raises(ValueError):
+            write_vector(bad, str(root / "bad.gpx"))
+
+    def test_gpx_geometry_file_source(self, root):
+        """GPX rides GeometryFileSource like any other driver."""
+        from datetime import datetime
+
+        gpx = """<?xml version="1.0"?>
+<gpx version="1.1" creator="t" xmlns="http://www.topografix.com/GPX/1/1">
+  <wpt lat="1.0" lon="1.0"><name>in</name></wpt>
+  <wpt lat="50.0" lon="50.0"><name>out</name></wpt>
+</gpx>"""
+        path = root / "pts.gpx"
+        path.write_text(gpx)
+        source = GeometryFileSource("pts.gpx")
+        result = source.get_data(
+            mode="intersects",
+            geometry=box(0, 0, 10, 10),
+            projection="EPSG:4326",
+            start=datetime(2000, 1, 1),
+        )
+        assert len(result["features"]) == 1
+        assert result["features"]["name"].iloc[0] == "in"
+
     def test_parquet_crs_and_metadata(self, root, frame):
         import json
 
