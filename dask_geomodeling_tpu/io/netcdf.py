@@ -13,6 +13,12 @@ message.
 
 ``read_netcdf`` returns the same RasterData payload the GeoTIFF codec
 produces, so ``RasterFileSource`` serves ``.nc`` files transparently.
+
+netCDF-4 (HDF5-based) files are served through the image's ``h5py``
+when importable (gated — no hard dependency): dimension scales give
+the coordinate axes, and the same CF attribute conventions
+(``grid_mapping``, ``_FillValue``, ``scale_factor``/``add_offset``)
+apply.  Without ``h5py`` they are rejected with a clear message.
 """
 import struct
 
@@ -184,13 +190,108 @@ def _crs_from_atts(gatts, variables, data_var):
     return "EPSG:4326"
 
 
-def read_netcdf(path, variable=None):
-    """Read a CF-georeferenced netCDF classic file into RasterData.
+def _h5_att(value):
+    """Decode an h5py attribute into the classic-parser convention
+    (text -> str, numerics -> ndarray/scalars)."""
+    if isinstance(value, bytes):
+        return value.decode("utf-8", "replace")
+    if isinstance(value, np.ndarray) and value.dtype.kind in ("S", "O"):
+        parts = [
+            v.decode("utf-8", "replace") if isinstance(v, bytes) else str(v)
+            for v in value.ravel()
+        ]
+        return "".join(parts) if len(parts) == 1 else parts
+    return value
 
+
+def _read_netcdf4(path, variable=None):
+    """netCDF-4 (HDF5) via the image's h5py, gated at call time.
+
+    Walks every group, treats HDF5 dimension scales as coordinate
+    variables (falling back to axis-length matching when
+    DIMENSION_LIST is absent), and funnels into the shared CF
+    assembly, so ``grid_mapping``/``spatial_ref``/packing behave
+    exactly as for classic files.
+    """
+    try:
+        import h5py
+    except ImportError:
+        raise NotImplementedError(
+            "netCDF-4 (HDF5-based) files need h5py, which is not "
+            "available; convert to netCDF classic (nccopy -k classic)"
+        )
+
+    with h5py.File(path, "r") as handle:
+        datasets = []
+        handle.visititems(
+            lambda name, obj: datasets.append((name, obj))
+            if isinstance(obj, h5py.Dataset)
+            else None
+        )
+        gatts = {k: _h5_att(v) for k, v in handle.attrs.items()}
+        variables = []
+        for name, ds in datasets:
+            atts = {k: _h5_att(v) for k, v in ds.attrs.items()}
+            variables.append({"name": name.split("/")[-1], "atts": atts,
+                              "_ds": ds, "_path": name})
+
+        def is_dim_scale(var):
+            return var["atts"].get("CLASS") == "DIMENSION_SCALE"
+
+        candidates = [
+            v for v in variables
+            if v["_ds"].ndim >= 2 and not is_dim_scale(v)
+            and v["_ds"].dtype.kind in "iuf"
+        ]
+        if variable is not None:
+            candidates = [
+                v for v in candidates
+                if v["name"] == variable or v["_path"] == variable
+            ]
+        if not candidates:
+            raise IOError("No 2-D data variable in '%s'" % path)
+        data_var = max(candidates, key=lambda v: v["_ds"].size)
+        ds = data_var["_ds"]
+        array = np.asarray(ds)
+
+        def centers(axis, length):
+            # dimension scales attached along this axis, else a 1-D
+            # dataset of matching length, else pixel indices
+            try:
+                scales = [s for s in ds.dims[axis].values() if s.size]
+            except Exception:
+                scales = []
+            for scale in scales:
+                if scale.ndim == 1 and len(scale) == length:
+                    return np.asarray(scale, dtype=float)
+            for var in variables:
+                if (
+                    var["_ds"].ndim == 1
+                    and len(var["_ds"]) == length
+                    and is_dim_scale(var)
+                ):
+                    return np.asarray(var["_ds"], dtype=float)
+            return np.arange(length, dtype=float)
+
+        height, width = array.shape[-2:]
+        return _assemble_raster(
+            gatts, variables, data_var, array,
+            centers(ds.ndim - 1, width), centers(ds.ndim - 2, height),
+        )
+
+
+def read_netcdf(path, variable=None):
+    """Read a CF-georeferenced netCDF file into RasterData.
+
+    Classic (CDF-1/CDF-2) files are parsed natively; netCDF-4
+    (HDF5-based) files go through ``h5py`` when available.
     ``variable`` selects the data variable by name; by default the
     largest non-coordinate variable with >= 2 dimensions wins.
     """
-    from dask_geomodeling_tpu.raster.sources import RasterData
+    with open(path, "rb") as f:
+        magic = f.read(8)
+    if magic[:8] == b"\x89HDF\r\n\x1a\n" or magic[:4] == b"\x89HDF":
+        return _read_netcdf4(path, variable)
 
     raw = open(path, "rb").read()
     numrecs, dims, gatts, variables = _parse_header(raw)
@@ -244,10 +345,6 @@ def read_netcdf(path, variable=None):
     )
 
     array = _read_var(raw, data_var, dims, numrecs)
-    if array.ndim == 2:
-        array = array[None]
-    elif array.ndim > 3:
-        array = array.reshape((-1,) + array.shape[-2:])
 
     # grid: coordinate variables along the last two dims give the cell
     # centers; regular spacing assumed (CF projections are regular)
@@ -263,8 +360,26 @@ def read_netcdf(path, variable=None):
         )
 
     height, width = array.shape[-2:]
-    xs = centers(x_dim, width)
-    ys = centers(y_dim, height)
+    return _assemble_raster(
+        gatts, variables, data_var, array,
+        centers(x_dim, width), centers(y_dim, height),
+    )
+
+
+def _assemble_raster(gatts, variables, data_var, array, xs, ys):
+    """Shared CF assembly: orientation, geotransform, packing, CRS.
+
+    ``variables`` is the attribute-bearing variable list (classic or
+    netCDF-4 shaped alike: dicts with "name" and "atts"); ``xs``/``ys``
+    are cell-center coordinates along the last two axes.
+    """
+    from dask_geomodeling_tpu.raster.sources import RasterData
+
+    if array.ndim == 2:
+        array = array[None]
+    elif array.ndim > 3:
+        array = array.reshape((-1,) + array.shape[-2:])
+
     dx = float(xs[1] - xs[0]) if len(xs) > 1 else 1.0
     dy = float(ys[1] - ys[0]) if len(ys) > 1 else -1.0
     if dy > 0:  # south-up storage: flip rows into the north-up contract

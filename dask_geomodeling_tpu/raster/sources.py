@@ -464,8 +464,9 @@ class RasterFileSource(RasterSourceBase):
     reads via ``gdal.Open``): GeoTIFF (classic + BigTIFF, deflate/LZW/
     PackBits, both endiannesses), VRT mosaics, Esri ASCII grids
     (``.asc``/``.agr``), XYZ gridded text (``.xyz``), PNG with world
-    file (``.png`` + ``.pgw``/``.wld``/``.prj``), and CF netCDF classic
-    (``.nc``/``.cdf``/``.nc3``).
+    file (``.png`` + ``.pgw``/``.wld``/``.prj``), CF netCDF classic
+    (``.nc``/``.cdf``/``.nc3``), and netCDF-4/HDF5 (``.nc4``/``.h5``/
+    ``.hdf5``, via the image's h5py when available).
 
     Args:
       url (str): path to the file, sandboxed by ``geomodeling.root``
@@ -494,7 +495,7 @@ class RasterFileSource(RasterSourceBase):
             if path.lower().endswith(
                 (
                     ".vrt", ".asc", ".agr", ".xyz", ".png", ".nc", ".cdf",
-                    ".nc3", ".jpg", ".jpeg",
+                    ".nc3", ".nc4", ".h5", ".hdf5", ".jpg", ".jpeg",
                 )
             ):
                 from dask_geomodeling_tpu.io.geotiff import GeoTIFFInfo

@@ -52,7 +52,7 @@ def read_geotiff_cached(path):
         from dask_geomodeling_tpu.io.jpeg import read_jpeg
 
         data = read_jpeg(key)
-    elif lower.endswith((".nc", ".cdf", ".nc3")):
+    elif lower.endswith((".nc", ".cdf", ".nc3", ".nc4", ".h5", ".hdf5")):
         from dask_geomodeling_tpu.io.netcdf import read_netcdf
 
         data = read_netcdf(key)

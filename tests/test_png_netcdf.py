@@ -300,10 +300,12 @@ class TestNetcdf:
         assert data.no_data_value == float(np.finfo(np.float32).max)
         assert data.array[0, 1, 1] == data.no_data_value
 
-    def test_netcdf4_rejected(self, root):
+    def test_netcdf4_invalid_or_gated(self, root):
+        # with h5py present a truncated HDF5 file fails as an IO error;
+        # without it the gate raises NotImplementedError
         path = root / "h5.nc"
         path.write_bytes(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
-        with pytest.raises(NotImplementedError):
+        with pytest.raises((NotImplementedError, OSError)):
             read_netcdf(str(path))
 
     def test_raster_file_source(self, root):
@@ -323,3 +325,128 @@ class TestNetcdf:
             start=datetime(2000, 1, 1),
         )
         np.testing.assert_array_equal(result["values"], values)
+
+
+h5py = pytest.importorskip("h5py", reason="netCDF-4 path is h5py-gated")
+
+
+class TestNetcdf4:
+    """netCDF-4 (HDF5) raster reading through the gated h5py path."""
+
+    def _write(self, path, values, xs, ys, wkt=None, dim_scales=True,
+               fill=None, scale=None, offset=None, **dataset_kwargs):
+        with h5py.File(path, "w") as f:
+            ds = f.create_dataset("data", data=values, **dataset_kwargs)
+            if fill is not None:
+                ds.attrs["_FillValue"] = np.asarray(fill, values.dtype)
+            if scale is not None:
+                ds.attrs["scale_factor"] = float(scale)
+            if offset is not None:
+                ds.attrs["add_offset"] = float(offset)
+            if dim_scales:
+                names = ["band", "y", "x"][3 - values.ndim:]
+                coords = [None] * (values.ndim - 2) + [ys, xs]
+                for axis, (name, coord) in enumerate(zip(names, coords)):
+                    if coord is None:
+                        coord = np.arange(values.shape[axis], dtype=float)
+                    cv = f.create_dataset(name, data=np.asarray(coord, float))
+                    cv.make_scale(name)
+                    ds.dims[axis].attach_scale(cv)
+            if wkt is not None:
+                gm = f.create_dataset("crs", data=0)
+                gm.attrs["spatial_ref"] = wkt
+                ds.attrs["grid_mapping"] = "crs"
+
+    def test_reads_cf_file(self, root):
+        from dask_geomodeling_tpu.geo.crs import get_sr
+
+        values = np.linspace(0, 1, 12, dtype=np.float32).reshape(3, 4)
+        gt = (1000.0, 50.0, 0.0, 2150.0, 0.0, -50.0)
+        xs = gt[0] + gt[1] * (np.arange(4) + 0.5)
+        ys = gt[3] + gt[5] * (np.arange(3) + 0.5)
+        path = str(root / "data.nc4")
+        self._write(path, values, xs, ys,
+                    wkt=get_sr("EPSG:28992").ExportToWkt(), fill=-1.0)
+        data = read_netcdf(path)
+        np.testing.assert_allclose(data.array, values[None])
+        np.testing.assert_allclose(data.geo_transform, gt)
+        assert data.no_data_value == -1.0
+        assert get_sr(data.projection).code == 28992
+
+    def test_chunked_deflate_shuffle(self, root):
+        values = np.arange(64 * 96, dtype=np.int32).reshape(64, 96)
+        xs = np.arange(96) + 0.5
+        ys = 64 - (np.arange(64) + 0.5)
+        path = str(root / "comp.h5")
+        self._write(path, values, xs, ys, chunks=(16, 32),
+                    compression="gzip", shuffle=True)
+        data = read_netcdf(path)
+        np.testing.assert_array_equal(data.array[0], values)
+        np.testing.assert_allclose(
+            data.geo_transform, (0.0, 1.0, 0.0, 64.0, 0.0, -1.0)
+        )
+
+    def test_south_up_flips(self, root):
+        values = np.arange(12, dtype=np.float64).reshape(3, 4)
+        xs = np.arange(4) + 0.5
+        ys = np.arange(3) + 0.5  # ascending: south-up storage
+        path = str(root / "south.nc4")
+        self._write(path, values, xs, ys)
+        data = read_netcdf(path)
+        assert data.geo_transform[5] < 0
+        np.testing.assert_array_equal(data.array[0], values[::-1])
+
+    def test_scale_offset_unpacking(self, root):
+        packed = np.array([[0, 100], [200, -32768]], np.int16)
+        path = str(root / "packed.nc4")
+        self._write(
+            path, packed, np.arange(2) + 0.5, 2 - (np.arange(2) + 0.5),
+            fill=-32768, scale=0.01, offset=20.0,
+        )
+        data = read_netcdf(path)
+        assert data.array.dtype == np.float32
+        np.testing.assert_allclose(data.array[0, 0], [20.0, 21.0], atol=1e-6)
+        assert data.array[0, 1, 1] == float(np.finfo(np.float32).max)
+
+    def test_multiband_and_variable_select(self, root):
+        values = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+        path = str(root / "multi.h5")
+        self._write(path, values, np.arange(4) + 0.5,
+                    3 - (np.arange(3) + 0.5))
+        with h5py.File(path, "a") as f:
+            grp = f.create_group("nested")
+            grp.create_dataset("small", data=np.zeros((2, 2), np.float32))
+        data = read_netcdf(path)  # largest variable wins
+        assert data.array.shape == (2, 3, 4)
+        np.testing.assert_array_equal(data.array, values)
+        small = read_netcdf(path, variable="small")
+        assert small.array.shape == (1, 2, 2)
+
+    def test_no_dim_scales_pixel_grid(self, root):
+        values = np.ones((3, 4), np.float32)
+        path = str(root / "bare.h5")
+        self._write(path, values, None, None, dim_scales=False)
+        data = read_netcdf(path)
+        # pixel-index grid, flipped north-up
+        assert data.geo_transform[1] == 1.0
+        assert data.geo_transform[5] == -1.0
+
+    def test_raster_file_source(self, root):
+        from dask_geomodeling_tpu.geo.crs import get_sr
+
+        values = np.arange(12, dtype=np.float32).reshape(3, 4)
+        gt = (1000.0, 50.0, 0.0, 2150.0, 0.0, -50.0)
+        xs = gt[0] + gt[1] * (np.arange(4) + 0.5)
+        ys = gt[3] + gt[5] * (np.arange(3) + 0.5)
+        self._write(str(root / "source.nc4"), values, xs, ys,
+                    wkt=get_sr("EPSG:28992").ExportToWkt(), fill=-9999.0)
+        source = RasterFileSource(
+            "source.nc4", time_first=datetime(2000, 1, 1)
+        )
+        assert source.fillvalue == -9999.0
+        result = source.get_data(
+            mode="vals", bbox=(1000.0, 2000.0, 1200.0, 2150.0),
+            projection="EPSG:28992", width=4, height=3,
+            start=datetime(2000, 1, 1),
+        )
+        np.testing.assert_array_equal(result["values"], values[None])
