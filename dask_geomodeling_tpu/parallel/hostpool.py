@@ -76,6 +76,9 @@ class HostPool:
         self._started = time.time()
         #: per-worker and pool-wide task counters (the dashboard's data)
         self._stats = {"completed": 0, "failed": 0, "requeued": 0}
+        #: tasks taken off the queue but not yet resolved — adapt()'s
+        #: idle check must see these, or it terminates workers mid-task
+        self._inflight = 0
         self._worker_stats = {}
         self._server = socket.create_server((host, port))
         self.address = "%s:%d" % self._server.getsockname()[:2]
@@ -83,6 +86,7 @@ class HostPool:
         self._acceptor.start()
         self._dashboard = None
         self.dashboard_address = None
+        self._adaptive = None
         if dashboard_port is not None:
             self._start_dashboard(host, dashboard_port)
 
@@ -122,6 +126,8 @@ class HostPool:
                 payload, future = task
                 if future.done():
                     continue
+                with self._lock:
+                    self._inflight += 1
                 try:
                     sock.sendall(_HEADER.pack(len(payload)) + payload)
                     status, value = _recv_msg(sock)
@@ -133,6 +139,7 @@ class HostPool:
                     logger.warning("host worker %s lost; requeueing task", peer)
                     with self._lock:
                         self._stats["requeued"] += 1
+                        self._inflight -= 1
                     self._tasks.put((payload, future))
                     return
                 except Exception as e:
@@ -140,6 +147,8 @@ class HostPool:
                     # result class importable only on the worker): this is
                     # deterministic, so fail the caller instead of
                     # requeueing it into every worker
+                    with self._lock:
+                        self._inflight -= 1
                     future.set_exception(
                         RuntimeError(
                             "Could not deserialize the worker reply: %r" % e
@@ -147,6 +156,7 @@ class HostPool:
                     )
                     return
                 with self._lock:
+                    self._inflight -= 1
                     counters = self._worker_stats.setdefault(
                         "%s:%d" % peer, {"completed": 0, "failed": 0}
                     )
@@ -176,6 +186,8 @@ class HostPool:
                 "n_workers": len(self._workers),
                 "workers": sorted("%s:%d" % w for w in self._workers),
                 "queued_tasks": self._tasks.qsize(),
+                "inflight_tasks": self._inflight,
+                "adaptive_workers": self.n_adaptive_workers,
                 **self._stats,
                 "per_worker": {
                     k: dict(v) for k, v in self._worker_stats.items()
@@ -245,7 +257,9 @@ class HostPool:
         """A scheduler callable over this pool (config: ``scheduler``)."""
         from dask_geomodeling_tpu.core.scheduler import _get_pooled_impl
 
-        if self.n_workers == 0:
+        if self.n_workers == 0 and self._adaptive is None:
+            # with adapt() active, queued tasks trigger worker spawns,
+            # so an empty pool is fine to schedule into
             raise RuntimeError(
                 "No host workers connected to %s; start them with "
                 "python -m dask_geomodeling_tpu.parallel.hostworker"
@@ -267,8 +281,99 @@ class HostPool:
 
         return _get_pooled_impl(_View, graph, keys, None)
 
+    # --- adaptive scaling (dask.distributed's Adaptive role) ---
+
+    def adapt(self, minimum=0, maximum=4, interval=0.25, idle_time=2.0):
+        """Maintain between ``minimum`` and ``maximum`` locally spawned
+        worker processes, sized to the queue depth.
+
+        The pool's shared task queue makes work *stealing* structurally
+        unnecessary (idle workers pull the next task themselves; a lost
+        worker's task requeues) — this covers the other half of
+        dask.distributed's Adaptive: elastic capacity.  Extra workers
+        spawn while tasks queue; after ``idle_time`` seconds with an
+        empty queue, spawned workers retire one per tick down to
+        ``minimum``.  A worker terminated mid-task requeues its task
+        (the ordinary disconnect path), so scale-down is always safe.
+        Remote workers that connect on their own are never retired.
+        """
+        import os
+        import subprocess
+        import sys
+
+        if self._adaptive is not None:
+            raise RuntimeError("adapt() is already active on this pool")
+
+        # make this package importable in the spawned interpreter even
+        # when it runs from a source tree rather than an installation
+        package_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        env = dict(os.environ)
+        env["PYTHONPATH"] = os.pathsep.join(
+            p for p in (package_root, env.get("PYTHONPATH")) if p
+        )
+
+        def spawn():
+            return subprocess.Popen(
+                [
+                    sys.executable, "-m",
+                    "dask_geomodeling_tpu.parallel.hostworker",
+                    self.address, "--token", self._token,
+                ],
+                stdin=subprocess.DEVNULL,
+                env=env,
+            )
+
+        state = {"procs": [], "stop": threading.Event(), "last_busy": 0.0}
+
+        def loop():
+            while not state["stop"].is_set() and not self._closed:
+                state["procs"] = [
+                    p for p in state["procs"] if p.poll() is None
+                ]
+                alive = len(state["procs"])
+                with self._lock:
+                    busy = self._tasks.qsize() + self._inflight
+                queued = self._tasks.qsize()
+                now = time.time()
+                if busy:
+                    state["last_busy"] = now
+                if queued:
+                    deficit = min(queued, maximum - alive)
+                    for _ in range(max(deficit, 1 if alive < minimum else 0)):
+                        if len(state["procs"]) >= maximum:
+                            break
+                        state["procs"].append(spawn())
+                elif alive < minimum:
+                    state["procs"].append(spawn())
+                elif (
+                    alive > minimum
+                    and now - state["last_busy"] > idle_time
+                ):
+                    state["procs"].pop().terminate()
+                state["stop"].wait(interval)
+            for proc in state["procs"]:
+                proc.terminate()
+
+        state["thread"] = threading.Thread(target=loop, daemon=True)
+        self._adaptive = state
+        state["thread"].start()
+        return self
+
+    @property
+    def n_adaptive_workers(self):
+        """Spawned (adaptive) worker processes currently alive."""
+        state = self._adaptive
+        if state is None:
+            return 0
+        return sum(1 for p in state["procs"] if p.poll() is None)
+
     def close(self):
         self._closed = True
+        if self._adaptive is not None:
+            self._adaptive["stop"].set()
+            self._adaptive["thread"].join(timeout=5)
         self._tasks.put(None)
         if self._dashboard is not None:
             self._dashboard.shutdown()

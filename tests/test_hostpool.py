@@ -146,3 +146,43 @@ def test_unpicklable_result_fails_cleanly():
         finally:
             worker.kill()
             worker.wait()
+
+
+class TestAdaptiveScaling:
+    def test_scale_up_then_down(self):
+        """adapt() spawns workers for queued tasks and retires them when
+        the queue stays idle (dask.distributed's Adaptive role)."""
+        with HostPool(token="hunter2") as pool:
+            pool.adapt(minimum=0, maximum=2, interval=0.05, idle_time=0.4)
+            futures = [pool.submit(operator.add, i, 1) for i in range(6)]
+            assert [f.result(timeout=60) for f in futures] == list(range(1, 7))
+            assert pool.n_adaptive_workers >= 1
+            deadline = time.time() + 30
+            while pool.n_adaptive_workers > 0 and time.time() < deadline:
+                time.sleep(0.05)
+            assert pool.n_adaptive_workers == 0
+            assert pool.status()["adaptive_workers"] == 0
+
+    def test_minimum_kept_alive(self):
+        with HostPool(token="hunter2") as pool:
+            pool.adapt(minimum=1, maximum=2, interval=0.05, idle_time=0.1)
+            pool.wait_for_workers(1, timeout=60)
+            assert pool.submit(operator.mul, 6, 7).result(timeout=60) == 42
+            time.sleep(0.6)  # well past idle_time: the floor holds
+            assert pool.n_adaptive_workers >= 1
+            with pytest.raises(RuntimeError):
+                pool.adapt()
+        deadline = time.time() + 10
+        while pool.n_adaptive_workers > 0 and time.time() < deadline:
+            time.sleep(0.05)
+        assert pool.n_adaptive_workers == 0  # close() reaps the floor
+
+    def test_inflight_task_blocks_scale_down(self):
+        """A task slower than idle_time must not get its worker
+        terminated mid-run (regression: adapt() judged idleness by
+        queue depth alone, thrashing spawn/kill forever)."""
+        with HostPool(token="hunter2") as pool:
+            pool.adapt(minimum=0, maximum=1, interval=0.05, idle_time=0.3)
+            future = pool.submit(_slow_identity, "done")
+            assert future.result(timeout=120) == "done"
+            assert pool.status()["requeued"] == 0
