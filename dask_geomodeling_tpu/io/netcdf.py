@@ -88,7 +88,7 @@ class _Reader:
 def _parse_header(raw):
     reader = _Reader(raw)
     if raw[:3] != b"CDF":
-        if raw[:8] == b"\x89HDF\r\n\x1a\n" or raw[:4] == b"\x89HDF":
+        if raw[:4] == b"\x89HDF":
             raise NotImplementedError(
                 "netCDF-4 (HDF5-based) files are not supported; "
                 "convert to netCDF classic (nccopy -k classic)"
@@ -254,9 +254,16 @@ def _read_netcdf4(path, variable=None):
         ds = data_var["_ds"]
         array = np.asarray(ds)
 
-        def centers(axis, length):
+        _AXIS_NAMES = {
+            "x": ("x", "lon", "longitude", "easting"),
+            "y": ("y", "lat", "latitude", "northing"),
+        }
+
+        def centers(axis, length, role):
             # dimension scales attached along this axis, else a 1-D
-            # dataset of matching length, else pixel indices
+            # dim scale matched by name (length alone is ambiguous on
+            # square grids), else an unambiguous length match, else
+            # pixel indices
             try:
                 scales = [s for s in ds.dims[axis].values() if s.size]
             except Exception:
@@ -264,21 +271,29 @@ def _read_netcdf4(path, variable=None):
             for scale in scales:
                 if scale.ndim == 1 and len(scale) == length:
                     return np.asarray(scale, dtype=float)
-            for var in variables:
-                if (
-                    var["_ds"].ndim == 1
-                    and len(var["_ds"]) == length
-                    and is_dim_scale(var)
-                ):
-                    return np.asarray(var["_ds"], dtype=float)
+            loose = [
+                v for v in variables
+                if v["_ds"].ndim == 1
+                and len(v["_ds"]) == length
+                and is_dim_scale(v)
+            ]
+            named = [
+                v for v in loose
+                if v["name"].lower() in _AXIS_NAMES[role]
+                or str(v["atts"].get("axis", "")).upper() == role.upper()
+            ]
+            if len(named) == 1:
+                return np.asarray(named[0]["_ds"], dtype=float)
+            if len(loose) == 1:
+                return np.asarray(loose[0]["_ds"], dtype=float)
             return np.arange(length, dtype=float)
 
         height, width = array.shape[-2:]
         return _assemble_raster(
             gatts, variables, data_var, array,
-            centers(ds.ndim - 1, width), centers(ds.ndim - 2, height),
+            centers(ds.ndim - 1, width, "x"),
+            centers(ds.ndim - 2, height, "y"),
         )
-
 
 def read_netcdf(path, variable=None):
     """Read a CF-georeferenced netCDF file into RasterData.
@@ -290,7 +305,7 @@ def read_netcdf(path, variable=None):
     """
     with open(path, "rb") as f:
         magic = f.read(8)
-    if magic[:8] == b"\x89HDF\r\n\x1a\n" or magic[:4] == b"\x89HDF":
+    if magic[:4] == b"\x89HDF":
         return _read_netcdf4(path, variable)
 
     raw = open(path, "rb").read()

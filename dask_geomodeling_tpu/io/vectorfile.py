@@ -678,7 +678,7 @@ def _gpx_fields(element, record):
             child.text or ""
         ).strip():
             record[local] = child.text.strip()
-        elif local == "ele":
+        elif local == "ele" and (child.text or "").strip():
             record["ele"] = float(child.text)
 
 
@@ -761,15 +761,6 @@ def _read_gpx(path, layer=None):
     return frame
 
 
-def _gpx_escape(text):
-    return (
-        str(text)
-        .replace("&", "&amp;")
-        .replace("<", "&lt;")
-        .replace(">", "&gt;")
-    )
-
-
 def _write_gpx(frame, path):
     """Write points as waypoints and (multi)linestrings as tracks.
 
@@ -777,6 +768,8 @@ def _write_gpx(frame, path):
     (polygons) are rejected; attribute columns beyond the GPX simple
     fields are dropped (GPX has no extension schema here).
     """
+    from xml.sax.saxutils import escape
+
     geometry_column = frame._geometry_column_name or "geometry"
     lines = ['<?xml version="1.0" encoding="UTF-8"?>']
     lines.append(
@@ -784,12 +777,16 @@ def _write_gpx(frame, path):
         'xmlns="http://www.topografix.com/GPX/1/1">'
     )
 
-    def fields(row):
+    def fields(row, with_ele):
+        # <ele> is valid on waypoints only; trkType has no ele child
+        keys = ("name", "cmt", "desc", "src", "sym", "type")
+        if with_ele:
+            keys = ("ele",) + keys
         out = []
-        for key in ("ele", "name", "cmt", "desc", "src", "sym", "type"):
+        for key in keys:
             if key in row and row[key] is not None and not pd.isna(row[key]):
                 out.append(
-                    "<%s>%s</%s>" % (key, _gpx_escape(row[key]), key)
+                    "<%s>%s</%s>" % (key, escape(str(row[key])), key)
                 )
         return "".join(out)
 
@@ -809,15 +806,16 @@ def _write_gpx(frame, path):
             (x, y), = list(geom.coords)
             lines.append(
                 '<wpt lat="%s" lon="%s">%s</wpt>'
-                % (repr(float(y)), repr(float(x)), fields(row))
+                % (repr(float(y)), repr(float(x)), fields(row, True))
             )
         elif kind == "LineString":
             lines.append(
-                "<trk>%s%s</trk>" % (fields(row), trkseg(list(geom.coords)))
+                "<trk>%s%s</trk>"
+                % (fields(row, False), trkseg(list(geom.coords)))
             )
         elif kind == "MultiLineString":
             segs = "".join(trkseg(list(g.coords)) for g in geom.geoms)
-            lines.append("<trk>%s%s</trk>" % (fields(row), segs))
+            lines.append("<trk>%s%s</trk>" % (fields(row, False), segs))
         else:
             raise ValueError(
                 "GPX cannot represent '%s' geometries" % kind

@@ -76,9 +76,13 @@ class HostPool:
         self._started = time.time()
         #: per-worker and pool-wide task counters (the dashboard's data)
         self._stats = {"completed": 0, "failed": 0, "requeued": 0}
-        #: tasks taken off the queue but not yet resolved — adapt()'s
-        #: idle check must see these, or it terminates workers mid-task
+        #: tasks taken off the queue but not yet resolved (dashboard)
         self._inflight = 0
+        #: tasks submitted but not yet resolved — adapt()'s idle check
+        #: uses this instead of qsize()+inflight because a task sits in
+        #: neither during the dequeue->send window, and terminating a
+        #: worker in that window would kill it mid-task
+        self._unresolved = 0
         self._worker_stats = {}
         self._server = socket.create_server((host, port))
         self.address = "%s:%d" % self._server.getsockname()[:2]
@@ -245,11 +249,20 @@ class HostPool:
                     "Only %d/%d workers joined" % (len(self._workers), count)
                 )
 
+    def _task_resolved(self, _future):
+        with self._lock:
+            self._unresolved -= 1
+
     def submit(self, func, *args):
         future = Future()
         payload = pickle.dumps(
             (func, args), protocol=pickle.HIGHEST_PROTOCOL
         )
+        with self._lock:
+            self._unresolved += 1
+        # fires on set_result/set_exception AND cancel, so the counter
+        # cannot leak however the future ends
+        future.add_done_callback(self._task_resolved)
         self._tasks.put((payload, future))
         return future
 
@@ -325,35 +338,83 @@ class HostPool:
                 env=env,
             )
 
-        state = {"procs": [], "stop": threading.Event(), "last_busy": 0.0}
+        state = {
+            "procs": [], "stop": threading.Event(), "last_busy": 0.0,
+            "backoff_until": 0.0, "fast_deaths": 0, "queued_streak": 0,
+        }
+
+        def try_spawn(now):
+            if now < state["backoff_until"]:
+                return False
+            try:
+                state["procs"].append((spawn(), now))
+            except Exception:
+                # spawn failure (ENOMEM, exec error) must not kill the
+                # adapt thread — scheduler() relies on it staying alive
+                logger.exception("adaptive worker spawn failed; backing off")
+                state["fast_deaths"] += 1
+                state["backoff_until"] = now + min(
+                    2.0 ** state["fast_deaths"], 60.0
+                )
+                return False
+            return True
 
         def loop():
             while not state["stop"].is_set() and not self._closed:
-                state["procs"] = [
-                    p for p in state["procs"] if p.poll() is None
-                ]
-                alive = len(state["procs"])
-                with self._lock:
-                    busy = self._tasks.qsize() + self._inflight
-                queued = self._tasks.qsize()
                 now = time.time()
+                survivors = []
+                for proc, born in state["procs"]:
+                    if proc.poll() is None:
+                        survivors.append((proc, born))
+                    elif now - born < 5.0:
+                        # died right after spawning: a broken worker env
+                        # would otherwise respawn every tick forever
+                        state["fast_deaths"] += 1
+                        state["backoff_until"] = now + min(
+                            2.0 ** state["fast_deaths"], 60.0
+                        )
+                        logger.warning(
+                            "adaptive worker died %.1fs after spawn; "
+                            "backing off %.1fs",
+                            now - born, state["backoff_until"] - now,
+                        )
+                    else:
+                        state["fast_deaths"] = 0
+                state["procs"] = survivors
+                alive = len(state["procs"])
+                queued = self._tasks.qsize()
+                with self._lock:
+                    busy = self._unresolved
+                    connected = len(self._workers)
+                    idle_capacity = connected - self._inflight
                 if busy:
                     state["last_busy"] = now
-                if queued:
+                state["queued_streak"] = (
+                    state["queued_streak"] + 1 if queued else 0
+                )
+                # spawn only for a queue that survived one full tick
+                # (a sub-pickup-latency blip next to idle remote workers
+                # would otherwise churn local interpreters), and never
+                # when idle connected capacity already covers the demand
+                if state["queued_streak"] >= 2 and queued > max(
+                    idle_capacity, 0
+                ):
                     deficit = min(queued, maximum - alive)
-                    for _ in range(max(deficit, 1 if alive < minimum else 0)):
-                        if len(state["procs"]) >= maximum:
+                    for _ in range(deficit):
+                        if not try_spawn(now):
                             break
-                        state["procs"].append(spawn())
-                elif alive < minimum:
-                    state["procs"].append(spawn())
+                elif queued and connected == 0 and alive == 0:
+                    try_spawn(now)  # cold start: nothing can drain at all
+                if alive < minimum:
+                    try_spawn(now)
                 elif (
                     alive > minimum
+                    and not busy
                     and now - state["last_busy"] > idle_time
                 ):
-                    state["procs"].pop().terminate()
+                    state["procs"].pop()[0].terminate()
                 state["stop"].wait(interval)
-            for proc in state["procs"]:
+            for proc, _born in state["procs"]:
                 proc.terminate()
 
         state["thread"] = threading.Thread(target=loop, daemon=True)
@@ -367,7 +428,7 @@ class HostPool:
         state = self._adaptive
         if state is None:
             return 0
-        return sum(1 for p in state["procs"] if p.poll() is None)
+        return sum(1 for p, _born in state["procs"] if p.poll() is None)
 
     def close(self):
         self._closed = True

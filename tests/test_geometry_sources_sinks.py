@@ -773,3 +773,32 @@ class TestGeometrySinkBehaviors:
         target = root / "dry.geojson"
         to_file(source, str(target), dry_run=True, **request_all)
         assert not target.exists()
+
+
+class TestGpxEdgeCases:
+    def test_empty_ele_tolerated(self, root):
+        gpx = """<?xml version="1.0"?>
+<gpx version="1.1" creator="t" xmlns="http://www.topografix.com/GPX/1/1">
+  <wpt lat="1.0" lon="2.0"><ele/><name>a</name></wpt>
+  <wpt lat="1.5" lon="2.5"><ele>  </ele></wpt>
+</gpx>"""
+        path = root / "ele.gpx"
+        path.write_text(gpx)
+        frame = read_vector(str(path))
+        assert len(frame) == 2
+        assert "ele" not in frame.columns or frame["ele"].isna().all()
+
+    def test_no_ele_inside_trk(self, root):
+        """trkType has no <ele> child: line rows must not emit one."""
+        from dask_geomodeling_tpu.geo.geometry import LineString
+
+        frame = GeoDataFrame(
+            pd.DataFrame({"ele": [12.5], "name": ["l"]}),
+            geometry=[LineString([(0.0, 0.0), (1.0, 1.0)])],
+            crs="EPSG:4326",
+        )
+        out = str(root / "line.gpx")
+        write_vector(frame, out)
+        text = open(out).read()
+        assert "<ele>" not in text
+        assert "<name>l</name>" in text

@@ -186,3 +186,18 @@ class TestAdaptiveScaling:
             future = pool.submit(_slow_identity, "done")
             assert future.result(timeout=120) == "done"
             assert pool.status()["requeued"] == 0
+
+    def test_spawn_failure_does_not_kill_adapt_thread(self, monkeypatch):
+        """A failing spawn must back off, not crash the scaler (review
+        finding: an exception escaping loop() left schedulers hanging)."""
+        def broken_popen(*args, **kwargs):
+            raise OSError("no exec")
+
+        with HostPool(token="hunter2") as pool:
+            monkeypatch.setattr(subprocess, "Popen", broken_popen)
+            pool.adapt(minimum=0, maximum=2, interval=0.05, idle_time=0.2)
+            future = pool.submit(operator.add, 1, 1)
+            time.sleep(1.0)
+            assert pool._adaptive["thread"].is_alive()
+            assert pool.n_adaptive_workers == 0
+            future.cancel()

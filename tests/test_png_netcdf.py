@@ -327,9 +327,13 @@ class TestNetcdf:
         np.testing.assert_array_equal(result["values"], values)
 
 
-h5py = pytest.importorskip("h5py", reason="netCDF-4 path is h5py-gated")
+try:
+    import h5py
+except ImportError:  # the gate: only TestNetcdf4 needs it
+    h5py = None
 
 
+@pytest.mark.skipif(h5py is None, reason="netCDF-4 path is h5py-gated")
 class TestNetcdf4:
     """netCDF-4 (HDF5) raster reading through the gated h5py path."""
 
@@ -450,3 +454,20 @@ class TestNetcdf4:
             start=datetime(2000, 1, 1),
         )
         np.testing.assert_array_equal(result["values"], values[None])
+
+    def test_square_grid_name_disambiguation(self, root):
+        """Unattached dim scales on a square grid must match by NAME,
+        not first-length-hit (review finding: ys silently became xs)."""
+        values = np.zeros((4, 4), np.float32)
+        path = str(root / "square.h5")
+        with h5py.File(path, "w") as f:
+            f.create_dataset("data", data=values)
+            # deliberately NOT attached via DIMENSION_LIST
+            y = f.create_dataset("y", data=400.0 - 100.0 * (np.arange(4) + 0.5))
+            y.attrs["CLASS"] = np.bytes_("DIMENSION_SCALE")
+            x = f.create_dataset("x", data=1000.0 + 10.0 * (np.arange(4) + 0.5))
+            x.attrs["CLASS"] = np.bytes_("DIMENSION_SCALE")
+        data = read_netcdf(path)
+        np.testing.assert_allclose(
+            data.geo_transform, (1000.0, 10.0, 0.0, 400.0, 0.0, -100.0)
+        )
