@@ -20,11 +20,12 @@ def make_mesh(mesh_shape=None, axis_names=("dp", "sp")):
     devices = jax.devices()
     if mesh_shape is None:
         mesh_shape = (len(devices), 1)
-    if int(np.prod(mesh_shape)) != len(devices):
+    n_needed = int(np.prod(mesh_shape))
+    if n_needed > len(devices):
         raise ValueError(
             "mesh_shape %r does not match %d devices" % (mesh_shape, len(devices))
         )
-    device_grid = np.array(devices).reshape(mesh_shape)
+    device_grid = np.array(devices[:n_needed]).reshape(mesh_shape)
     return Mesh(device_grid, axis_names)
 
 
