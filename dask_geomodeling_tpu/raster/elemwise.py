@@ -46,142 +46,174 @@ __all__ = [
 ]
 
 
+class _combined:
+    """Descriptor deriving a block attribute by folding the sources' values.
+
+    A single-source block passes its source's attribute straight through
+    (via ``single``, identity by default); with several sources the
+    per-source values go through ``fold``, whose ``None`` means "undefined
+    for this combination of sources".
+    """
+
+    def __init__(self, fold, single=None, doc=None):
+        self.fold = fold
+        self.single = single
+        self.__doc__ = doc
+
+    def __set_name__(self, owner, name):
+        self.attr = name
+
+    def __get__(self, block, owner=None):
+        if block is None:
+            return self
+        values = [getattr(source, self.attr) for source in block._sources]
+        if len(values) == 1:
+            return values[0] if self.single is None else self.single(values[0])
+        return self.fold(values)
+
+
+def _when_all(fold):
+    """Lift ``fold`` over possibly-missing values: any None wins."""
+
+    def lifted(values):
+        if any(value is None for value in values):
+            return None
+        return fold(values)
+
+    return lifted
+
+
+def _interval_overlap(periods):
+    lo = max(period[0] for period in periods)
+    hi = min(period[1] for period in periods)
+    return None if hi < lo else (lo, hi)
+
+
+def _box_overlap(extents):
+    x_lo, y_lo = (max(e[axis] for e in extents) for axis in (0, 1))
+    x_hi, y_hi = (min(e[axis] for e in extents) for axis in (2, 3))
+    if x_hi <= x_lo or y_hi <= y_lo:
+        return None
+    return (x_lo, y_lo, x_hi, y_hi)
+
+
+def _geometry_overlap(geometries):
+    if any(geometry is None for geometry in geometries):
+        return None
+    overlap = Extent.from_geometry(geometries[0])
+    for geometry in geometries[1:]:
+        overlap = overlap.intersection(Extent.from_geometry(geometry))
+        if overlap is None:
+            return None
+    return overlap.as_geometry()
+
+
+def _common_value(values):
+    head = values[0]
+    return head if all(value == head for value in values[1:]) else None
+
+
+def _aligned_grid(grids):
+    if any(grid is None for grid in grids):
+        return None
+    head = GeoTransform(grids[0])
+    return head if all(head.aligns_with(g) for g in grids[1:]) else None
+
+
+#: narrowest result dtype per input-dtype kind (reference promotion rules:
+#: bool/int at least int32, float at least float32)
+_DTYPE_FLOOR = {"b": np.int32, "i": np.int32, "u": np.int32, "f": np.float32}
+
+
 class BaseElementwise(RasterBlock):
     """Base for elementwise blocks; extent/period are intersections of the
     sources', so non-overlapping sources yield an empty block."""
 
     def __init__(self, *args):
         super().__init__(*args)
-        if len(self._sources) > 1:
-            temporal = self._sources[0].temporal
-            delta = self._sources[0].timedelta
-            if any(s.temporal != temporal for s in self._sources[1:]):
-                raise ValueError("Temporal properties of input rasters do not match.")
-            if temporal and delta is not None:
-                if not all(
-                    s.timedelta in (None, delta) for s in self._sources[1:]
-                ):
-                    raise ValueError("Time resolutions of input rasters are not equal.")
+        sources = self._sources
+        if len(sources) < 2:
+            return
+        head, rest = sources[0], sources[1:]
+        if any(s.temporal != head.temporal for s in rest):
+            raise ValueError("Temporal properties of input rasters do not match.")
+        delta = head.timedelta
+        if head.temporal and delta is not None:
+            if any(s.timedelta not in (None, delta) for s in rest):
+                raise ValueError("Time resolutions of input rasters are not equal.")
 
     @property
     def _sources(self):
         return [arg for arg in self.args if isinstance(arg, RasterBlock)]
 
     def get_sources_and_requests(self, **request):
-        start = request.get("start", None)
-        stop = request.get("stop", None)
-
-        if start is not None and stop is not None:
+        period = self.period
+        if (
+            period is not None
+            and request.get("start") is not None
+            and request.get("stop") is not None
+        ):
             # clamp to the common period so the sources' frames align
-            period = self.period
-            if period is not None:
-                request["start"] = max(start, period[0])
-                request["stop"] = min(stop, period[1])
+            request["start"] = max(request["start"], period[0])
+            request["stop"] = min(request["stop"], period[1])
 
         process_kwargs = {"dtype": self.dtype.name, "fillvalue": self.fillvalue}
         return [(process_kwargs, None)] + [(source, request) for source in self.args]
 
-    @property
-    def timedelta(self):
-        if len(self._sources) == 1:
-            return self._sources[0].timedelta
-        timedeltas = [s.timedelta for s in self._sources]
-        if any(x is None for x in timedeltas):
-            return None
-        return timedeltas[0]
+    timedelta = _combined(
+        _when_all(lambda deltas: deltas[0]),
+        doc="common time resolution; None for mixed or nontemporal stacks",
+    )
+    period = _combined(
+        _when_all(_interval_overlap), doc="intersection of the sources' periods"
+    )
+    extent = _combined(
+        _when_all(_box_overlap), doc="intersection of the sources' extents"
+    )
+    geometry = _combined(
+        _geometry_overlap, doc="intersection of the sources' footprints"
+    )
+    projection = _combined(
+        _common_value, doc="the shared native projection, if any"
+    )
+    geo_transform = _combined(
+        _aligned_grid,
+        single=lambda grid: None if grid is None else GeoTransform(grid),
+        doc="the shared native grid when all sources align",
+    )
 
     @property
     def temporal(self):
         return self._sources[0].temporal
 
     @property
-    def period(self):
-        if len(self._sources) == 1:
-            return self._sources[0].period
-        periods = [s.period for s in self._sources]
-        if any(period is None for period in periods):
-            return None
-        start = max(p[0] for p in periods)
-        stop = min(p[1] for p in periods)
-        if stop < start:
-            return None
-        return start, stop
-
-    @property
-    def extent(self):
-        if len(self._sources) == 1:
-            return self._sources[0].extent
-        extents = [s.extent for s in self._sources]
-        if any(extent is None for extent in extents):
-            return None
-        x1 = max(e[0] for e in extents)
-        y1 = max(e[1] for e in extents)
-        x2 = min(e[2] for e in extents)
-        y2 = min(e[3] for e in extents)
-        if x2 <= x1 or y2 <= y1:
-            return None
-        return x1, y1, x2, y2
-
-    @property
     def dtype(self):
-        dtype = np.result_type(*self.args)
-        if np.issubdtype(dtype, np.integer) or dtype == bool:
-            return np.result_type(dtype, np.int32)
-        if np.issubdtype(dtype, np.floating):
-            return np.result_type(dtype, np.float32)
-        return dtype
+        joint = np.result_type(*self.args)
+        floor = _DTYPE_FLOOR.get(joint.kind)
+        return joint if floor is None else np.result_type(joint, floor)
 
     @property
     def fillvalue(self):
         dtype = self.dtype
-        if dtype == bool:
-            return None
-        return get_dtype_max(dtype)
+        return None if dtype == bool else get_dtype_max(dtype)
 
-    @property
-    def geometry(self):
-        geometries = [x.geometry for x in self._sources]
-        if any(x is None for x in geometries):
-            return None
-        if len(geometries) == 1:
-            return geometries[0]
-        extent = Extent.from_geometry(geometries[0])
-        for geometry in geometries[1:]:
-            extent = extent.intersection(Extent.from_geometry(geometry))
-            if extent is None:
-                return None
-        return extent.as_geometry()
 
-    @property
-    def projection(self):
-        projection = self._sources[0].projection
-        if projection is None:
-            return None
-        for arg in self._sources[1:]:
-            if projection != arg.projection:
-                return None
-        return projection
-
-    @property
-    def geo_transform(self):
-        geo_transform = self._sources[0].geo_transform
-        if geo_transform is None:
-            return None
-        geo_transform = GeoTransform(geo_transform)
-        for arg in self._sources[1:]:
-            other = arg.geo_transform
-            if other is None or not geo_transform.aligns_with(other):
-                return None
-        return geo_transform
+def _check_operands(operands, allowed):
+    """Every operand is an ``allowed`` instance, or TypeError."""
+    for operand in operands:
+        if not isinstance(operand, allowed):
+            raise TypeError(
+                "'{}' object is not allowed".format(type(operand))
+            )
 
 
 class BaseMath(BaseElementwise):
     """Elementwise math on two raster-or-number operands."""
 
+    OPERAND_TYPES = (RasterBlock, np.ndarray, float, int)
+
     def __init__(self, a, b):
-        for x in (a, b):
-            if not isinstance(x, (RasterBlock, np.ndarray, float, int)):
-                raise TypeError("'{}' object is not allowed".format(type(x)))
+        _check_operands((a, b), self.OPERAND_TYPES)
         super().__init__(a, b)
 
 
@@ -196,12 +228,12 @@ class BaseLogic(BaseElementwise):
     """Elementwise logic on two boolean operands."""
 
     def __init__(self, a, b):
-        for x in (a, b):
-            if isinstance(x, (RasterBlock, np.ndarray)):
-                if x.dtype != np.dtype("bool"):
+        for operand in (a, b):
+            if isinstance(operand, (RasterBlock, np.ndarray)):
+                if operand.dtype != np.dtype("bool"):
                     raise TypeError("inputs must have boolean dtypes")
-            elif not isinstance(x, bool):
-                raise TypeError("'{}' object is not allowed".format(type(x)))
+            else:
+                _check_operands((operand,), bool)
         super().__init__(a, b)
 
     @property
@@ -226,17 +258,16 @@ def _unpack_math_args(process_kwargs, args):
             return None
         if not isinstance(data, dict):
             compute_args.append(data)
-        elif "time" in data or "meta" in data:
+            continue
+        if "time" in data or "meta" in data:
             return data
-        elif "values" in data:
-            compute_args.append(data["values"])
-            if data["values"].dtype == np.dtype("bool"):
-                continue  # booleans carry no nodata
-            if "no_data_value" not in data:
-                continue
-            mask_parts.append((data["values"], data["no_data_value"]))
-        else:
+        if "values" not in data:
             raise TypeError("Cannot apply math function to value {}".format(data))
+        values = data["values"]
+        compute_args.append(values)
+        # booleans carry no nodata; frames without one contribute no mask
+        if values.dtype != np.dtype("bool") and "no_data_value" in data:
+            mask_parts.append((values, data["no_data_value"]))
     return compute_args, mask_parts
 
 
@@ -285,9 +316,11 @@ def wrap_math_process_func(func, jnp_func_name=None):
         with np.errstate(all="ignore"):
             result_values = func(*compute_args, **func_kwargs)
 
-        result_values[~np.isfinite(result_values)] = fillvalue
+        # one combined fill write: non-finite results and input-nodata cells
+        bad = ~np.isfinite(result_values)
         if nodata_mask is not None:
-            result_values[nodata_mask] = fillvalue
+            bad |= nodata_mask
+        result_values[bad] = fillvalue
         return {"no_data_value": no_data_value, "values": result_values}
 
     def jax_impl(process_kwargs, *args):
@@ -511,54 +544,54 @@ class Xor(BaseLogic):
     process = staticmethod(wrap_math_process_func(np.logical_xor))
 
 
-def _fill_no_data_process(process_kwargs, *args):
-    data_list = []
-    no_data_values = []
+def _frame_stack(args):
+    """Collect (values, no_data_value) pairs from frame dicts.
+
+    A time/meta response short-circuits (returned as-is); missing frames
+    are dropped; an all-missing stack collapses to an empty list.
+    """
+    stack = []
     for data in args:
         if data is None:
             continue
         if "time" in data or "meta" in data:
             return data
         if "values" in data and "no_data_value" in data:
-            data_list.append(data["values"])
-            no_data_values.append(data["no_data_value"])
+            stack.append((data["values"], data["no_data_value"]))
+    return stack
 
+
+def _fill_no_data_process(process_kwargs, *args):
+    stack = _frame_stack(args)
+    if isinstance(stack, dict):
+        return stack
+    if not stack:
+        return None
     dtype = process_kwargs["dtype"]
     fillvalue = get_dtype_max(dtype)
 
-    if not data_list:
-        return None
-
-    values = np.full(data_list[0].shape, fillvalue, dtype=dtype)
-    for data, no_data_value in zip(data_list, no_data_values):
-        index = get_index(data, no_data_value)
-        values[index] = data[index]
+    values = np.full(stack[0][0].shape, fillvalue, dtype=dtype)
+    for frame, no_data_value in stack:
+        index = get_index(frame, no_data_value)
+        values[index] = frame[index]
     return {"values": values, "no_data_value": fillvalue}
 
 
 def _fill_no_data_jax(process_kwargs, *args):
     import jax.numpy as jnp
 
-    data_list = []
-    no_data_values = []
-    for data in args:
-        if data is None:
-            continue
-        if "time" in data or "meta" in data:
-            return data
-        if "values" in data and "no_data_value" in data:
-            data_list.append(data["values"])
-            no_data_values.append(data["no_data_value"])
-
+    stack = _frame_stack(args)
+    if isinstance(stack, dict):
+        return stack
+    if not stack:
+        return None
     dtype = np.dtype(process_kwargs["dtype"])
     fillvalue = get_dtype_max(dtype)
-    if not data_list:
-        return None
 
-    values = jnp.full(data_list[0].shape, fillvalue, dtype=dtype)
-    for data, no_data_value in zip(data_list, no_data_values):
-        has_data = get_index_jax(data, no_data_value)
-        values = jnp.where(has_data, data.astype(dtype), values)
+    values = jnp.full(stack[0][0].shape, fillvalue, dtype=dtype)
+    for frame, no_data_value in stack:
+        has_data = get_index_jax(frame, no_data_value)
+        values = jnp.where(has_data, frame.astype(dtype), values)
     return {"values": values, "no_data_value": fillvalue}
 
 
