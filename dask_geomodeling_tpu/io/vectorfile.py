@@ -20,6 +20,9 @@ Formats:
   with or without the packed Hilbert R-tree index, writes without)
 - GPX (.gpx): waypoints/routes/tracks layers (always EPSG:4326);
   writes points as waypoints and (multi)linestrings as tracks
+- KMZ (.kmz): zipped KML (the spec's doc.kml main document)
+- Zipped datasets (.zip / .shp.zip): reads the contained dataset
+  (shapefiles win ties, like OGR's /vsizip); writes a zipped shapefile
 
 API: ``read_vector``, ``read_vector_info``, ``write_vector``.
 """
@@ -53,6 +56,8 @@ supported_extensions = {
     "mif",
     "dxf",
     "gpx",
+    "kmz",
+    "zip",
 }
 
 
@@ -626,7 +631,8 @@ def _kml_geom_str(geom):
     raise NotImplementedError("Cannot write %s to KML" % kind)
 
 
-def _write_kml(frame, path):
+def _kml_document(frame):
+    """The complete KML document for a frame, as a string."""
     from xml.sax.saxutils import escape
 
     geometry_column = frame._geometry_column_name or "geometry"
@@ -647,12 +653,88 @@ def _write_kml(frame, path):
                 "" if geom is None else _kml_geom_str(geom),
             )
         )
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<kml xmlns="http://www.opengis.net/kml/2.2">'
+        "<Document>%s</Document></kml>" % "".join(rows)
+    )
+
+
+def _write_kml(frame, path):
     with open(path, "w") as f:
-        f.write(
-            '<?xml version="1.0" encoding="UTF-8"?>'
-            '<kml xmlns="http://www.opengis.net/kml/2.2">'
-            "<Document>%s</Document></kml>" % "".join(rows)
+        f.write(_kml_document(frame))
+
+
+# --- zipped containers: KMZ and zipped shapefiles (OGR's /vsizip role) ---
+
+
+def _read_kmz(path):
+    import zipfile
+
+    with zipfile.ZipFile(path) as bundle:
+        names = [n for n in bundle.namelist() if n.lower().endswith(".kml")]
+        if not names:
+            raise IOError("No .kml document in '{}'".format(path))
+        # the KMZ spec's main document is doc.kml at the archive root
+        names.sort(key=lambda n: (os.path.basename(n).lower() != "doc.kml", n))
+        with bundle.open(names[0]) as f:
+            return _read_kml(f)
+
+
+def _write_kmz(frame, path):
+    import zipfile
+
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as bundle:
+        bundle.writestr("doc.kml", _kml_document(frame))
+
+
+def _read_zip(path, layer=None):
+    """Read a zipped vector dataset (typically a zipped shapefile).
+
+    ``layer`` selects by file stem when the archive holds several
+    datasets; shapefiles win ties, matching OGR's /vsizip behaviour.
+    """
+    import tempfile
+    import zipfile
+
+    with zipfile.ZipFile(path) as bundle, tempfile.TemporaryDirectory() as tmp:
+        bundle.extractall(tmp)  # ZipFile.extract sanitizes member paths
+        candidates = []
+        for dirpath, _, files in os.walk(tmp):
+            for name in files:
+                ext = os.path.splitext(name)[1].lstrip(".").lower()
+                if ext in supported_extensions and ext != "zip":
+                    candidates.append(os.path.join(dirpath, name))
+        if layer is not None:
+            candidates = [
+                c
+                for c in candidates
+                if os.path.splitext(os.path.basename(c))[0] == layer
+            ]
+        if not candidates:
+            raise IOError("No readable vector dataset in '{}'".format(path))
+        candidates.sort(
+            key=lambda c: (not c.lower().endswith(".shp"), c)
         )
+        return read_vector(candidates[0])
+
+
+def _write_zip(frame, path):
+    """Write a zipped shapefile (.zip / .shp.zip)."""
+    import tempfile
+    import zipfile
+
+    from dask_geomodeling_tpu.io.shapefile import write_shapefile
+
+    stem = os.path.basename(path)
+    for suffix in (".zip", ".shp"):
+        if stem.lower().endswith(suffix):
+            stem = stem[: -len(suffix)]
+    with tempfile.TemporaryDirectory() as tmp:
+        write_shapefile(frame, os.path.join(tmp, (stem or "layer") + ".shp"))
+        with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as bundle:
+            for name in sorted(os.listdir(tmp)):
+                bundle.write(os.path.join(tmp, name), name)
 
 
 # --- GPX (waypoints/routes/tracks; always EPSG:4326 per the spec) ---
@@ -999,6 +1081,10 @@ def read_vector(path, layer=None):
         return _read_gml(path)
     if fmt == "kml":
         return _read_kml(path)
+    if fmt == "kmz":
+        return _read_kmz(path)
+    if fmt == "zip":
+        return _read_zip(path, layer)
     if fmt == "csv":
         return _read_csv(path)
     if fmt == "gpx":
@@ -1048,6 +1134,10 @@ def write_vector(frame, path, layer=None):
         _write_gml(frame, path, layer)
     elif fmt == "kml":
         _write_kml(frame, path)
+    elif fmt == "kmz":
+        _write_kmz(frame, path)
+    elif fmt == "zip":
+        _write_zip(frame, path)
     elif fmt == "csv":
         _write_csv(frame, path)
     elif fmt == "gpx":

@@ -35,7 +35,7 @@ class TestVectorFileIO:
     @pytest.mark.parametrize(
         "ext",
         ["geojson", "geojsonl", "gpkg", "shp", "gml", "kml", "csv",
-         "parquet", "fgb", "mif"],
+         "parquet", "fgb", "mif", "kmz", "zip"],
     )
     def test_roundtrip(self, root, frame, ext):
         path = str(root / ("test." + ext))
@@ -116,6 +116,44 @@ class TestVectorFileIO:
         )
         with pytest.raises(ValueError):
             write_vector(bad, str(root / "bad.gpx"))
+
+    def test_kmz_prefers_doc_kml(self, root, frame):
+        """A KMZ's main document is doc.kml, not the first entry."""
+        import zipfile
+
+        from dask_geomodeling_tpu.io.vectorfile import _kml_document
+
+        decoy = frame.iloc[:1]
+        path = str(root / "bundle.kmz")
+        with zipfile.ZipFile(path, "w") as bundle:
+            bundle.writestr("aaa_overlay.kml", _kml_document(decoy))
+            bundle.writestr("doc.kml", _kml_document(frame))
+        result = read_vector(path)
+        assert len(result) == 3
+
+    def test_zip_layer_selection_and_shp_zip(self, root, frame):
+        """Zipped archives: stem-named layer selection; .shp.zip writes."""
+        import zipfile
+
+        path = str(root / "data.shp.zip")
+        write_vector(frame, path)
+        with zipfile.ZipFile(path) as bundle:
+            names = set(bundle.namelist())
+        assert "data.shp" in names and "data.dbf" in names
+        result = read_vector(path)
+        assert result["value"].tolist() == [1.5, 2.5, 3.5]
+
+        # two datasets in one archive: layer picks by stem
+        multi = str(root / "multi.zip")
+        write_vector(frame, str(root / "a.geojson"))
+        write_vector(frame.iloc[:1], str(root / "b.geojson"))
+        with zipfile.ZipFile(multi, "w") as bundle:
+            bundle.write(str(root / "a.geojson"), "a.geojson")
+            bundle.write(str(root / "b.geojson"), "b.geojson")
+        assert len(read_vector(multi, layer="b")) == 1
+        assert len(read_vector(multi, layer="a")) == 3
+        with pytest.raises(IOError):
+            read_vector(multi, layer="missing")
 
     def test_gpx_geometry_file_source(self, root):
         """GPX rides GeometryFileSource like any other driver."""
