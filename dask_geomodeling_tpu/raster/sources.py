@@ -465,8 +465,9 @@ class RasterFileSource(RasterSourceBase):
     PackBits, both endiannesses), VRT mosaics, Esri ASCII grids
     (``.asc``/``.agr``), XYZ gridded text (``.xyz``), PNG with world
     file (``.png`` + ``.pgw``/``.wld``/``.prj``), CF netCDF classic
-    (``.nc``/``.cdf``/``.nc3``), and netCDF-4/HDF5 (``.nc4``/``.h5``/
-    ``.hdf5``, via the image's h5py when available).
+    (``.nc``/``.cdf``/``.nc3``), netCDF-4/HDF5 (``.nc4``/``.h5``/
+    ``.hdf5``, via the image's h5py when available), and ENVI pairs
+    (``.hdr`` + bsq/bil/bip binary, ``io/envi.py``).
 
     Args:
       url (str): path to the file, sandboxed by ``geomodeling.root``
@@ -496,6 +497,7 @@ class RasterFileSource(RasterSourceBase):
                 (
                     ".vrt", ".asc", ".agr", ".xyz", ".png", ".nc", ".cdf",
                     ".nc3", ".nc4", ".h5", ".hdf5", ".jpg", ".jpeg",
+                    ".hdr", ".bsq", ".bil", ".bip", ".envi", ".img", ".dat",
                 )
             ):
                 from dask_geomodeling_tpu.io.geotiff import GeoTIFFInfo

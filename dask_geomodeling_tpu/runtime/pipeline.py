@@ -21,6 +21,13 @@ _READ_CACHE = OrderedDict()
 _READ_CACHE_SIZE = 8
 
 
+def _has_envi_header(path):
+    """True when an ENVI .hdr sits next to ``path`` (either naming rule)."""
+    return os.path.exists(path + ".hdr") or os.path.exists(
+        os.path.splitext(path)[0] + ".hdr"
+    )
+
+
 def read_geotiff_cached(path):
     """Read a GeoTIFF (or VRT mosaic) with an mtime-validated LRU cache."""
     from dask_geomodeling_tpu.io.geotiff import read_geotiff
@@ -56,6 +63,13 @@ def read_geotiff_cached(path):
         from dask_geomodeling_tpu.io.netcdf import read_netcdf
 
         data = read_netcdf(key)
+    elif lower.endswith((".hdr", ".bsq", ".bil", ".bip", ".envi")) or (
+        lower.endswith((".img", ".dat", ".raw"))
+        and _has_envi_header(key)
+    ):
+        from dask_geomodeling_tpu.io.envi import read_envi
+
+        data = read_envi(key)
     else:
         data = read_geotiff(key)
     with _CACHE_LOCK:

@@ -471,3 +471,77 @@ class TestNetcdf4:
         np.testing.assert_allclose(
             data.geo_transform, (1000.0, 10.0, 0.0, 400.0, 0.0, -100.0)
         )
+
+
+class TestEnvi:
+    """ENVI .hdr + raw pairs (native reader for GDAL's ENVI driver role)."""
+
+    def test_bsq_roundtrip_with_wkt_crs(self, root):
+        from dask_geomodeling_tpu.io.envi import read_envi, write_envi
+
+        values = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+        gt = (500000.0, 10.0, 0.0, 4649776.0, 0.0, -10.0)
+        path = str(root / "scene.img")
+        write_envi(path, values, geo_transform=gt, projection="EPSG:32631",
+                   no_data_value=-9999.0, band_names=["b1", "b2"])
+        data = read_envi(path)
+        np.testing.assert_array_equal(data.array, values)
+        np.testing.assert_allclose(data.geo_transform, gt)
+        assert data.no_data_value == -9999.0
+        assert data.metadata == ["b1", "b2"]
+        from dask_geomodeling_tpu.geo import get_epsg_or_wkt
+        assert get_epsg_or_wkt(data.projection) == "EPSG:32631"
+        # reading via the .hdr path gives the same payload
+        np.testing.assert_array_equal(
+            read_envi(str(root / "scene.img.hdr")).array, values
+        )
+
+    @pytest.mark.parametrize("interleave", ["bil", "bip"])
+    def test_interleaves_and_byte_order(self, root, interleave):
+        from dask_geomodeling_tpu.io.envi import read_envi
+
+        values = np.arange(24, dtype=">i2").reshape(2, 3, 4)
+        if interleave == "bil":
+            on_disk = values.transpose(1, 0, 2)  # (lines, bands, samples)
+        else:
+            on_disk = values.transpose(1, 2, 0)  # (lines, samples, bands)
+        data_path = root / "raw.dat"
+        np.ascontiguousarray(on_disk).tofile(str(data_path))
+        (root / "raw.hdr").write_text(
+            "ENVI\nsamples = 4\nlines = 3\nbands = 2\n"
+            "data type = 2\ninterleave = %s\nbyte order = 1\n" % interleave
+        )
+        data = read_envi(str(data_path))
+        np.testing.assert_array_equal(data.array, values.astype("=i2"))
+
+    def test_utm_map_info_projection(self, root):
+        from dask_geomodeling_tpu.io.envi import read_envi
+
+        np.zeros(12, dtype=np.uint8).tofile(str(root / "utm.bsq"))
+        (root / "utm.hdr").write_text(
+            "ENVI\nsamples = 4\nlines = 3\nbands = 1\ndata type = 1\n"
+            "interleave = bsq\n"
+            "map info = {UTM, 1.0, 1.0, 500000.0, 4649776.0, 30.0, 30.0,"
+            " 31, North, WGS-84, units=Meters}\n"
+        )
+        data = read_envi(str(root / "utm.bsq"))
+        assert data.projection == "EPSG:32631"
+        np.testing.assert_allclose(
+            data.geo_transform, (500000.0, 30.0, 0.0, 4649776.0, 0.0, -30.0)
+        )
+
+    def test_raster_file_source(self, root):
+        from dask_geomodeling_tpu.io.envi import write_envi
+
+        values = np.arange(12, dtype=np.uint8).reshape(1, 3, 4)
+        gt = (1000.0, 50.0, 0.0, 2150.0, 0.0, -50.0)
+        write_envi(str(root / "src.img"), values, geo_transform=gt,
+                   projection="EPSG:28992")
+        source = RasterFileSource("src.img", time_first=datetime(2000, 1, 1))
+        assert source.projection == "EPSG:28992"
+        result = source.get_data(
+            mode="vals", bbox=(1000.0, 2000.0, 1200.0, 2150.0),
+            projection="EPSG:28992", width=4, height=3,
+            start=datetime(2000, 1, 1),
+        )
+        np.testing.assert_array_equal(result["values"], values)
