@@ -38,17 +38,19 @@ def _parse_header(text):
     if not body.lower().startswith("envi"):
         raise IOError("Not an ENVI header (missing ENVI magic line)")
     entries = {}
-    # join brace-continued lines so each entry is a single logical line
+    # join brace-continued lines so each entry is a single logical line;
+    # ';' comments count only at line start — semicolons are legal inside
+    # braced values (e.g. tool-written descriptions)
     logical = []
     depth = 0
     for line in body.splitlines()[1:]:
-        stripped = line.split(";", 1)[0].rstrip()
-        if not stripped.strip():
+        stripped = line.strip()
+        if not stripped or (depth == 0 and stripped.startswith(";")):
             continue
         if depth:
-            logical[-1] += " " + stripped.strip()
+            logical[-1] += " " + stripped
         else:
-            logical.append(stripped.strip())
+            logical.append(stripped)
         depth += stripped.count("{") - stripped.count("}")
     for line in logical:
         if "=" not in line:
@@ -65,6 +67,20 @@ def _parse_header(text):
         else:
             entries[key] = value
     return entries
+
+
+def _scalar(value):
+    """Unwrap a single-element braced value; tools brace scalars freely."""
+    if isinstance(value, list) and len(value) == 1:
+        return value[0]
+    return value
+
+
+def has_envi_header(path):
+    """True when an ENVI ``.hdr`` sits next to ``path`` (either naming)."""
+    return os.path.exists(path + ".hdr") or os.path.exists(
+        os.path.splitext(path)[0] + ".hdr"
+    )
 
 
 def _paths_of(path):
@@ -120,17 +136,17 @@ def read_envi(path):
     header_path, data_path = _paths_of(path)
     entries = _parse_header(open(header_path).read())
 
-    width = int(entries["samples"])
-    height = int(entries["lines"])
-    bands = int(entries.get("bands", 1))
-    code = int(entries["data type"])
+    width = int(_scalar(entries["samples"]))
+    height = int(_scalar(entries["lines"]))
+    bands = int(_scalar(entries.get("bands", 1)))
+    code = int(_scalar(entries["data type"]))
     if code not in _DTYPES:
         raise NotImplementedError("ENVI data type %d is not supported" % code)
     dtype = np.dtype(_DTYPES[code])
-    if int(entries.get("byte order", 0)):
+    if int(_scalar(entries.get("byte order", 0))):
         dtype = dtype.newbyteorder(">")
-    offset = int(entries.get("header offset", 0))
-    interleave = str(entries.get("interleave", "bsq")).lower()
+    offset = int(_scalar(entries.get("header offset", 0)))
+    interleave = str(_scalar(entries.get("interleave", "bsq"))).lower()
 
     count = width * height * bands
     raw = np.fromfile(data_path, dtype=dtype, count=count, offset=offset)
@@ -153,7 +169,7 @@ def read_envi(path):
 
     no_data_value = entries.get("data ignore value")
     if no_data_value is not None:
-        no_data_value = float(no_data_value)
+        no_data_value = float(_scalar(no_data_value))
 
     names = entries.get("band names")
     metadata = (
@@ -196,7 +212,13 @@ def write_envi(path, array, geo_transform=None, projection=None,
         "byte order = %d" % (0 if dtype.byteorder in "=|<" else 1),
     ]
     if geo_transform is not None:
-        ox, dx, _, oy, _, dy = (float(v) for v in geo_transform)
+        ox, dx, rot_x, oy, rot_y, dy = (float(v) for v in geo_transform)
+        if rot_x or rot_y or dy > 0:
+            # 'map info' holds only north-up, axis-aligned grids
+            raise NotImplementedError(
+                "ENVI map info cannot represent rotated or south-up "
+                "geotransforms: %r" % (geo_transform,)
+            )
         lines.append(
             "map info = {Arbitrary, 1, 1, %r, %r, %r, %r, units=Meters}"
             % (ox, oy, dx, abs(dy))
@@ -214,8 +236,12 @@ def write_envi(path, array, geo_transform=None, projection=None,
             "band names = {%s}" % ", ".join(str(n) for n in band_names)
         )
 
-    stem = os.path.splitext(path)[0] if path.lower().endswith(".hdr") else path
-    data_path = stem if not stem.lower().endswith(".hdr") else stem + ".img"
-    with open(stem + ".hdr" if not path.lower().endswith(".hdr") else path, "w") as f:
+    if path.lower().endswith(".hdr"):
+        header_path = path
+        data_path = os.path.splitext(path)[0] + ".img"
+    else:
+        header_path = path + ".hdr"
+        data_path = path
+    with open(header_path, "w") as f:
         f.write("\n".join(lines) + "\n")
     np.ascontiguousarray(array.astype(dtype)).tofile(data_path)

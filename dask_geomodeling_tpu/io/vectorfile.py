@@ -701,22 +701,38 @@ def _read_zip(path, layer=None):
         bundle.extractall(tmp)  # ZipFile.extract sanitizes member paths
         candidates = []
         for dirpath, _, files in os.walk(tmp):
+            if "__MACOSX" in dirpath.split(os.sep):
+                continue
             for name in files:
+                if name.startswith("."):  # hidden / AppleDouble sidecars
+                    continue
                 ext = os.path.splitext(name)[1].lstrip(".").lower()
                 if ext in supported_extensions and ext != "zip":
                     candidates.append(os.path.join(dirpath, name))
-        if layer is not None:
-            candidates = [
+        # 'layer' selects a dataset by file stem when the archive holds
+        # several; otherwise it passes through to the inner reader (e.g.
+        # a layer of a zipped GeoPackage)
+        inner_layer = None
+        if layer is not None and candidates:
+            by_stem = [
                 c
                 for c in candidates
                 if os.path.splitext(os.path.basename(c))[0] == layer
             ]
+            if by_stem:
+                candidates = by_stem
+            elif len(candidates) == 1:
+                inner_layer = layer  # e.g. a layer of a zipped GeoPackage
+            else:
+                raise IOError(
+                    "No dataset named '{}' in '{}'".format(layer, path)
+                )
         if not candidates:
             raise IOError("No readable vector dataset in '{}'".format(path))
         candidates.sort(
             key=lambda c: (not c.lower().endswith(".shp"), c)
         )
-        return read_vector(candidates[0])
+        return read_vector(candidates[0], inner_layer)
 
 
 def _write_zip(frame, path):

@@ -498,6 +498,7 @@ class RasterFileSource(RasterSourceBase):
                     ".vrt", ".asc", ".agr", ".xyz", ".png", ".nc", ".cdf",
                     ".nc3", ".nc4", ".h5", ".hdf5", ".jpg", ".jpeg",
                     ".hdr", ".bsq", ".bil", ".bip", ".envi", ".img", ".dat",
+                    ".raw",
                 )
             ):
                 from dask_geomodeling_tpu.io.geotiff import GeoTIFFInfo

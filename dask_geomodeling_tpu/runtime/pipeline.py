@@ -21,11 +21,26 @@ _READ_CACHE = OrderedDict()
 _READ_CACHE_SIZE = 8
 
 
-def _has_envi_header(path):
-    """True when an ENVI .hdr sits next to ``path`` (either naming rule)."""
-    return os.path.exists(path + ".hdr") or os.path.exists(
-        os.path.splitext(path)[0] + ".hdr"
-    )
+def _is_envi_pair(path):
+    from dask_geomodeling_tpu.io.envi import has_envi_header
+
+    return has_envi_header(path)
+
+
+def _raster_stamp(key):
+    """Cache-invalidation stamp; ENVI pairs fold in both pair members."""
+    stamp = _file_stamp(key)
+    try:
+        from dask_geomodeling_tpu.io.envi import _paths_of
+
+        header_path, data_path = _paths_of(key)
+    except IOError:
+        return stamp
+    other = data_path if os.path.abspath(header_path) == key else header_path
+    try:
+        return (stamp, _file_stamp(other))
+    except OSError:
+        return stamp
 
 
 def read_geotiff_cached(path):
@@ -34,7 +49,7 @@ def read_geotiff_cached(path):
     from dask_geomodeling_tpu.io.vrt import read_vrt
 
     key = os.path.abspath(path)
-    stamp = _file_stamp(key)
+    stamp = _raster_stamp(key)
     with _CACHE_LOCK:
         entry = _READ_CACHE.get(key)
         if entry is not None and entry[0] == stamp:
@@ -64,8 +79,7 @@ def read_geotiff_cached(path):
 
         data = read_netcdf(key)
     elif lower.endswith((".hdr", ".bsq", ".bil", ".bip", ".envi")) or (
-        lower.endswith((".img", ".dat", ".raw"))
-        and _has_envi_header(key)
+        lower.endswith((".img", ".dat", ".raw")) and _is_envi_pair(key)
     ):
         from dask_geomodeling_tpu.io.envi import read_envi
 

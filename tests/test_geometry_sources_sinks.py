@@ -155,6 +155,37 @@ class TestVectorFileIO:
         with pytest.raises(IOError):
             read_vector(multi, layer="missing")
 
+    def test_zip_skips_macos_sidecars(self, root, frame):
+        """__MACOSX/AppleDouble entries never shadow the real dataset."""
+        import zipfile
+
+        shp_zip = str(root / "plain.zip")
+        write_vector(frame, shp_zip)
+        macos = str(root / "macos.zip")
+        with zipfile.ZipFile(shp_zip) as src, zipfile.ZipFile(
+            macos, "w"
+        ) as dst:
+            for name in src.namelist():
+                dst.writestr(name, src.read(name))
+                dst.writestr("__MACOSX/._" + name, b"\x00\x05\x16\x07junk")
+        result = read_vector(macos)
+        assert result["value"].tolist() == [1.5, 2.5, 3.5]
+
+    def test_zip_forwards_layer_to_inner_dataset(self, root, frame):
+        """A single zipped multi-layer dataset passes 'layer' through."""
+        import zipfile
+
+        gpkg = str(root / "layers.gpkg")
+        write_vector(frame, gpkg, layer="boxes")
+        bundle = str(root / "layers.zip")
+        with zipfile.ZipFile(bundle, "w") as z:
+            z.write(gpkg, "layers.gpkg")
+        # 'boxes' is no file stem in the archive: it must reach the
+        # GeoPackage reader as its layer name
+        assert len(read_vector(bundle, layer="boxes")) == 3
+        with pytest.raises(IOError):
+            read_vector(bundle, layer="nope")
+
     def test_gpx_geometry_file_source(self, root):
         """GPX rides GeometryFileSource like any other driver."""
         from datetime import datetime

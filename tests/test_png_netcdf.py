@@ -545,3 +545,72 @@ class TestEnvi:
             start=datetime(2000, 1, 1),
         )
         np.testing.assert_array_equal(result["values"], values)
+
+    def test_header_semicolons_and_braced_scalars(self, root):
+        """';' inside braced values is data, not a comment; braced scalars
+        unwrap (review findings: both previously corrupted the parse)."""
+        from dask_geomodeling_tpu.io.envi import read_envi
+
+        np.full(12, 7, dtype=np.uint8).tofile(str(root / "c.bsq"))
+        (root / "c.hdr").write_text(
+            "ENVI\n"
+            "; a leading comment line\n"
+            "description = {File Imported into ENVI; georeferenced}\n"
+            "samples = 4\nlines = 3\nbands = 1\ndata type = 1\n"
+            "interleave = bsq\n"
+            "data ignore value = {255}\n"
+        )
+        data = read_envi(str(root / "c.bsq"))
+        assert data.array.shape == (1, 3, 4)
+        assert data.no_data_value == 255.0
+
+    def test_write_rejects_rotated_geotransform(self, root):
+        from dask_geomodeling_tpu.io.envi import write_envi
+
+        values = np.zeros((1, 2, 2), dtype=np.uint8)
+        with pytest.raises(NotImplementedError):
+            write_envi(str(root / "r.img"), values,
+                       geo_transform=(0, 10, 5, 0, 5, -10))
+        with pytest.raises(NotImplementedError):
+            write_envi(str(root / "s.img"), values,
+                       geo_transform=(0, 10, 0, 0, 0, 10))
+
+    def test_hdr_target_writes_img_data(self, root):
+        from dask_geomodeling_tpu.io.envi import read_envi, write_envi
+
+        values = np.arange(6, dtype=np.int16).reshape(1, 2, 3)
+        write_envi(str(root / "t.hdr"), values)
+        assert (root / "t.img").exists()
+        np.testing.assert_array_equal(read_envi(str(root / "t.hdr")).array,
+                                      values)
+
+    def test_raw_extension_file_source(self, root):
+        from dask_geomodeling_tpu.io.envi import write_envi
+
+        values = np.arange(12, dtype=np.float32).reshape(1, 3, 4)
+        write_envi(str(root / "r.raw"), values,
+                   geo_transform=(0.0, 1.0, 0.0, 3.0, 0.0, -1.0),
+                   projection="EPSG:28992")
+        source = RasterFileSource("r.raw", time_first=datetime(2000, 1, 1))
+        out = source.get_data(
+            mode="vals", bbox=(0.0, 0.0, 4.0, 3.0),
+            projection="EPSG:28992", width=4, height=3,
+            start=datetime(2000, 1, 1),
+        )
+        np.testing.assert_array_equal(out["values"], values)
+
+    def test_header_rewrite_invalidates_cache(self, root):
+        """Editing the .hdr next to a cached data file re-reads the pair."""
+        from dask_geomodeling_tpu.io.envi import read_envi, write_envi
+        from dask_geomodeling_tpu.runtime.pipeline import read_geotiff_cached
+
+        values = np.zeros((1, 2, 2), dtype=np.uint8)
+        path = str(root / "cache.img")
+        write_envi(path, values, no_data_value=1.0)
+        assert read_geotiff_cached(path).no_data_value == 1.0
+        header = path + ".hdr"
+        text = open(header).read().replace(
+            "data ignore value = 1.0", "data ignore value = 2.0"
+        )
+        open(header, "w").write(text)
+        assert read_geotiff_cached(path).no_data_value == 2.0
