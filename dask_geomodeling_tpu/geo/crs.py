@@ -128,6 +128,13 @@ DATUMS = {
     "HD72": ("GRS67", (52.17, -71.82, -14.9, 0.0, 0.0, 0.0, 0.0)),
     # NTF to WGS84 (the standard 3-parameter shift, EPSG 1193)
     "NTF": ("clrk80ign", (-168.0, -60.0, 320.0, 0.0, 0.0, 0.0, 0.0)),
+    # MGI (Austria) to WGS84 (EPSG 1618, position vector)
+    "MGI": (
+        "bessel",
+        (577.326, 90.129, 463.919, 5.137, 1.474, 5.297, 2.4232),
+    ),
+    # GGRS87 to WGS84 (EPSG 1272, geocentric translations)
+    "GGRS87": ("GRS80", (-199.87, 74.79, 246.62, 0.0, 0.0, 0.0, 0.0)),
 }
 
 _ARCSEC = np.pi / (180.0 * 3600.0)
@@ -2532,6 +2539,88 @@ def _registry_get(code):
                 0.0,
             ),
         )
+    if code == 4283:
+        # GDA94 is WGS84-coincident at this accuracy level
+        return SpatialReference(4283, "GDA94", "ETRS89", _GeographicProjection())
+    if code == 4312:
+        return SpatialReference(4312, "MGI", "MGI", _GeographicProjection())
+    if code == 31287:
+        return SpatialReference(
+            31287,
+            "MGI / Austria Lambert",
+            "MGI",
+            _LambertConformalConic(
+                _ellipsoid("bessel"),
+                13.0 + 20.0 / 60.0,
+                47.5,
+                49.0,
+                46.0,
+                400000.0,
+                400000.0,
+            ),
+        )
+    if code == 4121:
+        return SpatialReference(4121, "GGRS87", "GGRS87", _GeographicProjection())
+    if code == 2100:
+        return SpatialReference(
+            2100,
+            "GGRS87 / Greek Grid",
+            "GGRS87",
+            _TransverseMercator(
+                _ellipsoid("GRS80"), 24.0, 0.0, 0.9996, 500000.0, 0.0
+            ),
+        )
+    if code == 3347:
+        return SpatialReference(
+            3347,
+            "NAD83 / Statistics Canada Lambert",
+            "ETRS89",  # NAD83 treated as WGS84-coincident
+            _LambertConformalConic(
+                _ellipsoid("GRS80"),
+                -(91.0 + 52.0 / 60.0),
+                63.390675,
+                49.0,
+                77.0,
+                6200000.0,
+                3000000.0,
+            ),
+        )
+    if code == 3978:
+        return SpatialReference(
+            3978,
+            "NAD83 / Canada Atlas Lambert",
+            "ETRS89",
+            _LambertConformalConic(
+                _ellipsoid("GRS80"), -95.0, 49.0, 49.0, 77.0, 0.0, 0.0
+            ),
+        )
+    if code == 2263:
+        # the representative US state plane ftUS definition
+        return SpatialReference(
+            2263,
+            "NAD83 / New York Long Island (ftUS)",
+            "ETRS89",
+            _ScaledUnitProjection(
+                _LambertConformalConic(
+                    _ellipsoid("GRS80"),
+                    -74.0,
+                    40.0 + 10.0 / 60.0,
+                    41.0 + 2.0 / 60.0,
+                    40.0 + 40.0 / 60.0,
+                    300000.0,
+                    0.0,
+                ),
+                1200.0 / 3937.0,
+                "US survey foot",
+            ),
+        )
+    if code in (102100, 102113):
+        # ArcGIS WKIDs for Web Mercator, widely written with an EPSG
+        # authority tag in the wild
+        return _registry_get(3857)
+    if code // 1000 in (53, 54):
+        # ESRI world-series codes are often cited as EPSG:54xxx
+        return _esri_registry_get(code)
     raise TransformException("Unsupported EPSG code: %d" % code)
 
 
@@ -2556,6 +2645,8 @@ _ESRI_WORLD = {
 
 @lru_cache(maxsize=None)
 def _esri_registry_get(code):
+    if code in (102100, 102113):  # ArcGIS Web Mercator WKIDs
+        return _registry_get(3857)
     series = code // 1000
     suffix = code % 1000
     if series in (53, 54) and suffix in _ESRI_WORLD:

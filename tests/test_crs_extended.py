@@ -409,3 +409,89 @@ class TestNewZealandMapGrid:
         lo_j, la_j = inv(x_np, y_np)
         np.testing.assert_allclose(np.asarray(lo_j), lons, atol=1e-9)
         np.testing.assert_allclose(np.asarray(la_j), lats, atol=1e-9)
+
+
+class TestRound3RegistryAdditions:
+    """Registry breadth: national LCC/TM systems, state-plane ftUS,
+    ArcGIS Web Mercator WKIDs, and EPSG-cited ESRI world codes."""
+
+    @pytest.mark.parametrize(
+        "code,origin,expected,tol",
+        [
+            # natural-origin invariants: forward(lon0, lat0) = (FE, FN)
+            (2263, (-74.0, 40.0 + 10.0 / 60.0), (984250.0, 0.0), 1e-4),
+            (2100, (24.0, 0.0), (500000.0, 0.0), 1e-6),
+            (31287, (13.0 + 20.0 / 60.0, 47.5), (400000.0, 400000.0), 1e-4),
+            (3978, (-95.0, 49.0), (0.0, 0.0), 1e-6),
+            (3347, (-(91.0 + 52.0 / 60.0), 63.390675),
+             (6200000.0, 3000000.0), 1e-4),
+        ],
+    )
+    def test_natural_origin_and_roundtrip(self, code, origin, expected, tol):
+        from dask_geomodeling_tpu.geo import get_sr, get_transform_func
+
+        sr = get_sr("EPSG:%d" % code)
+        x, y = sr.projection.forward(
+            np.array([origin[0]]), np.array([origin[1]])
+        )
+        assert abs(x[0] - expected[0]) < tol
+        assert abs(y[0] - expected[1]) < tol
+        fwd = get_transform_func("EPSG:4326", "EPSG:%d" % code)
+        inv = get_transform_func("EPSG:%d" % code, "EPSG:4326")
+        lon, lat = origin[0] + 1.0, origin[1] - 0.5
+        back = inv(*fwd(np.array([lon]), np.array([lat])))
+        np.testing.assert_allclose(back[0], [lon], atol=1e-7)
+        np.testing.assert_allclose(back[1], [lat], atol=1e-7)
+
+    def test_state_plane_ftus_units(self):
+        """EPSG:2263 coordinates are US survey feet: a 1-ft grid step is
+        ~0.3048 m on the ground."""
+        from dask_geomodeling_tpu.geo import get_transform_func
+
+        inv = get_transform_func("EPSG:2263", "EPSG:4326")
+        lon1, lat1 = inv(np.array([1000000.0]), np.array([200000.0]))
+        lon2, lat2 = inv(np.array([1000001.0]), np.array([200000.0]))
+        meters = abs(lon2[0] - lon1[0]) * 111320.0 * np.cos(
+            np.radians(lat1[0])
+        )
+        assert 0.29 < meters < 0.32
+
+    def test_web_mercator_wkids(self):
+        from dask_geomodeling_tpu.geo import get_transform_func
+
+        point = (np.array([5.0]), np.array([52.0]))
+        reference = get_transform_func("EPSG:4326", "EPSG:3857")(*point)
+        for alias in ("EPSG:102100", "EPSG:102113", "ESRI:102100"):
+            got = get_transform_func("EPSG:4326", alias)(*point)
+            np.testing.assert_allclose(got[0], reference[0], atol=1e-9)
+            np.testing.assert_allclose(got[1], reference[1], atol=1e-9)
+
+    def test_epsg_cited_world_codes(self):
+        """EPSG:54009-style citations resolve to the ESRI world series."""
+        from dask_geomodeling_tpu.geo import get_sr, get_transform_func
+
+        assert get_sr("EPSG:54009").name == get_sr("ESRI:54009").name
+        fwd = get_transform_func("EPSG:4326", "EPSG:54030")
+        inv = get_transform_func("EPSG:54030", "EPSG:4326")
+        back = inv(*fwd(np.array([12.0]), np.array([45.0])))
+        np.testing.assert_allclose(back[0], [12.0], atol=1e-6)
+        np.testing.assert_allclose(back[1], [45.0], atol=1e-6)
+
+    def test_gda94_and_datum_shifts(self):
+        from dask_geomodeling_tpu.geo import get_transform_func
+
+        # GDA94 is WGS84-coincident
+        out = get_transform_func("EPSG:4326", "EPSG:4283")(
+            np.array([151.2]), np.array([-33.87])
+        )
+        np.testing.assert_allclose(out[0], [151.2], atol=1e-9)
+        # GGRS87 and MGI datum shifts are on the 100-500 m scale
+        for geographic in ("EPSG:4121", "EPSG:4312"):
+            shifted = get_transform_func("EPSG:4326", geographic)(
+                np.array([23.7]), np.array([38.0])
+            )
+            offset_m = np.hypot(
+                (shifted[0][0] - 23.7) * 111320.0 * np.cos(np.radians(38.0)),
+                (shifted[1][0] - 38.0) * 111320.0,
+            )
+            assert 50.0 < offset_m < 600.0, (geographic, offset_m)
