@@ -20,6 +20,8 @@ Formats:
   with or without the packed Hilbert R-tree index, writes without)
 - GPX (.gpx): waypoints/routes/tracks layers (always EPSG:4326);
   writes points as waypoints and (multi)linestrings as tracks
+- TopoJSON (.topojson): shared-arc topology decode (quantized or plain);
+  writes one-object non-quantized topologies
 - KMZ (.kmz): zipped KML (the spec's doc.kml main document)
 - Zipped datasets (.zip / .shp.zip): reads the contained dataset
   (shapefiles win ties, like OGR's /vsizip); writes a zipped shapefile
@@ -58,6 +60,7 @@ supported_extensions = {
     "gpx",
     "kmz",
     "zip",
+    "topojson",
 }
 
 
@@ -1099,6 +1102,10 @@ def read_vector(path, layer=None):
         return _read_kml(path)
     if fmt == "kmz":
         return _read_kmz(path)
+    if fmt == "topojson":
+        from dask_geomodeling_tpu.io.topojson import read_topojson
+
+        return read_topojson(path, layer)
     if fmt == "zip":
         return _read_zip(path, layer)
     if fmt == "csv":
@@ -1152,6 +1159,10 @@ def write_vector(frame, path, layer=None):
         _write_kml(frame, path)
     elif fmt == "kmz":
         _write_kmz(frame, path)
+    elif fmt == "topojson":
+        from dask_geomodeling_tpu.io.topojson import write_topojson
+
+        write_topojson(frame, path, layer)
     elif fmt == "zip":
         _write_zip(frame, path)
     elif fmt == "csv":

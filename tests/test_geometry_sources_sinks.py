@@ -35,7 +35,7 @@ class TestVectorFileIO:
     @pytest.mark.parametrize(
         "ext",
         ["geojson", "geojsonl", "gpkg", "shp", "gml", "kml", "csv",
-         "parquet", "fgb", "mif", "kmz", "zip"],
+         "parquet", "fgb", "mif", "kmz", "zip", "topojson"],
     )
     def test_roundtrip(self, root, frame, ext):
         path = str(root / ("test." + ext))
@@ -116,6 +116,51 @@ class TestVectorFileIO:
         )
         with pytest.raises(ValueError):
             write_vector(bad, str(root / "bad.gpx"))
+
+    def test_topojson_quantized_shared_arcs(self, root):
+        """Quantized delta-encoded arcs, shared (and reversed) between two
+        polygons — the real TopoJSON decode path."""
+        import json
+
+        # two unit squares sharing the edge x=1: arcs quantized at 1e-2
+        # scale over a (0..2, 0..1) extent
+        topology = {
+            "type": "Topology",
+            "transform": {"scale": [0.01, 0.01], "translate": [0.0, 0.0]},
+            "arcs": [
+                # arc 0: shared edge (1,0) -> (1,1), deltas in grid units
+                [[100, 0], [0, 100]],
+                # arc 1: left square's open boundary (1,1)->(0,1)->(0,0)->(1,0)
+                [[100, 100], [-100, 0], [0, -100], [100, 0]],
+                # arc 2: right square's open boundary (1,0)->(2,0)->(2,1)->(1,1)
+                [[100, 0], [100, 0], [0, 100], [-100, 0]],
+            ],
+            "objects": {
+                "squares": {
+                    "type": "GeometryCollection",
+                    "geometries": [
+                        {"type": "Polygon", "arcs": [[0, 1]],
+                         "properties": {"name": "left"}},
+                        # the shared edge reversed via ~0
+                        {"type": "Polygon", "arcs": [[2, ~0]],
+                         "properties": {"name": "right"}},
+                    ],
+                }
+            },
+        }
+        path = str(root / "squares.topojson")
+        open(path, "w").write(json.dumps(topology))
+        result = read_vector(path)
+        assert result["name"].tolist() == ["left", "right"]
+        left, right = result.geometry.iloc[0], result.geometry.iloc[1]
+        assert abs(left.area - 1.0) < 1e-9
+        assert abs(right.area - 1.0) < 1e-9
+        assert left.equals(box(0, 0, 1, 1))
+        assert right.equals(box(1, 0, 2, 1))
+        # layer selection by object name
+        assert len(read_vector(path, layer="squares")) == 2
+        with pytest.raises(IOError):
+            read_vector(path, layer="nope")
 
     def test_kmz_prefers_doc_kml(self, root, frame):
         """A KMZ's main document is doc.kml, not the first entry."""
