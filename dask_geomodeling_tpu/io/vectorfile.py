@@ -22,6 +22,8 @@ Formats:
   writes points as waypoints and (multi)linestrings as tracks
 - TopoJSON (.topojson): shared-arc topology decode (quantized or plain);
   writes one-object non-quantized topologies
+- SpatiaLite (.sqlite): geometry_columns discovery (legacy + 4.x
+  schemas), the SpatiaLite geometry BLOB codec; writes 4.x tables
 - KMZ (.kmz): zipped KML (the spec's doc.kml main document)
 - Zipped datasets (.zip / .shp.zip): reads the contained dataset
   (shapefiles win ties, like OGR's /vsizip); writes a zipped shapefile
@@ -61,6 +63,7 @@ supported_extensions = {
     "kmz",
     "zip",
     "topojson",
+    "sqlite",
 }
 
 
@@ -1106,6 +1109,10 @@ def read_vector(path, layer=None):
         from dask_geomodeling_tpu.io.topojson import read_topojson
 
         return read_topojson(path, layer)
+    if fmt == "sqlite":
+        from dask_geomodeling_tpu.io.spatialite import read_spatialite
+
+        return read_spatialite(path, layer)
     if fmt == "zip":
         return _read_zip(path, layer)
     if fmt == "csv":
@@ -1163,6 +1170,10 @@ def write_vector(frame, path, layer=None):
         from dask_geomodeling_tpu.io.topojson import write_topojson
 
         write_topojson(frame, path, layer)
+    elif fmt == "sqlite":
+        from dask_geomodeling_tpu.io.spatialite import write_spatialite
+
+        write_spatialite(frame, path, layer)
     elif fmt == "zip":
         _write_zip(frame, path)
     elif fmt == "csv":

@@ -35,7 +35,7 @@ class TestVectorFileIO:
     @pytest.mark.parametrize(
         "ext",
         ["geojson", "geojsonl", "gpkg", "shp", "gml", "kml", "csv",
-         "parquet", "fgb", "mif", "kmz", "zip", "topojson"],
+         "parquet", "fgb", "mif", "kmz", "zip", "topojson", "sqlite"],
     )
     def test_roundtrip(self, root, frame, ext):
         path = str(root / ("test." + ext))
@@ -116,6 +116,49 @@ class TestVectorFileIO:
         )
         with pytest.raises(ValueError):
             write_vector(bad, str(root / "bad.gpx"))
+
+    def test_spatialite_z_and_legacy_schema(self, root):
+        """XYZ blobs drop Z on read; legacy 'type'-text geometry_columns
+        schemas are discovered too."""
+        import sqlite3
+        import struct
+
+        from dask_geomodeling_tpu.io.spatialite import parse_blob
+
+        # hand-build an XYZ point blob (class 1001)
+        blob = bytearray(b"\x00\x01")
+        blob.extend(struct.pack("<i", 4326))
+        blob.extend(struct.pack("<4d", 3.0, 4.0, 3.0, 4.0))
+        blob.append(0x7C)
+        blob.extend(struct.pack("<i", 1001))
+        blob.extend(struct.pack("<3d", 3.0, 4.0, 99.0))
+        blob.append(0xFE)
+        point = parse_blob(bytes(blob))
+        assert (point.x, point.y) == (3.0, 4.0)
+
+        # legacy schema: 'type' text column instead of geometry_type int
+        path = str(root / "legacy.sqlite")
+        con = sqlite3.connect(path)
+        con.execute(
+            "CREATE TABLE geometry_columns (f_table_name TEXT, "
+            "f_geometry_column TEXT, type TEXT, coord_dimension INTEGER, "
+            "srid INTEGER, spatial_index_enabled INTEGER)"
+        )
+        con.execute(
+            "INSERT INTO geometry_columns VALUES "
+            "('pts', 'geom', 'POINT', 2, 4326, 0)"
+        )
+        con.execute("CREATE TABLE pts (PK_UID INTEGER, v REAL, geom BLOB)")
+        con.execute(
+            "INSERT INTO pts VALUES (7, 1.25, ?)", (bytes(blob),)
+        )
+        con.commit()
+        con.close()
+        result = read_vector(path)
+        assert result["v"].tolist() == [1.25]
+        assert result.index.tolist() == [7]
+        assert result.crs == "EPSG:4326"
+        assert result.geometry.iloc[0].x == 3.0
 
     def test_topojson_quantized_shared_arcs(self, root):
         """Quantized delta-encoded arcs, shared (and reversed) between two
