@@ -102,11 +102,21 @@ def _dbf_fields(frame, columns):
         elif pd.api.types.is_float_dtype(series):
             fields.append((col, "N", 24, 8))
         else:
+            # DBF character widths count BYTES; size for the UTF-8 encoding
             width = max(
-                [len(str(v)) for v in series if v is not None] + [1]
+                [len(str(v).encode("utf-8")) for v in series if v is not None]
+                + [1]
             )
             fields.append((col, "C", min(width, 254), 0))
     return fields
+
+
+def _dbf_text(text, width):
+    """UTF-8 bytes padded/truncated to ``width`` without split chars."""
+    raw = text.encode("utf-8")
+    if len(raw) > width:
+        raw = raw[:width].decode("utf-8", "ignore").encode("utf-8")
+    return raw.ljust(width)
 
 
 def write_shapefile(frame, path):
@@ -222,8 +232,12 @@ def write_shapefile(frame, path):
                     text = text.rjust(width)
                 else:
                     text = "" if null else str(value)
-                f.write(text[:width].ljust(width).encode("ascii", "replace"))
+                f.write(_dbf_text(text, width))
         f.write(b"\x1a")
+
+    # .cpg: declare the DBF text encoding, as OGR does
+    with open(base + ".cpg", "w") as f:
+        f.write("UTF-8")
 
     # .prj
     if getattr(frame, "crs", None):
@@ -297,7 +311,17 @@ def read_shapefile(path):
                     "Shapefile shape type %d" % shape_type
                 )
 
-    # .dbf
+    # .dbf — text encoding from the .cpg sidecar when present (OGR
+    # convention); cp1252 is the historical default for legacy files
+    encoding = "cp1252"
+    if os.path.exists(base + ".cpg"):
+        declared = open(base + ".cpg").read().strip()
+        declared = {"ANSI 1252": "cp1252"}.get(declared, declared)
+        try:
+            b"".decode(declared)
+            encoding = declared
+        except LookupError:
+            pass  # unknown codepage label: keep the cp1252 default
     records = []
     with open(base + ".dbf", "rb") as f:
         head = f.read(32)
@@ -323,7 +347,7 @@ def read_shapefile(path):
             pos = 1
             record = {}
             for name, ftype, width, decimals in fields:
-                text = raw[pos : pos + width].decode("ascii", "replace").strip()
+                text = raw[pos : pos + width].decode(encoding, "replace").strip()
                 pos += width
                 if ftype == "L":
                     record[name] = text in ("T", "t", "Y", "y")

@@ -117,6 +117,27 @@ class TestVectorFileIO:
         with pytest.raises(ValueError):
             write_vector(bad, str(root / "bad.gpx"))
 
+    @pytest.mark.parametrize(
+        "ext",
+        ["geojson", "geojsonl", "gpkg", "shp", "gml", "kml", "csv",
+         "parquet", "fgb", "mif", "kmz", "zip", "topojson", "sqlite"],
+    )
+    def test_unicode_and_special_floats(self, root, ext):
+        """Property values survive every writable format: unicode text,
+        negative/zero/fractional floats."""
+        frame = GeoDataFrame(
+            pd.DataFrame(
+                {"label": ["café", "中文"], "x": [-1.5, 0.0]}
+            ),
+            geometry=[box(0, 0, 1, 1), box(2, 2, 3, 3)],
+            crs="EPSG:4326",
+        )
+        path = str(root / ("uni." + ext))
+        write_vector(frame, path)
+        result = read_vector(path)
+        assert result["label"].tolist() == ["café", "中文"]
+        assert result["x"].tolist() == [-1.5, 0.0]
+
     def test_spatialite_z_and_legacy_schema(self, root):
         """XYZ blobs drop Z on read; legacy 'type'-text geometry_columns
         schemas are discovered too."""
