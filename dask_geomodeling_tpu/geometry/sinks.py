@@ -40,6 +40,9 @@ _FORMATS = {
     "parquet": ("GeoParquet", {}),
     "fgb": ("FlatGeobuf", {}),
     "mif": ("MapInfo MIF/MID", {}),
+    "sqlite": ("SpatiaLite", {}),
+    # TopoJSON is a GeoJSON sibling: geographic coordinates by convention
+    "topojson": ("TopoJSON", {"force_crs": "EPSG:4326"}),
 }
 
 #: everything one partial-file write needs, planned at request-rewrite time
@@ -48,7 +51,7 @@ _FeatureWriteSpec = namedtuple(
 )
 
 
-_SIDECAR_EXTENSIONS = (".mid", ".shx", ".dbf", ".prj")
+_SIDECAR_EXTENSIONS = (".mid", ".shx", ".dbf", ".prj", ".cpg")
 
 
 def _sidecar_pairs(source, target):

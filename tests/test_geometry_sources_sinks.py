@@ -818,7 +818,11 @@ class TestGeometryFileSink:
         write_vector(frame, str(root / "data.geojson"))
         return GeometryFileSource("data.geojson")
 
-    @pytest.mark.parametrize("ext", ["geojson", "gpkg", "shp", "gml", "parquet", "fgb"])
+    @pytest.mark.parametrize(
+        "ext",
+        ["geojson", "gpkg", "shp", "gml", "parquet", "fgb", "sqlite",
+         "topojson"],
+    )
     def test_sink(self, root, source, ext):
         sink = GeometryFileSink(source, "out", extension=ext)
         data = sink.get_data(
