@@ -1,21 +1,23 @@
-"""JPEG raster reader (world-file georeferencing).
+"""Pillow-backed raster readers: JPEG, BMP, GIF (world-file georeferencing).
 
-The reference opens JPEG rasters through GDAL's JPEG driver (reference
-raster/sources.py:66-71), which links libjpeg; here the entropy decode
-rides Pillow (baked into this image) — the geospatial layer (world-file
-``.jgw``/``.wld`` sidecar, ``.prj`` CRS, RasterData contract) is this
-module's.  Grayscale loads as one band, RGB as three; CMYK/YCbCr
-converts to RGB, matching the driver's default.
+The reference opens these through GDAL's JPEG/BMP/GIF drivers (reference
+raster/sources.py:66-71), which link the format libraries; here the
+pixel decode rides Pillow (baked into this image) — the geospatial layer
+(world-file sidecars, ``.prj`` CRS, RasterData contract) is this
+module's.  Grayscale loads as one band, RGB as three; palette/CMYK/YCbCr
+convert to RGB, matching the drivers' defaults.  World-file suffixes
+follow the GDAL convention: ``.jgw`` (JPEG), ``.bpw`` (BMP), ``.gfw``
+(GIF), with ``.wld`` accepted everywhere.
 """
 import os
 
 import numpy as np
 
-__all__ = ["read_jpeg"]
+__all__ = ["read_jpeg", "read_pillow_raster"]
 
 
-def read_jpeg(path):
-    """Read a JPEG file into a RasterData payload."""
+def read_pillow_raster(path, world_extensions=(".wld", ".WLD")):
+    """Read any Pillow-decodable image into a RasterData payload."""
     from PIL import Image
 
     from dask_geomodeling_tpu.io.asciigrid import _sidecar_projection
@@ -24,24 +26,39 @@ def read_jpeg(path):
 
     with Image.open(path) as image:
         if image.mode not in ("L", "RGB"):
-            image = image.convert("RGB" if len(image.getbands()) > 1 else "L")
+            # palettes are color even though they hold a single band
+            color = image.mode == "P" or len(image.getbands()) > 1
+            image = image.convert("RGB" if color else "L")
         pixels = np.asarray(image)
     if pixels.ndim == 2:
         array = pixels[None]
     else:
         array = np.ascontiguousarray(pixels.transpose(2, 0, 1))
 
-    # world files share the PNG conventions (.jgw preferred, .wld too)
-    geo_transform = _world_file(
-        path, extensions=(".jgw", ".JGW", ".wld", ".WLD")
-    )
+    geo_transform = _world_file(path, extensions=world_extensions)
 
     return RasterData(
         array=np.ascontiguousarray(array),
         projection=_sidecar_projection(path),
         geo_transform=geo_transform,
-        # JPEG has no transparency concept: no nodata (white pixels are
-        # data, as GDAL's JPEG driver reports)
+        # these formats carry no nodata concept (GDAL reports none)
         no_data_value=None,
         metadata=[""] * array.shape[0],
+    )
+
+
+#: GDAL-convention world-file suffixes per extension
+_WORLD_SUFFIXES = {
+    ".jpg": (".jgw", ".JGW", ".wld", ".WLD"),
+    ".jpeg": (".jgw", ".JGW", ".wld", ".WLD"),
+    ".bmp": (".bpw", ".BPW", ".wld", ".WLD"),
+    ".gif": (".gfw", ".GFW", ".wld", ".WLD"),
+}
+
+
+def read_jpeg(path):
+    """Read a JPEG/BMP/GIF file into a RasterData payload."""
+    ext = os.path.splitext(path)[1].lower()
+    return read_pillow_raster(
+        path, _WORLD_SUFFIXES.get(ext, (".wld", ".WLD"))
     )

@@ -70,7 +70,7 @@ def read_geotiff_cached(path):
         from dask_geomodeling_tpu.io.png import read_png
 
         data = read_png(key)
-    elif lower.endswith((".jpg", ".jpeg")):
+    elif lower.endswith((".jpg", ".jpeg", ".bmp", ".gif")):
         from dask_geomodeling_tpu.io.jpeg import read_jpeg
 
         data = read_jpeg(key)

@@ -614,3 +614,45 @@ class TestEnvi:
         )
         open(header, "w").write(text)
         assert read_geotiff_cached(path).no_data_value == 2.0
+
+
+class TestBmpGif:
+    """BMP/GIF rasters via the Pillow-backed reader with GDAL-convention
+    world files (.bpw / .gfw)."""
+
+    @pytest.mark.parametrize("ext,world", [("bmp", "bpw"), ("gif", "gfw")])
+    def test_roundtrip_with_world_file(self, root, ext, world):
+        from PIL import Image
+
+        values = np.arange(12, dtype=np.uint8).reshape(3, 4) * 20
+        path = str(root / ("img." + ext))
+        Image.fromarray(values, mode="L").save(path)
+        (root / ("img." + world)).write_text(
+            "50.0\n0.0\n0.0\n-50.0\n1025.0\n2125.0\n"
+        )
+        (root / "img.prj").write_text("EPSG:28992")
+        source = RasterFileSource(
+            "img." + ext, time_first=datetime(2000, 1, 1)
+        )
+        assert source.projection == "EPSG:28992"
+        result = source.get_data(
+            mode="vals", bbox=(1000.0, 2000.0, 1200.0, 2150.0),
+            projection="EPSG:28992", width=4, height=3,
+            start=datetime(2000, 1, 1),
+        )
+        np.testing.assert_array_equal(result["values"][0], values)
+
+    def test_gif_palette_converts_to_rgb(self, root):
+        from PIL import Image
+
+        from dask_geomodeling_tpu.io.jpeg import read_jpeg
+
+        rgb = np.zeros((4, 4, 3), dtype=np.uint8)
+        rgb[..., 0] = 200
+        path = str(root / "pal.gif")
+        Image.fromarray(rgb).convert("P").save(path)
+        data = read_jpeg(path)
+        assert data.array.shape == (3, 4, 4)
+        # GIF palette quantization may shift levels slightly
+        assert (np.abs(data.array[0].astype(int) - 200) < 16).all()
+        assert (data.array[1] == 0).all() and (data.array[2] == 0).all()
