@@ -464,7 +464,8 @@ class RasterFileSource(RasterSourceBase):
     reads via ``gdal.Open``): GeoTIFF (classic + BigTIFF, deflate/LZW/
     PackBits, both endiannesses), VRT mosaics, Esri ASCII grids
     (``.asc``/``.agr``), XYZ gridded text (``.xyz``), PNG with world
-    file (``.png`` + ``.pgw``/``.wld``/``.prj``), CF netCDF classic
+    file (``.png`` + ``.pgw``/``.wld``/``.prj``), JPEG/BMP/GIF with
+    world files (``io/jpeg.py``), CF netCDF classic
     (``.nc``/``.cdf``/``.nc3``), netCDF-4/HDF5 (``.nc4``/``.h5``/
     ``.hdf5``, via the image's h5py when available), and ENVI pairs
     (``.hdr`` + bsq/bil/bip binary, ``io/envi.py``).
