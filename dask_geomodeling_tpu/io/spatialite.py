@@ -30,6 +30,12 @@ _CODES = {v: k for k, v in _TYPES.items()}
 
 def _parse_body(buf, pos, code, order):
     """GeoJSON-style mapping for one geometry body at ``pos``."""
+    if code >= 1000000:
+        # compressed classes (f32 delta coordinates) are a different
+        # wire layout, not a dimensioned variant of the plain classes
+        raise NotImplementedError(
+            "SpatiaLite compressed geometry class %d" % code
+        )
     base = code % 1000
     extra = {1000: 1, 2000: 1, 3000: 2}.get(code - base, 0)  # z/m slots
     kind = _TYPES.get(base)
@@ -78,11 +84,14 @@ def parse_blob(blob):
     """Decode a SpatiaLite geometry BLOB into a geometry object."""
     from dask_geomodeling_tpu.geo.geometry import shape
 
-    if not blob or blob[0] != 0x00 or blob[38] != 0x7C:
+    if not blob or len(blob) < 44 or blob[0] != 0x00 or blob[38] != 0x7C:
         raise IOError("Not a SpatiaLite geometry blob")
     order = "<" if blob[1] == 1 else ">"
     (code,) = struct.unpack_from(order + "i", blob, 39)
-    mapping, _ = _parse_body(blob, 43, code, order)
+    try:
+        mapping, _ = _parse_body(blob, 43, code, order)
+    except struct.error:
+        raise IOError("Truncated SpatiaLite geometry blob")
     return shape(mapping)
 
 
@@ -182,7 +191,12 @@ def read_spatialite(path, layer=None):
         geometries, records, fids = [], [], []
         for row in rows:
             row = dict(row)
-            fids.append(row.pop("fid", row.pop("PK_UID", len(fids))))
+            if "fid" in row:
+                fids.append(row.pop("fid"))
+            elif "PK_UID" in row:
+                fids.append(row.pop("PK_UID"))
+            else:
+                fids.append(len(fids))
             blob = row.pop(geom_col)
             geometries.append(parse_blob(blob) if blob else None)
             records.append(row)
@@ -249,13 +263,22 @@ def write_spatialite(frame, path, layer=None):
             "INSERT INTO geometry_columns VALUES (?,?,?,?,?,?)",
             (table, geometry_column, code, 2, srid, 0),
         )
+        from dask_geomodeling_tpu.io.vectorfile import _sql_value
+
+        # the frame index becomes the fid only when it can (unique ints);
+        # otherwise fids are sequential, like the GPKG writer
+        import numpy as np
+
+        index_as_fid = frame.index.is_unique and all(
+            isinstance(idx, (int, np.integer)) for idx in frame.index
+        )
         placeholders = ", ".join("?" * (2 + len(fields)))
-        for i, (idx, row) in enumerate(frame.iterrows()):
+        for i, (idx, row) in enumerate(frame.iterrows(), start=1):
             geom = row[geometry_column]
             values = [
-                idx if isinstance(idx, int) else i
+                int(idx) if index_as_fid else i
             ] + [
-                None if pd.isna(row[f]) else row[f] for f in fields
+                _sql_value(row[f]) for f in fields
             ] + [make_blob(geom, srid) if geom is not None else None]
             con.execute(
                 'INSERT INTO "{}" ({}) VALUES ({})'.format(

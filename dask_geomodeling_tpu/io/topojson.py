@@ -25,7 +25,11 @@ def _decode_arcs(topology):
     transform = topology.get("transform")
     arcs = []
     for arc in topology.get("arcs", []):
-        points = np.asarray(arc, dtype=float)
+        points = (
+            np.asarray(arc, dtype=float)
+            if arc
+            else np.zeros((0, 2), dtype=float)
+        )
         if transform is not None and len(points):
             points = points.copy()
             points[:, :2] = np.cumsum(points[:, :2], axis=0)
@@ -134,16 +138,18 @@ def read_topojson(path, layer=None):
 
     arcs = _decode_arcs(topology)
     geometries, records, ids = [], [], []
+    declared_ids = False
     for i, member in enumerate(members):
         geometries.append(shape(_geometry_of(topology, member, arcs)))
         records.append(member.get("properties") or {})
+        declared_ids = declared_ids or "id" in member
         ids.append(member.get("id", i))
     frame = GeoDataFrame(
         pd.DataFrame.from_records(records) if records else None,
         geometry=geometries,
         crs="EPSG:4326",
     )
-    frame.index = pd.Index(ids, name="fid" if any(ids) else None)
+    frame.index = pd.Index(ids, name="fid" if declared_ids else None)
     return frame
 
 

@@ -138,6 +138,92 @@ class TestVectorFileIO:
         assert result["label"].tolist() == ["café", "中文"]
         assert result["x"].tolist() == [-1.5, 0.0]
 
+    def test_spatialite_review_fixes(self, root):
+        """Duplicate indexes fall back to sequential fids; list columns
+        bind via _sql_value; PK_UID survives next to fid; bad blobs and
+        compressed classes raise clean errors."""
+        import sqlite3
+        import struct
+
+        from dask_geomodeling_tpu.io.spatialite import parse_blob
+
+        dup = GeoDataFrame(
+            pd.DataFrame({"tags": [["a", "b"], ["c"]]}),
+            geometry=[box(0, 0, 1, 1), box(2, 2, 3, 3)],
+            crs="EPSG:4326",
+        )
+        dup.index = pd.Index([1, 1])
+        path = str(root / "dup.sqlite")
+        write_vector(dup, path)
+        back = read_vector(path)
+        assert len(back) == 2  # sequential fids, no IntegrityError
+        assert back["tags"].tolist() == ['["a", "b"]', '["c"]']
+
+        with pytest.raises(IOError):
+            parse_blob(b"\x00\x01\x02")
+        compressed = bytearray(b"\x00\x01")
+        compressed.extend(struct.pack("<i", 4326))
+        compressed.extend(struct.pack("<4d", 0, 0, 1, 1))
+        compressed.append(0x7C)
+        compressed.extend(struct.pack("<i", 1000002))
+        compressed.extend(b"\x00" * 16)
+        compressed.append(0xFE)
+        with pytest.raises(NotImplementedError):
+            parse_blob(bytes(compressed))
+
+        # a real PK_UID attribute column survives when fid is the key
+        con = sqlite3.connect(str(root / "pk.sqlite"))
+        con.execute(
+            "CREATE TABLE geometry_columns (f_table_name TEXT, "
+            "f_geometry_column TEXT, geometry_type INTEGER, "
+            "coord_dimension INTEGER, srid INTEGER, "
+            "spatial_index_enabled INTEGER)"
+        )
+        con.execute(
+            "INSERT INTO geometry_columns VALUES ('t','geom',1,2,4326,0)"
+        )
+        con.execute(
+            "CREATE TABLE t (fid INTEGER, PK_UID INTEGER, geom BLOB)"
+        )
+        blob = bytearray(b"\x00\x01")
+        blob.extend(struct.pack("<i", 4326))
+        blob.extend(struct.pack("<4d", 3.0, 4.0, 3.0, 4.0))
+        blob.append(0x7C)
+        blob.extend(struct.pack("<i", 1))
+        blob.extend(struct.pack("<2d", 3.0, 4.0))
+        blob.append(0xFE)
+        con.execute(
+            "INSERT INTO t VALUES (5, 77, ?)", (bytes(blob),)
+        )
+        con.commit()
+        con.close()
+        result = read_vector(str(root / "pk.sqlite"))
+        assert result.index.tolist() == [5]
+        assert result["PK_UID"].tolist() == [77]
+
+    def test_topojson_empty_arc_and_unnamed_index(self, root):
+        import json
+
+        topology = {
+            "type": "Topology",
+            "arcs": [[]],
+            "objects": {
+                "pts": {
+                    "type": "GeometryCollection",
+                    "geometries": [
+                        {"type": "Point", "coordinates": [1.0, 2.0]},
+                        {"type": "Point", "coordinates": [3.0, 4.0]},
+                    ],
+                }
+            },
+        }
+        path = str(root / "noids.topojson")
+        open(path, "w").write(json.dumps(topology))
+        result = read_vector(path)
+        # enumerated ids do NOT masquerade as declared fids
+        assert result.index.name is None
+        assert result.index.tolist() == [0, 1]
+
     def test_spatialite_z_and_legacy_schema(self, root):
         """XYZ blobs drop Z on read; legacy 'type'-text geometry_columns
         schemas are discovered too."""
