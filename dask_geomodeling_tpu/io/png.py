@@ -130,14 +130,10 @@ def _world_file(path, extensions=(".pgw", ".wld", ".PGW")):
     return (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
 
 
-def read_png(path):
-    """Read a PNG file into a RasterData payload."""
-    from dask_geomodeling_tpu.io.asciigrid import _sidecar_projection
-    from dask_geomodeling_tpu.raster.sources import RasterData
-
-    raw = open(path, "rb").read()
+def decode_png_bytes(raw, source="<bytes>"):
+    """Decode an in-memory PNG stream into ((bands, h, w), nodata)."""
     if raw[:8] != _SIGNATURE:
-        raise IOError("Not a PNG file: '%s'" % path)
+        raise IOError("Not a PNG file: '%s'" % source)
 
     width = height = depth = ctype = interlace = None
     idat = []
@@ -154,10 +150,10 @@ def read_png(path):
         elif chunk == b"IEND":
             break
     if width is None:
-        raise IOError("PNG without IHDR: '%s'" % path)
+        raise IOError("PNG without IHDR: '%s'" % source)
     if interlace:
         raise NotImplementedError(
-            "Adam7-interlaced PNG is not supported: '%s'" % path
+            "Adam7-interlaced PNG is not supported: '%s'" % source
         )
     samples = _SAMPLES.get(ctype)
     if samples is None:
@@ -188,20 +184,11 @@ def read_png(path):
             clear = np.flatnonzero(alphas == 0)
             if clear.size:
                 no_data_value = float(clear[0])
-    return RasterData(
-        array=array,
-        projection=_sidecar_projection(path),
-        geo_transform=_world_file(path),
-        no_data_value=no_data_value,
-        metadata=[""] * array.shape[0],
-    )
+    return array, no_data_value
 
 
-def write_png(path, values, geo_transform=None, projection=None):
-    """Write (bands, h, w) uint8/uint16 data as a PNG (+ world file).
-
-    Bands 1/2/3/4 map to gray / gray+alpha / RGB / RGBA.
-    """
+def write_png_bytes(values):
+    """Encode (bands, h, w) uint8/uint16 data as an in-memory PNG."""
     values = np.asarray(values)
     if values.ndim == 2:
         values = values[None]
@@ -231,11 +218,36 @@ def write_png(path, values, geo_transform=None, projection=None):
         return struct.pack(">I", len(data)) + ctag + data + struct.pack(">I", crc)
 
     header = struct.pack(">IIBBBBB", width, height, depth, ctype, 0, 0, 0)
+    return (
+        _SIGNATURE
+        + chunk(b"IHDR", header)
+        + chunk(b"IDAT", compressed)
+        + chunk(b"IEND", b"")
+    )
+
+
+def read_png(path):
+    """Read a PNG file into a RasterData payload."""
+    from dask_geomodeling_tpu.io.asciigrid import _sidecar_projection
+    from dask_geomodeling_tpu.raster.sources import RasterData
+
+    array, no_data_value = decode_png_bytes(open(path, "rb").read(), path)
+    return RasterData(
+        array=array,
+        projection=_sidecar_projection(path),
+        geo_transform=_world_file(path),
+        no_data_value=no_data_value,
+        metadata=[""] * array.shape[0],
+    )
+
+
+def write_png(path, values, geo_transform=None, projection=None):
+    """Write (bands, h, w) uint8/uint16 data as a PNG (+ world file).
+
+    Bands 1/2/3/4 map to gray / gray+alpha / RGB / RGBA.
+    """
     with open(path, "wb") as f:
-        f.write(_SIGNATURE)
-        f.write(chunk(b"IHDR", header))
-        f.write(chunk(b"IDAT", compressed))
-        f.write(chunk(b"IEND", b""))
+        f.write(write_png_bytes(values))
 
     if geo_transform is not None:
         p, a, b, q, c, d = geo_transform

@@ -498,7 +498,7 @@ class RasterFileSource(RasterSourceBase):
                 (
                     ".vrt", ".asc", ".agr", ".xyz", ".png", ".nc", ".cdf",
                     ".nc3", ".nc4", ".h5", ".hdf5", ".jpg", ".jpeg",
-                    ".bmp", ".gif",
+                    ".bmp", ".gif", ".gpkg",
                     ".hdr", ".bsq", ".bil", ".bip", ".envi", ".img", ".dat",
                     ".raw",
                 )

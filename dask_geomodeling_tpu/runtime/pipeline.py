@@ -78,6 +78,10 @@ def read_geotiff_cached(path):
         from dask_geomodeling_tpu.io.netcdf import read_netcdf
 
         data = read_netcdf(key)
+    elif lower.endswith(".gpkg"):
+        from dask_geomodeling_tpu.io.gpkg_raster import read_gpkg_raster
+
+        data = read_gpkg_raster(key)
     elif lower.endswith((".hdr", ".bsq", ".bil", ".bip", ".envi")) or (
         lower.endswith((".img", ".dat", ".raw")) and _is_envi_pair(key)
     ):

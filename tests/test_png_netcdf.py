@@ -656,3 +656,83 @@ class TestBmpGif:
         # GIF palette quantization may shift levels slightly
         assert (np.abs(data.array[0].astype(int) - 200) < 16).all()
         assert (data.array[1] == 0).all() and (data.array[2] == 0).all()
+
+
+class TestGpkgRaster:
+    """GeoPackage tile pyramids (GDAL GPKG raster driver role)."""
+
+    def test_roundtrip_via_file_source(self, root):
+        from dask_geomodeling_tpu.io.gpkg_raster import (
+            read_gpkg_raster,
+            write_gpkg_raster,
+        )
+
+        values = np.arange(3 * 300 * 520, dtype=np.uint8).reshape(
+            3, 300, 520
+        ) % 251
+        gt = (10000.0, 2.0, 0.0, 50000.0, 0.0, -2.0)
+        path = str(root / "tiles.gpkg")
+        write_gpkg_raster(path, values, gt, projection="EPSG:28992")
+        data = read_gpkg_raster(path)
+        # the mosaic is padded up to whole 256px tiles
+        assert data.array.shape == (3, 512, 768)
+        np.testing.assert_array_equal(data.array[:, :300, :520], values)
+        np.testing.assert_allclose(data.geo_transform, gt)
+        assert data.projection == "EPSG:28992"
+
+        source = RasterFileSource(
+            "tiles.gpkg", time_first=datetime(2000, 1, 1)
+        )
+        assert source.projection == "EPSG:28992"
+        result = source.get_data(
+            mode="vals",
+            bbox=(10000.0, 50000.0 - 64.0, 10064.0, 50000.0),
+            projection="EPSG:28992", width=32, height=32,
+            start=datetime(2000, 1, 1),
+        )
+        # bands are time frames for a RasterFileSource; a bare start
+        # selects the first frame
+        np.testing.assert_array_equal(result["values"], values[:1, :32, :32])
+
+    def test_sparse_pyramid_offsets(self, root):
+        """Tiles missing at the matrix origin: the mosaic anchors at the
+        first present tile, not at (0, 0)."""
+        import sqlite3
+
+        from dask_geomodeling_tpu.io.gpkg_raster import (
+            read_gpkg_raster,
+            write_gpkg_raster,
+        )
+
+        values = np.ones((1, 256, 256), dtype=np.uint8)
+        gt = (0.0, 1.0, 0.0, 1024.0, 0.0, -1.0)
+        path = str(root / "sparse.gpkg")
+        write_gpkg_raster(path, values, gt, projection="EPSG:28992")
+        # shift the single tile to column 2, row 3 of the matrix
+        con = sqlite3.connect(path)
+        con.execute("UPDATE tiles SET tile_column = 2, tile_row = 3")
+        con.commit()
+        con.close()
+        data = read_gpkg_raster(path)
+        assert data.array.shape == (1, 256, 256)
+        np.testing.assert_allclose(
+            data.geo_transform,
+            (512.0, 1.0, 0.0, 1024.0 - 768.0, 0.0, -1.0),
+        )
+
+    def test_vector_gpkg_still_reads_as_vector(self, root):
+        """A features GeoPackage keeps going through the vector reader."""
+        from dask_geomodeling_tpu.io.gpkg_raster import is_raster_gpkg
+        from dask_geomodeling_tpu.io.vectorfile import write_vector
+        import pandas as pd
+
+        from dask_geomodeling_tpu.geo.features import GeoDataFrame
+        from dask_geomodeling_tpu.geo.geometry import box
+
+        frame = GeoDataFrame(
+            pd.DataFrame({"v": [1]}), geometry=[box(0, 0, 1, 1)],
+            crs="EPSG:4326",
+        )
+        path = str(root / "vec.gpkg")
+        write_vector(frame, path)
+        assert not is_raster_gpkg(path)
