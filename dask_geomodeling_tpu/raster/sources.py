@@ -467,8 +467,9 @@ class RasterFileSource(RasterSourceBase):
     file (``.png`` + ``.pgw``/``.wld``/``.prj``), JPEG/BMP/GIF with
     world files (``io/jpeg.py``), CF netCDF classic
     (``.nc``/``.cdf``/``.nc3``), netCDF-4/HDF5 (``.nc4``/``.h5``/
-    ``.hdf5``, via the image's h5py when available), and ENVI pairs
-    (``.hdr`` + bsq/bil/bip binary, ``io/envi.py``).
+    ``.hdf5``, via the image's h5py when available), ENVI pairs
+    (``.hdr`` + bsq/bil/bip binary, ``io/envi.py``), SRTM ``.hgt``
+    tiles and DTED ``.dt0``/``.dt1``/``.dt2`` (``io/dem.py``).
 
     Args:
       url (str): path to the file, sandboxed by ``geomodeling.root``
@@ -498,7 +499,7 @@ class RasterFileSource(RasterSourceBase):
                 (
                     ".vrt", ".asc", ".agr", ".xyz", ".png", ".nc", ".cdf",
                     ".nc3", ".nc4", ".h5", ".hdf5", ".jpg", ".jpeg",
-                    ".bmp", ".gif", ".gpkg",
+                    ".bmp", ".gif", ".gpkg", ".hgt", ".dt0", ".dt1", ".dt2",
                     ".hdr", ".bsq", ".bil", ".bip", ".envi", ".img", ".dat",
                     ".raw",
                 )

@@ -78,6 +78,14 @@ def read_geotiff_cached(path):
         from dask_geomodeling_tpu.io.netcdf import read_netcdf
 
         data = read_netcdf(key)
+    elif lower.endswith(".hgt"):
+        from dask_geomodeling_tpu.io.dem import read_hgt
+
+        data = read_hgt(key)
+    elif lower.endswith((".dt0", ".dt1", ".dt2")):
+        from dask_geomodeling_tpu.io.dem import read_dted
+
+        data = read_dted(key)
     elif lower.endswith(".gpkg"):
         from dask_geomodeling_tpu.io.gpkg_raster import read_gpkg_raster
 
