@@ -77,6 +77,9 @@ ELLIPSOIDS = {
     "GRS67": (6378160.0, 298.247167427),
     "authalic": (6371000.0, float("inf")),  # ESRI 53xxx sphere
     "clrk80ign": (6378249.2, 293.4660212936269),  # Clarke 1880 IGN (NTF)
+    "WGS72": (6378135.0, 298.26),
+    "mod_airy": (6377340.189, 299.3249646),  # Airy Modified (Ireland)
+    "aust_SA": (6378160.0, 298.25),  # GRS 1967 Modified / SAD69
 }
 
 # --- datums: ellipsoid + position-vector Helmert to WGS84 ---
@@ -135,6 +138,20 @@ DATUMS = {
     ),
     # GGRS87 to WGS84 (EPSG 1272, geocentric translations)
     "GGRS87": ("GRS80", (-199.87, 74.79, 246.62, 0.0, 0.0, 0.0, 0.0)),
+    # WGS 72 to WGS84 (EPSG 1237, position vector)
+    "WGS72": ("WGS72", (0.0, 0.0, 4.5, 0.0, 0.0, 0.554, 0.2263)),
+    # TM65 / Geodetic Datum of 1965 to WGS84 (EPSG 1641, position vector)
+    "TM65": (
+        "mod_airy",
+        (482.5, -130.6, 564.6, -1.042, -0.214, -0.631, 8.15),
+    ),
+    # SAD69 to WGS84 (the mean 3-parameter shift, EPSG 1864-family)
+    "SAD69": ("aust_SA", (-57.0, 1.0, -41.0, 0.0, 0.0, 0.0, 0.0)),
+    # Luxembourg 1930 to WGS84 (position vector)
+    "LUREF": (
+        "intl",
+        (-189.681, 18.3463, -42.7695, -0.33746, -3.09264, 2.53861, 0.4598),
+    ),
 }
 
 _ARCSEC = np.pi / (180.0 * 3600.0)
@@ -2621,7 +2638,245 @@ def _registry_get(code):
     if code // 1000 in (53, 54):
         # ESRI world-series codes are often cited as EPSG:54xxx
         return _esri_registry_get(code)
+    if code in _GEOGRAPHIC:
+        name, datum = _GEOGRAPHIC[code]
+        return SpatialReference(code, name, datum, _GeographicProjection())
+    if 26703 <= code <= 26722:
+        zone = code - 26700
+        return SpatialReference(
+            code, "NAD27 / UTM zone %dN" % zone, "NAD27",
+            _TransverseMercator(
+                _ellipsoid("clrk66"), -183.0 + 6.0 * zone, 0.0, 0.9996,
+                500000.0, 0.0,
+            ),
+        )
+    if 32201 <= code <= 32260 or 32301 <= code <= 32360:
+        north = code <= 32260
+        zone = code - (32200 if north else 32300)
+        return SpatialReference(
+            code,
+            "WGS 72 / UTM zone %d%s" % (zone, "N" if north else "S"),
+            "WGS72",
+            _TransverseMercator(
+                _ellipsoid("WGS72"), -183.0 + 6.0 * zone, 0.0, 0.9996,
+                500000.0, 0.0 if north else 10000000.0,
+            ),
+        )
+    if 28402 <= code <= 28432:
+        zone = code - 28400
+        return SpatialReference(
+            code, "Pulkovo 1942 / Gauss-Kruger zone %d" % zone, "Pulkovo42",
+            _TransverseMercator(
+                _ellipsoid("krass"), -3.0 + 6.0 * zone, 0.0, 1.0,
+                zone * 1000000.0 + 500000.0, 0.0,
+            ),
+        )
+    if 28462 <= code <= 28492:
+        zone = code - 28460
+        return SpatialReference(
+            code,
+            "Pulkovo 1942 / Gauss-Kruger CM %dE" % (6 * zone - 3),
+            "Pulkovo42",
+            _TransverseMercator(
+                _ellipsoid("krass"), -3.0 + 6.0 * zone, 0.0, 1.0,
+                500000.0, 0.0,
+            ),
+        )
+    if 7846 <= code <= 7859:
+        zone = code - 7800
+        return SpatialReference(
+            code,
+            "GDA2020 / MGA zone %d" % zone,
+            "WGS84",  # GDA2020 treated as WGS84-coincident
+            _TransverseMercator(
+                _ellipsoid("GRS80"), -183.0 + 6.0 * zone, 0.0, 0.9996,
+                500000.0, 10000000.0,
+            ),
+        )
+    if 31965 <= code <= 31985:
+        north = code <= 31976
+        zone = code - (31954 if north else 31960)
+        return SpatialReference(
+            code,
+            "SIRGAS 2000 / UTM zone %d%s" % (zone, "N" if north else "S"),
+            "WGS84",  # SIRGAS 2000 treated as WGS84-coincident
+            _TransverseMercator(
+                _ellipsoid("GRS80"), -183.0 + 6.0 * zone, 0.0, 0.9996,
+                500000.0, 0.0 if north else 10000000.0,
+            ),
+        )
+    if 3097 <= code <= 3101 or 6688 <= code <= 6692:
+        jgd2000 = code <= 3101
+        zone = code - (3046 if jgd2000 else 6637)
+        return SpatialReference(
+            code,
+            "%s / UTM zone %dN" % ("JGD2000" if jgd2000 else "JGD2011", zone),
+            "WGS84",  # both JGD realizations are WGS84-coincident here
+            _TransverseMercator(
+                _ellipsoid("GRS80"), -183.0 + 6.0 * zone, 0.0, 0.9996,
+                500000.0, 0.0,
+            ),
+        )
+    if code in _TM_REGISTRY:
+        name, datum, ell, lon0, lat0, k0, fe, fn = _TM_REGISTRY[code]
+        return SpatialReference(
+            code, name, datum,
+            _TransverseMercator(_ellipsoid(ell), lon0, lat0, k0, fe, fn),
+        )
+    if code in _LCC_REGISTRY:
+        name, datum, ell, lon0, lat0, sp1, sp2, fe, fn, k0 = _LCC_REGISTRY[
+            code
+        ]
+        return SpatialReference(
+            code, name, datum,
+            _LambertConformalConic(
+                _ellipsoid(ell), lon0, lat0, sp1, sp2, fe, fn, k0=k0
+            ),
+        )
+    if code in (29101, 5880):
+        sad69 = code == 29101
+        return SpatialReference(
+            code,
+            "SAD69 / Brazil Polyconic" if sad69 else
+            "SIRGAS 2000 / Brazil Polyconic",
+            "SAD69" if sad69 else "WGS84",
+            _AmericanPolyconic(
+                _ellipsoid("aust_SA" if sad69 else "GRS80"), -54.0, 0.0,
+                5000000.0, 10000000.0,
+            ),
+        )
     raise TransformException("Unsupported EPSG code: %d" % code)
+
+
+#: geographic (2-D lat/lon) CRSes: code -> (name, DATUMS key)
+_GEOGRAPHIC = {
+    4322: ("WGS 72", "WGS72"),
+    4618: ("SAD69", "SAD69"),
+    4674: ("SIRGAS 2000", "WGS84"),
+    4612: ("JGD2000", "WGS84"),
+    6668: ("JGD2011", "WGS84"),
+    7844: ("GDA2020", "WGS84"),
+    4619: ("SWEREF99", "ETRS89"),
+    4299: ("TM65", "TM65"),
+    4300: ("TM75", "TM65"),
+    4173: ("IRENET95", "ETRS89"),
+    4171: ("RGF93 v1", "ETRS89"),
+    4275: ("NTF", "NTF"),
+    4181: ("Luxembourg 1930", "LUREF"),
+    4314: ("DHDN", "DHDN"),
+}
+
+#: the Paris-meridian NTF Lambert longitude of origin, in Greenwich degrees
+_PARIS_LON = 2.0 + 20.0 / 60.0 + 14.025 / 3600.0
+
+#: transverse-Mercator singletons:
+#: code -> (name, datum, ellipsoid, lon0, lat0, k0, fe, fn)
+_TM_REGISTRY = {
+    2157: (
+        "IRENET95 / Irish Transverse Mercator", "ETRS89", "GRS80",
+        -8.0, 53.5, 0.99982, 600000.0, 750000.0,
+    ),
+    29902: (
+        "TM65 / Irish Grid", "TM65", "mod_airy",
+        -8.0, 53.5, 1.000035, 200000.0, 250000.0,
+    ),
+    29903: (
+        "TM75 / Irish Grid", "TM65", "mod_airy",
+        -8.0, 53.5, 1.000035, 200000.0, 250000.0,
+    ),
+    2169: (
+        "Luxembourg 1930 / Gauss", "LUREF", "intl",
+        6.166666666666667, 49.833333333333336, 1.0, 80000.0, 100000.0,
+    ),
+    3006: (
+        "SWEREF99 TM", "ETRS89", "GRS80",
+        15.0, 0.0, 0.9996, 500000.0, 0.0,
+    ),
+    3763: (
+        "ETRS89 / Portugal TM06", "ETRS89", "GRS80",
+        -8.133108333333334, 39.66825833333333, 1.0, 0.0, 0.0,
+    ),
+    31254: (
+        "MGI / Austria GK West", "MGI", "bessel",
+        10.333333333333334, 0.0, 1.0, 0.0, -5000000.0,
+    ),
+    31255: (
+        "MGI / Austria GK Central", "MGI", "bessel",
+        13.333333333333334, 0.0, 1.0, 0.0, -5000000.0,
+    ),
+    31256: (
+        "MGI / Austria GK East", "MGI", "bessel",
+        16.333333333333332, 0.0, 1.0, 0.0, -5000000.0,
+    ),
+    31257: (
+        "MGI / Austria GK M28", "MGI", "bessel",
+        10.333333333333334, 0.0, 1.0, 150000.0, -5000000.0,
+    ),
+    31258: (
+        "MGI / Austria GK M31", "MGI", "bessel",
+        13.333333333333334, 0.0, 1.0, 450000.0, -5000000.0,
+    ),
+    31259: (
+        "MGI / Austria GK M34", "MGI", "bessel",
+        16.333333333333332, 0.0, 1.0, 750000.0, -5000000.0,
+    ),
+}
+
+#: Lambert-conformal-conic singletons:
+#: code -> (name, datum, ellipsoid, lon0, lat0, sp1, sp2, fe, fn, k0).
+#: sp1 == sp2 == lat0 selects the 1SP form with its k0 (NTF Lambert zones).
+_LCC_REGISTRY = {
+    3301: (
+        "ETRS89 / Estonian Coordinate System of 1997", "ETRS89", "GRS80",
+        24.0, 57.517553930555555, 59.33333333333334, 58.0,
+        500000.0, 6375000.0, 1.0,
+    ),
+    32139: (
+        "NAD83 / Texas Central", "ETRS89", "GRS80",
+        -100.33333333333333, 29.66666666666667,
+        31.883333333333333, 30.116666666666667,
+        700000.0, 3000000.0, 1.0,
+    ),
+}
+
+# NAD83 / California Albers-free state plane zones 1-6 (EPSG 26941-26946):
+# (lon0, lat0, sp1, sp2); FE 2,000,000 / FN 500,000 for every zone
+_CALIFORNIA_ZONES = (
+    (-122.0, 39.33333333333334, 41.66666666666666, 40.0),
+    (-122.0, 37.66666666666666, 39.83333333333334, 38.33333333333334),
+    (-120.5, 36.5, 38.43333333333333, 37.06666666666667),
+    (-119.0, 35.33333333333334, 37.25, 36.0),
+    (-118.0, 33.5, 35.46666666666667, 34.03333333333333),
+    (-116.25, 32.16666666666666, 33.88333333333333, 32.78333333333333),
+)
+for _i, (_lon0, _lat0, _sp1, _sp2) in enumerate(_CALIFORNIA_ZONES):
+    _LCC_REGISTRY[26941 + _i] = (
+        "NAD83 / California zone %d" % (_i + 1), "ETRS89", "GRS80",
+        _lon0, _lat0, _sp1, _sp2, 2000000.0, 500000.0, 1.0,
+    )
+
+# NTF (Paris) Lambert zones I-IV (EPSG 27561-27564 "Nord/Centre/Sud/Corse"
+# and the carto variants 27571-27574 whose northing carries the zone
+# number): 1SP definitions at the Paris meridian, expressed in Greenwich
+# longitudes
+_NTF_LAMBERT = (
+    ("I", 49.5, 0.999877340, 200000.0),
+    ("II", 46.8, 0.99987742, 200000.0),
+    ("III", 44.1, 0.999877499, 200000.0),
+    ("IV", 42.165, 0.99994471, 185861.369),
+)
+for _i, (_num, _lat0, _k0, _fn) in enumerate(_NTF_LAMBERT):
+    _LCC_REGISTRY[27561 + _i] = (
+        "NTF (Paris) / Lambert %s"
+        % ("Nord", "Centre", "Sud", "Corse")[_i],
+        "NTF", "clrk80ign", _PARIS_LON, _lat0, _lat0, _lat0,
+        600000.0, _fn, _k0,
+    )
+    _LCC_REGISTRY[27571 + _i] = (
+        "NTF (Paris) / Lambert zone %s" % _num,
+        "NTF", "clrk80ign", _PARIS_LON, _lat0, _lat0, _lat0,
+        600000.0, _fn + (_i + 1) * 1000000.0, _k0,
+    )
 
 
 #: the commonly-encountered ESRI :54xxx "World" series (WGS84 ellipsoid)
