@@ -109,6 +109,11 @@ defaults = {
     # the host-checked smoothness domain; "plain" always uses the
     # general gather
     "geomodeling.warp-gather": "auto",
+    # GeoTIFFs above this pixel count are read through the block-level
+    # window reader (only the strips/tiles a request touches decode —
+    # GDAL's block-cache access pattern for large/cloud-optimized files);
+    # smaller files decode whole into the mtime-validated LRU cache
+    "geomodeling.windowed-read-limit": 64 * (1024**2),
 }
 
 

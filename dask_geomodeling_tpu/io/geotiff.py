@@ -27,7 +27,13 @@ from dataclasses import dataclass
 
 import numpy as np
 
-__all__ = ["write_geotiff", "read_geotiff", "read_geotiff_info", "GeoTIFFInfo"]
+__all__ = [
+    "write_geotiff",
+    "read_geotiff",
+    "read_geotiff_window",
+    "read_geotiff_info",
+    "GeoTIFFInfo",
+]
 
 # TIFF tag ids
 _IMAGE_WIDTH = 256
@@ -641,6 +647,137 @@ def read_geotiff(path):
         array=array,
         projection=info.projection,
         geo_transform=info.geo_transform,
+        no_data_value=info.no_data_value,
+        metadata=info.metadata,
+    )
+
+
+def read_geotiff_window(path, row0, row1, col0, col1):
+    """Read only the pixel window [row0:row1, col0:col1) of a GeoTIFF.
+
+    Decodes just the strips/tiles that intersect the window — the
+    block-level access pattern GDAL uses when the reference warps from a
+    large (cloud-optimized) GeoTIFF (reference raster/sources.py:133-144
+    reads through the dataset's block cache, never the whole file).  The
+    returned RasterData carries the window's shifted geotransform, so
+    every consumer treats it exactly like a smaller file.
+    """
+    from dask_geomodeling_tpu.raster.sources import RasterData
+
+    f, byte_order, tags = _open_tiff(path)
+    try:
+        info = _info_from_tags(tags)
+        row0 = max(0, min(int(row0), info.height))
+        row1 = max(row0, min(int(row1), info.height))
+        col0 = max(0, min(int(col0), info.width))
+        col1 = max(col0, min(int(col1), info.width))
+        if row1 == row0:
+            row1 = min(row0 + 1, info.height) or 1
+            row0 = row1 - 1
+        if col1 == col0:
+            col1 = min(col0 + 1, info.width) or 1
+            col0 = col1 - 1
+        out_h, out_w = row1 - row0, col1 - col0
+        dtype = np.dtype(info.dtype).newbyteorder(byte_order)
+        compression = tags.get(_COMPRESSION, [_COMPRESSION_NONE])[0]
+        predictor = tags.get(_PREDICTOR, [1])[0]
+        planar = tags.get(_PLANAR_CONFIG, [1])[0]
+        array = np.zeros((info.bands, out_h, out_w), dtype=info.dtype)
+
+        if _TILE_OFFSETS in tags:
+            tw = tags[_TILE_WIDTH][0]
+            th = tags[_TILE_LENGTH][0]
+            offsets = tags[_TILE_OFFSETS]
+            counts = tags[_TILE_BYTE_COUNTS]
+            tiles_x = -(-info.width // tw)
+            tiles_y = -(-info.height // th)
+            n_planes = info.bands if planar == 2 else 1
+            samples = 1 if planar == 2 else info.bands
+            tile_nbytes = th * tw * samples * dtype.itemsize
+            for plane in range(n_planes):
+                for ty in range(row0 // th, -(-row1 // th)):
+                    for tx in range(col0 // tw, -(-col1 // tw)):
+                        idx = (plane * tiles_y + ty) * tiles_x + tx
+                        f.seek(offsets[idx])
+                        raw = _decode(
+                            f.read(counts[idx]), compression, tile_nbytes
+                        )
+                        tile = np.frombuffer(raw, dtype=dtype)
+                        tile = tile[: th * tw * samples].reshape(
+                            th, tw, samples
+                        )
+                        if predictor != 1:
+                            tile = _undo_predictor(
+                                tile.copy(), predictor, samples
+                            )
+                        ys, xs = ty * th, tx * tw
+                        # overlap of this tile with the window
+                        ty0 = max(row0, ys)
+                        ty1 = min(row1, min(ys + th, info.height))
+                        tx0 = max(col0, xs)
+                        tx1 = min(col1, min(xs + tw, info.width))
+                        src = tile[ty0 - ys : ty1 - ys, tx0 - xs : tx1 - xs]
+                        if planar == 2:
+                            array[
+                                plane, ty0 - row0 : ty1 - row0,
+                                tx0 - col0 : tx1 - col0,
+                            ] = src[:, :, 0]
+                        else:
+                            for b in range(info.bands):
+                                array[
+                                    b, ty0 - row0 : ty1 - row0,
+                                    tx0 - col0 : tx1 - col0,
+                                ] = src[:, :, b]
+        else:
+            offsets = tags[_STRIP_OFFSETS]
+            counts = tags[_STRIP_BYTE_COUNTS]
+            rows_per_strip = min(
+                tags.get(_ROWS_PER_STRIP, [info.height])[0], info.height
+            )
+            strips_per_plane = -(-info.height // rows_per_strip)
+            samples = 1 if planar == 2 else info.bands
+            strip_nbytes = (
+                rows_per_strip * info.width * samples * dtype.itemsize
+            )
+            n_planes = info.bands if planar == 2 else 1
+            for plane in range(n_planes):
+                for strip in range(
+                    row0 // rows_per_strip, -(-row1 // rows_per_strip)
+                ):
+                    idx = plane * strips_per_plane + strip
+                    f.seek(offsets[idx])
+                    raw = _decode(f.read(counts[idx]), compression, strip_nbytes)
+                    data = np.frombuffer(raw, dtype=dtype)
+                    y0 = strip * rows_per_strip
+                    rows = min(rows_per_strip, info.height - y0)
+                    chunk = data[: rows * info.width * samples].reshape(
+                        rows, info.width, samples
+                    )
+                    if predictor != 1:
+                        chunk = _undo_predictor(chunk.copy(), predictor, samples)
+                    sy0, sy1 = max(row0, y0), min(row1, y0 + rows)
+                    src = chunk[sy0 - y0 : sy1 - y0, col0:col1]
+                    if planar == 2:
+                        array[plane, sy0 - row0 : sy1 - row0] = src[:, :, 0]
+                    else:
+                        for b in range(info.bands):
+                            array[b, sy0 - row0 : sy1 - row0] = src[:, :, b]
+    finally:
+        f.close()
+
+    gt = info.geo_transform
+    window_gt = (
+        gt[0] + col0 * gt[1] + row0 * gt[2],
+        gt[1],
+        gt[2],
+        gt[3] + col0 * gt[4] + row0 * gt[5],
+        gt[4],
+        gt[5],
+    )
+    return RasterData(
+        array=array,
+        projection=info.projection,
+        geo_transform=window_gt,
         no_data_value=info.no_data_value,
         metadata=info.metadata,
     )

@@ -234,7 +234,7 @@ class RasterSourceBase(RasterBlock):
                 "bands": bands,
             }
         else:
-            plan = self._payload_plan(mode)
+            plan = self._payload_plan(mode, request)
             plan["bands"] = bands
             if mode == "vals":
                 plan.update(
@@ -294,8 +294,10 @@ class RasterSourceBase(RasterBlock):
         except Exception:
             return None  # unparseable CRS etc.: the device path decides
 
-    def _payload_plan(self, mode):
-        """How this source ships its pixels/metadata (subclass hook)."""
+    def _payload_plan(self, mode, request=None):
+        """How this source ships its pixels/metadata (subclass hook);
+        ``request`` (vals only) lets file sources read just the window a
+        request touches."""
         raise NotImplementedError
 
     # --- temporal/extent attributes, shared by both sources ---
@@ -446,7 +448,7 @@ class MemorySource(RasterSourceBase):
             return [({"mode": "empty_meta"}, None)]
         return super().get_sources_and_requests(**request)
 
-    def _payload_plan(self, mode):
+    def _payload_plan(self, mode, request=None):
         raster_data = RasterData(
             array=self.data,
             metadata=self.metadata,
@@ -572,7 +574,7 @@ class RasterFileSource(RasterSourceBase):
     def temporal(self):
         return len(self) > 1
 
-    def _payload_plan(self, mode):
+    def _payload_plan(self, mode, request=None):
         if mode == "meta":
             return {"mode": "meta", "url": self.url}
         # load through the host read cache at plan time: the payload
@@ -580,7 +582,69 @@ class RasterFileSource(RasterSourceBase):
         # exactly like MemorySource (one decode + one HBM upload per file)
         from dask_geomodeling_tpu.runtime.pipeline import read_geotiff_cached
 
+        window = self._read_window(request)
+        if window is not None:
+            from dask_geomodeling_tpu.runtime.pipeline import (
+                read_geotiff_window_cached,
+            )
+
+            return {
+                "mode": mode,
+                "raster_data": read_geotiff_window_cached(
+                    utils.safe_abspath(self.url), *window
+                ),
+            }
         return {
             "mode": mode,
             "raster_data": read_geotiff_cached(utils.safe_abspath(self.url)),
         }
+
+    def _read_window(self, request):
+        """Source-pixel window (row0, row1, col0, col1) a vals request
+        touches, or None for whole-file reads.
+
+        Large GeoTIFFs decode block-wise (GDAL's access pattern: the
+        reference's warp reads only the blocks the target bbox maps to,
+        reference raster/sources.py:133-144); other formats and small
+        files keep the one-decode whole-file cache.
+        """
+        from dask_geomodeling_tpu.config import config
+
+        if request is None:
+            return None
+        path = utils.safe_abspath(self.url)
+        if not path.lower().endswith((".tif", ".tiff")):
+            return None
+        limit = config.get("geomodeling.windowed-read-limit", 64 * 1024**2)
+        info = self.info
+        if limit is None or info.width * info.height <= int(limit):
+            return None
+        bbox = request["bbox"]
+        try:
+            if (
+                utils.get_projection(self.projection).upper()
+                != utils.get_projection(request["projection"]).upper()
+            ):
+                from dask_geomodeling_tpu.geo.crs import transform_extent
+
+                bbox = transform_extent(
+                    bbox, request["projection"], self.projection
+                )
+            (row0, row1), (col0, col1) = (
+                self.geo_transform.get_indices_for_bbox(bbox)
+            )
+        except Exception:
+            return None  # unparseable CRS etc.: whole-file fallback
+        # nearest/bilinear sampling margin + half-open upper edge
+        margin = 2
+        row0, col0 = row0 - margin, col0 - margin
+        row1, col1 = row1 + margin + 1, col1 + margin + 1
+        if row1 <= 0 or col1 <= 0 or row0 >= info.height or col0 >= info.width:
+            # no overlap: a minimal corner window keeps the plan shape
+            return (0, 1, 0, 1)
+        return (
+            max(0, row0),
+            min(info.height, row1),
+            max(0, col0),
+            min(info.width, col1),
+        )

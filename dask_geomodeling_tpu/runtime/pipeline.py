@@ -14,11 +14,18 @@ import threading
 from collections import OrderedDict
 from concurrent.futures import ThreadPoolExecutor
 
-__all__ = ["read_geotiff_cached", "clear_read_cache", "TilePrefetcher"]
+__all__ = [
+    "read_geotiff_cached",
+    "read_geotiff_window_cached",
+    "clear_read_cache",
+    "TilePrefetcher",
+]
 
 _CACHE_LOCK = threading.Lock()
 _READ_CACHE = OrderedDict()
 _READ_CACHE_SIZE = 8
+_WINDOW_CACHE = OrderedDict()
+_WINDOW_CACHE_SIZE = 64
 
 
 def _is_envi_pair(path):
@@ -106,6 +113,28 @@ def read_geotiff_cached(path):
     return data
 
 
+def read_geotiff_window_cached(path, row0, row1, col0, col1):
+    """Read one pixel window of a large GeoTIFF (block-level decode) with
+    an mtime-validated LRU keyed by (path, window) — repeated tile
+    requests against the same window decode once."""
+    from dask_geomodeling_tpu.io.geotiff import read_geotiff_window
+
+    key = (os.path.abspath(path), int(row0), int(row1), int(col0), int(col1))
+    stamp = _file_stamp(key[0])
+    with _CACHE_LOCK:
+        entry = _WINDOW_CACHE.get(key)
+        if entry is not None and entry[0] == stamp:
+            _WINDOW_CACHE.move_to_end(key)
+            return entry[1]
+    data = read_geotiff_window(key[0], row0, row1, col0, col1)
+    with _CACHE_LOCK:
+        _WINDOW_CACHE[key] = (stamp, data)
+        _WINDOW_CACHE.move_to_end(key)
+        while len(_WINDOW_CACHE) > _WINDOW_CACHE_SIZE:
+            _WINDOW_CACHE.popitem(last=False)
+    return data
+
+
 _VECTOR_CACHE = OrderedDict()
 _VECTOR_CACHE_SIZE = 16
 
@@ -147,6 +176,7 @@ def clear_read_cache():
     """Drop all cached decoded rasters and vector frames."""
     with _CACHE_LOCK:
         _READ_CACHE.clear()
+        _WINDOW_CACHE.clear()
         _VECTOR_CACHE.clear()
 
 

@@ -1,0 +1,166 @@
+"""Block-level windowed GeoTIFF reads: only the strips/tiles a request
+touches decode (the reference's GDAL warp reads through the dataset
+block cache, reference raster/sources.py:133-144 — it never decodes a
+whole large file)."""
+from datetime import datetime
+
+import numpy as np
+import pytest
+
+from dask_geomodeling_tpu import config
+from dask_geomodeling_tpu.io.geotiff import (
+    read_geotiff,
+    read_geotiff_window,
+    write_geotiff,
+)
+from dask_geomodeling_tpu.raster import RasterFileSource
+from dask_geomodeling_tpu.runtime.pipeline import clear_read_cache
+
+
+@pytest.fixture()
+def root(tmp_path):
+    clear_read_cache()
+    with config.set({"geomodeling.root": str(tmp_path)}):
+        yield tmp_path
+    clear_read_cache()
+
+
+GT = (5000.0, 10.0, 0.0, 8000.0, 0.0, -10.0)
+
+
+def checkerfile(path, shape=(2, 97, 113), tiled=False, compress="deflate",
+                tile_size=32):
+    rng = np.random.RandomState(7)
+    values = rng.randint(0, 1000, shape).astype(np.int32)
+    write_geotiff(
+        str(path), values, GT, "EPSG:28992", -99,
+        compress=compress, tiled=tiled, tile_size=tile_size,
+    )
+    return values
+
+
+class TestWindowReader:
+    @pytest.mark.parametrize("tiled", [False, True])
+    @pytest.mark.parametrize("compress", ["deflate", "none"])
+    def test_window_equals_full_read_slice(self, tmp_path, tiled, compress):
+        values = checkerfile(
+            tmp_path / "a.tif", tiled=tiled, compress=compress
+        )
+        full = read_geotiff(str(tmp_path / "a.tif"))
+        for row0, row1, col0, col1 in (
+            (0, 97, 0, 113),       # everything
+            (10, 50, 20, 60),      # interior
+            (0, 1, 0, 1),          # corner pixel
+            (90, 97, 100, 113),    # ragged bottom-right
+            (31, 33, 31, 33),      # straddles a tile boundary
+        ):
+            win = read_geotiff_window(
+                str(tmp_path / "a.tif"), row0, row1, col0, col1
+            )
+            np.testing.assert_array_equal(
+                win.array, values[:, row0:row1, col0:col1]
+            )
+            np.testing.assert_array_equal(
+                win.array, full.array[:, row0:row1, col0:col1]
+            )
+            assert win.no_data_value == full.no_data_value
+            assert win.projection == full.projection
+
+    def test_window_geotransform_shifts(self, tmp_path):
+        checkerfile(tmp_path / "a.tif", tiled=True)
+        win = read_geotiff_window(str(tmp_path / "a.tif"), 10, 50, 20, 60)
+        assert win.geo_transform == (
+            5000.0 + 20 * 10.0, 10.0, 0.0, 8000.0 - 10 * 10.0, 0.0, -10.0
+        )
+
+    def test_out_of_range_window_clamps(self, tmp_path):
+        values = checkerfile(tmp_path / "a.tif")
+        win = read_geotiff_window(str(tmp_path / "a.tif"), -5, 500, -5, 500)
+        np.testing.assert_array_equal(win.array, values)
+
+    def test_foreign_chunky_interleaved(self, tmp_path):
+        """Multi-sample chunky (planar=1) files go through the samples
+        axis of the strip path."""
+        from tests.test_geotiff_foreign import write_minimal_tiff
+
+        rng = np.random.RandomState(3)
+        band = rng.randint(0, 255, (40, 30)).astype(np.uint8)
+        write_minimal_tiff(
+            str(tmp_path / "c.tif"), band, 1, lambda b: b, epsg=28992
+        )
+        win = read_geotiff_window(str(tmp_path / "c.tif"), 5, 20, 3, 27)
+        np.testing.assert_array_equal(win.array[0], band[5:20, 3:27])
+
+
+class TestSourceWindowing:
+    def test_same_result_windowed_vs_whole(self, root):
+        values = checkerfile(root / "big.tif", tiled=True)
+        source = RasterFileSource("big.tif", time_first=datetime(2000, 1, 1))
+        request = dict(
+            mode="vals", bbox=(5200.0, 7300.0, 5700.0, 7800.0),
+            projection="EPSG:28992", width=50, height=50,
+            start=datetime(2000, 1, 1), stop=datetime(2001, 1, 1),
+        )
+        whole = source.get_data(**request)
+        clear_read_cache()
+        with config.set({"geomodeling.windowed-read-limit": 100}):
+            windowed = source.get_data(**request)
+            plan = source.get_sources_and_requests(**request)[0][0]
+        np.testing.assert_array_equal(whole["values"], windowed["values"])
+        # the plan really carried a window, not the whole raster
+        assert plan["raster_data"].array.shape[1] < 97
+        assert plan["raster_data"].array.shape[2] < 113
+
+    def test_cross_crs_windowed(self, root):
+        checkerfile(root / "big.tif", tiled=True)
+        source = RasterFileSource("big.tif", time_first=datetime(2000, 1, 1))
+        from dask_geomodeling_tpu.geo.crs import transform_extent
+
+        bbox = transform_extent(
+            (5200.0, 7300.0, 5700.0, 7800.0), "EPSG:28992", "EPSG:3857"
+        )
+        request = dict(
+            mode="vals", bbox=bbox, projection="EPSG:3857",
+            width=40, height=40,
+            start=datetime(2000, 1, 1), stop=datetime(2001, 1, 1),
+        )
+        whole = source.get_data(**request)
+        clear_read_cache()
+        with config.set({"geomodeling.windowed-read-limit": 100}):
+            windowed = source.get_data(**request)
+        np.testing.assert_array_equal(whole["values"], windowed["values"])
+
+    def test_disjoint_bbox_is_all_fill(self, root):
+        checkerfile(root / "big.tif")
+        source = RasterFileSource("big.tif", time_first=datetime(2000, 1, 1))
+        with config.set({"geomodeling.windowed-read-limit": 100}):
+            result = source.get_data(
+                mode="vals", bbox=(99000.0, 99000.0, 99500.0, 99500.0),
+                projection="EPSG:28992", width=10, height=10,
+                start=datetime(2000, 1, 1), stop=datetime(2001, 1, 1),
+            )
+        assert (result["values"] == result["no_data_value"]).all()
+
+    def test_point_request_windowed(self, root):
+        values = checkerfile(root / "big.tif", tiled=True)
+        source = RasterFileSource("big.tif", time_first=datetime(2000, 1, 1))
+        # pixel (row 3, col 7) center
+        x = 5000.0 + 7 * 10.0 + 5.0
+        y = 8000.0 - 3 * 10.0 - 5.0
+        with config.set({"geomodeling.windowed-read-limit": 100}):
+            result = source.get_data(
+                mode="vals", bbox=(x, y, x, y),
+                projection="EPSG:28992", width=1, height=1,
+                start=datetime(2000, 1, 1), stop=datetime(2001, 1, 1),
+            )
+        np.testing.assert_array_equal(result["values"][:, 0, 0], values[:, 3, 7])
+
+    def test_small_files_keep_whole_read(self, root):
+        checkerfile(root / "small.tif")
+        source = RasterFileSource("small.tif", time_first=datetime(2000, 1, 1))
+        plan = source.get_sources_and_requests(
+            mode="vals", bbox=(5200.0, 7300.0, 5700.0, 7800.0),
+            projection="EPSG:28992", width=50, height=50,
+            start=datetime(2000, 1, 1), stop=datetime(2001, 1, 1),
+        )[0][0]
+        assert plan["raster_data"].array.shape == (2, 97, 113)
