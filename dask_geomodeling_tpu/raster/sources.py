@@ -471,7 +471,9 @@ class RasterFileSource(RasterSourceBase):
     (``.nc``/``.cdf``/``.nc3``), netCDF-4/HDF5 (``.nc4``/``.h5``/
     ``.hdf5``, via the image's h5py when available), ENVI pairs
     (``.hdr`` + bsq/bil/bip binary, ``io/envi.py``), SRTM ``.hgt``
-    tiles and DTED ``.dt0``/``.dt1``/``.dt2`` (``io/dem.py``).
+    tiles and DTED ``.dt0``/``.dt1``/``.dt2`` (``io/dem.py``), and
+    ERDAS Imagine ``.img`` (HFA node tree with dictionary-driven
+    layouts, uncompressed + ESRI-GRID-RLE blocks, ``io/hfa.py``).
 
     Args:
       url (str): path to the file, sandboxed by ``geomodeling.root``

@@ -34,6 +34,14 @@ def _is_envi_pair(path):
     return has_envi_header(path)
 
 
+def _is_hfa(path):
+    try:
+        with open(path, "rb") as stream:
+            return stream.read(16) == b"EHFA_HEADER_TAG\x00"
+    except OSError:
+        return False
+
+
 def _raster_stamp(key):
     """Cache-invalidation stamp; ENVI pairs fold in both pair members."""
     stamp = _file_stamp(key)
@@ -97,6 +105,10 @@ def read_geotiff_cached(path):
         from dask_geomodeling_tpu.io.gpkg_raster import read_gpkg_raster
 
         data = read_gpkg_raster(key)
+    elif lower.endswith(".img") and _is_hfa(key):
+        from dask_geomodeling_tpu.io.hfa import read_hfa
+
+        data = read_hfa(key)
     elif lower.endswith((".hdr", ".bsq", ".bil", ".bip", ".envi")) or (
         lower.endswith((".img", ".dat", ".raw")) and _is_envi_pair(key)
     ):
