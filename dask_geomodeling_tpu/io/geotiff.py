@@ -562,94 +562,12 @@ def read_geotiff_info(path):
 
 
 def read_geotiff(path):
-    """Read a full GeoTIFF into a RasterData-compatible object."""
-    from dask_geomodeling_tpu.raster.sources import RasterData
+    """Read a full GeoTIFF into a RasterData-compatible object.
 
-    f, byte_order, tags = _open_tiff(path)
-    try:
-        info = _info_from_tags(tags)
-        dtype = np.dtype(info.dtype).newbyteorder(byte_order)
-        compression = tags.get(_COMPRESSION, [_COMPRESSION_NONE])[0]
-        predictor = tags.get(_PREDICTOR, [1])[0]
-        planar = tags.get(_PLANAR_CONFIG, [1])[0]
-        array = np.zeros((info.bands, info.height, info.width), dtype=info.dtype)
-
-        if _TILE_OFFSETS in tags:
-            tw = tags[_TILE_WIDTH][0]
-            th = tags[_TILE_LENGTH][0]
-            offsets = tags[_TILE_OFFSETS]
-            counts = tags[_TILE_BYTE_COUNTS]
-            tiles_x = -(-info.width // tw)
-            tiles_y = -(-info.height // th)
-            idx = 0
-            n_planes = info.bands if planar == 2 else 1
-            samples = 1 if planar == 2 else info.bands
-            tile_nbytes = th * tw * samples * dtype.itemsize
-            for plane in range(n_planes):
-                for ty in range(tiles_y):
-                    for tx in range(tiles_x):
-                        f.seek(offsets[idx])
-                        raw = _decode(
-                            f.read(counts[idx]), compression, tile_nbytes
-                        )
-                        idx += 1
-                        tile = np.frombuffer(raw, dtype=dtype)
-                        tile = tile[: th * tw * samples].reshape(th, tw, samples)
-                        if predictor != 1:
-                            tile = _undo_predictor(tile.copy(), predictor, samples)
-                        ys, xs = ty * th, tx * tw
-                        h = min(th, info.height - ys)
-                        w = min(tw, info.width - xs)
-                        if planar == 2:
-                            array[plane, ys : ys + h, xs : xs + w] = tile[:h, :w, 0]
-                        else:
-                            for b in range(info.bands):
-                                array[b, ys : ys + h, xs : xs + w] = tile[:h, :w, b]
-        else:
-            offsets = tags[_STRIP_OFFSETS]
-            counts = tags[_STRIP_BYTE_COUNTS]
-            # many writers use 2**32-1 as the "single strip" convention
-            rows_per_strip = min(
-                tags.get(_ROWS_PER_STRIP, [info.height])[0], info.height
-            )
-            strips_per_plane = -(-info.height // rows_per_strip)
-            samples = 1 if planar == 2 else info.bands
-            strip_nbytes = rows_per_strip * info.width * samples * dtype.itemsize
-            for idx, (offset, count) in enumerate(zip(offsets, counts)):
-                f.seek(offset)
-                raw = _decode(f.read(count), compression, strip_nbytes)
-                data = np.frombuffer(raw, dtype=dtype)
-                if planar == 2:
-                    plane = idx // strips_per_plane
-                    strip = idx % strips_per_plane
-                    y0 = strip * rows_per_strip
-                    rows = min(rows_per_strip, info.height - y0)
-                    chunk = data[: rows * info.width].reshape(rows, info.width, 1)
-                    if predictor != 1:
-                        chunk = _undo_predictor(chunk.copy(), predictor, 1)
-                    array[plane, y0 : y0 + rows] = chunk[:, :, 0]
-                else:
-                    y0 = idx * rows_per_strip
-                    rows = min(rows_per_strip, info.height - y0)
-                    chunk = data[: rows * info.width * info.bands].reshape(
-                        rows, info.width, info.bands
-                    )
-                    if predictor != 1:
-                        chunk = _undo_predictor(
-                            chunk.copy(), predictor, info.bands
-                        )
-                    for b in range(info.bands):
-                        array[b, y0 : y0 + rows] = chunk[:, :, b]
-    finally:
-        f.close()
-
-    return RasterData(
-        array=array,
-        projection=info.projection,
-        geo_transform=info.geo_transform,
-        no_data_value=info.no_data_value,
-        metadata=info.metadata,
-    )
+    Delegates to :func:`read_geotiff_window` with the full pixel range —
+    one decode loop maintains the compression/predictor/planar logic.
+    """
+    return read_geotiff_window(path, 0, 2**62, 0, 2**62)
 
 
 def read_geotiff_window(path, row0, row1, col0, col1):

@@ -109,9 +109,10 @@ class _Dictionary:
                 obj_type = text[pos:end]
                 pos = end + 1
             elif item == "x":
+                # inline object: x{subfields}TYPENAME,FIELDNAME,
                 if text[pos] == "{":
                     obj_type, pos = self._parse_fields(text, pos)
-                    pos += 1  # the ',' after the inline '}'? no: name next
+                    pos = text.index(",", pos) + 1  # skip the inline name
             end = text.index(",", pos)
             name = text[pos:end]
             pos = end + 1

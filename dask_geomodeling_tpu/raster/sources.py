@@ -246,12 +246,14 @@ class RasterSourceBase(RasterBlock):
                     dtype=self.dtype,
                     fillvalue=self.fillvalue,
                 )
-                grid = self._host_warp_grid(request)
+                grid = self._host_warp_grid(
+                    request, plan.get("raster_data")
+                )
                 if grid is not None:
                     plan["warp_grid"] = grid
         return [(plan, None)]
 
-    def _host_warp_grid(self, request):
+    def _host_warp_grid(self, request, raster_data=None):
         """Host-precomputed coarse fractional-index grid for a cross-CRS
         vals request (ops/warp.py:host_coarse_grid), or None.
 
@@ -282,8 +284,15 @@ class RasterSourceBase(RasterBlock):
                 == get_projection(request["projection"]).upper()
             ):
                 return None
+            # the payload may be a WINDOW of the file: its indices (and
+            # hence the fractional-index grid) start at the window origin
+            geo_transform = (
+                tuple(raster_data.geo_transform)
+                if raster_data is not None
+                else tuple(self.geo_transform)
+            )
             return host_coarse_grid(
-                tuple(self.geo_transform),
+                geo_transform,
                 self.projection,
                 bbox,
                 request["projection"],
@@ -627,11 +636,11 @@ class RasterFileSource(RasterSourceBase):
                 utils.get_projection(self.projection).upper()
                 != utils.get_projection(request["projection"]).upper()
             ):
-                from dask_geomodeling_tpu.geo.crs import transform_extent
-
-                bbox = transform_extent(
+                bbox = self._densified_extent(
                     bbox, request["projection"], self.projection
                 )
+                if bbox is None:
+                    return None
             (row0, row1), (col0, col1) = (
                 self.geo_transform.get_indices_for_bbox(bbox)
             )
@@ -650,3 +659,29 @@ class RasterFileSource(RasterSourceBase):
             max(0, col0),
             min(info.width, col1),
         )
+
+    @staticmethod
+    def _densified_extent(bbox, src_proj, dst_proj, points_per_edge=21):
+        """Transform ``bbox`` to ``dst_proj`` sampling every edge densely.
+
+        Corner-only transforms under-cover the curved preimage of a bbox
+        (GDAL densifies 21 points per edge for the same reason); any
+        non-finite sample falls back to a whole-file read (None).
+        """
+        from dask_geomodeling_tpu.geo.crs import get_transform_func
+
+        x1, y1, x2, y2 = bbox
+        t = np.linspace(0.0, 1.0, points_per_edge)
+        xs = np.concatenate(
+            [x1 + (x2 - x1) * t, np.full_like(t, x2),
+             x2 + (x1 - x2) * t, np.full_like(t, x1)]
+        )
+        ys = np.concatenate(
+            [np.full_like(t, y1), y1 + (y2 - y1) * t,
+             np.full_like(t, y2), y2 + (y1 - y2) * t]
+        )
+        tx, ty = get_transform_func(src_proj, dst_proj)(xs, ys)
+        tx, ty = np.asarray(tx, float), np.asarray(ty, float)
+        if not (np.isfinite(tx).all() and np.isfinite(ty).all()):
+            return None
+        return (tx.min(), ty.min(), tx.max(), ty.max())

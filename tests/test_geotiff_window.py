@@ -130,6 +130,55 @@ class TestSourceWindowing:
             windowed = source.get_data(**request)
         np.testing.assert_array_equal(whole["values"], windowed["values"])
 
+    def test_cross_crs_windowed_jax_twin_matches_host(self, root):
+        """The device twin must gather with the WINDOW's geotransform:
+        a warp grid built from the full-file transform reads pixels
+        offset by the window origin (review finding)."""
+        checkerfile(root / "big.tif", tiled=True)
+        source = RasterFileSource("big.tif", time_first=datetime(2000, 1, 1))
+        from dask_geomodeling_tpu.geo.crs import transform_extent
+
+        bbox = transform_extent(
+            (5200.0, 7300.0, 5700.0, 7800.0), "EPSG:28992", "EPSG:3857"
+        )
+        request = dict(
+            mode="vals", bbox=bbox, projection="EPSG:3857",
+            width=40, height=40,
+            start=datetime(2000, 1, 1), stop=datetime(2001, 1, 1),
+        )
+        with config.set({"geomodeling.executor": "jax"}):
+            whole = source.get_data(**request)
+            clear_read_cache()
+            with config.set({"geomodeling.windowed-read-limit": 100}):
+                windowed = source.get_data(**request)
+        # bit-equal against the whole-file read on the SAME executor (the
+        # host-vs-device comparison is owned by the warp equivalence
+        # suite; the approximate transformer may flip boundary pixels)
+        np.testing.assert_array_equal(whole["values"], windowed["values"])
+        assert (whole["values"] != whole["no_data_value"]).any()
+
+    def test_curved_preimage_window_covers_request(self, root):
+        """A wide geographic request against a UTM source has a curved
+        preimage that extends past the corner-only bbox; the densified
+        window must still cover it (review finding)."""
+        # UTM 32N source: 200 x 240 px at 3 km, spanning ~600x720 km
+        rng = np.random.RandomState(11)
+        values = rng.randint(0, 1000, (1, 200, 240)).astype(np.int32)
+        gt = (100000.0, 3000.0, 0.0, 5900000.0, 0.0, -3000.0)
+        write_geotiff(str(root / "utm.tif"), values, gt, "EPSG:32632", -1,
+                      tiled=True, tile_size=32)
+        source = RasterFileSource("utm.tif", time_first=datetime(2000, 1, 1))
+        request = dict(
+            mode="vals", bbox=(3.0, 48.0, 9.0, 52.0),
+            projection="EPSG:4326", width=120, height=80,
+            start=datetime(2000, 1, 1), stop=datetime(2001, 1, 1),
+        )
+        whole = source.get_data(**request)
+        clear_read_cache()
+        with config.set({"geomodeling.windowed-read-limit": 100}):
+            windowed = source.get_data(**request)
+        np.testing.assert_array_equal(whole["values"], windowed["values"])
+
     def test_disjoint_bbox_is_all_fill(self, root):
         checkerfile(root / "big.tif")
         source = RasterFileSource("big.tif", time_first=datetime(2000, 1, 1))

@@ -87,6 +87,23 @@ class TestDictionary:
         assert dic.type_size("Eimg_Layer") == 20
         assert dic.type_size("Eprj_MapInfo") == 40  # five 8-byte pointers
 
+    def test_inline_x_type_definitions_parse(self):
+        """GDAL-written dictionaries contain inline ``x{...}NAME`` types
+        (e.g. Eimg_RRDNamesList in pyramided files); the grammar is
+        x{subfields}TYPENAME,FIELDNAME, (review finding)."""
+        from dask_geomodeling_tpu.io.hfa import _Dictionary
+
+        dic = _Dictionary(
+            "{1:lnumnames,0:pcalgorithm,0:x{0:pcstring,}string,nameList,}"
+            "Eimg_RRDNamesList,{1:dx,1:dy,}Eprj_Coordinate,."
+        )
+        fields = dic.types["Eimg_RRDNamesList"]
+        assert [f.name for f in fields] == [
+            "numnames", "algorithm", "nameList"
+        ]
+        assert fields[2].item == "x" and fields[2].obj_type[0].name == "string"
+        assert dic.type_size("Eprj_Coordinate") == 16
+
     def test_tree_structure(self, tmp_path):
         path = str(tmp_path / "a.img")
         write_hfa(
