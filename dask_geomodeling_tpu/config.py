@@ -114,6 +114,12 @@ defaults = {
     # GDAL's block-cache access pattern for large/cloud-optimized files);
     # smaller files decode whole into the mtime-validated LRU cache
     "geomodeling.windowed-read-limit": 64 * (1024**2),
+    # opt-in: requests at >= 2x-coarser resolution read the best
+    # reduced-resolution (overview) IFD of a pyramided GeoTIFF instead
+    # of the full grid (gdalwarp -ovr AUTO semantics; the reference's
+    # plain ReprojectImage always reads full resolution, hence off by
+    # default for bit-parity)
+    "geomodeling.use-overviews": False,
 }
 
 

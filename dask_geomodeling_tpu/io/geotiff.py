@@ -31,6 +31,7 @@ __all__ = [
     "write_geotiff",
     "read_geotiff",
     "read_geotiff_window",
+    "read_geotiff_overviews",
     "read_geotiff_info",
     "GeoTIFFInfo",
 ]
@@ -155,44 +156,15 @@ class _TiffLayout:
         return count_size + n_entries * self.entry_size + next_size
 
 
-def write_geotiff(
-    path,
-    array,
-    geo_transform,
-    projection,
-    no_data_value,
-    metadata=None,
-    compress="deflate",
-    tiled=False,
-    tile_size=256,
-    bigtiff=None,
-    byte_order="<",
-):
-    """Write a (bands, height, width) array as a GeoTIFF.
-
-    ``bigtiff=None`` auto-selects: the BigTIFF container is used whenever
-    the pixel payload could overflow classic TIFF's 32-bit offsets.
-    """
-    array = np.asarray(array)
-    if array.ndim == 2:
-        array = array[np.newaxis]
-    if array.dtype == bool:
-        array = array.astype(np.uint8)
+def _encode_image(array, compression, file_dtype, tiled, tile_size):
+    """Encode one image's pixel payload per band (planar organization)."""
     bands, height, width = array.shape
-    dtype = array.dtype
-    compression = _COMPRESSION_DEFLATE if compress == "deflate" else _COMPRESSION_NONE
-    bo = byte_order
-    file_dtype = dtype.newbyteorder(bo)
-
-    # encode pixel payload per band (planar organization)
-    chunks = []  # list of (bytes) in file order
+    chunks = []  # bytes, in file order
     if tiled:
         tw = th = int(tile_size)
-        tiles_x = -(-width // tw)
-        tiles_y = -(-height // th)
         for b in range(bands):
-            for ty in range(tiles_y):
-                for tx in range(tiles_x):
+            for ty in range(-(-height // th)):
+                for tx in range(-(-width // tw)):
                     tile = np.zeros((th, tw), dtype=file_dtype)
                     ys, xs = ty * th, tx * tw
                     sub = array[b, ys : ys + th, xs : xs + tw]
@@ -204,43 +176,58 @@ def write_geotiff(
                 _encode(np.ascontiguousarray(array[b], file_dtype).tobytes(),
                         compression)
             )
+    return chunks
 
-    if bigtiff is None:
-        # decide from the ACTUAL encoded payload (tiled writes pad tiles
-        # to full size, so array.nbytes can badly undercount), with slack
-        # for the header/IFD/out-of-line tag data
-        bigtiff = sum(len(c) for c in chunks) > 2**32 - 2**16
-    layout = _TiffLayout(bigtiff, byte_order)
 
-    # assemble tags
+def _image_blob(
+    array, chunks, base, layout, bo, compression, tiled, tile_size,
+    geo_transform, projection, no_data_value, metadata, reduced,
+):
+    """Assemble one image's [IFD | out-of-line tags | chunk data] blob
+    positioned at absolute file offset ``base``.
+
+    Returns ``(blob, next_ptr_rel)``: the byte blob and the position of
+    its next-IFD pointer relative to the blob start (patched by the
+    caller to chain overview IFDs)."""
+    bigtiff = layout.bigtiff
+    bands, height, width = array.shape
+    dtype = array.dtype
+
     tags = []
 
     def tag(tid, ttype, values):
         tags.append((tid, ttype, values))
 
+    if reduced:
+        # overview IFDs carry only pixel layout (GDAL pyramid layout)
+        tag(_NEW_SUBFILE_TYPE, _TYPE_LONG, [1])
     tag(_IMAGE_WIDTH, _TYPE_LONG, [width])
     tag(_IMAGE_LENGTH, _TYPE_LONG, [height])
     tag(_BITS_PER_SAMPLE, _TYPE_SHORT, [dtype.itemsize * 8] * bands)
     tag(_COMPRESSION, _TYPE_SHORT, [compression])
     tag(_PHOTOMETRIC, _TYPE_SHORT, [1])  # BlackIsZero
-    if metadata is not None:
+    if not reduced and metadata is not None:
         desc = json.dumps({"band_metadata": list(metadata)})
         tag(_IMAGE_DESCRIPTION, _TYPE_ASCII, desc)
     tag(_SAMPLES_PER_PIXEL, _TYPE_SHORT, [bands])
     tag(_PLANAR_CONFIG, _TYPE_SHORT, [2])  # planar: band-sequential
     tag(_SAMPLE_FORMAT, _TYPE_SHORT, [_SAMPLE_FORMATS[dtype.kind]] * bands)
 
-    p, a, _, q, _, d = geo_transform
-    tag(_MODEL_PIXEL_SCALE, _TYPE_DOUBLE, [abs(a), abs(d), 0.0])
-    tag(_MODEL_TIEPOINT, _TYPE_DOUBLE, [0.0, 0.0, 0.0, p, q, 0.0])
-    tag(_GEO_KEY_DIRECTORY, _TYPE_SHORT, _geokeys_for_projection(projection))
-    if no_data_value is not None:
-        # plain-float repr: numpy scalars would render "np.float64(...)"
-        tag(_GDAL_NODATA, _TYPE_ASCII, repr(float(no_data_value)))
+    if not reduced:
+        p, a, _, q, _, d = geo_transform
+        tag(_MODEL_PIXEL_SCALE, _TYPE_DOUBLE, [abs(a), abs(d), 0.0])
+        tag(_MODEL_TIEPOINT, _TYPE_DOUBLE, [0.0, 0.0, 0.0, p, q, 0.0])
+        tag(
+            _GEO_KEY_DIRECTORY, _TYPE_SHORT,
+            _geokeys_for_projection(projection),
+        )
+        if no_data_value is not None:
+            # plain-float repr: numpy scalars render "np.float64(...)"
+            tag(_GDAL_NODATA, _TYPE_ASCII, repr(float(no_data_value)))
 
     if tiled:
-        tag(_TILE_WIDTH, _TYPE_SHORT, [tw])
-        tag(_TILE_LENGTH, _TYPE_SHORT, [th])
+        tag(_TILE_WIDTH, _TYPE_SHORT, [int(tile_size)])
+        tag(_TILE_LENGTH, _TYPE_SHORT, [int(tile_size)])
         offsets_tag = (_TILE_OFFSETS, layout.offsets_type)
         counts_tag = (_TILE_BYTE_COUNTS, layout.offsets_type)
     else:
@@ -248,14 +235,12 @@ def write_geotiff(
         offsets_tag = (_STRIP_OFFSETS, layout.offsets_type)
         counts_tag = (_STRIP_BYTE_COUNTS, layout.offsets_type)
 
-    # layout: header | IFD | out-of-line tag data | chunk data
+    # blob layout: IFD | out-of-line tag data | chunk data
     n_entries = len(tags) + 2  # plus offsets & counts
-    ifd_offset = layout.header_size
     ifd_size = layout.ifd_size(n_entries)
 
-    # serialize tag values, collecting out-of-line payloads
     extra = bytearray()
-    extra_offset = ifd_offset + ifd_size
+    extra_offset = base + ifd_size
 
     def pack_values(ttype, values):
         if ttype == _TYPE_ASCII:
@@ -319,20 +304,104 @@ def write_geotiff(
             inline - len(offsets_data)
         )
 
-    with open(path, "wb") as f:
-        f.write(layout.header(ifd_offset))
-        f.write(struct.pack(bo + layout.count_fmt, n_entries))
-        for tid, ttype, count, value_field, _ in entries:
-            f.write(
-                struct.pack(
-                    bo + "HH" + ("Q" if bigtiff else "I"), tid, ttype, count
-                )
-                + value_field
+    blob = bytearray()
+    blob += struct.pack(bo + layout.count_fmt, n_entries)
+    for tid, ttype, count, value_field, _ in entries:
+        blob += (
+            struct.pack(
+                bo + "HH" + ("Q" if layout.bigtiff else "I"), tid, ttype, count
             )
-        f.write(struct.pack(bo + layout.offset_fmt, 0))  # no next IFD
-        f.write(bytes(extra))
-        for c in chunks:
-            f.write(c)
+            + value_field
+        )
+    next_ptr_rel = len(blob)
+    blob += struct.pack(bo + layout.offset_fmt, 0)  # no next IFD (default)
+    blob += bytes(extra)
+    for c in chunks:
+        blob += c
+    return bytes(blob), next_ptr_rel
+
+
+def write_geotiff(
+    path,
+    array,
+    geo_transform,
+    projection,
+    no_data_value,
+    metadata=None,
+    compress="deflate",
+    tiled=False,
+    tile_size=256,
+    bigtiff=None,
+    byte_order="<",
+    overviews=None,
+):
+    """Write a (bands, height, width) array as a GeoTIFF.
+
+    ``bigtiff=None`` auto-selects: the BigTIFF container is used whenever
+    the pixel payload could overflow classic TIFF's 32-bit offsets.
+
+    ``overviews`` is an optional list of integer decimation factors
+    (e.g. ``[2, 4, 8]``); each appends a nearest-subsampled
+    reduced-resolution IFD (``NewSubfileType`` 1) chained after the main
+    one — the pyramid layout ``gdaladdo`` produces, selectable for
+    coarse requests via ``geomodeling.use-overviews``.
+    """
+    array = np.asarray(array)
+    if array.ndim == 2:
+        array = array[np.newaxis]
+    if array.dtype == bool:
+        array = array.astype(np.uint8)
+    dtype = array.dtype
+    compression = _COMPRESSION_DEFLATE if compress == "deflate" else _COMPRESSION_NONE
+    bo = byte_order
+    file_dtype = dtype.newbyteorder(bo)
+
+    images = [array]
+    for factor in overviews or ():
+        factor = int(factor)
+        if factor < 2:
+            raise ValueError("overview factors must be >= 2: %r" % factor)
+        images.append(array[:, ::factor, ::factor])
+
+    image_chunks = [
+        _encode_image(image, compression, file_dtype, tiled, tile_size)
+        for image in images
+    ]
+    if bigtiff is None:
+        # decide from the ACTUAL encoded payload (tiled writes pad tiles
+        # to full size, so array.nbytes can badly undercount), with slack
+        # for the header/IFD/out-of-line tag data
+        total = sum(len(c) for chunks in image_chunks for c in chunks)
+        bigtiff = total > 2**32 - 2**16
+    layout = _TiffLayout(bigtiff, byte_order)
+
+    blobs = []
+    starts = []  # absolute file offset of each IFD
+    next_ptr_positions = []  # absolute file position of each next-IFD ptr
+    base = layout.header_size
+    for index, (image, chunks) in enumerate(zip(images, image_chunks)):
+        starts.append(base)
+        blob, next_rel = _image_blob(
+            image, chunks, base, layout, bo, compression, tiled, tile_size,
+            geo_transform, projection, no_data_value, metadata,
+            reduced=index > 0,
+        )
+        blobs.append(blob)
+        next_ptr_positions.append(base + next_rel)
+        base += len(blob)
+
+    out = bytearray()
+    out += layout.header(layout.header_size)
+    for blob in blobs:
+        out += blob
+    # chain the IFDs
+    for index in range(len(blobs) - 1):
+        struct.pack_into(
+            bo + layout.offset_fmt, out, next_ptr_positions[index],
+            starts[index + 1],
+        )
+    with open(path, "wb") as f:
+        f.write(bytes(out))
 
 
 def _encode(data, compression):
@@ -467,7 +536,11 @@ def _read_ifd(f, byte_order, bigtiff):
             data = f.read(size)
             f.seek(pos)
         tags[tid] = _parse_tag_values(ttype, count, data, byte_order)
-    return tags
+    # the next-IFD pointer trails the entry table
+    (next_ifd,) = struct.unpack(
+        byte_order + ("Q" if bigtiff else "I"), f.read(8 if bigtiff else 4)
+    )
+    return tags, next_ifd
 
 
 def _parse_tag_values(ttype, count, data, byte_order):
@@ -507,8 +580,45 @@ def _open_tiff(path):
         f.close()
         raise ValueError("Not a TIFF file (magic %d): %s" % (magic, path))
     f.seek(ifd_offset)
-    tags = _read_ifd(f, byte_order, bigtiff)
+    tags, _ = _read_ifd(f, byte_order, bigtiff)
     return f, byte_order, tags
+
+
+_NEW_SUBFILE_TYPE = 254
+
+
+def _open_tiff_all(path):
+    """Open a TIFF and parse every IFD in its chain."""
+    f, byte_order, _ = _open_tiff(path)
+    # re-derive the chain from the start (cheap: headers only)
+    f.seek(2)
+    (magic,) = struct.unpack(byte_order + "H", f.read(2))
+    bigtiff = magic == 43
+    if bigtiff:
+        f.seek(8)
+        (offset,) = struct.unpack(byte_order + "Q", f.read(8))
+    else:
+        f.seek(4)
+        (offset,) = struct.unpack(byte_order + "I", f.read(4))
+    ifds = []
+    while offset and len(ifds) < 64:
+        f.seek(offset)
+        tags, offset = _read_ifd(f, byte_order, bigtiff)
+        ifds.append(tags)
+    return f, byte_order, ifds
+
+
+def read_geotiff_overviews(path):
+    """(width, height) of each reduced-resolution (overview) IFD, in
+    file order — the pyramid levels GDAL's ``-ovr`` machinery selects
+    among for coarse-resolution requests."""
+    f, _, ifds = _open_tiff_all(path)
+    f.close()
+    out = []
+    for tags in ifds[1:]:
+        if tags.get(_NEW_SUBFILE_TYPE, [0])[0] & 1:
+            out.append((tags[_IMAGE_WIDTH][0], tags[_IMAGE_LENGTH][0]))
+    return out
 
 
 def _info_from_tags(tags):
@@ -570,7 +680,7 @@ def read_geotiff(path):
     return read_geotiff_window(path, 0, 2**62, 0, 2**62)
 
 
-def read_geotiff_window(path, row0, row1, col0, col1):
+def read_geotiff_window(path, row0, row1, col0, col1, level=0):
     """Read only the pixel window [row0:row1, col0:col1) of a GeoTIFF.
 
     Decodes just the strips/tiles that intersect the window — the
@@ -579,12 +689,50 @@ def read_geotiff_window(path, row0, row1, col0, col1):
     reads through the dataset's block cache, never the whole file).  The
     returned RasterData carries the window's shifted geotransform, so
     every consumer treats it exactly like a smaller file.
+
+    ``level`` > 0 reads the level-th reduced-resolution (overview) IFD
+    instead — window coordinates are then in that level's pixel space,
+    and the geotransform scales accordingly (georeferencing, nodata and
+    projection always come from the main IFD; overview IFDs carry only
+    pixel layout, like GDAL-built pyramids).
     """
     from dask_geomodeling_tpu.raster.sources import RasterData
 
-    f, byte_order, tags = _open_tiff(path)
+    if level == 0:
+        f, byte_order, tags = _open_tiff(path)
+        scale_info = None
+    else:
+        f, byte_order, ifds = _open_tiff_all(path)
+        overviews = [
+            t for t in ifds[1:] if t.get(_NEW_SUBFILE_TYPE, [0])[0] & 1
+        ]
+        if level > len(overviews):
+            f.close()
+            raise ValueError(
+                "overview level %d of %d requested: %s"
+                % (level, len(overviews), path)
+            )
+        tags = overviews[level - 1]
+        scale_info = _info_from_tags(ifds[0])
     try:
         info = _info_from_tags(tags)
+        if scale_info is not None:
+            # overview IFDs lack geo tags: scale the main geotransform
+            gt = scale_info.geo_transform
+            fx = scale_info.width / float(info.width)
+            fy = scale_info.height / float(info.height)
+            info = GeoTIFFInfo(
+                width=info.width,
+                height=info.height,
+                bands=info.bands,
+                dtype=info.dtype,
+                projection=scale_info.projection,
+                geo_transform=(
+                    gt[0], gt[1] * fx, gt[2], gt[3], gt[4], gt[5] * fy
+                ),
+                no_data_value=scale_info.no_data_value,
+                metadata=scale_info.metadata,
+            )
         row0 = max(0, min(int(row0), info.height))
         row1 = max(row0, min(int(row1), info.height))
         col0 = max(0, min(int(col0), info.width))

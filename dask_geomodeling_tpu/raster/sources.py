@@ -542,6 +542,8 @@ class RasterFileSource(RasterSourceBase):
     def close_dataset(self):
         if hasattr(self, "_info"):
             del self._info
+        if hasattr(self, "_overviews"):
+            del self._overviews
 
     @property
     def projection(self):
@@ -593,16 +595,17 @@ class RasterFileSource(RasterSourceBase):
         # exactly like MemorySource (one decode + one HBM upload per file)
         from dask_geomodeling_tpu.runtime.pipeline import read_geotiff_cached
 
-        window = self._read_window(request)
-        if window is not None:
+        plan = self._file_read_plan(request)
+        if plan is not None:
             from dask_geomodeling_tpu.runtime.pipeline import (
                 read_geotiff_window_cached,
             )
 
+            level, window = plan
             return {
                 "mode": mode,
                 "raster_data": read_geotiff_window_cached(
-                    utils.safe_abspath(self.url), *window
+                    utils.safe_abspath(self.url), *window, level=level
                 ),
             }
         return {
@@ -610,14 +613,18 @@ class RasterFileSource(RasterSourceBase):
             "raster_data": read_geotiff_cached(utils.safe_abspath(self.url)),
         }
 
-    def _read_window(self, request):
-        """Source-pixel window (row0, row1, col0, col1) a vals request
-        touches, or None for whole-file reads.
+    def _file_read_plan(self, request):
+        """``(level, (row0, row1, col0, col1))`` for a vals request, or
+        None for the plain whole-file read.
 
-        Large GeoTIFFs decode block-wise (GDAL's access pattern: the
-        reference's warp reads only the blocks the target bbox maps to,
-        reference raster/sources.py:133-144); other formats and small
-        files keep the one-decode whole-file cache.
+        Two GDAL-style access patterns compose here: large GeoTIFFs
+        decode block-wise (only the strips/tiles the target bbox maps
+        to — the reference's warp reads through GDAL's block cache,
+        reference raster/sources.py:133-144), and with
+        ``geomodeling.use-overviews`` on, requests at coarse resolution
+        read from the best reduced-resolution IFD instead of the full
+        grid (``gdalwarp -ovr AUTO``).  Other formats and small files
+        keep the one-decode whole-file cache.
         """
         from dask_geomodeling_tpu.config import config
 
@@ -626,10 +633,9 @@ class RasterFileSource(RasterSourceBase):
         path = utils.safe_abspath(self.url)
         if not path.lower().endswith((".tif", ".tiff")):
             return None
-        limit = config.get("geomodeling.windowed-read-limit", 64 * 1024**2)
         info = self.info
-        if limit is None or info.width * info.height <= int(limit):
-            return None
+
+        # 1. source-CRS bbox of the request (densified across CRSes)
         bbox = request["bbox"]
         try:
             if (
@@ -641,24 +647,87 @@ class RasterFileSource(RasterSourceBase):
                 )
                 if bbox is None:
                     return None
-            (row0, row1), (col0, col1) = (
-                self.geo_transform.get_indices_for_bbox(bbox)
-            )
         except Exception:
             return None  # unparseable CRS etc.: whole-file fallback
+
+        # 2. overview selection: coarse requests read the pyramid
+        level = 0
+        level_w, level_h = info.width, info.height
+        gt = tuple(self.geo_transform)
+        if config.get("geomodeling.use-overviews", False):
+            level, level_w, level_h = self._overview_choice(bbox, request)
+            if level:
+                fx = info.width / float(level_w)
+                fy = info.height / float(level_h)
+                gt = (gt[0], gt[1] * fx, gt[2], gt[3], gt[4], gt[5] * fy)
+
+        # 3. window gate: only files above the limit decode block-wise
+        limit = config.get("geomodeling.windowed-read-limit", 64 * 1024**2)
+        if limit is None or level_w * level_h <= int(limit):
+            if level == 0:
+                return None
+            return level, (0, level_h, 0, level_w)
+
+        try:
+            (row0, row1), (col0, col1) = utils.GeoTransform(
+                gt
+            ).get_indices_for_bbox(bbox)
+        except Exception:
+            return (level, (0, level_h, 0, level_w)) if level else None
         # nearest/bilinear sampling margin + half-open upper edge
         margin = 2
         row0, col0 = row0 - margin, col0 - margin
         row1, col1 = row1 + margin + 1, col1 + margin + 1
-        if row1 <= 0 or col1 <= 0 or row0 >= info.height or col0 >= info.width:
+        if row1 <= 0 or col1 <= 0 or row0 >= level_h or col0 >= level_w:
             # no overlap: a minimal corner window keeps the plan shape
-            return (0, 1, 0, 1)
-        return (
+            return level, (0, 1, 0, 1)
+        return level, (
             max(0, row0),
-            min(info.height, row1),
+            min(level_h, row1),
             max(0, col0),
-            min(info.width, col1),
+            min(level_w, col1),
         )
+
+    def _overview_choice(self, bbox, request):
+        """(level, width, height) of the coarsest overview still finer
+        than the request resolution, or (0, full_w, full_h)."""
+        info = self.info
+        full = (0, info.width, info.height)
+        width, height = request["width"], request["height"]
+        if width <= 0 or height <= 0:
+            return full
+        req_cell_x = abs(bbox[2] - bbox[0]) / float(width)
+        req_cell_y = abs(bbox[3] - bbox[1]) / float(height)
+        gt = self.geo_transform
+        src_cell_x, src_cell_y = abs(gt[1]), abs(gt[5])
+        if req_cell_x <= 0 or req_cell_y <= 0:
+            return full
+        ratio = min(req_cell_x / src_cell_x, req_cell_y / src_cell_y)
+        if ratio < 2.0:
+            return full
+        try:
+            overviews = self._overview_sizes()
+        except Exception:
+            return full
+        best = full
+        best_factor = 1.0
+        for index, (ov_w, ov_h) in enumerate(overviews):
+            factor = info.width / float(ov_w)
+            if factor <= ratio and factor > best_factor:
+                best = (index + 1, ov_w, ov_h)
+                best_factor = factor
+        return best
+
+    def _overview_sizes(self):
+        try:
+            return self._overviews
+        except AttributeError:
+            from dask_geomodeling_tpu.io.geotiff import read_geotiff_overviews
+
+            self._overviews = read_geotiff_overviews(
+                utils.safe_abspath(self.url)
+            )
+            return self._overviews
 
     @staticmethod
     def _densified_extent(bbox, src_proj, dst_proj, points_per_edge=21):

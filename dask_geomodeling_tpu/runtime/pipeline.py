@@ -125,20 +125,24 @@ def read_geotiff_cached(path):
     return data
 
 
-def read_geotiff_window_cached(path, row0, row1, col0, col1):
-    """Read one pixel window of a large GeoTIFF (block-level decode) with
-    an mtime-validated LRU keyed by (path, window) — repeated tile
-    requests against the same window decode once."""
+def read_geotiff_window_cached(path, row0, row1, col0, col1, level=0):
+    """Read one pixel window of a large GeoTIFF (block-level decode,
+    optionally of an overview level) with an mtime-validated LRU keyed
+    by (path, window, level) — repeated tile requests against the same
+    window decode once."""
     from dask_geomodeling_tpu.io.geotiff import read_geotiff_window
 
-    key = (os.path.abspath(path), int(row0), int(row1), int(col0), int(col1))
+    key = (
+        os.path.abspath(path), int(row0), int(row1), int(col0), int(col1),
+        int(level),
+    )
     stamp = _file_stamp(key[0])
     with _CACHE_LOCK:
         entry = _WINDOW_CACHE.get(key)
         if entry is not None and entry[0] == stamp:
             _WINDOW_CACHE.move_to_end(key)
             return entry[1]
-    data = read_geotiff_window(key[0], row0, row1, col0, col1)
+    data = read_geotiff_window(key[0], row0, row1, col0, col1, level=level)
     with _CACHE_LOCK:
         _WINDOW_CACHE[key] = (stamp, data)
         _WINDOW_CACHE.move_to_end(key)

@@ -92,6 +92,126 @@ class TestWindowReader:
         np.testing.assert_array_equal(win.array[0], band[5:20, 3:27])
 
 
+class TestOverviews:
+    def test_write_read_overviews(self, tmp_path):
+        rng = np.random.RandomState(9)
+        values = rng.randint(0, 4000, (2, 120, 90)).astype(np.uint16)
+        path = str(tmp_path / "pyr.tif")
+        write_geotiff(
+            path, values, GT, "EPSG:28992", None,
+            tiled=True, tile_size=32, overviews=[2, 4],
+        )
+        from dask_geomodeling_tpu.io.geotiff import read_geotiff_overviews
+
+        assert read_geotiff_overviews(path) == [(45, 60), (23, 30)]
+        # the main image is untouched by the pyramid
+        np.testing.assert_array_equal(read_geotiff(path).array, values)
+
+    @pytest.mark.parametrize("tiled", [False, True])
+    def test_level_reads(self, tmp_path, tiled):
+        rng = np.random.RandomState(10)
+        values = rng.randint(0, 255, (1, 100, 100)).astype(np.uint8)
+        path = str(tmp_path / "pyr.tif")
+        write_geotiff(
+            path, values, GT, "EPSG:28992", -1.0,
+            tiled=tiled, tile_size=32, overviews=[2, 4],
+        )
+        level1 = read_geotiff_window(path, 0, 50, 0, 50, level=1)
+        np.testing.assert_array_equal(level1.array, values[:, ::2, ::2])
+        # overview georeferencing: same origin, doubled pixel size,
+        # nodata/projection inherited from the main IFD
+        np.testing.assert_allclose(
+            level1.geo_transform, (5000.0, 20.0, 0.0, 8000.0, 0.0, -20.0)
+        )
+        assert level1.no_data_value == -1.0
+        assert level1.projection == "EPSG:28992"
+        level2 = read_geotiff_window(path, 3, 17, 2, 21, level=2)
+        np.testing.assert_array_equal(
+            level2.array, values[:, ::4, ::4][:, 3:17, 2:21]
+        )
+        with pytest.raises(ValueError, match="overview level"):
+            read_geotiff_window(path, 0, 5, 0, 5, level=3)
+
+    def test_no_overviews_listed_for_plain_file(self, tmp_path):
+        from dask_geomodeling_tpu.io.geotiff import read_geotiff_overviews
+
+        path = str(tmp_path / "plain.tif")
+        write_geotiff(
+            path, np.zeros((1, 5, 5), np.uint8), GT, "EPSG:28992", None
+        )
+        assert read_geotiff_overviews(path) == []
+
+    def test_source_serves_coarse_requests_from_overview(self, root):
+        rng = np.random.RandomState(12)
+        values = rng.randint(0, 1000, (1, 128, 128)).astype(np.int32)
+        write_geotiff(
+            str(root / "pyr.tif"), values, GT, "EPSG:28992", -1,
+            tiled=True, tile_size=32, overviews=[4],
+        )
+        source = RasterFileSource("pyr.tif", time_first=datetime(2000, 1, 1))
+        # a request exactly on the overview grid: 4x coarser, full extent
+        request = dict(
+            mode="vals",
+            bbox=(5000.0, 8000.0 - 128 * 10.0, 5000.0 + 128 * 10.0, 8000.0),
+            projection="EPSG:28992", width=32, height=32,
+            start=datetime(2000, 1, 1), stop=datetime(2001, 1, 1),
+        )
+        with config.set({"geomodeling.use-overviews": True}):
+            plan = source.get_sources_and_requests(**request)[0][0]
+            result = source.get_data(**request)
+        assert plan["raster_data"].array.shape == (1, 32, 32)
+        np.testing.assert_array_equal(result["values"], values[:, ::4, ::4])
+        # default-off keeps full-resolution reads (reference semantics)
+        plan = source.get_sources_and_requests(**request)[0][0]
+        assert plan["raster_data"].array.shape == (1, 128, 128)
+
+    def test_fine_requests_ignore_overviews(self, root):
+        values = np.arange(64 * 64, dtype=np.uint16).reshape(1, 64, 64)
+        write_geotiff(
+            str(root / "pyr.tif"), values, GT, "EPSG:28992", None,
+            overviews=[2],
+        )
+        source = RasterFileSource("pyr.tif", time_first=datetime(2000, 1, 1))
+        with config.set({"geomodeling.use-overviews": True}):
+            result = source.get_data(
+                mode="vals",
+                bbox=(5000.0, 8000.0 - 640.0, 5640.0, 8000.0),
+                projection="EPSG:28992", width=64, height=64,
+                start=datetime(2000, 1, 1), stop=datetime(2001, 1, 1),
+            )
+        np.testing.assert_array_equal(result["values"], values)
+
+    def test_overview_plus_window(self, root):
+        """Above the window limit the overview read is itself windowed."""
+        rng = np.random.RandomState(13)
+        values = rng.randint(0, 250, (1, 256, 256)).astype(np.uint8)
+        write_geotiff(
+            str(root / "pyr.tif"), values, GT, "EPSG:28992", 255,
+            tiled=True, tile_size=32, overviews=[2],
+        )
+        source = RasterFileSource("pyr.tif", time_first=datetime(2000, 1, 1))
+        # 2x-coarse request over the top-left quarter
+        request = dict(
+            mode="vals",
+            bbox=(5000.0, 8000.0 - 128 * 10.0, 5000.0 + 128 * 10.0, 8000.0),
+            projection="EPSG:28992", width=64, height=64,
+            start=datetime(2000, 1, 1), stop=datetime(2001, 1, 1),
+        )
+        with config.set(
+            {
+                "geomodeling.use-overviews": True,
+                "geomodeling.windowed-read-limit": 1000,
+            }
+        ):
+            plan = source.get_sources_and_requests(**request)[0][0]
+            result = source.get_data(**request)
+        # the decoded payload is a window of the overview, not 128^2
+        assert plan["raster_data"].array.shape[1] <= 70
+        np.testing.assert_array_equal(
+            result["values"], values[:, ::2, ::2][:, :64, :64]
+        )
+
+
 class TestSourceWindowing:
     def test_same_result_windowed_vs_whole(self, root):
         values = checkerfile(root / "big.tif", tiled=True)
