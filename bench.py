@@ -133,6 +133,15 @@ def main():
     # ~30% above the 2-batch 5120 default (BASELINE.md round-2 sweep).
     # The repo-local .xla_cache warm-starts the otherwise ~5 min tunnel
     # compile of the batched program.
+    def note(message):
+        # phase timestamps on stderr: the tunnel can stall for minutes,
+        # and the driver's log should show WHERE (stdout stays one JSON)
+        print(
+            "# %s %s" % (time.strftime("%H:%M:%S"), message),
+            file=sys.stderr,
+            flush=True,
+        )
+
     out_px = int(sys.argv[1]) if len(sys.argv) > 1 else 10240
     tile = 512
     source, view = build_view()
@@ -141,10 +150,12 @@ def main():
     total_mpx = out_px * out_px / 1e6
 
     # numpy baseline (the reference's dask-sync equivalent) on a subset
+    note("host baseline starting")
     run_numpy(view, requests[:1])  # warmup
     n_base = max(len(requests) // 20, 4)
     base_elapsed = run_numpy(view, requests[:n_base]) * (len(requests) / n_base)
     baseline = total_mpx / base_elapsed
+    note("host baseline done (%.1f Mpx/s); device warmup next" % baseline)
 
     telemetry = {}
     try:
@@ -155,6 +166,7 @@ def main():
         # min/max spread and a raw fetch-bandwidth probe ship as telemetry
         # so regressions separate from tunnel weather)
         result = evaluate_tiled(view, request, tile_size=tile, batch=64)
+        note("device warmup done; spot check next")
         # correctness spot check: a host-path crop must match bit-exactly
         check = dict(request)
         x1, y1, x2, y2 = request["bbox"]
@@ -175,10 +187,14 @@ def main():
         # tunnel throughput jitters up to 3x run to run (same-session
         # swings of 27-86 Mpx/s measured); nine samples keep the median
         # robust against a slow-transfer cluster
-        for _ in range(9):
+        for index in range(9):
             t0 = time.perf_counter()
             result = evaluate_tiled(view, request, tile_size=tile, batch=64)
             runs.append(time.perf_counter() - t0)
+            note(
+                "timed run %d/9: %.1f Mpx/s"
+                % (index + 1, total_mpx / runs[-1])
+            )
         assert result["values"].shape[-1] == out_px
         runs.sort()
         value = total_mpx / runs[len(runs) // 2]
