@@ -64,6 +64,7 @@ supported_extensions = {
     "zip",
     "topojson",
     "sqlite",
+    "osm",
 }
 
 
@@ -1119,6 +1120,10 @@ def read_vector(path, layer=None):
         return _read_csv(path)
     if fmt == "gpx":
         return _read_gpx(path, layer)
+    if fmt == "osm":
+        from dask_geomodeling_tpu.io.osm import read_osm
+
+        return read_osm(path, layer)
     return _read_gpkg(path, layer)
 
 
