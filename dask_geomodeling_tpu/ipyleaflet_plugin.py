@@ -133,12 +133,13 @@ def wms_app(environ, start_response):
     return [raw]
 
 
-try:  # pragma: no cover - optional notebook integration
-    from notebook.base.handlers import IPythonHandler
-    from notebook.utils import url_path_join
+try:
+    import tornado.web
 
-    class GeomodelingWMSHandler(IPythonHandler):
-        """Tornado handler serving WMS tiles inside a Jupyter server."""
+    class GeomodelingWMSHandler(tornado.web.RequestHandler):
+        """Tornado handler serving WMS tiles (mounted under the Jupyter
+        server by :func:`load_jupyter_server_extension`, or in any tornado
+        Application at a ``/wms`` route)."""
 
         def get(self):
             params = {
@@ -163,6 +164,10 @@ try:  # pragma: no cover - optional notebook integration
                 self.set_status(e.status)
                 self.finish(e.message)
                 return
+            except (KeyError, ValueError, TypeError) as e:
+                self.set_status(400)
+                self.finish("Invalid request parameters: %s" % e)
+                return
             self.set_header("Content-Length", len(raw))
             self.set_header("Content-Type", "image/png")
             for key, value in _NO_CACHE_HEADERS:
@@ -170,14 +175,17 @@ try:  # pragma: no cover - optional notebook integration
             self.write(raw)
             self.finish()
 
-    def load_jupyter_server_extension(nb_server_app):
-        web_app = nb_server_app.web_app
-        route_pattern = url_path_join(web_app.settings["base_url"], "/wms")
-        web_app.add_handlers(".*$", [(route_pattern, GeomodelingWMSHandler)])
-
-except ImportError:  # notebook not installed: WSGI app remains available
+except ImportError:  # tornado not installed: WSGI app remains available
     GeomodelingWMSHandler = None
-    load_jupyter_server_extension = None
+
+
+def load_jupyter_server_extension(nb_server_app):
+    """Register the WMS handler on a running Jupyter notebook server."""
+    from notebook.utils import url_path_join
+
+    web_app = nb_server_app.web_app
+    route_pattern = url_path_join(web_app.settings["base_url"], "/wms")
+    web_app.add_handlers(".*$", [(route_pattern, GeomodelingWMSHandler)])
 
 
 try:  # pragma: no cover - optional notebook integration

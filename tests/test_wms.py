@@ -192,6 +192,116 @@ def test_concurrent_rendering(view_json):
     assert serial_jax == serial  # executors agree on the rendered pixels
 
 
+def test_tornado_handler(view_json):
+    """The Tornado handler (the reference's Jupyter serving path,
+    ipyleaflet_plugin.py:18-87) over a real tornado HTTPServer."""
+    import asyncio
+    import threading
+    import urllib.parse
+    import urllib.request
+
+    import tornado.httpserver
+    import tornado.netutil
+    import tornado.web
+
+    from dask_geomodeling_tpu.ipyleaflet_plugin import GeomodelingWMSHandler
+
+    assert GeomodelingWMSHandler is not None
+    started = threading.Event()
+    box = {}
+
+    def serve():
+        loop = asyncio.new_event_loop()
+        asyncio.set_event_loop(loop)
+        app = tornado.web.Application([(r"/wms", GeomodelingWMSHandler)])
+        server = tornado.httpserver.HTTPServer(app)
+        sockets = tornado.netutil.bind_sockets(0, "127.0.0.1")
+        server.add_sockets(sockets)
+        box["port"] = sockets[0].getsockname()[1]
+        box["loop"] = loop
+        started.set()
+        loop.run_forever()
+
+    thread = threading.Thread(target=serve, daemon=True)
+    thread.start()
+    assert started.wait(timeout=30)
+    try:
+        query = urllib.parse.urlencode(base_params(view_json))
+        with urllib.request.urlopen(
+            "http://127.0.0.1:%d/wms?%s" % (box["port"], query), timeout=30
+        ) as response:
+            assert response.status == 200
+            assert response.headers["Content-Type"] == "image/png"
+            assert response.headers["Pragma"] == "no-cache"
+            body = response.read()
+        assert body[:8] == b"\x89PNG\r\n\x1a\n"
+        # identical pixels to the WSGI path
+        assert body == render_wms_tile(base_params(view_json))
+        # client errors surface as HTTP 400s with the WMSError message
+        bad = urllib.parse.urlencode(
+            dict(base_params(view_json), bbox="0,0,100000,100000")
+        )
+        try:
+            urllib.request.urlopen(
+                "http://127.0.0.1:%d/wms?%s" % (box["port"], bad), timeout=30
+            )
+            code, text = None, ""
+        except urllib.error.HTTPError as e:
+            code, text = e.code, e.read().decode()
+        assert code == 400 and "Too large" in text
+        # malformed parameters are 400s too, not 500s
+        ugly = urllib.parse.urlencode(
+            dict(base_params(view_json), bbox="not,a,bbox")
+        )
+        try:
+            urllib.request.urlopen(
+                "http://127.0.0.1:%d/wms?%s" % (box["port"], ugly), timeout=30
+            )
+            code = None
+        except urllib.error.HTTPError as e:
+            code = e.code
+        assert code == 400
+    finally:
+        box["loop"].call_soon_threadsafe(box["loop"].stop)
+        thread.join(timeout=5)
+
+
+def test_load_jupyter_server_extension_registers_route(monkeypatch):
+    """The notebook extension hook wires /wms under the server base_url
+    (stub notebook module; the real package is absent in this image)."""
+    import sys
+    import types
+
+    stub_utils = types.ModuleType("notebook.utils")
+    stub_utils.url_path_join = lambda *parts: "/".join(
+        p.strip("/") for p in parts if p.strip("/")
+    ) or "/"
+    stub_notebook = types.ModuleType("notebook")
+    stub_notebook.utils = stub_utils
+    monkeypatch.setitem(sys.modules, "notebook", stub_notebook)
+    monkeypatch.setitem(sys.modules, "notebook.utils", stub_utils)
+
+    from dask_geomodeling_tpu.ipyleaflet_plugin import (
+        GeomodelingWMSHandler,
+        load_jupyter_server_extension,
+    )
+
+    registered = {}
+
+    class FakeWebApp:
+        settings = {"base_url": "/user/me/"}
+
+        def add_handlers(self, pattern, handlers):
+            registered["pattern"] = pattern
+            registered["handlers"] = handlers
+
+    app = types.SimpleNamespace(web_app=FakeWebApp())
+    load_jupyter_server_extension(app)
+    (route, handler), = registered["handlers"]
+    assert route.endswith("wms")
+    assert handler is GeomodelingWMSHandler
+
+
 def test_geomodeling_layer_with_stub_ipyleaflet(monkeypatch):
     """Exercise the ipyleaflet layer class by injecting a stub WMSLayer
     (the real package is not in this image; the subclass logic — traits,
