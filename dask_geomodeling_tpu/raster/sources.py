@@ -480,9 +480,11 @@ class RasterFileSource(RasterSourceBase):
     (``.nc``/``.cdf``/``.nc3``), netCDF-4/HDF5 (``.nc4``/``.h5``/
     ``.hdf5``, via the image's h5py when available), ENVI pairs
     (``.hdr`` + bsq/bil/bip binary, ``io/envi.py``), SRTM ``.hgt``
-    tiles and DTED ``.dt0``/``.dt1``/``.dt2`` (``io/dem.py``), and
+    tiles and DTED ``.dt0``/``.dt1``/``.dt2`` (``io/dem.py``),
     ERDAS Imagine ``.img`` (HFA node tree with dictionary-driven
-    layouts, uncompressed + ESRI-GRID-RLE blocks, ``io/hfa.py``).
+    layouts, uncompressed + ESRI-GRID-RLE blocks, ``io/hfa.py``), and
+    GRIB2 (``.grib2``/``.grb2``: simple/complex/spatially-differenced/
+    PNG packing, lat-lon + Lambert grids, bitmaps, ``io/grib.py``).
 
     Args:
       url (str): path to the file, sandboxed by ``geomodeling.root``
@@ -514,7 +516,7 @@ class RasterFileSource(RasterSourceBase):
                     ".nc3", ".nc4", ".h5", ".hdf5", ".jpg", ".jpeg",
                     ".bmp", ".gif", ".gpkg", ".hgt", ".dt0", ".dt1", ".dt2",
                     ".hdr", ".bsq", ".bil", ".bip", ".envi", ".img", ".dat",
-                    ".raw",
+                    ".raw", ".grib", ".grib2", ".grb", ".grb2", ".gb2",
                 )
             ):
                 from dask_geomodeling_tpu.io.geotiff import GeoTIFFInfo

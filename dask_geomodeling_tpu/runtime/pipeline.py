@@ -101,6 +101,10 @@ def read_geotiff_cached(path):
         from dask_geomodeling_tpu.io.dem import read_dted
 
         data = read_dted(key)
+    elif lower.endswith((".grib", ".grib2", ".grb", ".grb2", ".gb2")):
+        from dask_geomodeling_tpu.io.grib import read_grib
+
+        data = read_grib(key)
     elif lower.endswith(".gpkg"):
         from dask_geomodeling_tpu.io.gpkg_raster import read_gpkg_raster
 

@@ -1,0 +1,486 @@
+"""GRIB2 raster source tests.
+
+The fixtures are built by an independent spec-conformant encoder below
+(WMO FM 92 GRIB edition 2 octet layouts written out by hand), so the
+reader in ``io/grib.py`` is tested against the specification, not
+against itself.  Reference behavior: GDAL's GRIB driver behind
+``gdal.Open`` (reference raster/sources.py:66-71).
+"""
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from dask_geomodeling_tpu.io.grib import read_grib
+
+
+# ---------------------------------------------------------------- encoder
+
+
+def _sm(value, n):
+    """GRIB sign-magnitude encoding of a signed int in n octets."""
+    sign = 0
+    if value < 0:
+        sign = 1 << (8 * n - 1)
+        value = -value
+    return (value | sign).to_bytes(n, "big")
+
+
+def _pack_bits(values, nbits):
+    """Big-endian bitstream of unsigned ints, padded to whole octets."""
+    out = bytearray()
+    acc = 0
+    na = 0
+    for v in values:
+        for b in range(nbits - 1, -1, -1):
+            acc = (acc << 1) | ((int(v) >> b) & 1)
+            na += 1
+            if na == 8:
+                out.append(acc)
+                acc = 0
+                na = 0
+    if na:
+        out.append(acc << (8 - na))
+    return bytes(out)
+
+
+def _section(number, body):
+    return struct.pack(">IB", len(body) + 5, number) + body
+
+
+def _sec1(year=2024, month=3, day=15, hour=6):
+    return _section(
+        1,
+        struct.pack(">HHBBB", 0, 0, 2, 1, 1)
+        + struct.pack(">HBBBBB", year, month, day, hour, 0, 0),
+    )
+
+
+def _sec3_latlon(ni, nj, la1, lo1, la2, lo2, di, dj, scan):
+    tpl = bytearray()
+    tpl += bytes([6])  # shape of earth: sphere 6 371 229 m
+    tpl += bytes(5)  # radius scale factor + value (unused for shape 6)
+    tpl += bytes(10)  # major/minor scale factors + values
+    tpl += struct.pack(">II", ni, nj)
+    tpl += bytes(8)  # basic angle + subdivisions: 0 -> 1e-6 degrees
+    tpl += _sm(round(la1 * 1e6), 4)
+    tpl += _sm(round((lo1 % 360.0) * 1e6), 4)
+    tpl += bytes([0x30])  # resolution flags: Di and Dj are given
+    tpl += _sm(round(la2 * 1e6), 4)
+    tpl += _sm(round((lo2 % 360.0) * 1e6), 4)
+    tpl += struct.pack(">II", round(di * 1e6), round(dj * 1e6))
+    tpl += bytes([scan])
+    body = struct.pack(">BIBBH", 0, ni * nj, 0, 0, 0) + tpl
+    return _section(3, bytes(body))
+
+
+def _sec3_lambert(ni, nj, la1, lo1, lad, lov, dx, dy, latin1, latin2, scan):
+    tpl = bytearray()
+    tpl += bytes([6])
+    tpl += bytes(15)
+    tpl += struct.pack(">II", ni, nj)
+    tpl += _sm(round(la1 * 1e6), 4)
+    tpl += _sm(round((lo1 % 360.0) * 1e6), 4)
+    tpl += bytes([0x08])
+    tpl += _sm(round(lad * 1e6), 4)
+    tpl += _sm(round((lov % 360.0) * 1e6), 4)
+    tpl += struct.pack(">II", round(dx * 1e3), round(dy * 1e3))
+    tpl += bytes([0])  # projection centre: north pole
+    tpl += bytes([scan])
+    tpl += _sm(round(latin1 * 1e6), 4)
+    tpl += _sm(round(latin2 * 1e6), 4)
+    tpl += _sm(-90000000, 4) + bytes(4)  # southern pole
+    body = struct.pack(">BIBBH", 0, ni * nj, 0, 0, 30) + tpl
+    return _section(3, bytes(body))
+
+
+def _sec4(category=1, number=8, time_unit=1, forecast=3):
+    # product definition template 4.0
+    tpl = struct.pack(
+        ">BBBBBHBB", category, number, 2, 0, 0, 0, 0, time_unit
+    ) + _sm(forecast, 4) + struct.pack(">BBIBBI", 1, 0, 0, 255, 0, 0)
+    return _section(4, struct.pack(">HH", 0, 0) + tpl)
+
+
+def _sec5_simple(npts, R, E, D, nbits):
+    tpl = struct.pack(">f", R) + _sm(E, 2) + _sm(D, 2) + bytes([nbits, 0])
+    return _section(5, struct.pack(">IH", npts, 0) + tpl)
+
+
+def _sec6(mask=None):
+    if mask is None:
+        return _section(6, bytes([255]))
+    return _section(6, bytes([0]) + _pack_bits(mask.astype(int), 1))
+
+
+def _sec7_simple(packed, nbits):
+    return _section(7, _pack_bits(packed, nbits))
+
+
+def _message(sections, discipline=0):
+    inner = b"".join(sections)
+    total = 16 + len(inner) + 4
+    return (
+        b"GRIB" + bytes(2) + bytes([discipline, 2])
+        + struct.pack(">Q", total) + inner + b"7777"
+    )
+
+
+def _simple_message(values, la1=55.0, lo1=4.0, di=0.5, dj=0.5, scan=0,
+                    R=0.0, E=0, D=0, bitmap=None, forecast=3):
+    """One GRIB2 message with simple packing of the *stored point
+    sequence* ``values`` ((nj, ni), row 0 = first scan row).  ``la1``/
+    ``lo1`` always name the NORTH/WEST edge of the grid; the first
+    grid point follows from the scanning mode."""
+    nj, ni = values.shape
+    if scan & 0x40:  # +j: first point is the southern edge
+        first_lat, la2 = la1 - dj * (nj - 1), la1
+    else:
+        first_lat, la2 = la1, la1 - dj * (nj - 1)
+    if scan & 0x80:  # -i: first point is the eastern edge
+        first_lon, lo2 = lo1 + di * (ni - 1), lo1
+    else:
+        first_lon, lo2 = lo1, lo1 + di * (ni - 1)
+    flat = values.ravel()
+    if bitmap is not None:
+        flat = flat[bitmap.ravel()]
+    nbits = max(int(flat.max()).bit_length(), 1) if flat.size else 1
+    return _message([
+        _sec1(),
+        _sec3_latlon(ni, nj, first_lat, first_lon, la2, lo2, di, dj, scan),
+        _sec4(forecast=forecast),
+        _sec5_simple(flat.size, R, E, D, nbits),
+        _sec6(None if bitmap is None else bitmap.ravel()),
+        _sec7_simple(flat, nbits),
+    ])
+
+
+# ------------------------------------------------------------------ tests
+
+
+def _write(tmp_path, raw, name="test.grib2"):
+    path = os.path.join(str(tmp_path), name)
+    with open(path, "wb") as f:
+        f.write(raw)
+    return path
+
+
+def test_simple_packing_roundtrip(tmp_path):
+    values = np.arange(20, dtype=np.int64).reshape(4, 5)
+    path = _write(tmp_path, _simple_message(values))
+    data = read_grib(path)
+    assert data.array.shape == (1, 4, 5)
+    np.testing.assert_array_equal(data.array[0], values)
+    assert data.projection == "EPSG:4326"
+    # node registration: half-pixel shift around the first grid point
+    np.testing.assert_allclose(
+        data.geo_transform, (4 - 0.25, 0.5, 0, 55 + 0.25, 0, -0.5)
+    )
+    assert "parameterCategory=1" in data.metadata[0]
+    assert "refTime=2024-03-15T06:00:00" in data.metadata[0]
+    assert "forecastTime=+3h" in data.metadata[0]
+
+
+def test_scaling(tmp_path):
+    # Y = (R + X * 2^E) / 10^D with E=-1, D=1
+    packed = np.array([[0, 1, 2], [3, 4, 5]], dtype=np.int64)
+    path = _write(tmp_path, _simple_message(packed, R=1.5, E=-1, D=1))
+    data = read_grib(path)
+    expected = (1.5 + packed * 0.5) / 10.0
+    np.testing.assert_allclose(data.array[0], expected)
+
+
+def test_bitmap(tmp_path):
+    values = np.arange(1, 13, dtype=np.int64).reshape(3, 4)
+    bitmap = np.ones((3, 4), dtype=bool)
+    bitmap[1, 2] = False
+    bitmap[2, 0] = False
+    path = _write(tmp_path, _simple_message(values, bitmap=bitmap))
+    data = read_grib(path)
+    out = data.array[0]
+    assert out[1, 2] == data.no_data_value
+    assert out[2, 0] == data.no_data_value
+    np.testing.assert_array_equal(out[bitmap], values[bitmap])
+
+
+def test_multi_message_stack(tmp_path):
+    a = np.arange(6, dtype=np.int64).reshape(2, 3)
+    b = a * 7
+    raw = _simple_message(a, forecast=0) + _simple_message(b, forecast=6)
+    path = _write(tmp_path, raw)
+    data = read_grib(path)
+    assert data.array.shape == (2, 2, 3)
+    np.testing.assert_array_equal(data.array[0], a)
+    np.testing.assert_array_equal(data.array[1], b)
+    assert "forecastTime=+0h" in data.metadata[0]
+    assert "forecastTime=+6h" in data.metadata[1]
+
+
+@pytest.mark.parametrize("scan", [0x00, 0x40, 0x80, 0xC0, 0x10])
+def test_scanning_modes(tmp_path, scan):
+    """All axis orders decode to the same north-up array."""
+    north_up = np.arange(12, dtype=np.int64).reshape(3, 4)
+    stored = north_up
+    if scan & 0x40:
+        stored = stored[::-1]
+    if scan & 0x80:
+        stored = stored[:, ::-1]
+    if scan & 0x10:  # boustrophedon: alternate rows reverse
+        stored = stored.copy()
+        stored[1::2] = stored[1::2, ::-1]
+    path = _write(tmp_path, _simple_message(stored, scan=scan))
+    data = read_grib(path)
+    np.testing.assert_array_equal(data.array[0], north_up)
+    np.testing.assert_allclose(
+        data.geo_transform, (4 - 0.25, 0.5, 0, 55 + 0.25, 0, -0.5)
+    )
+
+
+def test_consecutive_j(tmp_path):
+    """Scanning mode 0x20: adjacent points run along j (column-major)."""
+    north_up = np.arange(12, dtype=np.int64).reshape(3, 4)
+    ni, nj = 4, 3
+    la1, lo1, di, dj = 55.0, 4.0, 0.5, 0.5
+    la2, lo2 = la1 - dj * (nj - 1), lo1 + di * (ni - 1)
+    flat = north_up.T.ravel()  # column-major point sequence
+    nbits = 4
+    raw = _message([
+        _sec1(),
+        _sec3_latlon(ni, nj, la1, lo1, la2, lo2, di, dj, 0x20),
+        _sec4(),
+        _sec5_simple(flat.size, 0.0, 0, 0, nbits),
+        _sec6(None),
+        _sec7_simple(flat, nbits),
+    ])
+    data = read_grib(_write(tmp_path, raw))
+    np.testing.assert_array_equal(data.array[0], north_up)
+
+
+def test_complex_packing(tmp_path):
+    """Data template 7.2: two groups with distinct widths, plus a
+    primary-missing-value group entry."""
+    # group 1: 4 values around ref 10 (width 2); group 2: constant 3
+    g1 = [10, 11, 13, 12]
+    g2 = [3, 3, 3]
+    values = np.array(g1 + g2, dtype=np.int64)
+    ni, nj = 7, 1
+    nbits = 5
+    refs = [10, 3]
+    widths = [2, 0]
+    lengths = [4, 3]
+    sec5_tpl = (
+        struct.pack(">f", 0.0) + _sm(0, 2) + _sm(0, 2)
+        + bytes([nbits, 0])  # bits, field type
+        + bytes([1])  # group splitting method: general
+        + bytes([0])  # missing value management: none
+        + bytes(8)  # primary/secondary missing substitutes
+        + struct.pack(">I", 2)  # NG
+        + bytes([0])  # group width reference
+        + bytes([8])  # bits for group widths
+        + struct.pack(">I", 0)  # group length reference
+        + bytes([1])  # length increment
+        + struct.pack(">I", 3)  # true length of last group
+        + bytes([8])  # bits for scaled group lengths
+    )
+    sec5 = _section(5, struct.pack(">IH", values.size, 2) + sec5_tpl)
+    stream = (
+        _pack_bits(refs, nbits)
+        + _pack_bits(widths, 8)
+        + _pack_bits(lengths, 8)
+        + _pack_bits([v - refs[0] for v in g1], 2)
+    )
+    raw = _message([
+        _sec1(),
+        _sec3_latlon(ni, nj, 55.0, 4.0, 55.0, 7.0, 0.5, 0.5, 0),
+        _sec4(),
+        sec5,
+        _sec6(None),
+        _section(7, stream),
+    ])
+    data = read_grib(_write(tmp_path, raw))
+    np.testing.assert_array_equal(data.array[0, 0], values)
+
+
+def test_complex_packing_missing_values(tmp_path):
+    """Missing value management 1: all-ones codes mark missing points."""
+    ni, nj = 5, 1
+    nbits = 4
+    # one group, width 2: packed 0,1,3(missing),2,1 around ref 7
+    packed = [0, 1, 3, 2, 1]
+    sec5_tpl = (
+        struct.pack(">f", 0.0) + _sm(0, 2) + _sm(0, 2)
+        + bytes([nbits, 0, 1, 1])  # splitting general, missing mgmt 1
+        + bytes(8)
+        + struct.pack(">I", 1)
+        + bytes([0, 8])
+        + struct.pack(">I", 0)
+        + bytes([1])
+        + struct.pack(">I", 5)
+        + bytes([8])
+    )
+    sec5 = _section(5, struct.pack(">IH", 5, 2) + sec5_tpl)
+    stream = (
+        _pack_bits([7], nbits)
+        + _pack_bits([2], 8)
+        + _pack_bits([5], 8)
+        + _pack_bits(packed, 2)
+    )
+    raw = _message([
+        _sec1(),
+        _sec3_latlon(ni, nj, 55.0, 4.0, 55.0, 6.0, 0.5, 0.5, 0),
+        _sec4(),
+        sec5,
+        _sec6(None),
+        _section(7, stream),
+    ])
+    data = read_grib(_write(tmp_path, raw))
+    out = data.array[0, 0]
+    np.testing.assert_array_equal(
+        out[[0, 1, 3, 4]], np.array([7, 8, 9, 8], dtype=float)
+    )
+    assert out[2] == data.no_data_value
+
+
+@pytest.mark.parametrize("order", [1, 2])
+def test_spatial_differencing(tmp_path, order):
+    """Data template 7.3: encode a smooth field's differences by hand,
+    decode, and compare against the original (g2lib semantics)."""
+    field = np.array([100, 103, 108, 115, 124, 135, 148, 150, 149, 151],
+                     dtype=np.int64)
+    npts = field.size
+    if order == 1:
+        diffs = np.diff(field)
+        initials = [int(field[0])]
+    else:
+        diffs = np.diff(np.diff(field))
+        initials = [int(field[0]), int(field[1])]
+    gmin = int(diffs.min())
+    # packed stream: `order` placeholder zeros, then diffs - gmin
+    packed = np.concatenate(
+        [np.zeros(order, dtype=np.int64), diffs - gmin]
+    )
+    nbits = max(int(packed.max()).bit_length(), 1)
+    nb = 2  # octets per extra descriptor
+    sec5_tpl = (
+        struct.pack(">f", 0.0) + _sm(0, 2) + _sm(0, 2)
+        + bytes([nbits, 0, 1, 0])
+        + bytes(8)
+        + struct.pack(">I", 1)  # one group
+        + bytes([0, 8])
+        + struct.pack(">I", 0)
+        + bytes([1])
+        + struct.pack(">I", npts)
+        + bytes([8])
+        + bytes([order, nb])
+    )
+    sec5 = _section(5, struct.pack(">IH", npts, 3) + sec5_tpl)
+    stream = (
+        b"".join(_sm(v, nb) for v in initials)
+        + _sm(gmin, nb)
+        + _pack_bits([0], nbits)  # group reference
+        + _pack_bits([nbits], 8)  # group width
+        + _pack_bits([npts], 8)  # scaled group length
+        + _pack_bits(packed, nbits)
+    )
+    raw = _message([
+        _sec1(),
+        _sec3_latlon(npts, 1, 55.0, 4.0, 55.0, 4 + 0.5 * (npts - 1),
+                     0.5, 0.5, 0),
+        _sec4(),
+        sec5,
+        _sec6(None),
+        _section(7, stream),
+    ])
+    data = read_grib(_write(tmp_path, raw))
+    np.testing.assert_array_equal(data.array[0, 0], field)
+
+
+def test_png_packing(tmp_path):
+    """Data template 7.41: the data section is a PNG stream."""
+    from dask_geomodeling_tpu.io.png import write_png_bytes
+
+    values = (np.arange(24, dtype=np.uint8).reshape(4, 6) * 9) % 251
+    png = write_png_bytes(values[np.newaxis])
+    sec5_tpl = struct.pack(">f", 0.0) + _sm(0, 2) + _sm(0, 2) + bytes([8, 0])
+    sec5 = _section(5, struct.pack(">IH", values.size, 41) + sec5_tpl)
+    raw = _message([
+        _sec1(),
+        _sec3_latlon(6, 4, 55.0, 4.0, 53.5, 6.5, 0.5, 0.5, 0),
+        _sec4(),
+        sec5,
+        _sec6(None),
+        _section(7, png),
+    ])
+    data = read_grib(_write(tmp_path, raw))
+    np.testing.assert_array_equal(data.array[0], values)
+
+
+def test_lambert_grid(tmp_path):
+    """Grid template 3.30 maps onto the native LCC CRS."""
+    values = np.arange(12, dtype=np.int64).reshape(3, 4)
+    nj, ni = values.shape
+    flat = values.ravel()
+    raw = _message([
+        _sec1(),
+        _sec3_lambert(ni, nj, la1=46.0, lo1=5.0, lad=52.0, lov=10.0,
+                      dx=3000.0, dy=3000.0, latin1=48.0, latin2=56.0,
+                      scan=0x40),  # rows south -> north (HRRR-style)
+        _sec4(),
+        _sec5_simple(values.size, 0.0, 0, 0, 4),
+        _sec6(None),
+        _sec7_simple(flat, 4),
+    ])
+    data = read_grib(_write(tmp_path, raw))
+    assert "+proj=lcc" in data.projection
+    assert "+lat_1=48" in data.projection
+    # +j scanning: stored row 0 is the southernmost -> flipped on decode
+    np.testing.assert_array_equal(data.array[0], values[::-1])
+    gt = data.geo_transform
+    assert gt[1] == 3000.0 and gt[5] == -3000.0
+    # the first grid point (la1, lo1) is the grid's SW node: the north
+    # edge sits (nj-1) rows above it, plus the half-pixel shift
+    from dask_geomodeling_tpu.geo.crs import get_transform_func
+
+    x1, y1 = get_transform_func("EPSG:4326", data.projection)(
+        np.array([5.0]), np.array([46.0])
+    )
+    np.testing.assert_allclose(gt[0], float(x1[0]) - 1500.0, rtol=1e-9)
+    np.testing.assert_allclose(
+        gt[3], float(y1[0]) + 2 * 3000.0 + 1500.0, rtol=1e-9
+    )
+
+
+def test_raster_file_source_integration(tmp_path):
+    """GRIB2 behind RasterFileSource: request protocol end to end."""
+    from dask_geomodeling_tpu import config
+    from dask_geomodeling_tpu.raster import RasterFileSource
+
+    values = np.arange(100, dtype=np.int64).reshape(10, 10)
+    path = _write(tmp_path, _simple_message(
+        values, la1=55.0, lo1=4.0, di=0.1, dj=0.1))
+    with config.set({"geomodeling.root": str(tmp_path)}):
+        source = RasterFileSource("test.grib2")
+        assert source.projection == "EPSG:4326"
+        assert len(source) == 1
+        data = source.get_data(
+            mode="vals",
+            bbox=(3.95, 54.15, 4.95, 55.05),
+            projection="EPSG:4326",
+            width=10,
+            height=9,
+        )
+    assert data["values"].shape == (1, 9, 10)
+    np.testing.assert_array_equal(data["values"][0], values[:9].astype("f8"))
+    meta = source.get_data(mode="meta", start=None, stop=None)
+    assert "GRIB discipline=0" in meta["meta"][0]
+
+
+def test_errors(tmp_path):
+    with pytest.raises(IOError, match="Not a GRIB"):
+        read_grib(_write(tmp_path, b"NOPE" + bytes(20)))
+    # edition 1 is rejected with a clear message
+    raw = bytearray(_simple_message(np.ones((2, 2), dtype=np.int64)))
+    raw[7] = 1
+    with pytest.raises(ValueError, match="edition"):
+        read_grib(_write(tmp_path, bytes(raw)))
