@@ -182,9 +182,14 @@ def _encode_image(array, compression, file_dtype, tiled, tile_size):
 def _image_blob(
     array, chunks, base, layout, bo, compression, tiled, tile_size,
     geo_transform, projection, no_data_value, metadata, reduced,
+    data_start=None,
 ):
     """Assemble one image's [IFD | out-of-line tags | chunk data] blob
     positioned at absolute file offset ``base``.
+
+    With ``data_start`` given, the chunk data is NOT appended: offsets
+    point into a caller-managed data region starting there (the
+    cloud-optimized layout, where all IFDs precede all pixel data).
 
     Returns ``(blob, next_ptr_rel)``: the byte blob and the position of
     its next-IFD pointer relative to the blob start (patched by the
@@ -284,7 +289,9 @@ def _image_blob(
             if len(extra) % 2:
                 extra.append(0)
 
-    data_start = extra_offset + len(extra)
+    include_data = data_start is None
+    if include_data:
+        data_start = extra_offset + len(extra)
 
     # compute chunk offsets and patch them in
     offsets = []
@@ -316,8 +323,9 @@ def _image_blob(
     next_ptr_rel = len(blob)
     blob += struct.pack(bo + layout.offset_fmt, 0)  # no next IFD (default)
     blob += bytes(extra)
-    for c in chunks:
-        blob += c
+    if include_data:
+        for c in chunks:
+            blob += c
     return bytes(blob), next_ptr_rel
 
 
@@ -334,6 +342,7 @@ def write_geotiff(
     bigtiff=None,
     byte_order="<",
     overviews=None,
+    cog=False,
 ):
     """Write a (bands, height, width) array as a GeoTIFF.
 
@@ -345,6 +354,13 @@ def write_geotiff(
     reduced-resolution IFD (``NewSubfileType`` 1) chained after the main
     one — the pyramid layout ``gdaladdo`` produces, selectable for
     coarse requests via ``geomodeling.use-overviews``.
+
+    ``cog=True`` writes the cloud-optimized GeoTIFF layout (the GDAL COG
+    driver's structure, minus its optional ghost-area hints): tiled
+    pixel data, auto-generated overview pyramid when ``overviews`` is
+    not given, every IFD at the head of the file, and pixel data ordered
+    smallest-overview-first / full-resolution-last so remote range reads
+    resolve headers and previews without scanning the file.
     """
     array = np.asarray(array)
     if array.ndim == 2:
@@ -355,6 +371,18 @@ def write_geotiff(
     compression = _COMPRESSION_DEFLATE if compress == "deflate" else _COMPRESSION_NONE
     bo = byte_order
     file_dtype = dtype.newbyteorder(bo)
+
+    if cog:
+        tiled = True
+        if overviews is None:
+            # halve until the overview fits in a single tile
+            overviews = []
+            factor = 2
+            while min(array.shape[1], array.shape[2]) // factor > int(
+                tile_size
+            ):
+                overviews.append(factor)
+                factor *= 2
 
     images = [array]
     for factor in overviews or ():
@@ -375,6 +403,25 @@ def write_geotiff(
         bigtiff = total > 2**32 - 2**16
     layout = _TiffLayout(bigtiff, byte_order)
 
+    data_starts = [None] * len(images)
+    if cog:
+        # sizing pass: IFD blob sizes are offset-independent (fixed-width
+        # binary fields), so a zero data_start yields the true layout
+        ifd_sizes = [
+            len(_image_blob(
+                image, chunks, 0, layout, bo, compression, tiled, tile_size,
+                geo_transform, projection, no_data_value, metadata,
+                reduced=index > 0, data_start=0,
+            )[0])
+            for index, (image, chunks) in enumerate(zip(images, image_chunks))
+        ]
+        # data region: smallest overview first, full resolution last
+        data_order = list(range(len(images) - 1, -1, -1))
+        pos = layout.header_size + sum(ifd_sizes)
+        for index in data_order:
+            data_starts[index] = pos
+            pos += sum(len(c) for c in image_chunks[index])
+
     blobs = []
     starts = []  # absolute file offset of each IFD
     next_ptr_positions = []  # absolute file position of each next-IFD ptr
@@ -384,7 +431,7 @@ def write_geotiff(
         blob, next_rel = _image_blob(
             image, chunks, base, layout, bo, compression, tiled, tile_size,
             geo_transform, projection, no_data_value, metadata,
-            reduced=index > 0,
+            reduced=index > 0, data_start=data_starts[index],
         )
         blobs.append(blob)
         next_ptr_positions.append(base + next_rel)
@@ -394,6 +441,11 @@ def write_geotiff(
     out += layout.header(layout.header_size)
     for blob in blobs:
         out += blob
+    if cog:
+        for index in data_order:
+            assert len(out) == data_starts[index]
+            for c in image_chunks[index]:
+                out += c
     # chain the IFDs
     for index in range(len(blobs) - 1):
         struct.pack_into(

@@ -20,7 +20,7 @@ from dask_geomodeling_tpu.geo.geotransform import GeoTransform
 from dask_geomodeling_tpu.raster.base import BaseSingle, RasterBlock
 from dask_geomodeling_tpu.raster.parallelize import RasterTiler
 
-__all__ = ["RasterFileSink", "to_file"]
+__all__ = ["RasterFileSink", "to_file", "to_cog"]
 
 logger = logging.getLogger(__name__)
 
@@ -129,6 +129,41 @@ def to_file(source, url, tile_size, **request):
     tiler.get_data(**request)
 
     RasterFileSink.merge_files(tiles_dir, path)
+
+
+def to_cog(source, url, overviews=None, **request):
+    """Export a RasterBlock as a single cloud-optimized GeoTIFF.
+
+    The modern single-file counterpart of :func:`to_file`'s tiles+VRT
+    layout: tiled pixel data, an overview pyramid (auto-generated unless
+    ``overviews`` decimation factors are given), and all IFDs at the
+    head of the file so remote range-readers resolve the header and
+    previews cheaply.  Missing request fields default to the source's
+    native grid exactly like :func:`to_file`; the admission-control
+    raster limit bounds the request like any other ``get_data`` call
+    (oversized requests go through the batched tile runtime).
+    """
+    from dask_geomodeling_tpu.io.geotiff import write_geotiff
+
+    request = _native_request(source, request)
+    path = utils.safe_abspath(url)
+    data = source.get_data(**request)
+    if data is None or "values" not in data:
+        raise ValueError("The source returned no data for this request")
+    height, width = np.asarray(data["values"]).shape[1:]
+    fill = data["no_data_value"]
+    write_geotiff(
+        path,
+        np.asarray(data["values"]),
+        geo_transform=tuple(
+            GeoTransform.from_bbox(request["bbox"], height, width)
+        ),
+        projection=request["projection"],
+        no_data_value=None if fill is None else float(fill),
+        compress="deflate",
+        cog=True,
+        overviews=overviews,
+    )
 
 
 #: export request fields derivable from a source raster's native grid:
