@@ -105,6 +105,10 @@ def read_geotiff_cached(path):
         from dask_geomodeling_tpu.io.grib import read_grib
 
         data = read_grib(key)
+    elif lower.endswith(".mbtiles"):
+        from dask_geomodeling_tpu.io.mbtiles import read_mbtiles
+
+        data = read_mbtiles(key)
     elif lower.endswith(".gpkg"):
         from dask_geomodeling_tpu.io.gpkg_raster import read_gpkg_raster
 

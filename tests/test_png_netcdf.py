@@ -736,3 +736,127 @@ class TestGpkgRaster:
         path = str(root / "vec.gpkg")
         write_vector(frame, path)
         assert not is_raster_gpkg(path)
+
+
+class TestMbtiles:
+    """MBTiles pyramids (GDAL MBTiles driver role): Web Mercator grid,
+    TMS row axis (row 0 at the south edge)."""
+
+    # zoom 10 resolution for 256-px tiles
+    RES = 2 * 20037508.342789244 / (256 * 2**10)
+
+    def _grid_aligned_gt(self, col, row_xyz, px_off=0, py_off=0):
+        span = 256 * self.RES
+        ox = -20037508.342789244 + col * span + px_off * self.RES
+        oy = 20037508.342789244 - row_xyz * span - py_off * self.RES
+        return (ox, self.RES, 0.0, oy, 0.0, -self.RES)
+
+    def test_roundtrip_via_file_source(self, root):
+        from dask_geomodeling_tpu.io.mbtiles import read_mbtiles, write_mbtiles
+
+        values = (
+            np.arange(3 * 300 * 520, dtype=np.uint8).reshape(3, 300, 520)
+            % 251
+        )
+        gt = self._grid_aligned_gt(col=520, row_xyz=330)
+        path = str(root / "tiles.mbtiles")
+        write_mbtiles(path, values, gt, projection="EPSG:3857")
+        data = read_mbtiles(path)
+        assert data.array.shape == (3, 512, 768)  # padded to whole tiles
+        np.testing.assert_array_equal(data.array[:, :300, :520], values)
+        np.testing.assert_allclose(data.geo_transform, gt, rtol=1e-12)
+        assert data.projection == "EPSG:3857"
+
+        source = RasterFileSource(
+            "tiles.mbtiles", time_first=datetime(2000, 1, 1)
+        )
+        assert source.projection == "EPSG:3857"
+        result = source.get_data(
+            mode="vals",
+            bbox=(gt[0], gt[3] - 32 * self.RES, gt[0] + 32 * self.RES, gt[3]),
+            projection="EPSG:3857", width=32, height=32,
+            start=datetime(2000, 1, 1),
+        )
+        np.testing.assert_array_equal(result["values"], values[:1, :32, :32])
+
+    def test_mid_tile_origin_pads_to_boundary(self, root):
+        from dask_geomodeling_tpu.io.mbtiles import read_mbtiles, write_mbtiles
+
+        values = np.full((1, 100, 100), 7, dtype=np.uint8)
+        gt = self._grid_aligned_gt(col=100, row_xyz=200, px_off=40, py_off=60)
+        path = str(root / "offset.mbtiles")
+        write_mbtiles(path, values, gt)
+        data = read_mbtiles(path)
+        np.testing.assert_array_equal(
+            data.array[0, 60:160, 40:140], values[0]
+        )
+        # the padding is zeros and the anchor is the tile corner
+        assert data.array[0, 0, 0] == 0
+        span = 256 * self.RES
+        np.testing.assert_allclose(
+            data.geo_transform[0], gt[0] - 40 * self.RES, rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            data.geo_transform[3], gt[3] + 60 * self.RES, rtol=1e-12
+        )
+        assert span > 0
+
+    def test_tms_row_flip(self, root):
+        """tile_row counts from the south: two vertically stacked tiles
+        land in the right order."""
+        import sqlite3
+
+        from dask_geomodeling_tpu.io.mbtiles import read_mbtiles, write_mbtiles
+
+        top = np.full((1, 256, 256), 9, dtype=np.uint8)
+        bottom = np.full((1, 256, 256), 4, dtype=np.uint8)
+        values = np.concatenate([top, bottom], axis=1)
+        gt = self._grid_aligned_gt(col=12, row_xyz=34)
+        path = str(root / "rows.mbtiles")
+        write_mbtiles(path, values, gt)
+        con = sqlite3.connect(path)
+        rows = dict(
+            (r[0], r[1])
+            for r in con.execute(
+                "SELECT tile_row, tile_data FROM tiles"
+            ).fetchall()
+        )
+        con.close()
+        assert len(rows) == 2
+        # higher TMS row = further north = the 9-valued strip
+        hi, lo = max(rows), min(rows)
+        assert hi == lo + 1
+        data = read_mbtiles(path)
+        assert (data.array[0, :256] == 9).all()
+        assert (data.array[0, 256:] == 4).all()
+
+    def test_metadata_and_validation(self, root):
+        from dask_geomodeling_tpu.io.mbtiles import read_mbtiles, write_mbtiles
+        import sqlite3
+
+        values = np.ones((1, 256, 256), dtype=np.uint8)
+        gt = self._grid_aligned_gt(col=512, row_xyz=512)  # world center
+        path = str(root / "meta.mbtiles")
+        write_mbtiles(path, values, gt, name="rain")
+        con = sqlite3.connect(path)
+        meta = dict(con.execute("SELECT name, value FROM metadata"))
+        con.close()
+        assert meta["format"] == "png"
+        assert meta["minzoom"] == meta["maxzoom"] == "10"
+        # the tile's NW corner is the world center: bounds run east/south
+        w, s, e, n = [float(v) for v in meta["bounds"].split(",")]
+        assert w == 0.0 and n == 0.0 and 0 < e < 1 and -1 < s < 0
+        with pytest.raises(ValueError, match="Web Mercator"):
+            write_mbtiles(str(root / "x.mbtiles"), values, gt,
+                          projection="EPSG:28992")
+        with pytest.raises(ValueError, match="zoom ladder"):
+            write_mbtiles(str(root / "y.mbtiles"), values,
+                          (0, 123.456, 0, 0, 0, -123.456))
+        with pytest.raises(IOError, match="vector tiles"):
+            vt = str(root / "vec.mbtiles")
+            con = sqlite3.connect(vt)
+            con.execute("CREATE TABLE metadata (name TEXT, value TEXT)")
+            con.execute("INSERT INTO metadata VALUES ('format', 'pbf')")
+            con.commit()
+            con.close()
+            read_mbtiles(vt)
