@@ -77,6 +77,11 @@ _COMPRESSION_LZW = 5
 _COMPRESSION_DEFLATE = 8
 _COMPRESSION_PACKBITS = 32773
 _COMPRESSION_DEFLATE_OLD = 32946
+_COMPRESSION_JPEG = 7  # new-style JPEG (tables in tag 347)
+_COMPRESSION_LZMA = 34925
+_COMPRESSION_ZSTD = 50000
+_COMPRESSION_WEBP = 50001
+_JPEG_TABLES = 347
 
 
 @dataclass
@@ -169,13 +174,17 @@ def _encode_image(array, compression, file_dtype, tiled, tile_size):
                     ys, xs = ty * th, tx * tw
                     sub = array[b, ys : ys + th, xs : xs + tw]
                     tile[: sub.shape[0], : sub.shape[1]] = sub
-                    chunks.append(_encode(tile.tobytes(), compression))
+                    if compression == _COMPRESSION_WEBP:
+                        chunks.append(_encode_webp_chunk(tile))
+                    else:
+                        chunks.append(_encode(tile.tobytes(), compression))
     else:
         for b in range(bands):
-            chunks.append(
-                _encode(np.ascontiguousarray(array[b], file_dtype).tobytes(),
-                        compression)
-            )
+            band = np.ascontiguousarray(array[b], file_dtype)
+            if compression == _COMPRESSION_WEBP:
+                chunks.append(_encode_webp_chunk(band))
+            else:
+                chunks.append(_encode(band.tobytes(), compression))
     return chunks
 
 
@@ -368,7 +377,17 @@ def write_geotiff(
     if array.dtype == bool:
         array = array.astype(np.uint8)
     dtype = array.dtype
-    compression = _COMPRESSION_DEFLATE if compress == "deflate" else _COMPRESSION_NONE
+    try:
+        compression = {
+            "deflate": _COMPRESSION_DEFLATE,
+            "zstd": _COMPRESSION_ZSTD,
+            "lzma": _COMPRESSION_LZMA,
+            "webp": _COMPRESSION_WEBP,
+            "none": _COMPRESSION_NONE,
+            None: _COMPRESSION_NONE,
+        }[compress]
+    except KeyError:
+        raise ValueError("Unsupported compression: %r" % (compress,))
     bo = byte_order
     file_dtype = dtype.newbyteorder(bo)
 
@@ -459,7 +478,33 @@ def write_geotiff(
 def _encode(data, compression):
     if compression == _COMPRESSION_DEFLATE:
         return zlib.compress(data, 6)
+    if compression == _COMPRESSION_ZSTD:
+        import zstandard
+
+        return zstandard.ZstdCompressor(level=9).compress(data)
+    if compression == _COMPRESSION_LZMA:
+        import lzma
+
+        # the .xz stream libtiff's LZMA codec reads and writes
+        return lzma.compress(data, format=lzma.FORMAT_XZ)
     return data
+
+
+def _encode_webp_chunk(tile):
+    """Lossless WebP bytes for one (h, w) uint8 band chunk."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    if tile.dtype != np.uint8:
+        raise ValueError(
+            "WebP TIFF compression requires uint8 data (got %s)" % tile.dtype
+        )
+    buf = BytesIO()
+    Image.fromarray(np.ascontiguousarray(tile), mode="L").save(
+        buf, format="WEBP", lossless=True
+    )
+    return buf.getvalue()
 
 
 def _lzw_decode(data):
@@ -534,7 +579,8 @@ def _packbits_decode(data):
     return bytes(out)
 
 
-def _decode(data, compression, expected_size=None):
+def _decode(data, compression, expected_size=None, jpeg_tables=None,
+            samples=None):
     if compression == _COMPRESSION_NONE:
         return data
     if compression in (_COMPRESSION_DEFLATE, _COMPRESSION_DEFLATE_OLD):
@@ -550,7 +596,47 @@ def _decode(data, compression, expected_size=None):
         if kind == "lzw":
             return _lzw_decode(data)
         return _packbits_decode(data)
+    if compression == _COMPRESSION_LZMA:
+        # libtiff's LZMA codec wraps each chunk as an .xz stream
+        import lzma
+
+        return lzma.decompress(data)
+    if compression == _COMPRESSION_ZSTD:
+        # plain zstd frames without a content-size field (libtiff)
+        import zstandard
+
+        return zstandard.ZstdDecompressor().decompressobj().decompress(data)
+    if compression in (_COMPRESSION_JPEG, _COMPRESSION_WEBP):
+        return _decode_image_chunk(data, jpeg_tables, samples)
     raise NotImplementedError("Unsupported TIFF compression: %d" % compression)
+
+
+def _decode_image_chunk(data, jpeg_tables, samples):
+    """Pixel bytes from a JPEG (new-style, compression 7) or WebP
+    (compression 50001) chunk: each tile/strip is a standalone image
+    stream; abbreviated JPEG streams get the IFD-level JPEGTables
+    (tag 347) spliced in after their SOI marker."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    if (
+        jpeg_tables is not None
+        and len(jpeg_tables) > 4
+        and data[:2] == b"\xff\xd8"
+    ):
+        # SOI + tables (sans its SOI/EOI markers) + the chunk after SOI
+        data = b"\xff\xd8" + bytes(jpeg_tables)[2:-2] + data[2:]
+    with Image.open(BytesIO(data)) as image:
+        if image.mode == "YCbCr":
+            image = image.convert("RGB")
+        pixels = np.asarray(image)
+    if samples is not None and pixels.ndim == 3 and pixels.shape[2] != samples:
+        if samples == 1:
+            pixels = pixels[:, :, 0]  # grayscale promoted by the codec
+        else:
+            pixels = pixels[:, :, :samples]
+    return pixels.tobytes()
 
 
 def _undo_predictor(chunk, predictor, samples):
@@ -818,7 +904,9 @@ def read_geotiff_window(path, row0, row1, col0, col1, level=0):
                         idx = (plane * tiles_y + ty) * tiles_x + tx
                         f.seek(offsets[idx])
                         raw = _decode(
-                            f.read(counts[idx]), compression, tile_nbytes
+                            f.read(counts[idx]), compression, tile_nbytes,
+                            jpeg_tables=tags.get(_JPEG_TABLES),
+                            samples=samples,
                         )
                         tile = np.frombuffer(raw, dtype=dtype)
                         tile = tile[: th * tw * samples].reshape(
@@ -864,7 +952,11 @@ def read_geotiff_window(path, row0, row1, col0, col1, level=0):
                 ):
                     idx = plane * strips_per_plane + strip
                     f.seek(offsets[idx])
-                    raw = _decode(f.read(counts[idx]), compression, strip_nbytes)
+                    raw = _decode(
+                        f.read(counts[idx]), compression, strip_nbytes,
+                        jpeg_tables=tags.get(_JPEG_TABLES),
+                        samples=samples,
+                    )
                     data = np.frombuffer(raw, dtype=dtype)
                     y0 = strip * rows_per_strip
                     rows = min(rows_per_strip, info.height - y0)
