@@ -109,6 +109,11 @@ defaults = {
     # the host-checked smoothness domain; "plain" always uses the
     # general gather
     "geomodeling.warp-gather": "auto",
+    # byte budget for the cross-request result cache at the raster
+    # get_data boundary (runtime/results.py): whole responses are
+    # LRU-cached by (view token, request token) — the tile-server reuse
+    # layer.  0 = off (the default: file-backed responses can go stale)
+    "geomodeling.result-cache-size": 0,
     # GeoTIFFs above this pixel count are read through the block-level
     # window reader (only the strips/tiles a request touches decode —
     # GDAL's block-cache access pattern for large/cloud-optimized files);

@@ -70,7 +70,24 @@ class RasterBlock(Block):
         (runtime/tiles.py): the whole view compiles to ONE vmapped XLA
         program and B tiles ship per device dispatch.  Views containing
         host-only nodes fall back to the staged executor transparently.
+
+        With ``geomodeling.result-cache-size`` > 0, whole responses are
+        LRU-cached across requests by (view token, request token) — the
+        serving-workload reuse layer (runtime/results.py).
         """
+        from dask_geomodeling_tpu.config import config
+
+        cache_bytes = config.get("geomodeling.result-cache-size", 0)
+        if cache_bytes:
+            from dask_geomodeling_tpu.runtime import results
+
+            return results.get_or_compute(
+                self, request, lambda: self._get_data_uncached(**request),
+                int(cache_bytes),
+            )
+        return self._get_data_uncached(**request)
+
+    def _get_data_uncached(self, **request):
         from dask_geomodeling_tpu.config import config
 
         executor = config.get("geomodeling.executor", "numpy")
