@@ -3067,15 +3067,19 @@ def _build_projection(method, ell, p):
             ell, cm, standard_parallel=abs(lat0), false_easting=fe,
             false_northing=fn, north=north,
         )
-    if method == "mercator_1sp" and ell.e > 0:
-        return _Mercator(ell, lon0=cm, k0=k0, false_easting=fe, false_northing=fn)
-    if method == "mercator_2sp" and ell.e > 0:
-        sp1 = np.radians(p.get("standard_parallel_1", 0.0))
-        k0 = np.cos(sp1) / np.sqrt(1 - ell.e2 * np.sin(sp1) ** 2)
+    if method in ("mercator_1sp", "mercator_2sp"):
+        if method == "mercator_2sp":
+            # EPSG 9805: the standard parallel fixes the scale (the
+            # spherical case degenerates to k0 = cos(sp1))
+            sp1 = np.radians(p.get("standard_parallel_1", 0.0))
+            k0 = np.cos(sp1) / np.sqrt(1 - ell.e2 * np.sin(sp1) ** 2)
+        if ell.e == 0 and (
+            abs(ell.a - 6378137.0) < 1e-6
+            and k0 == 1.0 and cm == 0.0 and fe == 0.0 and fn == 0.0
+        ):
+            return _WebMercator()  # the canonical web-mercator grid
         return _Mercator(ell, lon0=cm, k0=k0, false_easting=fe, false_northing=fn)
     if method in (
-        "mercator_1sp",
-        "mercator_2sp",
         "mercator_auxiliary_sphere",
         "popular_visualisation_pseudo_mercator",
         "pseudo_mercator",

@@ -11,9 +11,10 @@ Supported subset (the envelope of common NWP products):
 
 - multi-message files: every decoded field becomes one band, in file
   order; repeated sections 2-7 inside one message are honoured
-- grid definition templates 3.0 (regular latitude/longitude) and 3.30
-  (Lambert conformal, mapped onto the framework's native LCC CRS via a
-  proj4 definition); all four scanning-mode axes orders plus
+- grid definition templates 3.0 (regular latitude/longitude), 3.10
+  (Mercator), 3.20 (polar stereographic) and 3.30 (Lambert conformal) —
+  the projected grids map onto the framework's native CRS engine via
+  proj4 definitions; all four scanning-mode axes orders plus
   consecutive-j and boustrophedon layouts are normalised to north-up
   row-major arrays
 - data representation templates 5.0 (simple packing), 5.2 (complex
@@ -213,26 +214,71 @@ def _grid_lambert(tpl):
     latin2 = _s(tpl, 69, 4) * 1e-6
     if lov > 180.0:
         lov -= 360.0
-    if lo1 > 180.0:
-        lo1 -= 360.0
     proj4 = (
         "+proj=lcc +lat_1=%.9g +lat_2=%.9g +lat_0=%.9g +lon_0=%.9g "
         "+x_0=0 +y_0=0 +a=%.9g +b=%.9g +units=m +no_defs"
         % (latin1, latin2, lad, lov, a, b)
     )
+    return _projected_grid(tpl, ni, nj, la1, lo1, dx, dy, scan, proj4, "lcc")
+
+
+def _projected_grid(tpl, ni, nj, la1, lo1, dx, dy, scan, proj4, kind):
+    """Shared tail for projected grids: anchor the first grid point."""
     from dask_geomodeling_tpu.geo.crs import get_transform_func
 
+    if lo1 > 180.0:
+        lo1 -= 360.0
     x1, y1 = get_transform_func("EPSG:4326", proj4)(
         np.array([lo1]), np.array([la1])
     )
     x1, y1 = float(x1[0]), float(y1[0])
-    # first grid point -> west/north edges after normalisation
     x_w = x1 - (ni - 1) * dx if scan & 0x80 else x1
     y_n = y1 + (nj - 1) * dy if scan & 0x40 else y1
     geo_transform = (x_w - dx / 2.0, dx, 0.0, y_n + dy / 2.0, 0.0, -dy)
-    key = ("lcc", ni, nj, proj4, round(x_w, 6), round(y_n, 6),
+    key = (kind, ni, nj, proj4, round(x_w, 6), round(y_n, 6),
            round(dx, 6), round(dy, 6))
     return _Grid(ni, nj, scan, geo_transform, proj4, key)
+
+
+def _grid_mercator(tpl):
+    """Grid template 3.10: Mercator with a standard parallel (LaD)."""
+    a, b = _earth_radii(tpl, 14)
+    ni = _u(tpl, 30, 4)
+    nj = _u(tpl, 34, 4)
+    la1 = _s(tpl, 38, 4) * 1e-6
+    lo1 = _s(tpl, 42, 4) * 1e-6
+    lad = _s(tpl, 47, 4) * 1e-6
+    scan = tpl[59]
+    di = _u(tpl, 64, 4) * 1e-3
+    dj = _u(tpl, 68, 4) * 1e-3
+    proj4 = (
+        "+proj=merc +lat_ts=%.9g +lon_0=0 +x_0=0 +y_0=0 "
+        "+a=%.9g +b=%.9g +units=m +no_defs" % (lad, a, b)
+    )
+    return _projected_grid(tpl, ni, nj, la1, lo1, di, dj, scan, proj4, "merc")
+
+
+def _grid_polar_stereographic(tpl):
+    """Grid template 3.20: polar stereographic (north or south)."""
+    a, b = _earth_radii(tpl, 14)
+    ni = _u(tpl, 30, 4)
+    nj = _u(tpl, 34, 4)
+    la1 = _s(tpl, 38, 4) * 1e-6
+    lo1 = _s(tpl, 42, 4) * 1e-6
+    lad = _s(tpl, 47, 4) * 1e-6
+    lov = _s(tpl, 51, 4) * 1e-6
+    dx = _u(tpl, 55, 4) * 1e-3
+    dy = _u(tpl, 59, 4) * 1e-3
+    south = bool(tpl[63] & 0x80)
+    scan = tpl[64]
+    if lov > 180.0:
+        lov -= 360.0
+    proj4 = (
+        "+proj=stere +lat_0=%d +lat_ts=%.9g +lon_0=%.9g +x_0=0 +y_0=0 "
+        "+a=%.9g +b=%.9g +units=m +no_defs"
+        % (-90 if south else 90, lad, lov, a, b)
+    )
+    return _projected_grid(tpl, ni, nj, la1, lo1, dx, dy, scan, proj4, "ps")
 
 
 def _parse_grid(section3):
@@ -246,11 +292,16 @@ def _parse_grid(section3):
     template = _u(section3, 12, 2)
     if template == 0:
         return _grid_latlon(section3)
+    if template == 10:
+        return _grid_mercator(section3)
+    if template == 20:
+        return _grid_polar_stereographic(section3)
     if template == 30:
         return _grid_lambert(section3)
     raise _GribError(
-        "Unsupported GRIB grid definition template 3.%d "
-        "(supported: 3.0 lat/lon, 3.30 Lambert conformal)" % template
+        "Unsupported GRIB grid definition template 3.%d (supported: 3.0 "
+        "lat/lon, 3.10 Mercator, 3.20 polar stereographic, 3.30 Lambert "
+        "conformal)" % template
     )
 
 

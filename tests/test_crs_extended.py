@@ -495,3 +495,32 @@ class TestRound3RegistryAdditions:
                 (shifted[1][0] - 38.0) * 111320.0,
             )
             assert 50.0 < offset_m < 600.0, (geographic, offset_m)
+
+
+def test_spherical_mercator_honors_parameters():
+    """Regression: spherical +proj=merc with lat_ts / radius / lon_0 must
+    NOT collapse to the fixed web-mercator grid (EPSG 9805 on a sphere,
+    the GRIB template 3.10 case)."""
+    import numpy as np
+
+    from dask_geomodeling_tpu.geo.crs import get_transform_func
+
+    custom = ("+proj=merc +lat_ts=20 +lon_0=5 "
+              "+a=6371229 +b=6371229 +units=m +no_defs")
+    fwd = get_transform_func("EPSG:4326", custom)
+    x, y = fwd(np.array([15.0]), np.array([0.0]))
+    # x = R * cos(lat_ts) * (lon - lon_0)
+    expected = 6371229.0 * np.cos(np.radians(20.0)) * np.radians(10.0)
+    np.testing.assert_allclose(float(x[0]), expected, rtol=1e-12)
+    np.testing.assert_allclose(float(y[0]), 0.0, atol=1e-6)
+    # round trip
+    inv = get_transform_func(custom, "EPSG:4326")
+    lon, lat = inv(x, np.array([1.5e6]))
+    np.testing.assert_allclose(float(lon[0]), 15.0, rtol=1e-12)
+    assert 0 < float(lat[0]) < 90
+    # the canonical web grid is untouched by the fix
+    web = get_transform_func("EPSG:4326", "EPSG:3857")
+    wx, _ = web(np.array([15.0]), np.array([0.0]))
+    np.testing.assert_allclose(
+        float(wx[0]), 6378137.0 * np.radians(15.0), rtol=1e-12
+    )

@@ -95,6 +95,40 @@ def _sec3_lambert(ni, nj, la1, lo1, lad, lov, dx, dy, latin1, latin2, scan):
     return _section(3, bytes(body))
 
 
+def _sec3_mercator(ni, nj, la1, lo1, lad, di, dj, scan):
+    tpl = bytearray()
+    tpl += bytes([6])
+    tpl += bytes(15)
+    tpl += struct.pack(">II", ni, nj)
+    tpl += _sm(round(la1 * 1e6), 4)
+    tpl += _sm(round((lo1 % 360.0) * 1e6), 4)
+    tpl += bytes([0x08])
+    tpl += _sm(round(lad * 1e6), 4)
+    tpl += _sm(0, 4) + _sm(0, 4)  # La2 / Lo2 (derivable)
+    tpl += bytes([scan])
+    tpl += struct.pack(">I", 0)  # orientation
+    tpl += struct.pack(">II", round(di * 1e3), round(dj * 1e3))
+    body = struct.pack(">BIBBH", 0, ni * nj, 0, 0, 10) + tpl
+    return _section(3, bytes(body))
+
+
+def _sec3_polar(ni, nj, la1, lo1, lad, lov, dx, dy, scan, south=False):
+    tpl = bytearray()
+    tpl += bytes([6])
+    tpl += bytes(15)
+    tpl += struct.pack(">II", ni, nj)
+    tpl += _sm(round(la1 * 1e6), 4)
+    tpl += _sm(round((lo1 % 360.0) * 1e6), 4)
+    tpl += bytes([0x08])
+    tpl += _sm(round(lad * 1e6), 4)
+    tpl += _sm(round((lov % 360.0) * 1e6), 4)
+    tpl += struct.pack(">II", round(dx * 1e3), round(dy * 1e3))
+    tpl += bytes([0x80 if south else 0x00])
+    tpl += bytes([scan])
+    body = struct.pack(">BIBBH", 0, ni * nj, 0, 0, 20) + tpl
+    return _section(3, bytes(body))
+
+
 def _sec4(category=1, number=8, time_unit=1, forecast=3):
     # product definition template 4.0
     tpl = struct.pack(
@@ -448,6 +482,75 @@ def test_lambert_grid(tmp_path):
     np.testing.assert_allclose(gt[0], float(x1[0]) - 1500.0, rtol=1e-9)
     np.testing.assert_allclose(
         gt[3], float(y1[0]) + 2 * 3000.0 + 1500.0, rtol=1e-9
+    )
+
+
+def test_mercator_grid(tmp_path):
+    """Grid template 3.10: the standard parallel scales the projection."""
+    values = np.arange(20, dtype=np.int64).reshape(4, 5)
+    raw = _message([
+        _sec1(),
+        _sec3_mercator(5, 4, la1=50.0, lo1=0.0, lad=20.0,
+                       di=10000.0, dj=10000.0, scan=0),
+        _sec4(),
+        _sec5_simple(20, 0.0, 0, 0, 5),
+        _sec6(None),
+        _sec7_simple(values.ravel(), 5),
+    ])
+    data = read_grib(_write(tmp_path, raw))
+    assert "+proj=merc" in data.projection
+    assert "+lat_ts=20" in data.projection
+    np.testing.assert_array_equal(data.array[0], values)
+    gt = data.geo_transform
+    assert gt[1] == 10000.0 and gt[5] == -10000.0
+    from dask_geomodeling_tpu.geo.crs import get_transform_func
+
+    x1, y1 = get_transform_func("EPSG:4326", data.projection)(
+        np.array([0.0]), np.array([50.0])
+    )
+    # scan 0: the first point is the NW node
+    np.testing.assert_allclose(gt[0], float(x1[0]) - 5000.0, atol=1e-6)
+    np.testing.assert_allclose(gt[3], float(y1[0]) + 5000.0, atol=1e-6)
+    # the standard parallel contracts x vs a lat_ts=0 Mercator
+    x_plain, _ = get_transform_func(
+        "EPSG:4326",
+        "+proj=merc +lat_ts=0 +lon_0=0 +a=6371229 +b=6371229 +units=m",
+    )(np.array([10.0]), np.array([0.0]))
+    x_ts, _ = get_transform_func("EPSG:4326", data.projection)(
+        np.array([10.0]), np.array([0.0])
+    )
+    assert abs(float(x_ts[0])) < abs(float(x_plain[0]))
+
+
+@pytest.mark.parametrize("south", [False, True])
+def test_polar_stereographic_grid(tmp_path, south):
+    """Grid template 3.20, both projection-centre hemispheres."""
+    values = np.arange(12, dtype=np.int64).reshape(3, 4)
+    la1 = -60.0 if south else 60.0
+    raw = _message([
+        _sec1(),
+        _sec3_polar(4, 3, la1=la1, lo1=10.0, lad=la1, lov=350.0,
+                    dx=25000.0, dy=25000.0, scan=0x40, south=south),
+        _sec4(),
+        _sec5_simple(12, 0.0, 0, 0, 4),
+        _sec6(None),
+        _sec7_simple(values.ravel(), 4),
+    ])
+    data = read_grib(_write(tmp_path, raw))
+    assert "+proj=stere" in data.projection
+    assert ("+lat_0=-90" if south else "+lat_0=90") in data.projection
+    assert "+lon_0=-10" in data.projection  # 350 normalised to -10
+    # +j scanning: stored row 0 is the southern strip
+    np.testing.assert_array_equal(data.array[0], values[::-1])
+    from dask_geomodeling_tpu.geo.crs import get_transform_func
+
+    x1, y1 = get_transform_func("EPSG:4326", data.projection)(
+        np.array([10.0]), np.array([la1])
+    )
+    gt = data.geo_transform
+    np.testing.assert_allclose(gt[0], float(x1[0]) - 12500.0, rtol=1e-9)
+    np.testing.assert_allclose(
+        gt[3], float(y1[0]) + 2 * 25000.0 + 12500.0, rtol=1e-9
     )
 
 
