@@ -52,6 +52,41 @@ _EARTH_SHAPES = {
     9: (6377563.396, 6356256.909),  # Airy 1830 (OSGB)
 }
 
+# code table 4.2 short names for the common meteorological /
+# hydrological products (discipline, category, number) — the subset
+# GDAL's GRIB driver surfaces as GRIB_ELEMENT for everyday NWP files
+_PARAMETERS = {
+    (0, 0, 0): "TMP", (0, 0, 2): "POT", (0, 0, 4): "TMAX", (0, 0, 5): "TMIN",
+    (0, 0, 6): "DPT",
+    (0, 1, 0): "SPFH", (0, 1, 1): "RH", (0, 1, 7): "PRATE", (0, 1, 8): "APCP",
+    (0, 1, 11): "SNOD", (0, 1, 13): "WEASD", (0, 1, 52): "TPRATE",
+    (0, 2, 2): "UGRD", (0, 2, 3): "VGRD", (0, 2, 1): "WIND", (0, 2, 22): "GUST",
+    (0, 3, 0): "PRES", (0, 3, 1): "PRMSL", (0, 3, 5): "HGT",
+    (0, 4, 7): "DSWRF", (0, 5, 3): "DLWRF",
+    (0, 6, 1): "TCDC",
+    (0, 7, 6): "CAPE", (0, 7, 7): "CIN",
+    (1, 0, 0): "FFLDG", (1, 1, 0): "CPPOP",
+    (2, 0, 0): "LAND", (2, 0, 2): "TSOIL",
+    (10, 3, 0): "WTMP",
+}
+
+# code table 4.5 fixed-surface types -> (label, unit exponent handling)
+_SURFACES = {
+    1: "surface",
+    2: "cloud base",
+    3: "cloud top",
+    4: "0C isotherm",
+    6: "maximum wind",
+    7: "tropopause",
+    100: "isobaric (Pa)",
+    101: "mean sea level",
+    102: "altitude above MSL (m)",
+    103: "height above ground (m)",
+    106: "depth below land (m)",
+    108: "pressure above ground (Pa)",
+    200: "entire atmosphere",
+}
+
 _TIME_UNITS = {  # code table 4.4 -> (label, seconds)
     0: ("m", 60),
     1: ("h", 3600),
@@ -461,6 +496,22 @@ def _ref_time(sec1):
     )
 
 
+def _level_label(sec4):
+    """'level=isobaric (Pa) 50000' style text from the fixed-surface
+    octets of the common product templates."""
+    if len(sec4) < 34:
+        return ""
+    surface_type = sec4[22]
+    if surface_type in (0, 255):
+        return ""
+    label = _SURFACES.get(surface_type, "surface type %d" % surface_type)
+    scale = _s(sec4, 23, 1)
+    value = _u(sec4, 24, 4)
+    if value != 0xFFFFFFFF and sec4[23] != 255:
+        return " level=%s %g" % (label, value / (10.0 ** scale))
+    return " level=%s" % label
+
+
 def _forecast_label(sec4):
     """Human-readable forecast offset from the common product octets."""
     template = _u(sec4, 8, 2)
@@ -575,9 +626,15 @@ def read_grib(path):
                 bands.append(grid.to_array(values))
                 meta = "GRIB discipline=%d" % discipline
                 if sec4 is not None:
+                    element = _PARAMETERS.get(
+                        (discipline, sec4[9], sec4[10])
+                    )
+                    if element:
+                        meta += " element=%s" % element
                     meta += " parameterCategory=%d parameterNumber=%d" % (
                         sec4[9], sec4[10],
                     )
+                    meta += _level_label(sec4)
                     forecast = _forecast_label(sec4)
                     if forecast:
                         meta += " forecastTime=%s" % forecast

@@ -129,11 +129,15 @@ def _sec3_polar(ni, nj, la1, lo1, lad, lov, dx, dy, scan, south=False):
     return _section(3, bytes(body))
 
 
-def _sec4(category=1, number=8, time_unit=1, forecast=3):
+def _sec4(category=1, number=8, time_unit=1, forecast=3,
+          surface=(1, 0, 0)):
     # product definition template 4.0
+    stype, sscale, svalue = surface
     tpl = struct.pack(
         ">BBBBBHBB", category, number, 2, 0, 0, 0, 0, time_unit
-    ) + _sm(forecast, 4) + struct.pack(">BBIBBI", 1, 0, 0, 255, 0, 0)
+    ) + _sm(forecast, 4) + struct.pack(
+        ">BBIBBI", stype, sscale, svalue, 255, 0, 0
+    )
     return _section(4, struct.pack(">HH", 0, 0) + tpl)
 
 
@@ -483,6 +487,27 @@ def test_lambert_grid(tmp_path):
     np.testing.assert_allclose(
         gt[3], float(y1[0]) + 2 * 3000.0 + 1500.0, rtol=1e-9
     )
+
+
+def test_element_and_level_metadata(tmp_path):
+    """GDAL-style band descriptions: element short name + fixed surface."""
+    values = np.ones((2, 2), dtype=np.int64)
+    raw = _message([
+        _sec1(),
+        _sec3_latlon(2, 2, 55.0, 4.0, 54.5, 4.5, 0.5, 0.5, 0),
+        _sec4(category=3, number=5, surface=(100, 0, 50000)),  # HGT @ 500hPa
+        _sec5_simple(4, 0.0, 0, 0, 1),
+        _sec6(None),
+        _sec7_simple(values.ravel(), 1),
+    ])
+    data = read_grib(_write(tmp_path, raw))
+    meta = data.metadata[0]
+    assert "element=HGT" in meta
+    assert "level=isobaric (Pa) 50000" in meta
+    # default fixture surface: plain ground surface
+    path2 = _write(tmp_path, _simple_message(values), name="t2.grib2")
+    assert "element=APCP" in read_grib(path2).metadata[0]
+    assert "level=surface" in read_grib(path2).metadata[0]
 
 
 def test_mercator_grid(tmp_path):
