@@ -109,6 +109,10 @@ defaults = {
     # the host-checked smoothness domain; "plain" always uses the
     # general gather
     "geomodeling.warp-gather": "auto",
+    # file persisting the auto-router's measured routing table
+    # (runtime/router.py): restarted services keep their routes instead
+    # of re-exploring host/device rates per view.  None = in-memory only
+    "geomodeling.router-state": None,
     # byte budget for the cross-request result cache at the raster
     # get_data boundary (runtime/results.py): whole responses are
     # LRU-cached by (view token, request token) — the tile-server reuse

@@ -21,11 +21,14 @@ averages keyed by (view token, log2 size bucket), so a long-running
 process adapts to tunnel weather.
 """
 import collections
+import json
 import math
+import os
 import threading
 import time
 
-__all__ = ["choose", "record", "record_error", "reset", "stats"]
+__all__ = ["choose", "record", "record_error", "reset", "stats",
+           "save", "load"]
 
 _EMA_ALPHA = 0.4
 
@@ -35,9 +38,100 @@ _MAX_DEVICE_ERRORS = 3
 #: routing-table entries kept (LRU); bounds long-running services
 _MAX_ROUTES = 4096
 
+#: measurement updates between automatic state saves (when
+#: ``geomodeling.router-state`` names a file)
+_SAVE_EVERY = 32
+
 _lock = threading.Lock()
 #: (view_token, bucket) -> state dict, LRU-ordered
 _routes = collections.OrderedDict()
+_loaded_from = [None]  # router-state path already loaded this process
+_dirty = [0]
+
+
+def _state_path():
+    from dask_geomodeling_tpu.config import config
+
+    return config.get("geomodeling.router-state", None)
+
+
+def _maybe_load_locked():
+    """Seed the table from the configured state file, once per path —
+    a restarted service keeps its measured routes instead of paying the
+    host+2-device exploration on every view again."""
+    path = _state_path()
+    if path is None or _loaded_from[0] == path:
+        return
+    _loaded_from[0] = path
+    try:
+        with open(path) as f:
+            entries = json.load(f)
+    except (OSError, ValueError):
+        return
+    for key_text, state in entries.items():
+        token, _, bucket = key_text.rpartition(":")
+        try:
+            key = (token, int(bucket))
+        except ValueError:
+            continue
+        if key not in _routes and isinstance(state, dict):
+            _routes[key] = {
+                "numpy": state.get("numpy"),
+                "jax": state.get("jax"),
+                "jax_runs": int(state.get("jax_runs", 0)),
+                "jax_errors": int(state.get("jax_errors", 0)),
+                "host_only": bool(state.get("host_only", False)),
+            }
+
+
+def _maybe_save_locked():
+    path = _state_path()
+    if path is None:
+        return
+    _dirty[0] += 1
+    if _dirty[0] < _SAVE_EVERY:
+        return
+    _dirty[0] = 0
+    _save_locked(path)
+
+
+def _save_locked(path):
+    payload = {
+        "%s:%d" % key: state for key, state in _routes.items()
+    }
+    tmp = "%s.tmp.%d" % (path, os.getpid())
+    try:
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, path)  # atomic: concurrent writers last-win whole
+    except OSError:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+
+
+def save(path=None):
+    """Persist the routing table now (otherwise it autosaves every
+    ``_SAVE_EVERY`` measurements when ``geomodeling.router-state`` is
+    set)."""
+    with _lock:
+        target = path or _state_path()
+        if target:
+            _save_locked(target)
+
+
+def load(path=None):
+    """Merge a saved routing table into the live one (missing keys only)."""
+    with _lock:
+        if path is not None:
+            _loaded_from[0] = None
+            from dask_geomodeling_tpu.config import config
+
+            with config.set({"geomodeling.router-state": path}):
+                _maybe_load_locked()
+        else:
+            _maybe_load_locked()
 
 
 def _key(view, request):
@@ -47,6 +141,7 @@ def _key(view, request):
 
 
 def _state(key):
+    _maybe_load_locked()
     state = _routes.get(key)
     if state is None:
         state = {
@@ -123,6 +218,7 @@ def record(view, request, executor, elapsed, failed=False):
         state[executor] = (
             rate if old is None else _EMA_ALPHA * rate + (1 - _EMA_ALPHA) * old
         )
+        _maybe_save_locked()
 
 
 class timed_route:
@@ -157,6 +253,8 @@ def reset():
     """Forget all measurements (tests; config flips)."""
     with _lock:
         _routes.clear()
+        _loaded_from[0] = None
+        _dirty[0] = 0
 
 
 def stats():

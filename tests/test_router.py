@@ -223,3 +223,59 @@ class TestGetDataIntegration:
         with config.set({"geomodeling.executor": "numpy"}):
             for _ in range(3):
                 view.get_data(**big_request())
+
+
+class TestPersistence:
+    """Router state survives process restarts via geomodeling.router-state."""
+
+    def _measure(self, source, request, jax_rate):
+        router.record(source, request, "numpy", 0.1)     # 1.024 Mpx/s
+        router.record(source, request, "jax", 1.0)       # warm-up (ignored)
+        elapsed = (request["width"] * request["height"]) / 1e6 / jax_rate
+        router.record(source, request, "jax", elapsed)
+
+    def test_save_load_roundtrip(self, big_source, tmp_path):
+        path = str(tmp_path / "routes.json")
+        request = big_request()
+        self._measure(big_source, request, jax_rate=50.0)
+        assert router.choose(big_source, request, True) == "jax"
+        router.save(path)
+
+        router.reset()  # "restart": a fresh process explores from scratch
+        assert router.choose(big_source, request, True) == "numpy"
+
+        router.reset()
+        with config.set({"geomodeling.router-state": path}):
+            # loaded lazily on first lookup: the measured route is back
+            assert router.choose(big_source, request, True) == "jax"
+            st = router.stats()
+        assert any(v["jax_runs"] >= 2 for v in st.values())
+
+    def test_autosave_after_enough_measurements(self, big_source, tmp_path):
+        path = str(tmp_path / "routes.json")
+        import os
+
+        request = big_request()
+        with config.set({"geomodeling.router-state": path}):
+            for _ in range(router._SAVE_EVERY + 2):
+                router.record(big_source, request, "numpy", 0.1)
+        assert os.path.exists(path)
+
+    def test_corrupt_state_file_is_ignored(self, big_source, tmp_path):
+        path = str(tmp_path / "routes.json")
+        with open(path, "w") as f:
+            f.write("{not json")
+        with config.set({"geomodeling.router-state": path}):
+            assert router.choose(big_source, big_request(), True) == "numpy"
+
+    def test_loaded_host_only_pin_survives(self, big_source, tmp_path):
+        path = str(tmp_path / "routes.json")
+        request = big_request()
+        router.record(big_source, request, "numpy", 0.1, failed=True)
+        router.save(path)
+        router.reset()
+        with config.set({"geomodeling.router-state": path}):
+            router.record(big_source, request, "numpy", 0.1)
+            assert router.choose(big_source, request, True) == "numpy"
+            st = router.stats()
+        assert any(v["host_only"] for v in st.values())
