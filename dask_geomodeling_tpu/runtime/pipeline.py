@@ -105,6 +105,18 @@ def read_geotiff_cached(path):
         from dask_geomodeling_tpu.io.grib import read_grib
 
         data = read_grib(key)
+    elif lower.endswith(".grd"):
+        from dask_geomodeling_tpu.io.simplegrids import read_surfer
+
+        data = read_surfer(key)
+    elif lower.endswith((".sgrd", ".sdat")):
+        from dask_geomodeling_tpu.io.simplegrids import read_saga
+
+        data = read_saga(key)
+    elif lower.endswith(".rst"):
+        from dask_geomodeling_tpu.io.simplegrids import read_idrisi
+
+        data = read_idrisi(key)
     elif lower.endswith(".mbtiles"):
         from dask_geomodeling_tpu.io.mbtiles import read_mbtiles
 
