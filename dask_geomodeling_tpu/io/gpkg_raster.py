@@ -116,19 +116,25 @@ def read_gpkg_raster(path, layer=None):
     n_cols = max(columns) - col0 + 1
     n_rows = max(rows) - row0 + 1
 
-    mosaic = None
-    for tile in tiles:
-        array = _decode_tile(tile["tile_data"])
-        if mosaic is None:
-            mosaic = np.zeros(
-                (array.shape[0], n_rows * tile_h, n_cols * tile_w),
-                dtype=array.dtype,
-            )
-        r = (tile["tile_row"] - row0) * tile_h
-        c = (tile["tile_column"] - col0) * tile_w
-        bands = min(array.shape[0], mosaic.shape[0])
-        mosaic[:bands, r : r + array.shape[1], c : c + array.shape[2]] = (
-            array[:bands]
+    # decode first: pyramids may mix grayscale and RGB(A) tiles, so the
+    # band count is the maximum over all tiles with gray broadcast to RGB
+    decoded = [
+        (tile["tile_column"], tile["tile_row"], _decode_tile(tile["tile_data"]))
+        for tile in tiles
+    ]
+    n_bands = max(array.shape[0] for _, _, array in decoded)
+    mosaic = np.zeros(
+        (n_bands, n_rows * tile_h, n_cols * tile_w),
+        dtype=decoded[0][2].dtype,
+    )
+    for column, row, array in decoded:
+        if array.shape[0] < n_bands:
+            reps = [array[0]] * (n_bands - array.shape[0] + 1)
+            array = np.concatenate([np.stack(reps), array[1:]])[:n_bands]
+        r = (row - row0) * tile_h
+        c = (column - col0) * tile_w
+        mosaic[:, r : r + array.shape[1], c : c + array.shape[2]] = (
+            array[:n_bands]
         )
 
     # grid anchor: tile (0, 0) sits at (min_x, max_y) of the matrix set

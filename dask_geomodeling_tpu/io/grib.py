@@ -190,10 +190,12 @@ class _Grid:
 
 
 def _angle_unit(tpl):
-    """Degrees per stored unit from basic angle octets 39-46."""
+    """Degrees per stored unit from basic angle octets 39-46: the unit
+    is basic/subdivisions when both are given; a zero/missing basic
+    angle (or missing subdivisions) means the 1e-6 degree default."""
     basic = _u(tpl, 38, 4)
     subdiv = _u(tpl, 42, 4)
-    if basic in (0, 1) or subdiv in (0, 0xFFFFFFFF):
+    if basic in (0, 0xFFFFFFFF) or subdiv in (0, 0xFFFFFFFF):
         return 1e-6
     return float(basic) / float(subdiv)
 
@@ -374,15 +376,36 @@ def _complex_groups(sec5, sec7, npts, data_offset_bits):
     last_len = _u(sec5, 42, 4)
     len_bits = sec5[46]
 
-    stream = sec7[5:]
+    # unpack the whole data stream's bits ONCE: real NWP fields carry
+    # tens of thousands of groups, and re-running np.unpackbits over the
+    # full stream per group would make decode quadratic
+    bits = np.unpackbits(np.frombuffer(sec7[5:], dtype=np.uint8))
+    weights_cache = {}
+
+    def take(offset_bits, width, count):
+        if width == 0 or count == 0:
+            return np.zeros(count, dtype=np.int64)
+        end = offset_bits + count * width
+        if end > bits.size:
+            raise _GribError(
+                "GRIB bitstream truncated: need %d bits, have %d"
+                % (end, bits.size)
+            )
+        weights = weights_cache.get(width)
+        if weights is None:
+            weights = 1 << np.arange(width - 1, -1, -1, dtype=np.int64)
+            weights_cache[width] = weights
+        chunk = bits[offset_bits:end].reshape(count, width)
+        return chunk.astype(np.int64) @ weights
+
     pos = data_offset_bits
-    refs = _unpack_bits(stream, nbits, ng, pos)
+    refs = take(pos, nbits, ng)
     pos += ng * nbits
     pos += (-pos) % 8  # groups are byte-aligned between the three lists
-    widths = _unpack_bits(stream, width_bits, ng, pos) + width_ref
+    widths = take(pos, width_bits, ng) + width_ref
     pos += ng * width_bits
     pos += (-pos) % 8
-    lengths = _unpack_bits(stream, len_bits, ng, pos) * len_inc + len_ref
+    lengths = take(pos, len_bits, ng) * len_inc + len_ref
     pos += ng * len_bits
     pos += (-pos) % 8
     if ng:
@@ -405,7 +428,7 @@ def _complex_groups(sec5, sec7, npts, data_offset_bits):
             if missing_mgmt and nbits and refs[g] == (1 << nbits) - 1:
                 missing[out : out + length] = True
         else:
-            vals = _unpack_bits(stream, width, length, pos)
+            vals = take(pos, width, length)
             pos += length * width
             if missing_mgmt:
                 miss = vals == (1 << width) - 1
@@ -514,7 +537,7 @@ def _level_label(sec4):
 
 def _forecast_label(sec4):
     """Human-readable forecast offset from the common product octets."""
-    template = _u(sec4, 8, 2)
+    template = _u(sec4, 7, 2)  # octets 8-9 of section 4
     if len(sec4) < 22 or template > 15:
         return ""
     unit = sec4[17]
@@ -560,6 +583,11 @@ def read_grib(path):
         mpos = 16
         while mpos < total - 4:
             length = _u(message, mpos, 4)
+            if length < 5:
+                raise _GribError(
+                    "Corrupt GRIB section header: length %d at offset %d"
+                    % (length, mpos)
+                )
             number = message[mpos + 4]
             section = message[mpos : mpos + length]
             if number == 1:

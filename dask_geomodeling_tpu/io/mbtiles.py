@@ -72,22 +72,28 @@ def read_mbtiles(path):
     n_cols = max(columns) - col0 + 1
     n_rows = row_max - min(rows) + 1
 
-    mosaic = None
-    tile_size = None
-    for tile in tiles:
-        array = _decode_tile(tile["tile_data"])
-        if mosaic is None:
-            tile_size = array.shape[2]
-            mosaic = np.zeros(
-                (array.shape[0], n_rows * array.shape[1], n_cols * tile_size),
-                dtype=array.dtype,
-            )
+    # decode first: real pyramids mix grayscale and RGB(A) tiles, so the
+    # mosaic's band count is the maximum over all tiles, with smaller
+    # tiles broadcast (gray -> RGB) instead of truncated to one channel
+    decoded = [
+        (tile["tile_column"], tile["tile_row"], _decode_tile(tile["tile_data"]))
+        for tile in tiles
+    ]
+    n_bands = max(array.shape[0] for _, _, array in decoded)
+    tile_size = decoded[0][2].shape[2]
+    mosaic = np.zeros(
+        (n_bands, n_rows * decoded[0][2].shape[1], n_cols * tile_size),
+        dtype=decoded[0][2].dtype,
+    )
+    for column, row, array in decoded:
+        if array.shape[0] < n_bands:
+            reps = [array[0]] * (n_bands - array.shape[0] + 1)
+            array = np.concatenate([np.stack(reps), array[1:]])[:n_bands]
         # TMS rows count from the south: the highest row is the top strip
-        r = (row_max - tile["tile_row"]) * array.shape[1]
-        c = (tile["tile_column"] - col0) * tile_size
-        bands = min(array.shape[0], mosaic.shape[0])
-        mosaic[:bands, r : r + array.shape[1], c : c + array.shape[2]] = (
-            array[:bands]
+        r = (row_max - row) * array.shape[1]
+        c = (column - col0) * tile_size
+        mosaic[:, r : r + array.shape[1], c : c + array.shape[2]] = (
+            array[:n_bands]
         )
 
     res = _resolution(zoom, tile_size)
@@ -194,8 +200,6 @@ def write_mbtiles(path, array, geo_transform, projection=None,
                     row * tile_size : (row + 1) * tile_size,
                     col * tile_size : (col + 1) * tile_size,
                 ]
-                if not tile.any():
-                    continue  # sparse pyramid: all-zero tiles are omitted
                 con.execute(
                     "INSERT INTO tiles VALUES (?,?,?,?)",
                     (

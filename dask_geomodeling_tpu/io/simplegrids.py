@@ -293,7 +293,7 @@ def read_idrisi(path):
     ymin = float(fields["min. y"])
     ymax = float(fields["max. y"])
     flag = fields.get("flag value", "none")
-    values = np.fromfile(base + ".rst", dtype=dtype, count=nx * ny)
+    values = np.fromfile(path, dtype=dtype, count=nx * ny)
     grid = values.reshape(ny, nx)  # rows run north->south on disk
     # edge-registered extents (GDAL Idrisi convention)
     dx = (xmax - xmin) / nx
@@ -315,7 +315,7 @@ def read_idrisi(path):
     elif ref.startswith("lat"):
         projection = "EPSG:4326"
     if projection is None:
-        projection = _sidecar_projection(base + ".rst")
+        projection = _sidecar_projection(path)
     return _raster_data(
         grid[np.newaxis].astype(dtype.newbyteorder("=")), geo_transform,
         nodata, projection,

@@ -84,21 +84,27 @@ def _maybe_load_locked():
             }
 
 
-def _maybe_save_locked():
+def _autosave_snapshot_locked():
+    """(path, payload) to write after releasing the lock, or None —
+    serialization and disk I/O must not run on the routing hot path
+    while other request threads block on ``_lock``."""
     path = _state_path()
     if path is None:
-        return
+        return None
     _dirty[0] += 1
     if _dirty[0] < _SAVE_EVERY:
-        return
+        return None
     _dirty[0] = 0
-    _save_locked(path)
+    return path, _snapshot_locked()
 
 
-def _save_locked(path):
-    payload = {
-        "%s:%d" % key: state for key, state in _routes.items()
+def _snapshot_locked():
+    return {
+        "%s:%d" % key: dict(state) for key, state in _routes.items()
     }
+
+
+def _write_state(path, payload):
     tmp = "%s.tmp.%d" % (path, os.getpid())
     try:
         with open(tmp, "w") as f:
@@ -117,8 +123,9 @@ def save(path=None):
     set)."""
     with _lock:
         target = path or _state_path()
-        if target:
-            _save_locked(target)
+        payload = _snapshot_locked() if target else None
+    if target:
+        _write_state(target, payload)
 
 
 def load(path=None):
@@ -218,7 +225,9 @@ def record(view, request, executor, elapsed, failed=False):
         state[executor] = (
             rate if old is None else _EMA_ALPHA * rate + (1 - _EMA_ALPHA) * old
         )
-        _maybe_save_locked()
+        snapshot = _autosave_snapshot_locked()
+    if snapshot is not None:
+        _write_state(*snapshot)
 
 
 class timed_route:
@@ -250,10 +259,14 @@ class timed_route:
 
 
 def reset():
-    """Forget all measurements (tests; config flips)."""
+    """Forget all measurements (tests; benchmark config flips).
+
+    A configured ``router-state`` file is NOT re-read afterwards — reset
+    means re-explore from scratch; the persisted state reloads only when
+    the config key changes or :func:`load` is called explicitly."""
     with _lock:
         _routes.clear()
-        _loaded_from[0] = None
+        _loaded_from[0] = _state_path()  # mark as consumed: no re-seed
         _dirty[0] = 0
 
 

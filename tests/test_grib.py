@@ -130,15 +130,15 @@ def _sec3_polar(ni, nj, la1, lo1, lad, lov, dx, dy, scan, south=False):
 
 
 def _sec4(category=1, number=8, time_unit=1, forecast=3,
-          surface=(1, 0, 0)):
-    # product definition template 4.0
+          surface=(1, 0, 0), template=0):
+    # product definition template 4.0 (4.8 etc. share the leading octets)
     stype, sscale, svalue = surface
     tpl = struct.pack(
         ">BBBBBHBB", category, number, 2, 0, 0, 0, 0, time_unit
     ) + _sm(forecast, 4) + struct.pack(
         ">BBIBBI", stype, sscale, svalue, 255, 0, 0
     )
-    return _section(4, struct.pack(">HH", 0, 0) + tpl)
+    return _section(4, struct.pack(">HH", 0, template) + tpl)
 
 
 def _sec5_simple(npts, R, E, D, nbits):
@@ -508,6 +508,110 @@ def test_element_and_level_metadata(tmp_path):
     path2 = _write(tmp_path, _simple_message(values), name="t2.grib2")
     assert "element=APCP" in read_grib(path2).metadata[0]
     assert "level=surface" in read_grib(path2).metadata[0]
+
+
+def test_forecast_label_template_4_8(tmp_path):
+    """Review regression: the template number lives at section-4 octets
+    8-9; templates like 4.8 (accumulations) must keep forecastTime."""
+    values = np.ones((2, 2), dtype=np.int64)
+    raw = _message([
+        _sec1(),
+        _sec3_latlon(2, 2, 55.0, 4.0, 54.5, 4.5, 0.5, 0.5, 0),
+        _sec4(category=20, number=1, forecast=6, template=8),
+        _sec5_simple(4, 0.0, 0, 0, 1),
+        _sec6(None),
+        _sec7_simple(values.ravel(), 1),
+    ])
+    meta = read_grib(_write(tmp_path, raw)).metadata[0]
+    assert "forecastTime=+6h" in meta  # category 20 > 15 must not gate it
+    assert "parameterCategory=20" in meta
+
+
+def test_basic_angle_units(tmp_path):
+    """Review regression: basic=1/subdivisions=1000 means coordinates in
+    thousandths of a degree (NOT the 1e-6 default)."""
+    def sec3_units(basic, subdiv, la1, lo1, la2, lo2, di, dj):
+        tpl = bytearray()
+        tpl += bytes([6]) + bytes(5) + bytes(10)
+        tpl += struct.pack(">II", 2, 2)
+        tpl += struct.pack(">II", basic, subdiv)
+        tpl += _sm(la1, 4) + _sm(lo1, 4)
+        tpl += bytes([0x30])
+        tpl += _sm(la2, 4) + _sm(lo2, 4)
+        tpl += struct.pack(">II", di, dj)
+        tpl += bytes([0])
+        return _section(
+            3, struct.pack(">BIBBH", 0, 4, 0, 0, 0) + bytes(tpl)
+        )
+
+    values = np.arange(4, dtype=np.int64).reshape(2, 2)
+    # all coordinate fields in units of 1/1000 degree
+    raw = _message([
+        _sec1(),
+        sec3_units(1, 1000, la1=55, lo1=4, la2=54, lo2=5, di=1, dj=1),
+        _sec4(),
+        _sec5_simple(4, 0.0, 0, 0, 2),
+        _sec6(None),
+        _sec7_simple(values.ravel(), 2),
+    ])
+    data = read_grib(_write(tmp_path, raw))
+    np.testing.assert_allclose(
+        data.geo_transform,
+        (0.004 - 0.0005, 0.001, 0, 0.055 + 0.0005, 0, -0.001),
+        rtol=1e-12,
+    )
+
+
+def test_corrupt_section_length_raises(tmp_path):
+    raw = bytearray(_simple_message(np.ones((2, 2), dtype=np.int64)))
+    # zero the first section's length field (offset 16)
+    struct.pack_into(">I", raw, 16, 0)
+    with pytest.raises(ValueError, match="Corrupt GRIB section"):
+        read_grib(_write(tmp_path, bytes(raw)))
+
+
+def test_complex_packing_scales(tmp_path):
+    """Review regression: complex-packed decode must not be quadratic in
+    the group count (the bitstream unpacks once)."""
+    import time
+
+    rng = np.random.RandomState(3)
+    ny, nx = 200, 250
+    field = rng.randint(0, 4, size=ny * nx).astype(np.int64)
+    ngroups = 2500
+    size = field.size // ngroups
+    nbits = 5
+    refs, widths, lengths, payload = [], [], [], []
+    for g in range(ngroups):
+        chunk = field[g * size : (g + 1) * size]
+        refs.append(int(chunk.min()))
+        widths.append(2)
+        lengths.append(chunk.size)
+        payload.extend(int(v) - refs[-1] for v in chunk)
+    sec5_tpl = (
+        struct.pack(">f", 0.0) + _sm(0, 2) + _sm(0, 2)
+        + bytes([nbits, 0, 1, 0]) + bytes(8)
+        + struct.pack(">I", ngroups)
+        + bytes([0, 8])
+        + struct.pack(">I", 0) + bytes([1])
+        + struct.pack(">I", lengths[-1]) + bytes([16])
+    )
+    sec5 = _section(5, struct.pack(">IH", field.size, 2) + sec5_tpl)
+    stream = (
+        _pack_bits(refs, nbits) + _pack_bits(widths, 8)
+        + _pack_bits(lengths, 16) + _pack_bits(payload, 2)
+    )
+    raw = _message([
+        _sec1(),
+        _sec3_latlon(nx, ny, 55.0, 4.0, 55.0 - 0.01 * (ny - 1),
+                     4.0 + 0.01 * (nx - 1), 0.01, 0.01, 0),
+        _sec4(), sec5, _sec6(None), _section(7, stream),
+    ])
+    t0 = time.perf_counter()
+    data = read_grib(_write(tmp_path, raw))
+    elapsed = time.perf_counter() - t0
+    np.testing.assert_array_equal(data.array[0].ravel(), field)
+    assert elapsed < 2.0, "complex unpack took %.1fs" % elapsed
 
 
 def test_mercator_grid(tmp_path):

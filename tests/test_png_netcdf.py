@@ -860,3 +860,52 @@ class TestMbtiles:
             con.commit()
             con.close()
             read_mbtiles(vt)
+
+    def test_mixed_grayscale_and_rgb_tiles(self, root):
+        """Review regression: a pyramid mixing PNG8 and PNG24 tiles
+        assembles at the max band count with gray broadcast to RGB."""
+        import sqlite3
+
+        from dask_geomodeling_tpu.io.mbtiles import read_mbtiles, write_mbtiles
+        from dask_geomodeling_tpu.io.png import write_png_bytes
+
+        values = np.full((1, 256, 512), 7, dtype=np.uint8)
+        gt = self._grid_aligned_gt(col=3, row_xyz=5)
+        path = str(root / "mixed.mbtiles")
+        write_mbtiles(path, values, gt)
+        # replace the eastern tile with an RGB blob
+        rgb = np.zeros((3, 256, 256), dtype=np.uint8)
+        rgb[0] = 200
+        rgb[1] = 100
+        rgb[2] = 50
+        con = sqlite3.connect(path)
+        (max_col,) = con.execute(
+            "SELECT MAX(tile_column) FROM tiles"
+        ).fetchone()
+        con.execute(
+            "UPDATE tiles SET tile_data = ? WHERE tile_column = ?",
+            (write_png_bytes(rgb), max_col),
+        )
+        con.commit()
+        con.close()
+        data = read_mbtiles(path)
+        assert data.array.shape == (3, 256, 512)
+        # the grayscale tile is broadcast across all three bands
+        assert (data.array[:, :, :256] == 7).all()
+        assert (data.array[0, :, 256:] == 200).all()
+        assert (data.array[2, :, 256:] == 50).all()
+
+    def test_all_zero_data_roundtrips(self, root):
+        """Review regression: zero is valid data — all-zero tiles are
+        written, not dropped (the origin must not shift)."""
+        from dask_geomodeling_tpu.io.mbtiles import read_mbtiles, write_mbtiles
+
+        values = np.zeros((1, 256, 512), dtype=np.uint8)
+        values[0, 10, 300] = 1  # east tile nonzero, west tile all zeros
+        gt = self._grid_aligned_gt(col=9, row_xyz=9)
+        path = str(root / "zeros.mbtiles")
+        write_mbtiles(path, values, gt)
+        data = read_mbtiles(path)
+        assert data.array.shape == (1, 256, 512)
+        np.testing.assert_allclose(data.geo_transform, gt, rtol=1e-12)
+        np.testing.assert_array_equal(data.array, values)

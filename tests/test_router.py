@@ -279,3 +279,16 @@ class TestPersistence:
             assert router.choose(big_source, request, True) == "numpy"
             st = router.stats()
         assert any(v["host_only"] for v in st.values())
+
+    def test_reset_does_not_reseed_from_state_file(self, big_source, tmp_path):
+        """reset() means re-explore from scratch even when router-state
+        is configured (benchmark A/B hygiene, CLAUDE.md prescription)."""
+        path = str(tmp_path / "routes.json")
+        request = big_request()
+        with config.set({"geomodeling.router-state": path}):
+            self._measure(big_source, request, jax_rate=50.0)
+            router.save()
+            assert router.choose(big_source, request, True) == "jax"
+            router.reset()
+            # a fresh exploration, not the persisted winner
+            assert router.choose(big_source, request, True) == "numpy"

@@ -186,3 +186,16 @@ def test_raster_file_source_integration(tmp_path):
             width=3, height=4,
         )
     np.testing.assert_array_equal(out["values"][0], GRID)
+
+
+def test_idrisi_uppercase_names(tmp_path):
+    """Review regression: MAP.RST with MAP.RDC must read on a
+    case-sensitive filesystem (the data path is the path given)."""
+    (tmp_path / "MAP.RST").write_bytes(GRID.astype("<f4").tobytes())
+    (tmp_path / "MAP.RDC").write_text(
+        "data type   : real\ncolumns     : 3\nrows        : 4\n"
+        "ref. system : plane\nmin. X      : 100.0\nmax. X      : 103.0\n"
+        "min. Y      : 50.0\nmax. Y      : 54.0\nflag value  : none\n"
+    )
+    data = read_idrisi(str(tmp_path / "MAP.RST"))
+    np.testing.assert_array_equal(data.array[0], GRID)
