@@ -517,7 +517,7 @@ class RasterFileSource(RasterSourceBase):
                     ".bmp", ".gif", ".gpkg", ".hgt", ".dt0", ".dt1", ".dt2",
                     ".hdr", ".bsq", ".bil", ".bip", ".envi", ".img", ".dat",
                     ".raw", ".grib", ".grib2", ".grb", ".grb2", ".gb2",
-                    ".mbtiles", ".grd", ".sgrd", ".sdat", ".rst",
+                    ".mbtiles", ".grd", ".sgrd", ".sdat", ".rst", ".zarr",
                 )
             ):
                 from dask_geomodeling_tpu.io.geotiff import GeoTIFFInfo

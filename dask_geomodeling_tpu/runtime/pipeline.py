@@ -43,8 +43,16 @@ def _is_hfa(path):
 
 
 def _raster_stamp(key):
-    """Cache-invalidation stamp; ENVI pairs fold in both pair members."""
+    """Cache-invalidation stamp; ENVI pairs fold in both pair members;
+    Zarr directory stores fold in their metadata document (chunk writes
+    inside subdirectories do not bump the root directory's mtime)."""
     stamp = _file_stamp(key)
+    if key.lower().endswith(".zarr") and os.path.isdir(key):
+        for doc in (".zmetadata", ".zarray", ".zgroup"):
+            meta = os.path.join(key, doc)
+            if os.path.exists(meta):
+                return (stamp, _file_stamp(meta))
+        return stamp
     try:
         from dask_geomodeling_tpu.io.envi import _paths_of
 
@@ -105,6 +113,10 @@ def read_geotiff_cached(path):
         from dask_geomodeling_tpu.io.grib import read_grib
 
         data = read_grib(key)
+    elif lower.endswith(".zarr"):
+        from dask_geomodeling_tpu.io.zarr import read_zarr
+
+        data = read_zarr(key)
     elif lower.endswith(".grd"):
         from dask_geomodeling_tpu.io.simplegrids import read_surfer
 

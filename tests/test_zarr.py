@@ -1,0 +1,184 @@
+"""Zarr v2 raster store tests (GDAL Zarr driver role,
+reference raster/sources.py:66-71).  Hand-built stores follow the
+published v2 spec + xarray conventions, independent of the writer."""
+import json
+import os
+import zlib
+
+import numpy as np
+import pytest
+
+from dask_geomodeling_tpu import config
+from dask_geomodeling_tpu.io.zarr import read_zarr, write_zarr
+
+
+def _mkstore(root, name, array, chunks, attrs=None, compressor="zlib",
+             sep=".", fill_value=0, missing=()):
+    """A spec-conformant v2 array written chunk by chunk."""
+    dirpath = os.path.join(str(root), name) if name else str(root)
+    os.makedirs(dirpath, exist_ok=True)
+    comp = {"zlib": {"id": "zlib", "level": 1}, "bz2": {"id": "bz2"},
+            "lzma": {"id": "lzma"}, None: None,
+            "blosc": {"id": "blosc", "cname": "lz4"}}[compressor]
+    meta = {
+        "zarr_format": 2, "shape": list(array.shape),
+        "chunks": list(chunks), "dtype": array.dtype.str,
+        "compressor": comp, "fill_value": fill_value, "order": "C",
+        "filters": None, "dimension_separator": sep,
+    }
+    json.dump(meta, open(os.path.join(dirpath, ".zarray"), "w"))
+    json.dump(attrs or {}, open(os.path.join(dirpath, ".zattrs"), "w"))
+    grid = [-(-s // c) for s, c in zip(array.shape, chunks)]
+    for flat in range(int(np.prod(grid)) if grid else 1):
+        index, rem = [], flat
+        for g in reversed(grid):
+            index.append(rem % g)
+            rem //= g
+        index = tuple(reversed(index))
+        if index in missing:
+            continue
+        full = np.full(chunks, fill_value, dtype=array.dtype)
+        slices = tuple(
+            slice(i * c, min((i + 1) * c, s))
+            for i, c, s in zip(index, chunks, array.shape)
+        )
+        part = array[slices]
+        full[tuple(slice(0, p) for p in part.shape)] = part
+        payload = full.tobytes()
+        if compressor == "zlib":
+            payload = zlib.compress(payload, 1)
+        elif compressor == "bz2":
+            import bz2
+
+            payload = bz2.compress(payload)
+        elif compressor == "lzma":
+            import lzma
+
+            payload = lzma.compress(payload)
+        key = sep.join(str(i) for i in index) or "0"
+        target = os.path.join(dirpath, *key.split("/"))
+        os.makedirs(os.path.dirname(target), exist_ok=True)
+        open(target, "wb").write(payload)
+
+
+def _coords(root, xs, ys):
+    _mkstore(root, "x", np.asarray(xs, "<f8"), (len(xs),),
+             {"_ARRAY_DIMENSIONS": ["x"]}, compressor=None)
+    _mkstore(root, "y", np.asarray(ys, "<f8"), (len(ys),),
+             {"_ARRAY_DIMENSIONS": ["y"]}, compressor=None)
+    json.dump({"zarr_format": 2}, open(os.path.join(str(root), ".zgroup"), "w"))
+
+
+GRID = np.arange(48, dtype="<f4").reshape(6, 8)
+
+
+def test_hand_built_group_store(tmp_path):
+    root = tmp_path / "s.zarr"
+    _mkstore(root, "rain", GRID, (4, 3),
+             {"_ARRAY_DIMENSIONS": ["y", "x"], "_FillValue": -1.0})
+    _coords(root, 100.5 + np.arange(8), 55.5 - np.arange(6))
+    data = read_zarr(str(root))
+    np.testing.assert_array_equal(data.array[0], GRID)
+    np.testing.assert_allclose(
+        data.geo_transform, (100.0, 1.0, 0.0, 56.0, 0.0, -1.0)
+    )
+    assert data.no_data_value == -1.0
+
+
+def test_missing_chunk_and_south_up(tmp_path):
+    root = tmp_path / "s.zarr"
+    _mkstore(root, "v", GRID, (4, 4),
+             {"_ARRAY_DIMENSIONS": ["y", "x"], "_FillValue": -7.0},
+             fill_value=-7.0, missing=((1, 1),))
+    # ascending y coordinates: south-up storage flips to north-up
+    _coords(root, 0.5 + np.arange(8), 0.5 + np.arange(6))
+    data = read_zarr(str(root))
+    flipped = data.array[0][::-1]  # undo north-up to compare with file
+    assert (flipped[4:6, 4:8] == -7.0).all()  # the missing chunk
+    np.testing.assert_array_equal(flipped[:4, :4], GRID[:4, :4])
+    assert data.geo_transform[5] == -1.0
+
+
+def test_slash_separator_and_root_array(tmp_path):
+    root = tmp_path / "bare.zarr"
+    _mkstore(root, "", GRID, (6, 8), sep="/")
+    data = read_zarr(str(root))
+    np.testing.assert_array_equal(data.array[0], GRID)
+
+
+@pytest.mark.parametrize("compressor", ["bz2", "lzma", None])
+def test_stdlib_compressors(tmp_path, compressor):
+    root = tmp_path / "c.zarr"
+    _mkstore(root, "v", GRID, (6, 8), {"_ARRAY_DIMENSIONS": ["y", "x"]},
+             compressor=compressor)
+    _coords(root, np.arange(8) + 0.5, 5.5 - np.arange(6))
+    np.testing.assert_array_equal(read_zarr(str(root)).array[0], GRID)
+
+
+def test_blosc_clear_error(tmp_path):
+    root = tmp_path / "b.zarr"
+    arr = GRID.copy()
+    _mkstore(root, "v", arr, (6, 8), {"_ARRAY_DIMENSIONS": ["y", "x"]},
+             compressor="blosc")
+    with pytest.raises(NotImplementedError, match="blosc"):
+        read_zarr(str(root))
+
+
+def test_scale_offset_unpacking(tmp_path):
+    root = tmp_path / "p.zarr"
+    packed = np.arange(12, dtype="<i2").reshape(3, 4)
+    _mkstore(root, "t", packed, (3, 4), {
+        "_ARRAY_DIMENSIONS": ["y", "x"],
+        "scale_factor": 0.5, "add_offset": 100.0, "_FillValue": 11,
+    })
+    _coords(root, np.arange(4) + 0.5, 2.5 - np.arange(3))
+    data = read_zarr(str(root))
+    expected = packed.astype("f4") * 0.5 + 100.0
+    out = data.array[0]
+    assert out[2, 3] == data.no_data_value  # packed 11 was the fill
+    mask = packed != 11
+    np.testing.assert_allclose(out[mask], expected[mask])
+
+
+def test_writer_roundtrip_and_consolidated(tmp_path):
+    root = str(tmp_path / "w.zarr")
+    values = (np.arange(2 * 30 * 40) % 200).reshape(2, 30, 40).astype("f8")
+    gt = (1000.0, 5.0, 0.0, 2000.0, 0.0, -5.0)
+    write_zarr(root, values, gt, projection="EPSG:28992",
+               no_data_value=-9999.0)
+    data = read_zarr(root)
+    np.testing.assert_array_equal(data.array, values)
+    np.testing.assert_allclose(data.geo_transform, gt)
+    assert data.no_data_value == -9999.0
+    from dask_geomodeling_tpu.geo.crs import get_epsg_or_wkt
+
+    assert get_epsg_or_wkt(data.projection) == "EPSG:28992"
+    # consolidated-only read: drop the per-array metadata documents
+    for name in ("data", "x", "y", "spatial_ref"):
+        os.unlink(os.path.join(root, name, ".zarray"))
+    data2 = read_zarr(root)
+    np.testing.assert_array_equal(data2.array, values)
+
+
+def test_raster_file_source_integration(tmp_path):
+    from dask_geomodeling_tpu.raster import RasterFileSource
+
+    values = np.arange(100, dtype="f4").reshape(1, 10, 10)
+    gt = (0.0, 1.0, 0.0, 10.0, 0.0, -1.0)
+    write_zarr(str(tmp_path / "r.zarr"), values, gt,
+               projection="EPSG:28992", no_data_value=-1.0)
+    with config.set({"geomodeling.root": str(tmp_path)}):
+        source = RasterFileSource("r.zarr")
+        assert source.projection == "EPSG:28992"
+        out = source.get_data(
+            mode="vals", bbox=(0, 0, 10, 10), projection="EPSG:28992",
+            width=10, height=10,
+        )
+    np.testing.assert_array_equal(out["values"], values)
+    assert out["no_data_value"] == -1.0
+
+
+def test_not_a_store(tmp_path):
+    os.makedirs(str(tmp_path / "e.zarr"))
+    with pytest.raises(IOError, match="Zarr"):
+        read_zarr(str(tmp_path / "e.zarr"))
