@@ -26,7 +26,12 @@ from dask_geomodeling_tpu.raster.elemwise import (  # noqa
 from dask_geomodeling_tpu.raster.reduction import Max, reduce_rasters  # noqa
 from dask_geomodeling_tpu.raster.parallelize import RasterTiler  # noqa
 from dask_geomodeling_tpu.raster.combine import Group  # noqa
-from dask_geomodeling_tpu.raster.sinks import RasterFileSink, to_cog, to_file  # noqa
+from dask_geomodeling_tpu.raster.sinks import (  # noqa
+    RasterFileSink,
+    to_cog,
+    to_file,
+    to_zarr,
+)
 from dask_geomodeling_tpu.raster.temporal import (  # noqa
     Snap,
     Shift,

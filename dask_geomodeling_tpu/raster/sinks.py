@@ -20,7 +20,7 @@ from dask_geomodeling_tpu.geo.geotransform import GeoTransform
 from dask_geomodeling_tpu.raster.base import BaseSingle, RasterBlock
 from dask_geomodeling_tpu.raster.parallelize import RasterTiler
 
-__all__ = ["RasterFileSink", "to_file", "to_cog"]
+__all__ = ["RasterFileSink", "to_file", "to_cog", "to_zarr"]
 
 logger = logging.getLogger(__name__)
 
@@ -163,6 +163,30 @@ def to_cog(source, url, overviews=None, **request):
         compress="deflate",
         cog=True,
         overviews=overviews,
+    )
+
+
+def to_zarr(source, url, **request):
+    """Export a RasterBlock as a consolidated Zarr v2 group store (the
+    cloud-native xarray interchange layout; see :func:`to_cog` for the
+    request-defaulting rules shared by all single-file exports)."""
+    from dask_geomodeling_tpu.io.zarr import write_zarr
+
+    request = _native_request(source, request)
+    path = utils.safe_abspath(url)
+    data = source.get_data(**request)
+    if data is None or "values" not in data:
+        raise ValueError("The source returned no data for this request")
+    height, width = np.asarray(data["values"]).shape[1:]
+    fill = data["no_data_value"]
+    write_zarr(
+        path,
+        np.asarray(data["values"]),
+        geo_transform=tuple(
+            GeoTransform.from_bbox(request["bbox"], height, width)
+        ),
+        projection=request["projection"],
+        no_data_value=None if fill is None else float(fill),
     )
 
 

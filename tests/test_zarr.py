@@ -182,3 +182,23 @@ def test_not_a_store(tmp_path):
     os.makedirs(str(tmp_path / "e.zarr"))
     with pytest.raises(IOError, match="Zarr"):
         read_zarr(str(tmp_path / "e.zarr"))
+
+
+def test_to_zarr_export(tmp_path):
+    """End-to-end export through the block API."""
+    from dask_geomodeling_tpu.raster import MemorySource, RasterFileSource, to_zarr
+
+    data = (np.arange(400, dtype="f8") % 37).reshape(1, 20, 20)
+    source = MemorySource(
+        data=data, no_data_value=255.0, projection="EPSG:28992",
+        pixel_size=2.0, pixel_origin=(1000, 2000),
+    )
+    with config.set({"geomodeling.root": str(tmp_path)}):
+        to_zarr(source + 1.0, "export.zarr")
+        back = RasterFileSource("export.zarr")
+        assert back.projection == "EPSG:28992"
+        out = back.get_data(
+            mode="vals", bbox=(1000, 1960, 1040, 2000),
+            projection="EPSG:28992", width=20, height=20,
+        )
+    np.testing.assert_array_equal(out["values"], data + 1.0)
