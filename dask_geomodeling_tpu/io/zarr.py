@@ -92,8 +92,15 @@ def _find_arrays(root):
     return arrays
 
 
-def _read_array(dirpath, meta):
-    """Assemble one zarr v2 array from its chunk files."""
+def _read_array(dirpath, meta, window=None):
+    """Assemble a zarr v2 array from its chunk files.
+
+    ``window`` restricts the LAST TWO dimensions to ``((r0, r1),
+    (c0, c1))``: only the chunks that window touches are opened and
+    decompressed — the chunked-store counterpart of the GeoTIFF
+    block-level window reader (io/geotiff.py read_geotiff_window)."""
+    import itertools
+
     if meta.get("zarr_format") != 2:
         raise NotImplementedError(
             "Only Zarr format 2 is supported (got %r)"
@@ -110,19 +117,23 @@ def _read_array(dirpath, meta):
     fill = meta.get("fill_value")
     if fill in ("NaN", "Infinity", "-Infinity"):
         fill = float(fill.replace("Infinity", "inf"))
+
+    bounds = [(0, s) for s in shape]
+    if window is not None:
+        if len(shape) < 2:
+            raise ValueError("windowed reads need a >= 2-D array")
+        bounds[-2] = (int(window[0][0]), int(window[0][1]))
+        bounds[-1] = (int(window[1][0]), int(window[1][1]))
     out = np.full(
-        shape, 0 if fill is None else fill,
+        [b1 - b0 for b0, b1 in bounds], 0 if fill is None else fill,
         dtype=dtype.newbyteorder("="),
     )
-    grid = [max(-(-s // c), 1) for s, c in zip(shape, chunks)] or [1]
-    nbytes = int(np.prod(chunks)) * dtype.itemsize
-    for flat in range(int(np.prod(grid))):
-        index = []
-        rem = flat
-        for g in reversed(grid):
-            index.append(rem % g)
-            rem //= g
-        index = tuple(reversed(index))
+    ranges = [
+        range(b0 // c, max(-(-b1 // c), b0 // c))
+        for (b0, b1), c in zip(bounds, chunks)
+    ]
+    nbytes = int(np.prod(chunks)) * dtype.itemsize if chunks else dtype.itemsize
+    for index in itertools.product(*ranges):
         key = sep.join(str(i) for i in index) or "0"
         path = os.path.join(dirpath, *key.split("/")) if sep == "/" else (
             os.path.join(dirpath, key)
@@ -135,27 +146,27 @@ def _read_array(dirpath, meta):
         buf = _decompress(raw, compressor, nbytes)
         chunk = np.frombuffer(buf, dtype=dtype, count=int(np.prod(chunks)))
         chunk = chunk.reshape(chunks, order=order)
-        slices = tuple(
-            slice(i * c, min((i + 1) * c, s))
-            for i, c, s in zip(index, chunks, shape)
-        )
-        trim = tuple(slice(0, sl.stop - sl.start) for sl in slices)
-        out[slices] = chunk[trim]
+        src = []
+        dst = []
+        for i, c, s, (b0, b1) in zip(index, chunks, shape, bounds):
+            lo = max(i * c, b0)
+            hi = min((i + 1) * c, b1, s)
+            src.append(slice(lo - i * c, hi - i * c))
+            dst.append(slice(lo - b0, hi - b0))
+        out[tuple(dst)] = chunk[tuple(src)]
     return out
 
 
-def read_zarr(path, variable=None):
-    """Read a Zarr v2 store into RasterData (xarray conventions)."""
-    from dask_geomodeling_tpu.io.netcdf import _assemble_raster
-
+def _open_store(path, variable=None):
+    """(loaded arrays, data-array name, root attrs) for a v2 store."""
     arrays = _find_arrays(path)
     if not arrays:
         raise IOError("Not a Zarr v2 store (no .zarray found): '%s'" % path)
 
-    loaded = {}  # name -> (meta, atts)
-    for name, (dirpath, meta, atts) in arrays.items():
-        loaded[name] = (dirpath, meta, atts or {})
-
+    loaded = {
+        name: (dirpath, meta, atts or {})
+        for name, (dirpath, meta, atts) in arrays.items()
+    }
     # candidate data arrays: >= 2 dims, not 1-D coordinates
     candidates = {
         name: entry
@@ -169,11 +180,13 @@ def read_zarr(path, variable=None):
     name = max(
         candidates, key=lambda n: int(np.prod(candidates[n][1]["shape"]))
     )
-    dirpath, meta, atts = candidates[name]
-    array = _read_array(dirpath, meta)
+    gatts = _load_json(os.path.join(path, ".zattrs")) or {}
+    return loaded, name, gatts
 
+
+def _grid_centers(loaded, atts, height, width):
+    """Cell-center coordinate vectors (storage order) along (y, x)."""
     dims = atts.get("_ARRAY_DIMENSIONS") or []
-    height, width = array.shape[-2:]
 
     def centers(dim, length, descending=False):
         entry = loaded.get(dim)
@@ -186,14 +199,108 @@ def read_zarr(path, variable=None):
     xs = centers(dims[-1] if len(dims) >= 1 else None, width)
     ys = centers(dims[-2] if len(dims) >= 2 else None, height,
                  descending=True)
+    return xs, ys
+
+
+def _assemble(loaded, name, gatts, array, xs, ys):
+    from dask_geomodeling_tpu.io.netcdf import _assemble_raster
 
     variables = [
         {"name": var_name, "atts": entry[2]}
         for var_name, entry in loaded.items()
     ]
-    gatts = _load_json(os.path.join(path, ".zattrs")) or {}
-    data_var = {"name": name or "data", "atts": atts}
+    data_var = {"name": name or "data", "atts": loaded[name][2]}
     return _assemble_raster(gatts, variables, data_var, array, xs, ys)
+
+
+def read_zarr(path, variable=None):
+    """Read a Zarr v2 store into RasterData (xarray conventions)."""
+    loaded, name, gatts = _open_store(path, variable)
+    dirpath, meta, atts = loaded[name]
+    array = _read_array(dirpath, meta)
+    xs, ys = _grid_centers(loaded, atts, *array.shape[-2:])
+    return _assemble(loaded, name, gatts, array, xs, ys)
+
+
+def read_zarr_info(path, variable=None):
+    """Header-only info (GeoTIFFInfo shape) — grid, dtype, CRS and fill
+    derived from store metadata and the small 1-D coordinate arrays,
+    without touching any data chunk."""
+    from dask_geomodeling_tpu.io.geotiff import GeoTIFFInfo
+    from dask_geomodeling_tpu.io.netcdf import _crs_from_atts
+
+    loaded, name, gatts = _open_store(path, variable)
+    _, meta, atts = loaded[name]
+    shape = tuple(meta["shape"])
+    height, width = shape[-2:]
+    bands = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
+    xs, ys = _grid_centers(loaded, atts, height, width)
+
+    # mirror _assemble_raster's orientation/grid rules
+    dx = float(xs[1] - xs[0]) if len(xs) > 1 else 1.0
+    dy = float(ys[1] - ys[0]) if len(ys) > 1 else -1.0
+    y_top = float(ys[-1]) if dy > 0 else float(ys[0])
+    if dy > 0:
+        dy = -dy
+    geo_transform = (
+        float(xs[0]) - dx / 2, dx, 0.0, y_top - dy / 2, 0.0, dy,
+    )
+
+    dtype = np.dtype(meta["dtype"]).newbyteorder("=")
+    fill = atts.get("_FillValue", atts.get("missing_value"))
+    if "scale_factor" in atts or "add_offset" in atts:
+        dtype = np.dtype(np.float32)
+        if fill is not None:
+            fill = float(np.finfo(np.float32).max)
+    if fill is None:
+        from dask_geomodeling_tpu.geo.dtypes import get_dtype_max
+
+        fill = float(get_dtype_max(dtype))
+    variables = [
+        {"name": var_name, "atts": entry[2]}
+        for var_name, entry in loaded.items()
+    ]
+    label = atts.get("long_name") or atts.get("units") or (name or "data")
+    return GeoTIFFInfo(
+        width=width,
+        height=height,
+        bands=bands,
+        dtype=str(dtype),
+        projection=_crs_from_atts(
+            gatts, variables, {"name": name or "data", "atts": atts}
+        ),
+        geo_transform=geo_transform,
+        no_data_value=float(fill),
+        metadata=[str(label)] * bands,
+    )
+
+
+def read_zarr_window(path, row0, row1, col0, col1, variable=None):
+    """Read one north-up pixel window of a Zarr store, decoding only the
+    chunks the window touches."""
+    loaded, name, gatts = _open_store(path, variable)
+    dirpath, meta, atts = loaded[name]
+    height, width = tuple(meta["shape"])[-2:]
+    row0 = max(0, min(int(row0), height))
+    row1 = max(row0, min(int(row1), height)) or 1
+    col0 = max(0, min(int(col0), width))
+    col1 = max(col0, min(int(col1), width)) or 1
+    if row1 == row0:
+        row1 = min(row0 + 1, height)
+        row0 = row1 - 1
+    if col1 == col0:
+        col1 = min(col0 + 1, width)
+        col0 = col1 - 1
+    xs, ys = _grid_centers(loaded, atts, height, width)
+    ascending = len(ys) > 1 and ys[1] > ys[0]
+    if ascending:  # south-up storage: window flips into storage rows
+        s0, s1 = height - row1, height - row0
+    else:
+        s0, s1 = row0, row1
+    array = _read_array(dirpath, meta, window=((s0, s1), (col0, col1)))
+    return _assemble(
+        loaded, name, gatts, array, xs[col0:col1], ys[s0:s1]
+    )
 
 
 def _write_array(root, name, array, attrs, compress=True):

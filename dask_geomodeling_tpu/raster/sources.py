@@ -510,14 +510,20 @@ class RasterFileSource(RasterSourceBase):
             return self._info
         except AttributeError:
             path = utils.safe_abspath(self.url)
-            if path.lower().endswith(
+            if path.lower().endswith(".zarr"):
+                # metadata-only: large chunked stores must not decode
+                # whole just to answer attribute queries
+                from dask_geomodeling_tpu.io.zarr import read_zarr_info
+
+                self._info = read_zarr_info(path)
+            elif path.lower().endswith(
                 (
                     ".vrt", ".asc", ".agr", ".xyz", ".png", ".nc", ".cdf",
                     ".nc3", ".nc4", ".h5", ".hdf5", ".jpg", ".jpeg",
                     ".bmp", ".gif", ".gpkg", ".hgt", ".dt0", ".dt1", ".dt2",
                     ".hdr", ".bsq", ".bil", ".bip", ".envi", ".img", ".dat",
                     ".raw", ".grib", ".grib2", ".grb", ".grb2", ".gb2",
-                    ".mbtiles", ".grd", ".sgrd", ".sdat", ".rst", ".zarr",
+                    ".mbtiles", ".grd", ".sgrd", ".sdat", ".rst",
                 )
             ):
                 from dask_geomodeling_tpu.io.geotiff import GeoTIFFInfo
@@ -634,7 +640,10 @@ class RasterFileSource(RasterSourceBase):
         if request is None:
             return None
         path = utils.safe_abspath(self.url)
-        if not path.lower().endswith((".tif", ".tiff")):
+        # GeoTIFFs decode block-wise; Zarr stores chunk-wise (no pyramid
+        # levels there — overviews stay a TIFF concept)
+        is_zarr = path.lower().endswith(".zarr")
+        if not (is_zarr or path.lower().endswith((".tif", ".tiff"))):
             return None
         info = self.info
 
@@ -657,7 +666,7 @@ class RasterFileSource(RasterSourceBase):
         level = 0
         level_w, level_h = info.width, info.height
         gt = tuple(self.geo_transform)
-        if config.get("geomodeling.use-overviews", False):
+        if not is_zarr and config.get("geomodeling.use-overviews", False):
             level, level_w, level_h = self._overview_choice(bbox, request)
             if level:
                 fx = info.width / float(level_w)

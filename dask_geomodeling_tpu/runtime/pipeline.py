@@ -168,13 +168,18 @@ def read_geotiff_window_cached(path, row0, row1, col0, col1, level=0):
         os.path.abspath(path), int(row0), int(row1), int(col0), int(col1),
         int(level),
     )
-    stamp = _file_stamp(key[0])
+    stamp = _raster_stamp(key[0])
     with _CACHE_LOCK:
         entry = _WINDOW_CACHE.get(key)
         if entry is not None and entry[0] == stamp:
             _WINDOW_CACHE.move_to_end(key)
             return entry[1]
-    data = read_geotiff_window(key[0], row0, row1, col0, col1, level=level)
+    if key[0].lower().endswith(".zarr"):
+        from dask_geomodeling_tpu.io.zarr import read_zarr_window
+
+        data = read_zarr_window(key[0], row0, row1, col0, col1)
+    else:
+        data = read_geotiff_window(key[0], row0, row1, col0, col1, level=level)
     with _CACHE_LOCK:
         _WINDOW_CACHE[key] = (stamp, data)
         _WINDOW_CACHE.move_to_end(key)

@@ -202,3 +202,115 @@ def test_to_zarr_export(tmp_path):
             projection="EPSG:28992", width=20, height=20,
         )
     np.testing.assert_array_equal(out["values"], data + 1.0)
+
+
+class TestWindowedReads:
+    """Chunk-level windows: the invariant is windowed == whole-read slice
+    bit-exact (the same contract tests/test_geotiff_window.py pins for
+    TIFF block reads)."""
+
+    def _store(self, tmp_path, south_up=False, scale=False):
+        root = tmp_path / "big.zarr"
+        data = ((np.arange(60 * 80) * 7) % 251).astype("<i2").reshape(60, 80)
+        attrs = {"_ARRAY_DIMENSIONS": ["y", "x"], "_FillValue": -5}
+        if scale:
+            attrs.update(scale_factor=0.25, add_offset=10.0)
+        stored = data[::-1] if south_up else data
+        _mkstore(root, "v", stored, (16, 16), attrs, fill_value=-5,
+                 missing=((2, 2),))
+        ys = (
+            (0.5 + np.arange(60)) if south_up else (59.5 - np.arange(60))
+        )
+        _coords(root, 0.5 + np.arange(80), ys)
+        return str(root)
+
+    @pytest.mark.parametrize("south_up", [False, True])
+    @pytest.mark.parametrize("scale", [False, True])
+    def test_window_equals_whole_slice(self, tmp_path, south_up, scale):
+        from dask_geomodeling_tpu.io.zarr import read_zarr_window
+
+        path = self._store(tmp_path, south_up, scale)
+        whole = read_zarr(path)
+        for r0, r1, c0, c1 in [
+            (0, 60, 0, 80), (10, 50, 5, 70), (30, 42, 30, 35),
+            (0, 16, 64, 80), (59, 60, 0, 1),
+        ]:
+            window = read_zarr_window(path, r0, r1, c0, c1)
+            np.testing.assert_array_equal(
+                window.array, whole.array[:, r0:r1, c0:c1]
+            )
+            gt = whole.geo_transform
+            np.testing.assert_allclose(
+                window.geo_transform,
+                (gt[0] + c0 * gt[1], gt[1], 0.0,
+                 gt[3] + r0 * gt[5], 0.0, gt[5]),
+            )
+            assert window.no_data_value == whole.no_data_value
+
+    def test_window_reads_only_touched_chunks(self, tmp_path, monkeypatch):
+        from dask_geomodeling_tpu.io import zarr as zarr_mod
+
+        path = self._store(tmp_path)
+        opened = []
+        original = open
+
+        def counting_open(file, *args, **kwargs):
+            name = os.fspath(file)
+            if os.sep + "v" + os.sep in name and not name.endswith(
+                (".zarray", ".zattrs")
+            ):
+                opened.append(name)
+            return original(file, *args, **kwargs)
+
+        import builtins
+
+        monkeypatch.setattr(builtins, "open", counting_open)
+        zarr_mod.read_zarr_window(path, 0, 16, 0, 16)
+        assert len(opened) == 1  # a single 16x16 chunk
+
+    def test_file_source_windowed_equals_whole(self, tmp_path):
+        from dask_geomodeling_tpu.raster import RasterFileSource
+        from dask_geomodeling_tpu.runtime.pipeline import clear_read_cache
+
+        path = self._store(tmp_path)
+        request = dict(
+            mode="vals", bbox=(10.0, 10.0, 50.0, 40.0),
+            projection="EPSG:4326", width=40, height=30,
+        )
+        with config.set({"geomodeling.root": str(tmp_path)}):
+            source = RasterFileSource("big.zarr")
+            whole = source.get_data(**request)
+            clear_read_cache()
+            with config.set({"geomodeling.windowed-read-limit": 100}):
+                windowed = source.get_data(**request)
+        np.testing.assert_array_equal(whole["values"], windowed["values"])
+
+    def test_info_is_metadata_only(self, tmp_path, monkeypatch):
+        from dask_geomodeling_tpu.raster import RasterFileSource
+
+        path = self._store(tmp_path)
+        import builtins
+
+        original = open
+        chunk_opens = []
+
+        def counting_open(file, *args, **kwargs):
+            name = os.fspath(file)
+            base = os.path.basename(name)
+            if os.sep + "v" + os.sep in name and not base.startswith("."):
+                chunk_opens.append(name)
+            return original(file, *args, **kwargs)
+
+        whole = read_zarr(path)  # the comparison values, BEFORE hooking
+        monkeypatch.setattr(builtins, "open", counting_open)
+        with config.set({"geomodeling.root": str(tmp_path)}):
+            source = RasterFileSource("big.zarr")
+            # the attribute sweep mirrors whole-read georeferencing...
+            assert source.projection == "EPSG:4326"
+            np.testing.assert_allclose(
+                tuple(source.geo_transform), whole.geo_transform
+            )
+            assert source.fillvalue == whole.no_data_value
+            assert len(source) == 1
+        # ...without opening a single data chunk (metadata + coords only)
+        assert chunk_opens == []
