@@ -78,12 +78,13 @@ defaults = {
     # warp resampling: "nearest" (GDAL GRA_NearestNeighbour, the
     # reference's choice) or "bilinear"
     "geomodeling.warp-interpolation": "nearest",
-    # run zonal statistics as device segment reductions (ops/segment.py);
-    # off by default from measurement (benchmarks/run.py zonal rows):
-    # per-frame host<->device round trips lose to scipy.ndimage at typical
-    # aggregation sizes (0.2-0.5x on CPU-XLA; worse over the TPU tunnel) —
-    # enable when frames are large and devices are local
-    "geomodeling.aggregate-device": False,
+    # zonal statistics as device segment reductions (ops/segment.py):
+    # "auto" (default, measured policy — BASELINE.md round-3 zonal table)
+    # routes only sort-based statistics (median/percentile, 2.0-2.2x
+    # wins) to the device and only when the frames are ALREADY
+    # device-resident (executor=jax staging); True forces the device
+    # for every supported statistic, False pins the host
+    "geomodeling.aggregate-device": "auto",
     # use the fused Pallas kernel for Gaussian smoothing on TPU
     "geomodeling.pallas-smooth": True,
     # use the fused Pallas kernel for the moving-max footprint filter

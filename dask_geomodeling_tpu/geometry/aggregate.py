@@ -148,15 +148,22 @@ def aggregate_polygons(
             threshold_values.dtype
         )
 
-    device_capable = (
-        config.get("geomodeling.aggregate-device", False)
-        and statistic in DEVICE_STATISTICS
-    )
     # frames may arrive as a DEVICE array (the staged executor leaves
     # them resident via jax_accepts_device_arrays): the device path then
     # masks on device and no frame bytes cross the host link; any other
     # path materializes them first
     values_on_device = not isinstance(values, np.ndarray)
+    mode = config.get("geomodeling.aggregate-device", "auto")
+    if mode == "auto":
+        # measured policy (BASELINE.md round-3 zonal table): the device
+        # wins only for sort-based statistics (median/percentile,
+        # 2.0-2.2x) and only when the frames are ALREADY device-resident;
+        # one-pass statistics and upload-bound frames stay on the host
+        device_capable = values_on_device and statistic in (
+            "median", "percentile",
+        )
+    else:
+        device_capable = bool(mode) and statistic in DEVICE_STATISTICS
     if values_on_device and not device_capable:
         values = np.asarray(values)
         values_on_device = False

@@ -656,3 +656,76 @@ def test_p0_statistic_accepted(raster, request_all):
         **request_all
     )["features"]["agg"].iloc[0]
     assert result == pytest.approx(expected)
+
+
+class TestAggregateDeviceAuto:
+    """The default 'auto' policy (measured: BASELINE.md round-3 zonal
+    table) — device only for sort-based statistics on device-resident
+    frames; everything else stays on the host."""
+
+    square = [(2, 2), (6, 2), (6, 6), (2, 6)]
+
+    def _view(self, statistic):
+        from dask_geomodeling_tpu.raster import Add
+
+        data = np.arange(300, dtype=np.float64).reshape(3, 10, 10)
+        raster = MemorySource(
+            data=data, no_data_value=255.0, projection="EPSG:3857",
+            pixel_size=1.0, pixel_origin=(0, 10),
+            time_first=datetime(2000, 1, 1), time_delta=timedelta(hours=1),
+        )
+        geom = MockGeometry([self.square], properties=[{"id": 1}])
+        return AggregateRaster(geom, Add(raster, 1.0), statistic=statistic)
+
+    def _request(self):
+        return dict(
+            mode="intersects", geometry=box(0, 0, 10, 10),
+            projection="EPSG:3857", start=datetime(2000, 1, 1),
+            stop=datetime(2000, 1, 1, 3),
+        )
+
+    @pytest.mark.parametrize(
+        "statistic,expect_device",
+        [("median", True), ("p75", True), ("mean", False), ("sum", False)],
+    )
+    def test_policy_with_resident_frames(
+        self, monkeypatch, statistic, expect_device
+    ):
+        from dask_geomodeling_tpu.ops import segment
+
+        calls = []
+        real = segment.labeled_statistics_batch_device
+
+        def spy(*args, **kwargs):
+            calls.append(1)
+            return real(*args, **kwargs)
+
+        monkeypatch.setattr(
+            segment, "labeled_statistics_batch_device", spy
+        )
+        view = self._view(statistic)
+        host = view.get_data(**self._request())["features"]["agg"].tolist()
+        assert calls == []  # host frames: the host path regardless
+        with config.set({"geomodeling.executor": "jax"}):
+            auto = view.get_data(**self._request())["features"]["agg"]
+        assert bool(calls) is expect_device
+        np.testing.assert_allclose(
+            np.array(auto.tolist(), dtype=float),
+            np.array(host, dtype=float), rtol=1e-6,
+        )
+
+    def test_false_pins_host(self, monkeypatch):
+        from dask_geomodeling_tpu.ops import segment
+
+        calls = []
+        monkeypatch.setattr(
+            segment, "labeled_statistics_batch_device",
+            lambda *a, **k: calls.append(1),
+        )
+        view = self._view("median")
+        with config.set({
+            "geomodeling.aggregate-device": False,
+            "geomodeling.executor": "jax",
+        }):
+            view.get_data(**self._request())
+        assert calls == []
