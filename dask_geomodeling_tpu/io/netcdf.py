@@ -24,7 +24,8 @@ import struct
 
 import numpy as np
 
-__all__ = ["read_netcdf", "write_netcdf"]
+__all__ = ["read_netcdf", "read_netcdf_window", "read_netcdf_info",
+           "write_netcdf"]
 
 _ABSENT = 0
 _NC_DIMENSION = 0x0A
@@ -204,15 +205,82 @@ def _h5_att(value):
     return value
 
 
-def _read_netcdf4(path, variable=None):
-    """netCDF-4 (HDF5) via the image's h5py, gated at call time.
+def _h5_scan(handle, path, variable):
+    """(gatts, variables, data_var) from an open h5py file: walks every
+    group, marking HDF5 dimension scales, and picks the data variable."""
+    import h5py
 
-    Walks every group, treats HDF5 dimension scales as coordinate
-    variables (falling back to axis-length matching when
-    DIMENSION_LIST is absent), and funnels into the shared CF
-    assembly, so ``grid_mapping``/``spatial_ref``/packing behave
-    exactly as for classic files.
-    """
+    datasets = []
+    handle.visititems(
+        lambda name, obj: datasets.append((name, obj))
+        if isinstance(obj, h5py.Dataset)
+        else None
+    )
+    gatts = {k: _h5_att(v) for k, v in handle.attrs.items()}
+    variables = []
+    for name, ds in datasets:
+        atts = {k: _h5_att(v) for k, v in ds.attrs.items()}
+        variables.append({"name": name.split("/")[-1], "atts": atts,
+                          "_ds": ds, "_path": name})
+
+    candidates = [
+        v for v in variables
+        if v["_ds"].ndim >= 2 and not _is_dim_scale(v)
+        and v["_ds"].dtype.kind in "iuf"
+    ]
+    if variable is not None:
+        candidates = [
+            v for v in candidates
+            if v["name"] == variable or v["_path"] == variable
+        ]
+    if not candidates:
+        raise IOError("No 2-D data variable in '%s'" % path)
+    data_var = max(candidates, key=lambda v: v["_ds"].size)
+    return gatts, variables, data_var
+
+
+def _is_dim_scale(var):
+    return var["atts"].get("CLASS") == "DIMENSION_SCALE"
+
+
+_AXIS_NAMES = {
+    "x": ("x", "lon", "longitude", "easting"),
+    "y": ("y", "lat", "latitude", "northing"),
+}
+
+
+def _h5_centers(variables, data_var, axis, length, role):
+    """Cell centers along one axis: dimension scales attached to the
+    axis, else a 1-D dim scale matched by name (length alone is
+    ambiguous on square grids), else an unambiguous length match, else
+    pixel indices."""
+    ds = data_var["_ds"]
+    try:
+        scales = [s for s in ds.dims[axis].values() if s.size]
+    except Exception:
+        scales = []
+    for scale in scales:
+        if scale.ndim == 1 and len(scale) == length:
+            return np.asarray(scale, dtype=float)
+    loose = [
+        v for v in variables
+        if v["_ds"].ndim == 1
+        and len(v["_ds"]) == length
+        and _is_dim_scale(v)
+    ]
+    named = [
+        v for v in loose
+        if v["name"].lower() in _AXIS_NAMES[role]
+        or str(v["atts"].get("axis", "")).upper() == role.upper()
+    ]
+    if len(named) == 1:
+        return np.asarray(named[0]["_ds"], dtype=float)
+    if len(loose) == 1:
+        return np.asarray(loose[0]["_ds"], dtype=float)
+    return np.arange(length, dtype=float)
+
+
+def _h5py_or_raise():
     try:
         import h5py
     except ImportError:
@@ -220,80 +288,42 @@ def _read_netcdf4(path, variable=None):
             "netCDF-4 (HDF5-based) files need h5py, which is not "
             "available; convert to netCDF classic (nccopy -k classic)"
         )
+    return h5py
+
+
+def _read_netcdf4(path, variable=None, window=None):
+    """netCDF-4 (HDF5) via the image's h5py, gated at call time.
+
+    Funnels into the shared CF assembly, so ``grid_mapping``/
+    ``spatial_ref``/packing behave exactly as for classic files.
+    ``window`` (north-up ``(row0, row1, col0, col1)``) slices the HDF5
+    dataset, which reads only the touched chunks.
+    """
+    h5py = _h5py_or_raise()
 
     with h5py.File(path, "r") as handle:
-        datasets = []
-        handle.visititems(
-            lambda name, obj: datasets.append((name, obj))
-            if isinstance(obj, h5py.Dataset)
-            else None
-        )
-        gatts = {k: _h5_att(v) for k, v in handle.attrs.items()}
-        variables = []
-        for name, ds in datasets:
-            atts = {k: _h5_att(v) for k, v in ds.attrs.items()}
-            variables.append({"name": name.split("/")[-1], "atts": atts,
-                              "_ds": ds, "_path": name})
-
-        def is_dim_scale(var):
-            return var["atts"].get("CLASS") == "DIMENSION_SCALE"
-
-        candidates = [
-            v for v in variables
-            if v["_ds"].ndim >= 2 and not is_dim_scale(v)
-            and v["_ds"].dtype.kind in "iuf"
-        ]
-        if variable is not None:
-            candidates = [
-                v for v in candidates
-                if v["name"] == variable or v["_path"] == variable
-            ]
-        if not candidates:
-            raise IOError("No 2-D data variable in '%s'" % path)
-        data_var = max(candidates, key=lambda v: v["_ds"].size)
+        gatts, variables, data_var = _h5_scan(handle, path, variable)
         ds = data_var["_ds"]
-        array = np.asarray(ds)
-
-        _AXIS_NAMES = {
-            "x": ("x", "lon", "longitude", "easting"),
-            "y": ("y", "lat", "latitude", "northing"),
-        }
-
-        def centers(axis, length, role):
-            # dimension scales attached along this axis, else a 1-D
-            # dim scale matched by name (length alone is ambiguous on
-            # square grids), else an unambiguous length match, else
-            # pixel indices
-            try:
-                scales = [s for s in ds.dims[axis].values() if s.size]
-            except Exception:
-                scales = []
-            for scale in scales:
-                if scale.ndim == 1 and len(scale) == length:
-                    return np.asarray(scale, dtype=float)
-            loose = [
-                v for v in variables
-                if v["_ds"].ndim == 1
-                and len(v["_ds"]) == length
-                and is_dim_scale(v)
-            ]
-            named = [
-                v for v in loose
-                if v["name"].lower() in _AXIS_NAMES[role]
-                or str(v["atts"].get("axis", "")).upper() == role.upper()
-            ]
-            if len(named) == 1:
-                return np.asarray(named[0]["_ds"], dtype=float)
-            if len(loose) == 1:
-                return np.asarray(loose[0]["_ds"], dtype=float)
-            return np.arange(length, dtype=float)
-
-        height, width = array.shape[-2:]
-        return _assemble_raster(
-            gatts, variables, data_var, array,
-            centers(ds.ndim - 1, width, "x"),
-            centers(ds.ndim - 2, height, "y"),
-        )
+        height, width = ds.shape[-2:]
+        xs = _h5_centers(variables, data_var, ds.ndim - 1, width, "x")
+        ys = _h5_centers(variables, data_var, ds.ndim - 2, height, "y")
+        if window is None:
+            array = np.asarray(ds)
+        else:
+            row0, row1, col0, col1 = window
+            row0 = max(0, min(int(row0), height - 1))
+            row1 = max(row0 + 1, min(int(row1), height))
+            col0 = max(0, min(int(col0), width - 1))
+            col1 = max(col0 + 1, min(int(col1), width))
+            ascending = len(ys) > 1 and ys[1] > ys[0]
+            if ascending:  # south-up storage: flip the window rows
+                s0, s1 = height - row1, height - row0
+            else:
+                s0, s1 = row0, row1
+            array = np.asarray(ds[..., s0:s1, col0:col1])
+            xs = xs[col0:col1]
+            ys = ys[s0:s1]
+        return _assemble_raster(gatts, variables, data_var, array, xs, ys)
 
 def read_netcdf(path, variable=None):
     """Read a CF-georeferenced netCDF file into RasterData.
@@ -379,6 +409,105 @@ def read_netcdf(path, variable=None):
         gatts, variables, data_var, array,
         centers(x_dim, width), centers(y_dim, height),
     )
+
+
+def read_netcdf_window(path, row0, row1, col0, col1, variable=None):
+    """One north-up pixel window: HDF5-based files slice the dataset
+    (h5py reads only the touched chunks); classic files — whole-file
+    byte reads anyway — slice the in-memory decode."""
+    with open(path, "rb") as f:
+        magic = f.read(8)
+    if magic[:4] == b"\x89HDF":
+        return _read_netcdf4(
+            path, variable,
+            window=(int(row0), int(row1), int(col0), int(col1)),
+        )
+    from dask_geomodeling_tpu.raster.sources import RasterData
+
+    data = read_netcdf(path, variable)
+    _, height, width = data.array.shape
+    row0 = max(0, min(int(row0), height - 1))
+    row1 = max(row0 + 1, min(int(row1), height))
+    col0 = max(0, min(int(col0), width - 1))
+    col1 = max(col0 + 1, min(int(col1), width))
+    gt = data.geo_transform
+    return RasterData(
+        array=np.ascontiguousarray(data.array[:, row0:row1, col0:col1]),
+        projection=data.projection,
+        geo_transform=(
+            gt[0] + col0 * gt[1], gt[1], gt[2],
+            gt[3] + row0 * gt[5], gt[4], gt[5],
+        ),
+        no_data_value=data.no_data_value,
+        metadata=data.metadata,
+    )
+
+
+def read_netcdf_info(path, variable=None):
+    """Header-only info (GeoTIFFInfo shape): for HDF5-based files the
+    grid/dtype/CRS/fill derive from metadata and the small coordinate
+    arrays without touching data chunks; classic files decode whole
+    (they are single in-memory byte reads regardless)."""
+    from dask_geomodeling_tpu.io.geotiff import GeoTIFFInfo
+
+    with open(path, "rb") as f:
+        magic = f.read(8)
+    if magic[:4] != b"\x89HDF":
+        data = read_netcdf(path, variable)
+        bands, height, width = data.array.shape
+        return GeoTIFFInfo(
+            width=width, height=height, bands=bands,
+            dtype=str(data.array.dtype), projection=data.projection,
+            geo_transform=data.geo_transform,
+            no_data_value=data.no_data_value, metadata=data.metadata,
+        )
+    h5py = _h5py_or_raise()
+    with h5py.File(path, "r") as handle:
+        gatts, variables, data_var = _h5_scan(handle, path, variable)
+        ds = data_var["_ds"]
+        shape = ds.shape
+        height, width = shape[-2:]
+        bands = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
+        xs = _h5_centers(variables, data_var, ds.ndim - 1, width, "x")
+        ys = _h5_centers(variables, data_var, ds.ndim - 2, height, "y")
+        atts = data_var["atts"]
+        # mirror _assemble_raster's grid / packing / fill rules
+        dx = float(xs[1] - xs[0]) if len(xs) > 1 else 1.0
+        dy = float(ys[1] - ys[0]) if len(ys) > 1 else -1.0
+        y_top = float(ys[-1]) if dy > 0 else float(ys[0])
+        dy = -abs(dy)
+        dtype = np.dtype(ds.dtype).newbyteorder("=")
+
+        def scalar(name):
+            value = atts.get(name)
+            if value is None:
+                return None
+            arr = np.asarray(value)
+            return float(arr.ravel()[0]) if arr.size else None
+
+        fill = scalar("_FillValue")
+        if fill is None:
+            fill = scalar("missing_value")
+        if "scale_factor" in atts or "add_offset" in atts:
+            dtype = np.dtype(np.float32)
+            if fill is not None:
+                fill = float(np.finfo(np.float32).max)
+        if fill is None:
+            from dask_geomodeling_tpu.geo.dtypes import get_dtype_max
+
+            fill = float(get_dtype_max(dtype))
+        label = (
+            atts.get("long_name") or atts.get("units") or data_var["name"]
+        )
+        return GeoTIFFInfo(
+            width=width, height=height, bands=bands, dtype=str(dtype),
+            projection=_crs_from_atts(gatts, variables, data_var),
+            geo_transform=(
+                float(xs[0]) - dx / 2, dx, 0.0, y_top - dy / 2, 0.0, dy,
+            ),
+            no_data_value=float(fill),
+            metadata=[str(label)] * bands,
+        )
 
 
 def _assemble_raster(gatts, variables, data_var, array, xs, ys):

@@ -517,6 +517,12 @@ class RasterFileSource(RasterSourceBase):
 
                 self._info = read_zarr_info(path)
             elif path.lower().endswith(
+                (".nc", ".cdf", ".nc3", ".nc4", ".h5", ".hdf5")
+            ):
+                from dask_geomodeling_tpu.io.netcdf import read_netcdf_info
+
+                self._info = read_netcdf_info(path)
+            elif path.lower().endswith(
                 (
                     ".vrt", ".asc", ".agr", ".xyz", ".png", ".nc", ".cdf",
                     ".nc3", ".nc4", ".h5", ".hdf5", ".jpg", ".jpeg",
@@ -640,10 +646,13 @@ class RasterFileSource(RasterSourceBase):
         if request is None:
             return None
         path = utils.safe_abspath(self.url)
-        # GeoTIFFs decode block-wise; Zarr stores chunk-wise (no pyramid
-        # levels there — overviews stay a TIFF concept)
-        is_zarr = path.lower().endswith(".zarr")
-        if not (is_zarr or path.lower().endswith((".tif", ".tiff"))):
+        # GeoTIFFs decode block-wise; Zarr stores and netCDF-4/HDF5 files
+        # chunk-wise (no pyramid levels there — overviews are a TIFF
+        # concept)
+        chunked_store = path.lower().endswith(
+            (".zarr", ".nc", ".cdf", ".nc3", ".nc4", ".h5", ".hdf5")
+        )
+        if not (chunked_store or path.lower().endswith((".tif", ".tiff"))):
             return None
         info = self.info
 
@@ -666,7 +675,7 @@ class RasterFileSource(RasterSourceBase):
         level = 0
         level_w, level_h = info.width, info.height
         gt = tuple(self.geo_transform)
-        if not is_zarr and config.get("geomodeling.use-overviews", False):
+        if not chunked_store and config.get("geomodeling.use-overviews", False):
             level, level_w, level_h = self._overview_choice(bbox, request)
             if level:
                 fx = info.width / float(level_w)

@@ -909,3 +909,110 @@ class TestMbtiles:
         assert data.array.shape == (1, 256, 512)
         np.testing.assert_allclose(data.geo_transform, gt, rtol=1e-12)
         np.testing.assert_array_equal(data.array, values)
+
+
+class TestNetcdfWindows:
+    """Windowed netCDF reads: windowed == whole-read slice bit-exact."""
+
+    def test_netcdf4_window_equals_whole(self, root):
+        pytest.importorskip("h5py")
+        from dask_geomodeling_tpu.io.netcdf import read_netcdf_window
+
+        values = ((np.arange(48 * 64) * 3) % 251).astype("i4").reshape(48, 64)
+        xs = np.arange(64) + 0.5
+        path = str(root / "w.nc4")
+        for south_up in (False, True):
+            ys = (
+                (np.arange(48) + 0.5) if south_up else (47.5 - np.arange(48))
+            )
+            TestNetcdf4()._write(
+                path, values if not south_up else values[::-1], xs, ys,
+                chunks=(16, 16), compression="gzip",
+            )
+            whole = read_netcdf(path)
+            for r0, r1, c0, c1 in [(0, 48, 0, 64), (5, 30, 10, 50),
+                                   (47, 48, 63, 64)]:
+                window = read_netcdf_window(path, r0, r1, c0, c1)
+                np.testing.assert_array_equal(
+                    window.array, whole.array[:, r0:r1, c0:c1]
+                )
+                gt = whole.geo_transform
+                np.testing.assert_allclose(
+                    window.geo_transform,
+                    (gt[0] + c0 * gt[1], gt[1], 0, gt[3] + r0 * gt[5], 0,
+                     gt[5]),
+                )
+
+    def test_classic_window_equals_whole(self, root):
+        from dask_geomodeling_tpu.io.netcdf import read_netcdf_window
+
+        values = np.arange(200, dtype="f4").reshape(1, 10, 20)
+        gt = (0.0, 2.0, 0.0, 20.0, 0.0, -2.0)
+        path = str(root / "c.nc")
+        write_netcdf(path, values, gt, no_data_value=-1.0)
+        whole = read_netcdf(path)
+        window = read_netcdf_window(path, 2, 8, 3, 17)
+        np.testing.assert_array_equal(
+            window.array, whole.array[:, 2:8, 3:17]
+        )
+        np.testing.assert_allclose(
+            window.geo_transform, (6.0, 2.0, 0.0, 16.0, 0.0, -2.0)
+        )
+
+    def test_info_is_metadata_only(self, root, monkeypatch):
+        pytest.importorskip("h5py")
+        """For HDF5 files, info must not read the data variable."""
+        from dask_geomodeling_tpu.io.netcdf import read_netcdf_info
+
+        values = np.full((40, 40), 3, dtype="f8")
+        xs = np.arange(40) + 0.5
+        ys = 39.5 - np.arange(40)
+        path = str(root / "i.nc4")
+        from dask_geomodeling_tpu.geo.crs import get_sr
+
+        TestNetcdf4()._write(
+            path, values, xs, ys, wkt=get_sr("EPSG:28992").ExportToWkt(),
+            fill=-1.0, scale=0.5, offset=2.0,
+        )
+        whole = read_netcdf(path)
+        reads = []
+        import h5py as h5
+
+        original = h5.Dataset.__getitem__
+
+        def spy(self, item):
+            if self.name == "/data":
+                reads.append(item)
+            return original(self, item)
+
+        monkeypatch.setattr(h5.Dataset, "__getitem__", spy)
+        info = read_netcdf_info(path)
+        assert reads == []  # no data access
+        assert (info.width, info.height, info.bands) == (40, 40, 1)
+        np.testing.assert_allclose(info.geo_transform, whole.geo_transform)
+        assert info.no_data_value == whole.no_data_value
+        assert np.dtype(info.dtype) == whole.array.dtype
+        from dask_geomodeling_tpu.geo.crs import get_sr as _sr
+
+        assert _sr(info.projection).code == 28992
+
+    def test_file_source_windowed_equals_whole(self, root):
+        pytest.importorskip("h5py")
+        from dask_geomodeling_tpu.runtime.pipeline import clear_read_cache
+
+        values = ((np.arange(30 * 40) * 3) % 251).astype("f4").reshape(30, 40)
+        xs = np.arange(40) + 0.5
+        ys = 29.5 - np.arange(30)
+        path = str(root / "fs.nc4")
+        TestNetcdf4()._write(path, values, xs, ys, chunks=(10, 10))
+        request = dict(
+            mode="vals", bbox=(5.0, 5.0, 35.0, 25.0),
+            projection="EPSG:4326", width=30, height=20,
+            start=datetime(2000, 1, 1),
+        )
+        source = RasterFileSource("fs.nc4", time_first=datetime(2000, 1, 1))
+        whole = source.get_data(**request)
+        clear_read_cache()
+        with config.set({"geomodeling.windowed-read-limit": 100}):
+            windowed = source.get_data(**request)
+        np.testing.assert_array_equal(whole["values"], windowed["values"])
