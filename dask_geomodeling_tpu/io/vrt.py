@@ -10,7 +10,7 @@ import xml.etree.ElementTree as ET
 
 import numpy as np
 
-__all__ = ["build_vrt", "read_vrt"]
+__all__ = ["build_vrt", "read_vrt", "read_vrt_window", "read_vrt_info"]
 
 _GDAL_TYPES = {
     "u1": "Byte",
@@ -94,11 +94,9 @@ def build_vrt(target, source_paths):
     ET.ElementTree(root).write(target, encoding="unicode")
 
 
-def read_vrt(path):
-    """Read a VRT mosaic into a RasterData (materializes the full grid)."""
+def _parse_vrt(path):
+    """(width, height, geo_transform, projection, dtype, nodata, band)."""
     from dask_geomodeling_tpu.geo.crs import get_epsg_or_wkt
-    from dask_geomodeling_tpu.io.geotiff import read_geotiff
-    from dask_geomodeling_tpu.raster.sources import RasterData
 
     tree = ET.parse(path)
     root = tree.getroot()
@@ -114,25 +112,82 @@ def read_vrt(path):
     dtype = np.dtype(_NUMPY_TYPES[band.get("dataType")])
     no_data_text = band.findtext("NoDataValue")
     no_data_value = float(no_data_text) if no_data_text is not None else None
+    return width, height, geo_transform, projection, dtype, no_data_value, band
+
+
+def read_vrt(path):
+    """Read a VRT mosaic into a RasterData (materializes the full grid)."""
+    width, height, *_ = _parse_vrt(path)
+    return read_vrt_window(path, 0, height, 0, width)
+
+
+def read_vrt_info(path):
+    """Header-only info: the mosaic grid without touching any member."""
+    from dask_geomodeling_tpu.io.geotiff import GeoTIFFInfo
+
+    width, height, geo_transform, projection, dtype, nodata, _ = _parse_vrt(
+        path
+    )
+    return GeoTIFFInfo(
+        width=width, height=height, bands=1, dtype=str(dtype),
+        projection=projection, geo_transform=geo_transform,
+        no_data_value=nodata, metadata=None,
+    )
+
+
+def read_vrt_window(path, row0, row1, col0, col1):
+    """Read one pixel window of a VRT mosaic: only the member rasters the
+    window touches are opened, and each is read through the block-level
+    GeoTIFF window reader (the to_file tile-pyramid access pattern)."""
+    from dask_geomodeling_tpu.io.geotiff import read_geotiff_window
+    from dask_geomodeling_tpu.raster.sources import RasterData
+
+    width, height, geo_transform, projection, dtype, no_data_value, band = (
+        _parse_vrt(path)
+    )
+    row0 = max(0, min(int(row0), height - 1))
+    row1 = max(row0 + 1, min(int(row1), height))
+    col0 = max(0, min(int(col0), width - 1))
+    col1 = max(col0 + 1, min(int(col1), width))
 
     fill = no_data_value if no_data_value is not None else 0
-    array = np.full((1, height, width), fill, dtype=dtype)
+    array = np.full((1, row1 - row0, col1 - col0), fill, dtype=dtype)
 
     for source in band:
         if source.tag not in ("ComplexSource", "SimpleSource"):
             continue
-        filename = source.findtext("SourceFilename")
         dst = source.find("DstRect")
         x_off = int(dst.get("xOff"))
         y_off = int(dst.get("yOff"))
-        tile = read_geotiff(filename)
-        h, w = tile.array.shape[1:]
-        array[0, y_off : y_off + h, x_off : x_off + w] = tile.array[0]
+        x_size = int(dst.get("xSize"))
+        y_size = int(dst.get("ySize"))
+        # mosaic-space overlap of this member with the window
+        r0 = max(row0, y_off)
+        r1 = min(row1, y_off + y_size)
+        c0 = max(col0, x_off)
+        c1 = min(col1, x_off + x_size)
+        if r1 <= r0 or c1 <= c0:
+            continue  # untouched member: never opened
+        src = source.find("SrcRect")
+        src_y = int(src.get("yOff")) if src is not None else 0
+        src_x = int(src.get("xOff")) if src is not None else 0
+        tile = read_geotiff_window(
+            source.findtext("SourceFilename"),
+            src_y + r0 - y_off, src_y + r1 - y_off,
+            src_x + c0 - x_off, src_x + c1 - x_off,
+        )
+        array[
+            0, r0 - row0 : r1 - row0, c0 - col0 : c1 - col0
+        ] = tile.array[0]
 
+    gt = geo_transform
     return RasterData(
         array=array,
         projection=projection,
-        geo_transform=geo_transform,
+        geo_transform=(
+            gt[0] + col0 * gt[1], gt[1], gt[2],
+            gt[3] + row0 * gt[5], gt[4], gt[5],
+        ),
         no_data_value=no_data_value,
         metadata=None,
     )

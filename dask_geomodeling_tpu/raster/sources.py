@@ -522,6 +522,10 @@ class RasterFileSource(RasterSourceBase):
                 from dask_geomodeling_tpu.io.netcdf import read_netcdf_info
 
                 self._info = read_netcdf_info(path)
+            elif path.lower().endswith(".vrt"):
+                from dask_geomodeling_tpu.io.vrt import read_vrt_info
+
+                self._info = read_vrt_info(path)
             elif path.lower().endswith(
                 (
                     ".vrt", ".asc", ".agr", ".xyz", ".png", ".nc", ".cdf",
@@ -650,7 +654,7 @@ class RasterFileSource(RasterSourceBase):
         # chunk-wise (no pyramid levels there — overviews are a TIFF
         # concept)
         chunked_store = path.lower().endswith(
-            (".zarr", ".nc", ".cdf", ".nc3", ".nc4", ".h5", ".hdf5")
+            (".zarr", ".nc", ".cdf", ".nc3", ".nc4", ".h5", ".hdf5", ".vrt")
         )
         if not (chunked_store or path.lower().endswith((".tif", ".tiff"))):
             return None

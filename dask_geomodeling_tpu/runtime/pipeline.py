@@ -184,6 +184,10 @@ def read_geotiff_window_cached(path, row0, row1, col0, col1, level=0):
         from dask_geomodeling_tpu.io.netcdf import read_netcdf_window
 
         data = read_netcdf_window(key[0], row0, row1, col0, col1)
+    elif key[0].lower().endswith(".vrt"):
+        from dask_geomodeling_tpu.io.vrt import read_vrt_window
+
+        data = read_vrt_window(key[0], row0, row1, col0, col1)
     else:
         data = read_geotiff_window(key[0], row0, row1, col0, col1, level=level)
     with _CACHE_LOCK:
