@@ -209,8 +209,9 @@ def main():
         stop=datetime(2000, 1, 2),
     )
     print(
-        "%-18s %10s %10s %10s %9s %9s"
-        % ("zonal (s/req)", "host", "upload", "resident", "host/up", "host/res")
+        "%-18s %10s %10s %10s %10s %9s %9s %9s"
+        % ("zonal (s/req)", "host", "upload", "resident", "auto",
+           "host/up", "host/res", "host/auto")
     )
     for statistic in ("mean", "median", "std", "p90"):
         agg = AggregateRaster(geom, zonal_source, statistic=statistic)
@@ -236,11 +237,20 @@ def main():
         ):
             agg.get_data(**geo_request)
             resident = min(time_once(agg, geo_request) for _ in range(2))
+        # the DEFAULT policy: device only where the rows above say it wins
+        with config.set(
+            {
+                "geomodeling.aggregate-device": "auto",
+                "geomodeling.executor": "jax",
+            }
+        ):
+            agg.get_data(**geo_request)
+            auto = min(time_once(agg, geo_request) for _ in range(2))
         print(
-            "%-18s %10.3f %10.3f %10.3f %8.1fx %8.1fx"
+            "%-18s %10.3f %10.3f %10.3f %10.3f %8.1fx %8.1fx %8.1fx"
             % (
-                statistic, host, upload, resident,
-                host / upload, host / resident,
+                statistic, host, upload, resident, auto,
+                host / upload, host / resident, host / auto,
             )
         )
 

@@ -85,6 +85,9 @@ defaults = {
     # device-resident (executor=jax staging); True forces the device
     # for every supported statistic, False pins the host
     "geomodeling.aggregate-device": "auto",
+    # "auto" takes the device only for frame stacks at least this many
+    # pixels (t*h*w): below it, dispatch latency dominates the sort win
+    "geomodeling.aggregate-device-min-px": 2**22,
     # use the fused Pallas kernel for Gaussian smoothing on TPU
     "geomodeling.pallas-smooth": True,
     # use the fused Pallas kernel for the moving-max footprint filter

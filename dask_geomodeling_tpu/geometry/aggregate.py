@@ -157,10 +157,14 @@ def aggregate_polygons(
     if mode == "auto":
         # measured policy (BASELINE.md round-3 zonal table): the device
         # wins only for sort-based statistics (median/percentile,
-        # 2.0-2.2x) and only when the frames are ALREADY device-resident;
-        # one-pass statistics and upload-bound frames stay on the host
-        device_capable = values_on_device and statistic in (
-            "median", "percentile",
+        # 2.0-2.2x), only when the frames are ALREADY device-resident,
+        # and only at sizes where the sort dominates (the win was at
+        # 1024^2 x 8 frames; small stacks are dispatch-bound and lose)
+        device_capable = (
+            values_on_device
+            and statistic in ("median", "percentile")
+            and int(np.prod(values.shape))
+            >= config.get("geomodeling.aggregate-device-min-px", 2**22)
         )
     else:
         device_capable = bool(mode) and statistic in DEVICE_STATISTICS

@@ -706,7 +706,12 @@ class TestAggregateDeviceAuto:
         view = self._view(statistic)
         host = view.get_data(**self._request())["features"]["agg"].tolist()
         assert calls == []  # host frames: the host path regardless
-        with config.set({"geomodeling.executor": "jax"}):
+        with config.set({
+            "geomodeling.executor": "jax",
+            # the test stack is tiny; lift the size gate to test the
+            # statistic policy itself
+            "geomodeling.aggregate-device-min-px": 0,
+        }):
             auto = view.get_data(**self._request())["features"]["agg"]
         assert bool(calls) is expect_device
         np.testing.assert_allclose(
@@ -728,4 +733,21 @@ class TestAggregateDeviceAuto:
             "geomodeling.executor": "jax",
         }):
             view.get_data(**self._request())
+        assert calls == []
+
+
+    def test_size_gate_keeps_small_stacks_on_host(self, monkeypatch):
+        """Below aggregate-device-min-px even sort statistics stay on the
+        host: small stacks are dispatch-bound (benchmarks/run.py zonal
+        rows at small px)."""
+        from dask_geomodeling_tpu.ops import segment
+
+        calls = []
+        monkeypatch.setattr(
+            segment, "labeled_statistics_batch_device",
+            lambda *a, **k: calls.append(1),
+        )
+        view = self._view("median")
+        with config.set({"geomodeling.executor": "jax"}):
+            view.get_data(**self._request())  # 3x10x10 << the default gate
         assert calls == []
