@@ -93,6 +93,10 @@ def read_geotiff_cached(path):
         from dask_geomodeling_tpu.io.png import read_png
 
         data = read_png(key)
+    elif lower.endswith((".jp2", ".j2k", ".jpx")):
+        from dask_geomodeling_tpu.io.jp2 import read_jp2
+
+        data = read_jp2(key)
     elif lower.endswith((".jpg", ".jpeg", ".bmp", ".gif")):
         from dask_geomodeling_tpu.io.jpeg import read_jpeg
 
