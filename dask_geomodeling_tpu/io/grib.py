@@ -19,7 +19,8 @@ Supported subset (the envelope of common NWP products):
   row-major arrays
 - data representation templates 5.0 (simple packing), 5.2 (complex
   packing, incl. primary missing-value management), 5.3 (complex
-  packing with spatial differencing of orders 1 and 2) and 5.41 (PNG
+  packing with spatial differencing of orders 1 and 2), 5.40
+  (JPEG2000 packing via the image's OpenJPEG binding) and 5.41 (PNG
   packing, decoded with the in-repo PNG codec)
 - bitmap section indicators 0 (bitmap present), 254 (reuse previous)
   and 255 (none)
@@ -27,7 +28,7 @@ Supported subset (the envelope of common NWP products):
   carrying the common octet layout, e.g. 4.0/4.1/4.2/4.8) are exposed
   in per-band metadata strings
 
-Quasi-regular (thinned) grids and the JPEG2000/CCSDS data templates are
+Quasi-regular (thinned) grids and the CCSDS/AEC data template are
 rejected with a clear error.  All multi-octet integers are big-endian;
 signed fields use GRIB's sign-magnitude convention (MSB = sign).
 """
@@ -486,6 +487,30 @@ def _decode_complex_diff(sec5, sec7, npts):
     return _scale(values, R, E, D), None
 
 
+def _decode_jpeg2000_packed(sec5, sec7, npts):
+    """Data template 7.40: the data section is a JPEG2000 codestream
+    (decoded through the image's OpenJPEG binding, like io/jp2.py)."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    R = struct.unpack(">f", sec5[11:15])[0]
+    E = _s(sec5, 15, 2)
+    D = _s(sec5, 17, 2)
+    nbits = sec5[19]
+    if nbits == 0:
+        return np.full(npts, _scale(np.zeros(1), R, E, D)[0]), None
+    with Image.open(BytesIO(bytes(sec7[5:]))) as image:
+        pixels = np.asarray(image)
+    packed = pixels.astype(np.int64).ravel()
+    if packed.size != npts:
+        raise _GribError(
+            "GRIB JPEG2000 packing: %d samples decoded, expected %d"
+            % (packed.size, npts)
+        )
+    return _scale(packed, R, E, D), None
+
+
 def _decode_png_packed(sec5, sec7, npts):
     """Data template 7.41: PNG packing."""
     from dask_geomodeling_tpu.io.png import decode_png_bytes
@@ -632,12 +657,17 @@ def read_grib(path):
                     values, missing = _decode_complex(sec5, section, npts)
                 elif template == 3:
                     values, missing = _decode_complex_diff(sec5, section, npts)
+                elif template == 40:
+                    values, missing = _decode_jpeg2000_packed(
+                        sec5, section, npts
+                    )
                 elif template == 41:
                     values, missing = _decode_png_packed(sec5, section, npts)
                 else:
                     raise _GribError(
                         "Unsupported GRIB data representation template "
-                        "5.%d (supported: 5.0, 5.2, 5.3, 5.41)" % template
+                        "5.%d (supported: 5.0, 5.2, 5.3, 5.40, 5.41)"
+                        % template
                     )
                 if missing is not None:
                     values = values.copy()

@@ -716,3 +716,37 @@ def test_errors(tmp_path):
     raw[7] = 1
     with pytest.raises(ValueError, match="edition"):
         read_grib(_write(tmp_path, bytes(raw)))
+
+
+def test_jpeg2000_packing(tmp_path):
+    """Data template 7.40: the data section is a JPEG2000 codestream
+    (NCEP's common GFS packing)."""
+    from io import BytesIO
+
+    PIL = pytest.importorskip("PIL.Image")
+    from PIL import features
+
+    if not features.check("jpg_2000"):
+        pytest.skip("OpenJPEG not available")
+    values = ((np.arange(24) * 9) % 251).astype(np.uint8).reshape(4, 6)
+    buf = BytesIO()
+    PIL.fromarray(values).save(
+        buf, format="JPEG2000", quality_mode="lossless", irreversible=False
+    )
+    sec5_tpl = (
+        struct.pack(">f", 0.0) + _sm(-1, 2) + _sm(1, 2)  # E=-1, D=1
+        + bytes([8, 0])
+    )
+    sec5 = _section(5, struct.pack(">IH", values.size, 40) + sec5_tpl)
+    raw = _message([
+        _sec1(),
+        _sec3_latlon(6, 4, 55.0, 4.0, 53.5, 6.5, 0.5, 0.5, 0),
+        _sec4(),
+        sec5,
+        _sec6(None),
+        _section(7, buf.getvalue()),
+    ])
+    data = read_grib(_write(tmp_path, raw))
+    np.testing.assert_allclose(
+        data.array[0], (values.astype(float) * 0.5) / 10.0
+    )
