@@ -3215,6 +3215,27 @@ def _wkt_param_name(name):
 
 def _sr_from_wkt(text):
     root = _parse_wkt(text)
+    if root[0] in ("COMPD_CS", "COMPOUNDCRS"):
+        # compound (horizontal + vertical) CRS: raster geometry uses the
+        # horizontal member, like GDAL's 2-D handling of COMPD_CS
+        horizontal = _wkt_find(
+            root, "PROJCS", "PROJCRS", "PROJECTEDCRS",
+            "GEOGCS", "GEOGCRS", "GEOGRAPHICCRS",
+        )
+        if horizontal is None:
+            raise TransformException(
+                "Compound CRS without a horizontal member"
+            )
+        root = horizontal
+        # the member's own EPSG authority beats structural re-parsing
+        # (matching the whole-text AUTHORITY shortcut in get_sr)
+        auth = _wkt_find(root, "AUTHORITY", "ID")
+        if auth is not None:
+            try:
+                code = int(str(auth[1][-1]).strip('"'))
+                return _registry_get(code)
+            except (TransformException, ValueError, IndexError):
+                pass
     if root[0] in ("GEOGCS", "GEOGCRS", "GEOGRAPHICCRS"):
         projected, geog = False, root
     elif root[0] in ("PROJCS", "PROJCRS", "PROJECTEDCRS"):

@@ -524,3 +524,44 @@ def test_spherical_mercator_honors_parameters():
     np.testing.assert_allclose(
         float(wx[0]), 6378137.0 * np.radians(15.0), rtol=1e-12
     )
+
+
+def test_compound_crs_uses_horizontal_member():
+    """COMPD_CS (horizontal + vertical): the horizontal member drives
+    raster geometry, matching GDAL's 2-D handling."""
+    import numpy as np
+
+    from dask_geomodeling_tpu.geo.crs import get_sr, get_transform_func
+
+    compound = (
+        'COMPD_CS["NAD83 + NAVD88",'
+        'GEOGCS["NAD83",DATUM["North_American_Datum_1983",'
+        'SPHEROID["GRS 1980",6378137,298.257222101]],'
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+        'VERT_CS["NAVD88",'
+        'VERT_DATUM["North American Vertical Datum 1988",2005],'
+        'UNIT["metre",1]]]'
+    )
+    sr = get_sr(compound)
+    assert sr.is_geographic
+    # a projected horizontal member works too (RD New + NAP)
+    projected = (
+        'COMPD_CS["Amersfoort / RD New + NAP",%s,'
+        'VERT_CS["NAP",VERT_DATUM["NAP",2005],UNIT["metre",1]]]'
+        % get_sr("EPSG:28992").ExportToWkt()
+    )
+    fwd = get_transform_func("EPSG:4326", projected)
+    x, y = fwd(np.array([5.387]), np.array([52.156]))
+    ref_x, ref_y = get_transform_func("EPSG:4326", "EPSG:28992")(
+        np.array([5.387]), np.array([52.156])
+    )
+    np.testing.assert_allclose(float(x[0]), float(ref_x[0]), atol=1e-6)
+    np.testing.assert_allclose(float(y[0]), float(ref_y[0]), atol=1e-6)
+    # vertical-only compounds fail with a clear message
+    import pytest
+
+    from dask_geomodeling_tpu.geo.crs import TransformException
+
+    with pytest.raises(TransformException, match="horizontal"):
+        get_sr('COMPD_CS["v only",VERT_CS["NAP",'
+               'VERT_DATUM["NAP",2005],UNIT["metre",1]]]')
