@@ -231,9 +231,23 @@ def read_saga(path):
     )
 
 
-def write_saga(path, array, geo_transform, no_data_value=-99999.0):
-    """Write a single-band SAGA grid pair (``.sgrd`` + ``.sdat``)."""
+def write_saga(path, array, geo_transform, no_data_value=None):
+    """Write a single-band SAGA grid pair (``.sgrd`` + ``.sdat``).
+
+    ``no_data_value`` defaults to SAGA's conventional -99999 when the
+    dtype can hold it, else the dtype maximum (byte grids)."""
     array = np.asarray(array)
+    if no_data_value is None:
+        try:
+            representable = array.dtype.type(-99999.0) == -99999.0
+        except (OverflowError, ValueError):
+            representable = False
+        if representable:
+            no_data_value = -99999.0
+        else:
+            from dask_geomodeling_tpu.geo import get_dtype_max
+
+            no_data_value = float(get_dtype_max(array.dtype))
     if array.ndim == 3:
         if array.shape[0] != 1:
             raise ValueError("SAGA grids are single-band")

@@ -578,11 +578,19 @@ class RasterFileSource(RasterSourceBase):
         # foreign files may omit the nodata tag; default to the framework
         # convention (dtype max) like the reference's dtype rules
         no_data = self.info.no_data_value
-        if no_data is None:
-            from dask_geomodeling_tpu.geo import get_dtype_max
+        if no_data is not None:
+            try:
+                cast = self.dtype.type(no_data)
+                if float(cast) == float(no_data):
+                    return cast
+            except (OverflowError, ValueError):
+                pass
+            # a nodata outside the dtype's range (e.g. SAGA's -99999
+            # default on byte grids) cannot occur in the data: treat it
+            # as "no nodata cells" rather than crashing
+        from dask_geomodeling_tpu.geo import get_dtype_max
 
-            return self.dtype.type(get_dtype_max(self.dtype))
-        return self.dtype.type(no_data)
+        return self.dtype.type(get_dtype_max(self.dtype))
 
     @property
     def geo_transform(self):
