@@ -3228,13 +3228,14 @@ def _sr_from_wkt(text):
             )
         root = horizontal
         # the member's own EPSG authority beats structural re-parsing
-        # (matching the whole-text AUTHORITY shortcut in get_sr)
+        # (matching the whole-text AUTHORITY shortcut in get_sr); code
+        # extraction mirrors the main parse below: EPSG namespace only,
+        # positional code field
         auth = _wkt_find(root, "AUTHORITY", "ID")
-        if auth is not None:
+        if auth and len(auth[1]) > 1 and str(auth[1][0]).upper() == "EPSG":
             try:
-                code = int(str(auth[1][-1]).strip('"'))
-                return _registry_get(code)
-            except (TransformException, ValueError, IndexError):
+                return _registry_get(int(float(auth[1][1])))
+            except (TransformException, ValueError):
                 pass
     if root[0] in ("GEOGCS", "GEOGCRS", "GEOGRAPHICCRS"):
         projected, geog = False, root

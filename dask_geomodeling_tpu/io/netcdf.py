@@ -307,6 +307,7 @@ def _read_netcdf4(path, variable=None, window=None):
         height, width = ds.shape[-2:]
         xs = _h5_centers(variables, data_var, ds.ndim - 1, width, "x")
         ys = _h5_centers(variables, data_var, ds.ndim - 2, height, "y")
+        spacing = None
         if window is None:
             array = np.asarray(ds)
         else:
@@ -320,10 +321,17 @@ def _read_netcdf4(path, variable=None, window=None):
                 s0, s1 = height - row1, height - row0
             else:
                 s0, s1 = row0, row1
+            # full-grid spacing survives 1-px coordinate slices
+            spacing = (
+                float(xs[1] - xs[0]) if len(xs) > 1 else 1.0,
+                float(ys[1] - ys[0]) if len(ys) > 1 else -1.0,
+            )
             array = np.asarray(ds[..., s0:s1, col0:col1])
             xs = xs[col0:col1]
             ys = ys[s0:s1]
-        return _assemble_raster(gatts, variables, data_var, array, xs, ys)
+        return _assemble_raster(
+            gatts, variables, data_var, array, xs, ys, spacing=spacing
+        )
 
 def read_netcdf(path, variable=None):
     """Read a CF-georeferenced netCDF file into RasterData.
@@ -424,7 +432,14 @@ def read_netcdf_window(path, row0, row1, col0, col1, variable=None):
         )
     from dask_geomodeling_tpu.raster.sources import RasterData
 
-    data = read_netcdf(path, variable)
+    if variable is None:
+        # ride the whole-file LRU: a tiled export touches many distinct
+        # windows of one classic file, which decodes once this way
+        from dask_geomodeling_tpu.runtime.pipeline import read_geotiff_cached
+
+        data = read_geotiff_cached(path)
+    else:
+        data = read_netcdf(path, variable)
     _, height, width = data.array.shape
     row0 = max(0, min(int(row0), height - 1))
     row1 = max(row0 + 1, min(int(row1), height))
@@ -510,12 +525,16 @@ def read_netcdf_info(path, variable=None):
         )
 
 
-def _assemble_raster(gatts, variables, data_var, array, xs, ys):
+def _assemble_raster(gatts, variables, data_var, array, xs, ys,
+                     spacing=None):
     """Shared CF assembly: orientation, geotransform, packing, CRS.
 
     ``variables`` is the attribute-bearing variable list (classic or
     netCDF-4 shaped alike: dicts with "name" and "atts"); ``xs``/``ys``
-    are cell-center coordinates along the last two axes.
+    are cell-center coordinates along the last two axes.  ``spacing``
+    supplies (dx, dy) in storage order for WINDOWED callers whose
+    coordinate slice may be a single element (a 1-px window must not
+    fabricate a 1.0-unit cell size).
     """
     from dask_geomodeling_tpu.raster.sources import RasterData
 
@@ -524,8 +543,9 @@ def _assemble_raster(gatts, variables, data_var, array, xs, ys):
     elif array.ndim > 3:
         array = array.reshape((-1,) + array.shape[-2:])
 
-    dx = float(xs[1] - xs[0]) if len(xs) > 1 else 1.0
-    dy = float(ys[1] - ys[0]) if len(ys) > 1 else -1.0
+    default_dx, default_dy = spacing if spacing is not None else (1.0, -1.0)
+    dx = float(xs[1] - xs[0]) if len(xs) > 1 else float(default_dx)
+    dy = float(ys[1] - ys[0]) if len(ys) > 1 else float(default_dy)
     if dy > 0:  # south-up storage: flip rows into the north-up contract
         array = array[:, ::-1, :]
         ys = ys[::-1]

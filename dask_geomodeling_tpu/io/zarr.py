@@ -31,7 +31,7 @@ import numpy as np
 __all__ = ["read_zarr", "write_zarr"]
 
 
-def _decompress(raw, compressor, nbytes):
+def _decompress(raw, compressor):
     if compressor is None:
         return raw
     cid = compressor.get("id")
@@ -132,7 +132,6 @@ def _read_array(dirpath, meta, window=None):
         range(b0 // c, max(-(-b1 // c), b0 // c))
         for (b0, b1), c in zip(bounds, chunks)
     ]
-    nbytes = int(np.prod(chunks)) * dtype.itemsize if chunks else dtype.itemsize
     for index in itertools.product(*ranges):
         key = sep.join(str(i) for i in index) or "0"
         path = os.path.join(dirpath, *key.split("/")) if sep == "/" else (
@@ -143,7 +142,7 @@ def _read_array(dirpath, meta, window=None):
                 raw = f.read()
         except OSError:
             continue  # missing chunk: fill_value background
-        buf = _decompress(raw, compressor, nbytes)
+        buf = _decompress(raw, compressor)
         chunk = np.frombuffer(buf, dtype=dtype, count=int(np.prod(chunks)))
         chunk = chunk.reshape(chunks, order=order)
         src = []
@@ -202,7 +201,7 @@ def _grid_centers(loaded, atts, height, width):
     return xs, ys
 
 
-def _assemble(loaded, name, gatts, array, xs, ys):
+def _assemble(loaded, name, gatts, array, xs, ys, spacing=None):
     from dask_geomodeling_tpu.io.netcdf import _assemble_raster
 
     variables = [
@@ -210,7 +209,9 @@ def _assemble(loaded, name, gatts, array, xs, ys):
         for var_name, entry in loaded.items()
     ]
     data_var = {"name": name or "data", "atts": loaded[name][2]}
-    return _assemble_raster(gatts, variables, data_var, array, xs, ys)
+    return _assemble_raster(
+        gatts, variables, data_var, array, xs, ys, spacing=spacing
+    )
 
 
 def read_zarr(path, variable=None):
@@ -248,6 +249,10 @@ def read_zarr_info(path, variable=None):
 
     dtype = np.dtype(meta["dtype"]).newbyteorder("=")
     fill = atts.get("_FillValue", atts.get("missing_value"))
+    if fill is not None:
+        # array-valued attributes occur in the wild ("_FillValue": [-9999])
+        arr = np.asarray(fill)
+        fill = float(arr.ravel()[0]) if arr.size else None
     if "scale_factor" in atts or "add_offset" in atts:
         dtype = np.dtype(np.float32)
         if fill is not None:
@@ -297,9 +302,15 @@ def read_zarr_window(path, row0, row1, col0, col1, variable=None):
         s0, s1 = height - row1, height - row0
     else:
         s0, s1 = row0, row1
+    # full-grid spacing survives 1-px coordinate slices
+    spacing = (
+        float(xs[1] - xs[0]) if len(xs) > 1 else 1.0,
+        float(ys[1] - ys[0]) if len(ys) > 1 else -1.0,
+    )
     array = _read_array(dirpath, meta, window=((s0, s1), (col0, col1)))
     return _assemble(
-        loaded, name, gatts, array, xs[col0:col1], ys[s0:s1]
+        loaded, name, gatts, array, xs[col0:col1], ys[s0:s1],
+        spacing=spacing,
     )
 
 
@@ -381,8 +392,6 @@ def write_zarr(path, values, geo_transform, projection=None,
             crs_attrs,
         )
 
-    consolidated = {"zarr_format": 2, ".zgroup": {"zarr_format": 2},
-                    ".zattrs": {}}
     metadata = {".zgroup": {"zarr_format": 2}, ".zattrs": {}}
     for name, (meta, attrs) in metas.items():
         metadata[name + "/.zarray"] = meta

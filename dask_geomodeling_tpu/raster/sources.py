@@ -528,8 +528,7 @@ class RasterFileSource(RasterSourceBase):
                 self._info = read_vrt_info(path)
             elif path.lower().endswith(
                 (
-                    ".vrt", ".asc", ".agr", ".xyz", ".png", ".nc", ".cdf",
-                    ".nc3", ".nc4", ".h5", ".hdf5", ".jpg", ".jpeg",
+                    ".asc", ".agr", ".xyz", ".png", ".jpg", ".jpeg",
                     ".bmp", ".gif", ".gpkg", ".hgt", ".dt0", ".dt1", ".dt2",
                     ".hdr", ".bsq", ".bil", ".bip", ".envi", ".img", ".dat",
                     ".raw", ".grib", ".grib2", ".grb", ".grb2", ".gb2",

@@ -44,15 +44,12 @@ def _is_hfa(path):
 
 def _raster_stamp(key):
     """Cache-invalidation stamp; ENVI pairs fold in both pair members;
-    Zarr directory stores fold in their metadata document (chunk writes
-    inside subdirectories do not bump the root directory's mtime)."""
+    Zarr directory stores fold in a recursive walk of entry mtimes
+    (chunk rewrites inside subdirectories bump neither the root
+    directory's mtime nor any metadata document)."""
     stamp = _file_stamp(key)
     if key.lower().endswith(".zarr") and os.path.isdir(key):
-        for doc in (".zmetadata", ".zarray", ".zgroup"):
-            meta = os.path.join(key, doc)
-            if os.path.exists(meta):
-                return (stamp, _file_stamp(meta))
-        return stamp
+        return (stamp, _zarr_stamp(key))
     try:
         from dask_geomodeling_tpu.io.envi import _paths_of
 
@@ -64,6 +61,46 @@ def _raster_stamp(key):
         return (stamp, _file_stamp(other))
     except OSError:
         return stamp
+
+
+#: entry budget for the zarr stamp walk; stores with more files fold a
+#: coarse per-directory stamp instead of per-entry mtimes
+_ZARR_STAMP_LIMIT = 8192
+
+
+def _zarr_stamp(root):
+    """(count, newest mtime_ns, total size) over the store's files.
+
+    A bounded os.scandir walk: for everyday stores (the whole-read LRU
+    only admits them below ``windowed-read-limit`` pixels anyway) this
+    is a few stats.  Enormous chunk trees stop at the entry budget and
+    return a coarse directory-level stamp — creations and deletions are
+    still detected there; only in-place chunk rewrites beyond the budget
+    can go unseen.
+    """
+    count = 0
+    newest = 0
+    total = 0
+    stack = [root]
+    while stack:
+        directory = stack.pop()
+        try:
+            with os.scandir(directory) as entries:
+                for entry in entries:
+                    count += 1
+                    if count > _ZARR_STAMP_LIMIT:
+                        return ("coarse", count, newest, total)
+                    try:
+                        st = entry.stat(follow_symlinks=False)
+                    except OSError:
+                        continue
+                    newest = max(newest, st.st_mtime_ns)
+                    total += st.st_size
+                    if entry.is_dir(follow_symlinks=False):
+                        stack.append(entry.path)
+        except OSError:
+            continue
+    return (count, newest, total)
 
 
 def read_geotiff_cached(path):

@@ -314,3 +314,59 @@ class TestWindowedReads:
             assert len(source) == 1
         # ...without opening a single data chunk (metadata + coords only)
         assert chunk_opens == []
+
+
+def test_one_pixel_window_keeps_cell_size(tmp_path):
+    """Review regression: a 1-px window must not fabricate a 1.0-unit
+    cell size when the coordinate slice has a single element."""
+    from dask_geomodeling_tpu.io.zarr import read_zarr_window
+
+    root = tmp_path / "cells.zarr"
+    grid = np.arange(100, dtype="<f4").reshape(10, 10)
+    _mkstore(root, "v", grid, (10, 10), {"_ARRAY_DIMENSIONS": ["y", "x"]})
+    _coords(root, 1000.0 + 10.0 * (np.arange(10) + 0.5),
+            2000.0 - 10.0 * (np.arange(10) + 0.5))
+    window = read_zarr_window(str(root), 0, 1, 0, 1)
+    np.testing.assert_allclose(
+        window.geo_transform, (1000.0, 10.0, 0.0, 2000.0, 0.0, -10.0)
+    )
+    assert window.array.shape == (1, 1, 1)
+    assert window.array[0, 0, 0] == 0.0
+
+
+def test_cache_sees_inplace_chunk_rewrites(tmp_path):
+    """Review regression: rewriting a chunk in place (no metadata or
+    directory mtime change) must invalidate the read caches."""
+    import time
+
+    from dask_geomodeling_tpu.runtime.pipeline import read_geotiff_cached
+
+    root = str(tmp_path / "mut.zarr")
+    values = np.zeros((1, 4, 4), dtype="f8")
+    write_zarr(root, values, (0, 1, 0, 4, 0, -1))
+    first = read_geotiff_cached(root)
+    assert (first.array == 0).all()
+    # rewrite the single chunk IN PLACE (same name, direct write)
+    chunk_path = os.path.join(root, "data", "0.0.0")
+    new = np.full((1, 4, 4), 7.0)
+    payload = zlib.compress(new.astype("<f8").tobytes(), 6)
+    time.sleep(0.01)  # ensure a distinguishable mtime_ns
+    with open(chunk_path, "wb") as f:
+        f.write(payload)
+    second = read_geotiff_cached(root)
+    assert (second.array == 7.0).all()
+
+
+def test_info_with_list_valued_fill(tmp_path):
+    """Review regression: array-valued _FillValue attributes occur in
+    the wild; info must match the read path's scalar() handling."""
+    from dask_geomodeling_tpu.io.zarr import read_zarr_info
+
+    root = tmp_path / "lf.zarr"
+    grid = np.arange(16, dtype="<i2").reshape(4, 4)
+    _mkstore(root, "v", grid, (4, 4),
+             {"_ARRAY_DIMENSIONS": ["y", "x"], "_FillValue": [-9999]})
+    _coords(root, np.arange(4) + 0.5, 3.5 - np.arange(4))
+    info = read_zarr_info(str(root))
+    assert info.no_data_value == -9999.0
+    assert read_zarr(str(root)).no_data_value == -9999.0
