@@ -33,7 +33,10 @@ __all__ = [
 ]
 
 
-def arg(index, doc=None):
+_ARG_MISSING = object()
+
+
+def arg(index, doc=None, default=_ARG_MISSING):
     """Declarative accessor binding a Block attribute to a constructor
     argument: ``pixel_size = arg(4, "aggregation cell size")``.
 
@@ -41,10 +44,18 @@ def arg(index, doc=None):
     ``self.args``; most public attributes are direct views onto one slot.
     Declaring them with ``arg`` keeps the slot layout visible at class
     level instead of scattering boilerplate property bodies.
+
+    ``default`` makes the slot optional: graphs serialized before the
+    argument existed (shorter ``args`` tuples) keep deserializing.
     """
 
     def fget(self):
-        return self.args[index]
+        try:
+            return self.args[index]
+        except IndexError:
+            if default is not _ARG_MISSING:
+                return default
+            raise
 
     if doc:
         fget.__doc__ = doc

@@ -490,18 +490,26 @@ class RasterFileSource(RasterSourceBase):
       url (str): path to the file, sandboxed by ``geomodeling.root``
       time_first (int or datetime): timestamp of the first frame (ms)
       time_delta (int or timedelta): frame spacing (ms), default 5 minutes
+      variable (str): data variable/array for multi-variable containers
+        (netCDF, Zarr) — GDAL's subdataset role; other formats ignore it
     """
 
-    def __init__(self, url, time_first=0, time_delta=300000):
+    def __init__(self, url, time_first=0, time_delta=300000, variable=None):
+        if variable is not None and not isinstance(variable, str):
+            raise TypeError(
+                "'{}' object is not allowed".format(type(variable))
+            )
         super().__init__(
             utils.safe_file_url(url),
             _as_ms(time_first, 0),
             _as_ms(time_delta, 300000),
+            variable,
         )
 
     url = arg(0)
     time_first = arg(1)
     time_delta = arg(2)
+    variable = arg(3, "data variable for multi-variable containers", default=None)
 
     @property
     def info(self):
@@ -515,13 +523,13 @@ class RasterFileSource(RasterSourceBase):
                 # whole just to answer attribute queries
                 from dask_geomodeling_tpu.io.zarr import read_zarr_info
 
-                self._info = read_zarr_info(path)
+                self._info = read_zarr_info(path, self.variable)
             elif path.lower().endswith(
                 (".nc", ".cdf", ".nc3", ".nc4", ".h5", ".hdf5")
             ):
                 from dask_geomodeling_tpu.io.netcdf import read_netcdf_info
 
-                self._info = read_netcdf_info(path)
+                self._info = read_netcdf_info(path, self.variable)
             elif path.lower().endswith(".vrt"):
                 from dask_geomodeling_tpu.io.vrt import read_vrt_info
 
@@ -541,7 +549,7 @@ class RasterFileSource(RasterSourceBase):
                     read_geotiff_cached,
                 )
 
-                data = read_geotiff_cached(path)
+                data = read_geotiff_cached(path, variable=self.variable)
                 self._info = GeoTIFFInfo(
                     width=data.array.shape[2],
                     height=data.array.shape[1],
@@ -632,12 +640,15 @@ class RasterFileSource(RasterSourceBase):
             return {
                 "mode": mode,
                 "raster_data": read_geotiff_window_cached(
-                    utils.safe_abspath(self.url), *window, level=level
+                    utils.safe_abspath(self.url), *window, level=level,
+                    variable=self.variable,
                 ),
             }
         return {
             "mode": mode,
-            "raster_data": read_geotiff_cached(utils.safe_abspath(self.url)),
+            "raster_data": read_geotiff_cached(
+                utils.safe_abspath(self.url), variable=self.variable
+            ),
         }
 
     def _file_read_plan(self, request):

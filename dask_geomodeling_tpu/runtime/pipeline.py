@@ -103,18 +103,23 @@ def _zarr_stamp(root):
     return (count, newest, total)
 
 
-def read_geotiff_cached(path):
-    """Read a GeoTIFF (or VRT mosaic) with an mtime-validated LRU cache."""
+def read_geotiff_cached(path, variable=None):
+    """Read a GeoTIFF (or VRT mosaic) with an mtime-validated LRU cache.
+
+    ``variable`` selects the data variable of multi-variable containers
+    (netCDF, Zarr) and is part of the cache key; other formats ignore
+    it."""
     from dask_geomodeling_tpu.io.geotiff import read_geotiff
     from dask_geomodeling_tpu.io.vrt import read_vrt
 
-    key = os.path.abspath(path)
-    stamp = _raster_stamp(key)
+    key = (os.path.abspath(path), variable)
+    stamp = _raster_stamp(key[0])
     with _CACHE_LOCK:
         entry = _READ_CACHE.get(key)
         if entry is not None and entry[0] == stamp:
             _READ_CACHE.move_to_end(key)
             return entry[1]
+    key = key[0]
     lower = key.lower()
     if lower.endswith(".vrt"):
         data = read_vrt(key)
@@ -141,7 +146,7 @@ def read_geotiff_cached(path):
     elif lower.endswith((".nc", ".cdf", ".nc3", ".nc4", ".h5", ".hdf5")):
         from dask_geomodeling_tpu.io.netcdf import read_netcdf
 
-        data = read_netcdf(key)
+        data = read_netcdf(key, variable)
     elif lower.endswith(".hgt"):
         from dask_geomodeling_tpu.io.dem import read_hgt
 
@@ -157,7 +162,7 @@ def read_geotiff_cached(path):
     elif lower.endswith(".zarr"):
         from dask_geomodeling_tpu.io.zarr import read_zarr
 
-        data = read_zarr(key)
+        data = read_zarr(key, variable)
     elif lower.endswith(".grd"):
         from dask_geomodeling_tpu.io.simplegrids import read_surfer
 
@@ -190,6 +195,7 @@ def read_geotiff_cached(path):
         data = read_envi(key)
     else:
         data = read_geotiff(key)
+    key = (key, variable)
     with _CACHE_LOCK:
         _READ_CACHE[key] = (stamp, data)
         _READ_CACHE.move_to_end(key)
@@ -198,7 +204,8 @@ def read_geotiff_cached(path):
     return data
 
 
-def read_geotiff_window_cached(path, row0, row1, col0, col1, level=0):
+def read_geotiff_window_cached(path, row0, row1, col0, col1, level=0,
+                               variable=None):
     """Read one pixel window of a large GeoTIFF (block-level decode,
     optionally of an overview level) with an mtime-validated LRU keyed
     by (path, window, level) — repeated tile requests against the same
@@ -207,7 +214,7 @@ def read_geotiff_window_cached(path, row0, row1, col0, col1, level=0):
 
     key = (
         os.path.abspath(path), int(row0), int(row1), int(col0), int(col1),
-        int(level),
+        int(level), variable,
     )
     stamp = _raster_stamp(key[0])
     with _CACHE_LOCK:
@@ -218,13 +225,15 @@ def read_geotiff_window_cached(path, row0, row1, col0, col1, level=0):
     if key[0].lower().endswith(".zarr"):
         from dask_geomodeling_tpu.io.zarr import read_zarr_window
 
-        data = read_zarr_window(key[0], row0, row1, col0, col1)
+        data = read_zarr_window(key[0], row0, row1, col0, col1,
+                                variable=variable)
     elif key[0].lower().endswith(
         (".nc", ".cdf", ".nc3", ".nc4", ".h5", ".hdf5")
     ):
         from dask_geomodeling_tpu.io.netcdf import read_netcdf_window
 
-        data = read_netcdf_window(key[0], row0, row1, col0, col1)
+        data = read_netcdf_window(key[0], row0, row1, col0, col1,
+                                  variable=variable)
     elif key[0].lower().endswith(".vrt"):
         from dask_geomodeling_tpu.io.vrt import read_vrt_window
 

@@ -370,3 +370,37 @@ def test_info_with_list_valued_fill(tmp_path):
     info = read_zarr_info(str(root))
     assert info.no_data_value == -9999.0
     assert read_zarr(str(root)).no_data_value == -9999.0
+
+
+def test_variable_selection(tmp_path):
+    """Multi-variable stores: RasterFileSource(variable=...) plays
+    GDAL's subdataset role."""
+    from dask_geomodeling_tpu.raster import RasterFileSource
+
+    root = tmp_path / "multi.zarr"
+    rain = np.full((4, 4), 3.0, dtype="<f4")
+    temp = np.full((4, 4), 21.0, dtype="<f4")
+    _mkstore(root, "rain", rain, (4, 4), {"_ARRAY_DIMENSIONS": ["y", "x"]})
+    _mkstore(root, "temp", temp, (4, 4), {"_ARRAY_DIMENSIONS": ["y", "x"]})
+    _coords(root, np.arange(4) + 0.5, 3.5 - np.arange(4))
+    request = dict(mode="vals", bbox=(0, 0, 4, 4), projection="EPSG:4326",
+                   width=4, height=4)
+    with config.set({"geomodeling.root": str(tmp_path)}):
+        got_rain = RasterFileSource(
+            "multi.zarr", variable="rain"
+        ).get_data(**request)
+        got_temp = RasterFileSource(
+            "multi.zarr", variable="temp"
+        ).get_data(**request)
+    np.testing.assert_array_equal(got_rain["values"][0], rain)
+    np.testing.assert_array_equal(got_temp["values"][0], temp)
+    # distinct variables are distinct blocks (distinct tokens)
+    a = RasterFileSource("x.zarr", variable="rain")
+    b = RasterFileSource("x.zarr", variable="temp")
+    assert a.token != b.token
+    # pre-variable serialized graphs (3 args) still deserialize
+    from dask_geomodeling_tpu.core import Block
+
+    legacy = RasterFileSource("x.zarr")
+    rebuilt = Block.from_json(legacy.to_json())
+    assert rebuilt.variable is None
