@@ -117,6 +117,10 @@ defaults = {
     # (runtime/router.py): restarted services keep their routes instead
     # of re-exploring host/device rates per view.  None = in-memory only
     "geomodeling.router-state": None,
+    # FlatGeobuf files above this many BYTES answer bbox-filtered
+    # requests through their packed R-tree index (decode only touched
+    # features) instead of the parse-whole-file LRU.  None disables
+    "geomodeling.vector-windowed-read-limit": 16 * 1024 * 1024,
     # byte budget for the cross-request result cache at the raster
     # get_data boundary (runtime/results.py): whole responses are
     # LRU-cached by (view token, request token) — the tile-server reuse

@@ -63,6 +63,38 @@ class GeometryFileSource(GeometryBlock):
     # independently testable and shared between modes
 
     @staticmethod
+    def _fgb_above_limit(path):
+        """True when the .fgb is large enough that per-request indexed
+        reads beat the parse-whole-once LRU (and it carries an index)."""
+        import os
+
+        from dask_geomodeling_tpu.config import config
+
+        limit = config.get("geomodeling.vector-windowed-read-limit",
+                           16 * 1024 * 1024)
+        if limit is None:
+            return False
+        try:
+            if os.path.getsize(path) <= int(limit):
+                return False
+        except OSError:
+            return False
+        from flatbuffers import number_types as N
+
+        from dask_geomodeling_tpu.io import flatgeobuf as fgb
+
+        try:
+            with open(path, "rb") as stream:
+                head = stream.read(1 << 16)
+            if bytes(head[:7]) != fgb.MAGIC[:7]:
+                return False
+            (header_size,) = __import__("struct").unpack_from("<I", head, 8)
+            header = fgb._root(memoryview(head)[12 : 12 + header_size])
+            return bool(fgb._get_scalar(header, 9, N.Uint16Flags, 16))
+        except Exception:
+            return False
+
+    @staticmethod
     def _bbox_prefilter(f, filt_geom, projection):
         """Keep features whose bounds touch the filter bbox (file CRS)."""
         from dask_geomodeling_tpu.geo import transform_extent
@@ -125,14 +157,32 @@ class GeometryFileSource(GeometryBlock):
         mode = request["mode"]
         filt_geom = request.get("geometry")
 
-        # the cache hands back a shared frame; the shallow copy keeps
-        # attribute writes (crs below) off the cached object while the
-        # payload columns stay shared
-        f = read_vector_cached(
-            utils.safe_abspath(url), layer=request["layer"]
-        ).copy(deep=False)
-        if filt_geom is not None and len(f):
-            f = GeometryFileSource._bbox_prefilter(f, filt_geom, projection)
+        path = utils.safe_abspath(url)
+        indexed_window = (
+            filt_geom is not None
+            and path.lower().endswith(".fgb")
+            and GeometryFileSource._fgb_above_limit(path)
+        )
+        if indexed_window:
+            # large FlatGeobuf: search the packed R-tree and decode only
+            # the features the filter bbox touches (the format's
+            # random-access design) instead of parsing the whole file
+            from dask_geomodeling_tpu.io.flatgeobuf import read_flatgeobuf
+
+            f = read_flatgeobuf(
+                path, bbox=filt_geom.bounds, bbox_projection=projection
+            )
+        else:
+            # the cache hands back a shared frame; the shallow copy keeps
+            # attribute writes (crs below) off the cached object while
+            # the payload columns stay shared
+            f = read_vector_cached(path, layer=request["layer"]).copy(
+                deep=False
+            )
+            if filt_geom is not None and len(f):
+                f = GeometryFileSource._bbox_prefilter(
+                    f, filt_geom, projection
+                )
 
         if len(f) == 0:
             if mode == "extent":

@@ -7,10 +7,12 @@ published FlatGeobuf 3 specification (magic ``fgb\\x03fgb\\x00``, header
 and per-feature flatbuffers, little-endian size prefixes, optional
 packed Hilbert R-tree index).
 
-Reading accepts files with or without the spatial index (the index is
-skipped by the spec's packed-R-tree size formula: 40-byte nodes over
-ceil-division levels).  Writing emits no index (``index_node_size`` 0),
-which every conforming reader accepts.  Property values encode per the
+Reading accepts files with or without the spatial index; with a
+``bbox`` and an index present, the packed R-tree is searched and only
+the intersecting features decode (the format's random-access design).
+Writing Hilbert-sorts the features and emits the index by default
+(``index_node_size=0`` for unindexed frame-order files).  Property
+values encode per the
 spec's column-indexed binary layout; column types map from pandas dtypes
 (Bool/Int/Long/Double/String/Json).
 
@@ -77,6 +79,112 @@ _FIXED_FMT = {
 }
 
 _NODE_BYTES = 40  # 4 float64 bounds + uint64 offset
+
+
+_NODE_ITEM = struct.Struct("<4dQ")  # minx, miny, maxx, maxy, offset
+
+
+def _rtree_level_sizes(num_items, node_size):
+    """Per-level node counts, ROOT FIRST (the spec's storage order).
+
+    Do-while semantics like :func:`_packed_rtree_size`: even a single
+    item gets a distinct root level."""
+    node_size = max(int(node_size), 2)
+    sizes = [int(num_items)]
+    while True:
+        n = math.ceil(sizes[-1] / node_size)
+        sizes.append(n)
+        if n == 1:
+            break
+    return list(reversed(sizes))
+
+
+def _hilbert_codes(xs, ys, order=16):
+    """Vectorized Hilbert curve distance for grid coordinates in
+    [0, 2**order) — the packing order the FlatGeobuf spec prescribes."""
+    x = np.asarray(xs, dtype=np.uint64).copy()
+    y = np.asarray(ys, dtype=np.uint64).copy()
+    d = np.zeros_like(x)
+    n_minus_1 = np.uint64((1 << order) - 1)
+    s = np.uint64(1 << (order - 1))
+    one = np.uint64(1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.uint64)
+        ry = ((y & s) > 0).astype(np.uint64)
+        d += s * s * ((np.uint64(3) * rx) ^ ry)
+        # rotate the quadrant (canonical xy2d: reflect about the FULL
+        # grid, which keeps coordinates in [0, 2**order) — no underflow)
+        swap = ry == 0
+        flip = swap & (rx == one)
+        x = np.where(flip, n_minus_1 - x, x)
+        y = np.where(flip, n_minus_1 - y, y)
+        x_new = np.where(swap, y, x)
+        y_new = np.where(swap, x, y)
+        x, y = x_new, y_new
+        s >>= one
+    return d
+
+
+def _build_packed_rtree(leaf_items, node_size):
+    """Serialize the packed R-tree for leaf (bbox, offset) items already
+    in storage order; internal offsets are absolute first-child node
+    indices (the reference implementation's convention)."""
+    n = len(leaf_items)
+    sizes = _rtree_level_sizes(n, node_size)
+    starts = []
+    acc = 0
+    for size in sizes:
+        starts.append(acc)
+        acc += size
+    total = acc
+    nodes = [None] * total
+    nodes[total - n :] = list(leaf_items)
+    for level in range(len(sizes) - 2, -1, -1):
+        child_start = starts[level + 1]
+        child_count = sizes[level + 1]
+        for k in range(sizes[level]):
+            first = child_start + k * node_size
+            last = min(first + node_size, child_start + child_count)
+            group = nodes[first:last]
+            nodes[starts[level] + k] = (
+                min(g[0] for g in group),
+                min(g[1] for g in group),
+                max(g[2] for g in group),
+                max(g[3] for g in group),
+                first,
+            )
+    return b"".join(_NODE_ITEM.pack(*node) for node in nodes)
+
+
+def _search_packed_rtree(buf, tree_pos, num_items, node_size, bbox):
+    """Feature byte offsets (features-section relative) whose leaf boxes
+    intersect ``bbox``, plus their leaf ranks (= feature ids)."""
+    sizes = _rtree_level_sizes(num_items, node_size)
+    starts = []
+    acc = 0
+    for size in sizes:
+        starts.append(acc)
+        acc += size
+    total = acc
+    leaf_start = total - num_items
+    minx, miny, maxx, maxy = bbox
+    hits = []
+    queue = [(0, 0)]
+    while queue:
+        index, level = queue.pop()
+        nx0, ny0, nx1, ny1, offset = _NODE_ITEM.unpack_from(
+            buf, tree_pos + index * _NODE_ITEM.size
+        )
+        if nx1 < minx or nx0 > maxx or ny1 < miny or ny0 > maxy:
+            continue
+        if index >= leaf_start:
+            hits.append((index - leaf_start, offset))
+        else:
+            child_level = level + 1
+            end = starts[child_level] + sizes[child_level]
+            for child in range(offset, min(offset + node_size, end)):
+                queue.append((child, child_level))
+    return sorted(hits)
 
 
 def _packed_rtree_size(num_items, node_size):
@@ -249,8 +357,14 @@ def _decode_properties(raw, columns):
     return values
 
 
-def read_flatgeobuf(path):
-    """Read a FlatGeobuf file into a GeoDataFrame."""
+def read_flatgeobuf(path, bbox=None, bbox_projection=None):
+    """Read a FlatGeobuf file into a GeoDataFrame.
+
+    With ``bbox`` (``(x1, y1, x2, y2)``, in ``bbox_projection`` or the
+    file CRS) and a spatial index in the file, only the features whose
+    boxes intersect decode; the frame index holds their file positions
+    (fids).  Without an index the whole file decodes (bbox filtering is
+    then the caller's job)."""
     import pandas as pd
 
     from dask_geomodeling_tpu.geo.features import GeoDataFrame
@@ -297,35 +411,66 @@ def read_flatgeobuf(path):
     if crs is None:
         crs = "EPSG:4326"
 
+    tree_pos = pos
     if index_node_size:
         pos += _packed_rtree_size(features_count, index_node_size)
 
-    geometries = []
-    records = []
-    end = len(buf)
-    while pos + 4 <= end:
-        (size,) = struct.unpack_from("<I", buf, pos)
-        pos += 4
-        feature = _root(buf[pos : pos + size])
-        pos += size
+    def decode_at(feature_pos):
+        (size,) = struct.unpack_from("<I", buf, feature_pos)
+        feature_pos += 4
+        feature = _root(buf[feature_pos : feature_pos + size])
         # Feature slots: geometry=0, properties=1, columns=2
         geom_offset = _field_offset(feature, 0)
+        geometry = None
         if geom_offset:
             geom_tab = _table(
                 feature.Bytes, feature.Indirect(geom_offset + feature.Pos)
             )
-            geometries.append(_decode_geometry(geom_tab, geometry_type))
-        else:
-            geometries.append(None)
-        records.append(
-            _decode_properties(_get_bytes_vector(feature, 1), columns)
+            geometry = _decode_geometry(geom_tab, geometry_type)
+        record = _decode_properties(_get_bytes_vector(feature, 1), columns)
+        return geometry, record, feature_pos + size
+
+    geometries = []
+    records = []
+    fids = None
+    if bbox is not None and bbox_projection is not None:
+        from dask_geomodeling_tpu.geo.crs import (
+            get_projection,
+            transform_extent,
         )
+
+        try:
+            same = (
+                get_projection(bbox_projection).upper()
+                == get_projection(crs).upper()
+            )
+        except Exception:
+            same = False
+        if not same:
+            bbox = transform_extent(bbox, bbox_projection, crs)
+    if bbox is not None and index_node_size and features_count:
+        fids = []
+        for fid, offset in _search_packed_rtree(
+            buf, tree_pos, features_count, index_node_size, bbox
+        ):
+            geometry, record, _ = decode_at(pos + offset)
+            geometries.append(geometry)
+            records.append(record)
+            fids.append(fid)
+    else:
+        end = len(buf)
+        while pos + 4 <= end:
+            geometry, record, pos = decode_at(pos)
+            geometries.append(geometry)
+            records.append(record)
 
     frame = GeoDataFrame(
         pd.DataFrame.from_records(records) if any(records) else None,
         geometry=geometries,
         crs=crs,
     )
+    if fids is not None and len(frame):
+        frame.index = pd.Index(fids)
     return frame
 
 
@@ -466,8 +611,13 @@ def _build_geometry(builder, arrays):
     return builder.EndObject()
 
 
-def write_flatgeobuf(frame, path, name="layer"):
-    """Write a GeoDataFrame as FlatGeobuf (no spatial index)."""
+def write_flatgeobuf(frame, path, name="layer", index_node_size=16):
+    """Write a GeoDataFrame as FlatGeobuf.
+
+    With ``index_node_size`` > 0 (16 default, the spec's default) the
+    features are Hilbert-sorted and a packed R-tree spatial index is
+    written, enabling bbox-limited reads here and in other readers
+    (GDAL/QGIS); 0 writes an unindexed file in frame order."""
     import flatbuffers
 
     from dask_geomodeling_tpu.geo.crs import get_sr
@@ -527,12 +677,81 @@ def write_flatgeobuf(frame, path, name="layer"):
             builder.PrependUOffsetTRelativeSlot(4, wkt_off, 0)
         crs_off = builder.EndObject()
 
+    # encode every feature first: the index needs sizes and bboxes
+    records = frame.to_dict("records") if column_order else [
+        {} for _ in geometries
+    ]
+    blobs = []
+    boxes = []
+    for geom, record in zip(geometries, records):
+        fb = flatbuffers.Builder(1024)
+        props = _encode_properties(record, column_order, column_types)
+        props_off = fb.CreateByteVector(props) if props else None
+        geom_off = (
+            _build_geometry(fb, _geometry_arrays(geom))
+            if geom is not None
+            else None
+        )
+        fb.StartObject(3)
+        if geom_off is not None:
+            fb.PrependUOffsetTRelativeSlot(0, geom_off, 0)
+        if props_off is not None:
+            fb.PrependUOffsetTRelativeSlot(1, props_off, 0)
+        feature = fb.EndObject()
+        fb.Finish(feature)
+        blobs.append(bytes(fb.Output()))
+        boxes.append(
+            tuple(geom.bounds) if geom is not None else (0.0, 0.0, 0.0, 0.0)
+        )
+
+    indexed = bool(index_node_size) and len(blobs) > 0
+    if indexed:
+        # Hilbert-sort by bbox center over the dataset extent (the
+        # packing order the spec prescribes for locality)
+        box_arr = np.asarray(boxes, dtype=float)
+        cx = (box_arr[:, 0] + box_arr[:, 2]) / 2.0
+        cy = (box_arr[:, 1] + box_arr[:, 3]) / 2.0
+        ext_w = max(float(cx.max() - cx.min()), 1e-300)
+        ext_h = max(float(cy.max() - cy.min()), 1e-300)
+        grid = (1 << 16) - 1
+        order = np.argsort(
+            _hilbert_codes(
+                np.floor((cx - cx.min()) / ext_w * grid),
+                np.floor((cy - cy.min()) / ext_h * grid),
+            ),
+            kind="stable",
+        )
+        blobs = [blobs[i] for i in order]
+        boxes = [boxes[i] for i in order]
+        offsets = []
+        pos = 0
+        for blob in blobs:
+            offsets.append(pos)
+            pos += 4 + len(blob)
+        tree = _build_packed_rtree(
+            [boxes[i] + (offsets[i],) for i in range(len(blobs))],
+            index_node_size,
+        )
+
+    envelope_off = None
+    if boxes:
+        box_arr = np.asarray(boxes, dtype=float)
+        builder.StartVector(8, 4, 8)
+        for v in reversed([
+            float(box_arr[:, 0].min()), float(box_arr[:, 1].min()),
+            float(box_arr[:, 2].max()), float(box_arr[:, 3].max()),
+        ]):
+            builder.PrependFloat64(v)
+        envelope_off = builder.EndVector()
+
     builder.StartObject(14)
     builder.PrependUOffsetTRelativeSlot(0, name_off, 0)
+    if envelope_off is not None:
+        builder.PrependUOffsetTRelativeSlot(1, envelope_off, 0)
     builder.PrependUint8Slot(2, header_gt, 0)
     builder.PrependUOffsetTRelativeSlot(7, columns_off, 0)
     builder.PrependUint64Slot(8, len(geometries), 0)
-    builder.PrependUint16Slot(9, 0, 16)  # no index (default is 16)
+    builder.PrependUint16Slot(9, index_node_size if indexed else 0, 16)
     if crs_off is not None:
         builder.PrependUOffsetTRelativeSlot(10, crs_off, 0)
     header = builder.EndObject()
@@ -543,25 +762,8 @@ def write_flatgeobuf(frame, path, name="layer"):
         f.write(MAGIC)
         f.write(struct.pack("<I", len(header_bytes)))
         f.write(header_bytes)
-        records = frame.to_dict("records") if column_order else [
-            {} for _ in geometries
-        ]
-        for geom, record in zip(geometries, records):
-            fb = flatbuffers.Builder(1024)
-            props = _encode_properties(record, column_order, column_types)
-            props_off = fb.CreateByteVector(props) if props else None
-            geom_off = (
-                _build_geometry(fb, _geometry_arrays(geom))
-                if geom is not None
-                else None
-            )
-            fb.StartObject(3)
-            if geom_off is not None:
-                fb.PrependUOffsetTRelativeSlot(0, geom_off, 0)
-            if props_off is not None:
-                fb.PrependUOffsetTRelativeSlot(1, props_off, 0)
-            feature = fb.EndObject()
-            fb.Finish(feature)
-            body = bytes(fb.Output())
+        if indexed:
+            f.write(tree)
+        for body in blobs:
             f.write(struct.pack("<I", len(body)))
             f.write(body)

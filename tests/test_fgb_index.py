@@ -1,0 +1,187 @@
+"""FlatGeobuf packed Hilbert R-tree: index writing and bbox-limited
+reads (the format's random-access design; OGR's FlatGeobuf driver plays
+this role for the reference)."""
+import os
+import struct
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dask_geomodeling_tpu import config
+from dask_geomodeling_tpu.geo.features import GeoDataFrame
+from dask_geomodeling_tpu.geo.geometry import box
+from dask_geomodeling_tpu.io.flatgeobuf import (
+    _hilbert_codes,
+    _packed_rtree_size,
+    _rtree_level_sizes,
+    read_flatgeobuf,
+    write_flatgeobuf,
+)
+
+
+def _grid_frame(n_side=20, cell=10.0):
+    geoms = []
+    values = []
+    for i in range(n_side):
+        for j in range(n_side):
+            geoms.append(
+                box(i * cell, j * cell, i * cell + cell - 1,
+                    j * cell + cell - 1)
+            )
+            values.append(i * n_side + j)
+    return GeoDataFrame(
+        pd.DataFrame({"value": values}), geometry=geoms, crs="EPSG:28992"
+    )
+
+
+def test_hilbert_matches_canonical_scalar():
+    """The vectorized Hilbert distance equals the canonical xy2d
+    algorithm for every cell of an order-4 (16x16) grid, and is a
+    bijection."""
+
+    def rot(n, x, y, rx, ry):
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        return x, y
+
+    def xy2d(n, x, y):
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            x, y = rot(n, x, y, rx, ry)
+            s //= 2
+        return d
+
+    order = 4
+    side = 1 << order
+    xs, ys = np.meshgrid(np.arange(side), np.arange(side))
+    got = _hilbert_codes(xs.ravel(), ys.ravel(), order=order)
+    expected = [xy2d(side, int(x), int(y))
+                for x, y in zip(xs.ravel(), ys.ravel())]
+    assert got.tolist() == expected
+    assert sorted(got.tolist()) == list(range(side * side))
+
+
+def test_level_sizes_match_size_formula():
+    for n in (1, 2, 15, 16, 17, 255, 256, 257, 5000):
+        for node in (4, 16):
+            sizes = _rtree_level_sizes(n, node)
+            assert sizes[-1] == n
+            assert sizes[0] == 1
+            assert sum(sizes) * 40 == _packed_rtree_size(n, node)
+
+
+def test_indexed_roundtrip_and_bbox_search(tmp_path):
+    frame = _grid_frame()
+    path = str(tmp_path / "grid.fgb")
+    write_flatgeobuf(frame, path)
+
+    whole = read_flatgeobuf(path)
+    assert len(whole) == len(frame)
+    assert sorted(whole["value"].tolist()) == sorted(
+        frame["value"].tolist()
+    )
+
+    # every bbox query returns exactly the features a full scan finds
+    rng = np.random.RandomState(0)
+    for _ in range(20):
+        x1, y1 = rng.rand(2) * 150
+        bbox = (x1, y1, x1 + rng.rand() * 60, y1 + rng.rand() * 60)
+        hits = read_flatgeobuf(path, bbox=bbox)
+        bounds = whole.geometry.bounds
+        mask = ~(
+            (bounds["maxx"] < bbox[0]) | (bounds["minx"] > bbox[2])
+            | (bounds["maxy"] < bbox[1]) | (bounds["miny"] > bbox[3])
+        )
+        assert sorted(hits["value"].tolist()) == sorted(
+            whole["value"][mask.values].tolist()
+        )
+    # fids index the file positions: re-reading those rows agrees
+    bbox = (0, 0, 35, 35)
+    hits = read_flatgeobuf(path, bbox=bbox)
+    assert list(hits.index) == sorted(hits.index)
+    for fid, value in zip(hits.index, hits["value"]):
+        assert whole["value"].iloc[fid] == value
+
+
+def test_bbox_in_other_projection(tmp_path):
+    frame = _grid_frame(n_side=4, cell=1000.0)
+    path = str(tmp_path / "g.fgb")
+    write_flatgeobuf(frame, path)
+    from dask_geomodeling_tpu.geo.crs import transform_extent
+
+    target = transform_extent((0, 0, 1500, 1500), "EPSG:28992", "EPSG:4326")
+    hits = read_flatgeobuf(path, bbox=target, bbox_projection="EPSG:4326")
+    expected = read_flatgeobuf(path, bbox=(0, 0, 1500, 1500))
+    assert sorted(hits["value"].tolist()) == sorted(
+        expected["value"].tolist()
+    )
+
+
+def test_single_feature_index(tmp_path):
+    frame = GeoDataFrame(
+        pd.DataFrame({"v": [1]}), geometry=[box(0, 0, 5, 5)],
+        crs="EPSG:28992",
+    )
+    path = str(tmp_path / "one.fgb")
+    write_flatgeobuf(frame, path)
+    assert len(read_flatgeobuf(path)) == 1
+    assert len(read_flatgeobuf(path, bbox=(1, 1, 2, 2))) == 1
+    assert len(read_flatgeobuf(path, bbox=(50, 50, 60, 60))) == 0
+
+
+def test_unindexed_write_still_supported(tmp_path):
+    frame = _grid_frame(n_side=3)
+    path = str(tmp_path / "plain.fgb")
+    write_flatgeobuf(frame, path, index_node_size=0)
+    whole = read_flatgeobuf(path)
+    # frame order is preserved without an index
+    assert whole["value"].tolist() == frame["value"].tolist()
+    # bbox on an unindexed file falls back to a full decode
+    assert len(read_flatgeobuf(path, bbox=(0, 0, 5, 5))) == len(frame)
+
+
+def test_source_uses_index_above_limit(tmp_path, monkeypatch):
+    """GeometryFileSource routes large .fgb bbox requests through the
+    index instead of parsing the whole file."""
+    from dask_geomodeling_tpu.geometry import GeometryFileSource
+    from dask_geomodeling_tpu.io import flatgeobuf as fgb
+
+    frame = _grid_frame()
+    path = str(tmp_path / "big.fgb")
+    write_flatgeobuf(frame, path)
+
+    searches = []
+    real = fgb._search_packed_rtree
+
+    def spy(*args, **kwargs):
+        out = real(*args, **kwargs)
+        searches.append(len(out))
+        return out
+
+    monkeypatch.setattr(fgb, "_search_packed_rtree", spy)
+    request = dict(
+        mode="intersects", geometry=box(0, 0, 35, 35),
+        projection="EPSG:28992",
+    )
+    with config.set({"geomodeling.root": str(tmp_path)}):
+        source = GeometryFileSource("big.fgb")
+        # small file: the whole-read LRU path (no index search)
+        small = source.get_data(**request)
+        assert searches == []
+        # drop the threshold below the file size: the index path engages
+        with config.set(
+            {"geomodeling.vector-windowed-read-limit": 100}
+        ):
+            windowed = source.get_data(**request)
+    assert len(searches) == 1
+    assert sorted(small["features"]["value"].tolist()) == sorted(
+        windowed["features"]["value"].tolist()
+    )
