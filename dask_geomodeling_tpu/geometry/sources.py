@@ -63,9 +63,9 @@ class GeometryFileSource(GeometryBlock):
     # independently testable and shared between modes
 
     @staticmethod
-    def _fgb_above_limit(path):
-        """True when the .fgb is large enough that per-request indexed
-        reads beat the parse-whole-once LRU (and it carries an index)."""
+    def _above_vector_limit(path):
+        """True when the file is large enough that per-request indexed
+        reads beat the parse-whole-once LRU."""
         import os
 
         from dask_geomodeling_tpu.config import config
@@ -75,9 +75,15 @@ class GeometryFileSource(GeometryBlock):
         if limit is None:
             return False
         try:
-            if os.path.getsize(path) <= int(limit):
-                return False
+            return os.path.getsize(path) > int(limit)
         except OSError:
+            return False
+
+    @staticmethod
+    def _fgb_above_limit(path):
+        """Like :meth:`_above_vector_limit`, plus the .fgb must carry a
+        spatial index."""
+        if not GeometryFileSource._above_vector_limit(path):
             return False
         from flatbuffers import number_types as N
 
@@ -158,12 +164,12 @@ class GeometryFileSource(GeometryBlock):
         filt_geom = request.get("geometry")
 
         path = utils.safe_abspath(url)
-        indexed_window = (
+        lower = path.lower()
+        if (
             filt_geom is not None
-            and path.lower().endswith(".fgb")
+            and lower.endswith(".fgb")
             and GeometryFileSource._fgb_above_limit(path)
-        )
-        if indexed_window:
+        ):
             # large FlatGeobuf: search the packed R-tree and decode only
             # the features the filter bbox touches (the format's
             # random-access design) instead of parsing the whole file
@@ -172,6 +178,20 @@ class GeometryFileSource(GeometryBlock):
             f = read_flatgeobuf(
                 path, bbox=filt_geom.bounds, bbox_projection=projection
             )
+        elif (
+            filt_geom is not None
+            and lower.endswith(".gpkg")
+            and GeometryFileSource._above_vector_limit(path)
+        ):
+            # large GeoPackage: the gpkg_rtree_index answers the bbox
+            # (falls back to a full scan inside when the file has none)
+            from dask_geomodeling_tpu.io.vectorfile import _read_gpkg
+
+            f = _read_gpkg(
+                path, layer=request["layer"], bbox=filt_geom.bounds,
+                bbox_projection=projection,
+            )
+            f = GeometryFileSource._bbox_prefilter(f, filt_geom, projection)
         else:
             # the cache hands back a shared frame; the shallow copy keeps
             # attribute writes (crs below) off the cached object while

@@ -456,9 +456,93 @@ def _write_gpkg(frame, path, layer):
             ),
             rows,
         )
+        _write_gpkg_rtree(con, layer, "geom", frame, rows)
         con.commit()
     finally:
         con.close()
+
+
+def _write_gpkg_rtree(con, layer, geom_col, frame, rows):
+    """The gpkg_rtree_index extension: a populated SQLite R-tree over
+    the feature envelopes plus the spec's maintenance triggers, so
+    readers (incl. GDAL/QGIS and this module's bbox path) can answer
+    spatial queries without scanning the table."""
+    rtree = "rtree_%s_%s" % (layer, geom_col)
+    con.execute(
+        'CREATE VIRTUAL TABLE "%s" USING rtree(id, minx, maxx, miny, maxy)'
+        % rtree
+    )
+    entries = []
+    for row, (_, feature_row) in zip(rows, frame.iterrows()):
+        geom = feature_row[frame._geometry_column_name or "geometry"]
+        if geom is None:
+            continue
+        minx, miny, maxx, maxy = geom.bounds
+        entries.append((row[0], minx, maxx, miny, maxy))
+    con.executemany(
+        'INSERT INTO "%s" VALUES (?,?,?,?,?)' % rtree, entries
+    )
+    con.execute(
+        "CREATE TABLE IF NOT EXISTS gpkg_extensions (table_name TEXT, "
+        "column_name TEXT, extension_name TEXT NOT NULL, definition TEXT "
+        "NOT NULL, scope TEXT NOT NULL)"
+    )
+    con.execute(
+        "INSERT INTO gpkg_extensions VALUES (?,?,?,?,?)",
+        (layer, geom_col, "gpkg_rtree_index",
+         "http://www.geopackage.org/spec120/#extension_rtree",
+         "write-only"),
+    )
+    # the spec's maintenance triggers (they call the GPKG SQL functions,
+    # available in GDAL/spatialite sessions that edit such files)
+    t = '"%s"' % layer
+    r = '"%s"' % rtree
+    c = '"%s"' % geom_col
+    con.executescript(
+        """
+        CREATE TRIGGER "{rt}_insert" AFTER INSERT ON {t}
+          WHEN (NEW.{c} NOT NULL AND NOT ST_IsEmpty(NEW.{c}))
+        BEGIN
+          INSERT OR REPLACE INTO {r} VALUES (NEW.fid,
+            ST_MinX(NEW.{c}), ST_MaxX(NEW.{c}),
+            ST_MinY(NEW.{c}), ST_MaxY(NEW.{c}));
+        END;
+        CREATE TRIGGER "{rt}_update1" AFTER UPDATE OF {c} ON {t}
+          WHEN OLD.fid = NEW.fid AND
+               (NEW.{c} NOTNULL AND NOT ST_IsEmpty(NEW.{c}))
+        BEGIN
+          INSERT OR REPLACE INTO {r} VALUES (NEW.fid,
+            ST_MinX(NEW.{c}), ST_MaxX(NEW.{c}),
+            ST_MinY(NEW.{c}), ST_MaxY(NEW.{c}));
+        END;
+        CREATE TRIGGER "{rt}_update2" AFTER UPDATE OF {c} ON {t}
+          WHEN OLD.fid = NEW.fid AND
+               (NEW.{c} ISNULL OR ST_IsEmpty(NEW.{c}))
+        BEGIN
+          DELETE FROM {r} WHERE id = OLD.fid;
+        END;
+        CREATE TRIGGER "{rt}_update3" AFTER UPDATE ON {t}
+          WHEN OLD.fid != NEW.fid AND
+               (NEW.{c} NOTNULL AND NOT ST_IsEmpty(NEW.{c}))
+        BEGIN
+          DELETE FROM {r} WHERE id = OLD.fid;
+          INSERT OR REPLACE INTO {r} VALUES (NEW.fid,
+            ST_MinX(NEW.{c}), ST_MaxX(NEW.{c}),
+            ST_MinY(NEW.{c}), ST_MaxY(NEW.{c}));
+        END;
+        CREATE TRIGGER "{rt}_update4" AFTER UPDATE ON {t}
+          WHEN OLD.fid != NEW.fid AND
+               (NEW.{c} ISNULL OR ST_IsEmpty(NEW.{c}))
+        BEGIN
+          DELETE FROM {r} WHERE id IN (OLD.fid, NEW.fid);
+        END;
+        CREATE TRIGGER "{rt}_delete" AFTER DELETE ON {t}
+          WHEN OLD.{c} NOT NULL
+        BEGIN
+          DELETE FROM {r} WHERE id = OLD.fid;
+        END;
+        """.format(rt=rtree, t=t, r=r, c=c)
+    )
 
 
 def _sql_value(value):
@@ -475,7 +559,10 @@ def _sql_value(value):
     return value
 
 
-def _read_gpkg(path, layer=None):
+def _read_gpkg(path, layer=None, bbox=None, bbox_projection=None):
+    """``bbox`` (with its ``bbox_projection``) answers through the
+    gpkg_rtree_index when the file carries one: only matching rows are
+    fetched and decoded."""
     con = sqlite3.connect(path)
     con.row_factory = sqlite3.Row
     try:
@@ -497,7 +584,41 @@ def _read_gpkg(path, layer=None):
             (table,),
         ).fetchone()["column_name"]
 
-        rows = con.execute('SELECT * FROM "{}"'.format(table)).fetchall()
+        rtree = None
+        if bbox is not None:
+            candidate = "rtree_%s_%s" % (table, geom_col)
+            present = con.execute(
+                "SELECT 1 FROM sqlite_master WHERE name = ?", (candidate,)
+            ).fetchone()
+            if present:
+                rtree = candidate
+        if rtree is not None:
+            if bbox_projection is not None and srs_id:
+                from dask_geomodeling_tpu.geo.crs import (
+                    get_projection,
+                    transform_extent,
+                )
+
+                file_crs = "EPSG:%d" % srs_id
+                try:
+                    same = (
+                        get_projection(bbox_projection).upper()
+                        == get_projection(file_crs).upper()
+                    )
+                except Exception:
+                    same = False
+                if not same:
+                    bbox = transform_extent(
+                        bbox, bbox_projection, file_crs
+                    )
+            rows = con.execute(
+                'SELECT t.* FROM "{t}" t JOIN "{r}" r ON t.fid = r.id '
+                "WHERE r.maxx >= ? AND r.minx <= ? AND r.maxy >= ? AND "
+                "r.miny <= ? ORDER BY t.fid".format(t=table, r=rtree),
+                (bbox[0], bbox[2], bbox[1], bbox[3]),
+            ).fetchall()
+        else:
+            rows = con.execute('SELECT * FROM "{}"'.format(table)).fetchall()
         geometries = []
         records = []
         fids = []

@@ -185,3 +185,106 @@ def test_source_uses_index_above_limit(tmp_path, monkeypatch):
     assert sorted(small["features"]["value"].tolist()) == sorted(
         windowed["features"]["value"].tolist()
     )
+
+
+class TestGpkgRtree:
+    """GeoPackage gpkg_rtree_index: written by _write_gpkg, used for
+    bbox-limited reads."""
+
+    def test_written_files_carry_the_extension(self, tmp_path):
+        import sqlite3
+
+        from dask_geomodeling_tpu.io.vectorfile import write_vector
+
+        frame = _grid_frame(n_side=6)
+        path = str(tmp_path / "g.gpkg")
+        write_vector(frame, path)
+        con = sqlite3.connect(path)
+        names = [r[0] for r in con.execute(
+            "SELECT name FROM sqlite_master WHERE name LIKE 'rtree_%'"
+        )]
+        ext = con.execute(
+            "SELECT extension_name FROM gpkg_extensions"
+        ).fetchone()
+        count = con.execute(
+            'SELECT COUNT(*) FROM "rtree_layer_geom"'
+        ).fetchone()[0]
+        con.close()
+        assert any(n == "rtree_layer_geom" for n in names)
+        assert ext[0] == "gpkg_rtree_index"
+        assert count == len(frame)
+
+    def test_bbox_read_equals_full_scan(self, tmp_path):
+        from dask_geomodeling_tpu.io.vectorfile import (
+            _read_gpkg,
+            write_vector,
+        )
+
+        frame = _grid_frame()
+        path = str(tmp_path / "g.gpkg")
+        write_vector(frame, path)
+        whole = _read_gpkg(path)
+        for bbox in [(0, 0, 35, 35), (50, 100, 120, 160), (500, 500, 600, 600)]:
+            hits = _read_gpkg(path, bbox=bbox)
+            bounds = whole.geometry.bounds
+            mask = ~(
+                (bounds["maxx"] < bbox[0]) | (bounds["minx"] > bbox[2])
+                | (bounds["maxy"] < bbox[1]) | (bounds["miny"] > bbox[3])
+            )
+            got = hits["value"].tolist() if len(hits) else []
+            assert sorted(got) == sorted(
+                whole["value"][mask.values].tolist()
+            )
+
+    def test_bbox_in_other_projection(self, tmp_path):
+        from dask_geomodeling_tpu.geo.crs import transform_extent
+        from dask_geomodeling_tpu.io.vectorfile import (
+            _read_gpkg,
+            write_vector,
+        )
+
+        frame = _grid_frame(n_side=4, cell=1000.0)
+        path = str(tmp_path / "g.gpkg")
+        write_vector(frame, path)
+        target = transform_extent(
+            (0, 0, 1500, 1500), "EPSG:28992", "EPSG:4326"
+        )
+        hits = _read_gpkg(path, bbox=target, bbox_projection="EPSG:4326")
+        expected = _read_gpkg(path, bbox=(0, 0, 1500, 1500))
+        assert sorted(hits["value"].tolist()) == sorted(
+            expected["value"].tolist()
+        )
+
+    def test_source_routes_large_files_through_rtree(self, tmp_path,
+                                                     monkeypatch):
+        from dask_geomodeling_tpu.geometry import GeometryFileSource
+        from dask_geomodeling_tpu.io.vectorfile import write_vector
+        from dask_geomodeling_tpu.runtime import pipeline
+
+        frame = _grid_frame()
+        path = str(tmp_path / "big.gpkg")
+        write_vector(frame, path)
+        full_reads = []
+        real = pipeline.read_vector_cached
+
+        def spy(*args, **kwargs):
+            full_reads.append(args)
+            return real(*args, **kwargs)
+
+        monkeypatch.setattr(pipeline, "read_vector_cached", spy)
+        request = dict(
+            mode="intersects", geometry=box(0, 0, 35, 35),
+            projection="EPSG:28992",
+        )
+        with config.set({"geomodeling.root": str(tmp_path)}):
+            source = GeometryFileSource("big.gpkg")
+            baseline = source.get_data(**request)
+            assert len(full_reads) == 1  # below limit: whole-read LRU
+            with config.set(
+                {"geomodeling.vector-windowed-read-limit": 100}
+            ):
+                windowed = source.get_data(**request)
+            assert len(full_reads) == 1  # rtree path: no full read
+        assert sorted(baseline["features"]["value"].tolist()) == sorted(
+            windowed["features"]["value"].tolist()
+        )
