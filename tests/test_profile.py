@@ -133,3 +133,36 @@ def test_profiler_covers_threaded_scheduler(source, request_full):
             view.get_data(**request_full)
     names = {e["name"] for e in prof.events}
     assert any("multiply" in n for n in names)
+
+
+def test_runtime_status_snapshot():
+    """One JSON-serializable dict over every runtime counter."""
+    import json
+
+    import numpy as np
+
+    from dask_geomodeling_tpu import config
+    from dask_geomodeling_tpu.raster import MemorySource
+    from dask_geomodeling_tpu.runtime import results, router, status
+
+    router.reset()
+    results.clear()
+    source = MemorySource(
+        data=np.arange(64, dtype="u1").reshape(1, 8, 8), no_data_value=255,
+        projection="EPSG:28992", pixel_size=1.0, pixel_origin=(0, 8),
+    )
+    request = dict(mode="vals", bbox=(0, 0, 8, 8), projection="EPSG:28992",
+                   width=8, height=8)
+    with config.set({
+        "geomodeling.executor": "auto",
+        "geomodeling.result-cache-size": 10**6,
+        "geomodeling.auto-min-device-px": 0,
+    }):
+        for _ in range(3):
+            source.get_data(**request)
+    snap = status.snapshot()
+    json.dumps(snap)  # fully serializable
+    assert snap["router"]["routes"] >= 1
+    assert snap["result_cache"]["misses"] >= 1
+    assert set(snap["gather"]) >= {"plain_batches", "collect_failures"}
+    assert "hits" in snap["program_cache"]
