@@ -261,7 +261,16 @@ def write_spatialite(frame, path, layer=None):
         code = _CODES[kinds.pop()] if len(kinds) == 1 else 0
         con.execute(
             "INSERT INTO geometry_columns VALUES (?,?,?,?,?,?)",
-            (table, geometry_column, code, 2, srid, 0),
+            (table, geometry_column, code, 2, srid, 1),
+        )
+        # the SpatiaLite spatial index convention: an R-tree named
+        # idx_<table>_<column> keyed by ROWID, flagged above with
+        # spatial_index_enabled = 1
+        con.execute(
+            'CREATE VIRTUAL TABLE "idx_{}_{}" USING '
+            "rtree(pkid, xmin, xmax, ymin, ymax)".format(
+                table, geometry_column
+            )
         )
         from dask_geomodeling_tpu.io.vectorfile import _sql_value
 
@@ -273,11 +282,11 @@ def write_spatialite(frame, path, layer=None):
             isinstance(idx, (int, np.integer)) for idx in frame.index
         )
         placeholders = ", ".join("?" * (2 + len(fields)))
+        index_rows = []
         for i, (idx, row) in enumerate(frame.iterrows(), start=1):
             geom = row[geometry_column]
-            values = [
-                int(idx) if index_as_fid else i
-            ] + [
+            fid = int(idx) if index_as_fid else i
+            values = [fid] + [
                 _sql_value(row[f]) for f in fields
             ] + [make_blob(geom, srid) if geom is not None else None]
             con.execute(
@@ -286,6 +295,15 @@ def write_spatialite(frame, path, layer=None):
                 ),
                 values,
             )
+            if geom is not None:
+                minx, miny, maxx, maxy = geom.bounds
+                index_rows.append((fid, minx, maxx, miny, maxy))
+        con.executemany(
+            'INSERT INTO "idx_{}_{}" VALUES (?,?,?,?,?)'.format(
+                table, geometry_column
+            ),
+            index_rows,
+        )
         con.commit()
     finally:
         con.close()

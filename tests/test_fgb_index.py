@@ -288,3 +288,28 @@ class TestGpkgRtree:
         assert sorted(baseline["features"]["value"].tolist()) == sorted(
             windowed["features"]["value"].tolist()
         )
+
+
+def test_spatialite_writes_spatial_index(tmp_path):
+    """SpatiaLite convention: idx_<table>_<geom> R-tree + the enabled
+    flag in geometry_columns."""
+    import sqlite3
+
+    from dask_geomodeling_tpu.io.spatialite import write_spatialite
+
+    frame = _grid_frame(n_side=5)
+    path = str(tmp_path / "s.sqlite")
+    write_spatialite(frame, path, layer="grid")
+    con = sqlite3.connect(path)
+    enabled = con.execute(
+        "SELECT spatial_index_enabled FROM geometry_columns"
+    ).fetchone()[0]
+    count = con.execute('SELECT COUNT(*) FROM "idx_grid_geometry"').fetchone()[0]
+    hits = con.execute(
+        'SELECT COUNT(*) FROM "idx_grid_geometry" '
+        "WHERE xmax >= 0 AND xmin <= 35 AND ymax >= 0 AND ymin <= 35"
+    ).fetchone()[0]
+    con.close()
+    assert enabled == 1
+    assert count == len(frame)
+    assert 0 < hits < len(frame)
