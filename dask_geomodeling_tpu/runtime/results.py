@@ -97,10 +97,13 @@ def get_or_compute(block, request, compute, max_bytes):
 
 
 def clear():
-    """Drop all cached responses (call after inputs change on disk)."""
+    """Drop all cached responses and zero the counters (call after
+    inputs change on disk)."""
     with _LOCK:
         _CACHE.clear()
         _BYTES[0] = 0
+        for key in _STATS:
+            _STATS[key] = 0
 
 
 def stats():
