@@ -101,6 +101,12 @@ class GeometryFileSource(GeometryBlock):
             return False
 
     @staticmethod
+    def _gpkg_has_rtree(path, layer):
+        from dask_geomodeling_tpu.io.vectorfile import gpkg_rtree_name
+
+        return gpkg_rtree_name(path, layer) is not None
+
+    @staticmethod
     def _bbox_prefilter(f, filt_geom, projection):
         """Keep features whose bounds touch the filter bbox (file CRS)."""
         from dask_geomodeling_tpu.geo import transform_extent
@@ -182,9 +188,10 @@ class GeometryFileSource(GeometryBlock):
             filt_geom is not None
             and lower.endswith(".gpkg")
             and GeometryFileSource._above_vector_limit(path)
+            and GeometryFileSource._gpkg_has_rtree(path, request["layer"])
         ):
-            # large GeoPackage: the gpkg_rtree_index answers the bbox
-            # (falls back to a full scan inside when the file has none)
+            # large GeoPackage WITH a gpkg_rtree_index: the index answers
+            # the bbox; index-less files keep the parse-once LRU below
             from dask_geomodeling_tpu.io.vectorfile import _read_gpkg
 
             f = _read_gpkg(

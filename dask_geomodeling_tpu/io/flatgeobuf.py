@@ -89,6 +89,8 @@ def _rtree_level_sizes(num_items, node_size):
 
     Do-while semantics like :func:`_packed_rtree_size`: even a single
     item gets a distinct root level."""
+    if num_items <= 0:
+        raise ValueError("packed R-tree needs at least one item")
     node_size = max(int(node_size), 2)
     sizes = [int(num_items)]
     while True:
@@ -370,16 +372,16 @@ def read_flatgeobuf(path, bbox=None, bbox_projection=None):
     from dask_geomodeling_tpu.geo.features import GeoDataFrame
     from flatbuffers import number_types as N
 
-    buf = memoryview(open(path, "rb").read())
+    stream = open(path, "rb")
+    head = stream.read(12)
     # Byte 7 is the patch version, which readers must ignore (current
     # writers emit 0x01); validate only the magic + major version bytes.
-    if bytes(buf[:7]) != MAGIC[:7]:
+    if head[:7] != MAGIC[:7]:
+        stream.close()
         raise IOError("Not a FlatGeobuf file: '%s'" % path)
-    pos = 8
-    (header_size,) = struct.unpack_from("<I", buf, pos)
-    pos += 4
-    header = _root(buf[pos : pos + header_size])
-    pos += header_size
+    (header_size,) = struct.unpack_from("<I", head, 8)
+    header_bytes = stream.read(header_size)
+    header = _root(memoryview(header_bytes))
 
     # Header slots (spec header.fbs): name=0, envelope=1, geometry_type=2,
     # has_z=3, has_m=4, has_t=5, has_tm=6, columns=7, features_count=8,
@@ -411,14 +413,15 @@ def read_flatgeobuf(path, bbox=None, bbox_projection=None):
     if crs is None:
         crs = "EPSG:4326"
 
-    tree_pos = pos
-    if index_node_size:
-        pos += _packed_rtree_size(features_count, index_node_size)
+    tree_size = (
+        _packed_rtree_size(features_count, index_node_size)
+        if index_node_size
+        else 0
+    )
+    features_start = 12 + header_size + tree_size
 
-    def decode_at(feature_pos):
-        (size,) = struct.unpack_from("<I", buf, feature_pos)
-        feature_pos += 4
-        feature = _root(buf[feature_pos : feature_pos + size])
+    def decode_blob(blob):
+        feature = _root(memoryview(blob))
         # Feature slots: geometry=0, properties=1, columns=2
         geom_offset = _field_offset(feature, 0)
         geometry = None
@@ -428,7 +431,7 @@ def read_flatgeobuf(path, bbox=None, bbox_projection=None):
             )
             geometry = _decode_geometry(geom_tab, geometry_type)
         record = _decode_properties(_get_bytes_vector(feature, 1), columns)
-        return geometry, record, feature_pos + size
+        return geometry, record
 
     geometries = []
     records = []
@@ -448,21 +451,33 @@ def read_flatgeobuf(path, bbox=None, bbox_projection=None):
             same = False
         if not same:
             bbox = transform_extent(bbox, bbox_projection, crs)
-    if bbox is not None and index_node_size and features_count:
-        fids = []
-        for fid, offset in _search_packed_rtree(
-            buf, tree_pos, features_count, index_node_size, bbox
-        ):
-            geometry, record, _ = decode_at(pos + offset)
-            geometries.append(geometry)
-            records.append(record)
-            fids.append(fid)
-    else:
-        end = len(buf)
-        while pos + 4 <= end:
-            geometry, record, pos = decode_at(pos)
-            geometries.append(geometry)
-            records.append(record)
+    try:
+        if bbox is not None and index_node_size and features_count:
+            # seek-based random access: only the tree region and the hit
+            # features' byte ranges are read from disk
+            tree = stream.read(tree_size)
+            fids = []
+            for fid, offset in _search_packed_rtree(
+                tree, 0, features_count, index_node_size, bbox
+            ):
+                stream.seek(features_start + offset)
+                (size,) = struct.unpack("<I", stream.read(4))
+                geometry, record = decode_blob(stream.read(size))
+                geometries.append(geometry)
+                records.append(record)
+                fids.append(fid)
+        else:
+            stream.seek(features_start)
+            while True:
+                size_bytes = stream.read(4)
+                if len(size_bytes) < 4:
+                    break
+                (size,) = struct.unpack("<I", size_bytes)
+                geometry, record = decode_blob(stream.read(size))
+                geometries.append(geometry)
+                records.append(record)
+    finally:
+        stream.close()
 
     frame = GeoDataFrame(
         pd.DataFrame.from_records(records) if any(records) else None,
@@ -700,11 +715,16 @@ def write_flatgeobuf(frame, path, name="layer", index_node_size=16):
         feature = fb.EndObject()
         fb.Finish(feature)
         blobs.append(bytes(fb.Output()))
-        boxes.append(
-            tuple(geom.bounds) if geom is not None else (0.0, 0.0, 0.0, 0.0)
-        )
+        boxes.append(tuple(geom.bounds) if geom is not None else ())
 
-    indexed = bool(index_node_size) and len(blobs) > 0
+    # null/empty geometries have no envelope to index: write those
+    # frames unindexed in frame order (OGR's FlatGeobuf driver errors
+    # on this combination; degrading keeps them writable)
+    indexed = (
+        bool(index_node_size)
+        and len(blobs) > 0
+        and all(len(b) == 4 for b in boxes)
+    )
     if indexed:
         # Hilbert-sort by bbox center over the dataset extent (the
         # packing order the spec prescribes for locality)
@@ -734,8 +754,9 @@ def write_flatgeobuf(frame, path, name="layer", index_node_size=16):
         )
 
     envelope_off = None
-    if boxes:
-        box_arr = np.asarray(boxes, dtype=float)
+    full_boxes = [b for b in boxes if len(b) == 4]
+    if full_boxes:
+        box_arr = np.asarray(full_boxes, dtype=float)
         builder.StartVector(8, 4, 8)
         for v in reversed([
             float(box_arr[:, 0].min()), float(box_arr[:, 1].min()),

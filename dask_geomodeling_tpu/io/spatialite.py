@@ -295,8 +295,9 @@ def write_spatialite(frame, path, layer=None):
                 ),
                 values,
             )
-            if geom is not None:
-                minx, miny, maxx, maxy = geom.bounds
+            bounds = geom.bounds if geom is not None else ()
+            if len(bounds) == 4:  # null/empty geometries have no envelope
+                minx, miny, maxx, maxy = bounds
                 index_rows.append((fid, minx, maxx, miny, maxy))
         con.executemany(
             'INSERT INTO "idx_{}_{}" VALUES (?,?,?,?,?)'.format(

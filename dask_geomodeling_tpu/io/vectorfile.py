@@ -475,9 +475,10 @@ def _write_gpkg_rtree(con, layer, geom_col, frame, rows):
     entries = []
     for row, (_, feature_row) in zip(rows, frame.iterrows()):
         geom = feature_row[frame._geometry_column_name or "geometry"]
-        if geom is None:
-            continue
-        minx, miny, maxx, maxy = geom.bounds
+        bounds = geom.bounds if geom is not None else ()
+        if len(bounds) != 4:
+            continue  # null/empty geometries have no envelope to index
+        minx, miny, maxx, maxy = bounds
         entries.append((row[0], minx, maxx, miny, maxy))
     con.executemany(
         'INSERT INTO "%s" VALUES (?,?,?,?,?)' % rtree, entries
@@ -559,6 +560,29 @@ def _sql_value(value):
     return value
 
 
+def gpkg_rtree_name(path, layer=None):
+    """The layer's gpkg_rtree_index table name, or None (cheap probe)."""
+    try:
+        con = sqlite3.connect(path)
+        try:
+            row = con.execute(
+                "SELECT table_name, column_name FROM gpkg_geometry_columns"
+                + ("" if layer is None else " WHERE table_name = ?"),
+                () if layer is None else (layer,),
+            ).fetchone()
+            if row is None:
+                return None
+            candidate = "rtree_%s_%s" % (row[0], row[1])
+            present = con.execute(
+                "SELECT 1 FROM sqlite_master WHERE name = ?", (candidate,)
+            ).fetchone()
+            return candidate if present else None
+        finally:
+            con.close()
+    except sqlite3.Error:
+        return None
+
+
 def _read_gpkg(path, layer=None, bbox=None, bbox_projection=None):
     """``bbox`` (with its ``bbox_projection``) answers through the
     gpkg_rtree_index when the file carries one: only matching rows are
@@ -612,9 +636,9 @@ def _read_gpkg(path, layer=None, bbox=None, bbox_projection=None):
                         bbox, bbox_projection, file_crs
                     )
             rows = con.execute(
-                'SELECT t.* FROM "{t}" t JOIN "{r}" r ON t.fid = r.id '
+                'SELECT t.* FROM "{t}" t JOIN "{r}" r ON t.rowid = r.id '
                 "WHERE r.maxx >= ? AND r.minx <= ? AND r.maxy >= ? AND "
-                "r.miny <= ? ORDER BY t.fid".format(t=table, r=rtree),
+                "r.miny <= ? ORDER BY t.rowid".format(t=table, r=rtree),
                 (bbox[0], bbox[2], bbox[1], bbox[3]),
             ).fetchall()
         else:

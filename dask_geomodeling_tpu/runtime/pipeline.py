@@ -112,90 +112,89 @@ def read_geotiff_cached(path, variable=None):
     from dask_geomodeling_tpu.io.geotiff import read_geotiff
     from dask_geomodeling_tpu.io.vrt import read_vrt
 
-    key = (os.path.abspath(path), variable)
-    stamp = _raster_stamp(key[0])
+    path = os.path.abspath(path)
+    key = (path, variable)
+    stamp = _raster_stamp(path)
     with _CACHE_LOCK:
-        entry = _READ_CACHE.get(key)
+        entry = _READ_CACHE.get(path)
         if entry is not None and entry[0] == stamp:
-            _READ_CACHE.move_to_end(key)
+            _READ_CACHE.move_to_end(path)
             return entry[1]
-    key = key[0]
-    lower = key.lower()
+    lower = path.lower()
     if lower.endswith(".vrt"):
-        data = read_vrt(key)
+        data = read_vrt(path)
     elif lower.endswith((".asc", ".agr")):
         from dask_geomodeling_tpu.io.asciigrid import read_ascii_grid
 
-        data = read_ascii_grid(key)
+        data = read_ascii_grid(path)
     elif lower.endswith(".xyz"):
         from dask_geomodeling_tpu.io.asciigrid import read_xyz
 
-        data = read_xyz(key)
+        data = read_xyz(path)
     elif lower.endswith(".png"):
         from dask_geomodeling_tpu.io.png import read_png
 
-        data = read_png(key)
+        data = read_png(path)
     elif lower.endswith((".jp2", ".j2k", ".jpx")):
         from dask_geomodeling_tpu.io.jp2 import read_jp2
 
-        data = read_jp2(key)
+        data = read_jp2(path)
     elif lower.endswith((".jpg", ".jpeg", ".bmp", ".gif")):
         from dask_geomodeling_tpu.io.jpeg import read_jpeg
 
-        data = read_jpeg(key)
+        data = read_jpeg(path)
     elif lower.endswith((".nc", ".cdf", ".nc3", ".nc4", ".h5", ".hdf5")):
         from dask_geomodeling_tpu.io.netcdf import read_netcdf
 
-        data = read_netcdf(key, variable)
+        data = read_netcdf(path, variable)
     elif lower.endswith(".hgt"):
         from dask_geomodeling_tpu.io.dem import read_hgt
 
-        data = read_hgt(key)
+        data = read_hgt(path)
     elif lower.endswith((".dt0", ".dt1", ".dt2")):
         from dask_geomodeling_tpu.io.dem import read_dted
 
-        data = read_dted(key)
+        data = read_dted(path)
     elif lower.endswith((".grib", ".grib2", ".grb", ".grb2", ".gb2")):
         from dask_geomodeling_tpu.io.grib import read_grib
 
-        data = read_grib(key)
+        data = read_grib(path)
     elif lower.endswith(".zarr"):
         from dask_geomodeling_tpu.io.zarr import read_zarr
 
-        data = read_zarr(key, variable)
+        data = read_zarr(path, variable)
     elif lower.endswith(".grd"):
         from dask_geomodeling_tpu.io.simplegrids import read_surfer
 
-        data = read_surfer(key)
+        data = read_surfer(path)
     elif lower.endswith((".sgrd", ".sdat")):
         from dask_geomodeling_tpu.io.simplegrids import read_saga
 
-        data = read_saga(key)
+        data = read_saga(path)
     elif lower.endswith(".rst"):
         from dask_geomodeling_tpu.io.simplegrids import read_idrisi
 
-        data = read_idrisi(key)
+        data = read_idrisi(path)
     elif lower.endswith(".mbtiles"):
         from dask_geomodeling_tpu.io.mbtiles import read_mbtiles
 
-        data = read_mbtiles(key)
+        data = read_mbtiles(path)
     elif lower.endswith(".gpkg"):
         from dask_geomodeling_tpu.io.gpkg_raster import read_gpkg_raster
 
-        data = read_gpkg_raster(key)
-    elif lower.endswith(".img") and _is_hfa(key):
+        data = read_gpkg_raster(path)
+    elif lower.endswith(".img") and _is_hfa(path):
         from dask_geomodeling_tpu.io.hfa import read_hfa
 
-        data = read_hfa(key)
+        data = read_hfa(path)
     elif lower.endswith((".hdr", ".bsq", ".bil", ".bip", ".envi")) or (
-        lower.endswith((".img", ".dat", ".raw")) and _is_envi_pair(key)
+        lower.endswith((".img", ".dat", ".raw")) and _is_envi_pair(path)
     ):
         from dask_geomodeling_tpu.io.envi import read_envi
 
-        data = read_envi(key)
+        data = read_envi(path)
     else:
-        data = read_geotiff(key)
-    key = (key, variable)
+        data = read_geotiff(path)
     with _CACHE_LOCK:
         _READ_CACHE[key] = (stamp, data)
         _READ_CACHE.move_to_end(key)

@@ -21,15 +21,15 @@ def snapshot():
     """All runtime counters as one JSON-serializable dict."""
     from dask_geomodeling_tpu.runtime import results, router, tiles
 
+    routes = router.stats()
     out = {
         "router": {
-            "routes": len(router.stats()),
+            "routes": len(routes),
             "jax_routes": sum(
-                1 for s in router.stats().values()
-                if s.get("jax") is not None
+                1 for s in routes.values() if s.get("jax") is not None
             ),
             "host_only": sum(
-                1 for s in router.stats().values() if s.get("host_only")
+                1 for s in routes.values() if s.get("host_only")
             ),
         },
         "result_cache": results.stats(),

@@ -313,3 +313,101 @@ def test_spatialite_writes_spatial_index(tmp_path):
     assert enabled == 1
     assert count == len(frame)
     assert 0 < hits < len(frame)
+
+
+def test_fgb_empty_geometry_falls_back_to_unindexed(tmp_path):
+    """Review regression: null/empty geometries have no envelope — the
+    writer degrades to an unindexed file instead of crashing (OGR
+    errors on this combination)."""
+    from dask_geomodeling_tpu.geo.geometry import LineString
+
+    frame = GeoDataFrame(
+        pd.DataFrame({"v": [1, 2, 3]}),
+        geometry=[box(0, 0, 5, 5), None, LineString([])],
+        crs="EPSG:28992",
+    )
+    path = str(tmp_path / "empties.fgb")
+    write_flatgeobuf(frame, path)  # must not raise
+    back = read_flatgeobuf(path)
+    assert len(back) == 3
+    assert back["v"].tolist() == [1, 2, 3]  # frame order: unindexed
+    assert back.geometry.iloc[1] is None
+    # and the bbox argument still works (full-decode fallback)
+    assert len(read_flatgeobuf(path, bbox=(0, 0, 1, 1))) == 3
+
+
+def test_gpkg_and_spatialite_empty_geometries_write(tmp_path):
+    """Review regression: index population skips null/empty geometries
+    instead of crashing the whole write."""
+    from dask_geomodeling_tpu.geo.geometry import LineString
+    from dask_geomodeling_tpu.io.spatialite import write_spatialite
+    from dask_geomodeling_tpu.io.vectorfile import _read_gpkg, write_vector
+
+    frame = GeoDataFrame(
+        pd.DataFrame({"v": [1, 2]}),
+        geometry=[box(0, 0, 5, 5), None],
+        crs="EPSG:28992",
+    )
+    gpkg = str(tmp_path / "e.gpkg")
+    write_vector(frame, gpkg)
+    assert len(_read_gpkg(gpkg)) == 2
+    assert len(_read_gpkg(gpkg, bbox=(0, 0, 9, 9))) == 1  # indexed hit
+    write_spatialite(frame, str(tmp_path / "e.sqlite"))  # must not raise
+
+
+def test_gpkg_rtree_join_uses_rowid(tmp_path):
+    """Review regression: foreign GeoPackages name their PK freely; the
+    rtree id is defined against the ROWID."""
+    import sqlite3
+
+    from dask_geomodeling_tpu.io.vectorfile import _read_gpkg, write_vector
+
+    frame = _grid_frame(n_side=4)
+    path = str(tmp_path / "pk.gpkg")
+    write_vector(frame, path)
+    # rename the PK column like ESRI-produced files do
+    con = sqlite3.connect(path)
+    con.execute('ALTER TABLE "layer" RENAME COLUMN fid TO OBJECTID')
+    con.commit()
+    con.close()
+    hits = _read_gpkg(path, bbox=(0, 0, 15, 15))
+    assert len(hits) == 4
+
+
+def test_gpkg_without_rtree_keeps_cached_path(tmp_path, monkeypatch):
+    """Review regression: an index-less large GeoPackage must keep the
+    parse-once LRU, not an uncached per-request full scan."""
+    import sqlite3
+
+    from dask_geomodeling_tpu.geometry import GeometryFileSource
+    from dask_geomodeling_tpu.io.vectorfile import write_vector
+    from dask_geomodeling_tpu.runtime import pipeline
+
+    frame = _grid_frame(n_side=6)
+    path = str(tmp_path / "noidx.gpkg")
+    write_vector(frame, path)
+    con = sqlite3.connect(path)
+    con.execute('DROP TABLE "rtree_layer_geom"')
+    con.execute("DELETE FROM gpkg_extensions")
+    con.commit()
+    con.close()
+
+    cached = []
+    real = pipeline.read_vector_cached
+
+    def spy(*args, **kwargs):
+        cached.append(args)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(pipeline, "read_vector_cached", spy)
+    request = dict(
+        mode="intersects", geometry=box(0, 0, 25, 25),
+        projection="EPSG:28992",
+    )
+    with config.set({
+        "geomodeling.root": str(tmp_path),
+        "geomodeling.vector-windowed-read-limit": 100,
+    }):
+        out = GeometryFileSource("noidx.gpkg").get_data(**request)
+    assert len(cached) == 1  # the LRU path, despite the size
+    assert len(out["features"]) > 0

@@ -1017,28 +1017,28 @@ class TestNetcdfWindows:
             windowed = source.get_data(**request)
         np.testing.assert_array_equal(whole["values"], windowed["values"])
 
-    def test_webp_tiles_decode(self, root):
-        """WebP tile blobs (format=webp) ride the PIL decode branch."""
-        import sqlite3
-        from io import BytesIO
+def test_webp_mbtiles_tiles_decode(root):
+    """WebP tile blobs (format=webp) ride the PIL decode branch."""
+    import sqlite3
+    from io import BytesIO
 
-        from PIL import Image
+    from PIL import Image
 
-        from dask_geomodeling_tpu.io.mbtiles import read_mbtiles, write_mbtiles
+    from dask_geomodeling_tpu.io.mbtiles import read_mbtiles, write_mbtiles
 
-        values = np.full((1, 256, 256), 123, dtype=np.uint8)
-        gt = self._grid_aligned_gt(col=7, row_xyz=7)
-        path = str(root / "webp.mbtiles")
-        write_mbtiles(path, values, gt)
-        buf = BytesIO()
-        Image.fromarray(values[0], mode="L").save(
-            buf, format="WEBP", lossless=True
-        )
-        con = sqlite3.connect(path)
-        con.execute("UPDATE tiles SET tile_data = ?", (buf.getvalue(),))
-        con.execute("UPDATE metadata SET value='webp' WHERE name='format'")
-        con.commit()
-        con.close()
-        data = read_mbtiles(path)
-        # PIL promotes gray webp to RGB; all bands carry the gray value
-        assert (data.array[:, :256, :256] == 123).all()
+    values = np.full((1, 256, 256), 123, dtype=np.uint8)
+    gt = TestMbtiles()._grid_aligned_gt(col=7, row_xyz=7)
+    path = str(root / "webp.mbtiles")
+    write_mbtiles(path, values, gt)
+    buf = BytesIO()
+    Image.fromarray(values[0], mode="L").save(
+        buf, format="WEBP", lossless=True
+    )
+    con = sqlite3.connect(path)
+    con.execute("UPDATE tiles SET tile_data = ?", (buf.getvalue(),))
+    con.execute("UPDATE metadata SET value='webp' WHERE name='format'")
+    con.commit()
+    con.close()
+    data = read_mbtiles(path)
+    # PIL promotes gray webp to RGB; all bands carry the gray value
+    assert (data.array[:, :256, :256] == 123).all()
