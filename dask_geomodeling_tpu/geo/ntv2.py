@@ -156,7 +156,8 @@ class NTv2Grid:
 
 def read_ntv2(path):
     """Parse an NTv2 .gsb file into an :class:`NTv2Grid`."""
-    raw = open(path, "rb").read()
+    with open(path, "rb") as stream:
+        raw = stream.read()
     if raw[:8].decode("ascii", "replace").strip() != "NUM_OREC":
         raise IOError("Not an NTv2 grid file: '%s'" % path)
     # endianness from the NUM_OREC int (always 11)

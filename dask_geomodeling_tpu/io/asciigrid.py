@@ -29,7 +29,8 @@ def _sidecar_projection(path):
     for ext in (".prj", ".PRJ"):
         prj = os.path.splitext(path)[0] + ext
         if os.path.exists(prj):
-            text = open(prj).read().strip()
+            with open(prj) as stream:
+                text = stream.read().strip()
             if text:
                 from dask_geomodeling_tpu.geo.crs import get_epsg_or_wkt
 
@@ -121,7 +122,8 @@ def read_xyz(path):
     """Read a regular-grid XYZ text file into a RasterData payload."""
     from dask_geomodeling_tpu.raster.sources import RasterData
 
-    text = open(path).read()
+    with open(path) as stream:
+        text = stream.read()
     for sep in (",", ";"):
         text = text.replace(sep, " ")
     rows = np.loadtxt(

@@ -39,7 +39,8 @@ def read_dxf(path):
         Polygon,
     )
 
-    groups = list(_pairs(open(path, errors="replace").read().splitlines()))
+    with open(path, errors="replace") as stream:
+        groups = list(_pairs(stream.read().splitlines()))
 
     # scope to the ENTITIES section
     start = end = None
@@ -197,4 +198,5 @@ def write_dxf(frame, path):
         else:
             raise NotImplementedError("DXF cannot store %s" % kind)
     out += ["0", "ENDSEC", "0", "EOF"]
-    open(path, "w").write("\n".join(out) + "\n")
+    with open(path, "w") as stream:
+        stream.write("\n".join(out) + "\n")

@@ -134,7 +134,8 @@ def read_envi(path):
     from dask_geomodeling_tpu.raster.sources import RasterData
 
     header_path, data_path = _paths_of(path)
-    entries = _parse_header(open(header_path).read())
+    with open(header_path) as stream:
+        entries = _parse_header(stream.read())
 
     width = int(_scalar(entries["samples"]))
     height = int(_scalar(entries["lines"]))

@@ -114,7 +114,8 @@ def read_mif(path):
         box,
     )
 
-    lines = open(path, errors="replace").read().splitlines()
+    with open(path, errors="replace") as stream:
+        lines = stream.read().splitlines()
     pos = 0
     delimiter = "\t"
     columns = []
@@ -335,7 +336,8 @@ def write_mif(frame, path):
     lines.append("")
     for geom in frame.geometry:
         lines.extend(_geometry_section(geom))
-    open(path, "w").write("\n".join(lines) + "\n")
+    with open(path, "w") as stream:
+        stream.write("\n".join(lines) + "\n")
 
     import csv
 

@@ -346,7 +346,8 @@ def read_netcdf(path, variable=None):
     if magic[:4] == b"\x89HDF":
         return _read_netcdf4(path, variable)
 
-    raw = open(path, "rb").read()
+    with open(path, "rb") as stream:
+        raw = stream.read()
     numrecs, dims, gatts, variables = _parse_header(raw)
 
     # record-slab stride: sum of vsizes over all record variables (the

@@ -120,10 +120,11 @@ def _world_file(path, extensions=(".pgw", ".wld", ".PGW")):
     base, _ = os.path.splitext(path)
     for candidate in (base + ext for ext in extensions):
         if os.path.exists(candidate):
-            lines = [
-                float(line.strip())
-                for line in open(candidate).read().split()[:6]
-            ]
+            with open(candidate) as stream:
+                lines = [
+                    float(line.strip())
+                    for line in stream.read().split()[:6]
+                ]
             dx, roty, rotx, dy, cx, cy = lines
             # world files reference the CENTER of the upper-left pixel
             return (cx - dx / 2, dx, rotx, cy - dy / 2, roty, dy)
@@ -231,7 +232,8 @@ def read_png(path):
     from dask_geomodeling_tpu.io.asciigrid import _sidecar_projection
     from dask_geomodeling_tpu.raster.sources import RasterData
 
-    array, no_data_value = decode_png_bytes(open(path, "rb").read(), path)
+    with open(path, "rb") as stream:
+        array, no_data_value = decode_png_bytes(stream.read(), path)
     return RasterData(
         array=array,
         projection=_sidecar_projection(path),

@@ -315,7 +315,8 @@ def read_shapefile(path):
     # convention); cp1252 is the historical default for legacy files
     encoding = "cp1252"
     if os.path.exists(base + ".cpg"):
-        declared = open(base + ".cpg").read().strip()
+        with open(base + ".cpg") as stream:
+            declared = stream.read().strip()
         declared = {"ANSI 1252": "cp1252"}.get(declared, declared)
         try:
             b"".decode(declared)
@@ -367,7 +368,8 @@ def read_shapefile(path):
         from dask_geomodeling_tpu.geo.crs import get_epsg_or_wkt
 
         try:
-            crs = get_epsg_or_wkt(open(base + ".prj").read())
+            with open(base + ".prj") as stream:
+                crs = get_epsg_or_wkt(stream.read())
         except Exception:
             crs = None
 

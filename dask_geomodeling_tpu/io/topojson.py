@@ -117,7 +117,8 @@ def read_topojson(path, layer=None):
     from dask_geomodeling_tpu.geo.features import GeoDataFrame
     from dask_geomodeling_tpu.geo.geometry import shape
 
-    topology = json.load(open(path))
+    with open(path) as stream:
+        topology = json.load(stream)
     if topology.get("type") != "Topology":
         raise IOError("Not a TopoJSON file: '%s'" % path)
     objects = topology.get("objects", {})
