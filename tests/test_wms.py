@@ -358,3 +358,54 @@ def test_geomodeling_layer_with_stub_ipyleaflet(monkeypatch):
         # restore the module as imported without the stub
         monkeypatch.delitem(sys.modules, "ipyleaflet")
         importlib.reload(plugin)
+
+
+def test_serving_soak_memory_bounded(view_json):
+    """Sustained threaded serving with every cache on: the bounded
+    LRUs (result cache, router table, program caches) must hold memory
+    roughly flat across hundreds of distinct tiles."""
+    import gc
+    import tracemalloc
+    from concurrent.futures import ThreadPoolExecutor
+
+    from dask_geomodeling_tpu import config
+    from dask_geomodeling_tpu.runtime import results, router
+
+    router.reset()
+    results.clear()
+
+    def tile_params(i):
+        x = (i * 7) % 60 / 10.0
+        y = (i * 13) % 60 / 10.0
+        return dict(
+            base_params(view_json),
+            bbox="%g,%g,%g,%g" % (x, y, x + 2, y + 2),
+            width="32", height="32",
+        )
+
+    with config.set({
+        "geomodeling.executor": "auto",
+        "geomodeling.result-cache-size": 2 * 10**6,
+    }):
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            # warm everything (compiles, route exploration, caches)
+            list(pool.map(render_wms_tile, [tile_params(i) for i in range(100)]))
+            gc.collect()
+            tracemalloc.start()
+            first = tracemalloc.take_snapshot()
+            for _ in range(3):
+                list(pool.map(
+                    render_wms_tile, [tile_params(i) for i in range(300)]
+                ))
+            gc.collect()
+            second = tracemalloc.take_snapshot()
+            tracemalloc.stop()
+    growth = sum(
+        s.size_diff for s in second.compare_to(first, "filename")
+        if s.size_diff > 0
+    )
+    # bounded: caches are LRU-capped, so 900 further renders must not
+    # accumulate more than a modest allocation delta
+    assert growth < 32 * 10**6, "leaked %.1f MB" % (growth / 1e6)
+    stats = results.stats()
+    assert stats["bytes"] <= 2 * 10**6  # the byte budget held
