@@ -15,15 +15,94 @@ This module factors that into:
 - ``GeomodelingWMSHandler`` / ``GeomodelingLayer`` — the Tornado handler
   and ipyleaflet layer, defined only when those packages are available
 """
+import threading
 from datetime import datetime
 from io import BytesIO
 from urllib.parse import parse_qs, urljoin
+from xml.sax.saxutils import escape
 
 import numpy as np
 
 from dask_geomodeling_tpu.core import Block
 
-__all__ = ["render_wms_tile", "wms_app"]
+__all__ = [
+    "render_wms_tile", "wms_app", "register_layer", "unregister_layers",
+    "get_capabilities_xml",
+]
+
+_LAYER_LOCK = threading.Lock()
+_LAYERS = {}  # name -> Block
+
+
+def register_layer(name, block):
+    """Register a named layer served by :func:`wms_app`.
+
+    Standard WMS clients (QGIS, Leaflet) pick layers from
+    GetCapabilities by NAME; this registry maps those names to views.
+    Raw view JSON in the ``layers`` parameter keeps working (the
+    reference's ship-the-view pattern)."""
+    with _LAYER_LOCK:
+        _LAYERS[str(name)] = block
+
+
+def unregister_layers():
+    """Drop all registered layers (tests; service reconfiguration)."""
+    with _LAYER_LOCK:
+        _LAYERS.clear()
+
+
+def _layer_block(text):
+    """A Block from the layers parameter: a registered name, else JSON."""
+    with _LAYER_LOCK:
+        block = _LAYERS.get(text)
+    if block is not None:
+        return block
+    return Block.from_json(text)
+
+
+def get_capabilities_xml(base_url="http://localhost/wms"):
+    """A minimal WMS 1.1.1 GetCapabilities document listing the
+    registered layers with their WGS84 bounding boxes."""
+    from dask_geomodeling_tpu.geo.crs import transform_extent
+
+    entries = []
+    with _LAYER_LOCK:
+        layers = dict(_LAYERS)
+    for name, block in layers.items():
+        bbox = ""
+        try:
+            extent = block.geometry.bounds
+            projection = block.projection
+            if projection and extent:
+                w, s, e, n = transform_extent(
+                    extent, projection, "EPSG:4326"
+                )
+                bbox = (
+                    '<LatLonBoundingBox minx="%.9g" miny="%.9g" '
+                    'maxx="%.9g" maxy="%.9g"/>' % (w, s, e, n)
+                )
+        except Exception:
+            pass
+        entries.append(
+            "<Layer queryable=\"0\"><Name>%s</Name><Title>%s</Title>"
+            "<SRS>EPSG:4326</SRS><SRS>EPSG:3857</SRS>%s</Layer>"
+            % (escape(str(name)), escape(str(name)), bbox)
+        )
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<WMT_MS_Capabilities version="1.1.1">'
+        "<Service><Name>OGC:WMS</Name>"
+        "<Title>dask_geomodeling_tpu</Title>"
+        '<OnlineResource xmlns:xlink="http://www.w3.org/1999/xlink" '
+        'xlink:href="%s"/></Service>'
+        "<Capability><Request><GetCapabilities>"
+        "<Format>application/vnd.ogc.wms_xml</Format>"
+        "</GetCapabilities><GetMap><Format>image/png</Format>"
+        "</GetMap></Request>"
+        "<Layer><Title>dask_geomodeling_tpu</Title>%s</Layer>"
+        "</Capability></WMT_MS_Capabilities>"
+        % (escape(base_url), "".join(entries))
+    )
 
 
 class WMSError(Exception):
@@ -48,7 +127,7 @@ def render_wms_tile(params):
     from PIL import Image
 
     try:
-        block = Block.from_json(params["layers"])
+        block = _layer_block(params["layers"])
     except Exception as e:
         raise WMSError(400, "Invalid 'layers' parameter: {}".format(e))
     style = params.get("styles", "viridis")
@@ -109,9 +188,24 @@ _NO_CACHE_HEADERS = [
 
 
 def wms_app(environ, start_response):
-    """WSGI application serving WMS GetMap requests at any path."""
+    """WSGI application serving WMS GetMap (and GetCapabilities for
+    registered layers) at any path."""
     query = parse_qs(environ.get("QUERY_STRING", ""))
-    params = {k: v[0] for k, v in query.items()}
+    params = {k.lower(): v[0] for k, v in query.items()}
+    if params.get("request", "").lower() == "getcapabilities":
+        scheme = environ.get("wsgi.url_scheme", "http")
+        host = environ.get("HTTP_HOST") or environ.get(
+            "SERVER_NAME", "localhost"
+        )
+        body = get_capabilities_xml(
+            "%s://%s%s" % (scheme, host, environ.get("PATH_INFO", "/wms"))
+        ).encode()
+        start_response(
+            "200 OK",
+            [("Content-Type", "application/vnd.ogc.wms_xml"),
+             ("Content-Length", str(len(body)))],
+        )
+        return [body]
     try:
         raw = render_wms_tile(params)
     except WMSError as e:

@@ -409,3 +409,54 @@ def test_serving_soak_memory_bounded(view_json):
     assert growth < 32 * 10**6, "leaked %.1f MB" % (growth / 1e6)
     stats = results.stats()
     assert stats["bytes"] <= 2 * 10**6  # the byte budget held
+
+
+def test_named_layers_and_capabilities(view_json):
+    """Standard-client flow: register a named layer, discover it via
+    GetCapabilities, then GetMap by NAME (uppercase params like real
+    WMS clients send)."""
+    from urllib.parse import urlencode
+    from xml.etree import ElementTree
+
+    from dask_geomodeling_tpu.core import Block
+    from dask_geomodeling_tpu.ipyleaflet_plugin import (
+        register_layer,
+        unregister_layers,
+    )
+
+    register_layer("rainfall", Block.from_json(view_json))
+    try:
+        environ = {
+            "QUERY_STRING": "SERVICE=WMS&REQUEST=GetCapabilities",
+            "HTTP_HOST": "tiles.example:8080",
+            "PATH_INFO": "/wms",
+        }
+        captured = {}
+
+        def start_response(status, headers):
+            captured["status"] = status
+            captured["headers"] = dict(headers)
+
+        body = b"".join(wms_app(environ, start_response))
+        assert captured["status"] == "200 OK"
+        root = ElementTree.fromstring(body)
+        names = [e.text for e in root.iter("Name")]
+        assert "rainfall" in names
+        assert b"tiles.example:8080" in body
+        bbox = next(root.iter("LatLonBoundingBox"))
+        assert float(bbox.get("minx")) < float(bbox.get("maxx"))
+
+        # GetMap by the registered name, uppercase query keys
+        query = urlencode({
+            "SERVICE": "WMS", "REQUEST": "GetMap", "LAYERS": "rainfall",
+            "SRS": "EPSG:3857", "BBOX": "0,0,10,10",
+            "WIDTH": "64", "HEIGHT": "64", "STYLES": "viridis",
+            "VMIN": "0", "VMAX": "10", "FORMAT": "image/png",
+        })
+        png = b"".join(wms_app({"QUERY_STRING": query}, start_response))
+        assert captured["status"] == "200 OK"
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        # identical pixels to the ship-the-view path
+        assert png == render_wms_tile(base_params(view_json))
+    finally:
+        unregister_layers()
