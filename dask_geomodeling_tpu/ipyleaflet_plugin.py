@@ -136,7 +136,11 @@ def render_wms_tile(params):
     img_format = params.get("format", "image/png")
     if img_format.lower() != "image/png":
         raise WMSError(400, "Only image/png is supported")
-    srs = params["srs"]
+    # WMS 1.1 sends SRS=, 1.3 sends CRS= (and flips the bbox axis order
+    # for geographic CRSes to lat/lon)
+    srs = params.get("srs") or params.get("crs")
+    if not srs:
+        raise WMSError(400, "Missing SRS/CRS parameter")
     height = int(params["height"])
     width = int(params["width"])
     max_cell_size = float(params.get("maxcellsize", 10.0))
@@ -146,6 +150,15 @@ def render_wms_tile(params):
     else:
         time = None
     bbox = [float(x) for x in params["bbox"].split(",")]
+    if params.get("version", "").startswith("1.3"):
+        from dask_geomodeling_tpu.geo.crs import get_sr
+
+        try:
+            geographic = get_sr(srs).is_geographic
+        except Exception:
+            geographic = False
+        if geographic:
+            bbox = [bbox[1], bbox[0], bbox[3], bbox[2]]
 
     # overload protection (reference ipyleaflet_plugin.py:48-53)
     cell_size_x = (bbox[2] - bbox[0]) / width

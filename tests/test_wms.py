@@ -460,3 +460,40 @@ def test_named_layers_and_capabilities(view_json):
         assert png == render_wms_tile(base_params(view_json))
     finally:
         unregister_layers()
+
+
+def test_wms_13_crs_and_axis_order(view_json):
+    """WMS 1.3.0 clients send CRS= and lat/lon-ordered BBOX for
+    geographic CRSes; both map onto the 1.1 semantics."""
+    source = MemorySource(
+        data=[[float(i) for i in range(10)] for _ in range(10)],
+        no_data_value=255.0,
+        projection="EPSG:4326",
+        pixel_size=0.1,
+        pixel_origin=(4.0, 53.0),
+    )
+    p11 = dict(
+        base_params(source.to_json()), srs="EPSG:4326",
+        bbox="4.0,52.0,5.0,53.0", maxcellsize="1",
+    )
+    expected = render_wms_tile(p11)
+    p13 = dict(p11)
+    del p13["srs"]
+    p13.update(crs="EPSG:4326", version="1.3.0",
+               bbox="52.0,4.0,53.0,5.0")  # lat/lon order
+    assert render_wms_tile(p13) == expected
+    # projected CRSes keep x/y order in 1.3
+    p13_merc = dict(base_params(view_json), version="1.3.0")
+    p13_merc["crs"] = p13_merc.pop("srs")
+    assert render_wms_tile(p13_merc) == render_wms_tile(
+        base_params(view_json)
+    )
+    # resolve the exception class at call time: an earlier test reloads
+    # the plugin module, and the (shared-globals) functions then raise
+    # the reloaded class object
+    from dask_geomodeling_tpu import ipyleaflet_plugin as plugin
+
+    with pytest.raises(plugin.WMSError, match="SRS/CRS"):
+        bad = base_params(view_json)
+        del bad["srs"]
+        render_wms_tile(bad)
