@@ -2921,6 +2921,14 @@ def _esri_registry_get(code):
 
 _EPSG_RE = re.compile(r"^(?:EPSG|epsg):(\d+)$")
 _ESRI_RE = re.compile(r"^(?:ESRI|esri):(\d+)$")
+_OGC_URN_RE = re.compile(
+    r"^urn:ogc:def:crs:EPSG:[\d.]*:(\d+)$", re.IGNORECASE
+)
+_OGC_URL_RE = re.compile(
+    r"^https?://www\.opengis\.net/def/crs/EPSG/\d+/(\d+)$", re.IGNORECASE
+)
+_EPSG_COMPOUND_RE = re.compile(r"^(?:EPSG|epsg):(\d+)\+\d+$")
+_PROJ4_INIT_RE = re.compile(r"^\+init=epsg:(\d+)(?:\s|$)", re.IGNORECASE)
 _WKT_AUTH_RE = re.compile(r'AUTHORITY\[\"EPSG\",\s*\"?(\d+)\"?\]\s*\]\s*$')
 _WKT_ID_RE = re.compile(r'ID\[\"EPSG\",\s*(\d+)\]\s*\]\s*$')
 
@@ -3540,6 +3548,26 @@ def get_sr(user_input):
         return _esri_registry_get(int(match.group(1)))
     if text.isdigit():
         return _registry_get(int(text))
+    # OGC URN/URL identifiers (GML/WFS/GeoJSON interchange) and other
+    # common aliases, all resolving to registry codes:
+    #   urn:ogc:def:crs:EPSG::4326   urn:ogc:def:crs:EPSG:9.9.1:4326
+    #   http://www.opengis.net/def/crs/EPSG/0/4326
+    #   urn:ogc:def:crs:OGC:1.3:CRS84 (GeoJSON's lon/lat WGS84)
+    #   EPSG:4326+5709 (compound: the horizontal member drives 2-D)
+    #   +init=epsg:4326 (legacy proj4)
+    match = _OGC_URN_RE.match(text) or _OGC_URL_RE.match(text)
+    if match:
+        return _registry_get(int(match.group(1)))
+    if text.upper().replace("URN:OGC:DEF:CRS:OGC:1.3:", "OGC:") in (
+        "OGC:CRS84", "CRS84", "CRS:84",
+    ):
+        return _registry_get(4326)
+    match = _EPSG_COMPOUND_RE.match(text)
+    if match:
+        return _registry_get(int(match.group(1)))
+    match = _PROJ4_INIT_RE.match(text)
+    if match:
+        return _registry_get(int(match.group(1)))
     # WKT with an EPSG authority: prefer the registry entry for its datum
     # metadata, falling back to a parametric parse for unknown codes
     for regex in (_WKT_AUTH_RE, _WKT_ID_RE):

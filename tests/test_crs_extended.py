@@ -565,3 +565,24 @@ def test_compound_crs_uses_horizontal_member():
     with pytest.raises(TransformException, match="horizontal"):
         get_sr('COMPD_CS["v only",VERT_CS["NAP",'
                'VERT_DATUM["NAP",2005],UNIT["metre",1]]]')
+
+
+def test_common_identifier_syntaxes():
+    """OGC URNs/URLs (GML/WFS), GeoJSON's CRS84, compound codes, and
+    legacy +init= proj4 all resolve to registry entries."""
+    from dask_geomodeling_tpu.geo.crs import get_sr
+
+    for text in (
+        "urn:ogc:def:crs:EPSG::4326",
+        "urn:ogc:def:crs:EPSG:9.9.1:4326",
+        "http://www.opengis.net/def/crs/EPSG/0/4326",
+        "urn:ogc:def:crs:OGC:1.3:CRS84",
+        "OGC:CRS84",
+        "CRS:84",
+        "EPSG:4326+5709",  # compound horizontal+vertical code
+        "+init=epsg:4326",
+        "+init=epsg:4326 +no_defs",
+    ):
+        assert get_sr(text).code == 4326, text
+    assert get_sr("+init=epsg:28992").code == 28992
+    assert get_sr("urn:ogc:def:crs:EPSG::28992").code == 28992
