@@ -98,7 +98,20 @@ def _frame_from_features(features, crs="EPSG:4326"):
 def _read_geojson(path):
     with open(path) as f:
         collection = json.load(f)
-    return _frame_from_features(collection.get("features", []))
+    frame = _frame_from_features(collection.get("features", []))
+    # the legacy (pre-RFC 7946) named-crs member, honoured like OGR:
+    # {"crs": {"type": "name", "properties": {"name": "urn:...EPSG::x"}}}
+    crs = collection.get("crs")
+    if isinstance(crs, dict):
+        name = (crs.get("properties") or {}).get("name")
+        if name:
+            try:
+                from dask_geomodeling_tpu.geo.crs import get_epsg_or_wkt
+
+                frame.crs = get_epsg_or_wkt(str(name))
+            except Exception:
+                pass  # unknown identifier: keep the RFC 7946 default
+    return frame
 
 
 def _read_geojsonl(path):

@@ -1076,3 +1076,34 @@ class TestGpxEdgeCases:
         text = open(out).read()
         assert "<ele>" not in text
         assert "<name>l</name>" in text
+
+
+def test_geojson_legacy_crs_member(tmp_path):
+    """Pre-RFC-7946 GeoJSON with a named crs member (OGC URN) reads in
+    that CRS, like OGR."""
+    import json
+
+    from dask_geomodeling_tpu.io.vectorfile import read_vector
+
+    collection = {
+        "type": "FeatureCollection",
+        "crs": {
+            "type": "name",
+            "properties": {"name": "urn:ogc:def:crs:EPSG::28992"},
+        },
+        "features": [{
+            "type": "Feature",
+            "geometry": {"type": "Point", "coordinates": [155000.0, 463000.0]},
+            "properties": {"v": 1},
+        }],
+    }
+    path = str(tmp_path / "legacy.geojson")
+    with open(path, "w") as f:
+        json.dump(collection, f)
+    frame = read_vector(path)
+    assert frame.crs == "EPSG:28992"
+    # unknown identifiers keep the RFC 7946 default instead of raising
+    collection["crs"]["properties"]["name"] = "urn:example:nonsense"
+    with open(path, "w") as f:
+        json.dump(collection, f)
+    assert read_vector(path).crs != "EPSG:28992"
