@@ -275,6 +275,15 @@ def _read_gml(path):
                     break
                 except (ValueError, TypeError):
                     continue
+    if crs:
+        # srsName carries any identifier syntax (plain EPSG:, OGC URNs,
+        # opengis URLs): normalize to the canonical form when parseable
+        try:
+            from dask_geomodeling_tpu.geo.crs import get_epsg_or_wkt
+
+            crs = get_epsg_or_wkt(crs)
+        except Exception:
+            pass
     frame = GeoDataFrame(frame, geometry=geometries, crs=crs or "EPSG:4326")
     frame.index = pd.Index(ids)
     return frame

@@ -1107,3 +1107,26 @@ def test_geojson_legacy_crs_member(tmp_path):
     with open(path, "w") as f:
         json.dump(collection, f)
     assert read_vector(path).crs != "EPSG:28992"
+
+
+def test_gml_urn_srsname(tmp_path):
+    """GML with an OGC-URN srsName normalizes to the canonical EPSG id."""
+    from dask_geomodeling_tpu.io.vectorfile import read_vector
+
+    gml = """<?xml version="1.0"?>
+<gml:FeatureCollection xmlns:gml="http://www.opengis.net/gml">
+  <gml:featureMember>
+    <feature>
+      <name>a</name>
+      <geom><gml:Point srsName="urn:ogc:def:crs:EPSG::28992">
+        <gml:coordinates>155000,463000</gml:coordinates>
+      </gml:Point></geom>
+    </feature>
+  </gml:featureMember>
+</gml:FeatureCollection>
+"""
+    path = str(tmp_path / "urn.gml")
+    with open(path, "w") as f:
+        f.write(gml)
+    frame = read_vector(path)
+    assert frame.crs == "EPSG:28992"
