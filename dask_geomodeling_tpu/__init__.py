@@ -16,4 +16,9 @@ from dask_geomodeling_tpu.core import (  # noqa
     tokenize,
 )
 
+# the reference exposes these subpackages at the top level
+# (reference __init__.py:9-12): `import dask_geomodeling` then
+# `dask_geomodeling.raster.Group(...)` must work here too
+from dask_geomodeling_tpu import geometry, raster  # noqa
+
 __version__ = "0.1.0"

@@ -360,3 +360,16 @@ class TestTokenizeNumpyScalars:
     def test_dummy_block_token_with_underscored_name(self):
         token = "0123456789abcdef0123456789abcdef"
         assert DummyBlock("some_block_" + token).token == token
+
+
+def test_top_level_namespace_matches_reference():
+    """`import dask_geomodeling_tpu` exposes what the reference's
+    top-level does (reference __init__.py:9-12): config, Block,
+    construct, and the raster/geometry subpackages."""
+    import dask_geomodeling_tpu as dg
+
+    assert dg.raster.Group is not None
+    assert dg.geometry.AggregateRaster is not None
+    assert callable(dg.construct)
+    assert dg.Block is not None
+    assert dg.config.get("geomodeling.raster-limit") > 0
