@@ -15,13 +15,33 @@ from dask_geomodeling_tpu import config
 from dask_geomodeling_tpu.ipyleaflet_plugin import wms_app
 
 
-def main(port=8787, host="127.0.0.1", block_import_paths=("dask_geomodeling_tpu",)):
-    """Serve the WMS WSGI app forever on ``host:port``."""
-    config.set({"geomodeling.block-import-paths": list(block_import_paths)})
+def main(port=8787, host="127.0.0.1",
+         block_import_paths=("dask_geomodeling_tpu",),
+         layers=None, result_cache_bytes=256 * 2**20, router_state=None):
+    """Serve the WMS WSGI app forever on ``host:port``.
+
+    ``layers`` maps names to Blocks (or view-JSON strings) advertised by
+    GetCapabilities; the serving defaults turn on the cross-request
+    result cache and, when ``router_state`` names a file, persist the
+    auto-router's measurements across restarts."""
+    from dask_geomodeling_tpu.core import Block
+    from dask_geomodeling_tpu.ipyleaflet_plugin import register_layer
+
+    settings = {
+        "geomodeling.block-import-paths": list(block_import_paths),
+        "geomodeling.result-cache-size": int(result_cache_bytes or 0),
+    }
+    if router_state:
+        settings["geomodeling.router-state"] = router_state
+    config.set(settings)
+    for name, block in (layers or {}).items():
+        if isinstance(block, str):
+            block = Block.from_json(block)
+        register_layer(name, block)
     with make_server(host, port, wms_app) as httpd:
         print(
-            "Serving WMS on %s:%d (GET /wms?layers=<view json>&...)"
-            % (host, port)
+            "Serving WMS on %s:%d (GET /wms?layers=<name or view json>"
+            "&...; GetCapabilities lists named layers)" % (host, port)
         )
         httpd.serve_forever()
 

@@ -497,3 +497,44 @@ def test_wms_13_crs_and_axis_order(view_json):
         bad = base_params(view_json)
         del bad["srs"]
         render_wms_tile(bad)
+
+
+def test_wms_serve_main_configuration(view_json, monkeypatch):
+    """wms_serve.main wires layers, the result cache and router
+    persistence before serving."""
+    from dask_geomodeling_tpu import config, wms_serve
+    from dask_geomodeling_tpu.ipyleaflet_plugin import (
+        get_capabilities_xml,
+        unregister_layers,
+    )
+
+    served = {}
+
+    class FakeServer:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def serve_forever(self):
+            served["up"] = True
+
+    monkeypatch.setattr(
+        wms_serve, "make_server", lambda h, p, app: FakeServer()
+    )
+    try:
+        wms_serve.main(
+            port=0, layers={"demo": view_json},
+            result_cache_bytes=123456, router_state="/tmp/routes.json",
+        )
+        assert served["up"]
+        assert config.get("geomodeling.result-cache-size") == 123456
+        assert config.get("geomodeling.router-state") == "/tmp/routes.json"
+        assert "demo" in get_capabilities_xml()
+    finally:
+        unregister_layers()
+        config.set({
+            "geomodeling.result-cache-size": 0,
+            "geomodeling.router-state": None,
+        })
