@@ -2925,10 +2925,21 @@ _OGC_URN_RE = re.compile(
     r"^urn:ogc:def:crs:EPSG:[\d.]*:(\d+)$", re.IGNORECASE
 )
 _OGC_URL_RE = re.compile(
-    r"^https?://www\.opengis\.net/def/crs/EPSG/\d+/(\d+)$", re.IGNORECASE
+    r"^https?://www\.opengis\.net/def/crs/EPSG/[\d.]+/(\d+)$",
+    re.IGNORECASE,
+)
+_GML2_SRS_RE = re.compile(
+    r"^https?://www\.opengis\.net/gml/srs/epsg\.xml#(\d+)$",
+    re.IGNORECASE,
+)
+_CRS84_RE = re.compile(
+    r"^(urn:ogc:def:crs:OGC:[\d.]*:|OGC:)?CRS:?84$", re.IGNORECASE
 )
 _EPSG_COMPOUND_RE = re.compile(r"^(?:EPSG|epsg):(\d+)\+\d+$")
-_PROJ4_INIT_RE = re.compile(r"^\+init=epsg:(\d+)(?:\s|$)", re.IGNORECASE)
+_PROJ4_INIT_RE = re.compile(
+    r"^\+init=epsg:(\d+)(?:\s+\+(?:no_defs|wktext|type=crs))*\s*$",
+    re.IGNORECASE,
+)
 _WKT_AUTH_RE = re.compile(r'AUTHORITY\[\"EPSG\",\s*\"?(\d+)\"?\]\s*\]\s*$')
 _WKT_ID_RE = re.compile(r'ID\[\"EPSG\",\s*(\d+)\]\s*\]\s*$')
 
@@ -3555,12 +3566,14 @@ def get_sr(user_input):
     #   urn:ogc:def:crs:OGC:1.3:CRS84 (GeoJSON's lon/lat WGS84)
     #   EPSG:4326+5709 (compound: the horizontal member drives 2-D)
     #   +init=epsg:4326 (legacy proj4)
-    match = _OGC_URN_RE.match(text) or _OGC_URL_RE.match(text)
+    match = (
+        _OGC_URN_RE.match(text)
+        or _OGC_URL_RE.match(text)
+        or _GML2_SRS_RE.match(text)
+    )
     if match:
         return _registry_get(int(match.group(1)))
-    if text.upper().replace("URN:OGC:DEF:CRS:OGC:1.3:", "OGC:") in (
-        "OGC:CRS84", "CRS84", "CRS:84",
-    ):
+    if _CRS84_RE.match(text):
         return _registry_get(4326)
     match = _EPSG_COMPOUND_RE.match(text)
     if match:
@@ -3568,6 +3581,14 @@ def get_sr(user_input):
     match = _PROJ4_INIT_RE.match(text)
     if match:
         return _registry_get(int(match.group(1)))
+    if text.lower().startswith("+init=epsg:"):
+        # proj4 semantics let trailing parameters OVERRIDE the init
+        # definition; silently dropping them would transform with the
+        # wrong datum, so fail loudly instead
+        raise TransformException(
+            "+init=epsg: with parameter overrides is not supported: %r"
+            % text[:80]
+        )
     # WKT with an EPSG authority: prefer the registry entry for its datum
     # metadata, falling back to a parametric parse for unknown codes
     for regex in (_WKT_AUTH_RE, _WKT_ID_RE):

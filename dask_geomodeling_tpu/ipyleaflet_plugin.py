@@ -19,7 +19,7 @@ import threading
 from datetime import datetime
 from io import BytesIO
 from urllib.parse import parse_qs, urljoin
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape, quoteattr
 
 import numpy as np
 
@@ -94,14 +94,14 @@ def get_capabilities_xml(base_url="http://localhost/wms"):
         "<Service><Name>OGC:WMS</Name>"
         "<Title>dask_geomodeling_tpu</Title>"
         '<OnlineResource xmlns:xlink="http://www.w3.org/1999/xlink" '
-        'xlink:href="%s"/></Service>'
+        "xlink:href=%s/></Service>"
         "<Capability><Request><GetCapabilities>"
         "<Format>application/vnd.ogc.wms_xml</Format>"
         "</GetCapabilities><GetMap><Format>image/png</Format>"
         "</GetMap></Request>"
         "<Layer><Title>dask_geomodeling_tpu</Title>%s</Layer>"
         "</Capability></WMT_MS_Capabilities>"
-        % (escape(base_url), "".join(entries))
+        % (quoteattr(str(base_url)), "".join(entries))
     )
 
 
@@ -153,11 +153,14 @@ def render_wms_tile(params):
     if params.get("version", "").startswith("1.3"):
         from dask_geomodeling_tpu.geo.crs import get_sr
 
+        # CRS:84 / OGC:CRS84 are DEFINED lon/lat and never flip; EPSG
+        # geodetic codes are lat/lon-ordered in WMS 1.3
+        crs84 = "CRS84" in srs.upper().replace(":", "")
         try:
             geographic = get_sr(srs).is_geographic
         except Exception:
             geographic = False
-        if geographic:
+        if geographic and not crs84:
             bbox = [bbox[1], bbox[0], bbox[3], bbox[2]]
 
     # overload protection (reference ipyleaflet_plugin.py:48-53)
@@ -216,7 +219,7 @@ def wms_app(environ, start_response):
         start_response(
             "200 OK",
             [("Content-Type", "application/vnd.ogc.wms_xml"),
-             ("Content-Length", str(len(body)))],
+             ("Content-Length", str(len(body)))] + _NO_CACHE_HEADERS,
         )
         return [body]
     try:
@@ -249,22 +252,24 @@ try:
         Application at a ``/wms`` route)."""
 
         def get(self):
+            # take every query parameter, case-insensitively (WMS 1.3
+            # clients send CRS=/VERSION=; names are case-insensitive)
             params = {
-                key: self.get_query_argument(key, default="")
-                for key in (
-                    "layers",
-                    "styles",
-                    "vmin",
-                    "vmax",
-                    "format",
-                    "srs",
-                    "height",
-                    "width",
-                    "maxcellsize",
-                    "time",
-                    "bbox",
-                )
+                key.lower(): values[-1].decode("utf-8", "replace")
+                for key, values in self.request.query_arguments.items()
             }
+            if params.get("request", "").lower() == "getcapabilities":
+                body = get_capabilities_xml(
+                    self.request.full_url().split("?")[0]
+                ).encode()
+                self.set_header(
+                    "Content-Type", "application/vnd.ogc.wms_xml"
+                )
+                for key, value in _NO_CACHE_HEADERS:
+                    self.set_header(key, value)
+                self.write(body)
+                self.finish()
+                return
             try:
                 raw = render_wms_tile(params)
             except WMSError as e:

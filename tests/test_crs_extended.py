@@ -586,3 +586,14 @@ def test_common_identifier_syntaxes():
         assert get_sr(text).code == 4326, text
     assert get_sr("+init=epsg:28992").code == 28992
     assert get_sr("urn:ogc:def:crs:EPSG::28992").code == 28992
+    # review additions: empty-version CRS84 URN, GML2 srs URLs, dotted
+    # OGC URL versions, and loud failure on +init parameter overrides
+    assert get_sr("urn:ogc:def:crs:OGC::CRS84").code == 4326
+    assert get_sr("http://www.opengis.net/gml/srs/epsg.xml#28992").code == 28992
+    assert get_sr("http://www.opengis.net/def/crs/EPSG/9.9.1/4326").code == 4326
+    import pytest
+
+    from dask_geomodeling_tpu.geo.crs import TransformException
+
+    with pytest.raises(TransformException, match="overrides"):
+        get_sr("+init=epsg:4326 +towgs84=565.4,50.3,465.6")

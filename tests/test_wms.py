@@ -538,3 +538,103 @@ def test_wms_serve_main_configuration(view_json, monkeypatch):
             "geomodeling.result-cache-size": 0,
             "geomodeling.router-state": None,
         })
+
+
+def test_wms_13_crs84_never_flips():
+    """CRS:84 is DEFINED lon/lat: WMS 1.3 requests in it keep x/y order
+    (review finding)."""
+    source = MemorySource(
+        data=[[float(i) for i in range(10)] for _ in range(10)],
+        no_data_value=255.0, projection="EPSG:4326",
+        pixel_size=0.1, pixel_origin=(4.0, 53.0),
+    )
+    reference = render_wms_tile(dict(
+        base_params(source.to_json()), srs="EPSG:4326",
+        bbox="4.0,52.0,5.0,53.0", maxcellsize="1",
+    ))
+    p = dict(base_params(source.to_json()), maxcellsize="1",
+             version="1.3.0", bbox="4.0,52.0,5.0,53.0")
+    del p["srs"]
+    p["crs"] = "CRS:84"
+    assert render_wms_tile(p) == reference
+
+
+def test_capabilities_host_header_is_attribute_safe():
+    """A hostile Host header cannot inject XML (review finding)."""
+    from xml.etree import ElementTree
+
+    captured = {}
+
+    def start_response(status, headers):
+        captured["status"] = status
+        captured["headers"] = dict(headers)
+
+    environ = {
+        "QUERY_STRING": "REQUEST=GetCapabilities",
+        "HTTP_HOST": 'evil"/><Layer><Name>fake</Name></Layer><x a="',
+    }
+    body = b"".join(wms_app(environ, start_response))
+    root = ElementTree.fromstring(body)  # still well-formed XML
+    assert "fake" not in [e.text for e in root.iter("Name")]
+    assert captured["headers"]["Cache-Control"].startswith("no-store")
+
+
+def test_tornado_handler_capabilities_and_wms13(view_json):
+    """The Tornado surface serves GetCapabilities and accepts 1.3
+    CRS=/VERSION= parameters (review finding)."""
+    import asyncio
+    import threading
+    import urllib.parse
+    import urllib.request
+
+    import tornado.httpserver
+    import tornado.netutil
+    import tornado.web
+
+    from dask_geomodeling_tpu.core import Block
+    from dask_geomodeling_tpu.ipyleaflet_plugin import (
+        GeomodelingWMSHandler,
+        register_layer,
+        unregister_layers,
+    )
+
+    register_layer("rainfall", Block.from_json(view_json))
+    started = threading.Event()
+    box = {}
+
+    def serve():
+        loop = asyncio.new_event_loop()
+        asyncio.set_event_loop(loop)
+        app = tornado.web.Application([(r"/wms", GeomodelingWMSHandler)])
+        server = tornado.httpserver.HTTPServer(app)
+        sockets = tornado.netutil.bind_sockets(0, "127.0.0.1")
+        server.add_sockets(sockets)
+        box["port"] = sockets[0].getsockname()[1]
+        box["loop"] = loop
+        started.set()
+        loop.run_forever()
+
+    thread = threading.Thread(target=serve, daemon=True)
+    thread.start()
+    assert started.wait(timeout=30)
+    try:
+        with urllib.request.urlopen(
+            "http://127.0.0.1:%d/wms?SERVICE=WMS&REQUEST=GetCapabilities"
+            % box["port"], timeout=30,
+        ) as response:
+            assert response.status == 200
+            assert b"rainfall" in response.read()
+        query = urllib.parse.urlencode({
+            "REQUEST": "GetMap", "VERSION": "1.3.0", "LAYERS": "rainfall",
+            "CRS": "EPSG:3857", "BBOX": "0,0,10,10",
+            "WIDTH": "64", "HEIGHT": "64", "VMAX": "10",
+        })
+        with urllib.request.urlopen(
+            "http://127.0.0.1:%d/wms?%s" % (box["port"], query), timeout=30
+        ) as response:
+            assert response.status == 200
+            assert response.read()[:8] == b"\x89PNG\r\n\x1a\n"
+    finally:
+        unregister_layers()
+        box["loop"].call_soon_threadsafe(box["loop"].stop)
+        thread.join(timeout=5)
