@@ -130,7 +130,7 @@ def render_wms_tile(params):
         block = _layer_block(params["layers"])
     except Exception as e:
         raise WMSError(400, "Invalid 'layers' parameter: {}".format(e))
-    style = params.get("styles", "viridis")
+    style = params.get("styles") or "viridis"  # clients send STYLES=
     vmin = float(params.get("vmin", 0.0))
     vmax = float(params.get("vmax", 1.0))
     img_format = params.get("format", "image/png")
@@ -183,7 +183,11 @@ def render_wms_tile(params):
         values = np.ma.masked_equal(data["values"][0], data["no_data_value"])
 
     normalized = Normalize(vmin=vmin, vmax=vmax, clip=True)(values)
-    img = matplotlib.colormaps[style](normalized)
+    try:
+        colormap = matplotlib.colormaps[style]
+    except KeyError:
+        raise WMSError(400, "Unknown style (colormap): %r" % style)
+    img = colormap(normalized)
     img[np.ma.getmaskarray(normalized), 3] = 0.0  # nodata is transparent
     img_uint8 = (img * 255).astype(np.uint8)
 

@@ -638,3 +638,14 @@ def test_tornado_handler_capabilities_and_wms13(view_json):
         unregister_layers()
         box["loop"].call_soon_threadsafe(box["loop"].stop)
         thread.join(timeout=5)
+
+
+def test_empty_styles_and_unknown_colormap(view_json):
+    """Clients send STYLES= (empty, meaning default); unknown colormaps
+    are client errors, not server crashes."""
+    params = dict(base_params(view_json), styles="")
+    assert render_wms_tile(params)[:8] == b"\x89PNG\r\n\x1a\n"
+    from dask_geomodeling_tpu import ipyleaflet_plugin as plugin
+
+    with pytest.raises(plugin.WMSError, match="colormap"):
+        render_wms_tile(dict(base_params(view_json), styles="nope-123"))
