@@ -131,9 +131,9 @@ def render_wms_tile(params):
     except Exception as e:
         raise WMSError(400, "Invalid 'layers' parameter: {}".format(e))
     style = params.get("styles") or "viridis"  # clients send STYLES=
-    vmin = float(params.get("vmin", 0.0))
-    vmax = float(params.get("vmax", 1.0))
-    img_format = params.get("format", "image/png")
+    vmin = float(params.get("vmin") or 0.0)
+    vmax = float(params.get("vmax") or 1.0)
+    img_format = params.get("format") or "image/png"
     if img_format.lower() != "image/png":
         raise WMSError(400, "Only image/png is supported")
     # WMS 1.1 sends SRS=, 1.3 sends CRS= (and flips the bbox axis order
@@ -143,7 +143,7 @@ def render_wms_tile(params):
         raise WMSError(400, "Missing SRS/CRS parameter")
     height = int(params["height"])
     width = int(params["width"])
-    max_cell_size = float(params.get("maxcellsize", 10.0))
+    max_cell_size = float(params.get("maxcellsize") or 10.0)
     time_isoformat = params.get("time", "")
     if time_isoformat:
         time = datetime.strptime(time_isoformat, "%Y-%m-%dT%H:%M:%S.%fZ")

@@ -649,3 +649,13 @@ def test_empty_styles_and_unknown_colormap(view_json):
 
     with pytest.raises(plugin.WMSError, match="colormap"):
         render_wms_tile(dict(base_params(view_json), styles="nope-123"))
+
+
+def test_empty_optional_params_use_defaults(view_json):
+    """Handlers forward every query key with empty strings for absent
+    values (the Tornado surface did this historically); empties mean
+    defaults, not 400s."""
+    params = dict(base_params(view_json), vmin="", vmax="",
+                  maxcellsize="", format="", styles="", time="")
+    png = render_wms_tile(params)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
