@@ -26,7 +26,8 @@ import numpy as np
 from dask_geomodeling_tpu.core import Block
 
 __all__ = [
-    "render_wms_tile", "wms_app", "register_layer", "unregister_layers",
+    "render_wms_tile", "render_coverage", "wms_app", "register_layer",
+    "unregister_layers",
     "get_capabilities_xml",
 ]
 
@@ -196,6 +197,68 @@ def render_wms_tile(params):
     return stream.getvalue()
 
 
+def render_coverage(params):
+    """Render one WCS-style GetCoverage request; returns GeoTIFF bytes.
+
+    The data sibling of :func:`render_wms_tile`: same layer resolution
+    (registered name or view JSON) and bbox/width/height/CRS
+    parameters, but the response is the raw raster — nodata tag,
+    georeferencing and dtype preserved — for clients that want values,
+    not pictures."""
+    from io import BytesIO
+    import tempfile
+
+    from dask_geomodeling_tpu.geo.geotransform import GeoTransform
+    from dask_geomodeling_tpu.io.geotiff import write_geotiff
+
+    try:
+        block = _layer_block(params.get("coverage") or params["layers"])
+    except Exception as e:
+        raise WMSError(400, "Invalid coverage/layers parameter: {}".format(e))
+    srs = params.get("srs") or params.get("crs")
+    if not srs:
+        raise WMSError(400, "Missing SRS/CRS parameter")
+    height = int(params["height"])
+    width = int(params["width"])
+    max_cell_size = float(params.get("maxcellsize") or 10.0)
+    time_isoformat = params.get("time", "")
+    time = (
+        datetime.strptime(time_isoformat, "%Y-%m-%dT%H:%M:%S.%fZ")
+        if time_isoformat
+        else None
+    )
+    bbox = [float(x) for x in params["bbox"].split(",")]
+    if (bbox[2] - bbox[0]) / width > max_cell_size or (
+        bbox[3] - bbox[1]
+    ) / height > max_cell_size:
+        raise WMSError(400, "Too large area requested")
+
+    data = block.get_data(
+        mode="vals", bbox=tuple(bbox), height=height, width=width,
+        projection=srs, start=time,
+    )
+    if data is None:
+        raise WMSError(404, "No data for this request")
+    import os
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "coverage.tif")
+        write_geotiff(
+            path, np.asarray(data["values"]),
+            geo_transform=tuple(GeoTransform.from_bbox(
+                tuple(bbox), height, width
+            )),
+            projection=srs,
+            no_data_value=(
+                float(data["no_data_value"])
+                if data["no_data_value"] is not None
+                else None
+            ),
+        )
+        with open(path, "rb") as stream:
+            return stream.read()
+
+
 _NO_CACHE_HEADERS = [
     ("Pragma", "no-cache"),
     (
@@ -212,6 +275,26 @@ def wms_app(environ, start_response):
     registered layers) at any path."""
     query = parse_qs(environ.get("QUERY_STRING", ""))
     params = {k.lower(): v[0] for k, v in query.items()}
+    if params.get("request", "").lower() == "getcoverage":
+        try:
+            raw = render_coverage(params)
+        except WMSError as e:
+            body = e.message.encode()
+            start_response(
+                "%d Bad Request" % e.status,
+                [("Content-Type", "text/plain")],
+            )
+            return [body]
+        except (KeyError, ValueError, TypeError) as e:
+            body = ("Invalid request parameters: %s" % e).encode()
+            start_response("400 Bad Request", [("Content-Type", "text/plain")])
+            return [body]
+        start_response(
+            "200 OK",
+            [("Content-Type", "image/tiff"),
+             ("Content-Length", str(len(raw)))] + _NO_CACHE_HEADERS,
+        )
+        return [raw]
     if params.get("request", "").lower() == "getcapabilities":
         scheme = environ.get("wsgi.url_scheme", "http")
         host = environ.get("HTTP_HOST") or environ.get(

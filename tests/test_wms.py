@@ -659,3 +659,60 @@ def test_empty_optional_params_use_defaults(view_json):
                   maxcellsize="", format="", styles="", time="")
     png = render_wms_tile(params)
     assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_wcs_getcoverage(view_json):
+    """request=GetCoverage returns the raw GeoTIFF (values, nodata,
+    georeferencing) for a named or shipped view — the data sibling of
+    the GetMap picture path."""
+    from io import BytesIO
+    from urllib.parse import urlencode
+
+    import numpy as np
+
+    from dask_geomodeling_tpu.core import Block
+    from dask_geomodeling_tpu.io.geotiff import read_geotiff
+    from dask_geomodeling_tpu.ipyleaflet_plugin import (
+        register_layer,
+        unregister_layers,
+    )
+
+    register_layer("rain", Block.from_json(view_json))
+    try:
+        captured = {}
+
+        def start_response(status, headers):
+            captured["status"] = status
+            captured["headers"] = dict(headers)
+
+        query = urlencode({
+            "SERVICE": "WCS", "REQUEST": "GetCoverage", "COVERAGE": "rain",
+            "CRS": "EPSG:3857", "BBOX": "0,0,10,10",
+            "WIDTH": "10", "HEIGHT": "10", "FORMAT": "GeoTIFF",
+        })
+        body = b"".join(wms_app({"QUERY_STRING": query}, start_response))
+        assert captured["status"] == "200 OK"
+        assert captured["headers"]["Content-Type"] == "image/tiff"
+        import tempfile, os
+
+        with tempfile.TemporaryDirectory() as tmp:
+            path = os.path.join(tmp, "c.tif")
+            open(path, "wb").write(body)
+            data = read_geotiff(path)
+        expected = Block.from_json(view_json).get_data(
+            mode="vals", bbox=(0, 0, 10, 10), projection="EPSG:3857",
+            width=10, height=10,
+        )
+        np.testing.assert_array_equal(data.array, expected["values"])
+        assert data.no_data_value == expected["no_data_value"]
+        np.testing.assert_allclose(
+            data.geo_transform, (0.0, 1.0, 0.0, 10.0, 0.0, -1.0)
+        )
+        # client errors are 4xx
+        bad = urlencode({"REQUEST": "GetCoverage", "COVERAGE": "missing!",
+                         "CRS": "EPSG:3857", "BBOX": "0,0,1,1",
+                         "WIDTH": "4", "HEIGHT": "4"})
+        wms_app({"QUERY_STRING": bad}, start_response)
+        assert captured["status"].startswith("400")
+    finally:
+        unregister_layers()
