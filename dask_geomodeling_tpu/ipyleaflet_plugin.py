@@ -205,7 +205,7 @@ def render_coverage(params):
     parameters, but the response is the raw raster — nodata tag,
     georeferencing and dtype preserved — for clients that want values,
     not pictures."""
-    from io import BytesIO
+    import os
     import tempfile
 
     from dask_geomodeling_tpu.geo.geotransform import GeoTransform
@@ -239,8 +239,6 @@ def render_coverage(params):
     )
     if data is None:
         raise WMSError(404, "No data for this request")
-    import os
-
     with tempfile.TemporaryDirectory() as tmp:
         path = os.path.join(tmp, "coverage.tif")
         write_geotiff(
