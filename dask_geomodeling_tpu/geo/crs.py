@@ -2152,6 +2152,42 @@ class _ScaledUnitProjection:
         )
 
 
+def _capture_projection_args():
+    """Record every projection's constructor arguments on the instance
+    (``_ctor_args``): the WKT exporter re-serializes supported families
+    structurally from them (``_make_wkt``)."""
+    import inspect
+
+    for obj in list(globals().values()):
+        if not (
+            inspect.isclass(obj)
+            and obj.__module__ == __name__
+            and hasattr(obj, "forward")
+            and "__init__" in obj.__dict__
+        ):
+            continue
+        original = obj.__init__
+        signature = inspect.signature(original)
+
+        def make_init(original=original, signature=signature):
+            def __init__(self, *args, **kwargs):
+                bound = signature.bind(self, *args, **kwargs)
+                bound.apply_defaults()
+                self._ctor_args = {
+                    key: value
+                    for key, value in bound.arguments.items()
+                    if key not in ("self", "ell")
+                }
+                original(self, *args, **kwargs)
+
+            return __init__
+
+        obj.__init__ = make_init()
+
+
+_capture_projection_args()
+
+
 class SpatialReference:
     """A CRS: a datum plus a projection, identified by an EPSG code (or by
     its parameters, for CRSes parsed from WKT/proj4 without a known code)."""
@@ -2199,22 +2235,108 @@ class SpatialReference:
         return hash(self._key)
 
 
+#: WKT1 serialization specs for the common projection families:
+#: class name -> (PROJECTION name, [(ctor arg, WKT parameter name)]).
+#: Parameter names are GDAL's canonical WKT1 spellings; the structural
+#: parser here accepts the same set (see the method dispatch).
+_WKT1_EXPORT = {
+    "_TransverseMercator": ("Transverse_Mercator", [
+        ("lat0", "latitude_of_origin"), ("lon0", "central_meridian"),
+        ("k0", "scale_factor"), ("false_easting", "false_easting"),
+        ("false_northing", "false_northing"),
+    ]),
+    "_ObliqueStereographic": ("Oblique_Stereographic", [
+        ("lat0", "latitude_of_origin"), ("lon0", "central_meridian"),
+        ("k0", "scale_factor"), ("false_easting", "false_easting"),
+        ("false_northing", "false_northing"),
+    ]),
+    "_Mercator": ("Mercator_1SP", [
+        ("lon0", "central_meridian"), ("k0", "scale_factor"),
+        ("false_easting", "false_easting"),
+        ("false_northing", "false_northing"),
+    ]),
+    "_LambertConformalConic": ("Lambert_Conformal_Conic_2SP", [
+        ("lat1", "standard_parallel_1"), ("lat2", "standard_parallel_2"),
+        ("lat0", "latitude_of_origin"), ("lon0", "central_meridian"),
+        ("false_easting", "false_easting"),
+        ("false_northing", "false_northing"),
+    ]),
+    "_LambertAzimuthalEqualArea": ("Lambert_Azimuthal_Equal_Area", [
+        ("lat0", "latitude_of_center"), ("lon0", "longitude_of_center"),
+        ("false_easting", "false_easting"),
+        ("false_northing", "false_northing"),
+    ]),
+    "_AlbersEqualArea": ("Albers_Conic_Equal_Area", [
+        ("sp1", "standard_parallel_1"), ("sp2", "standard_parallel_2"),
+        ("lat0", "latitude_of_center"), ("lon0", "longitude_of_center"),
+        ("false_easting", "false_easting"),
+        ("false_northing", "false_northing"),
+    ]),
+    "_CassiniSoldner": ("Cassini_Soldner", [
+        ("lat0", "latitude_of_origin"), ("lon0", "central_meridian"),
+        ("false_easting", "false_easting"),
+        ("false_northing", "false_northing"),
+    ]),
+}
+
+
+def _wkt1_projection_nodes(projection):
+    """PROJECTION/PARAMETER WKT1 text for supported families, or None."""
+    spec = _WKT1_EXPORT.get(type(projection).__name__)
+    ctor = getattr(projection, "_ctor_args", None)
+    if spec is None or ctor is None:
+        return None
+    if type(projection).__name__ == "_LambertConformalConic":
+        if float(ctor.get("k0", 1.0)) != 1.0:
+            # the registry builds 1SP cones as touching 2SP cones with a
+            # scale factor; serialize those in the 1SP form
+            if ctor["lat1"] != ctor["lat2"] or ctor["lat1"] != ctor["lat0"]:
+                return None  # scaled secant cone: no WKT1 form
+            spec = ("Lambert_Conformal_Conic_1SP", [
+                ("lat0", "latitude_of_origin"), ("lon0", "central_meridian"),
+                ("k0", "scale_factor"),
+                ("false_easting", "false_easting"),
+                ("false_northing", "false_northing"),
+            ])
+    method, param_map = spec
+    missing = [arg for arg, _ in param_map if arg not in ctor]
+    if missing:
+        return None
+    parts = ['PROJECTION["%s"]' % method]
+    for arg, wkt_name in param_map:
+        parts.append(
+            'PARAMETER["%s",%.17g]' % (wkt_name, float(ctor[arg]))
+        )
+    return ",".join(parts)
+
+
 def _make_wkt(sr):
-    """Produce a minimal WKT1 representation carrying the EPSG authority."""
+    """Produce a WKT1 representation: structural (PROJECTION/PARAMETER/
+    TOWGS84) for the common families, authority-carrying always."""
+    helmert = DATUMS.get(sr.datum, (None, None))[1]
+    towgs84 = (
+        ",TOWGS84[%s]" % ",".join("%.10g" % v for v in helmert)
+        if helmert
+        else ""
+    )
     geog = (
-        'GEOGCS["{name}",DATUM["{datum}",SPHEROID["{datum}",{a},{invf}]],'
+        'GEOGCS["{name}",DATUM["{datum}",SPHEROID["{datum}",{a},{invf}]'
+        '{towgs84}],'
         'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]'.format(
             name=sr.name if sr.is_geographic else sr.datum,
             datum=sr.datum,
             a=sr.ellipsoid.a,
             invf=(1.0 / sr.ellipsoid.f) if sr.ellipsoid.f else 0,
+            towgs84=towgs84,
         )
     )
     auth = ',AUTHORITY["EPSG","{}"]'.format(sr.code) if sr.code else ""
     if sr.is_geographic:
         return geog + auth + "]"
-    return 'PROJCS["{name}",{geog}],UNIT["metre",1]{auth}]'.format(
-        name=sr.name, geog=geog, auth=auth
+    nodes = _wkt1_projection_nodes(sr.projection)
+    projection_part = ",%s" % nodes if nodes else ""
+    return 'PROJCS["{name}",{geog}]{proj},UNIT["metre",1]{auth}]'.format(
+        name=sr.name, geog=geog, proj=projection_part, auth=auth
     )
 
 

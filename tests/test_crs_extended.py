@@ -597,3 +597,45 @@ def test_common_identifier_syntaxes():
 
     with pytest.raises(TransformException, match="overrides"):
         get_sr("+init=epsg:4326 +towgs84=565.4,50.3,465.6")
+
+
+def test_exported_wkt_is_structurally_complete():
+    """ExportToWkt for the common projection families carries real
+    PROJECTION/PARAMETER/TOWGS84 nodes: with the AUTHORITY stripped
+    (no registry resolution possible) the structural parse transforms
+    identically — so our embedded WKT works in consumers without an
+    EPSG database."""
+    import re
+
+    import numpy as np
+
+    from dask_geomodeling_tpu.geo.crs import get_sr, transform_points
+
+    cases = {
+        28992: (5.38, 52.15),   # Oblique_Stereographic + Bessel TOWGS84
+        32631: (4.0, 52.0),     # Transverse_Mercator (UTM)
+        27700: (-1.0, 52.0),    # TM + OSGB TOWGS84
+        3395: (5.0, 52.0),      # Mercator_1SP
+        2154: (2.0, 47.0),      # Lambert_Conformal_Conic_2SP (RGF93)
+        3035: (10.0, 51.0),     # Lambert_Azimuthal_Equal_Area (LAEA)
+        5070: (-98.0, 38.0),    # Albers (CONUS)
+    }
+    for code, (lon, lat) in cases.items():
+        sr = get_sr(code)
+        wkt = sr.ExportToWkt()
+        stripped = re.sub(r',AUTHORITY\[[^\]]*\]', "", wkt)
+        assert "AUTHORITY" not in stripped
+        assert "PROJECTION" in stripped, code
+        reparsed = get_sr(stripped)
+        x1, y1 = transform_points(
+            np.array([lon]), np.array([lat]), "EPSG:4326", sr
+        )
+        x2, y2 = transform_points(
+            np.array([lon]), np.array([lat]), "EPSG:4326", reparsed
+        )
+        np.testing.assert_allclose(x1, x2, atol=1e-6, err_msg=str(code))
+        np.testing.assert_allclose(y1, y2, atol=1e-6, err_msg=str(code))
+        # the datum shift survives too: WGS84 round trip agrees
+        back_lon, back_lat = transform_points(x2, y2, reparsed, "EPSG:4326")
+        np.testing.assert_allclose(back_lon, [lon], atol=1e-9)
+        np.testing.assert_allclose(back_lat, [lat], atol=1e-9)
