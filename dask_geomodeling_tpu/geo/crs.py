@@ -2277,6 +2277,85 @@ _WKT1_EXPORT = {
         ("false_easting", "false_easting"),
         ("false_northing", "false_northing"),
     ]),
+    "_Sinusoidal": ("Sinusoidal", [
+        ("lon0", "longitude_of_center"),
+        ("false_easting", "false_easting"),
+        ("false_northing", "false_northing"),
+    ]),
+    "_Mollweide": ("Mollweide", [
+        ("lon0", "central_meridian"),
+        ("false_easting", "false_easting"),
+        ("false_northing", "false_northing"),
+    ]),
+    "_Robinson": ("Robinson", [
+        ("lon0", "longitude_of_center"),
+        ("false_easting", "false_easting"),
+        ("false_northing", "false_northing"),
+    ]),
+    "_VanDerGrinten": ("VanDerGrinten", [
+        ("lon0", "central_meridian"),
+        ("false_easting", "false_easting"),
+        ("false_northing", "false_northing"),
+    ]),
+    "_EckertIV": ("Eckert_IV", [
+        ("lon0", "central_meridian"),
+        ("false_easting", "false_easting"),
+        ("false_northing", "false_northing"),
+    ]),
+    "_MillerCylindrical": ("Miller_Cylindrical", [
+        ("lon0", "longitude_of_center"),
+        ("false_easting", "false_easting"),
+        ("false_northing", "false_northing"),
+    ]),
+    "_GallStereographic": ("Gall_Stereographic", [
+        ("lon0", "central_meridian"),
+        ("false_easting", "false_easting"),
+        ("false_northing", "false_northing"),
+    ]),
+    "_EqualEarth": ("Equal_Earth", [
+        ("lon0", "longitude_of_center"),
+        ("false_easting", "false_easting"),
+        ("false_northing", "false_northing"),
+    ]),
+    "_AmericanPolyconic": ("Polyconic", [
+        ("lat0", "latitude_of_origin"), ("lon0", "central_meridian"),
+        ("false_easting", "false_easting"),
+        ("false_northing", "false_northing"),
+    ]),
+    "_Bonne": ("Bonne", [
+        ("lat1", "standard_parallel_1"), ("lon0", "central_meridian"),
+        ("false_easting", "false_easting"),
+        ("false_northing", "false_northing"),
+    ]),
+    "_AzimuthalEquidistant": ("Azimuthal_Equidistant", [
+        ("lat0", "latitude_of_center"), ("lon0", "longitude_of_center"),
+        ("false_easting", "false_easting"),
+        ("false_northing", "false_northing"),
+    ]),
+    "_Orthographic": ("Orthographic", [
+        ("lat0", "latitude_of_origin"), ("lon0", "central_meridian"),
+        ("false_easting", "false_easting"),
+        ("false_northing", "false_northing"),
+    ]),
+    "_Gnomonic": ("Gnomonic", [
+        ("lat0", "latitude_of_origin"), ("lon0", "central_meridian"),
+        ("false_easting", "false_easting"),
+        ("false_northing", "false_northing"),
+    ]),
+    "_CylindricalEqualArea": ("Cylindrical_Equal_Area", [
+        ("lat_ts", "standard_parallel_1"), ("lon0", "central_meridian"),
+        ("false_easting", "false_easting"),
+        ("false_northing", "false_northing"),
+    ]),
+    # placeholder: serialized by the special case in
+    # _wkt1_projection_nodes (variant A vs B depends on the ctor args)
+    "_PolarStereographic": ("Polar_Stereographic", []),
+    "_EquidistantCylindrical": ("Equirectangular", [
+        ("lat1", "standard_parallel_1"), ("lat0", "latitude_of_origin"),
+        ("lon0", "central_meridian"),
+        ("false_easting", "false_easting"),
+        ("false_northing", "false_northing"),
+    ]),
 }
 
 
@@ -2286,6 +2365,29 @@ def _wkt1_projection_nodes(projection):
     ctor = getattr(projection, "_ctor_args", None)
     if spec is None or ctor is None:
         return None
+    if type(projection).__name__ == "_PolarStereographic":
+        sign = 1.0 if ctor.get("north", True) else -1.0
+        if ctor.get("standard_parallel") is not None:
+            spec = ("Polar_Stereographic", [])
+            params = [
+                ("latitude_of_origin", sign * float(ctor["standard_parallel"])),
+                ("central_meridian", float(ctor["lon0"])),
+                ("false_easting", float(ctor["false_easting"])),
+                ("false_northing", float(ctor["false_northing"])),
+            ]
+        else:
+            params = [
+                ("latitude_of_origin", sign * 90.0),
+                ("central_meridian", float(ctor["lon0"])),
+                ("scale_factor", float(ctor.get("k0") or 1.0)),
+                ("false_easting", float(ctor["false_easting"])),
+                ("false_northing", float(ctor["false_northing"])),
+            ]
+        parts = ['PROJECTION["Polar_Stereographic"]'] + [
+            'PARAMETER["%s",%.17g]' % (name, value)
+            for name, value in params
+        ]
+        return ",".join(parts)
     if type(projection).__name__ == "_LambertConformalConic":
         if float(ctor.get("k0", 1.0)) != 1.0:
             # the registry builds 1SP cones as touching 2SP cones with a

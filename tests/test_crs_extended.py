@@ -619,6 +619,10 @@ def test_exported_wkt_is_structurally_complete():
         2154: (2.0, 47.0),      # Lambert_Conformal_Conic_2SP (RGF93)
         3035: (10.0, 51.0),     # Lambert_Azimuthal_Equal_Area (LAEA)
         5070: (-98.0, 38.0),    # Albers (CONUS)
+        3413: (-45.0, 75.0),    # Polar_Stereographic (NSIDC north)
+        54008: (10.0, 45.0),    # Sinusoidal (world)
+        54009: (10.0, 45.0),    # Mollweide
+        54030: (10.0, 45.0),    # Robinson
     }
     for code, (lon, lat) in cases.items():
         sr = get_sr(code)
