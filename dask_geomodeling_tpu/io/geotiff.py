@@ -57,6 +57,7 @@ _SAMPLE_FORMAT = 339
 _MODEL_PIXEL_SCALE = 33550
 _MODEL_TIEPOINT = 33922
 _GEO_KEY_DIRECTORY = 34735
+_GEO_ASCII_PARAMS = 34737
 _GDAL_NODATA = 42113
 
 _TYPE_ASCII = 2
@@ -99,31 +100,48 @@ class GeoTIFFInfo:
 
 
 def _geokeys_for_projection(projection):
-    """Minimal GeoKeyDirectory encoding an EPSG code."""
+    """(GeoKeyDirectory shorts, GeoAsciiParams text) for a CRS.
+
+    EPSG-coded CRSes write the code; others write user-defined (32767)
+    types with the structural WKT in the citation key — the GeoTIFF way
+    to carry arbitrary CRSes (GDAL reads the citation back)."""
     from dask_geomodeling_tpu.geo.crs import get_sr
 
     sr = get_sr(projection)
     keys = []
-    if sr.is_geographic:
-        keys.append((1024, 0, 1, 2))  # GTModelType = geographic
-        keys.append((2048, 0, 1, sr.code))  # GeographicType
+    ascii_params = ""
+    model = 2 if sr.is_geographic else 1
+    type_key = 2048 if sr.is_geographic else 3072
+    keys.append((1024, 0, 1, model))  # GTModelType
+    if sr.code:
+        keys.append((type_key, 0, 1, sr.code))
     else:
-        keys.append((1024, 0, 1, 1))  # GTModelType = projected
-        keys.append((3072, 0, 1, sr.code))  # ProjectedCSType
+        wkt = sr.ExportToWkt() + "|"
+        keys.append((1026, _GEO_ASCII_PARAMS, len(wkt), 0))  # GTCitation
+        keys.append((type_key, 0, 1, 32767))  # user-defined
+        ascii_params = wkt
     header = (1, 1, 0, len(keys))
     flat = list(header)
     for key in keys:
         flat.extend(key)
-    return flat
+    return flat, ascii_params
 
 
-def _projection_from_geokeys(shorts):
+def _projection_from_geokeys(shorts, ascii_params=None):
     n_keys = shorts[3]
+    citation = None
     for i in range(n_keys):
         key_id, location, count, value = shorts[4 + 4 * i : 8 + 4 * i]
-        if key_id in (2048, 3072) and location == 0:
+        if (
+            key_id in (1026, 2049, 3073)  # GT/Geog/PCS citation
+            and location == _GEO_ASCII_PARAMS
+            and ascii_params
+        ):
+            text = ascii_params[value : value + count]
+            citation = text.rstrip("|").strip()
+        if key_id in (2048, 3072) and location == 0 and value != 32767:
             return "EPSG:{}".format(value)
-    return None
+    return citation
 
 
 class _TiffLayout:
@@ -231,10 +249,10 @@ def _image_blob(
         p, a, _, q, _, d = geo_transform
         tag(_MODEL_PIXEL_SCALE, _TYPE_DOUBLE, [abs(a), abs(d), 0.0])
         tag(_MODEL_TIEPOINT, _TYPE_DOUBLE, [0.0, 0.0, 0.0, p, q, 0.0])
-        tag(
-            _GEO_KEY_DIRECTORY, _TYPE_SHORT,
-            _geokeys_for_projection(projection),
-        )
+        geokeys, ascii_params = _geokeys_for_projection(projection)
+        tag(_GEO_KEY_DIRECTORY, _TYPE_SHORT, geokeys)
+        if ascii_params:
+            tag(_GEO_ASCII_PARAMS, _TYPE_ASCII, ascii_params)
         if no_data_value is not None:
             # plain-float repr: numpy scalars render "np.float64(...)"
             tag(_GDAL_NODATA, _TYPE_ASCII, repr(float(no_data_value)))
@@ -774,7 +792,9 @@ def _info_from_tags(tags):
 
     projection = None
     if _GEO_KEY_DIRECTORY in tags:
-        projection = _projection_from_geokeys(tags[_GEO_KEY_DIRECTORY])
+        projection = _projection_from_geokeys(
+            tags[_GEO_KEY_DIRECTORY], tags.get(_GEO_ASCII_PARAMS)
+        )
 
     no_data_value = None
     if _GDAL_NODATA in tags:
