@@ -100,6 +100,7 @@ def read_jp2(path):
 
     from dask_geomodeling_tpu.io.asciigrid import _sidecar_projection
     from dask_geomodeling_tpu.io.geotiff import (
+        _GEO_ASCII_PARAMS,
         _GEO_KEY_DIRECTORY,
         _MODEL_PIXEL_SCALE,
         _MODEL_TIEPOINT,
@@ -133,7 +134,7 @@ def read_jp2(path):
                 )
             if _GEO_KEY_DIRECTORY in tags:
                 projection = _projection_from_geokeys(
-                    tags[_GEO_KEY_DIRECTORY]
+                    tags[_GEO_KEY_DIRECTORY], tags.get(_GEO_ASCII_PARAMS)
                 )
             break
 
