@@ -1042,3 +1042,22 @@ def test_webp_mbtiles_tiles_decode(root):
     data = read_mbtiles(path)
     # PIL promotes gray webp to RGB; all bands carry the gray value
     assert (data.array[:, :256, :256] == 123).all()
+
+
+def test_netcdf_non_epsg_crs_roundtrip(root):
+    """Parametric CRS written as structural spatial_ref WKT reads back
+    transform-equivalent."""
+    from dask_geomodeling_tpu.geo.crs import get_transform_func
+
+    proj4 = "+proj=sinu +lon_0=10 +a=6371007.181 +b=6371007.181 +units=m"
+    path = str(root / "sinu.nc")
+    write_netcdf(path, np.zeros((1, 4, 4), "u1"), (0, 1, 0, 4, 0, -1),
+                 projection=proj4)
+    back = read_netcdf(path)
+    a = get_transform_func("EPSG:4326", proj4)(
+        np.array([12.0]), np.array([45.0])
+    )
+    b = get_transform_func("EPSG:4326", back.projection)(
+        np.array([12.0]), np.array([45.0])
+    )
+    np.testing.assert_allclose(a, b, atol=1e-6)

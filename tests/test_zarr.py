@@ -404,3 +404,22 @@ def test_variable_selection(tmp_path):
     legacy = RasterFileSource("x.zarr")
     rebuilt = Block.from_json(legacy.to_json())
     assert rebuilt.variable is None
+
+
+def test_non_epsg_crs_roundtrip(tmp_path):
+    """A parametric (non-EPSG) CRS survives the write/read cycle via the
+    structural WKT in spatial_ref (MODIS-sinusoidal case)."""
+    from dask_geomodeling_tpu.geo.crs import get_transform_func
+
+    proj4 = "+proj=sinu +lon_0=10 +a=6371007.181 +b=6371007.181 +units=m"
+    root = str(tmp_path / "sinu.zarr")
+    write_zarr(root, np.zeros((1, 4, 4), "u1"), (0, 1, 0, 4, 0, -1),
+               projection=proj4)
+    back = read_zarr(root)
+    a = get_transform_func("EPSG:4326", proj4)(
+        np.array([12.0]), np.array([45.0])
+    )
+    b = get_transform_func("EPSG:4326", back.projection)(
+        np.array([12.0]), np.array([45.0])
+    )
+    np.testing.assert_allclose(a, b, atol=1e-6)
