@@ -157,8 +157,15 @@ def main():
     baseline = total_mpx / base_elapsed
     note("host baseline done (%.1f Mpx/s); device warmup next" % baseline)
 
-    telemetry = {}
-    try:
+    # The device phase runs in a daemon thread under a wall-clock deadline:
+    # a tunnel outage manifests as a HANG (jax re-claims the backend every
+    # ~25 min without raising), and an externally killed bench leaves the
+    # driver without its JSON line.  The watchdog converts a stall into the
+    # host-fallback data point.  2400 s covers the worst healthy case: a
+    # fresh 6-10 min tunnel compile + a 300 s first fetch + 9 timed runs.
+    outcome = {}
+
+    def device_phase():
         # warmup with the REAL request shape (jit compile of the batched
         # program + source HBM upload + tunnel initialization), then time
         # several steady-state runs; the number of record is the MEDIAN
@@ -197,16 +204,30 @@ def main():
             )
         assert result["values"].shape[-1] == out_px
         runs.sort()
-        value = total_mpx / runs[len(runs) // 2]
-        telemetry = {
+        outcome["value"] = total_mpx / runs[len(runs) // 2]
+        outcome["telemetry"] = {
             "mpx_per_sec_min": round(total_mpx / runs[-1], 2),
             "mpx_per_sec_max": round(total_mpx / runs[0], 2),
             "tunnel_fetch_mb_per_sec": round(measure_fetch_bandwidth(), 2),
         }
-    except Exception as e:
+
+    import threading
+
+    worker = threading.Thread(target=_guarded(device_phase, outcome), daemon=True)
+    worker.start()
+    worker.join(float(os.environ.get("BENCH_DEVICE_DEADLINE", "2400")))
+    telemetry = outcome.get("telemetry", {})
+    if worker.is_alive():
         # never leave the driver without a data point: report the host path
-        print("# jax path failed: %r" % e, file=sys.stderr)
+        note("device phase still running at deadline; host fallback")
         value = baseline
+        telemetry = {"note": "device-deadline"}
+    elif "error" in outcome:
+        print("# jax path failed: %r" % outcome["error"], file=sys.stderr)
+        value = baseline
+        telemetry = {"note": "device-error"}
+    else:
+        value = outcome["value"]
     print(
         json.dumps(
             {
@@ -218,6 +239,25 @@ def main():
             }
         )
     )
+    if worker.is_alive():
+        # a stuck tunnel fetch would wedge interpreter teardown (jax's
+        # atexit handlers talk to the broken backend) — exit hard, the
+        # JSON line above is already flushed
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
+
+
+def _guarded(fn, outcome):
+    """Wrap the device phase so thread exceptions land in `outcome`."""
+
+    def runner():
+        try:
+            fn()
+        except BaseException as e:  # the watchdog decides what to report
+            outcome["error"] = e
+
+    return runner
 
 
 def measure_fetch_bandwidth(nbytes=4 * 1024 * 1024):
