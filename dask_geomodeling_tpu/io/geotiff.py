@@ -906,7 +906,20 @@ def read_geotiff_window(path, row0, row1, col0, col1, level=0):
         compression = tags.get(_COMPRESSION, [_COMPRESSION_NONE])[0]
         predictor = tags.get(_PREDICTOR, [1])[0]
         planar = tags.get(_PLANAR_CONFIG, [1])[0]
-        array = np.zeros((info.bands, out_h, out_w), dtype=info.dtype)
+        # sparse files (GDAL SPARSE_OK) leave unwritten blocks with
+        # offset/bytecount 0; those regions read as nodata (or 0 when
+        # nodata is unset/unrepresentable), matching GDAL's block cache
+        fill = 0
+        if info.no_data_value is not None:
+            try:
+                cast = np.asarray(info.no_data_value, dtype=info.dtype)
+                if np.isnan(info.no_data_value) or float(cast) == float(
+                    info.no_data_value
+                ):
+                    fill = cast
+            except (OverflowError, ValueError):
+                pass
+        array = np.full((info.bands, out_h, out_w), fill, dtype=info.dtype)
 
         if _TILE_OFFSETS in tags:
             tw = tags[_TILE_WIDTH][0]
@@ -922,6 +935,8 @@ def read_geotiff_window(path, row0, row1, col0, col1, level=0):
                 for ty in range(row0 // th, -(-row1 // th)):
                     for tx in range(col0 // tw, -(-col1 // tw)):
                         idx = (plane * tiles_y + ty) * tiles_x + tx
+                        if not offsets[idx] or not counts[idx]:
+                            continue  # sparse tile: stays at fill
                         f.seek(offsets[idx])
                         raw = _decode(
                             f.read(counts[idx]), compression, tile_nbytes,
@@ -971,6 +986,8 @@ def read_geotiff_window(path, row0, row1, col0, col1, level=0):
                     row0 // rows_per_strip, -(-row1 // rows_per_strip)
                 ):
                     idx = plane * strips_per_plane + strip
+                    if not offsets[idx] or not counts[idx]:
+                        continue  # sparse strip: stays at fill
                     f.seek(offsets[idx])
                     raw = _decode(
                         f.read(counts[idx]), compression, strip_nbytes,
