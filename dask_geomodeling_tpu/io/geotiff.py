@@ -777,7 +777,36 @@ def read_geotiff_overviews(path):
     return out
 
 
-def _info_from_tags(tags):
+def _pam_overrides(path):
+    """GDAL PAM sidecar (``<path>.aux.xml``) overrides: (srs, nodata).
+
+    ``gdal_edit -a_nodata``/``-a_srs`` and QGIS write these next to the
+    file without touching the TIFF itself; GDAL gives PAM precedence
+    over the internal tags, and so does this reader.
+    """
+    import os
+    import xml.etree.ElementTree as ET
+
+    sidecar = path + ".aux.xml"
+    if not os.path.exists(sidecar):
+        return None, None
+    try:
+        root = ET.parse(sidecar).getroot()
+    except (ET.ParseError, OSError):
+        return None, None
+    srs = root.findtext("SRS")
+    srs = srs.strip() if srs and srs.strip() else None
+    nodata = None
+    text = root.findtext(".//NoDataValue")
+    if text:
+        try:
+            nodata = float(text)
+        except ValueError:
+            pass
+    return srs, nodata
+
+
+def _info_from_tags(tags, path=None):
     width = tags[_IMAGE_WIDTH][0]
     height = tags[_IMAGE_LENGTH][0]
     bands = tags.get(_SAMPLES_PER_PIXEL, [1])[0]
@@ -810,6 +839,13 @@ def _info_from_tags(tags):
         except (ValueError, AttributeError):
             pass
 
+    if path is not None:
+        pam_srs, pam_nodata = _pam_overrides(path)
+        if pam_srs is not None:
+            projection = pam_srs
+        if pam_nodata is not None:
+            no_data_value = pam_nodata
+
     return GeoTIFFInfo(
         width=width,
         height=height,
@@ -826,7 +862,7 @@ def read_geotiff_info(path):
     """Read only the header of a GeoTIFF."""
     f, _, tags = _open_tiff(path)
     f.close()
-    return _info_from_tags(tags)
+    return _info_from_tags(tags, path)
 
 
 def read_geotiff(path):
@@ -871,9 +907,9 @@ def read_geotiff_window(path, row0, row1, col0, col1, level=0):
                 % (level, len(overviews), path)
             )
         tags = overviews[level - 1]
-        scale_info = _info_from_tags(ifds[0])
+        scale_info = _info_from_tags(ifds[0], path)
     try:
-        info = _info_from_tags(tags)
+        info = _info_from_tags(tags, path)
         if scale_info is not None:
             # overview IFDs lack geo tags: scale the main geotransform
             gt = scale_info.geo_transform
