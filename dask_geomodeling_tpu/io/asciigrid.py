@@ -26,6 +26,17 @@ __all__ = ["read_ascii_grid", "read_xyz"]
 
 
 def _sidecar_projection(path):
+    # GDAL PAM (<path>.aux.xml) SRS takes precedence over the .prj file
+    from dask_geomodeling_tpu.io.geotiff import _pam_overrides
+
+    pam_srs, _ = _pam_overrides(path)
+    if pam_srs is not None:
+        from dask_geomodeling_tpu.geo.crs import get_epsg_or_wkt
+
+        try:
+            return get_epsg_or_wkt(pam_srs)
+        except Exception:
+            return pam_srs
     for ext in (".prj", ".PRJ"):
         prj = os.path.splitext(path)[0] + ext
         if os.path.exists(prj):

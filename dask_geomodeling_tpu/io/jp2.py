@@ -79,17 +79,9 @@ def _geotiff_tags_from_bytes(blob):
 
 def _pam_nodata(path):
     """NoDataValue from a GDAL PAM sidecar (<path>.aux.xml), if any."""
-    import xml.etree.ElementTree as ET
+    from dask_geomodeling_tpu.io.geotiff import _pam_overrides
 
-    sidecar = path + ".aux.xml"
-    if not os.path.exists(sidecar):
-        return None
-    try:
-        root = ET.parse(sidecar).getroot()
-        text = root.findtext(".//NoDataValue")
-        return float(text) if text else None
-    except (ET.ParseError, ValueError, OSError):
-        return None
+    return _pam_overrides(path)[1]
 
 
 def read_jp2(path):

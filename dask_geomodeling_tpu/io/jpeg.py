@@ -37,12 +37,15 @@ def read_pillow_raster(path, world_extensions=(".wld", ".WLD")):
 
     geo_transform = _world_file(path, extensions=world_extensions)
 
+    from dask_geomodeling_tpu.io.geotiff import _pam_overrides
+
     return RasterData(
         array=np.ascontiguousarray(array),
         projection=_sidecar_projection(path),
         geo_transform=geo_transform,
-        # these formats carry no nodata concept (GDAL reports none)
-        no_data_value=None,
+        # these formats carry no nodata concept themselves (GDAL reports
+        # none), but a PAM sidecar can declare one
+        no_data_value=_pam_overrides(path)[1],
         metadata=[""] * array.shape[0],
     )
 

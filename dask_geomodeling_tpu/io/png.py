@@ -234,6 +234,11 @@ def read_png(path):
 
     with open(path, "rb") as stream:
         array, no_data_value = decode_png_bytes(stream.read(), path)
+    from dask_geomodeling_tpu.io.geotiff import _pam_overrides
+
+    pam_nodata = _pam_overrides(path)[1]
+    if pam_nodata is not None:  # GDAL PAM wins over tRNS transparency
+        no_data_value = pam_nodata
     return RasterData(
         array=array,
         projection=_sidecar_projection(path),

@@ -1061,3 +1061,38 @@ def test_netcdf_non_epsg_crs_roundtrip(root):
         np.array([12.0]), np.array([45.0])
     )
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_png_pam_overrides(root):
+    """A GDAL PAM sidecar supplies nodata and SRS for world-file formats."""
+    from dask_geomodeling_tpu.geo.crs import get_sr
+    from dask_geomodeling_tpu.io.png import read_png, write_png
+
+    path = str(root / "pam.png")
+    write_png(path, np.arange(16, dtype=np.uint8).reshape(1, 4, 4),
+              geo_transform=(0, 1, 0, 4, 0, -1))
+    wkt = get_sr("EPSG:28992").ExportToWkt()
+    with open(path + ".aux.xml", "w") as f:
+        f.write(
+            "<PAMDataset><SRS>%s</SRS>"
+            '<PAMRasterBand band="1"><NoDataValue>3</NoDataValue>'
+            "</PAMRasterBand></PAMDataset>" % wkt
+        )
+    back = read_png(path)
+    assert back.no_data_value == 3.0
+    assert back.projection == "EPSG:28992"
+
+
+def test_jpeg_pam_nodata(root):
+    from dask_geomodeling_tpu.io.jpeg import read_pillow_raster
+    from PIL import Image
+
+    path = str(root / "pam.bmp")
+    Image.fromarray(np.zeros((4, 4), np.uint8)).save(path)
+    assert read_pillow_raster(path).no_data_value is None
+    with open(path + ".aux.xml", "w") as f:
+        f.write(
+            '<PAMDataset><PAMRasterBand band="1">'
+            "<NoDataValue>7</NoDataValue></PAMRasterBand></PAMDataset>"
+        )
+    assert read_pillow_raster(path).no_data_value == 7.0
