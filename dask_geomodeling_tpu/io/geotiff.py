@@ -767,14 +767,59 @@ def _open_tiff_all(path):
 def read_geotiff_overviews(path):
     """(width, height) of each reduced-resolution (overview) IFD, in
     file order — the pyramid levels GDAL's ``-ovr`` machinery selects
-    among for coarse-resolution requests."""
+    among for coarse-resolution requests.
+
+    Falls back to external overviews (``gdaladdo -ro``'s ``<path>.ovr``,
+    itself a TIFF where every IFD is one pyramid level) when the file
+    carries no internal reduced-resolution IFDs."""
     f, _, ifds = _open_tiff_all(path)
     f.close()
     out = []
     for tags in ifds[1:]:
         if tags.get(_NEW_SUBFILE_TYPE, [0])[0] & 1:
             out.append((tags[_IMAGE_WIDTH][0], tags[_IMAGE_LENGTH][0]))
+    if not out:
+        for tags in _external_overview_ifds(path):
+            out.append((tags[_IMAGE_WIDTH][0], tags[_IMAGE_LENGTH][0]))
     return out
+
+
+def _external_overview_ifds(path):
+    """All IFDs of ``<path>.ovr`` (external overviews), or []."""
+    import os
+
+    sidecar = path + ".ovr"
+    if not os.path.exists(sidecar):
+        return []
+    f, _, ifds = _open_tiff_all(sidecar)
+    f.close()
+    return ifds
+
+
+def write_external_overviews(path, factors):
+    """Build ``<path>.ovr`` holding nearest-subsampled pyramid levels —
+    the ``gdaladdo -ro`` layout for read-only source files.
+
+    ``factors`` is the gdaladdo decimation ladder (e.g. ``[2, 4, 8]``);
+    later factors should be multiples of the first, as levels beyond the
+    first are decimated from the first level."""
+    if not factors:
+        raise ValueError("need at least one decimation factor")
+    factors = sorted(int(factor) for factor in factors)
+    if factors[0] < 2:
+        raise ValueError("decimation factors start at 2")
+    base = read_geotiff(path)
+    first = factors[0]
+    level = np.ascontiguousarray(base.array[:, ::first, ::first])
+    gt = base.geo_transform
+    write_geotiff(
+        path + ".ovr",
+        level,
+        (gt[0], gt[1] * first, gt[2], gt[3], gt[4], gt[5] * first),
+        projection=base.projection,
+        no_data_value=base.no_data_value,
+        overviews=[factor // first for factor in factors[1:]] or None,
+    )
 
 
 def _pam_overrides(path):
@@ -900,6 +945,15 @@ def read_geotiff_window(path, row0, row1, col0, col1, level=0):
         overviews = [
             t for t in ifds[1:] if t.get(_NEW_SUBFILE_TYPE, [0])[0] & 1
         ]
+        scale_info = _info_from_tags(ifds[0], path)
+        if not overviews:
+            # external overviews (gdaladdo -ro): pixel data lives in the
+            # .ovr sidecar; georeferencing/nodata stay with the main file
+            external = _external_overview_ifds(path)
+            if external:
+                f.close()
+                f, byte_order, _ = _open_tiff(path + ".ovr")
+                overviews = external
         if level > len(overviews):
             f.close()
             raise ValueError(
@@ -907,7 +961,6 @@ def read_geotiff_window(path, row0, row1, col0, col1, level=0):
                 % (level, len(overviews), path)
             )
         tags = overviews[level - 1]
-        scale_info = _info_from_tags(ifds[0], path)
     try:
         info = _info_from_tags(tags, path)
         if scale_info is not None:

@@ -333,3 +333,73 @@ class TestSourceWindowing:
             start=datetime(2000, 1, 1), stop=datetime(2001, 1, 1),
         )[0][0]
         assert plan["raster_data"].array.shape == (2, 97, 113)
+
+
+class TestExternalOverviews:
+    """gdaladdo -ro external .ovr pyramids."""
+
+    def _base(self, tmp_path):
+        from dask_geomodeling_tpu.io.geotiff import (
+            write_external_overviews,
+            write_geotiff,
+        )
+
+        path = str(tmp_path / "base.tif")
+        rng = np.random.RandomState(0)
+        data = (rng.rand(1, 64, 64) * 200).astype(np.uint8)
+        write_geotiff(path, data, (0, 1, 0, 64, 0, -1),
+                      projection="EPSG:28992", no_data_value=255)
+        write_external_overviews(path, [2, 4])
+        return path, data
+
+    def test_listed(self, tmp_path):
+        from dask_geomodeling_tpu.io.geotiff import read_geotiff_overviews
+
+        path, _ = self._base(tmp_path)
+        assert read_geotiff_overviews(path) == [(32, 32), (16, 16)]
+
+    def test_levels_match_decimation(self, tmp_path):
+        from dask_geomodeling_tpu.io.geotiff import read_geotiff_window
+
+        path, data = self._base(tmp_path)
+        lvl1 = read_geotiff_window(path, 0, 32, 0, 32, level=1)
+        np.testing.assert_array_equal(lvl1.array, data[:, ::2, ::2])
+        assert lvl1.geo_transform[1] == 2.0
+        assert lvl1.no_data_value == 255.0
+        lvl2 = read_geotiff_window(path, 0, 16, 0, 16, level=2)
+        np.testing.assert_array_equal(lvl2.array, data[:, ::4, ::4])
+
+    def test_window_of_external_level(self, tmp_path):
+        from dask_geomodeling_tpu.io.geotiff import read_geotiff_window
+
+        path, data = self._base(tmp_path)
+        window = read_geotiff_window(path, 4, 12, 8, 24, level=1)
+        np.testing.assert_array_equal(
+            window.array, data[:, ::2, ::2][:, 4:12, 8:24]
+        )
+
+    def test_level_out_of_range(self, tmp_path):
+        from dask_geomodeling_tpu.io.geotiff import read_geotiff_window
+
+        path, _ = self._base(tmp_path)
+        with pytest.raises(ValueError):
+            read_geotiff_window(path, 0, 8, 0, 8, level=3)
+
+    def test_rasterfilesource_uses_external_pyramid(self, tmp_path):
+        from dask_geomodeling_tpu import config
+        from dask_geomodeling_tpu.raster import RasterFileSource
+
+        path, data = self._base(tmp_path)
+        source = RasterFileSource(path)
+        request = dict(
+            mode="vals", bbox=(0, 0, 64, 64), projection="EPSG:28992",
+            width=16, height=16,
+        )
+        with config.set({
+            "geomodeling.use-overviews": True,
+            "geomodeling.windowed-read-limit": 1,
+        }):
+            plan = source._file_read_plan(request)
+            assert plan is not None and plan[0] >= 1
+            got = source.get_data(**request)
+        assert got["values"].shape == (1, 16, 16)
