@@ -370,6 +370,7 @@ def write_geotiff(
     byte_order="<",
     overviews=None,
     cog=False,
+    overview_resampling="nearest",
 ):
     """Write a (bands, height, width) array as a GeoTIFF.
 
@@ -377,10 +378,12 @@ def write_geotiff(
     the pixel payload could overflow classic TIFF's 32-bit offsets.
 
     ``overviews`` is an optional list of integer decimation factors
-    (e.g. ``[2, 4, 8]``); each appends a nearest-subsampled
-    reduced-resolution IFD (``NewSubfileType`` 1) chained after the main
-    one — the pyramid layout ``gdaladdo`` produces, selectable for
-    coarse requests via ``geomodeling.use-overviews``.
+    (e.g. ``[2, 4, 8]``); each appends a reduced-resolution IFD
+    (``NewSubfileType`` 1) chained after the main one — the pyramid
+    layout ``gdaladdo`` produces, selectable for coarse requests via
+    ``geomodeling.use-overviews``.  ``overview_resampling`` picks the
+    level builder: ``"nearest"`` (gdaladdo's default) or ``"average"``
+    (nodata-aware block mean, gdaladdo's recommendation for imagery).
 
     ``cog=True`` writes the cloud-optimized GeoTIFF layout (the GDAL COG
     driver's structure, minus its optional ghost-area hints): tiled
@@ -426,7 +429,9 @@ def write_geotiff(
         factor = int(factor)
         if factor < 2:
             raise ValueError("overview factors must be >= 2: %r" % factor)
-        images.append(array[:, ::factor, ::factor])
+        images.append(
+            _decimate(array, factor, overview_resampling, no_data_value)
+        )
 
     image_chunks = [
         _encode_image(image, compression, file_dtype, tiled, tile_size)
@@ -796,13 +801,14 @@ def _external_overview_ifds(path):
     return ifds
 
 
-def write_external_overviews(path, factors):
-    """Build ``<path>.ovr`` holding nearest-subsampled pyramid levels —
-    the ``gdaladdo -ro`` layout for read-only source files.
+def write_external_overviews(path, factors, resampling="nearest"):
+    """Build ``<path>.ovr`` holding pyramid levels — the ``gdaladdo -ro``
+    layout for read-only source files.
 
     ``factors`` is the gdaladdo decimation ladder (e.g. ``[2, 4, 8]``);
     later factors should be multiples of the first, as levels beyond the
-    first are decimated from the first level."""
+    first are decimated from the first level.  ``resampling`` is
+    ``"nearest"`` or ``"average"`` (see :func:`write_geotiff`)."""
     if not factors:
         raise ValueError("need at least one decimation factor")
     factors = sorted(int(factor) for factor in factors)
@@ -810,7 +816,9 @@ def write_external_overviews(path, factors):
         raise ValueError("decimation factors start at 2")
     base = read_geotiff(path)
     first = factors[0]
-    level = np.ascontiguousarray(base.array[:, ::first, ::first])
+    level = np.ascontiguousarray(
+        _decimate(base.array, first, resampling, base.no_data_value)
+    )
     gt = base.geo_transform
     write_geotiff(
         path + ".ovr",
@@ -819,7 +827,34 @@ def write_external_overviews(path, factors):
         projection=base.projection,
         no_data_value=base.no_data_value,
         overviews=[factor // first for factor in factors[1:]] or None,
+        overview_resampling=resampling,
     )
+
+
+def _decimate(array, factor, method, no_data_value=None):
+    """One pyramid level: nearest subsampling or nodata-aware block mean
+    (gdaladdo's AVERAGE, which skips nodata cells and rounds integers)."""
+    if method == "nearest":
+        return array[:, ::factor, ::factor]
+    if method != "average":
+        raise ValueError("Unsupported overview resampling: %r" % (method,))
+    bands, height, width = array.shape
+    out_h, out_w = -(-height // factor), -(-width // factor)
+    padded = np.full(
+        (bands, out_h * factor, out_w * factor), np.nan, np.float64
+    )
+    padded[:, :height, :width] = array
+    if no_data_value is not None:
+        padded[:, :height, :width][array == no_data_value] = np.nan
+    blocks = padded.reshape(bands, out_h, factor, out_w, factor)
+    valid = ~np.isnan(blocks)
+    counts = valid.sum(axis=(2, 4))
+    sums = np.where(valid, blocks, 0.0).sum(axis=(2, 4))
+    means = sums / np.maximum(counts, 1)
+    if np.issubdtype(array.dtype, np.integer):
+        means = np.rint(means)
+    fill = no_data_value if no_data_value is not None else 0
+    return np.where(counts > 0, means, fill).astype(array.dtype)
 
 
 def _pam_overrides(path):

@@ -403,3 +403,67 @@ class TestExternalOverviews:
             assert plan is not None and plan[0] >= 1
             got = source.get_data(**request)
         assert got["values"].shape == (1, 16, 16)
+
+
+class TestAverageOverviews:
+    def test_average_block_mean(self, tmp_path):
+        from dask_geomodeling_tpu.io.geotiff import (
+            read_geotiff_window,
+            write_geotiff,
+        )
+
+        path = str(tmp_path / "avg.tif")
+        data = np.arange(64, dtype=np.uint8).reshape(1, 8, 8)
+        write_geotiff(path, data, (0, 1, 0, 8, 0, -1),
+                      projection="EPSG:28992", no_data_value=None,
+                      overviews=[2], overview_resampling="average")
+        level = read_geotiff_window(path, 0, 4, 0, 4, level=1).array[0]
+        expected = np.rint(
+            data[0].astype(float).reshape(4, 2, 4, 2).mean(axis=(1, 3))
+        ).astype(np.uint8)
+        np.testing.assert_array_equal(level, expected)
+
+    def test_average_skips_nodata(self, tmp_path):
+        from dask_geomodeling_tpu.io.geotiff import (
+            read_geotiff_window,
+            write_geotiff,
+        )
+
+        path = str(tmp_path / "avg_nd.tif")
+        data = np.full((1, 4, 4), 10, np.uint8)
+        data[0, :2, :2] = 255  # all-nodata block
+        data[0, 2, 2] = 255  # partial nodata: mean of the 3 valid 10s
+        write_geotiff(path, data, (0, 1, 0, 4, 0, -1),
+                      projection="EPSG:28992", no_data_value=255,
+                      overviews=[2], overview_resampling="average")
+        level = read_geotiff_window(path, 0, 2, 0, 2, level=1).array[0]
+        assert level[0, 0] == 255  # stays nodata
+        assert level[1, 1] == 10  # nodata cell excluded from the mean
+        assert level[0, 1] == 10 and level[1, 0] == 10
+
+    def test_unknown_resampling_raises(self, tmp_path):
+        from dask_geomodeling_tpu.io.geotiff import write_geotiff
+
+        with pytest.raises(ValueError):
+            write_geotiff(
+                str(tmp_path / "x.tif"), np.zeros((1, 4, 4), np.uint8),
+                (0, 1, 0, 4, 0, -1), projection="EPSG:28992",
+                no_data_value=None, overviews=[2],
+                overview_resampling="cubic",
+            )
+
+    def test_external_average(self, tmp_path):
+        from dask_geomodeling_tpu.io.geotiff import (
+            read_geotiff_window,
+            write_external_overviews,
+            write_geotiff,
+        )
+
+        path = str(tmp_path / "ext_avg.tif")
+        data = np.arange(256, dtype=np.float32).reshape(1, 16, 16)
+        write_geotiff(path, data, (0, 1, 0, 16, 0, -1),
+                      projection="EPSG:28992", no_data_value=None)
+        write_external_overviews(path, [2], resampling="average")
+        level = read_geotiff_window(path, 0, 8, 0, 8, level=1).array[0]
+        expected = data[0].reshape(8, 2, 8, 2).mean(axis=(1, 3))
+        np.testing.assert_allclose(level, expected)
