@@ -131,14 +131,16 @@ def to_file(source, url, tile_size, **request):
     RasterFileSink.merge_files(tiles_dir, path)
 
 
-def to_cog(source, url, overviews=None, **request):
+def to_cog(source, url, overviews=None, overview_resampling="nearest",
+           **request):
     """Export a RasterBlock as a single cloud-optimized GeoTIFF.
 
     The modern single-file counterpart of :func:`to_file`'s tiles+VRT
     layout: tiled pixel data, an overview pyramid (auto-generated unless
     ``overviews`` decimation factors are given), and all IFDs at the
     head of the file so remote range-readers resolve the header and
-    previews cheaply.  Missing request fields default to the source's
+    previews cheaply (``overview_resampling``: "nearest" or the
+    nodata-aware "average").  Missing request fields default to the source's
     native grid exactly like :func:`to_file`; the admission-control
     raster limit bounds the request like any other ``get_data`` call
     (oversized requests go through the batched tile runtime).
@@ -163,6 +165,7 @@ def to_cog(source, url, overviews=None, **request):
         compress="deflate",
         cog=True,
         overviews=overviews,
+        overview_resampling=overview_resampling,
     )
 
 

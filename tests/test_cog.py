@@ -170,3 +170,19 @@ def test_to_cog_no_data_raises(tmp_path):
     with config.set({"geomodeling.root": str(tmp_path)}):
         with pytest.raises(ValueError, match="no data"):
             to_cog(source, "x.tif", bbox=(0, 0, 4, 4), width=4, height=4)
+
+
+def test_to_cog_average_resampling(tmp_path):
+    from dask_geomodeling_tpu.io.geotiff import read_geotiff_window
+    from dask_geomodeling_tpu.raster import MemorySource, to_cog
+
+    data = (np.arange(64, dtype=np.float64) % 16).reshape(1, 8, 8)
+    source = MemorySource(
+        data=data, no_data_value=255.0, projection="EPSG:28992",
+        pixel_size=1.0, pixel_origin=(155000, 463000),
+    )
+    path = str(tmp_path / "avg_cog.tif")
+    to_cog(source, path, overviews=[2], overview_resampling="average")
+    level = read_geotiff_window(path, 0, 4, 0, 4, level=1).array[0]
+    expected = data[0].reshape(4, 2, 4, 2).mean(axis=(1, 3))
+    np.testing.assert_allclose(level, expected)
