@@ -15,6 +15,25 @@ import pandas as pd
 
 __all__ = ["read_shapefile", "write_shapefile"]
 
+# DBF language-driver ids -> codecs (dBase/ESRI spec subset, the OGR
+# fallback when no .cpg sidecar declares the encoding)
+_LDID_ENCODINGS = {
+    0x01: "cp437", 0x02: "cp850", 0x03: "cp1252", 0x08: "cp865",
+    0x09: "cp437", 0x0A: "cp850", 0x0B: "cp437", 0x0D: "cp437",
+    0x0E: "cp850", 0x0F: "cp437", 0x10: "cp850", 0x13: "cp932",
+    0x17: "cp865", 0x18: "cp437", 0x19: "cp437", 0x1A: "cp850",
+    0x1B: "cp437", 0x1C: "cp863", 0x1D: "cp850", 0x1F: "cp852",
+    0x22: "cp852", 0x23: "cp852", 0x24: "cp860", 0x25: "cp850",
+    0x26: "cp866", 0x37: "cp850", 0x40: "cp852", 0x4D: "cp936",
+    0x4E: "cp949", 0x4F: "cp950", 0x50: "cp874", 0x57: "cp1252",
+    0x58: "cp1252", 0x59: "cp1252", 0x64: "cp852", 0x65: "cp866",
+    0x66: "cp865", 0x67: "cp861", 0x6A: "cp737", 0x6B: "cp857",
+    0x6C: "cp863", 0x78: "cp950", 0x79: "cp949", 0x7A: "cp936",
+    0x7B: "cp932", 0x7C: "cp874", 0x86: "cp737", 0x87: "cp852",
+    0x88: "cp857", 0xC8: "cp1250", 0xC9: "cp1251", 0xCA: "cp1254",
+    0xCB: "cp1253", 0xCC: "cp1257",
+}
+
 _SHAPE_NULL = 0
 _SHAPE_POINT = 1
 _SHAPE_POLYLINE = 3
@@ -311,9 +330,9 @@ def read_shapefile(path):
                     "Shapefile shape type %d" % shape_type
                 )
 
-    # .dbf — text encoding from the .cpg sidecar when present (OGR
-    # convention); cp1252 is the historical default for legacy files
-    encoding = "cp1252"
+    # .dbf — text encoding, OGR precedence: the .cpg sidecar, then the
+    # DBF header's language driver id (byte 29), then legacy cp1252
+    encoding = None
     if os.path.exists(base + ".cpg"):
         with open(base + ".cpg") as stream:
             declared = stream.read().strip()
@@ -322,10 +341,12 @@ def read_shapefile(path):
             b"".decode(declared)
             encoding = declared
         except LookupError:
-            pass  # unknown codepage label: keep the cp1252 default
+            pass  # unknown codepage label: fall through to the LDID
     records = []
     with open(base + ".dbf", "rb") as f:
         head = f.read(32)
+        if encoding is None:
+            encoding = _LDID_ENCODINGS.get(head[29], "cp1252")
         n_records, header_size, record_size = struct.unpack("<IHH", head[4:12])
         fields = []
         while True:

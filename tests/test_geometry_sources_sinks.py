@@ -1130,3 +1130,75 @@ def test_gml_urn_srsname(tmp_path):
         f.write(gml)
     frame = read_vector(path)
     assert frame.crs == "EPSG:28992"
+
+
+class TestDbfEncoding:
+    """OGR encoding precedence: .cpg sidecar > DBF LDID byte > cp1252."""
+
+    def _write(self, tmp_path, text):
+        from dask_geomodeling_tpu.io.vectorfile import write_vector
+
+        path = str(tmp_path / "enc.shp")
+        frame = GeoDataFrame(
+            {"geometry": [Point(1, 1)], "name": [text]}, crs="EPSG:4326"
+        )
+        write_vector(frame, path)
+        return path
+
+    def test_ldid_fallback(self, tmp_path):
+        import os
+
+        from dask_geomodeling_tpu.io.vectorfile import read_vector
+
+        text = "Жук"  # Cyrillic, 6 bytes utf-8 / 3 cp1251
+        path = self._write(tmp_path, text)
+        base = os.path.splitext(path)[0]
+        os.remove(base + ".cpg")
+        with open(base + ".dbf", "rb") as f:
+            raw = f.read()
+        assert text.encode("utf-8") in raw
+        raw = raw.replace(
+            text.encode("utf-8"), text.encode("cp1251") + b"   "
+        )
+        raw = raw[:29] + bytes([0xC9]) + raw[30:]  # LDID: cp1251
+        with open(base + ".dbf", "wb") as f:
+            f.write(raw)
+        frame = read_vector(path)
+        assert frame["name"].tolist() == [text]
+
+    def test_cpg_wins_over_ldid(self, tmp_path):
+        import os
+
+        from dask_geomodeling_tpu.io.vectorfile import read_vector
+
+        text = "café"
+        path = self._write(tmp_path, text)
+        base = os.path.splitext(path)[0]
+        # declare a bogus LDID; the UTF-8 .cpg written alongside wins
+        with open(base + ".dbf", "rb") as f:
+            raw = f.read()
+        raw = raw[:29] + bytes([0xC9]) + raw[30:]
+        with open(base + ".dbf", "wb") as f:
+            f.write(raw)
+        frame = read_vector(path)
+        assert frame["name"].tolist() == [text]
+
+    def test_no_cpg_no_ldid_defaults_cp1252(self, tmp_path):
+        import os
+
+        from dask_geomodeling_tpu.io.vectorfile import read_vector
+
+        text = "café"
+        path = self._write(tmp_path, text)
+        base = os.path.splitext(path)[0]
+        os.remove(base + ".cpg")
+        with open(base + ".dbf", "rb") as f:
+            raw = f.read()
+        raw = raw.replace(
+            text.encode("utf-8"), text.encode("cp1252") + b" "
+        )
+        assert raw[29] == 0
+        with open(base + ".dbf", "wb") as f:
+            f.write(raw)
+        frame = read_vector(path)
+        assert frame["name"].tolist() == [text]
