@@ -120,6 +120,8 @@ def _dbf_fields(frame, columns):
             fields.append((col, "N", min(max(width, 10), 20), 0))
         elif pd.api.types.is_float_dtype(series):
             fields.append((col, "N", 24, 8))
+        elif pd.api.types.is_datetime64_any_dtype(series):
+            fields.append((col, "D", 8, 0))  # DBF date: YYYYMMDD
         else:
             # DBF character widths count BYTES; size for the UTF-8 encoding
             width = max(
@@ -249,6 +251,10 @@ def write_shapefile(frame, path):
                             % (value, name, width)
                         )
                     text = text.rjust(width)
+                elif ftype == "D":
+                    text = (
+                        "" if null else pd.Timestamp(value).strftime("%Y%m%d")
+                    )
                 else:
                     text = "" if null else str(value)
                 f.write(_dbf_text(text, width))
@@ -380,6 +386,15 @@ def read_shapefile(path):
                         record[name] = float(text)
                     else:
                         record[name] = int(text)
+                elif ftype in ("F", "O"):  # float / double fields
+                    record[name] = float(text) if text else None
+                elif ftype == "D":  # date: YYYYMMDD
+                    if len(text) == 8 and text.isdigit():
+                        record[name] = pd.Timestamp(
+                            int(text[:4]), int(text[4:6]), int(text[6:8])
+                        )
+                    else:
+                        record[name] = None
                 else:
                     record[name] = text
             records.append(record)

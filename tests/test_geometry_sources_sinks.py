@@ -1202,3 +1202,41 @@ class TestDbfEncoding:
             f.write(raw)
         frame = read_vector(path)
         assert frame["name"].tolist() == [text]
+
+
+def test_dbf_date_and_float_fields(tmp_path):
+    """DBF D (date) and F (float) field types roundtrip/parse (OGR types)."""
+    import struct as _struct
+
+    from dask_geomodeling_tpu.io.vectorfile import read_vector, write_vector
+
+    path = str(tmp_path / "typed.shp")
+    frame = GeoDataFrame(
+        {
+            "geometry": [Point(1, 1), Point(2, 2)],
+            "when": pd.to_datetime(["2026-08-17", "1999-12-31"]),
+            "name": ["a", "b"],
+        },
+        crs="EPSG:4326",
+    )
+    write_vector(frame, path)
+    back = read_vector(path)
+    assert back["when"].tolist() == [
+        pd.Timestamp(2026, 8, 17), pd.Timestamp(1999, 12, 31)
+    ]
+    # foreign F-type field: patch the descriptor of a numeric column
+    base = path[:-4]
+    frame2 = GeoDataFrame(
+        {"geometry": [Point(1, 1)], "v": [2.5]}, crs="EPSG:4326"
+    )
+    write_vector(frame2, str(tmp_path / "f.shp"))
+    dbf = str(tmp_path / "f.dbf")
+    with open(dbf, "rb") as f:
+        raw = bytearray(f.read())
+    # first field descriptor starts at byte 32; type byte at offset 11
+    assert raw[32 + 11 : 32 + 12] == b"N"
+    raw[32 + 11] = ord("F")
+    with open(dbf, "wb") as f:
+        f.write(bytes(raw))
+    back2 = read_vector(str(tmp_path / "f.shp"))
+    assert back2["v"].tolist() == [2.5]
