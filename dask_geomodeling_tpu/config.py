@@ -197,4 +197,38 @@ class _ConfigRestore(ContextDecorator):
 
 _MISSING = object()
 
-config = Config(defaults)
+
+def _env_overrides(environ=None):
+    """Environment overrides, dask.config's convention (the reference
+    rides dask.config, reference config.py:1-12, so deployments set
+    ``DASK_GEOMODELING__RASTER_LIMIT=...``-style variables): strip the
+    ``DASK_`` prefix, lowercase, ``__`` nests, ``_`` maps to ``-``;
+    values parse as Python literals with a plain-string fallback.
+    ``DASK_SCHEDULER`` sets the top-level ``scheduler`` key."""
+    import ast
+    import os
+
+    out = {}
+    for key, raw in (os.environ if environ is None else environ).items():
+        if key == "DASK_SCHEDULER":
+            out["scheduler"] = raw
+            continue
+        if not key.startswith("DASK_GEOMODELING__"):
+            continue
+        name = (
+            key[len("DASK_GEOMODELING__"):]
+            .lower()
+            .replace("__", ".")
+            .replace("_", "-")
+        )
+        if not name:
+            continue
+        try:
+            value = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            value = raw
+        out["geomodeling." + name] = value
+    return out
+
+
+config = Config({**defaults, **_env_overrides()})

@@ -373,3 +373,42 @@ def test_top_level_namespace_matches_reference():
     assert callable(dg.construct)
     assert dg.Block is not None
     assert dg.config.get("geomodeling.raster-limit") > 0
+
+
+class TestEnvOverrides:
+    """DASK_GEOMODELING__* env vars seed the config (dask.config parity)."""
+
+    def test_mapping(self):
+        from dask_geomodeling_tpu.config import _env_overrides
+
+        out = _env_overrides({
+            "DASK_GEOMODELING__RASTER_LIMIT": "123",
+            "DASK_GEOMODELING__USE_OVERVIEWS": "True",
+            "DASK_GEOMODELING__ROOT": "/data",
+            "DASK_SCHEDULER": "threads",
+            "UNRELATED": "1",
+        })
+        assert out == {
+            "geomodeling.raster-limit": 123,
+            "geomodeling.use-overviews": True,
+            "geomodeling.root": "/data",
+            "scheduler": "threads",
+        }
+
+    def test_subprocess_seed(self):
+        import json
+        import os
+        import subprocess
+        import sys
+
+        env = dict(os.environ, DASK_GEOMODELING__GEOMETRY_LIMIT="77",
+                   PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "from dask_geomodeling_tpu import config;"
+             "import json;"
+             "print(json.dumps(config.get('geomodeling.geometry-limit')))"],
+            env=env, capture_output=True, text=True, timeout=120,
+        )
+        assert out.returncode == 0, out.stderr
+        assert json.loads(out.stdout.strip().splitlines()[-1]) == 77
