@@ -99,6 +99,7 @@ def get_capabilities_xml(base_url="http://localhost/wms"):
         "<Capability><Request><GetCapabilities>"
         "<Format>application/vnd.ogc.wms_xml</Format>"
         "</GetCapabilities><GetMap><Format>image/png</Format>"
+        "<Format>image/jpeg</Format><Format>image/webp</Format>"
         "</GetMap></Request>"
         "<Layer><Title>dask_geomodeling_tpu</Title>%s</Layer>"
         "</Capability></WMT_MS_Capabilities>"
@@ -112,6 +113,14 @@ class WMSError(Exception):
         self.status = status
         self.message = message
         super().__init__(message)
+
+
+#: WMS FORMAT= values -> PIL encoder names
+_IMAGE_FORMATS = {
+    "image/png": "png",
+    "image/jpeg": "jpeg",
+    "image/webp": "webp",
+}
 
 
 def render_wms_tile(params):
@@ -134,9 +143,23 @@ def render_wms_tile(params):
     style = params.get("styles") or "viridis"  # clients send STYLES=
     vmin = float(params.get("vmin") or 0.0)
     vmax = float(params.get("vmax") or 1.0)
-    img_format = params.get("format") or "image/png"
-    if img_format.lower() != "image/png":
-        raise WMSError(400, "Only image/png is supported")
+    img_format = (params.get("format") or "image/png").lower()
+    if img_format not in _IMAGE_FORMATS:
+        raise WMSError(
+            400,
+            "Unsupported format %r (supported: %s)"
+            % (img_format, ", ".join(sorted(_IMAGE_FORMATS))),
+        )
+    pil_format = _IMAGE_FORMATS[img_format]
+    # WMS TRANSPARENT/BGCOLOR: nodata stays transparent unless the client
+    # says TRANSPARENT=FALSE; JPEG has no alpha, so it always composites
+    transparent = (params.get("transparent") or "true").lower() != "false"
+    try:
+        bgcolor = int((params.get("bgcolor") or "0xFFFFFF").replace(
+            "0x", ""
+        ), 16)
+    except ValueError:
+        raise WMSError(400, "Invalid BGCOLOR (expected 0xRRGGBB)")
     # WMS 1.1 sends SRS=, 1.3 sends CRS= (and flips the bbox axis order
     # for geographic CRSes to lat/lon)
     srs = params.get("srs") or params.get("crs")
@@ -192,8 +215,19 @@ def render_wms_tile(params):
     img[np.ma.getmaskarray(normalized), 3] = 0.0  # nodata is transparent
     img_uint8 = (img * 255).astype(np.uint8)
 
+    if pil_format == "jpeg" or not transparent:
+        background = np.array(
+            [(bgcolor >> 16) & 0xFF, (bgcolor >> 8) & 0xFF, bgcolor & 0xFF],
+            dtype=np.float32,
+        )
+        alpha = img_uint8[..., 3:4].astype(np.float32) / 255.0
+        img_uint8 = np.rint(
+            alpha * img_uint8[..., :3].astype(np.float32)
+            + (1.0 - alpha) * background
+        ).astype(np.uint8)
+
     stream = BytesIO()
-    Image.fromarray(img_uint8).save(stream, format="png")
+    Image.fromarray(img_uint8).save(stream, format=pil_format)
     return stream.getvalue()
 
 
@@ -320,8 +354,9 @@ def wms_app(environ, start_response):
         body = ("Invalid request parameters: %s" % e).encode()
         start_response("400 Bad Request", [("Content-Type", "text/plain")])
         return [body]
+    content_type = (params.get("format") or "image/png").lower()
     headers = [
-        ("Content-Type", "image/png"),
+        ("Content-Type", content_type),
         ("Content-Length", str(len(raw))),
     ] + _NO_CACHE_HEADERS
     start_response("200 OK", headers)
@@ -366,7 +401,9 @@ try:
                 self.finish("Invalid request parameters: %s" % e)
                 return
             self.set_header("Content-Length", len(raw))
-            self.set_header("Content-Type", "image/png")
+            self.set_header(
+                "Content-Type", (params.get("format") or "image/png").lower()
+            )
             for key, value in _NO_CACHE_HEADERS:
                 self.set_header(key, value)
             self.write(raw)

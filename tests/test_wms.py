@@ -50,8 +50,8 @@ def test_overload_guard(view_json):
 
 def test_bad_format(view_json):
     params = base_params(view_json)
-    params["format"] = "image/jpeg"
-    with pytest.raises(WMSError, match="image/png"):
+    params["format"] = "image/gif"
+    with pytest.raises(WMSError, match="Unsupported format"):
         render_wms_tile(params)
 
 
@@ -716,3 +716,95 @@ def test_wcs_getcoverage(view_json):
         assert captured["status"].startswith("400")
     finally:
         unregister_layers()
+
+
+from io import BytesIO
+from urllib.parse import urlencode
+
+from dask_geomodeling_tpu.ipyleaflet_plugin import get_capabilities_xml
+
+
+def _plugin():
+    # resolve through the module so a reload elsewhere can't break
+    # class identity or function references
+    from dask_geomodeling_tpu import ipyleaflet_plugin as plugin
+
+    return plugin
+
+
+class TestImageFormats:
+    """FORMAT=image/jpeg|webp, TRANSPARENT and BGCOLOR handling."""
+
+    def _params(self, view_json, **extra):
+        params = dict(
+            layers=view_json, bbox="0,0,10,10", width="16", height="16",
+            srs="EPSG:3857", maxcellsize="10",
+        )
+        params.update(extra)
+        return params
+
+    def test_jpeg(self, view_json):
+        from PIL import Image
+
+        raw = _plugin().render_wms_tile(
+            self._params(view_json, format="image/jpeg")
+        )
+        with Image.open(BytesIO(raw)) as img:
+            assert img.format == "JPEG"
+            assert img.size == (16, 16)
+
+    def test_webp(self, view_json):
+        from PIL import Image
+
+        raw = _plugin().render_wms_tile(
+            self._params(view_json, format="image/webp")
+        )
+        with Image.open(BytesIO(raw)) as img:
+            assert img.format == "WEBP"
+
+    def test_unknown_format_400(self, view_json):
+        with pytest.raises(_plugin().WMSError) as err:
+            _plugin().render_wms_tile(
+                self._params(view_json, format="image/gif")
+            )
+        assert err.value.status == 400
+
+    def test_transparent_false_composites_bgcolor(self, view_json):
+        from PIL import Image
+
+        raw = _plugin().render_wms_tile(self._params(
+            view_json, transparent="FALSE", bgcolor="0xFF0000",
+            vmin="0", vmax="1",
+        ))
+        with Image.open(BytesIO(raw)) as img:
+            arr = np.asarray(img)
+        assert arr.ndim == 3 and arr.shape[2] == 3  # alpha dropped
+
+    def test_invalid_bgcolor_400(self, view_json):
+        with pytest.raises(_plugin().WMSError) as err:
+            _plugin().render_wms_tile(self._params(
+                view_json, transparent="false", bgcolor="red"
+            ))
+        assert err.value.status == 400
+
+    def test_wsgi_content_type_echoes_format(self, view_json):
+        calls = {}
+
+        def start_response(status, headers):
+            calls["status"] = status
+            calls["headers"] = dict(headers)
+
+        environ = {
+            "QUERY_STRING": urlencode(
+                self._params(view_json, format="image/jpeg")
+            )
+        }
+        body = b"".join(_plugin().wms_app(environ, start_response))
+        assert calls["status"].startswith("200")
+        assert calls["headers"]["Content-Type"] == "image/jpeg"
+        assert body[:2] == b"\xff\xd8"  # JPEG SOI
+
+    def test_capabilities_advertises_formats(self):
+        xml = _plugin().get_capabilities_xml()
+        assert "<Format>image/jpeg</Format>" in xml
+        assert "<Format>image/webp</Format>" in xml
