@@ -26,7 +26,8 @@ import numpy as np
 from dask_geomodeling_tpu.core import Block
 
 __all__ = [
-    "render_wms_tile", "render_coverage", "wms_app", "register_layer",
+    "render_wms_tile", "render_coverage", "render_feature_info",
+    "wms_app", "register_layer",
     "unregister_layers",
     "get_capabilities_xml",
 ]
@@ -100,7 +101,8 @@ def get_capabilities_xml(base_url="http://localhost/wms"):
         "<Format>application/vnd.ogc.wms_xml</Format>"
         "</GetCapabilities><GetMap><Format>image/png</Format>"
         "<Format>image/jpeg</Format><Format>image/webp</Format>"
-        "</GetMap></Request>"
+        "</GetMap><GetFeatureInfo><Format>application/json</Format>"
+        "<Format>text/plain</Format></GetFeatureInfo></Request>"
         "<Layer><Title>dask_geomodeling_tpu</Title>%s</Layer>"
         "</Capability></WMT_MS_Capabilities>"
         % (quoteattr(str(base_url)), "".join(entries))
@@ -231,6 +233,80 @@ def render_wms_tile(params):
     return stream.getvalue()
 
 
+def render_feature_info(params):
+    """Answer a WMS GetFeatureInfo request; returns JSON bytes.
+
+    The "identify" click of desktop clients: resolve the pixel at
+    ``I``/``J`` (WMS 1.3; ``X``/``Y`` in 1.1) inside the GetMap grid,
+    evaluate the view for just that cell, and report its value
+    (``null`` for nodata).  ``query_layers`` falls back to ``layers``;
+    ``info_format`` supports application/json (default) and text/plain.
+    """
+    import json
+
+    try:
+        block = _layer_block(
+            params.get("query_layers") or params["layers"]
+        )
+    except Exception as e:
+        raise WMSError(400, "Invalid query_layers parameter: {}".format(e))
+    srs = params.get("srs") or params.get("crs")
+    if not srs:
+        raise WMSError(400, "Missing SRS/CRS parameter")
+    info_format = (params.get("info_format") or "application/json").lower()
+    if info_format not in ("application/json", "text/plain"):
+        raise WMSError(400, "Unsupported info_format %r" % info_format)
+    height = int(params["height"])
+    width = int(params["width"])
+    # WMS 1.3 names the pixel I/J; 1.1 used X/Y
+    col_text = params.get("i", params.get("x"))
+    row_text = params.get("j", params.get("y"))
+    if col_text is None or row_text is None:
+        raise WMSError(400, "Missing pixel coordinates (I/J or X/Y)")
+    col, row = int(col_text), int(row_text)
+    if not (0 <= col < width and 0 <= row < height):
+        raise WMSError(400, "Pixel coordinates outside the map")
+    time_isoformat = params.get("time", "")
+    time = (
+        datetime.strptime(time_isoformat, "%Y-%m-%dT%H:%M:%S.%fZ")
+        if time_isoformat
+        else None
+    )
+    bbox = [float(x) for x in params["bbox"].split(",")]
+    if params.get("version", "").startswith("1.3"):
+        from dask_geomodeling_tpu.geo.crs import get_sr
+
+        crs84 = "CRS84" in srs.upper().replace(":", "")
+        try:
+            geographic = get_sr(srs).is_geographic
+        except Exception:
+            geographic = False
+        if geographic and not crs84:
+            bbox = [bbox[1], bbox[0], bbox[3], bbox[2]]
+
+    cell_x = (bbox[2] - bbox[0]) / width
+    cell_y = (bbox[3] - bbox[1]) / height
+    x = bbox[0] + (col + 0.5) * cell_x
+    y = bbox[3] - (row + 0.5) * cell_y
+    data = block.get_data(
+        mode="vals",
+        bbox=(x, y, x, y),
+        height=1,
+        width=1,
+        projection=srs,
+        start=time,
+    )
+    value = None
+    if data is not None:
+        raw = data["values"][0, 0, 0]
+        if data["no_data_value"] is None or raw != data["no_data_value"]:
+            value = raw.item()
+    payload = {"x": x, "y": y, "crs": srs, "value": value}
+    if info_format == "text/plain":
+        return ("value: %s\n" % ("" if value is None else value)).encode()
+    return json.dumps(payload).encode()
+
+
 def render_coverage(params):
     """Render one WCS-style GetCoverage request; returns GeoTIFF bytes.
 
@@ -307,6 +383,30 @@ def wms_app(environ, start_response):
     registered layers) at any path."""
     query = parse_qs(environ.get("QUERY_STRING", ""))
     params = {k.lower(): v[0] for k, v in query.items()}
+    if params.get("request", "").lower() == "getfeatureinfo":
+        try:
+            raw = render_feature_info(params)
+        except WMSError as e:
+            start_response(
+                "%d Bad Request" % e.status,
+                [("Content-Type", "text/plain")],
+            )
+            return [e.message.encode()]
+        except (KeyError, ValueError, TypeError) as e:
+            body = ("Invalid request parameters: %s" % e).encode()
+            start_response("400 Bad Request", [("Content-Type", "text/plain")])
+            return [body]
+        info_type = (
+            "text/plain"
+            if (params.get("info_format") or "").lower() == "text/plain"
+            else "application/json"
+        )
+        start_response(
+            "200 OK",
+            [("Content-Type", info_type),
+             ("Content-Length", str(len(raw)))] + _NO_CACHE_HEADERS,
+        )
+        return [raw]
     if params.get("request", "").lower() == "getcoverage":
         try:
             raw = render_coverage(params)
@@ -378,6 +478,29 @@ try:
                 key.lower(): values[-1].decode("utf-8", "replace")
                 for key, values in self.request.query_arguments.items()
             }
+            if params.get("request", "").lower() == "getfeatureinfo":
+                try:
+                    raw = render_feature_info(params)
+                except WMSError as e:
+                    self.set_status(e.status)
+                    self.finish(e.message)
+                    return
+                except (KeyError, ValueError, TypeError) as e:
+                    self.set_status(400)
+                    self.finish("Invalid request parameters: %s" % e)
+                    return
+                self.set_header(
+                    "Content-Type",
+                    "text/plain"
+                    if (params.get("info_format") or "").lower()
+                    == "text/plain"
+                    else "application/json",
+                )
+                for key, value in _NO_CACHE_HEADERS:
+                    self.set_header(key, value)
+                self.write(raw)
+                self.finish()
+                return
             if params.get("request", "").lower() == "getcapabilities":
                 body = get_capabilities_xml(
                     self.request.full_url().split("?")[0]

@@ -808,3 +808,100 @@ class TestImageFormats:
         xml = _plugin().get_capabilities_xml()
         assert "<Format>image/jpeg</Format>" in xml
         assert "<Format>image/webp</Format>" in xml
+
+
+class TestGetFeatureInfo:
+    """WMS GetFeatureInfo: the identify-click of desktop clients."""
+
+    def _params(self, view_json, **extra):
+        params = dict(
+            layers=view_json, bbox="0,0,10,10", width="10", height="10",
+            srs="EPSG:3857", request="GetFeatureInfo",
+        )
+        params.update(extra)
+        return {k: v for k, v in params.items() if v is not None}
+
+    def test_json_value(self, view_json):
+        import json
+
+        raw = _plugin().render_feature_info(
+            self._params(view_json, i="3", j="2")
+        )
+        payload = json.loads(raw)
+        # source: column index == value; pixel centres at half-cells
+        assert payload["value"] == 3.0
+        assert payload["crs"] == "EPSG:3857"
+        assert payload["x"] == 3.5 and payload["y"] == 7.5
+
+    def test_wms11_xy_names(self, view_json):
+        import json
+
+        raw = _plugin().render_feature_info(
+            self._params(view_json, x="7", y="9")
+        )
+        assert json.loads(raw)["value"] == 7.0
+
+    def test_plain_text(self, view_json):
+        raw = _plugin().render_feature_info(self._params(
+            view_json, i="1", j="1", info_format="text/plain"
+        ))
+        assert raw == b"value: 1.0\n"
+
+    def test_nodata_is_null(self):
+        import json
+
+        source = MemorySource(
+            data=[[255.0, 1.0], [2.0, 3.0]], no_data_value=255.0,
+            projection="EPSG:3857", pixel_size=1.0, pixel_origin=(0, 2),
+        )
+        raw = _plugin().render_feature_info(self._params(
+            source.to_json(), i="0", j="0",
+            bbox="0,0,2,2", width="2", height="2",
+        ))
+        assert json.loads(raw)["value"] is None
+
+    def test_pixel_out_of_range_400(self, view_json):
+        with pytest.raises(_plugin().WMSError) as err:
+            _plugin().render_feature_info(
+                self._params(view_json, i="10", j="0")
+            )
+        assert err.value.status == 400
+
+    def test_missing_pixel_400(self, view_json):
+        with pytest.raises(_plugin().WMSError):
+            _plugin().render_feature_info(self._params(view_json))
+
+    def test_wms13_axis_flip(self, view_json):
+        """Geographic CRS + 1.3: bbox arrives lat/lon ordered."""
+        import json
+
+        source = MemorySource(
+            data=[[float(i) for i in range(10)] for _ in range(10)],
+            no_data_value=255.0, projection="EPSG:4326",
+            pixel_size=0.1, pixel_origin=(0, 1),
+        )
+        raw = _plugin().render_feature_info(self._params(
+            source.to_json(), i="3", j="2", version="1.3.0",
+            srs=None, crs="EPSG:4326", bbox="0,0,1,1",
+        ))
+        assert json.loads(raw)["value"] == 3.0
+
+    def test_wsgi_route(self, view_json):
+        calls = {}
+
+        def start_response(status, headers):
+            calls["status"] = status
+            calls["headers"] = dict(headers)
+
+        environ = {"QUERY_STRING": urlencode(
+            self._params(view_json, i="3", j="2")
+        )}
+        body = b"".join(_plugin().wms_app(environ, start_response))
+        assert calls["status"].startswith("200")
+        assert calls["headers"]["Content-Type"] == "application/json"
+        import json
+
+        assert json.loads(body)["value"] == 3.0
+
+    def test_capabilities_advertises(self):
+        assert "GetFeatureInfo" in _plugin().get_capabilities_xml()
