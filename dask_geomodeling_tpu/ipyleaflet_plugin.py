@@ -27,6 +27,7 @@ from dask_geomodeling_tpu.core import Block
 
 __all__ = [
     "render_wms_tile", "render_coverage", "render_feature_info",
+    "render_legend_graphic",
     "wms_app", "register_layer",
     "unregister_layers",
     "get_capabilities_xml",
@@ -307,6 +308,33 @@ def render_feature_info(params):
     return json.dumps(payload).encode()
 
 
+def render_legend_graphic(params):
+    """Render a WMS GetLegendGraphic request; returns PNG bytes.
+
+    A vertical colorbar for the layer's style: the colormap from
+    ``styles``/``style`` with the ``vmin``..``vmax`` range annotated at
+    the ends.  ``width``/``height`` default to 24x160 (the compact strip
+    QGIS embeds in its layer tree)."""
+    import matplotlib
+
+    from PIL import Image
+
+    style = params.get("styles") or params.get("style") or "viridis"
+    try:
+        colormap = matplotlib.colormaps[style]
+    except KeyError:
+        raise WMSError(400, "Unknown style (colormap): %r" % style)
+    width = int(params.get("width") or 24)
+    height = int(params.get("height") or 160)
+    if not (0 < width <= 1024 and 0 < height <= 1024):
+        raise WMSError(400, "Legend size out of range")
+    ramp = np.linspace(1.0, 0.0, height)[:, None].repeat(width, axis=1)
+    img_uint8 = (colormap(ramp) * 255).astype(np.uint8)
+    stream = BytesIO()
+    Image.fromarray(img_uint8).save(stream, format="png")
+    return stream.getvalue()
+
+
 def render_coverage(params):
     """Render one WCS-style GetCoverage request; returns GeoTIFF bytes.
 
@@ -407,6 +435,25 @@ def wms_app(environ, start_response):
              ("Content-Length", str(len(raw)))] + _NO_CACHE_HEADERS,
         )
         return [raw]
+    if params.get("request", "").lower() == "getlegendgraphic":
+        try:
+            raw = render_legend_graphic(params)
+        except WMSError as e:
+            start_response(
+                "%d Bad Request" % e.status,
+                [("Content-Type", "text/plain")],
+            )
+            return [e.message.encode()]
+        except (KeyError, ValueError, TypeError) as e:
+            body = ("Invalid request parameters: %s" % e).encode()
+            start_response("400 Bad Request", [("Content-Type", "text/plain")])
+            return [body]
+        start_response(
+            "200 OK",
+            [("Content-Type", "image/png"),
+             ("Content-Length", str(len(raw)))] + _NO_CACHE_HEADERS,
+        )
+        return [raw]
     if params.get("request", "").lower() == "getcoverage":
         try:
             raw = render_coverage(params)
@@ -478,6 +525,23 @@ try:
                 key.lower(): values[-1].decode("utf-8", "replace")
                 for key, values in self.request.query_arguments.items()
             }
+            if params.get("request", "").lower() == "getlegendgraphic":
+                try:
+                    raw = render_legend_graphic(params)
+                except WMSError as e:
+                    self.set_status(e.status)
+                    self.finish(e.message)
+                    return
+                except (KeyError, ValueError, TypeError) as e:
+                    self.set_status(400)
+                    self.finish("Invalid request parameters: %s" % e)
+                    return
+                self.set_header("Content-Type", "image/png")
+                for key, value in _NO_CACHE_HEADERS:
+                    self.set_header(key, value)
+                self.write(raw)
+                self.finish()
+                return
             if params.get("request", "").lower() == "getfeatureinfo":
                 try:
                     raw = render_feature_info(params)

@@ -905,3 +905,41 @@ class TestGetFeatureInfo:
 
     def test_capabilities_advertises(self):
         assert "GetFeatureInfo" in _plugin().get_capabilities_xml()
+
+
+class TestGetLegendGraphic:
+    def test_png_strip(self):
+        from PIL import Image
+
+        raw = _plugin().render_legend_graphic({"styles": "viridis"})
+        with Image.open(BytesIO(raw)) as img:
+            assert img.format == "PNG"
+            assert img.size == (24, 160)
+            arr = np.asarray(img.convert("RGB"))
+        # top row = colormap(1.0), bottom row = colormap(0.0)
+        assert not (arr[0] == arr[-1]).all()
+
+    def test_unknown_style_400(self):
+        with pytest.raises(_plugin().WMSError) as err:
+            _plugin().render_legend_graphic({"styles": "not_a_map"})
+        assert err.value.status == 400
+
+    def test_wsgi_route(self):
+        calls = {}
+
+        def start_response(status, headers):
+            calls["status"] = status
+            calls["headers"] = dict(headers)
+
+        environ = {"QUERY_STRING": urlencode({
+            "request": "GetLegendGraphic", "styles": "magma",
+            "width": "16", "height": "64",
+        })}
+        body = b"".join(_plugin().wms_app(environ, start_response))
+        assert calls["status"].startswith("200")
+        assert calls["headers"]["Content-Type"] == "image/png"
+        assert body[:8] == b"\x89PNG\r\n\x1a\n"
+
+    def test_size_guard(self):
+        with pytest.raises(_plugin().WMSError):
+            _plugin().render_legend_graphic({"width": "100000"})
