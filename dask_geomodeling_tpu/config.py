@@ -131,6 +131,13 @@ defaults = {
     # GDAL's block-cache access pattern for large/cloud-optimized files);
     # smaller files decode whole into the mtime-validated LRU cache
     "geomodeling.windowed-read-limit": 64 * (1024**2),
+    # accept raw view JSON in the WMS ``layers``/``coverage`` parameter
+    # (the reference's ship-the-view pattern, handy in notebooks).  The
+    # production entry point ``wms_serve.main`` turns this OFF whenever
+    # named layers are registered: an unauthenticated client that can
+    # construct arbitrary views can read any file on disk through
+    # RasterFileSource + GetMap/GetFeatureInfo
+    "geomodeling.wms-json-layers": True,
     # opt-in: requests at >= 2x-coarser resolution read the best
     # reduced-resolution (overview) IFD of a pyramided GeoTIFF instead
     # of the full grid (gdalwarp -ovr AUTO semantics; the reference's

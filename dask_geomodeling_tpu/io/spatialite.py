@@ -187,7 +187,11 @@ def read_spatialite(path, layer=None):
         geom_col = chosen["f_geometry_column"]
         srid = chosen["srid"]
 
-        rows = con.execute('SELECT * FROM "{}"'.format(table)).fetchall()
+        # identifier-quote the table name (a crafted geometry_columns row
+        # with an embedded '"' must fail cleanly, not change the query)
+        rows = con.execute(
+            'SELECT * FROM "{}"'.format(table.replace('"', '""'))
+        ).fetchall()
         geometries, records, fids = [], [], []
         for row in rows:
             row = dict(row)

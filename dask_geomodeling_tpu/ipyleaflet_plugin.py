@@ -55,11 +55,22 @@ def unregister_layers():
 
 
 def _layer_block(text):
-    """A Block from the layers parameter: a registered name, else JSON."""
+    """A Block from the layers parameter: a registered name, else JSON.
+
+    The JSON fallback is gated by ``geomodeling.wms-json-layers``: a
+    production server with named layers must not let clients construct
+    arbitrary views (file sources read any path the process can)."""
+    from dask_geomodeling_tpu.config import config
+
     with _LAYER_LOCK:
         block = _LAYERS.get(text)
     if block is not None:
         return block
+    if not config.get("geomodeling.wms-json-layers", True):
+        raise ValueError(
+            "unknown layer name %r (raw view JSON is disabled on this "
+            "server; use a registered layer from GetCapabilities)" % text[:80]
+        )
     return Block.from_json(text)
 
 
@@ -300,12 +311,26 @@ def render_feature_info(params):
     value = None
     if data is not None:
         raw = data["values"][0, 0, 0]
-        if data["no_data_value"] is None or raw != data["no_data_value"]:
+        nodata = data["no_data_value"]
+        # NaN sentinels need isnan equality (NaN != NaN is always true);
+        # a non-finite data value itself also maps to null — strict JSON
+        # has no NaN/Infinity literal
+        is_nodata = nodata is not None and (
+            raw == nodata
+            or (
+                isinstance(raw, np.floating)
+                and np.isnan(raw)
+                and np.isnan(nodata)
+            )
+        )
+        if not is_nodata:
             value = raw.item()
+            if isinstance(value, float) and not np.isfinite(value):
+                value = None
     payload = {"x": x, "y": y, "crs": srs, "value": value}
     if info_format == "text/plain":
         return ("value: %s\n" % ("" if value is None else value)).encode()
-    return json.dumps(payload).encode()
+    return json.dumps(payload, allow_nan=False).encode()
 
 
 def render_legend_graphic(params):

@@ -176,6 +176,14 @@ def labeled_statistics_batch_jax(
     if statistic != "percentile" and statistic not in _SUPPORTED:
         raise ValueError("Unsupported device statistic '{}'".format(statistic))
 
+    if statistic == "percentile":
+        # percentile rank arithmetic needs f64 (f32 positions lose
+        # exactness past 2^24 cells/frame); host-mask callers reach here
+        # without the executor's lazy x64 enable, so do it ourselves
+        from dask_geomodeling_tpu.runtime.executor import _ensure_x64
+
+        _ensure_x64()
+
     key = (num_labels, statistic, float(q))
     fn = _BATCH_JIT_CACHE.get(key)
     if fn is None:

@@ -43,7 +43,8 @@ def _freeze(response):
             value.setflags(write=False)
             nbytes += value.nbytes
         elif isinstance(value, (list, tuple)):
-            value = tuple(value)
+            # remember the container kind so hits round-trip it exactly
+            value = (_WasList if isinstance(value, list) else tuple)(value)
             nbytes += 64 * (len(value) + 1)
         elif isinstance(value, (int, float, str, bytes, type(None), np.generic)):
             nbytes += 64
@@ -57,9 +58,15 @@ def _thaw(frozen):
     if frozen is None:
         return None
     return {
-        key: list(value) if isinstance(value, tuple) else value
+        key: list(value) if isinstance(value, _WasList) else value
         for key, value in frozen.items()
     }
+
+
+class _WasList(tuple):
+    """A tuple remembering its source was a list (thawed back to one)."""
+
+    __slots__ = ()
 
 
 class _Miss:
@@ -93,7 +100,10 @@ def get_or_compute(block, request, compute, max_bytes):
             _, (_, evicted) = _CACHE.popitem(last=False)
             _BYTES[0] -= evicted
             _STATS["evictions"] += 1
-    return _thaw(frozen)
+    # the caller gets its own freshly computed response back (mutable
+    # arrays, original container types) — only later HITS see frozen
+    # copies, so enabling the cache never changes miss-path semantics
+    return response
 
 
 def clear():

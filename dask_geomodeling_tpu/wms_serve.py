@@ -17,19 +17,30 @@ from dask_geomodeling_tpu.ipyleaflet_plugin import wms_app
 
 def main(port=8787, host="127.0.0.1",
          block_import_paths=("dask_geomodeling_tpu",),
-         layers=None, result_cache_bytes=256 * 2**20, router_state=None):
+         layers=None, result_cache_bytes=256 * 2**20, router_state=None,
+         allow_json_layers=None):
     """Serve the WMS WSGI app forever on ``host:port``.
 
     ``layers`` maps names to Blocks (or view-JSON strings) advertised by
     GetCapabilities; the serving defaults turn on the cross-request
     result cache and, when ``router_state`` names a file, persist the
-    auto-router's measurements across restarts."""
+    auto-router's measurements across restarts.
+
+    ``allow_json_layers``: whether the ``layers`` query parameter may
+    carry raw view JSON.  Defaults to False whenever named ``layers``
+    are registered — a client that can construct views can point a
+    RasterFileSource at any readable path and exfiltrate it through
+    GetMap/GetFeatureInfo — and True for a bare dev server, whose only
+    way to specify a view is JSON."""
     from dask_geomodeling_tpu.core import Block
     from dask_geomodeling_tpu.ipyleaflet_plugin import register_layer
 
+    if allow_json_layers is None:
+        allow_json_layers = not layers
     settings = {
         "geomodeling.block-import-paths": list(block_import_paths),
         "geomodeling.result-cache-size": int(result_cache_bytes or 0),
+        "geomodeling.wms-json-layers": bool(allow_json_layers),
     }
     if router_state:
         settings["geomodeling.router-state"] = router_state

@@ -88,19 +88,48 @@ def test_distinct_requests_distinct_entries(source):
     assert results.stats()["entries"] == 2
 
 
-def test_cached_arrays_are_frozen(source):
+def test_miss_mutable_hit_frozen(source):
+    """A miss returns the caller's own response (mutable, cache-on
+    semantics identical to cache-off); only hits hand out frozen copies."""
     with config.set({
         "geomodeling.result-cache-size": 10**6,
         "geomodeling.executor": "numpy",
     }):
         first = source.get_data(**request())
-        with pytest.raises((ValueError, RuntimeError)):
-            first["values"][0, 0, 0] = 42
-        # ...and the cache itself stayed intact
+        first["values"][0, 0, 0] = 42  # fine: the caller owns a miss
         second = source.get_data(**request())
+        # the cache froze its copy before the caller's mutation...
+        assert second["values"][0, 0, 0] == 0
+        # ...and hits are read-only so they cannot corrupt the cache
+        with pytest.raises((ValueError, RuntimeError)):
+            second["values"][0, 0, 0] = 42
+        third = source.get_data(**request())
     np.testing.assert_array_equal(
-        second["values"][0].ravel(), np.arange(100)
+        third["values"][0].ravel(), np.arange(100)
     )
+
+
+def test_container_types_roundtrip():
+    """Tuple- and list-valued entries keep their type on miss AND hit."""
+    response = {"time": [1, 2], "bands": (3, 4), "no_data_value": None}
+    out_miss = results.get_or_compute(
+        _TokenStub(), {"mode": "time"}, lambda: response, 10**6
+    )
+    assert out_miss is response  # miss: the computed object itself
+    out_hit = results.get_or_compute(
+        _TokenStub(), {"mode": "time"}, _unreachable, 10**6
+    )
+    assert out_hit == response
+    assert isinstance(out_hit["time"], list)
+    assert isinstance(out_hit["bands"], tuple)
+
+
+class _TokenStub:
+    token = "results-container-roundtrip"
+
+
+def _unreachable():
+    raise AssertionError("hit path must not recompute")
 
 
 def test_eviction_under_budget(source):

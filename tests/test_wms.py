@@ -531,12 +531,15 @@ def test_wms_serve_main_configuration(view_json, monkeypatch):
         assert served["up"]
         assert config.get("geomodeling.result-cache-size") == 123456
         assert config.get("geomodeling.router-state") == "/tmp/routes.json"
+        # named layers registered => raw view JSON off by default
+        assert config.get("geomodeling.wms-json-layers") is False
         assert "demo" in get_capabilities_xml()
     finally:
         unregister_layers()
         config.set({
             "geomodeling.result-cache-size": 0,
             "geomodeling.router-state": None,
+            "geomodeling.wms-json-layers": True,
         })
 
 
@@ -860,6 +863,24 @@ class TestGetFeatureInfo:
         ))
         assert json.loads(raw)["value"] is None
 
+    def test_nan_nodata_is_null(self):
+        """NaN sentinels: NaN != NaN is always true, so nodata needs
+        isnan-aware equality; the JSON must stay strict (no bare NaN)."""
+        import json
+
+        source = MemorySource(
+            data=[[float("nan"), 1.0], [2.0, 3.0]],
+            no_data_value=float("nan"),
+            projection="EPSG:3857", pixel_size=1.0, pixel_origin=(0, 2),
+        )
+        raw = _plugin().render_feature_info(self._params(
+            source.to_json(), i="0", j="0",
+            bbox="0,0,2,2", width="2", height="2",
+        ))
+        payload = json.loads(raw)  # strict parse: bare NaN would fail
+        assert payload["value"] is None
+        assert b"NaN" not in raw
+
     def test_pixel_out_of_range_400(self, view_json):
         with pytest.raises(_plugin().WMSError) as err:
             _plugin().render_feature_info(
@@ -943,3 +964,43 @@ class TestGetLegendGraphic:
     def test_size_guard(self):
         with pytest.raises(_plugin().WMSError):
             _plugin().render_legend_graphic({"width": "100000"})
+
+
+class TestJsonLayerGating:
+    """geomodeling.wms-json-layers: production servers with named layers
+    must reject client-constructed views (ADVICE r3: file exfiltration
+    through RasterFileSource + GetMap)."""
+
+    def test_json_rejected_when_disabled(self, view_json):
+        from dask_geomodeling_tpu import config
+
+        with config.set({"geomodeling.wms-json-layers": False}):
+            with pytest.raises(_plugin().WMSError, match="registered layer"):
+                _plugin().render_wms_tile(base_params(view_json))
+
+    def test_registered_name_still_works_when_disabled(self, view_json):
+        from dask_geomodeling_tpu import config
+        from dask_geomodeling_tpu.core import Block
+
+        _plugin().register_layer("gated", Block.from_json(view_json))
+        try:
+            params = base_params(view_json)
+            params["layers"] = "gated"
+            with config.set({"geomodeling.wms-json-layers": False}):
+                raw = _plugin().render_wms_tile(params)
+            assert raw[:8] == b"\x89PNG\r\n\x1a\n"
+        finally:
+            _plugin().unregister_layers()
+
+    def test_serve_defaults(self, view_json):
+        """wms_serve.main: named layers => JSON off; bare server => on."""
+        import inspect
+
+        from dask_geomodeling_tpu import wms_serve
+
+        sig = inspect.signature(wms_serve.main)
+        assert sig.parameters["allow_json_layers"].default is None
+        # the decision rule lives in main() before serve_forever; probe it
+        # by replicating: allow = not layers
+        src = inspect.getsource(wms_serve.main)
+        assert "allow_json_layers = not layers" in src
