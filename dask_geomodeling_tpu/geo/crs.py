@@ -276,7 +276,10 @@ class _Mercator:
         phi = xp.radians(lat)
         lam = xp.radians(xp.asarray(lon, dtype=float))
         sin_phi = xp.sin(phi)
-        x = self.fe + self.ell.a * self.k0 * (lam - self.lam0)
+        # wrap into +-pi of the central meridian (Pacific grids like
+        # EPSG:3832 put lon0=150 with data across the antimeridian)
+        dl = (lam - self.lam0 + np.pi) % (2 * np.pi) - np.pi
+        x = self.fe + self.ell.a * self.k0 * dl
         y = self.fn + self.ell.a * self.k0 * xp.log(
             xp.tan(np.pi / 4.0 + phi / 2.0)
             * ((1.0 - e * sin_phi) / (1.0 + e * sin_phi)) ** (e / 2.0)
@@ -509,7 +512,11 @@ class _LambertConformalConic:
         phi = xp.radians(xp.asarray(lat, dtype=float))
         lam = xp.radians(xp.asarray(lon, dtype=float))
         rho = self.ell.a * self.big_f * self._t(phi, xp) ** self.n
-        theta = self.n * (lam - self.lam0)
+        # wrap the longitude delta into +-pi so CRSes whose central
+        # meridian sits across the antimeridian from the data (e.g. the
+        # deprecated EPSG:2155) project to the near cone aspect
+        dl = (lam - self.lam0 + np.pi) % (2 * np.pi) - np.pi
+        theta = self.n * dl
         x = self.fe + rho * xp.sin(theta)
         y = self.fn + self.rho0 - rho * xp.cos(theta)
         return x, y
@@ -557,19 +564,36 @@ class _LambertAzimuthalEqualArea:
         self._q = q
         phi0 = np.radians(lat0)
         self.qp = q(1.0)
-        q0 = q(np.sin(phi0))
-        self.beta0 = np.arcsin(q0 / self.qp)
-        self.rq = ell.a * np.sqrt(self.qp / 2)
-        m0 = np.cos(phi0) / np.sqrt(1 - e2 * np.sin(phi0) ** 2)
-        self.d = ell.a * m0 / (self.rq * np.cos(self.beta0))
+        # polar aspects (EPSG 9820): the oblique formulation degenerates at
+        # the poles (d -> 0); EASE-Grid 2.0 North/South (EPSG 6931/6932)
+        # and the WGS84 Arctic LAEA zones (3571-3576) take these branches
+        self.pole = 0
+        if lat0 > 89.9999999:
+            self.pole = 1
+        elif lat0 < -89.9999999:
+            self.pole = -1
+        if self.pole == 0:
+            q0 = q(np.sin(phi0))
+            self.beta0 = np.arcsin(q0 / self.qp)
+            self.rq = ell.a * np.sqrt(self.qp / 2)
+            m0 = np.cos(phi0) / np.sqrt(1 - e2 * np.sin(phi0) ** 2)
+            self.d = ell.a * m0 / (self.rq * np.cos(self.beta0))
 
     def forward(self, lon, lat, xp=np):
         phi = xp.radians(xp.asarray(lat, dtype=float))
         lam = xp.radians(xp.asarray(lon, dtype=float))
+        dl = (lam - self.lam0 + np.pi) % (2 * np.pi) - np.pi
+        if self.pole:
+            q = self._q(xp.sin(phi), xp)
+            rho = self.ell.a * xp.sqrt(
+                xp.maximum(self.qp - self.pole * q, 0.0)
+            )
+            x = self.fe + rho * xp.sin(dl)
+            y = self.fn - self.pole * rho * xp.cos(dl)
+            return x, y
         beta = xp.arcsin(
             xp.clip(self._q(xp.sin(phi), xp) / self.qp, -1.0, 1.0)
         )
-        dl = lam - self.lam0
         b = self.rq * xp.sqrt(
             2.0
             / (
@@ -588,24 +612,32 @@ class _LambertAzimuthalEqualArea:
     def inverse(self, x, y, xp=np):
         e2 = self.ell.e2
         e4, e6 = e2**2, e2**3
-        ex = (xp.asarray(x, dtype=float) - self.fe) / self.d
-        ny = (xp.asarray(y, dtype=float) - self.fn) * self.d
-        rho = xp.sqrt(ex**2 + ny**2)
-        rho_safe = xp.where(rho == 0, 1.0, rho)
-        ce = 2 * xp.arcsin(xp.clip(rho / (2 * self.rq), -1.0, 1.0))
-        beta = xp.arcsin(
-            xp.clip(
-                xp.cos(ce) * np.sin(self.beta0)
-                + (ny * xp.sin(ce) * np.cos(self.beta0)) / rho_safe,
-                -1.0,
-                1.0,
+        if self.pole:
+            ex = xp.asarray(x, dtype=float) - self.fe
+            ny = xp.asarray(y, dtype=float) - self.fn
+            rho = xp.hypot(ex, ny)
+            q = self.pole * (self.qp - (rho / self.ell.a) ** 2)
+            beta = xp.arcsin(xp.clip(q / self.qp, -1.0, 1.0))
+            lam = self.lam0 + xp.arctan2(ex, -self.pole * ny)
+        else:
+            ex = (xp.asarray(x, dtype=float) - self.fe) / self.d
+            ny = (xp.asarray(y, dtype=float) - self.fn) * self.d
+            rho = xp.sqrt(ex**2 + ny**2)
+            rho_safe = xp.where(rho == 0, 1.0, rho)
+            ce = 2 * xp.arcsin(xp.clip(rho / (2 * self.rq), -1.0, 1.0))
+            beta = xp.arcsin(
+                xp.clip(
+                    xp.cos(ce) * np.sin(self.beta0)
+                    + (ny * xp.sin(ce) * np.cos(self.beta0)) / rho_safe,
+                    -1.0,
+                    1.0,
+                )
             )
-        )
-        lam = self.lam0 + xp.arctan2(
-            ex * xp.sin(ce),
-            rho * np.cos(self.beta0) * xp.cos(ce)
-            - ny * np.sin(self.beta0) * xp.sin(ce),
-        )
+            lam = self.lam0 + xp.arctan2(
+                ex * xp.sin(ce),
+                rho * np.cos(self.beta0) * xp.cos(ce)
+                - ny * np.sin(self.beta0) * xp.sin(ce),
+            )
         # authalic latitude -> geodetic latitude (series)
         phi = (
             beta
@@ -657,7 +689,8 @@ class _AlbersEqualArea:
         lam = xp.radians(xp.asarray(lon, dtype=float))
         q = self._q(xp.sin(phi), xp)
         rho = self.ell.a * xp.sqrt(self.c - self.n * q) / self.n
-        theta = self.n * (lam - self.lam0)
+        dl = (lam - self.lam0 + np.pi) % (2 * np.pi) - np.pi
+        theta = self.n * dl
         x = self.fe + rho * xp.sin(theta)
         y = self.fn + self.rho0 - rho * xp.cos(theta)
         return x, y
@@ -2152,6 +2185,64 @@ class _ScaledUnitProjection:
         )
 
 
+class _AxisAdjustedProjection:
+    """Wrap a projection whose CRS axes are non-metre and/or south/west
+    orientated (EPSG axis conventions, e.g. Hartebeesthoek Lo grids or the
+    west-orientated Greenland/Faroe Lamberts).  A flipped axis mirrors the
+    projection displacement around the false origin, matching EPSG methods
+    9808/9826: grid = (f + s*(m - f)) / factor."""
+
+    is_geographic = False
+
+    def __init__(self, inner, factor=1.0, sx=1, sy=1, fe=0.0, fn=0.0,
+                 unit_name="unknown"):
+        self._inner = inner
+        self.factor = factor
+        self.sx = sx
+        self.sy = sy
+        self.fe = fe
+        self.fn = fn
+        self.unit = unit_name
+        self.ell = inner.ell
+
+    def forward(self, lon, lat, xp=np):
+        x, y = self._inner.forward(lon, lat, xp)
+        x = (self.fe + self.sx * (x - self.fe)) / self.factor
+        y = (self.fn + self.sy * (y - self.fn)) / self.factor
+        return x, y
+
+    def inverse(self, x, y, xp=np):
+        x = xp.asarray(x, dtype=float) * self.factor
+        y = xp.asarray(y, dtype=float) * self.factor
+        return self._inner.inverse(
+            self.fe + self.sx * (x - self.fe),
+            self.fn + self.sy * (y - self.fn),
+            xp,
+        )
+
+
+class _ShiftedGeographicProjection:
+    """Geographic axes referenced to a non-Greenwich prime meridian and/or
+    counted in non-degree units (e.g. NTF (Paris) longitudes in grads)."""
+
+    is_geographic = True
+
+    def __init__(self, pm=0.0, deg_factor=1.0, unit_name="degree"):
+        self.pm = pm
+        self.factor = deg_factor
+        self.unit = unit_name
+
+    def forward(self, lon, lat, xp=np):
+        lon = xp.asarray(lon, dtype=float)
+        lat = xp.asarray(lat, dtype=float)
+        return (lon - self.pm) / self.factor, lat / self.factor
+
+    def inverse(self, x, y, xp=np):
+        x = xp.asarray(x, dtype=float)
+        y = xp.asarray(y, dtype=float)
+        return x * self.factor + self.pm, y * self.factor
+
+
 def _capture_projection_args():
     """Record every projection's constructor arguments on the instance
     (``_ctor_args``): the WKT exporter re-serializes supported families
@@ -2969,7 +3060,17 @@ def _registry_get(code):
                 5000000.0, 10000000.0,
             ),
         )
-    raise TransformException("Unsupported EPSG code: %d" % code)
+    # the hand registry misses: fall back to the generated EPSG parameter
+    # table (geo/epsg.json.gz, full projected+geographic EPSG coverage)
+    from . import _epsg_registry
+
+    sr = _epsg_registry.resolve(code)
+    if sr is not None:
+        return sr
+    raise TransformException(
+        "Unsupported EPSG code: %d (not in the EPSG registry table; pass "
+        "the CRS as WKT instead)" % code
+    )
 
 
 #: geographic (2-D lat/lon) CRSes: code -> (name, DATUMS key)
@@ -3084,22 +3185,23 @@ for _i, (_lon0, _lat0, _sp1, _sp2) in enumerate(_CALIFORNIA_ZONES):
 # number): 1SP definitions at the Paris meridian, expressed in Greenwich
 # longitudes
 _NTF_LAMBERT = (
-    ("I", 49.5, 0.999877340, 200000.0),
-    ("II", 46.8, 0.99987742, 200000.0),
-    ("III", 44.1, 0.999877499, 200000.0),
-    ("IV", 42.165, 0.99994471, 185861.369),
+    ("I", 49.5, 0.999877340, 600000.0, 200000.0),
+    ("II", 46.8, 0.99987742, 600000.0, 200000.0),
+    ("III", 44.1, 0.999877499, 600000.0, 200000.0),
+    # zone IV (Corse) has its own false origin, not the mainland 600 km
+    ("IV", 42.165, 0.99994471, 234.358, 185861.369),
 )
-for _i, (_num, _lat0, _k0, _fn) in enumerate(_NTF_LAMBERT):
+for _i, (_num, _lat0, _k0, _fe, _fn) in enumerate(_NTF_LAMBERT):
     _LCC_REGISTRY[27561 + _i] = (
         "NTF (Paris) / Lambert %s"
         % ("Nord", "Centre", "Sud", "Corse")[_i],
         "NTF", "clrk80ign", _PARIS_LON, _lat0, _lat0, _lat0,
-        600000.0, _fn, _k0,
+        _fe, _fn, _k0,
     )
     _LCC_REGISTRY[27571 + _i] = (
         "NTF (Paris) / Lambert zone %s" % _num,
         "NTF", "clrk80ign", _PARIS_LON, _lat0, _lat0, _lat0,
-        600000.0, _fn + (_i + 1) * 1000000.0, _k0,
+        _fe, _fn + (_i + 1) * 1000000.0, _k0,
     )
 
 
