@@ -62,8 +62,15 @@ def _close_ring(arr):
 
 
 def _ring_area(ring):
-    """Signed area (positive = counter-clockwise)."""
-    x, y = ring[:, 0], ring[:, 1]
+    """Signed area (positive = counter-clockwise).
+
+    Anchored at the first vertex: signed area is translation-invariant,
+    and shifting makes the shoelace terms feature-sized instead of
+    coordinate-sized — at projected-CRS offsets of ~1e7 the raw shoelace
+    loses ~1e-1 absolute precision per ring, swamping small features.
+    """
+    x = ring[:, 0] - ring[0, 0]
+    y = ring[:, 1] - ring[0, 1]
     return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
 
 
@@ -75,6 +82,75 @@ def _point_in_ring(px, py, ring):
         px < (x2 - x) * (py - y) / np.where(y2 == y, np.inf, y2 - y) + x
     )
     return bool(np.count_nonzero(crossing) % 2)
+
+
+def _ring_is_simple(ring):
+    """True when the closed ring has no self-intersections: non-adjacent
+    segments neither cross nor touch, adjacent segments meet only at their
+    shared endpoint (no spikes), and no vertex repeats (except closure)."""
+    n = len(ring) - 1  # segment count
+    if n < 3:
+        return False
+    pts = ring[:-1]
+    # duplicate vertices (other than the closure) collapse segments
+    if len(np.unique(pts, axis=0)) != n:
+        return False
+    a, b = ring[:-1], ring[1:]
+    d = b - a
+    for i in range(n - 1):
+        # test segment i against all later non-adjacent segments
+        j0 = i + 1
+        p, dp = a[i], d[i]
+        aj, dj = a[j0:], d[j0:]
+        denom = dp[0] * dj[:, 1] - dp[1] * dj[:, 0]
+        diff = aj - p
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (diff[:, 0] * dj[:, 1] - diff[:, 1] * dj[:, 0]) / denom
+            u = (diff[:, 0] * dp[1] - diff[:, 1] * dp[0]) / denom
+        parallel = np.abs(denom) < 1e-15
+        tol = 1e-12
+        hit = (
+            ~parallel
+            & (t > tol) & (t < 1 - tol)
+            & (u > tol) & (u < 1 - tol)
+        )
+        # adjacency: segment i+1 shares an endpoint (t=1, u=0 excluded by
+        # the open interval); the wrap pair (0, n-1) likewise
+        if hit.any():
+            return False
+        # endpoint-on-interior touches (T-junctions) are also non-simple
+        touch = (
+            ~parallel
+            & (
+                ((np.abs(t) <= tol) | (np.abs(t - 1) <= tol))
+                & (u > tol) & (u < 1 - tol)
+                | ((np.abs(u) <= tol) | (np.abs(u - 1) <= tol))
+                & (t > tol) & (t < 1 - tol)
+            )
+        )
+        if touch.any():
+            return False
+        # collinear overlap of parallel segments
+        if parallel.any():
+            seg_len2 = dp[0] ** 2 + dp[1] ** 2
+            for k in np.nonzero(parallel)[0]:
+                j = j0 + k
+                cross = dp[0] * (a[j][1] - p[1]) - dp[1] * (a[j][0] - p[0])
+                if abs(cross) > 1e-9 * np.sqrt(seg_len2) * max(
+                    1.0, np.hypot(*d[j])
+                ):
+                    continue  # parallel but not collinear
+                # project segment j's endpoints onto i; interval overlap
+                # means doubled/overlapping boundary (for adjacent pairs
+                # the shared endpoint projects to exactly 0 or 1, so a
+                # straight continuation has zero overlap while a spike
+                # doubling back overlaps)
+                t1 = ((a[j] - p) @ dp) / seg_len2
+                t2 = ((b[j] - p) @ dp) / seg_len2
+                lo, hi = min(t1, t2), max(t1, t2)
+                if min(hi, 1.0) - max(lo, 0.0) > 1e-12:
+                    return False
+    return True
 
 
 def _point_on_segments(px, py, ring, tol=1e-9):
@@ -178,6 +254,13 @@ class Geometry:
         return Point(float(pts[:, 0].mean()), float(pts[:, 1].mean()))
 
     # --- predicates ---
+
+    @property
+    def is_valid(self):
+        """OGC validity (shapely parity).  Points/lines are always valid;
+        Polygon/MultiPolygon override with ring-simplicity and hole
+        containment checks."""
+        return True
 
     def equals(self, other):
         """Geometric equality: same point set, regardless of ring
@@ -428,6 +511,40 @@ class Polygon(Geometry):
             return Point(*self.shell[:-1].mean(axis=0))
         return Point(cx / total, cy / total)
 
+    @property
+    def is_valid(self):
+        """OGC validity: every ring simple with nonzero area, holes inside
+        the exterior, and no two rings crossing (touching at finitely many
+        points is allowed by OGC but flagged conservatively here only when
+        edges properly cross)."""
+        if self.is_empty:
+            return True  # matches shapely: empty geometries are valid
+        rings = self._rings()
+        for ring in rings:
+            if len(ring) < 4 or abs(_ring_area(ring)) == 0.0:
+                return False
+            if not _ring_is_simple(ring):
+                return False
+        for hole in self.holes:
+            # a hole vertex must sit inside (or on) the exterior
+            hx, hy = hole[0]
+            if not (
+                _point_in_ring(hx, hy, self.shell)
+                or _point_on_segments(hx, hy, self.shell)
+            ):
+                return False
+        # rings must not properly cross each other
+        from dask_geomodeling_tpu.geo import _overlay
+
+        for i in range(len(rings)):
+            for j in range(i + 1, len(rings)):
+                for k in range(len(rings[i]) - 1):
+                    if _overlay._edge_intersections(
+                        rings[i][k], rings[i][k + 1], rings[j]
+                    ):
+                        return False
+        return True
+
     def contains_point(self, px, py, boundary=True):
         """Point-in-polygon over all rings (even-odd)."""
         if _point_on_segments(px, py, self.shell) or any(
@@ -500,6 +617,12 @@ class MultiPolygon(_Multi):
     geom_type = "MultiPolygon"
     part_type = Polygon
 
+    @property
+    def is_valid(self):
+        """All member polygons valid (member-overlap checks, which full
+        OGC validity also requires, are not attempted here)."""
+        return all(g.is_valid for g in self.geoms)
+
 
 class GeometryCollection(_Multi):
     """A heterogeneous collection of geometries."""
@@ -508,6 +631,10 @@ class GeometryCollection(_Multi):
 
     def __init__(self, geoms=None):
         self.geoms = list(geoms or [])
+
+    @property
+    def is_valid(self):
+        return all(g.is_valid for g in self.geoms)
 
 
 def box(x1, y1, x2, y2):
