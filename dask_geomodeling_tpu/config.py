@@ -88,6 +88,14 @@ defaults = {
     # "auto" takes the device only for frame stacks at least this many
     # pixels (t*h*w): below it, dispatch latency dominates the sort win
     "geomodeling.aggregate-device-min-px": 2**22,
+    # allow float64 pipelines through DISCRETE device ops (Classify,
+    # Reclassify, Step, MaskBelow, comparisons): XLA:TPU emulates f64 at
+    # ~1e-14 relative error, which can flip cells whose values sit within
+    # that noise of a bin edge / comparison threshold.  Off by default:
+    # such pipelines route to the (bit-exact) host path on real chips;
+    # opt in per deployment when approximate bin edges are acceptable.
+    # CPU backends are bit-exact and never guarded.
+    "geomodeling.device-f64-discrete": False,
     # use the fused Pallas kernel for Gaussian smoothing on TPU
     "geomodeling.pallas-smooth": True,
     # use the fused Pallas kernel for the moving-max footprint filter

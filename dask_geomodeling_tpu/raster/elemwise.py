@@ -447,6 +447,14 @@ class LessEqual(BaseComparison):
     process = staticmethod(wrap_math_process_func(np.less_equal))
 
 
+for _comparison in (Equal, NotEqual, Greater, GreaterEqual, Less, LessEqual):
+    # discrete (boolean) outputs: f64 operands can flip under the chip's
+    # emulated float64 — the executor guards these pipelines host-side
+    # by default (geomodeling.device-f64-discrete)
+    _comparison.process.jax_f64_sensitive = True
+del _comparison
+
+
 def _invert_process(data):
     if "values" in data:
         return {"values": ~data["values"], "no_data_value": None}

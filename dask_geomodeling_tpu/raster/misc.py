@@ -240,6 +240,7 @@ def _mask_below_jax(data, value):
 
 
 _mask_below_process.jax_impl = _mask_below_jax
+_mask_below_process.jax_f64_sensitive = True  # threshold comparison
 
 
 class MaskBelow(BaseSingle):
@@ -294,6 +295,7 @@ def _step_out_range(data, left, right, location, at):
 
 
 _step_process.jax_out_range = _step_out_range
+_step_process.jax_f64_sensitive = True  # three-way threshold
 
 
 class Step(BaseSingle):
@@ -345,6 +347,9 @@ _classify_process.jax_impl = _classify_jax
 # every non-nodata output is a bin index in [0, len(bins)] — lets the
 # tile runtime pack the fetch (runtime/fetchcodec.py)
 _classify_process.jax_out_range = lambda data, bins, right: (0, len(bins))
+# discrete output: emulated f64 on real chips can flip bin-edge cells
+# (guarded host-side by default, geomodeling.device-f64-discrete)
+_classify_process.jax_f64_sensitive = True
 
 
 class Classify(BaseSingle):
@@ -448,6 +453,7 @@ def _reclassify_jax(store_data, process_kwargs):
 
 
 _reclassify_process.jax_impl = _reclassify_jax
+_reclassify_process.jax_f64_sensitive = True  # exact-match table lookup
 
 
 def _reclassify_out_range(store_data, process_kwargs):

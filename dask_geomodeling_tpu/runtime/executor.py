@@ -277,6 +277,54 @@ def _dynamicize(arg, dynamic):
     return out
 
 
+_BACKEND_NAME = []  # cached jax.default_backend() (initializes jax lazily)
+
+
+def _f64_discrete_guarded():
+    """True when float64 discrete ops must stay off the device: the
+    default on real chips (XLA:TPU f64 emulation carries ~1e-14 relative
+    error, enough to flip a Classify cell at a bin edge — PARITY.md
+    numeric parity note), opted out via ``geomodeling.device-f64-discrete``.
+    CPU backends compute f64 natively and are never guarded."""
+    from dask_geomodeling_tpu import config
+
+    if config.get("geomodeling.device-f64-discrete", False):
+        return False
+    if not _BACKEND_NAME:
+        import jax
+
+        _BACKEND_NAME.append(jax.default_backend())
+    return _BACKEND_NAME[0] != "cpu"
+
+
+def view_has_f64_discrete(view):
+    """Does any discrete-output block in the view tree (process marked
+    ``jax_f64_sensitive``) consume a float64 raster?"""
+    from dask_geomodeling_tpu.core.graphs import Block
+
+    seen = set()
+    stack = [view]
+    while stack:
+        block = stack.pop()
+        if id(block) in seen:
+            continue
+        seen.add(id(block))
+        sensitive = getattr(
+            getattr(block, "process", None), "jax_f64_sensitive", False
+        )
+        for child in getattr(block, "args", ()):
+            if not isinstance(child, Block):
+                continue
+            stack.append(child)
+            if sensitive:
+                try:
+                    if np.dtype(child.dtype) == np.float64:
+                        return True
+                except (TypeError, AttributeError):
+                    pass
+    return False
+
+
 _EAGER = object()  # cache marker: this program shape evaluates host-side
 
 _DEVICE_ARRAY_CACHE = {}
@@ -369,6 +417,13 @@ class _StagedProgram:
                 self.device_output_keys.add(key)
         self.graph = graph
         self.deps = deps
+        # any staged node whose discrete output can flip under emulated
+        # f64 (Classify bin edges, comparisons): checked against the
+        # concrete input dtypes per run, see _f64_discrete_guarded
+        self.f64_sensitive = any(
+            getattr(graph[key][0], "jax_f64_sensitive", False)
+            for key in keys
+        )
 
     def _split_with_offset(self, obj, all_arrays):
         offset = len(all_arrays)
@@ -439,6 +494,22 @@ class _StagedProgram:
             # no array payload (time/meta requests, empty results): the
             # jax_impls run host-side; outputs are static structures that
             # cannot be jit outputs anyway
+            self._run_eager(cache)
+            return
+
+        if (
+            self.f64_sensitive
+            # raster payloads only (ndim >= 2): _dynamicize ships scalar
+            # constants and bboxes as float64 1-D arrays by design
+            and any(
+                a.ndim >= 2 and a.dtype == np.float64 for a in all_arrays
+            )
+            and _f64_discrete_guarded()
+        ):
+            # float64 feeding a discrete op on a real chip: bin edges /
+            # comparison thresholds can flip under emulated f64, so the
+            # (bit-exact, semantically identical) host path serves this
+            # run.  Data-dependent, so nothing is cached as _EAGER.
             self._run_eager(cache)
             return
 

@@ -258,16 +258,23 @@ class timed_route:
         return False
 
 
-def reset():
-    """Forget all measurements (tests; benchmark config flips).
+def reset(reseed=False):
+    """Forget all in-memory measurements (tests; benchmark config flips).
 
-    A configured ``router-state`` file is NOT re-read afterwards — reset
-    means re-explore from scratch; the persisted state reloads only when
-    the config key changes or :func:`load` is called explicitly."""
+    With ``reseed=True`` and ``geomodeling.router-state`` configured, the
+    persisted routing table is read back in immediately, so a mid-life
+    reset in a serving process restores its learned routes instead of
+    silently re-paying the host+2-device exploration per view.  The
+    default (``reseed=False``) means re-explore from scratch — what
+    benchmarks and tests want."""
     with _lock:
         _routes.clear()
-        _loaded_from[0] = _state_path()  # mark as consumed: no re-seed
         _dirty[0] = 0
+        if reseed:
+            _loaded_from[0] = None  # force a fresh read of the state file
+            _maybe_load_locked()
+        else:
+            _loaded_from[0] = _state_path()  # mark as consumed: no re-seed
 
 
 def stats():

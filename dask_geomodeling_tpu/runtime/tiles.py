@@ -702,6 +702,15 @@ def evaluate_tiled(view, request, tile_size=512, batch=None):
     """
     if request.get("mode", "vals") != "vals":
         raise ValueError("evaluate_tiled handles vals requests only")
+    if _ex.view_has_f64_discrete(view) and _ex._f64_discrete_guarded():
+        # float64 into a discrete op (Classify/comparison): bin-edge
+        # cells can flip under the chip's emulated f64; keep reference
+        # bit-exactness by serving from the host path (opt-in override:
+        # geomodeling.device-f64-discrete)
+        raise NotLowerable(
+            "float64 discrete-op pipeline guarded off the device "
+            "(set geomodeling.device-f64-discrete=True to allow)"
+        )
     if batch is None:
         from dask_geomodeling_tpu import config as _cfg
 

@@ -45,6 +45,12 @@ def main(port=8787, host="127.0.0.1",
     if router_state:
         settings["geomodeling.router-state"] = router_state
     config.set(settings)
+    if router_state:
+        # eagerly restore learned routes (and make any later mid-life
+        # reset re-seed instead of silently re-exploring every view)
+        from dask_geomodeling_tpu.runtime import router
+
+        router.reset(reseed=True)
     for name, block in (layers or {}).items():
         if isinstance(block, str):
             block = Block.from_json(block)

@@ -292,3 +292,25 @@ class TestPersistence:
             router.reset()
             # a fresh exploration, not the persisted winner
             assert router.choose(big_source, request, True) == "numpy"
+
+    def test_reset_reseed_restores_routes(self, big_source, tmp_path):
+        """reset(reseed=True) reloads the persisted table: a serving
+        process that resets mid-life keeps its learned routes instead of
+        re-paying exploration (round-3 verdict item 7)."""
+        path = str(tmp_path / "routes.json")
+        request = big_request()
+        with config.set({"geomodeling.router-state": path}):
+            self._measure(big_source, request, jax_rate=50.0)
+            router.save()
+            router.reset(reseed=True)
+            # the measured winner is back immediately, no re-exploration
+            assert router.choose(big_source, request, True) == "jax"
+            assert any(v["jax_runs"] >= 2 for v in router.stats().values())
+
+    def test_reset_reseed_without_state_file_is_plain_reset(
+        self, big_source
+    ):
+        request = big_request()
+        self._measure(big_source, request, jax_rate=50.0)
+        router.reset(reseed=True)  # no router-state configured
+        assert router.choose(big_source, request, True) == "numpy"
