@@ -87,11 +87,14 @@ def get_footprint(size):
 
 def get_rounded_repr(obj, significant=4, fmt="{} (rounded)"):
     """Repr of a number tuple rounded to ``significant`` digits."""
-    digits = (
-        -int(floor(log10(abs(n)))) + (significant - 1) if n else None for n in obj
-    )
-    rounded = obj.__class__(round(n, d) if n else n for n, d in zip(obj, digits))
-    if tuple(obj) == tuple(rounded):
+    def to_significant(n):
+        if not n:
+            return n
+        magnitude = int(floor(log10(abs(n))))
+        return round(n, significant - 1 - magnitude)
+
+    rounded = obj.__class__(to_significant(n) for n in obj)
+    if tuple(rounded) == tuple(obj):
         return repr(obj)
     return fmt.format(repr(rounded))
 

@@ -66,14 +66,20 @@ class GeoTransform(tuple):
         i, j = origin
         return type(self)([p + a * j + b * i, a, b, q + c * j + d * i, c, d])
 
-    def get_indices(self, points):
-        """Pixel indices (i, j) for N x 2 world points, as linear arrays."""
+    def _pixel_coords(self, x, y):
+        """Fractional (col, row) pixel coordinates of world (x, y)."""
         p, _, _, q, _, _ = self
         e, f, g, h = self.get_inverse()
+        dx, dy = x - p, y - q
+        return e * dx + f * dy, g * dx + h * dy
+
+    def get_indices(self, points):
+        """Pixel indices (i, j) for N x 2 world points, as linear arrays."""
         x, y = np.asarray(points).transpose()
+        col, row = self._pixel_coords(x, y)
         return (
-            np.floor(g * (x - p) + h * (y - q)).astype(np.int64),
-            np.floor(e * (x - p) + f * (y - q)).astype(np.int64),
+            np.floor(row).astype(np.int64),
+            np.floor(col).astype(np.int64),
         )
 
     def get_points(self, indices):
@@ -87,11 +93,9 @@ class GeoTransform(tuple):
 
     def get_bbox(self, offset, shape):
         """Bbox covered by a subarray at ``offset`` with ``shape``."""
-        p, a, b, q, c, d = self
-        i, j = offset
+        _, a, b, _, c, d = self
         m, n = shape
-        west = p + a * j + b * i
-        north = q + c * j + d * i
+        west, north = self.shift(offset).origin
         east = west + a * n + b * m
         south = north + c * n + d * m
         return west, south, east, north
@@ -99,15 +103,12 @@ class GeoTransform(tuple):
     def get_indices_for_bbox(self, bbox):
         """((i1, i2), (j1, j2)) array index ranges covering ``bbox``."""
         x1, y1, x2, y2 = bbox
-        p, _, _, q, _, _ = self
-        e, f, g, h = self.get_inverse()
-        x_index_1 = int(math.floor(e * (x1 - p) + f * (y2 - q)))
-        y_index_1 = int(math.floor(g * (x1 - p) + h * (y2 - q)))
-        x_index_2 = int(math.floor(e * (x2 - p) + f * (y1 - q)))
-        y_index_2 = int(math.floor(g * (x2 - p) + h * (y1 - q)))
-        x_pair = tuple(sorted((x_index_1, x_index_2)))
-        y_pair = tuple(sorted((y_index_1, y_index_2)))
-        return y_pair, x_pair
+        # the NW and SE bbox corners in fractional pixel space
+        col_nw, row_nw = self._pixel_coords(x1, y2)
+        col_se, row_se = self._pixel_coords(x2, y1)
+        cols = sorted((int(math.floor(col_nw)), int(math.floor(col_se))))
+        rows = sorted((int(math.floor(row_nw)), int(math.floor(row_se))))
+        return tuple(rows), tuple(cols)
 
     def get_array_ranges(self, bbox, shape):
         """Slices and paddings needed to extract ``bbox`` from an array of
@@ -116,24 +117,16 @@ class GeoTransform(tuple):
         Returns ``(((i1, i2), (j1, j2)), padding_or_None)`` where padding is
         ``((before_i, after_i), (before_j, after_j))``.
         """
-        (i1, i2), (j1, j2) = self.get_indices_for_bbox(bbox)
-
-        # point requests: ensure a non-empty index range
-        if i1 == i2:
-            i2 += 1
-        if j1 == j2:
-            j2 += 1
-
-        _i1, _i2 = np.clip([i1, i2], 0, shape[1])
-        _j1, _j2 = np.clip([j1, j2], 0, shape[2])
-        ranges = (_i1, _i2), (_j1, _j2)
-
-        padding_i = (i2 - i1, 0) if _i1 == _i2 else (_i1 - i1, i2 - _i2)
-        padding_j = (j2 - j1, 0) if _j1 == _j2 else (_j1 - j1, j2 - _j2)
-        padding = padding_i, padding_j
-        if np.all(np.array(padding) <= 0):
-            padding = None
-        return ranges, padding
+        ranges, padding, outside = [], [], False
+        for (lo, hi), size in zip(self.get_indices_for_bbox(bbox), shape[1:]):
+            if lo == hi:
+                hi += 1  # point request: keep the index range non-empty
+            in_lo, in_hi = np.clip([lo, hi], 0, size)
+            ranges.append((in_lo, in_hi))
+            pad = (hi - lo, 0) if in_lo == in_hi else (in_lo - lo, hi - in_hi)
+            padding.append(pad)
+            outside = outside or pad[0] > 0 or pad[1] > 0
+        return tuple(ranges), tuple(padding) if outside else None
 
     def aligns_with(self, other):
         """True if the other transform has the same resolution and the grid

@@ -12,37 +12,46 @@ from dask_geomodeling_tpu.config import config
 __all__ = ["safe_file_url", "safe_abspath"]
 
 
+def _split_protocol(url):
+    """``(protocol, path)`` for a URL; bare paths count as ``file``."""
+    parts = url.split("://")
+    if len(parts) != 2:
+        return "file", url
+    if parts[0] != "file":
+        raise NotImplementedError('Unknown protocol: "{}"'.format(parts[0]))
+    return parts[0], parts[1]
+
+
+def _sandbox_root(start):
+    """The effective sandbox root, honouring the deprecated ``start`` arg."""
+    if start is None:
+        return config.get("geomodeling.root")
+    warnings.warn(
+        "Using the start argument in safe_file_url is deprecated. Use "
+        "'geomodeling.root' in the config",
+        DeprecationWarning,
+    )
+    return start
+
+
 def safe_file_url(url, start=None):
     """Normalize a file URL, enforcing the sandbox rules."""
-    try:
-        protocol, path = url.split("://")
-    except ValueError:
-        protocol = "file"
-        path = url
-    else:
-        if protocol != "file":
-            raise NotImplementedError('Unknown protocol: "{}"'.format(protocol))
-    if start is not None:
-        warnings.warn(
-            "Using the start argument in safe_file_url is deprecated. Use "
-            "'geomodeling.root' in the config",
-            DeprecationWarning,
+    protocol, path = _split_protocol(url)
+    root = _sandbox_root(start)
+
+    if os.path.isabs(path):
+        resolved = os.path.abspath(path)
+    elif root is None:
+        raise IOError(
+            "Relative path '{}' provided but start was not given.".format(path)
         )
     else:
-        start = config.get("geomodeling.root")
+        resolved = os.path.abspath(os.path.join(root, path))
 
-    if not os.path.isabs(path):
-        if start is None:
-            raise IOError(
-                "Relative path '{}' provided but start was not given.".format(path)
-            )
-        abspath = os.path.abspath(os.path.join(start, path))
-    else:
-        abspath = os.path.abspath(path)
-    strict = config.get("geomodeling.strict-file-paths")
-    if strict and not abspath.startswith(start):
-        raise IOError("'{}' is not contained in '{}'".format(path, start))
-    return "://".join([protocol, abspath])
+    if config.get("geomodeling.strict-file-paths"):
+        if not resolved.startswith(root):
+            raise IOError("'{}' is not contained in '{}'".format(path, root))
+    return "{}://{}".format(protocol, resolved)
 
 
 def safe_abspath(url, start=None):

@@ -46,48 +46,43 @@ def snap_start_stop(start, stop, time_first, time_delta, length):
     """
     if length == 0:
         return (None,) * 4
-
-    if length == 1:
-        time_delta = None
-        period = (time_first, time_first)
-    elif length > 1 and time_delta is None:
+    if length > 1 and time_delta is None:
         raise ValueError("Length > 1 requires a timedelta")
-    else:
-        period = (time_first, time_first + (length - 1) * time_delta)
+
+    last = length - 1
+
+    def frame(i):
+        return time_first if length == 1 else time_first + time_delta * i
+
+    axis_end = frame(last)
 
     if start is None:
-        start = stop = period[-1]
-        first_i = last_i = length - 1
-    elif stop is None:
-        if start <= period[0]:
-            start = stop = period[0]
-            first_i = last_i = 0
-        elif start >= period[1]:
-            start = stop = period[1]
-            first_i = last_i = length - 1
-        elif length == 1:
-            start = stop = period[0]
-            first_i = last_i = 0
+        # no window at all: the newest frame
+        return axis_end, axis_end, last, last
+
+    if stop is None:
+        # instant request: the single nearest frame, clamped onto the axis
+        if length == 1 or start <= time_first:
+            i = 0
+        elif start >= axis_end:
+            i = last
         else:
-            first_i = last_i = int(round((start - period[0]) / time_delta))
-            start = stop = period[0] + time_delta * first_i
-    else:
-        if start > period[1] or stop < period[0]:
-            start = stop = first_i = last_i = None
-        elif length == 1:
-            start = stop = period[0]
-            first_i = last_i = 0
-        else:
-            first_i = max(int(np.ceil((start - period[0]) / time_delta)), 0)
-            last_i = min(int(np.floor((stop - period[0]) / time_delta)), length - 1)
-            if first_i > last_i:
-                # the closed interval lies strictly between two frames:
-                # nothing to return (an inverted range would produce
-                # 0-band arrays with start > stop downstream)
-                return (None,) * 4
-            start = period[0] + time_delta * first_i
-            stop = period[0] + time_delta * last_i
-    return start, stop, first_i, last_i
+            i = int(round((start - time_first) / time_delta))
+        return frame(i), frame(i), i, i
+
+    # closed-interval request
+    if start > axis_end or stop < time_first:
+        return (None,) * 4
+    if length == 1:
+        return time_first, time_first, 0, 0
+    first_i = max(int(np.ceil((start - time_first) / time_delta)), 0)
+    last_i = min(int(np.floor((stop - time_first) / time_delta)), last)
+    if first_i > last_i:
+        # the closed interval lies strictly between two frames: nothing
+        # to return (an inverted range would produce 0-band arrays with
+        # start > stop downstream)
+        return (None,) * 4
+    return frame(first_i), frame(last_i), first_i, last_i
 
 
 def find_neigbours(array, value, direction="nearest"):
@@ -95,21 +90,19 @@ def find_neigbours(array, value, direction="nearest"):
     sorted 1-D ``array``; never out of bounds."""
     array = np.asarray(array)
     value = np.asarray(value)
-
     if array.size == 1:
         return np.zeros(value.shape, dtype=int)
-
-    if direction == "nearest":
-        midpoints = array[:-1] + (array[1:] - array[:-1]) / 2
-        indices = np.searchsorted(midpoints, value)
-    elif direction == "forward":
-        indices = np.searchsorted(array, value, side="left")
+    if direction == "forward":
+        raw = np.searchsorted(array, value, side="left")
     elif direction == "backward":
-        indices = np.searchsorted(array, value, side="right") - 1
+        raw = np.searchsorted(array, value, side="right") - 1
+    elif direction == "nearest":
+        # bisect against the midpoints: which side of a midpoint a value
+        # falls on decides which element is nearest
+        raw = np.searchsorted(array[:-1] + (array[1:] - array[:-1]) / 2, value)
     else:
         raise ValueError("Unknown direction: {}".format(direction))
-
-    return np.clip(indices, 0, array.size - 1)
+    return np.clip(raw, 0, array.size - 1)
 
 
 def dt_to_ms(dt):

@@ -155,31 +155,29 @@ class ClassifyFromColumns(SeriesBlock):
 
     @staticmethod
     def process(data, value_column, bin_columns, labels, right):
-        if "features" not in data or len(data["features"]) == 0:
+        features = data.get("features")
+        if features is None or len(features) == 0:
             return pd.Series([], dtype=float)
-        features = data["features"]
-        series = _none_to_nan(features[value_column])
-        values = series.values
-        bins = features[bin_columns].values
-        n_bins = len(bin_columns)
+        values = _none_to_nan(features[value_column]).values
+        edges = features[bin_columns].values
 
-        # per-feature bins: count how many edges each value passes
+        # rank each value among its own row of edges
+        passes = np.greater if right else np.greater_equal
         with np.errstate(invalid="ignore"):
-            if right:
-                indices = np.sum(values[:, np.newaxis] > bins, axis=1)
-            else:
-                indices = np.sum(values[:, np.newaxis] >= bins, axis=1)
+            rank = passes(values[:, None], edges).sum(axis=1)
 
-        if len(labels) == n_bins + 1:
-            indices[np.isnan(values)] = len(labels)  # map NaN to NaN below
+        nan_slot = len(labels)  # the NaN sentinel appended to the lookup
+        if len(labels) == len(bin_columns) + 1:
+            rank[np.isnan(values)] = nan_slot
         else:
-            # closed outer intervals: index 0 and n_bins are out of range
-            indices -= 1
-            indices[indices == -1] = len(labels)
+            # closed outer intervals: below the first edge is out of range
+            # (above the last lands on nan_slot by itself)
+            rank = rank - 1
+            rank[rank == -1] = nan_slot
 
-        labeled_data = pd.Series(labels + [np.nan]).loc[indices]
-        labeled_data.index = features.index
-        return labeled_data
+        labeled = pd.Series(labels + [np.nan]).loc[rank]
+        labeled.index = features.index
+        return labeled
 
 
 class BaseFieldOperation(BaseSingleSeries):

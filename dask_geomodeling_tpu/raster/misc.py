@@ -120,13 +120,12 @@ class Clip(BaseSingle):
 
     @property
     def extent(self):
-        result, mask = [s.extent for s in self.args]
-        if result is None or mask is None:
+        boxes = [s.extent for s in self.args]
+        if any(b is None for b in boxes):
             return None
-        x1 = max(result[0], mask[0])
-        y1 = max(result[1], mask[1])
-        x2 = min(result[2], mask[2])
-        y2 = min(result[3], mask[3])
+        # the clipped extent is the overlap of store and mask
+        x1, y1 = (max(b[axis] for b in boxes) for axis in (0, 1))
+        x2, y2 = (min(b[axis] for b in boxes) for axis in (2, 3))
         if x2 <= x1 or y2 <= y1:
             return None
         return x1, y1, x2, y2

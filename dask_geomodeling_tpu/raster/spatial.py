@@ -32,64 +32,62 @@ __all__ = ["Dilate", "Smooth", "MovingMax", "HillShade", "Place"]
 
 
 def expand_request_pixels(request, radius=1):
-    """Expand a vals request by ``radius`` pixels on all sides; None for
-    non-vals or point requests."""
+    """A copy of a vals request grown by ``radius`` pixels on every side.
+
+    Returns None for non-vals requests and for degenerate (point) bboxes,
+    which have no pixel size to grow by.
+    """
     if request["mode"] != "vals":
         return None
-
-    width, height = request["width"], request["height"]
     x1, y1, x2, y2 = request["bbox"]
-    pwidth, pheight = x2 - x1, y2 - y1
-
-    if pwidth == 0 or pheight == 0:
+    if x2 == x1 or y2 == y1:
         return None
-
-    amount_x = pwidth / width * radius
-    amount_y = pheight / height * radius
-
-    new_request = request.copy()
-    new_request["bbox"] = (x1 - amount_x, y1 - amount_y, x2 + amount_x, y2 + amount_y)
-    new_request["width"] += 2 * radius
-    new_request["height"] += 2 * radius
-    return new_request
+    dx = (x2 - x1) / request["width"] * radius
+    dy = (y2 - y1) / request["height"] * radius
+    grown = dict(request)
+    grown["bbox"] = (x1 - dx, y1 - dy, x2 + dx, y2 + dy)
+    grown["width"] = request["width"] + 2 * radius
+    grown["height"] = request["height"] + 2 * radius
+    return grown
 
 
 def expand_request_meters(request, radius_m=1):
-    """Expand a vals request by ``radius_m`` meters, rounded to an integer
-    number of pixels.  Returns (new_request, radius_in_pixels_yx)."""
+    """A copy of a vals request grown by ``radius_m`` meters on every side,
+    snapped outward to a whole number of pixels.
+
+    Returns ``(grown_request, radius_px)`` with ``radius_px`` the unsnapped
+    (y, x) radius expressed in pixels — the kernel builders consume that.
+    """
     sr = get_sr(request["projection"])
+    geographic = sr.IsGeographic()
     bbox = request["bbox"]
-
-    if sr.IsGeographic():
-        extent_geom = Extent(bbox, request["projection"])
-        bbox = extent_geom.transformed("EPSG:3857").bbox
-
+    if geographic:
+        # grow in the web-mercator frame so "meters" means meters
+        bbox = Extent(bbox, request["projection"]).transformed("EPSG:3857").bbox
     x1, y1, x2, y2 = bbox
-    shape_m = y2 - y1, x2 - x1
 
-    if shape_m[0] > 0 and shape_m[1] > 0:
-        resolution = request["height"] / shape_m[0], request["width"] / shape_m[1]
-        radius_px = [radius_m * res for res in resolution]
-        margins_px = [int(round(r)) for r in radius_px]
-        margins_m = [m / res for m, res in zip(margins_px, resolution)]
+    span_y, span_x = y2 - y1, x2 - x1
+    if span_y > 0 and span_x > 0:
+        # pixel density (px per meter) along each axis
+        density = (request["height"] / span_y, request["width"] / span_x)
+        radius_px = [radius_m * d for d in density]
+        snap_px = [int(round(r)) for r in radius_px]
+        snap_m = [px / d for px, d in zip(snap_px, density)]
     else:
-        radius_px = margins_px = [Smooth.MARGIN_THRESHOLD] * 2
-        margins_m = [radius_m] * 2
+        radius_px = snap_px = [Smooth.MARGIN_THRESHOLD] * 2
+        snap_m = [radius_m] * 2
 
-    new_request = request.copy()
-    new_request["bbox"] = (
-        x1 - margins_m[1],
-        y1 - margins_m[0],
-        x2 + margins_m[1],
-        y2 + margins_m[0],
-    )
-    if sr.IsGeographic():
-        extent_proj = Extent(new_request["bbox"], "EPSG:3857")
-        new_request["bbox"] = extent_proj.transformed(request["projection"]).bbox
-    new_request["height"] += 2 * margins_px[0]
-    new_request["width"] += 2 * margins_px[1]
-
-    return new_request, radius_px
+    grown = dict(request)
+    grown["bbox"] = (x1 - snap_m[1], y1 - snap_m[0], x2 + snap_m[1], y2 + snap_m[0])
+    if geographic:
+        grown["bbox"] = (
+            Extent(grown["bbox"], "EPSG:3857")
+            .transformed(request["projection"])
+            .bbox
+        )
+    grown["height"] = request["height"] + 2 * snap_px[0]
+    grown["width"] = request["width"] + 2 * snap_px[1]
+    return grown, radius_px
 
 
 def _dilate_process(data, values=None):
@@ -642,89 +640,101 @@ class Place(BaseSingle):
 
     @staticmethod
     def process(process_kwargs, *multi):
-        if process_kwargs["mode"] in {"meta", "time"}:
+        mode = process_kwargs["mode"]
+        if mode in {"meta", "time"}:
             return multi[0]
-        if process_kwargs["mode"] == "null":
+        if mode == "null":
             return None
-        if process_kwargs["mode"] == "empty":
+        if mode == "group":
+            # shifted copies already arrived as separate frames: just merge
+            stack = [frame for frame in multi if frame is not None]
+            if not stack:
+                return None
+            return reduce_rasters(stack, process_kwargs["statistic"])
+        if mode == "empty":
             data = multi[0]
             if data is None:
                 return None
-            out_shape = (
-                len(data["time"]),
-                process_kwargs["height"],
-                process_kwargs["width"],
+            return _nodata_raster(
+                (
+                    len(data["time"]),
+                    process_kwargs["height"],
+                    process_kwargs["width"],
+                ),
+                process_kwargs["fillvalue"],
+                process_kwargs["dtype"],
             )
-            out_no_data_value = process_kwargs["fillvalue"]
-            out_dtype = process_kwargs["dtype"]
-            stack = []
-        elif process_kwargs["mode"] == "group":
-            stack = [data for data in multi if data is not None]
-            if len(stack) == 0:
-                return None
-        elif process_kwargs["mode"] == "warp":
-            data = multi[0]
-            if data is None:
-                return None
-            out_no_data_value = data["no_data_value"]
-            source = data["values"]
-            out_dtype = source.dtype
+        if mode != "warp":
+            raise ValueError("Unknown mode '{}'".format(mode))
 
-            anchor = process_kwargs["anchor"]
-            src_bbox = process_kwargs["src_bbox"]
-            size_x, size_y = process_kwargs["cellsize"]
-            anchor_px = (
-                (anchor[0] - src_bbox[0]) / size_x,
-                (anchor[1] - src_bbox[1]) / size_y,
+        data = multi[0]
+        if data is None:
+            return None
+        out_shape, stack = _paste_placements(process_kwargs, data)
+        if not stack:
+            return _nodata_raster(
+                out_shape, data["no_data_value"], data["values"].dtype
             )
-
-            x1, y1, x2, y2 = process_kwargs["dst_bbox"]
-            coordinates = process_kwargs["coordinates"]
-            dst_h = round((y2 - y1) / size_y)
-            dst_w = round((x2 - x1) / size_x)
-            src_d, src_h, src_w = source.shape
-            out_shape = (src_d, dst_h, dst_w)
-
-            k, j, i = np.where(get_index(source, out_no_data_value))
-
-            stack = []
-            for x, y in coordinates:
-                if i.size == 0:
-                    break
-                coord_px = (x - x1) / size_x, (y - y1) / size_y
-                di = round(coord_px[0] - anchor_px[0])
-                dj = round(coord_px[1] - anchor_px[1])
-                # y-axis inversion: dj counts from the other side
-                dj = dst_h - src_h - dj
-
-                if di <= -src_w or di >= dst_w or dj <= -src_h or dj >= dst_h:
-                    continue
-                if 0 <= di <= (dst_w - src_w) and 0 <= dj <= (dst_h - src_h):
-                    values = np.full(out_shape, out_no_data_value, out_dtype)
-                    values[k, j + dj, i + di] = source[k, j, i]
-                    stack.append(
-                        {"values": values, "no_data_value": out_no_data_value}
-                    )
-                else:
-                    i_s = i + di
-                    j_s = j + dj
-                    m = (i_s >= 0) & (j_s >= 0) & (i_s < dst_w) & (j_s < dst_h)
-                    if not m.any():
-                        continue
-                    values = np.full(out_shape, out_no_data_value, out_dtype)
-                    values[k[m], j_s[m], i_s[m]] = source[k[m], j[m], i[m]]
-                    stack.append(
-                        {"values": values, "no_data_value": out_no_data_value}
-                    )
-        else:
-            raise ValueError("Unknown mode '{}'".format(process_kwargs["mode"]))
-
-        if len(stack) == 0:
-            return {
-                "values": np.full(out_shape, out_no_data_value, out_dtype),
-                "no_data_value": out_no_data_value,
-            }
         return reduce_rasters(stack, process_kwargs["statistic"])
+
+
+def _nodata_raster(shape, no_data_value, dtype):
+    """An all-nodata raster response of the given shape."""
+    return {
+        "values": np.full(shape, no_data_value, dtype),
+        "no_data_value": no_data_value,
+    }
+
+
+def _paste_placements(process_kwargs, data):
+    """Warp-mode placements as whole-rectangle pastes.
+
+    Each coordinate shifts the source block over the destination canvas;
+    the overlap rectangle is pasted in bulk (copying source nodata cells
+    onto a nodata canvas is a no-op, so this equals the reference's
+    sparse data-cell scatter, raster/spatial.py:640-725).  Returns
+    ``(out_shape, stack)``; an all-nodata source yields an empty stack so
+    the caller's nodata fill preserves the reference's shortcut
+    semantics for sum/count.
+    """
+    no_data_value = data["no_data_value"]
+    source = data["values"]
+    src_d, src_h, src_w = source.shape
+
+    x1, y1, x2, y2 = process_kwargs["dst_bbox"]
+    size_x, size_y = process_kwargs["cellsize"]
+    dst_h = round((y2 - y1) / size_y)
+    dst_w = round((x2 - x1) / size_x)
+    out_shape = (src_d, dst_h, dst_w)
+
+    if not np.any(get_index(source, no_data_value)):
+        return out_shape, []
+
+    anchor = process_kwargs["anchor"]
+    src_bbox = process_kwargs["src_bbox"]
+    anchor_px = (
+        (anchor[0] - src_bbox[0]) / size_x,
+        (anchor[1] - src_bbox[1]) / size_y,
+    )
+
+    stack = []
+    for x, y in process_kwargs["coordinates"]:
+        di = round((x - x1) / size_x - anchor_px[0])
+        dj = round((y - y1) / size_y - anchor_px[1])
+        # the row axis counts down from the top of the canvas
+        dj = dst_h - src_h - dj
+
+        # overlap rectangle between the shifted source and the canvas
+        row0, row1 = max(dj, 0), min(dj + src_h, dst_h)
+        col0, col1 = max(di, 0), min(di + src_w, dst_w)
+        if row0 >= row1 or col0 >= col1:
+            continue
+        canvas = np.full(out_shape, no_data_value, source.dtype)
+        canvas[:, row0:row1, col0:col1] = source[
+            :, row0 - dj : row1 - dj, col0 - di : col1 - di
+        ]
+        stack.append({"values": canvas, "no_data_value": no_data_value})
+    return out_shape, stack
 
 
 def _place_jax_capable(process_kwargs, *rest):

@@ -259,38 +259,42 @@ def _get_bin_start(dt, frequency, closed, label, timezone):
 
 
 def _shift_datetime(dt, frequency, timezone, n):
-    """Shift a naive datetime by n (possibly fractional) frequency steps."""
+    """Shift a naive datetime ``n`` frequency steps; fractions interpolate."""
     if n == 0:
         return dt
-    ts = _dt_to_ts(dt, timezone)
-    freq = to_offset(frequency)
-    if isinstance(n, float):
-        # non-fixed frequencies (months): interpolate between whole steps
-        ts_1 = ts + freq * int(n // 1.0)
-        ts_2 = ts + freq * (int(n // 1.0) + 1)
-        fractional_shift = n % 1.0 if n > 0 else (-(n % 1.0))
-        ts = ts_1 + (ts_2 - ts_1) * fractional_shift
-    else:
-        ts = ts + n * freq
-    return _ts_to_dt(ts, timezone)
+    step = to_offset(frequency)
+    anchor = _dt_to_ts(dt, timezone)
+    if not isinstance(n, float):
+        return _ts_to_dt(anchor + n * step, timezone)
+    # Non-fixed offsets (e.g. months) have no scalar "0.4 of a step":
+    # measure the actual span of the step the shift lands in and
+    # linearly interpolate inside it.
+    whole = int(n // 1.0)
+    lo = anchor + whole * step
+    span = (anchor + (whole + 1) * step) - lo
+    frac = n % 1.0 if n > 0 else -(n % 1.0)
+    return _ts_to_dt(lo + span * frac, timezone)
 
 
 def _get_closest_label(dt, frequency, timezone, side="both"):
-    """The resampling label closest to ``dt`` (optionally one-sided)."""
+    """The resampling label nearest ``dt``; ``side`` restricts direction."""
     ts = _dt_to_ts(dt, timezone)
-    candidate = _dt_to_ts(
+    step = to_offset(frequency)
+    seed = _dt_to_ts(
         _get_bin_label(dt, frequency, "left", "left", timezone), timezone
     )
-    freq = to_offset(frequency)
-    candidates = pd.date_range(candidate - freq, candidate + freq, freq=freq)
-    differences = (candidates - ts).to_series()
-    differences.index = candidates
-    if side == "right":
-        differences = differences[differences >= pd.Timedelta(0)]
-    elif side == "left":
-        differences = differences[differences <= pd.Timedelta(0)]
-    result = differences.abs().idxmin()
-    return _ts_to_dt(result, timezone)
+    zero = pd.Timedelta(0)
+    best = None
+    # the nearest label is the seed or one of its direct neighbours
+    for labelled in (seed - step, seed, seed + step):
+        offset = labelled - ts
+        if (side == "right" and offset < zero) or (
+            side == "left" and offset > zero
+        ):
+            continue
+        if best is None or abs(offset) < abs(best - ts):
+            best = labelled
+    return _ts_to_dt(best, timezone)
 
 
 def _validate_resampling(statistic, allowed, frequency, closed, label, timezone):
@@ -378,37 +382,35 @@ def _resampled_period(period, frequency, closed, label, timezone):
 
 
 def _snap_to_resampled_labels(period, start, stop, frequency, timezone):
-    """Snap requested start/stop onto resampled bin labels."""
+    """Clamp a requested [start, stop] window onto resampled bin labels.
+
+    Returns ``(None, None)`` when the window misses the labelled period
+    entirely; an instant request (``stop is None``) keeps ``stop`` None.
+    """
     if period is None:
         return None, None
-
-    if start is None:
-        start = period[1]
+    first, last = period
 
     if stop is None:
-        if start <= period[0]:
-            start = period[0]
-        elif start >= period[1]:
-            start = period[1]
-        else:
-            start = _get_closest_label(start, frequency, timezone, side="both")
-    else:
-        if start <= period[0]:
-            start = period[0]
-        elif start > period[1]:
-            return None, None
-        else:
-            start = _get_closest_label(start, frequency, timezone, side="right")
-        if stop >= period[1]:
-            stop = period[1]
-        elif stop < period[0]:
-            return None, None
-        else:
-            stop = _get_closest_label(stop, frequency, timezone, side="left")
-        if start > stop:
-            return None, None
+        # instant request: the single nearest label (newest by default)
+        at = last if start is None else min(max(start, first), last)
+        if first < at < last:
+            at = _get_closest_label(at, frequency, timezone, side="both")
+        return at, None
 
-    return start, stop
+    lo = last if start is None else start
+    if lo > last or stop < first:
+        return None, None
+    if lo > first:
+        lo = _get_closest_label(lo, frequency, timezone, side="right")
+    else:
+        lo = first
+    hi = last
+    if stop < last:
+        hi = _get_closest_label(stop, frequency, timezone, side="left")
+    if lo > hi:
+        return None, None
+    return lo, hi
 
 
 def _labels_to_start_stop(start_label, stop_label, frequency, closed, label, timezone):
@@ -422,16 +424,13 @@ def _labels_to_start_stop(start_label, stop_label, frequency, closed, label, tim
 
 
 def _get_label_range(start_label, stop_label, frequency, timezone):
-    """All labels between start_label and stop_label, inclusive."""
-    assert start_label is not None
+    """Every label from ``start_label`` through ``stop_label``, inclusive."""
     if stop_label is None:
         return [start_label]
-    labels = pd.date_range(
-        start=_dt_to_ts(start_label, timezone),
-        end=_dt_to_ts(stop_label, timezone),
-        freq=to_offset(frequency),
-    )
-    return [_ts_to_dt(ts, timezone) for ts in labels]
+    ticks = pd.date_range(_dt_to_ts(start_label, timezone),
+                          _dt_to_ts(stop_label, timezone),
+                          freq=to_offset(frequency))
+    return [_ts_to_dt(tick, timezone) for tick in ticks]
 
 
 def count_not_nan(x, *args, **kwargs):
