@@ -168,6 +168,23 @@ class RasterBlock(Block):
 
         return to_file(self, *args, **kwargs)
 
+    def out_value_set(self):
+        """Every value this block's output array can contain (data values
+        AND nodata fills), as a set — or None when the output is
+        continuous/unbounded.
+
+        Discrete-output blocks (Mask, Classify, Reclassify, Step, ...)
+        override this, propagating through their wrapped stores, so the
+        tile runtime can derive a packed fetch codec for whole *chains*
+        (e.g. ``Reclassify(Classify(...))`` without ``select``) instead
+        of only roots that declare their alphabet standalone.  A
+        declared set MUST be a superset of the truth — extra values only
+        cost codec symbols, missing values silently corrupt the packed
+        fetch.  The reference has no analog (it ships raw ndarrays
+        between dask workers); this feeds runtime/fetchcodec.py.
+        """
+        return None
+
     def __len__(self):
         """Number of temporal bands."""
         span = self.period

@@ -216,6 +216,38 @@ class BaseMath(BaseElementwise):
         _check_operands((a, b), self.OPERAND_TYPES)
         super().__init__(a, b)
 
+    def out_value_set(self):
+        # raster (op) scalar keeps a discrete alphabet discrete: apply the
+        # ufunc to each member the way the process would (operands cast to
+        # the result dtype), nodata and non-finite results to the fill
+        ufunc = getattr(self.process, "np_func", None)
+        a, b = self.args
+        raster, scalar = (a, b) if isinstance(a, RasterBlock) else (b, a)
+        if (
+            ufunc is None
+            or not isinstance(raster, RasterBlock)
+            or not isinstance(scalar, (int, float))
+        ):
+            return None
+        child = raster.out_value_set()
+        dtype = self.dtype
+        if child is None or len(child) > 64 or dtype == bool:
+            return None
+        child_fill = raster.fillvalue
+        out = {self.fillvalue}
+        for v in child:
+            if child_fill is not None and v == child_fill:
+                continue  # nodata cells land on the fill, added above
+            operands = (v, scalar) if raster is a else (scalar, v)
+            with np.errstate(all="ignore"):
+                r = ufunc(
+                    np.asarray(operands[0], dtype),
+                    np.asarray(operands[1], dtype),
+                    dtype=dtype,
+                ).item()
+            out.add(r if np.isfinite(r) else self.fillvalue)
+        return out
+
 
 class BaseComparison(BaseMath):
     """Base for raster-vs-raster/constant comparisons (bool results)."""
@@ -364,6 +396,7 @@ def wrap_math_process_func(func, jnp_func_name=None):
     setattr(elemwise, func.__name__, math_process_func)
     setattr(elemwise_jax, func.__name__, jax_impl)
     math_process_func.jax_impl = jax_impl
+    math_process_func.np_func = func  # BaseMath.out_value_set propagation
     # numeric constants become traced inputs: Add(x, 10) and Add(x, 20)
     # share one compiled program (the impl casts operands to the result
     # dtype, so a float64-traced constant keeps integer semantics)

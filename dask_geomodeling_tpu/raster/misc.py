@@ -116,6 +116,13 @@ class Clip(BaseSingle):
         request["start"] = min(max(start, period[0]), period[1])
         return [(source, request) for source in self.args]
 
+    def out_value_set(self):
+        # store values pass through; cells outside the mask become nodata
+        child = self.store.out_value_set()
+        if child is None:
+            return None
+        return child | {self.fillvalue}
+
     process = staticmethod(_clip_process)
 
     @property
@@ -216,6 +223,11 @@ class Mask(BaseSingle):
     def dtype(self):
         return _mask_dtype_from_value(self.value)
 
+    def out_value_set(self):
+        # data cells all become `value`, nodata cells the fill — exactly
+        # two possible outputs whatever the store holds (float included)
+        return {self.value, self.fillvalue}
+
     process = staticmethod(_mask_process)
 
 
@@ -249,6 +261,14 @@ class MaskBelow(BaseSingle):
         if not isinstance(value, (float, int)):
             raise TypeError("'{}' object is not allowed".format(type(value)))
         super().__init__(store, value)
+
+    def out_value_set(self):
+        child = self.store.out_value_set()
+        if child is None:
+            return None
+        value = self.args[1]
+        # below-threshold cells become nodata; the rest pass through
+        return {v for v in child if not v < value} | {self.fillvalue}
 
     process = staticmethod(_mask_below_process)
 
@@ -313,6 +333,11 @@ class Step(BaseSingle):
     value = arg(3)
     at = arg(4)
 
+    def out_value_set(self):
+        # every data cell maps to left/at/right; nodata passes through
+        # the store's fill (which fillvalue delegates to)
+        return {self.left, self.at, self.right, self.fillvalue}
+
     process = staticmethod(_step_process)
 
 
@@ -376,6 +401,11 @@ class Classify(BaseSingle):
     @property
     def dtype(self):
         return utils.get_uint_dtype(len(self.bins) + 2)
+
+    def out_value_set(self):
+        if len(self.bins) > 16:
+            return None  # more symbols than any packed codec can use
+        return set(range(len(self.bins) + 1)) | {self.fillvalue}
 
     @property
     def fillvalue(self):
@@ -520,6 +550,28 @@ class Reclassify(BaseSingle):
     @property
     def fillvalue(self):
         return utils.get_dtype_max(self.dtype)
+
+    def out_value_set(self):
+        source, target = zip(*self.data)
+        if self.select:
+            # unmapped cells become nodata: the alphabet is the targets
+            return set(target) | {self.fillvalue}
+        # without select, unmapped store values pass through — bounded
+        # only when the store's own alphabet is (e.g. a Classify chain)
+        child = self.store.out_value_set()
+        if child is None:
+            return None
+        mapping = dict(zip(source, target))
+        child_fill = self.store.fillvalue
+        out = {self.fillvalue}
+        for v in child:
+            if v in mapping:
+                out.add(mapping[v])
+            elif child_fill is not None and v == child_fill:
+                out.add(self.fillvalue)  # nodata maps onto the new fill
+            else:
+                out.add(v)
+        return out
 
     def get_sources_and_requests(self, **request):
         process_kwargs = {

@@ -36,12 +36,15 @@ class FetchCodec:
     """Base-S pixel packer: ``encode`` runs inside the traced tile
     program, ``decode`` reverses it on host, bit-exactly.
 
-    ``palette`` (optional, sorted int array) maps a sparse discrete
-    output alphabet (e.g. Reclassify targets [1, 5, 9, 13, 17]) onto
-    dense codes, so the symbol count is the number of distinct values
-    rather than the value range — a range-based codec would need
-    range-size symbols (often > 16 and unusable) where the palette needs
-    len(palette).
+    ``palette`` (optional, sorted array) maps a sparse discrete output
+    alphabet (e.g. Reclassify targets [1, 5, 9, 13, 17], or Mask's
+    float {0.0, 7.0}) onto dense codes, so the symbol count is the
+    number of distinct values rather than the value range — a
+    range-based codec would need range-size symbols (often > 16 and
+    unusable) where the palette needs len(palette).  Float palettes are
+    stored in the output dtype so device-side equality is exact; a NaN
+    fill is encoded via ``fill_code`` with an isnan test (NaN can never
+    live inside a sorted palette).
     """
 
     def __init__(self, lo, fill, fill_code, symbols, group, dtype,
@@ -52,9 +55,12 @@ class FetchCodec:
         self.symbols = int(symbols)
         self.group = int(group)
         self.dtype = np.dtype(dtype)
-        self.palette = (
-            None if palette is None else np.asarray(palette, np.int64)
-        )
+        if palette is None:
+            self.palette = None
+        elif np.issubdtype(self.dtype, np.floating):
+            self.palette = np.asarray(palette, self.dtype)
+        else:
+            self.palette = np.asarray(palette, np.int64)
 
     def __repr__(self):
         return "FetchCodec(S=%d, %d px/byte, dtype=%s%s)" % (
@@ -70,7 +76,7 @@ class FetchCodec:
         flat = values.reshape(bands, -1)
         if self.palette is not None:
             return jnp.searchsorted(
-                jnp.asarray(self.palette), flat.astype(jnp.int64)
+                jnp.asarray(self.palette), flat.astype(self.palette.dtype)
             ).astype(jnp.int32)
         return flat.astype(jnp.int32) - self.lo
 
@@ -81,11 +87,13 @@ class FetchCodec:
         bands = values.shape[0]
         flat = self._codes(values, jnp)
         if self.fill_code is not None:
-            flat = jnp.where(
-                values.reshape(bands, -1) == self.fill,
-                self.fill_code,
-                flat,
+            flat_vals = values.reshape(bands, -1)
+            is_fill = (
+                jnp.isnan(flat_vals)
+                if isinstance(self.fill, float) and np.isnan(self.fill)
+                else flat_vals == self.fill
             )
+            flat = jnp.where(is_fill, self.fill_code, flat)
         pad = (-flat.shape[1]) % self.group
         if pad:
             flat = jnp.pad(flat, ((0, 0), (0, pad)))
@@ -132,19 +140,101 @@ class FetchCodec:
         )
 
 
-def derive_codec(dtype, fillvalue, root_func, root_literals):
+def codec_from_values(values, fillvalue, dtype):
+    """A FetchCodec from an explicit output alphabet (the block-level
+    ``out_value_set`` protocol, raster/base.py), or None.
+
+    Unlike the function-attribute path this handles FLOAT outputs: the
+    palette is cast to the output dtype so device-side equality is
+    exact, and a NaN fill gets the out-of-palette fill code (isnan test
+    in ``encode``).  ``values`` must be the complete set of possible
+    output array values; the fill is added if absent.
+    """
+    dtype = np.dtype(dtype)
+    is_float = np.issubdtype(dtype, np.floating)
+    if not (is_float or dtype == bool or np.issubdtype(dtype, np.integer)):
+        return None
+    vals = set()
+    for v in values:
+        if v is None:
+            return None
+        try:
+            cast = dtype.type(v)
+        except (TypeError, ValueError, OverflowError):
+            return None
+        if is_float:
+            if not np.isfinite(cast):
+                return None  # NaN/inf members: only the fill may be NaN
+            vals.add(float(cast))
+        else:
+            if float(v) != float(cast):
+                return None  # value does not survive the output dtype
+            vals.add(int(cast))
+    if not vals:
+        return None
+
+    nan_fill = (
+        fillvalue is not None
+        and isinstance(fillvalue, float)
+        and np.isnan(fillvalue)
+    )
+    if fillvalue is not None and not nan_fill:
+        fv = dtype.type(fillvalue)
+        if is_float and not np.isfinite(fv):
+            if np.isnan(fv):
+                nan_fill = True
+            else:
+                vals.add(float(fv))
+        else:
+            vals.add(float(fv) if is_float else int(fv))
+
+    palette = np.array(sorted(vals), dtype if is_float else np.int64)
+    if nan_fill:
+        symbols = len(palette) + 1
+        fill_code = symbols - 1
+        fill = np.nan
+    else:
+        symbols = max(len(palette), 2)
+        fill_code = None
+        fill = fillvalue
+    if symbols > 16:
+        return None
+    group = 1
+    while symbols ** (group + 1) <= 256:
+        group += 1
+    if group < 2:
+        return None
+    lo = 0 if is_float else int(palette[0])
+    if not is_float and len(palette) == int(palette[-1]) - lo + 1:
+        palette = None  # contiguous ints: the plain base-S codec
+    return FetchCodec(lo, fill, fill_code, symbols, group, dtype, palette)
+
+
+def derive_codec(dtype, fillvalue, root_func, root_literals, view=None):
     """A FetchCodec for a tile program's root node, or None.
 
     ``dtype``/``fillvalue`` describe the view's output; ``root_func`` is
     the root node's process function and ``root_literals`` its literal
     args (graph-key args as None), matching the ``jax_capable`` calling
-    convention.  A ``jax_out_values`` declaration (exact discrete output
-    set, e.g. Reclassify's target list) beats ``jax_out_range``: the
-    symbol count becomes the number of distinct values, not the value
-    span, so sparse alphabets like [1, 5, 9, 13, 17] pack at 3 px/byte
-    where the 17-value range would disable packing entirely.
+    convention.  Resolution order:
+
+    1. ``view.out_value_set()`` (block-level chain propagation,
+       raster/base.py) — the only path that understands float alphabets
+       and whole chains like ``Reclassify(Classify(...))``;
+    2. a ``jax_out_values`` declaration on the root process (exact
+       discrete output set, e.g. Reclassify's target list);
+    3. ``jax_out_range`` — the symbol count is the value span.
     """
     dtype = np.dtype(dtype)
+    if view is not None:
+        try:
+            declared = view.out_value_set()
+        except Exception:
+            declared = None
+        if declared is not None:
+            codec = codec_from_values(declared, fillvalue, dtype)
+            if codec is not None:
+                return codec
     palette = None
     if dtype == bool:
         lo, hi, fill = 0, 1, None

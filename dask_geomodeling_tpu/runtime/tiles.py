@@ -216,7 +216,7 @@ class TileProgram:
             ]
             try:
                 self.codec = derive_codec(
-                    view.dtype, view.fillvalue, root[0], literals
+                    view.dtype, view.fillvalue, root[0], literals, view=view
                 )
             except Exception:
                 logger.warning("fetch codec derivation failed", exc_info=True)

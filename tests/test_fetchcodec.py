@@ -13,8 +13,21 @@ from dask_geomodeling_tpu.raster import (
     Reclassify,
     Step,
 )
-from dask_geomodeling_tpu.runtime.fetchcodec import FetchCodec, derive_codec
+from dask_geomodeling_tpu.runtime.fetchcodec import (
+    FetchCodec,
+    codec_from_values,
+    derive_codec,
+)
 from dask_geomodeling_tpu.runtime.tiles import _get_tile_program, evaluate_tiled
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _x64():
+    # tests here jit codec.encode directly (outside TileProgram, which
+    # calls _ensure_x64 itself); int64-max fills overflow without x64
+    from dask_geomodeling_tpu.runtime.executor import _ensure_x64
+
+    _ensure_x64()
 
 
 @pytest.fixture(scope="module")
@@ -243,4 +256,87 @@ def test_step_packed_equals_host(source, request_64):
     expected = view.get_data(**request_64)
     with config.set({"geomodeling.fetch-pack": True}):
         packed = _tiled(view, request_64)
+        # float32 output, four-value alphabet: rides the float palette
+        program = _get_tile_program(view, dict(request_64, width=32, height=32))
+        assert program.codec is not None and program.codec.group >= 3
     np.testing.assert_array_equal(packed["values"], expected["values"])
+
+
+class TestValueSetCodec:
+    """Block-level out_value_set chains: float palettes, NaN fills, and
+    whole-pipeline alphabets the root-only declarations cannot see."""
+
+    def test_float_mask_packs_8_per_byte(self, source, request_64):
+        from dask_geomodeling_tpu.raster import Mask, Multiply
+
+        view = Mask(Multiply(Add(source, 1.0), 2.0), 7.0)
+        assert view.out_value_set() == {0, 7.0}
+        expected = view.get_data(**request_64)
+        with config.set({"geomodeling.fetch-pack": True}):
+            packed = _tiled(view, request_64)
+            program = _get_tile_program(
+                view, dict(request_64, width=32, height=32)
+            )
+        assert program.codec is not None
+        assert program.codec.group == 8
+        assert program.codec.dtype == np.dtype("float32")
+        np.testing.assert_array_equal(packed["values"], expected["values"])
+        assert packed["values"].dtype == expected["values"].dtype
+
+    def test_reclassify_chain_without_select(self, source, request_64):
+        """select=False used to disable packing (unmapped values pass
+        through) — chain propagation bounds the store's alphabet."""
+        from dask_geomodeling_tpu.raster import MaskBelow
+
+        view = Reclassify(
+            Classify(MaskBelow(source, 10.0), bins=[50.0, 100.0, 150.0]),
+            data=[[0, 1], [1, 5], [2, 9], [3, 13]],
+        )
+        vals = view.out_value_set()
+        assert vals == {1, 5, 9, 13, view.fillvalue}
+        expected = view.get_data(**request_64)
+        with config.set({"geomodeling.fetch-pack": True}):
+            packed = _tiled(view, request_64)
+            program = _get_tile_program(
+                view, dict(request_64, width=32, height=32)
+            )
+        assert program.codec is not None and program.codec.group == 3
+        np.testing.assert_array_equal(packed["values"], expected["values"])
+
+    def test_elemwise_scalar_propagation(self, source):
+        from dask_geomodeling_tpu.raster import Multiply
+
+        view = Multiply(Classify(Add(source, 1), bins=[50.0, 150.0]), 10)
+        vals = view.out_value_set()
+        # classify data values {0,1,2} x10; classify's nodata (255) maps
+        # onto Multiply's own fill, not onto 2550
+        assert vals == {0, 10, 20, view.fillvalue}
+
+    def test_nan_fill_float_palette(self):
+        import jax
+
+        codec = codec_from_values({0.0, 7.5}, np.nan, "float32")
+        assert codec is not None and codec.fill_code is not None
+        values = np.array(
+            [[[0.0, 7.5, np.nan, 7.5], [np.nan, 0.0, 0.0, 7.5]]], np.float32
+        )
+        packed = np.asarray(jax.jit(codec.encode)(values))
+        decoded = codec.decode(packed[None], 2, 4)[0]
+        np.testing.assert_array_equal(decoded, values)
+
+    def test_superset_values_only_cost_symbols(self):
+        codec = codec_from_values({1.5, 2.5, 99.0}, 0.0, "float32")
+        assert codec is not None and codec.symbols == 4
+
+    def test_unbounded_child_disables(self, source):
+        from dask_geomodeling_tpu.raster import MaskBelow, Multiply
+
+        assert MaskBelow(source, 10.0).out_value_set() is None
+        assert Multiply(source, 2.0).out_value_set() is None
+
+    def test_nonfinite_member_rejected(self):
+        assert codec_from_values({0.0, np.nan}, 255.0, "float32") is None
+        assert codec_from_values({0.0, np.inf}, 255.0, "float32") is None
+
+    def test_wide_alphabet_rejected(self):
+        assert codec_from_values(set(range(40)), 255, "uint8") is None
