@@ -1,11 +1,23 @@
-"""GRIB edition-2 raster sources (native decoder).
+"""GRIB edition-1 and edition-2 raster sources (native decoder).
 
 The reference opens GRIB through GDAL's GRIB driver (reference
 raster/sources.py:66-71 reads any ``gdal.Open``-able file); weather and
 precipitation feeds — the reference's production domain — commonly ship
-as GRIB2.  This module decodes the format natively and returns the same
-RasterData payload as the GeoTIFF codec, so ``RasterFileSource`` serves
-``.grib2`` files transparently.
+as GRIB2, with long archives (ERA-40-era reanalyses, legacy HIRLAM
+output) still in GRIB1.  This module decodes both editions natively and
+returns the same RasterData payload as the GeoTIFF codec, so
+``RasterFileSource`` serves ``.grib``/``.grb``/``.grib2`` files
+transparently; editions may even be mixed within one file (messages
+stack into bands as long as their grids agree).
+
+Edition-1 subset: explicit-GDS messages on grids 0 (regular lat/lon,
+millidegree coordinates), 1 (Mercator), 3 (Lambert conformal) and 5
+(polar stereographic, 60-degree true scale), simple packing (IBM-float
+reference value, constant fields via nbits=0), bitmaps, decimal/binary
+scaling, and the PDS reference-time/century, parameter, level, and
+forecast-offset metadata.  Spherical harmonics, second-order packing,
+thinned grids, and pre-defined (GDS-less) grids or bitmaps are rejected
+with clear errors.
 
 Supported subset (the envelope of common NWP products):
 
@@ -215,14 +227,19 @@ def _grid_latlon(tpl):
     lo2 = _s(tpl, 59, 4) * unit
     scan = tpl[71]
     # i/j increments: given when resolution flags say so, else derived
-    if flags & 0x20:
-        di = _u(tpl, 63, 4) * unit
-    else:
+    di = _u(tpl, 63, 4) * unit if flags & 0x20 else None
+    dj = _u(tpl, 67, 4) * unit if flags & 0x10 else None
+    return _latlon_grid(ni, nj, la1, lo1, la2, lo2, di, dj, scan)
+
+
+def _latlon_grid(ni, nj, la1, lo1, la2, lo2, di, dj, scan):
+    """Shared geographic-grid tail (editions 1 and 2): increments may be
+    None (derive from the corner points) and corners may be in any scan
+    order; the geotransform is always west-origin north-up."""
+    if di is None:
         span = (lo2 - lo1) % 360.0 if not scan & 0x80 else (lo1 - lo2) % 360.0
         di = span / (ni - 1) if ni > 1 else 1.0
-    if flags & 0x10:
-        dj = _u(tpl, 67, 4) * unit
-    else:
+    if dj is None:
         dj = abs(la2 - la1) / (nj - 1) if nj > 1 else 1.0
     # west edge / north edge after normalisation
     lon_w = lo2 if scan & 0x80 else lo1
@@ -573,8 +590,226 @@ def _forecast_label(sec4):
     return "+%d%s" % (value, label)
 
 
+# ---------------------------------------------------------- edition 1
+
+# WMO table 2 (versions 1-3) parameter indicators -> GDAL-style names
+_GRIB1_PARAMETERS = {
+    1: "PRES", 2: "PRMSL", 6: "GP", 7: "HGT", 11: "TMP", 15: "TMAX",
+    16: "TMIN", 17: "DPT", 32: "WIND", 33: "UGRD", 34: "VGRD",
+    39: "VVEL", 51: "SPFH", 52: "RH", 54: "PWAT", 59: "PRATE",
+    61: "APCP", 65: "WEASD", 66: "SNOD", 71: "TCDC", 81: "LAND",
+    85: "TSOIL", 91: "ICEC", 101: "WVHGT",
+}
+
+# WMO table 3 level-type indicators (the 2-octet value's meaning)
+_GRIB1_SURFACES = {
+    1: "surface",
+    2: "cloud base",
+    3: "cloud top",
+    4: "0C isotherm",
+    7: "tropopause",
+    100: "isobaric (hPa)",
+    102: "mean sea level",
+    103: "altitude above MSL (m)",
+    105: "height above ground (m)",
+    111: "depth below surface (cm)",
+    200: "entire atmosphere",
+}
+
+_GRIB1_TIME_UNITS = {0: ("m", 60), 1: ("h", 3600), 2: ("d", 86400),
+                     10: ("h", 3 * 3600), 11: ("h", 6 * 3600),
+                     12: ("h", 12 * 3600), 254: ("s", 1)}
+
+
+def _ibm_float(raw):
+    """IBM System/360 single-precision float (the BDS reference value R;
+    edition 2 switched to IEEE 754)."""
+    sign = -1.0 if raw & 0x80000000 else 1.0
+    exponent = ((raw >> 24) & 0x7F) - 64
+    mantissa = (raw & 0xFFFFFF) / float(1 << 24)
+    return sign * mantissa * 16.0 ** exponent
+
+
+def _grib1_earth(flags):
+    """Resolution/component flag bit 0x40 picks the oblate IAU-1965
+    spheroid; unset means the 6367.47 km sphere (code table 7)."""
+    return (6378160.0, 6356775.0) if flags & 0x40 else (6367470.0, 6367470.0)
+
+
+def _grib1_grid(gds):
+    """A _Grid from an edition-1 Grid Description Section (coordinates
+    in millidegrees, increments in millidegrees or metres by type)."""
+    rep = gds[5]
+    ni, nj = _u(gds, 6, 2), _u(gds, 8, 2)
+    if ni == 0xFFFF or nj == 0xFFFF:
+        raise _GribError("Quasi-regular (thinned) GRIB grids are not supported")
+    la1 = _s(gds, 10, 3) * 1e-3
+    lo1 = _s(gds, 13, 3) * 1e-3
+    flags = gds[16]
+
+    if rep == 0:  # regular latitude/longitude
+        la2 = _s(gds, 17, 3) * 1e-3
+        lo2 = _s(gds, 20, 3) * 1e-3
+        scan = gds[27]
+        di = dj = None
+        if flags & 0x80:  # direction increments given (0xFFFF = missing)
+            if _u(gds, 23, 2) != 0xFFFF:
+                di = _u(gds, 23, 2) * 1e-3
+            if _u(gds, 25, 2) != 0xFFFF:
+                dj = _u(gds, 25, 2) * 1e-3
+        return _latlon_grid(ni, nj, la1, lo1, la2, lo2, di, dj, scan)
+
+    a, b = _grib1_earth(flags)
+    if rep == 1:  # Mercator
+        latin = _s(gds, 23, 3) * 1e-3
+        scan = gds[27]
+        di = _u(gds, 28, 3) * 1.0
+        dj = _u(gds, 31, 3) * 1.0
+        proj4 = (
+            "+proj=merc +lat_ts=%.9g +lon_0=0 +x_0=0 +y_0=0 "
+            "+a=%.9g +b=%.9g +units=m +no_defs" % (latin, a, b)
+        )
+        return _projected_grid(gds, ni, nj, la1, lo1, di, dj, scan,
+                               proj4, "merc")
+    if rep == 3:  # Lambert conformal
+        lov = _s(gds, 17, 3) * 1e-3
+        dx = _u(gds, 20, 3) * 1.0
+        dy = _u(gds, 23, 3) * 1.0
+        scan = gds[27]
+        latin1 = _s(gds, 28, 3) * 1e-3
+        latin2 = _s(gds, 31, 3) * 1e-3
+        if lov > 180.0:
+            lov -= 360.0
+        proj4 = (
+            "+proj=lcc +lat_1=%.9g +lat_2=%.9g +lat_0=%.9g +lon_0=%.9g "
+            "+x_0=0 +y_0=0 +a=%.9g +b=%.9g +units=m +no_defs"
+            % (latin1, latin2, latin1, lov, a, b)
+        )
+        return _projected_grid(gds, ni, nj, la1, lo1, dx, dy, scan,
+                               proj4, "lcc")
+    if rep == 5:  # polar stereographic (true scale fixed at 60 deg)
+        lov = _s(gds, 17, 3) * 1e-3
+        dx = _u(gds, 20, 3) * 1.0
+        dy = _u(gds, 23, 3) * 1.0
+        south = bool(gds[26] & 0x80)
+        scan = gds[27]
+        if lov > 180.0:
+            lov -= 360.0
+        proj4 = (
+            "+proj=stere +lat_0=%d +lat_ts=%d +lon_0=%.9g +x_0=0 +y_0=0 "
+            "+a=%.9g +b=%.9g +units=m +no_defs"
+            % (-90 if south else 90, -60 if south else 60, lov, a, b)
+        )
+        return _projected_grid(gds, ni, nj, la1, lo1, dx, dy, scan,
+                               proj4, "ps")
+    raise _GribError(
+        "Unsupported GRIB1 data representation type %d (supported: 0 "
+        "lat/lon, 1 Mercator, 3 Lambert conformal, 5 polar "
+        "stereographic)" % rep
+    )
+
+
+def _grib1_decode(bds, npacked, D):
+    """Unpack an edition-1 Binary Data Section (simple packing only)."""
+    flags = bds[3] >> 4
+    if flags & 0x8:
+        raise _GribError("GRIB1 spherical-harmonic data is not supported")
+    if flags & 0x4:
+        raise _GribError("GRIB1 second-order packing is not supported")
+    E = _s(bds, 4, 2)
+    R = _ibm_float(_u(bds, 6, 4))
+    nbits = bds[10]
+    scale = 10.0 ** -D
+    if nbits == 0:  # constant field: every point equals the reference
+        return np.full(npacked, R * scale)
+    X = _unpack_bits(bds[11:], nbits, npacked)
+    return (R + X.astype(np.float64) * 2.0 ** E) * scale
+
+
+def _grib1_ref_time(pds):
+    century = pds[24] if len(pds) > 24 else 20
+    year = (century - 1) * 100 + pds[12]
+    return datetime(year, pds[13], pds[14], pds[15], pds[16])
+
+
+def _grib1_meta(pds):
+    parameter = pds[8]
+    meta = "GRIB1 parameter=%d" % parameter
+    element = _GRIB1_PARAMETERS.get(parameter)
+    if element:
+        meta += " element=%s" % element
+    level_type = pds[9]
+    surface = _GRIB1_SURFACES.get(level_type)
+    if surface:
+        meta += ' level="%d %s"' % (_u(pds, 10, 2), surface)
+    trange = pds[20]
+    unit = _GRIB1_TIME_UNITS.get(pds[17])
+    if unit is not None:
+        forecast = _u(pds, 18, 2) if trange == 10 else pds[18]
+        label, seconds = unit
+        if label == "h" and seconds > 3600:  # 3/6/12-hour units
+            forecast *= seconds // 3600
+        meta += " forecastTime=+%d%s" % (forecast, label)
+    meta += " refTime=%s" % _grib1_ref_time(pds).isoformat()
+    return meta
+
+
+def _read_grib1_message(buf, idx, grid, bands, metadata):
+    """Decode one edition-1 message in place; returns (grid, total_len)."""
+    total = _u(buf, idx + 4, 3)
+    message = buf[idx : idx + total]
+    if message[-4:] != b"7777":
+        raise _GribError("GRIB message missing 7777 end marker")
+
+    pos = 8
+    pds = message[pos : pos + _u(message, pos, 3)]
+    pos += len(pds)
+    has_gds = bool(pds[7] & 0x80)
+    has_bms = bool(pds[7] & 0x40)
+    D = _s(pds, 26, 2)
+
+    if not has_gds:
+        raise _GribError(
+            "GRIB1 message uses a pre-defined grid (no GDS, grid id %d); "
+            "only messages carrying an explicit Grid Description Section "
+            "are supported" % pds[6]
+        )
+    gds = message[pos : pos + _u(message, pos, 3)]
+    pos += len(gds)
+    grid_here = _grib1_grid(gds)
+    if grid is not None and grid_here.key != grid.key:
+        raise _GribError(
+            "GRIB messages define different grids; cannot stack fields "
+            "into one raster"
+        )
+    grid = grid_here
+
+    bitmap = None
+    if has_bms:
+        bms = message[pos : pos + _u(message, pos, 3)]
+        pos += len(bms)
+        if _u(bms, 4, 2) != 0:
+            raise _GribError(
+                "Pre-defined GRIB1 bitmaps (table reference %d) are not "
+                "supported" % _u(bms, 4, 2)
+            )
+        bitmap = _unpack_bits(bms[6:], 1, grid.npoints).astype(bool)
+
+    bds = message[pos : pos + _u(message, pos, 3)]
+    npacked = int(bitmap.sum()) if bitmap is not None else grid.npoints
+    values = _grib1_decode(bds, npacked, D)
+    if bitmap is not None:
+        full = np.full(grid.npoints, _FILL)
+        full[bitmap] = values
+        values = full
+    bands.append(grid.to_array(values))
+    metadata.append(_grib1_meta(pds))
+    return grid, total
+
+
 def read_grib(path):
-    """Read a GRIB2 file into a RasterData payload (one band per field)."""
+    """Read a GRIB1/GRIB2 file into a RasterData payload (one band per
+    field)."""
     from dask_geomodeling_tpu.raster.sources import RasterData
 
     with open(path, "rb") as f:
@@ -591,9 +826,13 @@ def read_grib(path):
         idx = buf.find(b"GRIB", pos)
         if idx < 0:
             break
+        if buf[idx + 7] == 1:
+            grid, total = _read_grib1_message(buf, idx, grid, bands, metadata)
+            pos = idx + total
+            continue
         if buf[idx + 7] != 2:
             raise _GribError(
-                "Only GRIB edition 2 is supported (got edition %d)"
+                "Only GRIB editions 1 and 2 are supported (got edition %d)"
                 % buf[idx + 7]
             )
         discipline = buf[idx + 6]

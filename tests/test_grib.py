@@ -711,9 +711,9 @@ def test_raster_file_source_integration(tmp_path):
 def test_errors(tmp_path):
     with pytest.raises(IOError, match="Not a GRIB"):
         read_grib(_write(tmp_path, b"NOPE" + bytes(20)))
-    # edition 1 is rejected with a clear message
+    # unknown editions are rejected with a clear message (1 and 2 parse)
     raw = bytearray(_simple_message(np.ones((2, 2), dtype=np.int64)))
-    raw[7] = 1
+    raw[7] = 3
     with pytest.raises(ValueError, match="edition"):
         read_grib(_write(tmp_path, bytes(raw)))
 
@@ -749,4 +749,270 @@ def test_jpeg2000_packing(tmp_path):
     data = read_grib(_write(tmp_path, raw))
     np.testing.assert_allclose(
         data.array[0], (values.astype(float) * 0.5) / 10.0
+    )
+
+
+# ------------------------------------------------------------ edition 1
+# An independent spec-conformant GRIB1 encoder (WMO FM 92 edition-1
+# octet layouts), mirroring the edition-2 encoder above: the reader is
+# tested against the specification, not against itself.
+
+
+def _ibm(value):
+    """IBM System/360 single-precision encoding (BDS reference value)."""
+    if value == 0:
+        return bytes(4)
+    sign = 0x80000000 if value < 0 else 0
+    value = abs(float(value))
+    exponent = 64
+    while value >= 1.0:
+        value /= 16.0
+        exponent += 1
+    while value < 1.0 / 16.0:
+        value *= 16.0
+        exponent -= 1
+    mantissa = int(round(value * (1 << 24)))
+    if mantissa == 1 << 24:  # rounded up past the mantissa field
+        mantissa >>= 4
+        exponent += 1
+    return struct.pack(">I", sign | (exponent << 24) | mantissa)
+
+
+def _g1_pds(parameter=61, level_type=1, level=0, year=24, month=3,
+            day=15, hour=6, minute=0, time_unit=1, p1=3, p2=0, trange=0,
+            century=21, D=0, has_gds=True, has_bms=False, grid_id=255):
+    # ``year`` is the year of the century (PDS octet 13)
+    body = bytearray()
+    body += (28).to_bytes(3, "big")  # section length
+    body += bytes([2, 0, 0, grid_id])  # table version, centre, process, grid
+    body += bytes([(0x80 if has_gds else 0) | (0x40 if has_bms else 0)])
+    body += bytes([parameter, level_type])
+    body += level.to_bytes(2, "big")
+    body += bytes([year, month, day, hour, minute, time_unit, p1, p2, trange])
+    body += bytes(2)  # number in average
+    body += bytes([0, century, 0])  # missing, century, sub-centre
+    body += _sm(D, 2)
+    return bytes(body)
+
+
+def _g1_gds_latlon(ni, nj, la1, lo1, la2, lo2, di=None, dj=None, scan=0):
+    body = bytearray()
+    body += (32).to_bytes(3, "big")
+    body += bytes([0, 255, 0])  # NV, PV=none, representation 0 (lat/lon)
+    body += struct.pack(">HH", ni, nj)
+    body += _sm(round(la1 * 1e3), 3) + _sm(round(lo1 * 1e3), 3)
+    body += bytes([0x80 if di is not None else 0])  # increments given
+    body += _sm(round(la2 * 1e3), 3) + _sm(round(lo2 * 1e3), 3)
+    body += (round(di * 1e3) if di is not None else 0xFFFF).to_bytes(2, "big")
+    body += (round(dj * 1e3) if dj is not None else 0xFFFF).to_bytes(2, "big")
+    body += bytes([scan])
+    body += bytes(4)  # reserved
+    return bytes(body)
+
+
+def _g1_gds_lambert(nx, ny, la1, lo1, lov, dx, dy, latin1, latin2, scan=0):
+    body = bytearray()
+    body += (42).to_bytes(3, "big")
+    body += bytes([0, 255, 3])  # representation 3 (Lambert conformal)
+    body += struct.pack(">HH", nx, ny)
+    body += _sm(round(la1 * 1e3), 3) + _sm(round(lo1 * 1e3), 3)
+    body += bytes([0])  # resolution flags: sphere
+    body += _sm(round(lov * 1e3), 3)
+    body += round(dx).to_bytes(3, "big") + round(dy).to_bytes(3, "big")
+    body += bytes([0])  # projection centre: north pole
+    body += bytes([scan])
+    body += _sm(round(latin1 * 1e3), 3) + _sm(round(latin2 * 1e3), 3)
+    body += _sm(-90000, 3) + _sm(0, 3)  # south pole of projection
+    body += bytes(2)
+    return bytes(body)
+
+
+def _g1_bms(mask):
+    bits = _pack_bits(mask.ravel().astype(int), 1)
+    unused = (8 - mask.size % 8) % 8
+    body = (6 + len(bits)).to_bytes(3, "big") + bytes([unused, 0, 0]) + bits
+    return body
+
+
+def _g1_bds(values, R, E, D, nbits, flags=0):
+    X = np.round((np.asarray(values, float) * 10.0 ** D - R) / 2.0 ** E)
+    packed = _pack_bits(X.astype(np.int64), nbits) if nbits else b""
+    body = bytearray()
+    body += bytes(3)  # length patched below
+    unused = (8 - values.size * nbits % 8) % 8 if nbits else 0
+    body += bytes([(flags << 4) | unused])
+    body += _sm(E, 2)
+    body += _ibm(R)
+    body += bytes([nbits])
+    body += packed
+    if len(body) % 2:  # BDS lengths are even by spec
+        body += b"\x00"
+    body[0:3] = len(body).to_bytes(3, "big")
+    return bytes(body)
+
+
+def _g1_message(pds, gds=b"", bms=b"", bds=b""):
+    inner = pds + gds + bms + bds
+    total = 8 + len(inner) + 4
+    return b"GRIB" + total.to_bytes(3, "big") + bytes([1]) + inner + b"7777"
+
+
+def _g1_simple(values, la1=55.0, lo1=4.0, di=0.5, dj=0.5, scan=0,
+               R=0.0, E=0, D=0, nbits=12, **pds_kw):
+    nj, ni = values.shape
+    la2 = la1 - (nj - 1) * dj if not scan & 0x40 else la1 + (nj - 1) * dj
+    lo2 = lo1 + (ni - 1) * di if not scan & 0x80 else lo1 - (ni - 1) * di
+    return _g1_message(
+        _g1_pds(D=D, **pds_kw),
+        _g1_gds_latlon(ni, nj, la1, lo1, la2, lo2, di, dj, scan),
+        b"",
+        _g1_bds(values.ravel(), R, E, D, nbits),
+    )
+
+
+def test_grib1_simple_roundtrip(tmp_path):
+    values = np.arange(24.0).reshape(4, 6)
+    data = read_grib(_write(tmp_path, _g1_simple(values), "test.grb"))
+    assert data.array.shape == (1, 4, 6)
+    np.testing.assert_allclose(data.array[0], values)
+    assert data.projection == "EPSG:4326"
+    x0, dx, _, y0, _, dy = data.geo_transform
+    assert (dx, dy) == (0.5, -0.5)
+    np.testing.assert_allclose((x0, y0), (4.0 - 0.25, 55.0 + 0.25))
+
+
+def test_grib1_scaling_and_ibm_reference(tmp_path):
+    # D=1, E=2, non-zero reference: Y = (R + X*2^E) / 10^D
+    values = (np.arange(12.0).reshape(3, 4) * 0.4) + 10.0
+    raw = _g1_simple(values, R=100.0, E=2, D=1, nbits=10)
+    data = read_grib(_write(tmp_path, raw, "t.grb"))
+    np.testing.assert_allclose(data.array[0], values)
+
+
+def test_grib1_constant_field(tmp_path):
+    # nbits=0: every grid point equals the (scaled) reference value
+    values = np.full((3, 4), 2.5)
+    raw = _g1_simple(values, R=25.0, D=1, nbits=0)
+    data = read_grib(_write(tmp_path, raw, "t.grb"))
+    np.testing.assert_allclose(data.array[0], 2.5)
+
+
+def test_grib1_bitmap(tmp_path):
+    values = np.arange(24.0).reshape(4, 6)
+    mask = np.ones((4, 6), bool)
+    mask[0, 0] = mask[3, 5] = False
+    raw = _g1_message(
+        _g1_pds(has_bms=True),
+        _g1_gds_latlon(6, 4, 55.0, 4.0, 53.5, 6.5, 0.5, 0.5),
+        _g1_bms(mask),
+        _g1_bds(values[mask], 0.0, 0, 0, 12),
+    )
+    data = read_grib(_write(tmp_path, raw, "t.grb"))
+    np.testing.assert_allclose(data.array[0][mask], values[mask])
+    fill = np.float32(data.no_data_value)
+    assert np.all(data.array[0][~mask] == fill)
+
+
+def test_grib1_scanning_modes(tmp_path):
+    base = np.arange(24.0).reshape(4, 6)
+    for scan in (0x00, 0x80, 0x40, 0xC0, 0x20):
+        if scan & 0x20:
+            sent = base.T.ravel()
+            raw = _g1_message(
+                _g1_pds(),
+                _g1_gds_latlon(6, 4, 55.0, 4.0, 53.5, 6.5, 0.5, 0.5, scan),
+                b"",
+                _g1_bds(sent, 0.0, 0, 0, 12),
+            )
+        else:
+            sent = base.copy()
+            if scan & 0x40:
+                sent = sent[::-1]
+            if scan & 0x80:
+                sent = sent[:, ::-1]
+            la1 = 53.5 if scan & 0x40 else 55.0
+            lo1 = 6.5 if scan & 0x80 else 4.0
+            raw = _g1_simple(sent, la1=la1, lo1=lo1, scan=scan)
+        data = read_grib(_write(tmp_path, raw, "t.grb"))
+        np.testing.assert_allclose(data.array[0], base, err_msg=hex(scan))
+        np.testing.assert_allclose(
+            data.geo_transform, (3.75, 0.5, 0, 55.25, 0, -0.5),
+            err_msg=hex(scan),
+        )
+
+
+def test_grib1_multi_message_and_mixed_editions(tmp_path):
+    a = np.arange(24.0).reshape(4, 6)
+    b = a * 2.0
+    raw1 = _g1_simple(a)
+    raw2 = _simple_message(b, la1=55.0, lo1=4.0, di=0.5, dj=0.5)
+    data = read_grib(_write(tmp_path, raw1 + raw2, "t.grb"))
+    assert data.array.shape == (2, 4, 6)
+    np.testing.assert_allclose(data.array[0], a)
+    np.testing.assert_allclose(data.array[1], b)
+
+
+def test_grib1_lambert_grid(tmp_path):
+    values = np.arange(20.0).reshape(4, 5)
+    raw = _g1_message(
+        _g1_pds(),
+        _g1_gds_lambert(5, 4, 46.0, 8.0, 9.0, 2500.0, 2500.0, 46.0, 49.0,
+                        scan=0x40),
+        b"",
+        _g1_bds(values.ravel(), 0.0, 0, 0, 12),
+    )
+    data = read_grib(_write(tmp_path, raw, "t.grb"))
+    assert data.array.shape == (1, 4, 5)
+    assert "+proj=lcc" in data.projection
+    assert "+lat_1=46" in data.projection
+    _, dx, _, _, _, dy = data.geo_transform
+    np.testing.assert_allclose((dx, dy), (2500.0, -2500.0))
+
+
+def test_grib1_metadata(tmp_path):
+    raw = _g1_simple(
+        np.arange(6.0).reshape(2, 3),
+        parameter=61, level_type=105, level=2, p1=6,
+        year=99, century=20, month=12, day=31, hour=18,
+    )
+    data = read_grib(_write(tmp_path, raw, "t.grb"))
+    meta = data.metadata[0]
+    assert "element=APCP" in meta
+    assert 'level="2 height above ground (m)"' in meta
+    assert "forecastTime=+6h" in meta
+    assert "refTime=1999-12-31T18:00:00" in meta
+
+
+def test_grib1_rejects_unsupported(tmp_path):
+    values = np.arange(6.0)
+    # second-order packing flag
+    raw = _g1_message(
+        _g1_pds(),
+        _g1_gds_latlon(3, 2, 55.0, 4.0, 54.5, 5.0, 0.5, 0.5),
+        b"",
+        _g1_bds(values, 0.0, 0, 0, 12, flags=0x4),
+    )
+    with pytest.raises(ValueError, match="second-order"):
+        read_grib(_write(tmp_path, raw, "t.grb"))
+    # pre-defined grid (no GDS)
+    raw = _g1_message(
+        _g1_pds(has_gds=False, grid_id=21), b"", b"",
+        _g1_bds(values, 0.0, 0, 0, 12),
+    )
+    with pytest.raises(ValueError, match="pre-defined grid"):
+        read_grib(_write(tmp_path, raw, "t.grb"))
+
+
+def test_grib1_derived_increments(tmp_path):
+    # increments flagged missing: derived from the corner coordinates
+    values = np.arange(24.0).reshape(4, 6)
+    raw = _g1_message(
+        _g1_pds(),
+        _g1_gds_latlon(6, 4, 55.0, 4.0, 53.5, 6.5, None, None),
+        b"",
+        _g1_bds(values.ravel(), 0.0, 0, 0, 12),
+    )
+    data = read_grib(_write(tmp_path, raw, "t.grb"))
+    np.testing.assert_allclose(
+        data.geo_transform, (3.75, 0.5, 0, 55.25, 0, -0.5)
     )
