@@ -541,7 +541,7 @@ class RasterFileSource(RasterSourceBase):
                     ".hdr", ".bsq", ".bil", ".bip", ".envi", ".img", ".dat",
                     ".raw", ".grib", ".grib2", ".grb", ".grb2", ".gb2",
                     ".mbtiles", ".grd", ".sgrd", ".sdat", ".rst",
-                    ".jp2", ".j2k", ".jpx",
+                    ".jp2", ".j2k", ".jpx", ".hdf", ".h4", ".hdf4",
                 )
             ):
                 from dask_geomodeling_tpu.io.geotiff import GeoTIFFInfo

@@ -147,6 +147,16 @@ def read_geotiff_cached(path, variable=None):
         from dask_geomodeling_tpu.io.netcdf import read_netcdf
 
         data = read_netcdf(path, variable)
+    elif lower.endswith((".hdf", ".h4", ".hdf4")):
+        # ".hdf" is ambiguous in the wild: HDF4 by magic, HDF5 otherwise
+        from dask_geomodeling_tpu.io.hdf4 import is_hdf4, read_hdf4
+
+        if is_hdf4(path):
+            data = read_hdf4(path)
+        else:
+            from dask_geomodeling_tpu.io.netcdf import read_netcdf
+
+            data = read_netcdf(path, variable)
     elif lower.endswith(".hgt"):
         from dask_geomodeling_tpu.io.dem import read_hgt
 

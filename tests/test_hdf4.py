@@ -1,0 +1,438 @@
+"""HDF4 raster source tests.
+
+The fixtures are built by an independent encoder below (DD chains,
+NDG/SDD/SD objects, Vdata/Vgroup records, special elements written out
+octet by octet), so the reader in ``io/hdf4.py`` is tested against the
+container layout, not against itself.  Reference behavior: GDAL's HDF4
+driver behind ``gdal.Open`` (reference raster/sources.py:66-71).
+"""
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from dask_geomodeling_tpu.io.hdf4 import is_hdf4, read_hdf4
+
+MAGIC = b"\x0e\x03\x13\x01"
+
+TAG_LINKED = 20
+TAG_COMPRESSED = 40
+TAG_CHUNK = 61
+TAG_NT = 106
+TAG_SDD = 701
+TAG_SD = 702
+TAG_CAL = 731
+TAG_FV = 732
+TAG_NDG = 720
+TAG_VH = 1962
+TAG_VS = 1963
+TAG_VG = 1965
+SPECIAL = 0x4000
+
+DFNT = {"u1": 21, "i1": 20, "i2": 22, "u2": 23, "i4": 24, "u4": 25,
+        "f4": 5, "f8": 6}
+
+
+class Writer:
+    def __init__(self):
+        self.objs = []
+
+    def add(self, tag, ref, data):
+        self.objs.append((tag, ref, bytes(data)))
+        return ref
+
+    def tobytes(self):
+        count = len(self.objs)
+        data_start = 4 + 6 + 12 * count
+        entries = b""
+        payload = b""
+        for tag, ref, data in self.objs:
+            entries += struct.pack(
+                ">HHii", tag, ref, data_start + len(payload), len(data)
+            )
+            payload += data
+        return (
+            MAGIC + struct.pack(">hi", count, 0) + entries + payload
+        )
+
+    def write(self, tmp_path, name="test.hdf"):
+        path = str(tmp_path / name)
+        with open(path, "wb") as f:
+            f.write(self.tobytes())
+        return path
+
+
+def _nt(writer, ref, kind):
+    # version, type, width-in-bits, class
+    width = np.dtype(kind).itemsize * 8
+    return writer.add(TAG_NT, ref, bytes([1, DFNT[kind], width, 0]))
+
+
+def _sdd(writer, ref, dims, nt_ref):
+    body = struct.pack(">h", len(dims))
+    body += struct.pack(">%di" % len(dims), *dims)
+    body += struct.pack(">HH", TAG_NT, nt_ref)  # data NT
+    for _ in dims:
+        body += struct.pack(">HH", TAG_NT, nt_ref)  # scale NTs
+    return writer.add(TAG_SDD, ref, body)
+
+
+def _ndg(writer, ref, members):
+    body = b"".join(struct.pack(">HH", t, r) for t, r in members)
+    return writer.add(TAG_NDG, ref, body)
+
+
+def _simple_sds(writer, values, ref=2, kind=None, extra_ndg=()):
+    kind = kind or values.dtype.str.lstrip("<>=|")
+    nt_ref = _nt(writer, ref, kind)
+    sdd_ref = _sdd(writer, ref, values.shape, nt_ref)
+    writer.add(TAG_SD, ref, values.astype(">" + kind).tobytes())
+    _ndg(writer, ref, [(TAG_SDD, sdd_ref), (TAG_SD, ref)] + list(extra_ndg))
+    return ref
+
+
+def _vdata(writer, ref, name, vclass, kind, values):
+    values = np.atleast_1d(values)
+    if kind in ("c", "char"):
+        payload = values[0].encode("latin-1")
+        type_code, isize, order = 4, len(payload), len(payload)
+        nrec, recsize = 1, len(payload)
+    else:
+        payload = values.astype(">" + kind).tobytes()
+        itemsize = np.dtype(kind).itemsize
+        type_code, isize, order = DFNT[kind], itemsize, 1
+        nrec, recsize = len(values), itemsize
+    field = b"VALUES"
+    header = struct.pack(">hihh", 0, nrec, recsize, 1)
+    header += struct.pack(">h", type_code)
+    header += struct.pack(">h", isize)
+    header += struct.pack(">h", 0)  # offset
+    header += struct.pack(">h", order)
+    header += struct.pack(">h", len(field)) + field
+    header += struct.pack(">h", len(name)) + name.encode()
+    header += struct.pack(">h", len(vclass)) + vclass.encode()
+    header += struct.pack(">HHhh", 0, 0, 3, 0)
+    writer.add(TAG_VH, ref, header)
+    writer.add(TAG_VS, ref, payload)
+    return ref
+
+
+def _vgroup(writer, ref, name, vclass, members):
+    body = struct.pack(">h", len(members))
+    body += struct.pack(">%dH" % len(members), *[t for t, _ in members])
+    body += struct.pack(">%dH" % len(members), *[r for _, r in members])
+    body += struct.pack(">H", len(name)) + name.encode()
+    body += struct.pack(">H", len(vclass)) + vclass.encode()
+    body += struct.pack(">HHH", 0, 0, 3)
+    return writer.add(TAG_VG, ref, body)
+
+
+# ------------------------------------------------------------------ tests
+
+
+def test_magic_detection(tmp_path):
+    writer = Writer()
+    _simple_sds(writer, np.arange(6, dtype=np.int16).reshape(2, 3))
+    path = writer.write(tmp_path)
+    assert is_hdf4(path)
+    assert not is_hdf4(__file__)
+    with pytest.raises(IOError, match="Not an HDF4"):
+        read_hdf4(__file__)
+
+
+def test_simple_int16_roundtrip(tmp_path):
+    values = np.arange(24, dtype=np.int16).reshape(4, 6)
+    writer = Writer()
+    _simple_sds(writer, values)
+    data = read_hdf4(writer.write(tmp_path))
+    assert data.array.shape == (1, 4, 6)
+    np.testing.assert_array_equal(data.array[0], values)
+    # no georeferencing: unit pixel grid
+    assert data.geo_transform == (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
+    assert data.projection is None
+
+
+def test_rank3_multiband(tmp_path):
+    values = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+    writer = Writer()
+    _simple_sds(writer, values, kind="f4")
+    data = read_hdf4(writer.write(tmp_path))
+    assert data.array.shape == (2, 3, 4)
+    np.testing.assert_array_equal(data.array, values)
+
+
+def test_fill_value_and_calibration(tmp_path):
+    values = np.array([[1, 2], [3, -99]], np.int16)
+    writer = Writer()
+    fv_ref = writer.add(TAG_FV, 2, np.array(-99, ">i2").tobytes())
+    cal = struct.pack(">dddd", 0.5, 0.0, 10.0, 0.0) + struct.pack(">i", 1)
+    cal_ref = writer.add(TAG_CAL, 2, cal)
+    _simple_sds(
+        writer, values,
+        extra_ndg=[(TAG_FV, fv_ref), (TAG_CAL, cal_ref)],
+    )
+    data = read_hdf4(writer.write(tmp_path))
+    # value = cal * (stored - offset); fill masked before calibration
+    expected = 0.5 * (values.astype(float) - 10.0)
+    mask = values == -99
+    np.testing.assert_allclose(data.array[0][~mask], expected[~mask])
+    assert np.all(data.array[0][mask] == np.float32(data.no_data_value))
+
+
+def test_sd_api_attributes(tmp_path):
+    """_FillValue / scale_factor / add_offset via Attr0.0 Vdatas in the
+    variable's Var0.0 Vgroup (the modern SD layout)."""
+    values = np.array([[100, 200], [300, 999]], np.int32)
+    writer = Writer()
+    _simple_sds(writer, values, ref=2)
+    _vdata(writer, 11, "_FillValue", "Attr0.0", "i4", [999])
+    _vdata(writer, 12, "scale_factor", "Attr0.0", "f8", [0.01])
+    _vdata(writer, 13, "long_name", "Attr0.0", "c", ["ignored"])
+    _vgroup(writer, 20, "ndvi", "Var0.0",
+            [(TAG_NDG, 2), (TAG_VH, 11), (TAG_VH, 12), (TAG_VH, 13)])
+    data = read_hdf4(writer.write(tmp_path))
+    mask = values == 999
+    np.testing.assert_allclose(
+        data.array[0][~mask], values[~mask] * 0.01
+    )
+    assert np.all(data.array[0][mask] == np.float32(data.no_data_value))
+    assert data.metadata[0] == "ndvi"
+
+
+def test_deflate_compressed_element(tmp_path):
+    values = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    raw = values.tobytes()
+    writer = Writer()
+    nt_ref = _nt(writer, 2, "u1")
+    _sdd(writer, 2, values.shape, nt_ref)
+    # special compressed SD: descriptor + DFTAG_COMPRESSED payload
+    desc = struct.pack(">HHiHHH", 3, 0, len(raw), 7, 0, 4)
+    desc += struct.pack(">H", 6)  # deflate level info
+    writer.add(TAG_SD | SPECIAL, 2, desc)
+    writer.add(TAG_COMPRESSED, 7, zlib.compress(raw, 6))
+    _ndg(writer, 2, [(TAG_SDD, 2), (TAG_SD, 2)])
+    data = read_hdf4(writer.write(tmp_path))
+    np.testing.assert_array_equal(data.array[0], values)
+
+
+def test_rle_compressed_element(tmp_path):
+    values = np.zeros((4, 8), np.uint8)
+    values[1] = 7
+    raw = values.tobytes()
+    # independent RLE encoding: run of 8 zeros, run of 7s, run of zeros
+    rle = bytes([127 + 8, 0, 127 + 8, 7, 127 + 16, 0])
+    writer = Writer()
+    nt_ref = _nt(writer, 2, "u1")
+    _sdd(writer, 2, values.shape, nt_ref)
+    desc = struct.pack(">HHiHHH", 3, 0, len(raw), 7, 0, 1)
+    writer.add(TAG_SD | SPECIAL, 2, desc)
+    writer.add(TAG_COMPRESSED, 7, rle)
+    _ndg(writer, 2, [(TAG_SDD, 2), (TAG_SD, 2)])
+    data = read_hdf4(writer.write(tmp_path))
+    np.testing.assert_array_equal(data.array[0], values)
+
+
+def test_linked_blocks_element(tmp_path):
+    values = np.arange(40, dtype=np.uint8).reshape(5, 8)
+    raw = values.tobytes()
+    writer = Writer()
+    nt_ref = _nt(writer, 2, "u1")
+    _sdd(writer, 2, values.shape, nt_ref)
+    # three data blocks of 16/16/8 bytes behind one link table
+    desc = struct.pack(">HiiiH", 1, len(raw), 16, 3, 30)
+    writer.add(TAG_SD | SPECIAL, 2, desc)
+    table = struct.pack(">HHHH", 0, 31, 32, 33)  # next=none + 3 refs
+    writer.add(TAG_LINKED, 30, table)
+    writer.add(TAG_LINKED, 31, raw[:16])
+    writer.add(TAG_LINKED, 32, raw[16:32])
+    writer.add(TAG_LINKED, 33, raw[32:])
+    _ndg(writer, 2, [(TAG_SDD, 2), (TAG_SD, 2)])
+    data = read_hdf4(writer.write(tmp_path))
+    np.testing.assert_array_equal(data.array[0], values)
+
+
+def _chunk_table(writer, ref, entries, ndims):
+    """The standard _HDF_CHK_TBL Vdata: origin[ndims], chk_tag, chk_ref."""
+    payload = b""
+    for origin, tag, chunk_ref in entries:
+        payload += struct.pack(">%di" % ndims, *origin)
+        payload += struct.pack(">HH", tag, chunk_ref)
+    recsize = 4 * ndims + 4
+    header = struct.pack(">hihh", 0, len(entries), recsize, 3)
+    header += struct.pack(">hhh", DFNT["i4"], DFNT["u2"], DFNT["u2"])  # types
+    header += struct.pack(">hhh", 4, 2, 2)  # isizes
+    header += struct.pack(">hhh", 0, 4 * ndims, 4 * ndims + 2)  # offsets
+    header += struct.pack(">hhh", ndims, 1, 1)  # orders
+    for field in (b"origin", b"chk_tag", b"chk_ref"):
+        header += struct.pack(">h", len(field)) + field
+    name = b"_HDF_CHK_TBL_0"
+    header += struct.pack(">h", len(name)) + name
+    vclass = b"_HDF_CHK_TBL_"
+    header += struct.pack(">h", len(vclass)) + vclass
+    header += struct.pack(">HHhh", 0, 0, 3, 0)
+    writer.add(TAG_VH, ref, header)
+    writer.add(TAG_VS, ref, payload)
+    return ref
+
+
+def test_chunked_element(tmp_path):
+    values = np.arange(30, dtype=np.int16).reshape(5, 6)
+    chunk_dims = (3, 4)  # 2x2 chunk grid with ragged edges
+    writer = Writer()
+    nt_ref = _nt(writer, 2, "i2")
+    _sdd(writer, 2, values.shape, nt_ref)
+
+    entries = []
+    ref = 40
+    for ci in range(2):
+        for cj in range(2):
+            block = np.zeros(chunk_dims, np.int16)
+            ys = slice(ci * 3, min(ci * 3 + 3, 5))
+            xs = slice(cj * 4, min(cj * 4 + 4, 6))
+            part = values[ys, xs]
+            block[: part.shape[0], : part.shape[1]] = part
+            writer.add(TAG_CHUNK, ref, block.astype(">i2").tobytes())
+            entries.append(((ci, cj), TAG_CHUNK, ref))
+            ref += 1
+    _chunk_table(writer, 50, entries, 2)
+
+    fill = np.array(-1, ">i2").tobytes()
+    desc = struct.pack(">HBiiii", 6, 1, 0, values.size * 2, 24, 2)
+    desc += struct.pack(">HHHH", TAG_VH, 50, 0, 0)
+    desc += struct.pack(">i", 2)  # ndims
+    desc += struct.pack(">iii", 0, 5, 3)
+    desc += struct.pack(">iii", 0, 6, 4)
+    desc += struct.pack(">i", len(fill)) + fill
+    writer.add(TAG_SD | SPECIAL, 2, desc)
+    _ndg(writer, 2, [(TAG_SDD, 2), (TAG_SD, 2)])
+    data = read_hdf4(writer.write(tmp_path))
+    np.testing.assert_array_equal(data.array[0], values)
+
+
+def test_chunked_compressed_chunks(tmp_path):
+    """Each chunk is itself a deflate special element (MODIS layout)."""
+    values = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    writer = Writer()
+    nt_ref = _nt(writer, 2, "u1")
+    _sdd(writer, 2, values.shape, nt_ref)
+
+    entries = []
+    ref = 40
+    for ci in range(2):
+        block = values[ci * 2 : ci * 2 + 2, :]
+        raw = block.tobytes()
+        desc = struct.pack(">HHiHHH", 3, 0, len(raw), ref + 100, 0, 4)
+        writer.add(TAG_CHUNK | SPECIAL, ref, desc)
+        writer.add(TAG_COMPRESSED, ref + 100, zlib.compress(raw))
+        entries.append(((ci, 0), TAG_CHUNK, ref))
+        ref += 1
+    _chunk_table(writer, 50, entries, 2)
+
+    desc = struct.pack(">HBiiii", 6, 1, 1, values.size, 21, 1)
+    desc += struct.pack(">HHHH", TAG_VH, 50, 0, 0)
+    desc += struct.pack(">i", 2)
+    desc += struct.pack(">iii", 0, 4, 2)
+    desc += struct.pack(">iii", 0, 4, 4)
+    desc += struct.pack(">i", 0)  # no fill value
+    writer.add(TAG_SD | SPECIAL, 2, desc)
+    _ndg(writer, 2, [(TAG_SDD, 2), (TAG_SD, 2)])
+    data = read_hdf4(writer.write(tmp_path))
+    np.testing.assert_array_equal(data.array[0], values)
+
+
+def test_dfsd_standalone_pair(tmp_path):
+    """Old DFSD-API files carry SDD/SD pairs without an NDG."""
+    values = np.arange(12, dtype=np.float32).reshape(3, 4)
+    writer = Writer()
+    nt_ref = _nt(writer, 2, "f4")
+    _sdd(writer, 2, values.shape, nt_ref)
+    writer.add(TAG_SD, 2, values.astype(">f4").tobytes())
+    data = read_hdf4(writer.write(tmp_path))
+    np.testing.assert_array_equal(data.array[0], values)
+
+
+_SINU_META = """GROUP=SwathStructure
+END_GROUP=SwathStructure
+GROUP=GridStructure
+  GROUP=GRID_1
+    GridName="MOD_Grid"
+    XDim=4
+    YDim=3
+    UpperLeftPointMtrs=(-20015109.354,1111950.520)
+    LowerRightMtrs=(-18903158.834,0.0)
+    Projection=GCTP_SNSOID
+    ProjParams=(6371007.181,0,0,0,0,0,0,0,0,0,0,0,0)
+    SphereCode=-1
+  END_GROUP=GRID_1
+END_GROUP=GridStructure
+END
+"""
+
+
+def test_hdfeos_sinusoidal_grid(tmp_path):
+    values = np.arange(12, dtype=np.int16).reshape(3, 4)
+    writer = Writer()
+    _simple_sds(writer, values)
+    _vdata(writer, 60, "StructMetadata.0", "Attr0.0", "c", [_SINU_META])
+    data = read_hdf4(writer.write(tmp_path))
+    assert "+proj=sinu" in data.projection
+    assert "+R=6371007.18" in data.projection
+    x0, dx, _, y0, _, dy = data.geo_transform
+    np.testing.assert_allclose(x0, -20015109.354)
+    np.testing.assert_allclose(y0, 1111950.520)
+    np.testing.assert_allclose(dx, (20015109.354 - 18903158.834) / 4)
+    np.testing.assert_allclose(dy, -1111950.520 / 3)
+
+
+_GEO_META = """GROUP=GridStructure
+  GROUP=GRID_1
+    XDim=4
+    YDim=3
+    UpperLeftPointMtrs=(4000000.0,55000000.0)
+    LowerRightMtrs=(6000000.0,52000000.0)
+    Projection=GCTP_GEO
+  END_GROUP=GRID_1
+END_GROUP=GridStructure
+END
+"""
+
+
+def test_hdfeos_geo_grid_packed_dms(tmp_path):
+    values = np.arange(12, dtype=np.int16).reshape(3, 4)
+    writer = Writer()
+    _simple_sds(writer, values)
+    _vdata(writer, 60, "StructMetadata.0", "Attr0.0", "c", [_GEO_META])
+    data = read_hdf4(writer.write(tmp_path))
+    assert data.projection == "EPSG:4326"
+    x0, dx, _, y0, _, dy = data.geo_transform
+    np.testing.assert_allclose((x0, y0), (4.0, 55.0))
+    np.testing.assert_allclose((dx, dy), (0.5, -1.0))
+
+
+def test_raster_file_source_integration(tmp_path):
+    from dask_geomodeling_tpu.raster import RasterFileSource
+
+    values = np.arange(12, dtype=np.int16).reshape(3, 4)
+    writer = Writer()
+    _simple_sds(writer, values)
+    _vdata(writer, 60, "StructMetadata.0", "Attr0.0", "c", [_GEO_META])
+    path = writer.write(tmp_path)
+    source = RasterFileSource(path)
+    data = source.get_data(
+        mode="vals", bbox=(4.0, 52.0, 6.0, 55.0), projection="EPSG:4326",
+        width=4, height=3, start=None, stop=None,
+    )
+    np.testing.assert_array_equal(data["values"][0], values)
+
+
+def test_unsupported_coder_message(tmp_path):
+    writer = Writer()
+    nt_ref = _nt(writer, 2, "u1")
+    _sdd(writer, 2, (2, 2), nt_ref)
+    desc = struct.pack(">HHiHHH", 3, 0, 4, 7, 0, 5)  # szip
+    writer.add(TAG_SD | SPECIAL, 2, desc)
+    writer.add(TAG_COMPRESSED, 7, b"\x00\x00\x00\x00")
+    _ndg(writer, 2, [(TAG_SDD, 2), (TAG_SD, 2)])
+    with pytest.raises(ValueError, match="szip"):
+        read_hdf4(writer.write(tmp_path))
