@@ -30,19 +30,22 @@ def gaussian_kernel_1d(sigma, truncate=4.0):
     return weights / weights.sum(), radius
 
 
-def binary_dilation_jax(mask, connectivity=2):
-    """Binary dilation over the last two axes of (b, h, w) data.
+def binary_dilation_jax(mask, connectivity=2, rank3=False):
+    """Binary dilation of (b, h, w) data.
 
     connectivity=1 is the cross-shaped structuring element (scipy's
     ``binary_dilation`` default, which the reference uses at
-    raster/spatial.py:153); connectivity=2 is the full 3x3 window.
+    raster/spatial.py:153); connectivity=2 is the full 3x3 window over
+    the last two axes.  scipy's default structure for a rank-3 array is
+    the rank-THREE cross — it dilates across the band/time axis too;
+    ``rank3=True`` reproduces that (Dilate's multi-band semantics).
     """
     import jax.numpy as jnp
     from jax import lax
 
     x = mask.astype(jnp.uint8)
     if connectivity == 1:
-        # cross-shaped: max over the 5 cells (center + 4 neighbours)
+        # cross-shaped: max over the centre + 4 spatial neighbours
         up = jnp.pad(x, ((0, 0), (1, 0), (0, 0)))[:, :-1, :]
         down = jnp.pad(x, ((0, 0), (0, 1), (0, 0)))[:, 1:, :]
         left = jnp.pad(x, ((0, 0), (0, 0), (1, 0)))[:, :, :-1]
@@ -50,6 +53,10 @@ def binary_dilation_jax(mask, connectivity=2):
         out = jnp.maximum(
             x, jnp.maximum(jnp.maximum(up, down), jnp.maximum(left, right))
         )
+        if rank3:
+            before = jnp.pad(x, ((1, 0), (0, 0), (0, 0)))[:-1]
+            after = jnp.pad(x, ((0, 1), (0, 0), (0, 0)))[1:]
+            out = jnp.maximum(out, jnp.maximum(before, after))
         return out.astype(bool)
     # full 3x3 window
     out = lax.reduce_window(

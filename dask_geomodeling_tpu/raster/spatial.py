@@ -111,7 +111,10 @@ def _dilate_jax(data, values=None):
     original = data["values"]
     dilated = original
     for value in np.asarray(values, dtype=np.dtype(original.dtype)):
-        grown = binary_dilation_jax(original == value, connectivity=1)
+        # rank3: scipy's default structure on the (b, h, w) host array
+        # dilates across the band axis as well
+        grown = binary_dilation_jax(original == value, connectivity=1,
+                                    rank3=True)
         dilated = jnp.where(grown, value, dilated)
     dilated = dilated[:, 1:-1, 1:-1]
     return {"values": dilated, "no_data_value": data["no_data_value"]}
@@ -135,6 +138,13 @@ class Dilate(BaseSingle):
         if new_request is None:
             return [(self.store, request)]
         return [(self.store, new_request), (self.values, None)]
+
+    def out_value_set(self):
+        # dilation only spreads existing values into neighbours
+        child = self.store.out_value_set()
+        if child is None:
+            return None
+        return child | set(self.values) | {self.fillvalue}
 
     process = staticmethod(_dilate_process)
 
@@ -200,6 +210,13 @@ class MovingMax(BaseSingle):
         if new_request is None:
             return [(self.store, request)]
         return [(self.store, new_request), (size, None)]
+
+    def out_value_set(self):
+        # a maximum filter only ever picks values the store already holds
+        child = self.store.out_value_set()
+        if child is None:
+            return None
+        return child | {self.fillvalue}
 
     process = staticmethod(_moving_max_process)
 

@@ -100,6 +100,13 @@ class Snap(BaseSingle):
     def __len__(self):
         return len(self.index)
 
+    def out_value_set(self):
+        # snapping re-labels frames in time; cell values pass through
+        child = self.store.out_value_set()
+        if child is None:
+            return None
+        return child | {self.fillvalue}
+
     @property
     def period(self):
         return self.index.period if self.store else None
@@ -180,6 +187,10 @@ class Shift(BaseSingle):
     @property
     def time(self):
         return Timedelta(milliseconds=self.args[1])
+
+    def out_value_set(self):
+        # a pure time shift: cell values pass through untouched
+        return self.store.out_value_set()
 
     @property
     def period(self):
@@ -691,6 +702,25 @@ class TemporalAggregate(_StatisticDtypeMixin, BaseSingle):
     @property
     def temporal(self):
         return self.frequency is not None
+
+    def out_value_set(self):
+        # min/max pick existing source values; they round-trip through
+        # the float working dtype and the output cast, so emulate that
+        # exact chain per member
+        if self.statistic not in ("min", "max"):
+            return None
+        child = self.source.out_value_set()
+        if child is None:
+            return None
+        dtype = np.dtype(self.dtype)
+        float_dtype = np.result_type(np.float32, dtype)
+        child_fill = self.source.fillvalue
+        out = {get_dtype_max(dtype)}  # empty bins / all-nodata stacks
+        for v in child:
+            if child_fill is not None and v == child_fill:
+                continue
+            out.add(dtype.type(float_dtype.type(v)).item())
+        return out
 
     def get_sources_and_requests(self, **request):
         mode = request["mode"]

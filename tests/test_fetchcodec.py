@@ -13,6 +13,7 @@ from dask_geomodeling_tpu.raster import (
     Reclassify,
     Step,
 )
+from dask_geomodeling_tpu.geo import get_dtype_max as utils_dtype_max
 from dask_geomodeling_tpu.runtime.fetchcodec import (
     FetchCodec,
     codec_from_values,
@@ -340,3 +341,38 @@ class TestValueSetCodec:
 
     def test_wide_alphabet_rejected(self):
         assert codec_from_values(set(range(40)), 255, "uint8") is None
+
+    def test_spatial_and_temporal_propagation(self, source):
+        from dask_geomodeling_tpu.raster import (
+            Dilate,
+            MovingMax,
+            Shift,
+            Snap,
+            TemporalAggregate,
+        )
+
+        classified = Classify(source, bins=[50.0, 150.0])  # {0,1,2,255}
+        assert MovingMax(classified, 3).out_value_set() == {0, 1, 2, 255}
+        assert Dilate(classified, [2]).out_value_set() == {0, 1, 2, 255}
+        assert Shift(classified, 3600000).out_value_set() == {0, 1, 2, 255}
+        assert Snap(classified, source).out_value_set() == {0, 1, 2, 255}
+
+        agg_max = TemporalAggregate(classified, "4h", statistic="max")
+        vals = agg_max.out_value_set()
+        assert vals == {0, 1, 2, utils_dtype_max(agg_max.dtype)}
+        assert TemporalAggregate(
+            classified, "4h", statistic="mean"
+        ).out_value_set() is None
+
+    def test_moving_max_tiled_packed(self, source, request_64):
+        from dask_geomodeling_tpu.raster import MovingMax
+
+        view = MovingMax(Classify(source, bins=[50.0, 150.0]), 3)
+        expected = view.get_data(**request_64)
+        with config.set({"geomodeling.fetch-pack": True}):
+            packed = _tiled(view, request_64)
+            program = _get_tile_program(
+                view, dict(request_64, width=32, height=32)
+            )
+        assert program.codec is not None
+        np.testing.assert_array_equal(packed["values"], expected["values"])

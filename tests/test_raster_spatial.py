@@ -140,6 +140,39 @@ class TestDilate:
             actual = view.get_data(**request_20)
         np.testing.assert_array_equal(actual["values"], expected["values"])
 
+    def test_dilate_jax_matches_multiband(self):
+        """scipy's default structure on a rank-3 array dilates across the
+        band axis; the jax twin must too (round-4 regression: single-band
+        fixtures hid the missing temporal dilation)."""
+        from datetime import datetime, timedelta
+
+        rng = np.random.RandomState(11)
+        data = (rng.rand(4, 24, 24) * 3).astype("u1")
+        source = MemorySource(
+            data=data,
+            no_data_value=255,
+            projection="EPSG:28992",
+            pixel_size=1.0,
+            pixel_origin=(135000, 456000),
+            time_first=datetime(2000, 1, 1),
+            time_delta=timedelta(hours=1),
+        )
+        request = dict(
+            mode="vals",
+            bbox=(135000, 456000 - 24, 135000 + 24, 456000),
+            projection="EPSG:28992",
+            width=24,
+            height=24,
+            start=datetime(2000, 1, 1),
+            stop=datetime(2000, 1, 2),
+        )
+        view = Dilate(source, values=[2])
+        expected = view.get_data(**request)
+        assert expected["values"].shape[0] == 4
+        with config.set({"geomodeling.executor": "jax"}):
+            actual = view.get_data(**request)
+        np.testing.assert_array_equal(actual["values"], expected["values"])
+
 
 class TestMovingMax:
     def test_moving_max(self, sparse_source, request_20):
