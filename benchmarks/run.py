@@ -183,7 +183,11 @@ def main():
 
     # zonal statistics on host (scipy) vs the single-dispatch batched
     # device segment reductions: a temporal stack and a realistic feature
-    # count, so the (buckets x frames) batching has something to amortize
+    # count, so the (buckets x frames) batching has something to amortize.
+    # Capped at 2048 px: above that the aggregation grid would trip the
+    # reference-semantics raster-limit admission check (the temporal
+    # config caps at px//4 for the same reason)
+    px = min(px, 2048)
     n_geom = 64
     grid = int(np.ceil(np.sqrt(n_geom)))
     cell = px // grid
