@@ -376,3 +376,62 @@ class TestValueSetCodec:
             )
         assert program.codec is not None
         np.testing.assert_array_equal(packed["values"], expected["values"])
+
+
+def test_codec_chain_fuzz(source, request_64):
+    """Random discrete-output chains: whatever out_value_set derives,
+    the packed tiled result must stay bitwise equal to the host path.
+    A wrong alphabet would corrupt silently — this is the safety net."""
+    from dask_geomodeling_tpu.raster import (
+        Dilate,
+        Mask,
+        MaskBelow,
+        MovingMax,
+        Multiply,
+        Subtract,
+    )
+
+    def grow(rng, view):
+        is_int = np.issubdtype(view.dtype, np.integer) or view.dtype == bool
+        choices = []
+        if not is_int:
+            choices += [
+                lambda v: Classify(v, bins=sorted(
+                    rng.choice(np.arange(20.0, 240.0, 10.0), 3, replace=False)
+                )),
+                lambda v: Mask(v, float(rng.randint(1, 9))),
+                lambda v: MaskBelow(v, float(rng.randint(10, 100))),
+                lambda v: Step(v, left=0, right=2,
+                               value=float(rng.randint(20, 200)), at=1),
+            ]
+        else:
+            targets = rng.choice(np.arange(1, 40), 4, replace=False)
+            choices += [
+                lambda v: Reclassify(
+                    v,
+                    data=[[i, int(t)] for i, t in enumerate(targets)],
+                    select=bool(rng.randint(2)),
+                ),
+                lambda v: Mask(v, int(rng.randint(1, 9))),
+                lambda v: Multiply(v, int(rng.randint(2, 5))),
+                lambda v: Subtract(v, int(rng.randint(1, 4))),
+                lambda v: Dilate(v, [int(rng.randint(1, 4))]),
+                lambda v: MovingMax(v, 3),
+            ]
+        return choices[rng.randint(len(choices))](view)
+
+    mismatches = []
+    for seed in range(30):
+        rng = np.random.RandomState(seed)
+        view = Add(source, float(rng.randint(0, 5)))
+        for _ in range(rng.randint(1, 4)):
+            try:
+                view = grow(rng, view)
+            except (TypeError, ValueError):
+                break  # invalid combination for this dtype: keep current
+        expected = view.get_data(**request_64)
+        with config.set({"geomodeling.fetch-pack": True}):
+            actual = _tiled(view, request_64)
+        if not np.array_equal(actual["values"], expected["values"]):
+            mismatches.append(seed)
+    assert mismatches == []
