@@ -254,3 +254,36 @@ for _attribute in (
 ):
     setattr(BaseSingle, _attribute, _delegate(_attribute))
 del _attribute
+
+
+def union_value_set(sources, dtype, fillvalue):
+    """The combined alphabet of value-picking multi-source blocks (Group,
+    FillNoData, Max-style reductions): every source's data values cast to
+    the output dtype, each source's own fill excluded (those cells either
+    show another source's value or the combined fill), plus ``fillvalue``.
+    None when any source is unbounded or the union grows past any codec's
+    use."""
+    import numpy as np
+
+    dtype = np.dtype(dtype)
+    out = {fillvalue} if fillvalue is not None else set()
+    for source in sources:
+        if not isinstance(source, RasterBlock):
+            if isinstance(source, (int, float)):
+                out.add(dtype.type(source).item())
+                continue
+            return None
+        child = source.out_value_set()
+        if child is None:
+            return None
+        child_fill = source.fillvalue
+        for v in child:
+            if child_fill is not None and v == child_fill:
+                continue
+            try:
+                out.add(dtype.type(v).item())
+            except (TypeError, ValueError, OverflowError):
+                return None
+        if len(out) > 64:
+            return None
+    return out

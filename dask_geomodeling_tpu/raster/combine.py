@@ -171,6 +171,12 @@ class Group(BaseCombine):
     """Combine rasters along x, y and time; rightmost raster wins where
     multiple have data at the same timestep."""
 
+    def out_value_set(self):
+        # the output only ever shows some source's value (or the fill)
+        from dask_geomodeling_tpu.raster.base import union_value_set
+
+        return union_value_set(self.args, self.dtype, self.fillvalue)
+
     def get_relevant_sources(self, start, stop):
         """Sources whose period is relevant for [start, stop]."""
         stores = [s for s in self.args if s.period is not None]

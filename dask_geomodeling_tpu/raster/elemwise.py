@@ -648,6 +648,11 @@ class FillNoData(BaseElementwise):
                 raise TypeError("'{}' object is not allowed".format(type(arg)))
         super().__init__(*args)
 
+    def out_value_set(self):
+        from dask_geomodeling_tpu.raster.base import union_value_set
+
+        return union_value_set(self.args, self.dtype, self.fillvalue)
+
     process = staticmethod(_fill_no_data_process)
 
 

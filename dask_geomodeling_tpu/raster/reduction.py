@@ -301,6 +301,12 @@ class Max(BaseReduction):
 
     process = staticmethod(wrap_reduction_function("max"))
 
+    def out_value_set(self):
+        # a nodata-ignoring maximum only picks values a source holds
+        from dask_geomodeling_tpu.raster.base import union_value_set
+
+        return union_value_set(self.args, self.dtype, self.fillvalue)
+
     @property
     def dtype(self):
         # unlike elementwise math, reductions keep the input dtype

@@ -378,6 +378,31 @@ class TestValueSetCodec:
         np.testing.assert_array_equal(packed["values"], expected["values"])
 
 
+def test_multi_source_value_sets(source, request_64):
+    """Group / FillNoData / Max pick values from their sources: their
+    alphabets are the union, and the packed tiled path stays bit-exact."""
+    from dask_geomodeling_tpu.raster import FillNoData, Group
+    from dask_geomodeling_tpu.raster.reduction import Max
+
+    a = Classify(source, bins=[50.0, 150.0])  # {0,1,2,255}
+    b = Reclassify(
+        Classify(Add(source, 30.0), bins=[100.0, 300.0]),
+        data=[[0, 10], [1, 20]], select=True,
+    )
+    for cls in (Group, FillNoData, Max):
+        view = cls(a, b)
+        vals = view.out_value_set()
+        assert vals is not None, cls.__name__
+        data_union = {0, 1, 2, 10, 20}
+        assert data_union <= vals, cls.__name__
+        expected = view.get_data(**request_64)
+        with config.set({"geomodeling.fetch-pack": True}):
+            actual = _tiled(view, request_64)
+        np.testing.assert_array_equal(
+            actual["values"], expected["values"], err_msg=cls.__name__
+        )
+
+
 def test_codec_chain_fuzz(source, request_64):
     """Random discrete-output chains: whatever out_value_set derives,
     the packed tiled result must stay bitwise equal to the host path.
