@@ -361,24 +361,30 @@ def _default_closed_label(frequency, closed, label):
     return closed, label
 
 
+def _bin_bounds(dt, frequency, closed, label, timezone, side):
+    """One bound of the bin labeled ``dt``: the bin spans one frequency
+    step anchored at its label (shifted when labels sit on the other
+    edge), and the open edge is nudged by a microsecond per the pandas
+    closed/label conventions."""
+    ts = _dt_to_ts(dt, timezone)
+    step, tick = to_offset(frequency), MICROSECOND
+    # the far edge for each side, and which way the label shift points
+    other, inward = ("right", False) if side == "start" else ("left", True)
+    if label == other:
+        ts = ts + step if inward else ts - step
+    if closed == other:
+        ts = ts - tick if inward else ts + tick
+    return _ts_to_dt(ts, timezone)
+
+
 def _label_to_bin_start(dt, frequency, closed, label, timezone):
     """First datetime belonging to the bin labeled ``dt``."""
-    ts = _dt_to_ts(dt, timezone)
-    if label == "right":
-        ts -= to_offset(frequency)
-    if closed == "right":
-        ts += MICROSECOND
-    return _ts_to_dt(ts, timezone)
+    return _bin_bounds(dt, frequency, closed, label, timezone, "start")
 
 
 def _label_to_bin_end(dt, frequency, closed, label, timezone):
     """Last datetime belonging to the bin labeled ``dt``."""
-    ts = _dt_to_ts(dt, timezone)
-    if label == "left":
-        ts += to_offset(frequency)
-    if closed == "left":
-        ts -= MICROSECOND
-    return _ts_to_dt(ts, timezone)
+    return _bin_bounds(dt, frequency, closed, label, timezone, "end")
 
 
 def _resampled_period(period, frequency, closed, label, timezone):
@@ -427,11 +433,11 @@ def _snap_to_resampled_labels(period, start, stop, frequency, timezone):
 def _labels_to_start_stop(start_label, stop_label, frequency, closed, label, timezone):
     """Source start/stop covering the bins of the given labels."""
     assert frequency is not None
-    start = _label_to_bin_start(start_label, frequency, closed, label, timezone)
-    stop = _label_to_bin_end(
-        stop_label or start_label, frequency, closed, label, timezone
+    edges = ((start_label, "start"), (stop_label or start_label, "end"))
+    return tuple(
+        _bin_bounds(dt, frequency, closed, label, timezone, side)
+        for dt, side in edges
     )
-    return start, stop
 
 
 def _get_label_range(start_label, stop_label, frequency, timezone):
