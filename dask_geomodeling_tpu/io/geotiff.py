@@ -890,6 +890,13 @@ def _info_from_tags(tags, path=None):
     width = tags[_IMAGE_WIDTH][0]
     height = tags[_IMAGE_LENGTH][0]
     bands = tags.get(_SAMPLES_PER_PIXEL, [1])[0]
+    if not (0 < width <= 2**28 and 0 < height <= 2**28
+            and 0 < bands <= 2**16 and width * height * bands <= 2**36):
+        # corrupt headers must not drive giant allocations in a server
+        raise ValueError(
+            "Implausible TIFF dimensions %r x %r x %r bands"
+            % (width, height, bands)
+        )
     bits = tags[_BITS_PER_SAMPLE][0]
     sample_format = tags.get(_SAMPLE_FORMAT, [1])[0]
     kind = {1: "u", 2: "i", 3: "f"}[sample_format]
@@ -955,6 +962,18 @@ def read_geotiff(path):
 
 
 def read_geotiff_window(path, row0, row1, col0, col1, level=0):
+    try:
+        return _read_geotiff_window(path, row0, row1, col0, col1, level)
+    except (struct.error, IndexError, KeyError, OverflowError,
+            zlib.error) as e:
+        # corrupt/truncated streams surface as the catchable format
+        # error serving code already handles, never a raw parse error
+        raise ValueError(
+            "Corrupt or truncated TIFF file '%s': %r" % (path, e)
+        )
+
+
+def _read_geotiff_window(path, row0, row1, col0, col1, level=0):
     """Read only the pixel window [row0:row1, col0:col1) of a GeoTIFF.
 
     Decodes just the strips/tiles that intersect the window — the

@@ -816,7 +816,17 @@ def read_grib(path):
         buf = f.read()
     if buf[:4] != b"GRIB":
         raise IOError("Not a GRIB file: '%s'" % path)
+    try:
+        return _read_grib_messages(buf, path, RasterData)
+    except (struct.error, IndexError, KeyError, OverflowError) as e:
+        # low-level parse failures on corrupt/truncated streams surface
+        # as the format error serving code already handles
+        raise _GribError(
+            "Corrupt or truncated GRIB file '%s': %r" % (path, e)
+        )
 
+
+def _read_grib_messages(buf, path, RasterData):
     bands = []
     metadata = []
     grid = None
@@ -828,6 +838,8 @@ def read_grib(path):
             break
         if buf[idx + 7] == 1:
             grid, total = _read_grib1_message(buf, idx, grid, bands, metadata)
+            if total <= 8:
+                raise _GribError("Corrupt GRIB1 message length %d" % total)
             pos = idx + total
             continue
         if buf[idx + 7] != 2:
@@ -837,6 +849,8 @@ def read_grib(path):
             )
         discipline = buf[idx + 6]
         total = _u(buf, idx + 8, 8)
+        if total <= 16:
+            raise _GribError("Corrupt GRIB2 message length %d" % total)
         message = buf[idx : idx + total]
         if message[-4:] != b"7777":
             raise _GribError("GRIB message missing 7777 end marker")

@@ -122,8 +122,14 @@ class _File:
         self.path = path
         self.dds = {}  # (tag, ref) -> (offset, length)
         pos = 4
+        seen = set()
         while pos not in (0, -1) and pos < len(buf):
+            if pos in seen:  # cyclic DD chain in a corrupt file
+                raise _Hdf4Error("Cyclic HDF4 DD chain in '%s'" % path)
+            seen.add(pos)
             ndd, nxt = struct.unpack_from(">hi", buf, pos)
+            if ndd < 0:
+                raise _Hdf4Error("Corrupt HDF4 DD block in '%s'" % path)
             entry = pos + 6
             for _ in range(ndd):
                 tag, ref, offset, length = struct.unpack_from(
@@ -174,7 +180,11 @@ class _File:
             ">iiiH", desc, 2
         )
         out = bytearray()
+        seen = set()
         while link_ref != 0 and len(out) < total:
+            if link_ref in seen:  # cyclic link table in a corrupt file
+                raise _Hdf4Error("Cyclic HDF4 linked-block table")
+            seen.add(link_ref)
             table = self.raw(_DFTAG_LINKED, link_ref)
             next_ref = struct.unpack_from(">H", table, 0)[0]
             n = (len(table) - 2) // 2
@@ -606,7 +616,18 @@ def read_hdf4(path):
         buf = f.read()
     if buf[:4] != _MAGIC:
         raise IOError("Not an HDF4 file: '%s'" % path)
+    try:
+        return _read_hdf4_sets(buf, path, RasterData)
+    except (struct.error, IndexError, KeyError, OverflowError,
+            zlib.error) as e:
+        # low-level parse failures on corrupt/truncated containers
+        # surface as the format error serving code already handles
+        raise _Hdf4Error(
+            "Corrupt or truncated HDF4 file '%s': %r" % (path, e)
+        )
 
+
+def _read_hdf4_sets(buf, path, RasterData):
     file = _File(buf, path)
     sets = _collect_sds(file)
     raster_sets = [s for s in sets if len(s.dims) in (2, 3)]
