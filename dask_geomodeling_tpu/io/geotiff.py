@@ -899,6 +899,11 @@ def _info_from_tags(tags, path=None):
         )
     bits = tags[_BITS_PER_SAMPLE][0]
     sample_format = tags.get(_SAMPLE_FORMAT, [1])[0]
+    if bits not in (8, 16, 32, 64) or sample_format not in (1, 2, 3):
+        raise ValueError(
+            "Unsupported TIFF sample layout: %r bits, format %r"
+            % (bits, sample_format)
+        )
     kind = {1: "u", 2: "i", 3: "f"}[sample_format]
     dtype = "%s%d" % (kind, bits // 8)
 
@@ -923,8 +928,8 @@ def _info_from_tags(tags, path=None):
     if _IMAGE_DESCRIPTION in tags:
         try:
             metadata = json.loads(tags[_IMAGE_DESCRIPTION]).get("band_metadata")
-        except (ValueError, AttributeError):
-            pass
+        except (ValueError, AttributeError, TypeError):
+            pass  # corrupt/non-JSON descriptions carry no band metadata
 
     if path is not None:
         pam_srs, pam_nodata = _pam_overrides(path)
@@ -965,7 +970,7 @@ def read_geotiff_window(path, row0, row1, col0, col1, level=0):
     try:
         return _read_geotiff_window(path, row0, row1, col0, col1, level)
     except (struct.error, IndexError, KeyError, OverflowError,
-            zlib.error) as e:
+            TypeError, zlib.error) as e:
         # corrupt/truncated streams surface as the catchable format
         # error serving code already handles, never a raw parse error
         raise ValueError(

@@ -19,7 +19,7 @@ forecast-offset metadata.  Spherical harmonics, second-order packing,
 thinned grids, and pre-defined (GDS-less) grids or bitmaps are rejected
 with clear errors.
 
-Supported subset (the envelope of common NWP products):
+Edition-2 subset (the envelope of common NWP products):
 
 - multi-message files: every decoded field becomes one band, in file
   order; repeated sections 2-7 inside one message are honoured
@@ -818,7 +818,8 @@ def read_grib(path):
         raise IOError("Not a GRIB file: '%s'" % path)
     try:
         return _read_grib_messages(buf, path, RasterData)
-    except (struct.error, IndexError, KeyError, OverflowError) as e:
+    except (struct.error, IndexError, KeyError, OverflowError,
+            TypeError) as e:
         # low-level parse failures on corrupt/truncated streams surface
         # as the format error serving code already handles
         raise _GribError(

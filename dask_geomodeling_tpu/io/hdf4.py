@@ -38,7 +38,7 @@ import zlib
 
 import numpy as np
 
-__all__ = ["read_hdf4", "is_hdf4"]
+__all__ = ["read_hdf4", "read_hdf4_window", "read_hdf4_info", "is_hdf4"]
 
 _MAGIC = b"\x0e\x03\x13\x01"
 
@@ -370,12 +370,74 @@ class _Sds:
         values = np.frombuffer(raw, self.dtype, count=count)
         return values.reshape(self.dims)
 
-    def _read_chunked(self, desc):
-        """Assemble a chunked element from its chunk-table Vdata; each
-        chunk is an ordinary (possibly compressed) element."""
-        # version(u1) flag(i4) total(i4) chunk_size(i4) nt_size(i4)
-        # tbl_tag(u2) tbl_ref(u2) sp_tag(u2) sp_ref(u2) ndims(i4)
-        (_version, _flag, total, _chunk_size, nt_size, _tbl_tag, tbl_ref,
+    def read_window(self, row0, row1, col0, col1):
+        """Only the [row0:row1, col0:col1) window of the LAST TWO axes,
+        decoding only the chunks (or contiguous row range) it touches —
+        the repo-wide windowed-read pattern (bit-exact with ``read``)."""
+        dims = self.dims
+        h, w = dims[-2], dims[-1]
+        row0, row1 = max(0, row0), min(h, row1)
+        col0, col1 = max(0, col0), min(w, col1)
+        desc = self.file.chunk_descriptor(_DFTAG_SD, self.data_ref)
+        if desc is not None:
+            return self._read_chunked_window(desc, row0, row1, col0, col1)
+        plain = self.file.dds.get((_DFTAG_SD, self.data_ref))
+        if plain is not None and len(dims) == 2:
+            # contiguous rank-2 storage: a row range is one byte range
+            offset, length = plain
+            itemsize = self.dtype.itemsize
+            start = offset + row0 * w * itemsize
+            nbytes = (row1 - row0) * w * itemsize
+            if start + nbytes > offset + length:
+                raise _Hdf4Error("HDF4 data element is truncated")
+            rows = np.frombuffer(
+                self.file.buf[start : start + nbytes], self.dtype
+            ).reshape(row1 - row0, w)
+            return rows[:, col0:col1]
+        # linked/compressed contiguous or rank-3: decode whole, slice
+        return self.read()[..., row0:row1, col0:col1]
+
+    def _read_chunked_window(self, desc, row0, row1, col0, col1):
+        """Chunked storage: decode only intersecting chunks."""
+        chunk_dims, fill, tbl_ref = self._chunk_layout(desc)
+        dims = self.dims
+        window = [(0, n) for n in dims[:-2]] + [(row0, row1), (col0, col1)]
+        out_shape = [b - a for a, b in window]
+        if fill is not None:
+            out = np.full(out_shape, fill, self.dtype)
+        else:
+            out = np.zeros(out_shape, self.dtype)
+
+        table = _Vdata(self.file, tbl_ref)
+        for rec in table.records():
+            origin = np.atleast_1d(rec["origin"]).astype(int)
+            starts = [o * c for o, c in zip(origin, chunk_dims)]
+            stops = [
+                min(s + c, n) for s, c, n in zip(starts, chunk_dims, dims)
+            ]
+            if any(
+                stop <= lo or start >= hi
+                for start, stop, (lo, hi) in zip(starts, stops, window)
+            ):
+                continue  # chunk does not touch the window: skip decode
+            raw = self.file.element(int(rec["chk_tag"]), int(rec["chk_ref"]))
+            chunk = np.frombuffer(
+                raw, self.dtype, count=int(np.prod(chunk_dims))
+            ).reshape(chunk_dims)
+            src = []
+            dst = []
+            for axis, (start, stop) in enumerate(zip(starts, stops)):
+                lo, hi = window[axis]
+                a, b = max(start, lo), min(stop, hi)
+                src.append(slice(a - start, b - start))
+                dst.append(slice(a - lo, b - lo))
+            out[tuple(dst)] = chunk[tuple(src)]
+        return out
+
+    def _chunk_layout(self, desc):
+        """(chunk_dims, fill-or-None, chunk-table ref) from the chunked
+        description record (shared by whole and windowed reads)."""
+        (_version, _flag, _total, _chunk_size, _nt_size, _tbl_tag, tbl_ref,
          _sp_tag, _sp_ref, ndims) = struct.unpack_from(">BiiiiHHHHi", desc, 2)
         pos = 2 + 1 + 4 * 4 + 2 * 4 + 4
         chunk_dims = []
@@ -386,35 +448,15 @@ class _Sds:
         fill_len = struct.unpack_from(">i", desc, pos)[0]
         pos += 4
         fill_bytes = desc[pos : pos + fill_len]
-
+        fill = None
         if fill_bytes and len(fill_bytes) == self.dtype.itemsize:
             fill = np.frombuffer(fill_bytes, self.dtype)[0]
-            out = np.full(self.dims, fill, self.dtype)
-        else:
-            out = np.zeros(self.dims, self.dtype)
+        return chunk_dims, fill, tbl_ref
 
-        table = _Vdata(self.file, tbl_ref)
-        for rec in table.records():
-            origin = np.atleast_1d(rec["origin"]).astype(int)
-            chk_tag = int(rec["chk_tag"])
-            chk_ref = int(rec["chk_ref"])
-            raw = self.file.element(chk_tag, chk_ref)
-            chunk = np.frombuffer(
-                raw, self.dtype, count=int(np.prod(chunk_dims))
-            ).reshape(chunk_dims)
-            # origin is in chunk units; clip the edge chunks
-            index = []
-            for axis, o in enumerate(origin):
-                start = o * chunk_dims[axis]
-                stop = min(start + chunk_dims[axis], self.dims[axis])
-                index.append(slice(start, stop))
-                chunk = chunk[
-                    tuple(
-                        [slice(None)] * axis + [slice(0, stop - start)]
-                    )
-                ]
-            out[tuple(index)] = chunk
-        return out.tobytes()
+    def _read_chunked(self, desc):
+        """Assemble a whole chunked element: the full-extent window."""
+        h, w = self.dims[-2], self.dims[-1]
+        return self._read_chunked_window(desc, 0, h, 0, w).tobytes()
 
 
 def _attr_value(vdata):
@@ -607,19 +649,24 @@ def _global_attr(file, name):
 # ----------------------------------------------------------------- API
 
 
+def _load(path):
+    with open(path, "rb") as f:
+        buf = f.read()
+    if buf[:4] != _MAGIC:
+        raise IOError("Not an HDF4 file: '%s'" % path)
+    return buf
+
+
 def read_hdf4(path):
     """Read an HDF4 file into a RasterData payload (2-D SDSes are one
     band each; a rank-3 SDS contributes one band per leading index)."""
     from dask_geomodeling_tpu.raster.sources import RasterData
 
-    with open(path, "rb") as f:
-        buf = f.read()
-    if buf[:4] != _MAGIC:
-        raise IOError("Not an HDF4 file: '%s'" % path)
+    buf = _load(path)
     try:
         return _read_hdf4_sets(buf, path, RasterData)
     except (struct.error, IndexError, KeyError, OverflowError,
-            zlib.error) as e:
+            TypeError, zlib.error) as e:
         # low-level parse failures on corrupt/truncated containers
         # surface as the format error serving code already handles
         raise _Hdf4Error(
@@ -627,21 +674,93 @@ def read_hdf4(path):
         )
 
 
-def _read_hdf4_sets(buf, path, RasterData):
+def read_hdf4_window(path, row0, row1, col0, col1):
+    """Read one pixel window, decoding only the chunks (or contiguous
+    row ranges) it touches; bit-exact with the matching slice of
+    :func:`read_hdf4` (the repo-wide windowed-read invariant)."""
+    from dask_geomodeling_tpu.raster.sources import RasterData
+
+    buf = _load(path)
+    try:
+        file, raster_sets, shape = _raster_sets(buf, path)
+        h, w = shape
+        row0 = max(0, min(int(row0), h))
+        row1 = max(row0 + 1, min(int(row1), h))
+        col0 = max(0, min(int(col0), w))
+        col1 = max(col0 + 1, min(int(col1), w))
+        return _read_hdf4_sets(
+            buf, path, RasterData, window=(row0, row1, col0, col1)
+        )
+    except (struct.error, IndexError, KeyError, OverflowError,
+            TypeError, zlib.error) as e:
+        raise _Hdf4Error(
+            "Corrupt or truncated HDF4 file '%s': %r" % (path, e)
+        )
+
+
+def read_hdf4_info(path):
+    """Header info (dims, bands, dtype, georeferencing) without decoding
+    any pixel data — large granules answer attribute queries cheaply."""
+    from dask_geomodeling_tpu.io.geotiff import GeoTIFFInfo
+
+    buf = _load(path)
+    try:
+        file, raster_sets, shape = _raster_sets(buf, path)
+        bands = sum(
+            s.dims[0] if len(s.dims) == 3 else 1 for s in raster_sets
+        )
+        projection, geo_transform = _georeference(file, shape)
+    except (struct.error, IndexError, KeyError, OverflowError,
+            TypeError, zlib.error) as e:
+        raise _Hdf4Error(
+            "Corrupt or truncated HDF4 file '%s': %r" % (path, e)
+        )
+    return GeoTIFFInfo(
+        width=shape[1],
+        height=shape[0],
+        bands=bands,
+        dtype="float64",  # reads calibrate/fill into f8, like read_hdf4
+        projection=projection,
+        geo_transform=geo_transform,
+        no_data_value=_FILL,
+        metadata=[s.name or "" for s in raster_sets],
+    )
+
+
+def _raster_sets(buf, path):
     file = _File(buf, path)
     sets = _collect_sds(file)
     raster_sets = [s for s in sets if len(s.dims) in (2, 3)]
     if not raster_sets:
         raise _Hdf4Error("HDF4 file contains no 2-D/3-D data sets: '%s'"
                          % path)
-
     shape = raster_sets[0].dims[-2:]
+    return file, [
+        s for s in raster_sets if tuple(s.dims[-2:]) == tuple(shape)
+    ], tuple(shape)
+
+
+def _georeference(file, shape):
+    projection = None
+    geo_transform = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
+    struct_meta = _global_attr(file, "StructMetadata.0")
+    if isinstance(struct_meta, str):
+        parsed = _parse_struct_metadata(struct_meta)
+        if parsed is not None and parsed[2] == (shape[1], shape[0]):
+            projection, geo_transform, _ = parsed
+    return projection, geo_transform
+
+
+def _read_hdf4_sets(buf, path, RasterData, window=None):
+    file, raster_sets, shape = _raster_sets(buf, path)
+
     bands = []
     metadata = []
     for sds in raster_sets:
-        if tuple(sds.dims[-2:]) != tuple(shape):
-            continue  # bands must share the grid, like VRT members
-        values = sds.read().astype("f8", copy=False)
+        if window is None:
+            values = sds.read().astype("f8", copy=False)
+        else:
+            values = sds.read_window(*window).astype("f8", copy=False)
         fill_mask = None
         if sds.fill is not None:
             fill_mask = values == float(sds.fill)
@@ -659,14 +778,15 @@ def _read_hdf4_sets(buf, path, RasterData):
             metadata.append(meta)
 
     array = np.stack(bands)
-
-    projection = None
-    geo_transform = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
-    struct_meta = _global_attr(file, "StructMetadata.0")
-    if isinstance(struct_meta, str):
-        parsed = _parse_struct_metadata(struct_meta)
-        if parsed is not None and parsed[2] == (shape[1], shape[0]):
-            projection, geo_transform, _ = parsed
+    projection, geo_transform = _georeference(file, shape)
+    if window is not None:
+        # a windowed read IS a smaller file: shift the anchor
+        row0, _, col0, _ = window
+        x0, dx, rx, y0, ry, dy = geo_transform
+        geo_transform = (
+            x0 + col0 * dx + row0 * rx, dx, rx,
+            y0 + col0 * ry + row0 * dy, ry, dy,
+        )
 
     return RasterData(
         array=array,

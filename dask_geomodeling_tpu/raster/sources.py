@@ -534,6 +534,22 @@ class RasterFileSource(RasterSourceBase):
                 from dask_geomodeling_tpu.io.vrt import read_vrt_info
 
                 self._info = read_vrt_info(path)
+            elif path.lower().endswith((".hdf", ".h4", ".hdf4")):
+                from dask_geomodeling_tpu.io.hdf4 import (
+                    is_hdf4,
+                    read_hdf4_info,
+                )
+
+                if is_hdf4(path):
+                    # metadata-only: large granules must not decode
+                    # whole just to answer attribute queries
+                    self._info = read_hdf4_info(path)
+                else:
+                    from dask_geomodeling_tpu.io.netcdf import (
+                        read_netcdf_info,
+                    )
+
+                    self._info = read_netcdf_info(path, self.variable)
             elif path.lower().endswith(
                 (
                     ".asc", ".agr", ".xyz", ".png", ".jpg", ".jpeg",
@@ -541,7 +557,7 @@ class RasterFileSource(RasterSourceBase):
                     ".hdr", ".bsq", ".bil", ".bip", ".envi", ".img", ".dat",
                     ".raw", ".grib", ".grib2", ".grb", ".grb2", ".gb2",
                     ".mbtiles", ".grd", ".sgrd", ".sdat", ".rst",
-                    ".jp2", ".j2k", ".jpx", ".hdf", ".h4", ".hdf4",
+                    ".jp2", ".j2k", ".jpx",
                 )
             ):
                 from dask_geomodeling_tpu.io.geotiff import GeoTIFFInfo
@@ -673,7 +689,8 @@ class RasterFileSource(RasterSourceBase):
         # chunk-wise (no pyramid levels there — overviews are a TIFF
         # concept)
         chunked_store = path.lower().endswith(
-            (".zarr", ".nc", ".cdf", ".nc3", ".nc4", ".h5", ".hdf5", ".vrt")
+            (".zarr", ".nc", ".cdf", ".nc3", ".nc4", ".h5", ".hdf5", ".vrt",
+             ".hdf", ".h4", ".hdf4")
         )
         if not (chunked_store or path.lower().endswith((".tif", ".tiff"))):
             return None

@@ -247,6 +247,16 @@ def read_geotiff_window_cached(path, row0, row1, col0, col1, level=0,
         from dask_geomodeling_tpu.io.vrt import read_vrt_window
 
         data = read_vrt_window(key[0], row0, row1, col0, col1)
+    elif key[0].lower().endswith((".hdf", ".h4", ".hdf4")):
+        from dask_geomodeling_tpu.io.hdf4 import is_hdf4, read_hdf4_window
+
+        if is_hdf4(key[0]):
+            data = read_hdf4_window(key[0], row0, row1, col0, col1)
+        else:  # HDF5-named-.hdf: the netCDF-4 chunk slicer handles it
+            from dask_geomodeling_tpu.io.netcdf import read_netcdf_window
+
+            data = read_netcdf_window(key[0], row0, row1, col0, col1,
+                                      variable=variable)
     else:
         data = read_geotiff_window(key[0], row0, row1, col0, col1, level=level)
     with _CACHE_LOCK:

@@ -95,7 +95,7 @@ def test_byte_corruptions_raise_cleanly(which, tmp_path):
         if name != which:
             continue
         path = str(tmp_path / filename)
-        rng = np.random.RandomState(hash(name) % 2**32)
+        rng = np.random.RandomState(zlib.crc32(name.encode()))
         for _ in range(60):
             corrupt = bytearray(payload)
             for _ in range(rng.randint(1, 4)):

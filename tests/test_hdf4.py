@@ -436,3 +436,102 @@ def test_unsupported_coder_message(tmp_path):
     _ndg(writer, 2, [(TAG_SDD, 2), (TAG_SD, 2)])
     with pytest.raises(ValueError, match="szip"):
         read_hdf4(writer.write(tmp_path))
+
+
+# ---------------------------------------------------------- windowed reads
+
+
+class TestWindowedReads:
+    """The repo-wide invariant: a windowed read is bit-exact with the
+    matching slice of the whole-file read."""
+
+    def _chunked_file(self, tmp_path, name="chunked.hdf"):
+        values = (np.arange(30 * 28) % 251).astype(np.uint8).reshape(30, 28)
+        writer = Writer()
+        nt_ref = _nt(writer, 2, "u1")
+        _sdd(writer, 2, values.shape, nt_ref)
+        entries = []
+        ref = 40
+        for ci in range(3):
+            for cj in range(4):
+                block = np.zeros((10, 7), np.uint8)
+                part = values[ci * 10 : ci * 10 + 10, cj * 7 : cj * 7 + 7]
+                block[: part.shape[0], : part.shape[1]] = part
+                raw = block.tobytes()
+                desc = struct.pack(">HHiHHH", 3, 0, len(raw), ref + 100, 0, 4)
+                writer.add(TAG_CHUNK | SPECIAL, ref, desc)
+                writer.add(TAG_COMPRESSED, ref + 100, zlib.compress(raw))
+                entries.append(((ci, cj), TAG_CHUNK, ref))
+                ref += 1
+        _chunk_table(writer, 50, entries, 2)
+        desc = struct.pack(">HBiiii", 6, 1, 1, values.size, 21, 70)
+        desc += struct.pack(">HHHH", TAG_VH, 50, 0, 0)
+        desc += struct.pack(">i", 2)
+        desc += struct.pack(">iii", 0, 30, 10)
+        desc += struct.pack(">iii", 0, 28, 7)
+        desc += struct.pack(">i", 0)
+        writer.add(TAG_SD | SPECIAL, 2, desc)
+        _ndg(writer, 2, [(TAG_SDD, 2), (TAG_SD, 2)])
+        _vdata(writer, 60, "StructMetadata.0", "Attr0.0", "c", [
+            _GEO_META.replace("XDim=4", "XDim=28").replace("YDim=3", "YDim=30")
+        ])
+        return writer.write(tmp_path, name), values
+
+    def test_chunked_window_bit_exact(self, tmp_path):
+        from dask_geomodeling_tpu.io.hdf4 import read_hdf4, read_hdf4_window
+
+        path, values = self._chunked_file(tmp_path)
+        whole = read_hdf4(path)
+        for window in [(0, 30, 0, 28), (5, 17, 3, 22), (9, 11, 6, 8),
+                       (0, 1, 0, 28), (29, 30, 27, 28)]:
+            r0, r1, c0, c1 = window
+            part = read_hdf4_window(path, *window)
+            np.testing.assert_array_equal(
+                part.array, whole.array[:, r0:r1, c0:c1], err_msg=str(window)
+            )
+            # shifted anchor: the window IS a smaller file
+            x0, dx, _, y0, _, dy = whole.geo_transform
+            np.testing.assert_allclose(
+                part.geo_transform,
+                (x0 + c0 * dx, dx, 0, y0 + r0 * dy, 0, dy),
+            )
+
+    def test_contiguous_window_bit_exact(self, tmp_path):
+        from dask_geomodeling_tpu.io.hdf4 import read_hdf4, read_hdf4_window
+
+        values = (np.arange(20 * 16) % 200).astype(np.int16).reshape(20, 16)
+        writer = Writer()
+        _simple_sds(writer, values)
+        path = writer.write(tmp_path)
+        whole = read_hdf4(path)
+        part = read_hdf4_window(path, 3, 12, 5, 14)
+        np.testing.assert_array_equal(
+            part.array, whole.array[:, 3:12, 5:14]
+        )
+
+    def test_info_is_metadata_only(self, tmp_path):
+        from dask_geomodeling_tpu.io.hdf4 import read_hdf4_info
+
+        path, values = self._chunked_file(tmp_path)
+        info = read_hdf4_info(path)
+        assert (info.width, info.height, info.bands) == (28, 30, 1)
+        assert info.projection == "EPSG:4326"
+        assert info.dtype == "float64"
+
+    def test_source_windowed_requests(self, tmp_path):
+        """RasterFileSource decodes only touched chunks above the
+        windowed-read limit, bit-exactly with the whole-file path."""
+        from dask_geomodeling_tpu import config
+        from dask_geomodeling_tpu.raster import RasterFileSource
+
+        path, values = self._chunked_file(tmp_path)
+        source = RasterFileSource(path)
+        request = dict(
+            mode="vals", bbox=(4.25, 52.5, 4.75, 53.5),
+            projection="EPSG:4326", width=4, height=4,
+            start=None, stop=None,
+        )
+        whole = source.get_data(**request)
+        with config.set({"geomodeling.windowed-read-limit": 16}):
+            windowed = source.get_data(**request)
+        np.testing.assert_array_equal(whole["values"], windowed["values"])
