@@ -256,13 +256,15 @@ for _attribute in (
 del _attribute
 
 
-def union_value_set(sources, dtype, fillvalue):
+def union_value_set(sources, dtype, fillvalue, lift=None):
     """The combined alphabet of value-picking multi-source blocks (Group,
     FillNoData, Max-style reductions): every source's data values cast to
     the output dtype, each source's own fill excluded (those cells either
     show another source's value or the combined fill), plus ``fillvalue``.
-    None when any source is unbounded or the union grows past any codec's
-    use."""
+    ``lift`` names an intermediate working dtype (min/max reductions
+    stack through a NaN-capable float) — members round-trip through it
+    exactly the way the process would.  None when any source is
+    unbounded or the union grows past any codec's use."""
     import numpy as np
 
     dtype = np.dtype(dtype)
@@ -281,6 +283,8 @@ def union_value_set(sources, dtype, fillvalue):
             if child_fill is not None and v == child_fill:
                 continue
             try:
+                if lift is not None:
+                    v = np.dtype(lift).type(v)
                 out.add(dtype.type(v).item())
             except (TypeError, ValueError, OverflowError):
                 return None

@@ -302,10 +302,14 @@ class Max(BaseReduction):
     process = staticmethod(wrap_reduction_function("max"))
 
     def out_value_set(self):
-        # a nodata-ignoring maximum only picks values a source holds
+        # a nodata-ignoring maximum only picks values a source holds —
+        # after the NaN-capable float lift the stacking works in
         from dask_geomodeling_tpu.raster.base import union_value_set
 
-        return union_value_set(self.args, self.dtype, self.fillvalue)
+        return union_value_set(
+            self.args, self.dtype, self.fillvalue,
+            lift=np.result_type(self.dtype, np.float32),
+        )
 
     @property
     def dtype(self):

@@ -504,6 +504,22 @@ class Place(BaseSingle):
     coordinates = arg(3)
     statistic = arg(4)
 
+    def out_value_set(self):
+        # value-picking merge statistics rearrange store values; the
+        # averaging ones (mean/median/...) synthesize new ones
+        if self.statistic not in ("last", "first", "min", "max"):
+            return None
+        from dask_geomodeling_tpu.raster.base import union_value_set
+
+        lift = (
+            np.result_type(self.dtype, np.float32)
+            if self.statistic in ("min", "max")
+            else None  # first/last are pure selections, no float lift
+        )
+        return union_value_set(
+            [self.store], self.dtype, self.fillvalue, lift=lift
+        )
+
     @property
     def projection(self):
         store_projection = self.store.projection

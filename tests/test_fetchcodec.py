@@ -403,6 +403,21 @@ def test_multi_source_value_sets(source, request_64):
         )
 
 
+def test_place_value_set(source):
+    from dask_geomodeling_tpu.raster import Place
+
+    classified = Classify(source, bins=[50.0, 150.0])
+    placed = Place(
+        classified, "EPSG:28992", (135032.0, 455968.0),
+        [(135032.0, 455968.0), (135040.0, 455960.0)],
+    )
+    assert placed.out_value_set() == {0, 1, 2, 255}
+    assert Place(
+        classified, "EPSG:28992", (135032.0, 455968.0),
+        [(135032.0, 455968.0)], statistic="mean",
+    ).out_value_set() is None
+
+
 def test_codec_chain_fuzz(source, request_64):
     """Random discrete-output chains: whatever out_value_set derives,
     the packed tiled result must stay bitwise equal to the host path.
