@@ -361,7 +361,9 @@ def _parse_grid(section3):
 
 
 def _scale(packed, R, E, D):
-    return (R + packed.astype(np.float64) * (2.0 ** E)) / (10.0 ** D)
+    # corrupt scale octets can overflow to inf; the values stay values
+    with np.errstate(all="ignore"):
+        return (R + packed.astype(np.float64) * (2.0 ** E)) / (10.0 ** D)
 
 
 def _decode_simple(sec5, sec7, npts):
