@@ -155,14 +155,17 @@ def aggregate_polygons(
     values_on_device = not isinstance(values, np.ndarray)
     mode = config.get("geomodeling.aggregate-device", "auto")
     if mode == "auto":
-        # measured policy (BASELINE.md round-3 zonal table): the device
-        # wins only for sort-based statistics (median/percentile,
-        # 2.0-2.2x), only when the frames are ALREADY device-resident,
-        # and only at sizes where the sort dominates (the win was at
-        # 1024^2 x 8 frames; small stacks are dispatch-bound and lose)
+        # measured policy (BASELINE.md round-3/round-4 zonal tables):
+        # with frames ALREADY device-resident the device path wins for
+        # every statistic — sort-based ones outright (median/p90
+        # 1.6-2.2x host), the rest because the alternative fetches the
+        # whole frame stack over the link just to reduce it on host
+        # (mean: 0.86 s device vs 6.9 s fetch+host at 1024^2 x 8).
+        # Host-resident frames stay host-side (upload-bound otherwise);
+        # small stacks are dispatch-bound and stay host-side too.
         device_capable = (
             values_on_device
-            and statistic in ("median", "percentile")
+            and statistic in DEVICE_STATISTICS
             and int(np.prod(values.shape))
             >= config.get("geomodeling.aggregate-device-min-px", 2**22)
         )
