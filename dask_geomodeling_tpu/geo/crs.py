@@ -472,13 +472,16 @@ def e2s(e, sin_phi):
 class _LambertConformalConic:
     """Lambert conformal conic: 2 standard parallels (EPSG method 9802) or,
     with ``lat1 == lat2 == lat0``, the 1SP form with its ``k0`` scale at
-    the latitude of origin (EPSG method 9801)."""
+    the latitude of origin (EPSG method 9801).  ``ell_k`` is the Michigan
+    variant's ellipsoid scaling factor (method 1051: every radius scales
+    by K, equivalent to PROJ's k_0 mapping of the method)."""
 
     is_geographic = False
     unit = "metre"
 
     def __init__(
-        self, ell, lon0, lat0, lat1, lat2, false_easting, false_northing, k0=1.0
+        self, ell, lon0, lat0, lat1, lat2, false_easting, false_northing,
+        k0=1.0, ell_k=1.0,
     ):
         self.ell = ell
         self.lam0 = np.radians(lon0)
@@ -505,7 +508,7 @@ class _LambertConformalConic:
         else:
             m2, t2 = m(phi2), t(phi2)
             self.n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
-        self.big_f = k0 * m1 / (self.n * t1**self.n)
+        self.big_f = ell_k * k0 * m1 / (self.n * t1**self.n)
         self.rho0 = ell.a * self.big_f * t0**self.n
 
     def forward(self, lon, lat, xp=np):
@@ -717,7 +720,8 @@ class _AlbersEqualArea:
 
 class _PolarStereographic:
     """Polar stereographic, ellipsoidal (EPSG method 9810 variant A /
-    9829 variant B via a standard parallel)."""
+    9829 variant B via a standard parallel / 9830 variant C, whose false
+    origin sits on the standard parallel instead of the pole)."""
 
     is_geographic = False
     unit = "metre"
@@ -725,6 +729,7 @@ class _PolarStereographic:
     def __init__(
         self, ell, lon0, k0=None, standard_parallel=None,
         false_easting=0.0, false_northing=0.0, north=True,
+        variant_c=False,
     ):
         self.ell = ell
         self.lam0 = np.radians(lon0)
@@ -734,8 +739,8 @@ class _PolarStereographic:
         e = ell.e
         self._root = np.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
         if k0 is None:
-            # variant B: scale from the standard parallel, computed in the
-            # north-mirrored frame the forward/inverse also use
+            # variant B/C: scale from the standard parallel, computed in
+            # the north-mirrored frame the forward/inverse also use
             phi_f = np.radians(abs(standard_parallel))
             sin_f = np.sin(phi_f)
             t_f = np.tan(np.pi / 4 - phi_f / 2) * (
@@ -743,6 +748,11 @@ class _PolarStereographic:
             ) ** (e / 2)
             m_f = np.cos(phi_f) / np.sqrt(1 - ell.e2 * sin_f**2)
             k0 = m_f * self._root / (2 * t_f)
+            if variant_c:
+                # false origin on the standard parallel: shift the
+                # northing by rho_F toward the pole (EPSG 9830)
+                rho_f = ell.a * m_f
+                self.fn = false_northing + self.sign * rho_f
         self.k0 = k0
 
     def _t(self, phi, xp=np):
@@ -1129,6 +1139,128 @@ class _Krovak:
                 )
                 - np.pi / 4
             )
+        return xp.degrees(lam), xp.degrees(phi)
+
+
+class _KrovakModified(_Krovak):
+    """Krovak Modified (EPSG method 1042 / 1043 north-orientated): plain
+    Krovak plus the published S-JTSK/05 polynomial distortion corrections
+    evaluated around a fixed point in the (southing, westing) plane.  The
+    evaluation point and C1..C10 exist for exactly one real-world grid
+    (S-JTSK/05, EPSG Guidance Note 7-2 §3.2.8), so they are constants —
+    proj.db's conversion table cannot even carry them (7-parameter cap),
+    and PROJ's ``+proj=mod_krovak`` hardcodes the same values."""
+
+    _X0, _Y0 = 1089000.0, 654000.0
+    _C = (
+        2.946529277e-02, 2.515965696e-02, 1.193845912e-07,
+        -4.668270147e-07, 9.233980362e-12, 1.523735715e-12,
+        1.696780024e-18, 4.408314235e-18, -8.331083518e-24,
+        -3.689471323e-24,
+    )
+
+    def _corrections(self, southing, westing, xp=np):
+        c1, c2, c3, c4, c5, c6, c7, c8, c9, c10 = self._C
+        xr = southing - self._X0
+        yr = westing - self._Y0
+        xr2, yr2 = xr * xr, yr * yr
+        dx = (
+            c1 + c3 * xr - c4 * yr - 2 * c6 * xr * yr + c5 * (xr2 - yr2)
+            + c7 * xr * (xr2 - 3 * yr2) - c8 * yr * (3 * xr2 - yr2)
+            + 4 * c9 * xr * yr * (xr2 - yr2)
+            + c10 * (xr2 * xr2 + yr2 * yr2 - 6 * xr2 * yr2)
+        )
+        dy = (
+            c2 + c3 * yr + c4 * xr + 2 * c5 * xr * yr + c6 * (xr2 - yr2)
+            + c8 * xr * (xr2 - 3 * yr2) + c7 * yr * (3 * xr2 - yr2)
+            - 4 * c10 * xr * yr * (xr2 - yr2)
+            + c9 * (xr2 * xr2 + yr2 * yr2 - 6 * xr2 * yr2)
+        )
+        return dx, dy
+
+    def forward(self, lon, lat, xp=np):
+        x, y = _Krovak.forward(self, lon, lat, xp=xp)
+        # back to raw EPSG southing/westing (the parent negates and
+        # applies FE/FN), correct, then restore the convention
+        southing = -(y - self.fn)
+        westing = -(x - self.fe)
+        dx, dy = self._corrections(southing, westing, xp=xp)
+        return (
+            -(westing - dy) + self.fe,
+            -(southing - dx) + self.fn,
+        )
+
+    def inverse(self, x, y, xp=np):
+        southing = -(xp.asarray(y, dtype=float) - self.fn)
+        westing = -(xp.asarray(x, dtype=float) - self.fe)
+        # EPSG 1042 reverse: the corrections are evaluated at the INPUT
+        # grid point and ADDED (they vary slowly enough at ~0.1 m scale)
+        dx, dy = self._corrections(southing, westing, xp=xp)
+        return _Krovak.inverse(
+            self,
+            -(westing + dy) + self.fe,
+            -(southing + dx) + self.fn,
+            xp=xp,
+        )
+
+
+class _ColombiaUrban:
+    """Colombia Urban (EPSG method 1052): a plane at ``h0`` metres above
+    the ellipsoid, tangent at the origin — the method behind Colombia's
+    32 MAGNA-SIRGAS city grids (EPSG Guidance Note 7-2 §3.7.2)."""
+
+    is_geographic = False
+    unit = "metre"
+
+    def __init__(self, ell, lon0, lat0, h0, false_easting, false_northing):
+        self.ell = ell
+        self.lam0 = np.radians(lon0)
+        self.phi0 = np.radians(lat0)
+        self.fe = false_easting
+        self.fn = false_northing
+        e2 = ell.e2
+        sin0 = np.sin(self.phi0)
+        self.h0 = h0
+        self.rho0 = ell.a * (1 - e2) / (1 - e2 * sin0**2) ** 1.5
+        nu0 = ell.a / np.sqrt(1 - e2 * sin0**2)
+        self.A = 1 + h0 / nu0
+        self.big_b = np.tan(self.phi0) / (2 * self.rho0 * nu0)
+
+    def _g(self, phi, xp=np):
+        """G = 1 + h0 / rho_M, rho_M at the origin/target mid-latitude."""
+        e2 = self.ell.e2
+        sin_m = xp.sin(0.5 * (phi + self.phi0))
+        rho_m = self.ell.a * (1 - e2) / (1 - e2 * sin_m**2) ** 1.5
+        return 1 + self.h0 / rho_m
+
+    def forward(self, lon, lat, xp=np):
+        e2 = self.ell.e2
+        phi = xp.radians(xp.asarray(lat, dtype=float))
+        lam = xp.radians(xp.asarray(lon, dtype=float))
+        sin_phi = xp.sin(phi)
+        nu = self.ell.a / xp.sqrt(1 - e2 * sin_phi**2)
+        dl = lam - self.lam0
+        x = self.fe + self.A * nu * xp.cos(phi) * dl
+        y = self.fn + self._g(phi, xp) * self.rho0 * (
+            (phi - self.phi0) + self.big_b * dl**2 * nu**2 * xp.cos(phi) ** 2
+        )
+        return x, y
+
+    def inverse(self, x, y, xp=np):
+        e2 = self.ell.e2
+        de = xp.asarray(x, dtype=float) - self.fe
+        dn = xp.asarray(y, dtype=float) - self.fn
+        # iterate phi from the northing equation, then lambda follows
+        phi = self.phi0 + dn / self.rho0
+        lam = self.lam0
+        for _ in range(8):
+            sin_phi = xp.sin(phi)
+            nu = self.ell.a / xp.sqrt(1 - e2 * sin_phi**2)
+            dl = de / (self.A * nu * xp.cos(phi))
+            phi = self.phi0 + dn / (self._g(phi, xp) * self.rho0) - (
+                self.big_b * dl**2 * nu**2 * xp.cos(phi) ** 2
+            )
+            lam = self.lam0 + dl
         return xp.degrees(lam), xp.degrees(phi)
 
 
@@ -3465,8 +3597,10 @@ def _build_projection(method, ell, p):
         return _HotineObliqueMercator(
             ell, cm, lat0, azimuth, gamma, k0, fe, fn, variant=variant
         )
-    if method in ("krovak", "krovak_east_north"):
-        return _Krovak(
+    if method in ("krovak", "krovak_east_north", "krovak_modified",
+                  "krovak_modified_north"):
+        cls = _KrovakModified if method.startswith("krovak_modified") else _Krovak
+        return cls(
             ell,
             cm,
             lat0,
@@ -3475,6 +3609,31 @@ def _build_projection(method, ell, p):
             k0,
             fe,
             fn,
+        )
+    if method == "colombia_urban":
+        return _ColombiaUrban(
+            ell, cm, lat0,
+            p.get("projection_plane_origin_height", 0.0), fe, fn,
+        )
+    if method == "lambert_conformal_conic_2sp_michigan":
+        sp1 = p.get("standard_parallel_1", lat0)
+        sp2 = p.get("standard_parallel_2", sp1)
+        return _LambertConformalConic(
+            ell, cm, lat0, sp1, sp2, fe, fn,
+            ell_k=p.get("ellipsoid_scaling_factor", 1.0),
+        )
+    if method == "lambert_conformal_conic_2sp_belgium":
+        # EPSG 9803 adds a fixed 29.2985" cone-angle subtraction on paper,
+        # but PROJ (the reference's engine) maps the method to plain LCC
+        # 2SP - cs2cs EPSG:31300 confirms; parity follows PROJ
+        sp1 = p.get("standard_parallel_1", lat0)
+        sp2 = p.get("standard_parallel_2", sp1)
+        return _LambertConformalConic(ell, cm, lat0, sp1, sp2, fe, fn)
+    if method == "polar_stereographic_variant_c":
+        lat_ts = p.get("standard_parallel_1", lat0)
+        return _PolarStereographic(
+            ell, cm, standard_parallel=abs(lat_ts), false_easting=fe,
+            false_northing=fn, north=lat_ts >= 0, variant_c=True,
         )
     if method == "new_zealand_map_grid":
         # presence-based defaults: an explicit zero parameter is honored

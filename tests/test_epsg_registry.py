@@ -123,8 +123,10 @@ def test_antimeridian_wrap_mercator():
 
 
 def test_unsupported_method_is_actionable():
-    with pytest.raises(TransformException, match="Krovak Modified"):
-        get_sr(5224)
+    # Lambert Conic Near-Conformal (EPSG 9817) stays out of scope; the
+    # error names the method so the user knows it is recognized
+    with pytest.raises(TransformException, match="Near-Conformal"):
+        get_sr(22700)
 
 
 def test_unknown_code_mentions_wkt_escape_hatch():
@@ -145,3 +147,106 @@ def test_ntf_lambert_corse_false_easting():
     x, y = transform_points([9.1], [42.2], 4326, 27564)
     assert abs(float(x[0]) - 558218.922) < 1.0
     assert abs(float(y[0]) - 211859.488) < 1.0
+
+# ---------------------------------------------------------------------------
+# Round-4 method families.  PROJ 9.1.1 (this image) cannot express Krovak
+# Modified or Polar Stereographic variant C at all (projinfo: "Unsupported
+# conversion method"), so those two pin the EPSG Guidance Note 7-2 worked
+# examples instead of cs2cs.
+
+
+def _dms(d, m, s):
+    return d + m / 60.0 + s / 3600.0
+
+
+def test_colombia_urban_pinned():
+    """EPSG method 1052 (32 MAGNA-SIRGAS city grids).  cs2cs-pinned;
+    projection math agrees to the millimetre."""
+    for code, lon, lat, tx, ty in [
+        (6247, -74.1, 4.65, 97506.549, 105948.575),    # Bogota
+        (6244, -70.75, 7.08, 1036181.477, 1274685.416),  # Arauca
+    ]:
+        x, y = transform_points([lon], [lat], 4326, code)
+        assert abs(float(x[0]) - tx) < 0.01, code
+        assert abs(float(y[0]) - ty) < 0.01, code
+
+
+def test_belge_lambert_72_pinned():
+    """LCC 2SP (Belgium), EPSG method 9803: PROJ maps it to plain 2SP
+    (the 29.2985" paper correction is absorbed in the parameters);
+    cs2cs EPSG:31300 confirms to the millimetre."""
+    x, y = transform_points([4.35], [50.85], 4326, 31300)
+    assert abs(float(x[0]) - 149422.193) < 0.01
+    assert abs(float(y[0]) - 171066.632) < 0.01
+
+
+def test_lcc_michigan_pinned():
+    """LCC 2SP Michigan (EPSG method 1051): the ellipsoid scaling factor
+    K multiplies every radius.  Pinned from cs2cs EPSG:4267->6201 (datum
+    held fixed, pure projection): bit-comparable."""
+    sr = get_sr(6201)
+    x, y = sr.projection.forward(np.array([-84.55]), np.array([43.75]))
+    assert abs(float(x[0]) - 1942735.739177) < 0.001
+    assert abs(float(y[0]) - 158069.377933) < 0.001
+
+
+def test_modified_krovak_worked_example():
+    """EPSG GN7-2 3.2.8 worked example: phi 50d12'32.4416"N,
+    lam 16d50'59.1790"E (Greenwich) -> S-JTSK/05 southing/westing with
+    the polynomial distortion corrections (method 1042)."""
+    lon, lat = _dms(16, 50, 59.1790), _dms(50, 12, 32.4416)
+    # the worked example is datum-free (coordinates in S-JTSK/05 itself),
+    # so exercise the projection directly
+    sr_mod, sr_plain = get_sr(5515), get_sr(5514)
+    x, y = sr_mod.projection.forward(np.array([lon]), np.array([lat]))
+    # x = -westing + FE, y = -southing + FN convention on 5515's
+    # south-west axes; GN7-2: westing 5568990.91, southing 6050538.72
+    assert abs(float(x[0]) - 5568990.91) < 0.05
+    assert abs(float(y[0]) - 6050538.72) < 0.05
+    # Ferro-meridian sibling resolves identically (lon shift is in the
+    # geographic CRS, not the conversion)
+    x2, _ = get_sr(5224).projection.forward(np.array([lon]), np.array([lat]))
+    assert abs(float(x2[0]) - float(x[0])) < 1e-6
+    # the corrections are sub-0.3 m everywhere in-domain but nonzero
+    # (5514 is east-north orientated: its x is the NEGATED westing)
+    d = abs(float(x[0]) - 5e6 + float(
+        sr_plain.projection.forward(np.array([lon]), np.array([lat]))[0]
+    ))
+    assert 1e-4 < d < 0.3
+
+
+def test_modified_krovak_east_north_orientation():
+    """EPSG:5516 flips to east-north exactly like 5514 does vs 2065."""
+    lon, lat = 16.85, 50.21
+    x_sw, y_sw = transform_points([lon], [lat], 4326, 5515)
+    x_en, y_en = transform_points([lon], [lat], 4326, 5516)
+    assert abs((float(x_en[0]) - 5e6) + (float(x_sw[0]) - 5e6)) < 1e-6
+    assert abs((float(y_en[0]) - 5e6) + (float(y_sw[0]) - 5e6)) < 1e-6
+
+
+def test_modified_krovak_roundtrip():
+    lon = np.array([13.5, 16.85, 18.6])
+    lat = np.array([49.0, 50.21, 48.8])
+    for code in (5515, 5516):
+        sr = get_sr(code)
+        x, y = sr.projection.forward(lon, lat)
+        lon2, lat2 = sr.projection.inverse(x, y)
+        np.testing.assert_allclose(lon2, lon, atol=1e-9)
+        np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+
+def test_polar_stereographic_variant_c_worked_example():
+    """EPSG GN7-2 worked example (Petrels 1972 / Terre Adelie Polar
+    Stereographic, EPSG:2985): phi 66d36'18.820"S, lam 140d04'17.040"E
+    -> E 303169.52 N 244055.72.  The false origin sits on the standard
+    parallel, not the pole (method 9830)."""
+    lon, lat = _dms(140, 4, 17.040), -_dms(66, 36, 18.820)
+    sr = get_sr(2985)
+    x, y = sr.projection.forward(np.array([lon]), np.array([lat]))
+    assert abs(float(x[0]) - 303169.52) < 0.02
+    assert abs(float(y[0]) - 244055.72) < 0.02
+    lon2, lat2 = sr.projection.inverse(
+        np.array([303169.52]), np.array([244055.72])
+    )
+    assert abs(float(lon2[0]) - lon) < 1e-7
+    assert abs(float(lat2[0]) - lat) < 1e-7

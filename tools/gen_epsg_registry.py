@@ -86,20 +86,26 @@ METHOD_MAP = {
     "Equidistant Cylindrical (Spherical)": "equidistant_cylindrical",
     "Sinusoidal": "sinusoidal",
     "Mollweide": "mollweide",
+    # round-4 additions: the five methods behind 44 of the 53 codes the
+    # first registry generation left unsupported
+    "Colombia Urban": "colombia_urban",
+    "Lambert Conic Conformal (2SP Michigan)": (
+        "lambert_conformal_conic_2sp_michigan"
+    ),
+    "Lambert Conic Conformal (2SP Belgium)": (
+        "lambert_conformal_conic_2sp_belgium"
+    ),
+    "Krovak Modified": "krovak_modified",
+    "Krovak Modified (North Orientated)": "krovak_modified_north",
+    "Polar Stereographic (variant C)": "polar_stereographic_variant_c",
     # out of scope (tiny, exotic): named in the runtime error instead
-    "Colombia Urban": None,
     "Transverse Mercator Zoned Grid System": None,
     "Transverse Mercator 3D": None,
-    "Lambert Conic Conformal (2SP Michigan)": None,
-    "Lambert Conic Conformal (2SP Belgium)": None,
     "Lambert Conic Near-Conformal": None,
-    "Krovak Modified": None,
-    "Krovak Modified (North Orientated)": None,
     "Laborde Oblique Mercator": None,
     "Tunisia Mining Grid": None,
     "Guam Projection": None,
     "Hyperbolic Cassini-Soldner": None,
-    "Polar Stereographic (variant C)": None,
 }
 
 #: proj.db parameter names -> _build_projection parameter keys (applied
