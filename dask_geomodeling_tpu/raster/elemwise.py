@@ -216,6 +216,13 @@ class BaseMath(BaseElementwise):
         _check_operands((a, b), self.OPERAND_TYPES)
         super().__init__(a, b)
 
+    #: float palettes may only propagate through exactly-rounded ops:
+    #: XLA TPU divide/power use reciprocal/exp-log approximations that can
+    #: land 1 ulp off numpy, and the packed-fetch palette match is exact
+    #: equality — a near-miss silently encodes as the next palette entry.
+    #: add/subtract/multiply are correctly rounded on both sides.
+    _EXACT_FLOAT_UFUNCS = (np.add, np.subtract, np.multiply)
+
     def out_value_set(self):
         # raster (op) scalar keeps a discrete alphabet discrete: apply the
         # ufunc to each member the way the process would (operands cast to
@@ -233,6 +240,11 @@ class BaseMath(BaseElementwise):
         dtype = self.dtype
         if child is None or len(child) > 64 or dtype == bool:
             return None
+        if (
+            np.issubdtype(dtype, np.floating)
+            and ufunc not in self._EXACT_FLOAT_UFUNCS
+        ):
+            return None  # device float result may be 1 ulp off the palette
         child_fill = raster.fillvalue
         out = {self.fillvalue}
         for v in child:

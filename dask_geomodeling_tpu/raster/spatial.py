@@ -762,10 +762,14 @@ def _paste_placements(process_kwargs, data):
         col0, col1 = max(di, 0), min(di + src_w, dst_w)
         if row0 >= row1 or col0 >= col1:
             continue
+        window = source[:, row0 - dj : row1 - dj, col0 - di : col1 - di]
+        if not np.any(get_index(window, no_data_value)):
+            # the visible part of this placement is all nodata: skipping it
+            # keeps the empty-stack shortcut exact for sum/count, whose
+            # reduction treats an all-nodata frame as zero-data, not nodata
+            continue
         canvas = np.full(out_shape, no_data_value, source.dtype)
-        canvas[:, row0:row1, col0:col1] = source[
-            :, row0 - dj : row1 - dj, col0 - di : col1 - di
-        ]
+        canvas[:, row0:row1, col0:col1] = window
         stack.append({"values": canvas, "no_data_value": no_data_value})
     return out_shape, stack
 

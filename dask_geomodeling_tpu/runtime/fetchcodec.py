@@ -154,6 +154,11 @@ def codec_from_values(values, fillvalue, dtype):
     is_float = np.issubdtype(dtype, np.floating)
     if not (is_float or dtype == bool or np.issubdtype(dtype, np.integer)):
         return None
+    nan_fill = (
+        fillvalue is not None
+        and isinstance(fillvalue, float)
+        and np.isnan(fillvalue)
+    )
     vals = set()
     for v in values:
         if v is None:
@@ -164,7 +169,11 @@ def codec_from_values(values, fillvalue, dtype):
             return None
         if is_float:
             if not np.isfinite(cast):
-                return None  # NaN/inf members: only the fill may be NaN
+                # a declared NaN member that IS the fill encodes via the
+                # isnan fill_code; any other non-finite member is fatal
+                if nan_fill and np.isnan(cast):
+                    continue
+                return None
             vals.add(float(cast))
         else:
             if float(v) != float(cast):
@@ -172,12 +181,6 @@ def codec_from_values(values, fillvalue, dtype):
             vals.add(int(cast))
     if not vals:
         return None
-
-    nan_fill = (
-        fillvalue is not None
-        and isinstance(fillvalue, float)
-        and np.isnan(fillvalue)
-    )
     if fillvalue is not None and not nan_fill:
         fv = dtype.type(fillvalue)
         if is_float and not np.isfinite(fv):

@@ -339,6 +339,38 @@ class TestValueSetCodec:
         assert codec_from_values({0.0, np.nan}, 255.0, "float32") is None
         assert codec_from_values({0.0, np.inf}, 255.0, "float32") is None
 
+    def test_nan_member_matching_nan_fill_allowed(self):
+        """union_value_set seeds the set with the fill itself — a declared
+        NaN member that IS the NaN fill rides the isnan fill_code."""
+        import jax
+
+        codec = codec_from_values({0.0, 7.5, np.nan}, np.nan, "float32")
+        assert codec is not None and codec.fill_code is not None
+        values = np.array([[[np.nan, 7.5, 0.0, np.nan]]], np.float32)
+        packed = np.asarray(jax.jit(codec.encode)(values))
+        np.testing.assert_array_equal(
+            codec.decode(packed[None], 1, 4)[0], values
+        )
+        # a non-fill NaN (finite fill) is still fatal
+        assert codec_from_values({0.0, np.nan}, 255.0, "float32") is None
+
+    def test_inexact_float_ops_disable_palette(self, source):
+        """XLA TPU divide/power are not bit-identical to numpy; float
+        palettes only survive exactly-rounded ops (add/subtract/multiply)."""
+        from dask_geomodeling_tpu.raster import Divide, Mask, Multiply, Power
+
+        masked = Mask(source, 7.0)  # float32 {0, 7}
+        assert masked.out_value_set() == {0, 7.0}
+        # Mask's fill (0) maps onto Multiply's own fill, data 7*2 -> 14
+        assert Multiply(masked, 2.0).out_value_set() == {
+            14.0, Multiply(masked, 2.0).fillvalue
+        }
+        assert Divide(masked, 2.0).out_value_set() is None
+        assert Power(masked, 2.0).out_value_set() is None
+        # integer chains keep every op (device int arithmetic is exact)
+        classified = Classify(source, bins=[50.0, 150.0])
+        assert Multiply(classified, 3).out_value_set() is not None
+
     def test_wide_alphabet_rejected(self):
         assert codec_from_values(set(range(40)), 255, "uint8") is None
 

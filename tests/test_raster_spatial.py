@@ -310,6 +310,31 @@ class TestPlace:
         data = view.get_data(**request_20)
         assert data["values"].max() == 2
 
+    def test_place_all_nodata_window_skipped(self, request_20):
+        # a placement whose VISIBLE window holds only nodata must not
+        # contribute a frame: sum/count would turn it into 0-as-data
+        data = np.full((1, 4, 4), 9, dtype=np.uint8)
+        data[:, :, :2] = 255  # left half nodata
+        source = MemorySource(
+            data=data,
+            no_data_value=255,
+            projection="EPSG:28992",
+            pixel_size=1.0,
+            pixel_origin=(135000, 456000),
+            time_first=datetime(2000, 1, 1),
+            time_delta=timedelta(hours=1),
+        )
+        view = Place(
+            source,
+            place_projection="EPSG:28992",
+            anchor=(135002, 455998),
+            # only the stamp's nodata columns land inside the canvas
+            coordinates=[(135020, 455990)],
+            statistic="count",
+        )
+        out = view.get_data(**request_20)
+        assert (out["values"] == out["no_data_value"]).all()
+
     def test_place_empty_coordinates(self, stamp_source, request_20):
         view = Place(
             stamp_source,
