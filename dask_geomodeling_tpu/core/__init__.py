@@ -13,3 +13,4 @@ from dask_geomodeling_tpu.core.graphs import (  # noqa
     construct,
     construct_multiple,
 )
+from dask_geomodeling_tpu.core.validate import expect_instance  # noqa

@@ -70,15 +70,16 @@ def _construct_exc_callback(e, dumps):
 
 
 def _reconstruct_token(key):
-    """Reconstruct a token from a graph key of the form 'SomeName_<token>'."""
-    if len(key) < 34 or key[-33] != "_":
+    """Recover the 32-hex-digit token a graph key 'SomeName_<token>'
+    embeds, or None when the key carries no parseable token suffix."""
+    head, _, tail = key.rpartition("_")
+    if not head or len(tail) != 32:
         return None
-    token = key[-32:]
     try:
-        int(token, 16)
+        int(tail, 16)
     except ValueError:
         return None
-    return token.lower()
+    return tail.lower()
 
 
 def compute(graph, name, *args, **kwargs):
@@ -98,34 +99,37 @@ def construct(graph, name, validate=True):
     return construct_multiple(graph, [name], validate)[0]
 
 
+def _construction_task(key, value, validate):
+    """One scheduler task (callable + args) for a construction-graph item;
+    ``value`` is ``[cls_or_import_path, *args]``."""
+    cls = value[0]
+    if isinstance(cls, str):
+        cls = Block.from_import_path(cls)
+    if not (isinstance(cls, type) and issubclass(cls, Block)):
+        raise TypeError("Cannot construct from object of type '{}'".format(cls))
+    if validate:
+        return (cls,) + tuple(value[1:])
+    token = _reconstruct_token(key)
+    if token is None:
+        logger.warning(
+            "Construct received a key with an invalid name ('%s'), "
+            "while validation was turned off",
+            key,
+        )
+    return (cls._init_no_validation, token) + tuple(value[1:])
+
+
 def construct_multiple(graph, names, validate=True):
     """Construct multiple Blocks from a construction graph.
 
-    The graph values are ``[cls_or_import_path, *args]``.  With
-    ``validate=False`` the Block ``__init__`` is skipped and the token
-    embedded in the key is reused (fast path for deserialization).
+    With ``validate=False`` the Block ``__init__`` is skipped and the
+    token embedded in the key is reused (fast deserialization path).
     """
-    new_graph = {}
-    for key, value in graph.items():
-        cls = value[0]
-        if isinstance(cls, str):
-            cls = Block.from_import_path(cls)
-        if not (isinstance(cls, type) and issubclass(cls, Block)):
-            raise TypeError("Cannot construct from object of type '{}'".format(cls))
-        args = tuple(value[1:])
-        if validate:
-            new_graph[key] = (cls,) + args
-        else:
-            token = _reconstruct_token(key)
-            if token is None:
-                logger.warning(
-                    "Construct received a key with an invalid name ('%s'), "
-                    "while validation was turned off",
-                    key,
-                )
-            new_graph[key] = (cls._init_no_validation, token) + args
-
-    return get_sync(new_graph, names, pack_exception=_construct_exc_callback)
+    tasks = {
+        key: _construction_task(key, value, validate)
+        for key, value in graph.items()
+    }
+    return get_sync(tasks, names, pack_exception=_construct_exc_callback)
 
 
 class Block:
@@ -152,14 +156,16 @@ class Block:
     @property
     def token(self):
         """Unique, deterministic content hash of this view."""
-        try:
-            return self._cached_token
-        except AttributeError:
-            pass
-        klass_path = self.get_import_path()
-        args = [arg.token if isinstance(arg, Block) else arg for arg in self.args]
-        self._cached_token = tokenize(klass_path, *args)
-        return self._cached_token
+        cached = getattr(self, "_cached_token", None)
+        if cached is None:
+            parts = [
+                arg.token if isinstance(arg, Block) else arg
+                for arg in self.args
+            ]
+            cached = self._cached_token = tokenize(
+                self.get_import_path(), *parts
+            )
+        return cached
 
     @staticmethod  # must remain a static method: it is shipped in graphs
     def process(data):
@@ -240,23 +246,20 @@ class Block:
 
     @classmethod
     def get_import_path(cls):
-        """The canonical import path used in serialized graphs."""
-        name = cls.__name__
-        module = cls.__module__
+        """The canonical import path used in serialized graphs; the class
+        must resolve back to itself through that path."""
+        module, name = cls.__module__, cls.__name__
         try:
             __import__(module)
-            mod = sys.modules[module]
-            klass = getattr(mod, name)
+            resolved = getattr(sys.modules[module], name)
         except (ImportError, KeyError, AttributeError):
+            resolved = None
+        if resolved is not cls:
             raise RuntimeError(
-                "Can't serialize %r: it's not found as %s.%s" % (cls, module, name)
-            )
-        if klass is not cls:
-            raise RuntimeError(
-                "Can't serialize %r: it's not the same object as %s.%s"
+                "Can't serialize %r: it does not resolve back to %s.%s"
                 % (cls, module, name)
             )
-        return "{}.{}".format(module, name)
+        return "%s.%s" % (module, name)
 
     @staticmethod
     def from_import_path(path):

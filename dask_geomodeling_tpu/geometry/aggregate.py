@@ -29,6 +29,7 @@ from dask_geomodeling_tpu.geo import measurements
 from dask_geomodeling_tpu.geo.features import GeoDataFrame
 from dask_geomodeling_tpu.geometry.base import GeometryBlock
 from dask_geomodeling_tpu.raster import RasterBlock
+from dask_geomodeling_tpu.core.validate import expect_instance
 
 __all__ = ["AggregateRaster", "AggregateRasterAboveThreshold", "bucketize"]
 
@@ -350,12 +351,9 @@ class AggregateRaster(GeometryBlock):
         auto_pixel_size=False,
         *args
     ):
-        if not isinstance(source, GeometryBlock):
-            raise TypeError("'{}' object is not allowed".format(type(source)))
-        if not isinstance(raster, RasterBlock):
-            raise TypeError("'{}' object is not allowed".format(type(raster)))
-        if not isinstance(statistic, str):
-            raise TypeError("'{}' object is not allowed".format(type(statistic)))
+        expect_instance(source, GeometryBlock, "source")
+        expect_instance(raster, RasterBlock, "raster")
+        expect_instance(statistic, str, "statistic")
         statistic, percentile = utils.parse_percentile_statistic(statistic.lower())
         if percentile is not None:
             statistic = "p{0}".format(percentile)
@@ -364,17 +362,13 @@ class AggregateRaster(GeometryBlock):
 
         if projection is None:
             projection = raster.projection
-        if not isinstance(projection, str):
-            raise TypeError("'{}' object is not allowed".format(type(projection)))
+        expect_instance(projection, str, "projection")
 
         pixel_size = self._resolve_pixel_size(pixel_size, raster)
 
         if max_pixels is not None:
             max_pixels = int(max_pixels)
-        if not isinstance(auto_pixel_size, bool):
-            raise TypeError(
-                "'{}' object is not allowed".format(type(auto_pixel_size))
-            )
+        expect_instance(auto_pixel_size, bool, "auto_pixel_size")
 
         super().__init__(
             source,
@@ -576,8 +570,7 @@ class AggregateRasterAboveThreshold(AggregateRaster):
         auto_pixel_size=False,
         threshold_name=None,
     ):
-        if not isinstance(threshold_name, str):
-            raise TypeError("'{}' object is not allowed".format(type(threshold_name)))
+        expect_instance(threshold_name, str, "threshold_name")
         if threshold_name not in source.columns:
             raise KeyError("Column '{}' is not available".format(threshold_name))
         super().__init__(

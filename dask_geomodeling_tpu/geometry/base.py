@@ -11,6 +11,7 @@ plane.
 import pandas as pd
 
 from dask_geomodeling_tpu.core import arg, Block
+from dask_geomodeling_tpu.core.validate import expect_instance
 
 __all__ = ["GeometryBlock", "SeriesBlock", "GetSeriesBlock", "SetSeriesBlock"]
 
@@ -100,10 +101,8 @@ class GetSeriesBlock(SeriesBlock):
     """
 
     def __init__(self, source, name):
-        if not isinstance(source, GeometryBlock):
-            raise TypeError("'{}' object is not allowed".format(type(source)))
-        if not isinstance(name, str):
-            raise TypeError("'{}' object is not allowed".format(type(name)))
+        expect_instance(source, GeometryBlock, "source")
+        expect_instance(name, str, "name")
         if name not in source.columns:
             raise KeyError("Column '{}' is not available".format(name))
         super().__init__(source, name)
@@ -126,14 +125,12 @@ class SetSeriesBlock(GeometryBlock):
     """
 
     def __init__(self, source, column, value, *args):
-        if not isinstance(source, GeometryBlock):
-            raise TypeError("'{}' object is not allowed".format(type(source)))
+        expect_instance(source, GeometryBlock, "source")
         args = (column, value) + args
         if len(args) % 2 != 0:
             raise ValueError("The number of arguments should be even")
         for column in args[::2]:
-            if not isinstance(column, str):
-                raise TypeError("'{}' object is not allowed".format(type(column)))
+            expect_instance(column, str, "column")
         super().__init__(source, *args)
 
     source = arg(0)
@@ -156,8 +153,7 @@ class BaseSingle(GeometryBlock):
     """Base for geometry blocks wrapping a single geometry source."""
 
     def __init__(self, source, *args):
-        if not isinstance(source, GeometryBlock):
-            raise TypeError("'{}' object is not allowed".format(type(source)))
+        expect_instance(source, GeometryBlock, "source")
         super().__init__(source, *args)
 
     source = arg(0)
@@ -171,8 +167,7 @@ class BaseSingleSeries(SeriesBlock):
     """Base for series blocks wrapping a single series source."""
 
     def __init__(self, source, *args):
-        if not isinstance(source, SeriesBlock):
-            raise TypeError("'{}' object is not allowed".format(type(source)))
+        expect_instance(source, SeriesBlock, "source")
         super().__init__(source, *args)
 
     source = arg(0)

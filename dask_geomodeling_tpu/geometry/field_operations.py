@@ -11,6 +11,7 @@ import numpy as np
 import pandas as pd
 
 from dask_geomodeling_tpu.core import arg
+from dask_geomodeling_tpu.core.validate import expect_instance
 from dask_geomodeling_tpu.geometry.base import (
     BaseSingleSeries,
     GeometryBlock,
@@ -62,8 +63,7 @@ def _require(condition, exc, message):
 
 
 def _typecheck(value, types):
-    if not isinstance(value, types):
-        raise TypeError("'{}' object is not allowed".format(type(value)))
+    expect_instance(value, types, "value")
 
 
 def _check_labels(labels, n_edges):
@@ -110,20 +110,18 @@ class Classify(BaseSingleSeries):
 
     @staticmethod
     def process(series, bins, labels, right):
+        series = _none_to_nan(series)
         open_bounds = len(labels) == len(bins) + 1
         if open_bounds:
             bins = np.concatenate([[-np.inf], bins, [np.inf]])
-        series = _none_to_nan(series)
-        result = pd.cut(series, bins, right=right, labels=labels)
-        # categorical -> the labels' own dtype (accommodating NaN)
-        result = result.astype(pd.Series(labels + [np.nan]).dtype)
+        binned = pd.cut(series, bins, right=right, labels=labels).astype(
+            pd.Series(labels + [np.nan]).dtype  # labels' dtype + NaN room
+        )
         if open_bounds:
             # ±inf input must still classify into the outer labels
-            if right:
-                result[series == -np.inf] = labels[0]
-            else:
-                result[series == np.inf] = labels[-1]
-        return result
+            edge, fix = (-np.inf, labels[0]) if right else (np.inf, labels[-1])
+            binned[series == edge] = fix
+        return binned
 
 
 class ClassifyFromColumns(SeriesBlock):
@@ -184,8 +182,7 @@ class BaseFieldOperation(BaseSingleSeries):
     """Base for binary operations between a series and a series/constant."""
 
     def __init__(self, source, other):
-        if not isinstance(other, (SeriesBlock, int, float, bool)):
-            raise TypeError("'{}' object is not allowed".format(type(other)))
+        expect_instance(other, (SeriesBlock, int, float, bool), "other")
         super().__init__(source, other)
 
     other = arg(1)
@@ -276,8 +273,7 @@ class BaseLogicOperation(BaseFieldOperation):
     """Base for logic operations; the second operand must be a series."""
 
     def __init__(self, source, other):
-        if not isinstance(other, SeriesBlock):
-            raise TypeError("'{}' object is not allowed".format(type(other)))
+        expect_instance(other, SeriesBlock, "other")
         super().__init__(source, other)
 
 
@@ -312,8 +308,7 @@ class Where(BaseSingleSeries):
     including 0, count as True)."""
 
     def __init__(self, source, cond, other):
-        if not isinstance(cond, SeriesBlock):
-            raise TypeError("'{}' object is not allowed".format(type(cond)))
+        expect_instance(cond, SeriesBlock, "cond")
         super().__init__(source, cond, other)
 
     cond = arg(1)
@@ -330,8 +325,7 @@ class Mask(BaseSingleSeries):
     """Replace values where a condition is True (complement of Where)."""
 
     def __init__(self, source, cond, other):
-        if not isinstance(cond, SeriesBlock):
-            raise TypeError("'{}' object is not allowed".format(type(cond)))
+        expect_instance(cond, SeriesBlock, "cond")
         super().__init__(source, cond, other)
 
     cond = arg(1)
@@ -348,8 +342,7 @@ class Round(BaseSingleSeries):
     """Round values to the given number of decimals."""
 
     def __init__(self, source, decimals=0):
-        if not isinstance(decimals, int):
-            raise TypeError("'{}' object is not allowed".format(type(decimals)))
+        expect_instance(decimals, int, "decimals")
         super().__init__(source, decimals)
 
     process = staticmethod(np.around)

@@ -8,6 +8,7 @@ import pandas as pd
 
 from dask_geomodeling_tpu.geometry.base import GeometryBlock, SeriesBlock
 from dask_geomodeling_tpu.core import arg
+from dask_geomodeling_tpu.core.validate import expect_instance
 
 __all__ = ["Area"]
 
@@ -18,8 +19,7 @@ class Area(SeriesBlock):
     """The area of each feature, computed in the given projection."""
 
     def __init__(self, source, projection):
-        if not isinstance(source, GeometryBlock):
-            raise TypeError("'{}' object is not allowed".format(type(source)))
+        expect_instance(source, GeometryBlock, "source")
         if not isinstance(projection, str):
             raise TypeError("Argument 'projection' must be a str.")
         super().__init__(source, projection)

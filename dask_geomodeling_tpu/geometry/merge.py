@@ -9,6 +9,7 @@ import pandas as pd
 from dask_geomodeling_tpu.geo.geometry import box
 from dask_geomodeling_tpu.geometry.base import GeometryBlock
 from dask_geomodeling_tpu.core import arg
+from dask_geomodeling_tpu.core.validate import expect_instance
 
 __all__ = ["MergeGeometryBlocks"]
 
@@ -25,10 +26,8 @@ class MergeGeometryBlocks(GeometryBlock):
     allow_how_joins = ("left", "right", "outer", "inner")
 
     def __init__(self, left, right, how="inner", suffixes=("", "_right")):
-        if not isinstance(left, GeometryBlock):
-            raise TypeError("'{}' object is not allowed".format(type(left)))
-        if not isinstance(right, GeometryBlock):
-            raise TypeError("'{}' object is not allowed".format(type(right)))
+        expect_instance(left, GeometryBlock, "left")
+        expect_instance(right, GeometryBlock, "right")
         if how not in self.allow_how_joins:
             raise KeyError(
                 "'{}' is not part of the list of operations: {}".format(
@@ -38,7 +37,10 @@ class MergeGeometryBlocks(GeometryBlock):
         if len(suffixes) != 2 or not all(
             isinstance(suffix, str) for suffix in suffixes
         ):
-            raise TypeError("'{}' object is not allowed".format(type(suffixes)))
+            raise TypeError(
+                "suffixes must be a pair of strings, got '%s'"
+                % type(suffixes).__name__
+            )
         super().__init__(left, right, how, tuple(suffixes))
 
     left = arg(0)

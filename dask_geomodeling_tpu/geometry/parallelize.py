@@ -16,6 +16,7 @@ from dask_geomodeling_tpu.geo.features import GeoDataFrame
 from dask_geomodeling_tpu.geo.geometry import box
 from dask_geomodeling_tpu.geometry.base import BaseSingle
 from dask_geomodeling_tpu.core import arg
+from dask_geomodeling_tpu.core.validate import expect_instance
 
 __all__ = ["GeometryTiler"]
 
@@ -56,8 +57,7 @@ class GeometryTiler(BaseSingle):
     """
 
     def __init__(self, source, size, projection):
-        if not isinstance(projection, str):
-            raise TypeError("'{}' object is not allowed".format(type(projection)))
+        expect_instance(projection, str, "projection")
         super().__init__(source, float(size), projection)
 
     size = arg(1)

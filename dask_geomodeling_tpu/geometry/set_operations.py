@@ -9,6 +9,7 @@ from dask_geomodeling_tpu.geo.features import GeoDataFrame
 from dask_geomodeling_tpu.geo.geometry import box
 from dask_geomodeling_tpu.geometry.base import BaseSingle, GeometryBlock
 from dask_geomodeling_tpu.core import arg
+from dask_geomodeling_tpu.core.validate import expect_instance
 
 __all__ = ["Difference", "Intersection"]
 
@@ -35,8 +36,7 @@ class Difference(BaseSingle):
     """Subtract the same-index geometries of 'other' from 'source'."""
 
     def __init__(self, source, other):
-        if not isinstance(other, GeometryBlock):
-            raise TypeError("'{}' object is not allowed".format(type(other)))
+        expect_instance(other, GeometryBlock, "other")
         super().__init__(source, other)
 
     other = arg(1)
@@ -72,13 +72,14 @@ class Intersection(BaseSingle):
     """Clip each feature to the request geometry."""
 
     def __init__(self, source, other=None):
-        if isinstance(other, GeometryBlock):
-            raise NotImplementedError(
-                "Cannot compare geometries with another geometry datasource"
-            )
         if other is not None:
+            kind = (
+                "another geometry datasource"
+                if isinstance(other, GeometryBlock)
+                else "a constant geometry"
+            )
             raise NotImplementedError(
-                "Cannot compare geometries with a constant geometry"
+                "Cannot compare geometries with %s" % kind
             )
         super().__init__(source, other)
 

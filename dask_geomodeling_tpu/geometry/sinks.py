@@ -24,6 +24,7 @@ from dask_geomodeling_tpu.geo.features import GeoDataFrame
 from dask_geomodeling_tpu.geo.geometry import box
 from dask_geomodeling_tpu.geometry.base import BaseSingle
 from dask_geomodeling_tpu.geometry.parallelize import GeometryTiler
+from dask_geomodeling_tpu.core.validate import expect_instance
 
 __all__ = ["GeometryFileSink", "to_file"]
 
@@ -68,8 +69,7 @@ def _sidecar_pairs(source, target):
 
 def _normalize_extension(extension):
     """A registry key from user input ('.gpkg' and 'gpkg' both work)."""
-    if not isinstance(extension, str):
-        raise TypeError("'{}' object is not allowed".format(type(extension)))
+    expect_instance(extension, str, "extension")
     key = extension.lstrip(".")
     if key not in _FORMATS:
         raise ValueError("Format '{}' is unsupported".format(key))
@@ -81,8 +81,7 @@ def _field_mapping(fields, columns):
     over every non-geometry column."""
     if fields is None:
         return {name: name for name in columns if name != "geometry"}
-    if not isinstance(fields, dict):
-        raise TypeError("'{}' object is not allowed".format(type(fields)))
+    expect_instance(fields, dict, "fields")
     missing = set(fields.values()) - set(columns)
     if missing:
         raise ValueError("Columns {} are not available".format(missing))

@@ -11,6 +11,7 @@ from dask_geomodeling_tpu.config import config
 from dask_geomodeling_tpu.geo.features import GeoDataFrame
 from dask_geomodeling_tpu.geometry.base import GeometryBlock
 from dask_geomodeling_tpu.core import arg
+from dask_geomodeling_tpu.core.validate import expect_instance
 
 __all__ = ["GeometryFileSource", "GeometryWKTSource"]
 
@@ -45,18 +46,19 @@ class GeometryFileSource(GeometryBlock):
         return set(info["fields"]) | {"geometry"}
 
     def get_sources_and_requests(self, **request):
-        if request.get("filters") is None:
-            request["filters"] = dict()
-        if request["filters"]:
-            for field, value in request["filters"].items():
-                if "__" in field:
-                    raise ValueError("Filter '{}' is not supported".format(field))
+        filters = request.get("filters") or {}
+        unsupported = [field for field in filters if "__" in field]
+        if unsupported:
+            raise ValueError(
+                "Filter '{}' is not supported".format(unsupported[0])
+            )
         mode = request.get("mode", "intersects").lower()
         if mode not in ("extent", "intersects", "centroid"):
             raise ValueError("Unknown mode '{}'".format(mode))
-        request["mode"] = mode
-        request["layer"] = self.layer
-        request["id_field"] = self.id_field
+        request.update(
+            filters=filters, mode=mode, layer=self.layer,
+            id_field=self.id_field,
+        )
         return [(self.url, None), (request, None)]
 
     # the read is a pipeline of pure frame filters; each stage below is
@@ -240,10 +242,8 @@ class GeometryWKTSource(GeometryBlock):
     """A single WKT geometry as a geometry source."""
 
     def __init__(self, wkt, projection):
-        if not isinstance(wkt, str):
-            raise TypeError("'{}' object is not allowed".format(type(wkt)))
-        if not isinstance(projection, str):
-            raise TypeError("'{}' object is not allowed".format(type(projection)))
+        expect_instance(wkt, str, "wkt")
+        expect_instance(projection, str, "projection")
         try:
             utils.shapely_from_wkt(wkt)
         except utils.WKTReadingError:

@@ -14,6 +14,7 @@ import pandas as pd
 
 from dask_geomodeling_tpu.core import arg
 from dask_geomodeling_tpu.geometry.base import BaseSingle, GeometryBlock
+from dask_geomodeling_tpu.core.validate import expect_instance
 
 __all__ = ["ParseTextColumn"]
 
@@ -63,10 +64,7 @@ class ParseTextColumn(BaseSingle):
             (key_mapping, dict),
         )
         for value, expected in expectations:
-            if not isinstance(value, expected):
-                raise TypeError(
-                    "'{}' object is not allowed.".format(type(value))
-                )
+            expect_instance(value, expected, "value")
         if source_column not in source.columns:
             raise KeyError(
                 "Column '{}' is not available.".format(source_column)

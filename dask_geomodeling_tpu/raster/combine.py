@@ -26,6 +26,7 @@ from dask_geomodeling_tpu.geo import (
     get_index_jax,
 )
 from dask_geomodeling_tpu.raster.base import RasterBlock
+from dask_geomodeling_tpu.core.validate import expect_instance
 
 __all__ = ["Group"]
 
@@ -47,8 +48,7 @@ class BaseCombine(RasterBlock):
 
     def __init__(self, *args):
         for source in args:
-            if not isinstance(source, RasterBlock):
-                raise TypeError("'{}' object is not allowed".format(type(source)))
+            expect_instance(source, RasterBlock, "source")
         super().__init__(*args)
 
     @staticmethod
@@ -299,25 +299,37 @@ class Group(BaseCombine):
         return [d for d, _ in pairs], [b for _, b in pairs]
 
     @staticmethod
+    def _band_placements(multi, times, band_of):
+        """Yield ``(target_band, source_index, data)`` for every frame the
+        sources contributed, later sources overwriting earlier ones."""
+        for data, time in zip(multi, times):
+            for source_index, instant in enumerate(time["time"]):
+                yield band_of[instant], source_index, data
+
+    @staticmethod
+    def _cut_single_band(stack, sorted_times, kwargs):
+        """Requests without ``stop`` collapse to one band: nearest start."""
+        if kwargs["stop"] is not None or len(sorted_times) < 2:
+            return stack
+        index = Group._nearest_index(sorted_times, kwargs["start"])
+        return stack[index : index + 1]
+
+    @staticmethod
     def _merge_vals_by_time(multi, times, kwargs):
         sorted_times = Group._unique_times(times)
         band_of = {t: i for i, t in enumerate(sorted_times)}
         fillvalue = get_dtype_max(kwargs["dtype"])
-
         shape = (len(sorted_times),) + multi[0]["values"].shape[1:]
         values = np.full(shape, fillvalue, dtype=kwargs["dtype"])
 
-        for data, time in zip(multi, times):
-            for source_index, instant in enumerate(time["time"]):
-                source_band = data["values"][source_index]
-                index = get_index(source_band, data["no_data_value"])
-                values[band_of[instant]][index] = source_band[index]
+        for band, source_index, data in Group._band_placements(
+            multi, times, band_of
+        ):
+            frame = data["values"][source_index]
+            index = get_index(frame, data["no_data_value"])
+            values[band][index] = frame[index]
 
-        start, stop = kwargs["start"], kwargs["stop"]
-        if stop is None and len(sorted_times) > 1:
-            index = Group._nearest_index(sorted_times, start)
-            values = values[index : index + 1]
-
+        values = Group._cut_single_band(values, sorted_times, kwargs)
         return {"values": values, "no_data_value": fillvalue}
 
     @staticmethod
@@ -326,15 +338,12 @@ class Group(BaseCombine):
         band_of = {t: i for i, t in enumerate(sorted_times)}
         merged = [None] * len(sorted_times)
 
-        for data, time in zip(multi, times):
-            for source_index, instant in enumerate(time["time"]):
-                merged[band_of[instant]] = data["meta"][source_index]
+        for band, source_index, data in Group._band_placements(
+            multi, times, band_of
+        ):
+            merged[band] = data["meta"][source_index]
 
-        start, stop = kwargs["start"], kwargs["stop"]
-        if stop is None and len(sorted_times) > 1:
-            index = Group._nearest_index(sorted_times, start)
-            merged = merged[index : index + 1]
-
+        merged = Group._cut_single_band(merged, sorted_times, kwargs)
         return {"meta": merged}
 
     @staticmethod

@@ -15,6 +15,7 @@ from dask_geomodeling_tpu.core import arg
 from dask_geomodeling_tpu.geo.features import GeoSeries
 from dask_geomodeling_tpu.geo.geometry import Point, box
 from dask_geomodeling_tpu.raster.base import BaseSingle, RasterBlock
+from dask_geomodeling_tpu.core.validate import expect_instance
 
 __all__ = [
     "Clip",
@@ -28,45 +29,49 @@ __all__ = [
 ]
 
 
+def _data_cells(frame):
+    """Boolean index of a frame's data-carrying cells (boolean frames:
+    the True cells).  Works on numpy and traced jax arrays alike — the
+    dtype test is static."""
+    values = frame["values"]
+    if values.dtype == np.dtype("bool"):
+        return values
+    return values != frame["no_data_value"]
+
+
 def _clip_process(data, source_data):
-    """Mask data where source_data has no data (or False)."""
-    if data is None:
-        return None
-    if "values" not in data:
+    """Keep store cells only where the clip source has data (or True).
+
+    Pass-throughs first: empty stores, time/meta responses, and frames
+    that are already all-nodata (nothing left to clip away).  Behavior
+    matches the reference Clip (dask_geomodeling/raster/misc.py)."""
+    if data is None or "values" not in data:
         return data
-    if np.all(data["values"] == data["no_data_value"]):
+    fill = data["no_data_value"]
+    if not (data["values"] != fill).any():
         return data
     if source_data is None:
         return None
-
-    if source_data["values"].dtype == np.dtype("bool"):
-        mask = ~source_data["values"]
-    else:
-        mask = source_data["values"] == source_data["no_data_value"]
-
-    values = data["values"].copy()
-    values[mask] = data["no_data_value"]
-    return {"values": values, "no_data_value": data["no_data_value"]}
+    clipped = data["values"].copy()
+    clipped[~_data_cells(source_data)] = fill
+    return {"values": clipped, "no_data_value": fill}
 
 
 def _clip_jax(data, source_data):
     import jax.numpy as jnp
 
-    if data is None:
-        return None
-    if "values" not in data:
+    if data is None or "values" not in data:
         return data
     if source_data is None:
         return None
-    if source_data["values"].dtype == np.dtype("bool"):
-        mask = ~source_data["values"]
-    else:
-        mask = source_data["values"] == source_data["no_data_value"]
-    no_data_value = data["no_data_value"]
-    # boolean stores have no nodata sentinel; numpy casts None to False
-    fill = False if no_data_value is None else no_data_value
-    values = jnp.where(mask, fill, data["values"])
-    return {"values": values, "no_data_value": no_data_value}
+    fill = data["no_data_value"]
+    clipped = jnp.where(
+        _data_cells(source_data),
+        data["values"],
+        # boolean stores have no nodata sentinel; numpy casts None to False
+        False if fill is None else fill,
+    )
+    return {"values": clipped, "no_data_value": fill}
 
 
 _clip_process.jax_impl = _clip_jax
@@ -77,8 +82,7 @@ class Clip(BaseSingle):
     ('source'); inputs must share time resolution."""
 
     def __init__(self, store, source):
-        if not isinstance(source, RasterBlock):
-            raise TypeError("'{}' object is not allowed".format(type(source)))
+        expect_instance(source, RasterBlock, "source")
         if store.temporal and not source.temporal:
             raise ValueError(
                 "The values raster is temporal while the clipping mask is "
@@ -99,21 +103,24 @@ class Clip(BaseSingle):
     source = arg(1)
 
     def get_sources_and_requests(self, **request):
-        # clamp start/stop to the common period so frames align
+        # clamp start/stop into the common period so frames align
         period = self.period
         if period is None:
             return [(None, None), (None, None)]
+        lo, hi = period
+
+        def clamp(instant):
+            return min(max(instant, lo), hi)
 
         start = request.get("start")
         if start is None:
-            start = period[1]
+            start = hi
         stop = request.get("stop")
-
         if stop is not None:
-            if stop < period[0] or start > period[1]:
-                return [(None, None), (None, None)]
-            request["stop"] = min(max(stop, period[0]), period[1])
-        request["start"] = min(max(start, period[0]), period[1])
+            if stop < lo or start > hi:
+                return [(None, None), (None, None)]  # no overlap at all
+            request["stop"] = clamp(stop)
+        request["start"] = clamp(start)
         return [(source, request) for source in self.args]
 
     def out_value_set(self):
@@ -209,8 +216,7 @@ class Mask(BaseSingle):
     """Replace data values with a constant; nodata is preserved."""
 
     def __init__(self, store, value):
-        if not isinstance(value, (float, int)):
-            raise TypeError("'{}' object is not allowed".format(type(value)))
+        expect_instance(value, (float, int), "value")
         super().__init__(store, value)
 
     value = arg(1)
@@ -258,8 +264,7 @@ class MaskBelow(BaseSingle):
     """Convert cells below a value to 'no data'."""
 
     def __init__(self, store, value):
-        if not isinstance(value, (float, int)):
-            raise TypeError("'{}' object is not allowed".format(type(value)))
+        expect_instance(value, (float, int), "value")
         super().__init__(store, value)
 
     def out_value_set(self):
@@ -274,18 +279,20 @@ class MaskBelow(BaseSingle):
 
 
 def _step_process(data, left, right, location, at):
+    """Three-way threshold as a where-ladder (the same shape as the jax
+    twin below); nodata cells are re-stamped last so a sentinel that
+    happens to compare against ``location`` cannot leak through.
+    Behavior matches the reference Step (dask_geomodeling/raster/misc.py)."""
     if data is None or "values" not in data:
         return data
-    values, no_data_value = data["values"].copy(), data["no_data_value"]
-    mask = values == no_data_value
-    left_index = values < location
-    at_index = values == location
-    right_index = values > location
-    values[left_index] = left
-    values[at_index] = at
-    values[right_index] = right
-    values[mask] = no_data_value
-    return {"values": values, "no_data_value": no_data_value}
+    values = data["values"]
+    fill = data["no_data_value"]
+    dtype = values.dtype
+    out = np.where(values < location, dtype.type(left), values)
+    out = np.where(values == location, dtype.type(at), out)
+    out = np.where(values > location, dtype.type(right), out)
+    out = np.where(values == fill, dtype.type(fill), out)
+    return {"values": out, "no_data_value": fill}
 
 
 def _step_jax(data, left, right, location, at):
@@ -324,8 +331,7 @@ class Step(BaseSingle):
     def __init__(self, store, left=0, right=1, value=0, at=None):
         at = (left + right) / 2 if at is None else at
         for x in left, right, value, at:
-            if not isinstance(x, (float, int)):
-                raise TypeError("'{}' object is not allowed".format(type(x)))
+            expect_instance(x, (float, int), "x")
         super().__init__(store, left, right, value, at)
 
     left = arg(1)
@@ -381,19 +387,23 @@ class Classify(BaseSingle):
     the bin index (0 = below the first edge)."""
 
     def __init__(self, store, bins, right=False):
-        if not isinstance(store, RasterBlock):
-            raise TypeError("'{}' object is not allowed".format(type(store)))
+        expect_instance(store, RasterBlock, "store")
         if not hasattr(bins, "__iter__"):
-            raise TypeError("'{}' object is not allowed".format(type(bins)))
-        bins_arr = np.asarray(bins)
-        if bins_arr.ndim != 1:
-            raise TypeError("'bins' should be one-dimensional")
-        if not np.issubdtype(bins_arr.dtype, np.number):
-            raise TypeError("'bins' should be numeric")
-        bins_diff = np.diff(bins)
-        if not np.all(bins_diff > 0) or np.all(bins_diff < 0):
+            raise TypeError(
+                "bins must be an iterable of edges, got '%s'"
+                % type(bins).__name__
+            )
+        edges = np.asarray(bins)
+        for ok, message in (
+            (edges.ndim == 1, "'bins' should be one-dimensional"),
+            (np.issubdtype(edges.dtype, np.number), "'bins' should be numeric"),
+        ):
+            if not ok:
+                raise TypeError(message)
+        steps = np.diff(edges)
+        if np.all(steps < 0) or not np.all(steps > 0):
             raise TypeError("'bins' should be monotonic")
-        super().__init__(store, bins_arr.tolist(), right)
+        super().__init__(store, edges.tolist(), right)
 
     bins = arg(1)
     right = arg(2)
@@ -403,8 +413,8 @@ class Classify(BaseSingle):
         return utils.get_uint_dtype(len(self.bins) + 2)
 
     def out_value_set(self):
-        if len(self.bins) > 16:
-            return None  # more symbols than any packed codec can use
+        if len(self.bins) > 255:
+            return None  # more symbols than any packed codec could use
         return set(range(len(self.bins) + 1)) | {self.fillvalue}
 
     @property
@@ -419,34 +429,40 @@ def _reclassify_table(data):
     return np.asarray(source), np.asarray(target)
 
 
-def _reclassify_process(store_data, process_kwargs):
-    if store_data is None or "values" not in store_data:
-        return store_data
-
-    no_data_value = store_data["no_data_value"]
-    values = store_data["values"]
+def _reclassify_lookup(process_kwargs, no_data_value):
+    """Sorted (source, target) lookup arrays, with the store's nodata
+    sentinel mapped onto the output fill; shared by both twins."""
     source, target = _reclassify_table(process_kwargs["data"])
-    dtype = np.dtype(process_kwargs["dtype"])
-    fillvalue = process_kwargs["fillvalue"]
-
-    # map the nodata value onto the target nodata
     if no_data_value is not None and no_data_value not in source:
         source = np.append(source, no_data_value)
-        target = np.append(target, fillvalue)
+        target = np.append(target, process_kwargs["fillvalue"])
+    order = np.argsort(source)
+    return source[order], target[order]
 
-    inds = np.argsort(source)
-    source = source[inds]
-    target = target[inds]
 
-    if process_kwargs["select"]:
-        result = np.full(values.shape, fillvalue, dtype=dtype)
-    else:
-        result = values.astype(dtype)  # makes a copy
+def _reclassify_process(store_data, process_kwargs):
+    """Table lookup: searchsorted into the sorted source alphabet, then a
+    hit test (a miss past either end lands on a non-equal slot).  Missed
+    cells keep their value, or become the fill when ``select``.  Behavior
+    matches the reference Reclassify (dask_geomodeling/raster/misc.py)."""
+    if store_data is None or "values" not in store_data:
+        return store_data
+    values = store_data["values"]
+    dtype = np.dtype(process_kwargs["dtype"])
+    fill = process_kwargs["fillvalue"]
+    source, target = _reclassify_lookup(
+        process_kwargs, store_data["no_data_value"]
+    )
 
-    mask = np.isin(values.ravel(), source)
-    mask.shape = values.shape
-    result[mask] = target[np.searchsorted(source, values[mask])]
-    return {"values": result, "no_data_value": fillvalue}
+    slots = np.minimum(np.searchsorted(source, values), len(source) - 1)
+    hit = source[slots] == values
+    base = (
+        np.full(values.shape, fill, dtype)
+        if process_kwargs["select"]
+        else values.astype(dtype)
+    )
+    result = np.where(hit, target[slots].astype(dtype), base)
+    return {"values": result, "no_data_value": fill}
 
 
 def _reclassify_jax(store_data, process_kwargs):
@@ -455,19 +471,14 @@ def _reclassify_jax(store_data, process_kwargs):
     if store_data is None or "values" not in store_data:
         return store_data
 
-    no_data_value = store_data["no_data_value"]
     values = store_data["values"]
-    source, target = _reclassify_table(process_kwargs["data"])
     dtype = np.dtype(process_kwargs["dtype"])
     fillvalue = process_kwargs["fillvalue"]
-
-    if no_data_value is not None and no_data_value not in source:
-        source = np.append(source, no_data_value)
-        target = np.append(target, fillvalue)
-
-    inds = np.argsort(source)
-    source = jnp.asarray(source[inds])
-    target = jnp.asarray(target[inds].astype(dtype))
+    source, target = _reclassify_lookup(
+        process_kwargs, store_data["no_data_value"]
+    )
+    source = jnp.asarray(source)
+    target = jnp.asarray(target.astype(dtype))
 
     if process_kwargs["select"]:
         base = jnp.full(values.shape, fillvalue, dtype=dtype)
@@ -518,7 +529,10 @@ class Reclassify(BaseSingle):
             raise TypeError("The store must be of boolean or integer datatype")
 
         if not hasattr(data, "__iter__"):
-            raise TypeError("'{}' object is not allowed".format(type(data)))
+            raise TypeError(
+                "data must be an iterable of [from, to] pairs, got '%s'"
+                % type(data).__name__
+            )
         try:
             source, target = _reclassify_table(data)
         except ValueError:
@@ -536,7 +550,9 @@ class Reclassify(BaseSingle):
         data = [list(x) for x in zip(source.tolist(), target.tolist())]
 
         if select is not True and select is not False:
-            raise TypeError("'{}' object is not allowed".format(type(select)))
+            raise TypeError(
+                "select must be a bool, got '%s'" % type(select).__name__
+            )
         super().__init__(store, data, select)
 
     data = arg(1)
@@ -615,16 +631,15 @@ class Rasterize(_GeometryRaster):
     def __init__(self, source, column_name=None, dtype=None, limit=None):
         from dask_geomodeling_tpu.geometry.base import GeometryBlock
 
-        if not isinstance(source, GeometryBlock):
-            raise TypeError("'{}' object is not allowed".format(type(source)))
-        if column_name is not None and not isinstance(column_name, str):
-            raise TypeError("'{}' object is not allowed".format(type(column_name)))
+        expect_instance(source, GeometryBlock, "source")
+        if column_name is not None:
+            expect_instance(column_name, str, "column_name")
         if dtype is None:
             dtype = "bool" if column_name is None else "int32"
         else:
             dtype = str(np.dtype(dtype))
-        if limit and not isinstance(limit, int):
-            raise TypeError("'{}' object is not allowed".format(type(limit)))
+        if limit:
+            expect_instance(limit, int, "limit")
         if limit and limit < 1:
             raise ValueError("Limit should be greater than 1")
         super().__init__(source, column_name, dtype, limit)
@@ -731,10 +746,8 @@ class RasterizeWKT(_GeometryRaster):
     """Rasterize a single WKT geometry into a boolean mask."""
 
     def __init__(self, wkt, projection):
-        if not isinstance(wkt, str):
-            raise TypeError("'{}' object is not allowed".format(type(wkt)))
-        if not isinstance(projection, str):
-            raise TypeError("'{}' object is not allowed".format(type(projection)))
+        expect_instance(wkt, str, "wkt")
+        expect_instance(projection, str, "projection")
         try:
             utils.shapely_from_wkt(wkt)
         except utils.WKTReadingError:
@@ -766,14 +779,12 @@ class RasterizeWKT(_GeometryRaster):
 
     def get_sources_and_requests(self, **request):
         mode = request["mode"]
-        if mode == "time":
-            data = self.period[-1]
-        elif mode == "meta":
-            data = None
-        elif mode == "vals":
+        if mode not in ("time", "meta", "vals"):
+            raise ValueError("Unknown mode '{}'".format(mode))
+        if mode == "vals":
             data = {"wkt": self.wkt, "projection": self.projection}
         else:
-            raise ValueError("Unknown mode '{}'".format(mode))
+            data = self.period[-1] if mode == "time" else None
         return [(data, None), (request, None)]
 
     @staticmethod

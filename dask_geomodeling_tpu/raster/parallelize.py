@@ -37,14 +37,13 @@ class RasterTiler(BaseSingle):
     """
 
     def __init__(self, source, tile_size):
-        if hasattr(tile_size, "__iter__"):
-            if len(tile_size) != 2:
-                raise ValueError(
-                    "'tile_size' should be a scalar or a list of length 2."
-                )
-            tile_size = [int(x) for x in tile_size]
-        else:
-            tile_size = [int(tile_size), int(tile_size)]
+        if not hasattr(tile_size, "__iter__"):
+            tile_size = (tile_size, tile_size)
+        elif len(tile_size) != 2:
+            raise ValueError(
+                "'tile_size' should be a scalar or a list of length 2."
+            )
+        tile_size = [int(x) for x in tile_size]
         if min(tile_size) <= 0:
             raise ValueError("'tile_size' should be greater than 0")
         super().__init__(source, tile_size)

@@ -5,6 +5,7 @@ Semantics match the reference (dask_geomodeling/raster/reduction.py:38-119):
 a new axis, skipping nodata; first/last/count have dedicated paths, the rest
 go through NaN-aware numpy reductions.
 """
+import functools
 from functools import partial
 
 import numpy as np
@@ -18,6 +19,7 @@ from dask_geomodeling_tpu.geo import (
 )
 from dask_geomodeling_tpu.raster.base import RasterBlock
 from dask_geomodeling_tpu.raster.elemwise import BaseElementwise
+from dask_geomodeling_tpu.core.validate import expect_instance
 
 __all__ = ["Max", "reduce_rasters", "check_statistic", "STATISTICS"]
 
@@ -197,8 +199,7 @@ class BaseReduction(BaseElementwise):
 
     def __init__(self, *args):
         for arg in args:
-            if not isinstance(arg, RasterBlock):
-                raise TypeError("'{}' object is not allowed".format(type(arg)))
+            expect_instance(arg, RasterBlock, "arg")
         super().__init__(*args)
 
     def get_sources_and_requests(self, **request):
@@ -225,27 +226,27 @@ class BaseReduction(BaseElementwise):
     @property
     def extent(self):
         extents = filter_none([x.extent for x in self.args])
-        if len(extents) == 0:
+        if not extents:
             return None
         if len(extents) == 1:
             return extents[0]
-        x1 = min(e[0] for e in extents)
-        y1 = min(e[1] for e in extents)
-        x2 = max(e[2] for e in extents)
-        y2 = max(e[3] for e in extents)
+        x1, y1 = (min(e[axis] for e in extents) for axis in (0, 1))
+        x2, y2 = (max(e[axis] for e in extents) for axis in (2, 3))
         return x1, y1, x2, y2
 
     @property
     def geometry(self):
         geometries = filter_none([x.geometry for x in self.args])
-        if len(geometries) == 0:
+        if not geometries:
             return None
         if len(geometries) == 1:
             return geometries[0]
-        extent = Extent.from_geometry(geometries[0])
-        for geometry in geometries[1:]:
-            extent = extent.union(Extent.from_geometry(geometry))
-        return extent.as_geometry()
+        union = functools.reduce(
+            lambda grown, geom: grown.union(Extent.from_geometry(geom)),
+            geometries[1:],
+            Extent.from_geometry(geometries[0]),
+        )
+        return union.as_geometry()
 
 
 class _FunctionNamespace:

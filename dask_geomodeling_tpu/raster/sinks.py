@@ -19,6 +19,7 @@ from dask_geomodeling_tpu.core.tokens import tokenize
 from dask_geomodeling_tpu.geo.geotransform import GeoTransform
 from dask_geomodeling_tpu.raster.base import BaseSingle, RasterBlock
 from dask_geomodeling_tpu.raster.parallelize import RasterTiler
+from dask_geomodeling_tpu.core.validate import expect_instance
 
 __all__ = ["RasterFileSink", "to_file", "to_cog", "to_zarr"]
 
@@ -39,8 +40,7 @@ class RasterFileSink(BaseSingle):
     """
 
     def __init__(self, source, url):
-        if not isinstance(source, RasterBlock):
-            raise TypeError("'{}' object is not allowed".format(type(source)))
+        expect_instance(source, RasterBlock, "source")
         super().__init__(source, utils.safe_file_url(url))
 
     url = arg(1, "sandboxed target directory URL")

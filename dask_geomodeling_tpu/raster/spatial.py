@@ -27,6 +27,7 @@ from dask_geomodeling_tpu.geo.geometry import Point, box
 from dask_geomodeling_tpu.raster.base import BaseSingle, RasterBlock
 from dask_geomodeling_tpu.raster.reduction import check_statistic, reduce_rasters
 from dask_geomodeling_tpu.core import arg
+from dask_geomodeling_tpu.core.validate import expect_instance
 
 __all__ = ["Dilate", "Smooth", "MovingMax", "HillShade", "Place"]
 
@@ -149,21 +150,34 @@ class Dilate(BaseSingle):
     process = staticmethod(_dilate_process)
 
 
+def _crop_margin(values, radius):
+    """Drop the halo pixels the request expansion added (bands stay whole);
+    shared by the host and device moving-max twins."""
+    return values[:, radius:-radius, radius:-radius]
+
+
 def _moving_max_process(data, size=None):
+    """Circular-footprint max filter.  Nodata cells participate as the
+    dtype minimum so any real neighbour wins; a cell stays nodata only
+    where it was nodata AND no data reached it.  Behavior matches the
+    reference MovingMax (dask_geomodeling/raster/spatial.py)."""
     if data is None or size is None or "values" not in data:
         return data
-    radius = int(size // 2)
-    footprint = get_footprint(size)[np.newaxis]
+    values = data["values"]
+    fill = data["no_data_value"]
+    floor = values.dtype.type(get_dtype_min(values.dtype))
+    gaps = values == fill
 
-    array = data["values"].copy()
-    minimum = get_dtype_min(array.dtype)
-    no_data_mask = array == data["no_data_value"]
-    array[no_data_mask] = minimum
-
-    filtered = ndimage.maximum_filter(array, footprint=footprint)
-    filtered[(filtered == minimum) & no_data_mask] = data["no_data_value"]
-    filtered = filtered[:, radius:-radius, radius:-radius]
-    return {"values": filtered, "no_data_value": data["no_data_value"]}
+    peaks = ndimage.maximum_filter(
+        np.where(gaps, floor, values), footprint=get_footprint(size)[None]
+    )
+    unreached = gaps & (peaks == floor)
+    if unreached.any():
+        peaks[unreached] = fill
+    return {
+        "values": _crop_margin(peaks, int(size // 2)),
+        "no_data_value": fill,
+    }
 
 
 def _moving_max_jax(data, size=None):
@@ -186,8 +200,10 @@ def _moving_max_jax(data, size=None):
         dtype.type(data["no_data_value"]),
         filtered,
     )
-    filtered = filtered[:, radius:-radius, radius:-radius]
-    return {"values": filtered, "no_data_value": data["no_data_value"]}
+    return {
+        "values": _crop_margin(filtered, radius),
+        "no_data_value": data["no_data_value"],
+    }
 
 
 _moving_max_process.jax_impl = _moving_max_jax
@@ -222,33 +238,42 @@ class MovingMax(BaseSingle):
 
 
 def _smooth_process(data, process_kwargs=None):
+    """Gaussian blur with sigma = size/3 per axis, nodata cells first
+    replaced by the constant ``fill``.  "exact" mode crops the expanded
+    margin afterwards; "zoom" mode resamples the blurred array back onto
+    the request grid (order-0).  Behavior matches the reference Smooth
+    (dask_geomodeling/raster/spatial.py)."""
     if data is None or process_kwargs is None:
         return data
-    smooth_mode = process_kwargs["smooth_mode"]
-    size_px = process_kwargs["size"]
+    size_y, size_x = process_kwargs["size"]
     fill = process_kwargs["fill"]
+    frame = data["values"]
+    blurred = np.where(
+        frame == data["no_data_value"], frame.dtype.type(fill), frame
+    )
+    ndimage.gaussian_filter(
+        blurred,
+        (0, size_y / 3, size_x / 3),
+        output=blurred,
+        mode="constant",
+        cval=fill,
+    )
 
-    values = data["values"].copy()
-    no_data_value = data["no_data_value"]
-    values[values == no_data_value] = fill
-
-    sigma = 0, size_px[0] / 3, size_px[1] / 3
-    ndimage.gaussian_filter(values, sigma, output=values, mode="constant", cval=fill)
-
-    if smooth_mode == "exact":
-        my, mx = [int(round(s)) for s in size_px]
-        values = values[:, my : values.shape[1] - my, mx : values.shape[2] - mx]
+    if process_kwargs["smooth_mode"] == "exact":
+        my, mx = int(round(size_y)), int(round(size_x))
+        blurred = blurred[
+            :, my : blurred.shape[1] - my, mx : blurred.shape[2] - mx
+        ]
     else:
-        _, ny, nx = values.shape
-        zy, zx = [1 - 2 * size_px[0] / ny, 1 - 2 * size_px[1] / nx]
-        values = ndimage.affine_transform(
-            values,
+        _, ny, nx = blurred.shape
+        blurred = ndimage.affine_transform(
+            blurred,
             order=0,
-            matrix=np.diag([1, zy, zx]),
-            offset=[0, size_px[0], size_px[1]],
+            matrix=np.diag([1, 1 - 2 * size_y / ny, 1 - 2 * size_x / nx]),
+            offset=[0, size_y, size_x],
         )
 
-    return {"values": values, "no_data_value": no_data_value}
+    return {"values": blurred, "no_data_value": data["no_data_value"]}
 
 
 def _smooth_jax(data, process_kwargs=None):
@@ -302,8 +327,7 @@ class Smooth(BaseSingle):
 
     def __init__(self, store, size, fill=0):
         for x in (size, fill):
-            if not isinstance(x, (int, float)):
-                raise TypeError("'{}' object is not allowed".format(type(x)))
+            expect_instance(x, (int, float), "x")
         super().__init__(store, size, fill)
 
     size = arg(1)
@@ -313,19 +337,22 @@ class Smooth(BaseSingle):
         if request["mode"] != "vals":
             return [(self.store, request)]
 
-        new_request, size = expand_request_meters(request, self.size)
+        grown, size = expand_request_meters(request, self.size)
 
-        if any(s > self.MARGIN_THRESHOLD for s in size):
-            smooth_mode = "zoom"
-            zoom = [new_request[x] / request[x] for x in ("height", "width")]
-            size = [s / z for s, z in zip(size, zoom)]
-            new_request["height"] = request["height"]
-            new_request["width"] = request["width"]
-        else:
-            smooth_mode = "exact"
+        zoomed = any(s > self.MARGIN_THRESHOLD for s in size)
+        if zoomed:
+            # big margins: fetch downsampled at the request's own pixel
+            # count; sigma shrinks by the per-axis zoom factor
+            for px, axis in enumerate(("height", "width")):
+                size[px] *= request[axis] / grown[axis]
+                grown[axis] = request[axis]
 
-        process_kwargs = dict(smooth_mode=smooth_mode, fill=self.fill, size=size)
-        return [(self.store, new_request), (process_kwargs, None)]
+        plan = {
+            "smooth_mode": "zoom" if zoomed else "exact",
+            "fill": self.fill,
+            "size": size,
+        }
+        return [(self.store, grown), (plan, None)]
 
     process = staticmethod(_smooth_process)
 
@@ -410,8 +437,7 @@ class HillShade(BaseSingle):
 
     def __init__(self, store, altitude=45, azimuth=315, fill=0):
         for x in (altitude, azimuth, fill):
-            if not isinstance(x, (int, float)):
-                raise TypeError("'{}' object is not allowed".format(type(x)))
+            expect_instance(x, (int, float), "x")
         super().__init__(store, float(altitude), float(azimuth), fill)
 
     altitude = arg(1)
@@ -429,22 +455,21 @@ class HillShade(BaseSingle):
     process = staticmethod(_hillshade_process)
 
     def get_sources_and_requests(self, **request):
-        new_request = expand_request_pixels(request, radius=1)
-        if new_request is None:
+        grown = expand_request_pixels(request, radius=1)
+        if grown is None:
             return [(self.store, request)]
 
-        bbox = request["bbox"]
-        resolution = (
-            (bbox[2] - bbox[0]) / request["width"],
-            (bbox[3] - bbox[1]) / request["height"],
-        )
-        process_kwargs = dict(
-            resolution=resolution,
-            altitude=self.altitude,
-            azimuth=self.azimuth,
-            fill=self.fill,
-        )
-        return [(self.store, new_request), (process_kwargs, None)]
+        x1, y1, x2, y2 = request["bbox"]
+        plan = {
+            "resolution": (
+                (x2 - x1) / request["width"],
+                (y2 - y1) / request["height"],
+            ),
+            "altitude": self.altitude,
+            "azimuth": self.azimuth,
+            "fill": self.fill,
+        }
+        return [(self.store, grown), (plan, None)]
 
 
 class Place(BaseSingle):
@@ -460,8 +485,7 @@ class Place(BaseSingle):
     """
 
     def __init__(self, store, place_projection, anchor, coordinates, statistic="last"):
-        if not isinstance(store, RasterBlock):
-            raise TypeError("'{}' object is not allowed".format(type(store)))
+        expect_instance(store, RasterBlock, "store")
         try:
             get_sr(place_projection)
         except Exception:
@@ -483,8 +507,7 @@ class Place(BaseSingle):
         if len(point) != 2:
             raise ValueError("Expected 2 numbers in the '%s' parameter" % name)
         for x in point:
-            if not isinstance(x, (int, float)):
-                raise TypeError("'{}' object is not allowed".format(type(x)))
+            expect_instance(x, (int, float), "x")
         return point
 
     @staticmethod

@@ -30,6 +30,7 @@ from dask_geomodeling_tpu.geo import (
     parse_percentile_statistic,
 )
 from dask_geomodeling_tpu.raster.base import BaseSingle, RasterBlock
+from dask_geomodeling_tpu.core.validate import expect_instance
 
 __all__ = [
     "Snap",
@@ -52,34 +53,25 @@ def _validate_timezone(timezone):
 
 
 def _snap_process(process_kwargs, data=None):
-    if process_kwargs is None:
+    """Re-index the store's frames onto the index raster's time axis;
+    one shared body serves host and device (a band-axis gather traces
+    fine under jnp).  Reference: dask_geomodeling/raster/temporal.py
+    (Snap.process)."""
+    if process_kwargs is None or data is None:
         return data
-    nearest = process_kwargs["nearest"]
+    picks = np.asarray(process_kwargs["nearest"])
     if "values" in data:
         return {
-            "values": data["values"][np.asarray(nearest)],
+            "values": data["values"][picks],
             "no_data_value": data["no_data_value"],
         }
     if "meta" in data:
-        return {"meta": [data["meta"][i] for i in nearest]}
+        meta = data["meta"]
+        return {"meta": [meta[i] for i in picks]}
     return data
 
 
-def _snap_jax(process_kwargs, data=None):
-    if process_kwargs is None:
-        return data
-    nearest = process_kwargs["nearest"]
-    if "values" in data:
-        return {
-            "values": data["values"][np.asarray(nearest)],
-            "no_data_value": data["no_data_value"],
-        }
-    if "meta" in data:
-        return {"meta": [data["meta"][i] for i in nearest]}
-    return data
-
-
-_snap_process.jax_impl = _snap_jax
+_snap_process.jax_impl = _snap_process
 
 
 class Snap(BaseSingle):
@@ -91,8 +83,7 @@ class Snap(BaseSingle):
     (nested host-side get_data, reference temporal.py:131)."""
 
     def __init__(self, store, index):
-        if not isinstance(index, RasterBlock):
-            raise TypeError("'{}' object is not allowed".format(type(index)))
+        expect_instance(index, RasterBlock, "index")
         super().__init__(store, index)
 
     index = arg(1)
@@ -180,8 +171,7 @@ class Shift(BaseSingle):
     def __init__(self, store, time):
         if isinstance(time, Timedelta):
             time = int(time.total_seconds() * 1000)
-        if not isinstance(time, int):
-            raise TypeError("'{}' object is not allowed".format(type(time)))
+        expect_instance(time, int, "time")
         super().__init__(store, time)
 
     @property
@@ -212,18 +202,21 @@ class Shift(BaseSingle):
 
 
 def _temporal_sum_process(data):
+    """Collapse the band axis with a plain sum, labelled by the LAST
+    frame (time and meta keep only their final entry).  No nodata
+    handling by design — TemporalAggregate is the nodata-aware variant.
+    Reference: dask_geomodeling/raster/temporal.py (TemporalSum)."""
     if data is None:
+        return None
+    for key in ("time", "meta"):
+        if key in data:
+            return {key: data[key][-1:]}
+    if "values" not in data:
         return data
-    if "time" in data:
-        return {"time": data["time"][-1:]}
-    if "meta" in data:
-        return {"meta": data["meta"][-1:]}
-    if "values" in data:
-        return {
-            "values": data["values"].sum(axis=0)[np.newaxis, ...],
-            "no_data_value": data["no_data_value"],
-        }
-    return data
+    return {
+        "values": data["values"].sum(axis=0, keepdims=True),
+        "no_data_value": data["no_data_value"],
+    }
 
 
 _temporal_sum_process.jax_impl = _temporal_sum_process
@@ -312,20 +305,17 @@ def _validate_resampling(statistic, allowed, frequency, closed, label, timezone)
     """Shared constructor validation for the resampling blocks; returns
     the normalized (statistic, frequency, closed, label, timezone)."""
     if frequency is not None:
-        if not isinstance(frequency, str):
-            raise TypeError("'{}' object is not allowed.".format(type(frequency)))
+        expect_instance(frequency, str, "frequency")
         frequency = normalize_offset(frequency)
         if closed not in {None, "left", "right"}:
             raise ValueError("closed must be None, 'left', or 'right'.")
         if label not in {None, "left", "right"}:
             raise ValueError("label must be None, 'left', or 'right'.")
-        if not isinstance(timezone, str):
-            raise TypeError("'{}' object is not allowed.".format(type(timezone)))
+        expect_instance(timezone, str, "timezone")
         timezone = _validate_timezone(timezone)
     else:
         closed = label = timezone = None
-    if not isinstance(statistic, str):
-        raise TypeError("'{}' object is not allowed.".format(type(statistic)))
+    expect_instance(statistic, str, "statistic")
     statistic, percentile = parse_percentile_statistic(statistic.lower())
     if percentile is not None:
         statistic = "p{0}".format(percentile)
@@ -346,19 +336,15 @@ def _bin_conventions(frequency, closed, label, timezone):
 
 
 def _default_closed_label(frequency, closed, label):
-    """Fill in pandas' frequency-dependent defaults for closed/label."""
+    """Fill in pandas' frequency-dependent defaults for closed/label:
+    end-anchored rules (month/quarter/year ends, weekly — with or
+    without an anchor suffix like ``W-SUN``) default to the right bin
+    edge, every other rule to the left."""
     if frequency is None:
-        return ("right", "right")
-    rule = to_offset(frequency).rule_code
-    if rule in RESAMPLING_END_TYPES or (
-        "-" in rule and rule[: rule.find("-")] in RESAMPLING_END_TYPES
-    ):
-        closed = closed or "right"
-        label = label or "right"
-    else:
-        closed = closed or "left"
-        label = label or "left"
-    return closed, label
+        return "right", "right"
+    rule = to_offset(frequency).rule_code.split("-", 1)[0]
+    edge = "right" if rule in RESAMPLING_END_TYPES else "left"
+    return closed or edge, label or edge
 
 
 def _bin_bounds(dt, frequency, closed, label, timezone, side):
@@ -672,8 +658,7 @@ class TemporalAggregate(_StatisticDtypeMixin, BaseSingle):
         label=None,
         timezone="UTC",
     ):
-        if not isinstance(source, RasterBlock):
-            raise TypeError("'{}' object is not allowed.".format(type(source)))
+        expect_instance(source, RasterBlock, "source")
         statistic, frequency, closed, label, timezone = _validate_resampling(
             statistic, self.STATISTICS, frequency, closed, label, timezone
         )
@@ -948,8 +933,7 @@ class Cumulative(_StatisticDtypeMixin, BaseSingle):
     }
 
     def __init__(self, source, statistic="sum", frequency=None, timezone="UTC"):
-        if not isinstance(source, RasterBlock):
-            raise TypeError("'{}' object is not allowed.".format(type(source)))
+        expect_instance(source, RasterBlock, "source")
         statistic, frequency, _, _, timezone = _validate_resampling(
             statistic, self.STATISTICS, frequency, "right", "right", timezone
         )
@@ -1039,16 +1023,12 @@ class Resample(BaseSingle):
     """
 
     def __init__(self, source, frequency, direction="nearest", timezone="UTC"):
-        if not isinstance(source, RasterBlock):
-            raise TypeError("'{}' object is not allowed.".format(type(source)))
-        if not isinstance(frequency, str):
-            raise TypeError("'{}' object is not allowed.".format(type(frequency)))
+        expect_instance(source, RasterBlock, "source")
+        expect_instance(frequency, str, "frequency")
         frequency = normalize_offset(frequency)
-        if not isinstance(timezone, str):
-            raise TypeError("'{}' object is not allowed.".format(type(timezone)))
+        expect_instance(timezone, str, "timezone")
         timezone = _validate_timezone(timezone)
-        if not isinstance(direction, str):
-            raise TypeError("'{}' object is not allowed.".format(type(direction)))
+        expect_instance(direction, str, "direction")
         if direction not in {"nearest", "backward", "forward"}:
             raise ValueError(
                 "direction must be one of 'nearest', 'backward', or 'forward'."
