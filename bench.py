@@ -228,11 +228,17 @@ def main():
             )
         assert result["values"].shape[-1] == out_px
         runs.sort()
-        outcome["value"] = total_mpx / runs[len(runs) // 2]
+        median = total_mpx / runs[len(runs) // 2]
+        probe = round(measure_fetch_bandwidth(), 2)
+        outcome["value"] = median
         outcome["telemetry"] = {
             "mpx_per_sec_min": round(total_mpx / runs[-1], 2),
             "mpx_per_sec_max": round(total_mpx / runs[0], 2),
-            "tunnel_fetch_mb_per_sec": round(measure_fetch_bandwidth(), 2),
+            "tunnel_fetch_mb_per_sec": probe,
+            # Mpx/s per probed MB/s: the tunnel-weather-independent
+            # regression metric (stable at ~1.76 across rounds 2-4 while
+            # absolute Mpx/s swung 3x with time of day)
+            "wire_efficiency_mpx_per_mb": round(median / max(probe, 1e-9), 3),
         }
 
     import threading

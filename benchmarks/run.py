@@ -42,10 +42,20 @@ from dask_geomodeling_tpu.raster import (
 from tests.factories import MockGeometry
 
 
-def make_source(px, bands=1, seed=0):
+def make_source(px, bands=1, seed=0, levels=None):
+    """A float32 source; ``levels`` quantizes the data onto that many
+    distinct values (uint8/int16-style data stored as float — the
+    overwhelming real-world case, and what the data-dependent source
+    alphabet scan detects)."""
     rng = np.random.RandomState(seed)
+    if levels:
+        data = (rng.randint(0, levels, (bands, px, px)) * 0.5).astype(
+            np.float32
+        )
+    else:
+        data = (rng.rand(bands, px, px) * 200).astype(np.float32)
     return MemorySource(
-        data=(rng.rand(bands, px, px) * 200).astype(np.float32),
+        data=data,
         no_data_value=float(np.finfo(np.float32).max),
         projection="EPSG:28992",
         pixel_size=1.0,
@@ -104,6 +114,14 @@ def configs(px):
         ),
         ("stencils", HillShade(Smooth(MovingMax(source, 3), 5)), request),
         ("reproject", Add(source, 1.0), warp_request),
+        # the same warp over quantized data: the source alphabet scan
+        # (raster/sources.py) hands the float32 output a palette codec,
+        # so the fetch ships 1 byte/px instead of 4 (runtime/fetchcodec)
+        (
+            "reproject-discrete",
+            Add(make_source(px, seed=3, levels=250), 1.0),
+            warp_request,
+        ),
         (
             "temporal+zonal",
             TemporalAggregate(temporal, "4h", statistic="mean"),

@@ -12,6 +12,7 @@ Usage::
     with config.set({"geomodeling.root": "/tmp/data"}):
         ...
 """
+import os
 import threading
 from contextlib import ContextDecorator
 
@@ -123,8 +124,15 @@ defaults = {
     "geomodeling.warp-gather": "auto",
     # file persisting the auto-router's measured routing table
     # (runtime/router.py): restarted services keep their routes instead
-    # of re-exploring host/device rates per view.  None = in-memory only
-    "geomodeling.router-state": None,
+    # of re-exploring host/device rates per view (the round-4 verdict's
+    # "exploration tax").  Default: a per-user cache file; None disables
+    # persistence (the test suite nulls it)
+    "geomodeling.router-state": os.path.join(
+        os.path.expanduser("~"),
+        ".cache",
+        "dask_geomodeling_tpu",
+        "router-state.json",
+    ),
     # FlatGeobuf files above this many BYTES answer bbox-filtered
     # requests through their packed R-tree index (decode only touched
     # features) instead of the parse-whole-file LRU.  None disables
@@ -152,6 +160,17 @@ defaults = {
     # plain ReprojectImage always reads full resolution, hence off by
     # default for bit-parity)
     "geomodeling.use-overviews": False,
+    # data-dependent source alphabets: MemorySource/RasterFileSource scan
+    # their pixel data once (cached) and, with at most this many distinct
+    # values, declare the exact output alphabet — nearest-neighbour warps
+    # are value-preserving, so whole warped/elemwise chains derive a
+    # packed fetch codec (1-8 px per wire byte instead of 4-8 raw bytes).
+    # 0/None disables the scan
+    "geomodeling.source-alphabet-max": 4096,
+    # skip the alphabet scan for file sources above this pixel count
+    # (whole-file decode would be needed just to scan; windowed-read
+    # files never decode whole)
+    "geomodeling.source-alphabet-scan-px": 64 * (1024**2),
 }
 
 

@@ -6,6 +6,7 @@ Attribute and request/response contract identical to the reference
 from datetime import datetime as Datetime
 
 from dask_geomodeling_tpu.core import arg, Block
+from dask_geomodeling_tpu.core.validate import expect_instance
 
 __all__ = ["RasterBlock", "BaseSingle"]
 
@@ -37,6 +38,14 @@ def _operator(block_name, reflected=False, unary=False, const=None):
 
     method.__doc__ = "Build a %s block from this raster." % block_name
     return method
+
+
+#: value-set propagation cap: the widest alphabet any packed fetch codec
+#: can express is 65536 (uint16 palette codes, runtime/fetchcodec.py);
+#: past that a declared set is dead weight.  Derived chains cap here —
+#: the (cheaper) source scans have their own, tighter default
+#: (``geomodeling.source-alphabet-max``).
+VALUE_SET_LIMIT = 65536
 
 
 class RasterBlock(Block):
@@ -227,8 +236,7 @@ class BaseSingle(RasterBlock):
     subclass overrides it."""
 
     def __init__(self, store, *args):
-        if not isinstance(store, RasterBlock):
-            raise TypeError("'{}' object is not allowed".format(type(store)))
+        expect_instance(store, RasterBlock, "store")
         super().__init__(store, *args)
 
     store = arg(0)
@@ -288,6 +296,6 @@ def union_value_set(sources, dtype, fillvalue, lift=None):
                 out.add(dtype.type(v).item())
             except (TypeError, ValueError, OverflowError):
                 return None
-        if len(out) > 64:
+        if len(out) > VALUE_SET_LIMIT:
             return None
     return out

@@ -20,6 +20,7 @@ from dask_geomodeling_tpu.geo import (
     get_index_jax,
 )
 from dask_geomodeling_tpu.raster.base import BaseSingle, RasterBlock
+from dask_geomodeling_tpu.core.validate import expect_instance
 
 __all__ = [
     "Add",
@@ -201,10 +202,7 @@ class BaseElementwise(RasterBlock):
 def _check_operands(operands, allowed):
     """Every operand is an ``allowed`` instance, or TypeError."""
     for operand in operands:
-        if not isinstance(operand, allowed):
-            raise TypeError(
-                "'{}' object is not allowed".format(type(operand))
-            )
+        expect_instance(operand, allowed, "operand")
 
 
 class BaseMath(BaseElementwise):
@@ -238,7 +236,9 @@ class BaseMath(BaseElementwise):
             return None
         child = raster.out_value_set()
         dtype = self.dtype
-        if child is None or len(child) > 64 or dtype == bool:
+        from dask_geomodeling_tpu.raster.base import VALUE_SET_LIMIT
+
+        if child is None or len(child) > VALUE_SET_LIMIT or dtype == bool:
             return None
         if (
             np.issubdtype(dtype, np.floating)
@@ -246,18 +246,20 @@ class BaseMath(BaseElementwise):
         ):
             return None  # device float result may be 1 ulp off the palette
         child_fill = raster.fillvalue
-        out = {self.fillvalue}
-        for v in child:
-            if child_fill is not None and v == child_fill:
-                continue  # nodata cells land on the fill, added above
-            operands = (v, scalar) if raster is a else (scalar, v)
-            with np.errstate(all="ignore"):
-                r = ufunc(
-                    np.asarray(operands[0], dtype),
-                    np.asarray(operands[1], dtype),
-                    dtype=dtype,
-                ).item()
-            out.add(r if np.isfinite(r) else self.fillvalue)
+        # vectorized member map: the ufunc sees operands cast to the
+        # result dtype, exactly like the process does per pixel
+        members = np.array(
+            [v for v in child if child_fill is None or v != child_fill],
+            dtype,
+        )
+        scalar_arr = np.asarray(scalar, dtype)
+        operands = (
+            (members, scalar_arr) if raster is a else (scalar_arr, members)
+        )
+        with np.errstate(all="ignore"):
+            mapped = ufunc(operands[0], operands[1], dtype=dtype)
+        out = {self.fillvalue}  # nodata cells and non-finite results
+        out.update(np.asarray(mapped)[np.isfinite(mapped)].tolist())
         return out
 
 
@@ -656,8 +658,7 @@ class FillNoData(BaseElementwise):
 
     def __init__(self, *args):
         for arg in args:
-            if not isinstance(arg, RasterBlock):
-                raise TypeError("'{}' object is not allowed".format(type(arg)))
+            expect_instance(arg, RasterBlock, "arg")
         super().__init__(*args)
 
     def out_value_set(self):

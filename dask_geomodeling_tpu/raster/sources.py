@@ -87,6 +87,40 @@ class RasterData:
     metadata: list
 
 
+def _scan_alphabet(array, max_values):
+    """The set of distinct values in ``array`` (python scalars), or None
+    past ``max_values``.  Chunked with an early exit: truly continuous
+    data blows the cap within the first chunk, so the scan only pays its
+    full O(n log n) on data that actually is quantized."""
+    flat = array.reshape(-1)
+    found = None
+    step = 1 << 20
+    for start in range(0, flat.size, step):
+        chunk = np.unique(flat[start : start + step])
+        found = chunk if found is None else np.union1d(found, chunk)
+        if len(found) > max_values:
+            return None
+    if found is None:
+        return set()
+    return {value.item() for value in found}
+
+
+def _source_alphabet_config():
+    """(max_values, scan_px_limit) when source alphabet scans are on and
+    value-preserving (nearest warp), else None."""
+    from dask_geomodeling_tpu.config import config
+
+    if config.get("geomodeling.warp-interpolation", "nearest") != "nearest":
+        return None  # bilinear mixes values: the scan would be a LIE
+    max_values = config.get("geomodeling.source-alphabet-max", 4096)
+    if not max_values:
+        return None
+    return (
+        int(max_values),
+        int(config.get("geomodeling.source-alphabet-scan-px", 64 * 1024**2)),
+    )
+
+
 def utc_from_ms_timestamp(timestamp):
     """Naive UTC datetime from a milliseconds POSIX timestamp."""
     return datetime.fromtimestamp(timestamp / 1000, tz=timezone.utc).replace(
@@ -457,6 +491,28 @@ class MemorySource(RasterSourceBase):
             return [({"mode": "empty_meta"}, None)]
         return super().get_sources_and_requests(**request)
 
+    def out_value_set(self):
+        """Data-dependent alphabet: scan the in-memory array once (cached
+        on the instance) and declare its distinct values ∪ {fill} when
+        small enough.  Sound because the vals path is a nearest-neighbour
+        warp — a pure gather of stored values, never arithmetic on them —
+        plus the fill for out-of-extent cells; gated off entirely for
+        non-nearest interpolation.  This is what lets *continuous-dtype*
+        views of quantized data (the overwhelming real-world GIS case)
+        ride the packed fetch codec (runtime/fetchcodec.py)."""
+        gate = _source_alphabet_config()
+        if gate is None:
+            return None
+        max_values, _ = gate
+        cached = getattr(self, "_alphabet_cache", None)
+        if cached is None or cached[0] != max_values:
+            values = _scan_alphabet(self.data, max_values)
+            self._alphabet_cache = cached = (max_values, values)
+        values = cached[1]
+        if values is None:
+            return None
+        return values | {self.fillvalue.item()}
+
     def _payload_plan(self, mode, request=None):
         raster_data = RasterData(
             array=self.data,
@@ -495,10 +551,10 @@ class RasterFileSource(RasterSourceBase):
     """
 
     def __init__(self, url, time_first=0, time_delta=300000, variable=None):
-        if variable is not None and not isinstance(variable, str):
-            raise TypeError(
-                "'{}' object is not allowed".format(type(variable))
-            )
+        if variable is not None:
+            from dask_geomodeling_tpu.core.validate import expect_instance
+
+            expect_instance(variable, str, "variable")
         super().__init__(
             utils.safe_file_url(url),
             _as_ms(time_first, 0),
@@ -583,10 +639,9 @@ class RasterFileSource(RasterSourceBase):
             return self._info
 
     def close_dataset(self):
-        if hasattr(self, "_info"):
-            del self._info
-        if hasattr(self, "_overviews"):
-            del self._overviews
+        for attribute in ("_info", "_overviews", "_alphabet_cache"):
+            if hasattr(self, attribute):
+                delattr(self, attribute)
 
     @property
     def projection(self):
@@ -637,6 +692,61 @@ class RasterFileSource(RasterSourceBase):
     @property
     def temporal(self):
         return len(self) > 1
+
+    def out_value_set(self):
+        """Data-dependent alphabet for file sources: scan the decoded
+        payload once (cached on the instance like ``info``) and declare
+        distinct values ∪ {fill, file nodata} when small enough.  Sound
+        for the same reason as MemorySource (nearest warp is a gather);
+        additionally gated off when overview reads are enabled and the
+        file has a pyramid — overview levels hold RESAMPLED values that
+        may lie outside the base alphabet."""
+        gate = _source_alphabet_config()
+        if gate is None:
+            return None
+        max_values, scan_px = gate
+        from dask_geomodeling_tpu.config import config
+
+        if config.get("geomodeling.use-overviews", False):
+            try:
+                if self._overview_sizes():
+                    return None
+            except Exception:
+                return None
+        try:
+            import os
+
+            path = utils.safe_abspath(self.url)
+            stat = os.stat(path)
+            stamp = (max_values, stat.st_mtime_ns, stat.st_size)
+        except Exception:
+            return None
+        cached = getattr(self, "_alphabet_cache", None)
+        if cached is None or cached[0] != stamp:
+            values = None
+            try:
+                info = self.info
+                if info.width * info.height * info.bands <= scan_px:
+                    from dask_geomodeling_tpu.runtime.pipeline import (
+                        read_geotiff_cached,
+                    )
+
+                    payload = read_geotiff_cached(path, variable=self.variable)
+                    values = _scan_alphabet(payload.array, max_values)
+            except Exception:
+                values = None
+            self._alphabet_cache = cached = (stamp, values)
+        values = cached[1]
+        if values is None:
+            return None
+        out = set(values) | {self.fillvalue.item()}
+        no_data = self.info.no_data_value
+        if no_data is not None:
+            try:
+                out.add(self.dtype.type(no_data).item())
+            except (OverflowError, ValueError):
+                pass  # out-of-range nodata cannot occur in the data
+        return out
 
     def _payload_plan(self, mode, request=None):
         if mode == "meta":

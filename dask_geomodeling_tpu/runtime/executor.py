@@ -236,6 +236,7 @@ def execution_config_token():
         config.get("geomodeling.pallas-smooth", True),
         config.get("geomodeling.pallas-stencils", True),
         config.get("geomodeling.fetch-pack", True),
+        config.get("geomodeling.source-alphabet-max", 4096),
         config.get("geomodeling.mesh-shape", None),
         config.get("geomodeling.warp-gather", "auto"),
         config.get("geomodeling.warp-host-grid", True),

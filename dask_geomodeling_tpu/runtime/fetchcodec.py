@@ -23,6 +23,15 @@ G = floor(log_S 256):
     S <= 6                    -> 3 px/byte
     S <= 16                   -> 2 px/byte
 
+Wider alphabets stop grouping pixels but still shrink multi-byte
+outputs to bare palette codes (``group=1``): S <= 256 ships one uint8
+code per pixel (4x for float32/int32 outputs), S <= 65536 one uint16
+code (2x for float32, 4x for float64).  That is the continuous-output
+lever: a float raster that is secretly quantized (uint8/int16 data
+stored as float after math, or any nearest-neighbour warp of it)
+carries only its source's alphabet — see ``_packing`` and the
+data-dependent source scans in raster/sources.py.
+
 The reference has no analog — it ships raw float64 numpy arrays between
 dask workers (reference core/graphs.py:42-49); this is TPU-tunnel
 engineering, gated by ``geomodeling.fetch-pack`` (default on).
@@ -48,13 +57,14 @@ class FetchCodec:
     """
 
     def __init__(self, lo, fill, fill_code, symbols, group, dtype,
-                 palette=None):
+                 palette=None, code_dtype=np.uint8):
         self.lo = int(lo)
         self.fill = fill
         self.fill_code = fill_code  # None when fill is inside the alphabet
         self.symbols = int(symbols)
         self.group = int(group)
         self.dtype = np.dtype(dtype)
+        self.code_dtype = np.dtype(code_dtype)
         if palette is None:
             self.palette = None
         elif np.issubdtype(self.dtype, np.floating):
@@ -63,9 +73,10 @@ class FetchCodec:
             self.palette = np.asarray(palette, np.int64)
 
     def __repr__(self):
-        return "FetchCodec(S=%d, %d px/byte, dtype=%s%s)" % (
+        return "FetchCodec(S=%d, %d px/%s, dtype=%s%s)" % (
             self.symbols,
             self.group,
+            self.code_dtype,
             self.dtype,
             "" if self.palette is None else ", palette",
         )
@@ -81,7 +92,7 @@ class FetchCodec:
         return flat.astype(jnp.int32) - self.lo
 
     def encode(self, values):
-        """(bands, h, w) traced array -> (bands, ceil(h*w/G)) uint8."""
+        """(bands, h, w) traced array -> (bands, ceil(h*w/G)) codes."""
         import jax.numpy as jnp
 
         bands = values.shape[0]
@@ -94,6 +105,9 @@ class FetchCodec:
                 else flat_vals == self.fill
             )
             flat = jnp.where(is_fill, self.fill_code, flat)
+        if self.group == 1:
+            # wide alphabet: the dense code IS the wire byte/short
+            return flat.astype(self.code_dtype)
         pad = (-flat.shape[1]) % self.group
         if pad:
             flat = jnp.pad(flat, ((0, 0), (0, pad)))
@@ -102,15 +116,16 @@ class FetchCodec:
             [self.symbols ** (self.group - 1 - k) for k in range(self.group)],
             np.int32,
         )
-        return jnp.sum(groups * weights, axis=-1).astype(jnp.uint8)
+        return jnp.sum(groups * weights, axis=-1).astype(self.code_dtype)
 
     def _decode_table(self):
-        """(256, group) lookup: byte -> final output values (fill
-        resolved), so decoding is ONE numpy gather per packed byte."""
+        """(N_codes, group) lookup: code -> final output values (fill
+        resolved), so decoding is ONE numpy gather per packed code."""
         table = getattr(self, "_lut", None)
         if table is None:
-            digits = np.empty((256, self.group), np.int64)
-            x = np.arange(256, dtype=np.int64)
+            n_codes = int(np.iinfo(self.code_dtype).max) + 1
+            digits = np.empty((n_codes, self.group), np.int64)
+            x = np.arange(n_codes, dtype=np.int64)
             for k in range(self.group - 1, -1, -1):
                 digits[:, k] = x % self.symbols
                 x //= self.symbols
@@ -125,19 +140,43 @@ class FetchCodec:
         return table
 
     def decode(self, packed, height, width):
-        """(B, bands, m) uint8 -> (B, bands, height, width) self.dtype."""
+        """(B, bands, m) codes -> (B, bands, height, width) self.dtype."""
         from dask_geomodeling_tpu import native
 
-        packed = np.ascontiguousarray(packed, dtype=np.uint8)
+        packed = np.ascontiguousarray(packed, dtype=self.code_dtype)
         n_batch, bands, m = packed.shape
         table = self._decode_table()
         out = np.empty((n_batch, bands, m * self.group), self.dtype)
-        # per-byte LUT gather: threaded C++ when available, numpy fallback
-        if not native.fetch_decode_native(packed, table, out):
+        # per-byte LUT gather: threaded C++ when available (uint8 codes
+        # only), numpy fallback
+        if self.code_dtype != np.uint8 or not native.fetch_decode_native(
+            packed, table, out
+        ):
             out[...] = table[packed].reshape(n_batch, bands, -1)
         return out[:, :, : height * width].reshape(
             n_batch, bands, height, width
         )
+
+
+def _packing(symbols, dtype):
+    """``(group, code_dtype)`` wire packing for an alphabet size, or None
+    when packing would not beat shipping the raw output bytes.
+
+    - symbols <= 16: >= 2 px per uint8 byte (base-S positional groups)
+    - symbols <= 256, output wider than 1 byte: one uint8 code per px
+    - symbols <= 65536, output wider than 2 bytes: one uint16 code per px
+    """
+    if symbols <= 16:
+        group = 1
+        while symbols ** (group + 1) <= 256:
+            group += 1
+        return group, np.uint8  # group >= 2 whenever symbols <= 16
+    itemsize = np.dtype(dtype).itemsize
+    if symbols <= 256 and itemsize > 1:
+        return 1, np.uint8
+    if symbols <= 65536 and itemsize > 2:
+        return 1, np.uint16
+    return None
 
 
 def codec_from_values(values, fillvalue, dtype):
@@ -200,17 +239,16 @@ def codec_from_values(values, fillvalue, dtype):
         symbols = max(len(palette), 2)
         fill_code = None
         fill = fillvalue
-    if symbols > 16:
+    packing = _packing(symbols, dtype)
+    if packing is None:
         return None
-    group = 1
-    while symbols ** (group + 1) <= 256:
-        group += 1
-    if group < 2:
-        return None
+    group, code_dtype = packing
     lo = 0 if is_float else int(palette[0])
     if not is_float and len(palette) == int(palette[-1]) - lo + 1:
-        palette = None  # contiguous ints: the plain base-S codec
-    return FetchCodec(lo, fill, fill_code, symbols, group, dtype, palette)
+        palette = None  # contiguous ints: the plain positional codec
+    return FetchCodec(
+        lo, fill, fill_code, symbols, group, dtype, palette, code_dtype
+    )
 
 
 def derive_codec(dtype, fillvalue, root_func, root_literals, view=None):
@@ -273,11 +311,10 @@ def derive_codec(dtype, fillvalue, root_func, root_literals, view=None):
     else:
         symbols = alphabet + 1
         fill_code = symbols - 1
-    if symbols > 16:
+    packing = _packing(symbols, dtype)
+    if packing is None:
         return None
-    group = 1
-    while symbols ** (group + 1) <= 256:
-        group += 1
-    if group < 2:
-        return None
-    return FetchCodec(lo, fill, fill_code, symbols, group, dtype, palette)
+    group, code_dtype = packing
+    return FetchCodec(
+        lo, fill, fill_code, symbols, group, dtype, palette, code_dtype
+    )

@@ -20,6 +20,7 @@ host-only nodes always run on the host.  Rates are exponential moving
 averages keyed by (view token, log2 size bucket), so a long-running
 process adapts to tunnel weather.
 """
+import atexit
 import collections
 import json
 import math
@@ -107,6 +108,9 @@ def _snapshot_locked():
 def _write_state(path, payload):
     tmp = "%s.tmp.%d" % (path, os.getpid())
     try:
+        parent = os.path.dirname(path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
         with open(tmp, "w") as f:
             json.dump(payload, f)
         os.replace(tmp, path)  # atomic: concurrent writers last-win whole
@@ -258,15 +262,16 @@ class timed_route:
         return False
 
 
-def reset(reseed=False):
-    """Forget all in-memory measurements (tests; benchmark config flips).
+def reset(reseed=True):
+    """Forget all in-memory measurements.
 
-    With ``reseed=True`` and ``geomodeling.router-state`` configured, the
-    persisted routing table is read back in immediately, so a mid-life
-    reset in a serving process restores its learned routes instead of
-    silently re-paying the host+2-device exploration per view.  The
-    default (``reseed=False``) means re-explore from scratch — what
-    benchmarks and tests want."""
+    With ``geomodeling.router-state`` configured (the default: a user
+    cache file), the persisted routing table is read back in immediately
+    — a mid-life reset in a serving process restores its learned routes
+    instead of silently re-paying the host+2-device exploration per
+    view.  Pass ``reseed=False`` to re-explore from scratch (what
+    benchmarks and tests want; the test suite also nulls the state path
+    so resets never touch a developer's cache)."""
     with _lock:
         _routes.clear()
         _dirty[0] = 0
@@ -275,6 +280,23 @@ def reset(reseed=False):
             _maybe_load_locked()
         else:
             _loaded_from[0] = _state_path()  # mark as consumed: no re-seed
+
+
+def _save_at_exit():
+    """Final autosave: short-lived processes (benchmarks, one-shot
+    scripts) rarely hit the every-32-measurements autosave, yet their
+    measurements are exactly what the next process wants pre-seeded."""
+    try:
+        with _lock:
+            path = _state_path()
+            payload = _snapshot_locked() if path and _routes else None
+        if payload:
+            _write_state(path, payload)
+    except Exception:
+        pass  # interpreter teardown: never raise
+
+
+atexit.register(_save_at_exit)
 
 
 def stats():

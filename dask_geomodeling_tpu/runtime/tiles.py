@@ -204,14 +204,24 @@ class TileProgram:
 
         # packed fetch: small-range outputs ship G pixels per byte over
         # the (bandwidth-bound) device->host link; see runtime/fetchcodec
+        self._root = graph[name]
+        self._derive_codec(view)
+
+    def _derive_codec(self, view):
+        """(Re)derive the packed fetch codec for the root node.  Called at
+        construction AND again whenever a file-backed source changes on
+        disk: data-dependent source alphabets (raster/sources.py) follow
+        the file content, so a stale codec would corrupt silently."""
         from dask_geomodeling_tpu import config
         from dask_geomodeling_tpu.runtime.fetchcodec import derive_codec
 
         self.codec = None
         if config.get("geomodeling.fetch-pack", True):
-            root = graph[name]
+            root = self._root
             literals = [
-                None if (isinstance(arg, str) and arg in graph) else arg
+                None
+                if (isinstance(arg, str) and arg in self._program.graph)
+                else arg
                 for arg in root[1:]
             ]
             try:
@@ -305,6 +315,10 @@ class TileProgram:
                         self._warp_sites = None
                         self._fast_domains = None
                     deps[path] = current
+                    # data-dependent source alphabets follow file content:
+                    # the packed fetch codec must re-derive with the fresh
+                    # pixels or it would encode out-of-palette values
+                    self._derive_codec(view)
                     logger.info(
                         "source file %s changed; staging cache and compiled "
                         "programs dropped", path

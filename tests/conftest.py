@@ -12,7 +12,12 @@ from datetime import datetime, timedelta
 import numpy as np
 import pytest
 
+from dask_geomodeling_tpu.config import config as _config
 from dask_geomodeling_tpu.raster.sources import MemorySource
+
+# router-state defaults to a per-user cache file; tests must neither read
+# a developer's learned routes nor write their own measurements into it
+_config.set({"geomodeling.router-state": None})
 
 
 @pytest.fixture(scope="session")

@@ -332,8 +332,12 @@ class TestValueSetCodec:
     def test_unbounded_child_disables(self, source):
         from dask_geomodeling_tpu.raster import MaskBelow, Multiply
 
-        assert MaskBelow(source, 10.0).out_value_set() is None
-        assert Multiply(source, 2.0).out_value_set() is None
+        # with the data-dependent scan off, a raw source is unbounded and
+        # every derived set collapses to None
+        with config.set({"geomodeling.source-alphabet-max": 0}):
+            assert source.out_value_set() is None
+            assert MaskBelow(source, 10.0).out_value_set() is None
+            assert Multiply(source, 2.0).out_value_set() is None
 
     def test_nonfinite_member_rejected(self):
         assert codec_from_values({0.0, np.nan}, 255.0, "float32") is None
@@ -450,6 +454,156 @@ def test_place_value_set(source):
     ).out_value_set() is None
 
 
+class TestSourceAlphabet:
+    """Data-dependent source alphabets: quantized data declares its exact
+    value set, so continuous-dtype chains (incl. cross-CRS warps) ride
+    the packed fetch (group-1 palette codes for wide alphabets)."""
+
+    @pytest.fixture(scope="class")
+    def quantized(self):
+        rng = np.random.RandomState(11)
+        data = (rng.randint(0, 200, (1, 64, 64)) * 0.5).astype(np.float32)
+        data[0, :4, :4] = np.float32(np.finfo(np.float32).max)  # nodata
+        return MemorySource(
+            data=data,
+            no_data_value=float(np.finfo(np.float32).max),
+            projection="EPSG:28992",
+            pixel_size=1.0,
+            pixel_origin=(135000, 456000),
+            time_first=datetime(2000, 1, 1),
+            time_delta=timedelta(hours=1),
+        )
+
+    def test_source_declares_alphabet(self, quantized):
+        vals = quantized.out_value_set()
+        assert vals is not None and len(vals) <= 201
+        assert float(np.finfo(np.float32).max) in vals
+
+    def test_gates(self):
+        data = np.arange(12, dtype=np.float32).reshape(1, 3, 4)
+        kwargs = dict(
+            no_data_value=-1.0, projection="EPSG:28992", pixel_size=1.0,
+            pixel_origin=(0, 0), time_first=datetime(2000, 1, 1),
+        )
+        with config.set({"geomodeling.source-alphabet-max": 0}):
+            assert MemorySource(data, **kwargs).out_value_set() is None
+        with config.set({"geomodeling.warp-interpolation": "bilinear"}):
+            assert MemorySource(data, **kwargs).out_value_set() is None
+        with config.set({"geomodeling.source-alphabet-max": 5}):
+            assert MemorySource(data, **kwargs).out_value_set() is None
+        assert MemorySource(data, **kwargs).out_value_set() == set(
+            range(12)
+        ) | {-1.0}
+
+    def test_warped_float_chain_packs(self, quantized, request_64):
+        """The headline lever: Add(source, 1.0) requested cross-CRS is a
+        float32 output whose alphabet is data-dependent; the packed
+        (group-1 uint8 palette) fetch stays bit-exact with both the
+        unpacked device path and the host path."""
+        from dask_geomodeling_tpu.geo import Extent
+
+        view = Add(quantized, 1.0)
+        assert view.out_value_set() is not None
+        bbox = (
+            Extent(request_64["bbox"], "EPSG:28992")
+            .transformed("EPSG:3857")
+            .bbox
+        )
+        request = dict(request_64, bbox=bbox, projection="EPSG:3857")
+        expected = view.get_data(**request)
+        with config.set(
+            {
+                "geomodeling.fetch-pack": True,
+                "geomodeling.warp-approx-stride": 1,
+            }
+        ):
+            packed = _tiled(view, request)
+            program = _get_tile_program(view, dict(request, width=32, height=32))
+        assert program.codec is not None
+        assert program.codec.group == 1
+        assert program.codec.code_dtype == np.uint8
+        with config.set(
+            {
+                "geomodeling.fetch-pack": False,
+                "geomodeling.warp-approx-stride": 1,
+            }
+        ):
+            unpacked = _tiled(view, request)
+        np.testing.assert_array_equal(packed["values"], unpacked["values"])
+        np.testing.assert_array_equal(packed["values"], expected["values"])
+        assert packed["values"].dtype == expected["values"].dtype
+
+    def test_uint16_wide_alphabet(self, request_64):
+        rng = np.random.RandomState(5)
+        data = (rng.randint(0, 3000, (1, 64, 64)) * 0.25).astype(np.float32)
+        source = MemorySource(
+            data=data,
+            no_data_value=float(np.finfo(np.float32).max),
+            projection="EPSG:28992",
+            pixel_size=1.0,
+            pixel_origin=(135000, 456000),
+            time_first=datetime(2000, 1, 1),
+            time_delta=timedelta(hours=1),
+        )
+        view = Add(source, 0.0)
+        expected = view.get_data(**request_64)
+        with config.set({"geomodeling.fetch-pack": True}):
+            packed = _tiled(view, request_64)
+            program = _get_tile_program(
+                view, dict(request_64, width=32, height=32)
+            )
+        assert program.codec is not None
+        assert program.codec.code_dtype == np.uint16
+        np.testing.assert_array_equal(packed["values"], expected["values"])
+
+    def test_file_source_alphabet(self, tmp_path, request_64):
+        from dask_geomodeling_tpu.io.geotiff import write_geotiff
+        from dask_geomodeling_tpu.raster.sources import RasterFileSource
+
+        rng = np.random.RandomState(3)
+        data = (rng.randint(0, 40, (1, 64, 64)) * 2).astype(np.int32)
+        path = str(tmp_path / "quantized.tif")
+        write_geotiff(
+            path,
+            data,
+            geo_transform=(135000.0, 1.0, 0.0, 456000.0, 0.0, -1.0),
+            projection="EPSG:28992",
+            no_data_value=-1,
+        )
+        with config.set({"geomodeling.strict-file-paths": False}):
+            source = RasterFileSource(path)
+            vals = source.out_value_set()
+            assert vals is not None
+            assert set(np.unique(data).tolist()) <= vals
+            view = Add(source, 1)
+            expected = view.get_data(**request_64)
+            with config.set({"geomodeling.fetch-pack": True}):
+                packed = _tiled(view, request_64)
+            np.testing.assert_array_equal(
+                packed["values"], expected["values"]
+            )
+
+    def test_overview_reads_disable_alphabet(self, tmp_path):
+        from dask_geomodeling_tpu.io.geotiff import write_geotiff
+        from dask_geomodeling_tpu.raster.sources import RasterFileSource
+
+        data = np.zeros((1, 8, 8), np.int32)
+        path = str(tmp_path / "plain.tif")
+        write_geotiff(
+            path,
+            data,
+            geo_transform=(0.0, 1.0, 0.0, 8.0, 0.0, -1.0),
+            projection="EPSG:28992",
+            no_data_value=-1,
+        )
+        with config.set({"geomodeling.strict-file-paths": False}):
+            source = RasterFileSource(path)
+            source._overviews = [(4, 4)]  # pretend a pyramid exists
+            with config.set({"geomodeling.use-overviews": True}):
+                assert source.out_value_set() is None
+            assert source.out_value_set() is not None
+
+
 def test_codec_chain_fuzz(source, request_64):
     """Random discrete-output chains: whatever out_value_set derives,
     the packed tiled result must stay bitwise equal to the host path.
@@ -504,6 +658,88 @@ def test_codec_chain_fuzz(source, request_64):
         expected = view.get_data(**request_64)
         with config.set({"geomodeling.fetch-pack": True}):
             actual = _tiled(view, request_64)
+        if not np.array_equal(actual["values"], expected["values"]):
+            mismatches.append(seed)
+    assert mismatches == []
+
+
+def test_source_alphabet_chain_fuzz(request_64):
+    """Random chains over QUANTIZED sources (data-dependent alphabets):
+    whatever palette the scan derives — through exactly-rounded float
+    elemwise, masks, steps, classification, and cross-CRS warps — the
+    packed tiled result must stay bitwise equal to the host path.  A
+    wrong data-dependent set corrupts silently; this is the net the
+    round-4 verdict made mandatory."""
+    from dask_geomodeling_tpu.geo import Extent
+    from dask_geomodeling_tpu.raster import (
+        Mask,
+        MaskBelow,
+        Multiply,
+        Subtract,
+    )
+
+    fill = float(np.finfo(np.float32).max)
+
+    def make_source(rng, n_values):
+        data = (
+            rng.randint(0, n_values, (1, 64, 64)) * np.float32(0.5)
+        ).astype(np.float32)
+        data[0, :3, :3] = np.float32(fill)
+        return MemorySource(
+            data=data,
+            no_data_value=fill,
+            projection="EPSG:28992",
+            pixel_size=1.0,
+            pixel_origin=(135000, 456000),
+            time_first=datetime(2000, 1, 1),
+            time_delta=timedelta(hours=1),
+        )
+
+    def grow(rng, view):
+        choices = [
+            lambda v: Add(v, float(rng.randint(0, 4))),
+            lambda v: Subtract(v, float(rng.randint(1, 3))),
+            lambda v: Multiply(v, float(rng.randint(2, 4))),
+            lambda v: Mask(v, float(rng.randint(1, 9))),
+            lambda v: MaskBelow(v, float(rng.randint(5, 60))),
+            lambda v: Classify(
+                v,
+                bins=sorted(
+                    rng.choice(np.arange(5.0, 90.0, 5.0), 3, replace=False)
+                ),
+            ),
+            lambda v: Step(
+                v, left=0, right=2, value=float(rng.randint(5, 80)), at=1
+            ),
+        ]
+        return choices[rng.randint(len(choices))](view)
+
+    cross_bbox = (
+        Extent(request_64["bbox"], "EPSG:28992").transformed("EPSG:3857").bbox
+    )
+    mismatches = []
+    for seed in range(25):
+        rng = np.random.RandomState(1000 + seed)
+        view = make_source(rng, int(rng.choice([5, 50, 300, 3000])))
+        for _ in range(rng.randint(0, 4)):
+            try:
+                view = grow(rng, view)
+            except (TypeError, ValueError):
+                break
+        if rng.randint(2):
+            request = dict(
+                request_64, bbox=cross_bbox, projection="EPSG:3857"
+            )
+        else:
+            request = dict(request_64)
+        expected = view.get_data(**request)
+        with config.set(
+            {
+                "geomodeling.fetch-pack": True,
+                "geomodeling.warp-approx-stride": 1,
+            }
+        ):
+            actual = _tiled(view, request)
         if not np.array_equal(actual["values"], expected["values"]):
             mismatches.append(seed)
     assert mismatches == []

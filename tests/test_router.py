@@ -280,9 +280,11 @@ class TestPersistence:
             st = router.stats()
         assert any(v["host_only"] for v in st.values())
 
-    def test_reset_does_not_reseed_from_state_file(self, big_source, tmp_path):
-        """reset() means re-explore from scratch even when router-state
-        is configured (benchmark A/B hygiene, CLAUDE.md prescription)."""
+    def test_reset_default_reseeds_from_state_file(self, big_source, tmp_path):
+        """reset() re-seeds from the persisted table by default (round-5:
+        production processes must not re-pay the exploration tax);
+        reset(reseed=False) is the explicit from-scratch variant for
+        benchmark A/B hygiene."""
         path = str(tmp_path / "routes.json")
         request = big_request()
         with config.set({"geomodeling.router-state": path}):
@@ -290,7 +292,10 @@ class TestPersistence:
             router.save()
             assert router.choose(big_source, request, True) == "jax"
             router.reset()
-            # a fresh exploration, not the persisted winner
+            # the persisted winner survives a default reset
+            assert router.choose(big_source, request, True) == "jax"
+            router.reset(reseed=False)
+            # the explicit from-scratch reset re-explores
             assert router.choose(big_source, request, True) == "numpy"
 
     def test_reset_reseed_restores_routes(self, big_source, tmp_path):
