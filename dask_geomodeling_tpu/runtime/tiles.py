@@ -684,8 +684,21 @@ class TileProgram:
 
     def fetch(self, device_result):
         """Materialize a dispatched batch on host, unpacking the fetch
-        codec when one is active; returns (B, bands, h, w)."""
-        result = np.asarray(device_result)
+        codec when one is active; returns (B, bands, h, w).
+
+        Under multi-process SPMD (jax.distributed + a mesh spanning
+        hosts) the dp axis is sharded ACROSS processes: every host
+        allgathers the missing shards so get_data answers with the whole
+        response on every host — the reference's dask.distributed
+        semantics, where any worker can hand back the full result."""
+        if not getattr(device_result, "is_fully_addressable", True):
+            from jax.experimental import multihost_utils
+
+            result = np.asarray(
+                multihost_utils.process_allgather(device_result, tiled=True)
+            )
+        else:
+            result = np.asarray(device_result)
         if self.codec is not None:
             height, width = self._tile_shape
             result = self.codec.decode(result, height, width)

@@ -71,6 +71,77 @@ def main():
     assert (gathered == np.iinfo(np.int64).max).any(), "sentinel not exercised"
     print("MULTIHOST-OK process=%d" % process_id, flush=True)
 
+    _public_api_phase(process_id, mesh)
+
+
+def _public_api_phase(process_id, mesh):
+    """The PUBLIC API across processes: every host issues the same
+    ``get_data`` on a real view; the tile batch shards over the global
+    (dp, sp) mesh, sp halo collectives cross the process boundary, and
+    ``TileProgram.fetch`` allgathers so each host holds the full
+    response — the reference's dask.distributed semantics (any worker
+    answers whole, reference core/graphs.py:224-228)."""
+    from datetime import datetime, timedelta
+
+    import numpy as np
+
+    from dask_geomodeling_tpu import config
+    from dask_geomodeling_tpu.raster import (
+        Add,
+        Classify,
+        MemorySource,
+        MovingMax,
+        Reclassify,
+    )
+
+    rng = np.random.RandomState(11)  # same seed => same view on all hosts
+    data = (rng.rand(1, 256, 256) * 200).astype(np.float32)
+    data[0, :8, :8] = np.float32(np.finfo(np.float32).max)
+    source = MemorySource(
+        data=data,
+        no_data_value=float(np.finfo(np.float32).max),
+        projection="EPSG:28992",
+        pixel_size=1.0,
+        pixel_origin=(135000, 456000),
+        time_first=datetime(2000, 1, 1),
+        time_delta=timedelta(hours=1),
+    )
+    # a stencil in the chain makes the sp (row-shard) halo collectives
+    # load-bearing (MovingMax is bit-exact on device, unlike Smooth's
+    # approximate gaussian); Reclassify exercises the packed fetch codec
+    view = Reclassify(
+        Classify(MovingMax(Add(source, 1.0), 3), bins=[50.0, 100.0, 150.0]),
+        data=[[0, 1], [1, 5], [2, 9], [3, 13]],
+        select=True,
+    )
+    request = dict(
+        mode="vals",
+        bbox=(135000, 455744, 135256, 456000),
+        projection="EPSG:28992",
+        width=256,
+        height=256,
+        start=datetime(2000, 1, 1),
+    )
+    with config.set({"geomodeling.executor": "numpy"}):
+        expected = view.get_data(**request)
+
+    with config.set(
+        {
+            "geomodeling.executor": "jax",
+            "geomodeling.mesh-shape": tuple(
+                mesh.shape[name] for name in ("dp", "sp")
+            ),
+            "geomodeling.tile-size": 64,
+            "geomodeling.tile-batch": 8,
+            "geomodeling.auto-tile": True,
+        }
+    ):
+        actual = view.get_data(**request)
+
+    np.testing.assert_array_equal(actual["values"], expected["values"])
+    assert actual["no_data_value"] == expected["no_data_value"]
+    print("MULTIHOST-API-OK process=%d" % process_id, flush=True)
+
 
 if __name__ == "__main__":
     main()

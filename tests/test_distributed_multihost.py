@@ -69,3 +69,5 @@ def test_two_process_sharded_pipeline_bitmatches():
     for process_id, (proc, out) in enumerate(zip(procs, outputs)):
         assert proc.returncode == 0, "worker %d failed:\n%s" % (process_id, out)
         assert "MULTIHOST-OK process=%d" % process_id in out, out
+        # the public get_data path crossed processes and answered whole
+        assert "MULTIHOST-API-OK process=%d" % process_id in out, out
