@@ -39,6 +39,7 @@ Accuracy: round trips are exact to <1e-9 m; cross-datum absolute accuracy is
 that of the published Helmert parameters (~0.5 m), which is consistent within
 the framework since both directions use the same parameters.
 """
+import math
 import re
 from functools import lru_cache
 
@@ -1435,6 +1436,287 @@ class _NumericInverse:
         y = xp.asarray(y, dtype=float)
         lon, lat = self._inverse_seed(x, y, xp)
         return _newton_inverse(self.forward, x, y, lon, lat, xp)
+
+
+class _HyperbolicCassiniSoldner(_NumericInverse, _CassiniSoldner):
+    """Hyperbolic Cassini-Soldner (EPSG method 9833; Vanua Levu grid,
+    EPSG:3139): plain Cassini-Soldner with the hyperbolic northing
+    correction N = FN + X - X^3/(6 rho nu) (EPSG GN7-2).  The inverse is
+    damped Newton seeded by the plain Cassini inverse — the single CRS
+    using this method spans under two degrees."""
+
+    def forward(self, lon, lat, xp=np):
+        x, y = _CassiniSoldner.forward(self, lon, lat, xp=xp)
+        ell = self.ell
+        sin_phi = xp.sin(xp.radians(xp.asarray(lat, dtype=float)))
+        w = 1 - ell.e2 * sin_phi**2
+        nu = ell.a / xp.sqrt(w)
+        rho = ell.a * (1 - ell.e2) / w**1.5
+        big_x = y - self.fn
+        return x, self.fn + big_x - big_x**3 / (6 * rho * nu)
+
+    def _inverse_seed(self, x, y, xp):
+        return _CassiniSoldner.inverse(self, x, y, xp=xp)
+
+
+class _GuamProjection:
+    """Guam projection (EPSG method 9831; EPSG:3993): the simplified
+    azimuthal equidistant of EPSG GN7-2, with the fixed-count inverse
+    iteration on the meridional arc the guidance note prescribes."""
+
+    is_geographic = False
+    unit = "metre"
+
+    def __init__(self, ell, lon0, lat0, false_easting, false_northing):
+        self.ell = ell
+        self.lon0 = lon0
+        self.lat0 = lat0
+        self.fe = false_easting
+        self.fn = false_northing
+        self.big_a, self._fwd, self._inv = _rectifying_series(ell)
+        self.m0 = _meridian_arc(self.big_a, self._fwd, np.radians(lat0))
+
+    def forward(self, lon, lat, xp=np):
+        ell = self.ell
+        lon = xp.asarray(lon, dtype=float)
+        phi = xp.radians(xp.asarray(lat, dtype=float))
+        dlam = xp.radians((lon - self.lon0 + 180.0) % 360.0 - 180.0)
+        w = xp.sqrt(1 - ell.e2 * xp.sin(phi) ** 2)
+        x = ell.a * dlam * xp.cos(phi) / w
+        m = _meridian_arc(self.big_a, self._fwd, phi, xp)
+        y = m - self.m0 + x**2 * xp.tan(phi) * w / (2 * ell.a)
+        return self.fe + x, self.fn + y
+
+    def inverse(self, x, y, xp=np):
+        ell = self.ell
+        x = xp.asarray(x, dtype=float) - self.fe
+        y = xp.asarray(y, dtype=float) - self.fn
+        arc = self.m0 + y
+        phi = _inverse_meridian_arc(self.big_a, self._inv, arc, xp)
+        for _ in range(3):  # the GN7-2 three-pass refinement
+            w = xp.sqrt(1 - ell.e2 * xp.sin(phi) ** 2)
+            arc = self.m0 + y - x**2 * xp.tan(phi) * w / (2 * ell.a)
+            phi = _inverse_meridian_arc(self.big_a, self._inv, arc, xp)
+        w = xp.sqrt(1 - ell.e2 * xp.sin(phi) ** 2)
+        lam = x * w / (ell.a * xp.cos(phi))
+        return self.lon0 + xp.degrees(lam), xp.degrees(phi)
+
+
+class _LambertConicNearConformal:
+    """Lambert Conic Near-Conformal (EPSG method 9817; Levant zone,
+    EPSG:22700).  EPSG GN7-2 series forms with the cubic arc correction
+    M = k0 (m + A m^3); the inverse mirrors the guidance note's
+    fixed-point iterations (traceable under jnp)."""
+
+    is_geographic = False
+    unit = "metre"
+
+    def __init__(self, ell, lon0, lat0, k0, false_easting, false_northing):
+        self.ell = ell
+        self.lon0 = lon0
+        self.lat0 = lat0
+        self.k0 = k0
+        self.fe = false_easting
+        self.fn = false_northing
+        a, e2 = ell.a, ell.e2
+        phi0 = math.radians(lat0)
+        sin0 = math.sin(phi0)
+        w0 = 1 - e2 * sin0 * sin0
+        nu0 = a / math.sqrt(w0)
+        rho0 = a * (1 - e2) / w0**1.5
+        self.cube_a = 1.0 / (6.0 * rho0 * nu0)
+        n = ell.f / (2.0 - ell.f)
+        n2, n3, n4, n5 = n * n, n**3, n**4, n**5
+        # GN7-2 meridian-arc coefficients; A' multiplies phi in DEGREES
+        self.coeff_a = (
+            a * (1 - n + 5 * (n2 - n3) / 4 + 81 * (n4 - n5) / 64)
+            * math.pi / 180.0
+        )
+        self.coeff_b = 1.5 * a * (n - n2 + 7 * (n3 - n4) / 8 + 55 * n5 / 64)
+        self.coeff_c = 15 * a * (n2 - n3 + 0.75 * (n4 - n5)) / 16
+        self.coeff_d = 35 * a * (n3 - n4 + 11 * n5 / 16) / 48
+        self.coeff_e = 315 * a * (n4 - n5) / 512
+        self.s0 = float(self._meridian_s(np.asarray(lat0, float)))
+        self.r0 = k0 * nu0 / math.tan(phi0)
+        self.sin_phi0 = sin0
+
+    def _meridian_s(self, lat_deg, xp=np):
+        phi = xp.radians(lat_deg)
+        return (
+            self.coeff_a * lat_deg
+            - self.coeff_b * xp.sin(2 * phi)
+            + self.coeff_c * xp.sin(4 * phi)
+            - self.coeff_d * xp.sin(6 * phi)
+            + self.coeff_e * xp.sin(8 * phi)
+        )
+
+    def forward(self, lon, lat, xp=np):
+        lon = xp.asarray(lon, dtype=float)
+        lat = xp.asarray(lat, dtype=float)
+        m = self._meridian_s(lat, xp) - self.s0
+        big_m = self.k0 * (m + self.cube_a * m**3)
+        r = self.r0 - big_m
+        dlam = xp.radians((lon - self.lon0 + 180.0) % 360.0 - 180.0)
+        theta = dlam * self.sin_phi0
+        x = r * xp.sin(theta)
+        return self.fe + x, self.fn + big_m + x * xp.tan(theta / 2)
+
+    def inverse(self, x, y, xp=np):
+        x = xp.asarray(x, dtype=float) - self.fe
+        y = xp.asarray(y, dtype=float) - self.fn
+        theta = xp.arctan2(x, self.r0 - y)
+        big_m = y - x * xp.tan(theta / 2)
+        m = big_m / self.k0
+        for _ in range(4):  # invert M = k0 (m + A m^3)
+            m = m - (self.k0 * (m + self.cube_a * m**3) - big_m) / (
+                self.k0 * (1 + 3 * self.cube_a * m**2)
+            )
+        lat = (m + self.s0) / self.coeff_a
+        for _ in range(4):  # invert the meridian series (phi in degrees)
+            lat = lat + (m + self.s0 - self._meridian_s(lat, xp)) / self.coeff_a
+        lon = self.lon0 + xp.degrees(theta / self.sin_phi0)
+        return lon, lat
+
+
+class _LabordeObliqueMercator(_NumericInverse):
+    """Laborde oblique Mercator (EPSG method 9813; Madagascar grids
+    EPSG:8441/29701).  EPSG GN7-2: Gaussian sphere, oblique rotation,
+    and the cubic complex correction H + G H^3; damped-Newton inverse."""
+
+    is_geographic = False
+    unit = "metre"
+
+    def __init__(self, ell, lonc, latc, azimuth, k0, false_easting,
+                 false_northing):
+        self.ell = ell
+        self.lon0 = lonc
+        self.lat0 = latc
+        self.fe = false_easting
+        self.fn = false_northing
+        e, e2 = ell.e, ell.e2
+        phic = math.radians(latc)
+        sinc = math.sin(phic)
+        self.big_b = math.sqrt(1 + e2 * math.cos(phic) ** 4 / (1 - e2))
+        self.phi_s = math.asin(sinc / self.big_b)
+        self.big_r = ell.a * k0 * math.sqrt(1 - e2) / (1 - e2 * sinc * sinc)
+        self.big_c = math.log(math.tan(math.pi / 4 + self.phi_s / 2)) - (
+            self.big_b
+            * math.log(
+                math.tan(math.pi / 4 + phic / 2)
+                * ((1 - e * sinc) / (1 + e * sinc)) ** (e / 2)
+            )
+        )
+        two_alpha = 2.0 * math.radians(azimuth)
+        self.g_re = (1 - math.cos(two_alpha)) / 12.0
+        self.g_im = math.sin(two_alpha) / 12.0
+
+    def forward(self, lon, lat, xp=np):
+        ell = self.ell
+        e = ell.e
+        lon = xp.asarray(lon, dtype=float)
+        phi = xp.radians(xp.asarray(lat, dtype=float))
+        dlam = xp.radians((lon - self.lon0 + 180.0) % 360.0 - 180.0)
+        big_l = self.big_b * dlam
+        sin_phi = xp.sin(phi)
+        q = self.big_c + self.big_b * xp.log(
+            xp.tan(np.pi / 4 + phi / 2)
+            * ((1 - e * sin_phi) / (1 + e * sin_phi)) ** (e / 2)
+        )
+        big_p = 2 * xp.arctan(xp.exp(q)) - np.pi / 2
+        cos_p, sin_p = xp.cos(big_p), xp.sin(big_p)
+        cos_l, sin_l = xp.cos(big_l), xp.sin(big_l)
+        sin_s, cos_s = np.sin(self.phi_s), np.cos(self.phi_s)
+        big_u = cos_p * cos_l * cos_s + sin_p * sin_s
+        big_v = cos_p * cos_l * sin_s - sin_p * cos_s
+        big_w = cos_p * sin_l
+        d = xp.hypot(big_u, big_v)
+        l1 = xp.where(d > 0, 2 * xp.arctan2(big_v, big_u + d), 0.0)
+        p1 = xp.arctan2(big_w, d)
+        h_re = -l1
+        h_im = xp.log(xp.tan(np.pi / 4 + p1 / 2))
+        # H + G H^3 in complex arithmetic, split into parts
+        h2_re = h_re * h_re - h_im * h_im
+        h2_im = 2 * h_re * h_im
+        h3_re = h2_re * h_re - h2_im * h_im
+        h3_im = h2_re * h_im + h2_im * h_re
+        out_re = h_re + self.g_re * h3_re - self.g_im * h3_im
+        out_im = h_im + self.g_re * h3_im + self.g_im * h3_re
+        return self.fe + self.big_r * out_im, self.fn + self.big_r * out_re
+
+
+class _TransverseMercatorZoned:
+    """Transverse Mercator Zoned Grid System (EPSG method 9824;
+    EPSG:32600/32700): the zone number from longitude prefixes the
+    easting in units of 10^6 m, each zone a plain UTM-style TM."""
+
+    is_geographic = False
+    unit = "metre"
+
+    def __init__(self, ell, initial_lon, zone_width, lat0, k0,
+                 false_easting, false_northing):
+        self.ell = ell
+        self.initial_lon = initial_lon
+        self.width = float(zone_width)
+        self.lon0 = initial_lon  # _NumericInverse-style attribute parity
+        self._tm = _TransverseMercator(
+            ell, 0.0, lat0, k0, false_easting, false_northing
+        )
+        self.fe = false_easting
+        self.fn = false_northing
+
+    def forward(self, lon, lat, xp=np):
+        lon = xp.asarray(lon, dtype=float)
+        rel = (lon - self.initial_lon) % 360.0
+        zone = xp.floor(rel / self.width) + 1
+        dlon = rel - (zone - 0.5) * self.width
+        x, y = self._tm.forward(dlon, lat, xp=xp)
+        return zone * 1e6 + x, y
+
+    def inverse(self, x, y, xp=np):
+        x = xp.asarray(x, dtype=float)
+        zone = xp.floor(x / 1e6)
+        lon, lat = self._tm.inverse(x - zone * 1e6, y, xp=xp)
+        lon = lon + self.initial_lon + (zone - 0.5) * self.width
+        return (lon + 180.0) % 360.0 - 180.0, lat
+
+
+class _TunisiaMiningGrid:
+    """Tunisia Mining Grid (EPSG method 9816; EPSG:22300).  The grid is
+    an exact grads-based affine about the false origin (EPSG GN7-2:
+    one grid kilometre = 0.012185 grads of longitude / 0.010015 grads
+    of latitude); parameters arrive in degrees/metres from the registry
+    and convert back internally.  Longitudes are relative to the CRS's
+    (Paris) prime meridian like every projection here."""
+
+    is_geographic = False
+    unit = "metre"
+
+    #: GN7-2 constants: grads per grid kilometre
+    LON_GRADS_PER_KM = 0.012185
+    LAT_GRADS_PER_KM = 0.010015
+
+    def __init__(self, ell, lon0, lat0, false_easting, false_northing):
+        self.ell = ell
+        self.lon0 = lon0  # degrees (7.83445 grads)
+        self.lat0 = lat0  # degrees (36.5964 grads)
+        self.fe = false_easting  # metres (270 km)
+        self.fn = false_northing  # metres (360 km)
+
+    def forward(self, lon, lat, xp=np):
+        lon = xp.asarray(lon, dtype=float)
+        lat = xp.asarray(lat, dtype=float)
+        dlon_grads = ((lon - self.lon0 + 180.0) % 360.0 - 180.0) / 0.9
+        dlat_grads = (lat - self.lat0) / 0.9
+        x = self.fe + dlon_grads / self.LON_GRADS_PER_KM * 1000.0
+        y = self.fn + dlat_grads / self.LAT_GRADS_PER_KM * 1000.0
+        return x, y
+
+    def inverse(self, x, y, xp=np):
+        x = xp.asarray(x, dtype=float)
+        y = xp.asarray(y, dtype=float)
+        lon = self.lon0 + (x - self.fe) / 1000.0 * self.LON_GRADS_PER_KM * 0.9
+        lat = self.lat0 + (y - self.fn) / 1000.0 * self.LAT_GRADS_PER_KM * 0.9
+        return lon, lat
 
 
 def _authalic_coeffs(ell):
@@ -3682,6 +3964,22 @@ def _build_projection(method, ell, p):
         return _Orthographic(ell, cm, lat0, fe, fn)
     if method == "gnomonic":
         return _Gnomonic(ell, cm, lat0, fe, fn)
+    if method == "hyperbolic_cassini_soldner":
+        return _HyperbolicCassiniSoldner(ell, cm, lat0, fe, fn)
+    if method == "guam_projection":
+        return _GuamProjection(ell, cm, lat0, fe, fn)
+    if method == "lambert_conic_near_conformal":
+        return _LambertConicNearConformal(ell, cm, lat0, k0, fe, fn)
+    if method == "laborde_oblique_mercator":
+        return _LabordeObliqueMercator(
+            ell, cm, lat0, p.get("azimuth", 0.0), k0, fe, fn
+        )
+    if method == "transverse_mercator_zoned_grid_system":
+        return _TransverseMercatorZoned(
+            ell, cm, p.get("zone_width", 6.0), lat0, k0, fe, fn
+        )
+    if method == "tunisia_mining_grid":
+        return _TunisiaMiningGrid(ell, cm, lat0, fe, fn)
     raise TransformException("Unsupported projection method: %s" % method)
 
 

@@ -122,11 +122,12 @@ def test_antimeridian_wrap_mercator():
     assert 4.0e6 < float(x[0]) < 6.0e6
 
 
-def test_unsupported_method_is_actionable():
-    # Lambert Conic Near-Conformal (EPSG 9817) stays out of scope; the
-    # error names the method so the user knows it is recognized
-    with pytest.raises(TransformException, match="Near-Conformal"):
-        get_sr(22700)
+def test_formerly_unsupported_methods_now_resolve():
+    # round 5 closed the last out-of-scope methods; the named-unsupported
+    # error path has no members left (tests/test_crs_exotic_methods.py
+    # asserts the registry list itself is empty)
+    for code in (22700, 22300, 3993, 3139, 8441, 32600):
+        assert get_sr(code).projection is not None
 
 
 def test_unknown_code_mentions_wkt_escape_hatch():

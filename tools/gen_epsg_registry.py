@@ -98,14 +98,17 @@ METHOD_MAP = {
     "Krovak Modified": "krovak_modified",
     "Krovak Modified (North Orientated)": "krovak_modified_north",
     "Polar Stereographic (variant C)": "polar_stereographic_variant_c",
-    # out of scope (tiny, exotic): named in the runtime error instead
-    "Transverse Mercator Zoned Grid System": None,
-    "Transverse Mercator 3D": None,
-    "Lambert Conic Near-Conformal": None,
-    "Laborde Oblique Mercator": None,
-    "Tunisia Mining Grid": None,
-    "Guam Projection": None,
-    "Hyperbolic Cassini-Soldner": None,
+    # round-5 additions: the last exotic methods (worked-example pinned
+    # where PROJ cannot express them — Near-Conformal, Tunisia, Zoned)
+    "Transverse Mercator Zoned Grid System": (
+        "transverse_mercator_zoned_grid_system"
+    ),
+    "Transverse Mercator 3D": "transverse_mercator",
+    "Lambert Conic Near-Conformal": "lambert_conic_near_conformal",
+    "Laborde Oblique Mercator": "laborde_oblique_mercator",
+    "Tunisia Mining Grid": "tunisia_mining_grid",
+    "Guam Projection": "guam_projection",
+    "Hyperbolic Cassini-Soldner": "hyperbolic_cassini_soldner",
 }
 
 #: proj.db parameter names -> _build_projection parameter keys (applied
@@ -488,7 +491,13 @@ def main(db_path="/usr/share/proj/proj.db"):
         if entry[3] is not None
     }
     for entry in geographic.values():
-        if entry[3] is None and entry[0].endswith(")"):
+        if entry[3] is not None:
+            continue
+        if entry[0] in by_name:
+            # geographic-3D CRSes carry their 2D sibling's exact name
+            # (e.g. "LUREF" 9893 vs 4181) and share its datum: borrow
+            entry[3] = by_name[entry[0]]
+        elif entry[0].endswith(")"):
             base_name = entry[0].rsplit(" (", 1)[0]
             if base_name in by_name:
                 entry[3] = by_name[base_name]
