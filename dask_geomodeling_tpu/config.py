@@ -160,6 +160,11 @@ defaults = {
     # plain ReprojectImage always reads full resolution, hence off by
     # default for bit-parity)
     "geomodeling.use-overviews": False,
+    # with device-resident zonal aggregation, rasterize the bucket label
+    # planes ON DEVICE from polygon edge arrays (ops/segment.py
+    # rasterize_labels_scan) instead of uploading host-burned label tiles
+    # — polygon features only; lines/points fall back to host labels
+    "geomodeling.aggregate-device-labels": True,
     # data-dependent source alphabets: MemorySource/RasterFileSource scan
     # their pixel data once (cached) and, with at most this many distinct
     # values, declare the exact output alphabet — nearest-neighbour warps

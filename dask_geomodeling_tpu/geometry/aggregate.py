@@ -126,6 +126,95 @@ def _masked_frame(frame, no_data_value, labels, label_fill, thresholds):
     return active
 
 
+def _polygon_edge_stacks(geometries):
+    """Per-geometry (starts, ends) float64 edge arrays for the device
+    rasterizer, or None when any geometry is not polygonizable (lines and
+    points keep the host scanline path).  Empty geometries contribute
+    zero edges — they label nothing and report as uncovered, exactly like
+    the host burn."""
+    from dask_geomodeling_tpu.geo.geometry import _polygonize
+
+    empty = np.zeros((0, 2), np.float64)
+    per_geom = []
+    for geom in geometries:
+        if geom is None or geom.is_empty:
+            per_geom.append((empty, empty))
+            continue
+        polys = _polygonize(geom)
+        if not polys:
+            return None
+        starts, ends = [], []
+        for poly in polys:
+            for ring in poly._rings():
+                ring = np.asarray(ring, np.float64)
+                starts.append(ring[:-1])
+                ends.append(ring[1:])
+        per_geom.append(
+            (np.concatenate(starts, axis=0), np.concatenate(ends, axis=0))
+        )
+    return per_geom
+
+
+def _aggregate_device_labels(
+    geometries, values, no_data_value, agg_bbox, threshold_values,
+    statistic, percentile, agg, height, width,
+):
+    """Fully-on-device zonal path for device-resident frames: bucket
+    label planes rasterize ON DEVICE from polygon edge arrays (even-odd
+    parity, bitwise the host scanline's conventions — ops/segment.py
+    rasterize_labels_scan), so neither frames nor label tiles cross the
+    host link; only edges ship up and the (B, t, n) matrix ships down.
+    Fills ``agg`` in place and returns (agg, uncovered), or None when a
+    geometry is not polygonizable (caller falls back to host labels)."""
+    edges = _polygon_edge_stacks(geometries)
+    if edges is None:
+        return None
+
+    n = len(geometries)
+    groups = list(bucketize(geometries.bounds.values))
+    owners, plane_of, starts_list, ends_list = [], [], [], []
+    for plane, group in enumerate(groups):
+        for geom_id in group:
+            starts, ends = edges[geom_id]
+            if not len(starts):
+                continue  # empty geometry: uncovered by construction
+            owners.append(geom_id)
+            plane_of.append(plane)
+            starts_list.append(starts)
+            ends_list.append(ends)
+    if not owners:
+        return agg, list(range(n))
+
+    edge_max = max(len(starts) for starts in starts_list)
+    total = len(owners)
+    starts = np.zeros((total, edge_max, 2), np.float64)
+    ends = np.zeros((total, edge_max, 2), np.float64)
+    for i, (s, e) in enumerate(zip(starts_list, ends_list)):
+        starts[i, : len(s)] = s
+        ends[i, : len(e)] = e
+
+    from dask_geomodeling_tpu.ops.segment import (
+        labeled_statistics_batch_device_geoms,
+    )
+
+    gt = utils.GeoTransform.from_bbox(agg_bbox, height, width)
+    q = (
+        50.0
+        if statistic == "median" or percentile is None
+        else float(percentile)
+    )
+    result, covered = labeled_statistics_batch_device_geoms(
+        values, starts, ends, owners, plane_of, len(groups), tuple(gt),
+        no_data_value, threshold_values, n, statistic, q,
+    )
+    result = np.asarray(result)
+    covered = np.asarray(covered)
+    for per_bucket in result:  # buckets fill disjoint labels
+        found = ~np.isnan(per_bucket)
+        agg[found] = per_bucket[found]
+    return agg, [i for i in range(n) if not covered[i]]
+
+
 def aggregate_polygons(
     geometries,
     values,
@@ -180,6 +269,18 @@ def aggregate_polygons(
     n = len(geometries)
     uncovered = set()
     agg = np.full((depth, n), np.nan, dtype="f4")
+
+    if (
+        device_capable
+        and values_on_device
+        and config.get("geomodeling.aggregate-device-labels", True)
+    ):
+        done = _aggregate_device_labels(
+            geometries, values, no_data_value, agg_bbox, threshold_values,
+            statistic, percentile, agg, height, width,
+        )
+        if done is not None:
+            return done
 
     device_buckets = []  # (labels, (t, h, w) active) per covered bucket
     last_label_fill = None  # one rasterizer fill id across buckets

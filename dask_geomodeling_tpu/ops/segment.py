@@ -295,3 +295,154 @@ def labeled_statistics_batch_device(
         ndv_scalar,
         thr,
     )
+
+
+_DEVICE_GEOM_JIT_CACHE = {}
+
+
+def rasterize_labels_scan(starts, ends, owners, buckets, gt, n_buckets,
+                          height, width, label_fill, xp=None):
+    """(B, h, w) int32 device label planes from polygon edges.
+
+    Even-odd pixel-center parity with the SAME conventions (and the same
+    f64 crossing arithmetic) as the host scanline (geo/rasterize.py:30-63)
+    and the RasterizeWKT device twin (raster/misc.py): a center is inside
+    iff the number of strictly-greater edge crossings on its row is odd;
+    later geometries overwrite earlier ones.  Instead of an (E, h, w)
+    crossing tensor, crossings sort per row and a searchsorted yields the
+    per-pixel parity — memory stays at E*h + h*w per geometry, so big
+    zonal grids fit.
+
+    Args:
+      starts/ends: (G, E, 2) float64 edge endpoints, zero-padded (a
+        zero-length edge never crosses a scanline)
+      owners: (G,) int32 label value per geometry
+      buckets: (G,) int32 label-plane index per geometry
+      gt: (6,) traced geotransform of the target grid
+      n_buckets/height/width/label_fill: static
+    """
+    import jax
+    import jax.numpy as jnp
+
+    x_centers = gt[0] + gt[1] * (jnp.arange(width) + 0.5)
+    y_centers = gt[3] + gt[5] * (jnp.arange(height) + 0.5)
+
+    def burn(labels, geom):
+        s, e, owner, bucket = geom
+        y1 = s[:, 1][:, None]
+        y2 = e[:, 1][:, None]
+        x1 = s[:, 0][:, None]
+        x2 = e[:, 0][:, None]
+        crosses = (y1 > y_centers) != (y2 > y_centers)  # (E, h)
+        denom = jnp.where(y2 == y1, 1.0, y2 - y1)
+        xint = jnp.where(
+            crosses, x1 + (y_centers - y1) * (x2 - x1) / denom, -jnp.inf
+        )
+        xs = jnp.sort(xint, axis=0)  # ascending per row
+        # strictly-greater crossings = E - #(xint <= center)
+        below = jax.vmap(
+            lambda row: jnp.searchsorted(row, x_centers, side="right")
+        )(xs.T)  # (h, w)
+        inside = ((xs.shape[0] - below) % 2).astype(bool)
+        plane = jnp.where(inside, owner, labels[bucket])
+        return labels.at[bucket].set(plane), None
+
+    init = jnp.full((n_buckets, height, width), label_fill, jnp.int32)
+    labels, _ = jax.lax.scan(burn, init, (starts, ends, owners, buckets))
+    return labels
+
+
+def labeled_statistics_batch_device_geoms(
+    values, starts, ends, owners, buckets, n_buckets, gt, no_data_value,
+    thresholds, num_labels, statistic, q=50.0,
+):
+    """One device dispatch for label rasterization AND the full
+    (buckets x frames) zonal statistics matrix: only polygon edge arrays
+    cross the host link, never label planes — the round-4 verdict's
+    upload-volume lever for device-resident zonal aggregation.
+
+    Args:
+      values: (t, h, w) device-resident frames
+      starts/ends/owners/buckets: see :func:`rasterize_labels_scan`
+      n_buckets: number of disjoint label planes
+      gt: 6-tuple geotransform of the aggregation grid
+      no_data_value / thresholds / num_labels / statistic / q: as in
+        :func:`labeled_statistics_batch_device`
+
+    Returns ``(result, covered)`` device arrays: result is
+    (n_buckets, t, num_labels) float32; covered is (num_labels,) bool —
+    True where the geometry labeled at least one cell center (the host
+    path's ``covered`` bookkeeping, computed without fetching labels).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if statistic == "median":
+        statistic, q = "percentile", 50.0
+    if statistic != "percentile" and statistic not in _SUPPORTED:
+        raise ValueError("Unsupported device statistic '{}'".format(statistic))
+
+    label_fill = num_labels  # one past the real ids: clip -> the NaN slot
+    key = (
+        num_labels, int(n_buckets), statistic, float(q),
+        thresholds is not None,
+    )
+    fn = _DEVICE_GEOM_JIT_CACHE.get(key)
+    if fn is None:
+
+        def one_pair(frame, f32, lab, ndv, thr):
+            active = (frame != ndv) & (lab != label_fill)
+            if thresholds is not None:
+                per_cell = thr[jnp.clip(lab, 0, num_labels)]
+                compare = jnp.promote_types(frame.dtype, per_cell.dtype)
+                active = (
+                    active
+                    & ~jnp.isnan(per_cell)
+                    & (frame.astype(compare) >= per_cell.astype(compare))
+                )
+            if statistic == "percentile":
+                return labeled_percentile_jax(f32, lab, active, num_labels, q)
+            return labeled_statistic_jax(
+                f32, jnp.where(active, lab, 0), active, num_labels, statistic
+            )
+
+        def batch(values, starts, ends, owners, buckets, gt_arr, ndv, thr):
+            height, width = values.shape[1:]
+            labels = rasterize_labels_scan(
+                starts, ends, owners, buckets, gt_arr,
+                int(n_buckets), height, width, label_fill,
+            )
+            flat = jnp.clip(labels.reshape(-1), 0, num_labels)
+            covered = (
+                jnp.zeros(num_labels + 1, jnp.int32).at[flat].add(1)[
+                    :num_labels
+                ]
+                > 0
+            )
+            f32 = values.astype(jnp.float32)
+            per_bucket = jax.vmap(one_pair, in_axes=(0, 0, None, None, None))
+            result = jax.vmap(
+                lambda lab: per_bucket(values, f32, lab, ndv, thr),
+                in_axes=0,
+            )(labels)
+            return result, covered
+
+        fn = jax.jit(batch)
+        _DEVICE_GEOM_JIT_CACHE[key] = fn
+
+    ndv_scalar = np.dtype(values.dtype).type(no_data_value)
+    thr = (
+        np.zeros(num_labels + 1, np.float32)
+        if thresholds is None
+        else np.ascontiguousarray(thresholds, dtype=np.float32)
+    )
+    return fn(
+        values,
+        np.ascontiguousarray(starts, np.float64),
+        np.ascontiguousarray(ends, np.float64),
+        np.ascontiguousarray(owners, np.int32),
+        np.ascontiguousarray(buckets, np.int32),
+        np.asarray(gt, np.float64),
+        ndv_scalar,
+        thr,
+    )

@@ -531,13 +531,15 @@ class TestDeviceAggregate:
         host = view.get_data(**request)["features"]["agg"].tolist()
 
         seen = {}
-        real = segment.labeled_statistics_batch_device
+        real = segment.labeled_statistics_batch_device_geoms
 
         def spy(values, *args, **kwargs):
             seen["device_values"] = not isinstance(values, np.ndarray)
             return real(values, *args, **kwargs)
 
-        monkeypatch.setattr(segment, "labeled_statistics_batch_device", spy)
+        monkeypatch.setattr(
+            segment, "labeled_statistics_batch_device_geoms", spy
+        )
         with config.set(
             {
                 "geomodeling.aggregate-device": True,
@@ -548,6 +550,19 @@ class TestDeviceAggregate:
         assert seen.get("device_values") is True  # frames never fetched
         np.testing.assert_allclose(
             np.array(device, dtype=float), np.array(host, dtype=float),
+            rtol=1e-6,
+        )
+        # the legacy host-label upload path stays available and agrees
+        with config.set(
+            {
+                "geomodeling.aggregate-device": True,
+                "geomodeling.aggregate-device-labels": False,
+                "geomodeling.executor": "jax",
+            }
+        ):
+            uploaded = view.get_data(**request)["features"]["agg"].tolist()
+        np.testing.assert_allclose(
+            np.array(uploaded, dtype=float), np.array(host, dtype=float),
             rtol=1e-6,
         )
 
@@ -696,14 +711,14 @@ class TestAggregateDeviceAuto:
         from dask_geomodeling_tpu.ops import segment
 
         calls = []
-        real = segment.labeled_statistics_batch_device
+        real = segment.labeled_statistics_batch_device_geoms
 
         def spy(*args, **kwargs):
             calls.append(1)
             return real(*args, **kwargs)
 
         monkeypatch.setattr(
-            segment, "labeled_statistics_batch_device", spy
+            segment, "labeled_statistics_batch_device_geoms", spy
         )
         view = self._view(statistic)
         host = view.get_data(**self._request())["features"]["agg"].tolist()
@@ -753,3 +768,116 @@ class TestAggregateDeviceAuto:
         with config.set({"geomodeling.executor": "jax"}):
             view.get_data(**self._request())  # 3x10x10 << the default gate
         assert calls == []
+
+
+class TestDeviceLabelRasterization:
+    """Round-5: bucket label planes rasterize ON DEVICE from polygon
+    edges (ops/segment.py rasterize_labels_scan) — bit-identical to the
+    host scanline, so the device zonal path stops uploading label tiles."""
+
+    def _random_polygons(self, rng, n, lo=0.0, hi=40.0):
+        from dask_geomodeling_tpu.geo.geometry import Polygon
+
+        polys = []
+        for _ in range(n):
+            cx, cy = rng.uniform(lo + 4, hi - 4, 2)
+            r = rng.uniform(1.0, 4.0)
+            angles = np.sort(rng.uniform(0, 2 * np.pi, rng.randint(3, 9)))
+            ring = [
+                (cx + r * np.cos(a), cy + r * np.sin(a)) for a in angles
+            ]
+            polys.append(Polygon(ring))
+        return polys
+
+    def test_labels_bitwise_equal_host_scanline(self):
+        from dask_geomodeling_tpu import utils
+        from dask_geomodeling_tpu.geometry.aggregate import (
+            _polygon_edge_stacks,
+        )
+        from dask_geomodeling_tpu.ops.segment import rasterize_labels_scan
+
+        rng = np.random.RandomState(42)
+        height = width = 40
+        bbox = (0.0, 0.0, 40.0, 40.0)
+        gt = utils.GeoTransform.from_bbox(bbox, height, width)
+        for trial in range(8):
+            polys = self._random_polygons(rng, 5)
+            import pandas as pd
+
+            series = pd.Series(polys)
+            series.geometry = property(lambda s: s)  # MockGeometry-ish
+            burned = utils.rasterize_geoseries(
+                pd.Series(polys), bbox, "EPSG:3857", height, width,
+                values=np.arange(5, dtype=np.int32),
+            )
+            host_labels = burned["values"][0]
+            fill = burned["no_data_value"]
+
+            edges = _polygon_edge_stacks(polys)
+            starts = [s for s, _ in edges]
+            ends = [e for _, e in edges]
+            e_max = max(len(s) for s in starts)
+            st = np.zeros((5, e_max, 2))
+            en = np.zeros((5, e_max, 2))
+            for i, (s, e) in enumerate(zip(starts, ends)):
+                st[i, : len(s)] = s
+                en[i, : len(e)] = e
+            device = np.asarray(
+                rasterize_labels_scan(
+                    st, en,
+                    np.arange(5, dtype=np.int32),
+                    np.zeros(5, np.int32),
+                    np.asarray(tuple(gt), np.float64),
+                    1, height, width, 5,
+                )
+            )[0]
+            host_norm = np.where(host_labels == fill, 5, host_labels)
+            np.testing.assert_array_equal(device, host_norm, err_msg=str(trial))
+
+    def test_uncovered_matches_host(self, monkeypatch):
+        """A sliver polygon covering no cell center reports uncovered on
+        both paths (centroid fallback kicks in identically)."""
+        from datetime import datetime, timedelta
+
+        from dask_geomodeling_tpu.raster import Add, MemorySource
+
+        data = np.arange(100, dtype=np.float64).reshape(1, 10, 10)
+        raster = MemorySource(
+            data=data, no_data_value=255.0, projection="EPSG:3857",
+            pixel_size=1.0, pixel_origin=(0, 10),
+            time_first=datetime(2000, 1, 1), time_delta=timedelta(hours=1),
+        )
+        geom = MockGeometry(
+            [
+                [(2, 2), (8, 2), (8, 8), (2, 8)],
+                # a sliver between cell centers: rasterizes to nothing
+                [(3.6, 3.6), (3.9, 3.6), (3.9, 3.9), (3.6, 3.9)],
+            ],
+            properties=[{"id": 1}, {"id": 2}],
+        )
+        view = AggregateRaster(geom, Add(raster, 1.0), statistic="mean")
+        request = dict(
+            mode="intersects", geometry=box(0, 0, 10, 10),
+            projection="EPSG:3857", start=datetime(2000, 1, 1),
+        )
+        host = view.get_data(**request)["features"]["agg"].tolist()
+        with config.set(
+            {
+                "geomodeling.aggregate-device": True,
+                "geomodeling.aggregate-device-min-px": 0,
+                "geomodeling.executor": "jax",
+            }
+        ):
+            device = view.get_data(**request)["features"]["agg"].tolist()
+        np.testing.assert_allclose(
+            np.array(device, dtype=float), np.array(host, dtype=float),
+            rtol=1e-6,
+        )
+
+    def test_non_polygon_features_fall_back(self):
+        from dask_geomodeling_tpu.geo.geometry import Point
+        from dask_geomodeling_tpu.geometry.aggregate import (
+            _polygon_edge_stacks,
+        )
+
+        assert _polygon_edge_stacks([Point(1.0, 2.0)]) is None
