@@ -377,6 +377,10 @@ def labeled_statistics_batch_device_geoms(
     import jax
     import jax.numpy as jnp
 
+    from dask_geomodeling_tpu.runtime.executor import _ensure_x64
+
+    _ensure_x64()  # the crossing arithmetic must stay f64 (host parity)
+
     if statistic == "median":
         statistic, q = "percentile", 50.0
     if statistic != "percentile" and statistic not in _SUPPORTED:
