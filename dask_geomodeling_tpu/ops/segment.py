@@ -327,6 +327,8 @@ def rasterize_labels_scan(starts, ends, owners, buckets, gt, n_buckets,
     x_centers = gt[0] + gt[1] * (jnp.arange(width) + 0.5)
     y_centers = gt[3] + gt[5] * (jnp.arange(height) + 0.5)
 
+    edge_chunk = 8  # (chunk, h, w) comparison tensor: <=34 MB at 2048^2
+
     def burn(labels, geom):
         s, e, owner, bucket = geom
         y1 = s[:, 1][:, None]
@@ -338,12 +340,25 @@ def rasterize_labels_scan(starts, ends, owners, buckets, gt, n_buckets,
         xint = jnp.where(
             crosses, x1 + (y_centers - y1) * (x2 - x1) / denom, -jnp.inf
         )
-        xs = jnp.sort(xint, axis=0)  # ascending per row
-        # strictly-greater crossings = E - #(xint <= center)
-        below = jax.vmap(
-            lambda row: jnp.searchsorted(row, x_centers, side="right")
-        )(xs.T)  # (h, w)
-        inside = ((xs.shape[0] - below) % 2).astype(bool)
+        # strictly-greater crossing count per pixel, accumulated over
+        # edge chunks: plain broadcast comparisons keep the exact f64
+        # tie semantics AND vectorize on TPU — a per-row searchsorted
+        # lowers to serial gathers there (~0.3 s per geometry, measured)
+        pad = (-xint.shape[0]) % edge_chunk
+        chunks = jnp.pad(
+            xint, ((0, pad), (0, 0)), constant_values=-jnp.inf
+        ).reshape(-1, edge_chunk, xint.shape[1])
+
+        def add_chunk(count, block):
+            grows = jnp.sum(
+                block[:, :, None] > x_centers[None, None, :], axis=0
+            )
+            return count + grows.astype(jnp.int32), None
+
+        count, _ = jax.lax.scan(
+            add_chunk, jnp.zeros((height, width), jnp.int32), chunks
+        )
+        inside = (count % 2).astype(bool)
         plane = jnp.where(inside, owner, labels[bucket])
         return labels.at[bucket].set(plane), None
 

@@ -151,6 +151,13 @@ def _key(view, request):
     return (view.token, bucket)
 
 
+#: host-routed requests between device refresh probes: a key whose device
+#: rate measured slow once (e.g. a compile-tainted or tunnel-glitched
+#: exploration run) must not stay pinned to the host forever — the EMA
+#: only updates on runs that actually happen
+_REFRESH_EVERY = 32
+
+
 def _state(key):
     _maybe_load_locked()
     state = _routes.get(key)
@@ -161,6 +168,7 @@ def _state(key):
             "jax_runs": 0,
             "jax_errors": 0,
             "host_only": False,
+            "host_streak": 0,  # host routes since the last device run
         }
         _routes[key] = state
         while len(_routes) > _MAX_ROUTES:
@@ -196,7 +204,24 @@ def choose(view, request, eligible):
         from dask_geomodeling_tpu.config import config
 
         margin = config.get("geomodeling.auto-margin", 1.15)
-        return "jax" if state["jax"] >= margin * state["numpy"] else "numpy"
+        if state["jax"] >= margin * state["numpy"]:
+            state["host_streak"] = 0
+            return "jax"
+        # second chance: tunneled fetch rates swing 2-3x run to run, so a
+        # single borderline device measurement must not decide the route —
+        # one more measured run EMA-blends before the host lock-in.
+        # Clear losers (device under half the host rate) stop immediately.
+        if state["jax_runs"] < 3 and state["jax"] >= 0.5 * state["numpy"]:
+            return "jax"
+        # refresh probe: a device rate measured slow once (compile taint,
+        # tunnel glitch) would otherwise pin the key host forever — the
+        # EMA only moves on runs that happen.  Every _REFRESH_EVERY host
+        # routes, one request re-measures the device path.
+        state["host_streak"] = state.get("host_streak", 0) + 1
+        if state["host_streak"] >= _REFRESH_EVERY:
+            state["host_streak"] = 0
+            return "jax"
+        return "numpy"
 
 
 def record_error(view, request):
