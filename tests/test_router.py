@@ -69,11 +69,15 @@ class TestChoose:
 
     def test_close_call_stays_on_host(self, big_source):
         # hysteresis: a device rate within the margin of the host rate
-        # keeps the safe host route (close-call noise must not flip it)
+        # keeps the safe host route (close-call noise must not flip it).
+        # A borderline first measurement earns ONE second-chance probe
+        # (round-5: tunnel rates swing 2-3x run to run) before that.
         request = big_request()
         router.record(big_source, request, "numpy", 0.0100)
         router.record(big_source, request, "jax", 1.0)  # tainted warmup
         router.record(big_source, request, "jax", 0.0095)  # ~5% faster
+        assert router.choose(big_source, request, True) == "jax"  # 2nd chance
+        router.record(big_source, request, "jax", 0.0095)  # still ~5%
         assert router.choose(big_source, request, True) == "numpy"
         with config.set({"geomodeling.auto-margin": 1.0}):
             assert router.choose(big_source, request, True) == "jax"
