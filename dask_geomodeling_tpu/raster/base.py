@@ -131,30 +131,34 @@ class RasterBlock(Block):
             )
             if router.choose(self, request, eligible) == "jax":
                 try:
-                    if max(width, height) > tile_size:
-                        from dask_geomodeling_tpu.runtime.tiles import (
-                            NotLowerable,
-                            evaluate_tiled,
-                        )
+                    from dask_geomodeling_tpu.runtime.executor import (
+                        compute_jax,
+                    )
 
-                        with router.timed_route(self, request, "jax") as timer:
+                    with router.timed_route(self, request, "jax"):
+                        if max(width, height) > tile_size:
+                            from dask_geomodeling_tpu.runtime.tiles import (
+                                NotLowerable,
+                                evaluate_tiled,
+                            )
+
                             try:
                                 return evaluate_tiled(
                                     self, request, tile_size=tile_size
                                 )
                             except NotLowerable:
-                                timer.failed = True
-                    else:
-                        # sub-tile request: the staged executor avoids
-                        # the tile padding waste (handles host nodes)
-                        from dask_geomodeling_tpu.runtime.executor import (
-                            compute_jax,
+                                # host nodes present: the staged executor
+                                # handles them (exactly the executor=jax
+                                # fallback) — often still a device win,
+                                # so the route must measure it rather
+                                # than pin the key host-only
+                                pass
+                        # sub-tile request or non-tileable view: the
+                        # staged executor (avoids tile padding waste,
+                        # stages device runs around host nodes)
+                        return compute_jax(
+                            *self.get_compute_graph(**request)
                         )
-
-                        with router.timed_route(self, request, "jax"):
-                            return compute_jax(
-                                *self.get_compute_graph(**request)
-                            )
                 except Exception:
                     # any device failure (tunnel RPC, compile OOM, ...)
                     # serves this request from the host path; repeated
