@@ -821,6 +821,27 @@ def evaluate_tiled(view, request, tile_size=512, batch=None):
         else (lo, device_result)
         for lo, device_result in pending
     ]
+    from dask_geomodeling_tpu import config as _cfg2
+
+    fetch_streams = int(_cfg2.get("geomodeling.fetch-workers", 4))
+    if 0 < len(pending) < fetch_streams and all(
+        getattr(device_result, "is_fully_addressable", True)
+        for _, device_result in pending
+    ):
+        # few batches (a mid-size request is often a SINGLE full batch):
+        # slice each batch's device result along the tile axis so several
+        # fetch RPCs pipeline anyway — the same parallelism lever, minus
+        # the single-stream ~60%-of-wire penalty.  MUST happen before any
+        # copy_to_host_async: requesting the whole array AND its slices
+        # would ship every byte twice (measured 2.7 -> 6.7 s on f32).
+        per_batch = max(fetch_streams // len(pending), 1)
+        split = []
+        for lo, device_result in pending:
+            n = int(device_result.shape[0])
+            step = max(-(-n // per_batch), 1)
+            for off in range(0, n, step):
+                split.append((lo + off, device_result[off : off + step]))
+        pending = split
     for _, device_result in pending:
         copy_async = getattr(device_result, "copy_to_host_async", None)
         if copy_async is not None:
@@ -841,9 +862,7 @@ def evaluate_tiled(view, request, tile_size=512, batch=None):
     # copy at well under the wire rate, while a few in-flight RPCs
     # pipeline (measured 22 -> 30 MB/s with 4 workers); decode rides the
     # worker thread, assembly stays on this thread
-    fetch_workers = min(
-        _config.get("geomodeling.fetch-workers", 4), len(pending)
-    )
+    fetch_workers = min(fetch_streams, len(pending))
     with _span("fetch+assemble[%d tiles]" % len(requests), "tiles"):
         if fetch_workers > 1:
             from concurrent.futures import ThreadPoolExecutor
