@@ -241,6 +241,30 @@ def test_evaluate_tiled_partial_batch_padding(source, request_64):
     np.testing.assert_array_equal(actual["values"], expected["values"])
 
 
+def test_single_batch_fetch_splits_into_streams(source, request_64, monkeypatch):
+    """A request that fits ONE batch still fetches over several parallel
+    slices (round-5: a lone blocking copy runs at ~60% of the tunnel's
+    wire rate), and the sliced assembly stays bit-exact."""
+    from dask_geomodeling_tpu import config
+    from dask_geomodeling_tpu.runtime.tiles import TileProgram
+
+    view = Add(source, 1)
+    expected = view.get_data(**request_64)
+    fetches = []
+    real = TileProgram.fetch
+
+    def spy(self, device_result):
+        fetches.append(int(device_result.shape[0]))
+        return real(self, device_result)
+
+    monkeypatch.setattr(TileProgram, "fetch", spy)
+    with config.set({"geomodeling.fetch-workers": 4}):
+        # 4 tiles in one batch of 4 -> four 1-tile fetch slices
+        actual = evaluate_tiled(view, request_64, tile_size=32, batch=4)
+    np.testing.assert_array_equal(actual["values"], expected["values"])
+    assert len(fetches) == 4 and all(n == 1 for n in fetches)
+
+
 def test_evaluate_tiled_mesh_sharded(source, request_64):
     """With geomodeling.mesh-shape set, the tile batch shards over all
     devices and the result is bitwise identical to the host path."""
