@@ -15,9 +15,11 @@ millidegree coordinates), 1 (Mercator), 3 (Lambert conformal) and 5
 (polar stereographic, 60-degree true scale), simple packing (IBM-float
 reference value, constant fields via nbits=0), bitmaps, decimal/binary
 scaling, and the PDS reference-time/century, parameter, level, and
-forecast-offset metadata.  Spherical harmonics, second-order packing,
-thinned grids, and pre-defined (GDS-less) grids or bitmaps are rejected
-with clear errors.
+forecast-offset metadata.  Quasi-regular ("thinned") latitude/longitude
+and Gaussian grids (the PL row-count list) regularize to ni=max(counts)
+columns by value-preserving nearest-neighbour row expansion.  Spherical
+harmonics, second-order packing, and pre-defined (GDS-less) grids or
+bitmaps are rejected with clear errors.
 
 Edition-2 subset (the envelope of common NWP products):
 
@@ -40,9 +42,12 @@ Edition-2 subset (the envelope of common NWP products):
   carrying the common octet layout, e.g. 4.0/4.1/4.2/4.8) are exposed
   in per-band metadata strings
 
-Quasi-regular (thinned) grids and the CCSDS/AEC data template are
-rejected with a clear error.  All multi-octet integers are big-endian;
-signed fields use GRIB's sign-magnitude convention (MSB = sign).
+Quasi-regular (thinned) template-3.0 grids regularize like edition 1
+(per-row counts, nearest-neighbour expansion — value-preserving, so
+bitmap holes stay holes; wgrib2's default expansion interpolates
+linearly instead).  The CCSDS/AEC data template is rejected with a
+clear error.  All multi-octet integers are big-endian; signed fields
+use GRIB's sign-magnitude convention (MSB = sign).
 """
 import struct
 from datetime import datetime
@@ -202,6 +207,54 @@ class _Grid:
         return grid
 
 
+class _ThinnedGrid(_Grid):
+    """Quasi-regular ("thinned"/reduced) grid: rows carry their own point
+    counts; each expands to the regular ni = max(counts) columns by
+    nearest-neighbour pixel-center mapping.  Nearest is value-preserving:
+    bitmap holes stay holes and no value outside the row's own alphabet
+    is invented (wgrib2's default expansion interpolates linearly; GDAL
+    regularizes similarly — the convention difference is documented in
+    the module docstring)."""
+
+    def __init__(self, row_counts, nj, scan, geo_transform, projection, key):
+        row_counts = [int(count) for count in row_counts]
+        super().__init__(
+            max(row_counts), nj, scan, geo_transform, projection,
+            key + (tuple(row_counts),),
+        )
+        if scan & 0x20:
+            raise _GribError(
+                "Thinned GRIB grids with consecutive-j scanning are not "
+                "supported"
+            )
+        self.row_counts = row_counts
+
+    @property
+    def npoints(self):
+        return sum(self.row_counts)
+
+    def to_array(self, values):
+        rows = np.empty((self.nj, self.ni), values.dtype)
+        offset = 0
+        for j, count in enumerate(self.row_counts):
+            row = values[offset : offset + count]
+            offset += count
+            if count == self.ni:
+                rows[j] = row
+            else:
+                src = ((np.arange(self.ni) + 0.5) * count / self.ni).astype(
+                    np.int64
+                )
+                rows[j] = row[np.minimum(src, count - 1)]
+        if self.scan & 0x10:  # boustrophedon: alternate rows reverse
+            rows[1::2] = rows[1::2, ::-1]
+        if self.scan & 0x40:  # +j scans south->north: flip to north-up
+            rows = rows[::-1]
+        if self.scan & 0x80:  # -i scans east->west: flip to west-origin
+            rows = rows[:, ::-1]
+        return rows
+
+
 def _angle_unit(tpl):
     """Degrees per stored unit from basic angle octets 39-46: the unit
     is basic/subdivisions when both are given; a zero/missing basic
@@ -213,12 +266,22 @@ def _angle_unit(tpl):
     return float(basic) / float(subdiv)
 
 
-def _grid_latlon(tpl):
-    """Grid template 3.0: regular latitude/longitude."""
+def _grid_latlon(tpl, row_counts=None):
+    """Grid template 3.0: regular latitude/longitude; with ``row_counts``
+    the thinned variant (Ni missing, per-row point counts)."""
     ni = _u(tpl, 30, 4)
     nj = _u(tpl, 34, 4)
-    if ni == 0xFFFFFFFF or nj == 0xFFFFFFFF:
-        raise _GribError("Quasi-regular (thinned) GRIB grids are not supported")
+    if row_counts is not None:
+        if len(row_counts) != nj:
+            raise _GribError(
+                "Thinned GRIB grid: %d row counts for %d rows"
+                % (len(row_counts), nj)
+            )
+        ni = max(int(count) for count in row_counts)
+    elif ni == 0xFFFFFFFF or nj == 0xFFFFFFFF:
+        raise _GribError(
+            "Thinned GRIB grid without a per-row point-count list"
+        )
     unit = _angle_unit(tpl)
     la1 = _s(tpl, 46, 4) * unit
     lo1 = _s(tpl, 50, 4) * unit
@@ -229,6 +292,14 @@ def _grid_latlon(tpl):
     # i/j increments: given when resolution flags say so, else derived
     di = _u(tpl, 63, 4) * unit if flags & 0x20 else None
     dj = _u(tpl, 67, 4) * unit if flags & 0x10 else None
+    if row_counts is not None:
+        # thinned rows share no Di: derive it from the corners at the
+        # regularized width, then wrap the per-row expansion
+        regular = _latlon_grid(ni, nj, la1, lo1, la2, lo2, None, dj, scan)
+        return _ThinnedGrid(
+            row_counts, nj, regular.scan, regular.geo_transform,
+            regular.projection, regular.key,
+        )
     return _latlon_grid(ni, nj, la1, lo1, la2, lo2, di, dj, scan)
 
 
@@ -342,9 +413,30 @@ def _parse_grid(section3):
             "Only grid definition source 0 is supported (got %d)"
             % section3[5]
         )
-    if section3[10] != 0:
-        raise _GribError("Quasi-regular (thinned) GRIB grids are not supported")
     template = _u(section3, 12, 2)
+    list_octets = section3[10]
+    if list_octets:
+        # quasi-regular ("thinned"): per-row point counts trail section 3
+        if section3[11] != 1:
+            raise _GribError(
+                "Quasi-regular GRIB grids: only per-row point-count "
+                "lists (interpretation 1) are supported, got %d"
+                % section3[11]
+            )
+        if template != 0:
+            raise _GribError(
+                "Quasi-regular GRIB grids are only supported on the "
+                "latitude/longitude template (3.0), got 3.%d" % template
+            )
+        nj = _u(section3, 34, 4)
+        tail = len(section3) - nj * list_octets
+        if tail < 72:
+            raise _GribError("Thinned GRIB grid: point-count list truncated")
+        counts = [
+            _u(section3, tail + k * list_octets, list_octets)
+            for k in range(nj)
+        ]
+        return _grid_latlon(section3, counts)
     if template == 0:
         return _grid_latlon(section3)
     if template == 10:
@@ -638,16 +730,51 @@ def _grib1_earth(flags):
     return (6378160.0, 6356775.0) if flags & 0x40 else (6367470.0, 6367470.0)
 
 
+def _grib1_row_counts(gds, nj):
+    """Edition-1 per-row point counts (the PL list): octet 5 locates the
+    PV/PL block; any vertical parameters (octet 4) come first."""
+    nv, location = gds[3], gds[4]
+    if location in (0, 0xFF):
+        raise _GribError(
+            "Thinned GRIB-1 grid without a per-row point-count list"
+        )
+    start = location - 1 + nv * 4
+    if start + 2 * nj > len(gds):
+        raise _GribError("Thinned GRIB-1 grid: point-count list truncated")
+    return [_u(gds, start + 2 * k, 2) for k in range(nj)]
+
+
 def _grib1_grid(gds):
     """A _Grid from an edition-1 Grid Description Section (coordinates
     in millidegrees, increments in millidegrees or metres by type)."""
     rep = gds[5]
     ni, nj = _u(gds, 6, 2), _u(gds, 8, 2)
-    if ni == 0xFFFF or nj == 0xFFFF:
-        raise _GribError("Quasi-regular (thinned) GRIB grids are not supported")
+    thinned = ni == 0xFFFF
+    if nj == 0xFFFF or (thinned and rep not in (0, 4)):
+        raise _GribError(
+            "Quasi-regular (thinned) GRIB-1 grids are only supported on "
+            "latitude/longitude and Gaussian representations"
+        )
     la1 = _s(gds, 10, 3) * 1e-3
     lo1 = _s(gds, 13, 3) * 1e-3
     flags = gds[16]
+
+    if rep in (0, 4) and thinned:
+        # thinned latitude/longitude; Gaussian (rep 4, e.g. ECMWF reduced
+        # N-grids) exposes rows as equally spaced between the corner
+        # latitudes — the standard regularization approximation (true
+        # Gaussian latitudes deviate by a fraction of a row near poles)
+        counts = _grib1_row_counts(gds, nj)
+        la2 = _s(gds, 17, 3) * 1e-3
+        lo2 = _s(gds, 20, 3) * 1e-3
+        scan = gds[27]
+        regular = _latlon_grid(
+            max(counts), nj, la1, lo1, la2, lo2, None, None, scan
+        )
+        return _ThinnedGrid(
+            counts, nj, regular.scan, regular.geo_transform,
+            regular.projection, regular.key,
+        )
 
     if rep == 0:  # regular latitude/longitude
         la2 = _s(gds, 17, 3) * 1e-3

@@ -170,10 +170,45 @@ class _File:
         if kind == _SPECIAL_CHUNKED:
             raise _Hdf4Error("chunked element must be read via sds data path")
         if kind == _SPECIAL_EXT:
-            raise _Hdf4Error(
-                "HDF4 external (multi-file) elements are not supported"
-            )
+            return self._external(desc)
         raise _Hdf4Error("Unsupported HDF4 special element kind %d" % kind)
+
+    def _external(self, desc):
+        """External (multi-file) element: the payload lives at an offset
+        in a companion file (hfile.h EXT_EXTERN: int32 length, int32
+        offset, int32 name length, name).  The stored name resolves to
+        its BASENAME next to the .hdf — the common granule layout — so a
+        hostile path in a crafted file cannot escape the dataset's
+        directory."""
+        import os
+
+        if len(desc) < 14:
+            raise _Hdf4Error("HDF4 external element descriptor truncated")
+        length, offset, name_len = struct.unpack_from(">iii", desc, 2)
+        if length < 0 or offset < 0 or name_len < 0:
+            raise _Hdf4Error("HDF4 external element has negative extents")
+        name = (
+            desc[14 : 14 + name_len]
+            .split(b"\x00", 1)[0]
+            .decode("latin-1", "replace")
+        )
+        base = os.path.basename(name.replace("\\", "/"))
+        if not base:
+            raise _Hdf4Error("HDF4 external element has an empty file name")
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(self.path)), base
+        )
+        if not os.path.exists(path):
+            raise _Hdf4Error(
+                "HDF4 external element file '%s' not found next to '%s'"
+                % (base, os.path.basename(self.path))
+            )
+        with open(path, "rb") as fh:
+            fh.seek(offset)
+            data = fh.read(length)
+        if len(data) < length:
+            raise _Hdf4Error("HDF4 external element is truncated")
+        return data
 
     def _linked(self, desc):
         total, _first_len, _blk_len, link_ref = struct.unpack_from(

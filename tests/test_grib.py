@@ -1016,3 +1016,120 @@ def test_grib1_derived_increments(tmp_path):
     np.testing.assert_allclose(
         data.geo_transform, (3.75, 0.5, 0, 55.25, 0, -0.5)
     )
+
+
+# ------------------------------------------------------- thinned grids
+
+
+def _sec3_latlon_thinned(row_counts, la1, lo1, la2, lo2, dj, scan=0):
+    """Template 3.0 with Ni missing and trailing per-row point counts."""
+    nj = len(row_counts)
+    tpl = bytearray()
+    tpl += bytes([6])
+    tpl += bytes(5)
+    tpl += bytes(10)
+    tpl += struct.pack(">II", 0xFFFFFFFF, nj)
+    tpl += bytes(8)
+    tpl += _sm(round(la1 * 1e6), 4)
+    tpl += _sm(round((lo1 % 360.0) * 1e6), 4)
+    tpl += bytes([0x10])  # only Dj given; Di derives from the corners
+    tpl += _sm(round(la2 * 1e6), 4)
+    tpl += _sm(round((lo2 % 360.0) * 1e6), 4)
+    tpl += struct.pack(">II", 0, round(dj * 1e6))
+    tpl += bytes([scan])
+    counts = b"".join(int(c).to_bytes(2, "big") for c in row_counts)
+    body = (
+        struct.pack(">BIBBH", 0, int(sum(row_counts)), 2, 1, 0)
+        + bytes(tpl) + counts
+    )
+    return _section(3, body)
+
+
+def test_grib2_thinned_latlon(tmp_path):
+    counts = [4, 2, 4]
+    flat = np.array([1.0, 2, 3, 4, 5, 6, 7, 8, 9, 10])
+    msg = _message(
+        [
+            _sec1(),
+            _sec3_latlon_thinned(counts, 55.0, 4.0, 54.0, 5.5, dj=0.5),
+            _sec4(),
+            _sec5_simple(flat.size, 0.0, 0, 0, 8),
+            _sec6(),
+            _sec7_simple(flat.astype(int), 8),
+        ]
+    )
+    data = read_grib(_write(tmp_path, msg, "thin.grib2"))
+    assert data.array.shape == (1, 3, 4)
+    np.testing.assert_array_equal(data.array[0, 0], [1, 2, 3, 4])
+    # the 2-point row expands nearest-neighbour (value-preserving)
+    np.testing.assert_array_equal(data.array[0, 1], [5, 5, 6, 6])
+    np.testing.assert_array_equal(data.array[0, 2], [7, 8, 9, 10])
+    assert data.geo_transform[1] == pytest.approx(1.5 / 3)
+
+
+def test_grib2_thinned_with_bitmap(tmp_path):
+    counts = [3, 2]
+    flat = np.array([1.0, 2, 3, 4, 5])
+    mask = np.array([1, 0, 1, 1, 1], bool)
+    present = flat[mask]
+    msg = _message(
+        [
+            _sec1(),
+            _sec3_latlon_thinned(counts, 55.0, 4.0, 54.5, 5.0, dj=0.5),
+            _sec4(),
+            _sec5_simple(present.size, 0.0, 0, 0, 8),
+            _sec6(mask),
+            _sec7_simple(present.astype(int), 8),
+        ]
+    )
+    data = read_grib(_write(tmp_path, msg, "thinbm.grib2"))
+    nodata = data.no_data_value
+    # row 0: [1, nodata, 3]; expanded hole stays a hole
+    assert data.array.shape == (1, 2, 3)
+    assert data.array[0, 0, 0] == 1.0
+    assert data.array[0, 0, 1] == nodata
+    assert data.array[0, 0, 2] == 3.0
+
+
+def _g1_gds_latlon_thinned(row_counts, la1, lo1, la2, lo2, scan=0):
+    nj = len(row_counts)
+    body = bytearray()
+    body += (32 + 2 * nj).to_bytes(3, "big")
+    body += bytes([0, 33, 0])  # NV=0, PL list at octet 33, rep 0
+    body += struct.pack(">HH", 0xFFFF, nj)
+    body += _sm(round(la1 * 1e3), 3) + _sm(round(lo1 * 1e3), 3)
+    body += bytes([0])  # increments not given
+    body += _sm(round(la2 * 1e3), 3) + _sm(round(lo2 * 1e3), 3)
+    body += (0xFFFF).to_bytes(2, "big") + (0xFFFF).to_bytes(2, "big")
+    body += bytes([scan])
+    body += bytes(4)
+    for count in row_counts:
+        body += int(count).to_bytes(2, "big")
+    return bytes(body)
+
+
+def test_grib1_thinned_latlon(tmp_path):
+    counts = [2, 4]
+    flat = np.array([1.0, 2, 3, 4, 5, 6])
+    msg = _g1_message(
+        _g1_pds(),
+        _g1_gds_latlon_thinned(counts, 55.0, 4.0, 54.5, 5.5),
+        b"",
+        _g1_bds(flat, 0.0, 0, 0, 8),
+    )
+    data = read_grib(_write(tmp_path, msg, "thin.grb"))
+    assert data.array.shape == (1, 2, 4)
+    np.testing.assert_array_equal(data.array[0, 0], [1, 1, 2, 2])
+    np.testing.assert_array_equal(data.array[0, 1], [3, 4, 5, 6])
+
+
+def test_grib1_thinned_without_list_rejected(tmp_path):
+    gds = bytearray(
+        _g1_gds_latlon_thinned([2, 2], 55.0, 4.0, 54.5, 5.0)
+    )
+    gds[4] = 0xFF  # PL location: none
+    msg = _g1_message(
+        _g1_pds(), bytes(gds), b"", _g1_bds(np.zeros(4), 0.0, 0, 0, 8)
+    )
+    with pytest.raises(ValueError, match="point-count"):
+        read_grib(_write(tmp_path, msg, "bad.grb"))

@@ -535,3 +535,49 @@ class TestWindowedReads:
         with config.set({"geomodeling.windowed-read-limit": 16}):
             windowed = source.get_data(**request)
         np.testing.assert_array_equal(whole["values"], windowed["values"])
+
+
+def test_external_element(tmp_path):
+    """SDS data living in a companion file (hfile.h EXT_EXTERN)."""
+    values = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    raw = values.tobytes()
+    companion = tmp_path / "payload.dat"
+    padding = b"xx"  # data starts at a nonzero offset
+    companion.write_bytes(padding + raw)
+
+    writer = Writer()
+    nt_ref = _nt(writer, 2, "u1")
+    _sdd(writer, 2, values.shape, nt_ref)
+    name = b"payload.dat"
+    desc = struct.pack(">Hiii", 2, len(raw), len(padding), len(name)) + name
+    writer.add(TAG_SD | SPECIAL, 2, desc)
+    _ndg(writer, 2, [(TAG_SDD, 2), (TAG_SD, 2)])
+    data = read_hdf4(writer.write(tmp_path))
+    np.testing.assert_array_equal(data.array[0], values)
+
+
+def test_external_element_missing_file(tmp_path):
+    writer = Writer()
+    nt_ref = _nt(writer, 2, "u1")
+    _sdd(writer, 2, (2, 2), nt_ref)
+    name = b"gone.dat"
+    desc = struct.pack(">Hiii", 2, 4, 0, len(name)) + name
+    writer.add(TAG_SD | SPECIAL, 2, desc)
+    _ndg(writer, 2, [(TAG_SDD, 2), (TAG_SD, 2)])
+    with pytest.raises(ValueError, match="not found"):
+        read_hdf4(writer.write(tmp_path))
+
+
+def test_external_element_escaping_path_confined(tmp_path):
+    """A hostile ../ name resolves to its basename NEXT TO the .hdf."""
+    values = np.zeros((2, 2), np.uint8)
+    (tmp_path / "safe.dat").write_bytes(values.tobytes())
+    writer = Writer()
+    nt_ref = _nt(writer, 2, "u1")
+    _sdd(writer, 2, values.shape, nt_ref)
+    name = b"../../../../etc/safe.dat"
+    desc = struct.pack(">Hiii", 2, 4, 0, len(name)) + name
+    writer.add(TAG_SD | SPECIAL, 2, desc)
+    _ndg(writer, 2, [(TAG_SDD, 2), (TAG_SD, 2)])
+    data = read_hdf4(writer.write(tmp_path))
+    np.testing.assert_array_equal(data.array[0], values)
