@@ -586,6 +586,10 @@ class RasterFileSource(RasterSourceBase):
                 from dask_geomodeling_tpu.io.netcdf import read_netcdf_info
 
                 self._info = read_netcdf_info(path, self.variable)
+            elif path.lower().endswith((".ntf", ".nitf")):
+                from dask_geomodeling_tpu.io.nitf import read_nitf_info
+
+                self._info = read_nitf_info(path)
             elif path.lower().endswith(".vrt"):
                 from dask_geomodeling_tpu.io.vrt import read_vrt_info
 

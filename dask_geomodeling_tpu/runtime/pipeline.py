@@ -143,6 +143,10 @@ def read_geotiff_cached(path, variable=None):
         from dask_geomodeling_tpu.io.jpeg import read_jpeg
 
         data = read_jpeg(path)
+    elif lower.endswith((".ntf", ".nitf")):
+        from dask_geomodeling_tpu.io.nitf import read_nitf
+
+        data = read_nitf(path)
     elif lower.endswith((".nc", ".cdf", ".nc3", ".nc4", ".h5", ".hdf5")):
         from dask_geomodeling_tpu.io.netcdf import read_netcdf
 
