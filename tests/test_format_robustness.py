@@ -59,20 +59,29 @@ def _geotiff_bytes(tmp_path):
     return open(path, "rb").read()
 
 
+def _nitf_bytes(tmp_path):
+    from tests.test_nitf import _make_nitf
+
+    values = np.arange(48, dtype=np.uint8).reshape(1, 6, 8)
+    return open(_make_nitf(tmp_path, values), "rb").read()
+
+
 def _readers(tmp_path):
     from dask_geomodeling_tpu.io.geotiff import read_geotiff
     from dask_geomodeling_tpu.io.grib import read_grib
     from dask_geomodeling_tpu.io.hdf4 import read_hdf4
+    from dask_geomodeling_tpu.io.nitf import read_nitf
 
     return [
         ("grib2", _grib2_bytes(), read_grib, "x.grib2"),
         ("grib1", _grib1_bytes(), read_grib, "x.grb"),
         ("hdf4", _hdf4_bytes(), read_hdf4, "x.hdf"),
         ("geotiff", _geotiff_bytes(tmp_path), read_geotiff, "x.tif"),
+        ("nitf", _nitf_bytes(tmp_path), read_nitf, "x.ntf"),
     ]
 
 
-@pytest.mark.parametrize("which", ["grib2", "grib1", "hdf4", "geotiff"])
+@pytest.mark.parametrize("which", ["grib2", "grib1", "hdf4", "geotiff", "nitf"])
 def test_truncations_raise_cleanly(which, tmp_path):
     for name, payload, reader, filename in _readers(tmp_path):
         if name != which:
@@ -89,7 +98,7 @@ def test_truncations_raise_cleanly(which, tmp_path):
                 pass  # a clean, catchable format error
 
 
-@pytest.mark.parametrize("which", ["grib2", "grib1", "hdf4", "geotiff"])
+@pytest.mark.parametrize("which", ["grib2", "grib1", "hdf4", "geotiff", "nitf"])
 def test_byte_corruptions_raise_cleanly(which, tmp_path):
     for name, payload, reader, filename in _readers(tmp_path):
         if name != which:
