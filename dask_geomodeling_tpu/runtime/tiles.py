@@ -841,6 +841,9 @@ def evaluate_tiled(view, request, tile_size=512, batch=None):
             step = max(-(-n // per_batch), 1)
             for off in range(0, n, step):
                 split.append((lo + off, device_result[off : off + step]))
+        # the progress denominator counted whole batches; each slice
+        # reports separately, so grow the total by the extra units
+        _profile.announce_total(len(split) - len(pending))
         pending = split
     for _, device_result in pending:
         copy_async = getattr(device_result, "copy_to_host_async", None)

@@ -112,9 +112,11 @@ class TestProgressBar:
         request = dict(request_full, width=20, height=20)
         with ProgressBar(stream=stream) as bar:
             evaluate_tiled(Add(source, 10), request, tile_size=10, batch=2)
-        assert bar.done == 2  # two fetched batches
-        assert bar.total == 2
-        assert "2/2" in stream.getvalue()
+        # two dispatched batches; with fewer batches than fetch workers
+        # each batch's fetch splits into parallel slices, and every
+        # slice reports one unit — the denominator grows to match
+        assert bar.done == bar.total >= 2
+        assert "%d/%d" % (bar.done, bar.total) in stream.getvalue()
 
     def test_nested_raises(self):
         from dask_geomodeling_tpu.runtime.profile import ProgressBar
