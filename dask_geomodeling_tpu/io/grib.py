@@ -34,8 +34,9 @@ Edition-2 subset (the envelope of common NWP products):
 - data representation templates 5.0 (simple packing), 5.2 (complex
   packing, incl. primary missing-value management), 5.3 (complex
   packing with spatial differencing of orders 1 and 2), 5.40
-  (JPEG2000 packing via the image's OpenJPEG binding) and 5.41 (PNG
-  packing, decoded with the in-repo PNG codec)
+  (JPEG2000 packing via the image's OpenJPEG binding), 5.41 (PNG
+  packing, decoded with the in-repo PNG codec) and 5.42 (CCSDS/AEC
+  recompression through the system libaec, io/ccsds.py)
 - bitmap section indicators 0 (bitmap present), 254 (reuse previous)
   and 255 (none)
 - reference time (section 1) and forecast offset (product templates
@@ -45,9 +46,8 @@ Edition-2 subset (the envelope of common NWP products):
 Quasi-regular (thinned) template-3.0 grids regularize like edition 1
 (per-row counts, nearest-neighbour expansion — value-preserving, so
 bitmap holes stay holes; wgrib2's default expansion interpolates
-linearly instead).  The CCSDS/AEC data template is rejected with a
-clear error.  All multi-octet integers are big-endian; signed fields
-use GRIB's sign-magnitude convention (MSB = sign).
+linearly instead).  All multi-octet integers are big-endian; signed
+fields use GRIB's sign-magnitude convention (MSB = sign).
 """
 import struct
 from datetime import datetime
@@ -622,6 +622,41 @@ def _decode_jpeg2000_packed(sec5, sec7, npts):
     return _scale(packed, R, E, D), None
 
 
+def _decode_ccsds_packed(sec5, sec7, npts):
+    """Data template 7.42: CCSDS/AEC recompression, decoded through the
+    system libaec (io/ccsds.py) — the template's flags octet is libaec's
+    flag word by WMO definition, exactly how the reference's GDAL build
+    links the same library."""
+    from dask_geomodeling_tpu.io.ccsds import aec_decode
+
+    R = struct.unpack(">f", sec5[11:15])[0]
+    E = _s(sec5, 15, 2)
+    D = _s(sec5, 17, 2)
+    nbits = sec5[19]
+    if nbits == 0:
+        return np.full(npts, _scale(np.zeros(1), R, E, D)[0]), None
+    flags = sec5[21]
+    block_size = sec5[22]
+    rsi = _u(sec5, 23, 2)
+    nbytes = (nbits + 7) // 8
+    if nbytes == 3 and not flags & 0x02:  # no AEC_DATA_3BYTE: 4-byte cells
+        nbytes = 4
+    raw = aec_decode(
+        bytes(sec7[5:]), npts * nbytes, nbits, block_size, rsi, flags
+    )
+    if len(raw) < npts * nbytes:
+        raise _GribError(
+            "GRIB CCSDS packing: decoded %d bytes, expected %d"
+            % (len(raw), npts * nbytes)
+        )
+    order = ">" if flags & 0x04 else "<"  # AEC_DATA_MSB
+    cell = {1: "u1", 2: "u2", 4: "u4"}[nbytes]
+    packed = np.frombuffer(raw[: npts * nbytes], order + cell).astype(
+        np.int64
+    )
+    return _scale(packed, R, E, D), None
+
+
 def _decode_png_packed(sec5, sec7, npts):
     """Data template 7.41: PNG packing."""
     from dask_geomodeling_tpu.io.png import decode_png_bytes
@@ -1046,10 +1081,14 @@ def _read_grib_messages(buf, path, RasterData):
                     )
                 elif template == 41:
                     values, missing = _decode_png_packed(sec5, section, npts)
+                elif template == 42:
+                    values, missing = _decode_ccsds_packed(
+                        sec5, section, npts
+                    )
                 else:
                     raise _GribError(
                         "Unsupported GRIB data representation template "
-                        "5.%d (supported: 5.0, 5.2, 5.3, 5.40, 5.41)"
+                        "5.%d (supported: 5.0, 5.2, 5.3, 5.40, 5.41, 5.42)"
                         % template
                     )
                 if missing is not None:

@@ -16,11 +16,12 @@ Supported envelope:
   index
 - number types DFNT 3-6/20-27 in both big-endian (default) and
   little-endian (DFNT_LITEND) flavours
-- special elements: linked blocks, compressed elements (deflate and
-  RLE; the fall-through raises with the coder name), and chunked
-  elements whose chunk table is the standard ``_HDF_CHK_TBL`` Vdata —
-  chunks resolve recursively, so chunked+deflate (the MODIS layout)
-  decodes
+- special elements: linked blocks, external (multi-file) elements,
+  compressed elements (deflate, RLE, and szip through the system libsz
+  — io/ccsds.py; the fall-through raises with the coder name), and
+  chunked elements whose chunk table is the standard ``_HDF_CHK_TBL``
+  Vdata — chunks resolve recursively, so chunked+deflate AND
+  chunked+szip (the MODIS layouts) decode
 - per-set fill values from DFTAG_FV or an ``_FillValue`` attribute,
   linear calibration from DFTAG_CAL or ``scale_factor``/``add_offset``
   attributes (attributes live in ``Attr0.0`` Vdatas inside the
@@ -29,9 +30,8 @@ Supported envelope:
   attribute: GEO (packed-DMS corners), sinusoidal (the MODIS grid),
   UTM, polar stereographic and Lambert conformal GCTP projections
 
-External (in another file) elements and szip/skip-huffman compression
-are rejected with clear errors.  All integers are big-endian unless a
-number type says otherwise.
+Skip-huffman and n-bit compression are rejected with clear errors.
+All integers are big-endian unless a number type says otherwise.
 """
 import struct
 import zlib
@@ -71,7 +71,8 @@ _SPECIAL_CHUNKED = 6
 _COMP_NONE = 0
 _COMP_RLE = 1
 _COMP_DEFLATE = 4
-_COMP_NAMES = {2: "n-bit", 3: "skip-huffman", 5: "szip"}
+_COMP_SZIP = 5
+_COMP_NAMES = {2: "n-bit", 3: "skip-huffman"}
 
 _DFNT_LITEND = 0x4000
 _DFNT = {
@@ -244,6 +245,23 @@ class _File:
             return zlib.decompress(data)[:uncomp_len]
         if coder == _COMP_RLE:
             return _rle_decode(data, uncomp_len)
+        if coder == _COMP_SZIP:
+            # coder info (hcomp.h comp_info.szip, big-endian int32s):
+            # pixels, pixels_per_scanline, options_mask, bits_per_pixel,
+            # pixels_per_block; decoded via the system libsz (io/ccsds.py)
+            if len(desc) < 34:
+                raise _Hdf4Error("HDF4 szip coder info truncated")
+            (_pixels, per_scanline, options_mask, bits_per_pixel,
+             per_block) = struct.unpack_from(">iiiii", desc, 14)
+            from dask_geomodeling_tpu.io.ccsds import szip_decompress
+
+            try:
+                return szip_decompress(
+                    data, uncomp_len, options_mask, bits_per_pixel,
+                    per_block, per_scanline,
+                )
+            except ValueError as error:
+                raise _Hdf4Error("HDF4 szip element: %s" % error)
         raise _Hdf4Error(
             "Unsupported HDF4 compression coder: %s"
             % _COMP_NAMES.get(coder, str(coder))

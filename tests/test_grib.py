@@ -1133,3 +1133,43 @@ def test_grib1_thinned_without_list_rejected(tmp_path):
     )
     with pytest.raises(ValueError, match="point-count"):
         read_grib(_write(tmp_path, msg, "bad.grb"))
+
+
+# ----------------------------------------------------- CCSDS packing
+
+
+def _sec5_ccsds(npts, R, E, D, nbits, flags, block, rsi):
+    tpl = struct.pack(">f", R) + _sm(E, 2) + _sm(D, 2)
+    tpl += bytes([nbits, 0, flags, block])
+    tpl += struct.pack(">H", rsi)
+    return _section(5, struct.pack(">IH", npts, 42) + tpl)
+
+
+def test_grib2_ccsds_packed(tmp_path):
+    """Template 5.42: the payload is a CCSDS/AEC stream produced by the
+    AUTHORITATIVE encoder (libaec aec_buffer_encode)."""
+    from dask_geomodeling_tpu.io import ccsds
+
+    if not ccsds.aec_available():
+        pytest.skip("libaec not loadable")
+    values = ((np.arange(24) * 37) % 1800).reshape(4, 6) / 10.0
+    nbits, flags, block, rsi = 12, 8 | 4, 16, 64  # PREPROCESS | MSB
+    packed = np.round(values * 10.0).astype(">u2")  # D=1, E=0, R=0
+    stream = ccsds.aec_encode(
+        packed.tobytes(), bits_per_sample=nbits, block_size=block,
+        rsi=rsi, flags=flags,
+    )
+    msg = _message(
+        [
+            _sec1(),
+            _sec3_latlon(6, 4, 55.0, 4.0, 53.5, 6.5, 0.5, 0.5, 0),
+            _sec4(),
+            _sec5_ccsds(values.size, 0.0, 0, 1, nbits, flags, block, rsi),
+            _sec6(),
+            _section(7, bytes(stream)),
+        ]
+    )
+    from dask_geomodeling_tpu.io.grib import read_grib
+
+    data = read_grib(_write(tmp_path, msg, "ccsds.grib2"))
+    np.testing.assert_allclose(data.array[0], values, atol=1e-9)

@@ -581,3 +581,58 @@ def test_external_element_escaping_path_confined(tmp_path):
     _ndg(writer, 2, [(TAG_SDD, 2), (TAG_SD, 2)])
     data = read_hdf4(writer.write(tmp_path))
     np.testing.assert_array_equal(data.array[0], values)
+
+
+def test_szip_compressed_element(tmp_path):
+    """szip (CCSDS extended-Rice) elements decode through the system
+    libsz — the stream below comes from the AUTHORITATIVE encoder
+    (SZ_BufftoBuffCompress), not a re-implementation."""
+    from dask_geomodeling_tpu.io import ccsds
+
+    if not ccsds.szip_available():
+        pytest.skip("libsz not loadable")
+    values = ((np.arange(256) * 7) % 211).astype(np.uint8).reshape(16, 16)
+    raw = values.tobytes()
+    options_mask = 32 | 4 | 1  # NN | EC | ALLOW_K13
+    compressed = ccsds.szip_compress(
+        raw, options_mask, bits_per_pixel=8, pixels_per_block=8,
+        pixels_per_scanline=16,
+    )
+    writer = Writer()
+    nt_ref = _nt(writer, 2, "u1")
+    _sdd(writer, 2, values.shape, nt_ref)
+    desc = struct.pack(">HHiHHH", 3, 0, len(raw), 7, 0, 5)
+    # coder info: pixels, pixels_per_scanline, options_mask,
+    # bits_per_pixel, pixels_per_block (hcomp.h comp_info.szip)
+    desc += struct.pack(">iiiii", values.size, 16, options_mask, 8, 8)
+    writer.add(TAG_SD | SPECIAL, 2, desc)
+    writer.add(TAG_COMPRESSED, 7, compressed)
+    _ndg(writer, 2, [(TAG_SDD, 2), (TAG_SD, 2)])
+    data = read_hdf4(writer.write(tmp_path))
+    np.testing.assert_array_equal(data.array[0], values)
+
+
+def test_szip_16bit_element(tmp_path):
+    from dask_geomodeling_tpu.io import ccsds
+
+    if not ccsds.szip_available():
+        pytest.skip("libsz not loadable")
+    values = ((np.arange(512) * 13) % 4099).astype(">u2").reshape(16, 32)
+    raw = values.tobytes()
+    options_mask = 32 | 4 | 16 | 1  # NN | EC | MSB | ALLOW_K13
+    compressed = ccsds.szip_compress(
+        raw, options_mask, bits_per_pixel=16, pixels_per_block=16,
+        pixels_per_scanline=32,
+    )
+    writer = Writer()
+    nt_ref = _nt(writer, 2, "u2")
+    _sdd(writer, 2, values.shape, nt_ref)
+    desc = struct.pack(">HHiHHH", 3, 0, len(raw), 7, 0, 5)
+    desc += struct.pack(">iiiii", values.size, 32, options_mask, 16, 16)
+    writer.add(TAG_SD | SPECIAL, 2, desc)
+    writer.add(TAG_COMPRESSED, 7, compressed)
+    _ndg(writer, 2, [(TAG_SDD, 2), (TAG_SD, 2)])
+    data = read_hdf4(writer.write(tmp_path))
+    np.testing.assert_array_equal(
+        data.array[0], values.astype(np.uint16)
+    )
