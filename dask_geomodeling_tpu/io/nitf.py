@@ -12,7 +12,8 @@ Scope (the GDAL-readable everyday envelope):
   grid shape to stack (like GRIB messages)
 - pixel types INT/SI (8/16/32 bit) and R (32/64-bit IEEE floats),
   actual-bits-per-pixel honoured by masking
-- compression IC=NC (none) fully natively; C3 (JPEG) and C8 (JPEG 2000)
+- compression IC=NC (none) and IC=NM (masked: absent blocks fill with
+  the pad pixel code) fully natively; C3 (JPEG) and C8 (JPEG 2000)
   through the image's PIL binding when present
 - block layouts IMODE B (band interleaved by block), S (band
   sequential) and P (pixel interleaved), arbitrary NBPR x NBPC blocking
@@ -22,7 +23,7 @@ Scope (the GDAL-readable everyday envelope):
   (rotation preserved); ICORDS N/S/U (UTM/MGRS) and missing ICORDS
   yield a pixel-space geotransform with no projection
 
-Masked compression variants (NM/M3/M8), LUT-mapped bands, and DES/TRE
+Masked COMPRESSED variants (M3/M8), LUT-mapped bands, and DES/TRE
 interpretation are out of scope and raise named errors.
 """
 import struct
@@ -144,13 +145,13 @@ def _parse_image_subheader(data, offset, version):
     ncom = cur.number(1)
     cur.take(80 * ncom)
     ic = cur.text(2)
-    if ic not in ("NC", "C3", "C8"):
+    if ic not in ("NC", "NM", "C3", "C8"):
         raise _NitfError(
-            "NITF compression '%s' is not supported (NC, C3/JPEG and "
-            "C8/JPEG2000 are)" % ic
+            "NITF compression '%s' is not supported (NC, NM, C3/JPEG "
+            "and C8/JPEG2000 are)" % ic
         )
-    if ic != "NC":
-        cur.take(4)  # COMRAT
+    if ic not in ("NC", "NM"):
+        cur.take(4)  # COMRAT (absent for NC and NM)
     nbands = cur.number(1)
     if nbands == 0:
         nbands = cur.number(5)  # XBANDS
@@ -232,6 +233,67 @@ def _decode_blocks(raw, sub):
     if sub["pvtype"] == "INT" and 0 < sub["abpp"] < sub["nbpp"]:
         out &= np.array((1 << sub["abpp"]) - 1, out.dtype)
     return out
+
+
+def _unmask_blocks(raw, sub):
+    """IC=NM: strip the image data mask subheader and rebuild the dense
+    blocked payload — absent blocks (offset 0xFFFFFFFF) fill with the
+    pad pixel code (or zeros).  Offsets count from the end of the mask
+    subheader, the convention GDAL's reader uses."""
+    if len(raw) < 10:
+        raise _NitfError("NITF image data mask truncated")
+    imdatoff = int.from_bytes(raw[0:4], "big")
+    bmrlnth = int.from_bytes(raw[4:6], "big")
+    tmrlnth = int.from_bytes(raw[6:8], "big")
+    tpxcdlnth = int.from_bytes(raw[8:10], "big")
+    pos = 10
+    pad_bytes = (tpxcdlnth + 7) // 8
+    pad_code = raw[pos : pos + pad_bytes]
+    pos += pad_bytes
+
+    dtype = _dtype(sub["pvtype"], sub["nbpp"])
+    if dtype is None:
+        raise _NitfError(
+            "NITF pixel type %s/%d bits is not supported"
+            % (sub["pvtype"], sub["nbpp"])
+        )
+    itemsize = np.dtype(dtype).itemsize
+    positions = sub["nbpr"] * sub["nbpc"]
+    n_records = positions * (sub["nbands"] if sub["imode"] == "S" else 1)
+    per_record = sub["nppbh"] * sub["nppbv"] * itemsize
+    if sub["imode"] != "S":
+        per_record *= sub["nbands"]
+
+    offsets = None
+    if bmrlnth:
+        if pos + 4 * n_records > len(raw):
+            raise _NitfError("NITF block mask truncated")
+        offsets = [
+            int.from_bytes(raw[pos + 4 * k : pos + 4 * k + 4], "big")
+            for k in range(n_records)
+        ]
+        pos += 4 * n_records
+    if tmrlnth:
+        pos += 4 * n_records  # pad-pixel mask records: not needed to read
+
+    data = raw[imdatoff:]
+    if offsets is None:
+        return data  # only pad-pixel marking: the payload is dense
+
+    fill = (
+        (pad_code * (per_record // max(len(pad_code), 1) + 1))[:per_record]
+        if pad_code
+        else b"\x00" * per_record
+    )
+    out = bytearray()
+    for offset in offsets:
+        if offset == 0xFFFFFFFF:
+            out += fill
+        else:
+            if offset + per_record > len(data):
+                raise _NitfError("NITF masked block offset out of range")
+            out += data[offset : offset + per_record]
+    return bytes(out)
 
 
 def _decode_compressed(raw, sub):
@@ -320,6 +382,8 @@ def read_nitf(path):
             )
         if sub["ic"] == "NC":
             stacks.append(_decode_blocks(payload, sub))
+        elif sub["ic"] == "NM":
+            stacks.append(_decode_blocks(_unmask_blocks(payload, sub), sub))
         else:
             stacks.append(_decode_compressed(payload, sub))
     array = np.concatenate(stacks, axis=0)

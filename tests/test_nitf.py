@@ -89,8 +89,8 @@ def _image_subheader(values, imode="B", nbpr=1, nbpc=1, nppbh=None,
         body += _field(igeolo, 60)
     body += _num(0, 1)  # NICOM
     body += ic
-    if ic != b"NC":
-        body += _field("", 4)  # COMRAT
+    if ic not in (b"NC", b"NM"):
+        body += _field("", 4)  # COMRAT (absent for NC and NM)
     body += _num(bands, 1)
     for _ in range(bands):
         body += _field("M", 2) + _field("", 6) + b"N" + _field("", 3)
@@ -272,3 +272,48 @@ def test_corrupt_rejected(tmp_path):
         fh.write(b"NOTNITF!!" + b"\x00" * 400)
     with pytest.raises(ValueError, match="Not a NITF"):
         read_nitf(path)
+
+
+def test_masked_nm_blocks(tmp_path):
+    """IC=NM: a block mask subheader with one absent block filling from
+    the pad pixel code."""
+    values = np.zeros((1, 8, 8), np.uint8)
+    values[0, :4, :4] = 11  # block (0,0)
+    values[0, :4, 4:] = 22  # block (0,1)
+    values[0, 4:, :4] = 33  # block (1,0); block (1,1) will be ABSENT
+
+    # blocked payload WITHOUT the absent block, offsets table marking it
+    blocks = [
+        values[0, :4, :4], values[0, :4, 4:], values[0, 4:, :4],
+    ]
+    data = b"".join(b.tobytes() for b in blocks)
+    per_record = 16
+    mask = bytearray()
+    offsets = [0, per_record, 2 * per_record, 0xFFFFFFFF]
+    imdatoff = 10 + 1 + 4 * len(offsets)
+    mask += imdatoff.to_bytes(4, "big")
+    mask += (4).to_bytes(2, "big")  # BMRLNTH
+    mask += (0).to_bytes(2, "big")  # TMRLNTH
+    mask += (8).to_bytes(2, "big")  # TPXCDLNTH bits
+    mask += bytes([99])  # pad pixel code
+    for off in offsets:
+        mask += off.to_bytes(4, "big")
+    payload = bytes(mask) + data
+
+    subheader = _image_subheader(
+        values, imode="B", nbpr=2, nbpc=2, nppbh=4, nppbv=4,
+        icords="D",
+        igeolo="".join(
+            "%+07.3f%+08.3f" % (lat, lon)
+            for lat, lon in [(52, 4), (52, 4.07), (51.93, 4.07), (51.93, 4)]
+        ),
+        ic=b"NM",
+    )
+    blob = _file_header([(subheader, payload)]) + subheader + payload
+    path = str(tmp_path / "masked.ntf")
+    with open(path, "wb") as fh:
+        fh.write(blob)
+    data_out = read_nitf(path)
+    expected = values.copy()
+    expected[0, 4:, 4:] = 99  # the absent block fills with the pad code
+    np.testing.assert_array_equal(data_out.array, expected)
