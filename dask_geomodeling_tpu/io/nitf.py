@@ -13,8 +13,9 @@ Scope (the GDAL-readable everyday envelope):
 - pixel types INT/SI (8/16/32 bit) and R (32/64-bit IEEE floats),
   actual-bits-per-pixel honoured by masking
 - compression IC=NC (none) and IC=NM (masked: absent blocks fill with
-  the pad pixel code) fully natively; C3 (JPEG) and C8 (JPEG 2000)
-  through the image's PIL binding when present
+  the pad pixel code) fully natively; C3/M3 (JPEG) and C8/M8
+  (JPEG 2000, incl. per-block masked streams) through the image's PIL
+  binding when present
 - block layouts IMODE B (band interleaved by block), S (band
   sequential) and P (pixel interleaved), arbitrary NBPR x NBPC blocking
   with edge padding cropped
@@ -23,8 +24,8 @@ Scope (the GDAL-readable everyday envelope):
   (rotation preserved); ICORDS N/S/U (UTM/MGRS) and missing ICORDS
   yield a pixel-space geotransform with no projection
 
-Masked COMPRESSED variants (M3/M8), LUT-mapped bands, and DES/TRE
-interpretation are out of scope and raise named errors.
+LUT-mapped bands and DES/TRE interpretation are out of scope and
+raise named errors.
 """
 import struct
 
@@ -145,10 +146,10 @@ def _parse_image_subheader(data, offset, version):
     ncom = cur.number(1)
     cur.take(80 * ncom)
     ic = cur.text(2)
-    if ic not in ("NC", "NM", "C3", "C8"):
+    if ic not in ("NC", "NM", "C3", "C8", "M3", "M8"):
         raise _NitfError(
-            "NITF compression '%s' is not supported (NC, NM, C3/JPEG "
-            "and C8/JPEG2000 are)" % ic
+            "NITF compression '%s' is not supported (NC, NM, C3/M3 JPEG "
+            "and C8/M8 JPEG2000 are)" % ic
         )
     if ic not in ("NC", "NM"):
         cur.take(4)  # COMRAT (absent for NC and NM)
@@ -235,11 +236,12 @@ def _decode_blocks(raw, sub):
     return out
 
 
-def _unmask_blocks(raw, sub):
-    """IC=NM: strip the image data mask subheader and rebuild the dense
-    blocked payload — absent blocks (offset 0xFFFFFFFF) fill with the
-    pad pixel code (or zeros).  Offsets count from the end of the mask
-    subheader, the convention GDAL's reader uses."""
+def _parse_mask(raw, sub):
+    """The image data mask subheader (IC = NM/M3/M8): returns
+    ``(offsets, pad_code, data)`` — block offsets (None when only pad
+    pixels are marked), the pad pixel code bytes, and the payload after
+    the mask.  Offsets count from the end of the mask subheader, the
+    convention GDAL's reader uses."""
     if len(raw) < 10:
         raise _NitfError("NITF image data mask truncated")
     imdatoff = int.from_bytes(raw[0:4], "big")
@@ -251,19 +253,8 @@ def _unmask_blocks(raw, sub):
     pad_code = raw[pos : pos + pad_bytes]
     pos += pad_bytes
 
-    dtype = _dtype(sub["pvtype"], sub["nbpp"])
-    if dtype is None:
-        raise _NitfError(
-            "NITF pixel type %s/%d bits is not supported"
-            % (sub["pvtype"], sub["nbpp"])
-        )
-    itemsize = np.dtype(dtype).itemsize
     positions = sub["nbpr"] * sub["nbpc"]
     n_records = positions * (sub["nbands"] if sub["imode"] == "S" else 1)
-    per_record = sub["nppbh"] * sub["nppbv"] * itemsize
-    if sub["imode"] != "S":
-        per_record *= sub["nbands"]
-
     offsets = None
     if bmrlnth:
         if pos + 4 * n_records > len(raw):
@@ -275,10 +266,25 @@ def _unmask_blocks(raw, sub):
         pos += 4 * n_records
     if tmrlnth:
         pos += 4 * n_records  # pad-pixel mask records: not needed to read
+    return offsets, pad_code, raw[imdatoff:]
 
-    data = raw[imdatoff:]
+
+def _unmask_blocks(raw, sub):
+    """IC=NM: rebuild the dense blocked payload — absent blocks
+    (offset 0xFFFFFFFF) fill with the pad pixel code (or zeros)."""
+    offsets, pad_code, data = _parse_mask(raw, sub)
     if offsets is None:
         return data  # only pad-pixel marking: the payload is dense
+
+    dtype = _dtype(sub["pvtype"], sub["nbpp"])
+    if dtype is None:
+        raise _NitfError(
+            "NITF pixel type %s/%d bits is not supported"
+            % (sub["pvtype"], sub["nbpp"])
+        )
+    per_record = sub["nppbh"] * sub["nppbv"] * np.dtype(dtype).itemsize
+    if sub["imode"] != "S":
+        per_record *= sub["nbands"]
 
     fill = (
         (pad_code * (per_record // max(len(pad_code), 1) + 1))[:per_record]
@@ -296,8 +302,49 @@ def _unmask_blocks(raw, sub):
     return bytes(out)
 
 
-def _decode_compressed(raw, sub):
-    """C3 (JPEG) / C8 (JPEG 2000) segment via PIL."""
+def _decode_masked_compressed(raw, sub):
+    """IC=M3/M8: every present block is its own JPEG / JPEG 2000
+    codestream at its mask offset (the next present offset bounds it);
+    absent blocks fill with the pad pixel code."""
+    offsets, pad_code, data = _parse_mask(raw, sub)
+    if offsets is None:
+        raise _NitfError(
+            "NITF %s segment without a block mask" % sub["ic"]
+        )
+    bands = sub["nbands"]
+    bh, bw = sub["nppbv"], sub["nppbh"]
+    nbpr, nbpc = sub["nbpr"], sub["nbpc"]
+    positions = nbpr * nbpc
+    pad_value = int.from_bytes(pad_code, "big") if pad_code else 0
+    full = None
+
+    present = sorted(
+        (offset, record)
+        for record, offset in enumerate(offsets)
+        if offset != 0xFFFFFFFF
+    )
+    for index, (offset, record) in enumerate(present):
+        end = present[index + 1][0] if index + 1 < len(present) else len(data)
+        block = _decode_compressed(data[offset:end], sub, whole=False)
+        if full is None:
+            full = np.full(
+                (bands, nbpc * bh, nbpr * bw), pad_value, block.dtype
+            )
+        position = record % positions if sub["imode"] == "S" else record
+        row, col = divmod(position, nbpr)
+        window = full[:, row * bh : (row + 1) * bh, col * bw : (col + 1) * bw]
+        if sub["imode"] == "S":
+            window[record // positions] = block[0, :bh, :bw]
+        else:
+            window[:] = block[:, :bh, :bw]
+    if full is None:
+        full = np.full((bands, nbpc * bh, nbpr * bw), pad_value, np.uint8)
+    return full[:, : sub["nrows"], : sub["ncols"]]
+
+
+def _decode_compressed(raw, sub, whole=True):
+    """C3 (JPEG) / C8 (JPEG 2000) codestream via PIL; ``whole`` crops to
+    the full segment extent, a masked block keeps its own size."""
     import io as _io
 
     try:
@@ -312,7 +359,9 @@ def _decode_compressed(raw, sub):
         array = array[None]
     else:
         array = np.moveaxis(array, -1, 0)
-    return array[:, : sub["nrows"], : sub["ncols"]]
+    if whole:
+        return array[:, : sub["nrows"], : sub["ncols"]]
+    return array
 
 
 def _parse_header(data):
@@ -384,6 +433,8 @@ def read_nitf(path):
             stacks.append(_decode_blocks(payload, sub))
         elif sub["ic"] == "NM":
             stacks.append(_decode_blocks(_unmask_blocks(payload, sub), sub))
+        elif sub["ic"] in ("M3", "M8"):
+            stacks.append(_decode_masked_compressed(payload, sub))
         else:
             stacks.append(_decode_compressed(payload, sub))
     array = np.concatenate(stacks, axis=0)

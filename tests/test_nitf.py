@@ -317,3 +317,58 @@ def test_masked_nm_blocks(tmp_path):
     expected = values.copy()
     expected[0, 4:, 4:] = 99  # the absent block fills with the pad code
     np.testing.assert_array_equal(data_out.array, expected)
+
+
+def test_masked_jpeg_blocks(tmp_path):
+    """IC=M3: present blocks are standalone JPEG codestreams; absent
+    blocks fill with the pad pixel code (lossless check via constant
+    blocks — baseline JPEG preserves flat fields)."""
+    import io as _io
+
+    from PIL import Image
+
+    def jpeg_block(value):
+        img = Image.fromarray(np.full((4, 4), value, np.uint8), "L")
+        buf = _io.BytesIO()
+        img.save(buf, "JPEG", quality=100)
+        return buf.getvalue()
+
+    values = np.zeros((1, 8, 8), np.uint8)
+    values[0, :4, :4] = 50
+    values[0, :4, 4:] = 100
+    values[0, 4:, :4] = 150
+    streams = [jpeg_block(50), jpeg_block(100), jpeg_block(150)]
+    offsets, data = [], b""
+    for stream in streams:
+        offsets.append(len(data))
+        data += stream
+    offsets.append(0xFFFFFFFF)  # block (1,1) absent
+
+    mask = bytearray()
+    imdatoff = 10 + 1 + 4 * len(offsets)
+    mask += imdatoff.to_bytes(4, "big")
+    mask += (4).to_bytes(2, "big")
+    mask += (0).to_bytes(2, "big")
+    mask += (8).to_bytes(2, "big")
+    mask += bytes([200])  # pad pixel code
+    for off in offsets:
+        mask += off.to_bytes(4, "big")
+    payload = bytes(mask) + data
+
+    subheader = _image_subheader(
+        values, imode="B", nbpr=2, nbpc=2, nppbh=4, nppbv=4,
+        icords="D",
+        igeolo="".join(
+            "%+07.3f%+08.3f" % (lat, lon)
+            for lat, lon in [(52, 4), (52, 4.07), (51.93, 4.07), (51.93, 4)]
+        ),
+        ic=b"M3",
+    )
+    blob = _file_header([(subheader, payload)]) + subheader + payload
+    path = str(tmp_path / "m3.ntf")
+    with open(path, "wb") as fh:
+        fh.write(blob)
+    out = read_nitf(path)
+    expected = values.copy()
+    expected[0, 4:, 4:] = 200
+    np.testing.assert_array_equal(out.array, expected)
