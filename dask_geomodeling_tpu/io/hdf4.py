@@ -30,8 +30,10 @@ Supported envelope:
   attribute: GEO (packed-DMS corners), sinusoidal (the MODIS grid),
   UTM, polar stereographic and Lambert conformal GCTP projections
 
-Skip-huffman and n-bit compression are rejected with clear errors.
-All integers are big-endian unless a number type says otherwise.
+N-bit coded elements expand natively (packed bit fields with optional
+sign extension / one-fill); skip-huffman is rejected with a clear
+error.  All integers are big-endian unless a number type says
+otherwise.
 """
 import struct
 import zlib
@@ -72,7 +74,8 @@ _COMP_NONE = 0
 _COMP_RLE = 1
 _COMP_DEFLATE = 4
 _COMP_SZIP = 5
-_COMP_NAMES = {2: "n-bit", 3: "skip-huffman"}
+_COMP_NBIT = 2
+_COMP_NAMES = {3: "skip-huffman"}
 
 _DFNT_LITEND = 0x4000
 _DFNT = {
@@ -245,6 +248,17 @@ class _File:
             return zlib.decompress(data)[:uncomp_len]
         if coder == _COMP_RLE:
             return _rle_decode(data, uncomp_len)
+        if coder == _COMP_NBIT:
+            # coder info (hcomp.h comp_info.nbit, big-endian int32s):
+            # number type, sign_ext, fill_one, start_bit, bit_len
+            if len(desc) < 34:
+                raise _Hdf4Error("HDF4 n-bit coder info truncated")
+            (nt_code, sign_ext, fill_one, start_bit,
+             bit_len) = struct.unpack_from(">iiiii", desc, 14)
+            return _nbit_decode(
+                data, uncomp_len, nt_code, sign_ext, fill_one, start_bit,
+                bit_len,
+            )
         if coder == _COMP_SZIP:
             # coder info (hcomp.h comp_info.szip, big-endian int32s):
             # pixels, pixels_per_scanline, options_mask, bits_per_pixel,
@@ -276,6 +290,40 @@ class _File:
         if struct.unpack_from(">H", raw, 0)[0] != _SPECIAL_CHUNKED:
             return None
         return raw
+
+
+def _nbit_decode(data, expected, nt_code, sign_ext, fill_one, start_bit,
+                 bit_len):
+    """HDF4 n-bit coding: each element stores only the ``bit_len``-bit
+    field whose most significant bit sits at ``start_bit`` (counted from
+    the element's LSB = bit 0); expansion zero- or one-fills the other
+    bits, with optional sign extension from the field's top bit."""
+    dtype = _dtype_from_nt(nt_code)
+    size = dtype.itemsize
+    if not (0 < bit_len <= start_bit + 1 <= size * 8):
+        raise _Hdf4Error("HDF4 n-bit coder has inconsistent bit layout")
+    count = expected // size
+    bits = np.unpackbits(np.frombuffer(data, np.uint8))
+    if bits.size < count * bit_len:
+        raise _Hdf4Error("HDF4 n-bit element is truncated")
+    weights = 1 << np.arange(bit_len - 1, -1, -1, dtype=np.int64)
+    fields = bits[: count * bit_len].reshape(count, bit_len).astype(
+        np.int64
+    ) @ weights
+
+    shift = start_bit + 1 - bit_len
+    values = fields << shift
+    mask = ((1 << bit_len) - 1) << shift
+    if fill_one:
+        values |= ~mask & ((1 << (8 * size)) - 1)
+    if sign_ext:
+        negative = (fields >> (bit_len - 1)) & 1
+        high = ((1 << (8 * size)) - 1) & ~((1 << (start_bit + 1)) - 1)
+        values = np.where(negative == 1, values | high, values & ~high)
+    # materialize as the element's big-endian raw bytes (the SDS reader
+    # reinterprets with the set's own number type afterwards)
+    out = values.astype(">u8").view(np.uint8).reshape(count, 8)[:, 8 - size:]
+    return out.tobytes()[:expected]
 
 
 def _rle_decode(data, expected):

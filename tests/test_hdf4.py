@@ -636,3 +636,68 @@ def test_szip_16bit_element(tmp_path):
     np.testing.assert_array_equal(
         data.array[0], values.astype(np.uint16)
     )
+
+
+class TestNbitCoding:
+    """HDF4 n-bit coder: packed bit fields expand to full elements."""
+
+    def _pack_fields(self, fields, bit_len):
+        bits = []
+        for value in fields:
+            bits += [(value >> b) & 1 for b in range(bit_len - 1, -1, -1)]
+        while len(bits) % 8:
+            bits.append(0)
+        return np.packbits(np.array(bits, np.uint8)).tobytes()
+
+    def _make(self, tmp_path, stream, expected_len, shape, kind, nt_code,
+              sign_ext, fill_one, start_bit, bit_len):
+        writer = Writer()
+        nt_ref = _nt(writer, 2, kind)
+        _sdd(writer, 2, shape, nt_ref)
+        desc = struct.pack(">HHiHHH", 3, 0, expected_len, 7, 0, 2)
+        desc += struct.pack(
+            ">iiiii", nt_code, sign_ext, fill_one, start_bit, bit_len
+        )
+        writer.add(TAG_SD | SPECIAL, 2, desc)
+        writer.add(TAG_COMPRESSED, 7, stream)
+        _ndg(writer, 2, [(TAG_SDD, 2), (TAG_SD, 2)])
+        return writer.write(tmp_path)
+
+    def test_unsigned_fields(self, tmp_path):
+        # 6-bit fields at start_bit 5 in uint8 cells: value == field
+        fields = [0, 1, 17, 63, 32, 5, 63, 2]
+        stream = self._pack_fields(fields, 6)
+        path = self._make(
+            tmp_path, stream, 8, (2, 4), "u1", 21, 0, 0, 5, 6
+        )
+        data = read_hdf4(path)
+        np.testing.assert_array_equal(
+            data.array[0], np.array(fields, np.uint8).reshape(2, 4)
+        )
+
+    def test_shifted_field_with_fill_one(self, tmp_path):
+        # 4-bit fields at bits 5..2 of uint8, other bits filled with 1:
+        # value = 0b110_ffff_11? layout: bits 7,6 = 1; bits 5..2 = field;
+        # bits 1,0 = 1
+        fields = [0b1010, 0b0001]
+        stream = self._pack_fields(fields, 4)
+        path = self._make(
+            tmp_path, stream, 2, (1, 2), "u1", 21, 0, 1, 5, 4
+        )
+        data = read_hdf4(path)
+        expected = np.array(
+            [0b11101011, 0b11000111], np.uint8
+        ).reshape(1, 2)
+        np.testing.assert_array_equal(data.array[0], expected)
+
+    def test_signed_extension_int16(self, tmp_path):
+        # 5-bit two's-complement fields at start_bit 4 of int16
+        fields = [0b11111, 0b00001, 0b10000, 0b01111]  # -1, 1, -16, 15
+        stream = self._pack_fields(fields, 5)
+        path = self._make(
+            tmp_path, stream, 8, (1, 4), "i2", 22, 1, 0, 4, 5
+        )
+        data = read_hdf4(path)
+        np.testing.assert_array_equal(
+            data.array[0], np.array([[-1, 1, -16, 15]], np.int16)
+        )
