@@ -338,3 +338,25 @@ class TestPersistence:
         self._measure(big_source, request, jax_rate=50.0)
         router.reset(reseed=True)  # no router-state configured
         assert router.choose(big_source, request, True) == "numpy"
+
+
+class TestRefreshProbe:
+    def test_host_pinned_key_reprobes(self, big_source):
+        """A key that measured the device slow re-probes after
+        _REFRESH_EVERY host routes — the EMA can only move on runs that
+        happen (round-5: once-glitched keys must not stay pinned)."""
+        request = big_request()
+        router.record(big_source, request, "numpy", 0.01)
+        router.record(big_source, request, "jax", 1.0)  # warmup
+        router.record(big_source, request, "jax", 0.1)  # clearly slower
+        router.record(big_source, request, "jax", 0.1)  # 2nd chance: slow
+        routes = [
+            router.choose(big_source, request, True)
+            for _ in range(router._REFRESH_EVERY)
+        ]
+        assert routes[:-1] == ["numpy"] * (router._REFRESH_EVERY - 1)
+        assert routes[-1] == "jax"  # the probe
+        # a fast probe measurement flips the route back to the device
+        router.record(big_source, request, "jax", 0.0005)
+        router.record(big_source, request, "jax", 0.0005)
+        assert router.choose(big_source, request, True) == "jax"
