@@ -156,6 +156,10 @@ def main():
 
     from dask_geomodeling_tpu.runtime import router
 
+    # benchmark hygiene: explore from scratch and never read from or
+    # write into the user's persistent routing cache
+    config.set({"geomodeling.router-state": None})
+
     print(
         "%-18s %12s %12s %12s %8s %9s"
         % ("config", "host Mpx/s", "jax Mpx/s", "auto Mpx/s", "jax/host", "auto/host")
@@ -167,7 +171,7 @@ def main():
         with config.set({"geomodeling.executor": "jax"}):
             view.get_data(**request)  # compile warmup
         # auto: run the exploration phase (host, compile, device measure)
-        router.reset()
+        router.reset(reseed=False)
         with config.set({"geomodeling.executor": "auto"}):
             for _ in range(4):
                 view.get_data(**request)

@@ -649,11 +649,22 @@ def _decode_ccsds_packed(sec5, sec7, npts):
             "GRIB CCSDS packing: decoded %d bytes, expected %d"
             % (len(raw), npts * nbytes)
         )
-    order = ">" if flags & 0x04 else "<"  # AEC_DATA_MSB
-    cell = {1: "u1", 2: "u2", 4: "u4"}[nbytes]
-    packed = np.frombuffer(raw[: npts * nbytes], order + cell).astype(
-        np.int64
-    )
+    msb = bool(flags & 0x04)  # AEC_DATA_MSB
+    if nbytes == 3:  # AEC_DATA_3BYTE cells
+        triplets = (
+            np.frombuffer(raw[: npts * 3], np.uint8)
+            .reshape(npts, 3)
+            .astype(np.int64)
+        )
+        if msb:
+            packed = (triplets[:, 0] << 16) | (triplets[:, 1] << 8) | triplets[:, 2]
+        else:
+            packed = (triplets[:, 2] << 16) | (triplets[:, 1] << 8) | triplets[:, 0]
+    else:
+        cell = {1: "u1", 2: "u2", 4: "u4"}[nbytes]
+        packed = np.frombuffer(
+            raw[: npts * nbytes], (">" if msb else "<") + cell
+        ).astype(np.int64)
     return _scale(packed, R, E, D), None
 
 

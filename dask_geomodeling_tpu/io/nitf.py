@@ -142,7 +142,10 @@ def _parse_image_subheader(data, offset, version):
     abpp = cur.number(2)
     cur.take(1)  # PJUST
     icords = cur.text(1).strip()
-    igeolo = cur.text(60) if icords else ""
+    # NITF 2.0: ICORDS 'N' means NO coordinates (IGEOLO absent); only
+    # 2.1 redefined 'N' as UTM-north (which does carry IGEOLO)
+    has_igeolo = bool(icords) and not (version < (2, 1) and icords == "N")
+    igeolo = cur.text(60) if has_igeolo else ""
     ncom = cur.number(1)
     cur.take(80 * ncom)
     ic = cur.text(2)

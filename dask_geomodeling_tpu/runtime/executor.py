@@ -237,6 +237,10 @@ def execution_config_token():
         config.get("geomodeling.pallas-stencils", True),
         config.get("geomodeling.fetch-pack", True),
         config.get("geomodeling.source-alphabet-max", 4096),
+        config.get("geomodeling.source-alphabet-scan-px", 64 * 1024**2),
+        # overview reads change which PIXELS a file source serves, which
+        # the data-dependent alphabet (hence the packed codec) reflects
+        config.get("geomodeling.use-overviews", False),
         config.get("geomodeling.mesh-shape", None),
         config.get("geomodeling.warp-gather", "auto"),
         config.get("geomodeling.warp-host-grid", True),

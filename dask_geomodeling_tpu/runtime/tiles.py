@@ -821,9 +821,7 @@ def evaluate_tiled(view, request, tile_size=512, batch=None):
         else (lo, device_result)
         for lo, device_result in pending
     ]
-    from dask_geomodeling_tpu import config as _cfg2
-
-    fetch_streams = int(_cfg2.get("geomodeling.fetch-workers", 4))
+    fetch_streams = int(_config.get("geomodeling.fetch-workers", 4))
     if 0 < len(pending) < fetch_streams and all(
         getattr(device_result, "is_fully_addressable", True)
         for _, device_result in pending

@@ -1173,3 +1173,37 @@ def test_grib2_ccsds_packed(tmp_path):
 
     data = read_grib(_write(tmp_path, msg, "ccsds.grib2"))
     np.testing.assert_allclose(data.array[0], values, atol=1e-9)
+
+
+def test_grib2_ccsds_3byte_cells(tmp_path):
+    """5.42 with 17-24 bit samples and the AEC_DATA_3BYTE flag: cells
+    occupy exactly three octets."""
+    from dask_geomodeling_tpu.io import ccsds
+
+    if not ccsds.aec_available():
+        pytest.skip("libaec not loadable")
+    values = ((np.arange(24) * 977) % 100000).reshape(4, 6).astype(float)
+    nbits, flags, block, rsi = 20, 8 | 4 | 2, 16, 64  # PREPROCESS|MSB|3BYTE
+    packed = np.round(values).astype(np.int64).ravel()
+    triplets = np.zeros((packed.size, 3), np.uint8)
+    triplets[:, 0] = (packed >> 16) & 0xFF
+    triplets[:, 1] = (packed >> 8) & 0xFF
+    triplets[:, 2] = packed & 0xFF
+    stream = ccsds.aec_encode(
+        triplets.tobytes(), bits_per_sample=nbits, block_size=block,
+        rsi=rsi, flags=flags,
+    )
+    msg = _message(
+        [
+            _sec1(),
+            _sec3_latlon(6, 4, 55.0, 4.0, 53.5, 6.5, 0.5, 0.5, 0),
+            _sec4(),
+            _sec5_ccsds(values.size, 0.0, 0, 0, nbits, flags, block, rsi),
+            _sec6(),
+            _section(7, bytes(stream)),
+        ]
+    )
+    from dask_geomodeling_tpu.io.grib import read_grib
+
+    data = read_grib(_write(tmp_path, msg, "ccsds3.grib2"))
+    np.testing.assert_allclose(data.array[0], values, atol=1e-9)

@@ -41,8 +41,10 @@ def _signature(obj):
             text = "%s%s" % (obj.__name__, inspect.signature(obj))
     except (ValueError, TypeError):
         return obj.__name__
-    # sentinel defaults repr with a memory address: not deterministic
-    return re.sub(r"<object object at 0x[0-9a-f]+>", "<unset>", text)
+    # sentinel defaults repr with a memory address, and module reprs
+    # with an install path: neither is deterministic across machines
+    text = re.sub(r"<object object at 0x[0-9a-f]+>", "<unset>", text)
+    return re.sub(r"<module '([^']+)' from '[^']*'>", r"<module '\1'>", text)
 
 
 def _doc(obj):
