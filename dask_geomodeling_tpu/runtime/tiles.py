@@ -789,64 +789,7 @@ def evaluate_tiled(view, request, tile_size=512, batch=None):
     from dask_geomodeling_tpu import config as _config
 
     prefetch = _config.get("geomodeling.tile-prefetch", False)
-    pending = []
-    with _span("dispatch[%d tiles]" % len(requests), "tiles"):
-        if prefetch:
-            from dask_geomodeling_tpu.runtime.pipeline import TilePrefetcher
-
-            # compile once up front so workers never race the jit trace
-            if program._compiled is None:
-                program.compile(view, chunks[0][1])
-            with TilePrefetcher() as prefetcher:
-                futures = prefetcher.map(
-                    lambda item: program.stage_batch(view, item[1]), chunks
-                )
-                for (lo, chunk), future in zip(chunks, futures):
-                    pending.append(
-                        (lo, program.dispatch_staged(future.result(), len(chunk)))
-                    )
-        else:
-            for lo, chunk in chunks:
-                pending.append((lo, program.dispatch_batch(view, chunk)))
-    t_fetch = time.perf_counter()
-
-    # phase 2: fetch + assemble (fetches overlap the remaining device work).
-    # The padded final batch is sliced ON DEVICE to the valid tiles first,
-    # so padding never crosses the (bandwidth-bound) device->host link; then
-    # every copy starts before blocking on the first one so the transport
-    # can pipeline transfers
-    pending = [
-        (lo, device_result[: len(requests) - lo])
-        if lo + batch > len(requests)
-        else (lo, device_result)
-        for lo, device_result in pending
-    ]
     fetch_streams = int(_config.get("geomodeling.fetch-workers", 4))
-    if 0 < len(pending) < fetch_streams and all(
-        getattr(device_result, "is_fully_addressable", True)
-        for _, device_result in pending
-    ):
-        # few batches (a mid-size request is often a SINGLE full batch):
-        # slice each batch's device result along the tile axis so several
-        # fetch RPCs pipeline anyway — the same parallelism lever, minus
-        # the single-stream ~60%-of-wire penalty.  MUST happen before any
-        # copy_to_host_async: requesting the whole array AND its slices
-        # would ship every byte twice (measured 2.7 -> 6.7 s on f32).
-        per_batch = max(fetch_streams // len(pending), 1)
-        split = []
-        for lo, device_result in pending:
-            n = int(device_result.shape[0])
-            step = max(-(-n // per_batch), 1)
-            for off in range(0, n, step):
-                split.append((lo + off, device_result[off : off + step]))
-        # the progress denominator counted whole batches; each slice
-        # reports separately, so grow the total by the extra units
-        _profile.announce_total(len(split) - len(pending))
-        pending = split
-    for _, device_result in pending:
-        copy_async = getattr(device_result, "copy_to_host_async", None)
-        if copy_async is not None:
-            copy_async()
     out = None
     no_data_value = view.fillvalue
 
@@ -859,22 +802,94 @@ def evaluate_tiled(view, request, tile_size=512, batch=None):
         )
         return lo, result
 
-    # concurrent per-batch fetches: the tunnel serializes a lone blocking
-    # copy at well under the wire rate, while a few in-flight RPCs
-    # pipeline (measured 22 -> 30 MB/s with 4 workers); decode rides the
-    # worker thread, assembly stays on this thread
-    fetch_workers = min(fetch_streams, len(pending))
-    with _span("fetch+assemble[%d tiles]" % len(requests), "tiles"):
-        if fetch_workers > 1:
-            from concurrent.futures import ThreadPoolExecutor
+    # a mid-size request is often a SINGLE full batch: slice each batch's
+    # result along the tile axis so several fetch RPCs pipeline anyway —
+    # the same parallelism lever, minus the single-stream ~60%-of-wire
+    # penalty.  No split once there are at least as many batches as
+    # streams (whole-batch fetches already saturate the pool).
+    per_batch = max(fetch_streams // max(len(chunks), 1), 1)
 
-            pool = ThreadPoolExecutor(fetch_workers)
-            fetched = pool.map(fetch_one, pending)
-        else:
-            pool = None
-            fetched = map(fetch_one, pending)
-        try:
-            for lo, result in fetched:
+    def prepared(lo, device_result):
+        """Tail-slice the padded final batch ON DEVICE (padding never
+        crosses the bandwidth-bound link), split into fetch streams, and
+        start the async copies.  Slicing MUST precede copy_to_host_async:
+        requesting the whole array AND its slices would ship every byte
+        twice (measured 2.7 -> 6.7 s on f32)."""
+        if lo + batch > len(requests):
+            device_result = device_result[: len(requests) - lo]
+        pieces = [(lo, device_result)]
+        if per_batch > 1 and getattr(
+            device_result, "is_fully_addressable", True
+        ):
+            n = int(device_result.shape[0])
+            step = max(-(-n // per_batch), 1)
+            pieces = [
+                (lo + off, device_result[off : off + step])
+                for off in range(0, n, step)
+            ]
+            # the progress denominator counted whole batches; each slice
+            # reports separately, so grow the total by the extra units
+            _profile.announce_total(len(pieces) - 1)
+        for _, piece in pieces:
+            copy_async = getattr(piece, "copy_to_host_async", None)
+            if copy_async is not None:
+                copy_async()
+        return pieces
+
+    # dispatch and fetch INTERLEAVED: each batch's fetch is queued the
+    # moment its dispatch returns, so transfers overlap the staging of
+    # later batches — on a slow wire the old dispatch-all-then-fetch-all
+    # phasing added the whole staging time to the critical path.
+    # fetch-workers=1 keeps the two-phase order (an inline fetch would
+    # serialize the wire INTO the dispatch loop instead).
+    pool = None
+    if fetch_streams > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(fetch_streams)
+
+    fetched = []
+    pending = []  # only used on the fetch-workers=1 path
+    try:
+        with _span("dispatch[%d tiles]" % len(requests), "tiles"):
+            if prefetch:
+                from dask_geomodeling_tpu.runtime.pipeline import (
+                    TilePrefetcher,
+                )
+
+                # compile once up front so workers never race the jit trace
+                if program._compiled is None:
+                    program.compile(view, chunks[0][1])
+                with TilePrefetcher() as prefetcher:
+                    staged = prefetcher.map(
+                        lambda item: program.stage_batch(view, item[1]),
+                        chunks,
+                    )
+                    for (lo, chunk), future in zip(chunks, staged):
+                        device_result = program.dispatch_staged(
+                            future.result(), len(chunk)
+                        )
+                        for item in prepared(lo, device_result):
+                            if pool is not None:
+                                fetched.append(pool.submit(fetch_one, item))
+                            else:
+                                pending.append(item)
+            else:
+                for lo, chunk in chunks:
+                    device_result = program.dispatch_batch(view, chunk)
+                    for item in prepared(lo, device_result):
+                        if pool is not None:
+                            fetched.append(pool.submit(fetch_one, item))
+                        else:
+                            pending.append(item)
+        t_fetch = time.perf_counter()
+
+        with _span("fetch+assemble[%d tiles]" % len(requests), "tiles"):
+            if pool is not None:
+                results = (future.result() for future in fetched)
+            else:
+                results = map(fetch_one, pending)
+            for lo, result in results:
                 if out is None:
                     bands = result.shape[1]
                     out = np.empty((bands, height, width), result.dtype)
@@ -894,9 +909,9 @@ def evaluate_tiled(view, request, tile_size=512, batch=None):
                     out[:, row_end - vh : row_end, col0 : col0 + vw] = (
                         tile_result[:, tile_size - vh :, :vw]
                     )
-        finally:
-            if pool is not None:
-                pool.shutdown()
+    finally:
+        if pool is not None:
+            pool.shutdown()
     if logger.isEnabledFor(logging.DEBUG):
         t_end = time.perf_counter()
         logger.debug(
