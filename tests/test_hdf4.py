@@ -701,3 +701,45 @@ class TestNbitCoding:
         np.testing.assert_array_equal(
             data.array[0], np.array([[-1, 1, -16, 15]], np.int16)
         )
+
+
+def test_chunked_szip_elements(tmp_path):
+    """Chunked dataset whose chunks are szip special elements (the other
+    MODIS layout); streams from the authoritative encoder."""
+    from dask_geomodeling_tpu.io import ccsds
+
+    if not ccsds.szip_available():
+        pytest.skip("libsz not loadable")
+    values = ((np.arange(64) * 11) % 199).astype(np.uint8).reshape(8, 8)
+    options_mask = 32 | 4 | 1
+    writer = Writer()
+    nt_ref = _nt(writer, 2, "u1")
+    _sdd(writer, 2, values.shape, nt_ref)
+
+    entries = []
+    ref = 40
+    for ci in range(2):
+        block = values[ci * 4 : ci * 4 + 4, :]
+        raw = block.tobytes()
+        compressed = ccsds.szip_compress(
+            raw, options_mask, bits_per_pixel=8, pixels_per_block=8,
+            pixels_per_scanline=8,
+        )
+        desc = struct.pack(">HHiHHH", 3, 0, len(raw), ref + 100, 0, 5)
+        desc += struct.pack(">iiiii", block.size, 8, options_mask, 8, 8)
+        writer.add(TAG_CHUNK | SPECIAL, ref, desc)
+        writer.add(TAG_COMPRESSED, ref + 100, compressed)
+        entries.append(((ci, 0), TAG_CHUNK, ref))
+        ref += 1
+    _chunk_table(writer, 50, entries, 2)
+
+    desc = struct.pack(">HBiiii", 6, 1, 1, values.size, 21, 1)
+    desc += struct.pack(">HHHH", TAG_VH, 50, 0, 0)
+    desc += struct.pack(">i", 2)
+    desc += struct.pack(">iii", 0, 8, 4)
+    desc += struct.pack(">iii", 0, 8, 8)
+    desc += struct.pack(">i", 0)
+    writer.add(TAG_SD | SPECIAL, 2, desc)
+    _ndg(writer, 2, [(TAG_SDD, 2), (TAG_SD, 2)])
+    data = read_hdf4(writer.write(tmp_path))
+    np.testing.assert_array_equal(data.array[0], values)

@@ -482,3 +482,27 @@ def test_tile_program_cache_lru_bound(source, request_64):
     before = len(tiles._TILE_PROGRAM_CACHE)
     evaluate_tiled(views[-1], request_64, tile_size=32, batch=2)
     assert len(tiles._TILE_PROGRAM_CACHE) >= before
+
+
+def test_concurrent_tiled_requests_interleaved_fetch(source, request_64):
+    """WMS-style load on the interleaved dispatch+fetch pipeline: many
+    threads hammer one compiled program (fetches queue DURING staging
+    now), all must assemble identical, bit-exact results."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from dask_geomodeling_tpu import config
+
+    view = Reclassify(
+        Classify(Add(source, 1), bins=[50.0, 150.0]), data=[[1, 42]]
+    )
+    expected = view.get_data(**request_64)
+
+    def run(_):
+        with config.set({"geomodeling.fetch-workers": 4}):
+            return evaluate_tiled(view, request_64, tile_size=32, batch=2)
+
+    with ThreadPoolExecutor(6) as pool:
+        results = list(pool.map(run, range(18)))
+    for result in results:
+        np.testing.assert_array_equal(result["values"], expected["values"])
+        assert result["no_data_value"] == expected["no_data_value"]
