@@ -31,9 +31,9 @@ Supported envelope:
   UTM, polar stereographic and Lambert conformal GCTP projections
 
 N-bit coded elements expand natively (packed bit fields with optional
-sign extension / one-fill); skip-huffman is rejected with a clear
-error.  All integers are big-endian unless a number type says
-otherwise.
+sign extension / one-fill); skip-huffman elements decode through the
+native splay-tree coder below.  All integers are big-endian unless a
+number type says otherwise.
 """
 import struct
 import zlib
@@ -75,7 +75,8 @@ _COMP_RLE = 1
 _COMP_DEFLATE = 4
 _COMP_SZIP = 5
 _COMP_NBIT = 2
-_COMP_NAMES = {3: "skip-huffman"}
+_COMP_SKPHUFF = 3
+_COMP_NAMES = {6: "jpeg", 7: "imcomp"}
 
 _DFNT_LITEND = 0x4000
 _DFNT = {
@@ -259,6 +260,15 @@ class _File:
                 data, uncomp_len, nt_code, sign_ext, fill_one, start_bit,
                 bit_len,
             )
+        if coder == _COMP_SKPHUFF:
+            # coder info (hcomp.h comp_info.skphuff): skp_size int32
+            if len(desc) < 18:
+                raise _Hdf4Error("HDF4 skip-huffman coder info truncated")
+            skip_size = struct.unpack_from(">i", desc, 14)[0]
+            try:
+                return _skphuff_decode(data, uncomp_len, skip_size)
+            except ValueError as error:
+                raise _Hdf4Error("HDF4 skip-huffman element: %s" % error)
         if coder == _COMP_SZIP:
             # coder info (hcomp.h comp_info.szip, big-endian int32s):
             # pixels, pixels_per_scanline, options_mask, bits_per_pixel,
@@ -343,6 +353,73 @@ def _rle_decode(data, expected):
     if len(out) < expected:
         raise _Hdf4Error("HDF4 RLE stream is truncated")
     return bytes(out[:expected])
+
+
+def _skphuff_decode(data, expected, skip_size):
+    """HDF4 skip-huffman coding: adaptive prefix codes over semi-splayed
+    binary trees (Jones, "Application of Splay Trees to Data
+    Compression", CACM 1988), one tree per byte position within an
+    element — byte ``i`` of the stream uses tree ``i % skip_size``.
+
+    Tree layout (recovered from the hskphuff coder in the system HDF4
+    library and pinned against its output in tests/test_hdf4.py):
+    nodes are heap-numbered with root 0 and children ``2j``/``2j+1``
+    (so the root's left child starts as a self-loop), a node above 255
+    is the leaf for byte ``node - 256``, and a 0/1 bit steps
+    left/right with bits read MSB-first.  After every decoded byte the
+    leaf is semi-splayed: each step swaps the node with its uncle and
+    halves the path depth, walking grandparent pairs until the parent
+    (or the node itself, once the root's self-loop has been splayed
+    into the chain) is the root.
+    """
+    if skip_size < 1:
+        raise _Hdf4Error("HDF4 skip-huffman skip size must be >= 1")
+    if skip_size > 64:
+        # bytes-per-element bound: largest HDF4 number type is 8 bytes,
+        # so a huge declared size means a corrupt coder info record
+        raise _Hdf4Error(
+            "Implausible HDF4 skip-huffman skip size: %d" % skip_size
+        )
+    lefts = [list(range(0, 512, 2)) for _ in range(skip_size)]
+    rights = [list(range(1, 512, 2)) for _ in range(skip_size)]
+    ups = [[i >> 1 for i in range(512)] for _ in range(skip_size)]
+    out = bytearray()
+    bitpos = 0
+    total = len(data) * 8
+    tree = 0
+    while len(out) < expected:
+        left = lefts[tree]
+        right = rights[tree]
+        up = ups[tree]
+        node = 0
+        while node < 256:
+            if bitpos >= total:
+                raise _Hdf4Error("HDF4 skip-huffman stream is truncated")
+            bit = (data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
+            bitpos += 1
+            node = right[node] if bit else left[node]
+        out.append(node - 256)
+        a = node
+        while a != 0:
+            c = up[a]
+            if c == 0:
+                break
+            d = up[c]
+            b = left[d]
+            if b == c:
+                b = right[d]
+                right[d] = a
+            else:
+                left[d] = a
+            if left[c] == a:
+                left[c] = b
+            else:
+                right[c] = b
+            up[a] = d
+            up[b] = c
+            a = d
+        tree = (tree + 1) % skip_size
+    return bytes(out)
 
 
 # ------------------------------------------------------------ Vdata/Vgroup
@@ -446,8 +523,12 @@ class _Sds:
         pos = 2 + 4 * rank
         nt_tag, nt_ref = struct.unpack_from(">HH", sdd, pos)
         nt = file.raw(nt_tag, nt_ref)
-        self.type_code = nt[1] | (_DFNT_LITEND if len(nt) > 3 and
-                                  nt[3] == 1 else 0)
+        # NT record: version, type, width, class.  The class byte names
+        # the byte order: DFNTI_IBO / DFNTF_PC (both 4, hntdefs.h) mean
+        # little-endian (what DFNT_LITEND writes); DFNTI_MBO /
+        # DFNTF_IEEE (both 1) and 0 mean big-endian.
+        nt_class = nt[3] if len(nt) > 3 else 0
+        self.type_code = nt[1] | (_DFNT_LITEND if nt_class == 4 else 0)
         self.dtype = _dtype_from_nt(self.type_code)
         self.name = None
         self.fill = None

@@ -743,3 +743,133 @@ def test_chunked_szip_elements(tmp_path):
     _ndg(writer, 2, [(TAG_SDD, 2), (TAG_SD, 2)])
     data = read_hdf4(writer.write(tmp_path))
     np.testing.assert_array_equal(data.array[0], values)
+
+
+# ------------------------------------------------------- skip-huffman
+
+
+def _hdf4_sd():
+    """The system HDF4 SD API via ctypes, or None if not loadable.
+
+    Used to produce AUTHORITATIVE skip-huffman files: the whole file
+    (DD chain, chunking, compressed stream) comes from the real HDF4
+    library, and the native reader must reproduce the original array.
+    """
+    import ctypes
+
+    try:
+        ctypes.CDLL("libdfalt.so.0", mode=ctypes.RTLD_GLOBAL)
+        lib = ctypes.CDLL("libmfhdfalt.so.0", mode=ctypes.RTLD_GLOBAL)
+    except OSError:
+        return None
+    lib.SDstart.restype = ctypes.c_int32
+    lib.SDstart.argtypes = [ctypes.c_char_p, ctypes.c_int32]
+    lib.SDcreate.restype = ctypes.c_int32
+    lib.SDcreate.argtypes = [
+        ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.SDsetcompress.restype = ctypes.c_int
+    lib.SDsetcompress.argtypes = [
+        ctypes.c_int32, ctypes.c_int, ctypes.c_void_p,
+    ]
+    lib.SDwritedata.restype = ctypes.c_int
+    lib.SDwritedata.argtypes = [
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_void_p,
+    ]
+    return lib
+
+
+def _write_skphuff(lib, path, values, nt, skip_size):
+    import ctypes
+
+    class CompInfo(ctypes.Structure):
+        # comp_info is a union; skphuff only uses the leading intn
+        _fields_ = [("skp_size", ctypes.c_int), ("pad", ctypes.c_int * 13)]
+
+    values = np.ascontiguousarray(values)
+    fid = lib.SDstart(path.encode(), 4)  # DFACC_CREATE
+    assert fid != -1
+    dims = (ctypes.c_int32 * values.ndim)(*values.shape)
+    sds = lib.SDcreate(fid, b"data", nt, values.ndim, dims)
+    assert sds != -1
+    info = CompInfo()
+    info.skp_size = skip_size
+    assert lib.SDsetcompress(sds, 3, ctypes.byref(info)) == 0
+    start = (ctypes.c_int32 * values.ndim)(*([0] * values.ndim))
+    edge = (ctypes.c_int32 * values.ndim)(*values.shape)
+    assert lib.SDwritedata(
+        sds, start, None, edge, values.ctypes.data_as(ctypes.c_void_p)
+    ) == 0
+    assert lib.SDendaccess(sds) == 0
+    assert lib.SDend(fid) == 0
+
+
+def test_skphuff_uint8(tmp_path):
+    """Skip-huffman elements decode; the file comes whole from the
+    AUTHORITATIVE encoder (the system HDF4 library's SD API)."""
+    lib = _hdf4_sd()
+    if lib is None:
+        pytest.skip("system HDF4 library not loadable")
+    values = ((np.arange(21 * 17) * 7) % 40).astype(np.uint8).reshape(21, 17)
+    path = str(tmp_path / "skp.hdf")
+    _write_skphuff(lib, path, values, 21, 1)  # DFNT_UINT8
+    data = read_hdf4(path)
+    np.testing.assert_array_equal(data.array[0], values)
+
+
+def test_skphuff_multibyte_skip_trees(tmp_path):
+    """skip_size > 1: one splay tree per byte position of the element
+    (int16 -> 2 interleaved trees, float32 -> 4)."""
+    lib = _hdf4_sd()
+    if lib is None:
+        pytest.skip("system HDF4 library not loadable")
+    rng = np.random.default_rng(42)
+    i16 = rng.integers(-900, 900, size=(13, 19)).astype(np.int16)
+    path16 = str(tmp_path / "skp16.hdf")
+    _write_skphuff(lib, path16, i16, 22, 2)  # DFNT_INT16
+    data = read_hdf4(path16)
+    np.testing.assert_array_equal(data.array[0], i16)
+
+    f32 = (rng.integers(0, 50, size=(9, 11)) * 0.25).astype(np.float32)
+    path32 = str(tmp_path / "skp32.hdf")
+    _write_skphuff(lib, path32, f32, 5, 4)  # DFNT_FLOAT32
+    data = read_hdf4(path32)
+    np.testing.assert_array_equal(data.array[0], f32)
+
+    # DFNT_LITEND: the library stores native little-endian and marks
+    # the NT class DFNTI_IBO — the order must come from the class byte
+    pathle = str(tmp_path / "skple.hdf")
+    _write_skphuff(lib, pathle, i16, 22 | 0x4000, 2)
+    data = read_hdf4(pathle)
+    np.testing.assert_array_equal(data.array[0], i16)
+
+
+def test_skphuff_truncated_stream_raises(tmp_path):
+    """A skip-huffman element whose bit stream ends early reports a
+    truncation error, not a raw exception."""
+    writer = Writer()
+    nt_ref = _nt(writer, 2, "u1")
+    _sdd(writer, 2, (8, 8), nt_ref)
+    desc = struct.pack(">HHiHHH", 3, 0, 64, 7, 0, 3)  # coder 3 = skphuff
+    desc += struct.pack(">i", 1)  # skp_size
+    writer.add(TAG_SD | SPECIAL, 2, desc)
+    writer.add(TAG_COMPRESSED, 7, b"\xff\x00")  # far too short for 64 bytes
+    _ndg(writer, 2, [(TAG_SDD, 2), (TAG_SD, 2)])
+    with pytest.raises(ValueError, match="truncated"):
+        read_hdf4(writer.write(tmp_path))
+
+
+def test_skphuff_implausible_skip_size_raises(tmp_path):
+    writer = Writer()
+    nt_ref = _nt(writer, 2, "u1")
+    _sdd(writer, 2, (8, 8), nt_ref)
+    desc = struct.pack(">HHiHHH", 3, 0, 64, 7, 0, 3)
+    desc += struct.pack(">i", 1 << 20)
+    writer.add(TAG_SD | SPECIAL, 2, desc)
+    writer.add(TAG_COMPRESSED, 7, b"\x00" * 64)
+    _ndg(writer, 2, [(TAG_SDD, 2), (TAG_SD, 2)])
+    with pytest.raises(ValueError, match="skip size"):
+        read_hdf4(writer.write(tmp_path))
